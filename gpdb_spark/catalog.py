@@ -1,0 +1,40 @@
+"""Fixture catalog: load / register the driver-generated parquet tables.
+
+The reference keeps relations in pg_class + gp_distribution_policy
+(/root/reference/src/include/catalog/gp_policy.h:31-39); here a "table" is a
+parquet directory and the distribution policy lives in
+:mod:`gpdb_spark.storage`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+FIXTURE_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (SeqScan source — nodeSeqscan.c:128 maps to
+    FileSourceScanExec with pushdown/pruning)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_fixture_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name in FIXTURE_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,13 @@
+"""Importing this package populates gpdb_spark.registry.QUERIES / ORACLE."""
+
+from gpdb_spark.queries import (  # noqa: F401
+    tpch,
+    olap_group,
+    olap_window,
+    relational,
+    scalar_funcs,
+    events,
+    datapipe_text,
+    datapipe_dedup,
+    datapipe_embed,
+)

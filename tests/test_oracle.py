@@ -1,0 +1,62 @@
+"""Mirror of the driver's correctness gate: run every registered query on
+Spark AND its DuckDB oracle SQL on the same parquet, compare row count,
+column names, and the order-insensitive multiset of values.
+
+This is the atmsort/gpdiff idea from the reference's pg_regress harness
+(src/test/regress/atmsort.pl): results compare order-insensitively unless
+the query itself pins an ORDER BY.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import pytest
+
+import gpdb_spark.queries  # noqa: F401 — populates the registry
+from gpdb_spark.registry import ORACLE, QUERIES
+
+
+def _norm_val(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return 0.0
+        return v
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None)
+    return v
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+    out = [tuple(_norm_val(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle(name, spark, duck, sf_dir):
+    sdf = QUERIES[name](spark, sf_dir)
+    scols = list(sdf.columns)
+    srows = [tuple(r) for r in sdf.collect()]
+
+    cur = duck.execute(ORACLE[name])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+
+    assert sorted(c.lower() for c in scols) == sorted(c.lower() for c in ocols), (
+        f"{name}: column names differ: spark={scols} oracle={ocols}"
+    )
+    a = normalize(srows, scols)
+    b = normalize(orows, ocols)
+    assert len(a) == len(b), f"{name}: row count {len(a)} != {len(b)}"
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    assert a == b, f"{name}: first mismatches: {mismatches[:3]}"
+
+
+def test_every_query_has_entry():
+    assert QUERIES, "registry is empty"
+    missing = set(ORACLE) - set(QUERIES)
+    assert not missing, f"oracles without queries: {missing}"

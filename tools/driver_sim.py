@@ -1,0 +1,56 @@
+"""Simulate the driver: import __spark_entry__, smoke entry(), run every
+queries() entry vs oracle_sql() on DuckDB at sf0.01, order-insensitive."""
+import sys, math, datetime
+sys.path.insert(0, '/root/repo')
+import __spark_entry__ as E
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master('local[8]').appName('driver-sim')
+         .config('spark.sql.shuffle.partitions','8')
+         .config('spark.sql.session.timeZone','UTC')
+         .config('spark.ui.enabled','false').getOrCreate())
+
+# 1. smoke: entry
+df = E.entry(spark)
+rows = df.collect()
+print('ENTRY rows=', len(rows), 'schema=', [f.name for f in df.schema.fields])
+assert len(rows) >= 0
+
+# 2. full correctness loop, driver-style
+import duckdb
+con = duckdb.connect()
+sf = '/root/testdata/sf0.01'
+for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
+    con.execute(f"create view {t} as select * from read_parquet('{sf}/{t}.parquet')")
+
+qs, osql = E.queries(), E.oracle_sql()
+print('QUERIES:', len(qs), 'ORACLES:', len(osql))
+assert set(osql) <= set(qs), 'oracle without query!'
+
+def norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float) and math.isnan(v): v = 'NaN'
+            if isinstance(v, datetime.datetime): v = v.replace(tzinfo=None)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+fails = []
+for name in sorted(qs):
+    sdf = qs[name](spark, sf)
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in osql:
+        print(f'{name}: rows-only, {len(srows)} rows'); continue
+    cur = con.execute(osql[name]); ocols = [d[0] for d in cur.description]; orows = cur.fetchall()
+    ok = (sorted(c.lower() for c in sdf.columns) == sorted(c.lower() for c in ocols)
+          and norm(srows, sdf.columns) == norm(orows, ocols))
+    print(f'{name}: {"MATCH" if ok else "MISMATCH"} spark={len(srows)} oracle={len(orows)}')
+    if not ok: fails.append(name)
+
+print('RESULT:', 'ALL MATCH' if not fails else f'FAILS: {fails}')
+sys.exit(1 if fails else 0)
