@@ -30,7 +30,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (SeqScan source — nodeSeqscan.c:128 maps to
-    FileSourceScanExec with pushdown/pruning)."""
+    FileSourceScanExec with pushdown/pruning).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    (PARQUET_TYPE_ILLEGAL). We read nanos as long via the legacy conf and
+    truncate to microseconds with *integer* division (``div`` — double
+    division would lose precision at 1e18 nanos), matching DuckDB's own
+    ns->us truncation.
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

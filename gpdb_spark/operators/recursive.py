@@ -1,0 +1,54 @@
+"""Recursive CTE — WITH RECURSIVE fixpoint iteration.
+
+Reference: ExecRecursiveUnion (src/backend/executor/nodeRecursiveunion.c:76)
+pulls the non-recursive seed, then repeatedly re-evaluates the recursive
+term against the working table (nodeWorktablescan.c:86) until it produces
+no rows. Spark (<4.0 SQL) has no native recursive CTE, so this is a
+driver-side loop: the *control flow* runs on the driver (one `isEmpty()`
+check per iteration) but every step's data stays distributed.
+
+Scale notes:
+- each iteration localCheckpoints the frontier to truncate the lineage —
+  otherwise the plan doubles per iteration and planning time explodes;
+- UNION (distinct) mode keeps only newly-discovered rows in the frontier
+  (semi-anti join against the accumulated set), which is the standard
+  distributed transitive-closure optimization;
+- max_iterations guards against non-terminating recursion (the reference
+  relies on the user's WHERE clause the same way).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def recursive_cte(
+    seed: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    max_iterations: int = 100,
+    distinct: bool = False,
+) -> DataFrame:
+    """Evaluate WITH RECURSIVE: seed UNION [ALL] step(seed) ... to fixpoint.
+
+    ``distinct=False`` = UNION ALL semantics (append every iteration's
+    output); ``distinct=True`` = UNION semantics (global dedup; iteration
+    stops when no *new* rows appear).
+    """
+    acc = seed.localCheckpoint(eager=True)
+    frontier = acc
+    for _ in range(max_iterations):
+        nxt = step(frontier)
+        if distinct:
+            nxt = nxt.distinct().exceptAll(acc.distinct())
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        acc = acc.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"recursive_cte did not converge in {max_iterations} iterations"
+        )
+    return acc.distinct() if distinct else acc

@@ -1,1 +1,211 @@
-"""Populated in subsequent commits."""
+"""Time-series queries over the events table.
+
+The reference is batch-only (SURVEY.md §2.11): its time-series surface is
+window functions + linear_interpolate (interpolate.c) over ordered tables.
+These queries cover that batch surface; the streaming capability extension
+(real watermarks/session windows over an unbounded source) lives in
+gpdb_spark.streaming and is exercised by tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gpdb_spark.registry import DEC, dsum, osum, query, t
+
+GAP_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "events_time_buckets",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           event_type, count(*) AS n, {osum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_time_buckets(spark, sf_dir):
+    """Hourly bucketing via date_trunc (timestamp.c:4561)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )
+
+
+@query(
+    "events_tumbling_window",
+    oracle=f"""
+    SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) AS TIMESTAMP) AS window_start,
+           count(*) AS n, {osum('value')} AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_tumbling_window(spark, sf_dir):
+    """Tumbling window via F.window — the Structured-Streaming-compatible
+    form (same expression works under readStream; see gpdb_spark.streaming)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle=f"""
+    SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type, count(*) AS n,
+           {osum('value')} AS sum_value
+    FROM (
+        SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS ws,
+               event_type, value
+        FROM events
+    ) x
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark, sf_dir):
+    """Sliding window (1h window, 30m slide): each event lands in 2
+    windows. Spark's F.window(slideDuration) expands rows exactly like the
+    oracle's unnest of the two aligned window starts."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, event_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           {osum('value')} AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-minute inactivity) — batch parity for
+    session windows (gpdb_spark.operators.sessionize)."""
+    from gpdb_spark.operators.sessionize import sessionize
+
+    e = t(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", order_tiebreak="event_id", gap_minutes=30)
+    return (
+        s.groupBy("user_id", F.col("session_id").cast("long").alias("session_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "events_linear_interpolate",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, event_id, ts, value, event_type,
+               CASE WHEN event_type <> 'error'
+                    THEN {{'x': CAST(epoch_us(ts) AS DOUBLE), 'y': value}} END AS pt,
+               CAST(epoch_us(ts) AS DOUBLE) AS x
+        FROM events WHERE user_id < 200
+    ), nb AS (
+        SELECT user_id, event_id, x, event_type, value,
+               last_value(pt IGNORE NULLS) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p0,
+               first_value(pt IGNORE NULLS) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS p1
+        FROM pts
+    )
+    SELECT user_id, event_id,
+           round(CASE
+             WHEN p0 IS NULL AND p1 IS NULL THEN NULL
+             WHEN p0 IS NULL THEN struct_extract(p1, 'y')
+             WHEN p1 IS NULL THEN struct_extract(p0, 'y')
+             WHEN struct_extract(p1, 'x') = struct_extract(p0, 'x')
+               THEN struct_extract(p0, 'y')
+             ELSE struct_extract(p0, 'y')
+                  + (struct_extract(p1, 'y') - struct_extract(p0, 'y'))
+                    * (x - struct_extract(p0, 'x'))
+                    / (struct_extract(p1, 'x') - struct_extract(p0, 'x'))
+           END, 6) AS value_interp
+    FROM nb
+    """,
+)
+def events_linear_interpolate(spark, sf_dir):
+    """linear_interpolate (interpolate.c:253-546): treat 'error' events as
+    missing and fill their value from the nearest non-error neighbors."""
+    from gpdb_spark.operators.interpolate import linear_interpolate
+
+    e = t(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    out = linear_interpolate(
+        e,
+        part_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        missing=F.col("event_type") == "error",
+        order_tiebreak="event_id",
+    )
+    return out.select("user_id", "event_id", "value_interp")
+
+
+@query(
+    "events_type_pivot",
+    oracle=f"""
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click_n,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view_n,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase_n,
+           CAST(round(sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(25,6)) ELSE CAST(0 AS DECIMAL(25,6)) END),
+                 2) AS DOUBLE) AS purchase_value
+    FROM events WHERE user_id < 100
+    GROUP BY user_id
+    """,
+)
+def events_type_pivot(spark, sf_dir):
+    """PIVOT (pivot.c pivot_accum analog) — df.groupBy().pivot() reshaped
+    to fixed columns."""
+    e = t(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    zero = F.lit(0).cast(DEC)
+    return e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("click_n"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("view_n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchase_n"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value").cast(DEC)
+                ).otherwise(zero)
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("purchase_value"),
+    )

@@ -1,1 +1,361 @@
-"""Populated in subsequent commits."""
+"""Aggregation / OLAP grouping surface (SURVEY.md §2.4).
+
+Reference machinery being re-expressed:
+- GROUPING SETS / ROLLUP / CUBE + grouping()/group_id — planned via
+  plangroupext.c:406 + nodeRepeat.c in the reference; Spark's Expand
+  operator is the built-in equivalent.
+- ordered-set aggs percentile_cont/disc, median, mode —
+  orderedsetaggs.c:407,542.
+- multiple DISTINCT-qualified aggregates (MDQA, 3-stage agg
+  cdbgroup.c:347-348) — Spark's Expand-based distinct rewrite.
+- string_agg/array_agg with ORDER BY (varlena.c) — deterministic
+  collect_list(struct)->array_sort composition, partial-aggregatable.
+- corr/covar/regr_* (pg_aggregate.h) — expressed via exact decimal moment
+  sums so the result is order-independent and engine-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gpdb_spark.registry import DEC, dsum, osum, query, t
+
+
+@query(
+    "rollup_returns",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {osum('l_quantity')} AS sum_qty,
+           count(*) AS n,
+           CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returns(spark, sf_dir):
+    """ROLLUP with grouping_id (plangroupext.c canonical rollup ->
+    Spark Expand)."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+@query(
+    "cube_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {osum('o_totalprice')} AS sum_price,
+           count(*) AS n,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            dsum("o_totalprice").alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+@query(
+    "grouping_sets_mixed",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {osum('l_extendedprice')} AS sum_price, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_mixed(spark, sf_dir):
+    """Explicit GROUPING SETS through the SQL front door (gram.y:12432)."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+                 AS sum_price,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "mdqa_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS nd_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def mdqa_multi_distinct(spark, sf_dir):
+    """Multiple DISTINCT-qualified aggregates in one projection (MDQA —
+    CXformGbAggWithMDQA2Join / 3-stage DQA cdbgroup.c:348; Spark Expand)."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("nd_part"),
+        F.count_distinct("l_suppkey").alias("nd_supp"),
+        F.count_distinct("l_quantity").alias("nd_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "sum_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_dq
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sum_distinct(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.sum_distinct(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_dq")
+    )
+
+
+@query(
+    "ordered_set_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           round(median(l_extendedprice), 4) AS med
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def ordered_set_aggs(spark, sf_dir):
+    """percentile_cont / median (orderedsetaggs.c:542) — exact percentile,
+    computed distributed (sort-based within partial agg)."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.median("l_extendedprice"), 4).alias("med"),
+    )
+
+
+@query(
+    "percentile_disc_agg",
+    oracle="""
+    SELECT l_linestatus,
+           quantile_disc(l_quantity, 0.25) AS q25_disc,
+           quantile_disc(l_quantity, 0.5) AS q50_disc
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def percentile_disc_agg(spark, sf_dir):
+    """percentile_disc (orderedsetaggs.c:407): discrete percentile — the
+    first value whose cumulative fraction reaches p."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)"
+        ).alias("q25_disc"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)"
+        ).alias("q50_disc"),
+    )
+
+
+@query(
+    "mode_deterministic",
+    oracle="""
+    SELECT o_orderpriority, qty_mode FROM (
+        SELECT o_orderpriority, l_quantity AS qty_mode,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY count(*) DESC, l_quantity) AS rn
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o_orderpriority, l_quantity
+    ) x WHERE rn = 1
+    """,
+)
+def mode_deterministic(spark, sf_dir):
+    """mode() with a deterministic tiebreak (smallest value), built as
+    count-groupBy + row_number — the distributed two-phase form of
+    orderedsetaggs.c's mode_final."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    counts = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderpriority", F.col("l_quantity").alias("qty_mode"))
+    )
+
+
+@query(
+    "string_agg_ordered",
+    oracle="""
+    SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def string_agg_ordered(spark, sf_dir):
+    """string_agg(x, sep ORDER BY k) (varlena.c) — deterministic ordered
+    concat via collect_list(struct)->array_sort->array_join, all JVM-side."""
+    from gpdb_spark.functions.pg import string_agg
+
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(string_agg("n_name", ",").alias("nations"))
+    )
+
+
+@query(
+    "array_agg_ordered_str",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(c_custkey, ',' ORDER BY c_custkey) AS keys_csv
+    FROM customer WHERE c_custkey < 60
+    GROUP BY c_mktsegment
+    """,
+)
+def array_agg_ordered_str(spark, sf_dir):
+    """array_agg(x ORDER BY x) (array_userfuncs.c) rendered to CSV so the
+    cross-engine comparison is type-stable."""
+    from gpdb_spark.functions.pg import array_agg_ordered
+
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") < 60)
+    return c.groupBy("c_mktsegment").agg(
+        F.array_join(
+            F.transform(
+                array_agg_ordered(F.col("c_custkey")),
+                lambda v: v.cast("string"),
+            ),
+            ",",
+        ).alias("keys_csv")
+    )
+
+
+@query(
+    "bool_bit_aggs",
+    oracle="""
+    SELECT c_mktsegment,
+           bool_and(c_acctbal > 0) AS all_pos,
+           bool_or(c_acctbal > 9000) AS any_rich,
+           CAST(bit_and(c_nationkey) AS BIGINT) AS band,
+           CAST(bit_or(c_nationkey) AS BIGINT) AS bor
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def bool_bit_aggs(spark, sf_dir):
+    """bool_and/bool_or/bit_and/bit_or (pg_aggregate.h builtins)."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.bool_and(F.col("c_acctbal") > 0).alias("all_pos"),
+        F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
+        F.bit_and("c_nationkey").cast("long").alias("band"),
+        F.bit_or("c_nationkey").cast("long").alias("bor"),
+    )
+
+
+@query(
+    "minmax_hetero",
+    oracle="""
+    SELECT l_returnflag,
+           min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship,
+           min(l_quantity) AS min_qty, max(l_extendedprice) AS max_price,
+           min(l_linestatus) AS min_status
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def minmax_hetero(spark, sf_dir):
+    """min/max across timestamp, double and string types."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_linestatus").alias("min_status"),
+    )
+
+
+@query(
+    "corr_regr_explicit",
+    oracle="""
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy) /
+                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qp,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS regr_slope
+    FROM (
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    ) m
+    """,
+)
+def corr_regr_explicit(spark, sf_dir):
+    """corr/regr_slope (pg_aggregate.h regr_* family) via exact moment sums
+    — order-independent, unlike streaming Welford updates."""
+    l = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum((x * y).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(DEC)).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ["n", "sx", "sy", "sxy", "sxx", "syy"])
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qp"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("regr_slope"),
+    )
+
+
+@query("approx_count_distinct_hll")
+def approx_count_distinct_hll(spark, sf_dir):
+    """HyperLogLog approximate NDV (gp_hyperloglog.c; used by ANALYZE).
+    No oracle — DuckDB's approx_count_distinct uses a different HLL seed;
+    tests/test_olap.py asserts <2% relative error vs exact instead."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_nd_part"),
+        F.count_distinct("l_partkey").alias("exact_nd_part"),
+    )

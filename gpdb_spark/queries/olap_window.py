@@ -1,1 +1,267 @@
-"""Populated in subsequent commits."""
+"""Window-function surface (SURVEY.md §2.5 — nodeWindowAgg.c, windowfuncs.c).
+
+All ranking/analytic functions, ROWS and RANGE frames (the reference
+supports value-RANGE frames ahead of upstream PG 9.4 —
+parsenodes.h:495-517), aggregates-as-window-functions, and multiple
+windows in one query.
+
+Determinism: every ORDER BY inside a window includes a unique tiebreak
+column so row_number/ntile/lag are reproducible across engines; windowed
+sums go through the DECIMAL(25,6) cast (Spark computes running frames,
+DuckDB uses segment trees — different float summation orders otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gpdb_spark.registry import owsum, query, t, wdec, wround
+
+ORD = "ORDER BY o_orderdate, o_orderkey"
+
+
+@query(
+    "window_rank_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           row_number() OVER w AS rn,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_family(spark, sf_dir):
+    """rank/dense_rank/row_number/percent_rank/cume_dist
+    (windowfuncs.c:98-211)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) x WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark, sf_dir):
+    """Top-k per group — the distributed idiom replacing correlated
+    LIMIT subqueries; shuffles once on the partition key."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           {owsum('o_totalprice', f'(PARTITION BY o_custkey {ORD} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)')} AS running_total,
+           count(*) OVER (PARTITION BY o_custkey {ORD}
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+    FROM orders
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    """Aggregate-as-window-function with a running ROWS frame
+    (nodeWindowAgg.c agg path)."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        wround(F.sum(wdec("o_totalprice")).over(w)).alias("running_total"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+@query(
+    "window_sliding_avg",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+                      OVER (PARTITION BY o_custkey {ORD}
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / count(*) OVER (PARTITION BY o_custkey {ORD}
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+                 6) AS sliding_avg
+    FROM orders
+    """,
+)
+def window_sliding_avg(spark, sf_dir):
+    """Sliding ROWS frame (moving average)."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(wdec("o_totalprice")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("sliding_avg"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice, 2) OVER w AS next2_price,
+           lag(o_orderdate) OVER w AS prev_date,
+           lead(o_orderpriority, 1, 'NONE') OVER w AS next_prio
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey {ORD})
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    """lag/lead with offsets and defaults (windowfuncs.c:338,373)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice", 2).over(w).alias("next2_price"),
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+        F.lead("o_orderpriority", 1, "NONE").over(w).alias("next_prio"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           count(*) OVER (ORDER BY o_totalprice
+                          RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS n_within_500,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+                      OVER (ORDER BY o_totalprice
+                            RANGE BETWEEN 500 PRECEDING AND CURRENT ROW), 2)
+                AS DOUBLE) AS sum_within_500
+    FROM orders WHERE o_custkey < 50
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """Value-RANGE frame (FRAMEOPTION value PRECEDING,
+    parsenodes.h:495-517 — GPDB supports this ahead of PG 9.4)."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = Window.orderBy("o_totalprice").rangeBetween(-500, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_within_500"),
+        wround(F.sum(wdec("o_totalprice")).over(w)).alias("sum_within_500"),
+    )
+
+
+@query(
+    "window_first_last_nth",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey) OVER w AS last_ok,
+           nth_value(o_orderkey, 2) OVER w AS second_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey {ORD}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth(spark, sf_dir):
+    """first/last/nth_value with full-partition frame
+    (windowfuncs.c:407-449)."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+    """,
+)
+def window_ntile(spark, sf_dir):
+    """ntile (windowfuncs.c:169) — total ordering so bucket assignment is
+    reproducible."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+
+
+@query(
+    "window_multi_windows",
+    oracle=f"""
+    SELECT o_orderkey,
+           rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+             AS rank_in_cust,
+           rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+             AS rank_in_status,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+                 OVER (PARTITION BY o_custkey), 2) AS DOUBLE) AS cust_total
+    FROM orders
+    """,
+)
+def window_multi_windows(spark, sf_dir):
+    """Multiple distinct windows in one projection (the reference plans
+    one WindowAgg per window clause; Spark chains Window operators)."""
+    o = t(spark, sf_dir, "orders")
+    w1 = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w2 = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w3 = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w1).alias("rank_in_cust"),
+        F.rank().over(w2).alias("rank_in_status"),
+        wround(F.sum(wdec("o_totalprice")).over(w3)).alias("cust_total"),
+    )

@@ -108,4 +108,6 @@ def owsum(expr: str, over: str, n: int = 2) -> str:
 # ---------------------------------------------------------------------------
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from gpdb_spark.catalog import load_table
+
+    return load_table(spark, sf_dir, name)
