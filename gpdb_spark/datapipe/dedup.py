@@ -1,0 +1,293 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Beyond-reference capability (SURVEY.md §7 phase 6). Design targets 100 TB:
+
+- exact dedup: hash-groupBy on a content digest — one shuffle keyed by the
+  digest, arbitrarily skew-tolerant (AQE splits hot digests).
+- pairwise Jaccard: *never* all-pairs. Candidate generation goes through
+  an inverted index (explode tokens -> join on token) or LSH buckets, so
+  the shuffle volume is O(postings), not O(n^2).
+- MinHash: k independent permutations simulated by seeded xxhash64; the
+  whole signature is one JVM column expression (no UDF). Banding turns
+  signature agreement into an equi-join key — the classic
+  shuffle-friendly LSH formulation.
+- SimHash: 64-bit signature from sign-aggregated per-bit votes; candidate
+  pairs via 16-bit chunk equi-join (pigeonhole: hamming<=3 pairs share a
+  chunk), verified by exact popcount.
+
+All candidate joins are plain equi-joins -> Spark plans shuffled hash
+joins with AQE skew handling; no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gpdb_spark.datapipe.text import tokens
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the smallest id per exact content (md5 digest) group."""
+    return (
+        df.withColumn("content_hash", F.md5(F.col(text_col)))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+def ngram_shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct)."""
+    toks = tokens(text)
+    cnt = F.array_size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs (a<b) with shingle-set Jaccard >= threshold.
+
+    Inverted-index join: explode distinct shingles, self-join on shingle to
+    count intersections, then |A∪B| = |A|+|B|-|A∩B|. The shuffle key is the
+    shingle, so common-shingle skew is the scale hazard — mitigated by
+    dropping ultra-frequent shingles (df > 10% of corpus) the same way
+    search engines drop stopword postings.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                ngram_shingles(F.col(text_col), ngram)
+                if ngram > 1
+                else F.array_distinct(tokens(F.col(text_col)))
+            ).alias("shingle"),
+        )
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.select(F.col("id").alias("a"), "shingle")
+    b = sh.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(text: Column | str, k: int = 64, ngram: int = 1) -> Column:
+    """k-component MinHash signature over shingles, k seeded xxhash64
+    'permutations' — one nested JVM expression, no UDF."""
+    sh = (
+        ngram_shingles(text, ngram)
+        if ngram > 1
+        else F.array_distinct(tokens(text))
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda seed: F.array_min(
+            F.transform(
+                sh, lambda s: F.xxhash64(F.concat(s, F.lit("#"), seed.cast("string")))
+            )
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    ngram: int = 1,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH.
+
+    bands=16 over k=64 -> rows-per-band=4; collision prob of a pair with
+    Jaccard j is 1-(1-j^4)^16 (s-curve centered ~0.55). Candidates are
+    pairs sharing >=1 band hash; verified by full-signature agreement
+    (estimated Jaccard) >= threshold.
+    """
+    rows_per_band = k // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), k, ngram).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.select(
+        F.col("id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("id").alias("b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .dropDuplicates(["a", "b"])
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(k)),
+        6,
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("a", "b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+N_BITS = 48  # SimHash width: fits safely in a signed long when packed
+N_CHUNKS = 4
+CHUNK_BITS = N_BITS // N_CHUNKS
+
+
+def _simhash_bits(text: Column | str) -> Column:
+    """Array of 48 sign bits: bit j = 1 iff sum over token hashes of
+    (+1 if hash-bit j set else -1) is positive."""
+    toks = F.array_distinct(tokens(text))
+    hashes = F.transform(toks, lambda tk: F.xxhash64(tk))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_BITS - 1)),
+        lambda j: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(F.getbit(h, j) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def _pack_bits(bits: Column, start: Column | int, n: int) -> Column:
+    """Fold n bits (from 1-based ``start``) into a long: acc*2 + bit.
+    No shift-by-column (Spark's shiftleft only takes literal counts)."""
+    return F.aggregate(
+        F.slice(bits, start, n),
+        F.lit(0).cast("long"),
+        lambda acc, bit: acc * 2 + bit,
+    )
+
+
+def simhash48(text: Column | str) -> Column:
+    """48-bit SimHash signature packed into a long."""
+    return _pack_bits(_simhash_bits(text), 1, N_BITS)
+
+
+def hamming(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= max_hamming.
+
+    Candidate generation: split the 48-bit signature into 4 12-bit chunks;
+    any pair within hamming<=3 must agree on >=1 chunk (pigeonhole), so an
+    equi-join on (chunk_idx, chunk_value) finds all candidates without an
+    all-pairs scan.
+    """
+    bits = _simhash_bits(F.col(text_col))
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        _pack_bits(bits, 1, N_BITS).alias("sig"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_CHUNKS - 1)),
+            lambda c: _pack_bits(bits, c * CHUNK_BITS + 1, CHUNK_BITS),
+        ).alias("chunks"),
+    )
+    chunked = sig.select(
+        "id",
+        "sig",
+        F.posexplode("chunks").alias("chunk", "val"),
+    )
+    a = chunked.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"), "chunk", "val")
+    b = chunked.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"), "chunk", "val")
+    return (
+        a.join(b, ["chunk", "val"])
+        .where(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .withColumn("hamming", hamming(F.col("sig_a"), F.col("sig_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,103 @@
+"""Multimodal (binary) column plumbing: image/audio/video payloads as
+opaque ``binary`` columns with typed metadata, processed by Arrow-batched
+pandas UDFs via mapInPandas.
+
+Beyond-reference capability. The Spark-side contract is fully real —
+schema, partitioning, batch iteration, UDF signatures; only the media
+*decode* step is stubbed (no image/audio libs in this container): decode
+functions raise NotImplementedError unless ``fake=True``, in which case a
+deterministic fake decoder (byte-histogram-seeded) stands in so the
+pipeline shape is testable end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+BYTES_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("entropy", DoubleType()),
+        StructField("histogram16", ArrayType(LongType())),
+    ]
+)
+
+
+def attach_binary(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Build a media-shaped frame from the documents fixture: payload =
+    utf-8 bytes standing in for an encoded image/audio blob."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").cast(BinaryType()).alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.octet_length(F.encode(F.col(text_col), "utf-8")).alias("n_bytes"),
+    )
+
+
+def byte_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads: byte count,
+    Shannon entropy, 16-bin byte histogram. Real numpy math over real
+    bytes — the exact plumbing a media featurizer needs (decode is the
+    only stub, see ``decode_image``)."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                if arr.size:
+                    counts = np.bincount(arr, minlength=256).astype(np.float64)
+                    p = counts[counts > 0] / arr.size
+                    entropy = float(-(p * np.log2(p)).sum())
+                    hist16 = counts.reshape(16, 16).sum(axis=1).astype(np.int64)
+                else:
+                    entropy, hist16 = 0.0, np.zeros(16, dtype=np.int64)
+                out.append((int(mid), int(arr.size), round(entropy, 6), hist16.tolist()))
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_bytes", "entropy", "histogram16"]
+            )
+
+    return df.mapInPandas(_stats, BYTES_STATS_SCHEMA)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an encoded image to HxWx3 uint8.
+
+    STUB: real decode needs an image library not present in this
+    container. ``fake=True`` returns a deterministic 8x8x3 array seeded
+    from the payload bytes so downstream plumbing (resize / embed) is
+    testable."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires an image library (e.g. Pillow) not "
+            "available in this environment; pass fake=True for the "
+            "deterministic test double"
+        )
+    arr = np.frombuffer(payload[:192] if payload else b"\0" * 192, dtype=np.uint8)
+    arr = np.resize(arr, 192)
+    return arr.reshape(8, 8, 3)
+
+
+def frame_sample_times(duration_s: float, fps: float = 1.0) -> list[float]:
+    """Deterministic frame-sampling schedule for a video payload (the
+    metadata-side half of frame extraction; decode itself is stubbed)."""
+    if duration_s <= 0:
+        return []
+    n = int(duration_s * fps)
+    return [round(i / fps, 3) for i in range(n)]

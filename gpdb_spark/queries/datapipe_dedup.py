@@ -1,1 +1,109 @@
-"""Populated in subsequent commits."""
+"""Deduplication queries over the documents fixture (north-star operators).
+
+Oracle-checked where SQL-expressible (exact, token-Jaccard); the hash-based
+families (MinHash LSH, SimHash) have no cross-engine oracle — the driver
+records rows-only and tests/test_datapipe.py validates them against the
+exact-Jaccard ground truth computed in-Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gpdb_spark.registry import query, t
+from gpdb_spark.datapipe import dedup as D
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content digest, keep min id
+    (one digest-keyed shuffle; the 100 TB-safe baseline)."""
+    d = t(spark, sf_dir, "documents")
+    return D.exact_dedup(d)
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+        FROM documents
+    ), sizes AS (
+        SELECT id, count(*) AS sz FROM toks GROUP BY id
+    ), inter AS (
+        SELECT a.id AS a, b.id AS b, count(*) AS i
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT a, b,
+           round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = a
+    JOIN sizes sb ON sb.id = b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.82
+    """,
+)
+def dedup_jaccard_pairs(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs via inverted-index self-join —
+    O(postings) shuffle, never O(n^2)."""
+    d = t(spark, sf_dir, "documents")
+    return D.jaccard_pairs(d, ngram=1, threshold=0.82)
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(k=64) + 16-band LSH near-dup candidates with estimated
+    Jaccard >= 0.7. Rows-only: the seeded-xxhash64 permutation family has
+    no DuckDB twin; recall/precision vs exact Jaccard asserted in
+    tests/test_datapipe.py."""
+    d = t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, k=64, bands=16, threshold=0.7)
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    """SimHash-64 near-dup pairs (hamming <= 3) via 16-bit-chunk candidate
+    join. Rows-only; validated in tests/test_datapipe.py."""
+    d = t(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, max_hamming=3)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id AS id,
+               string_split_regex(trim(lower(text)), '\\s+') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 1)),
+                   i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+        FROM toks
+    ), sizes AS (
+        SELECT id, count(*) AS sz FROM sh GROUP BY id
+    ), inter AS (
+        SELECT a.id AS a, b.id AS b, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT a, b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram shingle Jaccard pairs (>= 0.5) — the shingled variant
+    that catches reordered/near-identical passages."""
+    d = t(spark, sf_dir, "documents")
+    return D.jaccard_pairs(d, ngram=3, threshold=0.5)

@@ -1,1 +1,214 @@
-"""Populated in subsequent commits."""
+"""Vector-similarity queries over the embeddings fixture (north-star
+operators; maps gp_sparse_vector svec_dot/l2norm —
+gpcontrib/gp_sparse_vector/operators.c:144,455 — onto array<float>).
+
+Determinism note: the oracle-checked queries compute dot products /
+norms through exact DECIMAL(30,15) sums of per-element double products
+(order-independent, engine-identical); the fast float fold
+(datapipe.similarity.dot) is used by the rows-only ANN query and is
+validated against brute force in tests/test_datapipe.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gpdb_spark.registry import query, t
+
+DIM = 64
+DEC30 = "decimal(30,15)"
+IDX = "(SELECT unnest(generate_series(1, 64)) AS i) idx"
+
+
+def _dec_dot(a, b):
+    """Exact decimal dot product of two double arrays (order-independent)."""
+    prods = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC30)
+    )
+    return F.aggregate(
+        prods,
+        F.lit(0).cast(DEC30),
+        lambda acc, v: (acc + v).cast(DEC30),
+    )
+
+
+def _dec_norm(a):
+    return F.sqrt(_dec_dot(a, a).cast("double"))
+
+
+@query(
+    "embed_norms",
+    oracle=f"""
+    SELECT vec_id, label,
+           round(sqrt(CAST(sum(CAST(embedding[i] * embedding[i] AS DECIMAL(30,15)))
+                           AS DOUBLE)), 6) AS l2norm
+    FROM embeddings, {IDX}
+    GROUP BY vec_id, label
+    """,
+)
+def embed_norms(spark, sf_dir):
+    """l2norm per vector (operators.c:455) via exact decimal sum of
+    squares."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(_dec_norm(F.col("embedding")), 6).alias("l2norm"),
+    )
+
+
+@query(
+    "embed_cosine_pairs",
+    oracle=f"""
+    WITH norms AS (
+        SELECT vec_id,
+               sqrt(CAST(sum(CAST(embedding[i] * embedding[i] AS DECIMAL(30,15)))
+                         AS DOUBLE)) AS nrm
+        FROM embeddings, {IDX}
+        GROUP BY vec_id
+    ), dots AS (
+        SELECT a.vec_id AS a, b.vec_id AS b, a.label AS label,
+               CAST(sum(CAST(a.embedding[i] * b.embedding[i] AS DECIMAL(30,15)))
+                    AS DOUBLE) AS dp
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id, {IDX}
+        GROUP BY a.vec_id, b.vec_id, a.label
+    )
+    SELECT d.a, d.b, d.label,
+           round(d.dp / (na.nrm * nb.nrm), 5) AS cos
+    FROM dots d JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b
+    WHERE round(d.dp / (na.nrm * nb.nrm), 5) >= 0.3
+    """,
+)
+def embed_cosine_pairs(spark, sf_dir):
+    """Within-label cosine-similar pairs (>= 0.3) — the blocked similarity
+    join: label is the blocking key, so the pair space is per-block, not
+    corpus-squared."""
+    e = t(spark, sf_dir, "embeddings")
+    norms = e.select(
+        F.col("vec_id").alias("nid"), _dec_norm(F.col("embedding")).alias("nrm")
+    )
+    a = e.select(
+        F.col("vec_id").alias("a"), F.col("label"), F.col("embedding").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("b"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = a.join(b, (a.label == b.lb) & (F.col("a") < F.col("b"))).select(
+        "a", "b", "label", _dec_dot(F.col("va"), F.col("vb")).cast("double").alias("dp")
+    )
+    na = norms.withColumnRenamed("nid", "a").withColumnRenamed("nrm", "na")
+    nb = norms.withColumnRenamed("nid", "b").withColumnRenamed("nrm", "nb")
+    return (
+        pairs.join(na, "a")
+        .join(nb, "b")
+        .withColumn("cos", F.round(F.col("dp") / (F.col("na") * F.col("nb")), 5))
+        .where(F.col("cos") >= 0.3)
+        .select("a", "b", "label", "cos")
+    )
+
+
+@query(
+    "embed_ann_topk",
+    oracle=f"""
+    WITH norms AS (
+        SELECT vec_id,
+               sqrt(CAST(sum(CAST(embedding[i] * embedding[i] AS DECIMAL(30,15)))
+                         AS DOUBLE)) AS nrm
+        FROM embeddings, {IDX}
+        GROUP BY vec_id
+    ), dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               CAST(sum(CAST(q.embedding[i] * c.embedding[i] AS DECIMAL(30,15)))
+                    AS DOUBLE) AS dp
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id < 20 AND c.vec_id <> q.vec_id, {IDX}
+        GROUP BY q.vec_id, c.vec_id
+    ), scored AS (
+        SELECT query_id, corpus_id,
+               round(dp / (nq.nrm * nc.nrm), 6) AS cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(dp / (nq.nrm * nc.nrm), 6) DESC,
+                                           corpus_id) AS rnk
+        FROM dots JOIN norms nq ON nq.vec_id = query_id
+                  JOIN norms nc ON nc.vec_id = corpus_id
+    )
+    SELECT query_id, corpus_id, cos, rnk FROM scored WHERE rnk <= 5
+    """,
+)
+def embed_ann_topk(spark, sf_dir):
+    """Exact cosine top-5 for a broadcast query set (vec_id < 20) — the
+    brute-force ANN baseline: corpus scanned once, per-query window
+    top-k, no corpus shuffle."""
+    e = t(spark, sf_dir, "embeddings")
+    norms = e.select(
+        F.col("vec_id").alias("nid"), _dec_norm(F.col("embedding")).alias("nrm")
+    )
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            _dec_dot(F.col("qv"), F.col("cv")).cast("double").alias("dp"),
+        )
+        .join(
+            F.broadcast(norms.withColumnRenamed("nid", "query_id").withColumnRenamed("nrm", "nq")),
+            "query_id",
+        )
+        .join(norms.withColumnRenamed("nid", "corpus_id").withColumnRenamed("nrm", "nc"), "corpus_id")
+        .withColumn("cos", F.round(F.col("dp") / (F.col("nq") * F.col("nc")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("query_id", "corpus_id", "cos", "rnk")
+    )
+
+
+@query(
+    "embed_centroids",
+    oracle=f"""
+    SELECT label, i AS dim,
+           round(CAST(sum(CAST(embedding[i] AS DECIMAL(30,15))) AS DOUBLE)
+                 / count(*), 6) AS centroid
+    FROM embeddings, {IDX}
+    GROUP BY label, i
+    """,
+)
+def embed_centroids(spark, sf_dir):
+    """Per-label centroid (dim-wise mean) via posexplode + exact decimal
+    sums — the reduce side of k-means/IVF coarse quantization."""
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast(DEC30)).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("centroid")
+        )
+    )
+
+
+@query("embed_ann_lsh")
+def embed_ann_lsh(spark, sf_dir):
+    """Approximate top-5 via signed-random-projection LSH (16 tables x 4
+    hyperplanes) with exact re-rank of candidates. Rows-only: recall vs
+    brute force asserted in tests/test_datapipe.py (~0.94 on the random
+    fixture). Cost ~ bucket collisions, not corpus size; on *random*
+    embeddings neighbors are weak so wide tables are needed — clustered
+    real embeddings get the same recall with far fewer probes."""
+    from gpdb_spark.datapipe.similarity import lsh_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return lsh_topk(e, q, k=5, dim=DIM, tables=16, planes_per_table=4)

@@ -1,0 +1,200 @@
+"""Self-validation for the rows-only datapipe operators (the ones the
+driver checks rows-only because they have no cross-engine oracle):
+MinHash LSH, SimHash, LSH ANN, multimodal byte stats, langid, approx NDV.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeds(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """Every high-Jaccard pair (>=0.85 exact) must be surfaced by the
+    banded LSH with estimated jaccard >= 0.6 (s-curve center ~0.55)."""
+    from gpdb_spark.datapipe.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    exact = {
+        (r.a, r.b): r.jaccard
+        for r in jaccard_pairs(docs, ngram=1, threshold=0.85).collect()
+    }
+    approx = {
+        (r.a, r.b) for r in minhash_lsh_pairs(docs, threshold=0.6).collect()
+    }
+    assert exact, "fixture should contain high-similarity token-set pairs"
+    recall = len(set(exact) & approx) / len(exact)
+    assert recall >= 0.95, f"minhash LSH recall too low: {recall}"
+
+
+def test_minhash_estimate_tracks_exact(docs):
+    """Estimated Jaccard from signature agreement should track exact
+    Jaccard within 0.2 on average for surfaced pairs."""
+    from gpdb_spark.datapipe.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    exact = {
+        (r.a, r.b): r.jaccard
+        for r in jaccard_pairs(docs, ngram=1, threshold=0.5).collect()
+    }
+    est = {
+        (r.a, r.b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    common = set(exact) & set(est)
+    assert len(common) > 10
+    mae = sum(abs(exact[p] - est[p]) for p in common) / len(common)
+    assert mae < 0.15, f"minhash estimate MAE too high: {mae}"
+
+
+def test_simhash_finds_near_identical(docs, spark):
+    """Inject exact duplicates -> SimHash distance 0 pairs must include
+    them; all reported pairs must satisfy the hamming bound."""
+    from gpdb_spark.datapipe.dedup import simhash_pairs
+
+    base = docs.limit(20)
+    dupes = base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    test_df = docs.unionByName(dupes)
+    pairs = simhash_pairs(test_df, max_hamming=3).collect()
+    got = {(r.a, r.b) for r in pairs if r.hamming == 0}
+    want = {
+        (r.doc_id, r.doc_id + 1_000_000) for r in base.select("doc_id").collect()
+    }
+    assert want <= got, f"missing exact-dup pairs: {want - got}"
+    assert all(r.hamming <= 3 for r in pairs)
+
+
+def test_lsh_ann_recall(embeds):
+    """SRP-LSH top-5 must recover >=70% of brute-force top-5 (measured
+    ~0.94 with 16 tables x 4 planes on the random fixture)."""
+    from gpdb_spark.datapipe.similarity import brute_force_topk, lsh_topk
+
+    q = embeds.where(F.col("vec_id") < 20)
+    bf = {
+        (r.query_id, r.corpus_id)
+        for r in brute_force_topk(embeds, q, k=5).collect()
+    }
+    ap = {
+        (r.query_id, r.corpus_id)
+        for r in lsh_topk(embeds, q, k=5, tables=16, planes_per_table=4).collect()
+    }
+    recall = len(bf & ap) / len(bf)
+    assert recall >= 0.7, f"LSH ANN recall too low: {recall}"
+
+
+def test_brute_force_topk_is_exact(embeds):
+    """Spot-check the distributed top-k against a numpy argsort on the
+    driver for one query vector."""
+    from gpdb_spark.datapipe.similarity import brute_force_topk
+
+    rows = embeds.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    qid = min(vecs)
+    qv = vecs[qid] / np.linalg.norm(vecs[qid])
+    sims = {
+        vid: float(np.dot(qv, v / np.linalg.norm(v)))
+        for vid, v in vecs.items()
+        if vid != qid
+    }
+    want = [
+        vid
+        for vid, _ in sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:5]
+    ]
+    q = embeds.where(F.col("vec_id") == qid)
+    got = [
+        r.corpus_id
+        for r in brute_force_topk(embeds, q, k=5).orderBy("rnk").collect()
+    ]
+    assert got == want
+
+
+def test_multimodal_byte_stats(docs):
+    """mapInPandas featurizer values must equal a driver-side numpy
+    recompute (entropy, histogram, byte counts)."""
+    from gpdb_spark.datapipe.multimodal import attach_binary, byte_stats
+
+    sample = docs.limit(10)
+    got = {r.media_id: r for r in byte_stats(attach_binary(sample)).collect()}
+    for r in sample.collect():
+        payload = r.text.encode("utf-8")
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        counts = np.bincount(arr, minlength=256).astype(np.float64)
+        p = counts[counts > 0] / arr.size
+        want_entropy = round(float(-(p * np.log2(p)).sum()), 6)
+        g = got[r.doc_id]
+        assert g.n_bytes == len(payload)
+        assert math.isclose(g.entropy, want_entropy, abs_tol=1e-9)
+        assert list(g.histogram16) == list(
+            counts.reshape(16, 16).sum(axis=1).astype(np.int64)
+        )
+
+
+def test_multimodal_decode_stub():
+    from gpdb_spark.datapipe.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc")
+    img = decode_image(b"abc", fake=True)
+    assert img.shape == (8, 8, 3) and img.dtype == np.uint8
+    # deterministic
+    assert (decode_image(b"abc", fake=True) == img).all()
+
+
+def test_langid_structure(docs):
+    from gpdb_spark.datapipe.text import langid_scores, STOPWORDS
+
+    out = langid_scores(docs.limit(50))
+    rows = out.collect()
+    codes = set(STOPWORDS)
+    assert all(r.lang_pred in codes for r in rows)
+    # argmax consistency
+    for r in rows:
+        best = max(codes, key=lambda c: (r[f"score_{c}"], -ord(c[0])))
+        assert r[f"score_{r.lang_pred}"] == r[f"score_{best}"]
+
+
+def test_approx_count_distinct_error(spark, sf_dir):
+    from gpdb_spark.registry import QUERIES
+    import gpdb_spark.queries  # noqa: F401
+
+    rows = QUERIES["approx_count_distinct_hll"](spark, sf_dir).collect()
+    for r in rows:
+        rel_err = abs(r.approx_nd_part - r.exact_nd_part) / max(r.exact_nd_part, 1)
+        assert rel_err < 0.05, f"HLL error {rel_err} for {r}"
+
+
+def test_recursive_cte_union_all_and_distinct(spark):
+    from gpdb_spark.operators.recursive import recursive_cte
+
+    seed = spark.range(0, 1).select(F.col("id").cast("int").alias("n"))
+    out = recursive_cte(
+        seed,
+        lambda prev: prev.where(F.col("n") < 5).select((F.col("n") + 1).alias("n")),
+    )
+    assert sorted(r.n for r in out.collect()) == [0, 1, 2, 3, 4, 5]
+
+    # distinct mode: step generates overlaps, must still converge
+    out2 = recursive_cte(
+        seed,
+        lambda prev: prev.select(((F.col("n") + 1) % 4).alias("n")),
+        distinct=True,
+    )
+    assert sorted(r.n for r in out2.collect()) == [0, 1, 2, 3]
+
+    with pytest.raises(RuntimeError):
+        recursive_cte(
+            seed,
+            lambda prev: prev.select((F.col("n") + 1).alias("n")),
+            max_iterations=3,
+        )
