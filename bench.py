@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Headline set = the TPC-H-adapted queries (scan/filter/join/2-stage agg/
+sort — SURVEY.md §2.1-2.8) plus the heaviest OLAP-window, grouping-set and
+training-data-pipeline operators, i.e. the shapes whose plans matter at
+100 TB. Each query is executed end-to-end with a driver-side collect of
+the (small) result; input caching is NOT used so scan+shuffle cost is
+measured, matching how the reference's perf harness times full scripts
+(src/test/performance/runtests.pl).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # TPC-H core shapes
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q07_volume_shipping",
+    "q09_product_type_profit",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
+    "q21_waiting_orders",
+    # OLAP surface
+    "window_topk_per_group",
+    "grouping_sets_mixed",
+    "mdqa_multi_distinct",
+    # set ops / dedup
+    "setop_except_all",
+    "dedup_minhash_clusters",
+    # embeddings / text (training-data pipeline)
+    "embed_ann_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    from gpdb_spark.session import get_spark
+    from gpdb_spark.registry import QUERIES
+    import gpdb_spark.queries  # noqa: F401 — populate registry
+
+    spark = get_spark(app_name="gpdb_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen paths once so per-query numbers measure the
+    # engine, not one-time session setup
+    QUERIES["q01_pricing_summary"](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

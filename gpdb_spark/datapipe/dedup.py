@@ -150,45 +150,25 @@ def minhash_lsh_pairs(
     pairs sharing >=1 band hash; verified by full-signature agreement
     (estimated Jaccard) >= threshold.
     """
-    rows_per_band = k // bands
     sig = df.select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), k, ngram).alias("sig"),
-    )
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).persist()  # read 3x below (banding + 2 verification lookups)
 
-    a = banded.select(
-        F.col("id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col("id").alias("b"), F.col("sig").alias("sig_b"), "band", "bucket"
-    )
+    banded = _banded(sig, k, bands)  # ids only — the candidate join must
+    # NOT carry the 64-long signatures: a hot bucket of m docs yields
+    # m^2/2 pairs, and 0.5 KB/sig turns that shuffle into GBs. Dedup the
+    # (a, b) id pairs first, then look the signatures back up.
+    a = banded.select(F.col("id").alias("a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("b"), "band", "bucket")
     cand = (
         a.join(b, ["band", "bucket"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
+    sig_a = sig.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
     est = F.round(
         F.size(
             F.filter(
@@ -200,10 +180,100 @@ def minhash_lsh_pairs(
         6,
     )
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.join(sig_a, "a")
+        .join(sig_b, "b")
+        .withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= threshold)
         .select("a", "b", "est_jaccard")
     )
+
+
+def _banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """Explode a signature table into (id, band, bucket) rows; bucket =
+    xxhash64 of the band's signature slice."""
+    rows_per_band = k // bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"), b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    ngram: int = 1,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Scale-path dedup: (doc_id, keep_id) cluster assignment WITHOUT
+    materializing near-dup pairs.
+
+    A bucket of m near-identical docs produces m^2/2 pairs under the pairs
+    formulation — quadratic in cluster size, fatal at 100 TB (a 1M-doc
+    boilerplate cluster = 5e11 pairs). Here each bucket only contributes
+    m (id -> bucket-min) edges; label propagation to the fixpoint then
+    yields connected-component representatives in O(E * iters) with
+    E = n_docs * bands. This is how production web-dedup pipelines run
+    MinHash at corpus scale.
+    """
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), k, ngram).alias("sig"),
+    )
+    # doc <-> bucket bipartite edges; components found by alternating
+    # min-label propagation doc -> bucket -> doc. Pointer jumping alone is
+    # NOT enough: a component's min may only be reachable through a
+    # *neighbor* (1-{1,2}, 2-{0,2}: label(1) must learn 0 via doc 2), so
+    # each round must traverse the actual edges. Convergence in
+    # O(component diameter) rounds; dup clusters are bucket-cliques, so
+    # diameter is tiny in practice.
+    memb = _banded(sig, k, bands).persist()
+    labels = memb.select("id").distinct().withColumn("label", F.col("id")).persist()
+    for _ in range(max_iter):
+        bucket_lbl = (
+            memb.join(labels, "id")
+            .groupBy("band", "bucket")
+            .agg(F.min("label").alias("blbl"))
+        )
+        new_labels = (
+            memb.join(bucket_lbl, ["band", "bucket"])
+            .groupBy("id")
+            .agg(F.min("blbl").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    memb.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("keep_id"))
 
 
 # ---------------------------------------------------------------------------

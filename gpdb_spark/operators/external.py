@@ -1,0 +1,76 @@
+"""External tables with single-row error handling (SREH).
+
+Reference: CREATE EXTERNAL TABLE (gram.y:5420-5484) scans files/URLs in
+parallel across segments (fileam.c:235, url_curl.c) with SREH — bad rows
+diverted to an error log instead of failing the load (cdbsreh.c), bounded
+by SEGMENT REJECT LIMIT.
+
+Spark mapping: spark.read.csv/json with mode=PERMISSIVE and
+columnNameOfCorruptRecord gives per-row error capture; the reject-limit
+check is a count over the corrupt column. Spark's file readers already
+parallelize splits, which is gpfdist's whole job.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+@dataclass
+class ExternalReadResult:
+    good: DataFrame
+    errors: DataFrame
+    n_rejected: int
+
+
+class RejectLimitExceeded(Exception):
+    pass
+
+
+def read_external_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = False,
+    delimiter: str = ",",
+    reject_limit: int | None = None,
+) -> ExternalReadResult:
+    """READABLE EXTERNAL TABLE ... FORMAT 'csv' (LOG ERRORS SEGMENT REJECT
+    LIMIT n ROWS).
+
+    Returns (good rows, error rows, reject count); raises
+    RejectLimitExceeded when the bad-row count exceeds ``reject_limit``
+    (cdbsreh.c's behavior).
+    """
+    full = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .csv(path)
+        .cache()
+    )
+    errors = raw.where(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    good = raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    n_rejected = errors.count()
+    if reject_limit is not None and n_rejected > reject_limit:
+        raise RejectLimitExceeded(
+            f"{n_rejected} rejected rows > SEGMENT REJECT LIMIT {reject_limit}"
+        )
+    return ExternalReadResult(good=good, errors=errors, n_rejected=n_rejected)
+
+
+def write_external_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """WRITABLE EXTERNAL TABLE: parallel unload (each task writes its
+    split — the gpfdist-writer analog)."""
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)

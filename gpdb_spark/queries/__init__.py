@@ -10,4 +10,5 @@ from gpdb_spark.queries import (  # noqa: F401
     datapipe_text,
     datapipe_dedup,
     datapipe_embed,
+    programmability,
 )

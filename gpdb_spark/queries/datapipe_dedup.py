@@ -69,6 +69,17 @@ def dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(d, k=64, bands=16, threshold=0.7)
 
 
+@query("dedup_minhash_clusters")
+def dedup_minhash_clusters(spark, sf_dir):
+    """Scale-path MinHash dedup: (doc_id, keep_id) cluster labels via
+    bucket-min label propagation — linear in corpus size where the pairs
+    formulation is quadratic in cluster size. Rows-only (hash family has
+    no DuckDB twin); transitive-closure properties asserted in
+    tests/test_datapipe.py."""
+    d = t(spark, sf_dir, "documents")
+    return D.minhash_dedup_clusters(d, k=64, bands=16)
+
+
 @query("dedup_simhash")
 def dedup_simhash(spark, sf_dir):
     """SimHash-64 near-dup pairs (hamming <= 3) via 16-bit-chunk candidate

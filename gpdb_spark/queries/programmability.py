@@ -1,0 +1,115 @@
+"""Programmability surface (SURVEY.md §2.10): table functions with
+SCATTER BY, user-defined aggregates, Arrow-batched UDFs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from gpdb_spark.registry import query, t
+
+
+@query(
+    "table_function_scatter",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CASE WHEN mx = mn THEN 0.5
+                ELSE round((o_totalprice - mn) / (mx - mn), 6) END AS scaled
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               min(o_totalprice) OVER (PARTITION BY o_custkey) AS mn,
+               max(o_totalprice) OVER (PARTITION BY o_custkey) AS mx
+        FROM orders
+    ) x
+    """,
+)
+def table_function_scatter(spark, sf_dir):
+    """Enhanced table function over table input with SCATTER BY
+    (nodeTableFunction.c:278, gram.y:14056): per-customer min-max scaling
+    where the function sees the complete scatter group as a pandas frame.
+
+    min/max are exact (no summation), so the pandas arithmetic is
+    IEEE-identical to the oracle's window SQL."""
+    from gpdb_spark.operators.table_function import grouped_table_function
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = pdf.o_totalprice.min(), pdf.o_totalprice.max()
+        if mx == mn:
+            scaled = pd.Series(0.5, index=pdf.index)
+        else:
+            scaled = ((pdf.o_totalprice - mn) / (mx - mn)).round(6)
+        return pd.DataFrame(
+            {
+                "o_custkey": pdf.o_custkey,
+                "o_orderkey": pdf.o_orderkey,
+                "scaled": scaled,
+            }
+        )
+
+    return grouped_table_function(
+        o,
+        ["o_custkey"],
+        scale,
+        "o_custkey long, o_orderkey long, scaled double",
+    )
+
+
+@query(
+    "udaf_grouped_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           round(max(c_acctbal) - min(c_acctbal), 6) AS bal_range,
+           count(*) AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def udaf_grouped_agg(spark, sf_dir):
+    """CREATE AGGREGATE analog (pg_aggregate.h transition/combine fns):
+    a pandas GROUPED_AGG UDAF. The function must be algebraic
+    (combine-safe) exactly like aggcombinefn demands; range = max-min is
+    exact under any partial/final split."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def bal_range(v: pd.Series) -> float:
+        return float(v.max() - v.min())
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # Spark forbids mixing GROUPED_AGG pandas UDFs with built-in
+        # aggregates in one agg(), so count(*) is also a pandas UDAF here.
+        return int(len(v))
+
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(bal_range("c_acctbal"), 6).alias("bal_range"),
+        n_rows("c_custkey").alias("n"),
+    )
+
+
+@query(
+    "mapinpandas_filter",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents
+    WHERE n_chars % 2 = 0 AND lang = 'en'
+    """,
+)
+def mapinpandas_filter(spark, sf_dir):
+    """mapInPandas over scattered input (SCATTER RANDOMLY) — the
+    streaming-batch ETL shape: arbitrary per-batch python, Arrow transfer,
+    schema-stable output."""
+    from gpdb_spark.operators.table_function import table_function
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+
+    def keep_even_en(batches):
+        for pdf in batches:
+            out = pdf[(pdf.n_chars % 2 == 0) & (pdf.lang == "en")]
+            yield out[["doc_id", "n_chars"]]
+
+    return table_function(
+        d, keep_even_en, "doc_id long, n_chars long", num_partitions=8
+    )

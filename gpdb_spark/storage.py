@@ -1,0 +1,173 @@
+"""Table storage with Greenplum distribution semantics on Parquet.
+
+Reference model (SURVEY.md §1.1):
+- ``gp_distribution_policy`` (src/include/catalog/gp_policy.h:31-39):
+  every table is hash-DISTRIBUTED BY key columns, DISTRIBUTED RANDOMLY,
+  or DISTRIBUTED REPLICATED.
+- hash placement: cdbhash (src/backend/cdb/cdbhash.c:76,191).
+- range/list PARTITION BY (parse_partition.c, cdbpartition.c).
+- AO/AOCS compressed columnar storage (aocsam.c, pg_compression.c).
+
+Spark-first mapping implemented here:
+- DISTRIBUTED BY (k)   -> repartition(n, k) on write + bucketBy when a
+  saveAsTable catalog is available: co-locates joins/aggs on k exactly
+  like segment-local joins in the reference.
+- DISTRIBUTED RANDOMLY -> round-robin repartition(n).
+- DISTRIBUTED REPLICATED -> small table + broadcast() on read: every
+  "segment" (executor) sees the full table, like replicated storage.
+- PARTITION BY (range/list cols) -> parquet partitionBy directory layout,
+  giving static + dynamic partition pruning (the reference's
+  PartitionSelector, nodeDynamicSeqscan.c).
+- appendonly/compresstype -> parquet + codec (zstd/snappy/gzip).
+- gp_segment_id -> spark_partition_id() at read time.
+- UPDATE/DELETE on immutable parquet -> copy-on-write rewrite (the
+  batch-engine equivalent of nodeModifyTable.c's DML; SplitUpdate's
+  "delete+insert with redistribution" is exactly rewrite+repartition).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class DistributionPolicy:
+    """gp_policy.h: 'p' = hash-partitioned (distkey), 'r' = replicated."""
+
+    policytype: str = "p"  # 'p' (hash/random) | 'r' (replicated)
+    distkey: tuple[str, ...] = ()  # empty + 'p' -> DISTRIBUTED RANDOMLY
+
+    @property
+    def is_replicated(self) -> bool:
+        return self.policytype == "r"
+
+
+@dataclass
+class GpTable:
+    """A parquet-backed table with distribution + partition metadata."""
+
+    path: str
+    policy: DistributionPolicy = field(default_factory=DistributionPolicy)
+    partition_by: tuple[str, ...] = ()
+    compression: str = "snappy"
+    num_buckets: int = 32
+
+    # -- DDL -----------------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        df: DataFrame,
+        path: str,
+        distributed_by: tuple[str, ...] | list[str] | None = None,
+        replicated: bool = False,
+        partition_by: tuple[str, ...] | list[str] = (),
+        compression: str = "snappy",
+        num_buckets: int = 32,
+        mode: str = "error",
+    ) -> "GpTable":
+        """CREATE TABLE ... [DISTRIBUTED BY (...) | REPLICATED]
+        [PARTITION BY (...)] WITH (compresstype=...)."""
+        policy = DistributionPolicy(
+            policytype="r" if replicated else "p",
+            distkey=tuple(distributed_by or ()),
+        )
+        table = cls(
+            path=path,
+            policy=policy,
+            partition_by=tuple(partition_by),
+            compression=compression,
+            num_buckets=num_buckets,
+        )
+        table._write(df, mode=mode)
+        return table
+
+    def _placed(self, df: DataFrame) -> DataFrame:
+        """Apply the distribution policy before writing (the Motion that
+        COPY/INSERT performs to route rows to their owning segment)."""
+        if self.policy.is_replicated:
+            return df.coalesce(1)
+        if self.policy.distkey:
+            return df.repartition(self.num_buckets, *self.policy.distkey)
+        return df.repartition(self.num_buckets)
+
+    def _write(self, df: DataFrame, mode: str) -> None:
+        writer = (
+            self._placed(df)
+            .write.mode(mode)
+            .option("compression", self.compression)
+        )
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.path)
+
+    # -- read path -----------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Scan; REPLICATED tables come back broadcast-hinted so every join
+        against them is a broadcast join (no fact-side shuffle)."""
+        df = spark.read.parquet(self.path)
+        if self.policy.is_replicated:
+            return F.broadcast(df)
+        return df
+
+    def read_with_segment_id(self, spark: SparkSession) -> DataFrame:
+        """gp_segment_id emulation (cdbvars.h segment identity)."""
+        return self.read(spark).withColumn(
+            "gp_segment_id", F.spark_partition_id()
+        )
+
+    # -- DML (copy-on-write rewrite) ----------------------------------------
+
+    def insert_into(self, df: DataFrame) -> None:
+        """INSERT: append new files, placed per the distribution policy."""
+        self._write(df, mode="append")
+
+    def delete_where(self, spark: SparkSession, cond: Column) -> int:
+        """DELETE WHERE cond -> rewrite keeping the complement.
+        Returns number of rows deleted."""
+        cur = spark.read.parquet(self.path)
+        before = cur.count()
+        kept = cur.where(~cond | cond.isNull())
+        self._rewrite(kept)
+        return before - spark.read.parquet(self.path).count()
+
+    def update_set(
+        self, spark: SparkSession, cond: Column, assignments: dict[str, Column]
+    ) -> int:
+        """UPDATE SET col=expr WHERE cond -> full-table rewrite with
+        CASE-projection. Changing a distkey column is safe: the rewrite
+        re-places every row (the reference needs SplitUpdate,
+        nodeSplitUpdate.c:124, to do this as delete+insert motions)."""
+        cur = spark.read.parquet(self.path)
+        n = cur.where(cond).count()
+        updated = cur.select(
+            *[
+                F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in cur.columns
+            ]
+        )
+        self._rewrite(updated)
+        return n
+
+    def _rewrite(self, df: DataFrame) -> None:
+        """Atomic-ish copy-on-write: write to a temp dir, then swap."""
+        tmp = f"{self.path}__rewrite_{uuid.uuid4().hex[:8]}"
+        writer = (
+            self._placed(df).write.mode("overwrite").option("compression", self.compression)
+        )
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(tmp)
+        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old)

@@ -58,6 +58,27 @@ def test_minhash_estimate_tracks_exact(docs):
     assert mae < 0.15, f"minhash estimate MAE too high: {mae}"
 
 
+def test_minhash_clusters_consistent_with_pairs(docs):
+    """Cluster labels must be (a) idempotent representatives (every keep_id
+    is its own cluster's min doc_id) and (b) consistent with the pairs
+    formulation: both endpoints of any high-confidence LSH pair land in the
+    same cluster."""
+    from gpdb_spark.datapipe.dedup import minhash_dedup_clusters, minhash_lsh_pairs
+
+    labels = {
+        r.doc_id: r.keep_id for r in minhash_dedup_clusters(docs).collect()
+    }
+    # every doc labeled; representative is a member of its own cluster
+    assert len(labels) == docs.count()
+    for doc, rep in labels.items():
+        assert labels[rep] == rep, f"rep {rep} of {doc} is not a fixpoint"
+        assert rep <= doc
+    # pairs → same cluster (banding is identical, so this must hold
+    # transitively)
+    for r in minhash_lsh_pairs(docs, threshold=0.6).limit(2000).collect():
+        assert labels[r.a] == labels[r.b]
+
+
 def test_simhash_finds_near_identical(docs, spark):
     """Inject exact duplicates -> SimHash distance 0 pairs must include
     them; all reported pairs must satisfy the hamming bound."""

@@ -1,0 +1,143 @@
+"""GpTable: distribution policies, partitioned layout, DML rewrites,
+external tables with SREH."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gpdb_spark.storage import GpTable
+
+
+@pytest.fixture()
+def nation_df(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+
+@pytest.fixture()
+def orders_df(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def test_distributed_by_roundtrip(tmp_path, spark, orders_df):
+    t = GpTable.create(
+        orders_df,
+        str(tmp_path / "orders_gp"),
+        distributed_by=["o_custkey"],
+        num_buckets=8,
+    )
+    back = t.read(spark)
+    assert back.count() == orders_df.count()
+    assert set(back.columns) == set(orders_df.columns)
+    seg = t.read_with_segment_id(spark)
+    assert seg.select("gp_segment_id").distinct().count() <= 8
+
+
+def test_replicated_broadcasts(tmp_path, spark, nation_df, orders_df):
+    t = GpTable.create(nation_df, str(tmp_path / "nation_rep"), replicated=True)
+    joined = orders_df.join(
+        t.read(spark), orders_df.o_custkey % 25 == F.col("n_nationkey")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, plan[:2000]
+
+
+def test_partitioned_layout_prunes(tmp_path, spark, orders_df):
+    df = orders_df.withColumn("o_year", F.year("o_orderdate"))
+    t = GpTable.create(
+        df,
+        str(tmp_path / "orders_part"),
+        distributed_by=["o_orderkey"],
+        partition_by=["o_year"],
+        num_buckets=4,
+    )
+    years = {
+        d.split("=")[1]
+        for d in os.listdir(t.path)
+        if d.startswith("o_year=")
+    }
+    assert len(years) >= 3  # hive-style layout exists
+    scan = t.read(spark).where(F.col("o_year") == 1997)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_year" in plan or "o_year#" in plan
+    assert scan.count() == df.where(F.col("o_year") == 1997).count()
+
+
+def test_insert_into(tmp_path, spark, nation_df):
+    t = GpTable.create(nation_df, str(tmp_path / "nation_ins"), distributed_by=["n_nationkey"], num_buckets=2)
+    extra = nation_df.select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"),
+        F.concat(F.lit("X_"), F.col("n_name")).alias("n_name"),
+        "n_regionkey",
+    )
+    t.insert_into(extra)
+    assert t.read(spark).count() == 2 * nation_df.count()
+
+
+def test_delete_where(tmp_path, spark, nation_df):
+    t = GpTable.create(nation_df, str(tmp_path / "nation_del"), distributed_by=["n_nationkey"], num_buckets=2)
+    n_del = t.delete_where(spark, F.col("n_regionkey") == 0)
+    want_deleted = nation_df.where(F.col("n_regionkey") == 0).count()
+    assert n_del == want_deleted
+    back = t.read(spark)
+    assert back.where(F.col("n_regionkey") == 0).count() == 0
+    assert back.count() == nation_df.count() - want_deleted
+
+
+def test_update_set_including_distkey(tmp_path, spark, nation_df):
+    t = GpTable.create(nation_df, str(tmp_path / "nation_upd"), distributed_by=["n_regionkey"], num_buckets=2)
+    n_upd = t.update_set(
+        spark,
+        F.col("n_regionkey") == 4,
+        {"n_regionkey": F.lit(99).cast("int"), "n_name": F.upper("n_name")},
+    )
+    want = nation_df.where(F.col("n_regionkey") == 4).count()
+    assert n_upd == want
+    back = t.read(spark)
+    assert back.where(F.col("n_regionkey") == 4).count() == 0
+    assert back.where(F.col("n_regionkey") == 99).count() == want
+
+
+def test_external_csv_sreh(tmp_path, spark):
+    from gpdb_spark.operators.external import (
+        RejectLimitExceeded,
+        read_external_csv,
+        write_external_csv,
+    )
+
+    p = tmp_path / "ext.csv"
+    p.write_text(
+        "1,alice,10.5\n"
+        "2,bob,not_a_number\n"
+        "3,carol,7.25\n"
+        "bad line entirely,,,,,\n"
+        "4,dave,1.0\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    res = read_external_csv(spark, str(p), schema, reject_limit=3)
+    assert res.n_rejected == 2
+    assert sorted(r.id for r in res.good.collect()) == [1, 3, 4]
+    assert res.errors.count() == 2
+
+    with pytest.raises(RejectLimitExceeded):
+        read_external_csv(spark, str(p), schema, reject_limit=1)
+
+    out = tmp_path / "unload"
+    write_external_csv(res.good, str(out))
+    back = spark.read.option("header", "true").schema(schema).csv(str(out))
+    assert back.count() == 3

@@ -1,0 +1,162 @@
+"""Structured Streaming parity: availableNow runs over the events fixture
+must reproduce the batch window queries (which are themselves
+oracle-checked against DuckDB)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpdb_spark.catalog import load_table
+from gpdb_spark.streaming.events_stream import (
+    read_events_stream,
+    run_to_memory,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, events_batch):
+    stream = read_events_stream(spark, sf_dir)
+    run_to_memory(tumbling_counts(stream), "t_tumble", output_mode="update")
+    got = {
+        (r.window_start, r.n)
+        for r in spark.sql("select * from t_tumble").collect()
+    }
+    want = {
+        (r.window_start, r.n)
+        for r in (
+            events_batch.groupBy(F.window("ts", "15 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streaming_sliding_matches_batch(spark, sf_dir, events_batch):
+    stream = read_events_stream(spark, sf_dir)
+    run_to_memory(sliding_counts(stream), "t_slide", output_mode="update")
+    got = {
+        (r.window_start, r.event_type, r.n)
+        for r in spark.sql("select * from t_slide").collect()
+    }
+    want = {
+        (r.window_start, r.event_type, r.n)
+        for r in (
+            events_batch.groupBy(
+                F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streaming_sessions_match_batch_sessionize(spark, sf_dir, events_batch):
+    """session_window (streaming) and the lag/gap batch sessionizer must
+    agree on the number of sessions per user."""
+    from gpdb_spark.operators.sessionize import sessionize
+
+    stream = read_events_stream(spark, sf_dir)
+    # session_window aggregation rejects update mode (Spark 4):
+    # STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION — complete is the
+    # supported replay-everything mode for this sink.
+    run_to_memory(session_counts(stream), "t_sess", output_mode="complete")
+    got = (
+        spark.sql("select user_id, count(*) as n from t_sess group by user_id")
+        .collect()
+    )
+    got_map = {r.user_id: r.n for r in got}
+
+    batch = sessionize(events_batch, "user_id", "ts", "event_id", gap_minutes=30)
+    want = (
+        batch.groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n"))
+        .collect()
+    )
+    want_map = {r.user_id: r.n for r in want}
+    assert got_map == want_map
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A late row must not extend an already-finalized window in append
+    mode. Watermark timing: Spark computes the new watermark at the END of
+    each microbatch and applies it to the NEXT one, so the late row goes in
+    batch 3 — two batches after the watermark-advancing 03:00 row."""
+    import pandas as pd
+
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write(name, event_ids, offsets):
+        pd.DataFrame(
+            {
+                "event_id": event_ids,
+                "ts": [base + pd.Timedelta(o) for o in offsets],
+                "user_id": [1] * len(event_ids),
+                "event_type": ["view"] * len(event_ids),
+                "value": [1.0] * len(event_ids),
+                "props": ["{}"] * len(event_ids),
+            }
+        ).to_parquet(d / name, coerce_timestamps="us")
+
+    # batch 1: fills the 00:00 window and advances event time to 03:00
+    write("part-000.parquet", [1, 2, 3], ["0min", "10min", "3h"])
+    # batch 2: any row; its planning still uses watermark 1970, but after
+    # it the 02:00 watermark (03:00 - 1h) is in effect
+    write("part-001.parquet", [4], ["3h5min"])
+    # batch 3: the late 00:05 row — behind the 02:00 watermark, dropped
+    write("part-002.parquet", [5, 6], ["5min", "3h10min"])
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {(r.ws.isoformat(), r.n) for r in spark.sql("select * from t_late").collect()}
+    # the 00:00 window was finalized with 2 rows after batch 1's watermark
+    # (02:00); the late 00:05 event in batch 2 must NOT appear as an update.
+    assert ("2024-01-01T00:00:00", 2) in rows
+    assert ("2024-01-01T00:00:00", 3) not in rows
