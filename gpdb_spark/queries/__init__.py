@@ -11,4 +11,6 @@ from gpdb_spark.queries import (  # noqa: F401
     datapipe_dedup,
     datapipe_embed,
     programmability,
+    fulltext,
+    reshape_types,
 )

@@ -1,0 +1,91 @@
+"""Full-text search queries (tsvector/tsquery/ts_rank parity —
+src/backend/utils/adt/tsvector.c, tsquery.c, tsrank.c) over the documents
+fixture, via the inverted-postings scale path in
+gpdb_spark.functions.fulltext.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gpdb_spark.registry import query, t
+from gpdb_spark.functions import fulltext as FT
+
+# DuckDB tokenizer mirroring datapipe.text.tokens (lowercase, split \s+,
+# drop empties)
+_TOKS = (
+    "SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok"
+    " FROM documents"
+)
+
+
+@query(
+    "fulltext_match_all",
+    oracle=f"""
+    WITH toks AS ({_TOKS}), tf AS (
+        SELECT doc_id, tok FROM toks WHERE tok IN ('spark', 'vector')
+        GROUP BY doc_id, tok
+    )
+    SELECT doc_id FROM tf GROUP BY doc_id HAVING count(*) = 2
+    """,
+)
+def fulltext_match_all(spark, sf_dir):
+    """tsquery AND: documents matching 'spark & vector'."""
+    d = t(spark, sf_dir, "documents")
+    return FT.ts_match(d, ["spark", "vector"], mode="all")
+
+
+@query(
+    "fulltext_match_any",
+    oracle=f"""
+    WITH toks AS ({_TOKS})
+    SELECT DISTINCT doc_id FROM toks WHERE tok IN ('spark', 'vector')
+    """,
+)
+def fulltext_match_any(spark, sf_dir):
+    """tsquery OR: documents matching 'spark | vector'."""
+    d = t(spark, sf_dir, "documents")
+    return FT.ts_match(d, ["spark", "vector"], mode="any")
+
+
+@query(
+    "fulltext_rank",
+    oracle=f"""
+    WITH toks AS ({_TOKS}), tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM toks
+        WHERE tok IN ('hash', 'join', 'merge') GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(round(sum(CAST(tf / (tf + 1.0) AS DECIMAL(25,6))), 6)
+                AS DOUBLE) AS rank
+    FROM tf GROUP BY doc_id
+    """,
+)
+def fulltext_rank(spark, sf_dir):
+    """ts_rank-lite: saturation-weighted term frequency sum for the query
+    ('hash', 'join', 'merge')."""
+    d = t(spark, sf_dir, "documents")
+    return FT.ts_rank(d, ["hash", "join", "merge"])
+
+
+@query(
+    "fulltext_headline",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ), hit AS (
+        SELECT doc_id, tk, list_position(tk, 'vector') AS p FROM toks
+    )
+    SELECT doc_id,
+           array_to_string(tk[greatest(p - 3, 1) : greatest(p - 3, 1) + 6], ' ')
+               AS headline
+    FROM hit WHERE p IS NOT NULL AND p > 0
+    """,
+)
+def fulltext_headline(spark, sf_dir):
+    """ts_headline-lite: 7-token snippet around the first 'vector' hit."""
+    d = t(spark, sf_dir, "documents")
+    return FT.ts_headline(d, "vector", window=3)

@@ -91,6 +91,40 @@ def udaf_grouped_agg(spark, sf_dir):
 
 
 @query(
+    "udtf_function_scan",
+    oracle="""
+    SELECT n_nationkey, g.n AS n, g.n * g.n AS sq
+    FROM nation,
+         (SELECT unnest(generate_series(1, 3)) AS n) g
+    WHERE g.n <= n_nationkey + 1
+    """,
+)
+def udtf_function_scan(spark, sf_dir):
+    """FunctionScan / set-returning function in FROM (nodeFunctionscan.c:378)
+    via a Spark 4 Python UDTF in a LATERAL join — each input row fans out
+    into a variable-length series (RETURNS SETOF analog)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="n: int, sq: int")
+    class Series:
+        def eval(self, start: int, stop: int):
+            for n in range(start, stop + 1):
+                yield (n, n * n)
+
+    spark.udtf.register("gp_series_udtf", Series)
+    nation = t(spark, sf_dir, "nation")
+    nation.createOrReplaceTempView("_udtf_nation")
+    return spark.sql(
+        """
+        SELECT v.n_nationkey, s.n, s.sq
+        FROM _udtf_nation v,
+             LATERAL gp_series_udtf(
+                 1, CAST(least(v.n_nationkey + 1, 3) AS INT)) s
+        """
+    )
+
+
+@query(
     "mapinpandas_filter",
     oracle="""
     SELECT doc_id, n_chars FROM documents

@@ -1,0 +1,144 @@
+"""Reshape ops (pivot.c / matrix.c analogs) and GPDB-specific types
+(complex_type.c, gp_sparse_vector) as oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gpdb_spark.registry import query, t
+from gpdb_spark.functions import complex as C
+from gpdb_spark.functions import svec as SV
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    """,
+)
+def unpivot_stack(spark, sf_dir):
+    """UNPIVOT via stack() — the inverse of pivot_accum (pivot.c): wide
+    columns to (key, metric, value) rows. Narrow projection reaches the
+    scan; no shuffle at all."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'retailprice', p_retailprice,"
+            " 'size', CAST(p_size AS DOUBLE)) AS (metric, value)"
+        ),
+    )
+
+
+@query(
+    "merge_append_ordered",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    ) u
+    """,
+)
+def merge_append_ordered(spark, sf_dir):
+    """MergeAppend (nodeMergeAppend.c:159): ordered union of sorted
+    branches. Spark needs no streaming merge operator — union + orderBy
+    range-partitions the sort; the driver compare is order-insensitive so
+    the oracle omits ORDER BY."""
+    o = t(spark, sf_dir, "orders")
+    f = o.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_totalprice")
+    op = o.where(F.col("o_orderstatus") == "O").select("o_orderkey", "o_totalprice")
+    return f.unionAll(op).orderBy("o_orderkey")
+
+
+@query(
+    "matrix_sum_agg",
+    oracle="""
+    SELECT label, i,
+           round(sum(CAST(embedding[i] AS DOUBLE) * 1073741824.0)
+                 / 1073741824.0, 6) AS s
+    FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx
+    GROUP BY label, i
+    """,
+)
+def matrix_sum_agg(spark, sf_dir):
+    """matrix.c's matrix_add-as-aggregate: element-wise sum of vectors per
+    label. Scale path = posexplode to (label, i, v) then a keyed sum —
+    fully partial-aggregatable, no per-row UDF, skew-free (keys =
+    label x dim)."""
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .select("label", (F.col("pos") + 1).alias("i"), "v")
+        .groupBy("label", "i")
+        .agg(
+            # order-independent float sum without decimal casts: scaling a
+            # float32 by 2^30 makes it an exact double integer (any
+            # exponent >= -30), partial sums stay < 2^53, so every
+            # accumulation order yields the identical bit pattern in both
+            # engines. Decimal(30,15) casts instead hit engine-specific
+            # digit-15 rounding of the binary value.
+            F.round(
+                F.sum(F.col("v").cast("double") * F.lit(1073741824.0))
+                / F.lit(1073741824.0),
+                6,
+            ).alias("s")
+        )
+    )
+
+
+@query(
+    "complex_arith",
+    oracle="""
+    SELECT p_partkey,
+           round(p_retailprice * p_retailprice - p_size * p_size, 6) AS re,
+           round(2 * p_retailprice * p_size, 6) AS im,
+           round(sqrt(p_retailprice * p_retailprice + p_size * p_size), 6)
+               AS modulus
+    FROM part
+    """,
+)
+def complex_arith(spark, sf_dir):
+    """complex type (complex_type.c) as struct<re,im>: z^2 and |z| for
+    z = retailprice + size*i — pure codegen struct arithmetic."""
+    p = t(spark, sf_dir, "part")
+    z = C.c_make(F.col("p_retailprice"), F.col("p_size").cast("double"))
+    z2 = C.c_mul(z, z)
+    return p.select(
+        "p_partkey",
+        F.round(z2["re"], 6).alias("re"),
+        F.round(z2["im"], 6).alias("im"),
+        F.round(C.c_abs(z), 6).alias("modulus"),
+    )
+
+
+@query(
+    "svec_sparsify_stats",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> abs(x) > 0.5)) AS nnz,
+           round(sqrt(CAST(
+               coalesce(list_sum(list_transform(
+                   list_filter(list_transform(embedding,
+                                              x -> CAST(x AS DOUBLE)),
+                               x -> abs(x) > 0.5),
+                   x -> CAST(x * x AS DECIMAL(30,15)))), 0)
+               AS DOUBLE)), 6) AS sparse_norm
+    FROM embeddings
+    """,
+)
+def svec_sparsify_stats(spark, sf_dir):
+    """gp_sparse_vector: sparsify dense embeddings (|x| > 0.5), report
+    nnz + l2norm of the sparse form (operators.c:455)."""
+    e = t(spark, sf_dir, "embeddings")
+    sv = SV.svec_from_dense(F.col("embedding"), 0.5)
+    return e.select(
+        "vec_id",
+        SV.svec_nnz(sv).alias("nnz"),
+        F.round(SV.svec_l2norm(sv), 6).alias("sparse_norm"),
+    )

@@ -1,0 +1,104 @@
+"""Unit tests for GPDB-specific type modules: complex, sparse vectors,
+full-text — the pieces not already covered by an oracle-checked query
+(svec_dot / svec_plus / to_tsvector)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def svec_df(spark):
+    from gpdb_spark.functions.svec import svec_from_dense
+
+    data = [
+        (1, [0.0, 2.0, 0.0, -3.0]),
+        (2, [1.0, 0.0, 4.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(data, "id long, dense array<double>")
+    return df.select("id", svec_from_dense(F.col("dense")).alias("sv"), "dense")
+
+
+def test_svec_dot_matches_dense(svec_df):
+    from gpdb_spark.functions.svec import svec_dot
+
+    a = svec_df.where("id = 1").select(F.col("sv").alias("a")).first()
+    rows = (
+        svec_df.crossJoin(
+            svec_df.where("id = 1").select(F.col("sv").alias("other"))
+        )
+        .select("id", svec_dot(F.col("sv"), F.col("other")).alias("d"))
+        .collect()
+    )
+    got = {r.id: r.d for r in rows}
+    # dense dots vs [0,2,0,-3]: id1 = 4+9 = 13, id2 = 0, id3 = 0
+    assert got == {1: 13.0, 2: 0.0, 3: 0.0}
+
+
+def test_svec_plus_and_to_dense(svec_df, spark):
+    from gpdb_spark.functions.svec import svec_plus, svec_to_dense
+
+    pair = (
+        svec_df.where("id = 1")
+        .select(F.col("sv").alias("a"))
+        .crossJoin(svec_df.where("id = 2").select(F.col("sv").alias("b")))
+    )
+    out = pair.select(
+        svec_to_dense(svec_plus(F.col("a"), F.col("b")), 4).alias("d")
+    ).first()
+    assert out.d == [1.0, 2.0, 4.0, -3.0]
+
+
+def test_svec_empty_support(svec_df):
+    from gpdb_spark.functions.svec import svec_l2norm, svec_nnz
+
+    r = (
+        svec_df.where("id = 3")
+        .select(svec_nnz(F.col("sv")).alias("n"), svec_l2norm(F.col("sv")).alias("l2"))
+        .first()
+    )
+    assert r.n == 0 and r.l2 == 0.0
+
+
+def test_complex_identities(spark):
+    from gpdb_spark.functions.complex import c_abs, c_arg, c_conj, c_make, c_mul
+
+    df = spark.createDataFrame([(3.0, 4.0)], "re double, im double")
+    z = c_make(F.col("re"), F.col("im"))
+    r = df.select(
+        c_abs(z).alias("mod"),
+        c_mul(z, c_conj(z))["re"].alias("zzbar_re"),
+        c_mul(z, c_conj(z))["im"].alias("zzbar_im"),
+        c_arg(z).alias("arg"),
+    ).first()
+    assert r.mod == 5.0
+    assert r.zzbar_re == 25.0 and r.zzbar_im == 0.0
+    assert math.isclose(r.arg, math.atan2(4.0, 3.0))
+
+
+def test_to_tsvector_counts(spark):
+    from gpdb_spark.functions.fulltext import to_tsvector
+
+    df = spark.createDataFrame([("the cat and the hat",)], "text string")
+    out = df.select(to_tsvector(F.col("text")).alias("v")).first().v
+    got = {r["lexeme"]: r["tf"] for r in out}
+    assert got == {"the": 2, "cat": 1, "and": 1, "hat": 1}
+    # sorted lexeme order
+    assert [r["lexeme"] for r in out] == sorted(got)
+
+
+def test_ts_match_modes(spark):
+    from gpdb_spark.functions.fulltext import ts_match
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha delta"), (3, "beta")],
+        "doc_id long, text string",
+    )
+    all_ids = {r.doc_id for r in ts_match(df, ["alpha", "beta"], "all").collect()}
+    any_ids = {r.doc_id for r in ts_match(df, ["alpha", "beta"], "any").collect()}
+    assert all_ids == {1}
+    assert any_ids == {1, 2, 3}
