@@ -49,6 +49,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Repartition a DataFrame up to cluster parallelism when its scan
+    produced too few partitions.
+
+    Heavy per-row operators (tokenize + hash signatures, vector math) over
+    a small-file table otherwise run on ONE core: a single parquet file
+    under maxPartitionBytes is one split regardless of cluster size. The
+    shuffle this adds is the raw column bytes — negligible next to a
+    k-hash signature pass — and on a real cluster with many input files
+    the condition is false and this is a no-op.
+    """
+    want = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        # metadata-only probe (df.rdd.getNumPartitions() costs ~1s of
+        # plan-to-RDD conversion per call)
+        few_splits = len(df.inputFiles()) < want
+    except Exception:
+        few_splits = True
+    if few_splits:
+        return df.repartition(want)
+    return df
+
+
 def register_fixture_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for name in FIXTURE_TABLES:

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gpdb_spark.catalog import spread
 from gpdb_spark.datapipe.text import tokens
 
 
@@ -75,7 +76,7 @@ def jaccard_pairs(
     search engines drop stopword postings.
     """
     sh = (
-        df.select(
+        spread(df).select(
             F.col(id_col).alias("id"),
             F.explode(
                 ngram_shingles(F.col(text_col), ngram)
@@ -117,8 +118,15 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def minhash_signature(text: Column | str, k: int = 64, ngram: int = 1) -> Column:
-    """k-component MinHash signature over shingles, k seeded xxhash64
-    'permutations' — one nested JVM expression, no UDF."""
+    """k-component MinHash signature over shingles: k seeded xxhash64
+    'permutations', one nested JVM expression, no UDF.
+
+    Independent string re-hash per seed is deliberate: affine tricks over
+    one base hash (a*h+b without a modulus) are order-preserving, so every
+    component would select the same shingle and the signature collapses to
+    one effective permutation. Seeded xxhash64 is min-wise independent in
+    practice, and the per-row cost parallelizes via spread() at the
+    operator entry points."""
     sh = (
         ngram_shingles(text, ngram)
         if ngram > 1
@@ -150,7 +158,7 @@ def minhash_lsh_pairs(
     pairs sharing >=1 band hash; verified by full-signature agreement
     (estimated Jaccard) >= threshold.
     """
-    sig = df.select(
+    sig = spread(df).select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), k, ngram).alias("sig"),
     ).persist()  # read 3x below (banding + 2 verification lookups)
@@ -236,7 +244,7 @@ def minhash_dedup_clusters(
     E = n_docs * bands. This is how production web-dedup pipelines run
     MinHash at corpus scale.
     """
-    sig = df.select(
+    sig = spread(df).select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), k, ngram).alias("sig"),
     )
@@ -249,6 +257,9 @@ def minhash_dedup_clusters(
     # diameter is tiny in practice.
     memb = _banded(sig, k, bands).persist()
     labels = memb.select("id").distinct().withColumn("label", F.col("id")).persist()
+    # labels only ever decrease, so sum(label) strictly decreases on any
+    # change — a scalar aggregate per round replaces a join-based diff.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         bucket_lbl = (
             memb.join(labels, "id")
@@ -261,17 +272,12 @@ def minhash_dedup_clusters(
             .agg(F.min("blbl").alias("label"))
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     memb.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("keep_id"))
 
@@ -338,7 +344,7 @@ def simhash_pairs(
     all-pairs scan.
     """
     bits = _simhash_bits(F.col(text_col))
-    sig = df.select(
+    sig = spread(df).select(
         F.col(id_col).alias("id"),
         _pack_bits(bits, 1, N_BITS).alias("sig"),
         F.transform(

@@ -21,6 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gpdb_spark.catalog import spread
 from gpdb_spark.datapipe.text import tokens
 
 
@@ -47,7 +48,7 @@ def postings(
     """Inverted postings: (id, lexeme, tf, positions). One shuffle keyed
     by (id, lexeme); downstream ops join/filter on lexeme."""
     return (
-        df.select(
+        spread(df).select(
             F.col(id_col).alias("id"),
             F.posexplode(tokens(F.col(text_col))).alias("pos", "lexeme"),
         )

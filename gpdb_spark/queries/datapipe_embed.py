@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from gpdb_spark.catalog import spread
 from gpdb_spark.registry import query, t
 
 DIM = 64
@@ -50,7 +51,7 @@ def _dec_norm(a):
 def embed_norms(spark, sf_dir):
     """l2norm per vector (operators.c:455) via exact decimal sum of
     squares."""
-    e = t(spark, sf_dir, "embeddings")
+    e = spread(t(spark, sf_dir, "embeddings"))
     return e.select(
         "vec_id",
         "label",
@@ -85,7 +86,7 @@ def embed_cosine_pairs(spark, sf_dir):
     """Within-label cosine-similar pairs (>= 0.3) — the blocked similarity
     join: label is the blocking key, so the pair space is per-block, not
     corpus-squared."""
-    e = t(spark, sf_dir, "embeddings")
+    e = spread(t(spark, sf_dir, "embeddings"))
     norms = e.select(
         F.col("vec_id").alias("nid"), _dec_norm(F.col("embedding")).alias("nrm")
     )
@@ -143,7 +144,7 @@ def embed_ann_topk(spark, sf_dir):
     """Exact cosine top-5 for a broadcast query set (vec_id < 20) — the
     brute-force ANN baseline: corpus scanned once, per-query window
     top-k, no corpus shuffle."""
-    e = t(spark, sf_dir, "embeddings")
+    e = spread(t(spark, sf_dir, "embeddings"))
     norms = e.select(
         F.col("vec_id").alias("nid"), _dec_norm(F.col("embedding")).alias("nrm")
     )
@@ -186,7 +187,7 @@ def embed_ann_topk(spark, sf_dir):
 def embed_centroids(spark, sf_dir):
     """Per-label centroid (dim-wise mean) via posexplode + exact decimal
     sums — the reduce side of k-means/IVF coarse quantization."""
-    e = t(spark, sf_dir, "embeddings")
+    e = spread(t(spark, sf_dir, "embeddings"))
     return (
         e.select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", (F.col("pos") + 1).alias("dim"))
@@ -209,6 +210,6 @@ def embed_ann_lsh(spark, sf_dir):
     real embeddings get the same recall with far fewer probes."""
     from gpdb_spark.datapipe.similarity import lsh_topk
 
-    e = t(spark, sf_dir, "embeddings")
+    e = spread(t(spark, sf_dir, "embeddings"))
     q = e.where(F.col("vec_id") < 20)
     return lsh_topk(e, q, k=5, dim=DIM, tables=16, planes_per_table=4)

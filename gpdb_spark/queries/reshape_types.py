@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from gpdb_spark.catalog import spread
 from gpdb_spark.registry import query, t
 from gpdb_spark.functions import complex as C
 from gpdb_spark.functions import svec as SV
@@ -71,7 +72,7 @@ def matrix_sum_agg(spark, sf_dir):
     label. Scale path = posexplode to (label, i, v) then a keyed sum —
     fully partial-aggregatable, no per-row UDF, skew-free (keys =
     label x dim)."""
-    e = t(spark, sf_dir, "embeddings")
+    e = spread(t(spark, sf_dir, "embeddings"))
     return (
         e.select("label", F.posexplode("embedding").alias("pos", "v"))
         .select("label", (F.col("pos") + 1).alias("i"), "v")
@@ -135,7 +136,7 @@ def complex_arith(spark, sf_dir):
 def svec_sparsify_stats(spark, sf_dir):
     """gp_sparse_vector: sparsify dense embeddings (|x| > 0.5), report
     nnz + l2norm of the sparse form (operators.c:455)."""
-    e = t(spark, sf_dir, "embeddings")
+    e = spread(t(spark, sf_dir, "embeddings"))
     sv = SV.svec_from_dense(F.col("embedding"), 0.5)
     return e.select(
         "vec_id",
