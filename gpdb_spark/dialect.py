@@ -1,0 +1,537 @@
+"""PostgreSQL-dialect SQL front door: ``pg_sql(spark, text)``.
+
+The reference's front door is a PostgreSQL grammar
+(src/backend/parser/gram.y, 17,281 LoC) feeding analyze.c; Spark SQL
+already covers nearly all of the semantics, so this module is a
+*dialect translator*, not a parser-of-record: it lexes the query and
+rewrites the handful of constructs where PG and Spark SQL disagree
+(SURVEY.md §7 "genuinely custom" list):
+
+- ``expr::type`` casts  -> ``CAST(expr AS type)`` with PG->Spark type
+  name mapping (int4/int8/float8/text/...; numeric caps at 38 digits).
+- regex operators ``~  ~*  !~  !~*`` -> ``RLIKE`` (case-insensitive
+  variants prefix the pattern with ``(?i)``).
+- double-quoted identifiers -> backquoted identifiers.
+- NULL ordering: PG sorts NULLs high (NULLS LAST on ASC, NULLS FIRST on
+  DESC — tuplesort.c comparators); Spark defaults the opposite way, so
+  every ORDER BY item without an explicit NULLS clause gets one.
+- ``generate_series(a, b[, s]) AS t(c)`` in FROM -> lateral
+  ``explode(sequence(...))`` subquery.
+- function renames: now() -> current_timestamp(), strpos -> instr,
+  ceiling -> ceil, random -> rand, to_char(ts, 'fmt') -> date_format
+  with PG->Java pattern translation, extract(epoch from x) ->
+  unix_timestamp(x), string_agg(e, s ORDER BY k) -> listagg WITHIN GROUP.
+
+Not translated (documented gaps): integer ``/`` (PG truncates; use
+``div``), ``DISTINCT ON`` (use window row_number), multi-dim arrays.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+# ---------------------------------------------------------------------------
+# lexer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<space>\s+)
+    | (?P<string>'(?:[^']|'')*')
+    | (?P<qident>"(?:[^"]|"")*")
+    | (?P<number>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?)
+    | (?P<word>[A-Za-z_][A-Za-z_0-9$]*)
+    | (?P<op>::|!~\*|!~|~\*|\|\||<=|>=|<>|!=|~|[(),.;*<>=+\-/%\[\]])
+    """,
+    re.VERBOSE,
+)
+
+
+def _lex(sql: str) -> list[str]:
+    out, i = [], 0
+    while i < len(sql):
+        m = _TOKEN_RE.match(sql, i)
+        if not m:
+            out.append(sql[i])
+            i += 1
+            continue
+        if m.lastgroup != "space":
+            out.append(m.group(0))
+        i = m.end()
+    return out
+
+
+def _is_word(tok: str, *names: str) -> bool:
+    return tok.isidentifier() and tok.lower() in names
+
+
+# ---------------------------------------------------------------------------
+# type mapping for :: casts
+# ---------------------------------------------------------------------------
+
+_TYPE_MAP = {
+    "int2": "SMALLINT",
+    "smallint": "SMALLINT",
+    "int4": "INT",
+    "int": "INT",
+    "integer": "INT",
+    "int8": "BIGINT",
+    "bigint": "BIGINT",
+    "float4": "FLOAT",
+    "real": "FLOAT",
+    "float8": "DOUBLE",
+    "double": "DOUBLE",
+    "text": "STRING",
+    "varchar": "STRING",
+    "char": "STRING",
+    "bpchar": "STRING",
+    "name": "STRING",
+    "bool": "BOOLEAN",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamptz": "TIMESTAMP",
+    "numeric": "DECIMAL(38,6)",
+    "decimal": "DECIMAL(38,6)",
+    "bytea": "BINARY",
+}
+
+
+def _map_type(tokens: list[str], i: int) -> tuple[str, int]:
+    """Map tokens starting at i (a type name, optionally with (p,s) or
+    'double precision' / 'timestamp with time zone') to a Spark type.
+    Returns (spark_type, next_index)."""
+    w = tokens[i].lower()
+    j = i + 1
+    if w == "double" and j < len(tokens) and _is_word(tokens[j], "precision"):
+        return "DOUBLE", j + 1
+    if w in ("numeric", "decimal") and j < len(tokens) and tokens[j] == "(":
+        k = j
+        depth = 0
+        while k < len(tokens):
+            if tokens[k] == "(":
+                depth += 1
+            elif tokens[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        return "DECIMAL" + "".join(tokens[j : k + 1]), k + 1
+    if w in ("timestamp", "time") and j + 2 < len(tokens) and _is_word(
+        tokens[j], "with", "without"
+    ):
+        # timestamp with[out] time zone
+        return "TIMESTAMP", j + 3
+    return _TYPE_MAP.get(w, tokens[i].upper()), j
+
+
+_KEYWORDS = {
+    "select", "from", "where", "and", "or", "not", "in", "like", "ilike",
+    "case", "when", "then", "else", "end", "as", "on", "join", "inner",
+    "left", "right", "full", "cross", "union", "intersect", "except",
+    "group", "by", "order", "having", "limit", "offset", "distinct",
+    "between", "is", "null", "true", "false", "all", "any", "exists",
+    "values", "with", "over", "partition",
+}
+
+
+def _operand_start(tokens: list[str], i: int) -> int:
+    """Index where the operand ending at tokens[i-1] starts (for ::)."""
+    j = i - 1
+    if j < 0:
+        return i
+    if tokens[j] == ")" or tokens[j] == "]":
+        close, open_ = tokens[j], "(" if tokens[j] == ")" else "["
+        depth = 0
+        while j >= 0:
+            if tokens[j] == close:
+                depth += 1
+            elif tokens[j] == open_:
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        # function call or array index: include the callee/base, but never
+        # swallow a keyword (SELECT (a+b)::t must not become CAST(SELECT ...))
+        prev = tokens[j - 1] if j - 1 >= 0 else ""
+        if prev == "]" or (
+            prev.isidentifier() and prev.lower() not in _KEYWORDS
+        ):
+            return _operand_start(tokens, j)
+        return j
+    return j
+
+
+# ---------------------------------------------------------------------------
+# PG to_char pattern -> Java date_format pattern
+# ---------------------------------------------------------------------------
+
+_TO_CHAR_MAP = [
+    ("YYYY", "yyyy"),
+    ("YY", "yy"),
+    ("Month", "MMMM"),
+    ("Mon", "MMM"),
+    ("MM", "MM"),
+    ("DD", "dd"),
+    ("Day", "EEEE"),
+    ("Dy", "EEE"),
+    ("HH24", "HH"),
+    ("HH12", "hh"),
+    ("MI", "mm"),
+    ("SS", "ss"),
+    ("MS", "SSS"),
+]
+
+
+def _translate_to_char_pattern(lit: str) -> str:
+    body = lit[1:-1]
+    for pg, java in _TO_CHAR_MAP:
+        body = body.replace(pg, java)
+    return f"'{body}'"
+
+
+# ---------------------------------------------------------------------------
+# main translation passes (token-list rewrites)
+# ---------------------------------------------------------------------------
+
+
+def _pass_quoted_idents(tokens: list[str]) -> list[str]:
+    return [
+        "`" + t[1:-1].replace('""', '"') + "`" if t.startswith('"') else t
+        for t in tokens
+    ]
+
+
+def _pass_casts(tokens: list[str]) -> list[str]:
+    while True:
+        try:
+            i = tokens.index("::")
+        except ValueError:
+            return tokens
+        start = _operand_start(tokens, i)
+        spark_type, after = _map_type(tokens, i + 1)
+        tokens = (
+            tokens[:start]
+            + ["CAST", "("]
+            + tokens[start:i]
+            + ["AS", spark_type, ")"]
+            + tokens[after:]
+        )
+
+
+def _rhs_end(tokens: list[str], j: int) -> int:
+    """End index (exclusive) of the operand starting at tokens[j]:
+    a literal/identifier, a function call, or a parenthesized expr."""
+    n = len(tokens)
+    if j >= n:
+        return j
+    start_paren = None
+    if tokens[j] == "(":
+        start_paren = j
+    elif tokens[j].isidentifier() and j + 1 < n and tokens[j + 1] == "(":
+        start_paren = j + 1
+    if start_paren is None:
+        return j + 1
+    depth, k = 0, start_paren
+    while k < n:
+        if tokens[k] == "(":
+            depth += 1
+        elif tokens[k] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        k += 1
+    return k + 1
+
+
+def _pass_regex_ops(tokens: list[str]) -> list[str]:
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t in ("~", "~*", "!~", "!~*"):
+            neg = t.startswith("!")
+            ci = t.endswith("*")
+            end = _rhs_end(tokens, i + 1)
+            rhs = tokens[i + 1 : end]
+            if ci:
+                if len(rhs) == 1 and rhs[0].startswith("'"):
+                    rhs = ["'(?i)" + rhs[0][1:]]
+                else:
+                    rhs = ["CONCAT", "(", "'(?i)'", ","] + rhs + [")"]
+            # PG regex ops bind tighter than NOT/AND/OR, so wrapping the
+            # immediate operands is precedence-preserving.
+            lhs_start = _operand_start(out + ["~"], len(out))
+            lhs = out[lhs_start:]
+            if neg:
+                out = out[:lhs_start] + ["NOT", "("] + lhs + ["RLIKE"] + rhs + [")"]
+            else:
+                out = out[:lhs_start] + lhs + ["RLIKE"] + rhs
+            i = end
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+_FN_RENAME = {
+    "strpos": "instr",
+    "ceiling": "ceil",
+    "random": "rand",
+    "char_length": "length",
+    "octet_length": "octet_length",
+}
+
+
+def _pass_functions(tokens: list[str]) -> list[str]:
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        low = t.lower() if t.isidentifier() else ""
+        nxt = tokens[i + 1] if i + 1 < n else ""
+        # now() -> current_timestamp()
+        if low == "now" and nxt == "(":
+            out += ["current_timestamp", "(", ")"]
+            i += 3
+            continue
+        # extract(epoch from X) -> unix_timestamp(X)
+        if (
+            low == "extract"
+            and nxt == "("
+            and i + 2 < n
+            and _is_word(tokens[i + 2], "epoch")
+        ):
+            depth, k = 0, i + 1
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            inner = tokens[i + 4 : k]  # skip 'epoch' 'from'
+            out += ["unix_timestamp", "("] + inner + [")"]
+            i = k + 1
+            continue
+        # to_char(expr, 'fmt') -> date_format(expr, 'java fmt')
+        if low == "to_char" and nxt == "(":
+            depth, k = 0, i + 1
+            last_comma = None
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif tokens[k] == "," and depth == 1:
+                    last_comma = k
+                k += 1
+            if last_comma and tokens[last_comma + 1].startswith("'"):
+                fmt = _translate_to_char_pattern(tokens[last_comma + 1])
+                out += (
+                    ["date_format"]
+                    + tokens[i + 1 : last_comma + 1]
+                    + [fmt, ")"]
+                )
+                i = k + 1
+                continue
+        # string_agg(e, sep ORDER BY k) -> listagg(e, sep) WITHIN GROUP (...)
+        if low == "string_agg" and nxt == "(":
+            depth, k = 0, i + 1
+            order_at = None
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif (
+                    depth == 1
+                    and _is_word(tokens[k], "order")
+                    and k + 1 < n
+                    and _is_word(tokens[k + 1], "by")
+                ):
+                    order_at = k
+                k += 1
+            if order_at:
+                out += (
+                    ["listagg"]
+                    + tokens[i + 1 : order_at]
+                    + [")", "WITHIN", "GROUP", "("]
+                    + tokens[order_at:k]
+                    + [")"]
+                )
+            else:
+                out += ["listagg"] + tokens[i + 1 : k + 1]
+            i = k + 1
+            continue
+        if low in _FN_RENAME and nxt == "(":
+            out.append(_FN_RENAME[low])
+            i += 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _pass_generate_series_from(tokens: list[str]) -> list[str]:
+    """FROM generate_series(a, b[, s]) [AS] t(c) ->
+    FROM (SELECT explode(sequence(a, b[, s])) AS c) t"""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        if (
+            _is_word(tokens[i], "from", "join", ",")
+            or tokens[i] == ","
+        ) and i + 1 < n and _is_word(tokens[i + 1], "generate_series"):
+            out.append(tokens[i])
+            j = i + 2  # at '('
+            depth, k = 0, j
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            args = tokens[j : k + 1]
+            m = k + 1
+            if m < n and _is_word(tokens[m], "as"):
+                m += 1
+            alias = tokens[m] if m < n and tokens[m].isidentifier() else "g"
+            m += 1
+            col = "g"
+            if m < n and tokens[m] == "(":
+                col = tokens[m + 1]
+                m += 3
+            out += (
+                ["(", "SELECT", "explode", "(", "sequence"]
+                + args
+                + [")", "AS", col, ")", alias]
+            )
+            i = m
+            continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
+_ORDER_STOP = {
+    "limit",
+    "offset",
+    "rows",
+    "range",
+    "groups",
+    "window",
+    "union",
+    "intersect",
+    "except",
+    "having",
+    "fetch",
+}
+
+
+def _pass_order_by_nulls(tokens: list[str]) -> list[str]:
+    """Append PG null ordering to each ORDER BY item lacking a NULLS
+    clause: NULLS LAST on ASC (default), NULLS FIRST on DESC."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        if _is_word(tokens[i], "order") and i + 1 < n and _is_word(
+            tokens[i + 1], "by"
+        ):
+            out += [tokens[i], tokens[i + 1]]
+            i += 2
+            # collect items until top-level stop keyword / ')' / ';' / end
+            item: list[str] = []
+            depth = 0
+
+            def flush() -> None:
+                nonlocal item
+                if not item:
+                    return
+                has_nulls = any(_is_word(t, "nulls") for t in item)
+                if not has_nulls:
+                    desc = _is_word(item[-1], "desc")
+                    item += ["NULLS", "FIRST"] if desc else ["NULLS", "LAST"]
+                out.extend(item)
+                item = []
+
+            while i < n:
+                t = tokens[i]
+                if depth == 0 and (
+                    t in (";",)
+                    or (t == ")")
+                    or (t.isidentifier() and t.lower() in _ORDER_STOP)
+                ):
+                    break
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                if t == "," and depth == 0:
+                    flush()
+                    out.append(t)
+                else:
+                    item.append(t)
+                i += 1
+            flush()
+            continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
+def _render(tokens: list[str]) -> str:
+    out: list[str] = []
+    prev = ""
+    for t in tokens:
+        need_space = bool(out)
+        if t in (",", ")", ".", ";", "]"):
+            need_space = False
+        elif prev in ("(", ".", "["):
+            need_space = False
+        elif t == "(" and (prev.isidentifier() or prev == ")"):
+            # tight function-call style: f(x), CAST(x AS t)
+            need_space = False
+        if need_space:
+            out.append(" ")
+        out.append(t)
+        prev = t
+    return "".join(out)
+
+
+def translate(sql: str) -> str:
+    """Translate a PostgreSQL-dialect query to Spark SQL."""
+    tokens = _lex(sql)
+    tokens = _pass_quoted_idents(tokens)
+    tokens = _pass_casts(tokens)
+    tokens = _pass_regex_ops(tokens)
+    tokens = _pass_functions(tokens)
+    tokens = _pass_generate_series_from(tokens)
+    tokens = _pass_order_by_nulls(tokens)
+    return _render(tokens)
+
+
+def pg_sql(
+    spark: SparkSession, sql: str, sf_dir: str | None = None
+) -> DataFrame:
+    """The engine's SQL front door: PG-dialect text in, DataFrame out.
+    When ``sf_dir`` is given, the fixture tables are (re-)registered as
+    temp views first."""
+    if sf_dir is not None:
+        from gpdb_spark.catalog import register_fixture_views
+
+        register_fixture_views(spark, sf_dir)
+    return spark.sql(translate(sql))

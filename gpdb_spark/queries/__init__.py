@@ -13,4 +13,5 @@ from gpdb_spark.queries import (  # noqa: F401
     programmability,
     fulltext,
     reshape_types,
+    dialect_queries,
 )
