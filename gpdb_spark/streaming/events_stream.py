@@ -48,7 +48,10 @@ def read_events_stream(
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(sf_dir)
+    # restrict to the events file — a bare sf_dir would ingest every
+    # fixture table in the directory (their rows surface as null-ts junk);
+    # the streaming file source requires a directory path, so filter by glob
+    df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -93,6 +96,96 @@ def session_counts(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "n_events",
+        )
+    )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+SESSION_STATE_SCHEMA = (
+    "start long, last long, n long, sum_value double"
+)
+
+
+def stateful_sessions(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization with
+    explicit per-user state via applyInPandasWithState — the
+    capability-extension analog of a hand-written stateful executor node
+    (the reference has none; SURVEY.md §2.11).
+
+    Differs from the built-in session_window by carrying custom per-state
+    aggregates and emitting ONLY finalized sessions: a session closes when
+    a later event arrives past the gap, or when event-time timeout fires
+    (watermark passed session end + gap) — so emitted rows are immutable,
+    suitable for append-mode sinks at scale (state size = O(active users),
+    bounded by the watermark).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        user_id = key[0]
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n, sv = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start": [pd.Timestamp(start, unit="us")],
+                        "session_end": [pd.Timestamp(last, unit="us")],
+                        "n_events": [n],
+                        "sum_value": [sv],
+                    }
+                )
+            return
+
+        rows = []
+        if state.exists:
+            start, last, n, sv = state.get
+        else:
+            start = last = n = None
+            sv = 0.0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                us = int(ts.value // 1000)  # pandas ns -> us
+                if start is None:
+                    start, last, n, sv = us, us, 1, float(value)
+                elif us - last > gap_us:
+                    rows.append((user_id, start, last, n, sv))
+                    start, last, n, sv = us, us, 1, float(value)
+                else:
+                    last, n, sv = us, n + 1, sv + float(value)
+        if start is not None:
+            state.update((start, last, n, sv))
+            state.setTimeoutTimestamp((last + gap_us) // 1000)
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in rows],
+                    "session_start": [pd.Timestamp(r[1], unit="us") for r in rows],
+                    "session_end": [pd.Timestamp(r[2], unit="us") for r in rows],
+                    "n_events": [r[3] for r in rows],
+                    "sum_value": [r[4] for r in rows],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -86,6 +86,45 @@ def test_streaming_sessions_match_batch_sessionize(spark, sf_dir, events_batch):
     assert got_map == want_map
 
 
+def test_stateful_sessions_match_batch(spark, sf_dir, events_batch):
+    """The custom applyInPandasWithState sessionizer must agree with the
+    batch lag/gap sessionizer on every session it finalizes (it emits only
+    sessions closed by gap or timeout, so compare as a subset keyed by
+    (user, start))."""
+    from gpdb_spark.operators.sessionize import sessionize
+    from gpdb_spark.streaming.events_stream import stateful_sessions
+
+    stream = read_events_stream(spark, sf_dir)
+    run_to_memory(
+        stateful_sessions(stream, gap_minutes=30), "t_state_sess",
+        output_mode="append",
+    )
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, round(r.sum_value, 6))
+        for r in spark.sql("select * from t_state_sess").collect()
+    }
+    assert got, "stateful sessionizer emitted nothing"
+
+    batch = sessionize(events_batch, "user_id", "ts", "event_id", gap_minutes=30)
+    want = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, round(r.sum_value, 6))
+        for r in (
+            batch.groupBy("user_id", "session_id")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+            .collect()
+        )
+    }
+    for k, v in got.items():
+        assert k in want, f"stateful session {k} not in batch sessions"
+        assert want[k][:2] == v[:2], f"bounds differ for {k}: {want[k]} vs {v}"
+        assert abs(want[k][2] - v[2]) < 1e-6
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """A late row must not extend an already-finalized window in append
     mode. Watermark timing: Spark computes the new watermark at the END of
