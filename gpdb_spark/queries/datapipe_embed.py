@@ -213,3 +213,18 @@ def embed_ann_lsh(spark, sf_dir):
     e = spread(t(spark, sf_dir, "embeddings"))
     q = e.where(F.col("vec_id") < 20)
     return lsh_topk(e, q, k=5, dim=DIM, tables=16, planes_per_table=4)
+
+
+@query("embed_ann_ivf")
+def embed_ann_ivf(spark, sf_dir):
+    """IVF ANN top-5 (coarse k-means quantizer + inverted cell lists +
+    n_probe cell re-rank) — the index-backed scale path next to
+    embed_ann_lsh. Rows-only: recall vs brute force asserted in
+    tests/test_datapipe.py."""
+    from pyspark.sql import functions as F
+
+    from gpdb_spark.datapipe.similarity import ivf_topk
+
+    e = spread(t(spark, sf_dir, "embeddings"))
+    q = e.where(F.col("vec_id") < 20)
+    return ivf_topk(e, q, k=5, n_centroids=16, n_probe=8)

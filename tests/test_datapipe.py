@@ -114,6 +114,26 @@ def test_lsh_ann_recall(embeds):
     assert recall >= 0.7, f"LSH ANN recall too low: {recall}"
 
 
+def test_ivf_ann_recall(embeds):
+    """IVF probing 8 of 16 cells must recover >=70% of brute-force top-5
+    while scanning ~half the corpus per query. (The fixture is isotropic
+    gaussian noise — the worst case for a coarse quantizer; real embedding
+    corpora cluster and need far fewer probes for the same recall.)"""
+    from gpdb_spark.datapipe.similarity import brute_force_topk, ivf_topk
+
+    q = embeds.where(F.col("vec_id") < 20)
+    bf = {
+        (r.query_id, r.corpus_id)
+        for r in brute_force_topk(embeds, q, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.corpus_id)
+        for r in ivf_topk(embeds, q, k=5, n_centroids=16, n_probe=8).collect()
+    }
+    recall = len(bf & got) / len(bf)
+    assert recall >= 0.7, f"IVF recall too low: {recall}"
+
+
 def test_brute_force_topk_is_exact(embeds):
     """Spot-check the distributed top-k against a numpy argsort on the
     driver for one query vector."""
