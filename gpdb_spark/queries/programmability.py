@@ -147,3 +147,38 @@ def mapinpandas_filter(spark, sf_dir):
     return table_function(
         d, keep_even_en, "doc_id long, n_chars long", num_partitions=8
     )
+
+
+@query(
+    "mapreduce_pipeline",
+    oracle="""
+    WITH mapped AS (
+        SELECT lang, n_chars // 100 AS bucket FROM documents
+        WHERE n_chars >= 200
+    )
+    SELECT lang, bucket, count(*) AS count_bucket
+    FROM mapped GROUP BY lang, bucket
+    """,
+)
+def mapreduce_pipeline(spark, sf_dir):
+    """gpMapReduce-style declarative pipeline (gpcontrib/gpmapreduce):
+    MAP = python row transform (mapInPandas), REDUCE = builtin COUNT by
+    key (JVM groupBy). The MAP stage's integer division matches PG/DuckDB
+    semantics via floor-div on non-negative ints."""
+    from gpdb_spark.operators.mapreduce import run_mapreduce
+
+    d = t(spark, sf_dir, "documents").select("lang", "n_chars")
+
+    def map_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = pdf[pdf.n_chars >= 200]
+        return pd.DataFrame(
+            {"lang": keep.lang, "bucket": keep.n_chars // 100}
+        )
+
+    return run_mapreduce(
+        d,
+        {
+            "map": {"fn": map_fn, "schema": "lang string, bucket long"},
+            "reduce": {"keys": ["lang", "bucket"], "builtin": {"bucket": "count"}},
+        },
+    )

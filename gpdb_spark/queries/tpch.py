@@ -632,3 +632,270 @@ def q22_global_sales_opportunity(spark, sf_dir):
             .alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q02_min_cost_supplier",
+    oracle="""
+    WITH partsup AS (
+        SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem
+    ), eligible AS (
+        SELECT ps_partkey, ps_suppkey, s_acctbal, s_name, n_name
+        FROM partsup
+        JOIN supplier s ON s.s_suppkey = ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_type
+    FROM eligible e
+    JOIN part p ON p.p_partkey = e.ps_partkey
+    JOIN (
+        SELECT ps_partkey, min(s_acctbal) AS min_bal
+        FROM eligible GROUP BY ps_partkey
+    ) m ON m.ps_partkey = e.ps_partkey AND e.s_acctbal = m.min_bal
+    WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+    """,
+)
+def q02_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 (adapted: no partsupp fixture — the DISTINCT
+    (l_partkey, l_suppkey) pairs stand in for partsupp, min supply cost
+    := min s_acctbal). The correlated MIN subquery is decorrelated into a
+    grouped aggregate self-join, the ORCA CSubqueryHandler strategy."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    partsup = l.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    eligible = (
+        partsup.join(broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("ps_partkey", "ps_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    min_bal = eligible.groupBy("ps_partkey").agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        eligible.join(broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .join(
+            min_bal.withColumnRenamed("ps_partkey", "mb_partkey"),
+            (F.col("ps_partkey") == F.col("mb_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+    )
+
+
+@query(
+    "q08_national_market_share",
+    oracle=f"""
+    WITH all_nations AS (
+        SELECT CAST(extract(year FROM o.o_orderdate) AS INT) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6)) AS volume,
+               ns.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = nc.n_regionkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM all_nations GROUP BY o_year
+    """,
+)
+def q08_national_market_share(spark, sf_dir):
+    """TPC-H Q8 (adapted types/nation names): NATION_3's share of ECONOMY
+    part revenue sold into AMERICA, by order year. 7-table join with every
+    dimension broadcast; conditional aggregation for the share."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    nc = n.select(F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region"))
+    ns = n.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
+    dec = "decimal(25,6)"
+    vol = _rev().cast(dec)
+    nat_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast(dec)
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
+        .join(broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(nat_vol).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH value_by_part AS (
+        SELECT l.l_partkey AS ps_partkey,
+               CAST(sum(CAST(0.5 * p.p_retailprice * l.l_quantity
+                             AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS value
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_1'
+        GROUP BY l.l_partkey
+    )
+    SELECT ps_partkey, CAST(round(value, 2) AS DOUBLE) AS value
+    FROM value_by_part
+    WHERE value > (SELECT sum(value) * 0.001 FROM value_by_part)
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 (adapted: stock value := 0.5*retailprice*shipped qty):
+    per-part value in one nation filtered by a scalar-subquery fraction of
+    the total — the HAVING > scalar shape (ORCA unnests to a cross join
+    against the one-row aggregate; Spark plans the same)."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    dec = "decimal(25,6)"
+    val = (0.5 * F.col("p_retailprice") * F.col("l_quantity")).cast(dec)
+    by_part = (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(val).cast(dec).alias("value"))
+    )
+    threshold = by_part.agg(
+        (F.sum("value") * F.lit(0.001)).alias("thr")
+    )
+    return (
+        by_part.join(broadcast(threshold))
+        .where(F.col("value") > F.col("thr"))
+        .select(
+            "ps_partkey", F.round(F.col("value"), 2).cast("double").alias("value")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(round(r.total_revenue, 2) AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: the revenue view + scalar MAX subquery — view reuse is
+    the reference's ShareInputScan (planshare.c); Spark reuses the
+    exchange or recomputes the small aggregate."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    dec = "decimal(25,6)"
+    revenue = (
+        l.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev().cast(dec)).cast(dec).alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        s.join(revenue, s.s_suppkey == F.col("supplier_no"))
+        .join(broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_revenue"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN shipped sh ON sh.l_suppkey = s.s_suppkey
+    JOIN part p ON p.p_partkey = sh.l_partkey
+    WHERE p.p_name LIKE '%gear%' AND sh.qty > 40
+    """,
+)
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 (adapted: availqty -> shipped qty threshold): nested IN
+    subqueries flattened to semi-join chain (convert_IN_to_join,
+    cdbsubselect.c)."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    p = t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    shipped = (
+        l.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double").alias("qty"))
+        .where(F.col("qty") > 40)
+    )
+    qualifying = shipped.join(
+        broadcast(p), F.col("l_partkey") == p.p_partkey, "left_semi"
+    ).select("l_suppkey").distinct()
+    return (
+        s.join(qualifying, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+    )
