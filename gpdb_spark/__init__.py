@@ -20,8 +20,10 @@ __version__ = "0.1.0"
 
 from gpdb_spark.session import get_spark
 from gpdb_spark.catalog import FIXTURE_TABLES, load_table, register_fixture_views
+from gpdb_spark.engine import Engine
 
 __all__ = [
+    "Engine",
     "get_spark",
     "FIXTURE_TABLES",
     "load_table",

@@ -512,10 +512,137 @@ def _render(tokens: list[str]) -> str:
     return "".join(out)
 
 
+def _pass_distinct_on(tokens: list[str]) -> list[str]:
+    """SELECT DISTINCT ON (keys) list FROM ... ORDER BY items [tail] ->
+    SELECT * EXCEPT (__gp_rn) FROM (
+        SELECT list, row_number() OVER (PARTITION BY keys
+                                        ORDER BY items) AS __gp_rn
+        FROM ...) __gp_d WHERE __gp_rn = 1 [tail]
+
+    PG's DISTINCT ON keeps the first row per key group under the query's
+    ORDER BY — exactly a row_number window filter. The window's ORDER BY
+    may reference non-selected base columns, which works because it is
+    computed alongside the inner select list.
+    """
+    n = len(tokens)
+    # find top-level SELECT DISTINCT ON (
+    i = 0
+    depth = 0
+    at = None
+    while i < n - 3:
+        if tokens[i] == "(":
+            depth += 1
+        elif tokens[i] == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and _is_word(tokens[i], "select")
+            and _is_word(tokens[i + 1], "distinct")
+            and _is_word(tokens[i + 2], "on")
+            and tokens[i + 3] == "("
+        ):
+            at = i
+            break
+        i += 1
+    if at is None:
+        return tokens
+    # keys
+    depth, k = 0, at + 3
+    while k < n:
+        if tokens[k] == "(":
+            depth += 1
+        elif tokens[k] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        k += 1
+    keys = tokens[at + 4 : k]
+    # body: select list + FROM... until top-level ORDER BY / end
+    body_start = k + 1
+    j = body_start
+    depth = 0
+    order_at = None
+    while j < n:
+        t = tokens[j]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth < 0:
+                break
+        elif depth == 0 and _is_word(t, "order") and j + 1 < n and _is_word(
+            tokens[j + 1], "by"
+        ):
+            order_at = j
+            break
+        j += 1
+    end = j
+    body = tokens[body_start:end]
+    order_items: list[str] = []
+    tail: list[str] = []
+    if order_at is not None:
+        j = order_at + 2
+        depth = 0
+        while j < n:
+            t = tokens[j]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+                if depth < 0:
+                    break
+            if depth == 0 and t.isidentifier() and t.lower() in _ORDER_STOP:
+                break
+            order_items.append(t)
+            j += 1
+        tail = tokens[j:]
+    else:
+        tail = tokens[end:]
+        order_items = keys[:]  # PG default: first row per key, any order
+    # split body at top-level FROM
+    depth = 0
+    from_at = None
+    for idx, t in enumerate(body):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and _is_word(t, "from"):
+            from_at = idx
+            break
+    sel_list = body[:from_at] if from_at is not None else body
+    rest = body[from_at:] if from_at is not None else []
+    # a trailing LIMIT needs a deterministic outer order; PG orders the
+    # result by the ORDER BY prefix (= the DISTINCT ON keys). Only safe to
+    # re-emit when the keys are plain selected identifiers.
+    outer_order: list[str] = []
+    if tail and _is_word(tail[0], "limit", "offset", "fetch") and all(
+        t.isidentifier() or t == "," for t in keys
+    ):
+        outer_order = ["ORDER", "BY"] + keys
+    new = (
+        tokens[:at]
+        + ["SELECT", "*", "EXCEPT", "(", "__gp_rn", ")", "FROM", "(",
+           "SELECT"]
+        + sel_list
+        + [",", "row_number", "(", ")", "OVER", "(", "PARTITION", "BY"]
+        + keys
+        + ["ORDER", "BY"]
+        + order_items
+        + [")", "AS", "__gp_rn"]
+        + rest
+        + [")", "__gp_d", "WHERE", "__gp_rn", "=", "1"]
+        + outer_order
+        + tail
+    )
+    return new
+
+
 def translate(sql: str) -> str:
     """Translate a PostgreSQL-dialect query to Spark SQL."""
     tokens = _lex(sql)
     tokens = _pass_quoted_idents(tokens)
+    tokens = _pass_distinct_on(tokens)
     tokens = _pass_casts(tokens)
     tokens = _pass_regex_ops(tokens)
     tokens = _pass_functions(tokens)

@@ -1,0 +1,136 @@
+"""The engine facade — the one object a Greenplum user drives.
+
+Maps the reference's user surface onto the library:
+
+- ``engine.sql(text)``      — PG-dialect SQL (exec_simple_query,
+  postgres.c:1601 -> here dialect.translate + spark.sql)
+- ``engine.create_table``   — CREATE TABLE ... DISTRIBUTED BY/REPLICATED
+  PARTITION BY ... WITH (compresstype=...)  (gp_policy.h semantics on
+  Parquet via storage.GpTable)
+- ``engine.table``          — catalog lookup -> DataFrame (SeqScan)
+- ``engine.copy_from/copy_to`` — COPY (commands/copy.c) as parallel
+  CSV read/write with SREH error capture
+- ``engine.explain``        — EXPLAIN with Motion vocabulary (§2.8)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from gpdb_spark.storage import GpTable
+
+
+class Engine:
+    def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
+        if spark is None:
+            from gpdb_spark.session import get_spark
+
+            spark = get_spark()
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._tables: dict[str, GpTable] = {}
+        if sf_dir:
+            from gpdb_spark.catalog import register_fixture_views
+
+            register_fixture_views(spark, sf_dir)
+
+    # -- SQL front door ------------------------------------------------------
+
+    def sql(self, text: str) -> DataFrame:
+        """PostgreSQL-dialect SQL against registered tables/views."""
+        from gpdb_spark.dialect import translate
+
+        return self.spark.sql(translate(text))
+
+    # -- DDL / catalog -------------------------------------------------------
+
+    def create_table(
+        self,
+        name: str,
+        df: DataFrame,
+        path: str,
+        distributed_by: tuple[str, ...] | list[str] | None = None,
+        replicated: bool = False,
+        partition_by: tuple[str, ...] | list[str] = (),
+        compression: str = "snappy",
+        mode: str = "error",
+    ) -> GpTable:
+        table = GpTable.create(
+            df,
+            path,
+            distributed_by=distributed_by,
+            replicated=replicated,
+            partition_by=partition_by,
+            compression=compression,
+            mode=mode,
+        )
+        self._tables[name] = table
+        table.read(self.spark).createOrReplaceTempView(name)
+        return table
+
+    def table(self, name: str) -> DataFrame:
+        if name in self._tables:
+            return self._tables[name].read(self.spark)
+        return self.spark.table(name)
+
+    def gp_table(self, name: str) -> GpTable:
+        return self._tables[name]
+
+    # -- DML -----------------------------------------------------------------
+
+    def insert_into(self, name: str, df: DataFrame) -> None:
+        self._tables[name].insert_into(df)
+        self._refresh(name)
+
+    def delete_where(self, name: str, cond: Column) -> int:
+        n = self._tables[name].delete_where(self.spark, cond)
+        self._refresh(name)
+        return n
+
+    def update_set(self, name: str, cond: Column, assignments: dict) -> int:
+        n = self._tables[name].update_set(self.spark, cond, assignments)
+        self._refresh(name)
+        return n
+
+    def _refresh(self, name: str) -> None:
+        self._tables[name].read(self.spark).createOrReplaceTempView(name)
+
+    # -- COPY ----------------------------------------------------------------
+
+    def copy_from(
+        self,
+        name: str,
+        path: str,
+        schema: StructType,
+        table_path: str,
+        header: bool = False,
+        delimiter: str = ",",
+        reject_limit: int | None = None,
+        **create_kwargs,
+    ) -> GpTable:
+        """COPY table FROM file (parallel CSV load with SREH); creates the
+        table with the given distribution options."""
+        from gpdb_spark.operators.external import read_external_csv
+
+        res = read_external_csv(
+            self.spark, path, schema, header, delimiter, reject_limit
+        )
+        return self.create_table(name, res.good, table_path, **create_kwargs)
+
+    def copy_to(self, df: DataFrame, path: str, header: bool = True) -> None:
+        """COPY ... TO file (parallel unload)."""
+        from gpdb_spark.operators.external import write_external_csv
+
+        write_external_csv(df, path, header)
+
+    # -- EXPLAIN -------------------------------------------------------------
+
+    def explain(self, df_or_sql: DataFrame | str) -> str:
+        from gpdb_spark.plans import explain_motion
+
+        df = (
+            self.sql(df_or_sql) if isinstance(df_or_sql, str) else df_or_sql
+        )
+        df.collect()
+        return explain_motion(df)

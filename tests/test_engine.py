@@ -1,0 +1,105 @@
+"""Engine facade: SQL front door + DDL/DML + COPY round trips."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gpdb_spark.engine import Engine
+
+
+def test_engine_sql_distinct_on(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    rows = eng.sql(
+        """
+        SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+        FROM orders ORDER BY o_custkey, o_totalprice DESC LIMIT 5
+        """
+    ).collect()
+    assert len(rows) == 5
+    assert [r.o_custkey for r in rows] == [0, 1, 2, 3, 4]
+    # per-customer max totalprice wins
+    best = (
+        eng.table("orders")
+        .groupBy("o_custkey")
+        .agg(F.max("o_totalprice").alias("m"))
+        .where(F.col("o_custkey") < 5)
+        .collect()
+    )
+    want = {r.o_custkey: r.m for r in best}
+    for r in rows:
+        assert r.o_totalprice == want[r.o_custkey]
+
+
+def test_engine_ddl_dml_roundtrip(spark, sf_dir, tmp_path):
+    eng = Engine(spark, sf_dir)
+    src = eng.table("nation")
+    path = str(tmp_path / "nation_copy")
+    eng.create_table("nation_copy", src, path, distributed_by=["n_regionkey"])
+    assert eng.sql("SELECT count(*) AS n FROM nation_copy").first().n == 25
+
+    deleted = eng.delete_where("nation_copy", F.col("n_nationkey") >= 20)
+    assert deleted == 5
+    assert eng.table("nation_copy").count() == 20
+
+    updated = eng.update_set(
+        "nation_copy",
+        F.col("n_regionkey") == 0,
+        {"n_name": F.concat(F.col("n_name"), F.lit("_AF"))},
+    )
+    assert updated > 0
+    assert (
+        eng.table("nation_copy")
+        .where(F.col("n_name").endswith("_AF"))
+        .count()
+        == updated
+    )
+
+    eng.insert_into(
+        "nation_copy",
+        spark.createDataFrame(
+            [(99, "ATLANTIS", 4)], "n_nationkey long, n_name string, n_regionkey int"
+        ),
+    )
+    assert eng.sql("SELECT count(*) AS n FROM nation_copy").first().n == 21
+
+
+def test_engine_copy_roundtrip(spark, tmp_path):
+    eng = Engine(spark)
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double"
+    )
+    out = str(tmp_path / "unload")
+    eng.copy_to(df, out)
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("s", StringType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+    back = eng.copy_from(
+        "copied",
+        out,
+        schema,
+        str(tmp_path / "copied_table"),
+        header=True,
+        distributed_by=["id"],
+    )
+    got = sorted(tuple(r) for r in back.read(spark).collect())
+    assert got == [(1, "a", 1.5), (2, "b", 2.5)]
+
+
+def test_engine_explain_motion(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    txt = eng.explain(
+        "SELECT o_custkey, count(*) FROM orders GROUP BY o_custkey"
+    )
+    assert "Redistribute Motion" in txt
