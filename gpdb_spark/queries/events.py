@@ -209,3 +209,45 @@ def events_type_pivot(spark, sf_dir):
         .cast("double")
         .alias("purchase_value"),
     )
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), views AS (
+        SELECT user_id, ts, max(value) AS vvalue
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           round(v.vvalue, 6) AS view_value,
+           v.ts AS ts_right
+    FROM clicks c
+    ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join (absent from the reference — SURVEY.md §2.3): each click
+    paired with the user's latest view at-or-before it. One key-shuffle
+    union + last(ignorenulls) window — no range-explosion; DuckDB's native
+    ASOF JOIN is the oracle."""
+    from gpdb_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("vvalue"))
+    )
+    out = asof_join(clicks, views, on="ts", by="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("vvalue"), 6).alias("view_value"),
+        "ts_right",
+    )

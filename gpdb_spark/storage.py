@@ -158,6 +158,32 @@ class GpTable:
         self._rewrite(updated)
         return n
 
+    # -- bucketed catalog tables (persistent co-location) --------------------
+
+    @staticmethod
+    def save_bucketed(
+        df: DataFrame,
+        table_name: str,
+        bucket_cols: tuple[str, ...] | list[str],
+        num_buckets: int = 32,
+        sort_cols: tuple[str, ...] | list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """DISTRIBUTED BY with *persistent* co-location: bucketBy writes
+        hash-bucketed files registered in the session catalog, so joins
+        and aggregations on the bucket key run WITHOUT any exchange — the
+        exact analog of the reference's segment-local joins on matching
+        distribution keys (cdbpath_motion_for_join's no-motion fast path).
+        Sort columns additionally enable merge-join without a sort step."""
+        writer = (
+            df.write.mode(mode)
+            .format("parquet")
+            .bucketBy(num_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(table_name)
+
     def _rewrite(self, df: DataFrame) -> None:
         """Atomic-ish copy-on-write: write to a temp dir, then swap."""
         tmp = f"{self.path}__rewrite_{uuid.uuid4().hex[:8]}"

@@ -141,3 +141,59 @@ def test_external_csv_sreh(tmp_path, spark):
     write_external_csv(res.good, str(out))
     back = spark.read.option("header", "true").schema(schema).csv(str(out))
     assert back.count() == 3
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """Two tables bucketed on the same key join WITHOUT any shuffle — the
+    reference's segment-local join on matching distribution keys
+    (cdbpath.c no-motion path). The plan must contain no Exchange."""
+    from gpdb_spark.storage import GpTable
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    GpTable.save_bucketed(o, "orders_bkt", ["o_custkey"], 8)
+    GpTable.save_bucketed(c, "customer_bkt", ["c_custkey"], 8)
+    try:
+        j = spark.table("orders_bkt").join(
+            spark.table("customer_bkt"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        # disable broadcast so the co-location is what's being tested
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "Exchange" not in plan, plan[:2000]
+        assert j.count() == o.count()  # every order matches one customer
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS customer_bkt")
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    """Salted join result must equal the plain join (order-insensitive),
+    with the dim side replicated salt times."""
+    from gpdb_spark.operators.skew import salted_join
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    # synthetic extreme skew: 90% of rows to one key
+    o = o.withColumn(
+        "k", F.when(F.col("o_orderkey") % 10 != 0, 1).otherwise(F.col("o_custkey"))
+    )
+    d = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dimval")
+    )
+    plain = {
+        (r.o_orderkey, r.dimval)
+        for r in o.join(d, "k").select("o_orderkey", "dimval").collect()
+    }
+    salted = {
+        (r.o_orderkey, r.dimval)
+        for r in salted_join(o, d, "k", salt=8)
+        .select("o_orderkey", "dimval")
+        .collect()
+    }
+    assert salted == plain and len(plain) > 0
