@@ -218,7 +218,8 @@ def minhash_lsh_pairs(
 
 def _banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
     """Explode a signature table into (id, band, bucket) rows; bucket =
-    xxhash64 of the band's signature slice."""
+    hash-fold of the band's signature slice (h = xxhash64(h, v) per
+    component — stays in long arithmetic, no string building)."""
     rows_per_band = k // bands
     return sig.select(
         "id",
@@ -227,16 +228,12 @@ def _banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(
-                                    F.col("sig"), b * rows_per_band + 1, rows_per_band
-                                ),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        )
+                    F.aggregate(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        # seed with the band index so identical slices in
+                        # different bands land in distinct buckets
+                        F.xxhash64(b),
+                        lambda acc, v: F.xxhash64(acc, v),
                     ).alias("bucket"),
                 ),
             )
