@@ -107,3 +107,40 @@ def to_char(ts: Column | str, pg_pattern: str) -> Column:
     for pg, java in _TO_CHAR_MAP:
         fmt = fmt.replace(pg, java)
     return F.date_format(ts, fmt)
+
+
+def age_parts(a: Column | str, b: Column | str) -> Column:
+    """PG ``age(a, b)`` decomposed to struct<years,months,days>
+    (timestamp_age, reference src/backend/utils/adt/timestamp.c): field-wise
+    year/month/day differences, negative days borrow one month using the
+    length of the EARLIER date's month (hence age('1997-02-28',
+    '1997-01-31') = 28 days, not 1 month), negative months borrow one
+    year. DuckDB's age() follows the same algorithm, so this is
+    oracle-comparable per component."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    y = F.year(a) - F.year(b)
+    m = F.month(a) - F.month(b)
+    d = F.dayofmonth(a) - F.dayofmonth(b)
+    dim_b = F.dayofmonth(F.last_day(b))  # days in b's month
+    borrow_d = d < 0
+    d1 = F.when(borrow_d, d + dim_b).otherwise(d)
+    m1 = F.when(borrow_d, m - 1).otherwise(m)
+    borrow_m = m1 < 0
+    return F.struct(
+        F.when(borrow_m, y - 1).otherwise(y).alias("years"),
+        F.when(borrow_m, m1 + 12).otherwise(m1).alias("months"),
+        d1.alias("days"),
+    )
+
+
+def ts_overlaps(s1: Column, e1: Column, s2: Column, e2: Column) -> Column:
+    """PG ``(s1, e1) OVERLAPS (s2, e2)`` (overlaps_timestamp, reference
+    src/backend/utils/adt/timestamp.c): endpoints normalized so start <=
+    end, then half-open comparison; equal starts overlap (covers the
+    zero-length point-interval case)."""
+    l1, g1 = F.least(s1, e1), F.greatest(s1, e1)
+    l2, g2 = F.least(s2, e2), F.greatest(s2, e2)
+    return (
+        F.when(l1 > l2, l1 < g2).when(l2 > l1, l2 < g1).otherwise(F.lit(True))
+    )

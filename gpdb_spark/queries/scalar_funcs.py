@@ -367,3 +367,44 @@ def width_bucket_func(spark, sf_dir):
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "interval_age_overlaps",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_part('year',  age(DATE '2002-01-15', o_orderdate)) AS INT) AS age_y,
+           CAST(date_part('month', age(DATE '2002-01-15', o_orderdate)) AS INT) AS age_m,
+           CAST(date_part('day',   age(DATE '2002-01-15', o_orderdate)) AS INT) AS age_d,
+           CASE WHEN o_orderdate > DATE '1997-01-01'
+                THEN o_orderdate < DATE '1997-06-30'
+                WHEN DATE '1997-01-01' > o_orderdate
+                THEN DATE '1997-01-01' < o_orderdate + INTERVAL 90 DAY
+                ELSE TRUE END AS in_h1_97
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def interval_age_overlaps(spark, sf_dir):
+    """PG age() decomposition + OVERLAPS predicate (timestamp.c
+    timestamp_age / overlaps_timestamp; SURVEY.md §2.9 date family).
+    DuckDB's age() implements the same borrow algorithm, so components
+    compare exactly; OVERLAPS has no DuckDB operator, so the oracle
+    spells out the identical normalized comparison."""
+    from gpdb_spark.functions.pg import age_parts, ts_overlaps
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate")
+    ref = F.lit("2002-01-15").cast("date")
+    age = age_parts(ref, d)
+    return o.select(
+        "o_orderkey",
+        age["years"].cast("int").alias("age_y"),
+        age["months"].cast("int").alias("age_m"),
+        age["days"].cast("int").alias("age_d"),
+        ts_overlaps(
+            d,
+            F.date_add(d, 90),
+            F.lit("1997-01-01").cast("date"),
+            F.lit("1997-06-30").cast("date"),
+        ).alias("in_h1_97"),
+    )

@@ -72,6 +72,30 @@ def test_partitioned_layout_prunes(tmp_path, spark, orders_df):
     assert scan.count() == df.where(F.col("o_year") == 1997).count()
 
 
+def test_dynamic_partition_pruning(tmp_path, spark, orders_df):
+    """DynamicSeqScan + PartitionSelector (nodeDynamicSeqscan.c:228,
+    planpartition.c): the partitions to scan are chosen at RUNTIME from
+    the join's other side, not at plan time. Spark analog: DPP injects a
+    dynamicpruning subquery into the fact scan's PartitionFilters when a
+    filtered dim joins on the partition column."""
+    df = orders_df.withColumn("o_year", F.year("o_orderdate"))
+    t = GpTable.create(
+        df,
+        str(tmp_path / "orders_dpp"),
+        distributed_by=["o_orderkey"],
+        partition_by=["o_year"],
+        num_buckets=4,
+    )
+    dim = spark.createDataFrame(
+        [(1997, "keep"), (1998, "drop")], "d_year int, d_name string"
+    )
+    fact = t.read(spark)
+    j = fact.join(dim, fact.o_year == dim.d_year).where(F.col("d_name") == "keep")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
+    assert j.count() == df.where(F.col("o_year") == 1997).count()
+
+
 def test_insert_into(tmp_path, spark, nation_df):
     t = GpTable.create(nation_df, str(tmp_path / "nation_ins"), distributed_by=["n_nationkey"], num_buckets=2)
     extra = nation_df.select(
