@@ -359,3 +359,34 @@ def approx_count_distinct_hll(spark, sf_dir):
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_nd_part"),
         F.count_distinct("l_partkey").alias("exact_nd_part"),
     )
+
+
+@query(
+    "agg_filter_clause",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_all,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           {osum('o_totalprice')} AS sum_all,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+                FILTER (WHERE o_orderstatus = 'O'), 2) AS DOUBLE) AS sum_open
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_filter_clause(spark, sf_dir):
+    """PG aggregate FILTER (WHERE ...) clause (parse_agg.c aggfilter;
+    SURVEY.md §2.4): per-aggregate predicates inside one grouping pass —
+    no self-joins, single shuffle. Spark: conditional aggregation via
+    when(); same partial/final 2-stage plan."""
+    o = t(spark, sf_dir, "orders")
+    price_dec = F.col("o_totalprice").cast(DEC)
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        dsum("o_totalprice").alias("sum_all"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "O", price_dec)), 2
+        )
+        .cast("double")
+        .alias("sum_open"),
+    )

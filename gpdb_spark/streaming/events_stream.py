@@ -203,3 +203,25 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str] | tuple[str, ...],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — the continuous-ingest twin of
+    datapipe.dedup.exact_dedup (the reference has no streaming surface at
+    all, SURVEY.md §2.11; its closest analog is re-reading external web
+    tables).
+
+    dropDuplicatesWithinWatermark keeps per-key state only inside the
+    watermark horizon, so state is bounded by (ingest rate x watermark)
+    instead of growing with the full corpus — the property that makes
+    exactly-once dedup viable on an unbounded 100 TB/day feed. Duplicates
+    arriving later than the watermark are a documented miss (same
+    contract as any late-data window)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

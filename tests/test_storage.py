@@ -221,3 +221,21 @@ def test_salted_join_matches_plain(spark, sf_dir):
         .collect()
     }
     assert salted == plain and len(plain) > 0
+
+
+def test_assert_op_constraint(spark, sf_dir):
+    """AssertOp (nodeAssertOp.c:98): passing data flows through untouched;
+    a violating row fails the query at execution time."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from gpdb_spark.operators.constraints import assert_op, not_null
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ok = assert_op(o, F.col("o_totalprice") > 0, "o_totalprice > 0")
+    assert len(ok.collect()) == o.count()
+    assert ok.columns == o.columns
+    with pytest.raises(SparkRuntimeException, match="AssertOp violation"):
+        assert_op(o, F.col("o_totalprice") < 0, "o_totalprice < 0").collect()
+    # column pruning keeps the guard alive on any consumed column
+    with pytest.raises(SparkRuntimeException, match="AssertOp violation"):
+        assert_op(o, F.col("o_totalprice") < 0, "neg").select("o_custkey").distinct().collect()
+    assert len(not_null(o, "o_orderkey", "o_custkey").collect()) == o.count()

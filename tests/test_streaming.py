@@ -199,3 +199,25 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # (02:00); the late 00:05 event in batch 2 must NOT appear as an update.
     assert ("2024-01-01T00:00:00", 2) in rows
     assert ("2024-01-01T00:00:00", 3) not in rows
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path, events_batch):
+    """Duplicates split across separate micro-batches (maxFilesPerTrigger=1)
+    must still dedup via cross-batch state within the watermark."""
+    from gpdb_spark.streaming.events_stream import dedup_stream, run_to_memory
+
+    sub = events_batch.select("event_id", "user_id", "event_type", "ts").limit(2000)
+    sub.coalesce(1).write.parquet(str(tmp_path / "in" / "a"))
+    sub.coalesce(1).write.parquet(str(tmp_path / "in" / "b"))  # exact copy
+    stream = (
+        spark.readStream.schema(sub.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "in"))
+    )
+    run_to_memory(
+        dedup_stream(stream, ["event_id"]), "t_dedup", output_mode="append"
+    )
+    got = spark.sql("select count(*) as n from t_dedup").collect()[0].n
+    want = sub.select("event_id").distinct().count()
+    assert got == want
