@@ -390,3 +390,45 @@ def recursive_cte_graph(spark, sf_dir):
 
     r = recursive_cte(seed, step, max_iterations=50, distinct=True)
     return r.agg(F.count(F.lit(1)).alias("n_reached"))
+
+
+_PRICE_BANDS = [
+    (0, 0.0, 500.0), (1, 500.0, 1500.0), (2, 1500.0, 3000.0),
+    (3, 3000.0, 5000.0), (4, 5000.0, 8000.0), (5, 8000.0, 12000.0),
+    (6, 12000.0, 20000.0), (7, 20000.0, 40000.0), (8, 40000.0, 80000.0),
+    (9, 80000.0, 200000.0),
+]
+
+
+@query(
+    "join_range_binned",
+    oracle=f"""
+    WITH bands(band_id, lo, hi) AS (
+        VALUES {", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)}
+    )
+    SELECT band_id, count(*) AS n_items,
+           {osum('l_extendedprice')} AS band_revenue
+    FROM lineitem JOIN bands
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band_id
+    """,
+)
+def join_range_binned(spark, sf_dir):
+    """Pure range-predicate join via the binned range join
+    (operators/range_join.py) — the scale path for what the reference
+    runs as NestLoop (nodeNestloop.c:366) and open-source Spark would
+    plan as a quadratic BroadcastNestedLoopJoin. Equi-join on the bin id,
+    exact residual filter; gate test_plans.py asserts no NestedLoop."""
+    from gpdb_spark.operators.range_join import point_in_interval_join
+
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band_id int, lo double, hi double")
+    joined = point_in_interval_join(
+        l, bands, "l_extendedprice", "lo", "hi", bin_width=2000.0
+    )
+    from gpdb_spark.registry import dsum
+
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_extendedprice").alias("band_revenue"),
+    )

@@ -119,3 +119,13 @@ def test_datapipe_ops_have_no_python_udf_in_plan(spark, sf_dir, name):
     plan = plan_of(spark, name, sf_dir)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_range_join_is_not_nested_loop(spark, sf_dir):
+    """The binned range join must plan as an equi hash join on the bin id
+    — never BroadcastNestedLoopJoin / CartesianProduct (the quadratic
+    fallbacks Spark uses for pure range predicates)."""
+    plan = plan_of(spark, "join_range_binned", sf_dir)
+    assert "NestedLoop" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "HashJoin" in plan

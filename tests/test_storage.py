@@ -239,3 +239,32 @@ def test_assert_op_constraint(spark, sf_dir):
     with pytest.raises(SparkRuntimeException, match="AssertOp violation"):
         assert_op(o, F.col("o_totalprice") < 0, "neg").select("o_custkey").distinct().collect()
     assert len(not_null(o, "o_orderkey", "o_custkey").collect()) == o.count()
+
+
+def test_interval_overlap_join_matches_naive(spark, sf_dir):
+    """Binned interval-overlap join must equal the quadratic formulation."""
+    from gpdb_spark.operators.range_join import interval_overlap_join
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(300)
+    iv = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("lo"),
+        (F.col("o_totalprice") + 5000.0).alias("hi"),
+    )
+    got = {
+        (r.o_orderkey, r.o_orderkey_r)
+        for r in interval_overlap_join(
+            iv, iv, "lo", "hi", "lo", "hi", bin_width=3000.0
+        ).collect()
+    }
+    a, b = iv.alias("a"), iv.alias("b")
+    naive = {
+        (r[0], r[1])
+        for r in a.crossJoin(b)
+        .where(
+            (F.col("a.lo") < F.col("b.hi")) & (F.col("b.lo") < F.col("a.hi"))
+        )
+        .select(F.col("a.o_orderkey"), F.col("b.o_orderkey"))
+        .collect()
+    }
+    assert got == naive and len(naive) > 300
