@@ -57,6 +57,7 @@ class GpTable:
     partition_by: tuple[str, ...] = ()
     compression: str = "snappy"
     num_buckets: int = 32
+    sort_by: tuple[str, ...] = ()
 
     # -- DDL -----------------------------------------------------------------
 
@@ -70,10 +71,17 @@ class GpTable:
         partition_by: tuple[str, ...] | list[str] = (),
         compression: str = "snappy",
         num_buckets: int = 32,
+        sort_by: tuple[str, ...] | list[str] = (),
         mode: str = "error",
     ) -> "GpTable":
         """CREATE TABLE ... [DISTRIBUTED BY (...) | REPLICATED]
-        [PARTITION BY (...)] WITH (compresstype=...)."""
+        [PARTITION BY (...)] WITH (compresstype=...).
+
+        ``sort_by`` = clustered storage: rows are sorted inside each
+        bucket before writing, so parquet row-group min/max statistics
+        become tight, disjoint ranges and selective scans skip row groups
+        — the IndexScan/btree-clustered analog (SURVEY.md §2.1: covered
+        by file pruning, this is the layout that makes it effective)."""
         policy = DistributionPolicy(
             policytype="r" if replicated else "p",
             distkey=tuple(distributed_by or ()),
@@ -84,6 +92,7 @@ class GpTable:
             partition_by=tuple(partition_by),
             compression=compression,
             num_buckets=num_buckets,
+            sort_by=tuple(sort_by),
         )
         table._write(df, mode=mode)
         return table
@@ -98,8 +107,11 @@ class GpTable:
         return df.repartition(self.num_buckets)
 
     def _write(self, df: DataFrame, mode: str) -> None:
+        placed = self._placed(df)
+        if self.sort_by:
+            placed = placed.sortWithinPartitions(*self.sort_by)
         writer = (
-            self._placed(df)
+            placed
             .write.mode(mode)
             .option("compression", self.compression)
         )

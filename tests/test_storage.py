@@ -268,3 +268,41 @@ def test_interval_overlap_join_matches_naive(spark, sf_dir):
         .collect()
     }
     assert got == naive and len(naive) > 300
+
+
+def test_sort_by_clusters_row_groups(tmp_path, spark, orders_df):
+    """sort_by clustered storage: parquet row-group min/max stats on the
+    sort key must be (near-)disjoint within each file, so selective scans
+    skip row groups — the IndexScan/CLUSTER analog on columnar files."""
+    import pyarrow.parquet as pq
+
+    t = GpTable.create(
+        orders_df,
+        str(tmp_path / "orders_sorted"),
+        distributed_by=["o_custkey"],
+        num_buckets=4,
+        sort_by=["o_totalprice"],
+    )
+    files = [
+        os.path.join(t.path, f)
+        for f in os.listdir(t.path)
+        if f.endswith(".parquet")
+    ]
+    assert files
+    for fp in files:
+        meta = pq.ParquetFile(fp).metadata
+        idx = next(
+            i
+            for i in range(meta.num_columns)
+            if meta.row_group(0).column(i).path_in_schema == "o_totalprice"
+        )
+        prev_max = None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            assert st.min <= st.max
+            if prev_max is not None:
+                assert st.min >= prev_max  # sorted => disjoint ranges
+            prev_max = st.max
+    # correctness unchanged
+    back = t.read(spark)
+    assert back.count() == orders_df.count()
