@@ -39,6 +39,9 @@ HEADLINE = [
     # set ops / dedup
     "setop_except_all",
     "dedup_minhash_clusters",
+    # scale-path custom joins
+    "join_range_binned",
+    "events_asof_join",
     # embeddings / text (training-data pipeline)
     "embed_ann_topk",
     "text_quality_score",

@@ -408,3 +408,30 @@ def interval_age_overlaps(spark, sf_dir):
             F.lit("1997-06-30").cast("date"),
         ).alias("in_h1_97"),
     )
+
+
+@query(
+    "tz_offset_convert",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 330 MINUTE AS ts_ist,
+           ts - INTERVAL 5 HOUR AS ts_est_std,
+           CAST(extract(hour FROM ts + INTERVAL 330 MINUTE) AS INT) AS ist_hour
+    FROM events WHERE event_id % 97 = 0
+    """,
+)
+def tz_offset_convert(spark, sf_dir):
+    """Session-timezone / AT TIME ZONE semantics (timestamp.c,
+    SURVEY.md §7 'timestamp/timezone session semantics'): engine runs
+    pinned to UTC; fixed-offset conversions are exact interval shifts in
+    both engines. Named zones with DST are covered by
+    tests/test_gp_types.py::test_named_timezone_dst against Python
+    zoneinfo (DuckDB's session-TZ dependence makes them non-oracle-able)."""
+    e = t(spark, sf_dir, "events").where(F.col("event_id") % 97 == 0)
+    ist = F.from_utc_timestamp(F.col("ts"), "+05:30")
+    return e.select(
+        "event_id",
+        ist.alias("ts_ist"),
+        F.from_utc_timestamp(F.col("ts"), "-05:00").alias("ts_est_std"),
+        F.hour(ist).alias("ist_hour"),
+    )

@@ -102,3 +102,28 @@ def test_ts_match_modes(spark):
     any_ids = {r.doc_id for r in ts_match(df, ["alpha", "beta"], "any").collect()}
     assert all_ids == {1}
     assert any_ids == {1, 2, 3}
+
+
+def test_named_timezone_dst(spark):
+    """from_utc_timestamp with a named zone must apply DST: the same UTC
+    wall-clock maps to EST (-05) in January and EDT (-04) in July —
+    checked against Python zoneinfo ground truth."""
+    from datetime import datetime, timezone
+    from zoneinfo import ZoneInfo
+
+    rows = [(datetime(2024, 1, 15, 12, 0),), (datetime(2024, 7, 15, 12, 0),)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = [
+        r.local
+        for r in df.select(
+            F.from_utc_timestamp("ts", "America/New_York").alias("local")
+        ).orderBy("local").collect()
+    ]
+    want = sorted(
+        ts.replace(tzinfo=timezone.utc)
+        .astimezone(ZoneInfo("America/New_York"))
+        .replace(tzinfo=None)
+        for (ts,) in rows
+    )
+    assert got == want
+    assert got[0].hour == 7 and got[1].hour == 8  # EST -5, EDT -4
