@@ -435,3 +435,32 @@ def tz_offset_convert(spark, sf_dir):
         F.from_utc_timestamp(F.col("ts"), "-05:00").alias("ts_est_std"),
         F.hour(ist).alias("ist_hour"),
     )
+
+
+@query(
+    "string_funcs2",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(
+             list_transform(string_split(replace(source, '_', ' '), ' '),
+               w -> upper(w[1]) || lower(w[2:])), ' ') AS title_src,
+           translate(lang, 'aeiou', '12345') AS lang_coded,
+           substr(source, 1, 2) || 'XX' || substr(source, 5) AS overlaid
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def string_funcs2(spark, sf_dir):
+    """String family continued (oracle_compat.c initcap/translate;
+    varlena.c overlay). DuckDB lacks initcap/overlay builtins, so the
+    oracle spells out the equivalent expressions."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.initcap(F.replace(F.col("source"), F.lit("_"), F.lit(" "))).alias(
+            "title_src"
+        ),
+        F.translate(F.col("lang"), "aeiou", "12345").alias("lang_coded"),
+        F.overlay(F.col("source"), F.lit("XX"), F.lit(3), F.lit(2)).alias(
+            "overlaid"
+        ),
+    )

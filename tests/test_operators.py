@@ -63,3 +63,16 @@ def test_asof_join_matches_pandas_merge_asof(spark, seed):
         for r in got.collect()
     }
     assert got_set == want_set
+
+
+def test_add_sequence_dense(spark, sf_dir):
+    """Sequence ids must be exactly start..start+N-1 (dense, unique),
+    with only O(num_partitions) driver traffic."""
+    from gpdb_spark.operators.sequence import add_sequence
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(8)
+    n = o.count()
+    got = add_sequence(o, "seq", start=100)
+    ids = [r.seq for r in got.select("seq").collect()]
+    assert sorted(ids) == list(range(100, 100 + n))
+    assert got.columns == o.columns + ["seq"]
