@@ -464,3 +464,26 @@ def string_funcs2(spark, sf_dir):
             "overlaid"
         ),
     )
+
+
+@query(
+    "json_each_explode",
+    oracle="""
+    SELECT event_id, k,
+           json_extract_string(props, '$.' || k) AS v
+    FROM (
+        SELECT event_id, props, unnest(json_keys(props)) AS k
+        FROM events WHERE event_id % 101 = 0
+    )
+    """,
+)
+def json_each_explode(spark, sf_dir):
+    """json_each — explode a JSON object into (key, value) rows
+    (jsonfuncs.c each_worker; SURVEY.md §2.9 JSON family). Spark:
+    from_json to map + explode; scalar values coerce to strings in both
+    engines."""
+    e = t(spark, sf_dir, "events").where(F.col("event_id") % 101 == 0)
+    return e.select(
+        "event_id",
+        F.explode(F.from_json("props", "map<string,string>")).alias("k", "v"),
+    )

@@ -76,3 +76,40 @@ def test_add_sequence_dense(spark, sf_dir):
     ids = [r.seq for r in got.select("seq").collect()]
     assert sorted(ids) == list(range(100, 100 + n))
     assert got.columns == o.columns + ["seq"]
+
+
+@pytest.mark.parametrize("seed", [3, 99])
+def test_linear_interpolate_matches_numpy(spark, seed):
+    """linear_interpolate (operators/interpolate.py — the reference's
+    interpolate.c gap filling) must agree with numpy.interp on random
+    series with missing runs at the edges and interior."""
+    from datetime import datetime, timedelta
+    from gpdb_spark.operators.interpolate import linear_interpolate
+
+    rng = np.random.default_rng(seed)
+    rows, expected = [], {}
+    for part in range(4):
+        n = 40
+        ts = [datetime(2024, 1, 1) + timedelta(seconds=int(s))
+              for s in np.sort(rng.choice(100000, size=n, replace=False))]
+        vals = rng.normal(size=n).round(6)
+        miss = rng.random(n) < 0.4
+        known = ~miss
+        xs = np.array([t.timestamp() for t in ts])
+        if known.sum() >= 1:
+            interp = np.interp(xs, xs[known], vals[known])
+        for i in range(n):
+            rows.append((part, ts[i], None if miss[i] else float(vals[i])))
+            if known.sum() >= 1:
+                expected[(part, ts[i])] = round(float(interp[i]), 6)
+            else:
+                expected[(part, ts[i])] = None
+    df = spark.createDataFrame(rows, "part int, ts timestamp, v double")
+    got = linear_interpolate(
+        df, "part", "ts", "v", missing=F.col("v").isNull()
+    )
+    for r in got.collect():
+        want = expected[(r.part, r.ts)]
+        assert (r.value_interp is None and want is None) or (
+            abs(r.value_interp - want) < 1e-6
+        ), (r.part, r.ts, r.value_interp, want)
