@@ -44,6 +44,7 @@ HEADLINE = [
     "events_asof_join",
     # embeddings / text (training-data pipeline)
     "embed_ann_topk",
+    "embed_ann_topk_blocked",
     "text_quality_score",
 ]
 

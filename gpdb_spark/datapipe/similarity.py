@@ -299,3 +299,63 @@ def ivf_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "corpus_id", "cos", "rnk")
     )
+
+
+def brute_force_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched block matrix multiply.
+
+    Same semantics as brute_force_topk, different execution: the (small,
+    <=~10^4 rows) query set is collected into the UDF closure as one
+    normalized numpy matrix; each corpus Arrow batch computes
+    C_batch @ Q.T in a single BLAS call and keeps only its LOCAL top-k
+    rows per query (ordered by cos desc, corpus_id asc — the same total
+    order as the global ranking, so the global winners always survive
+    their batch). The window top-k then runs over n_batches * k * n_q
+    candidate rows instead of |corpus| * n_q — at 10^9 corpus vectors the
+    shuffle shrinks by ~5 orders of magnitude, and the dot products move
+    from per-row JVM expression folds to vectorized BLAS."""
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def local_topk(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            if C.size == 0:
+                continue
+            C /= np.linalg.norm(C, axis=1, keepdims=True)
+            S = C @ Q.T  # (n_batch, n_q)
+            out_q, out_c, out_s = [], [], []
+            for j in range(S.shape[1]):
+                cos = S[:, j]
+                keep = ids != q_ids[j]  # exclude self
+                order = np.lexsort((ids[keep], -cos[keep]))[:k]
+                sel_ids, sel_cos = ids[keep][order], cos[keep][order]
+                out_q.extend([int(q_ids[j])] * len(sel_ids))
+                out_c.extend(int(i) for i in sel_ids)
+                out_s.extend(round(float(s), 6) for s in sel_cos)
+            yield pd.DataFrame(
+                {"query_id": out_q, "corpus_id": out_c, "cos": out_s}
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        local_topk, "query_id long, corpus_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("corpus_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "cos", "rnk")
+    )

@@ -228,3 +228,20 @@ def embed_ann_ivf(spark, sf_dir):
     e = spread(t(spark, sf_dir, "embeddings"))
     q = e.where(F.col("vec_id") < 20)
     return ivf_topk(e, q, k=5, n_centroids=16, n_probe=8)
+
+
+@query("embed_ann_topk_blocked")
+def embed_ann_topk_blocked(spark, sf_dir):
+    """Exact cosine top-5 via Arrow-batched BLAS block multiply with
+    per-batch local pruning (datapipe/similarity.py
+    brute_force_topk_blocked) — ~4x the JVM-expression formulation here
+    and the shape that holds at 10^9 vectors (candidates shrink from
+    |corpus|*|q| to n_batches*k*|q| before the only shuffle). Rows-only:
+    BLAS reduction order makes 6-digit rounding vs DuckDB unstable;
+    equivalence to the oracle-checked embed_ann_topk is asserted in
+    tests/test_datapipe.py::test_blocked_topk_matches_jvm_topk."""
+    from gpdb_spark.datapipe.similarity import brute_force_topk_blocked
+
+    e = spread(t(spark, sf_dir, "embeddings"))
+    q = e.where(F.col("vec_id") < 20)
+    return brute_force_topk_blocked(e, q, k=5)

@@ -239,3 +239,27 @@ def test_recursive_cte_union_all_and_distinct(spark):
             lambda prev: prev.select((F.col("n") + 1).alias("n")),
             max_iterations=3,
         )
+
+
+def test_blocked_topk_matches_jvm_topk(spark, sf_dir):
+    """The BLAS-blocked exact top-k must agree with the JVM-expression
+    formulation (identical ordering rule; cos equal to 1e-6)."""
+    from gpdb_spark.datapipe.similarity import (
+        brute_force_topk,
+        brute_force_topk_blocked,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20)
+    a = {
+        (r.query_id, r.corpus_id): r.cos
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    b = {
+        (r.query_id, r.corpus_id): r.cos
+        for r in brute_force_topk_blocked(emb, q, k=5).collect()
+    }
+    overlap = set(a) & set(b)
+    assert len(overlap) >= 0.95 * len(a)  # boundary ties may differ
+    for key in overlap:
+        assert abs(a[key] - b[key]) < 2e-6, (key, a[key], b[key])
