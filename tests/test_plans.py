@@ -129,3 +129,41 @@ def test_range_join_is_not_nested_loop(spark, sf_dir):
     assert "NestedLoop" not in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "HashJoin" in plan
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """Runtime skew handling (the reference's answer is manual
+    re-DISTRIBUTE; ours is AQE): a 95%-hot key must come out of AQE as
+    SortMergeJoin(skew=true) with the hot partition split. Thresholds are
+    lowered to make the tiny test shuffle register as skewed; on a real
+    cluster the defaults (256MB) do the same against real partitions."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        l = spark.range(0, 300000).select(
+            F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        r = spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = l.join(r, "k")
+        n = len(j.collect())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert n == 285250  # 285000 hot-key matches + 250 distinct-key matches
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
