@@ -487,3 +487,31 @@ def json_each_explode(spark, sf_dir):
         "event_id",
         F.explode(F.from_json("props", "map<string,string>")).alias("k", "v"),
     )
+
+
+@query(
+    "generate_series_timestamp",
+    oracle="""
+    SELECT CAST(d AS TIMESTAMP) AS day_start,
+           CAST(extract(dow FROM d) AS INT) AS dow
+    FROM generate_series(TIMESTAMP '1997-01-01', TIMESTAMP '1997-12-31',
+                         INTERVAL 1 DAY) t(d)
+    """,
+)
+def generate_series_timestamp(spark, sf_dir):
+    """generate_series over timestamps (timestamp.c SRF variant):
+    sequence() + explode stays distributed after the explode. PG dow:
+    Sunday=0; Spark dayofweek: Sunday=1."""
+    s = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1997-01-01").cast("timestamp"),
+                F.lit("1997-12-31").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day_start")
+    )
+    return s.select(
+        "day_start",
+        (F.dayofweek("day_start") - 1).cast("int").alias("dow"),
+    )

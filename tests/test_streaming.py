@@ -221,3 +221,34 @@ def test_streaming_dedup_within_watermark(spark, tmp_path, events_batch):
     got = spark.sql("select count(*) as n from t_dedup").collect()[0].n
     want = sub.select("event_id").distinct().count()
     assert got == want
+
+
+def test_stream_static_join(spark, sf_dir, events_batch):
+    """Stream-to-static dimension join (the streaming twin of the
+    REPLICATED-table broadcast join): per-batch hash join against the
+    static side, no state required; result must match the batch join."""
+    from gpdb_spark.streaming.events_stream import read_events_stream, run_to_memory
+
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0)],
+        "event_type string, weight double",
+    )
+    stream = read_events_stream(spark, sf_dir)
+    joined = (
+        stream.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.sum("weight").alias("total_w"), F.count(F.lit(1)).alias("n"))
+    )
+    run_to_memory(joined, "t_ssj", output_mode="complete")
+    got = {
+        (r.event_type, round(r.total_w, 6), r.n)
+        for r in spark.sql("select * from t_ssj").collect()
+    }
+    want = {
+        (r.event_type, round(r.total_w, 6), r.n)
+        for r in events_batch.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.sum("weight").alias("total_w"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) == 3
