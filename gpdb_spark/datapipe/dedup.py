@@ -277,10 +277,12 @@ def minhash_dedup_clusters(
     # O(component diameter) rounds; dup clusters are bucket-cliques, so
     # diameter is tiny in practice.
     memb = _banded(sig, k, bands).persist()
-    labels = memb.select("id").distinct().withColumn("label", F.col("id")).persist()
-    # labels only ever decrease, so sum(label) strictly decreases on any
-    # change — a scalar aggregate per round replaces a join-based diff.
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # labels start as the identity map, realized implicitly by round 0's
+    # bucket-min (no separate distinct/materialize job). Labels only ever
+    # decrease, so sum(label) strictly decreases on any change — a scalar
+    # aggregate per round replaces a join-based diff.
+    labels = None
+    prev_sum = None
     for it in range(max_iter):
         bucket_lbl = (
             # round 0 labels are the identity map — min(id) per bucket
@@ -298,7 +300,8 @@ def minhash_dedup_clusters(
             .persist()
         )
         cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
+        if labels is not None:
+            labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
             break
