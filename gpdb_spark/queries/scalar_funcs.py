@@ -515,3 +515,26 @@ def generate_series_timestamp(spark, sf_dir):
         "day_start",
         (F.dayofweek("day_start") - 1).cast("int").alias("dow"),
     )
+
+
+@query(
+    "regexp_split_ordinality",
+    oracle="""
+    SELECT doc_id,
+           unnest(list_transform(string_split_regex(trim(text), '\\s+'),
+                                 (x, i) -> {'ord': i, 'tok': x}),
+                  recursive := true)
+    FROM documents WHERE doc_id < 40
+    """,
+)
+def regexp_split_ordinality(spark, sf_dir):
+    """regexp_split_to_table + WITH ORDINALITY (regexp.c SRF,
+    upstream-PG FunctionScan ordinality): posexplode gives the 1-based
+    element position alongside the value."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("p", "tok"),
+    ).select(
+        "doc_id", (F.col("p") + 1).cast("long").alias("ord"), "tok"
+    )
