@@ -156,6 +156,10 @@ def _operand_start(tokens: list[str], i: int) -> int:
         # function call or array index: include the callee/base, but never
         # swallow a keyword (SELECT (a+b)::t must not become CAST(SELECT ...))
         prev = tokens[j - 1] if j - 1 >= 0 else ""
+        # agg(...) FILTER (WHERE ...)::t — the cast operand is the whole
+        # aggregate-with-filter, so keep walking left past FILTER
+        if prev.lower() == "filter":
+            return _operand_start(tokens, j - 1)
         if prev == "]" or (
             prev.isidentifier() and prev.lower() not in _KEYWORDS
         ):

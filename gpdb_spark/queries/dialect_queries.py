@@ -79,3 +79,17 @@ _pg_query(
     WHERE n_name !~ '^Z'
     """,
 )
+
+
+_pg_query(
+    "pg_filter_distinct_on_combo",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F')::int8 AS n_done,
+           max(o_totalprice)::numeric(14,2) AS top_price
+    FROM orders
+    WHERE o_orderdate >= '1996-01-01'::timestamp
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)

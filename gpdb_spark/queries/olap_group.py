@@ -390,3 +390,28 @@ def agg_filter_clause(spark, sf_dir):
         .cast("double")
         .alias("sum_open"),
     )
+
+
+@query(
+    "percentile_multi",
+    oracle="""
+    SELECT l_returnflag,
+           list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+                          x -> round(x, 4)) AS quartiles,
+           round(quantile_cont(l_discount, 0.9), 4) AS p90_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_multi(spark, sf_dir):
+    """percentile_cont over an array of fractions (orderedsetaggs.c:542
+    multi-fraction WITHIN GROUP) — one sort per group serves all
+    quantiles; both engines interpolate a + (b-a)*f over the same sorted
+    multiset, so 4-digit rounding is stable."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.transform(
+            F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))),
+            lambda x: F.round(x, 4),
+        ).alias("quartiles"),
+        F.round(F.percentile("l_discount", F.lit(0.9)), 4).alias("p90_disc"),
+    )

@@ -118,3 +118,12 @@ def test_pg_sql_matches_duckdb(spark, sf_dir, name):
         srows = [tuple(r) for r in sdf.collect()]
         orows = [tuple(r) for r in con.execute(sql).fetchall()]
     assert srows == orows, f"{name}: spark={srows[:5]} duck={orows[:5]}"
+
+
+def test_cast_binds_past_filter_clause():
+    """agg(...) FILTER (WHERE ...)::t must cast the whole filtered
+    aggregate, not just the FILTER group."""
+    from gpdb_spark.dialect import translate
+
+    out = translate("SELECT count(*) FILTER (WHERE x = 1)::int8 AS n FROM t")
+    assert "CAST(count(*) FILTER(WHERE x = 1) AS BIGINT)" in out.replace("  ", " "), out
