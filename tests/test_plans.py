@@ -167,3 +167,12 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_asof_join_single_key_shuffle(spark, sf_dir):
+    """The as-of join must plan as union + window over one key shuffle —
+    no join operator at all, no range explosion, no cartesian."""
+    plan = plan_of(spark, "events_asof_join", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "Window" in plan
