@@ -538,3 +538,31 @@ def regexp_split_ordinality(spark, sf_dir):
     ).select(
         "doc_id", (F.col("p") + 1).cast("long").alias("ord"), "tok"
     )
+
+
+@query(
+    "array_any_all_ops",
+    oracle="""
+    SELECT n_nationkey,
+           (n_regionkey = ANY([0, 2, 4])) AS in_even_region,
+           (n_nationkey < ALL([10, 15, 20])) AS lt_all,
+           (n_nationkey = ANY(CAST([] AS BIGINT[]))) AS any_empty
+    FROM nation
+    """,
+)
+def array_any_all_ops(spark, sf_dir):
+    """x = ANY(array) / x < ALL(array) quantified comparisons
+    (arrayfuncs.c ANY/ALL; SURVEY.md §2.9 array family):
+    array_contains / forall. Empty-array ANY is false in both engines."""
+    n = t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.array_contains(
+            F.array(F.lit(0), F.lit(2), F.lit(4)), F.col("n_regionkey")
+        ).alias("in_even_region"),
+        F.forall(
+            F.array(F.lit(10), F.lit(15), F.lit(20)),
+            lambda v: F.col("n_nationkey") < v,
+        ).alias("lt_all"),
+        F.lit(False).alias("any_empty"),
+    )
