@@ -349,15 +349,37 @@ def corr_regr_explicit(spark, sf_dir):
     )
 
 
-@query("approx_count_distinct_hll")
+@query(
+    "approx_count_distinct_hll",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_nd_part,
+           TRUE AS hll_within_2pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_count_distinct_hll(spark, sf_dir):
     """HyperLogLog approximate NDV (gp_hyperloglog.c; used by ANALYZE).
-    No oracle — DuckDB's approx_count_distinct uses a different HLL seed;
-    tests/test_olap.py asserts <2% relative error vs exact instead."""
+    DuckDB's approx_count_distinct uses a different HLL seed, so the
+    raw sketch value cannot be oracle-compared; instead the query emits
+    the exact NDV plus a boolean asserting the HLL estimate is within
+    2% of it — the driver hash then verifies both the exact value and
+    the accuracy claim. tests/test_datapipe.py additionally bounds the
+    relative error locally."""
     l = t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
+    agg = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_nd_part"),
         F.count_distinct("l_partkey").alias("exact_nd_part"),
+    )
+    tol = (
+        F.abs(F.col("approx_nd_part") - F.col("exact_nd_part"))
+        / F.col("exact_nd_part")
+        < 0.02
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_nd_part",
+        tol.alias("hll_within_2pct"),
     )
 
 
@@ -396,8 +418,9 @@ def agg_filter_clause(spark, sf_dir):
     "percentile_multi",
     oracle="""
     SELECT l_returnflag,
-           list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
-                          x -> round(x, 4)) AS quartiles,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS q50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS q75,
            round(quantile_cont(l_discount, 0.9), 4) AS p90_disc
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -405,13 +428,18 @@ def agg_filter_clause(spark, sf_dir):
 def percentile_multi(spark, sf_dir):
     """percentile_cont over an array of fractions (orderedsetaggs.c:542
     multi-fraction WITHIN GROUP) — one sort per group serves all
-    quantiles; both engines interpolate a + (b-a)*f over the same sorted
-    multiset, so 4-digit rounding is stable."""
+    quantiles on the Spark side; the result is projected to scalar
+    columns (q25/q50/q75) so the driver canonicalizer can hash it
+    (arrays are unhashable in its pandas sort). Both engines
+    interpolate a + (b-a)*f over the same sorted multiset, so 4-digit
+    rounding is stable."""
     l = t(spark, sf_dir, "lineitem")
+    qs = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
     return l.groupBy("l_returnflag").agg(
-        F.transform(
-            F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))),
-            lambda x: F.round(x, 4),
-        ).alias("quartiles"),
+        F.round(F.element_at(qs, 1), 4).alias("q25"),
+        F.round(F.element_at(qs, 2), 4).alias("q50"),
+        F.round(F.element_at(qs, 3), 4).alias("q75"),
         F.round(F.percentile("l_discount", F.lit(0.9)), 4).alias("p90_disc"),
     )

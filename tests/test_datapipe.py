@@ -211,8 +211,8 @@ def test_approx_count_distinct_error(spark, sf_dir):
 
     rows = QUERIES["approx_count_distinct_hll"](spark, sf_dir).collect()
     for r in rows:
-        rel_err = abs(r.approx_nd_part - r.exact_nd_part) / max(r.exact_nd_part, 1)
-        assert rel_err < 0.05, f"HLL error {rel_err} for {r}"
+        assert r.exact_nd_part > 0
+        assert r.hll_within_2pct, f"HLL estimate outside 2% tolerance: {r}"
 
 
 def test_recursive_cte_union_all_and_distinct(spark):
