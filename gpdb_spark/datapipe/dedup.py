@@ -66,14 +66,20 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     ngram: int = 1,
     threshold: float = 0.8,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """All pairs (a<b) with shingle-set Jaccard >= threshold.
 
     Inverted-index join: explode distinct shingles, self-join on shingle to
     count intersections, then |A∪B| = |A|+|B|-|A∩B|. The shuffle key is the
-    shingle, so common-shingle skew is the scale hazard — mitigated by
-    dropping ultra-frequent shingles (df > 10% of corpus) the same way
-    search engines drop stopword postings.
+    shingle, so common-shingle skew is the scale hazard: ONE shingle
+    appearing in m docs yields O(m²) intersection pairs on a single
+    shuffle key. ``max_df_frac`` drops shingles whose document frequency
+    exceeds that fraction of the corpus (the way search engines drop
+    stopword postings), bounding the worst posting list at
+    max_df_frac·n — jaccard is then computed over the filtered shingle
+    universe (sizes shrink consistently). ``None`` = exact semantics,
+    no filter; at 100 TB always set it.
     """
     sh = (
         spread(df).select(
@@ -85,6 +91,19 @@ def jaccard_pairs(
             ).alias("shingle"),
         )
     )
+    if max_df_frac is not None:
+        # document-frequency cutoff: one extra groupBy on the SAME shuffle
+        # key; the scalar corpus count rides in via a 1-row cross join
+        # (no driver collect)
+        n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .crossJoin(F.broadcast(n_docs))
+            .where(F.col("__df") <= F.col("__n") * max_df_frac)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.select(F.col("id").alias("a"), "shingle")

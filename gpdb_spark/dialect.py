@@ -18,12 +18,20 @@ rewrites the handful of constructs where PG and Spark SQL disagree
 - ``generate_series(a, b[, s]) AS t(c)`` in FROM -> lateral
   ``explode(sequence(...))`` subquery.
 - function renames: now() -> current_timestamp(), strpos -> instr,
-  ceiling -> ceil, random -> rand, to_char(ts, 'fmt') -> date_format
-  with PG->Java pattern translation, extract(epoch from x) ->
-  unix_timestamp(x), string_agg(e, s ORDER BY k) -> listagg WITHIN GROUP.
+  ceiling -> ceil, random -> rand, to_char(ts, 'fmt') -> full
+  formatting.c token translation (functions/pg.py to_char_sql),
+  extract(epoch from x) -> unix_timestamp(x),
+  string_agg(e, s ORDER BY k) -> listagg WITHIN GROUP.
+- ``DISTINCT ON (keys)`` -> row_number window filter (_pass_distinct_on).
+- JSON operators ``->`` ``->>`` ``#>`` ``#>>`` -> get_json_object paths.
+- integer ``/`` -> ``div`` when both operands are provably integral
+  (integer literal / catalog-typed integer column / integer CAST —
+  matches int4div truncation, src/backend/utils/adt/int.c).
+- ``WITH RECURSIVE`` -> operators.recursive fixpoint loop (pg_sql).
 
-Not translated (documented gaps): integer ``/`` (PG truncates; use
-``div``), ``DISTINCT ON`` (use window row_number), multi-dim arrays.
+Not translated (documented gaps): multi-dim arrays, numeric-pattern
+to_char ('999D99'), integer ``/`` on operands whose type the catalog
+cannot prove integral (kept as double division).
 """
 
 from __future__ import annotations
@@ -43,7 +51,7 @@ _TOKEN_RE = re.compile(
     | (?P<qident>"(?:[^"]|"")*")
     | (?P<number>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?)
     | (?P<word>[A-Za-z_][A-Za-z_0-9$]*)
-    | (?P<op>::|!~\*|!~|~\*|\|\||<=|>=|<>|!=|~|[(),.;*<>=+\-/%\[\]])
+    | (?P<op>::|!~\*|!~|~\*|\|\||->>|->|\#>>|\#>|<=|>=|<>|!=|~|[(),.;*<>=+\-/%\[\]])
     """,
     re.VERBOSE,
 )
@@ -124,6 +132,36 @@ def _map_type(tokens: list[str], i: int) -> tuple[str, int]:
     ):
         # timestamp with[out] time zone
         return "TIMESTAMP", j + 3
+    if (
+        w in ("varchar", "char", "bpchar", "character")
+        and j < len(tokens)
+        and tokens[j] == "("
+    ):
+        # varchar(n) / char(n): the length is droppable for STRING —
+        # consume through the matching ')'
+        k, depth = j, 0
+        while k < len(tokens):
+            if tokens[k] == "(":
+                depth += 1
+            elif tokens[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        return "STRING", k + 1
+    if w == "character" and j < len(tokens) and _is_word(tokens[j], "varying"):
+        if j + 1 < len(tokens) and tokens[j + 1] == "(":
+            k, depth = j + 1, 0
+            while k < len(tokens):
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            return "STRING", k + 1
+        return "STRING", j + 1
     return _TYPE_MAP.get(w, tokens[i].upper()), j
 
 
@@ -135,6 +173,21 @@ _KEYWORDS = {
     "between", "is", "null", "true", "false", "all", "any", "exists",
     "values", "with", "over", "partition",
 }
+
+
+def _dot_chain_start(tokens: list[str], j: int) -> int:
+    """Extend an operand starting at an identifier tokens[j] left across
+    '.'-qualified chains: a.b.c — gram.y parses qualified names as
+    indirection on a columnref, so ``o.o_orderkey::text`` casts the whole
+    qualified reference, not the last segment."""
+    while (
+        j - 2 >= 0
+        and tokens[j - 1] == "."
+        and tokens[j - 2].isidentifier()
+        and tokens[j - 2].lower() not in _KEYWORDS
+    ):
+        j -= 2
+    return j
 
 
 def _operand_start(tokens: list[str], i: int) -> int:
@@ -165,35 +218,139 @@ def _operand_start(tokens: list[str], i: int) -> int:
         ):
             return _operand_start(tokens, j)
         return j
+    if tokens[j].isidentifier() and tokens[j].lower() not in _KEYWORDS:
+        return _dot_chain_start(tokens, j)
     return j
 
 
 # ---------------------------------------------------------------------------
-# PG to_char pattern -> Java date_format pattern
+# JSON operators -> get_json_object (src/backend/utils/adt/jsonfuncs.c:440
+# json_object_field / json_object_field_text / json_extract_path)
 # ---------------------------------------------------------------------------
 
-_TO_CHAR_MAP = [
-    ("YYYY", "yyyy"),
-    ("YY", "yy"),
-    ("Month", "MMMM"),
-    ("Mon", "MMM"),
-    ("MM", "MM"),
-    ("DD", "dd"),
-    ("Day", "EEEE"),
-    ("Dy", "EEE"),
-    ("HH24", "HH"),
-    ("HH12", "hh"),
-    ("MI", "mm"),
-    ("SS", "ss"),
-    ("MS", "SSS"),
-]
+
+def _json_path_elem(tok: str) -> str | None:
+    """'key' -> .key ; integer -> [n] ; else None (unsupported)."""
+    if tok.startswith("'"):
+        return "." + tok[1:-1].replace("''", "'")
+    if tok.isdigit():
+        return f"[{tok}]"
+    return None
 
 
-def _translate_to_char_pattern(lit: str) -> str:
-    body = lit[1:-1]
-    for pg, java in _TO_CHAR_MAP:
-        body = body.replace(pg, java)
-    return f"'{body}'"
+def _pass_json_ops(tokens: list[str]) -> list[str]:
+    """``j -> 'k'``, ``j ->> 'k'``, ``j -> 0``, ``j #> '{a,b}'`` ->
+    get_json_object(j, '$.path').
+
+    get_json_object returns the JSON text of objects/arrays and the
+    unquoted text of scalars, so ``->`` chains compose exactly as in PG;
+    the one divergence (documented) is ``->`` on a *scalar leaf*, where
+    PG keeps the quoted json form and this returns the text — use ``->>``
+    for leaf extraction as PG idiom already does."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t in ("->", "->>", "#>", "#>>") and i + 1 < n:
+            rhs = tokens[i + 1]
+            if t in ("#>", "#>>"):
+                if not rhs.startswith("'"):
+                    out.append(t)
+                    i += 1
+                    continue
+                elems = [
+                    e.strip()
+                    for e in rhs[1:-1].strip("{}").split(",")
+                    if e.strip()
+                ]
+                path = "".join(
+                    f"[{e}]" if e.isdigit() else "." + e for e in elems
+                )
+            else:
+                elem = _json_path_elem(rhs)
+                if elem is None:
+                    out.append(t)
+                    i += 1
+                    continue
+                path = elem
+            lhs_start = _operand_start(out + [t], len(out))
+            lhs = out[lhs_start:]
+            out = (
+                out[:lhs_start]
+                + ["get_json_object", "("]
+                + lhs
+                + [",", f"'${path}'", ")"]
+            )
+            i += 2
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PG integer division (int4div, src/backend/utils/adt/int.c: int/int
+# truncates toward zero; Spark SQL / returns double)
+# ---------------------------------------------------------------------------
+
+_INT_CAST_TYPES = {"SMALLINT", "INT", "BIGINT", "TINYINT"}
+
+
+def _seg_is_integer(seg: list[str], int_cols: frozenset[str]) -> bool:
+    """Conservatively decide whether an operand token run is integral:
+    an integer literal, a (possibly qualified) column of known integer
+    type, or a CAST(... AS <int type>). Anything else -> False (leave
+    the `/` untouched)."""
+    if not seg:
+        return False
+    if len(seg) == 1:
+        t = seg[0]
+        if t.isdigit():
+            return True
+        return t.isidentifier() and t.lower() in int_cols
+    # qualified column chain a.b.c
+    if all(
+        (t == "." or (t.isidentifier() and t.lower() not in _KEYWORDS))
+        for t in seg
+    ):
+        return seg[-1].lower() in int_cols
+    # CAST( ... AS T )
+    if seg[0].upper() == "CAST" and seg[-1] == ")" and len(seg) >= 5:
+        return (
+            seg[-3].upper() == "AS" and seg[-2].upper() in _INT_CAST_TYPES
+        )
+    return False
+
+
+def _pass_int_division(
+    tokens: list[str], int_cols: frozenset[str]
+) -> list[str]:
+    """Rewrite ``a / b`` to ``a div b`` when BOTH operands are provably
+    integral (literal, known integer column, or integer CAST). The
+    reference resolves this with catalog type info (int4div); the dialect
+    uses the fixture catalog the same way. Ambiguous operands keep ``/``
+    (double division) — wrong only for untyped integer subexpressions,
+    which the docstring declares."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t == "/":
+            lhs_start = _operand_start(out + ["/"], len(out))
+            lhs = out[lhs_start:]
+            end = _rhs_end(tokens, i + 1)
+            rhs = tokens[i + 1 : end]
+            if _seg_is_integer(lhs, int_cols) and _seg_is_integer(
+                rhs, int_cols
+            ):
+                out += ["div"] + rhs
+                i = end
+                continue
+        out.append(t)
+        i += 1
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -338,12 +495,11 @@ def _pass_functions(tokens: list[str]) -> list[str]:
                     last_comma = k
                 k += 1
             if last_comma and tokens[last_comma + 1].startswith("'"):
-                fmt = _translate_to_char_pattern(tokens[last_comma + 1])
-                out += (
-                    ["date_format"]
-                    + tokens[i + 1 : last_comma + 1]
-                    + [fmt, ")"]
-                )
+                from gpdb_spark.functions.pg import to_char_sql
+
+                operand = _render(tokens[i + 2 : last_comma])
+                pattern = tokens[last_comma + 1][1:-1].replace("''", "'")
+                out.append(to_char_sql(operand, pattern))
                 i = k + 1
                 continue
         # string_agg(e, sep ORDER BY k) -> listagg(e, sep) WITHIN GROUP (...)
@@ -642,17 +798,136 @@ def _pass_distinct_on(tokens: list[str]) -> list[str]:
     return new
 
 
-def translate(sql: str) -> str:
-    """Translate a PostgreSQL-dialect query to Spark SQL."""
+def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
+    """Translate a PostgreSQL-dialect query to Spark SQL.
+
+    ``int_cols`` — lowercase names of integer-typed columns (catalog type
+    info), enabling the PG integer-`/` truncation rewrite."""
     tokens = _lex(sql)
     tokens = _pass_quoted_idents(tokens)
     tokens = _pass_distinct_on(tokens)
     tokens = _pass_casts(tokens)
+    tokens = _pass_json_ops(tokens)
     tokens = _pass_regex_ops(tokens)
+    tokens = _pass_int_division(tokens, int_cols)
     tokens = _pass_functions(tokens)
     tokens = _pass_generate_series_from(tokens)
     tokens = _pass_order_by_nulls(tokens)
     return _render(tokens)
+
+
+_INT_COLS_CACHE: dict[str, frozenset[str]] = {}
+
+_INTEGRAL_DTYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _fixture_int_cols(spark: SparkSession, sf_dir: str) -> frozenset[str]:
+    """Lowercase names of integer-typed fixture columns — the catalog type
+    info the reference's parser has via pg_attribute. Schema-only reads
+    (parquet footers), cached per sf_dir."""
+    cached = _INT_COLS_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    from gpdb_spark.catalog import FIXTURE_TABLES, load_table
+
+    cols: set[str] = set()
+    for name in FIXTURE_TABLES:
+        for col, dtype in load_table(spark, sf_dir, name).dtypes:
+            if dtype in _INTEGRAL_DTYPES:
+                cols.add(col.lower())
+    out = frozenset(cols)
+    _INT_COLS_CACHE[sf_dir] = out
+    return out
+
+
+def _split_top_level_union(tokens: list[str]) -> tuple[list[str], list[str], bool] | None:
+    """Split ``seed UNION [ALL] step`` at the LAST top-level UNION
+    (gram.y parses recursive unions left-associative; the recursive term
+    is the rightmost branch). Returns (seed, step, is_union_all)."""
+    depth = 0
+    at = None
+    is_all = False
+    for i, t in enumerate(tokens):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and _is_word(t, "union"):
+            at = i
+            is_all = i + 1 < len(tokens) and _is_word(tokens[i + 1], "all")
+    if at is None:
+        return None
+    step_start = at + (2 if is_all else 1)
+    return tokens[:at], tokens[step_start:], is_all
+
+
+def _try_recursive_cte(
+    spark: SparkSession, sql: str, int_cols: frozenset[str]
+) -> DataFrame | None:
+    """WITH RECURSIVE name[(cols)] AS (seed UNION [ALL] step) outer —
+    routed through the operators.recursive fixpoint loop (the reference's
+    RecursiveUnion + WorkTableScan, nodeRecursiveunion.c:76): the
+    recursive term's reference to ``name`` is bound to the *working
+    table* (previous iteration's rows) each round, exactly PG's
+    semantics. One recursive CTE per query (the common case); plain CTEs
+    alongside are not supported through this path."""
+    tokens = _lex(sql)
+    if not (
+        len(tokens) > 2
+        and _is_word(tokens[0], "with")
+        and _is_word(tokens[1], "recursive")
+    ):
+        return None
+    from gpdb_spark.operators.recursive import recursive_cte
+
+    name = tokens[2]
+    i = 3
+    col_names: list[str] = []
+    if i < len(tokens) and tokens[i] == "(":
+        j, depth = i, 0
+        while j < len(tokens):
+            if tokens[j] == "(":
+                depth += 1
+            elif tokens[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        col_names = [t for t in tokens[i + 1 : j] if t != ","]
+        i = j + 1
+    if not _is_word(tokens[i], "as") or tokens[i + 1] != "(":
+        return None
+    j, depth = i + 1, 0
+    while j < len(tokens):
+        if tokens[j] == "(":
+            depth += 1
+        elif tokens[j] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    body = tokens[i + 2 : j]
+    outer = tokens[j + 1 :]
+    split = _split_top_level_union(body)
+    if split is None:
+        return None
+    seed_toks, step_toks, is_all = split
+
+    def run(toks: list[str]) -> DataFrame:
+        return spark.sql(translate(_render(toks), int_cols))
+
+    seed = run(seed_toks)
+    if col_names:
+        seed = seed.toDF(*col_names)
+
+    def step(frontier: DataFrame) -> DataFrame:
+        frontier.createOrReplaceTempView(name)
+        out = run(step_toks)
+        return out.toDF(*col_names) if col_names else out
+
+    acc = recursive_cte(seed, step, distinct=not is_all)
+    acc.createOrReplaceTempView(name)
+    return run(outer)
 
 
 def pg_sql(
@@ -660,9 +935,15 @@ def pg_sql(
 ) -> DataFrame:
     """The engine's SQL front door: PG-dialect text in, DataFrame out.
     When ``sf_dir`` is given, the fixture tables are (re-)registered as
-    temp views first."""
+    temp views first and their catalog types drive the PG integer-`/`
+    rewrite."""
+    int_cols: frozenset[str] = frozenset()
     if sf_dir is not None:
         from gpdb_spark.catalog import register_fixture_views
 
         register_fixture_views(spark, sf_dir)
-    return spark.sql(translate(sql))
+        int_cols = _fixture_int_cols(spark, sf_dir)
+    rec = _try_recursive_cte(spark, sql, int_cols)
+    if rec is not None:
+        return rec
+    return spark.sql(translate(sql, int_cols))

@@ -127,10 +127,26 @@ class Engine:
     # -- EXPLAIN -------------------------------------------------------------
 
     def explain(self, df_or_sql: DataFrame | str) -> str:
+        """Plan-only, like the reference's EXPLAIN (no execution): renders
+        the initial physical plan. Under AQE the runtime may re-plan
+        exchanges adaptively; use ``explain_analyze`` for the final
+        post-execution plan (EXPLAIN ANALYZE semantics)."""
         from gpdb_spark.plans import explain_motion
 
         df = (
             self.sql(df_or_sql) if isinstance(df_or_sql, str) else df_or_sql
         )
-        df.collect()
+        return explain_motion(df)
+
+    def explain_analyze(self, df_or_sql: DataFrame | str) -> str:
+        """EXPLAIN ANALYZE: execute, then render the AQE-final plan.
+        Runs the dataset's OWN query execution JVM-side (RDD count — one
+        long per partition back to the driver), so no result rows cross
+        to the driver, unlike the collect() this replaced."""
+        from gpdb_spark.plans import explain_motion
+
+        df = (
+            self.sql(df_or_sql) if isinstance(df_or_sql, str) else df_or_sql
+        )
+        df._jdf.queryExecution().toRdd().count()
         return explain_motion(df)

@@ -82,31 +82,299 @@ def generate_series(spark: SparkSession, start: int, stop: int, step: int = 1) -
     )
 
 
-_TO_CHAR_MAP = [
-    ("YYYY", "yyyy"),
-    ("YY", "yy"),
-    ("MM", "MM"),
-    ("DD", "dd"),
-    ("HH24", "HH"),
-    ("HH12", "hh"),
-    ("MI", "mm"),
-    ("SS", "ss"),
-    ("MS", "SSS"),
-    ("Month", "MMMM"),
-    ("Mon", "MMM"),
-    ("Day", "EEEE"),
-    ("Dy", "EEE"),
-]
+# ---------------------------------------------------------------------------
+# to_char — PG datetime formatting (src/backend/utils/adt/formatting.c)
+#
+# The pattern is parsed ONCE into abstract pieces, then rendered either to a
+# Spark SQL expression string (for the dialect front door, which sees the
+# literal pattern at translate time) or to a Column tree (for DataFrame
+# callers). Faithful bits beyond the old date_format mapping:
+#   - Day/Month are space-padded to 9 chars like PG; FM strips the padding
+#   - FM before a numeric field strips leading zeros
+#   - Q, WW (PG week = (doy-1)/7+1), W, DDD, D, IW, ID
+#   - th/TH ordinal suffixes ("1st", "22nd"; 11..13 -> th)
+#   - case variants MONTH/month/Mon/DY/dy/...
+# ---------------------------------------------------------------------------
+
+
+class _SqlOps:
+    """Render formatting primitives as Spark SQL text."""
+
+    def fmt(self, e, pat):
+        return f"date_format({e}, '{pat}')"
+
+    def fn(self, name, *args):
+        return f"{name}({', '.join(str(a) for a in args)})"
+
+    def cast_str(self, x):
+        return f"CAST({x} AS STRING)"
+
+    def cast_int(self, x):
+        return f"CAST({x} AS INT)"
+
+    def lit(self, s):
+        return "'" + s.replace("'", "''") + "'"
+
+    def add(self, a, b):
+        return f"(({a}) + ({b}))"
+
+    def sub(self, a, b):
+        return f"(({a}) - ({b}))"
+
+    def mod(self, a, b):
+        return f"(({a}) % ({b}))"
+
+    def idiv(self, a, b):
+        return f"(({a}) div ({b}))"
+
+    def when_chain(self, branches, default):
+        out = "CASE"
+        for cond, val in branches:
+            out += f" WHEN {cond} THEN {val}"
+        return out + f" ELSE {default} END"
+
+    def eq(self, a, b):
+        return f"({a}) = ({b})"
+
+    def is_in(self, a, vals):
+        return f"({a}) IN ({', '.join(str(v) for v in vals)})"
+
+    def concat(self, parts):
+        if len(parts) == 1:
+            return parts[0]
+        return f"concat({', '.join(parts)})"
+
+    def lpad(self, x, n, pad):
+        return f"lpad({x}, {n}, '{pad}')"
+
+    def rpad(self, x, n, pad):
+        return f"rpad({x}, {n}, '{pad}')"
+
+
+class _ColOps:
+    """Render formatting primitives as Column trees."""
+
+    def fmt(self, e, pat):
+        return F.date_format(e, pat)
+
+    def fn(self, name, *args):
+        return getattr(F, name)(*args)
+
+    def cast_str(self, x):
+        return x.cast("string")
+
+    def cast_int(self, x):
+        return x.cast("int")
+
+    def lit(self, s):
+        return F.lit(s)
+
+    def add(self, a, b):
+        return a + b
+
+    def sub(self, a, b):
+        return a - b
+
+    def mod(self, a, b):
+        return a % b
+
+    def idiv(self, a, b):
+        return ((a - a % b) / b).cast("int")
+
+    def when_chain(self, branches, default):
+        out = None
+        for cond, val in branches:
+            out = F.when(cond, val) if out is None else out.when(cond, val)
+        return out.otherwise(default)
+
+    def eq(self, a, b):
+        return a == b
+
+    def is_in(self, a, vals):
+        return a.isin(*vals)
+
+    def concat(self, parts):
+        if len(parts) == 1:
+            return parts[0]
+        return F.concat(*parts)
+
+    def lpad(self, x, n, pad):
+        return F.lpad(x, n, pad)
+
+    def rpad(self, x, n, pad):
+        return F.rpad(x, n, pad)
+
+
+def _pad_name(o, x, fm):
+    return x if fm else o.rpad(x, 9, " ")
+
+
+def _hh12(o, e):
+    # 1..12 from the 24h clock
+    return o.add(o.mod(o.add(o.fn("hour", e), 11), 12), 1)
+
+
+# name -> (kind, builder); numeric builders return an int expression and a
+# zero-pad width, string builders return a finished string expression.
+_TOKENS: dict = {
+    "YYYY": ("num", lambda o, e: o.fn("year", e), 4),
+    "YY": ("num", lambda o, e: o.mod(o.fn("year", e), 100), 2),
+    "MM": ("num", lambda o, e: o.fn("month", e), 2),
+    "DDD": ("num", lambda o, e: o.fn("dayofyear", e), 3),
+    "DD": ("num", lambda o, e: o.fn("dayofmonth", e), 2),
+    # PG D: Sunday=1 .. Saturday=7; Spark dayofweek matches
+    "D": ("num", lambda o, e: o.fn("dayofweek", e), 1),
+    # PG ID: ISO Monday=1 .. Sunday=7; Spark weekday() is Monday=0
+    "ID": ("num", lambda o, e: o.add(o.fn("weekday", e), 1), 1),
+    "IW": ("num", lambda o, e: o.fn("weekofyear", e), 2),
+    # PG WW: week of year where week 1 starts Jan 1 (formatting.c)
+    "WW": (
+        "num",
+        lambda o, e: o.add(o.idiv(o.sub(o.fn("dayofyear", e), 1), 7), 1),
+        2,
+    ),
+    "W": (
+        "num",
+        lambda o, e: o.add(o.idiv(o.sub(o.fn("dayofmonth", e), 1), 7), 1),
+        1,
+    ),
+    "Q": ("num", lambda o, e: o.fn("quarter", e), 1),
+    "HH24": ("num", lambda o, e: o.fn("hour", e), 2),
+    "HH12": ("num", _hh12, 2),
+    "HH": ("num", _hh12, 2),
+    "MI": ("num", lambda o, e: o.fn("minute", e), 2),
+    "SS": ("num", lambda o, e: o.fn("second", e), 2),
+    "MS": ("num", lambda o, e: o.cast_int(o.fmt(e, "SSS")), 3),
+    "Month": ("str", lambda o, e, fm: _pad_name(o, o.fmt(e, "MMMM"), fm)),
+    "MONTH": (
+        "str",
+        lambda o, e, fm: _pad_name(o, o.fn("upper", o.fmt(e, "MMMM")), fm),
+    ),
+    "month": (
+        "str",
+        lambda o, e, fm: _pad_name(o, o.fn("lower", o.fmt(e, "MMMM")), fm),
+    ),
+    "Mon": ("str", lambda o, e, fm: o.fmt(e, "MMM")),
+    "MON": ("str", lambda o, e, fm: o.fn("upper", o.fmt(e, "MMM"))),
+    "mon": ("str", lambda o, e, fm: o.fn("lower", o.fmt(e, "MMM"))),
+    "Day": ("str", lambda o, e, fm: _pad_name(o, o.fmt(e, "EEEE"), fm)),
+    "DAY": (
+        "str",
+        lambda o, e, fm: _pad_name(o, o.fn("upper", o.fmt(e, "EEEE")), fm),
+    ),
+    "day": (
+        "str",
+        lambda o, e, fm: _pad_name(o, o.fn("lower", o.fmt(e, "EEEE")), fm),
+    ),
+    "Dy": ("str", lambda o, e, fm: o.fmt(e, "EEE")),
+    "DY": ("str", lambda o, e, fm: o.fn("upper", o.fmt(e, "EEE"))),
+    "dy": ("str", lambda o, e, fm: o.fn("lower", o.fmt(e, "EEE"))),
+    "AM": ("str", lambda o, e, fm: o.fmt(e, "a")),
+    "PM": ("str", lambda o, e, fm: o.fmt(e, "a")),
+    "am": ("str", lambda o, e, fm: o.fn("lower", o.fmt(e, "a"))),
+    "pm": ("str", lambda o, e, fm: o.fn("lower", o.fmt(e, "a"))),
+}
+
+_TOKEN_ORDER = sorted(_TOKENS, key=len, reverse=True)
+
+
+def _parse_to_char(pattern: str) -> list[tuple]:
+    """Pattern -> [('num', builder, width, fm, ordinal), ('str', builder,
+    fm), ('lit', text)]. ordinal is None | 'th' | 'TH'."""
+    pieces: list[tuple] = []
+    i, n = 0, len(pattern)
+    fm = False
+    while i < n:
+        ch = pattern[i]
+        if ch == '"':  # quoted literal run
+            j = pattern.find('"', i + 1)
+            j = n if j < 0 else j
+            pieces.append(("lit", pattern[i + 1 : j]))
+            i = j + 1
+            continue
+        if pattern.startswith("FM", i) or pattern.startswith("fm", i):
+            fm = True
+            i += 2
+            continue
+        if (pattern.startswith("TH", i) or pattern.startswith("th", i)) and (
+            pieces and pieces[-1][0] == "num"
+        ):
+            kind, b, w, pfm, _ = pieces[-1]
+            pieces[-1] = (kind, b, w, pfm, pattern[i : i + 2])
+            i += 2
+            continue
+        matched = False
+        for tok in _TOKEN_ORDER:
+            if pattern.startswith(tok, i):
+                kind, builder, *rest = _TOKENS[tok]
+                if kind == "num":
+                    pieces.append(("num", builder, rest[0], fm, None))
+                else:
+                    pieces.append(("str", builder, fm))
+                fm = False
+                i += len(tok)
+                matched = True
+                break
+        if not matched:
+            if pieces and pieces[-1][0] == "lit":
+                pieces[-1] = ("lit", pieces[-1][1] + ch)
+            else:
+                pieces.append(("lit", ch))
+            i += 1
+    return pieces
+
+
+def _ordinal_suffix(o, n, upper: bool):
+    """English ordinal suffix for int expression n (formatting.c th rules:
+    11..13 -> th, else by last digit)."""
+    suf = ["th", "st", "nd", "rd"]
+    if upper:
+        suf = [s.upper() for s in suf]
+    return o.when_chain(
+        [
+            (o.is_in(o.mod(n, 100), [11, 12, 13]), o.lit(suf[0])),
+            (o.eq(o.mod(n, 10), 1), o.lit(suf[1])),
+            (o.eq(o.mod(n, 10), 2), o.lit(suf[2])),
+            (o.eq(o.mod(n, 10), 3), o.lit(suf[3])),
+        ],
+        o.lit(suf[0]),
+    )
+
+
+def _render_to_char(o, e, pattern: str):
+    parts = []
+    for p in _parse_to_char(pattern):
+        if p[0] == "lit":
+            parts.append(o.lit(p[1]))
+        elif p[0] == "str":
+            _, builder, fm = p
+            parts.append(builder(o, e, fm))
+        else:
+            _, builder, width, fm, ordinal = p
+            n = builder(o, e)
+            s = o.cast_str(n)
+            if not fm:
+                s = o.lpad(s, width, "0")
+            parts.append(s)
+            if ordinal:
+                parts.append(_ordinal_suffix(o, n, ordinal == "TH"))
+    if not parts:
+        return o.lit("")
+    return o.concat(parts)
+
+
+def to_char_sql(operand_sql: str, pattern: str) -> str:
+    """Render PG to_char(operand, 'pattern') as a Spark SQL expression
+    string — used by the dialect translator, which sees the pattern
+    literal at translate time."""
+    return _render_to_char(_SqlOps(), f"({operand_sql})", pattern)
 
 
 def to_char(ts: Column | str, pg_pattern: str) -> Column:
-    """PG to_char(timestamp, pattern) — translates the common PG format
-    tokens (formatting.c) to Java SimpleDateFormat tokens for date_format."""
+    """PG to_char(timestamp, pattern) — full-fidelity translation of the
+    common formatting.c tokens (see module comment)."""
     ts = F.col(ts) if isinstance(ts, str) else ts
-    fmt = pg_pattern
-    for pg, java in _TO_CHAR_MAP:
-        fmt = fmt.replace(pg, java)
-    return F.date_format(ts, fmt)
+    return _render_to_char(_ColOps(), ts, pg_pattern)
 
 
 def age_parts(a: Column | str, b: Column | str) -> Column:

@@ -58,30 +58,36 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry ONE struct per right row (ts + all values) so every output
+    # column comes from the SAME matched row — per-column last() would
+    # silently take a NULL value column from an older right row, diverging
+    # from merge_asof's row-wise semantics.
+    r_struct = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col(on).alias("__ts"),
+            *[F.col(f"__r_{c}").alias(c) for c in value_cols],
+        ),
+    )
     filled = u.select(
         "*",
-        F.last(F.when(F.col("__side") == 0, F.col(on)), ignorenulls=True)
-        .over(w)
-        .alias("__r_ts"),
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in value_cols
-        ],
+        F.last(r_struct, ignorenulls=True).over(w).alias("__r"),
     ).where(F.col("__side") == 1)
 
+    r_ts = F.col("__r.__ts")
     in_tol = (
         F.lit(True)
         if tolerance_seconds is None
         else (
-            F.col(on).cast("double") - F.col("__r_ts").cast("double")
+            F.col(on).cast("double") - r_ts.cast("double")
             <= F.lit(float(tolerance_seconds))
         )
     )
-    keep = F.col("__r_ts").isNotNull() & in_tol
+    keep = F.col("__r").isNotNull() & in_tol
     out_cols = [c for c in left.columns]
     proj = [F.col(c) for c in out_cols]
     for c in value_cols:
         name = c + (suffix if c in out_cols else "")
-        proj.append(F.when(keep, F.col(f"__f_{c}")).alias(name))
-    proj.append(F.when(keep, F.col("__r_ts")).alias(on + suffix))
+        proj.append(F.when(keep, F.col(f"__r.{c}")).alias(name))
+    proj.append(F.when(keep, r_ts).alias(on + suffix))
     return filled.select(*proj)

@@ -32,11 +32,18 @@ def dedup_exact(spark, sf_dir):
 
 @query(
     "dedup_jaccard_pairs",
+    # the df > 50% stopword-posting cutoff is mirrored in the freq CTE so
+    # the oracle computes jaccard over the same filtered shingle universe
     oracle="""
-    WITH toks AS (
+    WITH toks0 AS (
         SELECT doc_id AS id,
                unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
         FROM documents
+    ), freq AS (
+        SELECT tok FROM toks0 GROUP BY tok
+        HAVING count(*) <= 0.5 * (SELECT count(*) FROM documents)
+    ), toks AS (
+        SELECT id, tok FROM toks0 WHERE tok IN (SELECT tok FROM freq)
     ), sizes AS (
         SELECT id, count(*) AS sz FROM toks GROUP BY id
     ), inter AS (
@@ -54,9 +61,10 @@ def dedup_exact(spark, sf_dir):
 )
 def dedup_jaccard_pairs(spark, sf_dir):
     """Token-set Jaccard near-dup pairs via inverted-index self-join —
-    O(postings) shuffle, never O(n^2)."""
+    O(postings) shuffle, never O(n^2); ultra-frequent shingles dropped
+    (df > 50%) to bound the worst posting list."""
     d = t(spark, sf_dir, "documents")
-    return D.jaccard_pairs(d, ngram=1, threshold=0.82)
+    return D.jaccard_pairs(d, ngram=1, threshold=0.82, max_df_frac=0.5)
 
 
 @query("dedup_minhash_lsh")

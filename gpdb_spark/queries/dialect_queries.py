@@ -93,3 +93,117 @@ _pg_query(
     ORDER BY o_orderpriority
     """,
 )
+
+
+_pg_query(
+    "pg_int_division",
+    # PG int/int truncates toward zero (int4div,
+    # /root/reference/src/backend/utils/adt/int.c); the dialect rewrites
+    # `/` to `div` when catalog types prove both operands integral.
+    # DuckDB's `//` truncates the same way, and o_totalprice / 4 must
+    # STAY double division in both engines.
+    """
+    SELECT o_orderkey,
+           o_orderkey / 7 AS key_div,
+           o_orderkey % 7 AS key_mod,
+           o_custkey / o_orderkey AS col_col_div,
+           o_totalprice / 4 AS dbl_div,
+           7 / 2 AS lit_div
+    FROM orders
+    WHERE o_orderkey > 0 AND o_orderkey < 300
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey // 7 AS key_div,
+           o_orderkey % 7 AS key_mod,
+           o_custkey // o_orderkey AS col_col_div,
+           o_totalprice / 4 AS dbl_div,
+           7 // 2 AS lit_div
+    FROM orders
+    WHERE o_orderkey > 0 AND o_orderkey < 300
+    """,
+)
+
+_pg_query(
+    "pg_json_arrows",
+    # -> / ->> / #> (json_object_field / _text / json_extract_path,
+    # /root/reference/src/backend/utils/adt/jsonfuncs.c:440) -> Spark
+    # get_json_object paths. Scalar leaves only in the comparison —
+    # object/array leaf re-serialization whitespace differs per engine.
+    """
+    SELECT event_id,
+           props ->> 'k' AS k_text,
+           (props ->> 'k')::int4 % 10 AS k_mod,
+           props #> '{k}' AS k_path,
+           '{"a": {"b": 42}}' -> 'a' ->> 'b' AS nested,
+           '[1,2,3]' ->> 2 AS arr_elem
+    FROM events
+    WHERE event_id < 200
+    """,
+    # DuckDB has no #> path operator: json_extract_string is equivalent
+    # for the scalar leaf
+    oracle="""
+    SELECT event_id,
+           props ->> 'k' AS k_text,
+           (props ->> 'k')::int4 % 10 AS k_mod,
+           json_extract_string(props, '$.k') AS k_path,
+           '{"a": {"b": 42}}' -> 'a' ->> 'b' AS nested,
+           '[1,2,3]' ->> 2 AS arr_elem
+    FROM events
+    WHERE event_id < 200
+    """,
+)
+
+_pg_query(
+    "pg_recursive_series",
+    # WITH RECURSIVE through the SQL front door (gram.y recursive CTE;
+    # behavior per /root/reference/src/test/regress/sql/with_clause.sql)
+    # -> operators/recursive.py fixpoint; DuckDB runs it natively.
+    """
+    WITH RECURSIVE t(n) AS (
+        SELECT 1
+        UNION ALL
+        SELECT n + 1 FROM t WHERE n < 50
+    )
+    SELECT n, n * n AS sq
+    FROM t
+    WHERE n % 5 = 0
+    """,
+)
+
+_pg_query(
+    "pg_to_char_patterns",
+    # formatting.c token coverage: FM fill-mode, padded Day/Month names,
+    # ordinal suffixes, Q / WW (PG week = (doy-1)/7+1) / IW / D.
+    """
+    SELECT o_orderkey,
+           to_char(o_orderdate, 'FMDay, DDth Month YYYY') AS pretty,
+           to_char(o_orderdate, 'YYYY-MM-DD HH24:MI:SS') AS iso,
+           to_char(o_orderdate, 'Q') || '-' || to_char(o_orderdate, 'WW')
+               || '-' || to_char(o_orderdate, 'IW')
+               || '-' || to_char(o_orderdate, 'D') AS parts
+    FROM orders
+    WHERE o_orderkey < 100
+    """,
+    # DuckDB has no to_char: rebuild each token from date parts
+    oracle="""
+    SELECT o_orderkey,
+           dayname(o_orderdate) || ', ' ||
+           lpad(CAST(day(o_orderdate) AS VARCHAR), 2, '0') ||
+           (CASE WHEN day(o_orderdate) % 100 IN (11,12,13) THEN 'th'
+                 WHEN day(o_orderdate) % 10 = 1 THEN 'st'
+                 WHEN day(o_orderdate) % 10 = 2 THEN 'nd'
+                 WHEN day(o_orderdate) % 10 = 3 THEN 'rd'
+                 ELSE 'th' END) || ' ' ||
+           rpad(monthname(o_orderdate), 9, ' ') || ' ' ||
+           lpad(CAST(year(o_orderdate) AS VARCHAR), 4, '0') AS pretty,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso,
+           CAST(quarter(o_orderdate) AS VARCHAR) || '-' ||
+           lpad(CAST((dayofyear(o_orderdate) - 1) // 7 + 1 AS VARCHAR),
+                2, '0') || '-' ||
+           lpad(CAST(weekofyear(o_orderdate) AS VARCHAR), 2, '0') || '-' ||
+           CAST(dayofweek(o_orderdate) + 1 AS VARCHAR) AS parts
+    FROM orders
+    WHERE o_orderkey < 100
+    """,
+)

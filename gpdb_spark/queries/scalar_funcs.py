@@ -553,8 +553,11 @@ def regexp_split_ordinality(spark, sf_dir):
 def array_any_all_ops(spark, sf_dir):
     """x = ANY(array) / x < ALL(array) quantified comparisons
     (arrayfuncs.c ANY/ALL; SURVEY.md §2.9 array family):
-    array_contains / forall. Empty-array ANY is false in both engines."""
+    array_contains / forall. Empty-array ANY is evaluated by the engine
+    (array_contains over a typed empty array — false, never NULL, in
+    both engines), not emitted as a constant."""
     n = t(spark, sf_dir, "nation")
+    empty = F.array().cast("array<bigint>")
     return n.select(
         "n_nationkey",
         F.array_contains(
@@ -564,5 +567,7 @@ def array_any_all_ops(spark, sf_dir):
             F.array(F.lit(10), F.lit(15), F.lit(20)),
             lambda v: F.col("n_nationkey") < v,
         ).alias("lt_all"),
-        F.lit(False).alias("any_empty"),
+        F.coalesce(
+            F.array_contains(empty, F.col("n_nationkey")), F.lit(False)
+        ).alias("any_empty"),
     )

@@ -205,6 +205,30 @@ def test_langid_structure(docs):
         assert r[f"score_{r.lang_pred}"] == r[f"score_{best}"]
 
 
+def test_jaccard_df_cutoff_bounds_candidates(spark):
+    """A near-universal shingle must not explode the candidate-pair count:
+    with the document-frequency cutoff, one hot token shared by ALL docs
+    produces ZERO candidate pairs (its posting list is dropped), keeping
+    the inverted-index join O(n) instead of O(n^2) — the 100 TB skew
+    mitigation the docstring promises."""
+    from gpdb_spark.datapipe.dedup import jaccard_pairs
+
+    n = 60
+    rows = [(i, f"the unique{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # without the cutoff the universal token pairs every doc with every
+    # other: the quadratic blowup
+    assert jaccard_pairs(df, threshold=0.0).count() == n * (n - 1) // 2
+    # with it, the hot posting list is dropped and nothing intersects
+    assert (
+        jaccard_pairs(df, threshold=0.0, max_df_frac=0.1).count() == 0
+    )
+    # exact-parity mode (None): each pair shares only "the", jaccard
+    # = 1/3, so a 0.4 threshold still filters them all
+    assert jaccard_pairs(df, threshold=0.4).count() == 0
+
+
 def test_approx_count_distinct_error(spark, sf_dir):
     from gpdb_spark.registry import QUERIES
     import gpdb_spark.queries  # noqa: F401

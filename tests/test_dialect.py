@@ -49,14 +49,49 @@ def test_order_by_nulls():
 def test_functions():
     assert "current_timestamp()" in translate("select now()")
     assert "unix_timestamp(ts)" in translate("select extract(epoch from ts) from t")
-    assert "date_format(ts, 'yyyy-MM-dd')" in translate(
-        "select to_char(ts, 'YYYY-MM-DD') from t"
-    )
+    # to_char now expands formatting.c tokens to explicit expressions
+    out_tc = translate("select to_char(ts, 'YYYY-MM-DD') from t")
+    assert "year((ts))" in out_tc and "lpad" in out_tc
     out = translate("select string_agg(x, ',' order by x) from t")
     assert "listagg(x, ',')" in out and "WITHIN GROUP(order by x NULLS LAST)" in out.replace(
         "GROUP (", "GROUP("
     )
     assert "instr(" in translate("select strpos(a, 'x') from t")
+
+
+def test_qualified_operands():
+    assert "CAST(o.o_orderkey AS STRING)" in translate(
+        "SELECT o.o_orderkey::text FROM orders o"
+    )
+    assert "NOT(a.b RLIKE 'x')" in translate(
+        "SELECT * FROM t a WHERE a.b !~ 'x'"
+    ).replace("NOT (", "NOT(")
+    assert "CAST(a AS STRING)" in translate("SELECT a::varchar(10) FROM t")
+    assert "CAST(a AS STRING)" in translate(
+        "SELECT a::character varying(10) FROM t"
+    )
+
+
+def test_json_arrows():
+    out = translate("SELECT meta -> 'user' ->> 'name' FROM d")
+    assert "get_json_object(get_json_object(meta, '$.user'), '$.name')" in out
+    assert "get_json_object(j, '$[0]')" in translate("SELECT j -> 0 FROM t")
+    assert "get_json_object(m, '$.a.b[1]')" in translate(
+        "SELECT m #> '{a,b,1}' FROM t"
+    )
+
+
+def test_int_division():
+    ic = frozenset({"o_orderkey", "o_custkey"})
+    assert "o_orderkey div 7" in translate("SELECT o_orderkey / 7 FROM o", ic)
+    assert "o_orderkey div o_custkey" in translate(
+        "SELECT o_orderkey / o_custkey FROM o", ic
+    )
+    # double column stays double division
+    assert "o_totalprice / 4" in translate("SELECT o_totalprice / 4 FROM o", ic)
+    # integer CASTs count as integral
+    assert "div" in translate("SELECT a::int8 / b::int4 FROM t")
+    assert "7 div 2" in translate("SELECT 7 / 2")
 
 
 def test_generate_series_from():

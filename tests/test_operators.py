@@ -65,6 +65,30 @@ def test_asof_join_matches_pandas_merge_asof(spark, seed):
     assert got_set == want_set
 
 
+def test_asof_join_null_value_from_latest_row(spark):
+    """Row-wise semantics: when the LATEST matching right row has NULL in
+    a value column, the output must carry that NULL — not a non-NULL value
+    from an older right row (per-column fill would leak stale values)."""
+    from gpdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100.0)], "k int, ts double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, 10.0, 5.0, "old"), (1, 50.0, None, "new")],
+        "k int, ts double, rval double, tag string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = asof_join(left, right, on="ts", by="k").collect()[0]
+    assert row.tag == "new"
+    assert row.rval is None  # from the matched row, not the older one
+
+    # tolerance must be judged against the matched row's own ts
+    row2 = asof_join(
+        left, right, on="ts", by="k", tolerance_seconds=60.0
+    ).collect()[0]
+    assert row2.tag == "new" and row2.rval is None
+
+
 def test_add_sequence_dense(spark, sf_dir):
     """Sequence ids must be exactly start..start+N-1 (dense, unique),
     with only O(num_partitions) driver traffic."""
