@@ -33,11 +33,13 @@ DRIVER_PRIORITY: list[str] = [
     # round-1 failures, fixed this round
     "percentile_multi",
     "approx_count_distinct_hll",
-    # new round-2 dialect features (VERDICT "missing" #1-#4)
+    # new round-2 features (VERDICT "missing" #1-#5, #7-#9)
     "pg_int_division",
     "pg_json_arrows",
     "pg_recursive_series",
     "pg_to_char_patterns",
+    "range_type_ops",
+    "external_program_scan",
     # one representative per previously-unchecked family
     "setop_except_all",
     "join_notin_nullaware",

@@ -297,34 +297,51 @@ def minhash_dedup_clusters(
     # diameter is tiny in practice.
     memb = _banded(sig, k, bands).persist()
     # labels start as the identity map, realized implicitly by round 0's
-    # bucket-min (no separate distinct/materialize job). Labels only ever
-    # decrease, so sum(label) strictly decreases on any change — a scalar
-    # aggregate per round replaces a join-based diff.
+    # bucket-min (no separate distinct/materialize job). Convergence is
+    # detected INSIDE each round's aggregation: the previous label rides
+    # along through the join, so n_changed = sum(new != old) comes out of
+    # the same action — no extra confirmation round. Typical dup clusters
+    # are bucket-cliques that settle in round 1, so this halves the
+    # round count (the round-1 check used to require a full round 2).
     labels = None
-    prev_sum = None
     for it in range(max_iter):
-        bucket_lbl = (
-            # round 0 labels are the identity map — min(id) per bucket
-            # directly, skipping a join-shuffle
-            memb.groupBy("band", "bucket").agg(F.min("id").alias("blbl"))
-            if it == 0
-            else memb.join(labels, "id")
-            .groupBy("band", "bucket")
-            .agg(F.min("label").alias("blbl"))
-        )
+        if it == 0:
+            bucket_lbl = memb.groupBy("band", "bucket").agg(
+                F.min("id").alias("blbl")
+            )
+            joined = memb.join(bucket_lbl, ["band", "bucket"]).select(
+                "id", "blbl", F.col("id").alias("old")
+            )
+        else:
+            bucket_lbl = (
+                memb.join(labels, "id")
+                .groupBy("band", "bucket")
+                .agg(F.min("label").alias("blbl"))
+            )
+            joined = (
+                memb.join(bucket_lbl, ["band", "bucket"])
+                .join(labels, "id")
+                .select("id", "blbl", F.col("label").alias("old"))
+            )
         new_labels = (
-            memb.join(bucket_lbl, ["band", "bucket"])
-            .groupBy("id")
-            .agg(F.min("blbl").alias("label"))
+            joined.groupBy("id")
+            .agg(
+                F.min("blbl").alias("label"),
+                F.min("old").alias("__old"),
+            )
             .persist()
         )
-        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        n_changed = (
+            new_labels.agg(
+                F.sum((F.col("label") != F.col("__old")).cast("long"))
+            ).collect()[0][0]
+            or 0
+        )
         if labels is not None:
             labels.unpersist()
         labels = new_labels
-        if cur_sum == prev_sum:
+        if n_changed == 0:
             break
-        prev_sum = cur_sum
     memb.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("keep_id"))
 

@@ -74,3 +74,87 @@ def write_external_csv(df: DataFrame, path: str, header: bool = True) -> None:
     """WRITABLE EXTERNAL TABLE: parallel unload (each task writes its
     split — the gpfdist-writer analog)."""
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def read_external_program(
+    spark: SparkSession,
+    command: str,
+    schema: StructType,
+    n_segments: int | None = None,
+    delimiter: str = ",",
+    reject_limit: int | None = None,
+) -> ExternalReadResult:
+    """CREATE EXTERNAL TABLE ... EXECUTE 'command' / COPY FROM PROGRAM
+    (reference: command-pipe external source, url_execute.c; EXECUTE
+    grammar in gram.y).
+
+    The reference runs the command once per segment with GP_SEGMENT_ID /
+    GP_SEGMENT_COUNT in the environment so the program can emit its
+    shard. Spark mapping: a one-row-per-segment seed, repartitioned so
+    each command runs in its own task ON AN EXECUTOR (distributed, not a
+    driver pipe), stdout captured as lines, then the same PERMISSIVE
+    CSV parse + SREH accounting as the file reader. Scale shape: the
+    seed is n_segments rows; all data flows executor-side.
+    """
+    import pandas as _pd
+
+    n = n_segments or spark.sparkContext.defaultParallelism
+    seed = spark.range(n).repartition(n, "id")
+
+    def run_cmd(batches):
+        import os
+        import subprocess
+
+        for pdf in batches:
+            for seg in pdf["id"].tolist():
+                env = dict(
+                    os.environ,
+                    GP_SEGMENT_ID=str(seg),
+                    GP_SEGMENT_COUNT=str(n),
+                )
+                proc = subprocess.run(
+                    command,
+                    shell=True,
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                )
+                lines = [
+                    ln for ln in proc.stdout.splitlines() if ln.strip()
+                ]
+                yield _pd.DataFrame({"line": lines})
+
+    raw_lines = seed.mapInPandas(run_cmd, "line string")
+    full = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
+    # from_csv takes a DDL string, not a StructType
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in full.fields
+    )
+    parsed = raw_lines.select(
+        F.from_csv(
+            F.col("line"),
+            ddl,
+            {
+                "sep": delimiter,
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": "_corrupt_record",
+            },
+        ).alias("r")
+    ).cache()
+    names = [f.name for f in schema.fields]
+    corrupt = F.col("r._corrupt_record")
+    errors = parsed.where(corrupt.isNotNull()).select(
+        corrupt.alias("_corrupt_record")
+    )
+    good = parsed.where(corrupt.isNull()).select(
+        *[F.col(f"r.{fname}").alias(fname) for fname in names]
+    )
+    n_rejected = errors.count()
+    if reject_limit is not None and n_rejected > reject_limit:
+        raise RejectLimitExceeded(
+            f"{n_rejected} rejected rows > SEGMENT REJECT LIMIT {reject_limit}"
+        )
+    return ExternalReadResult(good=good, errors=errors, n_rejected=n_rejected)

@@ -182,3 +182,32 @@ def mapreduce_pipeline(spark, sf_dir):
             "reduce": {"keys": ["lang", "bucket"], "builtin": {"bucket": "count"}},
         },
     )
+
+
+@query(
+    "external_program_scan",
+    # each of the 4 "segments" emits its own shard of 0..39 — the
+    # command-pipe external source (url_execute.c; EXECUTE external
+    # tables). DuckDB oracle: the same series from generate_series.
+    oracle="""
+    SELECT unnest(generate_series(0, 39)) AS n,
+           unnest(generate_series(0, 39)) % 4 AS seg
+    """,
+)
+def external_program_scan(spark, sf_dir):
+    """CREATE EXTERNAL TABLE ... EXECUTE 'cmd': the command runs once per
+    segment executor-side with GP_SEGMENT_ID set, emitting its shard
+    (operators/external.py read_external_program; reference
+    src/backend/access/external/url_execute.c)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from gpdb_spark.operators.external import read_external_program
+
+    schema = StructType(
+        [StructField("n", LongType()), StructField("seg", LongType())]
+    )
+    cmd = (
+        'i=$GP_SEGMENT_ID; while [ $i -le 39 ]; '
+        'do echo "$i,$GP_SEGMENT_ID"; i=$((i+4)); done'
+    )
+    return read_external_program(spark, cmd, schema, n_segments=4).good

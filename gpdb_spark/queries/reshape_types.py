@@ -143,3 +143,56 @@ def svec_sparsify_stats(spark, sf_dir):
         SV.svec_nnz(sv).alias("nnz"),
         F.round(SV.svec_l2norm(sv), 6).alias("sparse_norm"),
     )
+
+
+@query(
+    "range_type_ops",
+    # PG range semantics spelled out on explicit lo/hi columns (DuckDB has
+    # no PG range type): r1 = [ck-50, ck+50) half-open, r2 = [m, m+80]
+    # closed, x = o_orderkey % 120.
+    oracle="""
+    WITH r AS (
+        SELECT o_orderkey,
+               o_custkey - 50 AS lo1, o_custkey + 50 AS hi1,
+               o_orderkey % 100 AS lo2, o_orderkey % 100 + 80 AS hi2,
+               o_orderkey % 120 AS x
+        FROM orders WHERE o_orderkey > 0 AND o_orderkey < 500
+    )
+    SELECT o_orderkey,
+           (lo1 <= hi2 AND lo2 < hi1) AS overlaps,
+           (lo1 <= x AND x < hi1) AS elem_in,
+           (lo1 <= lo2 AND hi1 > hi2) AS contains_r2,
+           CASE WHEN lo1 <= hi2 AND lo2 < hi1
+                THEN greatest(lo1, lo2) END AS inter_lo,
+           CASE WHEN lo1 <= hi2 AND lo2 < hi1
+                THEN least(hi1, hi2) END AS inter_hi,
+           NOT (lo1 <= hi2 AND lo2 < hi1) AS inter_empty
+    FROM r
+    """,
+)
+def range_type_ops(spark, sf_dir):
+    """PG range type + operators (rangetypes.c: @> && * lower upper
+    isempty) as typed structs with pure JVM expressions
+    (functions/ranges.py). Range-keyed JOINs reuse the binned equi-join
+    (operators/range_join.py) with these as the residual filter."""
+    from gpdb_spark.functions import ranges as R
+
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderkey") > 0) & (F.col("o_orderkey") < 500)
+    )
+    r1 = R.range_make(
+        F.col("o_custkey") - 50, F.col("o_custkey") + 50, "[)"
+    )
+    m = F.col("o_orderkey") % 100
+    r2 = R.range_make(m, m + 80, "[]")
+    x = F.col("o_orderkey") % 120
+    inter = R.range_intersect(r1, r2)
+    return o.select(
+        "o_orderkey",
+        R.range_overlaps(r1, r2).alias("overlaps"),
+        R.range_contains_elem(r1, x).alias("elem_in"),
+        R.range_contains(r1, r2).alias("contains_r2"),
+        R.range_lower(inter).alias("inter_lo"),
+        R.range_upper(inter).alias("inter_hi"),
+        R.range_is_empty(inter).alias("inter_empty"),
+    )

@@ -127,3 +127,44 @@ def test_named_timezone_dst(spark):
     )
     assert got == want
     assert got[0].hour == 7 and got[1].hour == 8  # EST -5, EDT -4
+
+
+def test_range_type_semantics(spark):
+    """rangetypes.c edge semantics: emptiness, unbounded sides,
+    inclusive/exclusive touching, intersection emptiness."""
+    from gpdb_spark.functions import ranges as R
+
+    df = spark.range(1)
+
+    def val(col):
+        return df.select(col.alias("v")).collect()[0].v
+
+    def rng(lo, hi, bounds="[)"):
+        mk = lambda x: F.lit(x).cast("double") if x is not None else F.lit(None).cast("double")
+        return R.range_make(mk(lo), mk(hi), bounds)
+
+    # emptiness: lo > hi, or lo = hi unless []
+    assert val(R.range_is_empty(rng(5, 3)))
+    assert val(R.range_is_empty(rng(4, 4, "[)")))
+    assert not val(R.range_is_empty(rng(4, 4, "[]")))
+    # unbounded sides are never empty and contain accordingly
+    assert not val(R.range_is_empty(rng(None, 3)))
+    assert val(R.range_contains_elem(rng(None, 3), F.lit(-1e9)))
+    assert val(R.range_contains_elem(rng(3, None), F.lit(1e9)))
+    # element containment honors bound inclusivity
+    assert val(R.range_contains_elem(rng(1, 2, "[]"), F.lit(2.0)))
+    assert not val(R.range_contains_elem(rng(1, 2, "[)"), F.lit(2.0)))
+    # touching ranges overlap only when both touching bounds inclusive
+    assert val(R.range_overlaps(rng(1, 2, "[]"), rng(2, 3, "[]")))
+    assert not val(R.range_overlaps(rng(1, 2, "[)"), rng(2, 3, "[]")))
+    # containment: empty contained in everything; unbounded contains all
+    assert val(R.range_contains(rng(5, 3), rng(7, 6)))
+    assert val(R.range_contains(rng(0, 10), rng(5, 3)))
+    assert val(R.range_contains(rng(None, None), rng(-1e6, 1e6, "[]")))
+    assert not val(R.range_contains(rng(0, 10, "[)"), rng(5, 10, "[]")))
+    # intersection of disjoint ranges is empty; overlap keeps bounds
+    assert val(R.range_is_empty(R.range_intersect(rng(0, 1), rng(2, 3))))
+    inter = R.range_intersect(rng(0, 5, "[]"), rng(3, 9, "[)"))
+    assert val(R.range_lower(inter)) == 3.0
+    assert val(R.range_upper(inter)) == 5.0
+    assert not val(R.range_is_empty(inter))

@@ -167,6 +167,43 @@ def test_external_csv_sreh(tmp_path, spark):
     assert back.count() == 3
 
 
+def test_external_program_sreh(spark):
+    """EXECUTE 'command' external source (url_execute.c analog): each
+    segment's command runs executor-side with GP_SEGMENT_ID, emits its
+    shard; bad rows divert to the error log (SREH) under the reject
+    limit and raise above it."""
+    from gpdb_spark.operators.external import (
+        RejectLimitExceeded,
+        read_external_program,
+    )
+
+    schema = StructType(
+        [
+            StructField("seg", LongType()),
+            StructField("n", LongType()),
+            StructField("label", StringType()),
+        ]
+    )
+    # 3 good rows per segment plus one corrupt row from segment 0
+    cmd = (
+        'for i in 1 2 3; do echo "$GP_SEGMENT_ID,$i,seg$GP_SEGMENT_ID"; '
+        'done; if [ "$GP_SEGMENT_ID" = "0" ]; then echo "oops,not_a_number"; fi'
+    )
+    res = read_external_program(
+        spark, cmd, schema, n_segments=4, reject_limit=2
+    )
+    rows = res.good.collect()
+    assert len(rows) == 12
+    assert {r.seg for r in rows} == {0, 1, 2, 3}  # ran per segment
+    assert res.n_rejected == 1
+    assert res.errors.count() == 1
+
+    with pytest.raises(RejectLimitExceeded):
+        read_external_program(
+            spark, cmd, schema, n_segments=4, reject_limit=0
+        )
+
+
 def test_bucketed_join_is_exchange_free(spark, sf_dir):
     """Two tables bucketed on the same key join WITHOUT any shuffle — the
     reference's segment-local join on matching distribution keys
