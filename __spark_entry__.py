@@ -40,6 +40,8 @@ DRIVER_PRIORITY: list[str] = [
     "pg_to_char_patterns",
     "range_type_ops",
     "external_program_scan",
+    "pg_to_char_numeric",
+    "pg_parse_funcs",
     # one representative per previously-unchecked family
     "setop_except_all",
     "join_notin_nullaware",

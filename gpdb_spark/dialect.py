@@ -446,6 +446,49 @@ _FN_RENAME = {
     "octet_length": "octet_length",
 }
 
+# DCH parse tokens -> Java datetime parse patterns (to_date/to_timestamp;
+# formatting.c DCH_from_char). Longest-first. Only position-determinate
+# tokens — name-based parsing (Month/Day) maps to Java month/day names.
+_DCH_PARSE = [
+    ("YYYY", "yyyy"),
+    ("HH24", "HH"),
+    ("HH12", "hh"),
+    ("Month", "MMMM"),
+    ("month", "MMMM"),
+    ("MONTH", "MMMM"),
+    ("Mon", "MMM"),
+    ("mon", "MMM"),
+    ("MON", "MMM"),
+    ("YY", "yy"),
+    ("MM", "MM"),
+    ("DD", "dd"),
+    ("HH", "hh"),
+    ("MI", "mm"),
+    ("SS", "ss"),
+    ("MS", "SSS"),
+]
+
+
+def _dch_parse_pattern(lit: str) -> str | None:
+    """Translate a PG to_date/to_timestamp pattern literal to a Java
+    parse pattern; None when an unsupported token remains."""
+    body = lit[1:-1]
+    out = []
+    i = 0
+    while i < len(body):
+        for pg, java in _DCH_PARSE:
+            if body.startswith(pg, i):
+                out.append(java)
+                i += len(pg)
+                break
+        else:
+            ch = body[i]
+            if ch.isalpha():
+                return None  # unknown format letter — don't mistranslate
+            out.append(ch)
+            i += 1
+    return "'" + "".join(out) + "'"
+
 
 def _pass_functions(tokens: list[str]) -> list[str]:
     out: list[str] = []
@@ -533,6 +576,47 @@ def _pass_functions(tokens: list[str]) -> list[str]:
                 out += ["listagg"] + tokens[i + 1 : k + 1]
             i = k + 1
             continue
+        # to_date(s,'fmt') / to_timestamp(s,'fmt'): translate the DCH
+        # pattern; to_number(s,'fmt'): strip non-numeric chars and cast
+        if low in ("to_date", "to_timestamp", "to_number") and nxt == "(":
+            depth, k = 0, i + 1
+            last_comma = None
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif tokens[k] == "," and depth == 1:
+                    last_comma = k
+                k += 1
+            if last_comma and tokens[last_comma + 1].startswith("'"):
+                operand = tokens[i + 2 : last_comma]
+                fmt_lit = tokens[last_comma + 1]
+                if low == "to_number":
+                    # formatting.c NUM input: ignore grouping/currency,
+                    # keep digits, sign and decimal point
+                    dec = (
+                        len(fmt_lit) - 1 - max(
+                            fmt_lit.rfind("D"), fmt_lit.rfind(".")
+                        ) - 1
+                        if ("D" in fmt_lit or "." in fmt_lit)
+                        else 0
+                    )
+                    out += (
+                        ["CAST", "(", "regexp_replace", "("]
+                        + operand
+                        + [",", "'[^0-9.+-]'", ",", "''", ")", "AS",
+                           f"DECIMAL(38,{dec})", ")"]
+                    )
+                    i = k + 1
+                    continue
+                jfmt = _dch_parse_pattern(fmt_lit)
+                if jfmt is not None:
+                    out += [low, "("] + operand + [",", jfmt, ")"]
+                    i = k + 1
+                    continue
         if low in _FN_RENAME and nxt == "(":
             out.append(_FN_RENAME[low])
             i += 1

@@ -150,6 +150,24 @@ class _SqlOps:
     def rpad(self, x, n, pad):
         return f"rpad({x}, {n}, '{pad}')"
 
+    def lt(self, a, b):
+        return f"({a}) < ({b})"
+
+    def gt(self, a, b):
+        return f"({a}) > ({b})"
+
+    def cast(self, x, t):
+        return f"CAST({x} AS {t})"
+
+    def rstrip_zeros(self, x):
+        return f"regexp_replace({x}, '0+$', '')"
+
+    def rstrip_dot(self, x):
+        return f"regexp_replace({x}, '\\\\.$', '')"
+
+    def after_dot(self, s):
+        return f"substring_index({s}, '.', -1)"
+
 
 class _ColOps:
     """Render formatting primitives as Column trees."""
@@ -203,6 +221,24 @@ class _ColOps:
 
     def rpad(self, x, n, pad):
         return F.rpad(x, n, pad)
+
+    def lt(self, a, b):
+        return a < b
+
+    def gt(self, a, b):
+        return a > b
+
+    def cast(self, x, t):
+        return x.cast(t)
+
+    def rstrip_zeros(self, x):
+        return F.regexp_replace(x, "0+$", "")
+
+    def rstrip_dot(self, x):
+        return F.regexp_replace(x, "\\.$", "")
+
+    def after_dot(self, s):
+        return F.substring_index(s, ".", -1)
 
 
 def _pad_name(o, x, fm):
@@ -363,18 +399,171 @@ def _render_to_char(o, e, pattern: str):
     return o.concat(parts)
 
 
+# ---------------------------------------------------------------------------
+# numeric to_char (formatting.c NUM_* — '999D99', '0999', S/MI/PR, G, FM)
+# ---------------------------------------------------------------------------
+
+
+def _parse_num_pattern(pattern: str) -> dict | None:
+    """Parse a numeric to_char pattern. Returns None if it isn't one
+    (then the datetime renderer applies)."""
+    p = pattern
+    fm = False
+    if p.startswith(("FM", "fm")):
+        fm = True
+        p = p[2:]
+    sign = "default"
+    if p.startswith("S"):
+        sign = "s_lead"
+        p = p[1:]
+    elif p.endswith("S"):
+        sign = "s_trail"
+        p = p[:-1]
+    elif p.endswith("MI"):
+        sign = "mi"
+        p = p[:-2]
+    elif p.endswith("PR"):
+        sign = "pr"
+        p = p[:-2]
+    int_digits: list[str] = []
+    dec_digits: list[str] = []
+    grouping = False
+    in_dec = False
+    for ch in p:
+        if ch in "90":
+            (dec_digits if in_dec else int_digits).append(ch)
+        elif ch in ("D", "."):
+            if in_dec:
+                return None
+            in_dec = True
+        elif ch in ("G", ","):
+            grouping = True
+        else:
+            return None  # not a numeric pattern
+    if not int_digits:
+        return None
+    return {
+        "fm": fm,
+        "sign": sign,
+        "w": len(int_digits),
+        "zp": (
+            len(int_digits) - int_digits.index("0")
+            if "0" in int_digits
+            else 0
+        ),
+        "d": len(dec_digits),
+        "grouping": grouping,
+    }
+
+
+def _render_to_char_num(o, x, spec: dict):
+    """formatting.c NUM semantics: right-aligned in a fixed width with a
+    sign slot, '0' zero-fill, '9' space-fill, G grouping every 3, D
+    decimals zero-filled (FM strips padding + trailing decimal zeros),
+    '#'-fill on integer overflow of the pattern width."""
+    w, d, zp = spec["w"], spec["d"], spec["zp"]
+    fm, grouping, sign = spec["fm"], spec["grouping"], spec["sign"]
+
+    neg = o.lt(x, 0)
+    rounded = o.cast(
+        o.fn("round", o.fn("abs", x), d), f"decimal(38,{d})"
+    )
+    int_val = o.cast(o.fn("floor", rounded), "decimal(38,0)")
+    int_str = o.cast(int_val, "string")
+    if zp:
+        int_str = o.lpad(int_str, zp, "0")
+    if grouping:
+        int_str = o.fn("format_number", int_val, 0)
+    if fm and not zp and d:
+        # FM suppresses a zero integer part next to decimals: '.1' not '0.1'
+        int_str = o.when_chain(
+            [(o.eq(int_val, 0), o.lit(""))], int_str
+        )
+    if d:
+        # decimal(38,d) renders with exactly d decimals ("123.40"); the
+        # digits after the point are already zero-filled
+        dec_str = o.after_dot(o.cast(rounded, "string"))
+        if fm:
+            dec_str = o.rstrip_zeros(dec_str)
+        body = o.concat([int_str, o.lit("."), dec_str])
+        if fm:
+            body = o.rstrip_dot(body)
+    else:
+        body = int_str
+
+    # '#' fill when the integer part overflows the pattern width
+    # (formatting.c fills every digit/decimal position with '#'; the sign
+    # slot stays a space via the normal assembly below)
+    n_seps = (w - 1) // 3 if grouping else 0
+    int_w = w + n_seps
+    total_w = int_w + ((1 + d) if d else 0)
+    overflow = o.gt(o.fn("length", o.cast(int_val, "string")), w)
+    body = o.when_chain([(overflow, o.lit("#" * total_w))], body)
+
+    minus = o.lit("-")
+    plus = o.lit("+")
+    space = o.lit(" ")
+    empty = o.lit("")
+    # sign is attached ADJACENT to the digits; space padding goes outside
+    # (' -48', ' +48', '  48-', ' <48>')
+    if sign == "s_lead":
+        out = o.concat([o.when_chain([(neg, minus)], plus), body])
+        if not fm:
+            out = o.lpad(out, total_w + 1, " ")
+    elif sign == "s_trail":
+        out = body if fm else o.lpad(body, total_w, " ")
+        out = o.concat([out, o.when_chain([(neg, minus)], plus)])
+    elif sign == "mi":
+        out = body if fm else o.lpad(body, total_w, " ")
+        out = o.concat(
+            [out, o.when_chain([(neg, minus)], empty if fm else space)]
+        )
+    elif sign == "pr":
+        wrapped = o.concat([o.lit("<"), body, o.lit(">")])
+        if fm:
+            out = o.when_chain([(neg, wrapped)], body)
+        else:
+            out = o.when_chain(
+                [(neg, o.lpad(wrapped, total_w + 2, " "))],
+                o.concat([o.lpad(body, total_w + 1, " "), space]),
+            )
+    else:
+        out = o.concat(
+            [o.when_chain([(neg, minus)], empty), body]
+        )
+        if not fm:
+            # sign slot + right alignment: ' 485' / '-485' / ' -48'
+            out = o.lpad(out, total_w + 1, " ")
+    return out
+
+
+_DT_TOKEN_HINTS = (
+    "YY", "MM", "DD", "HH", "MI", "SS", "MS", "Mon", "Month", "Day", "Dy",
+    "AM", "PM", "am", "pm", "IW", "WW", "DDD", "mon", "month", "day", "dy",
+    "MON", "MONTH", "DAY", "DY", "Q",
+)
+
+
+def _render_any_to_char(o, e, pattern: str):
+    spec = _parse_num_pattern(pattern)
+    if spec is not None:
+        return _render_to_char_num(o, e, spec)
+    return _render_to_char(o, e, pattern)
+
+
 def to_char_sql(operand_sql: str, pattern: str) -> str:
     """Render PG to_char(operand, 'pattern') as a Spark SQL expression
     string — used by the dialect translator, which sees the pattern
-    literal at translate time."""
-    return _render_to_char(_SqlOps(), f"({operand_sql})", pattern)
+    literal at translate time. Dispatches numeric vs datetime patterns
+    like formatting.c's NUM/DCH split."""
+    return _render_any_to_char(_SqlOps(), f"({operand_sql})", pattern)
 
 
 def to_char(ts: Column | str, pg_pattern: str) -> Column:
-    """PG to_char(timestamp, pattern) — full-fidelity translation of the
-    common formatting.c tokens (see module comment)."""
+    """PG to_char(value, pattern) — datetime (DCH) and numeric (NUM)
+    formatting.c tokens (see module comments)."""
     ts = F.col(ts) if isinstance(ts, str) else ts
-    return _render_to_char(_ColOps(), ts, pg_pattern)
+    return _render_any_to_char(_ColOps(), ts, pg_pattern)
 
 
 def age_parts(a: Column | str, b: Column | str) -> Column:

@@ -207,3 +207,58 @@ _pg_query(
     WHERE o_orderkey < 100
     """,
 )
+
+
+_pg_query(
+    "pg_to_char_numeric",
+    # formatting.c NUM patterns: FM (strip padding + trailing zeros),
+    # zero-pad '0', grouping G, trailing MI sign. DuckDB has no to_char;
+    # the oracle rebuilds each from printf/format primitives.
+    """
+    SELECT o_orderkey,
+           to_char(o_totalprice, 'FM99999999D99') AS fm_price,
+           to_char(o_custkey, '0000000') AS pad_cust,
+           to_char(0 - o_totalprice, '99999999D99MI') AS neg_mi
+    FROM orders
+    WHERE o_orderkey < 300
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           rtrim(rtrim(printf('%.2f', round(o_totalprice, 2)), '0'), '.')
+               AS fm_price,
+           ' ' || lpad(CAST(o_custkey AS VARCHAR), 7, '0') AS pad_cust,
+           lpad(printf('%.2f', round(o_totalprice, 2)), 11, ' ') || '-'
+               AS neg_mi
+    FROM orders
+    WHERE o_orderkey < 300
+    """,
+)
+
+
+_pg_query(
+    "pg_parse_funcs",
+    # to_date / to_timestamp / to_number (formatting.c DCH/NUM input
+    # side): DCH patterns translate to Java parse patterns; to_number
+    # strips grouping and casts at the pattern's scale.
+    """
+    SELECT o_orderkey,
+           to_date(substr(o_orderdate::text, 1, 10), 'YYYY-MM-DD') AS d,
+           to_timestamp(substr(o_orderdate::text, 1, 10) || ' 06:30',
+                        'YYYY-MM-DD HH24:MI') AS ts,
+           to_number('1,234.56', '9G999D99') AS num,
+           to_number('-487', 'S999')::int8 AS neg
+    FROM orders
+    WHERE o_orderkey < 100
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           CAST(strptime(substr(CAST(o_orderdate AS VARCHAR), 1, 10),
+                         '%Y-%m-%d') AS DATE) AS d,
+           strptime(substr(CAST(o_orderdate AS VARCHAR), 1, 10)
+                    || ' 06:30', '%Y-%m-%d %H:%M') AS ts,
+           CAST(replace('1,234.56', ',', '') AS DECIMAL(38,2)) AS num,
+           CAST('-487' AS BIGINT) AS neg
+    FROM orders
+    WHERE o_orderkey < 100
+    """,
+)

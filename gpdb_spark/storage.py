@@ -49,6 +49,27 @@ class DistributionPolicy:
 
 
 @dataclass
+class RowTrigger:
+    """BEFORE ... FOR EACH ROW trigger (nodeRowTrigger.c:450), expressed
+    declaratively so it stays a JVM column projection (codegen) instead of
+    a per-row procedure call:
+
+    - ``assignments``: NEW.col := expr rewrites (BEFORE INSERT/UPDATE
+      body mutating NEW);
+    - ``skip_when``: rows where this predicate holds are skipped — the
+      trigger-returns-NULL convention (INSERT drops the row, UPDATE
+      keeps OLD, DELETE keeps the row);
+    - ``when``: the trigger's WHEN clause — assignments apply only where
+      it holds (default: all rows).
+    """
+
+    event: str  # 'insert' | 'update' | 'delete'
+    assignments: dict[str, Column] = field(default_factory=dict)
+    skip_when: Column | None = None
+    when: Column | None = None
+
+
+@dataclass
 class GpTable:
     """A parquet-backed table with distribution + partition metadata."""
 
@@ -58,6 +79,29 @@ class GpTable:
     compression: str = "snappy"
     num_buckets: int = 32
     sort_by: tuple[str, ...] = ()
+    row_triggers: list = field(default_factory=list)
+
+    def add_row_trigger(self, trigger: "RowTrigger") -> None:
+        """CREATE TRIGGER ... BEFORE event FOR EACH ROW."""
+        if trigger.event not in ("insert", "update", "delete"):
+            raise ValueError(f"bad trigger event {trigger.event!r}")
+        self.row_triggers.append(trigger)
+
+    def _triggers(self, event: str) -> list:
+        return [t for t in self.row_triggers if t.event == event]
+
+    @staticmethod
+    def _trigger_project(df: DataFrame, trig: "RowTrigger") -> DataFrame:
+        """Apply a trigger's NEW-row assignments (gated on WHEN)."""
+        gate = trig.when if trig.when is not None else F.lit(True)
+        return df.select(
+            *[
+                F.when(gate, trig.assignments[c]).otherwise(F.col(c)).alias(c)
+                if c in trig.assignments
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
 
     # -- DDL -----------------------------------------------------------------
 
@@ -138,15 +182,27 @@ class GpTable:
     # -- DML (copy-on-write rewrite) ----------------------------------------
 
     def insert_into(self, df: DataFrame) -> None:
-        """INSERT: append new files, placed per the distribution policy."""
+        """INSERT: append new files, placed per the distribution policy.
+        BEFORE INSERT row triggers fire first: skip_when drops rows,
+        assignments rewrite NEW."""
+        for trig in self._triggers("insert"):
+            if trig.skip_when is not None:
+                df = df.where(~F.coalesce(trig.skip_when, F.lit(False)))
+            if trig.assignments:
+                df = self._trigger_project(df, trig)
         self._write(df, mode="append")
 
     def delete_where(self, spark: SparkSession, cond: Column) -> int:
         """DELETE WHERE cond -> rewrite keeping the complement.
-        Returns number of rows deleted."""
+        BEFORE DELETE triggers with skip_when veto the deletion for
+        matching rows (trigger-returns-NULL). Returns rows deleted."""
         cur = spark.read.parquet(self.path)
         before = cur.count()
-        kept = cur.where(~cond | cond.isNull())
+        doomed = cond & ~cond.isNull()
+        for trig in self._triggers("delete"):
+            if trig.skip_when is not None:
+                doomed = doomed & ~F.coalesce(trig.skip_when, F.lit(False))
+        kept = cur.where(~doomed | doomed.isNull())
         self._rewrite(kept)
         return before - spark.read.parquet(self.path).count()
 
@@ -156,17 +212,35 @@ class GpTable:
         """UPDATE SET col=expr WHERE cond -> full-table rewrite with
         CASE-projection. Changing a distkey column is safe: the rewrite
         re-places every row (the reference needs SplitUpdate,
-        nodeSplitUpdate.c:124, to do this as delete+insert motions)."""
+        nodeSplitUpdate.c:124, to do this as delete+insert motions).
+        BEFORE UPDATE triggers: skip_when keeps OLD for matching rows;
+        assignments rewrite NEW on top of the SET clause."""
+        upd = cond
+        for trig in self._triggers("update"):
+            if trig.skip_when is not None:
+                upd = upd & ~F.coalesce(trig.skip_when, F.lit(False))
         cur = spark.read.parquet(self.path)
-        n = cur.where(cond).count()
-        updated = cur.select(
-            *[
-                F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
-                if c in assignments
-                else F.col(c)
-                for c in cur.columns
-            ]
-        )
+        n = cur.where(upd).count()
+
+        # one projection over OLD values: trigger assignments take
+        # precedence over SET for their columns (both gates are evaluated
+        # against the OLD row, PG's OLD/WHEN semantics)
+        def new_value(c: str) -> Column:
+            branches: list[tuple[Column, Column]] = []
+            for trig in self._triggers("update"):
+                if c in trig.assignments:
+                    gate = upd if trig.when is None else (upd & trig.when)
+                    branches.append((gate, trig.assignments[c]))
+            if c in assignments:
+                branches.append((upd, assignments[c]))
+            if not branches:
+                return F.col(c)
+            expr = F.when(*branches[0])
+            for gate, val in branches[1:]:
+                expr = expr.when(gate, val)
+            return expr.otherwise(F.col(c)).alias(c)
+
+        updated = cur.select(*[new_value(c) for c in cur.columns])
         self._rewrite(updated)
         return n
 

@@ -162,3 +162,40 @@ def test_cast_binds_past_filter_clause():
 
     out = translate("SELECT count(*) FILTER (WHERE x = 1)::int8 AS n FROM t")
     assert "CAST(count(*) FILTER(WHERE x = 1) AS BIGINT)" in out.replace("  ", " "), out
+
+
+def test_to_char_numeric_pg_examples(spark):
+    """formatting.c NUM documented examples (PG manual Table 9.28)."""
+    from gpdb_spark.functions.pg import to_char
+
+    cases = [
+        (485, "999", " 485"),
+        (-485, "999", "-485"),
+        (-48, "999", " -48"),
+        (485, "0999", " 0485"),
+        (1485, "9G999", " 1,485"),
+        (148.5, "999D999", " 148.500"),
+        (148.5, "FM999D999", "148.5"),
+        (148.0, "FM999D999", "148"),
+        (-485, "999S", "485-"),
+        (-485, "999MI", "485-"),
+        (485, "999MI", "485 "),
+        (485, "S999", "+485"),
+        (-48, "S999", " -48"),
+        (-485, "999PR", "<485>"),
+        (485, "999PR", " 485 "),
+        (12345, "999", " ###"),
+        (0.1, "FM9D9", ".1"),
+        (1234567.891, "9G999G999D99", " 1,234,567.89"),
+    ]
+    df = spark.range(1)
+    from pyspark.sql import functions as F
+
+    exprs = [
+        to_char(F.lit(float(v)), pat).alias(f"c{i}")
+        for i, (v, pat, _) in enumerate(cases)
+    ]
+    row = df.select(*exprs).collect()[0]
+    for i, (v, pat, want) in enumerate(cases):
+        got = row[f"c{i}"]
+        assert got == want, f"to_char({v}, {pat!r}) = {got!r}, want {want!r}"

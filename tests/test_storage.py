@@ -131,6 +131,66 @@ def test_update_set_including_distkey(tmp_path, spark, nation_df):
     assert back.where(F.col("n_regionkey") == 99).count() == want
 
 
+def test_row_triggers(tmp_path, spark, nation_df):
+    """BEFORE row triggers (nodeRowTrigger.c:450): INSERT rewrites NEW /
+    drops skipped rows; UPDATE's skip_when keeps OLD and its assignments
+    override SET; DELETE's skip_when vetoes the deletion."""
+    from gpdb_spark.storage import RowTrigger
+
+    t = GpTable.create(
+        nation_df, str(tmp_path / "nation_trig"),
+        distributed_by=["n_nationkey"], num_buckets=2,
+    )
+    # BEFORE INSERT: uppercase the name, drop region-4 rows
+    t.add_row_trigger(RowTrigger(
+        event="insert",
+        assignments={"n_name": F.upper(F.col("n_name"))},
+        skip_when=F.col("n_regionkey") == 4,
+    ))
+    extra = nation_df.select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"),
+        F.lower(F.col("n_name")).alias("n_name"),
+        "n_regionkey",
+    )
+    n4 = nation_df.where(F.col("n_regionkey") == 4).count()
+    t.insert_into(extra)
+    back = t.read(spark)
+    assert back.count() == 2 * nation_df.count() - n4
+    inserted = back.where(F.col("n_nationkey") >= 100)
+    assert inserted.where(F.col("n_regionkey") == 4).count() == 0
+    assert inserted.where(F.col("n_name") != F.upper(F.col("n_name"))).count() == 0
+
+    # BEFORE UPDATE: veto updates of region 0; stamp names elsewhere
+    t.add_row_trigger(RowTrigger(
+        event="update",
+        assignments={"n_name": F.concat(F.lit("T_"), F.col("n_name"))},
+        skip_when=F.col("n_regionkey") == 0,
+    ))
+    n_upd = t.update_set(
+        spark,
+        F.col("n_nationkey") < 100,
+        {"n_regionkey": F.col("n_regionkey") + 10},
+    )
+    back = t.read(spark)
+    orig_r0 = nation_df.where(F.col("n_regionkey") == 0).count()
+    assert n_upd == nation_df.count() - orig_r0
+    # vetoed rows unchanged (region stays 0): the originals (vetoed) plus
+    # the inserted copies (outside the UPDATE's WHERE)
+    assert back.where(F.col("n_regionkey") == 0).count() == 2 * orig_r0
+    n_stamped = back.where(F.col("n_name").startswith("T_")).count()
+    assert n_stamped == n_upd
+    n_before = back.count()
+
+    # BEFORE DELETE: protect the stamped rows
+    t.add_row_trigger(RowTrigger(
+        event="delete", skip_when=F.col("n_name").startswith("T_"),
+    ))
+    n_del = t.delete_where(spark, F.col("n_nationkey") < 100)
+    back2 = t.read(spark)
+    assert back2.where(F.col("n_name").startswith("T_")).count() == n_stamped
+    assert n_del == n_before - back2.count()
+
+
 def test_external_csv_sreh(tmp_path, spark):
     from gpdb_spark.operators.external import (
         RejectLimitExceeded,
