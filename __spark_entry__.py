@@ -42,6 +42,7 @@ DRIVER_PRIORITY: list[str] = [
     "external_program_scan",
     "pg_to_char_numeric",
     "pg_parse_funcs",
+    "events_interval_join",
     # one representative per previously-unchecked family
     "setop_except_all",
     "join_notin_nullaware",

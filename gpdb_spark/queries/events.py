@@ -251,3 +251,49 @@ def events_asof_join(spark, sf_dir):
         F.round(F.col("vvalue"), 6).alias("view_value"),
         "ts_right",
     )
+
+
+@query(
+    "events_interval_join",
+    oracle="""
+    SELECT l.user_id, l.ts AS l_ts, r.ts AS r_ts,
+           round(l.value, 6) AS l_value, round(r.value, 6) AS r_value
+    FROM events l
+    JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'purchase'
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 15 MINUTE
+    """,
+)
+def events_interval_join(spark, sf_dir):
+    """Batch twin of the stream-stream interval join (click x purchase
+    within 15 min per user, streaming/events_stream.py
+    stream_stream_interval_join): equi-key on user_id carries the
+    shuffle, the time bound is a residual filter — so this plans as a
+    shuffled hash join, not a nested loop, and the identical condition
+    bounds streaming join state via watermarks."""
+    e = t(spark, sf_dir, "events")
+    l = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("value").alias("lv")
+    )
+    r = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("rv"),
+    )
+    return (
+        l.join(
+            r,
+            (F.col("user_id") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 15 MINUTES")),
+        )
+        .select(
+            "user_id",
+            "l_ts",
+            "r_ts",
+            F.round("lv", 6).alias("l_value"),
+            F.round("rv", 6).alias("r_value"),
+        )
+    )

@@ -225,3 +225,45 @@ def dedup_stream(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    interval_seconds: int = 900,
+    watermark: str = "1 hour",
+    join_type: str = "inner",
+) -> DataFrame:
+    """Stream-stream join on user_id within a time bound: each left event
+    pairs with right events in [left.ts, left.ts + interval].
+
+    Both sides carry watermarks and the join condition bounds event time
+    in BOTH directions, so Spark can expire join state once the watermark
+    passes the interval — the state-bounding requirement for running a
+    stream-stream join forever (without it, both sides buffer
+    unboundedly). The reference has no streaming surface; its closest
+    batch analog is the theta/interval join (SURVEY.md §2.3), whose batch
+    form is this join's parity oracle in tests."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_type").alias("l_type"),
+        F.col("value").alias("l_value"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+        F.col("value").alias("r_value"),
+    )
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (
+            F.col("r_ts")
+            <= F.col("l_ts") + F.expr(f"INTERVAL {interval_seconds} SECONDS")
+        )
+    )
+    return l.join(r, cond, join_type).select(
+        F.col("l_user").alias("user_id"), "l_ts", "r_ts", "l_value", "r_value"
+    )

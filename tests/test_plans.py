@@ -131,6 +131,16 @@ def test_range_join_is_not_nested_loop(spark, sf_dir):
     assert "HashJoin" in plan
 
 
+def test_interval_join_is_hash_join_on_key(spark, sf_dir):
+    """events_interval_join: the equi key (user_id) must carry the join —
+    hash join with the time bound as residual — never a nested loop over
+    time ranges."""
+    plan = plan_of(spark, "events_interval_join", sf_dir)
+    assert "NestedLoop" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_aqe_splits_skewed_join(spark, sf_dir):
     """Runtime skew handling (the reference's answer is manual
     re-DISTRIBUTE; ours is AQE): a 95%-hot key must come out of AQE as

@@ -252,3 +252,45 @@ def test_stream_static_join(spark, sf_dir, events_batch):
         .collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_batch):
+    """Stream-stream interval join (clicks x purchases within 15 min per
+    user) must equal the same join run in batch — watermarked state on
+    both sides, time-bounded condition."""
+    from gpdb_spark.streaming.events_stream import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_interval_join,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    joined = stream_stream_interval_join(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+    )
+    run_to_memory(joined, "ss_join", output_mode="append")
+    got = {
+        (r.user_id, r.l_ts, r.r_ts, r.l_value, r.r_value)
+        for r in spark.sql("select * from ss_join").collect()
+    }
+
+    b = events_batch
+    l = b.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts"),
+        F.col("value").alias("l_value"),
+    )
+    r = b.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"),
+        F.col("value").alias("r_value"),
+    )
+    want = {
+        (x.l_user, x.l_ts, x.r_ts, x.l_value, x.r_value)
+        for x in l.join(
+            r,
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 900 SECONDS")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
