@@ -43,6 +43,7 @@ DRIVER_PRIORITY: list[str] = [
     "pg_to_char_numeric",
     "pg_parse_funcs",
     "events_interval_join",
+    "misc_type_funcs",
     # one representative per previously-unchecked family
     "setop_except_all",
     "join_notin_nullaware",

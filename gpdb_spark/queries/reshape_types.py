@@ -196,3 +196,72 @@ def range_type_ops(spark, sf_dir):
         R.range_upper(inter).alias("inter_hi"),
         R.range_is_empty(inter).alias("inter_empty"),
     )
+
+
+@query(
+    "misc_type_funcs",
+    # pg_size_pretty replicated with dbsize.c's exact shift arithmetic;
+    # inet network/masklen/containment on packed uint32 (network.c);
+    # varbit ops on a 12-bit string (varbit.c) — all mirrored as explicit
+    # arithmetic in the DuckDB oracle.
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey AS k,
+               c_custkey * 987654 AS sz,
+               (c_custkey % 200) * 65536 + (c_custkey % 251) * 256 + 17
+                   AS addr
+        FROM customer WHERE c_custkey > 0 AND c_custkey < 400
+    )
+    SELECT k,
+           CASE
+             WHEN sz < 10240 THEN CAST(sz AS VARCHAR) || ' bytes'
+             WHEN abs(sz >> 9) < 20480
+               THEN CAST(((sz >> 9) + 1) >> 1 AS VARCHAR) || ' kB'
+             WHEN abs(sz >> 19) < 20480
+               THEN CAST(((sz >> 19) + 1) >> 1 AS VARCHAR) || ' MB'
+             WHEN abs(sz >> 29) < 20480
+               THEN CAST(((sz >> 29) + 1) >> 1 AS VARCHAR) || ' GB'
+             ELSE CAST(((sz >> 39) + 1) >> 1 AS VARCHAR) || ' TB'
+           END AS pretty_size,
+           CAST((addr >> 24) & 255 AS VARCHAR) || '.' ||
+           CAST((addr >> 16) & 255 AS VARCHAR) || '.' ||
+           CAST((addr >> 8) & 255 AS VARCHAR) || '.0/24' AS net,
+           24 AS net_masklen,
+           TRUE AS in_own_net,
+           ((addr >> 8) & 16777215) != (((addr + 256) >> 8) & 16777215)
+               AS moved_net,
+           xor(k & 4095, 2730) AS bits_xor,
+           ((k & 4095) >> 11) & 1 AS bit0,
+           lpad(bin(k & 4095), 12, '0') AS bstr
+    FROM c
+    """,
+)
+def misc_type_funcs(spark, sf_dir):
+    """Misc PG types (SURVEY §2.9 tail): pg_size_pretty (dbsize.c exact
+    halving), inet network/masklen/containment on IPv4 (network.c),
+    varbit &/#/shift/get_bit (varbit.c) — pure JVM expressions
+    (functions/misc_types.py), no UDF."""
+    from gpdb_spark.functions import misc_types as M
+
+    c = t(spark, sf_dir, "customer").where(
+        (F.col("c_custkey") > 0) & (F.col("c_custkey") < 400)
+    )
+    k = F.col("c_custkey")
+    addr_long = (k % 200) * 65536 + (k % 251) * 256 + 17
+    inet32 = M.long_to_inet(addr_long)  # bare address = /32
+    net = M.inet_network(
+        F.concat(M.long_to_inet(addr_long), F.lit("/24"))
+    )
+    moved = M.long_to_inet(addr_long + 256)
+    bits = k.bitwiseAND(F.lit(4095))
+    return c.select(
+        k.alias("k"),
+        M.pg_size_pretty(k * 987654).alias("pretty_size"),
+        net.alias("net"),
+        M.inet_masklen(net).alias("net_masklen"),
+        M.inet_contained_in(inet32, net).alias("in_own_net"),
+        (~M.inet_contained_in(moved, net)).alias("moved_net"),
+        M.bit_xor(bits, F.lit(2730), 12).alias("bits_xor"),
+        M.get_bit(bits, 0, 12).alias("bit0"),
+        M.bit_to_string(bits, 12).alias("bstr"),
+    )

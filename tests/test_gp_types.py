@@ -168,3 +168,49 @@ def test_range_type_semantics(spark):
     assert val(R.range_lower(inter)) == 3.0
     assert val(R.range_upper(inter)) == 5.0
     assert not val(R.range_is_empty(inter))
+
+
+def test_misc_types_semantics(spark):
+    """dbsize.c pg_size_pretty thresholds; network.c inet operators;
+    varbit.c bit ops."""
+    from gpdb_spark.functions import misc_types as M
+
+    df = spark.range(1)
+
+    def val(col):
+        return df.select(col.alias("v")).collect()[0].v
+
+    # pg_size_pretty: PG-documented outputs at the unit boundaries
+    assert val(M.pg_size_pretty(F.lit(10239))) == "10239 bytes"
+    assert val(M.pg_size_pretty(F.lit(10240))) == "10 kB"
+    assert val(M.pg_size_pretty(F.lit(1536))) == "1536 bytes"
+    assert val(M.pg_size_pretty(F.lit(1024 * 1024 * 21))) == "21 MB"
+    assert val(M.pg_size_pretty(F.lit(5_368_709_120))) == "5120 MB"
+    assert val(M.pg_size_pretty(F.lit(1024**4 * 3))) == "3072 GB"
+
+    # inet
+    assert val(M.inet_network(F.lit("10.1.2.3/24"))) == "10.1.2.0/24"
+    assert val(M.inet_masklen(F.lit("10.1.2.3"))) == 32
+    assert val(M.inet_host(F.lit("10.1.2.3/24"))) == "10.1.2.3"
+    assert val(M.inet_broadcast(F.lit("10.1.0.0/16"))) == "10.1.255.255/16"
+    assert val(
+        M.inet_contained_in(F.lit("192.168.1.5"), F.lit("192.168.1.0/24"))
+    )
+    assert not val(
+        M.inet_contained_in(F.lit("192.168.2.5"), F.lit("192.168.1.0/24"))
+    )
+    # << is strict: a net is not contained in itself
+    assert not val(
+        M.inet_contained_in(F.lit("192.168.1.0/24"), F.lit("192.168.1.0/24"))
+    )
+
+    # varbit (length 8): B'10110000' ops
+    b = F.lit(0b10110000)
+    assert val(M.bit_to_string(b, 8)) == "10110000"
+    assert val(M.bit_not(b, 8)) == 0b01001111
+    assert val(M.bit_shiftl(b, 2, 8)) == 0b11000000  # dropped high bits
+    assert val(M.get_bit(b, 0, 8)) == 1
+    assert val(M.get_bit(b, 3, 8)) == 1
+    assert val(M.get_bit(b, 1, 8)) == 0
+    assert val(M.set_bit(b, 7, 1, 8)) == 0b10110001
+    assert val(M.bit_xor(b, F.lit(0b11111111), 8)) == 0b01001111
