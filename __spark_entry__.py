@@ -44,6 +44,7 @@ DRIVER_PRIORITY: list[str] = [
     "pg_parse_funcs",
     "events_interval_join",
     "misc_type_funcs",
+    "datapipe_hash_split",
     # one representative per previously-unchecked family
     "setop_except_all",
     "join_notin_nullaware",

@@ -1,0 +1,59 @@
+"""Deterministic sampling / split assignment for training-data pipelines.
+
+Random sampling (``df.sample``) is seed- and partitioning-dependent, so a
+re-run or a repartition silently changes the training set. Hash-based
+assignment is the production-standard alternative: each row's fate is a
+pure function of its key, so splits are reproducible across runs,
+engines, and cluster sizes, and rows added later don't reshuffle earlier
+assignments. All pure JVM expressions (md5/substring/compare — codegen),
+no shuffle at all: the split column is a narrow projection.
+
+The hash compare is done LEXICALLY on a hex prefix (not modulo on a
+parsed int), which makes the exact same expression portable to any
+engine with md5() — the DuckDB oracle reproduces it verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hex_threshold(frac: float) -> str:
+    """8-hex-digit threshold such that P(md5_prefix < thr) = frac."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {frac}")
+    return format(min(int(frac * 16**8), 16**8 - 1), "08x")
+
+
+def _key_hash(key: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows keyed by ``key_col``.
+    ``salt`` decorrelates independent samples over the same keys."""
+    return df.where(
+        _key_hash(F.col(key_col), salt) < F.lit(_hex_threshold(fraction))
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    train_frac: float = 0.9,
+    salt: str = "",
+    col_name: str = "split",
+) -> DataFrame:
+    """Append a train/valid assignment column — the held-out-split
+    operator every training pipeline needs, reproducible by key."""
+    return df.withColumn(
+        col_name,
+        F.when(
+            _key_hash(F.col(key_col), salt)
+            < F.lit(_hex_threshold(train_frac)),
+            F.lit("train"),
+        ).otherwise(F.lit("valid")),
+    )

@@ -626,6 +626,93 @@ def _pass_functions(tokens: list[str]) -> list[str]:
     return out
 
 
+def _similar_to_regex(pat: str) -> str:
+    """SQL SIMILAR TO pattern -> anchored regex (similar_to_escape,
+    src/backend/utils/adt/regexp.c): % -> .*, _ -> ., keep | ( ) [ ]
+    (already regex), escape regex metachars PG treats literally."""
+    out = []
+    i = 0
+    in_class = False
+    while i < len(pat):
+        ch = pat[i]
+        if in_class:
+            out.append(ch)
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            out.append(ch)
+            in_class = True
+        elif ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        elif ch in "|()*+?{}":
+            out.append(ch)  # SIMILAR TO supports these SQL-regex forms
+        elif ch in ".^$\\":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+        i += 1
+    return "^(" + "".join(out) + ")$"
+
+
+def _pass_similar_to(tokens: list[str]) -> list[str]:
+    """``a [NOT] SIMILAR TO 'pat'`` -> ``[NOT] (a RLIKE '^(regex)$')``."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        if (
+            _is_word(tokens[i], "similar")
+            and i + 2 < n
+            and _is_word(tokens[i + 1], "to")
+            and tokens[i + 2].startswith("'")
+        ):
+            pat = tokens[i + 2][1:-1].replace("''", "'")
+            regex = _similar_to_regex(pat).replace("'", "''")
+            neg = bool(out) and _is_word(out[-1], "not")
+            if neg:
+                out.pop()
+            lhs_start = _operand_start(out + ["~"], len(out))
+            lhs = out[lhs_start:]
+            repl = ["("] + lhs + ["RLIKE", f"'{regex}'", ")"]
+            if neg:
+                repl = ["NOT"] + repl
+            out = out[:lhs_start] + repl
+            i += 3
+            continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
+def _pass_fetch_first(tokens: list[str]) -> list[str]:
+    """``FETCH {FIRST|NEXT} [n] {ROW|ROWS} ONLY`` -> ``LIMIT n`` (gram.y
+    limit_clause; Spark has no FETCH)."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        if _is_word(tokens[i], "fetch") and i + 1 < n and _is_word(
+            tokens[i + 1], "first", "next"
+        ):
+            j = i + 2
+            count = "1"
+            if j < n and tokens[j].isdigit():
+                count = tokens[j]
+                j += 1
+            if j < n and _is_word(tokens[j], "row", "rows"):
+                j += 1
+            if j < n and _is_word(tokens[j], "only"):
+                j += 1
+            out += ["LIMIT", count]
+            i = j
+            continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
 def _pass_generate_series_from(tokens: list[str]) -> list[str]:
     """FROM generate_series(a, b[, s]) [AS] t(c) ->
     FROM (SELECT explode(sequence(a, b[, s])) AS c) t"""
@@ -893,6 +980,8 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_casts(tokens)
     tokens = _pass_json_ops(tokens)
     tokens = _pass_regex_ops(tokens)
+    tokens = _pass_similar_to(tokens)
+    tokens = _pass_fetch_first(tokens)
     tokens = _pass_int_division(tokens, int_cols)
     tokens = _pass_functions(tokens)
     tokens = _pass_generate_series_from(tokens)

@@ -218,3 +218,34 @@ def multimodal_byte_stats(spark, sf_dir):
             F.transform(F.col("histogram16"), lambda v: v.cast("string")), ","
         ).alias("hist_csv"),
     )
+
+
+@query(
+    "datapipe_hash_split",
+    # deterministic md5-prefix split: the identical expression runs in
+    # DuckDB, so assignment parity is checked value-for-value
+    oracle="""
+    WITH s AS (
+        SELECT lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8)
+                         < 'e6666666'
+                    THEN 'train' ELSE 'valid' END AS split
+        FROM documents
+    )
+    SELECT lang, split, count(*) AS n
+    FROM s GROUP BY lang, split
+    """,
+)
+def datapipe_hash_split(spark, sf_dir):
+    """Deterministic train/valid split (datapipe/sample.py hash_split):
+    assignment is a pure function of doc_id — reproducible across runs,
+    engines and cluster sizes, unlike seeded df.sample. Narrow projection
+    + one count aggregation; no extra shuffle for the assignment."""
+    from gpdb_spark.datapipe.sample import hash_split
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id", train_frac=0.9, salt="v1")
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -199,3 +199,14 @@ def test_to_char_numeric_pg_examples(spark):
     for i, (v, pat, want) in enumerate(cases):
         got = row[f"c{i}"]
         assert got == want, f"to_char({v}, {pat!r}) = {got!r}, want {want!r}"
+
+
+def test_similar_to_and_fetch():
+    out = translate("SELECT * FROM t WHERE name SIMILAR TO 'ab%_d'")
+    assert "RLIKE '^(ab.*.d)$'" in out
+    out2 = translate("SELECT * FROM t WHERE name NOT SIMILAR TO '(a|b)%'")
+    assert "NOT(name RLIKE '^((a|b).*)$')" in out2.replace("NOT (", "NOT(")
+    assert translate("SELECT x FROM t FETCH FIRST 5 ROWS ONLY").endswith(
+        "LIMIT 5"
+    )
+    assert translate("SELECT x FROM t FETCH FIRST ROW ONLY").endswith("LIMIT 1")
