@@ -45,6 +45,8 @@ DRIVER_PRIORITY: list[str] = [
     "events_interval_join",
     "misc_type_funcs",
     "datapipe_hash_split",
+    "hypothetical_set_aggs",
+    "pg_lateral_subquery",
     # one representative per previously-unchecked family
     "setop_except_all",
     "join_notin_nullaware",

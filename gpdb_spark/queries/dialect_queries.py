@@ -262,3 +262,22 @@ _pg_query(
     WHERE o_orderkey < 100
     """,
 )
+
+
+_pg_query(
+    "pg_lateral_subquery",
+    # correlated LATERAL subquery (gram.y LATERAL; nodeNestloop rescan in
+    # the reference): Spark and DuckDB both speak it natively — the
+    # dialect's job is just the :: casts and null ordering around it.
+    """
+    SELECT n.n_name, top_s.s_name, top_s.bal
+    FROM nation n,
+         LATERAL (
+             SELECT s_name, s_acctbal::numeric(12,2) AS bal
+             FROM supplier
+             WHERE s_nationkey = n.n_nationkey
+             ORDER BY s_acctbal DESC, s_name
+             LIMIT 2
+         ) top_s
+    """,
+)

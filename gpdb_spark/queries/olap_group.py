@@ -443,3 +443,53 @@ def percentile_multi(spark, sf_dir):
         F.round(F.element_at(qs, 3), 4).alias("q75"),
         F.round(F.percentile("l_discount", F.lit(0.9)), 4).alias("p90_disc"),
     )
+
+
+@query(
+    "hypothetical_set_aggs",
+    # orderedsetaggs.c hypothetical-set aggregates: rank/dense_rank/
+    # percent_rank/cume_dist (value) WITHIN GROUP (ORDER BY col) — the
+    # rank a hypothetical value WOULD take in each group's distribution.
+    # Neither Spark nor DuckDB has them natively; both sides compute the
+    # defining counting formulas (SQL:2008): one aggregation pass each.
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) + 1 - count(*) FILTER (WHERE o_totalprice >= 150000)
+               AS hyp_rank_gt,
+           sum(CASE WHEN o_totalprice < 150000 THEN 1 ELSE 0 END) + 1
+               AS hyp_rank,
+           count(DISTINCT CASE WHEN o_totalprice < 150000
+                               THEN o_totalprice END) + 1 AS hyp_dense_rank,
+           round(CAST(sum(CASE WHEN o_totalprice < 150000 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS hyp_percent_rank_ish,
+           round(CAST(sum(CASE WHEN o_totalprice <= 150000 THEN 1 ELSE 0 END)
+                 + 1 AS DOUBLE) / (count(*) + 1), 6) AS hyp_cume_dist
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def hypothetical_set_aggs(spark, sf_dir):
+    """Hypothetical-set aggregates (orderedsetaggs.c:1031 hypothetical_rank
+    family, SURVEY.md §2.4): where would value v=150000 rank inside each
+    group? rank = 1 + count(x < v); dense_rank = 1 + count(distinct x<v);
+    cume_dist = (count(x <= v)+1)/(n+1). Pure counting aggregates — a
+    single 2-stage agg pass, no sort, no window."""
+    o = t(spark, sf_dir, "orders")
+    v = F.lit(150000.0)
+    p = F.col("o_totalprice")
+    below = F.sum(F.when(p < v, 1).otherwise(0))
+    return o.groupBy("o_orderpriority").agg(
+        (F.count(F.lit(1)) + 1 - F.count(F.when(p >= v, 1))).alias(
+            "hyp_rank_gt"
+        ),
+        (below + 1).alias("hyp_rank"),
+        (F.count_distinct(F.when(p < v, p)) + 1).alias("hyp_dense_rank"),
+        F.round(below.cast("double") / F.count(F.lit(1)), 6).alias(
+            "hyp_percent_rank_ish"
+        ),
+        F.round(
+            (F.sum(F.when(p <= v, 1).otherwise(0)) + 1).cast("double")
+            / (F.count(F.lit(1)) + 1),
+            6,
+        ).alias("hyp_cume_dist"),
+    )
