@@ -47,6 +47,7 @@ DRIVER_PRIORITY: list[str] = [
     "datapipe_hash_split",
     "hypothetical_set_aggs",
     "pg_lateral_subquery",
+    "dedup_jaccard_pairs",
     # one representative per previously-unchecked family
     "setop_except_all",
     "join_notin_nullaware",
@@ -88,7 +89,6 @@ DRIVER_PRIORITY: list[str] = [
     "events_type_pivot",
     "text_token_stats",
     "text_fingerprint",
-    "dedup_jaccard_pairs",
     "dedup_ngram_jaccard",
     "embed_norms",
     "embed_centroids",
