@@ -656,6 +656,41 @@ def _similar_to_regex(pat: str) -> str:
     return "^(" + "".join(out) + ")$"
 
 
+def _pass_tablesample(tokens: list[str]) -> list[str]:
+    """``TABLESAMPLE {BERNOULLI|SYSTEM} (pct) [REPEATABLE (seed)]`` ->
+    ``TABLESAMPLE (pct PERCENT) [REPEATABLE (seed)]`` (gram.y
+    opt_sample_clause; Spark's sampler is row-level like BERNOULLI —
+    SYSTEM's page-level clustering has no parquet analog, same rows
+    contract)."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        if (
+            _is_word(tokens[i], "tablesample")
+            and i + 1 < n
+            and _is_word(tokens[i + 1], "bernoulli", "system")
+            and i + 2 < n
+            and tokens[i + 2] == "("
+        ):
+            j, depth = i + 2, 0
+            while j < n:
+                if tokens[j] == "(":
+                    depth += 1
+                elif tokens[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            pct = tokens[i + 3 : j]
+            out += ["TABLESAMPLE", "("] + pct + ["PERCENT", ")"]
+            i = j + 1
+            continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
 def _pass_similar_to(tokens: list[str]) -> list[str]:
     """``a [NOT] SIMILAR TO 'pat'`` -> ``[NOT] (a RLIKE '^(regex)$')``."""
     out: list[str] = []
@@ -982,6 +1017,7 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_regex_ops(tokens)
     tokens = _pass_similar_to(tokens)
     tokens = _pass_fetch_first(tokens)
+    tokens = _pass_tablesample(tokens)
     tokens = _pass_int_division(tokens, int_cols)
     tokens = _pass_functions(tokens)
     tokens = _pass_generate_series_from(tokens)

@@ -38,10 +38,38 @@ class Engine:
     # -- SQL front door ------------------------------------------------------
 
     def sql(self, text: str) -> DataFrame:
-        """PostgreSQL-dialect SQL against registered tables/views."""
-        from gpdb_spark.dialect import translate
+        """PostgreSQL-dialect SQL against registered tables/views — the
+        full front door (casts, JSON arrows, int division via catalog
+        types, WITH RECURSIVE, to_char/to_date, SIMILAR TO, ...)."""
+        from gpdb_spark.dialect import pg_sql
 
-        return self.spark.sql(translate(text))
+        return pg_sql(self.spark, text, None)
+
+    # -- views ---------------------------------------------------------------
+
+    def create_view(self, name: str, text: str) -> None:
+        """CREATE VIEW name AS <pg sql> (commands/view.c): logical —
+        re-planned at every use, always current."""
+        self.sql(text).createOrReplaceTempView(name)
+
+    def create_materialized_view(
+        self, name: str, text: str, path: str
+    ) -> None:
+        """CREATE MATERIALIZED VIEW (commands/matview.c): the query result
+        persisted as parquet and registered under ``name``. Reads scan the
+        materialization (with pushdown/pruning against it), not the
+        defining query."""
+        self._matviews = getattr(self, "_matviews", {})
+        self.sql(text).write.mode("overwrite").parquet(path)
+        self._matviews[name] = (text, path)
+        self.spark.read.parquet(path).createOrReplaceTempView(name)
+
+    def refresh_materialized_view(self, name: str) -> None:
+        """REFRESH MATERIALIZED VIEW: recompute and swap (matview.c
+        ExecRefreshMatView)."""
+        text, path = self._matviews[name]
+        self.sql(text).write.mode("overwrite").parquet(path)
+        self.spark.read.parquet(path).createOrReplaceTempView(name)
 
     # -- DDL / catalog -------------------------------------------------------
 

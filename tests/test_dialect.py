@@ -210,3 +210,10 @@ def test_similar_to_and_fetch():
         "LIMIT 5"
     )
     assert translate("SELECT x FROM t FETCH FIRST ROW ONLY").endswith("LIMIT 1")
+
+
+def test_tablesample():
+    out = translate("SELECT * FROM orders TABLESAMPLE BERNOULLI (10) REPEATABLE (42)")
+    assert "TABLESAMPLE(10 PERCENT) REPEATABLE(42)" in out.replace("( ", "(")
+    out2 = translate("SELECT * FROM orders TABLESAMPLE SYSTEM (5)")
+    assert "TABLESAMPLE(5 PERCENT)" in out2.replace("( ", "(")

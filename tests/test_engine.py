@@ -103,3 +103,41 @@ def test_engine_explain_motion(spark, sf_dir):
         "SELECT o_custkey, count(*) FROM orders GROUP BY o_custkey"
     )
     assert "Redistribute Motion" in txt
+
+
+def test_views_and_matview(tmp_path, spark):
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=None)
+    spark.range(10).selectExpr("id", "id * 2 AS v").createOrReplaceTempView(
+        "mv_base"
+    )
+    # logical view: re-planned per use, sees base changes
+    eng.create_view("v_even", "SELECT id, v FROM mv_base WHERE id % 2 = 0")
+    assert spark.table("v_even").count() == 5
+
+    # materialized view: persisted snapshot; stale until REFRESH
+    eng.create_materialized_view(
+        "mv_even", "SELECT id, v FROM mv_base WHERE id % 2 = 0",
+        str(tmp_path / "mv_even"),
+    )
+    assert spark.table("mv_even").count() == 5
+    spark.range(20).selectExpr("id", "id * 2 AS v").createOrReplaceTempView(
+        "mv_base"
+    )
+    assert spark.table("mv_even").count() == 5  # snapshot unchanged
+    eng.refresh_materialized_view("mv_even")
+    assert spark.table("mv_even").count() == 10
+
+
+def test_engine_sql_is_full_front_door(spark):
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=None)
+    spark.range(100).createOrReplaceTempView("fd")
+    # WITH RECURSIVE routes through the fixpoint operator
+    out = eng.sql(
+        "WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL SELECT n+1 FROM r "
+        "WHERE n < 5) SELECT count(*)::int8 AS c FROM r"
+    ).collect()
+    assert out[0].c == 5
