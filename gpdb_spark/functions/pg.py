@@ -412,6 +412,11 @@ def _parse_num_pattern(pattern: str) -> dict | None:
     if p.startswith(("FM", "fm")):
         fm = True
         p = p[2:]
+    currency = False
+    if p.startswith(("L", "$")):
+        # locale currency symbol (cash.c / NUM_L): rendered as '$'
+        currency = True
+        p = p[1:]
     sign = "default"
     if p.startswith("S"):
         sign = "s_lead"
@@ -444,6 +449,7 @@ def _parse_num_pattern(pattern: str) -> dict | None:
         return None
     return {
         "fm": fm,
+        "currency": currency,
         "sign": sign,
         "w": len(int_digits),
         "zp": (
@@ -490,6 +496,8 @@ def _render_to_char_num(o, x, spec: dict):
             body = o.rstrip_dot(body)
     else:
         body = int_str
+    if spec.get("currency"):
+        body = o.concat([o.lit("$"), body])
 
     # '#' fill when the integer part overflows the pattern width
     # (formatting.c fills every digit/decimal position with '#'; the sign
@@ -497,6 +505,8 @@ def _render_to_char_num(o, x, spec: dict):
     n_seps = (w - 1) // 3 if grouping else 0
     int_w = w + n_seps
     total_w = int_w + ((1 + d) if d else 0)
+    if spec.get("currency"):
+        total_w += 1  # the '$' is inside the padded width
     overflow = o.gt(o.fn("length", o.cast(int_val, "string")), w)
     body = o.when_chain([(overflow, o.lit("#" * total_w))], body)
 

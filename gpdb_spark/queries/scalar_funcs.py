@@ -571,3 +571,86 @@ def array_any_all_ops(spark, sf_dir):
             F.array_contains(empty, F.col("n_nationkey")), F.lit(False)
         ).alias("any_empty"),
     )
+
+
+@query(
+    "string_encode_funcs",
+    # encode/decode (encode.c), chr (oracle_compat.c), regexp_count
+    # (regexp.c), format (varlena.c text_format)
+    oracle="""
+    SELECT doc_id,
+           to_base64(encode(substr(text, 1, 24))) AS b64,
+           decode(from_base64(to_base64(encode(substr(text, 1, 12)))))
+               AS roundtrip,
+           lower(hex(encode(substr(lang, 1, 2)))) AS hex2,
+           chr(65 + CAST(doc_id % 26 AS INT)) AS letter,
+           len(regexp_extract_all(text, '[aeiou]')) AS n_vowels,
+           format('{}#{}', lang, doc_id % 10) AS tagged
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def string_encode_funcs(spark, sf_dir):
+    """encode/decode base64+hex (encode.c), chr, regexp_count, format()
+    (text_format) — Spark builtins; format maps to format_string with
+    printf-style placeholders."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.base64(F.substring("text", 1, 24).cast("binary")).alias("b64"),
+        F.unbase64(
+            F.base64(F.substring("text", 1, 12).cast("binary"))
+        ).cast("string").alias("roundtrip"),
+        F.lower(F.hex(F.substring("lang", 1, 2).cast("binary"))).alias(
+            "hex2"
+        ),
+        F.chr(F.lit(65) + (F.col("doc_id") % 26)).alias("letter"),
+        F.regexp_count("text", F.lit("[aeiou]")).cast("long").alias(
+            "n_vowels"
+        ),
+        F.format_string("%s#%d", F.col("lang"), (F.col("doc_id") % 10))
+        .alias("tagged"),
+    )
+
+
+@query(
+    "array_funcs2",
+    # arrayfuncs.c breadth: string_to_array, array_to_string,
+    # array_position, array_remove, array_cat, cardinality
+    oracle="""
+    WITH a AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(substr(text, 1, 80))), '\\s+')
+                   AS toks
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           array_to_string(toks[1:4], '|') AS first4,
+           list_position(toks, 'the') AS pos_the,
+           len(list_filter(toks, x -> x != 'the')) AS n_no_the,
+           len(list_concat(toks[1:2], toks[1:2])) AS cat_len,
+           len(toks) AS cardinality
+    FROM a
+    """,
+)
+def array_funcs2(spark, sf_dir):
+    """Array family breadth (arrayfuncs.c): string_to_array -> split,
+    array_to_string -> array_join, array_position, array_remove ->
+    filter, array_cat -> concat, cardinality -> size."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    toks = F.split(F.trim(F.lower(F.substring("text", 1, 80))), r"\s+")
+    d = d.select("doc_id", toks.alias("toks"))
+    tk = F.col("toks")
+    return d.select(
+        "doc_id",
+        F.array_join(F.slice(tk, 1, 4), "|").alias("first4"),
+        F.coalesce(
+            F.array_position(tk, "the"), F.lit(0)
+        ).alias("pos_the"),
+        F.size(F.filter(tk, lambda x: x != "the")).cast("long").alias(
+            "n_no_the"
+        ),
+        F.size(F.concat(F.slice(tk, 1, 2), F.slice(tk, 1, 2)))
+        .cast("long")
+        .alias("cat_len"),
+        F.size(tk).cast("long").alias("cardinality"),
+    )
