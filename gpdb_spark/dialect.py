@@ -656,6 +656,23 @@ def _similar_to_regex(pat: str) -> str:
     return "^(" + "".join(out) + ")$"
 
 
+def _pass_dollar_params(tokens: list[str]) -> list[str]:
+    """PG positional parameters ``$1 $2 ...`` (extended query protocol,
+    postgres.c exec_parse_message) -> Spark named parameter markers
+    ``:p1 :p2`` for spark.sql(..., args={...})."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        if tokens[i] == "$" and i + 1 < n and tokens[i + 1].isdigit():
+            out.append(f":p{tokens[i + 1]}")
+            i += 2
+            continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
 def _pass_tablesample(tokens: list[str]) -> list[str]:
     """``TABLESAMPLE {BERNOULLI|SYSTEM} (pct) [REPEATABLE (seed)]`` ->
     ``TABLESAMPLE (pct PERCENT) [REPEATABLE (seed)]`` (gram.y
@@ -1018,6 +1035,7 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_similar_to(tokens)
     tokens = _pass_fetch_first(tokens)
     tokens = _pass_tablesample(tokens)
+    tokens = _pass_dollar_params(tokens)
     tokens = _pass_int_division(tokens, int_cols)
     tokens = _pass_functions(tokens)
     tokens = _pass_generate_series_from(tokens)

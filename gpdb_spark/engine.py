@@ -45,6 +45,25 @@ class Engine:
 
         return pg_sql(self.spark, text, None)
 
+    # -- prepared statements (extended query protocol, SURVEY §3.2) ----------
+
+    def prepare(self, name: str, text: str) -> None:
+        """PREPARE name AS <pg sql with $1 $2 ...> (exec_parse_message,
+        postgres.c:1952): the statement is translated once and cached;
+        $n parameters become Spark named parameter markers."""
+        from gpdb_spark.dialect import translate
+
+        self._prepared = getattr(self, "_prepared", {})
+        self._prepared[name] = translate(text)
+
+    def execute(self, name: str, *params) -> DataFrame:
+        """EXECUTE name (v1, v2, ...) (exec_bind_message + PortalRun):
+        bind positional parameters and run. Values are passed as query
+        arguments (no string splicing — injection-safe, plan-cache
+        friendly), exactly Spark's parameterized-SQL path."""
+        args = {f"p{i + 1}": v for i, v in enumerate(params)}
+        return self.spark.sql(self._prepared[name], args=args)
+
     # -- views ---------------------------------------------------------------
 
     def create_view(self, name: str, text: str) -> None:

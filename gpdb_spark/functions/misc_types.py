@@ -141,6 +141,41 @@ def inet_broadcast(inet: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# uuid (src/backend/utils/adt/uuid.c; uuid-ossp uuid_generate_v3)
+# ---------------------------------------------------------------------------
+
+def uuid_v3(name: Column) -> Column:
+    """Name-based (md5) UUID, RFC 4122 version 3 — deterministic, so
+    reproducible across engines/runs (unlike gen_random_uuid): md5 hex
+    re-punctuated 8-4-4-4-12 with the version nibble forced to '3' and
+    the variant nibble to one of 89ab. The variant mapping uses a
+    string-position lookup instead of hex parsing so the identical
+    expression runs on any SQL engine."""
+    h = F.md5(name.cast("string"))
+    variant = F.substring(
+        F.lit("89ab89ab89ab89ab"),
+        F.instr(F.lit("0123456789abcdef"), F.substring(h, 17, 1)),
+        1,
+    )
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("3"), F.substring(h, 14, 3)),
+        F.concat(variant, F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
+    )
+
+
+def is_uuid(c: Column) -> Column:
+    """uuid_in validation (uuid.c) as a boolean."""
+    return c.rlike(
+        "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+    )
+
+
+# ---------------------------------------------------------------------------
 # bit strings (src/backend/utils/adt/varbit.c) — (bits bigint, len<=64)
 # ---------------------------------------------------------------------------
 

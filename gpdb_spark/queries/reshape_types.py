@@ -265,3 +265,34 @@ def misc_type_funcs(spark, sf_dir):
         M.get_bit(bits, 0, 12).alias("bit0"),
         M.bit_to_string(bits, 12).alias("bstr"),
     )
+
+
+@query(
+    "uuid_v3_funcs",
+    # deterministic name-based UUID (uuid-ossp uuid_generate_v3 / RFC
+    # 4122 v3): the same md5 re-punctuation runs verbatim in DuckDB
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, md5('doc:' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-3' ||
+           substr(hx, 14, 3) || '-' ||
+           substr('89ab89ab89ab89ab',
+                  strpos('0123456789abcdef', substr(hx, 17, 1)), 1) ||
+           substr(hx, 18, 3) || '-' || substr(hx, 21, 12) AS uid,
+           TRUE AS valid
+    FROM h
+    """,
+)
+def uuid_v3_funcs(spark, sf_dir):
+    """uuid type + name-based generation (uuid.c, uuid-ossp v3):
+    deterministic md5 UUIDs validated against uuid_in's format."""
+    from gpdb_spark.functions import misc_types as M
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    uid = M.uuid_v3(F.concat(F.lit("doc:"), F.col("doc_id").cast("string")))
+    return d.select(
+        "doc_id", uid.alias("uid"), M.is_uuid(uid).alias("valid")
+    )

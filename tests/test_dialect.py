@@ -217,3 +217,8 @@ def test_tablesample():
     assert "TABLESAMPLE(10 PERCENT) REPEATABLE(42)" in out.replace("( ", "(")
     out2 = translate("SELECT * FROM orders TABLESAMPLE SYSTEM (5)")
     assert "TABLESAMPLE(5 PERCENT)" in out2.replace("( ", "(")
+
+
+def test_dollar_params():
+    out = translate("SELECT * FROM t WHERE a > $1 AND b = $2")
+    assert ":p1" in out and ":p2" in out and "$" not in out

@@ -141,3 +141,27 @@ def test_engine_sql_is_full_front_door(spark):
         "WHERE n < 5) SELECT count(*)::int8 AS c FROM r"
     ).collect()
     assert out[0].c == 5
+
+
+def test_prepared_statements(spark, sf_dir):
+    """PREPARE/EXECUTE with $n parameters (extended query protocol,
+    postgres.c:1952/2224/2611): translate once, bind per execute,
+    injection-safe (values never spliced into the text)."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    eng.prepare(
+        "big_orders",
+        "SELECT o_orderkey, o_totalprice::numeric(14,2) AS p "
+        "FROM orders WHERE o_totalprice > $1 AND o_orderpriority = $2 "
+        "ORDER BY o_orderkey LIMIT 5",
+    )
+    rows = eng.execute("big_orders", 100000.0, "1-URGENT").collect()
+    assert 0 < len(rows) <= 5
+    assert all(float(r.p) > 100000.0 for r in rows)
+    # rebind with different params, same cached translation
+    rows2 = eng.execute("big_orders", 400000.0, "1-URGENT").collect()
+    assert all(float(r.p) > 400000.0 for r in rows2)
+    # a quoting-hostile string binds safely as a VALUE
+    eng.prepare("by_prio", "SELECT count(*)::int8 AS n FROM orders WHERE o_orderpriority = $1")
+    assert eng.execute("by_prio", "x' OR '1'='1").collect()[0].n == 0
