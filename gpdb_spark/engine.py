@@ -45,6 +45,30 @@ class Engine:
 
         return pg_sql(self.spark, text, None)
 
+    # -- workload management / statistics ------------------------------------
+
+    def set_resource_group(self, name: str | None) -> None:
+        """Resource group assignment (resgroup.c / resqueue.c): queries
+        issued after this call run in the named Spark fair-scheduler
+        pool — the cluster-manager-backed concurrency/priority control
+        SURVEY §4.3 delegates to. ``None`` resets to the default pool."""
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", name
+        )
+
+    def analyze(self, name: str, columns: list[str] | None = None) -> None:
+        """ANALYZE (commands/analyze.c): collect table + column stats so
+        the cost-based optimizer can size joins (the reference's
+        pg_statistic feeding ORCA). Applies to catalog-registered tables
+        (e.g. GpTable.save_bucketed outputs)."""
+        if columns:
+            cols = ", ".join(columns)
+            self.spark.sql(
+                f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}"
+            )
+        else:
+            self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+
     # -- prepared statements (extended query protocol, SURVEY §3.2) ----------
 
     def prepare(self, name: str, text: str) -> None:

@@ -165,3 +165,28 @@ def test_prepared_statements(spark, sf_dir):
     # a quoting-hostile string binds safely as a VALUE
     eng.prepare("by_prio", "SELECT count(*)::int8 AS n FROM orders WHERE o_orderpriority = $1")
     assert eng.execute("by_prio", "x' OR '1'='1").collect()[0].n == 0
+
+
+def test_resource_group_and_analyze(spark, tmp_path):
+    """Resource-group hook maps to the fair-scheduler pool property;
+    ANALYZE records catalog statistics the CBO can read."""
+    from gpdb_spark.engine import Engine
+    from gpdb_spark.storage import GpTable
+
+    eng = Engine(spark, sf_dir=None)
+    eng.set_resource_group("etl_pool")
+    assert (
+        spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+        == "etl_pool"
+    )
+    eng.set_resource_group(None)
+
+    spark.sql("DROP TABLE IF EXISTS stats_t")
+    GpTable.save_bucketed(
+        spark.range(1000).selectExpr("id", "id % 7 AS k"),
+        "stats_t", ("k",), num_buckets=4,
+    )
+    eng.analyze("stats_t", ["k"])
+    desc = spark.sql("DESCRIBE EXTENDED stats_t").collect()
+    stats = [r for r in desc if r.col_name == "Statistics"]
+    assert stats and "rows" in stats[0].data_type  # e.g. '... 1000 rows'
