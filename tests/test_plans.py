@@ -131,6 +131,48 @@ def test_range_join_is_not_nested_loop(spark, sf_dir):
     assert "HashJoin" in plan
 
 
+def test_many_way_star_join_plans_as_broadcasts(spark, sf_dir):
+    """Planner stress (the reference's 106-way-join ORCA minidump,
+    gporca/data/dxl/minidump/106-way-join.mdp): a 21-way star join must
+    plan in bounded time with every small dim broadcast — zero fact-side
+    shuffles — and execute correctly."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    fact = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t0 = time.perf_counter()
+    df = fact
+    for i in range(20):
+        dim = (
+            spark.range(50)
+            .select(
+                (F.col("id")).alias(f"d{i}_key"),
+                (F.col("id") * i).alias(f"d{i}_val"),
+            )
+        )
+        df = df.join(
+            dim, (F.col("o_custkey") % 50) == F.col(f"d{i}_key"), "left"
+        ).drop(f"d{i}_key")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    plan_s = time.perf_counter() - t0
+    assert plan_s < 60, f"planning took {plan_s:.1f}s"
+    # formatted mode prints each node in tree + detail section: count the
+    # detail headers "(n) BroadcastHashJoin"
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 20
+    assert "SortMergeJoin" not in plan  # no fact-side shuffle for dims
+    row = df.agg(F.count(F.lit(1)).alias("n")).collect()[0]
+    assert row.n == fact.count()
+
+
 def test_interval_join_is_hash_join_on_key(spark, sf_dir):
     """events_interval_join: the equi key (user_id) must carry the join —
     hash join with the time bound as residual — never a nested loop over
