@@ -244,6 +244,80 @@ class GpTable:
         self._rewrite(updated)
         return n
 
+    def delete_using(
+        self,
+        spark: SparkSession,
+        using: DataFrame,
+        join_cond: Column,
+        extra_where: Column | None = None,
+    ) -> int:
+        """DELETE FROM t USING other WHERE join_cond [AND extra]
+        (gram.y using_clause; planned as a join in the reference):
+        rows with a match in ``using`` are deleted — a LEFT SEMI join
+        decides the doomed set, then the complement is rewritten.
+        BEFORE DELETE skip_when triggers veto as usual."""
+        cur = spark.read.parquet(self.path)
+        before = cur.count()
+        # survivors = rows with NO match (anti) plus matched rows kept by
+        # a failed extra predicate or a trigger veto — never an anti-join
+        # on all columns (NULLs would immortalize rows)
+        anti = cur.join(using, join_cond, "left_anti")
+        semi = cur.join(using, join_cond, "left_semi")
+        keep_cond = F.lit(False)
+        if extra_where is not None:
+            keep_cond = keep_cond | ~F.coalesce(extra_where, F.lit(False))
+        for trig in self._triggers("delete"):
+            if trig.skip_when is not None:
+                keep_cond = keep_cond | F.coalesce(
+                    trig.skip_when, F.lit(False)
+                )
+        kept = anti.unionByName(semi.where(keep_cond))
+        self._rewrite(kept)
+        return before - spark.read.parquet(self.path).count()
+
+    def update_from(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        join_keys: list[str],
+        assignments: dict[str, Column],
+        cond: Column | None = None,
+    ) -> int:
+        """UPDATE t SET col = expr FROM source WHERE t.k = source.k
+        (gram.y from_clause on UPDATE): the standard join-update. Rows
+        with a source match get ``assignments`` (expressions may
+        reference source columns); unmatched rows pass through. Source
+        must be unique per key (PG raises on multiple matches; here the
+        first match wins deterministically via dropDuplicates)."""
+        cur = spark.read.parquet(self.path)
+        src = source.dropDuplicates(join_keys)
+        src_cols = [
+            c for c in src.columns if c not in cur.columns
+        ]  # payload columns
+        renamed = src.select(
+            *[F.col(k).alias(f"__k_{k}") for k in join_keys],
+            *[F.col(c) for c in src_cols],
+        )
+        on = None
+        for k in join_keys:
+            e = F.col(k) == F.col(f"__k_{k}")
+            on = e if on is None else (on & e)
+        joined = cur.join(renamed, on, "left")
+        matched = F.col(f"__k_{join_keys[0]}").isNotNull()
+        if cond is not None:
+            matched = matched & cond
+        n = joined.where(matched).count()
+        out = joined.select(
+            *[
+                F.when(matched, assignments[c]).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in cur.columns
+            ]
+        )
+        self._rewrite(out)
+        return n
+
     # -- bucketed catalog tables (persistent co-location) --------------------
 
     @staticmethod

@@ -403,3 +403,46 @@ def test_sort_by_clusters_row_groups(tmp_path, spark, orders_df):
     # correctness unchanged
     back = t.read(spark)
     assert back.count() == orders_df.count()
+
+
+def test_delete_using_and_update_from(tmp_path, spark, nation_df):
+    """DELETE USING / UPDATE FROM (gram.y using_clause / UPDATE
+    from_clause): join-based DML planned as semi/anti + join-projection,
+    exactly the reference's join-ModifyTable plan."""
+    t = GpTable.create(
+        nation_df, str(tmp_path / "nation_ju"),
+        distributed_by=["n_nationkey"], num_buckets=2,
+    )
+    doomed_keys = spark.createDataFrame(
+        [(1,), (3,), (999,)], "k long"
+    )
+    n_del = t.delete_using(
+        spark, doomed_keys, F.col("n_nationkey") == F.col("k")
+    )
+    assert n_del == 2  # 999 has no match
+    back = t.read(spark)
+    assert back.where(F.col("n_nationkey").isin(1, 3)).count() == 0
+
+    # extra WHERE narrows the doomed set
+    more = spark.createDataFrame([(5,), (6,)], "k long")
+    n_del2 = t.delete_using(
+        spark, more, F.col("n_nationkey") == F.col("k"),
+        extra_where=F.col("n_regionkey") == 0,
+    )
+    only_r0 = nation_df.where(
+        F.col("n_nationkey").isin(5, 6) & (F.col("n_regionkey") == 0)
+    ).count()
+    assert n_del2 == only_r0
+
+    # UPDATE ... FROM: set region from a source mapping
+    mapping = spark.createDataFrame(
+        [(0, 100), (2, 102)], "n_nationkey long, new_region long"
+    )
+    n_upd = t.update_from(
+        spark, mapping, ["n_nationkey"],
+        {"n_regionkey": F.col("new_region")},
+    )
+    assert n_upd == 2
+    back = t.read(spark)
+    assert back.where(F.col("n_nationkey") == 0).collect()[0].n_regionkey == 100
+    assert back.where(F.col("n_nationkey") == 2).collect()[0].n_regionkey == 102
