@@ -1170,6 +1170,23 @@ def pg_sql(
 
         register_fixture_views(spark, sf_dir)
         int_cols = _fixture_int_cols(spark, sf_dir)
+    stripped = sql.lstrip()
+    if stripped[:7].lower() == "explain":
+        # EXPLAIN [ANALYZE] <query>: one-row DataFrame with the plan in
+        # Motion vocabulary (the reference's EXPLAIN output shape, §2.8)
+        from gpdb_spark.plans import explain_motion
+
+        body = stripped[7:].lstrip()
+        analyze = body[:7].lower() == "analyze"
+        if analyze:
+            body = body[7:].lstrip()
+        df = pg_sql(spark, body, None)
+        if analyze:
+            df._jdf.queryExecution().toRdd().count()
+        plan = explain_motion(df)
+        return spark.createDataFrame(
+            [(line,) for line in plan.splitlines()], "query_plan string"
+        )
     rec = _try_recursive_cte(spark, sql, int_cols)
     if rec is not None:
         return rec

@@ -222,3 +222,19 @@ def test_tablesample():
 def test_dollar_params():
     out = translate("SELECT * FROM t WHERE a > $1 AND b = $2")
     assert ":p1" in out and ":p2" in out and "$" not in out
+
+
+def test_explain_front_door(spark, sf_dir):
+    """EXPLAIN <pg sql> through pg_sql returns the Motion-vocabulary plan
+    as rows (the reference's EXPLAIN output surface), without executing;
+    EXPLAIN ANALYZE executes JVM-side first."""
+    out = pg_sql(
+        spark,
+        "EXPLAIN SELECT o_orderpriority, count(*) FROM orders "
+        "GROUP BY o_orderpriority",
+        sf_dir,
+    )
+    lines = [r.query_plan for r in out.collect()]
+    text = "\n".join(lines)
+    assert "slices:" in text  # Motion header
+    assert any("Motion" in ln for ln in lines)
