@@ -244,6 +244,57 @@ class GpTable:
         self._rewrite(updated)
         return n
 
+    def upsert(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        conflict_keys: list[str],
+        update_cols: list[str] | None = None,
+    ) -> tuple[int, int]:
+        """INSERT ... ON CONFLICT (keys) DO UPDATE SET col = EXCLUDED.col
+        (the reference's speculative-insert ModifyTable path): matched
+        rows take the incoming values for ``update_cols`` (default: all
+        non-key columns), unmatched incoming rows append. One full-outer
+        style rewrite — join on the conflict key, project
+        matched-vs-existing, union the brand-new rows. Returns
+        (n_updated, n_inserted). Incoming duplicates per key collapse to
+        one (PG raises instead; first-wins here, documented)."""
+        cur = spark.read.parquet(self.path)
+        incoming = df.dropDuplicates(conflict_keys)
+        if update_cols is None:
+            update_cols = [c for c in cur.columns if c not in conflict_keys]
+        inc = incoming.select(
+            *[F.col(k).alias(f"__i_{k}") for k in conflict_keys],
+            *[
+                F.col(c).alias(f"__v_{c}")
+                for c in cur.columns
+                if c not in conflict_keys
+            ],
+        )
+        on = None
+        for k in conflict_keys:
+            e = F.col(k) == F.col(f"__i_{k}")
+            on = e if on is None else (on & e)
+        joined = cur.join(inc, on, "left")
+        matched = F.col(f"__i_{conflict_keys[0]}").isNotNull()
+        n_updated = joined.where(matched).count()
+        updated = joined.select(
+            *[
+                F.when(matched, F.col(f"__v_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in update_cols
+                else F.col(c)
+                for c in cur.columns
+            ]
+        )
+        new_rows = incoming.join(
+            cur.select(*conflict_keys), conflict_keys, "left_anti"
+        ).select(*cur.columns)
+        n_inserted = new_rows.count()
+        self._rewrite(updated.unionByName(new_rows))
+        return n_updated, n_inserted
+
     def delete_using(
         self,
         spark: SparkSession,

@@ -446,3 +446,36 @@ def test_delete_using_and_update_from(tmp_path, spark, nation_df):
     back = t.read(spark)
     assert back.where(F.col("n_nationkey") == 0).collect()[0].n_regionkey == 100
     assert back.where(F.col("n_nationkey") == 2).collect()[0].n_regionkey == 102
+
+
+def test_upsert_on_conflict(tmp_path, spark, nation_df):
+    """INSERT ON CONFLICT DO UPDATE (speculative insert): matched keys
+    take incoming values, new keys append, untouched rows pass through."""
+    t = GpTable.create(
+        nation_df, str(tmp_path / "nation_ups"),
+        distributed_by=["n_nationkey"], num_buckets=2,
+    )
+    incoming = spark.createDataFrame(
+        [(0, "ZERO_NATION", 9), (1, "ONE_NATION", 9), (500, "NEW_NATION", 9)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    n_before = nation_df.count()
+    n_upd, n_ins = t.upsert(spark, incoming, ["n_nationkey"])
+    assert (n_upd, n_ins) == (2, 1)
+    back = t.read(spark)
+    assert back.count() == n_before + 1
+    assert back.where(F.col("n_nationkey") == 0).collect()[0].n_name == "ZERO_NATION"
+    assert back.where(F.col("n_nationkey") == 500).collect()[0].n_name == "NEW_NATION"
+    # untouched row unchanged
+    orig_2 = nation_df.where(F.col("n_nationkey") == 2).collect()[0].n_name
+    assert back.where(F.col("n_nationkey") == 2).collect()[0].n_name == orig_2
+
+    # partial update_cols: only n_regionkey refreshed, name preserved
+    inc2 = spark.createDataFrame(
+        [(2, "SHOULD_NOT_APPLY", 42)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    n_upd2, n_ins2 = t.upsert(spark, inc2, ["n_nationkey"], ["n_regionkey"])
+    assert (n_upd2, n_ins2) == (1, 0)
+    row = t.read(spark).where(F.col("n_nationkey") == 2).collect()[0]
+    assert row.n_regionkey == 42 and row.n_name == orig_2
