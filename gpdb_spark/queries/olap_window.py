@@ -265,3 +265,63 @@ def window_multi_windows(spark, sf_dir):
         F.rank().over(w2).alias("rank_in_status"),
         wround(F.sum(wdec("o_totalprice")).over(w3)).alias("cust_total"),
     )
+
+
+@query(
+    "window_frame_exclude_groups",
+    # EXCLUDE CURRENT ROW (native in DuckDB) and GROUPS mode (DuckDB
+    # lacks GROUPS: both engines use the dense_rank + integer-RANGE
+    # equivalence, which IS the definition of a GROUPS frame)
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_id, ts, value,
+               dense_rank() OVER (
+                   PARTITION BY user_id
+                   ORDER BY date_trunc('minute', ts)) AS grp
+        FROM events WHERE user_id < 40
+    )
+    SELECT user_id, event_id,
+           CAST(round(sum(CAST(value AS DECIMAL(25,6))) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                    EXCLUDE CURRENT ROW), 6) AS DOUBLE) AS excl_sum,
+           CAST(round(sum(CAST(value AS DECIMAL(25,6))) OVER (
+                    PARTITION BY user_id ORDER BY grp
+                    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING), 6)
+                AS DOUBLE) AS groups_sum
+    FROM g
+    """,
+)
+def window_frame_exclude_groups(spark, sf_dir):
+    """PG 11 frame refinements (nodeWindowAgg.c): EXCLUDE CURRENT ROW —
+    emulated as frame_sum - current (NULL when the exclusion empties the
+    frame, matching PG/DuckDB) — and GROUPS mode — peers collapse to one
+    step, exactly a RANGE(-1,1) frame over dense_rank. Both stay single
+    window passes per spec."""
+    e = t(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    frame_sum = F.sum(wdec("value")).over(w_rows)
+    frame_cnt = F.count(F.lit(1)).over(w_rows)
+    excl = F.when(
+        frame_cnt > 1,
+        F.round(frame_sum - F.col("value").cast("decimal(25,6)"), 6),
+    ).cast("double")
+    grp = F.dense_rank().over(
+        Window.partitionBy("user_id").orderBy(
+            F.date_trunc("minute", F.col("ts"))
+        )
+    )
+    base = e.select("user_id", "event_id", "ts", "value", grp.alias("grp"))
+    w_groups = (
+        Window.partitionBy("user_id").orderBy("grp").rangeBetween(-1, 1)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        excl.alias("excl_sum"),
+        wround(F.sum(wdec("value")).over(w_groups), 6).alias("groups_sum"),
+    )
