@@ -493,3 +493,40 @@ def hypothetical_set_aggs(spark, sf_dir):
             6,
         ).alias("hyp_cume_dist"),
     )
+
+
+@query(
+    "distinct_ordered_aggs",
+    # DISTINCT inside ordered aggregates (aggref aggdistinct +
+    # aggorder, parse_agg.c): dedup THEN deterministic order
+    oracle="""
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus)
+               AS modes,
+           array_to_string(list_sort(list_distinct(
+               list(CAST(l_quantity AS BIGINT)))), ',') AS qty_set,
+           count(DISTINCT l_linestatus) AS n_modes
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def distinct_ordered_aggs(spark, sf_dir):
+    """string_agg(DISTINCT ... ORDER BY) / array_agg(DISTINCT) — dedup +
+    deterministic ordering via collect_set -> array_sort, all JVM-side
+    and partial-aggregatable (collect_set combines per-partition)."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("l_linestatus")), "|"
+        ).alias("modes"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_set(F.col("l_quantity").cast("bigint"))
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("qty_set"),
+        F.count_distinct("l_linestatus").alias("n_modes"),
+    )
