@@ -244,6 +244,31 @@ class GpTable:
         self._rewrite(updated)
         return n
 
+    def alter_distribution(
+        self,
+        spark: SparkSession,
+        distributed_by: tuple[str, ...] | list[str] | None = None,
+        replicated: bool = False,
+    ) -> None:
+        """ALTER TABLE ... SET DISTRIBUTED BY (...) / SET DISTRIBUTED
+        RANDOMLY / REPLICATED (the reference's full-table redistribute,
+        ATExecSetDistributedBy in tablecmds.c): rewrite every row under
+        the new placement policy — exactly the data motion the reference
+        performs, expressed as one repartition+write."""
+        self.policy = DistributionPolicy(
+            policytype="r" if replicated else "p",
+            distkey=tuple(distributed_by or ()),
+        )
+        self._rewrite(spark.read.parquet(self.path))
+
+    def truncate(self, spark: SparkSession) -> None:
+        """TRUNCATE TABLE: drop all rows, keep schema + policy
+        (ExecuteTruncate, tablecmds.c — metadata-speed, no row scan)."""
+        empty = spark.createDataFrame(
+            [], spark.read.parquet(self.path).schema
+        )
+        self._rewrite(empty)
+
     def upsert(
         self,
         spark: SparkSession,

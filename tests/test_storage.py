@@ -479,3 +479,32 @@ def test_upsert_on_conflict(tmp_path, spark, nation_df):
     assert (n_upd2, n_ins2) == (1, 0)
     row = t.read(spark).where(F.col("n_nationkey") == 2).collect()[0]
     assert row.n_regionkey == 42 and row.n_name == orig_2
+
+
+def test_alter_distribution_and_truncate(tmp_path, spark, nation_df):
+    """ALTER TABLE SET DISTRIBUTED BY / REPLICATED redistributes every
+    row under the new policy; TRUNCATE empties but keeps schema."""
+    t = GpTable.create(
+        nation_df, str(tmp_path / "nation_alter"),
+        distributed_by=["n_nationkey"], num_buckets=4,
+    )
+    t.alter_distribution(spark, replicated=True)
+    assert t.policy.is_replicated
+    joined = spark.read.parquet(f"{t.path}").limit(1)
+    # replicated read path broadcast-hints
+    plan = (
+        nation_df.join(t.read(spark).selectExpr("n_nationkey AS k"),
+                       F.col("n_nationkey") == F.col("k"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Broadcast" in plan
+    assert t.read(spark).count() == nation_df.count()
+
+    t.alter_distribution(spark, distributed_by=["n_regionkey"])
+    assert t.policy.distkey == ("n_regionkey",)
+    assert t.read(spark).count() == nation_df.count()
+
+    t.truncate(spark)
+    back = t.read(spark)
+    assert back.count() == 0
+    assert set(back.columns) == set(nation_df.columns)
