@@ -40,6 +40,7 @@ DRIVER_PRIORITY: list[str] = [
     "pg_to_char_patterns",
     "range_type_ops",
     "external_program_scan",
+    "foreign_scan_fdw",
     "pg_to_char_numeric",
     "pg_parse_funcs",
     "events_interval_join",

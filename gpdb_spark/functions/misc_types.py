@@ -226,3 +226,37 @@ def set_bit(a: Column, i: int, v: int, length: int) -> Column:
 def bit_to_string(a: Column, length: int) -> Column:
     """Render as PG's bit-string text ('10110…', fixed width)."""
     return F.lpad(F.conv(a.cast("string"), 10, 2), length, "0")
+
+
+# ---------------------------------------------------------------------------
+# money (src/backend/utils/adt/cash.c): fixed-point currency as int64 cents
+# ---------------------------------------------------------------------------
+
+def money_in(s: Column) -> Column:
+    """cash_in: parse '$1,234.56', '-$5.00', '($5.00)' to int64 cents.
+    The reference stores money as a 64-bit integer count of fractional
+    units; all arithmetic is exact integer math."""
+    neg = s.rlike(r"^\s*[-(]") | s.rlike(r"^\s*\$\s*-")
+    digits = F.regexp_replace(s, r"[^0-9.]", "")
+    cents = F.round(digits.cast("decimal(26,4)") * 100, 0).cast("long")
+    return F.when(neg, -cents).otherwise(cents)
+
+
+def money_out(cents: Column) -> Column:
+    """cash_out: int64 cents -> '-$1,234.56' (sign before the symbol,
+    comma thousands grouping, always 2 decimals)."""
+    body = F.format_number(
+        F.abs(cents).cast("decimal(25,2)") / 100, 2
+    )
+    return F.concat(
+        F.when(cents < 0, F.lit("-")).otherwise(F.lit("")), F.lit("$"), body
+    )
+
+
+def money_mul(cents: Column, factor: Column) -> Column:
+    """money * numeric (cash_mul_flt8): exact decimal multiply then
+    round-half-up back to cents."""
+    return (
+        F.round(cents.cast("decimal(26,6)") * factor.cast("decimal(26,6)"), 0)
+        .cast("long")
+    )

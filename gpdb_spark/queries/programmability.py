@@ -211,3 +211,56 @@ def external_program_scan(spark, sf_dir):
         'do echo "$i,$GP_SEGMENT_ID"; i=$((i+4)); done'
     )
     return read_external_program(spark, cmd, schema, n_segments=4).good
+
+
+@query(
+    "foreign_scan_fdw",
+    # oracle sees the same nation rows directly (the FDW round-trips
+    # them through the foreign server without loss)
+    oracle="""
+    SELECT r.r_name, count(*) AS n_nations,
+           CAST(sum(n.n_nationkey) AS BIGINT) AS key_sum
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE n.n_nationkey >= 5 AND n.n_name LIKE '%A%'
+    GROUP BY r.r_name
+    """,
+)
+def foreign_scan_fdw(spark, sf_dir):
+    """ForeignScan through a real FDW: nation is served from a *foreign*
+    SQLite database via the Spark 4 Python Data Source API with
+    postgres_fdw-style remote filter pushdown (>=, LIKE-contains are
+    deparsed to the remote WHERE), then joined to the local parquet
+    region table (reference: ExecForeignScan nodeForeignscan.c:89,
+    contrib/postgres_fdw deparse.c)."""
+    import os
+    import tempfile
+
+    from gpdb_spark.operators.foreign import (
+        create_sqlite_table,
+        read_foreign_table,
+    )
+
+    # materialize the 25-row nation table as the "remote server" side —
+    # bounded driver work, fixture-scale only (a real deployment points
+    # at an existing foreign database instead)
+    rows = [
+        r.asDict()
+        for r in t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    ]
+    db = os.path.join(tempfile.mkdtemp(prefix="gpdb_fdw_"), "remote.db")
+    create_sqlite_table(db, "nation", rows)
+
+    n = read_foreign_table(spark, db, "nation", num_partitions=2).where(
+        (F.col("n_nationkey") >= 5) & F.col("n_name").contains("A")
+    )
+    r = t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").alias("key_sum"),
+        )
+    )

@@ -411,6 +411,18 @@ class GpTable:
         exact analog of the reference's segment-local joins on matching
         distribution keys (cdbpath_motion_for_join's no-motion fast path).
         Sort columns additionally enable merge-join without a sort step."""
+        spark = df.sparkSession
+        if mode == "overwrite" and not spark.catalog.tableExists(table_name):
+            # A crashed prior run can leave the warehouse directory behind
+            # with no catalog entry; saveAsTable then fails with
+            # LOCATION_ALREADY_EXISTS even in overwrite mode.
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = spark.conf.get("spark.sql.warehouse.dir")
+            loc = os.path.join(urlparse(wh).path or wh, table_name.lower())
+            if os.path.isdir(loc):
+                shutil.rmtree(loc)
         writer = (
             df.write.mode(mode)
             .format("parquet")

@@ -1,0 +1,109 @@
+"""ForeignScan / FDW via the Spark 4 Python Data Source API.
+
+Reference behavior: ExecForeignScan (nodeForeignscan.c:89) with
+postgres_fdw-style remote qual pushdown (contrib/postgres_fdw).
+"""
+
+import pytest
+
+from gpdb_spark.operators.foreign import (
+    create_sqlite_table,
+    read_foreign_table,
+)
+
+
+@pytest.fixture(scope="module")
+def fdw_db(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("fdw") / "remote.db")
+    rows = [
+        dict(id=i, name=f"name_{i:03d}", val=i * 0.5, tag=None if i % 10 == 0 else f"t{i % 3}")
+        for i in range(500)
+    ]
+    create_sqlite_table(path, "items", rows)
+    return path, rows
+
+
+def test_foreign_scan_roundtrip(spark, fdw_db):
+    path, rows = fdw_db
+    df = read_foreign_table(spark, path, "items", num_partitions=4)
+    assert df.count() == len(rows)
+    assert [f.name for f in df.schema.fields] == ["id", "name", "val", "tag"]
+    # parallel splits: rowid ranges → one task each
+    assert df.rdd.getNumPartitions() == 4
+    got = {r.id: (r.name, r.val, r.tag) for r in df.collect()}
+    for r in rows:
+        assert got[r["id"]] == (r["name"], r["val"], r["tag"])
+
+
+def test_foreign_filter_pushdown(spark, fdw_db):
+    path, rows = fdw_db
+    df = read_foreign_table(spark, path, "items", num_partitions=2)
+    q = df.where(
+        (df.id >= 100)
+        & (df.id < 200)
+        & df.name.startswith("name_1")
+        & df.tag.isNotNull()
+    )
+    expected = [
+        r
+        for r in rows
+        if 100 <= r["id"] < 200
+        and r["name"].startswith("name_1")
+        and r["tag"] is not None
+    ]
+    assert q.count() == len(expected)
+    # all conjuncts are deparsable → the optimized plan absorbs the
+    # Filter node into the scan entirely (remote WHERE evaluation)
+    optimized = q._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" not in optimized
+
+
+def test_foreign_unsupported_filter_stays_local(spark, fdw_db):
+    path, rows = fdw_db
+    df = read_foreign_table(spark, path, "items", num_partitions=2)
+    # modulo is not deparsable — Spark must evaluate it post-scan
+    q = df.where("id % 7 = 0 and id > 50")
+    expected = [r for r in rows if r["id"] % 7 == 0 and r["id"] > 50]
+    assert q.count() == len(expected)
+    optimized = q._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" in optimized  # the local residual
+
+
+def test_foreign_in_and_string_ops(spark, fdw_db):
+    path, rows = fdw_db
+    df = read_foreign_table(spark, path, "items", num_partitions=3)
+    q = df.where(df.tag.isin("t1", "t2") & df.name.endswith("7"))
+    expected = [
+        r
+        for r in rows
+        if r["tag"] in ("t1", "t2") and r["name"].endswith("7")
+    ]
+    assert q.count() == len(expected)
+
+
+def test_foreign_like_escape_semantics(spark):
+    """'%' and '_' inside a pushed contains() pattern must be escaped —
+    a literal underscore match must not degrade to LIKE's any-char."""
+    import tempfile, os
+
+    path = os.path.join(tempfile.mkdtemp(), "esc.db")
+    create_sqlite_table(
+        path,
+        "t",
+        [dict(id=1, s="a_b"), dict(id=2, s="axb"), dict(id=3, s="a%b")],
+    )
+    df = read_foreign_table(spark, path, "t", num_partitions=1)
+    assert [r.id for r in df.where(df.s.contains("_")).collect()] == [1]
+    assert [r.id for r in df.where(df.s.contains("%")).collect()] == [3]
+
+
+def test_foreign_empty_table(spark):
+    import tempfile, os, sqlite3
+
+    path = os.path.join(tempfile.mkdtemp(), "empty.db")
+    create_sqlite_table(path, "t", [dict(id=1, s="x")])
+    with sqlite3.connect(path) as conn:
+        conn.execute("DELETE FROM t")
+        conn.commit()
+    df = read_foreign_table(spark, path, "t")
+    assert df.count() == 0
