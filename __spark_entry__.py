@@ -41,6 +41,9 @@ DRIVER_PRIORITY: list[str] = [
     "range_type_ops",
     "external_program_scan",
     "foreign_scan_fdw",
+    "geometry_ops",
+    "money_type_funcs",
+    "xml_funcs",
     "pg_to_char_numeric",
     "pg_parse_funcs",
     "events_interval_join",

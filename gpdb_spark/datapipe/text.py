@@ -154,3 +154,73 @@ def rolling_hash_fingerprint(text: Column | str, window: int = 4) -> Column:
         lambda i: F.xxhash64(F.array_join(F.slice(toks, i, window), " ")),
     )
     return F.array_min(shingle_hash)
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+def ngrams(text: Column | str, n: int) -> Column:
+    """Word n-grams as strings, from the whitespace tokenization.
+    Pure higher-order-function construction (transform over an index
+    sequence + slice + array_join) — codegen, O(tokens) per row."""
+    t = tokens(text)
+    return F.when(
+        F.array_size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.array_size(t) - n + 1),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_fraction(text: Column | str, n: int) -> Column:
+    """Fraction of n-grams that are repeats of an earlier occurrence:
+    1 - distinct/total (0.0 for docs shorter than n tokens). The
+    'repeated n-gram fraction' family from the Gopher data-quality
+    filters — high values flag boilerplate/spam for pipeline removal."""
+    g = ngrams(text, n)
+    total = F.array_size(g)
+    return F.when(total > 0, 1.0 - F.array_size(F.array_distinct(g)) / total).otherwise(0.0)
+
+
+def dup_line_fraction(text: Column | str) -> Column:
+    """Fraction of non-empty lines that are duplicates of another line —
+    the duplicate-line Gopher signal (terms-of-service boilerplate…)."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.filter(F.split(c, r"\n"), lambda x: F.trim(x) != "")
+    total = F.array_size(lines)
+    return F.when(
+        total > 0, 1.0 - F.array_size(F.array_distinct(lines)) / total
+    ).otherwise(0.0)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, regex, replacement) — applied in order, JVM regexp_replace
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ssn_like", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Scrub common PII shapes (emails, IPv4s, phone-number and SSN-like
+    digit patterns) with typed placeholder tags. A chain of JVM
+    regexp_replace calls — one codegen stage, no Python, order of
+    patterns fixed so overlapping matches resolve deterministically."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _name, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_hit_count(text: Column | str, pattern_name: str) -> Column:
+    """Number of matches of one named PII pattern (audit metric)."""
+    c = F.col(text) if isinstance(text, str) else text
+    pat = dict((n, p) for n, p, _ in PII_PATTERNS)[pattern_name]
+    return F.regexp_count(c, F.lit(pat))

@@ -29,14 +29,26 @@ def _escape_attr(c: Column) -> Column:
     return F.regexp_replace(out, '"', "&quot;")
 
 
+def xmltext(c: Column) -> Column:
+    """XMLTEXT: lift a text value into xml, escaping markup characters.
+    PG's xmlelement escapes *non-xml-typed* content args exactly this
+    way; xml-typed args pass through verbatim (xml.c xmlelement)."""
+    return _escape_content(c)
+
+
 def xmlelement(name: str, attrs: dict[str, Column] | None = None, *content: Column) -> Column:
-    """XMLELEMENT(NAME name, XMLATTRIBUTES(...), content...)."""
+    """XMLELEMENT(NAME name, XMLATTRIBUTES(...), content...).
+
+    ``content`` columns are treated as already-xml (output of
+    xmlelement/xmlforest/xmltext) and concatenated verbatim — wrap raw
+    text in :func:`xmltext` to escape it, mirroring PG's type-driven
+    escaping rule."""
     parts: list[Column] = [F.lit(f"<{name}")]
     for k, v in (attrs or {}).items():
         parts += [F.lit(f' {k}="'), _escape_attr(v), F.lit('"')]
     if content:
         parts.append(F.lit(">"))
-        parts += [_escape_content(c) for c in content]
+        parts += list(content)
         parts.append(F.lit(f"</{name}>"))
     else:
         parts.append(F.lit("/>"))

@@ -296,3 +296,166 @@ def uuid_v3_funcs(spark, sf_dir):
     return d.select(
         "doc_id", uid.alias("uid"), M.is_uuid(uid).alias("valid")
     )
+
+
+@query(
+    "geometry_ops",
+    # oracle re-derives every predicate from coordinate arithmetic; the
+    # triangle containment uses the half-plane (cross-product) form as an
+    # independent check of the engine's ray-crossing implementation
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey,
+               c_acctbal / 1000.0 AS x,
+               (c_custkey % 97) / 10.0 AS y
+        FROM customer
+    )
+    SELECT count(*) AS n,
+        CAST(sum(CASE WHEN x <= 6 AND x >= 1 AND y <= 8 AND y >= 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS in_box,
+        CAST(sum(CASE WHEN sqrt((x-5)*(x-5) + (y-5)*(y-5)) <= 3
+                      THEN 1 ELSE 0 END) AS BIGINT) AS in_circle,
+        CAST(sum(CASE WHEN
+              (10.0 - 0.0) * (y - 0.0001234567) - (0.0001234567 - 0.0001234567) * (x - 0.0001234567) > 0
+          AND (0.0001234567 - 10.0001234567) * (y - 0.0001234567) - (9.0001234567 - 0.0001234567) * (x - 10.0001234567) > 0
+          AND (0.0 - 0.0) * (y - 9.0001234567) - (0.0001234567 - 9.0001234567) * (x - 0.0001234567) > 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS in_triangle,
+        CAST(round(sum(CAST(sqrt(x*x + y*y) AS DECIMAL(25,6))), 4) AS DOUBLE) AS dist_total
+    FROM pts
+    """,
+)
+def geometry_ops(spark, sf_dir):
+    """PG geometric types (geo_ops.c): point distance, box @> point,
+    circle @> point, polygon @> point (ray-crossing). All struct-based
+    JVM expressions — one scan, one 2-stage aggregate, no UDF."""
+    from gpdb_spark.functions import geometry as G
+
+    c = t(spark, sf_dir, "customer")
+    p = G.point(F.col("c_acctbal") / 1000.0, (F.col("c_custkey") % 97) / 10.0)
+    bx = G.box(G.point(F.lit(1.0), F.lit(1.0)), G.point(F.lit(6.0), F.lit(8.0)))
+    ci = G.circle(G.point(F.lit(5.0), F.lit(5.0)), F.lit(3.0))
+    # vertices offset so no fixture coordinate falls exactly on an edge
+    tri = F.array(
+        G.point(F.lit(0.0001234567), F.lit(0.0001234567)),
+        G.point(F.lit(10.0001234567), F.lit(0.0001234567)),
+        G.point(F.lit(0.0001234567), F.lit(9.0001234567)),
+    )
+    flags = c.select(
+        G.box_contains_pt(bx, p).cast("long").alias("in_box"),
+        G.circle_contains_pt(ci, p).cast("long").alias("in_circle"),
+        G.poly_contains_pt(tri, p).cast("long").alias("in_triangle"),
+        G.pt_distance(p, G.point(F.lit(0.0), F.lit(0.0))).alias("dist"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("in_box").alias("in_box"),
+        F.sum("in_circle").alias("in_circle"),
+        F.sum("in_triangle").alias("in_triangle"),
+        F.round(F.sum(F.col("dist").cast("decimal(25,6)")), 4)
+        .cast("double")
+        .alias("dist_total"),
+    )
+
+
+@query(
+    "money_type_funcs",
+    # the oracle reproduces cash_out/cash_in in SQL: integer-part comma
+    # grouping + 2-digit cents, then parses its own output back
+    oracle="""
+    WITH m AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), f AS (
+        SELECT cents,
+               (CASE WHEN cents < 0 THEN '-' ELSE '' END) || '$' ||
+               format('{:,}', abs(cents) // 100) || '.' ||
+               lpad(CAST(abs(cents) % 100 AS VARCHAR), 2, '0') AS money_str
+        FROM m
+    )
+    SELECT count(*) AS n,
+        CAST(sum(cents) AS BIGINT) AS total_cents,
+        CAST(sum(CASE WHEN CAST(round(CAST(regexp_replace(money_str, '[^0-9.]', '', 'g')
+                 AS DECIMAL(26,4)) * 100, 0) AS BIGINT)
+                 * (CASE WHEN cents < 0 THEN -1 ELSE 1 END) = cents
+                 THEN 0 ELSE 1 END) AS BIGINT) AS roundtrip_mismatches,
+        CAST(sum(CAST(round(CAST(cents AS DECIMAL(26,6))
+                 * CAST(0.075 AS DECIMAL(26,6)), 0) AS BIGINT)) AS BIGINT) AS tax_cents
+    FROM f
+    """,
+)
+def money_type_funcs(spark, sf_dir):
+    """money type (cash.c): int64-cents storage, cash_out formatting
+    ('-$1,234.56'), cash_in parsing, exact money * numeric with
+    round-half-up — all integer/decimal column math, no floats."""
+    from gpdb_spark.functions.misc_types import money_in, money_mul, money_out
+
+    o = t(spark, sf_dir, "orders")
+    m = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    ).select(
+        "cents",
+        money_out(F.col("cents")).alias("money_str"),
+    )
+    return m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(
+            F.when(money_in(F.col("money_str")) == F.col("cents"), 0).otherwise(1)
+        ).alias("roundtrip_mismatches"),
+        F.sum(money_mul(F.col("cents"), F.lit(0.075))).alias("tax_cents"),
+    )
+
+
+@query(
+    "xml_funcs",
+    # oracle builds the identical SQL/XML serialization with string
+    # concatenation and aggregates the original values the engine must
+    # recover through real XPath evaluation
+    oracle="""
+    WITH x AS (
+        SELECT n_regionkey, n_nationkey, n_name,
+               '<nation key="' || n_nationkey || '"><name>' || n_name ||
+               '</name><region>' || n_regionkey || '</region></nation>' AS doc
+        FROM nation
+    )
+    SELECT n_regionkey,
+           count(*) AS n_nations,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           '<names>' || string_agg('<n>' || n_name || '</n>', '' ORDER BY n_name)
+               || '</names>' AS names_doc
+    FROM x
+    GROUP BY n_regionkey
+    """,
+)
+def xml_funcs(spark, sf_dir):
+    """xml type (xml.c): XMLELEMENT/XMLFOREST generation with SQL/XML
+    escaping, XPath extraction via Spark's JVM xpath builtins, ordered
+    XMLAGG. key_sum/names_doc are computed from values recovered out of
+    the generated XML, so generation and extraction are both exercised."""
+    from gpdb_spark.functions import xml as X
+
+    n = t(spark, sf_dir, "nation")
+    docs = n.select(
+        "n_regionkey",
+        X.xmlelement(
+            "nation",
+            {"key": F.col("n_nationkey")},
+            X.xmlforest(name=F.col("n_name"), region=F.col("n_regionkey")),
+        ).alias("doc"),
+    ).select(
+        "n_regionkey",
+        X.xpath_int(F.col("doc"), F.lit("/nation/@key")).alias("xkey"),
+        X.xpath_string(F.col("doc"), F.lit("/nation/name")).alias("xname"),
+    )
+    return docs.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("xkey").alias("key_sum"),
+        F.concat(
+            F.lit("<names>"),
+            X.xmlagg(
+                F.concat(F.lit("<n>"), F.col("xname"), F.lit("</n>")),
+                order_by=F.col("xname"),
+            ),
+            F.lit("</names>"),
+        ).alias("names_doc"),
+    )

@@ -214,3 +214,116 @@ def test_misc_types_semantics(spark):
     assert val(M.get_bit(b, 1, 8)) == 0
     assert val(M.set_bit(b, 7, 1, 8)) == 0b10110001
     assert val(M.bit_xor(b, F.lit(0b11111111), 8)) == 0b01001111
+
+
+def test_geometry_semantics(spark):
+    """geo_ops.c operator semantics on hand-checked fixtures."""
+    from gpdb_spark.functions import geometry as G
+
+    df = spark.range(1)
+    P = lambda x, y: G.point(F.lit(float(x)), F.lit(float(y)))
+    row = df.select(
+        G.pt_distance(P(0, 0), P(3, 4)).alias("d"),
+        G.box_area(G.box(P(5, 1), P(1, 3))).alias("area"),  # normalized
+        G.box_contains_pt(G.box(P(0, 0), P(2, 2)), P(2, 2)).alias("on_corner"),
+        G.box_contains_pt(G.box(P(0, 0), P(2, 2)), P(2.1, 2)).alias("outside"),
+        G.box_overlap(G.box(P(0, 0), P(2, 2)), G.box(P(2, 2), P(3, 3))).alias("touch"),
+        G.box_overlap(G.box(P(0, 0), P(2, 2)), G.box(P(2.5, 2.5), P(3, 3))).alias("apart"),
+        G.box_contains_box(G.box(P(0, 0), P(4, 4)), G.box(P(1, 1), P(2, 2))).alias("bb"),
+        G.circle_contains_pt(G.circle(P(0, 0), F.lit(5.0)), P(3, 4)).alias("on_rim"),
+        G.circle_distance(
+            G.circle(P(0, 0), F.lit(1.0)), G.circle(P(10, 0), F.lit(2.0))
+        ).alias("cd"),
+        G.circle_distance(
+            G.circle(P(0, 0), F.lit(5.0)), G.circle(P(1, 0), F.lit(5.0))
+        ).alias("cd_overlap"),
+        G.pt_add(P(1, 2), P(3, 4)).alias("padd"),
+    ).first()
+    assert row.d == 5.0
+    assert row.area == 8.0  # |5-1| * |3-1|
+    assert row.on_corner and not row.outside
+    assert row.touch and not row.apart
+    assert row.bb
+    assert row.on_rim  # closed boundary, distance == r
+    assert row.cd == 7.0 and row.cd_overlap == 0.0
+    assert (row.padd.x, row.padd.y) == (4.0, 6.0)
+
+
+def test_polygon_ray_crossing(spark):
+    """point_inside: concave polygon, points in the notch are outside."""
+    from gpdb_spark.functions import geometry as G
+
+    # U-shape: notch between x=2..4 above y=2
+    verts = [(0, 0), (6, 0), (6, 5), (4, 5), (4, 2), (2, 2), (2, 5), (0, 5)]
+    poly = F.array(
+        *[G.point(F.lit(float(x)), F.lit(float(y))) for x, y in verts]
+    )
+    cases = [  # (x, y, expected_inside)
+        (1.0, 4.0, True),   # left arm
+        (5.0, 4.0, True),   # right arm
+        (3.0, 4.0, False),  # inside the notch
+        (3.0, 1.0, True),   # base below the notch
+        (7.0, 1.0, False),  # right of everything
+        (-1.0, -1.0, False),
+    ]
+    df = spark.createDataFrame([(x, y) for x, y, _ in cases], "x double, y double")
+    got = df.select(
+        "x", "y", G.poly_contains_pt(poly, G.point(F.col("x"), F.col("y"))).alias("i")
+    ).collect()
+    expected = {(x, y): e for x, y, e in cases}
+    for r in got:
+        assert r.i == expected[(r.x, r.y)], (r.x, r.y)
+
+
+def test_money_semantics(spark):
+    """cash.c: parse/format roundtrip, negatives, exact multiply."""
+    from gpdb_spark.functions.misc_types import money_in, money_mul, money_out
+
+    df = spark.createDataFrame(
+        [("$1,234.56",), ("-$5.00",), ("($7.25)",), ("$0.01",), ("$ -3.50",)],
+        "m string",
+    )
+    rows = df.select(money_in(F.col("m")).alias("cents")).collect()
+    assert [r.cents for r in rows] == [123456, -500, -725, 1, -350]
+
+    out = (
+        spark.createDataFrame([(123456,), (-123456,), (5,), (0,)], "c long")
+        .select(money_out(F.col("c")).alias("s"))
+        .collect()
+    )
+    assert [r.s for r in out] == ["$1,234.56", "-$1,234.56", "$0.05", "$0.00"]
+
+    mul = (
+        spark.createDataFrame([(10,), (50,), (1000,)], "c long")
+        .select(money_mul(F.col("c"), F.lit(0.075)).alias("t"))
+        .collect()
+    )
+    # 0.75 -> 1 (half-up), 3.75 -> 4, 75 exact
+    assert [r.t for r in mul] == [1, 4, 75]
+
+
+def test_xml_escaping_and_xpath(spark):
+    """xml.c escape_xml: & < > in content, quotes in attributes; xpath
+    recovers the original value after unescaping."""
+    from gpdb_spark.functions import xml as X
+
+    df = spark.createDataFrame([('a<b>&"c"',)], "v string")
+    doc = df.select(
+        X.xmlelement(
+            "t", {"a": F.col("v")}, X.xmltext(F.col("v"))
+        ).alias("doc")
+    )
+    row = doc.first()
+    assert row.doc == '<t a="a&lt;b&gt;&amp;&quot;c&quot;">a&lt;b&gt;&amp;"c"</t>'
+    back = doc.select(X.xpath_string(F.col("doc"), F.lit("/t")).alias("s")).first()
+    assert back.s == 'a<b>&"c"'
+    # empty element form
+    empty = spark.range(1).select(X.xmlelement("e").alias("d")).first()
+    assert empty.d == "<e/>"
+    # xmlforest drops NULL args
+    forest = (
+        spark.createDataFrame([("x", None)], "a string, b string")
+        .select(X.xmlforest(a=F.col("a"), b=F.col("b")).alias("f"))
+        .first()
+    )
+    assert forest.f == "<a>x</a>"
