@@ -44,6 +44,9 @@ DRIVER_PRIORITY: list[str] = [
     "geometry_ops",
     "money_type_funcs",
     "xml_funcs",
+    "text_repetition_quality",
+    "text_pii_redaction",
+    "events_gapfill_locf",
     "pg_to_char_numeric",
     "pg_parse_funcs",
     "events_interval_join",

@@ -88,6 +88,33 @@ class Engine:
         args = {f"p{i + 1}": v for i, v in enumerate(params)}
         return self.spark.sql(self._prepared[name], args=args)
 
+    # -- cursors (portals: DECLARE / FETCH / MOVE / CLOSE) -------------------
+
+    def declare_cursor(self, name: str, text: str) -> None:
+        """DECLARE name CURSOR FOR <pg sql> (portalmem.c / PortalRun):
+        the query starts executing lazily; rows stream to the driver
+        one partition at a time via toLocalIterator — bounded client
+        memory is the entire point of a cursor, so no full collect."""
+        self._cursors = getattr(self, "_cursors", {})
+        df = self.sql(text)
+        self._cursors[name] = iter(df.toLocalIterator())
+
+    def fetch(self, name: str, n: int = 1) -> list:
+        """FETCH [n] FROM name: next n rows; fewer (possibly []) at
+        end of portal, like FETCH past the last row."""
+        import itertools
+
+        return list(itertools.islice(self._cursors[name], n))
+
+    def move(self, name: str, n: int) -> int:
+        """MOVE n IN name: advance without returning rows; reports how
+        many rows were actually skipped."""
+        return len(self.fetch(name, n))
+
+    def close_cursor(self, name: str) -> None:
+        """CLOSE name."""
+        self._cursors.pop(name, None)
+
     # -- views ---------------------------------------------------------------
 
     def create_view(self, name: str, text: str) -> None:

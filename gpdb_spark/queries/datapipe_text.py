@@ -249,3 +249,134 @@ def datapipe_hash_split(spark, sf_dir):
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "text_repetition_quality",
+    # integer-exact comparison: corpus-level repetition = 1 -
+    # sum(distinct)/sum(total) is derived from the BIGINT sums the oracle
+    # reproduces with DuckDB list ops; the high-rep flag 2*distinct <
+    # total is integer math on both sides
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), g AS (
+        SELECT doc_id, len(t) AS n_tok,
+               len(list_distinct(t)) AS n_tok_d,
+               list_transform(generate_series(1, len(t)-1),
+                              i -> t[i] || ' ' || t[i+1]) AS g2,
+               list_transform(generate_series(1, len(t)-2),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+        FROM tk
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tok_total,
+           CAST(sum(n_tok_d) AS BIGINT) AS tok_distinct,
+           CAST(sum(len(g2)) AS BIGINT) AS g2_total,
+           CAST(sum(len(list_distinct(g2))) AS BIGINT) AS g2_distinct,
+           CAST(sum(len(g3)) AS BIGINT) AS g3_total,
+           CAST(sum(len(list_distinct(g3))) AS BIGINT) AS g3_distinct,
+           CAST(sum(CASE WHEN 2 * len(list_distinct(g2)) < len(g2)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high_rep
+    FROM g
+    """,
+)
+def text_repetition_quality(spark, sf_dir):
+    """Gopher-style within-document repetition signals: duplicate token /
+    2-gram / 3-gram mass and a high-repetition flag (repeated-2-gram
+    fraction > 1/2). N-grams are built with transform/slice higher-order
+    functions — one scan, one aggregate, zero Python (datapipe/text.py
+    ngrams/dup_ngram_fraction)."""
+    d = t(spark, sf_dir, "documents")
+    tok = T.tokens("text")
+    g2 = T.ngrams("text", 2)
+    g3 = T.ngrams("text", 3)
+    per_doc = d.select(
+        F.array_size(tok).alias("n_tok"),
+        F.array_size(F.array_distinct(tok)).alias("n_tok_d"),
+        F.array_size(g2).alias("n_g2"),
+        F.array_size(F.array_distinct(g2)).alias("n_g2_d"),
+        F.array_size(g3).alias("n_g3"),
+        F.array_size(F.array_distinct(g3)).alias("n_g3_d"),
+        (T.dup_ngram_fraction("text", 2) > 0.5).cast("long").alias("high_rep"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tok_total"),
+        F.sum("n_tok_d").alias("tok_distinct"),
+        F.sum("n_g2").alias("g2_total"),
+        F.sum("n_g2_d").alias("g2_distinct"),
+        F.sum("n_g3").alias("g3_total"),
+        F.sum("n_g3_d").alias("g3_distinct"),
+        F.sum("high_rep").alias("n_high_rep"),
+    )
+
+
+@query(
+    "text_pii_redaction",
+    # PII is injected deterministically from doc_id, then scrubbed; the
+    # oracle applies the identical regex chain (RE2 and Java regex agree
+    # on this pattern subset) and re-counts
+    oracle=r"""
+    WITH injected AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@mail.example.com or 10.' || (doc_id % 256) ||
+               '.0.1 call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS full_text
+        FROM documents
+    ), red AS (
+        SELECT doc_id, full_text,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(full_text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+               '\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g') AS redacted
+        FROM injected
+    )
+    SELECT count(*) AS n_docs,
+        CAST(sum(len(regexp_extract_all(full_text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS email_hits,
+        CAST(sum(len(regexp_extract_all(redacted, '<EMAIL>'))) AS BIGINT) AS email_tags,
+        CAST(sum(len(regexp_extract_all(redacted, '<IP>'))) AS BIGINT) AS ip_tags,
+        CAST(sum(len(regexp_extract_all(redacted, '<PHONE>'))) AS BIGINT) AS phone_tags,
+        CAST(sum(length(redacted)) AS BIGINT) AS redacted_chars
+    FROM red
+    """,
+)
+def text_pii_redaction(spark, sf_dir):
+    """Training-data PII scrubbing: emails / IPv4s / phone-shaped numbers
+    replaced by typed tags via a JVM regexp_replace chain (datapipe/
+    text.py redact_pii). PII is synthesized per-doc (the fixture corpus
+    is clean), so every pattern fires and the audit counts are
+    non-trivial."""
+    d = t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 call 555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("full_text"),
+    )
+    red = injected.select(
+        "full_text", T.redact_pii("full_text").alias("redacted")
+    )
+    return red.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.pii_hit_count("full_text", "email")).alias("email_hits"),
+        F.sum(F.regexp_count(F.col("redacted"), F.lit("<EMAIL>"))).alias("email_tags"),
+        F.sum(F.regexp_count(F.col("redacted"), F.lit("<IP>"))).alias("ip_tags"),
+        F.sum(F.regexp_count(F.col("redacted"), F.lit("<PHONE>"))).alias("phone_tags"),
+        F.sum(F.length("redacted")).alias("redacted_chars"),
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from gpdb_spark.registry import DEC, dsum, osum, query, t
+from gpdb_spark.registry import DEC, dsum, oavg, osum, query, t
 
 GAP_US = 30 * 60 * 1_000_000
 
@@ -296,4 +296,55 @@ def events_interval_join(spark, sf_dir):
             F.round("lv", 6).alias("l_value"),
             F.round("rv", 6).alias("r_value"),
         )
+    )
+
+
+@query(
+    "events_gapfill_locf",
+    # dense hourly axis per event_type over the global [min,max] bucket
+    # range; empty buckets synthesized and LOCF-filled (leading gaps
+    # stay NULL) — timescale-style time_bucket_gapfill + locf()
+    oracle=f"""
+    WITH actual AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+               {oavg('value', 4)} AS value
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT CAST(min(date_trunc('hour', ts)) AS TIMESTAMP) AS lo,
+               CAST(max(date_trunc('hour', ts)) AS TIMESTAMP) AS hi
+        FROM events
+    ), axis AS (
+        SELECT p.event_type, CAST(g.b AS TIMESTAMP) AS bucket
+        FROM (SELECT DISTINCT event_type FROM events) p
+        CROSS JOIN (SELECT unnest(generate_series(
+            (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+            INTERVAL '1 hour')) AS b) g
+    )
+    SELECT a.event_type, a.bucket,
+           last_value(ac.value IGNORE NULLS) OVER (
+               PARTITION BY a.event_type ORDER BY a.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           ac.value IS NULL AS is_gap
+    FROM axis a LEFT JOIN actual ac
+      ON a.event_type = ac.event_type AND a.bucket = ac.bucket
+    """,
+)
+def events_gapfill_locf(spark, sf_dir):
+    """time_bucket + gapfill + LOCF as one declarative operator
+    (operators/gapfill.py): dense bucket axis from sequence()+explode —
+    no driver collect — LEFT JOIN actuals, window last(ignorenulls)
+    fill. Output cardinality = |types| x |hours|, independent of input
+    row count."""
+    from gpdb_spark.operators.gapfill import time_bucket_gapfill
+
+    e = t(spark, sf_dir, "events")
+    return time_bucket_gapfill(
+        e,
+        part_col="event_type",
+        ts_col="ts",
+        measure=F.round(
+            F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1)), 4
+        ),
+        width_seconds=3600,
+        fill="locf",
     )

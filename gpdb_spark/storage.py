@@ -192,23 +192,38 @@ class GpTable:
                 df = self._trigger_project(df, trig)
         self._write(df, mode="append")
 
-    def delete_where(self, spark: SparkSession, cond: Column) -> int:
+    def delete_where(
+        self, spark: SparkSession, cond: Column, returning: bool = False
+    ) -> int | DataFrame:
         """DELETE WHERE cond -> rewrite keeping the complement.
         BEFORE DELETE triggers with skip_when veto the deletion for
-        matching rows (trigger-returns-NULL). Returns rows deleted."""
+        matching rows (trigger-returns-NULL). Returns rows deleted, or
+        with ``returning=True`` the OLD images of the deleted rows
+        (DELETE ... RETURNING *), materialized before the rewrite."""
         cur = spark.read.parquet(self.path)
         before = cur.count()
         doomed = cond & ~cond.isNull()
         for trig in self._triggers("delete"):
             if trig.skip_when is not None:
                 doomed = doomed & ~F.coalesce(trig.skip_when, F.lit(False))
+        ret = None
+        if returning:
+            # pin the OLD images before their files are replaced
+            ret = cur.where(doomed).cache()
+            ret.count()
         kept = cur.where(~doomed | doomed.isNull())
         self._rewrite(kept)
+        if returning:
+            return ret
         return before - spark.read.parquet(self.path).count()
 
     def update_set(
-        self, spark: SparkSession, cond: Column, assignments: dict[str, Column]
-    ) -> int:
+        self,
+        spark: SparkSession,
+        cond: Column,
+        assignments: dict[str, Column],
+        returning: bool = False,
+    ) -> int | DataFrame:
         """UPDATE SET col=expr WHERE cond -> full-table rewrite with
         CASE-projection. Changing a distkey column is safe: the rewrite
         re-places every row (the reference needs SplitUpdate,
@@ -241,6 +256,13 @@ class GpTable:
             return expr.otherwise(F.col(c)).alias(c)
 
         updated = cur.select(*[new_value(c) for c in cur.columns])
+        if returning:
+            # NEW images of the touched rows (UPDATE ... RETURNING *),
+            # pinned before the rewrite invalidates the source files
+            ret = updated.where(upd).cache()
+            ret.count()
+            self._rewrite(updated)
+            return ret
         self._rewrite(updated)
         return n
 

@@ -190,3 +190,22 @@ def test_resource_group_and_analyze(spark, tmp_path):
     desc = spark.sql("DESCRIBE EXTENDED stats_t").collect()
     stats = [r for r in desc if r.col_name == "Statistics"]
     assert stats and "rows" in stats[0].data_type  # e.g. '... 1000 rows'
+
+
+def test_cursor_portal(spark):
+    """DECLARE/FETCH/MOVE/CLOSE with bounded driver streaming."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    eng.declare_cursor(
+        "c1", "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"
+    )
+    first = eng.fetch("c1", 3)
+    assert [r.n_nationkey for r in first] == [0, 1, 2]
+    assert eng.move("c1", 2) == 2  # skip 3,4
+    nxt = eng.fetch("c1")
+    assert nxt[0].n_nationkey == 5
+    rest = eng.fetch("c1", 10_000)
+    assert len(rest) == 25 - 6
+    assert eng.fetch("c1", 5) == []  # past the end
+    eng.close_cursor("c1")

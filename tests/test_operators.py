@@ -137,3 +137,69 @@ def test_linear_interpolate_matches_numpy(spark, seed):
         assert (r.value_interp is None and want is None) or (
             abs(r.value_interp - want) < 1e-6
         ), (r.part, r.ts, r.value_interp, want)
+
+
+def test_time_bucket_gapfill_semantics(spark):
+    """Dense axis, LOCF fill, leading gaps NULL, zero mode."""
+    from pyspark.sql import functions as F
+
+    from gpdb_spark.operators.gapfill import time_bucket_gapfill
+
+    rows = [
+        # part a: values at minute 0 and 3 -> gaps at 1, 2 filled with 10.0
+        ("a", "2024-01-01 00:00:30", 10.0),
+        ("a", "2024-01-01 00:03:10", 40.0),
+        # part b: first value at minute 2 -> minutes 0,1 stay NULL (leading)
+        ("b", "2024-01-01 00:02:05", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "part string, ts string, v double").select(
+        "part", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = time_bucket_gapfill(
+        df, "part", "ts", F.avg("v"), width_seconds=60, fill="locf"
+    )
+    got = {
+        (r.part, r.bucket.strftime("%M")): (r.value, r.is_gap)
+        for r in out.collect()
+    }
+    assert len(got) == 8  # 2 parts x 4 minutes (00..03)
+    assert got[("a", "00")] == (10.0, False)
+    assert got[("a", "01")] == (10.0, True)
+    assert got[("a", "02")] == (10.0, True)
+    assert got[("a", "03")] == (40.0, False)
+    assert got[("b", "00")] == (None, True)  # leading gap stays NULL
+    assert got[("b", "01")] == (None, True)
+    assert got[("b", "02")] == (7.0, False)
+    assert got[("b", "03")] == (7.0, True)
+
+    zero = time_bucket_gapfill(
+        df, "part", "ts", F.avg("v"), width_seconds=60, fill="zero"
+    )
+    z = {(r.part, r.bucket.strftime("%M")): r.value for r in zero.collect()}
+    assert z[("b", "00")] == 0.0 and z[("a", "01")] == 0.0
+
+
+def test_redact_pii_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from gpdb_spark.datapipe.text import pii_hit_count, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("mail a.b+c@x-y.co.uk end", "<EMAIL>"),
+            ("ip 192.168.0.1 here", "<IP>"),
+            ("call +1 555-867-5309", "<PHONE>"),  # partial: 555-867-5309
+            ("ssn 123-45-6789 x", "<ID>"),
+            ("clean text stays", None),
+        ],
+        "s string, expect string",
+    )
+    got = df.select("s", "expect", redact_pii("s").alias("r")).collect()
+    for row in got:
+        if row.expect:
+            assert row.expect in row.r, (row.s, row.r)
+        else:
+            assert row.r == row.s
+    # audit counter counts pre-redaction hits
+    n = df.agg(F.sum(pii_hit_count("s", "email")).alias("n")).first().n
+    assert n == 1

@@ -508,3 +508,31 @@ def test_alter_distribution_and_truncate(tmp_path, spark, nation_df):
     back = t.read(spark)
     assert back.count() == 0
     assert set(back.columns) == set(nation_df.columns)
+
+
+def test_dml_returning(spark, tmp_path):
+    """DELETE/UPDATE ... RETURNING: OLD images for DELETE, NEW for
+    UPDATE, pinned across the copy-on-write rewrite."""
+    from pyspark.sql import functions as F
+
+    from gpdb_spark.storage import GpTable
+
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") * 10).alias("v")
+    )
+    tbl = GpTable.create(df, str(tmp_path / "t_ret"), distributed_by=("id",))
+    deleted = tbl.delete_where(spark, F.col("id") >= 8, returning=True)
+    assert sorted(r.id for r in deleted.collect()) == [8, 9]
+    assert sorted(r.v for r in deleted.collect()) == [80, 90]  # OLD image
+    assert tbl.read(spark).count() == 8
+
+    updated = tbl.update_set(
+        spark,
+        F.col("id") < 3,
+        {"v": F.col("v") + 1},
+        returning=True,
+    )
+    got = {r.id: r.v for r in updated.collect()}
+    assert got == {0: 1, 1: 11, 2: 21}  # NEW image
+    full = {r.id: r.v for r in tbl.read(spark).collect()}
+    assert full[0] == 1 and full[5] == 50
