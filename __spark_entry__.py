@@ -47,6 +47,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_repetition_quality",
     "text_pii_redaction",
     "events_gapfill_locf",
+    "gp_skew_report",
     "pg_to_char_numeric",
     "pg_parse_funcs",
     "events_interval_join",

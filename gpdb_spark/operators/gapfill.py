@@ -61,14 +61,20 @@ def time_bucket_gapfill(
     Adds ``is_gap`` marking synthesized buckets.
     """
     b = time_bucket(F.col(ts_col), width_seconds)
-    actual = df.groupBy(
-        F.col(part_col), b.alias(bucket_col)
-    ).agg(measure.alias(value_col))
-
-    bounds = df.agg(
-        F.min(b).alias("lo"), F.max(b).alias("hi")
+    # the ONE heavy pass over the input: scan + bucket aggregation.
+    # Persisted so bounds and the part-key list derive from the (small:
+    # |parts| x |buckets| rows) aggregate instead of re-scanning the
+    # input — at scale this is 1 wide scan instead of 3.
+    actual = (
+        df.groupBy(F.col(part_col), b.alias(bucket_col))
+        .agg(measure.alias(value_col))
+        .persist()
     )
-    parts = df.select(part_col).distinct()
+
+    bounds = actual.agg(
+        F.min(bucket_col).alias("lo"), F.max(bucket_col).alias("hi")
+    )
+    parts = actual.select(part_col).distinct()
     axis = (
         parts.crossJoin(F.broadcast(bounds))
         .select(

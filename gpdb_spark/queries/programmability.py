@@ -264,3 +264,41 @@ def foreign_scan_fdw(spark, sf_dir):
             F.sum("n_nationkey").alias("key_sum"),
         )
     )
+
+
+@query(
+    "gp_skew_report",
+    # identical md5-bucket + exact-integer-moments formulation in SQL
+    oracle="""
+    WITH seg AS (
+        SELECT CAST(CAST(concat('0x', substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 32 AS INT) AS segment,
+               count(*) AS n
+        FROM lineitem GROUP BY 1
+    ), s AS (
+        SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+               count(*) AS segments_used,
+               CAST(min(n) AS BIGINT) AS min_rows,
+               CAST(max(n) AS BIGINT) AS max_rows,
+               CAST(sum(n * n) AS BIGINT) AS ss
+        FROM seg
+    )
+    SELECT total_rows, segments_used, min_rows, max_rows,
+           round(100.0 * sqrt(CAST(ss AS DOUBLE) / segments_used
+                 - (CAST(total_rows AS DOUBLE) / segments_used)
+                   * (CAST(total_rows AS DOUBLE) / segments_used))
+                 / (CAST(total_rows AS DOUBLE) / segments_used), 4) AS skcoeff,
+           round(1.0 - (CAST(total_rows AS DOUBLE) / segments_used)
+                 / max_rows, 4) AS siffraction
+    FROM s
+    """,
+)
+def gp_skew_report(spark, sf_dir):
+    """gp_toolkit.gp_skew_coefficients / gp_skew_idle_fractions: per-
+    segment row-count skew for a DISTRIBUTED BY (l_suppkey) layout —
+    CV percent + idle fraction, from exact integer moments
+    (plans/gp_toolkit.py)."""
+    from gpdb_spark.plans.gp_toolkit import skew_report
+
+    li = t(spark, sf_dir, "lineitem")
+    return skew_report(li, ["l_suppkey"], n_segments=32)

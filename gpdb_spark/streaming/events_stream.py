@@ -267,3 +267,45 @@ def stream_stream_interval_join(
     return l.join(r, cond, join_type).select(
         F.col("l_user").alias("user_id"), "l_ts", "r_ts", "l_value", "r_value"
     )
+
+
+def continuous_aggregate(
+    agg_df,
+    path: str,
+    checkpoint: str,
+    partition_col: str = "window_start",
+):
+    """Continuous aggregate / incrementally-maintained materialized view
+    (the hypertable-rollup analog; reference matviews are full-refresh
+    only, commands/matview.c — this is the streaming upgrade).
+
+    ``agg_df`` must be a watermarked windowed aggregation in APPEND mode
+    (windows emit exactly once, when finalized). Each microbatch writes
+    its finalized windows into the parquet matview with DYNAMIC PARTITION
+    OVERWRITE on ``partition_col``: re-delivery of a batch after a crash
+    rewrites the same partitions with the same data, making the sink
+    idempotent — end-to-end exactly-once without a transaction log.
+
+    Scale shape: one partition directory per emitted window; readers of
+    the matview get partition pruning on ``partition_col`` for free.
+    """
+
+    def write_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.sparkSession.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+        )
+        (
+            batch_df.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+
+    return (
+        agg_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(write_batch)
+    )

@@ -294,3 +294,93 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_batch):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_continuous_aggregate_matview(spark, tmp_path):
+    """Streaming continuous aggregate: finalized windows land in a
+    partitioned parquet matview exactly once; late rows behind the
+    watermark never disturb written partitions; re-running from the
+    same checkpoint does not duplicate."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from gpdb_spark.streaming.events_stream import continuous_aggregate
+
+    d = tmp_path / "ca_src"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write(name, event_ids, offsets, values):
+        pd.DataFrame(
+            {
+                "event_id": event_ids,
+                "ts": [base + pd.Timedelta(o) for o in offsets],
+                "user_id": [1] * len(event_ids),
+                "event_type": ["view"] * len(event_ids),
+                "value": values,
+                "props": ["{}"] * len(event_ids),
+            }
+        ).to_parquet(d / name, coerce_timestamps="us")
+
+    write("p0.parquet", [1, 2], ["5min", "20min"], [1.0, 2.0])
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    src = spark.readStream.schema(schema).parquet(str(d))
+    agg = (
+        src.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w").start.alias("window_start"),
+            "event_type",
+            "total",
+            "n",
+        )
+    )
+    mv = str(tmp_path / "matview")
+    ck = str(tmp_path / "ck")
+    q = continuous_aggregate(agg, mv, ck).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    # hour 0 not finalized yet -> matview empty or missing
+    import os
+
+    # advance event time past hour 0 + watermark; hour 0 finalizes
+    write("p1.parquet", [3], ["2h"], [5.0])
+    q = continuous_aggregate(agg, mv, ck).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {
+        (r.window_start.isoformat(), r.event_type): (r.total, r.n)
+        for r in spark.read.parquet(mv).collect()
+    }
+    assert got == {("2024-01-01T00:00:00", "view"): (3.0, 2)}
+
+    # a late row for hour 0 (behind watermark) must not change the matview;
+    # advancing further finalizes hour 2
+    write("p2.parquet", [4, 5], ["25min", "4h"], [100.0, 7.0])
+    q = continuous_aggregate(agg, mv, ck).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {
+        (r.window_start.isoformat(), r.event_type): (r.total, r.n)
+        for r in spark.read.parquet(mv).collect()
+    }
+    assert got == {
+        ("2024-01-01T00:00:00", "view"): (3.0, 2),
+        ("2024-01-01T02:00:00", "view"): (5.0, 1),
+    }
