@@ -48,6 +48,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_pii_redaction",
     "events_gapfill_locf",
     "gp_skew_report",
+    "pg_array_dow_syntax",
     "pg_to_char_numeric",
     "pg_parse_funcs",
     "events_interval_join",

@@ -28,10 +28,23 @@ rewrites the handful of constructs where PG and Spark SQL disagree
   (integer literal / catalog-typed integer column / integer CAST —
   matches int4div truncation, src/backend/utils/adt/int.c).
 - ``WITH RECURSIVE`` -> operators.recursive fixpoint loop (pg_sql).
+- LIKE-operator spellings ``~~ ~~* !~~ !~~*`` -> LIKE/ILIKE (like.c).
+- 1-based subscripts ``expr[i]`` -> ``element_at`` (Spark brackets are
+  0-based — passthrough would silently shift); ``ARRAY[..]`` ->
+  ``array(..)``; ``array_length(x,1)`` -> ``size``; unnest -> explode.
+- ``BETWEEN SYMMETRIC`` -> least/greatest bounds.
+- ``extract/date_part dow|isodow`` -> weekday() arithmetic matching
+  PG's Sunday=0 / Sunday=7 numbering (Spark DOW is Sunday=1).
+- ``x AT TIME ZONE 'z'`` -> from_utc_timestamp.
+- quantified ops: ``= ANY (SELECT)`` -> IN, ``<> ALL (SELECT)`` ->
+  NOT IN, ``LIKE ANY (array)`` -> exists() lambda.
+- ``TABLE name`` shorthand; trailing FOR UPDATE/SHARE lock clauses
+  stripped (snapshot-isolated batch reads).
 
-Not translated (documented gaps): multi-dim arrays, numeric-pattern
-to_char ('999D99'), integer ``/`` on operands whose type the catalog
-cannot prove integral (kept as double division).
+Not translated (documented gaps): multi-dim arrays and array slices
+``a[i:j]``, integer ``/`` on operands whose type the catalog cannot
+prove integral (kept as double division), timestamp->timestamptz
+direction of AT TIME ZONE (needs column type info).
 """
 
 from __future__ import annotations
@@ -51,7 +64,7 @@ _TOKEN_RE = re.compile(
     | (?P<qident>"(?:[^"]|"")*")
     | (?P<number>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?)
     | (?P<word>[A-Za-z_][A-Za-z_0-9$]*)
-    | (?P<op>::|!~\*|!~|~\*|\|\||->>|->|\#>>|\#>|<=|>=|<>|!=|~|[(),.;*<>=+\-/%\[\]])
+    | (?P<op>::|!~~\*|!~~|~~\*|~~|!~\*|!~|~\*|\|\||->>|->|\#>>|\#>|<=|>=|<>|!=|~|[(),.;*<>=+\-/%\[\]])
     """,
     re.VERBOSE,
 )
@@ -413,6 +426,21 @@ def _pass_regex_ops(tokens: list[str]) -> list[str]:
     n = len(tokens)
     while i < n:
         t = tokens[i]
+        # LIKE-operator spellings (like.c: ~~ = LIKE, ~~* = ILIKE,
+        # !~~ = NOT LIKE, !~~* = NOT ILIKE)
+        if t in ("~~", "~~*", "!~~", "!~~*"):
+            neg = t.startswith("!")
+            kw = "ILIKE" if t.endswith("*") else "LIKE"
+            end = _rhs_end(tokens, i + 1)
+            rhs = tokens[i + 1 : end]
+            lhs_start = _operand_start(out + ["~"], len(out))
+            lhs = out[lhs_start:]
+            if neg:
+                out = out[:lhs_start] + ["NOT", "("] + lhs + [kw] + rhs + [")"]
+            else:
+                out = out[:lhs_start] + lhs + [kw] + rhs
+            i = end
+            continue
         if t in ("~", "~*", "!~", "!~*"):
             neg = t.startswith("!")
             ci = t.endswith("*")
@@ -1021,17 +1049,354 @@ def _pass_distinct_on(tokens: list[str]) -> list[str]:
     return new
 
 
+# Expression boundary keywords for greedy operand collection (BETWEEN
+# SYMMETRIC bounds): stop at any of these at paren depth 0.
+_EXPR_STOPS = {
+    "and", "or", "then", "else", "end", "from", "where", "group", "having",
+    "order", "limit", "offset", "window", "union", "intersect", "except",
+    "when", "as",
+}
+
+
+def _expr_end(tokens: list[str], j: int) -> int:
+    """End (exclusive) of an additive expression starting at j: greedy
+    until a depth-0 boundary keyword / comma / closing paren."""
+    depth = 0
+    k = j
+    n = len(tokens)
+    while k < n:
+        t = tokens[k]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            if depth == 0:
+                return k
+            depth -= 1
+        elif depth == 0 and (
+            t in (",", ";") or (t.isidentifier() and t.lower() in _EXPR_STOPS)
+        ):
+            return k
+        k += 1
+    return k
+
+
+def _pass_between_symmetric(tokens: list[str]) -> list[str]:
+    """BETWEEN SYMMETRIC a AND b (gram.y a_expr BETWEEN SYMMETRIC) ->
+    BETWEEN least(a,b) AND greatest(a,b); Spark lacks SYMMETRIC."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        if (
+            _is_word(tokens[i], "between")
+            and i + 1 < n
+            and _is_word(tokens[i + 1], "symmetric")
+        ):
+            lo_start = i + 2
+            # the low bound ends at the BETWEEN's own AND (depth 0)
+            depth = 0
+            k = lo_start
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                elif depth == 0 and _is_word(tokens[k], "and"):
+                    break
+                k += 1
+            lo = tokens[lo_start:k]
+            hi_start = k + 1
+            hi_end = _expr_end(tokens, hi_start)
+            hi = tokens[hi_start:hi_end]
+            out += (
+                ["BETWEEN", "least", "("] + lo + [","] + hi + [")", "AND",
+                 "greatest", "("] + lo + [","] + hi + [")"]
+            )
+            i = hi_end
+            continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
+def _pass_at_time_zone(tokens: list[str]) -> list[str]:
+    """X AT TIME ZONE 'z' (timestamp.c timezone()): rendered as
+    from_utc_timestamp(X, 'z') — the session stores timestamps in UTC,
+    so AT TIME ZONE reads as "display this instant on the z wall clock"
+    (the timestamptz -> timestamp direction; the reverse direction is
+    to_utc_timestamp, not expressible without column type info)."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        if (
+            _is_word(tokens[i], "at")
+            and i + 2 < n
+            and _is_word(tokens[i + 1], "time")
+            and _is_word(tokens[i + 2], "zone")
+        ):
+            tz_end = _rhs_end(tokens, i + 3)
+            tz = tokens[i + 3 : tz_end]
+            lhs_start = _operand_start(out + ["~"], len(out))
+            # typed literal (TIMESTAMP '...' AT TIME ZONE ...): include
+            # the type keyword in the operand
+            if (
+                lhs_start > 0
+                and out[lhs_start].startswith("'")
+                and _is_word(out[lhs_start - 1], "timestamp", "date", "time")
+            ):
+                lhs_start -= 1
+            lhs = out[lhs_start:]
+            out = (
+                out[:lhs_start]
+                + ["from_utc_timestamp", "("]
+                + lhs
+                + [","]
+                + tz
+                + [")"]
+            )
+            i = tz_end
+            continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
+def _pass_any_all(tokens: list[str]) -> list[str]:
+    """Quantified comparisons (parse_oper.c make_scalar_array_op):
+
+    - ``= ANY (SELECT ...)``  -> ``IN (SELECT ...)``
+    - ``<> ALL (SELECT ...)`` -> ``NOT IN (SELECT ...)``
+    - ``LIKE/ILIKE ANY (array)`` -> ``exists(array, __p -> x LIKE __p)``
+      (Spark has no quantified LIKE; the lambda keeps it JVM-side)
+    """
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        nxt = tokens[i + 1] if i + 1 < n else ""
+        nxt2 = tokens[i + 2] if i + 2 < n else ""
+        nxt3 = tokens[i + 3] if i + 3 < n else ""
+        if t == "=" and _is_word(nxt, "any") and nxt2 == "(" and _is_word(nxt3, "select"):
+            out.append("IN")
+            i += 2
+            continue
+        if t in ("<>", "!=") and _is_word(nxt, "all") and nxt2 == "(" and _is_word(nxt3, "select"):
+            out += ["NOT", "IN"]
+            i += 2
+            continue
+        if (
+            t.isidentifier()
+            and t.lower() in ("like", "ilike")
+            and _is_word(nxt, "any")
+            and nxt2 == "("
+        ):
+            depth, k = 0, i + 2
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            inner = tokens[i + 3 : k]
+            lhs_start = _operand_start(out + ["~"], len(out))
+            lhs = out[lhs_start:]
+            out = (
+                out[:lhs_start]
+                + ["exists", "("]
+                + inner
+                + [",", "__p", "->"]
+                + lhs
+                + [t.upper(), "__p", ")"]
+            )
+            i = k + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _pass_array_syntax(tokens: list[str]) -> list[str]:
+    """PG array syntax (arrayfuncs.c / parse_expr.c subscripting):
+
+    - ``ARRAY[a, b]``      -> ``array(a, b)`` (Spark has no bracket form)
+    - ``expr[i]``          -> ``element_at(expr, i)`` — PG subscripts are
+      1-based; Spark's ``expr[i]`` is 0-based, so passing brackets
+      through would silently shift every element (element_at is 1-based)
+    - ``array_length(x,1)``-> ``size(x)``
+    - ``unnest``           -> ``explode`` (works in SELECT and as a TVF)
+
+    Slice syntax ``a[i:j]`` is left untranslated (loud failure) rather
+    than mis-executed."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        low = t.lower() if t.isidentifier() else ""
+        nxt = tokens[i + 1] if i + 1 < n else ""
+        if low == "array" and nxt == "[":
+            depth, k = 0, i + 1
+            while k < n:
+                if tokens[k] == "[":
+                    depth += 1
+                elif tokens[k] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            inner = _pass_array_syntax(tokens[i + 2 : k])
+            out += ["array", "("] + inner + [")"]
+            i = k + 1
+            continue
+        if low == "unnest" and nxt == "(":
+            out.append("explode")
+            i += 1
+            continue
+        if low == "array_length" and nxt == "(":
+            depth, k = 0, i + 1
+            last_comma = None
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif tokens[k] == "," and depth == 1:
+                    last_comma = k
+                k += 1
+            if last_comma and tokens[last_comma + 1 : k] == ["1"]:
+                inner = _pass_array_syntax(tokens[i + 2 : last_comma])
+                out += ["size", "("] + inner + [")"]
+                i = k + 1
+                continue
+        if t == "[" and out:
+            prev = out[-1]
+            is_operand_end = prev in (")", "]") or (
+                prev.isidentifier() and prev.lower() not in _KEYWORDS
+            )
+            if is_operand_end:
+                depth, k = 0, i
+                while k < n:
+                    if tokens[k] == "[":
+                        depth += 1
+                    elif tokens[k] == "]":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k += 1
+                inner = tokens[i + 1 : k]
+                if ":" not in inner:  # no slice support
+                    inner = _pass_array_syntax(inner)
+                    lhs_start = _operand_start(out + ["~"], len(out))
+                    lhs = out[lhs_start:]
+                    out = (
+                        out[:lhs_start]
+                        + ["element_at", "("]
+                        + lhs
+                        + [","]
+                        + inner
+                        + [")"]
+                    )
+                    i = k + 1
+                    continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _pass_statement_forms(tokens: list[str]) -> list[str]:
+    """``TABLE name`` (gram.y TABLE shorthand) -> SELECT * FROM name;
+    strip trailing row-lock clauses (FOR UPDATE / FOR [NO KEY] SHARE /
+    FOR KEY SHARE [OF ...] [NOWAIT | SKIP LOCKED]) — snapshot-isolated
+    batch reads have nothing to lock."""
+    if tokens and _is_word(tokens[0], "table") and len(tokens) >= 2:
+        tokens = ["SELECT", "*", "FROM"] + tokens[1:]
+    # find a depth-0 FOR followed by UPDATE/SHARE/NO/KEY
+    depth = 0
+    for i, t in enumerate(tokens):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and _is_word(t, "for")
+            and i + 1 < len(tokens)
+            and _is_word(tokens[i + 1], "update", "share", "no", "key")
+        ):
+            return tokens[:i]
+    return tokens
+
+
+def _pass_dow_fields(tokens: list[str]) -> list[str]:
+    """PG day-of-week numbering (timestamp.c / date.c extract):
+    dow Sunday=0..Saturday=6, isodow Monday=1..Sunday=7. Spark's DOW
+    field is dayofweek (Sunday=1) and has no isodow — rewrite
+    extract/date_part to weekday() arithmetic (Monday=0)."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        low = t.lower() if t.isidentifier() else ""
+        nxt = tokens[i + 1] if i + 1 < n else ""
+        field = None
+        inner_start = None
+        if low == "extract" and nxt == "(" and i + 2 < n and _is_word(tokens[i + 2], "dow", "isodow"):
+            field = tokens[i + 2].lower()
+            inner_start = i + 4  # skip field FROM
+        elif (
+            low == "date_part"
+            and nxt == "("
+            and i + 2 < n
+            and tokens[i + 2].lower() in ("'dow'", "'isodow'")
+        ):
+            field = tokens[i + 2][1:-1]
+            inner_start = i + 4  # skip 'field' ,
+        if field is not None:
+            depth, k = 0, i + 1
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            inner = tokens[inner_start:k]
+            if field == "dow":
+                out += ["(", "(", "weekday", "("] + inner + [")", "+", "1", ")", "%", "7", ")"]
+            else:
+                out += ["(", "weekday", "("] + inner + [")", "+", "1", ")"]
+            i = k + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     """Translate a PostgreSQL-dialect query to Spark SQL.
 
     ``int_cols`` — lowercase names of integer-typed columns (catalog type
     info), enabling the PG integer-`/` truncation rewrite."""
     tokens = _lex(sql)
+    tokens = _pass_statement_forms(tokens)
     tokens = _pass_quoted_idents(tokens)
     tokens = _pass_distinct_on(tokens)
     tokens = _pass_casts(tokens)
     tokens = _pass_json_ops(tokens)
     tokens = _pass_regex_ops(tokens)
+    tokens = _pass_any_all(tokens)
+    tokens = _pass_between_symmetric(tokens)
+    tokens = _pass_at_time_zone(tokens)
+    tokens = _pass_array_syntax(tokens)
+    tokens = _pass_dow_fields(tokens)
     tokens = _pass_similar_to(tokens)
     tokens = _pass_fetch_first(tokens)
     tokens = _pass_tablesample(tokens)

@@ -281,3 +281,32 @@ _pg_query(
          ) top_s
     """,
 )
+
+
+_pg_query(
+    "pg_array_dow_syntax",
+    # exercises: 1-based subscripts -> element_at, ARRAY[..] literals,
+    # PG dow numbering, ~~ LIKE spelling, BETWEEN SYMMETRIC, lock-clause
+    # strip (gram.y a_expr/locking_clause; like.c; timestamp.c)
+    """
+    SELECT n_name,
+           (ARRAY['alpha','beta','gamma'])[(1 + n_nationkey % 3)::int4] AS arr_pick,
+           extract(dow FROM DATE '2024-01-01' + (n_nationkey % 25)::int4) AS dow,
+           (n_name ~~ '%A%') AS has_a
+    FROM nation
+    WHERE n_nationkey BETWEEN SYMMETRIC 20 AND 5
+    ORDER BY n_nationkey
+    FOR SHARE
+    """,
+    # DuckDB: 1-based list index natively, dayofweek is already
+    # Sunday=0, no SYMMETRIC/lock clause
+    oracle="""
+    SELECT n_name,
+           (['alpha','beta','gamma'])[CAST(1 + n_nationkey % 3 AS INT)] AS arr_pick,
+           dayofweek(DATE '2024-01-01' + CAST(n_nationkey % 25 AS INT)) AS dow,
+           (n_name LIKE '%A%') AS has_a
+    FROM nation
+    WHERE n_nationkey BETWEEN 5 AND 20
+    ORDER BY n_nationkey
+    """,
+)

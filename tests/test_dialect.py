@@ -238,3 +238,73 @@ def test_explain_front_door(spark, sf_dir):
     text = "\n".join(lines)
     assert "slices:" in text  # Motion header
     assert any("Motion" in ln for ln in lines)
+
+
+def test_like_operator_spellings(spark):
+    """~~ / ~~* / !~~ / !~~* are the catalog spellings of LIKE family
+    (like.c)."""
+    rows = spark.sql(
+        translate(
+            "SELECT 'axx' ~~ 'a%' AS a, 'AXX' ~~* 'a%' AS b, "
+            "'axx' !~~ 'b%' AS c, 'AXX' !~~* 'a%' AS d"
+        )
+    ).first()
+    assert (rows.a, rows.b, rows.c, rows.d) == (True, True, True, False)
+
+
+def test_between_symmetric(spark):
+    out = translate("SELECT x BETWEEN SYMMETRIC 5 AND 1 AS r FROM t")
+    assert "least" in out and "greatest" in out
+    assert spark.sql(
+        translate("SELECT 3 BETWEEN SYMMETRIC 5 AND 1 AS r")
+    ).first().r is True
+
+
+def test_array_subscripts_one_based(spark):
+    """PG subscripts are 1-based; brackets must become element_at, not
+    pass through to Spark's 0-based indexing (silent off-by-one)."""
+    assert spark.sql(translate("SELECT (ARRAY[10,20,30])[1] AS r")).first().r == 10
+    assert spark.sql(translate("SELECT ARRAY[1,2,3] AS r")).first().r == [1, 2, 3]
+    assert spark.sql(translate("SELECT array_length(ARRAY[1,2], 1) AS r")).first().r == 2
+    assert [r.r for r in spark.sql(translate("SELECT unnest(ARRAY[7,8]) AS r")).collect()] == [7, 8]
+
+
+def test_dow_pg_numbering(spark):
+    """PG: dow Sunday=0, isodow Sunday=7 (timestamp.c); Spark's DOW
+    field is Sunday=1 — passthrough would be silently off by one."""
+    r = spark.sql(
+        translate(
+            "SELECT extract(dow FROM DATE '2024-01-07') AS dow_sun, "
+            "date_part('dow', DATE '2024-01-08') AS dow_mon, "
+            "extract(isodow FROM DATE '2024-01-07') AS iso_sun"
+        )
+    ).first()
+    assert (r.dow_sun, r.dow_mon, r.iso_sun) == (0, 1, 7)
+
+
+def test_quantified_like_and_subqueries(spark):
+    assert spark.sql(
+        translate("SELECT 'ax' LIKE ANY (ARRAY['%x%','%y%']) AS r")
+    ).first().r is True
+    assert spark.sql(
+        translate("SELECT 5 = ANY (SELECT id FROM range(10)) AS r")
+    ).first().r is True
+    assert spark.sql(
+        translate("SELECT 50 <> ALL (SELECT id FROM range(10)) AS r")
+    ).first().r is True
+
+
+def test_table_shorthand_and_lock_strip(spark):
+    assert len(spark.sql(translate("TABLE range(3)")).collect()) == 3
+    assert len(
+        spark.sql(translate("SELECT id FROM range(3) ORDER BY id FOR UPDATE")).collect()
+    ) == 3
+
+
+def test_at_time_zone(spark):
+    r = spark.sql(
+        translate(
+            "SELECT TIMESTAMP '2024-01-01 12:00:00' AT TIME ZONE 'America/New_York' AS r"
+        )
+    ).first()
+    assert r.r.hour == 7
