@@ -49,6 +49,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+SPREAD_TARGET_BYTES = 4 << 20  # ~4 MB of input per task for CPU-heavy ops
+
+
 def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """Repartition a DataFrame up to cluster parallelism when its scan
     produced too few partitions.
@@ -59,12 +62,29 @@ def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     shuffle this adds is the raw column bytes — negligible next to a
     k-hash signature pass — and on a real cluster with many input files
     the condition is false and this is a no-op.
+
+    The fan-out is sized by input bytes (~SPREAD_TARGET_BYTES per task,
+    32x finer than the 128 MB scan default because these operators cost
+    10-50x a plain scan per byte), capped at cluster parallelism. Sizing
+    matters in BOTH directions: a 0.5 MB table split 32 ways pays 32 task
+    launches + Arrow worker spawns for microseconds of work each, while a
+    single-split 1 GB table on one core wastes the cluster. Local file://
+    sizes are read directly; non-local URIs fall back to full parallelism
+    (a real cluster's many-file tables never reach that branch).
     """
     want = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
     try:
         # metadata-only probe (df.rdd.getNumPartitions() costs ~1s of
         # plan-to-RDD conversion per call)
-        few_splits = len(df.inputFiles()) < want
+        files = df.inputFiles()
+        few_splits = len(files) < want
+        if few_splits and min_parallelism is None and files:
+            from urllib.parse import urlparse
+
+            paths = [urlparse(f).path for f in files if f.startswith("file:")]
+            if len(paths) == len(files):
+                total = sum(os.path.getsize(p) for p in paths)
+                want = max(1, min(want, -(-total // SPREAD_TARGET_BYTES)))
     except Exception:
         few_splits = True
     if few_splits:

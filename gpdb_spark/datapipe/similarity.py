@@ -329,21 +329,30 @@ def brute_force_topk_blocked(
 
     def local_topk(batches):
         for pdf in batches:
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            C = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            if C.size == 0:
+            if not len(pdf):
                 continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             C /= np.linalg.norm(C, axis=1, keepdims=True)
             S = C @ Q.T  # (n_batch, n_q)
+            # self-matches sink below every real score; scores are rounded
+            # BEFORE selection so the batch-local order is identical to the
+            # global window's (round -> desc, id asc) and ties at the k-th
+            # place keep exactly the rows the global ranking would
+            S[ids[:, None] == q_ids[None, :]] = -np.inf
+            Sr = np.round(S, 6)
+            kk = min(k, Sr.shape[0])
             out_q, out_c, out_s = [], [], []
-            for j in range(S.shape[1]):
-                cos = S[:, j]
-                keep = ids != q_ids[j]  # exclude self
-                order = np.lexsort((ids[keep], -cos[keep]))[:k]
-                sel_ids, sel_cos = ids[keep][order], cos[keep][order]
-                out_q.extend([int(q_ids[j])] * len(sel_ids))
-                out_c.extend(int(i) for i in sel_ids)
-                out_s.extend(round(float(s), 6) for s in sel_cos)
+            for j in range(Sr.shape[1]):
+                col = Sr[:, j]
+                thr = np.partition(col, -kk)[-kk]  # k-th largest (O(n))
+                cand = np.flatnonzero(col >= thr)  # k rows + boundary ties
+                order = np.lexsort((ids[cand], -col[cand]))[:k]
+                sel = cand[order]
+                sel = sel[np.isfinite(col[sel])]
+                out_q.extend([int(q_ids[j])] * len(sel))
+                out_c.extend(int(i) for i in ids[sel])
+                out_s.extend(float(s) for s in col[sel])
             yield pd.DataFrame(
                 {"query_id": out_q, "corpus_id": out_c, "cos": out_s}
             )
