@@ -32,11 +32,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (SeqScan source — nodeSeqscan.c:128 maps to
     FileSourceScanExec with pushdown/pruning).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    (PARQUET_TYPE_ILLEGAL). We read nanos as long via the legacy conf and
-    truncate to microseconds with *integer* division (``div`` — double
-    division would lose precision at 1e18 nanos), matching DuckDB's own
-    ns->us truncation.
+    Timestamp normalization: fixture generations have varied between
+    parquet TIMESTAMP(NANOS) (rejected by Spark's reader — read as long
+    via the legacy conf and truncated to micros with *integer* division)
+    and TIMESTAMP(MICROS) with isAdjustedToUTC=false (read as
+    TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ). Either way the
+    engine-facing type is plain TIMESTAMP: the session timezone is pinned
+    UTC (session.py), so the NTZ->TZ cast is value-preserving and every
+    instant-based function (unix_micros, window(), watermarks) works.
     """
     if name == "events":
         from pyspark.sql import functions as F
@@ -45,8 +48,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _tz_normalize(df)
+    return _tz_normalize(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _tz_normalize(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (UTC session semantics)."""
+    ntz = [c for c, dt in df.dtypes if dt == "timestamp_ntz"]
+    if not ntz:
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from pyspark.sql import functions as F
+
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
 
 
 SPREAD_TARGET_BYTES = 4 << 20  # ~4 MB of input per task for CPU-heavy ops

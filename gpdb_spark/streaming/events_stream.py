@@ -42,17 +42,29 @@ EVENTS_RAW_SCHEMA = StructType(
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """readStream over the events parquet directory with the ns->us
-    conversion applied (same as the batch reader)."""
+    """readStream over the events parquet directory with the same ts
+    normalization as the batch reader (catalog.load_table): nanos-as-long
+    fixtures get integer-division truncation to micros; NTZ-micros
+    fixtures get a value-preserving cast under the UTC session TZ. The
+    file's actual schema is probed with a metadata-only batch read because
+    the streaming source requires an explicit schema."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    probe = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    )
+    reader = spark.readStream.schema(probe.schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # restrict to the events file — a bare sf_dir would ingest every
     # fixture table in the directory (their rows surface as null-ts junk);
     # the streaming file source requires a directory path, so filter by glob
     df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(probe.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def tumbling_counts(
