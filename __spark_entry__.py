@@ -33,6 +33,16 @@ DRIVER_PRIORITY: list[str] = [
     # round-1 failures, fixed this round
     "percentile_multi",
     "approx_count_distinct_hll",
+    # round-2 contrib-pack queries (pg_trgm/fuzzystrmatch/unaccent/orafce/
+    # earthdistance/pgcrypto) — no driver row yet
+    "trgm_similarity",
+    "trgm_neardup_pairs",
+    "fuzzy_match_funcs",
+    "fuzzy_phonetic",
+    "unaccent_citext",
+    "orafce_funcs",
+    "earth_distance_funcs",
+    "pgcrypto_digest",
     # new round-2 features (VERDICT "missing" #1-#5, #7-#9)
     "pg_int_division",
     "pg_json_arrows",

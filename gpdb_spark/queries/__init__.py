@@ -14,4 +14,6 @@ from gpdb_spark.queries import (  # noqa: F401
     fulltext,
     reshape_types,
     dialect_queries,
+    contrib_text,
+    contrib_funcs,
 )

@@ -1,0 +1,179 @@
+"""Function-pack contribs shipped with the reference: orafce
+(gpcontrib/orafce — Oracle compatibility), earthdistance
+(contrib/earthdistance — great-circle distance), pgcrypto digests
+(contrib/pgcrypto).
+
+All realized as JVM expressions; see gpdb_spark/functions/orafce.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gpdb_spark.functions import orafce
+from gpdb_spark.registry import query, t
+
+# DuckDB mirrors of the Oracle date rules (derivations in the orafce
+# module docstrings): add_months last-day rule; months_between 31-day
+# fraction with the same-day / both-last-day integer rule; next_day via
+# dow arithmetic (DuckDB dayofweek: 0=Sunday ... Friday=5).
+_DUCK_ADD_MONTHS = (
+    "CAST(CASE WHEN d = last_day(d) THEN last_day(CAST(d + to_months(2) AS DATE)) "
+    "ELSE CAST(d + to_months(2) AS DATE) END AS DATE)"
+)
+_DUCK_MONTHS_BETWEEN = (
+    "round(CAST((year(DATE '1997-06-30') - year(d)) * 12 "
+    "+ (month(DATE '1997-06-30') - month(d)) AS DOUBLE) "
+    "+ CASE WHEN day(DATE '1997-06-30') = day(d) "
+    "OR (DATE '1997-06-30' = last_day(DATE '1997-06-30') AND d = last_day(d)) "
+    "THEN 0.0 ELSE (day(DATE '1997-06-30') - day(d)) / 31.0 END, 8)"
+)
+_DUCK_NEXT_DAY = (
+    "CAST(d + to_days(CAST(CASE WHEN (5 - dayofweek(d) + 7) % 7 = 0 THEN 7 "
+    "ELSE (5 - dayofweek(d) + 7) % 7 END AS INT)) AS DATE)"
+)
+
+
+@query(
+    "orafce_funcs",
+    oracle=f"""
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'X') AS status_nvl,
+           CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL
+                THEN 'closed' ELSE 'open' END AS status_nvl2,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+                WHEN o_orderpriority = '2-HIGH' THEN 2 ELSE 0 END AS pri_decode,
+           {_DUCK_ADD_MONTHS} AS plus2mo,
+           CAST(last_day(d) AS DATE) AS eom,
+           {_DUCK_NEXT_DAY} AS next_fri,
+           {_DUCK_MONTHS_BETWEEN} AS mb,
+           CAST(date_trunc('month', d) AS DATE) AS mon_trunc,
+           CAST(strpos(o_orderpriority, '-') AS INT) AS dash_at,
+           NOT coalesce(o_totalprice > 100000, FALSE) AS lnnvl_big,
+           round(CASE WHEN isnan('NaN'::DOUBLE) THEN o_totalprice
+                      ELSE 'NaN'::DOUBLE END, 2) AS nanvl_price
+    FROM (SELECT *, CAST(o_orderdate AS DATE) AS d FROM orders)
+    WHERE o_orderkey < 300
+    """,
+)
+def orafce_funcs(spark, sf_dir):
+    """orafce pack (gpcontrib/orafce): nvl/nvl2/decode/lnnvl/nanvl
+    (others.c), add_months with the Oracle last-day rule, last_day,
+    next_day, months_between, trunc(date,'MM') (datefce.c), instr
+    (plvstr.c). listagg maps to the ordered string_agg discipline already
+    covered by string_agg_ordered. Everything stays in whole-stage
+    codegen — the one semantic delta vs Spark builtins (add_months
+    last-day rule) is an explicit CASE."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 300)
+    o = o.withColumn("d", F.col("o_orderdate").cast("date"))
+    end = F.lit("1997-06-30").cast("date")
+    return o.select(
+        "o_orderkey",
+        orafce.nvl(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("X")).alias(
+            "status_nvl"
+        ),
+        orafce.nvl2(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")),
+            F.lit("closed"),
+            F.lit("open"),
+        ).alias("status_nvl2"),
+        orafce.decode(
+            F.col("o_orderpriority"),
+            F.lit("1-URGENT"), F.lit(1),
+            F.lit("2-HIGH"), F.lit(2),
+            F.lit(0),
+        ).alias("pri_decode"),
+        orafce.add_months_ora(F.col("d"), 2).alias("plus2mo"),
+        F.last_day("d").alias("eom"),
+        orafce.next_day(F.col("d"), "FRI").alias("next_fri"),
+        F.round(orafce.months_between(end, F.col("d")), 8).alias("mb"),
+        F.trunc("d", "mon").alias("mon_trunc"),
+        orafce.instr(F.col("o_orderpriority"), "-").cast("int").alias("dash_at"),
+        orafce.lnnvl(F.col("o_totalprice") > 100000).alias("lnnvl_big"),
+        F.round(
+            orafce.nanvl(F.lit(float("nan")), F.col("o_totalprice")), 2
+        ).alias("nanvl_price"),
+    )
+
+
+@query(
+    "earth_distance_funcs",
+    oracle="""
+    WITH pts AS (
+        SELECT n_nationkey, n_name,
+               n_nationkey * CAST(7.3 AS DOUBLE) - 80.0 AS lat,
+               n_nationkey * CAST(14.7 AS DOUBLE) - 170.0 AS lon
+        FROM nation
+    )
+    SELECT a.n_nationkey, b.n_nationkey AS other_key,
+           round(2.0 * 6378168.0 * asin(least(1.0, sqrt(
+               pow(sin(radians(b.lat - a.lat) / 2), 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * pow(sin(radians(b.lon - a.lon) / 2), 2)))), 3) AS earth_m,
+           round(2.0 * 3958.747716 * asin(least(1.0, sqrt(
+               pow(sin(radians(b.lat - a.lat) / 2), 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * pow(sin(radians(b.lon - a.lon) / 2), 2)))), 3) AS geo_miles
+    FROM pts a JOIN pts b ON b.n_nationkey = a.n_nationkey + 1
+    """,
+)
+def earth_distance_funcs(spark, sf_dir):
+    """earthdistance (contrib/earthdistance): earth_distance(ll_to_earth)
+    great-circle meters on the sphere radius earth() = 6378168 m, and the
+    point <@> operator (geo_distance, earthdistance.c:106) in statute
+    miles with EARTH_RADIUS = 3958.747716. Haversine form of the same
+    great-circle arc; coordinates synthesized deterministically from
+    n_nationkey so both engines derive identical inputs."""
+    n = t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 7.3 - 80.0).alias("lat"),
+        (F.col("n_nationkey") * 14.7 - 170.0).alias("lon"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+
+    def haversine(radius):
+        dlat = F.radians(F.col("b.lat") - F.col("a.lat")) / 2
+        dlon = F.radians(F.col("b.lon") - F.col("a.lon")) / 2
+        h = F.pow(F.sin(dlat), 2) + (
+            F.cos(F.radians(F.col("a.lat")))
+            * F.cos(F.radians(F.col("b.lat")))
+            * F.pow(F.sin(dlon), 2)
+        )
+        return 2.0 * radius * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+
+    return (
+        a.join(b, F.col("b.n_nationkey") == F.col("a.n_nationkey") + 1)
+        .select(
+            F.col("a.n_nationkey").alias("n_nationkey"),
+            F.col("b.n_nationkey").alias("other_key"),
+            F.round(haversine(6378168.0), 3).alias("earth_m"),
+            F.round(haversine(3958.747716), 3).alias("geo_miles"),
+        )
+    )
+
+
+@query(
+    "pgcrypto_digest",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS d_md5,
+           sha256(text) AS d_sha256,
+           lower(hex(encode(substr(text, 1, 16)))) AS hexed
+    FROM documents WHERE doc_id < 40
+    """,
+)
+def pgcrypto_digest(spark, sf_dir):
+    """pgcrypto digest() family (contrib/pgcrypto/pgp-digest? px.c):
+    md5/sha256 as lowercase hex (PG returns bytea; hex is the canonical
+    text form). sha1/sha512 + hmac are covered by pytest golden tests
+    (DuckDB lacks sha1/sha512); aes_encrypt/decrypt roundtrip likewise
+    (ciphertext is key-dependent binary)."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("d_md5"),
+        F.sha2(F.col("text"), 256).alias("d_sha256"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 16), "utf-8"))).alias(
+            "hexed"
+        ),
+    )

