@@ -43,6 +43,10 @@ DRIVER_PRIORITY: list[str] = [
     "orafce_funcs",
     "earth_distance_funcs",
     "pgcrypto_digest",
+    "hstore_funcs",
+    "ltree_funcs",
+    "connectby_tree",
+    "intarray_ops",
     # new round-2 features (VERDICT "missing" #1-#5, #7-#9)
     "pg_int_division",
     "pg_json_arrows",

@@ -16,4 +16,5 @@ from gpdb_spark.queries import (  # noqa: F401
     dialect_queries,
     contrib_text,
     contrib_funcs,
+    contrib_types,
 )

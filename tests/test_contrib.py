@@ -138,3 +138,66 @@ class TestEarthDistance:
         got = _one(spark, 2.0 * F.lit(r) * F.asin(F.least(F.lit(1.0), F.sqrt(hh))))
         assert got == pytest.approx(want, rel=1e-12)
         assert 330_000 < got < 350_000
+
+
+class TestHstore:
+    def test_parse_quoted_and_spaced(self, spark):
+        from gpdb_spark.functions import hstore
+
+        m = hstore.hstore_parse(F.lit('"a" => "1" , b=>2'))
+        assert _one(spark, hstore.fetch(m, "a")) == "1"
+        assert _one(spark, hstore.fetch(m, "b")) == "2"
+        assert _one(spark, hstore.fetch(m, "zzz")) is None
+
+    def test_concat_right_wins(self, spark):
+        from gpdb_spark.functions import hstore
+
+        a = hstore.hstore_parse(F.lit("k=>old, x=>1"))
+        b = hstore.hstore_parse(F.lit("k=>new"))
+        merged = hstore.concat(a, b)
+        assert _one(spark, hstore.fetch(merged, "k")) == "new"
+        assert _one(spark, F.array_join(hstore.akeys(merged), ",")) == "k,x"
+
+
+class TestLtree:
+    def test_path_ops(self, spark):
+        from gpdb_spark.functions import ltree
+
+        p = F.lit("top.science.astronomy.cosmology")
+        assert _one(spark, ltree.nlevel(p)) == 4
+        assert _one(spark, ltree.subpath(p, 1, 2)) == "science.astronomy"
+        assert _one(spark, ltree.subltree(p, 0, 2)) == "top.science"
+        assert _one(spark, ltree.index(p, F.lit("astronomy.cosmology"))) == 2
+        assert _one(spark, ltree.index(p, F.lit("physics"))) == -1
+
+    def test_ancestor_and_lca(self, spark):
+        from gpdb_spark.functions import ltree
+
+        a, b = F.lit("top.a"), F.lit("top.a.b.c")
+        assert _one(spark, ltree.is_ancestor(a, b)) is True
+        assert _one(spark, ltree.is_ancestor(b, a)) is False
+        # prefix-string false positive guard: top.ab is NOT under top.a
+        assert _one(spark, ltree.is_ancestor(a, F.lit("top.ab"))) is False
+        assert (
+            _one(spark, ltree.lca(F.lit("top.a.b.x"), F.lit("top.a.c.y")))
+            == "top.a"
+        )
+        assert _one(spark, ltree.lca(F.lit("m.n"), F.lit("q.r"))) == ""
+
+    def test_lquery(self, spark):
+        from gpdb_spark.functions import ltree
+
+        rx = ltree.lquery_regex("top.*.cosmology")
+        df = spark.createDataFrame(
+            [("top.science.astronomy.cosmology",), ("top.cosmology",),
+             ("top.science.cosmology.history",)],
+            ["p"],
+        )
+        got = [r["m"] for r in df.select(F.col("p").rlike(rx).alias("m")).collect()]
+        assert got == [True, True, False]
+
+    def test_index_sub_longer_than_path(self, spark):
+        from gpdb_spark.functions import ltree
+
+        got = _one(spark, ltree.index(F.lit("a.b"), F.lit("a.b.c.d")))
+        assert got == -1
