@@ -68,6 +68,23 @@ def main() -> None:
     # engine, not one-time session setup
     QUERIES["q01_pricing_summary"](spark, sf_dir).collect()
 
+    # warm the Python worker pool the same way: the first pandas-UDF
+    # stage of a session forks one worker per core and imports
+    # numpy/pandas in each (~5-8 s wall on local[32]) — a once-per-
+    # session cost that a production cluster's long-lived workers don't
+    # pay per query. One trivial mapInPandas over every core pre-forks
+    # the pool so the timed loop measures operator cost.
+    def _noop(batches):
+        import numpy  # noqa: F401 — pre-import in the worker
+
+        for b in batches:
+            yield b
+
+    n_cores = spark.sparkContext.defaultParallelism
+    spark.range(n_cores, numPartitions=n_cores).mapInPandas(
+        _noop, "id long"
+    ).collect()
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)

@@ -62,7 +62,15 @@ def _tz_normalize(df: DataFrame) -> DataFrame:
     return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
 
 
-SPREAD_TARGET_BYTES = 4 << 20  # ~4 MB of input per task for CPU-heavy ops
+# ~16 KB of COMPRESSED input per task for CPU-heavy ops. Parquet text
+# columns compress ~5-10x and the operators behind spread() (tokenize +
+# k-hash signatures, vector math) cost 10-50x a plain scan per byte, so
+# 16 KB compressed ≈ 1-10 ms of scan but 0.1-1 s of operator CPU — the
+# right task grain. Measured: a 4 MB target collapsed sf0.1 documents
+# (0.57 MB compressed) to ONE task and regressed dedup_minhash_clusters
+# 3.4 s -> 8.1 s; 16 KB restores full 32-way parallelism there while a
+# sf0.001 table (65 KB) still gets only ~4 tasks instead of 32.
+SPREAD_TARGET_BYTES = 16 << 10
 
 
 def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:

@@ -57,3 +57,48 @@ def hash_split(
             F.lit("train"),
         ).otherwise(F.lit("valid")),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_frac: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (df.sampleBy without the seed/
+    partitioning dependence): each stratum keeps its own fraction of
+    keys. The per-stratum thresholds fold into ONE when-chain expression
+    (fine for the enum-sized strata of real pipelines — language, source,
+    quality bucket); the scan stays a narrow projection with the filter
+    pushed down, no shuffle, no join.
+    """
+    thr = F.lit(_hex_threshold(default_frac))
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(_hex_threshold(frac))
+        ).otherwise(thr)
+    return df.where(_key_hash(F.col(key_col), salt) < thr)
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, key_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic at-most-k subset per group (the per-source /
+    per-domain document cap every crawl pipeline applies). Selection
+    order is the key's salted hash, so the kept set is stable across
+    runs and insensitive to input order; one hash-partitioned window
+    (rank <= k), the same shuffle a groupBy on ``group_col`` costs.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(_key_hash(F.col(key_col), salt), F.col(key_col))
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

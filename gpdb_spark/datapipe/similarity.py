@@ -342,19 +342,22 @@ def brute_force_topk_blocked(
             S[ids[:, None] == q_ids[None, :]] = -np.inf
             Sr = np.round(S, 6)
             kk = min(k, Sr.shape[0])
-            out_q, out_c, out_s = [], [], []
-            for j in range(Sr.shape[1]):
-                col = Sr[:, j]
-                thr = np.partition(col, -kk)[-kk]  # k-th largest (O(n))
-                cand = np.flatnonzero(col >= thr)  # k rows + boundary ties
-                order = np.lexsort((ids[cand], -col[cand]))[:k]
-                sel = cand[order]
-                sel = sel[np.isfinite(col[sel])]
-                out_q.extend([int(q_ids[j])] * len(sel))
-                out_c.extend(int(i) for i in ids[sel])
-                out_s.extend(float(s) for s in col[sel])
+            # Fully vectorized candidate selection — no per-query Python
+            # loop (a loop over 10^3+ queries per batch dominated wall
+            # time). Emit every row >= the per-query k-th-largest score:
+            # that is a superset of the batch's global winners INCLUDING
+            # boundary ties (a tie with a smaller corpus_id can win the
+            # global (cos desc, id asc) ranking, so ties must survive);
+            # the downstream window trims to exactly k.
+            thr = np.partition(Sr, -kk, axis=0)[-kk, :]  # (n_q,) k-th largest
+            mask = (Sr >= thr[None, :]) & np.isfinite(Sr)
+            rows, cols = np.nonzero(mask)
             yield pd.DataFrame(
-                {"query_id": out_q, "corpus_id": out_c, "cos": out_s}
+                {
+                    "query_id": q_ids[cols],
+                    "corpus_id": ids[rows],
+                    "cos": Sr[rows, cols],
+                }
             )
 
     cand = corpus.select(id_col, vec_col).mapInPandas(

@@ -380,3 +380,63 @@ def text_pii_redaction(spark, sf_dir):
         F.sum(F.regexp_count(F.col("redacted"), F.lit("<PHONE>"))).alias("phone_tags"),
         F.sum(F.length("redacted")).alias("redacted_chars"),
     )
+
+
+def _thr(frac):
+    from gpdb_spark.datapipe.sample import _hex_threshold
+
+    return _hex_threshold(frac)
+
+
+@query(
+    "datapipe_stratified_cap",
+    # thresholds are generated by the same _hex_threshold the engine
+    # uses, so the oracle can't drift from the implementation
+    oracle=None,  # set below once _thr is available at import time
+)
+def datapipe_stratified_cap(spark, sf_dir):
+    """Stratified deterministic sampling + per-group cap
+    (datapipe/sample.py): per-language keep fractions (the
+    quality/language rebalancing step of a training pipeline) followed by
+    an at-most-30-docs-per-source cap (crawl per-domain cap). Both are
+    pure functions of doc_id: reproducible across runs/engines/cluster
+    sizes. One narrow scan + one window shuffle on source + final count
+    agg — the minimal shuffle count for this op."""
+    from gpdb_spark.datapipe.sample import cap_per_group, stratified_sample
+
+    d = t(spark, sf_dir, "documents")
+    s = stratified_sample(
+        d, "doc_id", "lang",
+        {"en": 0.8, "de": 0.5, "fr": 0.25}, default_frac=0.1, salt="s1",
+    )
+    capped = cap_per_group(s, "source", "doc_id", k=30, salt="c1")
+    return (
+        capped.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+from gpdb_spark.registry import ORACLE as _ORACLE  # noqa: E402
+
+_ORACLE["datapipe_stratified_cap"] = " ".join(
+    f"""
+    WITH s AS (
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8) <
+              CASE lang WHEN 'en' THEN '{_thr(0.8)}'
+                        WHEN 'de' THEN '{_thr(0.5)}'
+                        WHEN 'fr' THEN '{_thr(0.25)}'
+                        ELSE '{_thr(0.1)}' END
+    ), capped AS (
+        SELECT lang, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'c1'), 1, 8),
+                            doc_id) AS rn
+        FROM s
+    )
+    SELECT lang, source, count(*) AS n
+    FROM capped WHERE rn <= 30 GROUP BY lang, source
+    """.split()
+)
