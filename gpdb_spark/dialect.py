@@ -41,10 +41,13 @@ rewrites the handful of constructs where PG and Spark SQL disagree
 - ``TABLE name`` shorthand; trailing FOR UPDATE/SHARE lock clauses
   stripped (snapshot-isolated batch reads).
 
-Not translated (documented gaps): multi-dim arrays and array slices
-``a[i:j]``, integer ``/`` on operands whose type the catalog cannot
-prove integral (kept as double division), timestamp->timestamptz
-direction of AT TIME ZONE (needs column type info).
+- array slices ``a[i:j]`` / ``a[i:]`` / ``a[:j]`` -> ``slice(...)``
+  (inclusive 1-based bounds per parse_expr.c subscripting).
+
+Not translated (documented gaps): multi-dim arrays, integer ``/`` on
+operands whose type the catalog cannot prove integral (kept as double
+division), timestamp->timestamptz direction of AT TIME ZONE (needs
+column type info).
 """
 
 from __future__ import annotations
@@ -472,6 +475,9 @@ _FN_RENAME = {
     "random": "rand",
     "char_length": "length",
     "octet_length": "octet_length",
+    # array_to_string(arr, sep) == array_join(arr, sep) (arrayfuncs.c);
+    # the 3-arg null-replacement form is array_join's too
+    "array_to_string": "array_join",
 }
 
 # DCH parse tokens -> Java datetime parse patterns (to_date/to_timestamp;
@@ -1290,7 +1296,7 @@ def _pass_array_syntax(tokens: list[str]) -> list[str]:
                             break
                     k += 1
                 inner = tokens[i + 1 : k]
-                if ":" not in inner:  # no slice support
+                if ":" not in inner:
                     inner = _pass_array_syntax(inner)
                     lhs_start = _operand_start(out + ["~"], len(out))
                     lhs = out[lhs_start:]
@@ -1300,6 +1306,46 @@ def _pass_array_syntax(tokens: list[str]) -> list[str]:
                         + lhs
                         + [","]
                         + inner
+                        + [")"]
+                    )
+                    i = k + 1
+                    continue
+                # slice a[i:j] (parse_expr.c subscripting, inclusive
+                # 1-based bounds) -> slice(a, i, j - i + 1); omitted
+                # bounds (PG 9.6 a[:j] / a[i:]) default to the ends
+                depth2 = 0
+                colon = None
+                for ci, ct in enumerate(inner):
+                    if ct in ("[", "("):
+                        depth2 += 1
+                    elif ct in ("]", ")"):
+                        depth2 -= 1
+                    elif ct == ":" and depth2 == 0:
+                        colon = ci
+                        break
+                if colon is not None:
+                    lo = _pass_array_syntax(inner[:colon]) or ["1"]
+                    hi = _pass_array_syntax(inner[colon + 1 :])
+                    lhs_start = _operand_start(out + ["~"], len(out))
+                    lhs = out[lhs_start:]
+                    if hi:
+                        length = (
+                            ["(", "("] + hi + [")", "-", "("] + lo
+                            + [")", "+", "1", ")"]
+                        )
+                    else:  # a[i:] -> through the end
+                        length = (
+                            ["greatest", "(", "size", "("] + lhs
+                            + [")", "-", "("] + lo + [")", "+", "1", ",", "0", ")"]
+                        )
+                    out = (
+                        out[:lhs_start]
+                        + ["slice", "("]
+                        + lhs
+                        + [","]
+                        + lo
+                        + [","]
+                        + length
                         + [")"]
                     )
                     i = k + 1

@@ -310,3 +310,29 @@ _pg_query(
     ORDER BY n_nationkey
     """,
 )
+
+
+_pg_query(
+    "pg_array_slice",
+    # exercises: array slice a[i:j] / a[i:] / a[:j] (parse_expr.c
+    # subscripting, inclusive 1-based bounds)
+    """
+    SELECT n_nationkey,
+           array_to_string((ARRAY[10,20,30,40,50])[2:4], ',') AS mid,
+           array_to_string((ARRAY[10,20,30,40,50])[(1 + n_nationkey % 2)::int4:], ',') AS tail_part,
+           array_to_string((ARRAY[10,20,30,40,50])[:3], ',') AS head_part
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    # DuckDB list slicing is the same inclusive 1-based contract; its
+    # string_to_array equivalent is string_split (with '' splitting into
+    # single chars via regex)
+    oracle="""
+    SELECT n_nationkey,
+           array_to_string(([10,20,30,40,50])[2:4], ',') AS mid,
+           array_to_string(([10,20,30,40,50])[CAST(1 + n_nationkey % 2 AS INT):], ',') AS tail_part,
+           array_to_string(([10,20,30,40,50])[:3], ',') AS head_part
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)

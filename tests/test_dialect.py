@@ -308,3 +308,16 @@ def test_at_time_zone(spark):
         )
     ).first()
     assert r.r.hour == 7
+
+
+def test_array_slices(spark):
+    from gpdb_spark.dialect import pg_sql
+
+    rows = pg_sql(
+        spark,
+        "SELECT (ARRAY[1,2,3,4,5])[2:4] AS a, (ARRAY[1,2,3])[2:] AS b, "
+        "(ARRAY[1,2,3])[:2] AS c",
+    ).collect()[0]
+    assert rows["a"] == [2, 3, 4]
+    assert rows["b"] == [2, 3]
+    assert rows["c"] == [1, 2]
