@@ -47,6 +47,11 @@ DRIVER_PRIORITY: list[str] = [
     "ltree_funcs",
     "connectby_tree",
     "intarray_ops",
+    "datapipe_stratified_cap",
+    "pg_array_slice",
+    "window_filter_clause",
+    "fulltext_rank_cd",
+    "embed_neardup_clusters",
     # new round-2 features (VERDICT "missing" #1-#5, #7-#9)
     "pg_int_division",
     "pg_json_arrows",

@@ -1,0 +1,67 @@
+"""Connected components over an edge list — the clustering backbone
+shared by the dedup family (minhash bucket graphs, cosine near-dup
+graphs).
+
+Same algorithm as dedup.minhash_dedup_clusters' bipartite variant
+(min-label propagation to fixpoint), factored for plain (a, b) edges:
+each round every node takes the min label over itself and its
+neighbors; converges in O(component diameter) rounds, each round one
+hash join + one aggregation, labels never leave the cluster. Per-round
+driver traffic is one scalar (the convergence count folded into the
+same aggregation action) — the formulation that survives 10^9-node
+corpora, vs materializing transitive closures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def components_from_edges(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) assignment; component = min node id reachable.
+
+    ``nodes``: one column ``id_col`` (isolated nodes keep their own id).
+    ``edges``: undirected pairs; symmetrized here.
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionAll(edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("u"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnsRenamed({"u": "v", "label": "vlbl"}), "v")
+            .groupBy("u")
+            .agg(F.min("vlbl").alias("nlbl"))
+        )
+        joined = labels.join(nbr_min, "u", "left").select(
+            "u",
+            F.least(F.col("label"), F.coalesce("nlbl", "label")).alias("label"),
+            F.col("label").alias("__old"),
+        )
+        new_labels = joined.select("u", "label", "__old").localCheckpoint(
+            eager=True
+        )
+        n_changed = (
+            new_labels.agg(
+                F.sum((F.col("label") != F.col("__old")).cast("long"))
+            ).collect()[0][0]
+            or 0
+        )
+        labels = new_labels.select("u", "label")
+        if n_changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("u").alias(id_col), F.col("label").alias("component"))

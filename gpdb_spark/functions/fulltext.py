@@ -123,3 +123,49 @@ def ts_headline(
     return df.where(first > 0).select(
         F.col(id_col), snippet.alias("headline")
     )
+
+
+def ts_rank_cd(
+    df: DataFrame,
+    terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cover-density proximity rank (tsrank.c calc_rank_cd): documents
+    where the query terms occur close together rank above documents where
+    they are scattered. Computed as 1 / minimal-cover-width, the leading
+    term of calc_rank_cd's cover sum (the reference's full sum walks
+    every cover; the minimal cover dominates and keeps the expression
+    closed-form).
+
+    Shape: the postings join prunes to documents containing ALL query
+    terms first; the cover search is then a per-row expression over the
+    per-term position lists (product of per-doc term frequencies — small
+    by construction for query terms). No extra shuffle beyond postings'.
+    """
+    p = postings(df, text_col, id_col).where(F.col("lexeme").isin(list(terms)))
+    aggs = [
+        F.max(F.when(F.col("lexeme") == term, F.col("positions"))).alias(
+            f"__p{i}"
+        )
+        for i, term in enumerate(terms)
+    ]
+    g = p.groupBy("id").agg(*aggs)
+    for i in range(len(terms)):
+        g = g.where(F.col(f"__p{i}").isNotNull())
+    cols = [F.col(f"__p{i}") for i in range(len(terms))]
+
+    def rec(vars_, idx):
+        if idx == len(cols):
+            return F.greatest(*vars_) - F.least(*vars_) + F.lit(1)
+        return F.transform(cols[idx], lambda v: rec(vars_ + [v], idx + 1))
+
+    spans = rec([], 0)
+    for _ in range(len(cols) - 1):
+        spans = F.flatten(spans)
+    minspan = F.array_min(spans)
+    return g.select(
+        F.col("id").alias(id_col),
+        minspan.cast("int").alias("minspan"),
+        F.round(F.lit(1.0) / minspan, 6).alias("rank_cd"),
+    )

@@ -245,3 +245,26 @@ def embed_ann_topk_blocked(spark, sf_dir):
     e = spread(t(spark, sf_dir, "embeddings"))
     q = e.where(F.col("vec_id") < 20)
     return brute_force_topk_blocked(e, q, k=5)
+
+
+@query("embed_neardup_clusters")
+def embed_neardup_clusters(spark, sf_dir):
+    """Embedding-cosine near-duplicate CLUSTERS: cosine >= 0.35 pair
+    graph (label-blocked, so the pair space is per-block rather than
+    corpus-squared; at web scale the blocking key comes from SRP-LSH
+    buckets — similarity.srp_buckets — instead of a label column)
+    -> connected components by min-label propagation
+    (datapipe/graph.py). Returns (vec_id, component); a training
+    pipeline keeps one representative per component. No SQL oracle (the
+    fixpoint is not single-query-expressible); parity is pytest
+    union-find over the same pair list (test_datapipe.py)."""
+    from gpdb_spark.datapipe.graph import components_from_edges
+    from gpdb_spark.registry import QUERIES
+
+    pairs = QUERIES["embed_cosine_pairs"](spark, sf_dir).where(
+        F.col("cos") >= 0.35
+    )
+    nodes = t(spark, sf_dir, "embeddings").select("vec_id")
+    return components_from_edges(
+        nodes, pairs, id_col="vec_id", a_col="a", b_col="b"
+    )

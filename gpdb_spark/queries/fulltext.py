@@ -89,3 +89,42 @@ def fulltext_headline(spark, sf_dir):
     """ts_headline-lite: 7-token snippet around the first 'vector' hit."""
     d = t(spark, sf_dir, "documents")
     return FT.ts_headline(d, "vector", window=3)
+
+
+@query(
+    "fulltext_rank_cd",
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+                 AS toks
+        FROM documents
+    ), pos AS (
+        SELECT doc_id,
+               list_filter(list_transform(toks,
+                   (x, i) -> CASE WHEN x = 'hash' THEN i END),
+                   v -> v IS NOT NULL) AS p0,
+               list_filter(list_transform(toks,
+                   (x, i) -> CASE WHEN x = 'join' THEN i END),
+                   v -> v IS NOT NULL) AS p1
+        FROM tk
+    ), spans AS (
+        SELECT doc_id,
+               list_min(flatten(list_transform(p0,
+                   a -> list_transform(p1,
+                   b -> greatest(a, b) - least(a, b) + 1)))) AS minspan
+        FROM pos WHERE len(p0) > 0 AND len(p1) > 0
+    )
+    SELECT doc_id, CAST(minspan AS INT) AS minspan,
+           round(1.0 / minspan, 6) AS rank_cd
+    FROM spans
+    """,
+)
+def fulltext_rank_cd(spark, sf_dir):
+    """Cover-density proximity rank — ts_rank_cd (tsrank.c calc_rank_cd)
+    for the query 'hash' AND 'join': 1/minimal-cover-width over the
+    per-term position lists from the inverted postings table. The DuckDB
+    oracle re-derives positions with indexed list lambdas (its 1-based i
+    vs posexplode's 0-based cancels in the span width)."""
+    d = t(spark, sf_dir, "documents")
+    return FT.ts_rank_cd(d, ["hash", "join"])

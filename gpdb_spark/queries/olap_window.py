@@ -325,3 +325,46 @@ def window_frame_exclude_groups(spark, sf_dir):
         excl.alias("excl_sum"),
         wround(F.sum(wdec("value")).over(w_groups), 6).alias("groups_sum"),
     )
+
+
+@query(
+    "window_filter_clause",
+    oracle="""
+    SELECT event_id, user_id,
+           round(CAST(sum(CAST(value AS DECIMAL(25,6)))
+                      FILTER (WHERE event_type <> 'error')
+                      OVER w AS DOUBLE), 6) AS ok_running,
+           count(*) FILTER (WHERE event_type = 'click') OVER w AS clicks_so_far,
+           max(value) FILTER (WHERE event_type = 'view') OVER w AS max_view
+    FROM events
+    WHERE user_id < 60
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_filter_clause(spark, sf_dir):
+    """Aggregate FILTER clause on window functions (PG 9.4 parse_agg.c
+    transformAggregateCall + nodeWindowAgg.c agg path). Spark has no
+    window FILTER syntax, so the filter folds into the aggregated
+    expression — sum/max over CASE, count over a 0/1 indicator — the
+    rewrite PG itself uses internally; the plan stays one Window node,
+    no extra shuffle. Decimal-cast sum per the registry's determinism
+    discipline."""
+    e = t(spark, sf_dir, "events").where(F.col("user_id") < 60)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ok = F.when(F.col("event_type") != "error", wdec("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        wround(F.sum(ok).over(w)).alias("ok_running"),
+        F.count(F.when(F.col("event_type") == "click", F.lit(1))).over(w).alias(
+            "clicks_so_far"
+        ),
+        F.max(F.when(F.col("event_type") == "view", F.col("value"))).over(w).alias(
+            "max_view"
+        ),
+    )

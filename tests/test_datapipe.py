@@ -287,3 +287,40 @@ def test_blocked_topk_matches_jvm_topk(spark, sf_dir):
     assert len(overlap) >= 0.95 * len(a)  # boundary ties may differ
     for key in overlap:
         assert abs(a[key] - b[key]) < 2e-6, (key, a[key], b[key])
+
+
+def test_embed_neardup_clusters_match_union_find(spark, sf_dir):
+    """components_from_edges == union-find ground truth on the same pairs."""
+    from gpdb_spark.registry import QUERIES
+    import gpdb_spark.queries  # noqa: F401
+
+    pairs = [
+        (r["a"], r["b"])
+        for r in QUERIES["embed_cosine_pairs"](spark, sf_dir)
+        .where("cos >= 0.35")
+        .collect()
+    ]
+    got = {
+        r["vec_id"]: r["component"]
+        for r in QUERIES["embed_neardup_clusters"](spark, sf_dir).collect()
+    }
+
+    parent: dict[int, int] = {v: v for v in got}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min member id, matching min-label propagation
+    members: dict[int, list[int]] = {}
+    for v in parent:
+        members.setdefault(find(v), []).append(v)
+    want = {v: min(ms) for root, ms in members.items() for v in ms}
+    assert got == want
+    assert len(set(got.values())) < len(got)  # some real merging happened
