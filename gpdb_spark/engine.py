@@ -248,3 +248,53 @@ class Engine:
         )
         df._jdf.queryExecution().toRdd().count()
         return explain_motion(df)
+
+    # -- query statistics (contrib/pg_stat_statements) -----------------------
+
+    @staticmethod
+    def _normalize_query(text: str) -> str:
+        """pg_stat_statements-style constant stripping (its queryid
+        jumble): string and numeric literals become ?, whitespace
+        collapses — so the same query shape with different constants
+        accumulates into one row."""
+        import re
+
+        t = re.sub(r"'(?:[^']|'')*'", "?", text)
+        t = re.sub(r"\b\d+(?:\.\d+)?\b", "?", t)
+        return " ".join(t.split()).lower()
+
+    def run(self, text: str) -> list:
+        """Execute PG-dialect SQL and record pg_stat_statements metrics
+        (calls, total wall ms, rows) under the normalized query text.
+        ``sql()`` stays lazy and unrecorded — this is the executed path,
+        matching the reference's executor-end hook
+        (pg_stat_statements.c pgss_ExecutorEnd)."""
+        import time
+
+        if not hasattr(self, "_pgss"):
+            self._pgss: dict[str, dict] = {}
+        t0 = time.perf_counter()
+        rows = self.sql(text).collect()
+        ms = (time.perf_counter() - t0) * 1000.0
+        key = self._normalize_query(text)
+        s = self._pgss.setdefault(
+            key, {"calls": 0, "total_ms": 0.0, "rows": 0}
+        )
+        s["calls"] += 1
+        s["total_ms"] += ms
+        s["rows"] += len(rows)
+        return rows
+
+    def pg_stat_statements(self) -> DataFrame:
+        """The statistics view: one row per normalized query shape."""
+        data = [
+            (q, s["calls"], round(s["total_ms"], 3), s["rows"])
+            for q, s in getattr(self, "_pgss", {}).items()
+        ]
+        return self.spark.createDataFrame(
+            data or [("", 0, 0.0, 0)],
+            "query string, calls long, total_ms double, rows long",
+        ).where("calls > 0")
+
+    def pg_stat_statements_reset(self) -> None:
+        self._pgss = {}

@@ -158,3 +158,46 @@ def read_external_program(
             f"{n_rejected} rejected rows > SEGMENT REJECT LIMIT {reject_limit}"
         )
     return ExternalReadResult(good=good, errors=errors, n_rejected=n_rejected)
+
+
+def read_external_fixedwidth(
+    spark: SparkSession,
+    path: str,
+    fields: list[tuple[str, int, str]],
+    reject_limit: int | None = None,
+) -> ExternalReadResult:
+    """Fixed-width external table format
+    (/root/reference/contrib/formatter_fixedwidth/fixedwidth.c — the
+    shipped custom-formatter example: each field is a fixed byte width,
+    blank-padded, no delimiters).
+
+    ``fields``: (name, width, spark_type) in record order. Realized as a
+    parallel text read + substring/trim/cast projections — all JVM-side,
+    splittable like any text source. SREH (cdbsreh.c) parity: rows whose
+    non-string casts fail land in the reject set instead of erroring,
+    bounded by ``reject_limit``.
+    """
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)
+    expected_len = sum(w for _, w, _ in fields)
+    pos = 1
+    cols, ok = [], F.length("value") == expected_len
+    for name, width, typ in fields:
+        s = F.trim(F.substring("value", pos, width))
+        if typ != "string":
+            cast = s.try_cast(typ)
+            ok = ok & (cast.isNotNull() | (s == ""))
+            cols.append(cast.alias(name))
+        else:
+            cols.append(s.alias(name))
+        pos += width
+    good = raw.where(ok).select(*cols)
+    rejects = raw.where(~ok).select(F.col("value").alias("raw_line"))
+    n_rejected = rejects.count()
+    if reject_limit is not None and n_rejected > reject_limit:
+        raise RejectLimitExceeded(
+            f"{n_rejected} malformed rows exceeds SEGMENT REJECT LIMIT "
+            f"{reject_limit}"
+        )
+    return ExternalReadResult(good=good, errors=rejects, n_rejected=n_rejected)

@@ -209,3 +209,21 @@ def test_cursor_portal(spark):
     assert len(rest) == 25 - 6
     assert eng.fetch("c1", 5) == []  # past the end
     eng.close_cursor("c1")
+
+
+def test_pg_stat_statements(spark, sf_dir):
+    from gpdb_spark.engine import Engine
+
+    e = Engine(spark, sf_dir)
+    e.pg_stat_statements_reset()
+    e.run("SELECT count(*) AS n FROM nation WHERE n_regionkey = 1")
+    e.run("SELECT count(*) AS n FROM nation WHERE n_regionkey = 3")
+    e.run("SELECT n_name FROM nation WHERE n_nationkey < 5")
+    stats = {r["query"]: r for r in e.pg_stat_statements().collect()}
+    assert len(stats) == 2  # two shapes: constants normalized away
+    counted = [s for q, s in stats.items() if "count(*)" in q][0]
+    assert counted["calls"] == 2
+    assert counted["rows"] == 2
+    assert counted["total_ms"] > 0
+    listed = [s for q, s in stats.items() if "n_name" in q][0]
+    assert listed["calls"] == 1 and listed["rows"] == 5

@@ -536,3 +536,29 @@ def test_dml_returning(spark, tmp_path):
     assert got == {0: 1, 1: 11, 2: 21}  # NEW image
     full = {r.id: r.v for r in tbl.read(spark).collect()}
     assert full[0] == 1 and full[5] == 50
+
+
+def test_external_fixedwidth(spark, tmp_path):
+    """formatter_fixedwidth contrib: fixed byte widths, blank padding,
+    SREH capture of rows with bad casts or wrong record length."""
+    from gpdb_spark.operators.external import read_external_fixedwidth
+
+    lines = [
+        "alpha     1   3.5",
+        "beta      22 0.25",
+        "gamma     xx  1.0",  # bad int -> reject
+        "short",              # wrong length -> reject
+    ]
+    p = tmp_path / "fixed.txt"
+    p.write_text("\n".join(lines) + "\n")
+    res = read_external_fixedwidth(
+        spark,
+        str(p),
+        [("name", 10, "string"), ("n", 3, "int"), ("x", 4, "double")],
+        reject_limit=5,
+    )
+    rows = {r["name"]: (r["n"], r["x"]) for r in res.good.collect()}
+    assert rows == {"alpha": (1, 3.5), "beta": (22, 0.25)}
+    assert res.n_rejected == 2
+    bad = {r["raw_line"] for r in res.errors.collect()}
+    assert bad == {"gamma     xx  1.0", "short"}
