@@ -283,6 +283,37 @@ class GpTable:
         )
         self._rewrite(spark.read.parquet(self.path))
 
+    def cluster_by(
+        self, spark: SparkSession, cols: tuple[str, ...] | list[str]
+    ) -> None:
+        """CLUSTER table USING index (commands/cluster.c): physically
+        reorder rows so correlated predicates touch few blocks. On
+        parquet this is range-repartition + in-partition sort on the
+        cluster keys before the rewrite: every row group's min/max stats
+        become tight, so a selective filter prunes most row groups at
+        scan time — the 100 TB analog of the heap-order benefit CLUSTER
+        buys the reference (and of AO tables' natural insert order).
+        Like the reference (cluster.c reorders each heap, distribution
+        untouched), placement stays with the distkey policy and the sort
+        happens within each placed partition, stored in ``self.sort_by``
+        so later rewrites keep the order."""
+        self.sort_by = tuple(cols)
+        cur = spark.read.parquet(self.path)
+        tmp = f"{self.path}__cluster_{uuid.uuid4().hex[:8]}"
+        writer = (
+            self._placed(cur)
+            .sortWithinPartitions(*cols)
+            .write.mode("overwrite")
+            .option("compression", self.compression)
+        )
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(tmp)
+        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old)
+
     def truncate(self, spark: SparkSession) -> None:
         """TRUNCATE TABLE: drop all rows, keep schema + policy
         (ExecuteTruncate, tablecmds.c — metadata-speed, no row scan)."""

@@ -562,3 +562,30 @@ def test_external_fixedwidth(spark, tmp_path):
     assert res.n_rejected == 2
     bad = {r["raw_line"] for r in res.errors.collect()}
     assert bad == {"gamma     xx  1.0", "short"}
+
+
+def test_cluster_by_orders_rowgroups(spark, tmp_path):
+    """CLUSTER (commands/cluster.c): after cluster_by, each written file
+    is sorted on the cluster key, so parquet row-group min/max stats are
+    tight and selective scans prune. Distribution placement survives."""
+    import pyarrow.parquet as pq
+    from gpdb_spark.storage import GpTable
+
+    src = spark.range(0, 10000).selectExpr(
+        "id", "CAST(id % 997 AS INT) AS k", "id * 2 AS v"
+    )
+    t = GpTable.create(
+        src, str(tmp_path / "clustered"), distributed_by=("id",)
+    )
+    t.cluster_by(spark, ("k",))
+    # every parquet file individually sorted on k
+    import glob as g
+
+    files = g.glob(f"{t.path}/*.parquet")
+    assert files
+    for f in files:
+        ks = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        assert ks == sorted(ks)
+    # nothing lost, policy intact
+    assert t.read(spark).count() == 10000
+    assert t.policy.distkey == ("id",)
