@@ -298,3 +298,20 @@ class Engine:
 
     def pg_stat_statements_reset(self) -> None:
         self._pgss = {}
+
+    # -- transaction ids (adt/txid.c — batch-engine mapping) -----------------
+
+    def txid_current(self) -> int:
+        """txid_current(): monotonically increasing per-engine id. Each
+        batch write in this engine is one implicit transaction
+        (copy-on-write swap = commit), so the counter advances per call
+        the way the reference's xid advances per txn."""
+        self._txid = getattr(self, "_txid", 0) + 1
+        return self._txid
+
+    def txid_current_snapshot(self) -> str:
+        """txid_current_snapshot() text form 'xmin:xmax:xip'. A batch
+        engine has no concurrent in-progress writers by construction, so
+        the in-progress list is empty and xmin == xmax == next id."""
+        nxt = getattr(self, "_txid", 0) + 1
+        return f"{nxt}:{nxt}:"

@@ -227,3 +227,13 @@ def test_pg_stat_statements(spark, sf_dir):
     assert counted["total_ms"] > 0
     listed = [s for q, s in stats.items() if "n_name" in q][0]
     assert listed["calls"] == 1 and listed["rows"] == 5
+
+
+def test_txid_functions(spark):
+    from gpdb_spark.engine import Engine
+
+    e = Engine(spark)
+    a, b = e.txid_current(), e.txid_current()
+    assert b == a + 1
+    snap = e.txid_current_snapshot()
+    assert snap == f"{b + 1}:{b + 1}:"
