@@ -228,3 +228,23 @@ def test_asof_join_single_key_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
     assert "Window" in plan
+
+
+def test_trgm_neardup_is_inverted_index_join(spark, sf_dir):
+    """pg_trgm near-dup join must plan as hash joins on the trigram key
+    (the GIN-index shape) — never a nested-loop/cartesian all-pairs
+    comparison, which is quadratic in corpus size."""
+    plan = plan_of(spark, "trgm_neardup_pairs", sf_dir)
+    assert "NestedLoop" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_contrib_type_queries_stay_in_codegen(spark, sf_dir):
+    """hstore/ltree/trgm expressions are pure JVM column expressions:
+    no BatchEvalPython (row-at-a-time Python) anywhere in their plans."""
+    for name in ("hstore_funcs", "ltree_funcs", "trgm_similarity",
+                 "fuzzy_phonetic", "orafce_funcs"):
+        plan = plan_of(spark, name, sf_dir)
+        assert "BatchEvalPython" not in plan, (name, plan[:2000])
+        assert "ArrowEvalPython" not in plan, (name, plan[:2000])
