@@ -52,6 +52,8 @@ DRIVER_PRIORITY: list[str] = [
     "window_filter_clause",
     "fulltext_rank_cd",
     "embed_neardup_clusters",
+    "text_line_dedup",
+    "text_contamination",
     # new round-2 features (VERDICT "missing" #1-#5, #7-#9)
     "pg_int_division",
     "pg_json_arrows",

@@ -440,3 +440,108 @@ _ORACLE["datapipe_stratified_cap"] = " ".join(
     FROM capped WHERE rn <= 30 GROUP BY lang, source
     """.split()
 )
+
+
+@query(
+    "text_line_dedup",
+    # multi-line text derived deterministically (newline before each
+    # 'the') so the line granularity is real; C4 policy: a line occurring
+    # 2+ times anywhere in the corpus is dropped from every document
+    oracle="""
+    WITH src AS (
+        SELECT doc_id, replace(text, ' the ', chr(10) || 'the ') AS text
+        FROM documents WHERE doc_id < 400
+    ), l AS (
+        SELECT doc_id, s.i AS pos, s.x AS ln
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(string_split(text, chr(10)),
+                                         (x, i) -> {'i': i, 'x': x})) AS s
+            FROM src
+        )
+    ), freq AS (
+        SELECT ln, count(*) AS n FROM l GROUP BY ln
+    ), m AS (
+        SELECT l.doc_id, l.pos, l.ln, freq.n = 1 AS keep
+        FROM l JOIN freq USING (ln)
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(
+               list_sort(list({'pos': pos, 'ln': ln}) FILTER (WHERE keep)),
+               s -> s.ln), chr(10)) AS text,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_lines_kept,
+           CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_lines_dropped
+    FROM m GROUP BY doc_id
+    """,
+)
+def text_line_dedup(spark, sf_dir):
+    """Cross-corpus line-level dedup (C4's duplicated-line removal — a
+    granularity BELOW the document dedup family): explode lines with
+    positions, one global line-frequency aggregation, drop every line
+    occurring 2+ times anywhere, reassemble documents in original order.
+    Two shuffles total (line-key agg + doc-key reassembly), no pairwise
+    work — the 100 TB shape. datapipe/lines.py."""
+    from gpdb_spark.datapipe.lines import dedup_lines_across_corpus
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 400)
+        .withColumn("text", F.replace(F.col("text"), F.lit(" the "), F.lit("\nthe ")))
+    )
+    return dedup_lines_across_corpus(d)
+
+
+_BENCH_TEXTS = [
+    "window merge spark merge batch",
+    "a table window key batch",
+    "this phrase appears nowhere in the corpus at all",
+]
+
+
+def _bench_grams(n=3):
+    from gpdb_spark.datapipe.lines import _py_ngrams
+
+    return sorted({g for t in _BENCH_TEXTS for g in _py_ngrams(t, n)})
+
+
+@query(
+    "text_contamination",
+    oracle=None,  # assembled below from the same benchmark gram list
+)
+def text_contamination(spark, sf_dir):
+    """Benchmark decontamination: flag documents whose word 3-grams
+    intersect the benchmark set (the eval-leakage filter every training
+    pipeline runs). The benchmark gram set folds into the plan as one
+    literal array — a pure map over the corpus scan, no join, no
+    shuffle. datapipe/lines.py::contamination_flags."""
+    from gpdb_spark.datapipe.lines import contamination_flags
+
+    d = t(spark, sf_dir, "documents")
+    return contamination_flags(d, _BENCH_TEXTS, n=3)
+
+
+from gpdb_spark.registry import ORACLE as _ORACLE2  # noqa: E402
+
+_ORACLE2["text_contamination"] = " ".join(
+    f"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+                 AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(
+                       generate_series(1, len(toks) - 2),
+                       i -> array_to_string(toks[i:i+2], ' ')))
+               ELSE [] END AS grams
+        FROM tk
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS INT) AS n_grams,
+           CAST(len(list_intersect(grams, {_bench_grams()!r})) AS INT) AS n_hits,
+           len(list_intersect(grams, {_bench_grams()!r})) > 0 AS contaminated
+    FROM g
+    """.replace("'", "'").split()
+)

@@ -324,3 +324,35 @@ def test_embed_neardup_clusters_match_union_find(spark, sf_dir):
     want = {v: min(ms) for root, ms in members.items() for v in ms}
     assert got == want
     assert len(set(got.values())) < len(got)  # some real merging happened
+
+
+def test_line_dedup_keep_first_policy(spark):
+    """keep_first=True keeps exactly one copy (smallest doc, pos);
+    default C4 policy drops all copies of a corpus-duplicated line."""
+    from gpdb_spark.datapipe.lines import dedup_lines_across_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "shared\nunique-a"), (2, "shared\nunique-b"), (3, "unique-c")],
+        ["doc_id", "text"],
+    )
+    c4 = {r["doc_id"]: r["text"] for r in dedup_lines_across_corpus(docs).collect()}
+    assert c4 == {1: "unique-a", 2: "unique-b", 3: "unique-c"}
+    kf = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines_across_corpus(docs, keep_first=True).collect()
+    }
+    assert kf == {1: "shared\nunique-a", 2: "unique-b", 3: "unique-c"}
+
+
+def test_contamination_flags_exact(spark):
+    from gpdb_spark.datapipe.lines import contamination_flags
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "totally different words here")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in contamination_flags(docs, ["x alpha beta gamma y"], n=3).collect()
+    }
+    assert got == {1: (1, True), 2: (0, False)}
