@@ -43,6 +43,13 @@ rewrites the handful of constructs where PG and Spark SQL disagree
 
 - array slices ``a[i:j]`` / ``a[i:]`` / ``a[:j]`` -> ``slice(...)``
   (inclusive 1-based bounds per parse_expr.c subscripting).
+- string-literal escape semantics: plain literals get backslashes
+  doubled (PG scan.l does not interpret escapes; Spark does), E'...'
+  passes through with the prefix dropped (both interpret escapes).
+- regexp_replace flags (regexp.c): 'g' consumed (Spark is global),
+  without 'g' a literal pattern/replacement is rewritten to
+  first-match-only; 'i' folds into the pattern; \N replacement
+  backrefs -> Java $N.
 
 Not translated (documented gaps): multi-dim arrays, integer ``/`` on
 operands whose type the catalog cannot prove integral (kept as double
@@ -74,15 +81,38 @@ _TOKEN_RE = re.compile(
 
 
 def _lex(sql: str) -> list[str]:
+    """Lex + normalize string-literal escape semantics.
+
+    PG plain literals do NOT interpret backslash escapes ('a\\nb' is 4
+    chars, scan.l standard_conforming_strings=on) while Spark's parser
+    does — so every plain literal gets its backslashes doubled, making
+    Spark read them literally (this is also what keeps regex/LIKE
+    patterns like '~ ''\\d+''' intact end-to-end). PG's E'...' form DOES
+    interpret escapes, which is Spark's native behavior: the E prefix is
+    dropped and the content passed through untouched."""
     out, i = [], 0
+    prev_end = -1
     while i < len(sql):
         m = _TOKEN_RE.match(sql, i)
         if not m:
             out.append(sql[i])
+            prev_end = i + 1
             i += 1
             continue
         if m.lastgroup != "space":
-            out.append(m.group(0))
+            tok = m.group(0)
+            if m.lastgroup == "string":
+                if (
+                    out
+                    and out[-1].lower() == "e"
+                    and len(out[-1]) == 1
+                    and prev_end == m.start()
+                ):
+                    out.pop()  # E'...': Spark interprets escapes natively
+                else:
+                    tok = tok.replace("\\", "\\\\")
+            out.append(tok)
+            prev_end = m.end()
         i = m.end()
     return out
 
@@ -688,6 +718,113 @@ def _similar_to_regex(pat: str) -> str:
             out.append(ch)
         i += 1
     return "^(" + "".join(out) + ")$"
+
+
+def _pass_regexp_flags(tokens: list[str]) -> list[str]:
+    """PG regexp_replace/regexp_matches flag arguments (regexp.c):
+    ``regexp_replace(s, p, r, 'g')`` — Spark's regexp_replace is global
+    already and its 4th argument is a *position*, so a trailing string
+    flags argument must be consumed. 'g' is dropped; 'i' folds into the
+    pattern as an inline (?i) (works for literal patterns; non-literal
+    patterns get concat('(?i)', p)). Other PG flags (n/m/s/x) map to
+    their inline Java-regex spellings where they exist."""
+    out: list[str] = []
+    i, n = 0, len(tokens)
+    inline = {"i": "i", "n": "m", "m": "m", "s": "s", "x": "x"}
+
+    def _n_groups(pat_content: str) -> int:
+        """Capturing groups in a (lexer-doubled) literal regex."""
+        p = pat_content.replace("\\\\", "\x00")  # doubled backslash+char
+        cnt = 0
+        j = 0
+        while j < len(p):
+            if p[j] == "\x00":
+                j += 2  # escaped char — skip it
+                continue
+            if p[j] == "(" and not p[j + 1 : j + 2] == "?":
+                cnt += 1
+            j += 1
+        return cnt
+
+    def _fix_backrefs(repl_tok: str) -> str:
+        """PG replacement backrefs are \\N (regexp.c); Java's are $N."""
+        body = repl_tok[1:-1]
+        body = re.sub(r"\\\\(\d)", r"$\1", body)  # lexer doubled the \
+        body = body.replace("$", "$").replace("\\\\&", "$0")
+        return "'" + body + "'"
+
+    while i < n:
+        t = tokens[i]
+        if (
+            t.lower() == "regexp_replace"
+            and i + 1 < n
+            and tokens[i + 1] == "("
+        ):
+            depth, k = 0, i + 1
+            commas = []
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif tokens[k] == "," and depth == 1:
+                    commas.append(k)
+                k += 1
+            flag_toks = (
+                tokens[commas[2] + 1 : k] if len(commas) == 3 else None
+            )
+            has_flags = (
+                flag_toks is not None
+                and len(flag_toks) == 1
+                and flag_toks[0].startswith("'")
+                and set(flag_toks[0][1:-1]) <= set("ginmsx")
+            )
+            if len(commas) in (2, 3) and k < n and (
+                len(commas) == 2 or has_flags
+            ):
+                flags = flag_toks[0][1:-1] if has_flags else ""
+                inl = "".join(
+                    sorted({inline[f] for f in flags if f in inline})
+                )
+                pat = tokens[commas[0] + 1 : commas[1]]
+                repl = tokens[commas[1] + 1 : commas[2]] if len(
+                    commas
+                ) == 3 else tokens[commas[1] + 1 : k]
+                lit_pat = len(pat) == 1 and pat[0].startswith("'")
+                lit_repl = len(repl) == 1 and repl[0].startswith("'")
+                if lit_repl:
+                    repl = [_fix_backrefs(repl[0])]
+                if "g" not in flags and lit_pat and lit_repl:
+                    # PG without 'g' replaces the FIRST match only
+                    # (regexp.c re_replace); Spark replaces all. Append a
+                    # swallow-the-rest group: pattern'(?s)(.*)' + '$N+1'
+                    # in the replacement — one match total. Non-literal
+                    # args keep replace-all (documented).
+                    ng = _n_groups(pat[0][1:-1])
+                    pat = [
+                        pat[0][:-1] + "((?s).*)'"
+                    ]
+                    repl = [repl[0][:-1] + f"${ng + 1}'"]
+                if inl:
+                    if lit_pat:
+                        pat = [f"'(?{inl})" + pat[0][1:]]
+                    else:
+                        pat = ["concat", "(", f"'(?{inl})'", ","] + pat + [")"]
+                out += (
+                    [t]
+                    + tokens[i + 1 : commas[0] + 1]
+                    + pat
+                    + [","]
+                    + repl
+                    + [")"]
+                )
+                i = k + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
 
 
 def _pass_dollar_params(tokens: list[str]) -> list[str]:
@@ -1446,6 +1583,7 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_similar_to(tokens)
     tokens = _pass_fetch_first(tokens)
     tokens = _pass_tablesample(tokens)
+    tokens = _pass_regexp_flags(tokens)
     tokens = _pass_dollar_params(tokens)
     tokens = _pass_int_division(tokens, int_cols)
     tokens = _pass_functions(tokens)

@@ -321,3 +321,24 @@ def test_array_slices(spark):
     assert rows["a"] == [2, 3, 4]
     assert rows["b"] == [2, 3]
     assert rows["c"] == [1, 2]
+
+
+def test_string_escape_semantics(spark):
+    """PG plain literals do not interpret backslashes (scan.l,
+    standard_conforming_strings=on); E'...' does. regexp_replace without
+    'g' replaces the first match only, flags fold away, and \\N
+    replacement backrefs become Java's $N."""
+    from gpdb_spark.dialect import pg_sql
+
+    r = pg_sql(
+        spark,
+        r"SELECT length('a\nb') AS plain, length(E'a\nb') AS esc, "
+        r"regexp_replace('a1b2', '\d', '#') AS first_only, "
+        r"regexp_replace('a1b2', '\d', '#', 'g') AS all_g, "
+        r"regexp_replace('john smith', '(\w+) (\w+)', '\2 \1') AS backref, "
+        r"regexp_replace('AxbXc', 'x', '_', 'gi') AS ci",
+    ).collect()[0]
+    assert r["plain"] == 4 and r["esc"] == 3
+    assert r["first_only"] == "a#b2" and r["all_g"] == "a#b#"
+    assert r["backref"] == "smith john"
+    assert r["ci"] == "A_b_c"
