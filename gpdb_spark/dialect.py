@@ -48,8 +48,8 @@ rewrites the handful of constructs where PG and Spark SQL disagree
   passes through with the prefix dropped (both interpret escapes).
 - regexp_replace flags (regexp.c): 'g' consumed (Spark is global),
   without 'g' a literal pattern/replacement is rewritten to
-  first-match-only; 'i' folds into the pattern; \N replacement
-  backrefs -> Java $N.
+  first-match-only; 'i' folds into the pattern; backslash-N replacement
+  backrefs -> Java's dollar-N.
 
 Not translated (documented gaps): multi-dim arrays, integer ``/`` on
 operands whose type the catalog cannot prove integral (kept as double
@@ -718,6 +718,66 @@ def _similar_to_regex(pat: str) -> str:
             out.append(ch)
         i += 1
     return "^(" + "".join(out) + ")$"
+
+
+def _pass_substring_pattern(tokens: list[str]) -> list[str]:
+    """``substring(x FROM 'regex')`` (PG's regex form of substring,
+    regexp.c textregexsubstr): returns the first match — or, when the
+    pattern has a capturing group, group 1 — NULL on no match. Maps to
+    ``nullif(regexp_extract(x, p, idx), '')`` (regexp_extract yields ''
+    on no match; PG can't distinguish an empty-string match from no
+    match either in this form). Positional ``substring(x FROM n [FOR m])``
+    passes through — Spark parses that natively."""
+    out: list[str] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.lower() == "substring" and i + 1 < n and tokens[i + 1] == "(":
+            depth, k = 0, i + 1
+            from_at = None
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif depth == 1 and _is_word(tokens[k], "from"):
+                    from_at = k
+                k += 1
+            if (
+                from_at is not None
+                and k < n
+                and tokens[from_at + 1 : k]
+                and len(tokens[from_at + 1 : k]) == 1
+                and tokens[from_at + 1].startswith("'")
+            ):
+                pat = tokens[from_at + 1]
+                # group 1 when the pattern captures, else whole match —
+                # the PG rule (funcs.sql regexp substr tests)
+                body = pat[1:-1].replace("\\\\", "\x00")
+                has_group = False
+                j2 = 0
+                while j2 < len(body):
+                    if body[j2] == "\x00":
+                        j2 += 2
+                        continue
+                    if body[j2] == "(" and body[j2 + 1 : j2 + 2] != "?":
+                        has_group = True
+                        break
+                    j2 += 1
+                idx = "1" if has_group else "0"
+                inner = tokens[i + 2 : from_at]
+                out += (
+                    ["nullif", "(", "regexp_extract", "("]
+                    + inner
+                    + [",", pat, ",", idx, ")", ",", "''", ")"]
+                )
+                i = k + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
 
 
 def _pass_regexp_flags(tokens: list[str]) -> list[str]:
@@ -1583,6 +1643,7 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_similar_to(tokens)
     tokens = _pass_fetch_first(tokens)
     tokens = _pass_tablesample(tokens)
+    tokens = _pass_substring_pattern(tokens)
     tokens = _pass_regexp_flags(tokens)
     tokens = _pass_dollar_params(tokens)
     tokens = _pass_int_division(tokens, int_cols)

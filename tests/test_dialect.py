@@ -342,3 +342,22 @@ def test_string_escape_semantics(spark):
     assert r["first_only"] == "a#b2" and r["all_g"] == "a#b#"
     assert r["backref"] == "smith john"
     assert r["ci"] == "A_b_c"
+
+
+def test_substring_from_pattern(spark):
+    """PG regex substring (textregexsubstr): first match, or group 1
+    when the pattern captures; NULL on no match; positional form passes
+    through untouched."""
+    from gpdb_spark.dialect import pg_sql
+
+    r = pg_sql(
+        spark,
+        r"SELECT substring('hello world' from 'o.b?w[a-z]+') AS m, "
+        r"substring('foobar' from 'o(.)b') AS g, "
+        r"substring('nomatch' from 'zzz') AS miss, "
+        r"substring('hello' from 2 for 3) AS pos",
+    ).collect()[0]
+    assert r["m"] == "o world"
+    assert r["g"] == "o"
+    assert r["miss"] is None
+    assert r["pos"] == "ell"
