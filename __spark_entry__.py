@@ -54,6 +54,7 @@ DRIVER_PRIORITY: list[str] = [
     "embed_neardup_clusters",
     "text_line_dedup",
     "text_contamination",
+    "fulltext_tsquery_boolean",
     # new round-2 features (VERDICT "missing" #1-#5, #7-#9)
     "pg_int_division",
     "pg_json_arrows",

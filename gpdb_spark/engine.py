@@ -315,3 +315,33 @@ class Engine:
         the in-progress list is empty and xmin == xmax == next id."""
         nxt = getattr(self, "_txid", 0) + 1
         return f"{nxt}:{nxt}:"
+
+    # -- parallel retrieve cursors (gpcontrib/gp_parallel_retrieve_cursor) ---
+
+    def declare_parallel_cursor(self, name: str, text: str) -> int:
+        """DECLARE ... PARALLEL RETRIEVE CURSOR: the reference opens one
+        endpoint per segment so N clients can drain the result in
+        parallel without funneling through the coordinator. Here each
+        result partition is an endpoint: the result is pinned
+        (persist + count materializes every partition once), and
+        ``retrieve`` serves a single partition without touching the
+        rest — the same no-gather contract. Returns endpoint count."""
+        if not hasattr(self, "_pcursors"):
+            self._pcursors: dict[str, object] = {}
+        df = self.sql(text).persist()
+        df.count()
+        self._pcursors[name] = df
+        return df.rdd.getNumPartitions()
+
+    def retrieve(self, name: str, endpoint: int) -> list:
+        """RETRIEVE ALL FROM ENDPOINT: pull one endpoint's rows. Runs a
+        single-partition job (sc.runJob on that partition only) against
+        the pinned result — other endpoints are neither computed nor
+        shipped."""
+        df = self._pcursors[name]
+        sc = self.spark.sparkContext
+        (rows,) = sc.runJob(df.rdd, lambda it: [list(it)], [endpoint])
+        return rows
+
+    def close_parallel_cursor(self, name: str) -> None:
+        self._pcursors.pop(name).unpersist()

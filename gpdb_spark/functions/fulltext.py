@@ -169,3 +169,91 @@ def ts_rank_cd(
         minspan.cast("int").alias("minspan"),
         F.round(F.lit(1.0) / minspan, 6).alias("rank_cd"),
     )
+
+
+# -- tsquery text parser (tsquery.c makepol/gettoken_query) -----------------
+
+
+def parse_tsquery(q: str):
+    """Parse tsquery text — ``&`` AND, ``|`` OR, ``!`` NOT, parentheses
+    (src/backend/utils/adt/tsquery.c's recursive-descent makepol, minus
+    prefix-match ``:*`` and weights). Returns a nested tuple AST:
+    ('and', l, r) | ('or', l, r) | ('not', x) | ('term', lexeme)."""
+    import re as _re
+
+    toks = _re.findall(r"[()&|!]|[^\s()&|!]+", q)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        pos += 1
+        return toks[pos - 1]
+
+    def atom():
+        t = take()
+        if t == "(":
+            e = or_expr()
+            if peek() == ")":
+                take()
+            return e
+        if t == "!":
+            return ("not", atom())
+        return ("term", t.lower())
+
+    def and_expr():
+        left = atom()
+        while peek() == "&":
+            take()
+            left = ("and", left, atom())
+        return left
+
+    def or_expr():
+        left = and_expr()
+        while peek() == "|":
+            take()
+            left = ("or", left, and_expr())
+        return left
+
+    ast = or_expr()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in tsquery: {toks[pos:]}")
+    return ast
+
+
+def tsquery_terms(ast) -> set[str]:
+    if ast[0] == "term":
+        return {ast[1]}
+    if ast[0] == "not":
+        return tsquery_terms(ast[1])
+    return tsquery_terms(ast[1]) | tsquery_terms(ast[2])
+
+
+def ts_match_query(
+    df: DataFrame,
+    tsquery: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``to_tsvector(text) @@ to_tsquery(q)`` for the full boolean
+    tsquery grammar. Evaluated per row over the token array (one scan,
+    no shuffle: the boolean tree compiles to nested array_contains —
+    matching the reference's TS_execute evaluator walking the query
+    tree, tsvector_op.c) — the right shape when the predicate is one
+    filter among many; postings-based ts_match remains the
+    inverted-index path for repeated standing queries."""
+    ast = parse_tsquery(tsquery)
+    toks = F.array_distinct(tokens(F.col(text_col)))
+
+    def compile_(node):
+        kind = node[0]
+        if kind == "term":
+            return F.array_contains(toks, node[1])
+        if kind == "not":
+            return ~compile_(node[1])
+        l, r = compile_(node[1]), compile_(node[2])
+        return (l & r) if kind == "and" else (l | r)
+
+    return df.where(compile_(ast)).select(F.col(id_col))

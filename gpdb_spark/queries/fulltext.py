@@ -128,3 +128,29 @@ def fulltext_rank_cd(spark, sf_dir):
     vs posexplode's 0-based cancels in the span width)."""
     d = t(spark, sf_dir, "documents")
     return FT.ts_rank_cd(d, ["hash", "join"])
+
+
+@query(
+    "fulltext_tsquery_boolean",
+    # same boolean over DuckDB list_contains — independent evaluation of
+    # the identical query tree
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+                 AS toks
+        FROM documents
+    )
+    SELECT doc_id FROM tk
+    WHERE (list_contains(toks, 'hash') AND
+           (list_contains(toks, 'join') OR list_contains(toks, 'merge')))
+          AND NOT list_contains(toks, 'error')
+    """,
+)
+def fulltext_tsquery_boolean(spark, sf_dir):
+    """Full boolean tsquery: ``hash & (join | merge) & !error``
+    (tsquery.c makepol grammar; TS_execute evaluation) compiled to one
+    per-row boolean filter — single scan, zero shuffle."""
+    d = t(spark, sf_dir, "documents")
+    return FT.ts_match_query(d, "hash & (join | merge) & !error")

@@ -201,3 +201,30 @@ class TestLtree:
 
         got = _one(spark, ltree.index(F.lit("a.b"), F.lit("a.b.c.d")))
         assert got == -1
+
+
+class TestTsquery:
+    def test_parse_precedence(self, spark):
+        from gpdb_spark.functions.fulltext import parse_tsquery
+
+        # ! binds tightest, then &, then | (tsquery.c operator table)
+        assert parse_tsquery("a | b & !c") == (
+            "or", ("term", "a"), ("and", ("term", "b"), ("not", ("term", "c")))
+        )
+        assert parse_tsquery("(a | b) & c") == (
+            "and", ("or", ("term", "a"), ("term", "b")), ("term", "c")
+        )
+
+    def test_match_query(self, spark):
+        from gpdb_spark.functions.fulltext import ts_match_query
+
+        docs = spark.createDataFrame(
+            [(1, "hash join wins"), (2, "merge sort only"),
+             (3, "hash merge error"), (4, "hash merge fine")],
+            ["doc_id", "text"],
+        )
+        got = sorted(
+            r["doc_id"]
+            for r in ts_match_query(docs, "hash & (join | merge) & !error").collect()
+        )
+        assert got == [1, 4]

@@ -237,3 +237,20 @@ def test_txid_functions(spark):
     assert b == a + 1
     snap = e.txid_current_snapshot()
     assert snap == f"{b + 1}:{b + 1}:"
+
+
+def test_parallel_retrieve_cursor(spark, sf_dir):
+    """gp_parallel_retrieve_cursor: per-endpoint draining covers the full
+    result exactly once, endpoints independently retrievable."""
+    from gpdb_spark.engine import Engine
+
+    e = Engine(spark, sf_dir)
+    n = e.declare_parallel_cursor(
+        "pc", "SELECT n_nationkey, n_name FROM nation"
+    )
+    assert n >= 1
+    seen = []
+    for i in range(n):
+        seen += [r["n_nationkey"] for r in e.retrieve("pc", i)]
+    assert sorted(seen) == list(range(25))
+    e.close_parallel_cursor("pc")
