@@ -345,3 +345,95 @@ class Engine:
 
     def close_parallel_cursor(self, name: str) -> None:
         self._pcursors.pop(name).unpersist()
+
+    # -- DML through the SQL front door (exec_simple_query for writes) -------
+
+    def execute_dml(self, text: str) -> int:
+        """INSERT / UPDATE / DELETE as PG-dialect text against tables
+        created via ``create_table`` — the write half of
+        exec_simple_query (postgres.c:1601 -> ExecModifyTable,
+        nodeModifyTable.c). Expression fragments (SET values, WHERE)
+        run through the same dialect translator as queries, then the
+        storage layer's copy-on-write rewrite executes the change.
+        Returns affected-row count (INSERT: rows written)."""
+        import re as _re
+
+        from pyspark.sql import functions as Fn
+
+        from gpdb_spark.dialect import _lex, translate
+
+        s = text.strip().rstrip(";")
+        m = _re.match(r"(?is)^\s*insert\s+into\s+(\w+)\s*(\([^)]*\))?\s*(.*)$", s)
+        if m:
+            name, cols, rest = m.group(1), m.group(2), m.group(3)
+            if _re.match(r"(?is)^values\b", rest):
+                df = self.spark.sql(translate(f"SELECT * FROM ({rest})"))
+            else:
+                df = self.sql(rest)
+            target = self._tables[name].read(self.spark)
+            if cols:
+                names = [c.strip() for c in cols[1:-1].split(",")]
+            else:
+                names = [f.name for f in target.schema.fields]
+            df = df.toDF(*names)
+            # positional INSERT fills missing trailing columns with NULL
+            for f in target.schema.fields:
+                if f.name not in df.columns:
+                    df = df.withColumn(
+                        f.name, Fn.lit(None).cast(f.dataType)
+                    )
+            # align to the target schema's types (VALUES literals may
+            # lex narrower — an INT literal into a BIGINT column must
+            # not produce mixed-type parquet footers)
+            df = df.select(
+                *[
+                    Fn.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in target.schema.fields
+                ]
+            )
+            n = df.count()
+            self.insert_into(name, df)
+            return n
+
+        m = _re.match(r"(?is)^\s*update\s+(\w+)\s+set\s+(.*)$", s)
+        if m:
+            name, rest = m.group(1), m.group(2)
+            toks = _lex(rest)
+            # split SET list from WHERE at depth 0
+            depth, where_at = 0, None
+            splits = []
+            for i, t in enumerate(toks):
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                elif depth == 0 and t == ",":
+                    splits.append(i)
+                elif depth == 0 and t.lower() == "where":
+                    where_at = i
+                    break
+            set_end = where_at if where_at is not None else len(toks)
+            bounds = [-1] + [x for x in splits if x < set_end] + [set_end]
+            assignments = {}
+            for a, b in zip(bounds, bounds[1:]):
+                frag = toks[a + 1 : b]
+                eq = frag.index("=")
+                col = frag[eq - 1]
+                expr_sql = translate(" ".join(frag[eq + 1 :]))
+                assignments[col] = Fn.expr(expr_sql)
+            cond = (
+                Fn.expr(translate(" ".join(toks[where_at + 1 :])))
+                if where_at is not None
+                else Fn.lit(True)
+            )
+            return self.update_set(name, cond, assignments)
+
+        m = _re.match(r"(?is)^\s*delete\s+from\s+(\w+)(\s+where\s+(.*))?$", s)
+        if m:
+            name, cond_sql = m.group(1), m.group(3)
+            cond = (
+                Fn.expr(translate(cond_sql)) if cond_sql else Fn.lit(True)
+            )
+            return self.delete_where(name, cond)
+
+        raise ValueError(f"not a supported DML statement: {text[:80]}")

@@ -254,3 +254,33 @@ def test_parallel_retrieve_cursor(spark, sf_dir):
         seen += [r["n_nationkey"] for r in e.retrieve("pc", i)]
     assert sorted(seen) == list(range(25))
     e.close_parallel_cursor("pc")
+
+
+def test_dml_front_door(spark, tmp_path):
+    """INSERT/UPDATE/DELETE as PG text (exec_simple_query write path):
+    VALUES + column list, PG-dialect expressions in SET/WHERE, counts."""
+    from gpdb_spark.engine import Engine
+
+    e = Engine(spark)
+    src = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["id", "tag", "val"],
+    )
+    e.create_table("dml_t", src, str(tmp_path / "dml_t"), distributed_by=("id",))
+
+    assert e.execute_dml(
+        "INSERT INTO dml_t (id, tag, val) VALUES (4, 'd', 40.0), (5, 'e', 50.0)"
+    ) == 2
+    assert e.table("dml_t").count() == 5
+
+    # PG-isms in expressions: :: cast and || concat
+    n = e.execute_dml(
+        "UPDATE dml_t SET val = val * 2, tag = tag || '!' WHERE id::int4 >= 4"
+    )
+    assert n == 2
+    got = {r["id"]: (r["tag"], r["val"]) for r in e.table("dml_t").collect()}
+    assert got[4] == ("d!", 80.0) and got[5] == ("e!", 100.0)
+    assert got[1] == ("a", 10.0)
+
+    assert e.execute_dml("DELETE FROM dml_t WHERE val > 50") == 2
+    assert sorted(r["id"] for r in e.table("dml_t").collect()) == [1, 2, 3]
