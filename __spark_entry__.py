@@ -55,6 +55,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_line_dedup",
     "text_contamination",
     "fulltext_tsquery_boolean",
+    "json_populate_record",
     # new round-2 features (VERDICT "missing" #1-#5, #7-#9)
     "pg_int_division",
     "pg_json_arrows",

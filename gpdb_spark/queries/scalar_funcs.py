@@ -654,3 +654,28 @@ def array_funcs2(spark, sf_dir):
         .alias("cat_len"),
         F.size(tk).cast("long").alias("cardinality"),
     )
+
+
+@query(
+    "json_populate_record",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.k') AS INT) % 7 AS k_mod,
+           CAST(json_extract_string(props, '$.missing') AS INT) AS absent
+    FROM events WHERE event_id < 500
+    """,
+)
+def json_populate_record(spark, sf_dir):
+    """json_populate_record / json_to_record (jsonfuncs.c:2046): parse a
+    JSON object into a typed record in ONE pass — from_json with an
+    explicit schema, rather than N get_json_object calls re-parsing the
+    string per field. Missing keys yield typed NULLs, the PG contract."""
+    e = t(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    rec = F.from_json(F.col("props"), "k int, missing int")
+    return e.select(
+        "event_id",
+        rec["k"].alias("k"),
+        (rec["k"] % 7).alias("k_mod"),
+        rec["missing"].alias("absent"),
+    )

@@ -314,6 +314,46 @@ class GpTable:
         os.rename(tmp, self.path)
         shutil.rmtree(old)
 
+    def vacuum(
+        self, spark: SparkSession, target_file_bytes: int = 128 << 20
+    ) -> tuple[int, int]:
+        """VACUUM for append-optimized storage (the reference's AO
+        compaction, appendonly_vacuum in vacuum_ao.c: dead/fragmented
+        segment files are rewritten into full ones). On parquet the
+        fragmentation failure mode is SMALL FILES — every
+        insert/micro-batch appends its own part files, and at 1000
+        executors a table of million-row-but-KB files is scan-metadata
+        bound. Rewrite into ceil(bytes/target) files, preserving the
+        distribution policy and clustered sort order. Returns
+        (files_before, files_after)."""
+        import glob as _glob
+
+        files_before = len(_glob.glob(f"{self.path}/**/*.parquet", recursive=True))
+        total = sum(
+            os.path.getsize(p)
+            for p in _glob.glob(f"{self.path}/**/*.parquet", recursive=True)
+        )
+        want = max(1, -(-total // target_file_bytes))
+        cur = spark.read.parquet(self.path)
+        tmp = f"{self.path}__vacuum_{uuid.uuid4().hex[:8]}"
+        out = cur.repartition(want, *self.policy.distkey) if (
+            self.policy.distkey and not self.policy.is_replicated
+        ) else cur.repartition(want)
+        if self.sort_by:
+            out = out.sortWithinPartitions(*self.sort_by)
+        writer = out.write.mode("overwrite").option(
+            "compression", self.compression
+        )
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(tmp)
+        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old)
+        files_after = len(_glob.glob(f"{self.path}/**/*.parquet", recursive=True))
+        return files_before, files_after
+
     def truncate(self, spark: SparkSession) -> None:
         """TRUNCATE TABLE: drop all rows, keep schema + policy
         (ExecuteTruncate, tablecmds.c — metadata-speed, no row scan)."""

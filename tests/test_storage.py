@@ -589,3 +589,26 @@ def test_cluster_by_orders_rowgroups(spark, tmp_path):
     # nothing lost, policy intact
     assert t.read(spark).count() == 10000
     assert t.policy.distkey == ("id",)
+
+
+def test_vacuum_compacts_small_files(spark, tmp_path):
+    """VACUUM (AO compaction analog): many tiny insert-generated files
+    rewrite into few full ones; data + policy survive."""
+    from gpdb_spark.storage import GpTable
+
+    src = spark.range(0, 1000).selectExpr("id", "id * 2 AS v")
+    t = GpTable.create(src, str(tmp_path / "vac"), distributed_by=("id",))
+    for i in range(3):  # micro-batch appends -> file fragmentation
+        t.insert_into(
+            spark.range(1000 + i * 100, 1100 + i * 100).selectExpr(
+                "id", "id * 2 AS v"
+            )
+        )
+    before, after = t.vacuum(spark)
+    assert before > after
+    assert after >= 1
+    df = t.read(spark)
+    assert df.count() == 1300
+    assert df.agg({"v": "sum"}).collect()[0][0] == sum(
+        2 * x for x in list(range(1000)) + list(range(1000, 1300))
+    )
