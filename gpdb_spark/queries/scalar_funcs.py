@@ -679,3 +679,42 @@ def json_populate_record(spark, sf_dir):
         (rec["k"] % 7).alias("k_mod"),
         rec["missing"].alias("absent"),
     )
+
+
+@query(
+    "quote_funcs",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN regexp_matches(lower(n_name), '^[a-z_][a-z0-9_]*$')
+                     AND lower(n_name) = n_name
+                THEN n_name
+                ELSE '"' || replace(n_name, '"', '""') || '"' END AS q_ident,
+           '''' || replace(n_name, '''', '''''') || '''' AS q_literal,
+           '''' || replace('it''s ' || n_name, '''', '''''') || '''' AS q_apos
+    FROM nation
+    """,
+)
+def quote_funcs(spark, sf_dir):
+    """quote_ident / quote_literal (src/backend/utils/adt/quote.c):
+    identifiers quote unless they are already lower-case simple names;
+    literals single-quote with '' doubling. Pure string expressions."""
+    n = t(spark, sf_dir, "nation")
+    name = F.col("n_name")
+
+    def quote_ident(c):
+        simple = c.rlike("^[a-z_][a-z0-9_]*$") & (F.lower(c) == c)
+        return F.when(simple, c).otherwise(
+            F.concat(F.lit('"'), F.replace(c, F.lit('"'), F.lit('""')), F.lit('"'))
+        )
+
+    def quote_literal(c):
+        return F.concat(
+            F.lit("'"), F.replace(c, F.lit("'"), F.lit("''")), F.lit("'")
+        )
+
+    return n.select(
+        "n_nationkey",
+        quote_ident(name).alias("q_ident"),
+        quote_literal(name).alias("q_literal"),
+        quote_literal(F.concat(F.lit("it's "), name)).alias("q_apos"),
+    )
