@@ -314,6 +314,50 @@ class GpTable:
         os.rename(tmp, self.path)
         shutil.rmtree(old)
 
+    def drop_partition(self, spark: SparkSession, value) -> int:
+        """ALTER TABLE ... DROP PARTITION (cdbpartition.c / tablecmds.c):
+        metadata-speed removal of one list partition — on hive-layout
+        parquet, deleting the partition directory; no scan of the rest.
+        Returns rows dropped (from the partition's own footer counts)."""
+        part_dir = os.path.join(
+            self.path, f"{self.partition_by[0]}={value}"
+        )
+        if not os.path.isdir(part_dir):
+            return 0
+        n = spark.read.parquet(part_dir).count()
+        shutil.rmtree(part_dir)
+        return n
+
+    def exchange_partition(
+        self, spark: SparkSession, value, df: DataFrame
+    ) -> int:
+        """ALTER TABLE ... EXCHANGE PARTITION (the reference's loading
+        idiom: stage data in a side table, then swap it in atomically —
+        ATPExecPartExchange, cdbpartition.c). Writes the incoming rows as
+        the new partition directory and swaps it for the old one; the
+        other partitions are untouched (no table rewrite). Returns the
+        rows now in the partition."""
+        pcol = self.partition_by[0]
+        part_dir = os.path.join(self.path, f"{pcol}={value}")
+        tmp = f"{part_dir}__exchange_{uuid.uuid4().hex[:8]}"
+        out = df.drop(pcol) if pcol in df.columns else df
+        placed = (
+            out.repartition(self.num_buckets, *self.policy.distkey)
+            if self.policy.distkey
+            else out
+        )
+        placed.write.mode("overwrite").option(
+            "compression", self.compression
+        ).parquet(tmp)
+        if os.path.isdir(part_dir):
+            old = f"{part_dir}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(part_dir, old)
+            os.rename(tmp, part_dir)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, part_dir)  # ADD PARTITION via exchange
+        return spark.read.parquet(part_dir).count()
+
     def vacuum(
         self, spark: SparkSession, target_file_bytes: int = 128 << 20
     ) -> tuple[int, int]:

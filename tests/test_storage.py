@@ -612,3 +612,36 @@ def test_vacuum_compacts_small_files(spark, tmp_path):
     assert df.agg({"v": "sum"}).collect()[0][0] == sum(
         2 * x for x in list(range(1000)) + list(range(1000, 1300))
     )
+
+
+def test_partition_maintenance(spark, tmp_path):
+    """ALTER TABLE DROP/EXCHANGE PARTITION (cdbpartition.c): partition
+    directory swap/delete without rewriting sibling partitions."""
+    from gpdb_spark.storage import GpTable
+
+    src = spark.createDataFrame(
+        [(1, "2024-01", 10.0), (2, "2024-01", 11.0),
+         (3, "2024-02", 20.0), (4, "2024-03", 30.0)],
+        ["id", "month", "v"],
+    )
+    t = GpTable.create(
+        src, str(tmp_path / "parts"), distributed_by=("id",),
+        partition_by=("month",),
+    )
+    # exchange: replace 2024-02 wholesale with staged data
+    staged = spark.createDataFrame(
+        [(30, "2024-02", 99.0), (31, "2024-02", 98.0)], ["id", "month", "v"]
+    )
+    assert t.exchange_partition(spark, "2024-02", staged) == 2
+    # add a brand-new partition the same way
+    t.exchange_partition(
+        spark,
+        "2024-04",
+        spark.createDataFrame([(40, "2024-04", 44.0)], ["id", "month", "v"]),
+    )
+    assert t.drop_partition(spark, "2024-03") == 1
+    got = {
+        (r["id"], r["month"]) for r in t.read(spark).collect()
+    }
+    assert got == {(1, "2024-01"), (2, "2024-01"), (30, "2024-02"),
+                   (31, "2024-02"), (40, "2024-04")}
