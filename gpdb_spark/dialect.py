@@ -720,6 +720,55 @@ def _similar_to_regex(pat: str) -> str:
     return "^(" + "".join(out) + ")$"
 
 
+def _pass_string_to_array(tokens: list[str]) -> list[str]:
+    """``string_to_array(x, 'delim')`` (varlena.c text_to_array): PG
+    splits on the LITERAL delimiter; Spark's split takes a regex, so a
+    literal delimiter argument is wrapped in \\Q...\\E regex quoting.
+    Non-literal delimiters pass through renamed (caller owns escaping,
+    as Spark users already must)."""
+    out: list[str] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        t = tokens[i]
+        if (
+            t.lower() == "string_to_array"
+            and i + 1 < n
+            and tokens[i + 1] == "("
+        ):
+            depth, k = 0, i + 1
+            commas = []
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif tokens[k] == "," and depth == 1:
+                    commas.append(k)
+                k += 1
+            if len(commas) == 1 and k < n:
+                delim = tokens[commas[0] + 1 : k]
+                if len(delim) == 1 and delim[0].startswith("'"):
+                    # lexer already doubled backslashes in the literal;
+                    # \Q..\E quoting needs doubled backslashes in Spark
+                    # SQL source too
+                    quoted = "'\\\\Q" + delim[0][1:-1] + "\\\\E'"
+                    out += (
+                        ["split"]
+                        + tokens[i + 1 : commas[0] + 1]
+                        + [quoted, ")"]
+                    )
+                    i = k + 1
+                    continue
+            out.append("split")
+            i += 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _pass_substring_pattern(tokens: list[str]) -> list[str]:
     """``substring(x FROM 'regex')`` (PG's regex form of substring,
     regexp.c textregexsubstr): returns the first match — or, when the
@@ -1643,6 +1692,7 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_similar_to(tokens)
     tokens = _pass_fetch_first(tokens)
     tokens = _pass_tablesample(tokens)
+    tokens = _pass_string_to_array(tokens)
     tokens = _pass_substring_pattern(tokens)
     tokens = _pass_regexp_flags(tokens)
     tokens = _pass_dollar_params(tokens)

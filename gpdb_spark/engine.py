@@ -40,10 +40,49 @@ class Engine:
     def sql(self, text: str) -> DataFrame:
         """PostgreSQL-dialect SQL against registered tables/views — the
         full front door (casts, JSON arrows, int division via catalog
-        types, WITH RECURSIVE, to_char/to_date, SIMILAR TO, ...)."""
+        types, WITH RECURSIVE, to_char/to_date, SIMILAR TO, ...).
+
+        Session-control statements every ported PG script emits (SET /
+        RESET / SHOW GUCs, BEGIN / COMMIT / ROLLBACK — guc.c, xact.c)
+        are handled here: SET records the variable (scheduler-pool and
+        shuffle-partition GUCs take real effect), SHOW returns it, and
+        transaction commands are no-ops under the batch engine's
+        per-statement snapshot (each copy-on-write swap is a commit)."""
+        import re as _re
+
         from gpdb_spark.dialect import pg_sql
 
-        return pg_sql(self.spark, text, None)
+        s = text.strip().rstrip(";")
+        head = s.split(None, 1)[0].lower() if s else ""
+        if head in ("begin", "commit", "rollback", "end", "checkpoint",
+                    "discard", "abort"):
+            return self.spark.createDataFrame([(head.upper(),)], "status string")
+        if head in ("set", "reset"):
+            if not hasattr(self, "_gucs"):
+                self._gucs: dict[str, str] = {}
+            if head == "reset":
+                self._gucs.pop(s.split(None, 1)[1].strip().lower(), None)
+            else:
+                m = _re.match(
+                    r"(?is)^set\s+(?:session\s+|local\s+)?([\w.]+)\s*(?:to|=)\s*(.+)$",
+                    s,
+                )
+                if m:
+                    name, val = m.group(1).lower(), m.group(2).strip().strip("'")
+                    self._gucs[name] = val
+                    if name == "gp_resource_group":
+                        self.set_resource_group(val)
+                    elif name in ("gp_segments_for_planner",
+                                  "spark.sql.shuffle.partitions"):
+                        self.spark.conf.set(
+                            "spark.sql.shuffle.partitions", val
+                        )
+            return self.spark.createDataFrame([("SET",)], "status string")
+        if head == "show":
+            name = s.split(None, 1)[1].strip().lower()
+            val = getattr(self, "_gucs", {}).get(name, "")
+            return self.spark.createDataFrame([(name, val)], "name string, setting string")
+        return pg_sql(self.spark, s, None)
 
     # -- workload management / statistics ------------------------------------
 

@@ -361,3 +361,17 @@ def test_substring_from_pattern(spark):
     assert r["g"] == "o"
     assert r["miss"] is None
     assert r["pos"] == "ell"
+
+
+def test_string_to_array_literal_delim(spark):
+    from gpdb_spark.dialect import pg_sql
+
+    r = pg_sql(
+        spark,
+        "SELECT array_to_string(string_to_array('a.b.c', '.'), '|') AS dots, "
+        "array_to_string(string_to_array('x++y', '++'), ',') AS plus, "
+        "(string_to_array('p q r', ' '))[2] AS second",
+    ).collect()[0]
+    assert r["dots"] == "a|b|c"
+    assert r["plus"] == "x,y"
+    assert r["second"] == "q"

@@ -284,3 +284,19 @@ def test_dml_front_door(spark, tmp_path):
 
     assert e.execute_dml("DELETE FROM dml_t WHERE val > 50") == 2
     assert sorted(r["id"] for r in e.table("dml_t").collect()) == [1, 2, 3]
+
+
+def test_session_control_statements(spark, sf_dir):
+    """SET/SHOW/RESET GUCs and transaction commands pass through the
+    front door the way ported PG scripts expect (guc.c / xact.c)."""
+    from gpdb_spark.engine import Engine
+
+    e = Engine(spark, sf_dir)
+    assert e.sql("BEGIN").collect()[0]["status"] == "BEGIN"
+    e.sql("SET statement_mem TO '512MB'")
+    assert e.sql("SHOW statement_mem").collect()[0]["setting"] == "512MB"
+    e.sql("RESET statement_mem")
+    assert e.sql("SHOW statement_mem").collect()[0]["setting"] == ""
+    assert e.sql("COMMIT").collect()[0]["status"] == "COMMIT"
+    # real query still works after session commands
+    assert e.sql("SELECT count(*) AS n FROM nation").collect()[0]["n"] == 25
