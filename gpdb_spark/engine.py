@@ -476,3 +476,69 @@ class Engine:
             return self.delete_where(name, cond)
 
         raise ValueError(f"not a supported DML statement: {text[:80]}")
+
+    # -- script execution (psql -f / exec_simple_query loop) -----------------
+
+    def run_script(self, script: str) -> list:
+        """Execute a multi-statement PG script top to bottom (the
+        exec_simple_query loop a `psql -f file.sql` drives): statements
+        split on top-level semicolons (string/paren aware, comments
+        stripped), DML routed to execute_dml, session/DDL/SELECT through
+        sql(). Returns the collected rows of the LAST resultful
+        statement — psql's "last result wins" display contract."""
+        from gpdb_spark.dialect import _lex
+
+        # strip -- line comments and /* */ blocks quote-aware (scan.l):
+        # a '--' inside a string literal is content, not a comment
+        out, i, n = [], 0, len(script)
+        while i < n:
+            c = script[i]
+            if c == "'":
+                j = i + 1
+                while j < n:
+                    if script[j] == "'" and script[j + 1 : j + 2] == "'":
+                        j += 2
+                        continue
+                    if script[j] == "'":
+                        break
+                    j += 1
+                out.append(script[i : j + 1])
+                i = j + 1
+                continue
+            if c == "-" and script[i + 1 : i + 2] == "-":
+                while i < n and script[i] != "\n":
+                    i += 1
+                continue
+            if c == "/" and script[i + 1 : i + 2] == "*":
+                j = script.find("*/", i + 2)
+                i = (j + 2) if j != -1 else n
+                continue
+            out.append(c)
+            i += 1
+        toks = _lex("".join(out))
+        stmts: list[list[str]] = [[]]
+        depth = 0
+        for t in toks:
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            if t == ";" and depth == 0:
+                stmts.append([])
+            else:
+                stmts[-1].append(t)
+        last_rows: list = []
+        for st in stmts:
+            if not st:
+                continue
+            sql_text = " ".join(st)
+            head = st[0].lower()
+            if head in ("insert", "update", "delete"):
+                self.execute_dml(sql_text)
+            else:
+                df = self.sql(sql_text)
+                if head == "select" or head == "with" or head == "show":
+                    last_rows = df.collect()
+                else:
+                    df.collect()
+        return last_rows

@@ -300,3 +300,32 @@ def test_session_control_statements(spark, sf_dir):
     assert e.sql("COMMIT").collect()[0]["status"] == "COMMIT"
     # real query still works after session commands
     assert e.sql("SELECT count(*) AS n FROM nation").collect()[0]["n"] == 25
+
+
+def test_run_script(spark, tmp_path):
+    """psql-style script: comments, SET, DML and a final SELECT."""
+    from gpdb_spark.engine import Engine
+
+    e = Engine(spark)
+    src = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["id", "v"])
+    e.create_table("script_t", src, str(tmp_path / "script_t"),
+                   distributed_by=("id",))
+    rows = e.run_script("""
+        -- a ported maintenance script
+        BEGIN;
+        SET statement_mem TO '256MB';
+        INSERT INTO script_t (id, v) VALUES (3, 30.0);
+        UPDATE script_t SET v = v + 1 WHERE id = 1;  /* bump */
+        DELETE FROM script_t WHERE id = 2;
+        COMMIT;
+        SELECT id, v FROM script_t ORDER BY id;
+    """)
+    assert [(r["id"], r["v"]) for r in rows] == [(1, 11.0), (3, 30.0)]
+
+
+def test_run_script_comment_in_string(spark, sf_dir):
+    from gpdb_spark.engine import Engine
+
+    e = Engine(spark, sf_dir)
+    rows = e.run_script("SELECT '--not a comment' AS v; -- real comment")
+    assert rows[0]["v"] == "--not a comment"
