@@ -321,3 +321,43 @@ def continuous_aggregate(
         .option("checkpointLocation", checkpoint)
         .foreachBatch(write_batch)
     )
+
+
+def upsert_sink(
+    stream_df,
+    table,
+    conflict_keys: list[str],
+    checkpoint: str,
+    update_cols: list[str] | None = None,
+):
+    """Streaming MERGE: each microbatch upserts into a keyed GpTable
+    (storage.GpTable.upsert — the INSERT ON CONFLICT DO UPDATE rewrite),
+    giving a continuously-maintained dimension/state table the reference
+    can only build with batch DML.
+
+    Exactly-once discipline: upsert is idempotent for a REPLAYED batch
+    (same keys take the same incoming values; re-applying is a no-op on
+    the final state), and batch ids are recorded so an already-applied
+    batch is skipped outright after recovery — foreachBatch's standard
+    at-least-once -> effectively-once pattern. Per batch the work is one
+    key-join rewrite; at scale the join is hash-partitioned on the
+    conflict key, the same shuffle a batch MERGE costs.
+    """
+    applied: set[int] = set()
+
+    def _apply(batch_df, batch_id: int) -> None:
+        if batch_id in applied or batch_df.isEmpty():
+            return
+        table.upsert(
+            batch_df.sparkSession,
+            batch_df,
+            conflict_keys,
+            update_cols=update_cols,
+        )
+        applied.add(batch_id)
+
+    return (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_apply)
+    )

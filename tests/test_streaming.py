@@ -384,3 +384,47 @@ def test_continuous_aggregate_matview(spark, tmp_path):
         ("2024-01-01T00:00:00", "view"): (3.0, 2),
         ("2024-01-01T02:00:00", "view"): (5.0, 1),
     }
+
+
+def test_streaming_upsert_sink(spark, sf_dir, tmp_path):
+    """foreachBatch MERGE: the stream's running per-user aggregate is
+    continuously upserted into a keyed GpTable; final table state equals
+    the batch aggregate over the same data."""
+    from pyspark.sql import functions as F
+
+    from gpdb_spark.storage import GpTable
+    from gpdb_spark.streaming.events_stream import read_events_stream, upsert_sink
+
+    seed = spark.createDataFrame(
+        [], "user_id long, n long, total double"
+    )
+    t = GpTable.create(
+        seed, str(tmp_path / "user_state"), distributed_by=("user_id",)
+    )
+    events = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    agg = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(25,6)")), 6)
+        .cast("double")
+        .alias("total"),
+    )
+    q = upsert_sink(
+        agg, t, ["user_id"], str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    from gpdb_spark.catalog import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(25,6)")), 6)
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    got = {r["user_id"]: (r["n"], r["total"]) for r in t.read(spark).collect()}
+    want = {r["user_id"]: (r["n"], r["total"]) for r in batch.collect()}
+    assert got == want
