@@ -248,3 +248,22 @@ def test_contrib_type_queries_stay_in_codegen(spark, sf_dir):
         plan = plan_of(spark, name, sf_dir)
         assert "BatchEvalPython" not in plan, (name, plan[:2000])
         assert "ArrowEvalPython" not in plan, (name, plan[:2000])
+
+
+def test_contamination_is_shuffle_free(spark, sf_dir):
+    """Benchmark decontamination is a pure map over the scan: the
+    literal benchmark set means NO join and NO Exchange anywhere."""
+    plan = plan_of(spark, "text_contamination", sf_dir)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in body.split("AdaptiveSparkPlan")[-1][:4000] or \
+        body.count("Exchange") <= 1  # spread() repartition only
+    assert "Join" not in body, body[:2000]
+    assert "BatchEvalPython" not in body
+
+
+def test_line_dedup_two_shuffles_no_pairs(spark, sf_dir):
+    """Cross-corpus line dedup: line-key agg + doc-key reassembly — hash
+    aggregation and joins only, never a cartesian pair comparison."""
+    plan = plan_of(spark, "text_line_dedup", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
