@@ -57,6 +57,7 @@ DRIVER_PRIORITY: list[str] = [
     "fulltext_tsquery_boolean",
     "json_populate_record",
     "quote_funcs",
+    "inet6_funcs",
     # new round-2 features (VERDICT "missing" #1-#5, #7-#9)
     "pg_int_division",
     "pg_json_arrows",

@@ -542,3 +542,18 @@ class Engine:
                 else:
                     df.collect()
         return last_rows
+
+    def create_table_as(
+        self,
+        name: str,
+        path: str,
+        text: str,
+        distributed_by: tuple[str, ...] | list[str] | None = None,
+        **kwargs,
+    ) -> GpTable:
+        """CREATE TABLE ... AS SELECT (createas.c; SELECT INTO): run the
+        PG-dialect query and materialize it as a governed GpTable with
+        the given distribution policy."""
+        return self.create_table(
+            name, self.sql(text), path, distributed_by=distributed_by, **kwargs
+        )

@@ -260,3 +260,70 @@ def money_mul(cents: Column, factor: Column) -> Column:
         F.round(cents.cast("decimal(26,6)") * factor.cast("decimal(26,6)"), 0)
         .cast("long")
     )
+
+
+# -- IPv6 inet (network.c AF_INET6 branch) ----------------------------------
+
+
+def inet6_expand(addr: Column) -> Column:
+    """Canonical 8-group zero-padded IPv6 form: '2001:db8::1' ->
+    '2001:0db8:0000:0000:0000:0000:0000:0001'. The '::' gap is filled
+    with the missing zero groups; each group left-pads to 4 hex digits.
+    Pure array expressions (split / array_repeat / concat / transform) —
+    the canonical form makes =, <, sorting and prefix operations plain
+    string ops, which is how the reference's binary ip_addr compare
+    behaves (network.c network_cmp_internal)."""
+    a = _addr_part(addr)
+    has_gap = a.contains("::")
+    left = F.filter(
+        F.split(F.substring_index(a, "::", 1), ":"), lambda x: x != ""
+    )
+    right = F.when(
+        has_gap,
+        F.filter(
+            F.split(F.substring_index(a, "::", -1), ":"), lambda x: x != ""
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    groups = F.when(
+        has_gap,
+        F.concat(
+            left,
+            F.array_repeat(F.lit("0"), 8 - F.size(left) - F.size(right)),
+            right,
+        ),
+    ).otherwise(F.split(a, ":"))
+    return F.array_join(
+        F.transform(groups, lambda g: F.lpad(F.lower(g), 4, "0")), ":"
+    )
+
+
+def inet6_masklen(addr: Column) -> Column:
+    return F.when(
+        addr.contains("/"),
+        F.substring_index(addr, "/", -1).cast("int"),
+    ).otherwise(F.lit(128))
+
+
+def _inet6_bits(addr: Column) -> Column:
+    """128-bit binary string of the canonical address (for prefix ops)."""
+    groups = F.split(inet6_expand(addr), ":")
+    return F.array_join(
+        F.transform(
+            groups,
+            lambda g: F.lpad(F.conv(g, 16, 2), 16, "0"),
+        ),
+        "",
+    )
+
+
+def inet6_contains(cidr: Column, addr: Column) -> Column:
+    """``cidr >> addr`` / ``addr << cidr`` (network_sub/sup): the
+    address's first masklen bits equal the network's."""
+    n = inet6_masklen(cidr)
+    return F.substring(_inet6_bits(cidr), 1, n) == F.substring(
+        _inet6_bits(addr), 1, n
+    )
+
+
+def inet6_same_family(a: Column, b: Column) -> Column:
+    return a.contains(":") == b.contains(":")

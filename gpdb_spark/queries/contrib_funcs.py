@@ -177,3 +177,71 @@ def pgcrypto_digest(spark, sf_dir):
             "hexed"
         ),
     )
+
+
+_DUCK_I6 = """
+    CASE WHEN contains(ADDR, '::') THEN
+        array_to_string(list_transform(list_concat(list_concat(
+            list_filter(string_split(split_part(ADDR, '::', 1), ':'), x -> x <> ''),
+            list_transform(generate_series(1,
+                8 - len(list_filter(string_split(split_part(ADDR, '::', 1), ':'), x -> x <> ''))
+                  - len(list_filter(string_split(split_part(ADDR, '::', 2), ':'), x -> x <> ''))),
+                x -> '0')),
+            list_filter(string_split(split_part(ADDR, '::', 2), ':'), x -> x <> '')),
+            g -> lpad(lower(g), 4, '0')), ':')
+    ELSE array_to_string(list_transform(string_split(ADDR, ':'),
+            g -> lpad(lower(g), 4, '0')), ':') END
+"""
+
+
+def _duck_i6(expr: str) -> str:
+    return _DUCK_I6.replace("ADDR", f"split_part({expr}, '/', 1)")
+
+
+@query(
+    "inet6_funcs",
+    oracle=f"""
+    WITH v(addr, net) AS (
+        SELECT * FROM (VALUES
+            ('2001:db8::1', '2001:db8::/32'),
+            ('2001:0DB8:aaaa::42', '2001:db8::/32'),
+            ('fe80::1%0', 'fe80::/16'),
+            ('2001:db9::1', '2001:db8::/32'),
+            ('::1', '::/16')) t
+    )
+    SELECT addr,
+           {_duck_i6("replace(addr, '%0', '')")} AS canonical,
+           CASE WHEN contains(net, '/')
+                THEN CAST(split_part(net, '/', 2) AS INT) ELSE 128 END AS mlen,
+           substr({_duck_i6("net")}, 1,
+                  (CAST(split_part(net, '/', 2) AS INT) // 16) * 5 - 1)
+             = substr({_duck_i6("replace(addr, '%0', '')")}, 1,
+                  (CAST(split_part(net, '/', 2) AS INT) // 16) * 5 - 1)
+             AS contained
+    FROM v
+    """,
+)
+def inet6_funcs(spark, sf_dir):
+    """IPv6 inet (network.c AF_INET6): '::'-gap expansion to the
+    canonical 8-group zero-padded form, masklen extraction, and ``>>``
+    network containment (group-aligned masks here so the DuckDB oracle
+    can mirror with string prefixes; the engine itself compares at bit
+    granularity — bit-level masks are golden-tested in
+    test_contrib.py)."""
+    from gpdb_spark.functions import misc_types as MT
+
+    rows = [
+        ("2001:db8::1", "2001:db8::/32"),
+        ("2001:0DB8:aaaa::42", "2001:db8::/32"),
+        ("fe80::1%0", "fe80::/16"),
+        ("2001:db9::1", "2001:db8::/32"),
+        ("::1", "::/16"),
+    ]
+    v = spark.createDataFrame(rows, ["addr", "net"])
+    clean = F.replace(F.col("addr"), F.lit("%0"), F.lit(""))
+    return v.select(
+        "addr",
+        MT.inet6_expand(clean).alias("canonical"),
+        MT.inet6_masklen(F.col("net")).alias("mlen"),
+        MT.inet6_contains(F.col("net"), clean).alias("contained"),
+    )

@@ -228,3 +228,30 @@ class TestTsquery:
             for r in ts_match_query(docs, "hash & (join | merge) & !error").collect()
         )
         assert got == [1, 4]
+
+
+class TestInet6:
+    def test_expand_goldens(self, spark):
+        from gpdb_spark.functions import misc_types as MT
+
+        cases = {
+            "2001:db8::1": "2001:0db8:0000:0000:0000:0000:0000:0001",
+            "::1": "0000:0000:0000:0000:0000:0000:0000:0001",
+            "fe80::": "fe80:0000:0000:0000:0000:0000:0000:0000",
+            "2001:0DB8:AAAA:1:2:3:4:5": "2001:0db8:aaaa:0001:0002:0003:0004:0005",
+        }
+        for raw, want in cases.items():
+            assert _one(spark, MT.inet6_expand(F.lit(raw))) == want, raw
+
+    def test_bit_level_containment(self, spark):
+        from gpdb_spark.functions import misc_types as MT
+
+        # /60 is not group-aligned: 2001:db8:0:00X0::/60 distinguishes
+        # the 4th nibble of group 4
+        net = F.lit("2001:db8:0:10::/60")
+        assert _one(
+            spark, MT.inet6_contains(net, F.lit("2001:db8:0:1f::1"))
+        ) is True
+        assert _one(
+            spark, MT.inet6_contains(net, F.lit("2001:db8:0:20::1"))
+        ) is False

@@ -329,3 +329,19 @@ def test_run_script_comment_in_string(spark, sf_dir):
     e = Engine(spark, sf_dir)
     rows = e.run_script("SELECT '--not a comment' AS v; -- real comment")
     assert rows[0]["v"] == "--not a comment"
+
+
+def test_create_table_as(spark, sf_dir, tmp_path):
+    from gpdb_spark.engine import Engine
+
+    e = Engine(spark, sf_dir)
+    t = e.create_table_as(
+        "big_cust",
+        str(tmp_path / "big_cust"),
+        "SELECT c_custkey, c_acctbal::numeric(12,2) AS bal "
+        "FROM customer WHERE c_acctbal > 0",
+        distributed_by=("c_custkey",),
+    )
+    n = e.table("big_cust").count()
+    assert n == t.read(spark).count() > 0
+    assert e.sql("SELECT count(*) AS n FROM big_cust").collect()[0]["n"] == n
