@@ -58,6 +58,7 @@ DRIVER_PRIORITY: list[str] = [
     "json_populate_record",
     "quote_funcs",
     "inet6_funcs",
+    "fulltext_weighted_rank",
     # new round-2 features (VERDICT "missing" #1-#5, #7-#9)
     "pg_int_division",
     "pg_json_arrows",

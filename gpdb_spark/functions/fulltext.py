@@ -257,3 +257,39 @@ def ts_match_query(
         return (l & r) if kind == "and" else (l | r)
 
     return df.where(compile_(ast)).select(F.col(id_col))
+
+
+def ts_rank_weighted(
+    df: DataFrame,
+    terms: Sequence[str],
+    weighted_cols: Sequence[tuple[str, float]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """setweight + weighted ts_rank (tsrank.c: the {D,C,B,A} weight
+    vector, default {0.1, 0.2, 0.4, 1.0}): lexemes from different
+    document fields carry different weights — title hits outrank body
+    hits. ``weighted_cols``: (text_column, weight) pairs, e.g.
+    [("title", 1.0), ("body", 0.1)].
+
+    Shape: one postings pass per field (each pruned to the query terms
+    at the scan), weight attached as a literal, a single 2-stage
+    aggregation sums w * tf/(tf+1) per doc. Decimal-exact so ranking
+    reproduces across engines."""
+    parts = []
+    for col, w in weighted_cols:
+        p = postings(df, col, id_col).where(F.col("lexeme").isin(list(terms)))
+        parts.append(p.withColumn("__w", F.lit(float(w))))
+    allp = parts[0]
+    for extra in parts[1:]:
+        allp = allp.unionAll(extra)
+    rank = F.round(
+        F.sum(
+            (F.col("__w") * F.col("tf") / (F.col("tf") + F.lit(1.0))).cast(
+                "decimal(25,6)"
+            )
+        ),
+        6,
+    ).cast("double")
+    return allp.groupBy("id").agg(rank.alias("rank")).select(
+        F.col("id").alias(id_col), "rank"
+    )

@@ -154,3 +154,51 @@ def fulltext_tsquery_boolean(spark, sf_dir):
     per-row boolean filter — single scan, zero shuffle."""
     d = t(spark, sf_dir, "documents")
     return FT.ts_match_query(d, "hash & (join | merge) & !error")
+
+
+@query(
+    "fulltext_weighted_rank",
+    # title = first 6 whitespace tokens of the text (deterministic field
+    # derivation both engines perform identically); weights A=1.0 (title)
+    # and D=0.1 (body) — tsrank.c's default weight vector endpoints
+    oracle="""
+    WITH fields AS (
+        SELECT doc_id,
+               array_to_string(list_filter(string_split_regex(lower(text), '\\s+'),
+                   x -> x <> '')[1:6], ' ') AS title,
+               text AS body
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, 1.0 AS w, unnest(list_filter(
+            string_split_regex(lower(title), '\\s+'), x -> x <> '')) AS tok
+        FROM fields
+        UNION ALL
+        SELECT doc_id, 0.1 AS w, unnest(list_filter(
+            string_split_regex(lower(body), '\\s+'), x -> x <> '')) AS tok
+        FROM fields
+    ), tf AS (
+        SELECT doc_id, w, tok, count(*) AS tf
+        FROM toks WHERE tok IN ('hash', 'join', 'merge')
+        GROUP BY doc_id, w, tok
+    )
+    SELECT doc_id,
+           CAST(round(sum(CAST(w * tf / (tf + 1.0) AS DECIMAL(25,6))), 6)
+                AS DOUBLE) AS rank
+    FROM tf GROUP BY doc_id
+    """,
+)
+def fulltext_weighted_rank(spark, sf_dir):
+    """setweight('A' title / 'D' body) + ts_rank with the weight vector
+    (tsrank.c calc_rank, default {0.1,0.2,0.4,1.0}): the title field —
+    derived as the first 6 tokens — outranks body occurrences 10:1."""
+    d = t(spark, sf_dir, "documents")
+    from gpdb_spark.datapipe.text import tokens as _tokens
+
+    fields = d.select(
+        "doc_id",
+        F.array_join(F.slice(_tokens(F.col("text")), 1, 6), " ").alias("title"),
+        F.col("text").alias("body"),
+    )
+    return FT.ts_rank_weighted(
+        fields, ["hash", "join", "merge"], [("title", 1.0), ("body", 0.1)]
+    )
