@@ -37,6 +37,15 @@ def components_from_edges(
         .distinct()
         .persist()
     )
+    # right-size the loop's join partitioning by actual edge count
+    # (same lesson as dedup.minhash_dedup_clusters: default shuffle
+    # width is far too wide for a slim edge table and every LP round
+    # pays idle-task scheduling; ~1M edges/partition, scales up for
+    # billion-edge graphs)
+    n_edges = sym.count()
+    parallelism = nodes.sparkSession.sparkContext.defaultParallelism
+    parts = int(max(4, min(-(-n_edges // 1_000_000), 4 * parallelism)))
+    sym = sym.repartition(parts, "v").persist()
     labels = nodes.select(
         F.col(id_col).alias("u"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
