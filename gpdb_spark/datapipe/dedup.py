@@ -296,8 +296,8 @@ def minhash_dedup_clusters(
     # O(component diameter) rounds; dup clusters are bucket-cliques, so
     # diameter is tiny in practice.
     # Right-size the edge table's partitioning before the loop: memb has
-    # EXACTLY n_docs * bands rows of three longs (n_docs from parquet
-    # metadata — a free count), so the global shuffle default is usually
+    # EXACTLY n_docs * bands rows of three longs (n_docs is metadata-only
+    # for a parquet-backed input; one cheap count otherwise), so the global shuffle default is usually
     # 10-100x too wide for it and every LP round pays idle-task
     # scheduling. Pre-partition on the bucket key at ~1M rows/partition
     # (≈24 MB): the per-round groupBy(band, bucket) reuses this hash
