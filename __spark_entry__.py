@@ -22,101 +22,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver samples the first N entries of queries() for its DuckDB
-# CORRECTNESS check (round 1 sampled the first 50 in registration order).
-# Round 1 drove the 22 TPC-H + window/agg families green; this ordering
-# surfaces the families that have no driver row yet (set ops, scalar
-# functions, dialect, events, datapipe, fulltext, programmability,
-# reshape), interleaved so a shallower sample still covers every §2
-# family. Previously driver-green queries sort last — their green rows
-# are on record in CORRECTNESS_r01.json.
+# CORRECTNESS check (~50 in round 1/2). Rounds 1+2 drove 97 queries
+# green (rows on record in CORRECTNESS_r01/r02.json) — those sort LAST
+# via _ordered(). Round-3 head: the two round-2 hash-fails (now made
+# rounding-robust), the new round-3 queries, then every never-driver-
+# checked query interleaved breadth-first by §2 family so the 50-sample
+# covers all families; no-oracle (rows-only) entries follow the oracled
+# ones.
 DRIVER_PRIORITY: list[str] = [
-    # round-1 failures, fixed this round
-    "percentile_multi",
-    "approx_count_distinct_hll",
-    # round-2 contrib-pack queries (pg_trgm/fuzzystrmatch/unaccent/orafce/
-    # earthdistance/pgcrypto) — no driver row yet
-    "trgm_similarity",
-    "trgm_neardup_pairs",
-    "fuzzy_match_funcs",
-    "fuzzy_phonetic",
-    "unaccent_citext",
-    "orafce_funcs",
-    "earth_distance_funcs",
-    "pgcrypto_digest",
-    "hstore_funcs",
-    "ltree_funcs",
-    "connectby_tree",
-    "intarray_ops",
-    "datapipe_stratified_cap",
-    "pg_array_slice",
-    "window_filter_clause",
-    "fulltext_rank_cd",
-    "embed_neardup_clusters",
-    "text_line_dedup",
-    "text_contamination",
-    "fulltext_tsquery_boolean",
-    "json_populate_record",
-    "quote_funcs",
-    "inet6_funcs",
-    "fulltext_weighted_rank",
-    # new round-2 features (VERDICT "missing" #1-#5, #7-#9)
-    "pg_int_division",
-    "pg_json_arrows",
-    "pg_recursive_series",
-    "pg_to_char_patterns",
-    "range_type_ops",
-    "external_program_scan",
-    "foreign_scan_fdw",
-    "geometry_ops",
-    "money_type_funcs",
-    "xml_funcs",
-    "text_repetition_quality",
-    "text_pii_redaction",
-    "events_gapfill_locf",
-    "gp_skew_report",
-    "pg_array_dow_syntax",
-    "pg_to_char_numeric",
-    "pg_parse_funcs",
-    "events_interval_join",
-    "misc_type_funcs",
-    "datapipe_hash_split",
+    # round-2 hash-fails, made rounding-robust this round
     "hypothetical_set_aggs",
     "pg_lateral_subquery",
-    "dedup_jaccard_pairs",
-    # one representative per previously-unchecked family
-    "setop_except_all",
+    # new round-3 queries (jsonb ops, OVERLAPS, AT TIME ZONE reverse,
+    # neardup-clusters oracle)
+    "pg_jsonb_ops",
+    "pg_overlaps_predicate",
+    "pg_at_time_zone",
+    "embed_neardup_clusters",
+    # never-driver-checked, breadth-first by family (oracled)
+    "distinct_ordered_aggs",
+    "window_frame_exclude_groups",
     "join_notin_nullaware",
+    "setop_intersect_all",
+    "values_scan",
     "recursive_cte_series",
-    "join_range_binned",
-    "int_division_pg",
+    "string_funcs",
+    "date_funcs",
     "json_funcs",
+    "array_funcs",
     "events_sessionize",
     "events_asof_join",
     "text_quality_score",
-    "multimodal_byte_stats",
     "dedup_exact",
     "embed_ann_topk",
-    "udaf_grouped_agg",
     "fulltext_rank",
+    "udaf_grouped_agg",
     "unpivot_stack",
+    "pg_casts_and_regex",
     "pg_filter_distinct_on_combo",
-    "svec_sparsify_stats",
-    # second/third representatives, breadth-first across families
-    "setop_intersect_all",
+    "join_range_binned",
     "setop_union_mixed",
-    "join_cross",
-    "values_scan",
     "cte_shared_scan",
     "recursive_cte_graph",
-    "string_funcs",
     "regexp_like_funcs",
     "math_funcs",
-    "date_funcs",
     "conditional_funcs",
-    "generate_series_agg",
-    "array_funcs",
-    "array_any_all_ops",
+    "int_division_pg",
     "json_each_explode",
+    "array_any_all_ops",
     "interval_age_overlaps",
     "tz_offset_convert",
     "events_time_buckets",
@@ -135,19 +88,25 @@ DRIVER_PRIORITY: list[str] = [
     "merge_append_ordered",
     "matrix_sum_agg",
     "complex_arith",
-    "pg_casts_and_regex",
+    "svec_sparsify_stats",
+    "uuid_v3_funcs",
     "pg_order_nulls_limit",
     "pg_generate_series_lateral",
     "pg_string_agg_window",
     "pg_quoted_idents_case",
+    "join_cross",
     "setop_intersect",
     "setop_except",
     "distinct_dropdup",
     "limit_offset",
+    "generate_series_agg",
+    "json_build_agg",
     "width_bucket_func",
     "string_funcs2",
     "generate_series_timestamp",
     "regexp_split_ordinality",
+    "string_encode_funcs",
+    "array_funcs2",
     "events_tumbling_window",
     "events_sliding_window",
     "text_top_terms",
@@ -155,6 +114,15 @@ DRIVER_PRIORITY: list[str] = [
     "embed_cosine_pairs",
     "mapinpandas_filter",
     "fulltext_match_any",
+    # never-driver-checked, rows-only (no SQL-expressible oracle)
+    "text_langid_heuristic",
+    "multimodal_byte_stats",
+    "dedup_minhash_lsh",
+    "dedup_minhash_clusters",
+    "dedup_simhash",
+    "embed_ann_lsh",
+    "embed_ann_ivf",
+    "embed_ann_topk_blocked",
 ]
 
 

@@ -269,11 +269,15 @@ _pg_query(
     # correlated LATERAL subquery (gram.y LATERAL; nodeNestloop rescan in
     # the reference): Spark and DuckDB both speak it natively — the
     # dialect's job is just the :: casts and null ordering around it.
+    # Compared output keeps s_acctbal as the raw parquet double — a
+    # ::numeric(12,2) cast here rounds .005 boundaries HALF_UP in Spark
+    # vs half-even in DuckDB and flips the driver hash (round-2 red).
+    # The ::int4 cast still exercises the dialect's cast rewrite.
     """
-    SELECT n.n_name, top_s.s_name, top_s.bal
+    SELECT n.n_name, top_s.s_name, top_s.bal, top_s.sk
     FROM nation n,
          LATERAL (
-             SELECT s_name, s_acctbal::numeric(12,2) AS bal
+             SELECT s_name, s_acctbal AS bal, s_suppkey::int4 AS sk
              FROM supplier
              WHERE s_nationkey = n.n_nationkey
              ORDER BY s_acctbal DESC, s_name

@@ -460,10 +460,12 @@ def percentile_multi(spark, sf_dir):
                AS hyp_rank,
            count(DISTINCT CASE WHEN o_totalprice < 150000
                                THEN o_totalprice END) + 1 AS hyp_dense_rank,
-           round(CAST(sum(CASE WHEN o_totalprice < 150000 THEN 1 ELSE 0 END)
-                 AS DOUBLE) / count(*), 6) AS hyp_percent_rank_ish,
-           round(CAST(sum(CASE WHEN o_totalprice <= 150000 THEN 1 ELSE 0 END)
-                 + 1 AS DOUBLE) / (count(*) + 1), 6) AS hyp_cume_dist
+           CAST(floor(CAST(sum(CASE WHEN o_totalprice < 150000 THEN 1 ELSE 0
+                 END) AS DOUBLE) / count(*) * 1000000) AS BIGINT)
+               AS hyp_percent_rank_ppm,
+           CAST(floor(CAST(sum(CASE WHEN o_totalprice <= 150000 THEN 1 ELSE 0
+                 END) + 1 AS DOUBLE) / (count(*) + 1) * 1000000) AS BIGINT)
+               AS hyp_cume_dist_ppm
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -484,14 +486,20 @@ def hypothetical_set_aggs(spark, sf_dir):
         ),
         (below + 1).alias("hyp_rank"),
         (F.count_distinct(F.when(p < v, p)) + 1).alias("hyp_dense_rank"),
-        F.round(below.cast("double") / F.count(F.lit(1)), 6).alias(
-            "hyp_percent_rank_ish"
-        ),
-        F.round(
+        # Integer-scaled ratios (parts-per-million): round() on doubles is
+        # HALF_UP in Spark but half-to-even in DuckDB, so a tie at the 6th
+        # digit flips the driver's value hash. floor(x*1e6) is identical
+        # IEEE arithmetic in both engines — comparison is rounding-free.
+        F.floor(below.cast("double") / F.count(F.lit(1)) * 1000000)
+        .cast("bigint")
+        .alias("hyp_percent_rank_ppm"),
+        F.floor(
             (F.sum(F.when(p <= v, 1).otherwise(0)) + 1).cast("double")
-            / (F.count(F.lit(1)) + 1),
-            6,
-        ).alias("hyp_cume_dist"),
+            / (F.count(F.lit(1)) + 1)
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("hyp_cume_dist_ppm"),
     )
 
 
