@@ -36,6 +36,9 @@ rewrites the handful of constructs where PG and Spark SQL disagree
 - ``extract/date_part dow|isodow`` -> weekday() arithmetic matching
   PG's Sunday=0 / Sunday=7 numbering (Spark DOW is Sunday=1).
 - ``x AT TIME ZONE 'z'`` -> from_utc_timestamp.
+- jsonb operators ``@> <@ ? ?| ?& #-`` -> compiled containment /
+  key-existence / key-delete over json text (jsonb_op.c semantics;
+  literal needles only — non-literal raises).
 - quantified ops: ``= ANY (SELECT)`` -> IN, ``<> ALL (SELECT)`` ->
   NOT IN, ``LIKE ANY (array)`` -> exists() lambda.
 - ``TABLE name`` shorthand; trailing FOR UPDATE/SHARE lock clauses
@@ -74,7 +77,7 @@ _TOKEN_RE = re.compile(
     | (?P<qident>"(?:[^"]|"")*")
     | (?P<number>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?)
     | (?P<word>[A-Za-z_][A-Za-z_0-9$]*)
-    | (?P<op>::|!~~\*|!~~|~~\*|~~|!~\*|!~|~\*|\|\||->>|->|\#>>|\#>|<=|>=|<>|!=|~|[(),.;*<>=+\-/%\[\]])
+    | (?P<op>::|@>|<@|\?\||\?&|\?|\#-|!~~\*|!~~|~~\*|~~|!~\*|!~|~\*|\|\||->>|->|\#>>|\#>|<=|>=|<>|!=|~|[(),.;*<>=+\-/%\[\]])
     """,
     re.VERBOSE,
 )
@@ -150,6 +153,10 @@ _TYPE_MAP = {
     "numeric": "DECIMAL(38,6)",
     "decimal": "DECIMAL(38,6)",
     "bytea": "BINARY",
+    # jsonb/json: the engine's representation is json TEXT (jsonb's
+    # binary form is a storage detail of the reference, not semantics)
+    "json": "STRING",
+    "jsonb": "STRING",
 }
 
 
@@ -328,6 +335,263 @@ def _pass_json_ops(tokens: list[str]) -> list[str]:
                 + lhs
                 + [",", f"'${path}'", ")"]
             )
+            i += 2
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# jsonb operators @> <@ ? ?| ?& #- (src/backend/utils/adt/jsonb_op.c:112
+# jsonb_contains / jsonb_contained / jsonb_exists / jsonb_exists_any /
+# jsonb_exists_all; jsonfuncs.c jsonb_delete_path). The engine's jsonb
+# representation is json text; containment with a LITERAL needle is
+# compiled at translate time into per-path get_json_object checks —
+# exactly what JsonbDeepContains walks at runtime. Non-literal needles
+# raise (loud, documented) rather than silently diverging.
+# ---------------------------------------------------------------------------
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _parse_json_literal(tok: str):
+    """Parse a lexed string-literal token back to a Python json value.
+    Reverses the lexer's quote-doubling and backslash-doubling."""
+    import json
+
+    raw = tok[1:-1].replace("''", "'").replace("\\\\", "\\")
+    return json.loads(raw)
+
+
+def _jsonb_contains_sql(lhs_sql: str, needle) -> str:
+    """Compile PG jsonb containment (haystack @> needle, jsonb_op.c:112 ->
+    JsonbDeepContains) with a literal needle into Spark SQL over the
+    json-text haystack ``lhs_sql``. Supported needle shapes: nested
+    objects with scalar/array-of-scalar leaves, root arrays of scalars,
+    root scalars, null leaves (key-presence checked via
+    json_object_keys). Objects nested inside arrays raise."""
+    conds: list[str] = []
+
+    def scalar_txt(v) -> str:
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
+    def arr_checks(path: str, elems: list) -> None:
+        # ``path`` is "" (root) or ".k[.j...]" — prefix with "$"
+        arr = f"get_json_object({lhs_sql}, '{'$' + path}')"
+        if any(isinstance(e, (dict, list)) for e in elems):
+            raise ValueError(
+                "jsonb @>: objects/arrays nested inside needle arrays "
+                "are not supported"
+            )
+        nums = all(
+            isinstance(e, (int, float)) and not isinstance(e, bool)
+            for e in elems
+        )
+        for e in elems:
+            if nums:
+                conds.append(
+                    f"coalesce(array_contains(from_json({arr}, "
+                    f"'array<double>'), CAST({e} AS DOUBLE)), false)"
+                )
+            else:
+                conds.append(
+                    f"coalesce(array_contains(from_json({arr}, "
+                    f"'array<string>'), {_sql_str(scalar_txt(e))}), false)"
+                )
+
+    def walk(path: str, v, parent_path: str, key: str | None) -> None:
+        leaf = f"get_json_object({lhs_sql}, '{'$' + path}')"
+        if isinstance(v, dict):
+            if not v:
+                # {} is contained in any object (JsonbDeepContains on
+                # zero pairs): lhs at path must itself be an object
+                conds.append(f"{leaf} LIKE '{{%'")
+                return
+            for k, vv in v.items():
+                walk(f"{path}.{k}", vv, path, k)
+        elif isinstance(v, list):
+            arr_checks(path, v)
+        elif v is None:
+            keys = (
+                f"json_object_keys(get_json_object({lhs_sql}, "
+                f"'${parent_path}'))"
+                if parent_path
+                else f"json_object_keys({lhs_sql})"
+            )
+            conds.append(
+                f"({leaf} IS NULL AND coalesce(array_contains({keys}, "
+                f"{_sql_str(key or '')}), false))"
+            )
+        elif isinstance(v, (int, float)) and not isinstance(v, bool):
+            conds.append(f"CAST({leaf} AS DOUBLE) = CAST({v} AS DOUBLE)")
+        else:
+            conds.append(f"{leaf} = {_sql_str(scalar_txt(v))}")
+
+    walk("", needle, "", None)
+    return "(" + " AND ".join(conds) + ")"
+
+
+def _jsonb_rhs_literal(tokens: list[str], i: int) -> tuple[str, int] | None:
+    """String literal at tokens[i], possibly wrapped by the casts pass as
+    CAST ( 'lit' AS STRING ). Returns (literal_token, next_index)."""
+    if i < len(tokens) and tokens[i].startswith("'"):
+        return tokens[i], i + 1
+    if (
+        i + 5 < len(tokens)
+        and tokens[i].upper() == "CAST"
+        and tokens[i + 1] == "("
+        and tokens[i + 2].startswith("'")
+        and tokens[i + 3].upper() == "AS"
+        and tokens[i + 5] == ")"
+    ):
+        return tokens[i + 2], i + 6
+    return None
+
+
+def _jsonb_operand_end(tokens: list[str], i: int) -> int:
+    """End index (exclusive) of the operand starting at tokens[i]:
+    identifier dot-chain with optional call parens, or a paren group,
+    or a string literal."""
+    n = len(tokens)
+    if i >= n:
+        return i
+    if tokens[i].startswith("'"):
+        return i + 1
+    j = i
+    if tokens[j].isidentifier():
+        j += 1
+        while j + 1 < n and tokens[j] == "." and tokens[j + 1].isidentifier():
+            j += 2
+    if j < n and tokens[j] == "(":
+        depth = 0
+        while j < n:
+            if tokens[j] == "(":
+                depth += 1
+            elif tokens[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    return j + 1
+            j += 1
+    return j
+
+
+def _jsonb_key_array(tokens: list[str], i: int) -> tuple[list[str], int]:
+    """ARRAY['a','b'] starting at tokens[i] -> (key literals, next_index)."""
+    if not (
+        i + 1 < len(tokens)
+        and _is_word(tokens[i], "array")
+        and tokens[i + 1] == "["
+    ):
+        raise ValueError("jsonb ?|/?& expects an ARRAY['k',...] literal")
+    j = i + 2
+    keys: list[str] = []
+    while j < len(tokens) and tokens[j] != "]":
+        if tokens[j].startswith("'"):
+            keys.append(tokens[j])
+        j += 1
+    return keys, j + 1
+
+
+def _pass_jsonb_ops(tokens: list[str]) -> list[str]:
+    """jsonb operators -> Spark SQL fragments (emitted as single opaque
+    tokens — already in final Spark form, later passes leave them be):
+
+    - ``h @> 'needle'`` / ``'needle' <@ h`` -> compiled containment
+      (_jsonb_contains_sql).
+    - ``j ? 'k'`` -> key/element existence: json_object_keys membership,
+      falling back to string-array membership (PG matches array elements
+      too, jsonb_op.c jsonb_exists).
+    - ``j ?| ARRAY[...]`` / ``j ?& ARRAY[...]`` -> any/all key existence.
+    - ``j #- '{k}'`` -> top-level key delete via map_filter on a
+      map<string,string> parse (flat objects with scalar values — the
+      dominant PG use; nested values re-serialize as quoted strings,
+      documented divergence).
+    """
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t == "@>" and i + 1 < n:
+            rhs = _jsonb_rhs_literal(tokens, i + 1)
+            if rhs is None:
+                raise ValueError(
+                    "jsonb @> requires a literal needle on the right"
+                )
+            lit, nxt = rhs
+            start = _operand_start(out, len(out))
+            lhs_sql = _render(out[start:])
+            out = out[:start] + [
+                _jsonb_contains_sql(lhs_sql, _parse_json_literal(lit))
+            ]
+            i = nxt
+            continue
+        if t == "<@" and i + 1 < n:
+            start = _operand_start(out, len(out))
+            lhs = out[start:]
+            needle_lit = None
+            if len(lhs) == 1 and lhs[0].startswith("'"):
+                needle_lit = lhs[0]
+            elif (
+                len(lhs) == 6
+                and lhs[0].upper() == "CAST"
+                and lhs[2].startswith("'")
+            ):
+                needle_lit = lhs[2]
+            if needle_lit is None:
+                raise ValueError(
+                    "jsonb <@ requires a literal needle on the left"
+                )
+            end = _jsonb_operand_end(tokens, i + 1)
+            hay_sql = _render(tokens[i + 1 : end])
+            out = out[:start] + [
+                _jsonb_contains_sql(
+                    hay_sql, _parse_json_literal(needle_lit)
+                )
+            ]
+            i = end
+            continue
+        if t == "?" and i + 1 < n and tokens[i + 1].startswith("'"):
+            start = _operand_start(out, len(out))
+            lhs_sql = _render(out[start:])
+            key = tokens[i + 1]
+            out = out[:start] + [
+                f"coalesce(array_contains(json_object_keys({lhs_sql}), "
+                f"{key}), array_contains(from_json({lhs_sql}, "
+                f"'array<string>'), {key}), false)"
+            ]
+            i += 2
+            continue
+        if t in ("?|", "?&") and i + 1 < n:
+            keys, nxt = _jsonb_key_array(tokens, i + 1)
+            start = _operand_start(out, len(out))
+            lhs_sql = _render(out[start:])
+            arr = "array(" + ", ".join(keys) + ")"
+            fn = "exists" if t == "?|" else "forall"
+            out = out[:start] + [
+                f"{fn}({arr}, k_ -> coalesce(array_contains("
+                f"json_object_keys({lhs_sql}), k_), false))"
+            ]
+            i = nxt
+            continue
+        if t == "#-" and i + 1 < n and tokens[i + 1].startswith("'"):
+            path = tokens[i + 1][1:-1].strip("{}").strip()
+            if "," in path:
+                raise ValueError(
+                    "jsonb #- supports single top-level keys only"
+                )
+            start = _operand_start(out, len(out))
+            lhs_sql = _render(out[start:])
+            out = out[:start] + [
+                f"to_json(map_filter(from_json({lhs_sql}, "
+                f"'map<string,string>'), (k_, v_) -> k_ <> "
+                f"{_sql_str(path)}))"
+            ]
             i += 2
             continue
         out.append(t)
@@ -1682,6 +1946,7 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_quoted_idents(tokens)
     tokens = _pass_distinct_on(tokens)
     tokens = _pass_casts(tokens)
+    tokens = _pass_jsonb_ops(tokens)
     tokens = _pass_json_ops(tokens)
     tokens = _pass_regex_ops(tokens)
     tokens = _pass_any_all(tokens)

@@ -155,6 +155,50 @@ _pg_query(
 )
 
 _pg_query(
+    "pg_jsonb_ops",
+    # jsonb operators @> <@ ? ?| ?& #- (jsonb_op.c:112 jsonb_contains /
+    # jsonb_contained / jsonb_exists[_any|_all], jsonfuncs.c
+    # jsonb_delete_path). The dialect compiles literal-needle containment
+    # to per-path get_json_object checks — JsonbDeepContains semantics.
+    # The oracle computes the SAME defining checks with DuckDB json
+    # primitives (DuckDB's json_contains recurses anywhere in the doc,
+    # which is NOT PG top-level containment, so it is not used).
+    """
+    SELECT event_id,
+           props::jsonb ->> 'k' AS k_text,
+           props::jsonb @> '{"k": 42}' AS has_k42,
+           '{"a": 1, "b": {"c": 2}}'::jsonb @> '{"b": {"c": 2}}' AS nested_contain,
+           '{"a": [1,2,3]}'::jsonb @> '{"a": [2, 3]}' AS arr_contain,
+           '{"k": 69}'::jsonb <@ props::jsonb AS contains_k69,
+           props::jsonb ? 'k' AS has_key,
+           props::jsonb ? 'zz' AS no_key,
+           props::jsonb ?| ARRAY['k','zz'] AS any_key,
+           props::jsonb ?& ARRAY['k','zz'] AS all_keys,
+           array_to_string(json_object_keys(props::jsonb #- '{k}'), ',') AS keys_after_del
+    FROM events
+    WHERE event_id < 300
+    """,
+    oracle="""
+    SELECT event_id,
+           props ->> 'k' AS k_text,
+           CAST(props ->> 'k' AS DOUBLE) = 42 AS has_k42,
+           TRUE AS nested_contain,
+           TRUE AS arr_contain,
+           CAST(props ->> 'k' AS DOUBLE) = 69 AS contains_k69,
+           list_contains(json_keys(props), 'k') AS has_key,
+           list_contains(json_keys(props), 'zz') AS no_key,
+           (list_contains(json_keys(props), 'k')
+            OR list_contains(json_keys(props), 'zz')) AS any_key,
+           (list_contains(json_keys(props), 'k')
+            AND list_contains(json_keys(props), 'zz')) AS all_keys,
+           coalesce(array_to_string(json_keys(json_merge_patch(
+               props, '{"k":null}')), ','), '') AS keys_after_del
+    FROM events
+    WHERE event_id < 300
+    """,
+)
+
+_pg_query(
     "pg_recursive_series",
     # WITH RECURSIVE through the SQL front door (gram.y recursive CTE;
     # behavior per /root/reference/src/test/regress/sql/with_clause.sql)

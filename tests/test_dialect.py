@@ -375,3 +375,39 @@ def test_string_to_array_literal_delim(spark):
     assert r["dots"] == "a|b|c"
     assert r["plus"] == "x,y"
     assert r["second"] == "q"
+
+
+def test_jsonb_operators(spark):
+    """jsonb @> <@ ? ?| ?& #- (jsonb_op.c:112 jsonb_contains family,
+    jsonfuncs.c jsonb_delete_path) compiled over json text."""
+    from gpdb_spark.dialect import pg_sql
+
+    r = pg_sql(
+        spark,
+        """SELECT '{"a": 1, "b": {"c": 2}}'::jsonb @> '{"b": {"c": 2}}' AS y1,
+                  '{"a": 1}'::jsonb @> '{"a": 2}' AS n1,
+                  '{"a": [1,2,3]}'::jsonb @> '{"a": [2]}' AS y2,
+                  '{"a": [1,2,3]}'::jsonb @> '{"a": [4]}' AS n2,
+                  '[1,2,3]'::jsonb @> '[3, 1]' AS y3,
+                  '{"a": 1}'::jsonb @> '{}' AS y4,
+                  '{"a": null}'::jsonb @> '{"a": null}' AS y5,
+                  '{"b": 1}'::jsonb @> '{"a": null}' AS n5,
+                  '{"x": 1}'::jsonb <@ '{"x": 1, "y": 2}'::jsonb AS y6,
+                  '{"x": 3}'::jsonb <@ '{"x": 1, "y": 2}'::jsonb AS n6,
+                  '{"k": 1}'::jsonb ? 'k' AS y7,
+                  '["tag"]'::jsonb ? 'tag' AS y8,
+                  '{"k": 1}'::jsonb ?| ARRAY['z','k'] AS y9,
+                  '{"k": 1}'::jsonb ?& ARRAY['z','k'] AS n9,
+                  '{"a": 1, "b": 2}'::jsonb #- '{a}' AS del""",
+    ).collect()[0]
+    assert (r["y1"], r["y2"], r["y3"], r["y4"], r["y5"]) == (True,) * 5
+    assert (r["n1"], r["n2"], r["n5"], r["n6"], r["n9"]) == (False,) * 5
+    assert (r["y6"], r["y7"], r["y8"], r["y9"]) == (True,) * 4
+    assert r["del"] == '{"b":"2"}'  # flat-object delete (scalar re-quoted)
+
+
+def test_jsonb_non_literal_needle_raises():
+    with pytest.raises(ValueError, match="literal"):
+        translate("select a @> b from t")
+    with pytest.raises(ValueError, match="literal"):
+        translate("select a <@ b from t")
