@@ -35,10 +35,13 @@ rewrites the handful of constructs where PG and Spark SQL disagree
 - ``BETWEEN SYMMETRIC`` -> least/greatest bounds.
 - ``extract/date_part dow|isodow`` -> weekday() arithmetic matching
   PG's Sunday=0 / Sunday=7 numbering (Spark DOW is Sunday=1).
-- ``x AT TIME ZONE 'z'`` -> from_utc_timestamp.
+- ``x AT TIME ZONE 'z'`` -> from_utc_timestamp (timestamptz->local) or
+  to_utc_timestamp (naive->instant) chosen by operand naivety.
 - jsonb operators ``@> <@ ? ?| ?& #-`` -> compiled containment /
   key-existence / key-delete over json text (jsonb_op.c semantics;
   literal needles only — non-literal raises).
+- ``(a,b) OVERLAPS (c,d)`` -> least/greatest period comparison
+  (timestamp.c overlaps_timestamp normalization + zero-length rule).
 - quantified ops: ``= ANY (SELECT)`` -> IN, ``<> ALL (SELECT)`` ->
   NOT IN, ``LIKE ANY (array)`` -> exists() lambda.
 - ``TABLE name`` shorthand; trailing FOR UPDATE/SHARE lock clauses
@@ -595,6 +598,100 @@ def _pass_jsonb_ops(tokens: list[str]) -> list[str]:
             i += 2
             continue
         out.append(t)
+        i += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# (a, b) OVERLAPS (c, d) — SQL-spec period overlap
+# (src/backend/utils/adt/timestamp.c overlaps_timestamp): each pair is
+# normalized so start <= end, then overlap = starts-strictly-inside OR
+# equal starts (zero-length periods overlap anything starting at the
+# same instant). Spark SQL has no OVERLAPS; rewrite to
+# least/greatest comparisons. Null endpoints: Spark least/greatest
+# skip nulls, approximating PG's treat-null-as-missing-bound rules
+# (documented divergence for null endpoints).
+# ---------------------------------------------------------------------------
+
+
+def _split_pair(tokens: list[str]) -> tuple[list[str], list[str]] | None:
+    """Split a paren-free token run at its single top-level comma."""
+    depth = 0
+    for i, t in enumerate(tokens):
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif t == "," and depth == 0:
+            return tokens[:i], tokens[i + 1 :]
+    return None
+
+
+def _pass_overlaps(tokens: list[str]) -> list[str]:
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        if (
+            _is_word(tokens[i], "overlaps")
+            and out
+            and out[-1] == ")"
+            and i + 1 < n
+            and tokens[i + 1] == "("
+        ):
+            # lhs pair: scan out[] back to the matching '('
+            depth, j = 0, len(out) - 1
+            while j >= 0:
+                if out[j] == ")":
+                    depth += 1
+                elif out[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            lhs_pair = _split_pair(out[j + 1 : -1])
+            # rhs pair: scan forward to the matching ')'
+            depth, k = 0, i + 1
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            rhs_pair = _split_pair(tokens[i + 2 : k])
+            if lhs_pair is None or rhs_pair is None:
+                out.append(tokens[i])
+                i += 1
+                continue
+            a, b = (["("] + p + [")"] for p in lhs_pair)
+            c, d = (["("] + p + [")"] for p in rhs_pair)
+
+            def call(fn: str, x: list[str], y: list[str]) -> list[str]:
+                return [fn, "("] + x + [","] + y + [")"]
+
+            s1, e1 = call("least", a, b), call("greatest", a, b)
+            s2, e2 = call("least", c, d), call("greatest", c, d)
+            out = (
+                out[:j]
+                + ["(", "("]
+                + s1
+                + ["<"]
+                + e2
+                + ["AND"]
+                + s2
+                + ["<"]
+                + e1
+                + [")", "OR"]
+                + s1
+                + ["="]
+                + s2
+                + [")"]
+            )
+            i = k + 1
+            continue
+        out.append(tokens[i])
         i += 1
     return out
 
@@ -1636,11 +1733,18 @@ def _pass_between_symmetric(tokens: list[str]) -> list[str]:
 
 
 def _pass_at_time_zone(tokens: list[str]) -> list[str]:
-    """X AT TIME ZONE 'z' (timestamp.c timezone()): rendered as
-    from_utc_timestamp(X, 'z') — the session stores timestamps in UTC,
-    so AT TIME ZONE reads as "display this instant on the z wall clock"
-    (the timestamptz -> timestamp direction; the reverse direction is
-    to_utc_timestamp, not expressible without column type info)."""
+    """X AT TIME ZONE 'z' (timestamp.c timezone(), BOTH directions):
+
+    - timestamptz -> timestamp ("display this instant on the z wall
+      clock"): ``from_utc_timestamp(X, 'z')``. Default — the engine
+      stores table timestamps as UTC instants (catalog.py normalizes to
+      session-UTC TIMESTAMP), so column operands are timestamptz-like.
+    - timestamp -> timestamptz ("the instant when the z wall clock read
+      X"): ``to_utc_timestamp(X, 'z')``. Chosen when the operand is
+      syntactically *naive*: a typed ``TIMESTAMP '...'`` literal
+      (gram.y gives it type timestamp, not timestamptz) or the result
+      of a previous AT TIME ZONE rewrite — which makes the PG round
+      trip ``col AT TIME ZONE z AT TIME ZONE z = col`` hold."""
     out: list[str] = []
     i = 0
     n = len(tokens)
@@ -1663,9 +1767,22 @@ def _pass_at_time_zone(tokens: list[str]) -> list[str]:
             ):
                 lhs_start -= 1
             lhs = out[lhs_start:]
+            core = lhs
+            while len(core) >= 2 and core[0] == "(" and core[-1] == ")":
+                core = core[1:-1]
+            fn = "from_utc_timestamp"
+            if core and (
+                core[0] in ("from_utc_timestamp", "to_utc_timestamp")
+                or (
+                    len(core) >= 2
+                    and _is_word(core[0], "timestamp")
+                    and core[1].startswith("'")
+                )
+            ):
+                fn = "to_utc_timestamp"
             out = (
                 out[:lhs_start]
-                + ["from_utc_timestamp", "("]
+                + [fn, "("]
                 + lhs
                 + [","]
                 + tz
@@ -1947,6 +2064,7 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_distinct_on(tokens)
     tokens = _pass_casts(tokens)
     tokens = _pass_jsonb_ops(tokens)
+    tokens = _pass_overlaps(tokens)
     tokens = _pass_json_ops(tokens)
     tokens = _pass_regex_ops(tokens)
     tokens = _pass_any_all(tokens)

@@ -199,6 +199,68 @@ _pg_query(
 )
 
 _pg_query(
+    "pg_at_time_zone",
+    # AT TIME ZONE both directions (timestamp.c timezone()): UTC-instant
+    # column -> named-zone wall clock (DST-aware), naive literal ->
+    # instant, and the PG round trip identity. The oracle uses DuckDB's
+    # two-arg timezone() wrapped so no timestamptz (session-TZ-rendered)
+    # value ever reaches the compared output: timezone('UTC', tstz) is
+    # naive UTC regardless of the driver's session TimeZone.
+    """
+    SELECT event_id,
+           ts AT TIME ZONE 'America/New_York' AS ny_local,
+           ts AT TIME ZONE 'Asia/Kolkata' AS ist_local,
+           (ts AT TIME ZONE 'Europe/Paris') AT TIME ZONE 'Europe/Paris'
+               AS round_trip,
+           TIMESTAMP '2024-07-01 12:00:00' AT TIME ZONE 'America/New_York'
+               AS naive_to_instant
+    FROM events
+    WHERE event_id % 11 = 0
+    """,
+    oracle="""
+    SELECT event_id,
+           timezone('America/New_York', timezone('UTC', ts)) AS ny_local,
+           timezone('Asia/Kolkata', timezone('UTC', ts)) AS ist_local,
+           ts AS round_trip,
+           timezone('UTC', timezone('America/New_York',
+               TIMESTAMP '2024-07-01 12:00:00')) AS naive_to_instant
+    FROM events
+    WHERE event_id % 11 = 0
+    """,
+)
+
+_pg_query(
+    "pg_overlaps_predicate",
+    # (a,b) OVERLAPS (c,d) — timestamp.c overlaps_timestamp: normalize
+    # each pair (start <= end), overlap iff starts strictly inside the
+    # other period OR starts equal (zero-length periods). DuckDB has no
+    # OVERLAPS either, so the oracle spells the same SQL-spec formula.
+    """
+    SELECT o_orderkey,
+           (o_orderdate::date, o_orderdate::date + 30)
+               OVERLAPS (DATE '1995-01-01', DATE '1995-03-01') AS in_window,
+           (o_orderdate::date + 10, o_orderdate::date)
+               OVERLAPS (DATE '1995-02-01', DATE '1995-02-15') AS swapped,
+           (o_orderdate::date, o_orderdate::date)
+               OVERLAPS (o_orderdate::date, o_orderdate::date + 1) AS point_start
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           ((o_orderdate::date < DATE '1995-03-01'
+             AND DATE '1995-01-01' < o_orderdate::date + 30)
+            OR o_orderdate::date = DATE '1995-01-01') AS in_window,
+           ((o_orderdate::date < DATE '1995-02-15'
+             AND DATE '1995-02-01' < o_orderdate::date + 10)
+            OR o_orderdate::date = DATE '1995-02-01') AS swapped,
+           TRUE AS point_start
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+)
+
+_pg_query(
     "pg_recursive_series",
     # WITH RECURSIVE through the SQL front door (gram.y recursive CTE;
     # behavior per /root/reference/src/test/regress/sql/with_clause.sql)

@@ -302,12 +302,32 @@ def test_table_shorthand_and_lock_strip(spark):
 
 
 def test_at_time_zone(spark):
+    # naive TIMESTAMP literal -> timestamptz (PG reverse direction,
+    # timestamp.c timezone()): the instant when NY wall clock read noon
+    # is 17:00 UTC (EST, January)
     r = spark.sql(
         translate(
             "SELECT TIMESTAMP '2024-01-01 12:00:00' AT TIME ZONE 'America/New_York' AS r"
         )
     ).first()
-    assert r.r.hour == 7
+    assert r.r.hour == 17
+
+
+def test_at_time_zone_both_directions(spark):
+    """timestamp.c timezone(): instant->local for timestamptz operands
+    (UTC-instant columns), local->instant for naive operands; the PG
+    round trip col AT TIME ZONE z AT TIME ZONE z is the identity."""
+    out = translate(
+        "SELECT ts AT TIME ZONE 'Europe/Paris' AT TIME ZONE 'Europe/Paris' AS rt FROM events"
+    )
+    assert "to_utc_timestamp(from_utc_timestamp(ts" in out.replace(" ", "")
+    r = spark.sql(
+        "SELECT "
+        + translate("TIMESTAMP '2024-07-01 00:30:00' AT TIME ZONE 'Asia/Kolkata'")
+        + " AS x"
+    ).first()
+    # 00:30 IST (+05:30) = 19:00 UTC previous day
+    assert (r.x.day, r.x.hour, r.x.minute) == (30, 19, 0)
 
 
 def test_array_slices(spark):
@@ -411,3 +431,24 @@ def test_jsonb_non_literal_needle_raises():
         translate("select a @> b from t")
     with pytest.raises(ValueError, match="literal"):
         translate("select a <@ b from t")
+
+
+def test_overlaps_predicate(spark):
+    """(a,b) OVERLAPS (c,d) — overlaps_timestamp (timestamp.c):
+    pair-normalized half-open comparison, zero-length periods overlap
+    anything starting at the same instant."""
+    from gpdb_spark.dialect import pg_sql
+
+    r = pg_sql(
+        spark,
+        "SELECT (DATE '1995-01-01', DATE '1995-02-01') OVERLAPS "
+        "(DATE '1995-01-15', DATE '1995-03-01') AS y1, "
+        "(DATE '1995-02-01', DATE '1995-01-01') OVERLAPS "
+        "(DATE '1995-01-15', DATE '1995-03-01') AS y2, "
+        "(DATE '1995-01-01', DATE '1995-01-15') OVERLAPS "
+        "(DATE '1995-01-15', DATE '1995-03-01') AS n1, "
+        "(DATE '1995-01-01', DATE '1995-01-01') OVERLAPS "
+        "(DATE '1995-01-01', DATE '1995-03-01') AS y3",
+    ).collect()[0]
+    assert (r["y1"], r["y2"], r["y3"]) == (True, True, True)
+    assert r["n1"] is False  # half-open: touching endpoints don't overlap
