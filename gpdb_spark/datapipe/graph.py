@@ -35,13 +35,14 @@ def components_from_edges(
         edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionAll(edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
-        .persist()
     )
     # right-size the loop's join partitioning by actual edge count
     # (same lesson as dedup.minhash_dedup_clusters: default shuffle
     # width is far too wide for a slim edge table and every LP round
     # pays idle-task scheduling; ~1M edges/partition, scales up for
-    # billion-edge graphs)
+    # billion-edge graphs). The count runs on the un-persisted distinct —
+    # only the repartitioned handle below is cached (persisting here too
+    # would leak a second cached copy for the session lifetime).
     n_edges = sym.count()
     parallelism = nodes.sparkSession.sparkContext.defaultParallelism
     parts = int(max(4, min(-(-n_edges // 1_000_000), 4 * parallelism)))

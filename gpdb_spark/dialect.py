@@ -1217,10 +1217,15 @@ def _pass_regexp_flags(tokens: list[str]) -> list[str]:
         return cnt
 
     def _fix_backrefs(repl_tok: str) -> str:
-        """PG replacement backrefs are \\N (regexp.c); Java's are $N."""
+        """PG replacement backrefs are \\N (regexp.c); Java's are $N.
+        A pre-existing literal ``$`` must become ``\\$`` FIRST (Java
+        reads bare $ as a group reference — '$5.00' would throw or
+        substitute group 5), then \\N -> $N so the newly created $N
+        refs are not themselves escaped."""
         body = repl_tok[1:-1]
+        body = body.replace("$", "\\\\$")  # literal $ -> \$ (doubled \)
         body = re.sub(r"\\\\(\d)", r"$\1", body)  # lexer doubled the \
-        body = body.replace("$", "$").replace("\\\\&", "$0")
+        body = body.replace("\\\\&", "$0")
         return "'" + body + "'"
 
     while i < n:
@@ -1268,13 +1273,19 @@ def _pass_regexp_flags(tokens: list[str]) -> list[str]:
                     repl = [_fix_backrefs(repl[0])]
                 if "g" not in flags and lit_pat and lit_repl:
                     # PG without 'g' replaces the FIRST match only
-                    # (regexp.c re_replace); Spark replaces all. Append a
-                    # swallow-the-rest group: pattern'(?s)(.*)' + '$N+1'
-                    # in the replacement — one match total. Non-literal
-                    # args keep replace-all (documented).
+                    # (regexp.c re_replace); Spark replaces all. Wrap the
+                    # pattern in a non-capturing group and append a
+                    # swallow-the-rest group: '(?:pat)((?s).*)' + '$N+1'
+                    # in the replacement — one match total. The (?:)
+                    # wrap matters with top-level alternation ('a|x'):
+                    # unwrapped, the tail would bind only to the last
+                    # branch and other branches would still replace-all.
+                    # (?:) adds no capture, so group numbering inside
+                    # pat is unchanged and ng+1 stays correct.
+                    # Non-literal args keep replace-all (documented).
                     ng = _n_groups(pat[0][1:-1])
                     pat = [
-                        pat[0][:-1] + "((?s).*)'"
+                        "'(?:" + pat[0][1:-1] + ")((?s).*)'"
                     ]
                     repl = [repl[0][:-1] + f"${ng + 1}'"]
                 if inl:

@@ -302,18 +302,37 @@ class Engine:
         t = re.sub(r"\b\d+(?:\.\d+)?\b", "?", t)
         return " ".join(t.split()).lower()
 
-    def run(self, text: str) -> list:
+    def run(self, text: str, max_rows: int | None = 10_000) -> list:
         """Execute PG-dialect SQL and record pg_stat_statements metrics
         (calls, total wall ms, rows) under the normalized query text.
         ``sql()`` stays lazy and unrecorded — this is the executed path,
         matching the reference's executor-end hook
-        (pg_stat_statements.c pgss_ExecutorEnd)."""
+        (pg_stat_statements.c pgss_ExecutorEnd).
+
+        Driver transfer is BOUNDED: at most ``max_rows`` rows are
+        collected (one ``limit(max_rows+1)`` pass); when the result is
+        larger, the statistics row count is computed JVM-side and only
+        the first ``max_rows`` rows return. Larger result sets belong on
+        cursors (``declare_cursor`` — bounded fetch paging) or a sink
+        write, never an unbounded ``collect()``. ``max_rows=None``
+        restores the unbounded psql-style collect explicitly."""
         import time
 
         if not hasattr(self, "_pgss"):
             self._pgss: dict[str, dict] = {}
         t0 = time.perf_counter()
-        rows = self.sql(text).collect()
+        df = self.sql(text)
+        if max_rows is None:
+            rows = df.collect()
+            n_rows = len(rows)
+        else:
+            rows = df.limit(max_rows + 1).collect()
+            if len(rows) > max_rows:
+                # JVM-side count: no further row transfer to the driver
+                n_rows = df.count()
+                rows = rows[:max_rows]
+            else:
+                n_rows = len(rows)
         ms = (time.perf_counter() - t0) * 1000.0
         key = self._normalize_query(text)
         s = self._pgss.setdefault(
@@ -321,7 +340,7 @@ class Engine:
         )
         s["calls"] += 1
         s["total_ms"] += ms
-        s["rows"] += len(rows)
+        s["rows"] += n_rows
         return rows
 
     def pg_stat_statements(self) -> DataFrame:
@@ -413,7 +432,12 @@ class Engine:
             if cols:
                 names = [c.strip() for c in cols[1:-1].split(",")]
             else:
-                names = [f.name for f in target.schema.fields]
+                # positional INSERT: PG accepts fewer expressions than
+                # target columns (trailing columns NULL-fill below)
+                names = [
+                    f.name
+                    for f in target.schema.fields[: len(df.columns)]
+                ]
             df = df.toDF(*names)
             # positional INSERT fills missing trailing columns with NULL
             for f in target.schema.fields:
@@ -479,13 +503,14 @@ class Engine:
 
     # -- script execution (psql -f / exec_simple_query loop) -----------------
 
-    def run_script(self, script: str) -> list:
+    def run_script(self, script: str, max_rows: int | None = 10_000) -> list:
         """Execute a multi-statement PG script top to bottom (the
         exec_simple_query loop a `psql -f file.sql` drives): statements
         split on top-level semicolons (string/paren aware, comments
         stripped), DML routed to execute_dml, session/DDL/SELECT through
         sql(). Returns the collected rows of the LAST resultful
-        statement — psql's "last result wins" display contract."""
+        statement — psql's "last result wins" display contract — capped
+        at ``max_rows`` (same bounded-driver-transfer rule as run())."""
         from gpdb_spark.dialect import _lex
 
         # strip -- line comments and /* */ blocks quote-aware (scan.l):
@@ -538,9 +563,14 @@ class Engine:
             else:
                 df = self.sql(sql_text)
                 if head == "select" or head == "with" or head == "show":
-                    last_rows = df.collect()
+                    last_rows = (
+                        df.collect()
+                        if max_rows is None
+                        else df.limit(max_rows).collect()
+                    )
                 else:
-                    df.collect()
+                    # force side effects; row transfer stays JVM-side
+                    df._jdf.queryExecution().toRdd().count()
         return last_rows
 
     def create_table_as(

@@ -247,7 +247,48 @@ def embed_ann_topk_blocked(spark, sf_dir):
     return brute_force_topk_blocked(e, q, k=5)
 
 
-@query("embed_neardup_clusters")
+@query(
+    "embed_neardup_clusters",
+    # The exact cosine-threshold pair graph is deterministic (decimal dot
+    # products, round-5 threshold — same discipline as embed_cosine_pairs)
+    # and connected components IS SQL-expressible as a recursive CTE:
+    # reach(id, comp) = every node reaches itself ∪ step across edges;
+    # component = min reachable id — exactly components_from_edges'
+    # min-label fixpoint.
+    oracle=f"""
+    WITH RECURSIVE norms AS (
+        SELECT vec_id,
+               sqrt(CAST(sum(CAST(embedding[i] * embedding[i] AS DECIMAL(30,15)))
+                         AS DOUBLE)) AS nrm
+        FROM embeddings, {IDX}
+        GROUP BY vec_id
+    ), dots AS (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               CAST(sum(CAST(a.embedding[i] * b.embedding[i] AS DECIMAL(30,15)))
+                    AS DOUBLE) AS dp
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id, {IDX}
+        GROUP BY a.vec_id, b.vec_id
+    ), pairs AS (
+        SELECT d.a, d.b
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.a
+        JOIN norms nb ON nb.vec_id = d.b
+        WHERE round(d.dp / (na.nrm * nb.nrm), 5) >= 0.35
+    ), edges AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION
+        SELECT b AS u, a AS v FROM pairs
+    ), reach(id, comp) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.u, r.comp FROM edges e JOIN reach r ON r.id = e.v
+    )
+    SELECT id AS vec_id, min(comp) AS component
+    FROM reach
+    GROUP BY id
+    """,
+)
 def embed_neardup_clusters(spark, sf_dir):
     """Embedding-cosine near-duplicate CLUSTERS: cosine >= 0.35 pair
     graph (label-blocked, so the pair space is per-block rather than
@@ -255,9 +296,10 @@ def embed_neardup_clusters(spark, sf_dir):
     buckets — similarity.srp_buckets — instead of a label column)
     -> connected components by min-label propagation
     (datapipe/graph.py). Returns (vec_id, component); a training
-    pipeline keeps one representative per component. No SQL oracle (the
-    fixpoint is not single-query-expressible); parity is pytest
-    union-find over the same pair list (test_datapipe.py)."""
+    pipeline keeps one representative per component. Oracled: the
+    fixpoint is a DuckDB recursive CTE (reach = transitive closure,
+    component = min reachable id); pytest additionally checks union-find
+    parity (test_datapipe.py)."""
     from gpdb_spark.datapipe.graph import components_from_edges
     from gpdb_spark.registry import QUERIES
 

@@ -335,11 +335,13 @@ def upsert_sink(
     giving a continuously-maintained dimension/state table the reference
     can only build with batch DML.
 
-    Exactly-once discipline: upsert is idempotent for a REPLAYED batch
-    (same keys take the same incoming values; re-applying is a no-op on
-    the final state), and batch ids are recorded so an already-applied
-    batch is skipped outright after recovery — foreachBatch's standard
-    at-least-once -> effectively-once pattern. Per batch the work is one
+    Exactly-once discipline: upsert IDEMPOTENCE is the recovery
+    guarantee — a replayed batch re-applies the same keys with the same
+    incoming values, a no-op on the final state. The in-memory
+    ``applied`` set only short-circuits duplicate deliveries within one
+    run; it does not survive restart (post-recovery correctness rests
+    on idempotence alone) — foreachBatch's standard at-least-once ->
+    effectively-once pattern. Per batch the work is one
     key-join rewrite; at scale the join is hash-partitioned on the
     conflict key, the same shuffle a batch MERGE costs.
     """

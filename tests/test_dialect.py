@@ -452,3 +452,26 @@ def test_overlaps_predicate(spark):
     ).collect()[0]
     assert (r["y1"], r["y2"], r["y3"]) == (True, True, True)
     assert r["n1"] is False  # half-open: touching endpoints don't overlap
+
+
+def test_regexp_replace_literal_dollar_and_alternation(spark):
+    """Regression (round-3 advice): a literal $ in the replacement must
+    be escaped before reaching Java (bare $ is a group reference —
+    IllegalArgumentException or wrong substitution), and first-match-only
+    rewriting must wrap alternation patterns in (?:) so a match via the
+    first branch swallows the rest."""
+    from gpdb_spark.dialect import pg_sql
+
+    r = pg_sql(
+        spark,
+        r"SELECT regexp_replace('price 5', '\d+', '$5.00') AS dollar, "
+        r"regexp_replace('cost 1 and 2', '(\d)', '$\1') AS mixed, "
+        r"regexp_replace('xaybxc', 'a|x', '_') AS alt_first, "
+        r"regexp_replace('xaybxc', 'a|x', '_', 'g') AS alt_all",
+    ).collect()[0]
+    assert r["dollar"] == "price $5.00"
+    # without 'g': first match only, backref still substituted
+    assert r["mixed"] == "cost $1 and 2"
+    # PG: first match only — leftmost 'x' replaced, later a/x untouched
+    assert r["alt_first"] == "_aybxc"
+    assert r["alt_all"] == "__yb_c"

@@ -345,3 +345,33 @@ def test_create_table_as(spark, sf_dir, tmp_path):
     n = e.table("big_cust").count()
     assert n == t.read(spark).count() > 0
     assert e.sql("SELECT count(*) AS n FROM big_cust").collect()[0]["n"] == n
+
+
+def test_run_bounded_driver_transfer(spark, sf_dir):
+    """run() caps driver transfer at max_rows while pg_stat_statements
+    still records the TRUE row count (counted JVM-side) — the front
+    door never ships an unbounded table to the driver."""
+    from gpdb_spark.engine import Engine
+
+    e = Engine(spark, sf_dir)
+    e.pg_stat_statements_reset()
+    rows = e.run("SELECT o_orderkey FROM orders", max_rows=7)
+    assert len(rows) == 7
+    stats = e.pg_stat_statements().collect()
+    true_n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert stats[0]["rows"] == true_n  # stat is the real count, not 7
+
+
+def test_insert_positional_fewer_columns(spark, tmp_path):
+    """PG accepts positional INSERT with fewer expressions than target
+    columns; trailing columns NULL-fill (round-3 advice fix)."""
+    from gpdb_spark.engine import Engine
+
+    e = Engine(spark)
+    df = spark.createDataFrame([(1, "a", 10.0)], "id int, name string, v double")
+    t = e.create_table(
+        "t_pos", df, str(tmp_path / "t_pos"), distributed_by=("id",)
+    )
+    e.execute_dml("INSERT INTO t_pos VALUES (2, 'b')")
+    got = {r.id: (r.name, r.v) for r in t.read(spark).collect()}
+    assert got[2] == ("b", None)
