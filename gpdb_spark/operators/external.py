@@ -9,6 +9,18 @@ Spark mapping: spark.read.csv/json with mode=PERMISSIVE and
 columnNameOfCorruptRecord gives per-row error capture; the reject-limit
 check is a count over the corrupt column. Spark's file readers already
 parallelize splits, which is gpfdist's whole job.
+
+Cloud object-store protocols (the reference's s3/gpcloud external
+protocol, /root/reference/gpcontrib/gpcloud/): in Spark these are just
+filesystem URI schemes on the SAME readers — ``s3a://bucket/key``
+(hadoop-aws), ``gs://``, ``abfss://`` — with parallel split listing,
+ranged reads, and predicate pushdown handled by the Hadoop FS layer.
+Every reader in this module takes any such URI unchanged; there is no
+separate protocol implementation to write. Credentials/endpoint come
+from the standard Hadoop configs (``spark.hadoop.fs.s3a.*``), which is
+gpcloud's s3.conf analog. Tested against a ``file://`` stand-in (no
+object store in the test container; the URI-scheme path through
+``spark.read`` is identical).
 """
 
 from __future__ import annotations

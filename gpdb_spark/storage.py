@@ -358,6 +358,71 @@ class GpTable:
             os.rename(tmp, part_dir)  # ADD PARTITION via exchange
         return spark.read.parquet(part_dir).count()
 
+    def split_partition(
+        self,
+        spark: SparkSession,
+        value,
+        split_col: str,
+        at,
+        into: tuple,
+    ) -> tuple[int, int]:
+        """ALTER TABLE ... SPLIT PARTITION FOR (value) AT (at) INTO
+        (PARTITION lo, PARTITION hi) — the third of the partition-rollout
+        trio next to drop_partition/exchange_partition
+        (ATPExecPartSplit, tablecmds.c; boundary validation in
+        /root/reference/src/backend/cdb/cdbpartition.c:6816 region).
+
+        ONE partition's rows are rerouted across the ``split_col < at``
+        boundary into two NEW partitions named by ``into=(lo, hi)``
+        (rows with split_col >= at or NULL go to ``hi``, PG's default
+        route). Sibling partition directories are untouched — no table
+        rewrite — and each new partition is written with the table's
+        distribution policy and clustered sort order, so downstream
+        bucketed joins and row-group pruning behave exactly as for
+        original partitions. Returns (rows_lo, rows_hi)."""
+        pcol = self.partition_by[0]
+        part_dir = os.path.join(self.path, f"{pcol}={value}")
+        if not os.path.isdir(part_dir):
+            raise ValueError(f"no partition for {pcol}={value}")
+        lo_val, hi_val = into
+        dirs = {
+            v: os.path.join(self.path, f"{pcol}={v}") for v in (lo_val, hi_val)
+        }
+        for v, d in dirs.items():
+            if os.path.isdir(d):
+                raise ValueError(f"target partition {pcol}={v} exists")
+        df = spark.read.parquet(part_dir)
+        halves = {
+            lo_val: df.where(F.col(split_col) < F.lit(at)),
+            hi_val: df.where(
+                ~(F.col(split_col) < F.lit(at)) | F.col(split_col).isNull()
+            ),
+        }
+        counts = {}
+        tmps = {}
+        for v, part in halves.items():
+            placed = (
+                part.repartition(self.num_buckets, *self.policy.distkey)
+                if self.policy.distkey and not self.policy.is_replicated
+                else part
+            )
+            if self.sort_by:
+                placed = placed.sortWithinPartitions(*self.sort_by)
+            tmp = f"{dirs[v]}__split_{uuid.uuid4().hex[:8]}"
+            placed.write.mode("overwrite").option(
+                "compression", self.compression
+            ).parquet(tmp)
+            tmps[v] = tmp
+        # all writes succeeded: swap in the two new partitions, drop the
+        # old one (the rename window is the same one exchange_partition
+        # accepts; parquet has no WAL — documented storage trade)
+        for v, tmp in tmps.items():
+            os.rename(tmp, dirs[v])
+        shutil.rmtree(part_dir)
+        for v, d in dirs.items():
+            counts[v] = spark.read.parquet(d).count()
+        return counts[lo_val], counts[hi_val]
+
     def vacuum(
         self, spark: SparkSession, target_file_bytes: int = 128 << 20
     ) -> tuple[int, int]:

@@ -645,3 +645,71 @@ def test_partition_maintenance(spark, tmp_path):
     }
     assert got == {(1, "2024-01"), (2, "2024-01"), (30, "2024-02"),
                    (31, "2024-02"), (40, "2024-04")}
+
+
+def test_split_partition(spark, tmp_path):
+    """ALTER TABLE SPLIT PARTITION (ATPExecPartSplit, tablecmds.c;
+    cdbpartition.c:6816 boundary validation): one partition's rows are
+    rerouted across a boundary into two new partitions; siblings are
+    byte-untouched and the distribution policy is preserved."""
+    import glob
+    import os
+
+    from gpdb_spark.storage import GpTable
+
+    src = spark.createDataFrame(
+        [(1, "2024-H1", 1.0), (2, "2024-H1", 2.0), (3, "2024-H1", None),
+         (4, "2024-H1", 9.0), (5, "2024-H2", 5.0)],
+        "id int, half string, v double",
+    )
+    t = GpTable.create(
+        src, str(tmp_path / "sp"), distributed_by=("id",),
+        partition_by=("half",),
+    )
+    sibling_files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(str(tmp_path / "sp" / "half=2024-H2" / "*.parquet"))
+    }
+    n_lo, n_hi = t.split_partition(
+        spark, "2024-H1", split_col="v", at=3.0, into=("2024-Q1", "2024-Q2")
+    )
+    assert (n_lo, n_hi) == (2, 2)  # NULL v routes to hi (PG default)
+    assert not os.path.isdir(tmp_path / "sp" / "half=2024-H1")
+    got = {(r["id"], r["half"]) for r in t.read(spark).collect()}
+    assert got == {(1, "2024-Q1"), (2, "2024-Q1"), (3, "2024-Q2"),
+                   (4, "2024-Q2"), (5, "2024-H2")}
+    # sibling partition untouched: same files, same mtimes
+    assert {
+        p: os.path.getmtime(p)
+        for p in glob.glob(str(tmp_path / "sp" / "half=2024-H2" / "*.parquet"))
+    } == sibling_files
+    # splitting into an existing partition name refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exists"):
+        t.split_partition(
+            spark, "2024-H2", split_col="v", at=1.0,
+            into=("2024-Q1", "2024-Q4"),
+        )
+
+
+def test_external_uri_scheme_passthrough(tmp_path, spark):
+    """Cloud external protocols (gpcontrib/gpcloud s3:// analog): object
+    stores are URI schemes on the same readers — exercised with the
+    file:// scheme (the in-container stand-in; s3a://, gs://, abfss://
+    take the identical spark.read path, differing only in the Hadoop FS
+    implementation behind the scheme)."""
+    from gpdb_spark.operators.external import read_external_csv
+
+    p = tmp_path / "cloud.csv"
+    p.write_text("1,alpha,1.5\n2,beta,2.5\n")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    res = read_external_csv(spark, f"file://{p}", schema)
+    assert res.n_rejected == 0
+    assert {r.name for r in res.good.collect()} == {"alpha", "beta"}
