@@ -38,6 +38,7 @@ DRIVER_PRIORITY: list[str] = [
     "pg_jsonb_ops",
     "pg_overlaps_predicate",
     "pg_at_time_zone",
+    "pg_multidim_arrays",
     "embed_neardup_clusters",
     # never-driver-checked, breadth-first by family (oracled)
     "distinct_ordered_aggs",

@@ -57,10 +57,15 @@ rewrites the handful of constructs where PG and Spark SQL disagree
   first-match-only; 'i' folds into the pattern; backslash-N replacement
   backrefs -> Java's dollar-N.
 
-Not translated (documented gaps): multi-dim arrays, integer ``/`` on
-operands whose type the catalog cannot prove integral (kept as double
-division), timestamp->timestamptz direction of AT TIME ZONE (needs
-column type info).
+- multi-dim arrays: ``ARRAY[[..],[..]]`` input + chained subscripts +
+  array_length dims 1/2 (arrays-of-arrays model; ragged writes and
+  array_dims remain out of scope).
+
+Not translated (documented gaps): integer ``/`` on operands whose type
+the catalog cannot prove integral (kept as double division); AT TIME
+ZONE on naive *columns* (all fixture timestamp columns are UTC
+instants, so columns take the timestamptz->local direction — naive
+literals and chained rewrites take the reverse).
 """
 
 from __future__ import annotations
@@ -1863,14 +1868,48 @@ def _pass_any_all(tokens: list[str]) -> list[str]:
     return out
 
 
+def _nested_brackets_to_arrays(tokens: list[str]) -> list[str]:
+    """Inside an ARRAY[...] literal, a ``[`` at operand-start position
+    (start, after ``,`` or ``(``) opens a NESTED array row —
+    ``ARRAY[[1,2],[3,4]]`` (arrayfuncs.c multi-dim input) -> Spark
+    ``array(array(1,2), array(3,4))``. Brackets after an operand are
+    subscripts and stay for the subscript branch."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t == "[" and (not out or out[-1] in (",", "(")):
+            depth, k = 0, i
+            while k < n:
+                if tokens[k] == "[":
+                    depth += 1
+                elif tokens[k] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            inner = _nested_brackets_to_arrays(tokens[i + 1 : k])
+            out += ["array", "("] + inner + [")"]
+            i = k + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _pass_array_syntax(tokens: list[str]) -> list[str]:
     """PG array syntax (arrayfuncs.c / parse_expr.c subscripting):
 
     - ``ARRAY[a, b]``      -> ``array(a, b)`` (Spark has no bracket form)
+    - ``ARRAY[[..],[..]]`` -> nested ``array(array(..), ..)`` (multi-dim
+      input syntax; Spark's model is arrays-of-arrays, which chained
+      subscripts ``a[i][j]`` -> element_at(element_at(a,i),j) index)
     - ``expr[i]``          -> ``element_at(expr, i)`` — PG subscripts are
       1-based; Spark's ``expr[i]`` is 0-based, so passing brackets
       through would silently shift every element (element_at is 1-based)
-    - ``array_length(x,1)``-> ``size(x)``
+    - ``array_length(x,1)``-> ``size(x)``; ``array_length(x,2)`` ->
+      ``size(element_at(x,1))`` (dim-2 length of a rectangular array)
     - ``unnest``           -> ``explode`` (works in SELECT and as a TVF)
 
     Slice syntax ``a[i:j]`` is left untranslated (loud failure) rather
@@ -1892,7 +1931,9 @@ def _pass_array_syntax(tokens: list[str]) -> list[str]:
                     if depth == 0:
                         break
                 k += 1
-            inner = _pass_array_syntax(tokens[i + 2 : k])
+            inner = _pass_array_syntax(
+                _nested_brackets_to_arrays(tokens[i + 2 : k])
+            )
             out += ["array", "("] + inner + [")"]
             i = k + 1
             continue
@@ -1916,6 +1957,15 @@ def _pass_array_syntax(tokens: list[str]) -> list[str]:
             if last_comma and tokens[last_comma + 1 : k] == ["1"]:
                 inner = _pass_array_syntax(tokens[i + 2 : last_comma])
                 out += ["size", "("] + inner + [")"]
+                i = k + 1
+                continue
+            if last_comma and tokens[last_comma + 1 : k] == ["2"]:
+                inner = _pass_array_syntax(tokens[i + 2 : last_comma])
+                out += (
+                    ["size", "(", "element_at", "("]
+                    + inner
+                    + [",", "1", ")", ")"]
+                )
                 i = k + 1
                 continue
         if t == "[" and out:

@@ -199,6 +199,28 @@ _pg_query(
 )
 
 _pg_query(
+    "pg_multidim_arrays",
+    # multi-dim array input syntax + subscripting (arrayfuncs.c;
+    # previously a declared gap): ARRAY[[..],[..]] -> nested Spark
+    # arrays; a[i][j] -> chained element_at; array_length(x, 2) ->
+    # dim-2 length. DuckDB's native 1-based nested lists are the oracle.
+    """
+    SELECT n_nationkey,
+           (ARRAY[[1,2,3],[4,5,6]])[(n_nationkey % 2) + 1][3] AS pick,
+           array_length(ARRAY[[1,2,3],[4,5,6]], 1) AS d1,
+           array_length(ARRAY[[1,2,3],[4,5,6]], 2) AS d2
+    FROM nation
+    """,
+    oracle="""
+    SELECT n_nationkey,
+           ([[1,2,3],[4,5,6]])[CAST(n_nationkey % 2 AS INT) + 1][3] AS pick,
+           len([[1,2,3],[4,5,6]]) AS d1,
+           len([[1,2,3],[4,5,6]][1]) AS d2
+    FROM nation
+    """,
+)
+
+_pg_query(
     "pg_at_time_zone",
     # AT TIME ZONE both directions (timestamp.c timezone()): UTC-instant
     # column -> named-zone wall clock (DST-aware), naive literal ->

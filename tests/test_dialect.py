@@ -475,3 +475,18 @@ def test_regexp_replace_literal_dollar_and_alternation(spark):
     # PG: first match only — leftmost 'x' replaced, later a/x untouched
     assert r["alt_first"] == "_aybxc"
     assert r["alt_all"] == "__yb_c"
+
+
+def test_multidim_arrays(spark):
+    """Multi-dim array input + subscripting (arrayfuncs.c): nested
+    ARRAY[[..],[..]] literals, chained 1-based subscripts, dim lengths."""
+    from gpdb_spark.dialect import pg_sql
+
+    r = pg_sql(
+        spark,
+        "SELECT (ARRAY[[1,2],[3,4]])[2][1] AS x, "
+        "array_length(ARRAY[[1,2],[3,4]], 1) AS d1, "
+        "array_length(ARRAY[[1,2],[3,4]], 2) AS d2, "
+        "(ARRAY[10,20])[2] AS flat",
+    ).collect()[0]
+    assert (r["x"], r["d1"], r["d2"], r["flat"]) == (3, 2, 2, 20)
