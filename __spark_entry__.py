@@ -36,6 +36,7 @@ DRIVER_PRIORITY: list[str] = [
     # new round-3 queries (jsonb ops, OVERLAPS, AT TIME ZONE reverse,
     # neardup-clusters oracle)
     "pg_jsonb_ops",
+    "pg_jsonb_funcs",
     "pg_overlaps_predicate",
     "pg_at_time_zone",
     "pg_multidim_arrays",

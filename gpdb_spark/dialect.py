@@ -445,12 +445,21 @@ def _jsonb_contains_sql(lhs_sql: str, needle) -> str:
 
 
 def _jsonb_rhs_literal(tokens: list[str], i: int) -> tuple[str, int] | None:
-    """String literal at tokens[i], possibly wrapped by the casts pass as
-    CAST ( 'lit' AS STRING ). Returns (literal_token, next_index)."""
-    if i < len(tokens) and tokens[i].startswith("'"):
-        return tokens[i], i + 1
+    """String literal at tokens[i], optionally suffixed ``::jsonb`` /
+    ``::json`` (this pass runs BEFORE the casts pass) or spelled
+    CAST ( 'lit' AS jsonb ). Returns (literal_token, next_index)."""
+    n = len(tokens)
+    if i < n and tokens[i].startswith("'"):
+        j = i + 1
+        if (
+            j + 1 < n
+            and tokens[j] == "::"
+            and tokens[j + 1].lower() in ("jsonb", "json")
+        ):
+            j += 2
+        return tokens[i], j
     if (
-        i + 5 < len(tokens)
+        i + 5 < n
         and tokens[i].upper() == "CAST"
         and tokens[i + 1] == "("
         and tokens[i + 2].startswith("'")
@@ -459,6 +468,19 @@ def _jsonb_rhs_literal(tokens: list[str], i: int) -> tuple[str, int] | None:
     ):
         return tokens[i + 2], i + 6
     return None
+
+
+def _strip_jsonb_cast(out: list[str]) -> None:
+    """Drop a trailing ``:: jsonb`` / ``:: json`` from the operand run —
+    the engine's jsonb representation IS json text, so the cast is an
+    identity; stripping it lets _operand_start see the real operand."""
+    if (
+        len(out) >= 2
+        and out[-2] == "::"
+        and out[-1].isidentifier()
+        and out[-1].lower() in ("jsonb", "json")
+    ):
+        del out[-2:]
 
 
 def _jsonb_operand_end(tokens: list[str], i: int) -> int:
@@ -519,6 +541,15 @@ def _pass_jsonb_ops(tokens: list[str]) -> list[str]:
       map<string,string> parse (flat objects with scalar values — the
       dominant PG use; nested values re-serialize as quoted strings,
       documented divergence).
+    - ``a || b`` where either side is marked ``::jsonb`` -> object merge
+      (jsonb_concat, right wins on key conflict), emitted with
+      lexicographically sorted keys for deterministic text (PG's jsonb
+      canonical order is length-then-bytes — documented divergence;
+      extraction operators see identical content either way).
+
+    Runs BEFORE the casts pass so ``::jsonb`` operand markers are still
+    visible (they are identity casts here — the representation is json
+    text — and are consumed by this pass).
     """
     out: list[str] = []
     i = 0
@@ -532,6 +563,7 @@ def _pass_jsonb_ops(tokens: list[str]) -> list[str]:
                     "jsonb @> requires a literal needle on the right"
                 )
             lit, nxt = rhs
+            _strip_jsonb_cast(out)
             start = _operand_start(out, len(out))
             lhs_sql = _render(out[start:])
             out = out[:start] + [
@@ -540,6 +572,7 @@ def _pass_jsonb_ops(tokens: list[str]) -> list[str]:
             i = nxt
             continue
         if t == "<@" and i + 1 < n:
+            _strip_jsonb_cast(out)
             start = _operand_start(out, len(out))
             lhs = out[start:]
             needle_lit = None
@@ -556,7 +589,14 @@ def _pass_jsonb_ops(tokens: list[str]) -> list[str]:
                     "jsonb <@ requires a literal needle on the left"
                 )
             end = _jsonb_operand_end(tokens, i + 1)
-            hay_sql = _render(tokens[i + 1 : end])
+            hay = tokens[i + 1 : end]
+            if (
+                end + 1 < n
+                and tokens[end] == "::"
+                and tokens[end + 1].lower() in ("jsonb", "json")
+            ):
+                end += 2
+            hay_sql = _render(hay)
             out = out[:start] + [
                 _jsonb_contains_sql(
                     hay_sql, _parse_json_literal(needle_lit)
@@ -565,6 +605,7 @@ def _pass_jsonb_ops(tokens: list[str]) -> list[str]:
             i = end
             continue
         if t == "?" and i + 1 < n and tokens[i + 1].startswith("'"):
+            _strip_jsonb_cast(out)
             start = _operand_start(out, len(out))
             lhs_sql = _render(out[start:])
             key = tokens[i + 1]
@@ -577,6 +618,7 @@ def _pass_jsonb_ops(tokens: list[str]) -> list[str]:
             continue
         if t in ("?|", "?&") and i + 1 < n:
             keys, nxt = _jsonb_key_array(tokens, i + 1)
+            _strip_jsonb_cast(out)
             start = _operand_start(out, len(out))
             lhs_sql = _render(out[start:])
             arr = "array(" + ", ".join(keys) + ")"
@@ -593,6 +635,7 @@ def _pass_jsonb_ops(tokens: list[str]) -> list[str]:
                 raise ValueError(
                     "jsonb #- supports single top-level keys only"
                 )
+            _strip_jsonb_cast(out)
             start = _operand_start(out, len(out))
             lhs_sql = _render(out[start:])
             out = out[:start] + [
@@ -601,6 +644,41 @@ def _pass_jsonb_ops(tokens: list[str]) -> list[str]:
                 f"{_sql_str(path)}))"
             ]
             i += 2
+            continue
+        if t == "||" and i + 1 < n:
+            lhs_is_jsonb = (
+                len(out) >= 2
+                and out[-2] == "::"
+                and out[-1].isidentifier()
+                and out[-1].lower() in ("jsonb", "json")
+            )
+            end = _jsonb_operand_end(tokens, i + 1)
+            rhs_is_jsonb = (
+                end + 1 < n
+                and tokens[end] == "::"
+                and tokens[end + 1].lower() in ("jsonb", "json")
+            )
+            if not (lhs_is_jsonb or rhs_is_jsonb):
+                out.append(t)  # plain string concat
+                i += 1
+                continue
+            _strip_jsonb_cast(out)
+            start = _operand_start(out, len(out))
+            lhs_sql = _render(out[start:])
+            rhs_sql = _render(tokens[i + 1 : end])
+            if rhs_is_jsonb:
+                end += 2
+            lm = f"from_json({lhs_sql}, 'map<string,string>')"
+            rm = f"from_json({rhs_sql}, 'map<string,string>')"
+            merged = (
+                f"map_concat(map_filter({lm}, (k_, v_) -> NOT "
+                f"array_contains(map_keys({rm}), k_)), {rm})"
+            )
+            out = out[:start] + [
+                f"to_json(map_from_entries(array_sort(map_entries("
+                f"{merged}))))"
+            ]
+            i = end
             continue
         out.append(t)
         i += 1
@@ -933,6 +1011,78 @@ def _pass_functions(tokens: list[str]) -> list[str]:
             out += ["current_timestamp", "(", ")"]
             i += 3
             continue
+        # json[b]_build_object('k', v, ...) -> to_json(named_struct(...))
+        # (json.c json_build_object; value types preserved — named_struct
+        # keeps ints as json numbers, unlike a map<string,string> round
+        # trip). Keys must be literals, which named_struct also requires.
+        if low in ("jsonb_build_object", "json_build_object") and nxt == "(":
+            depth, k = 0, i + 1
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            inner = tokens[i + 2 : k]
+            out += (
+                ["to_json", "(", "named_struct", "("] + inner + [")", ")"]
+            )
+            i = k + 1
+            continue
+        # jsonb_set(j, '{k}', 'v') -> flat-object key update via map ops
+        # (jsonfuncs.c jsonb_set; same map<string,string> discipline and
+        # flat-object restriction as the #- operator — nested values
+        # re-serialize as quoted strings, documented divergence)
+        if low == "jsonb_set" and nxt == "(":
+            depth, k = 0, i + 1
+            commas: list[int] = []
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif tokens[k] == "," and depth == 1:
+                    commas.append(k)
+                k += 1
+            if len(commas) == 2:
+                jtoks = tokens[i + 2 : commas[0]]
+                ptok = tokens[commas[0] + 1 : commas[1]]
+                vtoks = tokens[commas[1] + 1 : k]
+                lit_path = len(ptok) == 1 and ptok[0].startswith("'")
+                # value: literal (json text) or CAST('lit' AS STRING)
+                vlit = None
+                if len(vtoks) == 1 and vtoks[0].startswith("'"):
+                    vlit = vtoks[0]
+                elif (
+                    len(vtoks) == 6
+                    and vtoks[0].upper() == "CAST"
+                    and vtoks[2].startswith("'")
+                ):
+                    vlit = vtoks[2]
+                if lit_path and vlit is not None:
+                    key = ptok[0][1:-1].strip("{}").strip()
+                    if "," not in key:
+                        val = vlit[1:-1]
+                        # strip json string quotes: '"x"' -> x
+                        if val.startswith('"') and val.endswith('"'):
+                            val = val[1:-1]
+                        jsql = _render(jtoks)
+                        out += [
+                            f"to_json(map_concat(map_filter(from_json("
+                            f"{jsql}, 'map<string,string>'), (k_, v_) -> "
+                            f"k_ <> {_sql_str(key)}), map({_sql_str(key)},"
+                            f" {_sql_str(val)})))"
+                        ]
+                        i = k + 1
+                        continue
+            raise ValueError(
+                "jsonb_set supports (expr, '{key}', 'literal') — single "
+                "top-level key, literal new value"
+            )
         # extract(epoch from X) -> unix_timestamp(X)
         if (
             low == "extract"
@@ -2123,8 +2273,8 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_statement_forms(tokens)
     tokens = _pass_quoted_idents(tokens)
     tokens = _pass_distinct_on(tokens)
-    tokens = _pass_casts(tokens)
     tokens = _pass_jsonb_ops(tokens)
+    tokens = _pass_casts(tokens)
     tokens = _pass_overlaps(tokens)
     tokens = _pass_json_ops(tokens)
     tokens = _pass_regex_ops(tokens)

@@ -199,6 +199,35 @@ _pg_query(
 )
 
 _pg_query(
+    "pg_jsonb_funcs",
+    # jsonb || concat (right wins), jsonb_set, jsonb_build_object
+    # (jsonfuncs.c jsonb_concat/jsonb_set; json.c json_build_object).
+    # Compared output is EXTRACTED values (->>) — raw merged-json text
+    # differs in key order across engines (PG canonical order is
+    # length-then-bytes); extraction sees identical content.
+    """
+    SELECT event_id,
+           (props::jsonb || '{"extra": "x"}'::jsonb) ->> 'extra' AS merged_extra,
+           (props::jsonb || '{"k": 0}'::jsonb) ->> 'k' AS right_wins,
+           jsonb_build_object('t', event_type, 'i', event_id) ->> 't' AS built_t,
+           (jsonb_build_object('i', event_id) ->> 'i')::int8 AS built_i,
+           jsonb_set(props, '{k}', '"z"') ->> 'k' AS set_k
+    FROM events
+    WHERE event_id < 250
+    """,
+    oracle="""
+    SELECT event_id,
+           json_merge_patch(props, '{"extra": "x"}') ->> 'extra' AS merged_extra,
+           json_merge_patch(props, '{"k": 0}') ->> 'k' AS right_wins,
+           json_object('t', event_type, 'i', event_id) ->> 't' AS built_t,
+           CAST(json_object('i', event_id) ->> 'i' AS BIGINT) AS built_i,
+           json_merge_patch(props, '{"k": "z"}') ->> 'k' AS set_k
+    FROM events
+    WHERE event_id < 250
+    """,
+)
+
+_pg_query(
     "pg_multidim_arrays",
     # multi-dim array input syntax + subscripting (arrayfuncs.c;
     # previously a declared gap): ARRAY[[..],[..]] -> nested Spark

@@ -490,3 +490,23 @@ def test_multidim_arrays(spark):
         "(ARRAY[10,20])[2] AS flat",
     ).collect()[0]
     assert (r["x"], r["d1"], r["d2"], r["flat"]) == (3, 2, 2, 20)
+
+
+def test_jsonb_concat_set_build(spark):
+    """jsonb || (jsonb_concat, right wins), jsonb_set, jsonb_build_object
+    (jsonfuncs.c / json.c) — flat-object map discipline; plain string ||
+    is untouched."""
+    from gpdb_spark.dialect import pg_sql
+
+    r = pg_sql(
+        spark,
+        """SELECT ('{"a": 1}'::jsonb || '{"b": 2, "a": 9}'::jsonb) ->> 'a' AS win,
+                  ('{"a": 1}'::jsonb || '{"b": 2}'::jsonb) ->> 'b' AS add_b,
+                  jsonb_build_object('x', 5, 'y', 'z') ->> 'x' AS bx,
+                  jsonb_set('{"k": 1, "m": 2}'::jsonb, '{k}', '"new"') ->> 'k' AS sk,
+                  jsonb_set('{"k": 1, "m": 2}'::jsonb, '{k}', '"new"') ->> 'm' AS sm,
+                  'plain' || '_concat' AS s""",
+    ).collect()[0]
+    assert (r["win"], r["add_b"], r["bx"]) == ("9", "2", "5")
+    assert (r["sk"], r["sm"]) == ("new", "2")
+    assert r["s"] == "plain_concat"
