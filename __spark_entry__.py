@@ -41,6 +41,7 @@ DRIVER_PRIORITY: list[str] = [
     "pg_at_time_zone",
     "pg_multidim_arrays",
     "embed_neardup_clusters",
+    "text_url_canonical_dedup",
     # never-driver-checked, breadth-first by family (oracled)
     "distinct_ordered_aggs",
     "window_frame_exclude_groups",

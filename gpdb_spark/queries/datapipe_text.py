@@ -545,3 +545,49 @@ _ORACLE2["text_contamination"] = " ".join(
     FROM g
     """.replace("'", "'").split()
 )
+
+
+@query(
+    "text_url_canonical_dedup",
+    # URLs are synthesized deterministically from doc fields (fixtures
+    # carry no URL column), so the canonical form is analytically known:
+    # the oracle asserts GROUND TRUTH — uppercase scheme/host fold, :80
+    # default-port drop, trailing-slash drop, #fragment drop, utm_*
+    # tracking-param removal, and param sort must all collapse the
+    # variants to 'http://example.com/<src>/page<k>?a=<m>&b=2'.
+    oracle="""
+    SELECT 'http://example.com/d' || CAST(doc_id % 10 AS VARCHAR) || '/page'
+               || CAST(doc_id % 7 AS VARCHAR)
+               || '?a=' || CAST(doc_id % 3 AS VARCHAR) || '&b=2'
+               AS canonical_url,
+           count(*) AS n_dups,
+           min(doc_id) AS keep_id
+    FROM documents
+    WHERE doc_id < 300
+    GROUP BY 1
+    """,
+)
+def text_url_canonical_dedup(spark, sf_dir):
+    """Canonical-URL dedup (datapipe/urls.py): the crawl pipeline's
+    cheapest dedup tier — scheme/host fold, default-port + fragment +
+    tracking-param + trailing-slash normalization, sorted params, then
+    one 2-stage groupBy. All JVM expressions (parse_url + array
+    lambdas); the projection fuses into the scan."""
+    from gpdb_spark.datapipe.urls import url_dedup
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    url = F.concat(
+        F.lit("HTTP://Example.COM"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/d"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("/page"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=x&b=2&a="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("#frag"),
+    )
+    return url_dedup(
+        d.select("doc_id", url.alias("url")), "url", "doc_id"
+    )

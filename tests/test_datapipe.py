@@ -356,3 +356,29 @@ def test_contamination_flags_exact(spark):
         for r in contamination_flags(docs, ["x alpha beta gamma y"], n=3).collect()
     }
     assert got == {1: (1, True), 2: (0, False)}
+
+
+def test_canonicalize_url_policy(spark):
+    """datapipe/urls.py canonicalization policy edge cases."""
+    from gpdb_spark.datapipe.urls import canonicalize_url
+
+    cases = [
+        # scheme/host fold + default port + fragment
+        ("HTTP://WWW.Ex.COM:80/A/b#frag", "http://www.ex.com/A/b"),
+        # https default port dropped, non-default kept
+        ("https://ex.com:443/p", "https://ex.com/p"),
+        ("https://ex.com:8443/p", "https://ex.com:8443/p"),
+        # tracking params out, rest sorted; trailing slash dropped
+        (
+            "http://ex.com/a/?z=1&utm_source=tw&a=2&fbclid=xyz",
+            "http://ex.com/a?a=2&z=1",
+        ),
+        # root path slash kept; empty query omitted
+        ("http://ex.com/?utm_campaign=c", "http://ex.com/"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    rows = df.select(
+        canonicalize_url("url").alias("got"), "want"
+    ).collect()
+    for r in rows:
+        assert r.got == r.want, (r.got, r.want)

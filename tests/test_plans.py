@@ -111,7 +111,13 @@ def test_scalar_subquery_not_recomputed_per_row(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["dedup_exact", "text_quality_score", "fulltext_rank"]
+    "name",
+    [
+        "dedup_exact",
+        "text_quality_score",
+        "fulltext_rank",
+        "text_url_canonical_dedup",
+    ],
 )
 def test_datapipe_ops_have_no_python_udf_in_plan(spark, sf_dir, name):
     """The text/dedup operators are built from JVM column expressions; a
