@@ -160,6 +160,8 @@ class Engine:
         """CREATE VIEW name AS <pg sql> (commands/view.c): logical —
         re-planned at every use, always current."""
         self.sql(text).createOrReplaceTempView(name)
+        self._views = getattr(self, "_views", {})
+        self._views[name] = text
 
     def create_materialized_view(
         self, name: str, text: str, path: str
@@ -287,6 +289,122 @@ class Engine:
         )
         df._jdf.queryExecution().toRdd().count()
         return explain_motion(df)
+
+    # -- catalog introspection (pg_catalog / information_schema) -------------
+
+    @staticmethod
+    def _pg_typename(dtype: str) -> str:
+        """Spark SQL dtype string -> PG type name (pg_type.dat names, the
+        spellings psql \\d and information_schema report)."""
+        d = dtype.strip()
+        if d.startswith("array<") and d.endswith(">"):
+            return Engine._pg_typename(d[6:-1]) + "[]"
+        if d.startswith("decimal"):
+            return "numeric" + d[7:]
+        base = {
+            "tinyint": "smallint",
+            "smallint": "smallint",
+            "int": "integer",
+            "bigint": "bigint",
+            "float": "real",
+            "double": "double precision",
+            "string": "text",
+            "boolean": "boolean",
+            "date": "date",
+            "timestamp": "timestamp without time zone",
+            "timestamp_ntz": "timestamp without time zone",
+            "binary": "bytea",
+        }
+        if d in base:
+            return base[d]
+        if d.startswith("map<string,string>"):
+            return "hstore"  # the contrib-parity mapping (functions/hstore)
+        if d.startswith("map<") or d.startswith("struct<"):
+            return "jsonb"  # closest PG analog for nested values
+        return d
+
+    def _view_names(self) -> set[str]:
+        return set(getattr(self, "_views", {})) | set(
+            getattr(self, "_matviews", {})
+        )
+
+    def pg_tables(self) -> DataFrame:
+        """The pg_catalog.pg_tables view (system_views.sql): one row per
+        base table — governed GpTables plus registered fixture tables;
+        views are excluded (they live in pg_views)."""
+        views = self._view_names()
+        names = set(self._tables)
+        names |= {
+            t.name
+            for t in self.spark.catalog.listTables()
+            if t.name not in views
+        }
+        data = [
+            (
+                "public",
+                n,
+                "gpadmin",
+                n in self._tables and bool(self._tables[n].partition_by),
+            )
+            for n in sorted(names)
+        ]
+        return self.spark.createDataFrame(
+            data or [("", "", "", False)],
+            "schemaname string, tablename string, tableowner string, "
+            "ispartitioned boolean",
+        ).where("tablename <> ''")
+
+    def pg_views(self) -> DataFrame:
+        """pg_catalog.pg_views: view name + defining query text
+        (pg_get_viewdef); materialized views included with their
+        persisted path noted."""
+        rows = [
+            ("public", n, txt, False)
+            for n, txt in getattr(self, "_views", {}).items()
+        ] + [
+            ("public", n, txt, True)
+            for n, (txt, _path) in getattr(self, "_matviews", {}).items()
+        ]
+        return self.spark.createDataFrame(
+            rows or [("", "", "", False)],
+            "schemaname string, viewname string, definition string, "
+            "ismaterialized boolean",
+        ).where("viewname <> ''")
+
+    def information_schema_columns(
+        self, table: str | None = None
+    ) -> DataFrame:
+        """information_schema.columns (infoschema.sql): ordinal-numbered
+        column metadata with PG type names, over every visible relation
+        (or one ``table``)."""
+        views = self._view_names()
+        names = (
+            [table]
+            if table
+            else sorted(
+                set(self._tables)
+                | {t.name for t in self.spark.catalog.listTables()}
+                | views
+            )
+        )
+        rows = []
+        for n in names:
+            df = (
+                self._tables[n].read(self.spark)
+                if n in self._tables
+                else self.spark.table(n)
+            )
+            for i, (col, dtype) in enumerate(df.dtypes, start=1):
+                if col == "gp_segment_id":
+                    continue
+                rows.append(
+                    (n, col, i, self._pg_typename(dtype), "YES")
+                )
+        return self.spark.createDataFrame(
+            rows or [("", "", 0, "", "")],
+            "table_name string, column_name string, ordinal_position int, "
+            "data_type string, is_nullable string",
+        ).where("table_name <> ''")
 
     # -- query statistics (contrib/pg_stat_statements) -----------------------
 

@@ -375,3 +375,39 @@ def test_insert_positional_fewer_columns(spark, tmp_path):
     e.execute_dml("INSERT INTO t_pos VALUES (2, 'b')")
     got = {r.id: (r.name, r.v) for r in t.read(spark).collect()}
     assert got[2] == ("b", None)
+
+
+def test_catalog_introspection(spark, sf_dir, tmp_path):
+    """pg_tables / pg_views / information_schema.columns
+    (system_views.sql, infoschema.sql): the psql-facing catalog surface
+    over governed tables, fixtures, and views."""
+    from gpdb_spark.engine import Engine
+
+    e = Engine(spark, sf_dir)
+    e.sql("SELECT 1")  # registers fixture views
+    df = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    e.create_table("cat_t", df, str(tmp_path / "cat_t"), distributed_by=("id",))
+    e.create_view("cat_v", "SELECT n_name FROM nation WHERE n_nationkey < 3")
+
+    tables = {r.tablename for r in e.pg_tables().collect()}
+    assert "cat_t" in tables and "nation" in tables
+    assert "cat_v" not in tables  # views are not tables
+
+    views = {r.viewname: r for r in e.pg_views().collect()}
+    assert "cat_v" in views
+    assert "n_name" in views["cat_v"].definition
+    assert views["cat_v"].ismaterialized is False
+
+    cols = e.information_schema_columns("cat_t").collect()
+    assert [(c.column_name, c.ordinal_position, c.data_type) for c in cols] == [
+        ("id", 1, "bigint"),
+        ("name", 2, "text"),
+    ]
+    # PG type-name mapping over fixture types
+    all_cols = {
+        (c.table_name, c.column_name): c.data_type
+        for c in e.information_schema_columns().collect()
+    }
+    assert all_cols[("orders", "o_totalprice")] == "double precision"
+    assert all_cols[("orders", "o_orderdate")] == "timestamp without time zone"
+    assert all_cols[("embeddings", "embedding")] in ("real[]", "double precision[]")
