@@ -42,6 +42,10 @@ DRIVER_PRIORITY: list[str] = [
     "pg_multidim_arrays",
     "embed_neardup_clusters",
     "text_url_canonical_dedup",
+    # rows-only in r01/r02, oracled this round (floor-scaled integers
+    # make the comparisons rounding-free; see query docstrings)
+    "text_langid_heuristic",
+    "multimodal_byte_stats",
     # never-driver-checked, breadth-first by family (oracled)
     "distinct_ordered_aggs",
     "window_frame_exclude_groups",
@@ -117,9 +121,8 @@ DRIVER_PRIORITY: list[str] = [
     "embed_cosine_pairs",
     "mapinpandas_filter",
     "fulltext_match_any",
-    # never-driver-checked, rows-only (no SQL-expressible oracle)
-    "text_langid_heuristic",
-    "multimodal_byte_stats",
+    # never-driver-checked, rows-only (hash-seed / approximate / BLAS
+    # paths — genuinely no independent SQL oracle)
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",
     "dedup_simhash",

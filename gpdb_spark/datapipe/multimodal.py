@@ -32,6 +32,10 @@ BYTES_STATS_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("n_bytes", LongType()),
         StructField("entropy", DoubleType()),
+        # floor(entropy * 1000) from the UNROUNDED value: an integer an
+        # independent engine can reproduce without FP-rounding-mode
+        # agreement (the cross-engine comparison column)
+        StructField("entropy_milli", LongType()),
         StructField("histogram16", ArrayType(LongType())),
     ]
 )
@@ -68,9 +72,24 @@ def byte_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     hist16 = counts.reshape(16, 16).sum(axis=1).astype(np.int64)
                 else:
                     entropy, hist16 = 0.0, np.zeros(16, dtype=np.int64)
-                out.append((int(mid), int(arr.size), round(entropy, 6), hist16.tolist()))
+                out.append(
+                    (
+                        int(mid),
+                        int(arr.size),
+                        round(entropy, 6),
+                        int(np.floor(entropy * 1000.0)),
+                        hist16.tolist(),
+                    )
+                )
             yield pd.DataFrame(
-                out, columns=["media_id", "n_bytes", "entropy", "histogram16"]
+                out,
+                columns=[
+                    "media_id",
+                    "n_bytes",
+                    "entropy",
+                    "entropy_milli",
+                    "histogram16",
+                ],
             )
 
     return df.mapInPandas(_stats, BYTES_STATS_SCHEMA)

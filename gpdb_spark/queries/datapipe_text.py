@@ -187,24 +187,124 @@ def text_lang_distribution(spark, sf_dir):
     )
 
 
-@query("text_langid_heuristic")
+def _langid_oracle() -> str:
+    """DuckDB oracle generated from the SAME stopword table the engine
+    uses — per-language hit-rate as floor-ppm integers (rounding-free
+    comparison) and argmax with alphabetical tiebreak."""
+    from gpdb_spark.datapipe.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+
+    def ppm(code: str) -> str:
+        sw = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS[code])) + "]"
+        return (
+            f"CAST(floor(CAST(len(list_filter(toks, x -> "
+            f"list_contains({sw}, x))) AS DOUBLE) * 1000000 / "
+            f"greatest(len(toks), 1)) AS BIGINT)"
+        )
+
+    score_cols = ", ".join(f"{ppm(c)} AS score_{c}_ppm" for c in langs)
+    best = "greatest(" + ", ".join(f"score_{c}_ppm" for c in langs) + ")"
+    pred = (
+        "CASE "
+        + " ".join(
+            f"WHEN score_{c}_ppm = {best} THEN '{c}'" for c in langs
+        )
+        + " END"
+    )
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, lang, {score_cols} FROM tk
+    )
+    SELECT doc_id, lang, {pred} AS lang_pred,
+           {", ".join(f"score_{c}_ppm" for c in langs)}
+    FROM scored
+    """
+
+
+@query("text_langid_heuristic", oracle=_langid_oracle())
 def text_langid_heuristic(spark, sf_dir):
-    """Language-ID heuristic scores + argmax prediction. Rows-only (the
-    scoring matrix isn't worth duplicating in SQL); tests/test_datapipe.py
-    asserts structure and determinism."""
+    """Language-ID heuristic: per-language stopword hit-rate (floor-ppm
+    integers — rounding-free across engines) + argmax prediction with
+    alphabetical tiebreak. Was rows-only through round 2; now oracled
+    against the same scoring matrix generated into DuckDB SQL.
+    tests/test_datapipe.py additionally asserts structure/determinism
+    of the double-valued T.langid_scores API."""
     d = t(spark, sf_dir, "documents")
-    out = T.langid_scores(d)
-    return out.select(
-        "doc_id", "lang", "lang_pred", *[f"score_{c}" for c in sorted(T.STOPWORDS)]
+    toks = T.tokens("text")
+    n = F.greatest(F.array_size(toks), F.lit(1))
+    langs = sorted(T.STOPWORDS)
+    sel = [F.col("doc_id"), F.col("lang"), toks.alias("_toks")]
+    base = d.select(*sel)
+    def _hits(sw_col):
+        return F.size(
+            F.filter(F.col("_toks"), lambda x: F.array_contains(sw_col, x))
+        )
+
+    for code in langs:
+        sw = F.array(*[F.lit(w) for w in sorted(T.STOPWORDS[code])])
+        hits = _hits(sw)
+        nn = F.greatest(F.array_size(F.col("_toks")), F.lit(1))
+        base = base.withColumn(
+            f"score_{code}_ppm",
+            F.floor(hits.cast("double") * 1000000.0 / nn).cast("bigint"),
+        )
+    _ = n
+    scores = [F.col(f"score_{c}_ppm") for c in langs]
+    best = F.greatest(*scores)
+    pred = F.lit(None).cast("string")
+    for code in reversed(langs):
+        pred = F.when(F.col(f"score_{code}_ppm") == best, F.lit(code)).otherwise(
+            pred
+        )
+    return base.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        *[f"score_{c}_ppm" for c in langs],
     )
 
 
-@query("multimodal_byte_stats")
+@query(
+    "multimodal_byte_stats",
+    # The payload is the document's utf-8 bytes (ASCII fixture text), so
+    # DuckDB can recompute every stat from characters: per-byte >>4
+    # bucketing for the 16-bin histogram and Shannon entropy over the
+    # 256-bin distribution. Entropy compares as floor(e*1000) — an
+    # integer immune to FP rounding-mode differences (summation-order
+    # ULP noise would need to land within ~1e-12 of a milli boundary to
+    # flip it). The raw double entropy stays available on the API
+    # (BYTES_STATS_SCHEMA) and is numpy-parity-tested.
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, strlen(text) AS n, string_split(text, '') AS chars
+        FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(floor(coalesce(list_sum(list_transform(
+               list_transform(list_distinct(chars),
+                   c -> len(list_filter(chars, x -> x = c))),
+               k -> -(CAST(k AS DOUBLE) / n)
+                    * log2(CAST(k AS DOUBLE) / n))), 0) * 1000)
+               AS BIGINT) AS entropy_milli,
+           array_to_string(list_transform(generate_series(0, 15),
+               b -> CAST(len(list_filter(chars, c -> ord(c) // 16 = b))
+                         AS VARCHAR)), ',') AS hist_csv
+    FROM ch
+    """,
+)
 def multimodal_byte_stats(spark, sf_dir):
     """Binary-column pipeline: documents -> binary payload -> Arrow-batched
-    mapInPandas featurizer (entropy + byte histogram). Rows-only; exact
-    values re-checked in tests/test_datapipe.py against numpy on the
-    driver."""
+    mapInPandas featurizer (entropy + byte histogram). Was rows-only
+    through round 2; now oracled — DuckDB recomputes byte stats from the
+    same utf-8 payload characters (see oracle note on the floor-milli
+    entropy discipline)."""
     from gpdb_spark.datapipe.multimodal import attach_binary, byte_stats
 
     d = t(spark, sf_dir, "documents")
@@ -213,7 +313,7 @@ def multimodal_byte_stats(spark, sf_dir):
     return stats.select(
         "media_id",
         "n_bytes",
-        "entropy",
+        "entropy_milli",
         F.array_join(
             F.transform(F.col("histogram16"), lambda v: v.cast("string")), ","
         ).alias("hist_csv"),
