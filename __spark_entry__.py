@@ -40,6 +40,9 @@ DRIVER_PRIORITY: list[str] = [
     "pg_overlaps_predicate",
     "pg_at_time_zone",
     "pg_multidim_arrays",
+    # PL/pgSQL interpreter (closes the last unimplemented survey row)
+    "plpgsql_function",
+    "plpgsql_control_flow",
     "embed_neardup_clusters",
     "text_url_canonical_dedup",
     # rows-only in r01/r02, oracled this round (floor-scaled integers

@@ -872,6 +872,29 @@ def _pass_casts(tokens: list[str]) -> list[str]:
         )
 
 
+def _pass_cast_as_types(tokens: list[str]) -> list[str]:
+    """CAST(x AS <pg type>) — map the PG type name exactly like the
+    ``::`` form does (format_type.c names: double precision, float8,
+    int4, numeric(p,s), timestamp with time zone, ...)."""
+    i = 0
+    while i < len(tokens):
+        if _is_word(tokens[i], "cast") and i + 1 < len(tokens) and tokens[i + 1] == "(":
+            depth, j = 0, i + 1
+            while j < len(tokens):
+                if tokens[j] == "(":
+                    depth += 1
+                elif tokens[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif depth == 1 and _is_word(tokens[j], "as"):
+                    spark_type, after = _map_type(tokens, j + 1)
+                    tokens[j + 1 : after] = [spark_type]
+                j += 1
+        i += 1
+    return tokens
+
+
 def _rhs_end(tokens: list[str], j: int) -> int:
     """End index (exclusive) of the operand starting at tokens[j]:
     a literal/identifier, a function call, or a parenthesized expr."""
@@ -2275,6 +2298,7 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_distinct_on(tokens)
     tokens = _pass_jsonb_ops(tokens)
     tokens = _pass_casts(tokens)
+    tokens = _pass_cast_as_types(tokens)
     tokens = _pass_overlaps(tokens)
     tokens = _pass_json_ops(tokens)
     tokens = _pass_regex_ops(tokens)

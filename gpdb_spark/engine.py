@@ -621,6 +621,39 @@ class Engine:
 
     # -- script execution (psql -f / exec_simple_query loop) -----------------
 
+    # -- PL/pgSQL (src/pl/plpgsql — coordinator-side procedural language) ----
+
+    def create_function(self, ddl: str):
+        """CREATE [OR REPLACE] FUNCTION ... LANGUAGE plpgsql
+        (functioncmds.c CreateFunction -> pl_comp.c do_compile): compile
+        and register; call with ``Engine.call(name, *args)``."""
+        from gpdb_spark.plpgsql import compile_function
+
+        fn = compile_function(ddl)
+        self._plfuncs = getattr(self, "_plfuncs", {})
+        self._plfuncs[fn.name] = fn
+        return fn
+
+    def do(self, stmt: str) -> list[str]:
+        """DO $$ ... $$ anonymous block (ExecuteDoStmt,
+        commands/functioncmds.c). Returns raised notices."""
+        from gpdb_spark.plpgsql import run_do
+
+        return run_do(self, stmt)
+
+    def call(self, name: str, *args):
+        """Invoke a registered PL/pgSQL function: scalar functions
+        return the value, TABLE/SETOF functions return a DataFrame
+        (pl_exec.c plpgsql_exec_function)."""
+        from gpdb_spark.plpgsql import call_function
+
+        return call_function(self, self._plfuncs[name.lower()], *args)
+
+    def notices(self) -> list[str]:
+        """RAISE NOTICE/INFO/WARNING messages accumulated across
+        PL/pgSQL executions (elog.c client-message stream)."""
+        return list(getattr(self, "_pl_notices", []))
+
     def run_script(self, script: str, max_rows: int | None = 10_000) -> list:
         """Execute a multi-statement PG script top to bottom (the
         exec_simple_query loop a `psql -f file.sql` drives): statements
@@ -629,7 +662,21 @@ class Engine:
         sql(). Returns the collected rows of the LAST resultful
         statement — psql's "last result wins" display contract — capped
         at ``max_rows`` (same bounded-driver-transfer rule as run())."""
+        import re as _re
+
         from gpdb_spark.dialect import _lex
+
+        # protect dollar-quoted bodies (scan.l xdolq state) so the ';'
+        # inside a plpgsql function body never splits the statement
+        bodies: list[str] = []
+
+        def _stash(m):
+            bodies.append(m.group(0))
+            return f"'__PLBODY_{len(bodies) - 1}__'"
+
+        script = _re.sub(
+            r"(?s)(\$[A-Za-z_]*\$).*?\1", _stash, script
+        )
 
         # strip -- line comments and /* */ blocks quote-aware (scan.l):
         # a '--' inside a string literal is content, not a comment
@@ -675,7 +722,18 @@ class Engine:
             if not st:
                 continue
             sql_text = " ".join(st)
+            sql_text = _re.sub(
+                r"'__PLBODY_(\d+)__'", lambda m: bodies[int(m.group(1))], sql_text
+            )
             head = st[0].lower()
+            if head == "do":
+                self.do(sql_text)
+                continue
+            if head == "create" and _re.search(
+                r"(?is)\bfunction\b.*\blanguage\s+plpgsql\b", sql_text
+            ):
+                self.create_function(sql_text)
+                continue
             if head in ("insert", "update", "delete"):
                 self.execute_dml(sql_text)
             else:

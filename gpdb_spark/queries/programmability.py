@@ -302,3 +302,104 @@ def gp_skew_report(spark, sf_dir):
 
     li = t(spark, sf_dir, "lineitem")
     return skew_report(li, ["l_suppkey"], n_segments=32)
+
+
+@query(
+    "plpgsql_function",
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS cnt,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_totalprice < 200000.0
+    GROUP BY o_custkey
+    HAVING count(*) >= 1
+    ORDER BY cnt DESC, o_custkey
+    LIMIT 50
+    """,
+)
+def plpgsql_function(spark, sf_dir):
+    """PL/pgSQL set-returning function (src/pl/plpgsql/src/pl_exec.c
+    plpgsql_exec_function; pl_gram.y): DECLARE + IF + RETURN QUERY, with
+    arguments substituted as planner parameters. Control flow runs on
+    the driver (the reference's coordinator-only interpreter); the
+    RETURN QUERY statement executes distributed through the engine's
+    SQL front door. min_orders=0 exercises the IF raising the threshold
+    to 1 — the oracle inlines the post-branch value."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.create_function("""
+    CREATE FUNCTION big_customers(min_orders int, price_cap double precision)
+    RETURNS TABLE(o_custkey bigint, cnt bigint, total_price double precision) AS $fn$
+    DECLARE
+      threshold int := min_orders;
+    BEGIN
+      IF threshold < 1 THEN
+        threshold := 1;
+      END IF;
+      RETURN QUERY
+        SELECT o_custkey, count(*) AS cnt,
+               CAST(round(sum(CAST(o_totalprice AS decimal(25,6))), 2)
+                    AS double precision) AS total_price
+        FROM orders
+        WHERE o_totalprice < price_cap
+        GROUP BY o_custkey
+        HAVING count(*) >= threshold
+        ORDER BY cnt DESC, o_custkey
+        LIMIT 50;
+    END;
+    $fn$ LANGUAGE plpgsql""")
+    return eng.call("big_customers", 0, 200000.0)
+
+
+@query(
+    "plpgsql_control_flow",
+    oracle="""
+    SELECT n_name, n_regionkey,
+           (SELECT CAST(sum(n_regionkey) AS BIGINT) FROM nation) AS region_sum,
+           CAST(233 AS BIGINT) AS fib13
+    FROM nation
+    ORDER BY n_name
+    """,
+)
+def plpgsql_control_flow(spark, sf_dir):
+    """PL/pgSQL control flow (pl_exec.c exec_stmt_while /
+    exec_stmt_fors / exec_stmt_assign): a WHILE loop computes F(13)=233
+    driver-side on the arithmetic fast path (no Spark job per
+    iteration), a FOR-IN-query loop streams a distributed aggregate's
+    rows with toLocalIterator (exec_stmt_fors' coordinator cursor), and
+    the final RETURN QUERY inlines both accumulators as constants —
+    which the DuckDB oracle recomputes in SQL."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.create_function("""
+    CREATE FUNCTION nation_flow()
+    RETURNS TABLE(n_name text, n_regionkey bigint, region_sum bigint, fib13 bigint) AS $fn$
+    DECLARE
+      total bigint := 0;
+      i int := 1;
+      fib_a bigint := 0;
+      fib_b bigint := 1;
+      tmp bigint;
+      rec record;
+    BEGIN
+      WHILE i <= 12 LOOP
+        tmp := fib_a + fib_b;
+        fib_a := fib_b;
+        fib_b := tmp;
+        i := i + 1;
+      END LOOP;
+      FOR rec IN SELECT n_regionkey FROM nation LOOP
+        total := total + rec.n_regionkey;
+      END LOOP;
+      RETURN QUERY
+        SELECT n_name, CAST(n_regionkey AS bigint) AS n_regionkey,
+               CAST(total AS bigint) AS region_sum,
+               CAST(fib_b AS bigint) AS fib13
+        FROM nation ORDER BY n_name;
+    END;
+    $fn$ LANGUAGE plpgsql""")
+    return eng.call("nation_flow")

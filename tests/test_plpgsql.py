@@ -1,0 +1,211 @@
+"""PL/pgSQL subset interpreter (src/pl/plpgsql: pl_gram.y grammar,
+pl_exec.c executor): control flow on the driver, every SQL statement
+distributed — the reference's coordinator/segment split."""
+
+from __future__ import annotations
+
+import pytest
+
+from gpdb_spark.engine import Engine
+from gpdb_spark.plpgsql import PlPgSqlError
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return Engine(spark, SF)
+
+
+def test_scalar_function_loop_and_if(eng):
+    eng.create_function("""
+    CREATE FUNCTION fact(n int) RETURNS bigint AS $$
+    DECLARE
+      r bigint := 1;
+      i int;
+    BEGIN
+      IF n < 0 THEN
+        RAISE EXCEPTION 'negative input %', n;
+      END IF;
+      FOR i IN 2..n LOOP
+        r := r * i;
+      END LOOP;
+      RETURN r;
+    END;
+    $$ LANGUAGE plpgsql""")
+    assert eng.call("fact", 6) == 720
+    assert eng.call("fact", 0) == 1
+    with pytest.raises(PlPgSqlError, match="negative input -2"):
+        eng.call("fact", -2)
+
+
+def test_while_exit_continue(eng):
+    eng.create_function("""
+    CREATE FUNCTION sum_odd(n int) RETURNS bigint AS $$
+    DECLARE
+      total bigint := 0;
+      i int := 0;
+    BEGIN
+      WHILE TRUE LOOP
+        i := i + 1;
+        EXIT WHEN i > n;
+        CONTINUE WHEN i % 2 = 0;
+        total := total + i;
+      END LOOP;
+      RETURN total;
+    END;
+    $$ LANGUAGE plpgsql""")
+    assert eng.call("sum_odd", 10) == 25  # 1+3+5+7+9
+
+
+def test_table_function_return_query(eng):
+    eng.create_function("""
+    CREATE FUNCTION nations_of(rname text) RETURNS TABLE(n_name text, n_nationkey bigint) AS $$
+    BEGIN
+      RETURN QUERY
+        SELECT n.n_name, n.n_nationkey
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = rname
+        ORDER BY n.n_name;
+    END;
+    $$ LANGUAGE plpgsql""")
+    df = eng.call("nations_of", "ASIA")
+    rows = df.collect()
+    assert [r.n_name for r in rows] == sorted(r.n_name for r in rows)
+    assert len(rows) == 5
+    assert df.columns == ["n_name", "n_nationkey"]
+
+
+def test_for_in_query_and_return_next(eng):
+    eng.create_function("""
+    CREATE FUNCTION region_sizes() RETURNS TABLE(r_regionkey bigint, n bigint) AS $$
+    DECLARE
+      rec record;
+    BEGIN
+      FOR rec IN SELECT n_regionkey, count(*) AS c FROM nation GROUP BY n_regionkey ORDER BY n_regionkey LOOP
+        RETURN NEXT (rec.n_regionkey, rec.c);
+      END LOOP;
+    END;
+    $$ LANGUAGE plpgsql""")
+    rows = eng.call("region_sizes").collect()
+    assert len(rows) == 5
+    assert all(r.n == 5 for r in rows)
+
+
+def test_select_into_and_found(eng):
+    eng.create_function("""
+    CREATE FUNCTION biggest_nation() RETURNS text AS $$
+    DECLARE
+      nm text;
+      k bigint;
+    BEGIN
+      SELECT n_name, n_nationkey INTO nm, k
+      FROM nation ORDER BY n_nationkey DESC LIMIT 1;
+      IF NOT FOUND THEN
+        RETURN 'none';
+      END IF;
+      RETURN nm;
+    END;
+    $$ LANGUAGE plpgsql""")
+    out = eng.call("biggest_nation")
+    assert isinstance(out, str) and len(out) > 0
+
+
+def test_do_block_notices_and_dynamic_execute(eng):
+    notices = eng.do("""
+    DO $$
+    DECLARE
+      n bigint;
+      tbl text := 'region';
+    BEGIN
+      EXECUTE 'SELECT count(*) FROM ' || tbl INTO n;
+      RAISE NOTICE 'rows=%', n;
+    END;
+    $$""")
+    assert notices == ["NOTICE: rows=5"]
+
+
+def test_exception_block_recovers(eng):
+    eng.create_function("""
+    CREATE FUNCTION safe_div(a int, b int) RETURNS text AS $$
+    BEGIN
+      BEGIN
+        IF b = 0 THEN
+          RAISE EXCEPTION 'division by zero';
+        END IF;
+        RETURN 'ok';
+      EXCEPTION WHEN OTHERS THEN
+        RETURN 'caught: ' || sqlerrm;
+      END;
+    END;
+    $$ LANGUAGE plpgsql""")
+    assert eng.call("safe_div", 1, 1) == "ok"
+    assert eng.call("safe_div", 1, 0) == "caught: division by zero"
+
+
+def test_dml_and_get_diagnostics(eng, tmp_path):
+    eng.create_table(
+        "pl_t",
+        eng.spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string"),
+        str(tmp_path / "pl_t"),
+        distributed_by=("k",),
+    )
+    eng.create_function("""
+    CREATE FUNCTION bump(cutoff int) RETURNS bigint AS $$
+    DECLARE
+      n bigint;
+    BEGIN
+      UPDATE pl_t SET v = 'x' WHERE k > cutoff;
+      GET DIAGNOSTICS n = ROW_COUNT;
+      RETURN n;
+    END;
+    $$ LANGUAGE plpgsql""")
+    assert eng.call("bump", 1) == 2
+    assert eng.table("pl_t").where("v = 'x'").count() == 2
+
+
+def test_run_script_routes_plpgsql(eng):
+    rows = eng.run_script("""
+    CREATE OR REPLACE FUNCTION twice(x int) RETURNS bigint AS $fn$
+    BEGIN
+      RETURN x * 2;
+    END;
+    $fn$ LANGUAGE plpgsql;
+    DO $$ BEGIN RAISE NOTICE 'script ran'; END; $$;
+    SELECT 1 AS one;
+    """)
+    assert rows[0].one == 1
+    assert eng.call("twice", 21) == 42
+    assert "NOTICE: script ran" in eng.notices()
+
+
+def test_elsif_chain_and_reverse_for(eng):
+    eng.create_function("""
+    CREATE FUNCTION classify(x int) RETURNS text AS $$
+    BEGIN
+      IF x < 0 THEN
+        RETURN 'neg';
+      ELSIF x = 0 THEN
+        RETURN 'zero';
+      ELSIF x < 10 THEN
+        RETURN 'small';
+      ELSE
+        RETURN 'big';
+      END IF;
+    END;
+    $$ LANGUAGE plpgsql""")
+    assert [eng.call("classify", v) for v in (-1, 0, 5, 50)] == [
+        "neg", "zero", "small", "big"]
+    eng.create_function("""
+    CREATE FUNCTION countdown(n int) RETURNS text AS $$
+    DECLARE
+      acc text := '';
+      i int;
+    BEGIN
+      FOR i IN REVERSE n..1 LOOP
+        acc := acc || i;
+      END LOOP;
+      RETURN acc;
+    END;
+    $$ LANGUAGE plpgsql""")
+    assert eng.call("countdown", 3) == "321"
