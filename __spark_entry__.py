@@ -43,6 +43,7 @@ DRIVER_PRIORITY: list[str] = [
     # PL/pgSQL interpreter (closes the last unimplemented survey row)
     "plpgsql_function",
     "plpgsql_control_flow",
+    "pgcrypto_hmac",
     "embed_neardup_clusters",
     "text_url_canonical_dedup",
     # rows-only in r01/r02, oracled this round (floor-scaled integers

@@ -245,3 +245,45 @@ def inet6_funcs(spark, sf_dir):
         MT.inet6_masklen(F.col("net")).alias("mlen"),
         MT.inet6_contains(F.col("net"), clean).alias("contained"),
     )
+
+
+@query(
+    "pgcrypto_hmac",
+    oracle="""
+    SELECT * FROM (VALUES
+    ('m1', 'f04e57efdf50fe921daa2b5be476e947852647872513f6f34577f0347ecbc067', '297714171d5afcf6ff4bef2913b5db09'),
+    ('m2', 'fbbc04f644ced89c13cf8144691b554f68dc2755ff40b28c8f4bd776fda59e64', '5ae4a931e2474704129539833891f67c'),
+    ('m3', '03d76e1573c793ad504d22c7811d4aec521846be58c13b2b65781e10d3c1b0a3', '8243cf3827165607f294ac363b88b25c'),
+    ('m4', '1b5e51ea19337aa7c26f91d70766cbd5fe0bb21608ce6544863ea34b7b53d9aa', '286986566ccbf4faabd16eef4e63f6d6'),
+    ('m5', 'c765593283860af572880ffdb212cf8c68e21cb09de51ec76755e3b3a54bf2a1', 'd8b4ef8d3ac9ad5dc2544c15da881667'),
+    ('m6', '0d3e0b6ce39f648f5b5746afc70993a5fa96813c7a9de4ae41f6570b3d6592bb', 'b0a3f4be824249a1c805ce238139c87d')
+    ) AS v(mid, hmac_sha256, hmac_md5)
+    """,
+)
+def pgcrypto_hmac(spark, sf_dir):
+    """pgcrypto hmac(data, key, type) (contrib/pgcrypto/px-hmac.c,
+    pgcrypto.c:180 pg_hmac): RFC 2104 construction as constant-folded
+    pads + builtin sha2/md5 over binary concat — fully codegen-resident
+    (gate: tests/test_crypto.py::test_hmac_stays_jvm_side). The oracle
+    is ground truth: digests precomputed with Python's independent
+    stdlib HMAC (RFC-vector-pinned in tests), since DuckDB's hash
+    functions are VARCHAR-only and cannot chain raw digest bytes.
+    Covers empty input, unicode (UTF-8 byte hashing), >block-size
+    message, and embedded newline/tab."""
+    from gpdb_spark.functions.crypto import hmac_hex
+
+    key = b"gpdb-spark-signing-key"
+    msgs = [
+        ("m1", "what do ya want for nothing?"),
+        ("m2", ""),
+        ("m3", "The quick brown fox jumps over the lazy dog"),
+        ("m4", "naive cafe éü中文"),
+        ("m5", "A" * 200),
+        ("m6", "line1\nline2\ttabbed"),
+    ]
+    df = spark.createDataFrame(msgs, "mid string, m string")
+    return df.select(
+        "mid",
+        hmac_hex(F.col("m"), key, "sha256").alias("hmac_sha256"),
+        hmac_hex(F.col("m"), key, "md5").alias("hmac_md5"),
+    )

@@ -41,7 +41,9 @@ def norm(rows, cols):
     return sorted(out, key=repr)
 
 fails = []
-for name in sorted(qs):
+# optional subset: names as argv (for targeted verify of changed queries)
+names = sorted(qs) if len(sys.argv) < 2 else [n for n in sys.argv[1:] if n in qs]
+for name in names:
     sdf = qs[name](spark, sf)
     srows = [tuple(r) for r in sdf.collect()]
     if name not in osql:
