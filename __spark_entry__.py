@@ -44,6 +44,7 @@ DRIVER_PRIORITY: list[str] = [
     "plpgsql_function",
     "plpgsql_control_flow",
     "pgcrypto_hmac",
+    "text_lm_quality",
     "embed_neardup_clusters",
     "text_url_canonical_dedup",
     # rows-only in r01/r02, oracled this round (floor-scaled integers

@@ -691,3 +691,73 @@ def text_url_canonical_dedup(spark, sf_dir):
     return url_dedup(
         d.select("doc_id", url.alias("url")), "url", "doc_id"
     )
+
+
+@query(
+    "text_lm_quality",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents
+      ) u WHERE w <> ''
+    ),
+    uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    vocab AS (SELECT w, c FROM uni ORDER BY c DESC, w LIMIT 50000),
+    docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS arr
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, pz[1] AS w1, pz[2] AS w2 FROM (
+        SELECT doc_id, unnest(list_zip(arr[:-2], arr[2:])) AS pz
+        FROM docs WHERE len(arr) >= 2
+      ) z
+    ),
+    bi AS (
+      SELECT p.w1, p.w2, count(*) AS c
+      FROM pairs p
+      JOIN vocab v1 ON p.w1 = v1.w
+      JOIN vocab v2 ON p.w2 = v2.w
+      GROUP BY p.w1, p.w2 ORDER BY c DESC, p.w1, p.w2 LIMIT 500000
+    ),
+    lp AS (
+      SELECT p.doc_id,
+             CAST(floor(1000000.0 * ln((coalesce(b.c, 0) + 1.0)
+                                       / (coalesce(u.c, 0) + 50000.0)))
+                  AS BIGINT) AS lp
+      FROM pairs p
+      LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+      LEFT JOIN vocab u ON p.w1 = u.w
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_pairs,
+             CAST(-sum(lp) AS BIGINT) AS nll_sum_micro
+      FROM lp GROUP BY doc_id
+    )
+    SELECT doc_id, n_pairs, nll_sum_micro,
+           CAST(floor(nll_sum_micro / (1000.0 * n_pairs)) AS BIGINT)
+               AS avg_nll_milli
+    FROM agg
+    """,
+)
+def text_lm_quality(spark, sf_dir):
+    """Bigram-LM perplexity-proxy quality scoring (CCNet pipeline
+    stage; datapipe/lm.py): train a bounded bigram model on the corpus
+    (top-V unigrams, top-B bigrams — deterministic cutoffs), then score
+    every document's average negative log-likelihood via BROADCAST
+    model joins (the corpus stream never shuffles for the model; the
+    only shuffles are the two training aggregations and the per-doc
+    sum). Per-pair log-probs floor-scale to integer micro-nats before
+    the exact integer sum, making the engine comparison rounding-free.
+    At 100 TB: model size is capped by construction; training prunes
+    junk pairs with a broadcast vocab semi-join before the bigram
+    shuffle."""
+    from gpdb_spark.datapipe.lm import lm_quality, train_bigram_lm
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab, bi = train_bigram_lm(d, "text")
+    return lm_quality(d, vocab, bi, "doc_id", "text")

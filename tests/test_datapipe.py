@@ -382,3 +382,45 @@ def test_canonicalize_url_policy(spark):
     ).collect()
     for r in rows:
         assert r.got == r.want, (r.got, r.want)
+
+
+class TestLmQuality:
+    def test_scores_are_finite_and_lower_for_natural_text(self, spark):
+        """A doc made of corpus-frequent bigrams must score lower
+        (more likely) than a doc of unique junk tokens."""
+        from gpdb_spark.datapipe.lm import lm_quality, train_bigram_lm
+
+        base = [(f"d{i}", "the cat sat on the mat and the dog ran") for i in range(20)]
+        docs = spark.createDataFrame(
+            base + [("junk", "zq1 xv9 qqj kkz pwy vvx bbn mmq")],
+            "doc_id string, text string",
+        )
+        vocab, bi = train_bigram_lm(docs, "text", vocab_size=1000, max_bigrams=1000)
+        out = {r.doc_id: r for r in lm_quality(docs, vocab, bi, vocab_size=1000).collect()}
+        assert out["d0"].avg_nll_milli < out["junk"].avg_nll_milli
+        assert out["d0"].n_pairs == 9
+        assert all(r.nll_sum_micro > 0 for r in out.values())
+
+    def test_short_docs_excluded(self, spark):
+        from gpdb_spark.datapipe.lm import lm_quality, train_bigram_lm
+
+        docs = spark.createDataFrame(
+            [("a", "one two three"), ("b", "single"), ("c", "")],
+            "doc_id string, text string",
+        )
+        vocab, bi = train_bigram_lm(docs, "text", vocab_size=10, max_bigrams=10)
+        ids = {r.doc_id for r in lm_quality(docs, vocab, bi, vocab_size=10).collect()}
+        assert ids == {"a"}
+
+    def test_vocab_cutoff_is_deterministic(self, spark):
+        """Ties at the vocab boundary break on word order — same model
+        every run regardless of partitioning."""
+        from gpdb_spark.datapipe.lm import train_bigram_lm
+
+        docs = spark.createDataFrame(
+            [("a", "aa bb cc dd ee ff"), ("b", "aa bb cc dd ee ff")],
+            "doc_id string, text string",
+        )
+        v1, _ = train_bigram_lm(docs, "text", vocab_size=3)
+        v2, _ = train_bigram_lm(docs.repartition(7), "text", vocab_size=3)
+        assert sorted(r.w for r in v1.collect()) == sorted(r.w for r in v2.collect()) == ["aa", "bb", "cc"]

@@ -273,3 +273,14 @@ def test_line_dedup_two_shuffles_no_pairs(spark, sf_dir):
     plan = plan_of(spark, "text_line_dedup", sf_dir)
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
+
+
+def test_lm_quality_broadcasts_model_no_udf(spark, sf_dir):
+    """Bigram-LM scoring (datapipe/lm.py): the bounded model must join
+    to the corpus stream as BROADCAST hash joins (the corpus never
+    shuffles for the model), and the whole pipeline stays JVM-side —
+    the 100 TB contract from the module docstring."""
+    plan = plan_of(spark, "text_lm_quality", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
