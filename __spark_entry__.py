@@ -45,6 +45,7 @@ DRIVER_PRIORITY: list[str] = [
     "plpgsql_control_flow",
     "pgcrypto_hmac",
     "text_lm_quality",
+    "embed_ann_topk_blocked",
     "embed_neardup_clusters",
     "text_url_canonical_dedup",
     # rows-only in r01/r02, oracled this round (floor-scaled integers

@@ -307,8 +307,16 @@ def brute_force_topk_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    emit_vectors: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k via Arrow-batched block matrix multiply.
+
+    With ``emit_vectors=True`` each surviving candidate row carries its
+    corpus vector (``cv``), so an exact re-scoring pass downstream
+    needs NO second corpus scan — the candidate set is
+    n_batches * k * |q| rows, a vanishing fraction of the corpus, and
+    shipping 64 doubles per candidate is far cheaper than re-reading
+    and re-joining 10^9 vectors.
 
     Same semantics as brute_force_topk, different execution: the (small,
     <=~10^4 rows) query set is collected into the UDF closure as one
@@ -352,17 +360,22 @@ def brute_force_topk_blocked(
             thr = np.partition(Sr, -kk, axis=0)[-kk, :]  # (n_q,) k-th largest
             mask = (Sr >= thr[None, :]) & np.isfinite(Sr)
             rows, cols = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "query_id": q_ids[cols],
-                    "corpus_id": ids[rows],
-                    "cos": Sr[rows, cols],
-                }
-            )
+            out = {
+                "query_id": q_ids[cols],
+                "corpus_id": ids[rows],
+                "cos": Sr[rows, cols],
+            }
+            if emit_vectors:
+                vecs = pdf[vec_col].to_numpy()
+                out["cv"] = [list(vecs[r]) for r in rows]
+            yield pd.DataFrame(out)
 
-    cand = corpus.select(id_col, vec_col).mapInPandas(
-        local_topk, "query_id long, corpus_id long, cos double"
-    )
+    schema = "query_id long, corpus_id long, cos double"
+    if emit_vectors:
+        schema += ", cv array<double>"
+    cand = corpus.select(id_col, vec_col).mapInPandas(local_topk, schema)
+    if emit_vectors:
+        return cand
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("corpus_id")
     )

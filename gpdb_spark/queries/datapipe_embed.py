@@ -112,9 +112,10 @@ def embed_cosine_pairs(spark, sf_dir):
     )
 
 
-@query(
-    "embed_ann_topk",
-    oracle=f"""
+# exact top-5 oracle, shared by the JVM-expression and the BLAS-blocked
+# formulations (the blocked path exact-rescores its winners, so both
+# produce identical rounded values)
+_ANN_TOPK_ORACLE = f"""
     WITH norms AS (
         SELECT vec_id,
                sqrt(CAST(sum(CAST(embedding[i] * embedding[i] AS DECIMAL(30,15)))
@@ -138,8 +139,10 @@ def embed_cosine_pairs(spark, sf_dir):
                   JOIN norms nc ON nc.vec_id = corpus_id
     )
     SELECT query_id, corpus_id, cos, rnk FROM scored WHERE rnk <= 5
-    """,
-)
+    """
+
+
+@query("embed_ann_topk", oracle=_ANN_TOPK_ORACLE)
 def embed_ann_topk(spark, sf_dir):
     """Exact cosine top-5 for a broadcast query set (vec_id < 20) — the
     brute-force ANN baseline: corpus scanned once, per-query window
@@ -230,21 +233,58 @@ def embed_ann_ivf(spark, sf_dir):
     return ivf_topk(e, q, k=5, n_centroids=16, n_probe=8)
 
 
-@query("embed_ann_topk_blocked")
+@query("embed_ann_topk_blocked", oracle=_ANN_TOPK_ORACLE)
 def embed_ann_topk_blocked(spark, sf_dir):
     """Exact cosine top-5 via Arrow-batched BLAS block multiply with
     per-batch local pruning (datapipe/similarity.py
     brute_force_topk_blocked) — ~4x the JVM-expression formulation here
     and the shape that holds at 10^9 vectors (candidates shrink from
-    |corpus|*|q| to n_batches*k*|q| before the only shuffle). Rows-only:
-    BLAS reduction order makes 6-digit rounding vs DuckDB unstable;
-    equivalence to the oracle-checked embed_ann_topk is asserted in
-    tests/test_datapipe.py::test_blocked_topk_matches_jvm_topk."""
+    |corpus|*|q| to n_batches*k*|q| before the only shuffle).
+
+    ORACLED (was rows-only): BLAS float reduction order makes 6-digit
+    rounding unstable at score boundaries, so the BLAS pass is used
+    only for *pruning* — it keeps k+2 candidates per query (the buffer
+    absorbs any boundary flip), and the kept ~|q|*(k+2) rows are
+    re-scored with the exact order-independent DECIMAL dot/norm fold
+    (identical to the oracle's arithmetic) and re-ranked to k. The
+    exact re-score touches only the winner set: two broadcast joins +
+    per-row O(dim) folds over ~140 rows — negligible against the
+    corpus scan, and the result is value-identical to embed_ann_topk."""
     from gpdb_spark.datapipe.similarity import brute_force_topk_blocked
 
     e = spread(t(spark, sf_dir, "embeddings"))
     q = e.where(F.col("vec_id") < 20)
-    return brute_force_topk_blocked(e, q, k=5)
+    # one corpus pass: the BLAS pruner emits each surviving candidate
+    # WITH its vector, so the exact re-score never rejoins the corpus
+    cand = brute_force_topk_blocked(e, q, k=7, emit_vectors=True)
+    # trim to the global top-(k+2) on the BLAS score FIRST so the exact
+    # decimal folds run over ~|q|*(k+2) rows, not every batch candidate
+    w0 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id"))
+    cand = (
+        cand.withColumn("brnk", F.row_number().over(w0))
+        .where(F.col("brnk") <= 7)
+        .drop("brnk", "cos")
+    )
+    qv = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        _dec_norm(F.col("embedding")).alias("nq"),
+    )
+    scored = cand.join(F.broadcast(qv), "query_id").select(
+        "query_id",
+        "corpus_id",
+        F.round(
+            _dec_dot(F.col("qv"), F.col("cv")).cast("double")
+            / (F.col("nq") * _dec_norm(F.col("cv"))),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("query_id", "corpus_id", "cos", "rnk")
+    )
 
 
 @query(
