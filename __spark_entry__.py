@@ -46,6 +46,7 @@ DRIVER_PRIORITY: list[str] = [
     "pgcrypto_hmac",
     "text_lm_quality",
     "embed_ann_topk_blocked",
+    "dedup_simhash",
     "embed_neardup_clusters",
     "text_url_canonical_dedup",
     # rows-only in r01/r02, oracled this round (floor-scaled integers
@@ -127,14 +128,13 @@ DRIVER_PRIORITY: list[str] = [
     "embed_cosine_pairs",
     "mapinpandas_filter",
     "fulltext_match_any",
-    # never-driver-checked, rows-only (hash-seed / approximate / BLAS
-    # paths — genuinely no independent SQL oracle)
+    # never-driver-checked, rows-only (hash-seed / approximate paths —
+    # genuinely no independent SQL oracle; simhash + blocked-ANN were
+    # converted to oracled and moved to the head block)
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",
-    "dedup_simhash",
     "embed_ann_lsh",
     "embed_ann_ivf",
-    "embed_ann_topk_blocked",
 ]
 
 

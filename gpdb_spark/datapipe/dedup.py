@@ -367,7 +367,19 @@ N_CHUNKS = 4
 CHUNK_BITS = N_BITS // N_CHUNKS
 
 
-def _simhash_bits(text: Column | str) -> Column:
+def _token_hash(tk: Column, portable: bool) -> Column:
+    """Per-token 60-bit hash. ``portable=True`` (default for
+    fingerprinting) derives it from md5 — an engine-independent
+    function every SQL engine ships, so signatures are REPRODUCIBLE
+    outside Spark (re-computable by a downstream DuckDB/Trino/PG
+    consumer, and oracle-checkable). ``portable=False`` uses xxhash64 —
+    ~3x cheaper per token, but the values are Spark-specific."""
+    if portable:
+        return F.conv(F.substring(F.md5(tk), 1, 15), 16, 10).cast("long")
+    return F.xxhash64(tk)
+
+
+def _simhash_bits(text: Column | str, portable: bool = True) -> Column:
     """Array of 48 sign bits: bit j = 1 iff sum over token hashes of
     (+1 if hash-bit j set else -1) is positive.
 
@@ -375,7 +387,7 @@ def _simhash_bits(text: Column | str) -> Column:
     (zip_with), instead of 48 separate aggregate traversals of the token
     array — ~2x faster and one array walk regardless of bit width."""
     toks = F.array_distinct(tokens(text))
-    hashes = F.transform(toks, lambda tk: F.xxhash64(tk))
+    hashes = F.transform(toks, lambda tk: _token_hash(tk, portable))
     votes = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), N_BITS),
@@ -403,9 +415,9 @@ def _pack_bits(bits: Column, start: Column | int, n: int) -> Column:
     )
 
 
-def simhash48(text: Column | str) -> Column:
+def simhash48(text: Column | str, portable: bool = True) -> Column:
     """48-bit SimHash signature packed into a long."""
-    return _pack_bits(_simhash_bits(text), 1, N_BITS)
+    return _pack_bits(_simhash_bits(text, portable), 1, N_BITS)
 
 
 def hamming(a: Column, b: Column) -> Column:
@@ -417,6 +429,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    portable: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_hamming.
 
@@ -424,6 +437,12 @@ def simhash_pairs(
     any pair within hamming<=3 must agree on >=1 chunk (pigeonhole), so an
     equi-join on (chunk_idx, chunk_value) finds all candidates without an
     all-pairs scan.
+
+    ``portable=True`` uses the md5-derived token hash (_token_hash):
+    fingerprints are engine-independent — a downstream consumer can
+    recompute/verify them without Spark, and the whole operator is
+    DuckDB-oracle-checkable. Pass ``portable=False`` for the ~3x
+    cheaper xxhash64 when signatures never leave this engine.
     """
     # bits in their own projection: the array is packed 5x below (full sig
     # + 4 chunks), and CollapseProject keeps a non-cheap multi-referenced
@@ -432,7 +451,7 @@ def simhash_pairs(
         spread(df)
         .select(
             F.col(id_col).alias("id"),
-            _simhash_bits(F.col(text_col)).alias("__bits"),
+            _simhash_bits(F.col(text_col), portable).alias("__bits"),
         )
         .select(
             "id",

@@ -88,10 +88,70 @@ def dedup_minhash_clusters(spark, sf_dir):
     return D.minhash_dedup_clusters(d, k=64, bands=16)
 
 
-@query("dedup_simhash")
+# hex digit d at md5 position p contributes d * 16^(15-p); all powers of
+# 16 are powers of two, exact in doubles, so the unrolled sum is the
+# integer Spark's conv(substr(md5,1,15),16,10) parses
+_HEX15 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(w), {p}, 1)) - 1) * {16 ** (15 - p)}"
+    for p in range(1, 16)
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+                 string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> x <> '')) AS tk
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id, CAST({_HEX15} AS BIGINT) AS hv
+      FROM (SELECT doc_id, unnest(tk) AS w FROM docs) u
+    ),
+    bits AS (
+      SELECT doc_id, j,
+             CASE WHEN sum(CASE WHEN ((hv >> CAST(j AS INT)) & 1) = 1
+                           THEN 1 ELSE -1 END) > 0
+                  THEN 1 ELSE 0 END AS b
+      FROM th, generate_series(0, 47) g(j)
+      GROUP BY doc_id, j
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(b * CAST(power(2, 47 - j) AS BIGINT)) AS BIGINT) AS sig
+      FROM bits GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, j // 12 AS chunk,
+             CAST(sum(b * CAST(power(2, 11 - (j % 12)) AS BIGINT)) AS BIGINT)
+                 AS val
+      FROM bits GROUP BY doc_id, j // 12
+    ),
+    cand AS (
+      SELECT DISTINCT ca.doc_id AS a, cb.doc_id AS b, sa.sig AS sig_a,
+             sb.sig AS sig_b
+      FROM chunks ca
+      JOIN chunks cb ON ca.chunk = cb.chunk AND ca.val = cb.val
+                     AND ca.doc_id < cb.doc_id
+      JOIN sig sa ON sa.doc_id = ca.doc_id
+      JOIN sig sb ON sb.doc_id = cb.doc_id
+    )
+    SELECT a, b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """,
+)
 def dedup_simhash(spark, sf_dir):
-    """SimHash-64 near-dup pairs (hamming <= 3) via 16-bit-chunk candidate
-    join. Rows-only; validated in tests/test_datapipe.py."""
+    """SimHash-48 near-dup pairs (hamming <= 3) via 12-bit-chunk candidate
+    join (pigeonhole). ORACLED (was rows-only): the portable md5-derived
+    token hash (dedup._token_hash) is computable by any engine, so DuckDB
+    re-derives the full pipeline — per-token 60-bit hashes from md5 hex,
+    48 sign-bit votes, bit packing with exact power-of-two arithmetic,
+    chunk equi-join, xor/popcount hamming filter. Fingerprint portability
+    is itself the feature: downstream consumers can verify signatures
+    without Spark."""
     d = t(spark, sf_dir, "documents")
     return D.simhash_pairs(d, max_hamming=3)
 
