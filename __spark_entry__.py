@@ -47,6 +47,8 @@ DRIVER_PRIORITY: list[str] = [
     "text_lm_quality",
     "embed_ann_topk_blocked",
     "dedup_simhash",
+    "dedup_minhash_lsh",
+    "dedup_minhash_clusters_portable",
     "embed_neardup_clusters",
     "text_url_canonical_dedup",
     # rows-only in r01/r02, oracled this round (floor-scaled integers
@@ -128,10 +130,9 @@ DRIVER_PRIORITY: list[str] = [
     "embed_cosine_pairs",
     "mapinpandas_filter",
     "fulltext_match_any",
-    # never-driver-checked, rows-only (hash-seed / approximate paths —
-    # genuinely no independent SQL oracle; simhash + blocked-ANN were
-    # converted to oracled and moved to the head block)
-    "dedup_minhash_lsh",
+    # never-driver-checked, rows-only (seeded/approximate paths — the
+    # xxhash64 fast-path clusters query is validated via its oracled
+    # portable twin; ANN lsh/ivf are approximate by design)
     "dedup_minhash_clusters",
     "embed_ann_lsh",
     "embed_ann_ivf",

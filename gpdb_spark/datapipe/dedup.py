@@ -136,21 +136,43 @@ def jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def shingle_hashes(text: Column | str, ngram: int = 1) -> Column:
+def shingle_hashes(
+    text: Column | str, ngram: int = 1, portable: bool = False
+) -> Column:
     """Each distinct shingle hashed once to a long — the only pass that
-    touches string bytes."""
+    touches string bytes. ``portable=True`` uses the md5-derived hash
+    (engine-independent, see _token_hash) instead of xxhash64."""
     sh = (
         ngram_shingles(text, ngram)
         if ngram > 1
         else F.array_distinct(tokens(text))
     )
-    return F.transform(sh, lambda s: F.xxhash64(s))
+    return F.transform(sh, lambda s: _token_hash(s, portable))
 
 
-def minhash_from_hashes(hashes: Column, k: int = 64) -> Column:
+def _seeded_rehash(h: Column, seed: Column, portable: bool) -> Column:
+    """Fixed-width re-hash of a shingle hash under a seed — one member
+    of the permutation family per seed. Portable form: md5 of the
+    decimal "hash:seed" string (any engine can recompute it)."""
+    if portable:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", h.cast("string"), seed.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    return F.xxhash64(h, seed)
+
+
+def minhash_from_hashes(
+    hashes: Column, k: int = 64, portable: bool = False
+) -> Column:
     """k-component MinHash from pre-hashed shingles: component i = min over
-    shingles of xxhash64(shingle_hash, i) — a fixed-width re-hash per
-    (shingle, seed), so string bytes are hashed exactly once per shingle.
+    shingles of a seeded re-hash of the shingle hash — so string bytes
+    are hashed exactly once per shingle.
 
     Re-hashing (not an affine a*h+b combine) is deliberate twice over:
     affine maps without a modulus are order-preserving, so every component
@@ -162,7 +184,7 @@ def minhash_from_hashes(hashes: Column, k: int = 64) -> Column:
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda seed: F.array_min(
-            F.transform(hashes, lambda h: F.xxhash64(h, seed))
+            F.transform(hashes, lambda h: _seeded_rehash(h, seed, portable))
         ),
     )
 
@@ -184,6 +206,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     ngram: int = 1,
     threshold: float = 0.7,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH.
 
@@ -191,18 +214,22 @@ def minhash_lsh_pairs(
     Jaccard j is 1-(1-j^4)^16 (s-curve centered ~0.55). Candidates are
     pairs sharing >=1 band hash; verified by full-signature agreement
     (estimated Jaccard) >= threshold.
+
+    ``portable=True`` swaps the xxhash64 permutation family for the
+    md5-derived one (_seeded_rehash): signatures become reproducible by
+    any engine (and DuckDB-oracle-checkable) at ~3x the hashing cost.
     """
     sig = (
         spread(df)
         .select(
             F.col(id_col).alias("id"),
-            shingle_hashes(F.col(text_col), ngram).alias("__sh"),
+            shingle_hashes(F.col(text_col), ngram, portable).alias("__sh"),
         )
-        .select("id", minhash_from_hashes(F.col("__sh"), k).alias("sig"))
+        .select("id", minhash_from_hashes(F.col("__sh"), k, portable).alias("sig"))
         .persist()
     )  # read 3x below (banding + 2 verification lookups)
 
-    banded = _banded(sig, k, bands)  # ids only — the candidate join must
+    banded = _banded(sig, k, bands, portable)  # ids only — the candidate join must
     # NOT carry the 64-long signatures: a hot bucket of m docs yields
     # m^2/2 pairs, and 0.5 KB/sig turns that shuffle into GBs. Dedup the
     # (a, b) id pairs first, then look the signatures back up.
@@ -235,26 +262,34 @@ def minhash_lsh_pairs(
     )
 
 
-def _banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
+def _banded(sig: DataFrame, k: int, bands: int, portable: bool = False) -> DataFrame:
     """Explode a signature table into (id, band, bucket) rows; bucket =
     hash-fold of the band's signature slice (h = xxhash64(h, v) per
-    component — stays in long arithmetic, no string building)."""
+    component — stays in long arithmetic, no string building).
+    Portable mode uses the joined decimal string of the slice instead:
+    collision-free by construction and reproducible by any engine (the
+    band index is already a separate join key, so identical slices in
+    different bands cannot collide)."""
     rows_per_band = k // bands
+
+    def bucket(b):
+        sl = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        if portable:
+            return F.concat_ws("-", F.transform(sl, lambda v: v.cast("string")))
+        return F.aggregate(
+            sl,
+            # seed with the band index so identical slices in
+            # different bands land in distinct buckets
+            F.xxhash64(b),
+            lambda acc, v: F.xxhash64(acc, v),
+        )
+
     return sig.select(
         "id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.aggregate(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                        # seed with the band index so identical slices in
-                        # different bands land in distinct buckets
-                        F.xxhash64(b),
-                        lambda acc, v: F.xxhash64(acc, v),
-                    ).alias("bucket"),
-                ),
+                lambda b: F.struct(b.alias("band"), bucket(b).alias("bucket")),
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -268,9 +303,11 @@ def minhash_dedup_clusters(
     bands: int = 16,
     ngram: int = 1,
     max_iter: int = 10,
+    portable: bool = False,
 ) -> DataFrame:
     """Scale-path dedup: (doc_id, keep_id) cluster assignment WITHOUT
-    materializing near-dup pairs.
+    materializing near-dup pairs. (``portable=True``: md5-derived hash
+    family — engine-reproducible signatures, ~3x hashing cost.)
 
     A bucket of m near-identical docs produces m^2/2 pairs under the pairs
     formulation — quadratic in cluster size, fatal at 100 TB (a 1M-doc
@@ -284,9 +321,9 @@ def minhash_dedup_clusters(
         spread(df)
         .select(
             F.col(id_col).alias("id"),
-            shingle_hashes(F.col(text_col), ngram).alias("__sh"),
+            shingle_hashes(F.col(text_col), ngram, portable).alias("__sh"),
         )
-        .select("id", minhash_from_hashes(F.col("__sh"), k).alias("sig"))
+        .select("id", minhash_from_hashes(F.col("__sh"), k, portable).alias("sig"))
     )
     # doc <-> bucket bipartite edges; components found by alternating
     # min-label propagation doc -> bucket -> doc. Pointer jumping alone is
@@ -307,7 +344,7 @@ def minhash_dedup_clusters(
     n_edges = df.count() * bands
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     parts = int(max(4, min(-(-n_edges // 1_000_000), 4 * parallelism)))
-    memb = _banded(sig, k, bands).repartition(parts, "band", "bucket").persist()
+    memb = _banded(sig, k, bands, portable).repartition(parts, "band", "bucket").persist()
     # labels start as the identity map, realized implicitly by round 0's
     # bucket-min (no separate distinct/materialize job). Convergence is
     # detected INSIDE each round's aggregation: the previous label rides

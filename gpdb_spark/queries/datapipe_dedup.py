@@ -1,8 +1,11 @@
 """Deduplication queries over the documents fixture (north-star operators).
 
-Oracle-checked where SQL-expressible (exact, token-Jaccard); the hash-based
-families (MinHash LSH, SimHash) have no cross-engine oracle — the driver
-records rows-only and tests/test_datapipe.py validates them against the
+All families are oracle-checked: exact and token-Jaccard directly; the
+hash-based families (MinHash LSH, SimHash) through the PORTABLE
+md5-derived hash family (datapipe/dedup.py _token_hash/_seeded_rehash),
+which DuckDB re-derives end to end. Only the label-propagation clusters
+query and the approximate ANN paths remain rows-only.
+tests/test_datapipe.py additionally validates the hash families against
 exact-Jaccard ground truth computed in-Spark.
 """
 
@@ -12,6 +15,18 @@ from pyspark.sql import functions as F
 
 from gpdb_spark.registry import query, t
 from gpdb_spark.datapipe import dedup as D
+
+
+def _hex15(expr: str) -> str:
+    """DuckDB SQL for the integer Spark's conv(substr(<hex>,1,15),16,10)
+    parses: hex digit d at position p contributes d * 16^(15-p); all
+    powers of 16 are powers of two, exact in doubles, so the unrolled
+    sum is exact. ``expr`` must be an md5-hex column/expression."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {p}, 1)) - 1)"
+        f" * {16 ** (15 - p)}"
+        for p in range(1, 16)
+    )
 
 
 @query(
@@ -67,34 +82,135 @@ def dedup_jaccard_pairs(spark, sf_dir):
     return D.jaccard_pairs(d, ngram=1, threshold=0.82, max_df_frac=0.5)
 
 
-@query("dedup_minhash_lsh")
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+                 string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> x <> '')) AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, CAST({_hex15("hx")} AS BIGINT) AS hv
+      FROM (SELECT doc_id, md5(w) AS hx
+            FROM (SELECT doc_id, unnest(tk) AS w FROM docs) u0) u
+    ),
+    rh AS (
+      SELECT doc_id, i,
+             md5(CAST(hv AS VARCHAR) || ':' || CAST(i AS VARCHAR)) AS hx
+      FROM sh, generate_series(0, 63) g(i)
+    ),
+    comp AS (
+      SELECT doc_id, i, min(CAST({_hex15("hx")} AS BIGINT)) AS mh
+      FROM rh GROUP BY doc_id, i
+    ),
+    bnd AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS bucket
+      FROM comp GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+      FROM bnd ba JOIN bnd bb ON ba.band = bb.band AND ba.bucket = bb.bucket
+                             AND ba.doc_id < bb.doc_id
+    ),
+    est AS (
+      SELECT c.a, c.b,
+             round(sum(CASE WHEN ca.mh = cb.mh THEN 1 ELSE 0 END) / 64.0, 6)
+                 AS est_jaccard
+      FROM cand c
+      JOIN comp ca ON ca.doc_id = c.a
+      JOIN comp cb ON cb.doc_id = c.b AND cb.i = ca.i
+      GROUP BY c.a, c.b
+    )
+    SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.7
+    """,
+)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(k=64) + 16-band LSH near-dup candidates with estimated
-    Jaccard >= 0.7. Rows-only: the seeded-xxhash64 permutation family has
-    no DuckDB twin; recall/precision vs exact Jaccard asserted in
-    tests/test_datapipe.py."""
+    Jaccard >= 0.7. ORACLED (was rows-only): in portable mode the
+    permutation family is md5-derived (dedup._seeded_rehash — min over
+    shingles of the 60-bit md5 of "shinglehash:seed"), so DuckDB
+    re-derives signatures, band buckets (decimal-joined slices) and the
+    est-Jaccard verification end to end. est values are multiples of
+    1/64 — exactly representable, so round(.,6) is engine-identical.
+    Recall/precision vs exact Jaccard asserted in tests/test_datapipe.py;
+    the xxhash64 family (portable=False) remains the cheap in-engine
+    path."""
     d = t(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(d, k=64, bands=16, threshold=0.7)
+    return D.minhash_lsh_pairs(d, k=64, bands=16, threshold=0.7, portable=True)
 
 
 @query("dedup_minhash_clusters")
 def dedup_minhash_clusters(spark, sf_dir):
     """Scale-path MinHash dedup: (doc_id, keep_id) cluster labels via
     bucket-min label propagation — linear in corpus size where the pairs
-    formulation is quadratic in cluster size. Rows-only (hash family has
-    no DuckDB twin); transitive-closure properties asserted in
-    tests/test_datapipe.py."""
+    formulation is quadratic in cluster size. Rows-only (xxhash64 family
+    — the benched fast path); the identical operator under the portable
+    hash family is fully oracled as dedup_minhash_clusters_portable, and
+    transitive-closure properties are asserted in tests/test_datapipe.py."""
     d = t(spark, sf_dir, "documents")
     return D.minhash_dedup_clusters(d, k=64, bands=16)
 
 
-# hex digit d at md5 position p contributes d * 16^(15-p); all powers of
-# 16 are powers of two, exact in doubles, so the unrolled sum is the
-# integer Spark's conv(substr(md5,1,15),16,10) parses
-_HEX15 = " + ".join(
-    f"(strpos('0123456789abcdef', substr(md5(w), {p}, 1)) - 1) * {16 ** (15 - p)}"
-    for p in range(1, 16)
+@query(
+    "dedup_minhash_clusters_portable",
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+                 string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> x <> '')) AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, CAST({_hex15("hx")} AS BIGINT) AS hv
+      FROM (SELECT doc_id, md5(w) AS hx
+            FROM (SELECT doc_id, unnest(tk) AS w FROM docs) u0) u
+    ),
+    rh AS (
+      SELECT doc_id, i,
+             md5(CAST(hv AS VARCHAR) || ':' || CAST(i AS VARCHAR)) AS hx
+      FROM sh, generate_series(0, 63) g(i)
+    ),
+    comp AS (
+      SELECT doc_id, i, min(CAST({_hex15("hx")} AS BIGINT)) AS mh
+      FROM rh GROUP BY doc_id, i
+    ),
+    bnd AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS bucket
+      FROM comp GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+      FROM bnd ba JOIN bnd bb ON ba.band = bb.band AND ba.bucket = bb.bucket
+                             AND ba.doc_id < bb.doc_id
+    ),
+    edges AS (SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM docs
+      UNION
+      SELECT reach.id, e.b AS r FROM reach JOIN edges e ON e.a = reach.r
+    )
+    SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY id
+    """,
 )
+def dedup_minhash_clusters_portable(spark, sf_dir):
+    """The scale-path cluster operator under the PORTABLE md5-derived
+    hash family — fully oracle-checked: DuckDB re-derives signatures,
+    band buckets, the bucket-sharing graph, and closes it transitively
+    with a recursive CTE (reach = min reachable id), which must equal
+    the engine's bucket-min label-propagation fixpoint. One query
+    validates both the hash plumbing and the connected-components
+    convergence against an independent engine."""
+    d = t(spark, sf_dir, "documents")
+    return D.minhash_dedup_clusters(d, k=64, bands=16, portable=True)
+
+
+_HEX15 = _hex15("md5(w)")
 
 
 @query(
