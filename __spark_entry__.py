@@ -49,6 +49,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_simhash",
     "dedup_minhash_lsh",
     "dedup_minhash_clusters_portable",
+    "embed_ann_lsh",
     "embed_neardup_clusters",
     "text_url_canonical_dedup",
     # rows-only in r01/r02, oracled this round (floor-scaled integers
@@ -130,11 +131,11 @@ DRIVER_PRIORITY: list[str] = [
     "embed_cosine_pairs",
     "mapinpandas_filter",
     "fulltext_match_any",
-    # never-driver-checked, rows-only (seeded/approximate paths — the
-    # xxhash64 fast-path clusters query is validated via its oracled
-    # portable twin; ANN lsh/ivf are approximate by design)
+    # never-driver-checked, rows-only: the xxhash64 fast-path clusters
+    # query is validated via its oracled portable twin; IVF's k-means
+    # sample (numpy RandomState) is the one genuinely non-reproducible
+    # path
     "dedup_minhash_clusters",
-    "embed_ann_lsh",
     "embed_ann_ivf",
 ]
 

@@ -43,6 +43,40 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+DEC30 = "decimal(30,15)"
+
+
+def dec_dot(a: Column, b: Column) -> Column:
+    """Exact decimal dot product (order-independent, engine-identical) —
+    the determinism discipline from registry.py applied to vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC30)),
+        F.lit(0).cast(DEC30),
+        lambda acc, v: (acc + v).cast(DEC30),
+    )
+
+
+def dec_norm(a: Column) -> Column:
+    return F.sqrt(dec_dot(a, a).cast("double"))
+
+
+def portable_plane(seed: int, dim: int) -> list[float]:
+    """±1 hyperplane components from md5 parity of "seed:i" — the
+    engine-independent SRP family: any SQL engine (and this Python)
+    derives the identical plane, so LSH bucket assignment is exactly
+    reproducible outside Spark. Python's md5 == Spark's md5 == DuckDB's
+    md5 (same bytes in, same hex out), so inlining these as literals is
+    constant-folding, not a third hash family."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1.0
+        for i in range(dim)
+    ]
+
+
 def normalize(df: DataFrame, vec_col: str = "embedding", out_col: str = "unit") -> DataFrame:
     """Pre-normalize vectors so cosine becomes a plain dot product —
     amortizes the norm across every downstream comparison."""
@@ -103,13 +137,45 @@ def srp_buckets(
     planes_per_table: int = 8,
     id_alias: str = "id",
     id_col: str = "vec_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Signed-random-projection LSH: ``tables`` independent hash tables,
     each bucketing on the sign pattern of ``planes_per_table`` hyperplane
     projections. Output: one row per (vector, table) with its bucket key —
-    the equi-join key for candidate generation."""
+    the equi-join key for candidate generation.
+
+    ``portable=True``: planes are the md5-parity family
+    (portable_plane, seed = tbl*1000 + p) inlined as constant-folded
+    literals, and each projection is the exact DECIMAL sum of ±v_i —
+    sign decisions are engine-identical, so bucket assignment is
+    reproducible by any engine. Works on the RAW vector (SRP signs are
+    scale-invariant, so normalization is unnecessary — and skipping it
+    keeps the decimal sums exact)."""
     v = F.col(vec_col)
     rows = df.select(F.col(id_col).alias(id_alias), v.alias("_v"))
+    if portable:
+        def bucket(tbl: int) -> Column:
+            acc = F.lit(0).cast("long")
+            for p in range(planes_per_table):
+                plane = F.array(
+                    *[F.lit(s) for s in portable_plane(tbl * 1000 + p, dim)]
+                )
+                proj = dec_dot(F.col("_v"), plane).cast("double")
+                acc = acc * 2 + F.when(proj >= 0, 1).otherwise(0)
+            return acc
+
+        buckets = F.array(
+            *[
+                F.struct(F.lit(tbl).alias("tbl"), bucket(tbl).alias("bucket"))
+                for tbl in range(tables)
+            ]
+        )
+        return rows.select(id_alias, "_v", F.explode(buckets).alias("tb")).select(
+            id_alias,
+            "_v",
+            F.col("tb.tbl").alias("tbl"),
+            F.col("tb.bucket").alias("bucket"),
+        )
     buckets = F.transform(
         F.sequence(F.lit(0), F.lit(tables - 1)),
         lambda tbl: F.struct(
@@ -165,17 +231,28 @@ def lsh_topk(
     dim: int = 64,
     tables: int = 4,
     planes_per_table: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing an LSH bucket
     with the query in any table; exact cosine re-rank of candidates.
 
     Recall improves with ``tables``; cost scales with bucket collision
     rate instead of corpus size. tests/test_datapipe.py measures recall
-    against brute_force_topk."""
-    cn = normalize(corpus, vec_col)
-    qn = normalize(queries, vec_col)
-    cb = srp_buckets(cn, "unit", dim, tables, planes_per_table, "corpus_id", id_col)
-    qb = srp_buckets(qn, "unit", dim, tables, planes_per_table, "query_id", id_col)
+    against brute_force_topk.
+
+    ``portable=True``: md5-parity planes + decimal projections (see
+    srp_buckets) and an exact DECIMAL cosine re-rank — the entire
+    operator is deterministic and reproducible by any engine."""
+    if portable:
+        cb = srp_buckets(corpus, vec_col, dim, tables, planes_per_table,
+                         "corpus_id", id_col, portable=True)
+        qb = srp_buckets(queries, vec_col, dim, tables, planes_per_table,
+                         "query_id", id_col, portable=True)
+    else:
+        cn = normalize(corpus, vec_col)
+        qn = normalize(queries, vec_col)
+        cb = srp_buckets(cn, "unit", dim, tables, planes_per_table, "corpus_id", id_col)
+        qb = srp_buckets(qn, "unit", dim, tables, planes_per_table, "query_id", id_col)
     cand = (
         cb.join(
             qb.withColumnRenamed("_v", "_qv"),
@@ -184,7 +261,16 @@ def lsh_topk(
         .where(F.col("corpus_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "corpus_id"])
     )
-    scored = cand.withColumn("cos", F.round(dot(F.col("_qv"), F.col("_v")), 6))
+    if portable:
+        # raw vectors: exact decimal cosine (engine-identical rounding)
+        cos = F.round(
+            dec_dot(F.col("_qv"), F.col("_v")).cast("double")
+            / (dec_norm(F.col("_qv")) * dec_norm(F.col("_v"))),
+            6,
+        )
+    else:
+        cos = F.round(dot(F.col("_qv"), F.col("_v")), 6)
+    scored = cand.withColumn("cos", cos)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

@@ -203,19 +203,84 @@ def embed_centroids(spark, sf_dir):
     )
 
 
-@query("embed_ann_lsh")
+@query(
+    "embed_ann_lsh",
+    oracle=f"""
+    WITH planes AS (
+      SELECT tbl, p, i,
+             CASE WHEN (strpos('0123456789abcdef',
+                   substr(md5(CAST(tbl * 1000 + p AS VARCHAR) || ':'
+                              || CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM generate_series(0, 15) t(tbl),
+           generate_series(0, 3) pp(p),
+           generate_series(0, 63) ii(i)
+    ),
+    proj AS (
+      SELECT e.vec_id, pl.tbl, pl.p,
+             CAST(sum(CAST(pl.s * e.embedding[CAST(pl.i AS INT) + 1]
+                           AS DECIMAL(30,15))) AS DOUBLE) AS d
+      FROM embeddings e, planes pl
+      GROUP BY e.vec_id, pl.tbl, pl.p
+    ),
+    buck AS (
+      SELECT vec_id, tbl,
+             CAST(sum(CASE WHEN d >= 0
+                           THEN CAST(power(2, 3 - p) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id, tbl
+    ),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS corpus_id
+      FROM buck qb JOIN buck cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+      WHERE qb.vec_id < 20 AND cb.vec_id <> qb.vec_id
+    ),
+    norms AS (
+        SELECT vec_id,
+               sqrt(CAST(sum(CAST(embedding[i] * embedding[i] AS DECIMAL(30,15)))
+                         AS DOUBLE)) AS nrm
+        FROM embeddings, {IDX}
+        GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT c.query_id, c.corpus_id,
+             CAST(sum(CAST(q.embedding[i] * co.embedding[i] AS DECIMAL(30,15)))
+                  AS DOUBLE) AS dp
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings co ON co.vec_id = c.corpus_id, {IDX}
+      GROUP BY c.query_id, c.corpus_id
+    ),
+    scored AS (
+      SELECT query_id, corpus_id,
+             round(dp / (nq.nrm * nc.nrm), 6) AS cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(dp / (nq.nrm * nc.nrm), 6) DESC,
+                                         corpus_id) AS rnk
+      FROM dots JOIN norms nq ON nq.vec_id = query_id
+                JOIN norms nc ON nc.vec_id = corpus_id
+    )
+    SELECT query_id, corpus_id, cos, rnk FROM scored WHERE rnk <= 5
+    """,
+)
 def embed_ann_lsh(spark, sf_dir):
     """Approximate top-5 via signed-random-projection LSH (16 tables x 4
-    hyperplanes) with exact re-rank of candidates. Rows-only: recall vs
-    brute force asserted in tests/test_datapipe.py (~0.94 on the random
-    fixture). Cost ~ bucket collisions, not corpus size; on *random*
-    embeddings neighbors are weak so wide tables are needed — clustered
-    real embeddings get the same recall with far fewer probes."""
+    hyperplanes) with exact re-rank of candidates. ORACLED (was
+    rows-only): the portable md5-parity plane family
+    (similarity.portable_plane, seed tbl*1000+p) plus exact DECIMAL
+    projections make bucket assignment engine-reproducible — DuckDB
+    re-derives every plane from md5, every bucket, the candidate set,
+    and the exact cosine re-rank. Recall vs brute force asserted in
+    tests/test_datapipe.py. Cost ~ bucket collisions, not corpus size;
+    on *random* embeddings neighbors are weak so wide tables are
+    needed — clustered real embeddings get the same recall with far
+    fewer probes."""
     from gpdb_spark.datapipe.similarity import lsh_topk
 
     e = spread(t(spark, sf_dir, "embeddings"))
     q = e.where(F.col("vec_id") < 20)
-    return lsh_topk(e, q, k=5, dim=DIM, tables=16, planes_per_table=4)
+    return lsh_topk(e, q, k=5, dim=DIM, tables=16, planes_per_table=4,
+                    portable=True)
 
 
 @query("embed_ann_ivf")
