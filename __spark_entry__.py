@@ -50,6 +50,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_minhash_lsh",
     "dedup_minhash_clusters_portable",
     "embed_ann_lsh",
+    "embed_ann_ivf_flat",
     "embed_neardup_clusters",
     "text_url_canonical_dedup",
     # rows-only in r01/r02, oracled this round (floor-scaled integers

@@ -387,6 +387,63 @@ def ivf_topk(
     )
 
 
+def ivf_topk_flat(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+) -> DataFrame:
+    """IVF ANN with a DETERMINISTIC untrained coarse quantizer: centroids
+    are the ``n_centroids`` lowest-id corpus vectors (the FAISS
+    "don't train the quantizer" option). Same inverted-list scale shape
+    as ivf_topk — the corpus joins on its single cell id, each query
+    probes its n_probe nearest cells — but every step is an exact
+    DECIMAL cosine + total-order ranking, so cell assignment and output
+    are engine-reproducible (DuckDB-oracle-checkable) and the whole
+    operator is JVM expressions: no UDF, no driver-side k-means.
+    Trained centroids (ivf_topk) balance cells better on clustered
+    corpora; the flat pick costs recall only when ids correlate with
+    geometry."""
+    cent = corpus.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+
+    def cells(df: DataFrame, out_id: str, n: int) -> DataFrame:
+        x = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("_v"))
+        sim = dec_dot(F.col("_v"), F.col("cvec")).cast("double") / (
+            dec_norm(F.col("_v")) * dec_norm(F.col("cvec"))
+        )
+        w = Window.partitionBy(out_id).orderBy(F.col("sim").desc(), F.col("cid"))
+        return (
+            x.crossJoin(F.broadcast(cent))
+            .withColumn("sim", sim)
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= n)
+            .select(out_id, "_v", "cid")
+        )
+
+    c_cells = cells(corpus, "corpus_id", 1)
+    q_cells = cells(queries, "query_id", n_probe).withColumnRenamed("_v", "_qv")
+    cand = c_cells.join(q_cells, "cid").where(
+        F.col("corpus_id") != F.col("query_id")
+    )
+    cos = F.round(
+        dec_dot(F.col("_qv"), F.col("_v")).cast("double")
+        / (dec_norm(F.col("_qv")) * dec_norm(F.col("_v"))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id"))
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "cos", "rnk")
+    )
+
+
 def brute_force_topk_blocked(
     corpus: DataFrame,
     queries: DataFrame,

@@ -415,3 +415,77 @@ def embed_neardup_clusters(spark, sf_dir):
     return components_from_edges(
         nodes, pairs, id_col="vec_id", a_col="a", b_col="b"
     )
+
+
+@query(
+    "embed_ann_ivf_flat",
+    oracle=f"""
+    WITH norms AS (
+      SELECT vec_id,
+             sqrt(CAST(sum(CAST(embedding[i] * embedding[i] AS DECIMAL(30,15)))
+                       AS DOUBLE)) AS nrm
+      FROM embeddings, {IDX}
+      GROUP BY vec_id
+    ),
+    sims AS (
+      SELECT d.vec_id, d.cid,
+             d.dp / (nv.nrm * nc.nrm) AS sim
+      FROM (
+        SELECT e.vec_id, c.vec_id AS cid,
+               CAST(sum(CAST(e.embedding[i] * c.embedding[i]
+                             AS DECIMAL(30,15))) AS DOUBLE) AS dp
+        FROM embeddings e
+        JOIN embeddings c ON c.vec_id < 16, {IDX}
+        GROUP BY e.vec_id, c.vec_id
+      ) d
+      JOIN norms nv ON nv.vec_id = d.vec_id
+      JOIN norms nc ON nc.vec_id = d.cid
+    ),
+    ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cid) AS r
+      FROM sims
+    ),
+    c_cell AS (SELECT vec_id AS corpus_id, cid FROM ranked WHERE r = 1),
+    q_cell AS (SELECT vec_id AS query_id, cid FROM ranked
+               WHERE r <= 8 AND vec_id < 20),
+    cand AS (
+      SELECT q.query_id, c.corpus_id
+      FROM q_cell q JOIN c_cell c ON q.cid = c.cid
+                                 AND c.corpus_id <> q.query_id
+    ),
+    dots AS (
+      SELECT cd.query_id, cd.corpus_id,
+             CAST(sum(CAST(q.embedding[i] * co.embedding[i]
+                           AS DECIMAL(30,15))) AS DOUBLE) AS dp
+      FROM cand cd
+      JOIN embeddings q ON q.vec_id = cd.query_id
+      JOIN embeddings co ON co.vec_id = cd.corpus_id, {IDX}
+      GROUP BY cd.query_id, cd.corpus_id
+    ),
+    scored AS (
+      SELECT query_id, corpus_id,
+             round(dp / (nq.nrm * nc.nrm), 6) AS cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(dp / (nq.nrm * nc.nrm), 6) DESC,
+                                         corpus_id) AS rnk
+      FROM dots JOIN norms nq ON nq.vec_id = query_id
+                JOIN norms nc ON nc.vec_id = corpus_id
+    )
+    SELECT query_id, corpus_id, cos, rnk FROM scored WHERE rnk <= 5
+    """,
+)
+def embed_ann_ivf_flat(spark, sf_dir):
+    """IVF ANN with the deterministic untrained coarse quantizer
+    (similarity.ivf_topk_flat): centroids = 16 lowest-id vectors, exact
+    decimal cell assignment, 8-probe candidate join, exact re-rank —
+    every step engine-reproducible, so the inverted-list search shape
+    itself is oracle-checked. Complements embed_ann_ivf (trained
+    k-means centroids, rows-only) the way
+    dedup_minhash_clusters_portable complements its fast path."""
+    from gpdb_spark.datapipe.similarity import ivf_topk_flat
+
+    e = spread(t(spark, sf_dir, "embeddings"))
+    q = e.where(F.col("vec_id") < 20)
+    return ivf_topk_flat(e, q, k=5, n_centroids=16, n_probe=8)

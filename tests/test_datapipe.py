@@ -424,3 +424,23 @@ class TestLmQuality:
         v1, _ = train_bigram_lm(docs, "text", vocab_size=3)
         v2, _ = train_bigram_lm(docs.repartition(7), "text", vocab_size=3)
         assert sorted(r.w for r in v1.collect()) == sorted(r.w for r in v2.collect()) == ["aa", "bb", "cc"]
+
+
+def test_ivf_flat_recall(embeds):
+    """The untrained flat quantizer probing 8/16 cells must still
+    recover >=60% of brute-force top-5 on the random fixture (trained
+    centroids do better on clustered corpora; ids are geometry-blind
+    here, so this is the floor)."""
+    from gpdb_spark.datapipe.similarity import brute_force_topk, ivf_topk_flat
+
+    q = embeds.where(F.col("vec_id") < 20)
+    bf = {
+        (r.query_id, r.corpus_id)
+        for r in brute_force_topk(embeds, q, k=5).collect()
+    }
+    ap = {
+        (r.query_id, r.corpus_id)
+        for r in ivf_topk_flat(embeds, q, k=5, n_centroids=16, n_probe=8).collect()
+    }
+    recall = len(bf & ap) / len(bf)
+    assert recall >= 0.6, f"flat IVF recall too low: {recall}"
