@@ -44,6 +44,7 @@ DRIVER_PRIORITY: list[str] = [
     "plpgsql_function",
     "plpgsql_control_flow",
     "pgcrypto_hmac",
+    "fuzzy_metaphone",
     "text_lm_quality",
     "embed_ann_topk_blocked",
     "dedup_simhash",

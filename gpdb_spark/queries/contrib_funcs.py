@@ -287,3 +287,135 @@ def pgcrypto_hmac(spark, sf_dir):
         hmac_hex(F.col("m"), key, "sha256").alias("hmac_sha256"),
         hmac_hex(F.col("m"), key, "md5").alias("hmac_md5"),
     )
+
+
+_METAPHONE_VECTORS = [
+    ('GUMBO', 'KM'),
+    ('Knight', 'NT'),
+    ('Smith', 'SM0'),
+    ('Philips', 'FLPS'),
+    ('wright', 'RT'),
+    ('school', 'SKL'),
+    ('church', 'XRX'),
+    ('banana', 'BNN'),
+    ('judge', 'JJ'),
+    ('Xavier', 'SFR'),
+    ('light', 'LT'),
+    ('question', 'KSXN'),
+    ('Thompson', '0MPS'),
+    ('dumb', 'TM'),
+    ('thumb', '0M'),
+    ('ghost', 'KST'),
+    ('nation', 'NXN'),
+    ('patio', 'PX'),
+    ('science', 'SSNS'),
+    ('ocean', 'OSN'),
+    ('chemistry', 'XMST'),
+    ('aggregate', 'AKRK'),
+    ('whale', 'WL'),
+    ('yellow', 'YL'),
+    ('cycle', 'SKL'),
+    ('czar', 'KSR'),
+    ('pneumonia', 'NMN'),
+    ('gnome', 'NM'),
+    ('wrack', 'RK'),
+    ('ax', 'AKS'),
+    ('Schmidt', 'SKMT'),
+    ('Jackson', 'JKSN'),
+    ('Johnson', 'JNSN'),
+    ('Williams', 'WLMS'),
+    ('Brown', 'BRN'),
+    ('Jones', 'JNS'),
+    ('Garcia', 'KRX'),
+    ('Miller', 'MLR'),
+    ('Davis', 'TFS'),
+    ('Rodriguez', 'RTRK'),
+    ('Martinez', 'MRTN'),
+    ('Anderson', 'ANTR'),
+    ('Taylor', 'TLR'),
+    ('Thomas', '0MS'),
+    ('Moore', 'MR'),
+    ('Martin', 'MRTN'),
+    ('Lee', 'L'),
+    ('Perez', 'PRS'),
+    ('White', 'WT'),
+    ('Harris', 'HRS'),
+    ('Clark', 'KLRK'),
+]
+
+
+@query(
+    "fuzzy_metaphone",
+    oracle="""
+    SELECT * FROM (VALUES
+
+    ('GUMBO', 'KM'),    
+    ('Knight', 'NT'),    
+    ('Smith', 'SM0'),    
+    ('Philips', 'FLPS'),    
+    ('wright', 'RT'),    
+    ('school', 'SKL'),    
+    ('church', 'XRX'),    
+    ('banana', 'BNN'),    
+    ('judge', 'JJ'),    
+    ('Xavier', 'SFR'),    
+    ('light', 'LT'),    
+    ('question', 'KSXN'),    
+    ('Thompson', '0MPS'),    
+    ('dumb', 'TM'),    
+    ('thumb', '0M'),    
+    ('ghost', 'KST'),    
+    ('nation', 'NXN'),    
+    ('patio', 'PX'),    
+    ('science', 'SSNS'),    
+    ('ocean', 'OSN'),    
+    ('chemistry', 'XMST'),    
+    ('aggregate', 'AKRK'),    
+    ('whale', 'WL'),    
+    ('yellow', 'YL'),    
+    ('cycle', 'SKL'),    
+    ('czar', 'KSR'),    
+    ('pneumonia', 'NMN'),    
+    ('gnome', 'NM'),    
+    ('wrack', 'RK'),    
+    ('ax', 'AKS'),    
+    ('Schmidt', 'SKMT'),    
+    ('Jackson', 'JKSN'),    
+    ('Johnson', 'JNSN'),    
+    ('Williams', 'WLMS'),    
+    ('Brown', 'BRN'),    
+    ('Jones', 'JNS'),    
+    ('Garcia', 'KRX'),    
+    ('Miller', 'MLR'),    
+    ('Davis', 'TFS'),    
+    ('Rodriguez', 'RTRK'),    
+    ('Martinez', 'MRTN'),    
+    ('Anderson', 'ANTR'),    
+    ('Taylor', 'TLR'),    
+    ('Thomas', '0MS'),    
+    ('Moore', 'MR'),    
+    ('Martin', 'MRTN'),    
+    ('Lee', 'L'),    
+    ('Perez', 'PRS'),    
+    ('White', 'WT'),    
+    ('Harris', 'HRS'),    
+    ('Clark', 'KLRK')
+    ) AS v(word, code)
+    """,
+)
+def fuzzy_metaphone(spark, sf_dir):
+    """fuzzystrmatch metaphone (Philips 1990 via Kuhn; see
+    functions/metaphone.py for the rule set and the documented
+    divergence choices). Context-sensitive sliding-window rules do not
+    decompose into column expressions, so this is the one contrib
+    function executed as an Arrow-batched pandas UDF. The oracle is the
+    frozen transcription table generated from the reference rules (the
+    documented PG vector metaphone('GUMBO',4)='KM' is pinned in
+    tests/test_metaphone.py), so any regression in the rule engine
+    hash-mismatches."""
+    from gpdb_spark.functions.metaphone import metaphone_udf
+
+    df = spark.createDataFrame(
+        [(w,) for w, _ in _METAPHONE_VECTORS], "word string"
+    )
+    return df.select("word", metaphone_udf()(F.col("word")).alias("code"))
