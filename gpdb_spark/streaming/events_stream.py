@@ -363,3 +363,45 @@ def upsert_sink(
         .option("checkpointLocation", checkpoint)
         .foreachBatch(_apply)
     )
+
+
+def lm_scored_stream(docs_stream: DataFrame, vocab: DataFrame, bigrams: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Streaming LM quality scoring: incoming documents scored against a
+    STATIC bigram model (datapipe/lm.py) — the stream-static broadcast
+    join shape. The model side is bounded by construction (top-V/top-B),
+    so each microbatch joins against a broadcast and the per-doc
+    aggregation is contained within the batch (every doc arrives whole;
+    no cross-batch state, no watermark needed). This is the online
+    ingest-filtering half of the CCNet pipeline: train the model on the
+    existing corpus offline, score new documents as they land.
+
+    Returns a streaming DataFrame with (id, n_pairs, nll_sum_micro,
+    avg_nll_milli) per document — identical values to the batch
+    lm_quality (asserted in tests/test_streaming.py)."""
+    from pyspark.sql.functions import broadcast
+
+    from gpdb_spark.datapipe.lm import _pairs
+
+    pr = _pairs(docs_stream, id_col, text_col)
+    bi = broadcast(bigrams.select("w1", "w2", F.col("c").alias("cb")))
+    un = broadcast(vocab.select(F.col("w").alias("w1"), F.col("c").alias("cu")))
+    logp = F.log(
+        (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(50_000.0))
+    )
+    scored = (
+        pr.join(bi, ["w1", "w2"], "left")
+        .join(un, ["w1"], "left")
+        .select("_id", F.floor(logp * F.lit(1_000_000.0)).alias("lp"))
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_pairs"), (-F.sum("lp")).alias("nll_sum_micro"))
+    )
+    return scored.select(
+        F.col("_id").alias(id_col),
+        "n_pairs",
+        "nll_sum_micro",
+        F.floor(
+            F.col("nll_sum_micro") / (F.lit(1000.0) * F.col("n_pairs"))
+        ).cast("bigint").alias("avg_nll_milli"),
+    )

@@ -428,3 +428,30 @@ def test_streaming_upsert_sink(spark, sf_dir, tmp_path):
     got = {r["user_id"]: (r["n"], r["total"]) for r in t.read(spark).collect()}
     want = {r["user_id"]: (r["n"], r["total"]) for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_lm_scores_match_batch(spark, sf_dir, tmp_path):
+    """Documents streamed through lm_scored_stream against a static
+    model must score identically to the batch lm_quality."""
+    from gpdb_spark.datapipe.lm import lm_quality, train_bigram_lm
+    from gpdb_spark.streaming.events_stream import lm_scored_stream, run_to_memory
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    vocab, bi = train_bigram_lm(docs, "text")
+    vocab, bi = vocab.cache(), bi.cache()
+    batch = {r.doc_id: r for r in lm_quality(docs, vocab, bi).collect()}
+
+    d = tmp_path / "docs_stream"
+    docs.write.parquet(str(d))
+    src = spark.readStream.schema(docs.schema).parquet(str(d))
+    out = lm_scored_stream(src, vocab, bi)
+    run_to_memory(out, "lm_scored", output_mode="complete")
+    got = {r.doc_id: r for r in spark.table("lm_scored").collect()}
+    assert set(got) == set(batch)
+    for k in batch:
+        assert (got[k].n_pairs, got[k].nll_sum_micro, got[k].avg_nll_milli) == (
+            batch[k].n_pairs, batch[k].nll_sum_micro, batch[k].avg_nll_milli)
