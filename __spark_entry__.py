@@ -40,6 +40,8 @@ DRIVER_PRIORITY: list[str] = [
     "pg_overlaps_predicate",
     "pg_at_time_zone",
     "pg_multidim_arrays",
+    "pg_format_quote_split",
+    "pg_unnest_ordinality_array_agg",
     # PL/pgSQL interpreter (closes the last unimplemented survey row)
     "plpgsql_function",
     "plpgsql_control_flow",

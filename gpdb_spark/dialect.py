@@ -1021,6 +1021,21 @@ def _dch_parse_pattern(lit: str) -> str | None:
     return "'" + "".join(out) + "'"
 
 
+def _quote_sql(arg_sql: str, ident: bool) -> str:
+    """quote_ident / quote_literal (quote.c) as a SQL expression over an
+    already-rendered argument: identifiers pass through when they are
+    simple lower-case names, otherwise double-quote with "" doubling;
+    literals single-quote with '' doubling (NULL propagates)."""
+    if ident:
+        return (
+            f"CASE WHEN {arg_sql} RLIKE '^[a-z_][a-z0-9_]*$' THEN {arg_sql} "
+            f"ELSE '\"' || replace({arg_sql}, '\"', '\"\"') || '\"' END"
+        )
+    return (
+        f"'''' || replace(CAST({arg_sql} AS STRING), '''', '''''') || ''''"
+    )
+
+
 def _pass_functions(tokens: list[str]) -> list[str]:
     out: list[str] = []
     i = 0
@@ -1034,6 +1049,146 @@ def _pass_functions(tokens: list[str]) -> list[str]:
             out += ["current_timestamp", "(", ")"]
             i += 3
             continue
+        # regexp_split_to_array(s, pat) -> split(s, pat, -1): the -1
+        # limit keeps trailing empty fields, matching PG (regexp.c
+        # regexp_split_to_array); regexp_split_to_table -> explode(...)
+        if low in ("regexp_split_to_array", "regexp_split_to_table") and nxt == "(":
+            depth, k = 0, i + 1
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            inner = _pass_functions(tokens[i + 2 : k])
+            body = ["split", "("] + inner + [",", "-1", ")"]
+            if low.endswith("_table"):
+                body = ["explode", "("] + body + [")"]
+            out += body
+            i = k + 1
+            continue
+        # quote_ident / quote_literal (quote.c) as SQL expressions —
+        # same semantics as the DataFrame forms in scalar_funcs
+        if low in ("quote_ident", "quote_literal") and nxt == "(":
+            depth, k = 0, i + 1
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            a = "(" + _render(_pass_functions(tokens[i + 2 : k])) + ")"
+            out += _lex(_quote_sql(a, low == "quote_ident"))
+            i = k + 1
+            continue
+        # format('fmt', args...) (varlena.c text_format): literal format
+        # strings with %s / %I / %L / %% expand to a concat of parts —
+        # %s casts (NULL -> ''), %I quote_idents, %L quote_literals
+        # (NULL -> the keyword NULL, as PG renders it)
+        if (
+            low == "format"
+            and nxt == "("
+            and i + 2 < n
+            and tokens[i + 2].startswith("'")
+        ):
+            depth, k = 0, i + 1
+            commas = []
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif tokens[k] == "," and depth == 1:
+                    commas.append(k)
+                k += 1
+            fmt = tokens[i + 2][1:-1].replace("''", "'")
+            bounds = [i + 2] + commas + [k]
+            args = [
+                "(" + _render(_pass_functions(tokens[bounds[j] + 1 : bounds[j + 1]])) + ")"
+                for j in range(1, len(bounds) - 1)
+            ]
+            import re as _re2
+
+            if not _re2.search(r"%\d+\$", fmt):  # positional %n$ unsupported
+                parts, ai, ok = [], 0, True
+                for piece in _re2.split(r"(%[sIL%])", fmt):
+                    if piece == "%%":
+                        parts.append("'%'")
+                    elif piece in ("%s", "%I", "%L"):
+                        if ai >= len(args):
+                            ok = False
+                            break
+                        a = args[ai]
+                        ai += 1
+                        if piece == "%s":
+                            parts.append(f"coalesce(CAST({a} AS STRING), '')")
+                        elif piece == "%I":
+                            parts.append(_quote_sql(a, True))
+                        else:
+                            parts.append(
+                                f"coalesce({_quote_sql(a, False)}, 'NULL')"
+                            )
+                    elif piece:
+                        parts.append("'" + piece.replace("'", "''") + "'")
+                if ok:
+                    out += _lex("concat(" + ", ".join(parts or ["''"]) + ")")
+                    i = k + 1
+                    continue
+        # array_agg(expr ORDER BY key [ASC|DESC]) / array_agg(DISTINCT
+        # expr ORDER BY expr): Spark's array_agg has no ordered form, so
+        # sort explicitly — same-key form via sort_array, general key
+        # via a (key, value) struct sort (PG aggregates.sgml semantics)
+        if low == "array_agg" and nxt == "(":
+            depth, k = 0, i + 1
+            order_at = None
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif (
+                    depth == 1
+                    and _is_word(tokens[k], "order")
+                    and k + 1 < n
+                    and _is_word(tokens[k + 1], "by")
+                ):
+                    order_at = k
+                k += 1
+            if order_at:
+                start = i + 2
+                distinct = _is_word(tokens[start], "distinct")
+                if distinct:
+                    start += 1
+                expr_t = tokens[start:order_at]
+                key_t = tokens[order_at + 2 : k]
+                asc = "true"
+                if key_t and _is_word(key_t[-1], "desc"):
+                    asc, key_t = "false", key_t[:-1]
+                elif key_t and _is_word(key_t[-1], "asc"):
+                    key_t = key_t[:-1]
+                expr_s = _render(_pass_functions(expr_t))
+                key_s = _render(_pass_functions(key_t))
+                same = [t0.lower() for t0 in expr_t] == [t0.lower() for t0 in key_t]
+                if same:
+                    fn = "collect_set" if distinct else "collect_list"
+                    out += _lex(f"sort_array({fn}({expr_s}), {asc})")
+                    i = k + 1
+                    continue
+                if not distinct:
+                    out += _lex(
+                        f"transform(sort_array(collect_list(named_struct("
+                        f"'_o', {key_s}, '_v', {expr_s})), {asc}), s -> s._v)"
+                    )
+                    i = k + 1
+                    continue
         # json[b]_build_object('k', v, ...) -> to_json(named_struct(...))
         # (json.c json_build_object; value types preserved — named_struct
         # keeps ints as json numbers, unlike a map<string,string> round
@@ -2111,6 +2266,44 @@ def _pass_array_syntax(tokens: list[str]) -> list[str]:
             i = k + 1
             continue
         if low == "unnest" and nxt == "(":
+            # unnest(arr) WITH ORDINALITY [AS t(c1, c2)] -> a derived
+            # table over posexplode with the 1-based position LAST
+            # (PG's ordinality column order; execSRF.c)
+            depth, k = 0, i + 1
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            after = k + 1
+            if (
+                after + 1 < n
+                and _is_word(tokens[after], "with")
+                and _is_word(tokens[after + 1], "ordinality")
+            ):
+                j = after + 2
+                name, c1, c2 = "_u", "unnest", "ordinality"
+                if j < n and _is_word(tokens[j], "as"):
+                    j += 1
+                if j < n and tokens[j].isidentifier():
+                    name = tokens[j]
+                    j += 1
+                    if j < n and tokens[j] == "(":
+                        c1, c2 = tokens[j + 1], tokens[j + 3]
+                        j += 5  # ( c1 , c2 )
+                inner = _pass_array_syntax(tokens[i + 2 : k])
+                out += (
+                    ["(", "SELECT", "col", "AS", c1, ",",
+                     "pos", "+", "1", "AS", c2, "FROM", "(",
+                     "SELECT", "posexplode", "("]
+                    + inner
+                    + [")", ")", ")", "AS", name]
+                )
+                i = j
+                continue
             out.append("explode")
             i += 1
             continue

@@ -497,3 +497,57 @@ _pg_query(
     ORDER BY n_nationkey
     """,
 )
+
+
+_pg_query(
+    "pg_format_quote_split",
+    # format (varlena.c text_format), quote_ident/quote_literal
+    # (quote.c), regexp_split_to_array (regexp.c — trailing empties
+    # kept, hence split(..., -1) in the translation)
+    """
+    SELECT n_nationkey,
+           regexp_split_to_array(n_name, '_') AS parts,
+           format('%I = %L (%s)', n_name, 'it''s ' || n_name, n_regionkey) AS fmt,
+           quote_ident(lower(n_name)) AS qi,
+           quote_literal(n_name) AS ql
+    FROM nation
+    """,
+    # DuckDB's format() is fmt-style, so the oracle spells out the
+    # expansion; regexp_full_match = Spark's anchored RLIKE
+    oracle="""
+    SELECT n_nationkey,
+           regexp_split_to_array(n_name, '_') AS parts,
+           (CASE WHEN regexp_full_match(n_name, '[a-z_][a-z0-9_]*')
+                 THEN n_name
+                 ELSE '"' || replace(n_name, '"', '""') || '"' END)
+           || ' = '
+           || ('''' || replace('it''s ' || n_name, '''', '''''') || '''')
+           || ' (' || CAST(n_regionkey AS VARCHAR) || ')' AS fmt_oracle_fmt,
+           CASE WHEN regexp_full_match(lower(n_name), '[a-z_][a-z0-9_]*')
+                THEN lower(n_name)
+                ELSE '"' || replace(lower(n_name), '"', '""') || '"' END AS qi,
+           '''' || replace(n_name, '''', '''''') || '''' AS ql
+    FROM nation
+    """.replace("fmt_oracle_fmt", "fmt"),
+)
+
+
+_pg_query(
+    "pg_unnest_ordinality_array_agg",
+    # unnest WITH ORDINALITY (execSRF.c — 1-based position appended
+    # last) and ordered array_agg (PG ordered-set aggregate syntax)
+    """
+    SELECT r.r_regionkey, t.w, t.i,
+           (SELECT array_agg(n_name ORDER BY n_nationkey DESC)
+            FROM nation n WHERE n.n_regionkey = r.r_regionkey) AS names
+    FROM region r, unnest(ARRAY['alpha','beta']) WITH ORDINALITY AS t(w, i)
+    """,
+    oracle="""
+    SELECT r.r_regionkey, t.w, CAST(t.i AS INT) AS i,
+           (SELECT array_agg(n_name ORDER BY n_nationkey DESC)
+            FROM nation n WHERE n.n_regionkey = r.r_regionkey) AS names
+    FROM region r,
+         (SELECT unnest(['alpha','beta']) AS w,
+                 unnest(generate_series(1, 2)) AS i) t
+    """,
+)

@@ -510,3 +510,44 @@ def test_jsonb_concat_set_build(spark):
     assert (r["win"], r["add_b"], r["bx"]) == ("9", "2", "5")
     assert (r["sk"], r["sm"]) == ("new", "2")
     assert r["s"] == "plain_concat"
+
+
+class TestSrfFormatQuote:
+    """format/quote_*/regexp_split/WITH ORDINALITY/ordered array_agg
+    dialect rewrites (varlena.c text_format, quote.c, regexp.c,
+    execSRF.c ordinality)."""
+
+    def test_regexp_split_keeps_trailing_empties(self, spark, sf_dir):
+        r = pg_sql(spark, "SELECT regexp_split_to_array('a,b,', ',') AS a", sf_dir).first()
+        assert r.a == ["a", "b", ""]
+
+    def test_format_placeholders(self, spark, sf_dir):
+        r = pg_sql(
+            spark, "SELECT format('%s|%I|%L|%%', NULL, 'My Col', NULL) AS f", sf_dir
+        ).first()
+        assert r.f == '|"My Col"|NULL|%'
+
+    def test_with_ordinality_is_one_based_last(self, spark, sf_dir):
+        rows = pg_sql(
+            spark,
+            "SELECT t.w, t.i FROM unnest(ARRAY['a','b']) WITH ORDINALITY AS t(w, i)",
+            sf_dir,
+        ).collect()
+        assert [(r.w, r.i) for r in rows] == [("a", 1), ("b", 2)]
+
+    def test_array_agg_order_by_other_key(self, spark, sf_dir):
+        r = pg_sql(
+            spark,
+            "SELECT array_agg(n_name ORDER BY n_nationkey DESC) AS an "
+            "FROM nation WHERE n_regionkey = 0",
+            sf_dir,
+        ).first()
+        assert r.an == ["NATION_20", "NATION_15", "NATION_10", "NATION_5", "NATION_0"]
+
+    def test_array_agg_distinct_ordered(self, spark, sf_dir):
+        r = pg_sql(
+            spark,
+            "SELECT array_agg(DISTINCT n_regionkey ORDER BY n_regionkey) AS a FROM nation",
+            sf_dir,
+        ).first()
+        assert r.a == [0, 1, 2, 3, 4]
