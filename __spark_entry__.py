@@ -47,6 +47,7 @@ DRIVER_PRIORITY: list[str] = [
     "plpgsql_control_flow",
     "pgcrypto_hmac",
     "fuzzy_metaphone",
+    "tablefunc_crosstab",
     "text_lm_quality",
     "embed_ann_topk_blocked",
     "dedup_simhash",

@@ -763,3 +763,56 @@ class Engine:
         return self.create_table(
             name, self.sql(text), path, distributed_by=distributed_by, **kwargs
         )
+
+    def crosstab(
+        self,
+        source_sql: str,
+        category_sql: str | None = None,
+        n_categories: int | None = None,
+    ):
+        """tablefunc crosstab (contrib/tablefunc/tablefunc.c:692
+        crosstab / crosstab_hash): pivot a (row_name, category, value)
+        query into one row per row_name.
+
+        - ``crosstab(sql, category_sql)`` (the hash form PG recommends):
+          categories come from the second query, values match BY
+          CATEGORY — expressed as the Catalyst pivot, which plans a
+          single 2-stage pivot aggregation (no per-category scans).
+        - ``crosstab(sql)`` positional form: PG fills each row's values
+          left to right in query order, ignoring the category value.
+          Realized as a rank-within-row_name pivot over the source
+          query's ORDER BY (the reference requires ORDER BY 1,2 — same
+          contract here, enforced by the caller's SQL). ``n_categories``
+          bounds the output width (default: max group size).
+
+        Output column names are the category values (positional form:
+        ``value_1..value_N``), row_name first — the reference's column
+        definition list maps 1:1.
+        """
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        src = self.sql(source_sql)
+        rn, cat, val = src.columns[:3]
+        if category_sql is not None:
+            cats = [r[0] for r in self.sql(category_sql).collect()]
+            out = (
+                src.groupBy(rn)
+                .pivot(cat, cats)
+                .agg(F.first(val))
+            )
+            return out
+        # positional form: k-th record of each row_name -> column k
+        w = Window.partitionBy(rn).orderBy(F.col(cat))
+        ranked = src.withColumn("__k", F.row_number().over(w))
+        if n_categories is None:
+            n_categories = ranked.agg(F.max("__k")).first()[0] or 0
+        out = (
+            ranked.where(F.col("__k") <= n_categories)
+            .groupBy(rn)
+            .pivot("__k", list(range(1, n_categories + 1)))
+            .agg(F.first(val))
+        )
+        for k in range(1, n_categories + 1):
+            out = out.withColumnRenamed(str(k), f"value_{k}")
+        return out

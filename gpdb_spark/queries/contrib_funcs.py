@@ -419,3 +419,37 @@ def fuzzy_metaphone(spark, sf_dir):
         [(w,) for w, _ in _METAPHONE_VECTORS], "word string"
     )
     return df.select("word", metaphone_udf()(F.col("word")).alias("code"))
+
+
+@query(
+    "tablefunc_crosstab",
+    oracle="""
+    WITH src AS (
+      SELECT n_regionkey AS rn, n_name AS cat, n_nationkey AS val,
+             row_number() OVER (PARTITION BY n_regionkey ORDER BY n_name)
+                 AS k
+      FROM nation
+    )
+    SELECT rn,
+           max(CASE WHEN k = 1 THEN val END) AS value_1,
+           max(CASE WHEN k = 2 THEN val END) AS value_2,
+           max(CASE WHEN k = 3 THEN val END) AS value_3,
+           max(CASE WHEN k = 4 THEN val END) AS value_4,
+           max(CASE WHEN k = 5 THEN val END) AS value_5
+    FROM src GROUP BY rn
+    """,
+)
+def tablefunc_crosstab(spark, sf_dir):
+    """tablefunc crosstab positional form (tablefunc.c:692): pivot the
+    (row_name, category, value) query into one row per row_name with
+    values filled left-to-right in ORDER BY 1,2 order — Catalyst plans
+    it as one 2-stage pivot aggregation. Completes tablefunc parity
+    next to connectby."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.crosstab(
+        "SELECT n_regionkey AS rn, n_name AS cat, n_nationkey AS val "
+        "FROM nation ORDER BY 1, 2",
+        n_categories=5,
+    )

@@ -411,3 +411,29 @@ def test_catalog_introspection(spark, sf_dir, tmp_path):
     assert all_cols[("orders", "o_totalprice")] == "double precision"
     assert all_cols[("orders", "o_orderdate")] == "timestamp without time zone"
     assert all_cols[("embeddings", "embedding")] in ("real[]", "double precision[]")
+
+
+def test_crosstab_both_forms(spark, sf_dir):
+    """tablefunc crosstab (tablefunc.c:692): positional fill and the
+    category-matched hash form."""
+    eng = Engine(spark, sf_dir)
+    pos = eng.crosstab(
+        "SELECT n_regionkey AS rn, n_name AS cat, n_nationkey AS val "
+        "FROM nation ORDER BY 1, 2",
+        n_categories=5,
+    )
+    assert pos.columns == ["rn", "value_1", "value_2", "value_3", "value_4", "value_5"]
+    assert pos.count() == 5
+    r0 = {r.rn: r for r in pos.collect()}[0]
+    # region 0 names sort NATION_0 < NATION_10 < NATION_15 < NATION_20
+    # < NATION_5 (string order), so the last positional slot is key 5
+    assert r0.value_1 == 0 and r0.value_5 == 5
+
+    hashed = eng.crosstab(
+        "SELECT n_regionkey AS rn, n_name AS cat, n_nationkey AS val FROM nation",
+        category_sql="SELECT 'NATION_0' UNION ALL SELECT 'NATION_3'",
+    )
+    assert set(hashed.columns) == {"rn", "NATION_0", "NATION_3"}
+    row = {r.rn: r for r in hashed.collect()}
+    assert row[0].NATION_0 == 0 and row[3].NATION_3 == 3
+    assert row[0].NATION_3 is None
