@@ -2413,9 +2413,32 @@ def _pass_statement_forms(tokens: list[str]) -> list[str]:
     """``TABLE name`` (gram.y TABLE shorthand) -> SELECT * FROM name;
     strip trailing row-lock clauses (FOR UPDATE / FOR [NO KEY] SHARE /
     FOR KEY SHARE [OF ...] [NOWAIT | SKIP LOCKED]) — snapshot-isolated
-    batch reads have nothing to lock."""
+    batch reads have nothing to lock. Also strips the PG 12+ CTE
+    materialization hints ``AS [NOT] MATERIALIZED (`` (gram.y
+    opt_materialized) — Catalyst decides CTE inlining itself."""
     if tokens and _is_word(tokens[0], "table") and len(tokens) >= 2:
         tokens = ["SELECT", "*", "FROM"] + tokens[1:]
+    out_m: list[str] = []
+    i = 0
+    while i < len(tokens):
+        if (
+            _is_word(tokens[i], "as")
+            and i + 1 < len(tokens)
+            and (
+                (_is_word(tokens[i + 1], "materialized")
+                 and tokens[i + 2 : i + 3] == ["("])
+                or (_is_word(tokens[i + 1], "not")
+                    and i + 2 < len(tokens)
+                    and _is_word(tokens[i + 2], "materialized")
+                    and tokens[i + 3 : i + 4] == ["("])
+            )
+        ):
+            out_m.append(tokens[i])
+            i += 2 if _is_word(tokens[i + 1], "materialized") else 3
+            continue
+        out_m.append(tokens[i])
+        i += 1
+    tokens = out_m
     # find a depth-0 FOR followed by UPDATE/SHARE/NO/KEY
     depth = 0
     for i, t in enumerate(tokens):

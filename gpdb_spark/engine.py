@@ -82,7 +82,44 @@ class Engine:
             name = s.split(None, 1)[1].strip().lower()
             val = getattr(self, "_gucs", {}).get(name, "")
             return self.spark.createDataFrame([(name, val)], "name string, setting string")
+        if head in ("grant", "revoke"):
+            # aclchk.c: single-tenant batch engine — privileges are
+            # recorded for introspection, never enforced (the cluster
+            # manager owns authz in the Spark deployment model)
+            self._acl = getattr(self, "_acl", [])
+            self._acl.append(s)
+            return self.spark.createDataFrame([(head.upper(),)], "status string")
+        if head == "comment":
+            # commands/comment.c: COMMENT ON <type> <name> IS 'text'
+            m = _re.match(
+                r"(?is)^comment\s+on\s+(\w+)\s+([\w.\"]+)\s+is\s+"
+                r"(?:'((?:[^']|'')*)'|(null))\s*$",
+                s,
+            )
+            if m:
+                self._comments = getattr(self, "_comments", {})
+                key = (m.group(1).lower(), m.group(2).strip('"').lower())
+                if m.group(4):
+                    self._comments.pop(key, None)
+                else:
+                    self._comments[key] = m.group(3).replace("''", "'")
+                return self.spark.createDataFrame([("COMMENT",)], "status string")
+        cm = _re.match(
+            r"(?is)^create\s+type\s+([\w.]+)\s+as\s+enum\s*\((.*)\)\s*$", s
+        )
+        if cm:
+            vals = [
+                v.strip().strip("'")
+                for v in cm.group(2).split(",")
+                if v.strip()
+            ]
+            self.create_enum(cm.group(1), vals)
+            return self.spark.createDataFrame([("CREATE TYPE",)], "status string")
         return pg_sql(self.spark, s, None)
+
+    def obj_description(self, name: str, objtype: str = "table") -> str | None:
+        """obj_description() (pg_description lookup)."""
+        return getattr(self, "_comments", {}).get((objtype.lower(), name.lower()))
 
     # -- workload management / statistics ------------------------------------
 
@@ -763,6 +800,42 @@ class Engine:
         return self.create_table(
             name, self.sql(text), path, distributed_by=distributed_by, **kwargs
         )
+
+    # -- enum types (catalog/pg_enum.c) --------------------------------------
+
+    def create_enum(self, name: str, values: list[str]):
+        """CREATE TYPE name AS ENUM (...) (commands/typecmds.c
+        DefineEnum; pg_enum.c): the declaration ORDER is the type's sort
+        order — enum comparison goes through enumsortorder, not the
+        label text. Columns store the label string; use
+        ``enum_ordinal`` for ORDER BY/comparisons and ``enum_check`` as
+        the domain constraint (AssertOp) on writes."""
+        self._enums = getattr(self, "_enums", {})
+        self._enums[name.lower()] = list(values)
+
+    def enum_ordinal(self, name: str, col) -> Column:
+        """Label -> 1-based enumsortorder (NULL for non-members):
+        ORDER BY enum_ordinal(...) reproduces PG's enum ordering."""
+        from pyspark.sql import functions as F
+
+        vals = self._enums[name.lower()]
+        pairs: list = []
+        for i, v in enumerate(vals, start=1):
+            pairs += [F.lit(v), F.lit(i)]
+        c = F.col(col) if isinstance(col, str) else col
+        return F.element_at(F.create_map(*pairs), c)
+
+    def enum_check(self, name: str, col) -> Column:
+        """Membership constraint for the enum domain (enum_in's 'invalid
+        input value' check) — feed to operators/constraints.AssertOp."""
+        from pyspark.sql import functions as F
+
+        c = F.col(col) if isinstance(col, str) else col
+        return c.isNull() | c.isin(self._enums[name.lower()])
+
+    def enum_range(self, name: str) -> list[str]:
+        """enum_range(null::name) — the labels in sort order."""
+        return list(self._enums[name.lower()])
 
     def crosstab(
         self,

@@ -437,3 +437,44 @@ def test_crosstab_both_forms(spark, sf_dir):
     row = {r.rn: r for r in hashed.collect()}
     assert row[0].NATION_0 == 0 and row[3].NATION_3 == 3
     assert row[0].NATION_3 is None
+
+
+def test_grant_comment_materialized_hints(spark, sf_dir):
+    """Script-compatibility surface: GRANT/REVOKE accepted (recorded,
+    not enforced — aclchk.c note), COMMENT ON stored (pg_description),
+    WITH ... AS [NOT] MATERIALIZED hints stripped (Catalyst decides
+    inlining)."""
+    eng = Engine(spark, sf_dir)
+    assert eng.sql("GRANT SELECT ON nation TO analyst").first().status == "GRANT"
+    eng.sql("COMMENT ON TABLE nation IS 'it''s the nations'")
+    assert eng.obj_description("nation") == "it's the nations"
+    eng.sql("COMMENT ON TABLE nation IS NULL")
+    assert eng.obj_description("nation") is None
+    r = eng.sql(
+        "WITH x AS MATERIALIZED (SELECT 1 AS a), "
+        "y AS NOT MATERIALIZED (SELECT 2 AS b) "
+        "SELECT x.a + y.b AS s FROM x, y"
+    ).first()
+    assert r.s == 3
+
+
+def test_enum_type_ordering_and_check(spark, sf_dir):
+    """CREATE TYPE AS ENUM (typecmds.c DefineEnum / pg_enum.c):
+    declaration order IS the sort order; membership is the domain
+    constraint."""
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+    assert eng.enum_range("mood") == ["sad", "ok", "happy"]
+    df = spark.createDataFrame(
+        [("a", "happy"), ("b", "sad"), ("c", "ok")], "id string, m string"
+    )
+    ordered = [
+        r.id
+        for r in df.orderBy(eng.enum_ordinal("mood", "m")).collect()
+    ]
+    assert ordered == ["b", "c", "a"]  # sad < ok < happy, NOT alphabetical
+    bad = spark.createDataFrame([("d", "angry")], "id string, m string")
+    assert df.where(~eng.enum_check("mood", "m")).count() == 0
+    assert bad.where(~eng.enum_check("mood", "m")).count() == 1
