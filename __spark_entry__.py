@@ -49,6 +49,7 @@ DRIVER_PRIORITY: list[str] = [
     "fuzzy_metaphone",
     "tablefunc_crosstab",
     "text_lm_quality",
+    "text_dup_spans",
     "embed_ann_topk_blocked",
     "dedup_simhash",
     "dedup_minhash_lsh",

@@ -761,3 +761,60 @@ def text_lm_quality(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     vocab, bi = train_bigram_lm(d, "text")
     return lm_quality(d, vocab, bi, "doc_id", "text")
+
+
+def _dupspan_oracle() -> str:
+    from gpdb_spark.queries.datapipe_dedup import _hex15
+
+    return f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    tokpos AS (
+      SELECT doc_id, unnest(tk) AS w,
+             unnest(generate_series(1, len(tk))) AS i
+      FROM docs
+    ),
+    anch AS (
+      SELECT t.doc_id, t.i
+      FROM tokpos t JOIN docs d ON d.doc_id = t.doc_id
+      WHERE (CAST({_hex15("md5(w)")} AS BIGINT) % 4) = 0
+        AND t.i <= len(d.tk) - 16 + 1
+    ),
+    spans AS (
+      SELECT a.doc_id, a.i AS start,
+             md5(array_to_string(
+                 d.tk[CAST(a.i AS INT):CAST(a.i + 15 AS INT)], ' ')) AS h
+      FROM anch a JOIN docs d ON d.doc_id = a.doc_id
+    ),
+    dup AS (SELECT h FROM spans GROUP BY h HAVING count(*) > 1),
+    fl AS (SELECT s.doc_id, s.start FROM spans s JOIN dup USING (h)),
+    tot AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id),
+    agg AS (
+      SELECT doc_id, count(*) AS n_dup_spans,
+             list(start ORDER BY start) AS dup_starts
+      FROM fl GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_spans,
+           coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(a.dup_starts, CAST([] AS BIGINT[])) AS dup_starts
+    FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """
+
+
+@query("text_dup_spans", oracle=_dupspan_oracle())
+def text_dup_spans(spark, sf_dir):
+    """ExactSubstr-style duplicate-span detection (Lee et al. 2022,
+    arXiv:2107.06499) with winnowing content-defined anchors
+    (datapipe/spans.py): per doc, how many anchored 16-token windows
+    are duplicated anywhere in the corpus, and where. All JVM
+    expressions; the portable md5 hash family makes DuckDB re-derive
+    anchors, window hashes, the duplicate set and the per-doc report
+    end to end."""
+    from gpdb_spark.datapipe.spans import dup_spans
+
+    d = t(spark, sf_dir, "documents")
+    return dup_spans(d, window=16, anchor_mod=4)

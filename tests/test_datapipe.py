@@ -444,3 +444,46 @@ def test_ivf_flat_recall(embeds):
     }
     recall = len(bf & ap) / len(bf)
     assert recall >= 0.6, f"flat IVF recall too low: {recall}"
+
+
+class TestDupSpans:
+    def test_alignment_independent_detection(self, spark):
+        """Two docs share a 40-token run at DIFFERENT offsets — content
+        anchoring must flag spans in both (a fixed-stride grid would
+        miss out-of-phase copies)."""
+        from gpdb_spark.datapipe.spans import dup_spans
+
+        shared = " ".join(f"tok{i}" for i in range(40))
+        docs = spark.createDataFrame(
+            [
+                ("a", "lead in words " + shared + " tail"),
+                ("b", "x " + shared + " different ending here"),
+                ("c", " ".join(f"uniq{i}" for i in range(60))),
+            ],
+            "doc_id string, text string",
+        )
+        out = {r.doc_id: r for r in dup_spans(docs, window=16, anchor_mod=4).collect()}
+        assert out["a"].n_dup_spans > 0 and out["b"].n_dup_spans > 0
+        assert out["c"].n_dup_spans == 0
+        assert list(out["a"].dup_starts) == sorted(out["a"].dup_starts)
+
+    def test_short_docs_have_no_spans(self, spark):
+        from gpdb_spark.datapipe.spans import dup_spans
+
+        docs = spark.createDataFrame(
+            [("s", "only five tokens right here"),
+             ("t", " ".join(f"w{i}" for i in range(30)))],
+            "doc_id string, text string",
+        )
+        ids = {r.doc_id for r in dup_spans(docs, window=16, anchor_mod=4).collect()}
+        assert "s" not in ids  # < window tokens -> no anchored spans
+
+    def test_stays_jvm_side(self, spark):
+        from gpdb_spark.datapipe.spans import dup_spans
+
+        docs = spark.createDataFrame(
+            [("a", " ".join(f"w{i}" for i in range(30)))],
+            "doc_id string, text string",
+        )
+        plan = dup_spans(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
