@@ -50,6 +50,7 @@ DRIVER_PRIORITY: list[str] = [
     "tablefunc_crosstab",
     "text_lm_quality",
     "text_dup_spans",
+    "datapipe_domain_mix",
     "embed_ann_topk_blocked",
     "dedup_simhash",
     "dedup_minhash_lsh",

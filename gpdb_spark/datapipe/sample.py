@@ -102,3 +102,48 @@ def cap_per_group(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def mix_to_weights(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: downsample each domain so
+    the output matches the target ``weights`` (the data-mixing stage of
+    pretraining pipelines — cf. DoReMi, Xie et al. 2023, static-weight
+    variant). The achievable total is set by the binding domain
+    (min n_d / w_d — nothing is ever oversampled); per-domain keep
+    fractions follow as (w_d * T) / n_d.
+
+    Fully distributed: domain counts and the binding minimum are
+    computed in-plan (one groupBy + a 1-row broadcast — no driver
+    collect), and the per-row keep decision is the md5-prefix threshold
+    of hash_sample, with the threshold computed from the in-plan
+    fraction (32-bit integer compare). Same-keyed reruns return the
+    identical sample; domains absent from ``weights`` are dropped."""
+    pairs: list = []
+    for dname, w in sorted(weights.items()):
+        pairs += [F.lit(dname), F.lit(float(w))]
+    wmap = F.create_map(*pairs)
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_w", F.element_at(wmap, F.col(domain_col)))
+        .where(F.col("_w").isNotNull())
+    )
+    tmin = counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_t"))
+    fr = counts.crossJoin(F.broadcast(tmin)).select(
+        F.col(domain_col),
+        ((F.col("_w") * F.col("_t")) / F.col("_n")).alias("_frac"),
+    )
+    keyed = F.conv(
+        _key_hash(F.col(key_col), salt), 16, 10
+    ).cast("long")
+    return (
+        df.join(F.broadcast(fr), domain_col)
+        .where(keyed < F.floor(F.col("_frac") * F.lit(4294967296.0)).cast("long"))
+        .drop("_frac")
+    )

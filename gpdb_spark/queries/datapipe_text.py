@@ -818,3 +818,42 @@ def text_dup_spans(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return dup_spans(d, window=16, anchor_mod=4)
+
+
+def _mix_oracle() -> str:
+    from gpdb_spark.queries.datapipe_dedup import _hex15
+
+    hex8 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {p}, 1)) - 1)"
+        f" * {16 ** (8 - p)}"
+        for p in range(1, 9)
+    )
+    return f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    w AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.15),
+                                 ('es', 0.1), ('zh', 0.05)) v(lang, w)),
+    cw AS (SELECT c.lang, c.n, w.w FROM counts c JOIN w ON c.lang = w.lang),
+    tmin AS (SELECT min(n / w) AS t FROM cw),
+    fr AS (SELECT lang, (w * t) / n AS frac FROM cw, tmin)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN fr ON d.lang = fr.lang
+    WHERE CAST({hex8} AS BIGINT)
+          < CAST(floor(frac * 4294967296.0) AS BIGINT)
+    """
+
+
+@query("datapipe_domain_mix", oracle=_mix_oracle())
+def datapipe_domain_mix(spark, sf_dir):
+    """Deterministic domain-mixture sampling to target language weights
+    (sample.mix_to_weights — DoReMi-style static mixing): the binding
+    domain keeps everything, the rest downsample by md5-prefix
+    threshold, with counts / binding-min / fractions all computed
+    in-plan (no driver collect). DuckDB re-derives the counts, the
+    binding minimum, each fraction and every per-row keep decision."""
+    from gpdb_spark.datapipe.sample import mix_to_weights
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
+    return mix_to_weights(d, "lang", w, key_col="doc_id")

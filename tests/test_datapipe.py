@@ -487,3 +487,24 @@ class TestDupSpans:
         )
         plan = dup_spans(docs)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_domain_mix_hits_target_weights(docs, spark):
+    """mix_to_weights: output proportions approach the targets, the
+    binding domain is never oversampled, and reruns are identical."""
+    from gpdb_spark.datapipe.sample import mix_to_weights
+
+    w = {"en": 0.5, "de": 0.25, "fr": 0.25}
+    out = mix_to_weights(docs.select("doc_id", "lang"), "lang", w, "doc_id")
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    src = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) <= set(w)
+    # binding domain keeps ~everything; others downsample toward targets
+    total = sum(got.values())
+    for lang, frac in w.items():
+        if lang in got:
+            assert got[lang] <= src[lang]
+            assert abs(got[lang] / total - frac) < 0.15  # hash-sample variance
+    rerun = mix_to_weights(docs.select("doc_id", "lang"), "lang", w, "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in rerun.collect())
