@@ -43,6 +43,12 @@ DRIVER_PRIORITY: list[str] = [
     "pg_format_quote_split",
     "pg_unnest_ordinality_array_agg",
     # PL/pgSQL interpreter (closes the last unimplemented survey row)
+    # round-3 second batch: corpus → training batches operators
+    "text_chunk_documents",
+    "datapipe_pack_sequences",
+    "datapipe_shuffle_shards",
+    "embed_quantize_int8",
+    "vocab_pair_counts",
     "plpgsql_function",
     "plpgsql_control_flow",
     "pgcrypto_hmac",

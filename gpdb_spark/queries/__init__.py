@@ -17,4 +17,5 @@ from gpdb_spark.queries import (  # noqa: F401
     contrib_text,
     contrib_funcs,
     contrib_types,
+    datapipe_chunk,
 )
