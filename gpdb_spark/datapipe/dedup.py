@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gpdb_spark.catalog import spread
+from gpdb_spark.registry import fr
 from gpdb_spark.datapipe.text import tokens
 
 
@@ -121,7 +122,7 @@ def jaccard_pairs(
         .join(sb, "b")
         .withColumn(
             "jaccard",
-            F.round(
+            fr(
                 F.col("inter").cast("double")
                 / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
                 6,

@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from gpdb_spark.registry import fr
+
 
 def dot(a: Column, b: Column) -> Column:
     """svec_dot (operators.c:144): elementwise product sum, sequential
@@ -105,7 +107,7 @@ def brute_force_topk(
     )
     scored = (
         c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
-        .withColumn("cos", F.round(dot(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cos", fr(dot(F.col("qv"), F.col("cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("corpus_id")
@@ -262,14 +264,15 @@ def lsh_topk(
         .dropDuplicates(["query_id", "corpus_id"])
     )
     if portable:
-        # raw vectors: exact decimal cosine (engine-identical rounding)
-        cos = F.round(
+        # raw vectors: exact decimal cosine, floor-truncated to 6 digits
+        # (registry.fr — engine-identical, unlike round(double))
+        cos = fr(
             dec_dot(F.col("_qv"), F.col("_v")).cast("double")
             / (dec_norm(F.col("_qv")) * dec_norm(F.col("_v"))),
             6,
         )
     else:
-        cos = F.round(dot(F.col("_qv"), F.col("_v")), 6)
+        cos = fr(dot(F.col("_qv"), F.col("_v")), 6)
     scored = cand.withColumn("cos", cos)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id"))
     return (
@@ -376,7 +379,7 @@ def ivf_topk(
     cand = c_cells.join(q_cells, "cell").where(
         F.col("corpus_id") != F.col("query_id")
     )
-    scored = cand.withColumn("cos", F.round(dot(F.col("qv"), F.col("cv")), 6))
+    scored = cand.withColumn("cos", fr(dot(F.col("qv"), F.col("cv")), 6))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("corpus_id")
     )
@@ -430,7 +433,7 @@ def ivf_topk_flat(
     cand = c_cells.join(q_cells, "cid").where(
         F.col("corpus_id") != F.col("query_id")
     )
-    cos = F.round(
+    cos = fr(
         dec_dot(F.col("_qv"), F.col("_v")).cast("double")
         / (dec_norm(F.col("_qv")) * dec_norm(F.col("_v"))),
         6,

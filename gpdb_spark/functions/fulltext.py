@@ -21,6 +21,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gpdb_spark.registry import fr
+
 from gpdb_spark.catalog import spread
 from gpdb_spark.datapipe.text import tokens
 
@@ -167,7 +169,7 @@ def ts_rank_cd(
     return g.select(
         F.col("id").alias(id_col),
         minspan.cast("int").alias("minspan"),
-        F.round(F.lit(1.0) / minspan, 6).alias("rank_cd"),
+        fr(F.lit(1.0) / minspan, 6).alias("rank_cd"),
     )
 
 

@@ -62,9 +62,12 @@ def next_day(d: Column, dayname: str) -> Column:
 
 
 def months_between(d1: Column, d2: Column) -> Column:
-    """Oracle months_between — Spark's builtin implements the same
+    """Oracle months_between, UNROUNDED (roundOff=False): Spark's default
+    pre-rounds to 8 digits HALF_UP, which breaks the engine-portable
+    floor-truncation discipline (registry.fr) the query layer applies —
+    the oracle floors the raw value, so Spark must too.
     31-day-month fraction + same-day/both-last-day integer rule."""
-    return F.months_between(d1, d2)
+    return F.months_between(d1, d2, roundOff=False)
 
 
 def instr(s: Column, sub: str, start: int = 1) -> Column:

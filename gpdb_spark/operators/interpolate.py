@@ -57,5 +57,8 @@ def linear_interpolate(
         .otherwise(y0 + (y1 - y0) * (x - x0) / (x1 - x0))
     )
     if round_digits is not None:
-        interp = F.round(interp, round_digits)
+        from gpdb_spark.registry import fr
+
+        # floor-truncate, not round: engine-portable on finite doubles
+        interp = fr(interp, round_digits)
     return df.withColumn(out_col, interp)

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gpdb_spark.registry import fr
+
 
 def segment_of(key: Column, n_segments: int) -> Column:
     """Deterministic segment id in [0, n_segments): first 8 md5 hex
@@ -64,6 +66,6 @@ def skew_report(
         "segments_used",
         "min_rows",
         "max_rows",
-        F.round(100.0 * F.sqrt(var) / mean, 4).alias("skcoeff"),
-        F.round(1.0 - mean / F.col("max_rows"), 4).alias("siffraction"),
+        fr(100.0 * F.sqrt(var) / mean, 4).alias("skcoeff"),
+        fr(1.0 - mean / F.col("max_rows"), 4).alias("siffraction"),
     )

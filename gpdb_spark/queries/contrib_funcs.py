@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from gpdb_spark.functions import orafce
-from gpdb_spark.registry import query, t
+from gpdb_spark.registry import fr, query, t
 
 # DuckDB mirrors of the Oracle date rules (derivations in the orafce
 # module docstrings): add_months last-day rule; months_between 31-day
@@ -22,11 +22,11 @@ _DUCK_ADD_MONTHS = (
     "ELSE CAST(d + to_months(2) AS DATE) END AS DATE)"
 )
 _DUCK_MONTHS_BETWEEN = (
-    "round(CAST((year(DATE '1997-06-30') - year(d)) * 12 "
+    "(floor((CAST((year(DATE '1997-06-30') - year(d)) * 12 "
     "+ (month(DATE '1997-06-30') - month(d)) AS DOUBLE) "
     "+ CASE WHEN day(DATE '1997-06-30') = day(d) "
     "OR (DATE '1997-06-30' = last_day(DATE '1997-06-30') AND d = last_day(d)) "
-    "THEN 0.0 ELSE (day(DATE '1997-06-30') - day(d)) / 31.0 END, 8)"
+    "THEN 0.0 ELSE (day(DATE '1997-06-30') - day(d)) / 31.0 END) * 1e8) / 1e8)"
 )
 _DUCK_NEXT_DAY = (
     "CAST(d + to_days(CAST(CASE WHEN (5 - dayofweek(d) + 7) % 7 = 0 THEN 7 "
@@ -86,7 +86,7 @@ def orafce_funcs(spark, sf_dir):
         orafce.add_months_ora(F.col("d"), 2).alias("plus2mo"),
         F.last_day("d").alias("eom"),
         orafce.next_day(F.col("d"), "FRI").alias("next_fri"),
-        F.round(orafce.months_between(end, F.col("d")), 8).alias("mb"),
+        fr(orafce.months_between(end, F.col("d")), 8).alias("mb"),
         F.trunc("d", "mon").alias("mon_trunc"),
         orafce.instr(F.col("o_orderpriority"), "-").cast("int").alias("dash_at"),
         orafce.lnnvl(F.col("o_totalprice") > 100000).alias("lnnvl_big"),
@@ -106,14 +106,16 @@ def orafce_funcs(spark, sf_dir):
         FROM nation
     )
     SELECT a.n_nationkey, b.n_nationkey AS other_key,
-           round(2.0 * 6378168.0 * asin(least(1.0, sqrt(
+           (floor(2.0 * 6378168.0 * asin(least(1.0, sqrt(
                pow(sin(radians(b.lat - a.lat) / 2), 2)
                + cos(radians(a.lat)) * cos(radians(b.lat))
-                 * pow(sin(radians(b.lon - a.lon) / 2), 2)))), 3) AS earth_m,
-           round(2.0 * 3958.747716 * asin(least(1.0, sqrt(
+                 * pow(sin(radians(b.lon - a.lon) / 2), 2)))) * 1e3) / 1e3)
+             AS earth_m,
+           (floor(2.0 * 3958.747716 * asin(least(1.0, sqrt(
                pow(sin(radians(b.lat - a.lat) / 2), 2)
                + cos(radians(a.lat)) * cos(radians(b.lat))
-                 * pow(sin(radians(b.lon - a.lon) / 2), 2)))), 3) AS geo_miles
+                 * pow(sin(radians(b.lon - a.lon) / 2), 2)))) * 1e3) / 1e3)
+             AS geo_miles
     FROM pts a JOIN pts b ON b.n_nationkey = a.n_nationkey + 1
     """,
 )
@@ -146,8 +148,8 @@ def earth_distance_funcs(spark, sf_dir):
         .select(
             F.col("a.n_nationkey").alias("n_nationkey"),
             F.col("b.n_nationkey").alias("other_key"),
-            F.round(haversine(6378168.0), 3).alias("earth_m"),
-            F.round(haversine(3958.747716), 3).alias("geo_miles"),
+            fr(haversine(6378168.0), 3).alias("earth_m"),
+            fr(haversine(3958.747716), 3).alias("geo_miles"),
         )
     )
 

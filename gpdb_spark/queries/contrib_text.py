@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from gpdb_spark.functions import fuzzy, trgm
-from gpdb_spark.registry import query, t
+from gpdb_spark.registry import fr, query, t
 
 
 @query(
@@ -22,8 +22,8 @@ from gpdb_spark.registry import query, t
     SELECT a.doc_id,
            CAST(len({trgm.duck_trgm("substr(a.text, 1, 40)")}) AS INT) AS n_trgm,
            array_to_string({trgm.duck_trgm("a.source")}, ',') AS src_trgms,
-           round({trgm.duck_similarity("substr(a.text, 1, 40)", "substr(b.text, 1, 40)")}, 6)
-             AS sim_next,
+           (floor({trgm.duck_similarity("substr(a.text, 1, 40)", "substr(b.text, 1, 40)")}
+                  * 1e6) / 1e6) AS sim_next,
            {trgm.duck_similarity("substr(a.text, 1, 40)", "substr(b.text, 1, 40)")} >= 0.3
              AS pct_match
     FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
@@ -49,7 +49,7 @@ def trgm_similarity(spark, sf_dir):
             F.col("a.doc_id").alias("doc_id"),
             F.size(trgm.show_trgm(sa)).cast("int").alias("n_trgm"),
             F.array_join(trgm.show_trgm(F.col("a.source")), ",").alias("src_trgms"),
-            F.round(trgm.similarity(sa, sb), 6).alias("sim_next"),
+            fr(trgm.similarity(sa, sb), 6).alias("sim_next"),
             trgm.is_similar(sa, sb).alias("pct_match"),
         )
     )
@@ -75,7 +75,7 @@ def trgm_similarity(spark, sf_dir):
         GROUP BY 1, 2
     )
     SELECT a, b,
-           round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS sim
+           (floor(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) * 1e6) / 1e6) AS sim
     FROM pairs JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
     WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.45
     """,
@@ -127,7 +127,7 @@ def trgm_neardup_pairs(spark, sf_dir):
             / (F.col("sza") + F.col("szb") - F.col("shared")),
         )
         .where(F.col("sim") >= 0.45)
-        .select("a", "b", F.round("sim", 6).alias("sim"))
+        .select("a", "b", fr(F.col("sim"), 6).alias("sim"))
     )
 
 

@@ -67,11 +67,11 @@ def dedup_exact(spark, sf_dir):
         GROUP BY a.id, b.id
     )
     SELECT a, b,
-           round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+           (floor(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) * 1e6) / 1e6) AS jaccard
     FROM inter
     JOIN sizes sa ON sa.id = a
     JOIN sizes sb ON sb.id = b
-    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.82
+    WHERE (floor(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) * 1e6) / 1e6) >= 0.82
     """,
 )
 def dedup_jaccard_pairs(spark, sf_dir):
@@ -292,9 +292,9 @@ def dedup_simhash(spark, sf_dir):
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
         GROUP BY a.id, b.id
     )
-    SELECT a, b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+    SELECT a, b, (floor(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) * 1e6) / 1e6) AS jaccard
     FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
-    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    WHERE (floor(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) * 1e6) / 1e6) >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from gpdb_spark.catalog import spread
-from gpdb_spark.registry import query, t
+from gpdb_spark.registry import fr, query, t
 
 DIM = 64
 DEC30 = "decimal(30,15)"
@@ -42,8 +42,8 @@ def _dec_norm(a):
     "embed_norms",
     oracle=f"""
     SELECT vec_id, label,
-           round(sqrt(CAST(sum(CAST(embedding[i] * embedding[i] AS DECIMAL(30,15)))
-                           AS DOUBLE)), 6) AS l2norm
+           (floor(sqrt(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,15)))
+                           AS DOUBLE)) * 1e6) / 1e6) AS l2norm
     FROM embeddings, {IDX}
     GROUP BY vec_id, label
     """,
@@ -55,7 +55,7 @@ def embed_norms(spark, sf_dir):
     return e.select(
         "vec_id",
         "label",
-        F.round(_dec_norm(F.col("embedding")), 6).alias("l2norm"),
+        fr(_dec_norm(F.col("embedding")), 6).alias("l2norm"),
     )
 
 
@@ -64,22 +64,22 @@ def embed_norms(spark, sf_dir):
     oracle=f"""
     WITH norms AS (
         SELECT vec_id,
-               sqrt(CAST(sum(CAST(embedding[i] * embedding[i] AS DECIMAL(30,15)))
+               sqrt(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,15)))
                          AS DOUBLE)) AS nrm
         FROM embeddings, {IDX}
         GROUP BY vec_id
     ), dots AS (
         SELECT a.vec_id AS a, b.vec_id AS b, a.label AS label,
-               CAST(sum(CAST(a.embedding[i] * b.embedding[i] AS DECIMAL(30,15)))
+               CAST(sum(CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(30,15)))
                     AS DOUBLE) AS dp
         FROM embeddings a
         JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id, {IDX}
         GROUP BY a.vec_id, b.vec_id, a.label
     )
     SELECT d.a, d.b, d.label,
-           round(d.dp / (na.nrm * nb.nrm), 5) AS cos
+           (floor(d.dp / (na.nrm * nb.nrm) * 1e5) / 1e5) AS cos
     FROM dots d JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b
-    WHERE round(d.dp / (na.nrm * nb.nrm), 5) >= 0.3
+    WHERE (floor(d.dp / (na.nrm * nb.nrm) * 1e5) / 1e5) >= 0.3
     """,
 )
 def embed_cosine_pairs(spark, sf_dir):
@@ -106,7 +106,7 @@ def embed_cosine_pairs(spark, sf_dir):
     return (
         pairs.join(na, "a")
         .join(nb, "b")
-        .withColumn("cos", F.round(F.col("dp") / (F.col("na") * F.col("nb")), 5))
+        .withColumn("cos", fr(F.col("dp") / (F.col("na") * F.col("nb")), 5))
         .where(F.col("cos") >= 0.3)
         .select("a", "b", "label", "cos")
     )
@@ -118,22 +118,22 @@ def embed_cosine_pairs(spark, sf_dir):
 _ANN_TOPK_ORACLE = f"""
     WITH norms AS (
         SELECT vec_id,
-               sqrt(CAST(sum(CAST(embedding[i] * embedding[i] AS DECIMAL(30,15)))
+               sqrt(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,15)))
                          AS DOUBLE)) AS nrm
         FROM embeddings, {IDX}
         GROUP BY vec_id
     ), dots AS (
         SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-               CAST(sum(CAST(q.embedding[i] * c.embedding[i] AS DECIMAL(30,15)))
+               CAST(sum(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(30,15)))
                     AS DOUBLE) AS dp
         FROM embeddings q
         JOIN embeddings c ON q.vec_id < 20 AND c.vec_id <> q.vec_id, {IDX}
         GROUP BY q.vec_id, c.vec_id
     ), scored AS (
         SELECT query_id, corpus_id,
-               round(dp / (nq.nrm * nc.nrm), 6) AS cos,
+               (floor(dp / (nq.nrm * nc.nrm) * 1e6) / 1e6) AS cos,
                row_number() OVER (PARTITION BY query_id
-                                  ORDER BY round(dp / (nq.nrm * nc.nrm), 6) DESC,
+                                  ORDER BY (floor(dp / (nq.nrm * nc.nrm) * 1e6) / 1e6) DESC,
                                            corpus_id) AS rnk
         FROM dots JOIN norms nq ON nq.vec_id = query_id
                   JOIN norms nc ON nc.vec_id = corpus_id
@@ -167,7 +167,7 @@ def embed_ann_topk(spark, sf_dir):
             "query_id",
         )
         .join(norms.withColumnRenamed("nid", "corpus_id").withColumnRenamed("nrm", "nc"), "corpus_id")
-        .withColumn("cos", F.round(F.col("dp") / (F.col("nq") * F.col("nc")), 6))
+        .withColumn("cos", fr(F.col("dp") / (F.col("nq") * F.col("nc")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id"))
     return (
@@ -181,8 +181,8 @@ def embed_ann_topk(spark, sf_dir):
     "embed_centroids",
     oracle=f"""
     SELECT label, i AS dim,
-           round(CAST(sum(CAST(embedding[i] AS DECIMAL(30,15))) AS DOUBLE)
-                 / count(*), 6) AS centroid
+           (floor(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+                 / count(*) * 1e6) / 1e6) AS centroid
     FROM embeddings, {IDX}
     GROUP BY label, i
     """,
@@ -195,7 +195,7 @@ def embed_centroids(spark, sf_dir):
         e.select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", (F.col("pos") + 1).alias("dim"))
         .agg(
-            F.round(
+            fr(
                 F.sum(F.col("val").cast(DEC30)).cast("double") / F.count(F.lit(1)),
                 6,
             ).alias("centroid")
@@ -218,7 +218,7 @@ def embed_centroids(spark, sf_dir):
     ),
     proj AS (
       SELECT e.vec_id, pl.tbl, pl.p,
-             CAST(sum(CAST(pl.s * e.embedding[CAST(pl.i AS INT) + 1]
+             CAST(sum(CAST(pl.s * CAST(e.embedding[CAST(pl.i AS INT) + 1] AS DOUBLE)
                            AS DECIMAL(30,15))) AS DOUBLE) AS d
       FROM embeddings e, planes pl
       GROUP BY e.vec_id, pl.tbl, pl.p
@@ -237,14 +237,14 @@ def embed_centroids(spark, sf_dir):
     ),
     norms AS (
         SELECT vec_id,
-               sqrt(CAST(sum(CAST(embedding[i] * embedding[i] AS DECIMAL(30,15)))
+               sqrt(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,15)))
                          AS DOUBLE)) AS nrm
         FROM embeddings, {IDX}
         GROUP BY vec_id
     ),
     dots AS (
       SELECT c.query_id, c.corpus_id,
-             CAST(sum(CAST(q.embedding[i] * co.embedding[i] AS DECIMAL(30,15)))
+             CAST(sum(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(co.embedding[i] AS DOUBLE) AS DECIMAL(30,15)))
                   AS DOUBLE) AS dp
       FROM cand c
       JOIN embeddings q ON q.vec_id = c.query_id
@@ -253,9 +253,9 @@ def embed_centroids(spark, sf_dir):
     ),
     scored AS (
       SELECT query_id, corpus_id,
-             round(dp / (nq.nrm * nc.nrm), 6) AS cos,
+             (floor(dp / (nq.nrm * nc.nrm) * 1e6) / 1e6) AS cos,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY round(dp / (nq.nrm * nc.nrm), 6) DESC,
+                                ORDER BY (floor(dp / (nq.nrm * nc.nrm) * 1e6) / 1e6) DESC,
                                          corpus_id) AS rnk
       FROM dots JOIN norms nq ON nq.vec_id = query_id
                 JOIN norms nc ON nc.vec_id = corpus_id
@@ -338,7 +338,7 @@ def embed_ann_topk_blocked(spark, sf_dir):
     scored = cand.join(F.broadcast(qv), "query_id").select(
         "query_id",
         "corpus_id",
-        F.round(
+        fr(
             _dec_dot(F.col("qv"), F.col("cv")).cast("double")
             / (F.col("nq") * _dec_norm(F.col("cv"))),
             6,
@@ -363,13 +363,13 @@ def embed_ann_topk_blocked(spark, sf_dir):
     oracle=f"""
     WITH RECURSIVE norms AS (
         SELECT vec_id,
-               sqrt(CAST(sum(CAST(embedding[i] * embedding[i] AS DECIMAL(30,15)))
+               sqrt(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,15)))
                          AS DOUBLE)) AS nrm
         FROM embeddings, {IDX}
         GROUP BY vec_id
     ), dots AS (
         SELECT a.vec_id AS a, b.vec_id AS b,
-               CAST(sum(CAST(a.embedding[i] * b.embedding[i] AS DECIMAL(30,15)))
+               CAST(sum(CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(30,15)))
                     AS DOUBLE) AS dp
         FROM embeddings a
         JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id, {IDX}
@@ -379,7 +379,7 @@ def embed_ann_topk_blocked(spark, sf_dir):
         FROM dots d
         JOIN norms na ON na.vec_id = d.a
         JOIN norms nb ON nb.vec_id = d.b
-        WHERE round(d.dp / (na.nrm * nb.nrm), 5) >= 0.35
+        WHERE (floor(d.dp / (na.nrm * nb.nrm) * 1e5) / 1e5) >= 0.35
     ), edges AS (
         SELECT a AS u, b AS v FROM pairs
         UNION
@@ -422,7 +422,7 @@ def embed_neardup_clusters(spark, sf_dir):
     oracle=f"""
     WITH norms AS (
       SELECT vec_id,
-             sqrt(CAST(sum(CAST(embedding[i] * embedding[i] AS DECIMAL(30,15)))
+             sqrt(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,15)))
                        AS DOUBLE)) AS nrm
       FROM embeddings, {IDX}
       GROUP BY vec_id
@@ -432,7 +432,7 @@ def embed_neardup_clusters(spark, sf_dir):
              d.dp / (nv.nrm * nc.nrm) AS sim
       FROM (
         SELECT e.vec_id, c.vec_id AS cid,
-               CAST(sum(CAST(e.embedding[i] * c.embedding[i]
+               CAST(sum(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
                              AS DECIMAL(30,15))) AS DOUBLE) AS dp
         FROM embeddings e
         JOIN embeddings c ON c.vec_id < 16, {IDX}
@@ -457,7 +457,8 @@ def embed_neardup_clusters(spark, sf_dir):
     ),
     dots AS (
       SELECT cd.query_id, cd.corpus_id,
-             CAST(sum(CAST(q.embedding[i] * co.embedding[i]
+             CAST(sum(CAST(CAST(q.embedding[i] AS DOUBLE)
+                           * CAST(co.embedding[i] AS DOUBLE)
                            AS DECIMAL(30,15))) AS DOUBLE) AS dp
       FROM cand cd
       JOIN embeddings q ON q.vec_id = cd.query_id
@@ -466,9 +467,9 @@ def embed_neardup_clusters(spark, sf_dir):
     ),
     scored AS (
       SELECT query_id, corpus_id,
-             round(dp / (nq.nrm * nc.nrm), 6) AS cos,
+             (floor(dp / (nq.nrm * nc.nrm) * 1e6) / 1e6) AS cos,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY round(dp / (nq.nrm * nc.nrm), 6) DESC,
+                                ORDER BY (floor(dp / (nq.nrm * nc.nrm) * 1e6) / 1e6) DESC,
                                          corpus_id) AS rnk
       FROM dots JOIN norms nq ON nq.vec_id = query_id
                 JOIN norms nc ON nc.vec_id = corpus_id

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from gpdb_spark.registry import query, t
+from gpdb_spark.registry import fr, query, t
 from gpdb_spark.datapipe import text as T
 
 
@@ -17,10 +17,10 @@ from gpdb_spark.datapipe import text as T
            CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_tokens,
            CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS INT)
              AS n_distinct,
-           round(CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+           (floor(CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
                       AS DOUBLE)
-                 / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1), 6)
-             AS ttr
+                 / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)
+                 * 1e6) / 1e6) AS ttr
     FROM documents
     """,
 )
@@ -34,7 +34,7 @@ def text_token_stats(spark, sf_dir):
         "doc_id",
         n.cast("int").alias("n_tokens"),
         nd.cast("int").alias("n_distinct"),
-        F.round(nd.cast("double") / F.greatest(n, F.lit(1)), 6).alias("ttr"),
+        fr(nd.cast("double") / F.greatest(n, F.lit(1)), 6).alias("ttr"),
     )
 
 
@@ -159,7 +159,7 @@ def text_fingerprint(spark, sf_dir):
     oracle="""
     SELECT lang, source_bucket, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+           (floor(CAST(sum(n_chars) AS DOUBLE) / count(*) * 1e4) / 1e4) AS avg_chars
     FROM (SELECT lang, CASE WHEN length(source) > 4 THEN 'long' ELSE 'short' END
             AS source_bucket, n_chars FROM documents) d
     GROUP BY lang, source_bucket
@@ -180,7 +180,7 @@ def text_lang_distribution(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").cast("long").alias("total_chars"),
-            F.round(
+            fr(
                 F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
             ).alias("avg_chars"),
         )
@@ -566,9 +566,9 @@ _ORACLE["datapipe_stratified_cap"] = " ".join(
         FROM l JOIN freq USING (ln)
     )
     SELECT doc_id,
-           array_to_string(list_transform(
+           COALESCE(array_to_string(list_transform(
                list_sort(list({'pos': pos, 'ln': ln}) FILTER (WHERE keep)),
-               s -> s.ln), chr(10)) AS text,
+               s -> s.ln), chr(10)), '') AS text,
            CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_lines_kept,
            CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_lines_dropped
     FROM m GROUP BY doc_id

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from gpdb_spark.registry import DEC, dsum, oavg, osum, query, t
+from gpdb_spark.registry import fr, DEC, dsum, oavg, osum, query, t
 
 GAP_US = 30 * 60 * 1_000_000
 
@@ -144,7 +144,7 @@ def events_sessionize(spark, sf_dir):
         FROM pts
     )
     SELECT user_id, event_id,
-           round(CASE
+           (floor(CASE
              WHEN p0 IS NULL AND p1 IS NULL THEN NULL
              WHEN p0 IS NULL THEN struct_extract(p1, 'y')
              WHEN p1 IS NULL THEN struct_extract(p0, 'y')
@@ -154,7 +154,7 @@ def events_sessionize(spark, sf_dir):
                   + (struct_extract(p1, 'y') - struct_extract(p0, 'y'))
                     * (x - struct_extract(p0, 'x'))
                     / (struct_extract(p1, 'x') - struct_extract(p0, 'x'))
-           END, 6) AS value_interp
+           END * 1e6) / 1e6) AS value_interp
     FROM nb
     """,
 )
@@ -342,7 +342,7 @@ def events_gapfill_locf(spark, sf_dir):
         e,
         part_col="event_type",
         ts_col="ts",
-        measure=F.round(
+        measure=fr(
             F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1)), 4
         ),
         width_seconds=3600,

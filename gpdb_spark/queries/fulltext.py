@@ -116,7 +116,7 @@ def fulltext_headline(spark, sf_dir):
         FROM pos WHERE len(p0) > 0 AND len(p1) > 0
     )
     SELECT doc_id, CAST(minspan AS INT) AS minspan,
-           round(1.0 / minspan, 6) AS rank_cd
+           (floor(1.0 / minspan * 1e6) / 1e6) AS rank_cd
     FROM spans
     """,
 )

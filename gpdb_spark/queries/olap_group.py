@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from gpdb_spark.registry import DEC, dsum, osum, query, t
+from gpdb_spark.registry import DEC, dsum, fr, osum, query, t
 
 
 @query(
@@ -309,9 +309,11 @@ def minmax_hetero(spark, sf_dir):
     "corr_regr_explicit",
     oracle="""
     SELECT l_returnflag, n,
-           round((n * sxy - sx * sy) /
-                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qp,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS regr_slope
+           (floor((n * sxy - sx * sy) /
+                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) * 1e6) / 1e6)
+             AS corr_qp,
+           (floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6) / 1e6)
+             AS regr_slope
     FROM (
       SELECT l_returnflag, count(*) AS n,
              CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
@@ -341,11 +343,11 @@ def corr_regr_explicit(spark, sf_dir):
     return m.select(
         "l_returnflag",
         "n",
-        F.round(
+        fr(
             (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
             6,
         ).alias("corr_qp"),
-        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("regr_slope"),
+        fr((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("regr_slope"),
     )
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from gpdb_spark.registry import owsum, query, t, wdec, wround
+from gpdb_spark.registry import fr, owsum, query, t, wdec, wround
 
 ORD = "ORDER BY o_orderdate, o_orderkey"
 
@@ -28,8 +28,8 @@ ORD = "ORDER BY o_orderdate, o_orderkey"
            rank() OVER w AS rnk,
            dense_rank() OVER w AS drnk,
            row_number() OVER w AS rn,
-           round(percent_rank() OVER w, 6) AS prnk,
-           round(cume_dist() OVER w, 6) AS cd
+           (floor(percent_rank() OVER w * 1e6) / 1e6) AS prnk,
+           (floor(cume_dist() OVER w * 1e6) / 1e6) AS cd
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
     """,
@@ -47,8 +47,8 @@ def window_rank_family(spark, sf_dir):
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.row_number().over(w).alias("rn"),
-        F.round(F.percent_rank().over(w), 6).alias("prnk"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        fr(F.percent_rank().over(w), 6).alias("prnk"),
+        fr(F.cume_dist().over(w), 6).alias("cd"),
     )
 
 
@@ -108,12 +108,12 @@ def window_running_sum(spark, sf_dir):
     "window_sliding_avg",
     oracle=f"""
     SELECT o_custkey, o_orderkey,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+           (floor(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
                       OVER (PARTITION BY o_custkey {ORD}
                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
                  / count(*) OVER (PARTITION BY o_custkey {ORD}
-                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
-                 6) AS sliding_avg
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                 * 1e6) / 1e6) AS sliding_avg
     FROM orders
     """,
 )
@@ -128,7 +128,7 @@ def window_sliding_avg(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(
+        fr(
             F.sum(wdec("o_totalprice")).over(w).cast("double")
             / F.count(F.lit(1)).over(w),
             6,

@@ -15,7 +15,8 @@ from gpdb_spark.registry import query, t
     oracle="""
     SELECT o_custkey, o_orderkey,
            CASE WHEN mx = mn THEN 0.5
-                ELSE round((o_totalprice - mn) / (mx - mn), 6) END AS scaled
+                ELSE floor((o_totalprice - mn) / (mx - mn) * 1e6) / 1e6
+                END AS scaled
     FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                min(o_totalprice) OVER (PARTITION BY o_custkey) AS mn,
@@ -40,7 +41,9 @@ def table_function_scatter(spark, sf_dir):
         if mx == mn:
             scaled = pd.Series(0.5, index=pdf.index)
         else:
-            scaled = ((pdf.o_totalprice - mn) / (mx - mn)).round(6)
+            import numpy as np
+
+            scaled = np.floor((pdf.o_totalprice - mn) / (mx - mn) * 1e6) / 1e6
         return pd.DataFrame(
             {
                 "o_custkey": pdf.o_custkey,
@@ -284,12 +287,13 @@ def foreign_scan_fdw(spark, sf_dir):
         FROM seg
     )
     SELECT total_rows, segments_used, min_rows, max_rows,
-           round(100.0 * sqrt(CAST(ss AS DOUBLE) / segments_used
+           (floor(100.0 * sqrt(CAST(ss AS DOUBLE) / segments_used
                  - (CAST(total_rows AS DOUBLE) / segments_used)
                    * (CAST(total_rows AS DOUBLE) / segments_used))
-                 / (CAST(total_rows AS DOUBLE) / segments_used), 4) AS skcoeff,
-           round(1.0 - (CAST(total_rows AS DOUBLE) / segments_used)
-                 / max_rows, 4) AS siffraction
+                 / (CAST(total_rows AS DOUBLE) / segments_used) * 1e4) / 1e4)
+             AS skcoeff,
+           (floor((1.0 - (CAST(total_rows AS DOUBLE) / segments_used)
+                 / max_rows) * 1e4) / 1e4) AS siffraction
     FROM s
     """,
 )

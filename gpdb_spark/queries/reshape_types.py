@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from gpdb_spark.catalog import spread
-from gpdb_spark.registry import query, t
+from gpdb_spark.registry import fr, query, t
 from gpdb_spark.functions import complex as C
 from gpdb_spark.functions import svec as SV
 
@@ -99,8 +99,8 @@ def matrix_sum_agg(spark, sf_dir):
     SELECT p_partkey,
            round(p_retailprice * p_retailprice - p_size * p_size, 6) AS re,
            round(2 * p_retailprice * p_size, 6) AS im,
-           round(sqrt(p_retailprice * p_retailprice + p_size * p_size), 6)
-               AS modulus
+           (floor(sqrt(p_retailprice * p_retailprice + p_size * p_size) * 1e6)
+               / 1e6) AS modulus
     FROM part
     """,
 )
@@ -114,7 +114,7 @@ def complex_arith(spark, sf_dir):
         "p_partkey",
         F.round(z2["re"], 6).alias("re"),
         F.round(z2["im"], 6).alias("im"),
-        F.round(C.c_abs(z), 6).alias("modulus"),
+        fr(C.c_abs(z), 6).alias("modulus"),
     )
 
 
@@ -123,13 +123,13 @@ def complex_arith(spark, sf_dir):
     oracle="""
     SELECT vec_id,
            len(list_filter(embedding, x -> abs(x) > 0.5)) AS nnz,
-           round(sqrt(CAST(
+           (floor(sqrt(CAST(
                coalesce(list_sum(list_transform(
                    list_filter(list_transform(embedding,
                                               x -> CAST(x AS DOUBLE)),
                                x -> abs(x) > 0.5),
                    x -> CAST(x * x AS DECIMAL(30,15)))), 0)
-               AS DOUBLE)), 6) AS sparse_norm
+               AS DOUBLE)) * 1e6) / 1e6) AS sparse_norm
     FROM embeddings
     """,
 )
@@ -141,7 +141,7 @@ def svec_sparsify_stats(spark, sf_dir):
     return e.select(
         "vec_id",
         SV.svec_nnz(sv).alias("nnz"),
-        F.round(SV.svec_l2norm(sv), 6).alias("sparse_norm"),
+        fr(SV.svec_l2norm(sv), 6).alias("sparse_norm"),
     )
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from gpdb_spark.registry import query, t
+from gpdb_spark.registry import fr, query, t
 
 
 @query(
@@ -99,19 +99,19 @@ def regexp_like_funcs(spark, sf_dir):
            abs(o_totalprice - 30000.0) AS dist,
            ceil(o_totalprice / 1000.0) AS kceil,
            floor(o_totalprice / 1000.0) AS kfloor,
-           round(o_totalprice, 1) AS r1,
-           round(sqrt(o_totalprice), 6) AS sq,
-           round(ln(o_totalprice), 6) AS lnp,
-           round(log10(o_totalprice), 6) AS lgp,
-           round(power(o_totalprice, 0.25), 6) AS p25,
-           round(cbrt(o_totalprice), 6) AS cb,
-           round(exp(o_totalprice / 100000.0), 6) AS ex,
+           (floor(o_totalprice * 1e1) / 1e1) AS r1,
+           (floor(sqrt(o_totalprice) * 1e6) / 1e6) AS sq,
+           (floor(ln(o_totalprice) * 1e6) / 1e6) AS lnp,
+           (floor(log10(o_totalprice) * 1e6) / 1e6) AS lgp,
+           (floor(power(o_totalprice, 0.25) * 1e6) / 1e6) AS p25,
+           (floor(cbrt(o_totalprice) * 1e6) / 1e6) AS cb,
+           (floor(exp(o_totalprice / 100000.0) * 1e6) / 1e6) AS ex,
            CAST(o_orderkey % 7 AS BIGINT) AS m7,
            sign(o_totalprice - 30000.0) AS sgn,
-           round(pi() * 2, 6) AS tau,
-           round(degrees(1.0), 6) AS deg,
-           round(sin(o_totalprice / 10000.0), 6) AS sn,
-           round(atan2(o_totalprice, 10000.0), 6) AS at2,
+           (floor(pi() * 2 * 1e6) / 1e6) AS tau,
+           (floor(degrees(1.0) * 1e6) / 1e6) AS deg,
+           (floor(sin(o_totalprice / 10000.0) * 1e6) / 1e6) AS sn,
+           (floor(atan2(o_totalprice, 10000.0) * 1e6) / 1e6) AS at2,
            greatest(o_totalprice, 25000.0) AS hi,
            least(o_totalprice, 25000.0) AS lo
     FROM orders WHERE o_orderkey < 2000
@@ -127,19 +127,19 @@ def math_funcs(spark, sf_dir):
         F.abs(tp - 30000.0).alias("dist"),
         F.ceil(tp / 1000.0).alias("kceil"),
         F.floor(tp / 1000.0).alias("kfloor"),
-        F.round(tp, 1).alias("r1"),
-        F.round(F.sqrt(tp), 6).alias("sq"),
-        F.round(F.log(tp), 6).alias("lnp"),
-        F.round(F.log10(tp), 6).alias("lgp"),
-        F.round(F.pow(tp, 0.25), 6).alias("p25"),
-        F.round(F.cbrt(tp), 6).alias("cb"),
-        F.round(F.exp(tp / 100000.0), 6).alias("ex"),
+        fr(tp, 1).alias("r1"),
+        fr(F.sqrt(tp), 6).alias("sq"),
+        fr(F.log(tp), 6).alias("lnp"),
+        fr(F.log10(tp), 6).alias("lgp"),
+        fr(F.pow(tp, 0.25), 6).alias("p25"),
+        fr(F.cbrt(tp), 6).alias("cb"),
+        fr(F.exp(tp / 100000.0), 6).alias("ex"),
         (F.col("o_orderkey") % 7).cast("long").alias("m7"),
         F.signum(tp - 30000.0).alias("sgn"),
-        F.round(F.lit(3.141592653589793) * 2, 6).alias("tau"),
-        F.round(F.degrees(F.lit(1.0)), 6).alias("deg"),
-        F.round(F.sin(tp / 10000.0), 6).alias("sn"),
-        F.round(F.atan2(tp, F.lit(10000.0)), 6).alias("at2"),
+        fr(F.lit(3.141592653589793) * 2, 6).alias("tau"),
+        fr(F.degrees(F.lit(1.0)), 6).alias("deg"),
+        fr(F.sin(tp / 10000.0), 6).alias("sn"),
+        fr(F.atan2(tp, F.lit(10000.0)), 6).alias("at2"),
         F.greatest(tp, F.lit(25000.0)).alias("hi"),
         F.least(tp, F.lit(25000.0)).alias("lo"),
     )

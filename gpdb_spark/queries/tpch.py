@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from gpdb_spark.registry import davg, dsum, oavg, osum, query, t
+from gpdb_spark.registry import davg, dsum, fr, oavg, osum, query, t
 
 def _rev():
     # revenue measure; built lazily because Column construction needs a live session
@@ -380,10 +380,10 @@ def q13_customer_distribution(spark, sf_dir):
 @query(
     "q14_promo_effect",
     oracle=f"""
-    SELECT CAST(round(
+    SELECT (floor(
              100.00 * CAST(sum(CASE WHEN p_type = 'PROMO'
                  THEN CAST(({O_REV}) AS DECIMAL(25,6)) ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
-             / CAST(sum(CAST(({O_REV}) AS DECIMAL(25,6))) AS DOUBLE), 4) AS DOUBLE) AS promo_revenue
+             / CAST(sum(CAST(({O_REV}) AS DECIMAL(25,6))) AS DOUBLE) * 1e4) / 1e4) AS promo_revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
       AND l.l_shipdate < TIMESTAMP '1997-10-01'
@@ -405,7 +405,7 @@ def q14_promo_effect(spark, sf_dir):
     total = F.sum(_rev().cast(dec)).cast("double")
     return (
         l.join(broadcast(p), l.l_partkey == p.p_partkey)
-        .agg(F.round(100.0 * promo / total, 4).alias("promo_revenue"))
+        .agg(fr(100.0 * promo / total, 4).alias("promo_revenue"))
     )
 
 
@@ -443,7 +443,7 @@ def q16_part_supplier_relationships(spark, sf_dir):
 @query(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0, 2)
+    SELECT (floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0 * 1e2) / 1e2)
            AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -479,7 +479,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
         .join(thresholds, l.l_partkey == F.col("t_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(
+            fr(
                 F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double")
                 / 7.0,
                 2,
@@ -714,9 +714,9 @@ def q02_min_cost_supplier(spark, sf_dir):
           AND o.o_orderdate < TIMESTAMP '1998-01-01'
     )
     SELECT o_year,
-           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+           (floor(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
                           ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
-                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+                 / CAST(sum(volume) AS DOUBLE) * 1e6) / 1e6) AS mkt_share
     FROM all_nations GROUP BY o_year
     """,
 )
@@ -751,7 +751,7 @@ def q08_national_market_share(spark, sf_dir):
         .withColumn("o_year", F.year("o_orderdate"))
         .groupBy("o_year")
         .agg(
-            F.round(
+            fr(
                 F.sum(nat_vol).cast("double") / F.sum(vol).cast("double"), 6
             ).alias("mkt_share")
         )

@@ -61,7 +61,20 @@ def dsum(c: ColumnOrName, n: int = 2) -> Column:
 
 def davg(c: ColumnOrName, n: int = 6) -> Column:
     """Order-independent average: exact decimal sum / count, in doubles."""
-    return F.round(F.sum(_col(c).cast(DEC)).cast("double") / F.count(F.lit(1)), n)
+    return fr(F.sum(_col(c).cast(DEC)).cast("double") / F.count(F.lit(1)), n)
+
+
+def fr(c: ColumnOrName, n: int = 6) -> Column:
+    """Engine-portable deterministic "round" of a FINITE double: truncate
+    to n digits as floor(x*10^n)/10^n. Unlike round(double, n) — where
+    Spark rounds the shortest decimal repr HALF_UP while DuckDB rounds
+    the binary-scaled value (round(0.285d,2): Spark 0.29, DuckDB 0.28) —
+    both engines evaluate this formula with the identical IEEE ops, so
+    the result is bit-identical whenever the input double is. Do NOT use
+    on values that can be NaN (Spark floor(NaN) is 0, DuckDB keeps NaN).
+    Pair with ``ofr`` on the oracle side."""
+    s = float(10**n)
+    return F.floor(_col(c) * F.lit(s)) / F.lit(s)
 
 
 def dwsum(c: ColumnOrName, n: int = 2) -> Column:
@@ -89,10 +102,15 @@ def osum(expr: str, n: int = 2) -> str:
 
 
 def oavg(expr: str, n: int = 6) -> str:
-    return (
-        f"round(CAST(sum(CAST(({expr}) AS DECIMAL(25,6))) AS DOUBLE)"
-        f" / count(*), {n})"
+    return ofr(
+        f"CAST(sum(CAST(({expr}) AS DECIMAL(25,6))) AS DOUBLE) / count(*)", n
     )
+
+
+def ofr(expr: str, n: int = 6) -> str:
+    """Oracle-side twin of ``fr``: floor-truncate a finite double to n
+    digits with the same IEEE ops Spark runs."""
+    return f"(floor(({expr}) * 1e{n}) / 1e{n})"
 
 
 def owsum(expr: str, over: str, n: int = 2) -> str:

@@ -125,7 +125,8 @@ def test_linear_interpolate_matches_numpy(spark, seed):
         for i in range(n):
             rows.append((part, ts[i], None if miss[i] else float(vals[i])))
             if known.sum() >= 1:
-                expected[(part, ts[i])] = round(float(interp[i]), 6)
+                # operator floor-truncates to 6 digits (registry.fr)
+                expected[(part, ts[i])] = float(np.floor(interp[i] * 1e6) / 1e6)
             else:
                 expected[(part, ts[i])] = None
     df = spark.createDataFrame(rows, "part int, ts timestamp, v double")

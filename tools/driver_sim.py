@@ -1,6 +1,10 @@
 """Simulate the driver: import __spark_entry__, smoke entry(), run every
-queries() entry vs oracle_sql() on DuckDB at sf0.01, order-insensitive."""
-import sys, math, datetime
+queries() entry vs oracle_sql() on DuckDB at sf0.01, order-insensitive.
+
+Set SPARK_GRAFT_SIM_SF to point at a different fixture dir — e.g. a
+reseeded twin from tools/gen_fixtures.py — to fuzz for data-dependent
+fragility (the driver regenerates its tables every round)."""
+import os, sys, math, datetime
 sys.path.insert(0, '/root/repo')
 import __spark_entry__ as E
 from pyspark.sql import SparkSession
@@ -19,7 +23,7 @@ assert len(rows) >= 0
 # 2. full correctness loop, driver-style
 import duckdb
 con = duckdb.connect()
-sf = '/root/testdata/sf0.01'
+sf = os.environ.get('SPARK_GRAFT_SIM_SF', '/root/testdata/sf0.01')
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     con.execute(f"create view {t} as select * from read_parquet('{sf}/{t}.parquet')")
 

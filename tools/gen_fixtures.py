@@ -1,0 +1,181 @@
+"""Generate schema-compatible reseeded fixtures for robustness fuzzing.
+
+The round driver REGENERATES its synthetic tables each round, so any
+query whose compared output depends on value-level accidents of one
+seed (rounding ties, top-k ties, hash collisions) can flip red even
+though the logic is right — exactly what happened to the two round-2
+hash-fails. This tool writes a /tmp twin of /root/testdata/sf0.01 with
+the same schemas and value distributions but a DIFFERENT seed; running
+``SPARK_GRAFT_SIM_SF=/tmp/fuzz_sf0.01 python tools/driver_sim.py``
+then flushes out data-dependent fragility before the driver does.
+
+Usage: python tools/gen_fixtures.py [outdir] [seed] [scale]
+  scale multiplies row counts (default 1.0 == sf0.01 sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+PNOUNS = ["bolt", "widget", "rod", "anvil", "ring", "gear", "plate", "cog"]
+PADJS = ["small", "old", "new", "blue", "cold", "big", "red", "dim"]
+ETYPES = ["click", "view", "purchase", "signup", "error"]
+LANGS = ["en", "de", "fr", "es", "zh"]
+WORDS = (
+    "key agg row scan slow fast table value part hash merge batch line sort "
+    "window spark order data column join small customer query big the a group "
+    "filter stream"
+).split()
+
+DAY_US = 86_400_000_000
+
+
+def _money(rng, n, lo, hi):
+    return np.round(rng.uniform(lo, hi, n), 2)
+
+
+def main(outdir: str, seed: int = 1337, scale: float = 1.0) -> None:
+    rng = np.random.default_rng(seed)
+    import os
+
+    os.makedirs(outdir, exist_ok=True)
+
+    def write(name, **cols):
+        pq.write_table(pa.table(cols), f"{outdir}/{name}.parquet")
+
+    n_cust = int(1500 * scale)
+    n_supp = int(100 * scale)
+    n_part = int(2000 * scale)
+    n_ord = int(15000 * scale)
+    n_li = int(60000 * scale)
+    n_ev = int(10000 * scale)
+    n_doc = int(500 * scale)
+    n_emb = int(500 * scale)
+
+    write(
+        "region",
+        r_regionkey=pa.array(range(5), pa.int32()),
+        r_name=REGIONS,
+    )
+    write(
+        "nation",
+        n_nationkey=pa.array(range(25), pa.int32()),
+        n_name=[f"NATION_{i}" for i in range(25)],
+        n_regionkey=pa.array([i % 5 for i in range(25)], pa.int32()),
+    )
+    ck = np.arange(1, n_cust + 1, dtype=np.int64)
+    write(
+        "customer",
+        c_custkey=ck,
+        c_name=[f"Customer#{k:09d}" for k in ck],
+        c_nationkey=pa.array(rng.integers(0, 25, n_cust), pa.int32()),
+        c_acctbal=_money(rng, n_cust, -999.99, 9999.99),
+        c_mktsegment=[SEGMENTS[i] for i in rng.integers(0, 5, n_cust)],
+    )
+    sk = np.arange(1, n_supp + 1, dtype=np.int64)
+    write(
+        "supplier",
+        s_suppkey=sk,
+        s_name=[f"Supplier#{k:09d}" for k in sk],
+        s_nationkey=pa.array(rng.integers(0, 25, n_supp), pa.int32()),
+        s_acctbal=_money(rng, n_supp, -999.99, 9999.99),
+    )
+    pk = np.arange(1, n_part + 1, dtype=np.int64)
+    write(
+        "part",
+        p_partkey=pk,
+        p_name=[
+            f"{PADJS[a]} {PNOUNS[b]}"
+            for a, b in zip(rng.integers(0, 8, n_part), rng.integers(0, 8, n_part))
+        ],
+        p_brand=[f"Brand#{i}" for i in rng.integers(1, 26, n_part)],
+        p_type=[PTYPES[i] for i in rng.integers(0, 6, n_part)],
+        p_size=pa.array(rng.integers(1, 51, n_part), pa.int32()),
+        p_retailprice=_money(rng, n_part, 900.0, 2100.0),
+    )
+    ok = np.arange(1, n_ord + 1, dtype=np.int64)
+    odate_days = rng.integers(0, 2405, n_ord)  # 1995-01-01 .. 2001-08-01
+    epoch_1995 = np.datetime64("1995-01-01", "us").astype("int64")
+    odate = epoch_1995 + odate_days * DAY_US
+    write(
+        "orders",
+        o_orderkey=ok,
+        o_custkey=rng.integers(1, n_cust + 1, n_ord).astype(np.int64),
+        o_orderstatus=[["F", "O", "P"][i] for i in rng.choice(3, n_ord, p=[0.48, 0.48, 0.04])],
+        o_totalprice=_money(rng, n_ord, 900.0, 480000.0),
+        o_orderdate=pa.array(odate, pa.timestamp("us")),
+        o_orderpriority=[PRIORITIES[i] for i in rng.integers(0, 5, n_ord)],
+    )
+    li_ok = rng.integers(1, n_ord + 1, n_li).astype(np.int64)
+    li_ok.sort()
+    linenumber = np.ones(n_li, dtype=np.int32)
+    for i in range(1, n_li):
+        if li_ok[i] == li_ok[i - 1]:
+            linenumber[i] = linenumber[i - 1] + 1
+    ship = odate[li_ok - 1] + rng.integers(1, 122, n_li) * DAY_US
+    write(
+        "lineitem",
+        l_orderkey=li_ok,
+        l_partkey=rng.integers(1, n_part + 1, n_li).astype(np.int64),
+        l_suppkey=rng.integers(1, n_supp + 1, n_li).astype(np.int64),
+        l_linenumber=pa.array(linenumber, pa.int32()),
+        l_quantity=rng.integers(1, 51, n_li).astype(np.float64),
+        l_extendedprice=_money(rng, n_li, 900.0, 105000.0),
+        l_discount=np.round(rng.uniform(0.0, 0.10, n_li), 2),
+        l_tax=np.round(rng.uniform(0.0, 0.08, n_li), 2),
+        l_returnflag=[["R", "A", "N"][i] for i in rng.choice(3, n_li, p=[0.25, 0.25, 0.5])],
+        l_linestatus=[["O", "F"][i] for i in rng.integers(0, 2, n_li)],
+        l_shipdate=pa.array(ship, pa.timestamp("us")),
+    )
+    epoch_2024 = np.datetime64("2024-01-01", "us").astype("int64")
+    ts = epoch_2024 + rng.integers(0, 30 * DAY_US, n_ev)
+    write(
+        "events",
+        event_id=np.arange(1, n_ev + 1, dtype=np.int64),
+        ts=pa.array(np.sort(ts), pa.timestamp("us")),
+        user_id=rng.integers(1, 301, n_ev).astype(np.int64),
+        event_type=[ETYPES[i] for i in rng.integers(0, 5, n_ev)],
+        value=_money(rng, n_ev, 0.01, 490.02),
+        props=[json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_ev)],
+    )
+    texts = []
+    for i in range(n_doc):
+        n_words = int(rng.integers(5, 120))
+        words = [WORDS[j] for j in rng.integers(0, len(WORDS), n_words)]
+        texts.append(" ".join(words))
+    # a few exact duplicates, as the driver's corpus has
+    for i in range(0, n_doc, 37):
+        texts[i] = texts[(i + 11) % n_doc]
+    write(
+        "documents",
+        doc_id=np.arange(1, n_doc + 1, dtype=np.int64),
+        text=texts,
+        lang=[LANGS[i] for i in rng.integers(0, 5, n_doc)],
+        source=[f"src{i}" for i in rng.integers(0, 20, n_doc)],
+        n_chars=np.array([len(t) for t in texts], dtype=np.int64),
+    )
+    emb = rng.normal(0, 1, (n_emb, 64))
+    emb = (emb / np.linalg.norm(emb, axis=1, keepdims=True)).astype(np.float32)
+    write(
+        "embeddings",
+        vec_id=np.arange(1, n_emb + 1, dtype=np.int64),
+        embedding=pa.array([list(map(float, row)) for row in emb], pa.list_(pa.float32())),
+        label=pa.array(rng.integers(0, 10, n_emb), pa.int32()),
+    )
+    print(f"wrote reseeded fixtures to {outdir} (seed={seed}, scale={scale})")
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fuzz_sf0.01"
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1337
+    scale = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
+    main(out, seed, scale)
