@@ -49,6 +49,7 @@ DRIVER_PRIORITY: list[str] = [
     "datapipe_shuffle_shards",
     "embed_quantize_int8",
     "vocab_pair_counts",
+    "linregr_multi",
     "plpgsql_function",
     "plpgsql_control_flow",
     "pgcrypto_hmac",

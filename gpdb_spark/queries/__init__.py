@@ -18,4 +18,5 @@ from gpdb_spark.queries import (  # noqa: F401
     contrib_funcs,
     contrib_types,
     datapipe_chunk,
+    ml,
 )
