@@ -50,6 +50,7 @@ DRIVER_PRIORITY: list[str] = [
     "embed_quantize_int8",
     "vocab_pair_counts",
     "linregr_multi",
+    "text_bpe_encode",
     "plpgsql_function",
     "plpgsql_control_flow",
     "pgcrypto_hmac",

@@ -18,5 +18,6 @@ from gpdb_spark.queries import (  # noqa: F401
     contrib_funcs,
     contrib_types,
     datapipe_chunk,
+    datapipe_bpe,
     ml,
 )
