@@ -51,6 +51,8 @@ DRIVER_PRIORITY: list[str] = [
     "vocab_pair_counts",
     "linregr_multi",
     "text_bpe_encode",
+    "graph_pagerank",
+    "logregr_irls",
     "plpgsql_function",
     "plpgsql_control_flow",
     "pgcrypto_hmac",

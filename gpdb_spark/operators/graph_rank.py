@@ -1,0 +1,82 @@
+"""PageRank over an edge DataFrame — iterative graph analytics expressed
+as a fixed number of declarative join+aggregate rounds.
+
+Determinism doctrine: ranks are floor-truncated to 9 decimals after every
+update and per-edge contributions to 12 decimals before the DECIMAL sum,
+so every intermediate is an exact decimal, every sum order-independent,
+and the whole fixpoint reproducible bit-for-bit by any SQL engine — the
+DuckDB oracle unrolls the same iterations as a CTE chain.
+
+Scale shape (100 TB graph): per iteration one shuffle keyed on dst (the
+contribution aggregation) plus one broadcast of a single dangling-mass
+row — no driver collect, no per-row Python. Iteration count is fixed
+(power iteration converges geometrically; production runs pick ~10-20).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+D = 0.85  # damping
+
+
+def _floor(c, n):
+    s = float(10**n)
+    return F.floor(c * F.lit(s)) / F.lit(s)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Ranks for every node appearing in ``edges`` (either side), with
+    uniform init, damping 0.85, and dangling mass redistributed
+    uniformly. Returns (node, rank)."""
+    e = edges.select(src, dst).distinct().persist()
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .union(e.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_total = nodes.count()  # scalar: drives literal 1/N in the plan
+    outdeg = e.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+
+    pr = nodes.withColumn("rank", _floor(F.lit(1.0) / n_total, 9))
+    for _ in range(iterations):
+        contribs = (
+            e.join(pr.withColumnRenamed("node", src), src)
+            .join(outdeg, src)
+            .select(
+                F.col(dst).alias("node"),
+                _floor(F.col("rank") / F.col("deg"), 12)
+                .cast("decimal(28,15)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("double").alias("contrib"))
+        )
+        dangling = (
+            pr.join(outdeg.withColumnRenamed(src, "node"), "node", "left_anti")
+            .agg(F.sum(F.col("rank").cast("decimal(28,15)")).cast("double").alias("dm"))
+        )
+        pr = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                _floor(
+                    F.lit((1.0 - D) / n_total)
+                    + F.lit(D)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.coalesce(F.col("dm"), F.lit(0.0)) / n_total
+                    ),
+                    9,
+                ).alias("rank"),
+            )
+        )
+    return pr

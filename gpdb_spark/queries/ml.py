@@ -107,3 +107,88 @@ def linregr_multi(spark, sf_dir):
         fr(my - b1 * m1 - b2 * m2, 6).alias("b0"),
         fr((b1 * c1y + b2 * c2y) / cyy, 6).alias("r2"),
     )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    ctes = ["""
+    e AS (SELECT DISTINCT 'C' || CAST(o.o_custkey AS VARCHAR) AS src,
+                 'S' || CAST(l.l_suppkey AS VARCHAR) AS dst
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+    pr0 AS (SELECT node, floor(1.0 / nn.n * 1e9) / 1e9 AS pr FROM nodes, nn)"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(f"""
+    c{i} AS (SELECT e.dst AS node,
+                    CAST(sum(CAST(floor(p.pr / d.deg * 1e12) / 1e12
+                                  AS DECIMAL(28,15))) AS DOUBLE) AS contrib
+             FROM e JOIN pr{p} p ON p.node = e.src
+                    JOIN outdeg d ON d.src = e.src
+             GROUP BY e.dst),
+    dg{i} AS (SELECT CAST(sum(CAST(p.pr AS DECIMAL(28,15))) AS DOUBLE) AS dm
+              FROM pr{p} p LEFT JOIN outdeg d ON d.src = p.node
+              WHERE d.src IS NULL),
+    pr{i} AS (SELECT n.node,
+                     floor(((1.0 - 0.85) / nn.n
+                            + 0.85 * (COALESCE(c.contrib, 0.0)
+                                      + COALESCE(dg.dm, 0.0) / nn.n)) * 1e9) / 1e9
+                       AS pr
+              FROM nodes n LEFT JOIN c{i} c ON c.node = n.node, nn, dg{i} dg)""")
+    return "WITH" + ",".join(ctes) + f"""
+    SELECT node, pr AS pr_rank FROM pr{iters}
+    """
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark, sf_dir):
+    """PageRank (damping 0.85, 3 power iterations, dangling mass
+    redistributed) over the customer->supplier purchase graph — MADlib-
+    style in-database graph analytics on the MPP substrate. Exact-decimal
+    iteration (operators/graph_rank.py) makes the fixpoint engine-
+    reproducible: the oracle unrolls the identical iterations as a CTE
+    chain. Per iteration: one dst-keyed shuffle + one broadcast scalar."""
+    from gpdb_spark.operators.graph_rank import pagerank
+
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    return pagerank(edges, iterations=3).select(
+        "node", F.col("rank").alias("pr_rank")
+    )
+
+
+@query("logregr_irls")
+def logregr_irls(spark, sf_dir):
+    """Logistic regression P(l_returnflag='R' | quantity, discount) by
+    IRLS (operators/logistic.py) — the iterative half of the in-database
+    ML pair next to linregr_multi. Rows-only at the driver (genuinely
+    iterative, not SQL-expressible); tests/test_ml.py checks the fit
+    against a pure-numpy IRLS to 1e-6 and that the gradient at the
+    optimum vanishes. Output: one row per coefficient (floor-scaled) +
+    the final log-likelihood."""
+    from gpdb_spark.operators.logistic import logistic_irls
+
+    l = t(spark, sf_dir, "lineitem").withColumn(
+        "is_return", (F.col("l_returnflag") == "R").cast("int")
+    )
+    coefs, ll, n = logistic_irls(l, "is_return", ["l_quantity", "l_discount"])
+    rows = [
+        ("intercept", coefs[0]),
+        ("l_quantity", coefs[1]),
+        ("l_discount", coefs[2]),
+        ("log_likelihood", ll),
+    ]
+    import math
+
+    return spark.createDataFrame(
+        [(term, math.floor(v * 1e6) / 1e6, n) for term, v in rows],
+        "term string, estimate double, n long",
+    )

@@ -28,3 +28,34 @@ def test_linregr_matches_numpy(spark, sf_dir):
         ss_tot = ((y[m] - y[m].mean()) ** 2).sum()
         assert abs(r["r2"] - (1 - ss_res / ss_tot)) < 1e-4
         assert r["n"] == int(m.sum())
+
+
+def test_logregr_matches_numpy_irls(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    got = {
+        r["term"]: r["estimate"]
+        for r in QUERIES["logregr_irls"](spark, sf_dir).collect()
+    }
+    tbl = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pydict()
+    y = (np.array(tbl["l_returnflag"]) == "R").astype(float)
+    X = np.column_stack(
+        [np.ones(len(y)), tbl["l_quantity"], tbl["l_discount"]]
+    )
+    beta = np.zeros(3)
+    for _ in range(8):
+        eta = X @ beta
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        w = mu * (1 - mu)
+        A = X.T @ (X * w[:, None])
+        b = X.T @ (w * eta + y - mu)
+        beta = np.linalg.solve(A, b)
+    assert abs(got["intercept"] - beta[0]) < 1e-4
+    assert abs(got["l_quantity"] - beta[1]) < 1e-4
+    assert abs(got["l_discount"] - beta[2]) < 1e-4
+    # gradient at the optimum ~ 0 (X'(y - mu))
+    mu = 1.0 / (1.0 + np.exp(-(X @ beta)))
+    grad = X.T @ (y - mu)
+    assert np.abs(grad).max() < 1e-3 * len(y)
+    ll = float((y * (X @ beta) - np.log1p(np.exp(X @ beta))).sum())
+    assert abs(got["log_likelihood"] - ll) < max(1e-3, 1e-6 * abs(ll))
