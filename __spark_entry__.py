@@ -52,6 +52,7 @@ DRIVER_PRIORITY: list[str] = [
     "linregr_multi",
     "text_bpe_encode",
     "graph_pagerank",
+    "kmeans_lloyd",
     "logregr_irls",
     "plpgsql_function",
     "plpgsql_control_flow",

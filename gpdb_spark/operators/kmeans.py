@@ -1,0 +1,80 @@
+"""Lloyd's k-means with a deterministic, engine-reproducible iteration —
+the trained-quantizer complement to the flat IVF coarse quantizer
+(datapipe/similarity.ivf_topk_flat) and the third member of the
+in-database ML set (linregr_multi / logregr_irls / kmeans).
+
+Determinism doctrine (same as operators/graph_rank.py): centroid values
+are floor-truncated to 9 decimals after every mean, per-pair squared
+distances to 12 decimals before the DECIMAL sum — every intermediate is
+an exact decimal, every sum order-independent, so the whole fixpoint is
+bit-reproducible and the DuckDB oracle unrolls the identical iterations.
+
+Scale shape: vectors live in LONG form (vec_id, dim, value) — the MPP
+formulation with no arrays in the hot path. Per iteration: one broadcast
+join against the k*dim centroid relation (k*dim rows — tiny), one
+(vec_id, cid)-keyed partial-aggregated distance sum, one window argmin,
+one (cid, dim)-keyed mean. No driver collect anywhere; centroids stay
+distributed (broadcast by Catalyst because the relation is small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEC30 = "decimal(30,15)"
+
+
+def _floor(c, n):
+    s = float(10**n)
+    return F.floor(c * F.lit(s)) / F.lit(s)
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iterations: int = 2,
+) -> DataFrame:
+    """Returns (id, cluster) after ``iterations`` Lloyd rounds starting
+    from the k lowest-id vectors (deterministic init). Clusters that
+    lose all members drop out (matching plain Lloyd)."""
+    e = df.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(vec_col).alias("pos", "x_raw"),
+    ).select(
+        "vid", (F.col("pos") + 1).alias("i"), F.col("x_raw").cast("double").alias("x")
+    ).persist()
+
+    cent = e.where(F.col("vid") < k).select(
+        F.col("vid").alias("cid"), "i", _floor(F.col("x"), 9).alias("val")
+    )
+    assigned = None
+    for _ in range(iterations):
+        d = F.col("x") - F.col("val")
+        dist = (
+            e.join(F.broadcast(cent), "i")
+            .select("vid", "cid", _floor(d * d, 12).cast(DEC30).alias("sq"))
+            .groupBy("vid", "cid")
+            .agg(F.sum("sq").cast("double").alias("dist"))
+        )
+        w = Window.partitionBy("vid").orderBy("dist", "cid")
+        assigned = (
+            dist.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+            .select("vid", "cid")
+        )
+        cent = (
+            assigned.join(e, "vid")
+            .groupBy("cid", "i")
+            .agg(
+                _floor(
+                    F.sum(F.col("x").cast(DEC30)).cast("double")
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias("val")
+            )
+        )
+    return assigned.select(F.col("vid").alias(id_col), F.col("cid").alias("cluster"))

@@ -192,3 +192,49 @@ def logregr_irls(spark, sf_dir):
         [(term, math.floor(v * 1e6) / 1e6, n) for term, v in rows],
         "term string, estimate double, n long",
     )
+
+
+def _kmeans_oracle(k: int = 16, iters: int = 2) -> str:
+    idx = "(SELECT unnest(generate_series(1, 64)) AS i) idx"
+    ctes = [f"""
+    el AS (SELECT vec_id AS vid, i,
+                  CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, {idx}),
+    cent0 AS (SELECT vid AS cid, i, floor(x * 1e9) / 1e9 AS val
+              FROM el WHERE vid < {k})"""]
+    for it in range(1, iters + 1):
+        p = it - 1
+        ctes.append(f"""
+    d{it} AS (SELECT e.vid, c.cid,
+                     CAST(sum(CAST(floor((e.x - c.val) * (e.x - c.val) * 1e12)
+                                   / 1e12 AS DECIMAL(30,15))) AS DOUBLE) AS dist
+              FROM el e JOIN cent{p} c ON c.i = e.i
+              GROUP BY e.vid, c.cid),
+    a{it} AS (SELECT vid, cid FROM (
+                SELECT vid, cid,
+                       row_number() OVER (PARTITION BY vid
+                                          ORDER BY dist, cid) AS r
+                FROM d{it}) x WHERE r = 1),
+    cent{it} AS (SELECT a.cid, e.i,
+                        floor(CAST(sum(CAST(e.x AS DECIMAL(30,15))) AS DOUBLE)
+                              / count(*) * 1e9) / 1e9 AS val
+                 FROM a{it} a JOIN el e ON e.vid = a.vid
+                 GROUP BY a.cid, e.i)""")
+    return "WITH" + ",".join(ctes) + f"""
+    SELECT vid AS vec_id, cid AS cluster FROM a{iters}
+    """
+
+
+@query("kmeans_lloyd", oracle=_kmeans_oracle())
+def kmeans_lloyd(spark, sf_dir):
+    """Lloyd's k-means (k=16, 2 rounds, deterministic lowest-id init) on
+    the embeddings — ORACLED iterative clustering: exact-decimal
+    centroids and distances (operators/kmeans.py) make every round
+    engine-reproducible, so DuckDB re-runs the identical iterations as
+    an unrolled CTE chain. Long-form (vec, dim, value) layout — the MPP
+    shape with no arrays in the hot path and the centroid relation
+    broadcast."""
+    from gpdb_spark.operators.kmeans import kmeans_assign
+
+    e = t(spark, sf_dir, "embeddings")
+    return kmeans_assign(e, k=16, iterations=2)

@@ -59,3 +59,37 @@ def test_logregr_matches_numpy_irls(spark, sf_dir):
     assert np.abs(grad).max() < 1e-3 * len(y)
     ll = float((y * (X @ beta) - np.log1p(np.exp(X @ beta))).sum())
     assert abs(got["log_likelihood"] - ll) < max(1e-3, 1e-6 * abs(ll))
+
+
+def test_kmeans_matches_numpy_reference(spark, sf_dir):
+    """The distributed Lloyd rounds (operators/kmeans.py) must equal a
+    serial numpy implementation of the same floored-decimal algorithm."""
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in QUERIES["kmeans_lloyd"](spark, sf_dir).collect()
+    }
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = np.array(tbl["vec_id"])
+    X = np.array([list(map(float, v)) for v in tbl["embedding"]], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    k = 16
+    cent = np.floor(X[ids < k] * 1e9) / 1e9
+    cent_ids = ids[ids < k]
+    for _ in range(2):
+        # dist with per-element floor-12 terms, summed exactly
+        d = np.zeros((len(ids), len(cent_ids)))
+        for j in range(len(cent_ids)):
+            d[:, j] = (np.floor((X - cent[j]) ** 2 * 1e12) / 1e12).sum(axis=1)
+        # argmin with cid tiebreak == argmin over (dist, cid) lexicographic
+        assign = cent_ids[np.argmin(d, axis=1)]
+        new_ids = np.array(sorted(set(assign)))
+        cent = np.array(
+            [
+                np.floor(X[assign == c].mean(axis=0) * 1e9) / 1e9
+                for c in new_ids
+            ]
+        )
+        cent_ids = new_ids
+    want = dict(zip(ids.tolist(), assign.tolist()))
+    assert got == want
