@@ -53,6 +53,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_bpe_encode",
     "graph_pagerank",
     "kmeans_lloyd",
+    "text_nb_langid",
     "logregr_irls",
     "plpgsql_function",
     "plpgsql_control_flow",

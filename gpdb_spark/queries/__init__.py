@@ -19,5 +19,6 @@ from gpdb_spark.queries import (  # noqa: F401
     contrib_types,
     datapipe_chunk,
     datapipe_bpe,
+    datapipe_nb,
     ml,
 )

@@ -93,3 +93,16 @@ def test_kmeans_matches_numpy_reference(spark, sf_dir):
         cent_ids = new_ids
     want = dict(zip(ids.tolist(), assign.tolist()))
     assert got == want
+
+
+def test_nb_langid_reasonable(spark, sf_dir):
+    """Self-scored NB should beat the majority-class baseline by a wide
+    margin (langs are deterministic word distributions in the fixture)
+    and emit one row per document."""
+    out = QUERIES["text_nb_langid"](spark, sf_dir).collect()
+    n_docs = pq.read_table(f"{sf_dir}/documents.parquet").num_rows
+    assert len(out) == n_docs
+    acc = sum(1 for r in out if r["is_correct"]) / len(out)
+    langs = [r["lang"] for r in out]
+    majority = max(langs.count(x) for x in set(langs)) / len(langs)
+    assert acc > majority
