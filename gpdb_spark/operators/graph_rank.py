@@ -43,10 +43,20 @@ def pagerank(
         .persist()
     )
     n_total = nodes.count()  # scalar: drives literal 1/N in the plan
-    outdeg = e.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+    outdeg = e.groupBy(src).agg(F.count(F.lit(1)).alias("deg")).persist()
+    # the set of dangling nodes (no out-edges) is static across
+    # iterations — derive it once, not per round
+    dangling_nodes = (
+        nodes.join(outdeg.withColumnRenamed(src, "node"), "node", "left_anti")
+        .persist()
+    )
 
     pr = nodes.withColumn("rank", _floor(F.lit(1.0) / n_total, 9))
     for _ in range(iterations):
+        # each round's ranks are consumed TWICE (contributions + dangling
+        # mass); without a persist the lineage re-derives round i-1 for
+        # both consumers and the DAG doubles per iteration.
+        pr = pr.persist()
         contribs = (
             e.join(pr.withColumnRenamed("node", src), src)
             .join(outdeg, src)
@@ -60,7 +70,7 @@ def pagerank(
             .agg(F.sum("c").cast("double").alias("contrib"))
         )
         dangling = (
-            pr.join(outdeg.withColumnRenamed(src, "node"), "node", "left_anti")
+            pr.join(dangling_nodes, "node")
             .agg(F.sum(F.col("rank").cast("decimal(28,15)")).cast("double").alias("dm"))
         )
         pr = (
