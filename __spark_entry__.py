@@ -46,6 +46,7 @@ DRIVER_PRIORITY: list[str] = [
     # round-3 second batch: corpus → training batches operators
     "text_chunk_documents",
     "datapipe_pack_sequences",
+    "datapipe_pack_manifest",
     "datapipe_shuffle_shards",
     "embed_quantize_int8",
     "vocab_pair_counts",

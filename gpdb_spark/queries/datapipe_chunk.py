@@ -186,3 +186,59 @@ def vocab_pair_counts(spark, sf_dir):
         .orderBy(F.desc("n"), "pair")
         .limit(50)
     )
+
+
+@query(
+    "datapipe_pack_manifest",
+    oracle=f"""
+    SELECT CAST(b AS BIGINT) AS bin_id, doc_id,
+           CAST(greatest(0, b * {_BUDGET} - tok_offset) AS BIGINT) AS tok_from,
+           CAST(least(n_tokens, (b + 1) * {_BUDGET} - tok_offset) AS BIGINT)
+             AS tok_to
+    FROM (
+      SELECT doc_id, n_tokens, cum_before AS tok_offset,
+             unnest(generate_series(
+                 CAST(cum_before // {_BUDGET} AS BIGINT),
+                 CAST((cum_before + n_tokens - 1) // {_BUDGET} AS BIGINT)))
+               AS b
+      FROM (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+        FROM (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+                      AS BIGINT) AS n_tokens
+          FROM documents
+        ) tok
+      ) cum
+    ) spans
+    """,
+)
+def datapipe_pack_manifest(spark, sf_dir):
+    """The packed-batch MANIFEST — what a training pipeline actually
+    writes: for every (training sequence, document) incidence, the token
+    sub-range of the doc that lands in that bin. Derived from
+    pack_assignments by exploding each doc over the bins it spans
+    (sequence -> posexplode, pure JVM); a reader joins this against the
+    corpus to materialize fixed-length sequences. Rows =
+    sum(bins spanned) ~ n_docs + total_tokens/budget."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_size(T.tokens("text")).cast("long").alias("n_tokens")
+    )
+    a = C.pack_assignments(d, "n_tokens", budget=_BUDGET)
+    b = F.explode(F.sequence(F.col("bin_start"), F.col("bin_end"))).alias("bin_id")
+    return a.select("doc_id", "n_tokens", "tok_offset", b).select(
+        F.col("bin_id").cast("long"),
+        "doc_id",
+        F.greatest(F.lit(0), F.col("bin_id") * _BUDGET - F.col("tok_offset"))
+        .cast("long")
+        .alias("tok_from"),
+        F.least(
+            F.col("n_tokens"),
+            (F.col("bin_id") + 1) * _BUDGET - F.col("tok_offset"),
+        )
+        .cast("long")
+        .alias("tok_to"),
+    )

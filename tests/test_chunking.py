@@ -107,3 +107,28 @@ def test_quantize_roundtrip_error_small(spark, sf_dir):
         scale = r["scale_micro"] / 1e6
         mse = r["sse_nano"] / 1e9 / dim
         assert mse <= (1.0 / scale) ** 2  # well under one quant step²
+
+
+def test_pack_manifest_covers_every_token_exactly_once(spark, sf_dir):
+    """Bin spans must partition each doc's tokens: ranges within a doc
+    are contiguous from 0 to n_tokens, and within a bin sum to <= budget
+    except where a single doc overflows it."""
+    from gpdb_spark.registry import QUERIES
+    import gpdb_spark.queries  # noqa: F401
+
+    rows = QUERIES["datapipe_pack_manifest"](spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["bin_id"], r["tok_from"], r["tok_to"]))
+    for doc, spans in by_doc.items():
+        spans.sort()
+        assert spans[0][1] == 0
+        for (b0, f0, t0), (b1, f1, t1) in zip(spans, spans[1:]):
+            assert b1 == b0 + 1 and f1 == t0  # contiguous, no gap/overlap
+    # per-bin totals: every bin except possibly the last is exactly full
+    per_bin = {}
+    for r in rows:
+        per_bin[r["bin_id"]] = per_bin.get(r["bin_id"], 0) + (r["tok_to"] - r["tok_from"])
+    last = max(per_bin)
+    for b, tot in per_bin.items():
+        assert tot == 2048 or b == last
