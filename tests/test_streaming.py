@@ -455,3 +455,34 @@ def test_streaming_lm_scores_match_batch(spark, sf_dir, tmp_path):
     for k in batch:
         assert (got[k].n_pairs, got[k].nll_sum_micro, got[k].avg_nll_milli) == (
             batch[k].n_pairs, batch[k].nll_sum_micro, batch[k].avg_nll_milli)
+
+
+def test_streaming_chunker_matches_batch(spark, sf_dir):
+    """Streamed chunk+quality-filter output must equal the batch operator
+    applied to the same files (stateless pipeline => exact parity)."""
+    from gpdb_spark.datapipe.chunking import chunk_documents
+    from gpdb_spark.datapipe.text import quality_features
+    from gpdb_spark.registry import t
+    from gpdb_spark.streaming.docs_stream import (
+        chunked_stream,
+        read_documents_stream,
+    )
+    from gpdb_spark.streaming.events_stream import run_to_memory
+
+    stream = read_documents_stream(spark, sf_dir)
+    run_to_memory(chunked_stream(stream), "t_chunks", output_mode="append")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_start"], r["chunk_text"])
+        for r in spark.sql("SELECT * FROM t_chunks").collect()
+    }
+    batch_docs = t(spark, sf_dir, "documents")
+    kept = (
+        quality_features(batch_docs)
+        .where(F.col("n_tokens") >= 5)
+        .select("doc_id", "text")
+    )
+    want = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_start"], r["chunk_text"])
+        for r in chunk_documents(kept).collect()
+    }
+    assert got == want and len(got) > 0
