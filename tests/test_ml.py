@@ -106,3 +106,23 @@ def test_nb_langid_reasonable(spark, sf_dir):
     langs = [r["lang"] for r in out]
     majority = max(langs.count(x) for x in set(langs)) / len(langs)
     assert acc > majority
+
+
+def test_ml_plans_have_scale_shapes(spark, sf_dir):
+    """Plan gates for the ML operators: the k-means centroid relation and
+    the NB model/default relations must join as broadcasts (the fact side
+    never shuffles for them), and no plan may contain a cartesian
+    product."""
+    km = QUERIES["kmeans_lloyd"](spark, sf_dir)
+    plan = km._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+    nb = QUERIES["text_nb_langid"](spark, sf_dir)
+    plan = nb._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan  # label cross join is broadcast-nested-loop
+
+    pr = QUERIES["graph_pagerank"](spark, sf_dir)
+    plan = pr._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
