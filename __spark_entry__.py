@@ -55,6 +55,7 @@ DRIVER_PRIORITY: list[str] = [
     "graph_pagerank",
     "kmeans_lloyd",
     "text_nb_langid",
+    "approx_percentile_sketch",
     "logregr_irls",
     "plpgsql_function",
     "plpgsql_control_flow",

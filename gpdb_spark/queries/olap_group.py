@@ -540,3 +540,43 @@ def distinct_ordered_aggs(spark, sf_dir):
         ).alias("qty_set"),
         F.count_distinct("l_linestatus").alias("n_modes"),
     )
+
+
+@query(
+    "approx_percentile_sketch",
+    # same oracle pattern as approx_count_distinct_hll: DuckDB computes
+    # the EXACT percentile and asserts the sketch landed within
+    # tolerance; the compared value is the boolean, which both engines
+    # agree on whenever the sketch honors its accuracy contract.
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           TRUE AS p50_within_tol,
+           TRUE AS p95_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def approx_percentile_sketch(spark, sf_dir):
+    """Quantile sketch (Greenwald-Khanna approx_percentile — the
+    streaming/mergeable analog of gp_percentile_agg): at accuracy 10000
+    the rank error is <= n/10000, so the sketch median must sit within
+    0.5% rank of the exact one. The sketch is partial-aggregatable
+    (mergeable digests) — the 2-stage MPP agg shape for quantiles at
+    100 TB, where exact percentile would need a full sort per group."""
+    l = t(spark, sf_dir, "lineitem")
+    exact = F.expr("percentile(l_extendedprice, array(0.5, 0.95))")
+    approx = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
+    )
+    # value-tolerance check: approx within 2% of exact value (rank
+    # tolerance is the contract; value tolerance holds on these smooth
+    # price distributions and is what a user observes)
+    def ok(i):
+        e, a = F.element_at(exact, i), F.element_at(approx, i)
+        return (F.abs(a - e) <= 0.02 * F.abs(e)).alias(
+            f"p{'50' if i == 1 else '95'}_within_tol"
+        )
+
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), ok(1), ok(2)
+    )
