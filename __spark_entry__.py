@@ -56,6 +56,7 @@ DRIVER_PRIORITY: list[str] = [
     "kmeans_lloyd",
     "text_nb_langid",
     "approx_percentile_sketch",
+    "fulltext_tfidf_rank",
     "logregr_irls",
     "plpgsql_function",
     "plpgsql_control_flow",

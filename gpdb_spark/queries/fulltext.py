@@ -202,3 +202,67 @@ def fulltext_weighted_rank(spark, sf_dir):
     return FT.ts_rank_weighted(
         fields, ["hash", "join", "merge"], [("title", 1.0), ("body", 0.1)]
     )
+
+
+@query(
+    "fulltext_tfidf_rank",
+    # tf-idf ranked retrieval: idf = ln(N/df) per query lexeme (corpus
+    # statistic, one tiny aggregation), score = sum tf*idf. floor-12 the
+    # idf (log ulp portability) and tf*idf terms, exact decimal sum, so
+    # the ranking is engine-reproducible (registry determinism policy).
+    oracle=f"""
+    WITH toks AS ({_TOKS}),
+    nd AS (SELECT count(*) AS n FROM documents),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM toks
+        WHERE tok IN ('hash', 'join', 'merge') GROUP BY doc_id, tok
+    ),
+    idf AS (
+        SELECT tok,
+               floor(ln(CAST(nd.n AS DOUBLE) / count(DISTINCT doc_id))
+                     * 1e12) / 1e12 AS idf
+        FROM tf, nd GROUP BY tok, nd.n
+    )
+    SELECT f.doc_id,
+           CAST(sum(CAST(floor(f.tf * i.idf * 1e12) / 1e12
+                         AS DECIMAL(30,15))) AS DOUBLE) AS tfidf
+    FROM tf f JOIN idf i USING (tok)
+    GROUP BY f.doc_id
+    """,
+)
+def fulltext_tfidf_rank(spark, sf_dir):
+    """tf-idf ranked retrieval for the query ('hash','join','merge') —
+    the corpus-statistics rank beside the saturation rank
+    (fulltext_rank) and the proximity rank (fulltext_rank_cd). The idf
+    relation is |query lexemes| rows (broadcast); scoring is one keyed
+    aggregation over the postings."""
+    d = t(spark, sf_dir, "documents")
+    terms = ["hash", "join", "merge"]
+    n_docs = d.count()
+    p = FT.postings(d, "text", "doc_id").where(F.col("lexeme").isin(terms))
+    idf = (
+        p.groupBy("lexeme")
+        .agg(F.count_distinct("id").alias("df"))
+        .select(
+            "lexeme",
+            (
+                F.floor(
+                    F.log(F.lit(float(n_docs)) / F.col("df")) * F.lit(1e12)
+                )
+                / F.lit(1e12)
+            ).alias("idf"),
+        )
+    )
+    return (
+        p.join(F.broadcast(idf), "lexeme")
+        .select(
+            F.col("id").alias("doc_id"),
+            (
+                F.floor(F.col("tf") * F.col("idf") * F.lit(1e12)) / F.lit(1e12)
+            )
+            .cast("decimal(30,15)")
+            .alias("term"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term").cast("double").alias("tfidf"))
+    )
