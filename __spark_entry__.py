@@ -57,6 +57,8 @@ DRIVER_PRIORITY: list[str] = [
     "text_nb_langid",
     "approx_percentile_sketch",
     "fulltext_tfidf_rank",
+    "dedup_best_representative",
+    "events_funnel",
     "logregr_irls",
     "plpgsql_function",
     "plpgsql_control_flow",

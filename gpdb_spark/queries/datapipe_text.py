@@ -857,3 +857,85 @@ def datapipe_domain_mix(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select("doc_id", "lang")
     w = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
     return mix_to_weights(d, "lang", w, key_col="doc_id")
+
+
+@query(
+    "dedup_best_representative",
+    # which duplicate to KEEP: real pipelines choose by quality, not by
+    # min-id. Cluster key = opening-boilerplate fingerprint (md5 of the
+    # first 2 tokens — shared crawl boilerplate openings collide);
+    # representative = quality argmax, doc_id tiebreak, via a window so
+    # the tiebreak is total in both engines.
+    oracle="""
+    WITH q AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice(
+                   string_split_regex(trim(lower(text)), '\\s+'), 1, 2), ' '))
+                 AS cluster_key,
+               CAST(floor((0.4 * least(len(string_split_regex(trim(lower(text)), '\\s+')) / 50.0, 1.0)
+                     + 0.4 * (CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS DOUBLE)
+                              / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1))
+                     + 0.2 * least((CAST(len(replace(lower(text), ' ', '')) AS DOUBLE)
+                              / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)) / 8.0, 1.0))
+                     * 1000000) AS BIGINT) AS q_ppm
+        FROM documents
+    ), ranked AS (
+        SELECT cluster_key, doc_id, q_ppm,
+               count(*) OVER (PARTITION BY cluster_key) AS n_members,
+               row_number() OVER (PARTITION BY cluster_key
+                                  ORDER BY q_ppm DESC, doc_id) AS r
+        FROM q
+    )
+    SELECT cluster_key, CAST(n_members AS BIGINT) AS n_members,
+           doc_id AS keep_doc_id, q_ppm AS rep_quality_ppm
+    FROM ranked WHERE r = 1 AND n_members > 1
+    """,
+)
+def dedup_best_representative(spark, sf_dir):
+    """Representative selection for duplicate clusters — the keep-policy
+    knob of a dedup stage: per cluster (opening-boilerplate fingerprint)
+    keep the highest-quality member (doc_id tiebreak). One groupBy-free
+    pass: quality computed in-plan, window argmax on the cluster key —
+    the same policy plugs into any of the near-dup cluster operators
+    (minhash/simhash/cosine components)."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n_tok = F.array_size(toks)
+    sw = F.array(*[F.lit(w) for w in T.STOPWORDS["en"]])
+    stop_ratio = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast(
+        "double"
+    ) / F.greatest(n_tok, F.lit(1))
+    mean_wl = F.length(
+        F.replace(F.lower(F.col("text")), F.lit(" "), F.lit(""))
+    ).cast("double") / F.greatest(n_tok, F.lit(1))
+    q_ppm = F.floor(
+        (
+            0.4 * F.least(n_tok / F.lit(50.0), F.lit(1.0))
+            + 0.4 * stop_ratio
+            + 0.2 * F.least(mean_wl / F.lit(8.0), F.lit(1.0))
+        )
+        * 1000000
+    ).cast("long")
+    scored = d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 2))).alias("cluster_key"),
+        q_ppm.alias("q_ppm"),
+    )
+    wc = Window.partitionBy("cluster_key")
+    wr = Window.partitionBy("cluster_key").orderBy(
+        F.desc("q_ppm"), "doc_id"
+    )
+    return (
+        scored.withColumn("n_members", F.count(F.lit(1)).over(wc).cast("long"))
+        .withColumn("r", F.row_number().over(wr))
+        .where((F.col("r") == 1) & (F.col("n_members") > 1))
+        .select(
+            "cluster_key",
+            "n_members",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("q_ppm").alias("rep_quality_ppm"),
+        )
+    )

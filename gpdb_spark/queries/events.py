@@ -348,3 +348,72 @@ def events_gapfill_locf(spark, sf_dir):
         width_seconds=3600,
         fill="locf",
     )
+
+
+@query(
+    "events_funnel",
+    # ordered 3-stage funnel: first view -> first click strictly after
+    # it -> first purchase strictly after that, per user; stage counts +
+    # ppm conversion from the previous stage (integer math).
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), counts AS (
+        SELECT (SELECT count(*) FROM v) AS n1,
+               (SELECT count(*) FROM c) AS n2,
+               (SELECT count(*) FROM p) AS n3
+    )
+    SELECT stage, n_users, conv_ppm FROM (
+        SELECT 1 AS stage, 'view' AS _s, n1 AS n_users,
+               CAST(1000000 AS BIGINT) AS conv_ppm FROM counts
+        UNION ALL
+        SELECT 2, 'click', n2, CAST(n2 * 1000000 // greatest(n1, 1) AS BIGINT)
+        FROM counts
+        UNION ALL
+        SELECT 3, 'purchase', n3, CAST(n3 * 1000000 // greatest(n2, 1) AS BIGINT)
+        FROM counts
+    ) s
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view -> click -> purchase, strictly
+    increasing timestamps per user) — the event-analytics staple. Each
+    stage is a keyed min-aggregation joined to the previous stage's
+    first-hit time; conversions are exact integer ppm. Three keyed
+    shuffles total, no window over the full stream."""
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1, n2, n3 = v.count(), c.count(), p.count()
+    rows = [
+        (1, n1, 1000000),
+        (2, n2, n2 * 1000000 // max(n1, 1)),
+        (3, n3, n3 * 1000000 // max(n2, 1)),
+    ]
+    return spark.createDataFrame(rows, "stage int, n_users long, conv_ppm long")
