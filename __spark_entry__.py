@@ -59,6 +59,7 @@ DRIVER_PRIORITY: list[str] = [
     "fulltext_tfidf_rank",
     "dedup_best_representative",
     "events_funnel",
+    "events_retention_cohorts",
     "logregr_irls",
     "plpgsql_function",
     "plpgsql_control_flow",

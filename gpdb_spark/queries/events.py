@@ -417,3 +417,63 @@ def events_funnel(spark, sf_dir):
         (3, n3, n3 * 1000000 // max(n2, 1)),
     ]
     return spark.createDataFrame(rows, "stage int, n_users long, conv_ppm long")
+
+
+@query(
+    "events_retention_cohorts",
+    # cohort = first-seen day; retention = distinct users active again
+    # k days later, as ppm of the cohort (integer math)
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS cohort
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort,
+               date_diff('day', f.cohort, date_trunc('day', e.ts)) AS day_k
+        FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    ), sizes AS (
+        SELECT cohort, count(*) AS cohort_n FROM first_seen GROUP BY cohort
+    )
+    SELECT a.cohort, CAST(a.day_k AS INT) AS day_k,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(count(*) * 1000000 // s.cohort_n AS BIGINT) AS retention_ppm
+    FROM activity a JOIN sizes s ON s.cohort = a.cohort
+    WHERE a.day_k <= 7
+    GROUP BY a.cohort, a.day_k, s.cohort_n
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix (first-seen-day cohorts x day offset,
+    ppm of cohort active on day k) — the second event-analytics staple
+    next to the funnel. Two keyed aggregations + one broadcast-able
+    cohort-size join; the matrix is |cohorts| x k rows regardless of
+    event volume."""
+    e = t(spark, sf_dir, "events")
+    first = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).groupBy("user_id").agg(F.min("d").alias("cohort"))
+    activity = (
+        e.select("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.datediff(F.col("d"), F.col("cohort")).alias("day_k"),
+        )
+        .distinct()
+    )
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_n"))
+    return (
+        activity.where(F.col("day_k") <= 7)
+        .groupBy("cohort", "day_k")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            F.col("day_k").cast("int"),
+            F.col("active_users").cast("long"),
+            F.expr("CAST(active_users * 1000000 DIV cohort_n AS BIGINT)").alias(
+                "retention_ppm"
+            ),
+        )
+    )
