@@ -38,7 +38,14 @@ def logistic_irls(
     n_rows = feats.count()
 
     def dsum(c: Column) -> Column:
-        return F.sum(c.cast(DEC30)).cast("double")
+        # floor-12 each term before the exact decimal sum: removes the
+        # double->decimal cast's engine-dependent digit-15 rounding, so
+        # the only cross-engine noise left is libm ulp in exp() —
+        # O(1e-10) on the summed moments, dwarfed by the floor-6 output
+        # granularity. This is what lets DuckDB replay the IRLS fixpoint.
+        return F.sum(
+            (F.floor(c * F.lit(1e12)) / F.lit(1e12)).cast(DEC30)
+        ).cast("double")
 
     beta = np.zeros(3)
     for _ in range(iterations):

@@ -165,15 +165,95 @@ def graph_pagerank(spark, sf_dir):
     )
 
 
-@query("logregr_irls")
+def _logregr_oracle(iters: int = 8) -> str:
+    """Unrolled IRLS as a CTE chain: per iteration one full-table moment
+    aggregation (floor-12 terms, exact decimal sums — mirroring
+    operators/logistic.py) and a Cramer's-rule 3x3 solve. Spark solves
+    with numpy LU instead of Cramer; the resulting O(1e-13) coefficient
+    differences are absorbed by the floor-6 output granularity, same as
+    the libm-ulp noise in exp()."""
+
+    def sums(b: str) -> str:
+        return f"""
+      SELECT count(*) AS n,
+             {_S('w')} AS sw, {_S('w * x1')} AS sw1, {_S('w * x2')} AS sw2,
+             {_S('w * x1 * x1')} AS sw11, {_S('w * x1 * x2')} AS sw12,
+             {_S('w * x2 * x2')} AS sw22,
+             {_S('r')} AS sr, {_S('r * x1')} AS sr1, {_S('r * x2')} AS sr2
+      FROM (
+        SELECT x1, x2, y, mu * (1.0 - mu) AS w,
+               mu * (1.0 - mu) * eta + y - mu AS r
+        FROM (
+          SELECT x1, x2, y,
+                 {b}.c0 + {b}.c1 * x1 + {b}.c2 * x2 AS eta,
+                 1.0 / (1.0 + exp(-({b}.c0 + {b}.c1 * x1 + {b}.c2 * x2))) AS mu
+          FROM feats, {b}
+        ) e
+      ) t"""
+
+    solve = """
+      SELECT n,
+             ( sr  * (sw11 * sw22 - sw12 * sw12)
+             - sw1 * (sr1 * sw22 - sw12 * sr2)
+             + sw2 * (sr1 * sw12 - sw11 * sr2)) / det AS c0,
+             ( sw  * (sr1 * sw22 - sw12 * sr2)
+             - sr  * (sw1 * sw22 - sw12 * sw2)
+             + sw2 * (sw1 * sr2 - sr1 * sw2)) / det AS c1,
+             ( sw  * (sw11 * sr2 - sr1 * sw12)
+             - sw1 * (sw1 * sr2 - sr1 * sw2)
+             + sr  * (sw1 * sw12 - sw11 * sw2)) / det AS c2
+      FROM (SELECT *,
+              sw  * (sw11 * sw22 - sw12 * sw12)
+            - sw1 * (sw1 * sw22 - sw12 * sw2)
+            + sw2 * (sw1 * sw12 - sw11 * sw2) AS det FROM {S}) d"""
+
+    ctes = ["""
+    feats AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS x1, CAST(l_discount AS DOUBLE) AS x2,
+             CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+      FROM lineitem),
+    b0 AS (SELECT CAST(0 AS BIGINT) AS n, 0.0 AS c0, 0.0 AS c1, 0.0 AS c2),"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"\n    s{i} AS ({sums(f'b{i-1}')}),")
+        ctes.append(f"\n    b{i} AS ({solve.replace('{S}', f's{i}')})")
+        if i < iters:
+            ctes[-1] += ","
+    b = f"b{iters}"
+    ll = (
+        f"SELECT {_S('y * eta - ln(1.0 + exp(eta))')} AS v FROM ("
+        f"SELECT y, {b}.c0 + {b}.c1 * x1 + {b}.c2 * x2 AS eta"
+        f" FROM feats, {b}) z"
+    )
+    return ("WITH" + "".join(ctes) + f""",
+    ll AS ({ll})
+    SELECT term, floor(est * 1e6) / 1e6 AS estimate, {b}.n AS n
+    FROM (
+      SELECT 'intercept' AS term, {b}.c0 AS est FROM {b}
+      UNION ALL SELECT 'l_quantity', {b}.c1 FROM {b}
+      UNION ALL SELECT 'l_discount', {b}.c2 FROM {b}
+      UNION ALL SELECT 'log_likelihood', ll.v FROM ll
+    ) o, {b}
+    """)
+
+
+def _S(expr: str) -> str:
+    """floor-12 term, exact decimal sum, back to double (mirrors
+    operators/logistic.py dsum)."""
+    return (
+        f"CAST(sum(CAST(floor(({expr}) * 1e12) / 1e12"
+        f" AS DECIMAL(30,15))) AS DOUBLE)"
+    )
+
+
+@query("logregr_irls", oracle=_logregr_oracle())
 def logregr_irls(spark, sf_dir):
     """Logistic regression P(l_returnflag='R' | quantity, discount) by
     IRLS (operators/logistic.py) — the iterative half of the in-database
-    ML pair next to linregr_multi. Rows-only at the driver (genuinely
-    iterative, not SQL-expressible); tests/test_ml.py checks the fit
-    against a pure-numpy IRLS to 1e-6 and that the gradient at the
-    optimum vanishes. Output: one row per coefficient (floor-scaled) +
-    the final log-likelihood."""
+    ML pair next to linregr_multi. ORACLED: the 8 Newton steps are
+    unrolled as DuckDB CTEs (same floored-decimal moment sums, Cramer
+    solve); floor-6 outputs absorb the numpy-vs-Cramer and libm-ulp
+    noise. tests/test_ml.py additionally checks the fit against a
+    pure-numpy IRLS and that the gradient at the optimum vanishes."""
     from gpdb_spark.operators.logistic import logistic_irls
 
     l = t(spark, sf_dir, "lineitem").withColumn(
