@@ -22,72 +22,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver samples the first N entries of queries() for its DuckDB
-# CORRECTNESS check (~50 in round 1/2). Rounds 1+2 drove 97 queries
-# green (rows on record in CORRECTNESS_r01/r02.json) — those sort LAST
-# via _ordered(). Round-3 head: the two round-2 hash-fails (now made
-# rounding-robust), the new round-3 queries, then every never-driver-
-# checked query interleaved breadth-first by §2 family so the 50-sample
-# covers all families; no-oracle (rows-only) entries follow the oracled
-# ones.
+# CORRECTNESS check (~50 per round). Round-4 head: the 6 round-3 reds
+# (4 array-hasher ERRs now stringified, the pack_sequences zero-token
+# divergence fixed both sides, hypothetical_set_aggs integerized to
+# pure-BIGINT ppm), the 3 new round-4 queries (pgcrypto crypt/pgp,
+# PL/pgSQL CASE+FOREACH), then the never-driver-checked queries in
+# round-3 tail order so the 50-sample drives ~41 more of them green.
+# The 139 queries with green rows in CORRECTNESS_r01–r03.json sort
+# last via _ordered().
 DRIVER_PRIORITY: list[str] = [
-    # round-2 hash-fails, made rounding-robust this round
+    # round-3 reds, fixed this round (see VERDICT r03 What's-wrong 1-3)
     "hypothetical_set_aggs",
-    "pg_lateral_subquery",
-    # new round-3 queries (jsonb ops, OVERLAPS, AT TIME ZONE reverse,
-    # neardup-clusters oracle)
-    "pg_jsonb_ops",
-    "pg_jsonb_funcs",
-    "pg_overlaps_predicate",
-    "pg_at_time_zone",
-    "pg_multidim_arrays",
     "pg_format_quote_split",
     "pg_unnest_ordinality_array_agg",
-    # PL/pgSQL interpreter (closes the last unimplemented survey row)
-    # round-3 second batch: corpus → training batches operators
-    "text_chunk_documents",
-    "datapipe_pack_sequences",
-    "datapipe_pack_manifest",
-    "datapipe_shuffle_shards",
     "embed_quantize_int8",
-    "vocab_pair_counts",
-    "linregr_multi",
-    "text_bpe_encode",
-    "graph_pagerank",
-    "kmeans_lloyd",
-    "text_nb_langid",
-    "approx_percentile_sketch",
-    "fulltext_tfidf_rank",
-    "dedup_best_representative",
-    "events_funnel",
-    "events_retention_cohorts",
-    "logregr_irls",
-    "plpgsql_function",
-    "plpgsql_control_flow",
-    "pgcrypto_hmac",
-    "fuzzy_metaphone",
-    "tablefunc_crosstab",
-    "text_lm_quality",
     "text_dup_spans",
-    "datapipe_domain_mix",
-    "embed_ann_topk_blocked",
-    "dedup_simhash",
-    "dedup_minhash_lsh",
-    "dedup_minhash_clusters_portable",
-    "embed_ann_lsh",
-    "embed_ann_ivf_flat",
-    "embed_neardup_clusters",
-    "text_url_canonical_dedup",
-    # rows-only in r01/r02, oracled this round (floor-scaled integers
-    # make the comparisons rounding-free; see query docstrings)
-    "text_langid_heuristic",
-    "multimodal_byte_stats",
+    "datapipe_pack_sequences",
+    # new round-4 queries
+    "pgcrypto_crypt",
+    "pgcrypto_pgp",
+    "plpgsql_case_foreach",
     # never-driver-checked, breadth-first by family (oracled)
-    "distinct_ordered_aggs",
-    "window_frame_exclude_groups",
-    "join_notin_nullaware",
-    "setop_intersect_all",
-    "values_scan",
-    "recursive_cte_series",
     "string_funcs",
     "date_funcs",
     "json_funcs",

@@ -129,7 +129,13 @@ def pack_assignments(
     ``id_col`` order and cut every ``budget`` tokens. Emits, per doc,
     the global token offset and the first/last training-sequence (bin)
     it lands in — ``bin_start == bin_end`` iff the doc is not split
-    across a sequence boundary."""
+    across a sequence boundary.
+
+    Zero-token docs: ``greatest(n_tokens, 1)`` pins ``bin_end`` to
+    ``bin_start`` (an empty doc occupies its offset's bin and nothing
+    else). Without the guard, ``tok_offset - 1`` can be negative at
+    offset 0 and negative integer division diverges across engines
+    (Spark DIV truncates toward zero, DuckDB // floors)."""
     d = prefix_sum(df, id_col, token_col, "tok_offset", bucket_size)
     return d.select(
         F.col(id_col),
@@ -137,7 +143,8 @@ def pack_assignments(
         F.col("tok_offset"),
         F.expr(f"CAST(tok_offset DIV {budget} AS BIGINT)").alias("bin_start"),
         F.expr(
-            f"CAST((tok_offset + {token_col} - 1) DIV {budget} AS BIGINT)"
+            f"CAST((tok_offset + greatest({token_col}, 1) - 1)"
+            f" DIV {budget} AS BIGINT)"
         ).alias("bin_end"),
     )
 

@@ -52,10 +52,15 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 def ngram_shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct)."""
+    """Word n-gram shingles (distinct). A doc with fewer than n tokens
+    yields its whole token stream as one short shingle; a ZERO-token doc
+    yields NO shingles (an empty doc has no content to shingle — pairing
+    empties belongs to exact_dedup, not near-dup signatures)."""
     toks = tokens(text)
     cnt = F.array_size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
+    idx = F.when(
+        cnt > 0, F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     )
@@ -226,6 +231,11 @@ def minhash_lsh_pairs(
             F.col(id_col).alias("id"),
             shingle_hashes(F.col(text_col), ngram, portable).alias("__sh"),
         )
+        # zero-shingle (empty/whitespace-only) docs have NO signature:
+        # array_min over an empty array is NULL, and 64 NULLs would give
+        # every empty doc the same degenerate band bucket — empties are
+        # exact duplicates, exact_dedup's job, not MinHash's
+        .where(F.array_size(F.col("__sh")) > 0)
         .select("id", minhash_from_hashes(F.col("__sh"), k, portable).alias("sig"))
         .persist()
     )  # read 3x below (banding + 2 verification lookups)
@@ -324,6 +334,10 @@ def minhash_dedup_clusters(
             F.col(id_col).alias("id"),
             shingle_hashes(F.col(text_col), ngram, portable).alias("__sh"),
         )
+        # zero-shingle docs: no signature — they rejoin as singleton
+        # clusters at the end (see the final left join); without this,
+        # 64 NULL components give every empty doc the same bucket
+        .where(F.array_size(F.col("__sh")) > 0)
         .select("id", minhash_from_hashes(F.col("__sh"), k, portable).alias("sig"))
     )
     # doc <-> bucket bipartite edges; components found by alternating
@@ -393,7 +407,15 @@ def minhash_dedup_clusters(
         if n_changed == 0:
             break
     memb.unpersist()
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("keep_id"))
+    # re-attach zero-shingle docs as singleton clusters (keep_id = own id)
+    ids = spread(df).select(F.col(id_col).alias("id"))
+    return (
+        ids.join(labels, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("label"), F.col("id")).alias("keep_id"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -487,6 +509,10 @@ def simhash_pairs(
     # expression materialized once per row rather than inlining 5 copies
     sig = (
         spread(df)
+        # zero-token docs carry no signal: every vote is 0, so all
+        # empties would share sig=0 and pair with hamming 0 — exclude
+        # them (exact_dedup owns identical-empty handling)
+        .where(F.array_size(tokens(F.col(text_col))) > 0)
         .select(
             F.col(id_col).alias("id"),
             _simhash_bits(F.col(text_col), portable).alias("__bits"),

@@ -22,13 +22,21 @@ def absmax(vec: Column | str) -> Column:
     return F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
 
 
+def _scale(amax: Column) -> Column:
+    """Dequant scale with an all-zero-vector guard: amax=0 would give
+    scale=Inf and q=floor(0*Inf+0.5)=floor(NaN), where Spark floor(NaN)=0
+    but DuckDB keeps NaN — cross-engine divergence. greatest(amax, 1e-300)
+    is exact for every non-degenerate vector (any |x|>=1e-300 dominates)
+    and makes the zero vector quantize to all-zero codes everywhere."""
+    return F.lit(127.0) / F.greatest(amax, F.lit(1e-300))
+
+
 def quantize_int8(vec: Column | str) -> Column:
     """Symmetric absmax int8: q_i = floor(x_i * 127/amax + 0.5), clipped
     to [-127,127]. floor(+0.5) (round-half-up) is used instead of
     engine-native round so every engine agrees on .5 ties."""
     v = F.col(vec) if isinstance(vec, str) else vec
-    amax = absmax(v)
-    scale = F.lit(127.0) / amax
+    scale = _scale(absmax(v))
     return F.transform(
         v,
         lambda x: F.greatest(
@@ -49,8 +57,7 @@ def quantize_stats(
     (nano-scaled integer; per-element floor then exact integer sum, so
     the value is summation-order-independent across engines)."""
     v = F.col(vec_col)
-    amax = absmax(v)
-    scale = F.lit(127.0) / amax
+    scale = _scale(absmax(v))
     q = quantize_int8(v)
     # per-element squared error, nano-floored BEFORE the sum: integer
     # addition is associative, double addition is not.

@@ -8,9 +8,15 @@ and the whole fixpoint reproducible bit-for-bit by any SQL engine — the
 DuckDB oracle unrolls the same iterations as a CTE chain.
 
 Scale shape (100 TB graph): per iteration one shuffle keyed on dst (the
-contribution aggregation) plus one broadcast of a single dangling-mass
-row — no driver collect, no per-row Python. Iteration count is fixed
-(power iteration converges geometrically; production runs pick ~10-20).
+contribution aggregation) plus ONE dangling-mass scalar to the driver
+(the same bounded per-round driver traffic class as the IRLS/label-prop
+convergence checks). That eager 1-row collect is what lets each round's
+rank cache be released as soon as the next round is materialized — with
+a fully lazy loop nothing materializes until the caller's single
+action, so every round's cache would have to survive to the end
+(one full rank table per round; fatal at the 10-20 iterations
+production runs pick). Iteration count is fixed (power iteration
+converges geometrically).
 """
 
 from __future__ import annotations
@@ -52,6 +58,7 @@ def pagerank(
     )
 
     pr = nodes.withColumn("rank", _floor(F.lit(1.0) / n_total, 9))
+    prev = None
     for _ in range(iterations):
         # each round's ranks are consumed TWICE (contributions + dangling
         # mass); without a persist the lineage re-derives round i-1 for
@@ -73,6 +80,16 @@ def pagerank(
             pr.join(dangling_nodes, "node")
             .agg(F.sum(F.col("rank").cast("decimal(28,15)")).cast("double").alias("dm"))
         )
+        # dangling mass is materialized eagerly (1 row) so round i-1's
+        # cache can be released before building round i — at 10-20
+        # production iterations, leaving every round cached accumulates
+        # one full rank table per round in executor memory.
+        dangling = F.broadcast(
+            pr.sparkSession.createDataFrame(dangling.collect(), dangling.schema)
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = pr
         pr = (
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
@@ -89,4 +106,8 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+    # the LAST round's cache (prev) must survive: the returned plan is
+    # lazy and reads it. The static relations (e / nodes / outdeg /
+    # dangling_nodes) stay cached for the caller's single evaluation —
+    # bounded at O(edges) total, unlike the per-round leak fixed above.
     return pr

@@ -48,7 +48,12 @@ def kmeans_assign(
         "vid", (F.col("pos") + 1).alias("i"), F.col("x_raw").cast("double").alias("x")
     ).persist()
 
-    cent = e.where(F.col("vid") < k).select(
+    # init = the k LOWEST ids, whatever the id space (a `vid < k` filter
+    # would under-select for 1-based ids). Global top-k on the distinct
+    # id set — Catalyst plans orderBy+limit as TakeOrderedAndProject
+    # (per-partition top-k then a k-row merge), not a full sort.
+    init_ids = e.select("vid").distinct().orderBy("vid").limit(k)
+    cent = e.join(F.broadcast(init_ids), "vid").select(
         F.col("vid").alias("cid"), "i", _floor(F.col("x"), 9).alias("val")
     )
     assigned = None

@@ -23,6 +23,11 @@ Supported statement set (pl_gram.y productions):
   ``EXIT [WHEN]`` / ``CONTINUE [WHEN]``
 - ``FOR i IN [REVERSE] a..b [BY s] LOOP`` (exec_stmt_fori)
 - ``FOR rec IN <query> LOOP`` (exec_stmt_fors) with ``rec.field``
+- ``CASE [expr] WHEN ... THEN ... [ELSE ...] END CASE`` — searched and
+  simple statement forms (exec_stmt_case), incl. the CASE_NOT_FOUND
+  error when no arm matches and there is no ELSE
+- ``FOREACH v IN ARRAY expr LOOP`` (exec_stmt_foreach_a), element-wise;
+  NULL array errors, empty array runs zero iterations
 - ``RETURN expr`` / ``RETURN QUERY <sql>`` / ``RETURN NEXT (exprs)``
   (exec_stmt_return / _return_query / _return_next)
 - ``SELECT ... INTO [STRICT] v, ... FROM ...`` (exec_stmt_execsql INTO)
@@ -43,8 +48,8 @@ round-trip per iteration; any expression the fast path cannot prove
 safe falls through to the SQL path.
 
 Out of scope (documented): cursors inside functions (engine-level
-cursors exist), OPEN/FETCH, CASE statement (IF covers it), FOREACH over
-arrays, SCROLL, nested function definitions.
+cursors exist), OPEN/FETCH, FOREACH SLICE n (subarray form), SCROLL,
+nested function definitions.
 """
 
 from __future__ import annotations
@@ -262,6 +267,58 @@ def _parse_stmt(st: _Stream):
         body = _parse_seq(st, {"end loop"})
         st.push_remainder(st.take().lstrip()[len("end loop"):])
         return ("loop", body)
+    if w == "foreach":
+        # FOREACH var IN ARRAY expr LOOP ... END LOOP (pl_gram.y
+        # stmt_foreach_a; executor exec_stmt_foreach_a, pl_exec.c:125).
+        # SLICE n (subarray iteration) is out of scope — documented.
+        i, j, _ = _find_kw(rest, {"loop"})
+        header, tail = rest[:i].strip(), rest[j:].strip()
+        if tail:
+            st.chunks.insert(st.i, tail)
+        body = _parse_seq(st, {"end loop"})
+        st.push_remainder(st.take().lstrip()[len("end loop"):])
+        m = re.match(r"(?is)^([\w]+)\s+in\s+array\s+(.*)$", header)
+        if not m:
+            raise PlPgSqlError(
+                f"plpgsql: FOREACH syntax (SLICE unsupported): {header!r}"
+            )
+        return ("foreach", m.group(1).lower(), m.group(2).strip(), body)
+    if w == "case":
+        # CASE statement, searched and simple forms (pl_gram.y stmt_case;
+        # executor exec_stmt_case, pl_exec.c:113). Distinct from the CASE
+        # *expression* (which only occurs inside assignments/SQL): the
+        # statement form ends with END CASE and runs statement lists.
+        i, j, _ = _find_kw(rest, {"when"})
+        if i == -1:
+            raise PlPgSqlError(f"plpgsql: CASE without WHEN: {rest[:40]!r}")
+        selector = rest[:i].strip() if i > 0 else None
+        st.chunks.insert(st.i, rest[i:].strip())
+        arms, else_body, has_else = [], [], False
+        while True:
+            c2 = st.peek() or ""
+            w2, w1 = _two_words(c2), _first_word(c2)
+            if w1 == "when":
+                c2 = st.take()
+                r = c2.lstrip()[len("when"):].strip()
+                i2, j2, _ = _find_kw(r, {"then"})
+                cond = r[:i2].strip()
+                tl = r[j2:].strip()
+                if tl:
+                    st.chunks.insert(st.i, tl)
+                arms.append((cond, _parse_seq(st, {"when", "else", "end case"})))
+                continue
+            if w1 == "else":
+                c2 = st.take()
+                r = c2.lstrip()[len("else"):].strip()
+                if r:
+                    st.chunks.insert(st.i, r)
+                has_else = True
+                else_body = _parse_seq(st, {"end case"})
+                continue
+            if w2 == "end case":
+                st.push_remainder(st.take().lstrip()[len("end case"):])
+                return ("case", selector, arms, else_body, has_else)
+            raise PlPgSqlError(f"plpgsql: expected END CASE, got {c2[:40]!r}")
     if w == "begin":
         if rest:
             st.chunks.insert(st.i, rest)
@@ -574,6 +631,41 @@ class Interpreter:
             # second (pl_exec.c exec_stmt_fori reverse case)
             rng = range(lo_v, hi_v - 1, -st_v) if rev else range(lo_v, hi_v + 1, st_v)
             for v in rng:
+                env[var] = v
+                try:
+                    self.exec_seq(body, env, collector)
+                except _Exit:
+                    break
+                except _Continue:
+                    continue
+        elif op == "case":
+            # exec_stmt_case: searched form evaluates each WHEN bool;
+            # simple form evaluates the selector ONCE then tests
+            # membership in each arm's comma-list (pl_gram.y rewrites
+            # simple arms to `t_ IN (vals)` — mirrored here with the
+            # materialized selector value as a literal). Falling out of
+            # every arm without ELSE is the CASE_NOT_FOUND error.
+            selector, arms, else_body, has_else = s[1:]
+            sel_lit = self._lit(self.eval(selector, env)) if selector else None
+            for cond, body in arms:
+                test = f"({sel_lit}) IN ({cond})" if selector else cond
+                if self._truthy(test, env):
+                    self.exec_seq(body, env, collector)
+                    return
+            if has_else:
+                self.exec_seq(else_body, env, collector)
+                return
+            raise PlPgSqlError("case not found")
+        elif op == "foreach":
+            # exec_stmt_foreach_a: element-wise iteration over an array
+            # value; a NULL array is an error (matching the reference's
+            # "FOREACH expression must not be null"), an empty array
+            # runs zero iterations.
+            var, expr, body = s[1:]
+            arr = self.eval(expr, env)
+            if arr is None:
+                raise PlPgSqlError("FOREACH expression must not be null")
+            for v in list(arr):
                 env[var] = v
                 try:
                     self.exec_seq(body, env, collector)

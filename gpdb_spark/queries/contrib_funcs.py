@@ -455,3 +455,100 @@ def tablefunc_crosstab(spark, sf_dir):
         "FROM nation ORDER BY 1, 2",
         n_categories=5,
     )
+
+
+@query(
+    "pgcrypto_crypt",
+    # Ground-truth oracle: hash constants below verified byte-identical
+    # to glibc's crypt(3) (the independent implementation of the same
+    # public MD5-crypt algorithm; pinned again in
+    # tests/test_crypto.py::test_md5_crypt_glibc_vectors). salt_gen
+    # mirrors gen_salt_md5's md5-derived deterministic salt stream.
+    oracle="""
+    SELECT * FROM (VALUES
+    ('p1', '$1$ab01cd23$RGoTF0c63zloh7xh.fCd.1', TRUE, '$1$gimkl0.t'),
+    ('p2', '$1$xyz12345$nG8L8sKjhxmpbnvi/73uU1', TRUE, '$1$RaPPIbIA'),
+    ('p3', '$1$s4ltS4lt$fy7/3BcLmjbHpXZa0ptsQ0', TRUE, '$1$v18cqIrC'),
+    ('p4', '$1$qrstuvwx$LeOc0NDnflBmF/OI0sizA0', TRUE, '$1$HUyxLW1D'),
+    ('p5', '$1$deadbeef$Mitbe9/C0L392IT.8.n6L/', TRUE, '$1$hGjsHUel'),
+    ('p6', '$1$cafebabe$C/DKqKl6S0szQSSNPgL/e0', TRUE, '$1$40z74n6Z')
+    ) AS v(mid, hashed, verify_ok, salt_gen)
+    """,
+)
+def pgcrypto_crypt(spark, sf_dir):
+    """pgcrypto crypt()/gen_salt() for the '$1$' MD5-crypt scheme
+    (contrib/pgcrypto/pgcrypto.c pg_crypt, crypt-md5.c px_crypt_md5,
+    crypt-gensalt.c): hash fixed passwords under fixed salts, prove the
+    verify idiom crypt(pw, stored) == stored, and derive deterministic
+    gen_salt('md5') salts from a seed column. Key stretching (1000
+    chained MD5 rounds) is intrinsically per-row CPU work, so the
+    operator is an Arrow-batched pandas UDF — the right Spark shape for
+    an auth-table-scale input. Covers empty, unicode, >16-char, quote
+    and symbol passwords."""
+    from gpdb_spark.functions.crypt_md5 import crypt, gen_salt_md5
+
+    rows = [
+        ("p1", "password", "ab01cd23"),
+        ("p2", "", "xyz12345"),
+        ("p3", "naïve café 中文", "s4ltS4lt"),
+        ("p4", "a" * 40, "qrstuvwx"),
+        ("p5", "it's a secret", "deadbeef"),
+        ("p6", "p@$$w0rd", "cafebabe"),
+    ]
+    df = spark.createDataFrame(rows, "mid string, pw string, salt string")
+    hashed = df.select(
+        "mid", "pw", crypt(F.col("pw"), F.col("salt")).alias("hashed")
+    )
+    return hashed.select(
+        "mid",
+        "hashed",
+        (crypt(F.col("pw"), F.col("hashed")) == F.col("hashed")).alias(
+            "verify_ok"
+        ),
+        gen_salt_md5(F.col("mid")).alias("salt_gen"),
+    )
+
+
+@query(
+    "pgcrypto_pgp",
+    # The decrypted text and the exact ciphertext byte length are
+    # deterministic (GCM layout: 12-byte IV || ct || 16-byte tag =
+    # octet_length + 28) even though the ciphertext itself is random-IV
+    # nondeterministic by design, like PG's per-row session key.
+    oracle="""
+    SELECT doc_id, text AS decrypted,
+           CAST(octet_length(encode(text)) + 28 AS BIGINT) AS ct_bytes,
+           TRUE AS tag_ok
+    FROM documents WHERE doc_id <= 50
+    """,
+)
+def pgcrypto_pgp(spark, sf_dir):
+    """pgp_sym_encrypt/decrypt (contrib/pgcrypto/pgp-encrypt.c,
+    pgp-decrypt.c, pgp-s2k.c): OpenPGP iterated-salted S2K key
+    derivation feeding Spark's JVM aes_encrypt/aes_decrypt in GCM mode
+    (authenticated — the MDC-check equivalent; wrong passphrase fails
+    the tag, golden-tested). Encrypt and decrypt are pure JVM builtins
+    over a constant-folded key — codegen-resident, no Python in the
+    row loop."""
+    from gpdb_spark.functions.crypt_md5 import (
+        pgp_sym_decrypt,
+        pgp_sym_encrypt,
+    )
+
+    phrase = "correct horse battery staple"
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 50)
+        .select(
+            "doc_id",
+            "text",
+            pgp_sym_encrypt(F.col("text"), phrase).alias("ct"),
+        )
+    )
+    dec = pgp_sym_decrypt(F.col("ct"), phrase)
+    return d.select(
+        "doc_id",
+        dec.alias("decrypted"),
+        F.length(F.unbase64(F.col("ct"))).cast("long").alias("ct_bytes"),
+        (dec == F.col("text")).alias("tag_ok"),
+    )

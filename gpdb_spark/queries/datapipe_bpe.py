@@ -45,7 +45,8 @@ def _bpe_oracle() -> str:
     SELECT doc_id,
            CAST(len(toks) AS INT) AS n_bpe_tokens,
            CAST(len(list_distinct(toks)) AS INT) AS n_distinct_bpe,
-           array_to_string(list_slice(toks, 1, 12), ' ') AS head_tokens
+           coalesce(array_to_string(list_slice(toks, 1, 12), ' '), '')
+               AS head_tokens
     FROM (SELECT doc_id, {doc_tokens} AS toks FROM documents) d
     """
 

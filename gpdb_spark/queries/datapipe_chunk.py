@@ -49,10 +49,15 @@ def text_chunk_documents(spark, sf_dir):
 
 @query(
     "datapipe_pack_sequences",
+    # list_filter mirrors T.tokens (which drops empty strings — DuckDB's
+    # unfiltered split returns [''] i.e. 1 token for whitespace-only
+    # text); greatest(n_tokens, 1) mirrors pack_assignments' bin_end
+    # guard for zero-token docs (negative integer division floors in
+    # DuckDB but truncates in Spark).
     oracle=f"""
     SELECT doc_id, n_tokens, cum_before AS tok_offset,
            cum_before // {_BUDGET} AS bin_start,
-           (cum_before + n_tokens - 1) // {_BUDGET} AS bin_end
+           (cum_before + greatest(n_tokens, 1) - 1) // {_BUDGET} AS bin_end
     FROM (
       SELECT doc_id, n_tokens,
              COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
@@ -60,7 +65,9 @@ def text_chunk_documents(spark, sf_dir):
                AS cum_before
       FROM (
         SELECT doc_id,
-               CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+               CAST(len(list_filter(
+                 string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> x <> '')) AS BIGINT)
                  AS n_tokens
         FROM documents
       ) tok
@@ -116,10 +123,13 @@ def datapipe_shuffle_shards(spark, sf_dir):
 
 @query(
     "embed_quantize_int8",
+    # q8 is compared as a joined string — list cells are unhashable in
+    # the driver canonicalizer's pandas sort (the r03 ERR); the raw
+    # array form stays available via quantize.quantize_stats directly.
     oracle="""
     SELECT vec_id,
-           list_transform(emb, x -> CAST(greatest(-127, least(127,
-             floor(CAST(x AS DOUBLE) * scale + 0.5))) AS INT)) AS q8,
+           array_to_string(list_transform(emb, x -> CAST(greatest(-127, least(127,
+             floor(CAST(x AS DOUBLE) * scale + 0.5))) AS INT)), ',') AS q8,
            CAST(floor(scale * 1e6) AS BIGINT) AS scale_micro,
            CAST(list_aggregate(list_transform(generate_series(1, len(emb)),
              i -> CAST(floor(
@@ -134,8 +144,9 @@ def datapipe_shuffle_shards(spark, sf_dir):
                * 1e9) AS BIGINT)), 'sum') AS BIGINT) AS sse_nano
     FROM (
       SELECT vec_id, embedding AS emb,
-             127.0 / list_aggregate(
-               list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')
+             127.0 / greatest(list_aggregate(
+               list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'),
+               1e-300)
                AS scale
       FROM embeddings
     ) s
@@ -144,9 +155,18 @@ def datapipe_shuffle_shards(spark, sf_dir):
 def embed_quantize_int8(spark, sf_dir):
     """Symmetric absmax int8 quantization + reconstruction SSE — all JVM
     array lambdas; per-element nano-floored errors summed as integers so
-    the SSE is summation-order-independent (datapipe/quantize.py)."""
+    the SSE is summation-order-independent (datapipe/quantize.py). The
+    q8 codes are compared as a ','-joined string for the driver hasher."""
     d = t(spark, sf_dir, "embeddings")
-    return Q.quantize_stats(d)
+    s = Q.quantize_stats(d)
+    return s.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("q8"), lambda x: x.cast("string")), ","
+        ).alias("q8"),
+        "scale_micro",
+        "sse_nano",
+    )
 
 
 @query(
@@ -157,7 +177,8 @@ def embed_quantize_int8(spark, sf_dir):
       SELECT unnest(list_transform(generate_series(1, len(tok) - 1),
                     i -> tok[i] || ' ' || tok[i+1])) AS pair
       FROM (
-        SELECT string_split_regex(trim(lower(text)), '\\s+') AS tok
+        SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS tok
         FROM documents
       ) d
     ) p
@@ -173,10 +194,12 @@ def vocab_pair_counts(spark, sf_dir):
     map-side partial aggregation bounds it by distinct pairs."""
     d = t(spark, sf_dir, "documents")
     tok = T.tokens("text")
-    n = F.array_size(tok)
+    # slice length clamps to >= 0: Spark's slice throws on a negative
+    # length, which a zero-token (empty/whitespace-only) doc would hit
+    n = F.greatest(F.array_size(tok) - 1, F.lit(0))
     pairs = F.zip_with(
-        F.slice(tok, 1, n - 1),
-        F.slice(tok, 2, n - 1),
+        F.slice(tok, 1, n),
+        F.slice(tok, 2, n),
         lambda a, b: F.concat_ws(" ", a, b),
     )
     return (
@@ -199,7 +222,8 @@ def vocab_pair_counts(spark, sf_dir):
       SELECT doc_id, n_tokens, cum_before AS tok_offset,
              unnest(generate_series(
                  CAST(cum_before // {_BUDGET} AS BIGINT),
-                 CAST((cum_before + n_tokens - 1) // {_BUDGET} AS BIGINT)))
+                 CAST((cum_before + greatest(n_tokens, 1) - 1) // {_BUDGET}
+                      AS BIGINT)))
                AS b
       FROM (
         SELECT doc_id, n_tokens,
@@ -208,8 +232,9 @@ def vocab_pair_counts(spark, sf_dir):
                  AS cum_before
         FROM (
           SELECT doc_id,
-                 CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
-                      AS BIGINT) AS n_tokens
+                 CAST(len(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   x -> x <> '')) AS BIGINT) AS n_tokens
           FROM documents
         ) tok
       ) cum

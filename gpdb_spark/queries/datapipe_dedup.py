@@ -52,7 +52,9 @@ def dedup_exact(spark, sf_dir):
     oracle="""
     WITH toks0 AS (
         SELECT doc_id AS id,
-               unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+               unnest(list_distinct(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   x -> x <> ''))) AS tok
         FROM documents
     ), freq AS (
         SELECT tok FROM toks0 GROUP BY tok
@@ -277,14 +279,17 @@ def dedup_simhash(spark, sf_dir):
     oracle="""
     WITH toks AS (
         SELECT doc_id AS id,
-               string_split_regex(trim(lower(text)), '\\s+') AS tk
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS tk
         FROM documents
+    ), toksnz AS (
+        SELECT id, tk FROM toks WHERE len(tk) > 0
     ), sh AS (
         SELECT id,
                unnest(list_distinct(list_transform(
                    generate_series(1, greatest(len(tk) - 2, 1)),
                    i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
-        FROM toks
+        FROM toksnz
     ), sizes AS (
         SELECT id, count(*) AS sz FROM sh GROUP BY id
     ), inter AS (

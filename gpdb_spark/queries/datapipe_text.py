@@ -14,12 +14,12 @@ from gpdb_spark.datapipe import text as T
     "text_token_stats",
     oracle="""
     SELECT doc_id,
-           CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_tokens,
-           CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS INT)
+           CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''))) AS INT)
              AS n_distinct,
-           (floor(CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+           (floor(CAST(len(list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')))
                       AS DOUBLE)
-                 / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)
+                 / greatest(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')), 1)
                  * 1e6) / 1e6) AS ttr
     FROM documents
     """,
@@ -49,15 +49,15 @@ def text_token_stats(spark, sf_dir):
     FROM (
         SELECT doc_id,
                length(text) AS n_chars_o,
-               CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_tokens,
+               CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS INT) AS n_tokens,
                floor((CAST(len(replace(lower(text), ' ', '')) AS DOUBLE)
-                     / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1))
+                     / greatest(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')), 1))
                      * 1000000) / 1000000
                  AS mean_word_len,
-               floor((CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+               floor((CAST(len(list_filter(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''),
                                           x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
                           AS DOUBLE)
-                     / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1))
+                     / greatest(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')), 1))
                      * 1000000) / 1000000
                  AS stop_ratio
         FROM documents
@@ -109,7 +109,7 @@ def text_quality_score(spark, sf_dir):
     oracle="""
     SELECT term, CAST(n AS BIGINT) AS n FROM (
         SELECT term, count(*) AS n
-        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS term
               FROM documents) x
         WHERE term <> ''
         GROUP BY term
@@ -136,9 +136,9 @@ def text_top_terms(spark, sf_dir):
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(
-               string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS fp,
-           CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS INT)
+           md5(coalesce(array_to_string(list_sort(list_distinct(
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''))), ' '), '')) AS fp,
+           CAST(len(list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''))) AS INT)
              AS n_distinct
     FROM documents
     """,
@@ -282,7 +282,8 @@ def text_langid_heuristic(spark, sf_dir):
     # (BYTES_STATS_SCHEMA) and is numpy-parity-tested.
     oracle="""
     WITH ch AS (
-        SELECT doc_id, strlen(text) AS n, string_split(text, '') AS chars
+        SELECT doc_id, strlen(text) AS n,
+               list_filter(string_split(text, ''), c -> c <> '') AS chars
         FROM documents
     )
     SELECT doc_id AS media_id,
@@ -800,7 +801,7 @@ def _dupspan_oracle() -> str:
     )
     SELECT t.doc_id, t.n_spans,
            coalesce(a.n_dup_spans, 0) AS n_dup_spans,
-           coalesce(a.dup_starts, CAST([] AS BIGINT[])) AS dup_starts
+           coalesce(array_to_string(a.dup_starts, ','), '') AS dup_starts
     FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
     """
 
@@ -813,11 +814,21 @@ def text_dup_spans(spark, sf_dir):
     are duplicated anywhere in the corpus, and where. All JVM
     expressions; the portable md5 hash family makes DuckDB re-derive
     anchors, window hashes, the duplicate set and the per-doc report
-    end to end."""
+    end to end. dup_starts is compared as a ','-joined string (array
+    cells are unhashable in the driver canonicalizer — the r03 ERR);
+    the raw array form stays available via spans.dup_spans directly."""
     from gpdb_spark.datapipe.spans import dup_spans
 
     d = t(spark, sf_dir, "documents")
-    return dup_spans(d, window=16, anchor_mod=4)
+    s = dup_spans(d, window=16, anchor_mod=4)
+    return s.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.array_join(
+            F.transform(F.col("dup_starts"), lambda x: x.cast("string")), ","
+        ).alias("dup_starts"),
+    )
 
 
 def _mix_oracle() -> str:
@@ -869,15 +880,15 @@ def datapipe_domain_mix(spark, sf_dir):
     oracle="""
     WITH q AS (
         SELECT doc_id,
-               md5(array_to_string(list_slice(
-                   string_split_regex(trim(lower(text)), '\\s+'), 1, 2), ' '))
+               md5(coalesce(array_to_string(list_slice(
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''), 1, 2), ' '), ''))
                  AS cluster_key,
-               CAST(floor((0.4 * least(len(string_split_regex(trim(lower(text)), '\\s+')) / 50.0, 1.0)
-                     + 0.4 * (CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+               CAST(floor((0.4 * least(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) / 50.0, 1.0)
+                     + 0.4 * (CAST(len(list_filter(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''),
                                 x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS DOUBLE)
-                              / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1))
+                              / greatest(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')), 1))
                      + 0.2 * least((CAST(len(replace(lower(text), ' ', '')) AS DOUBLE)
-                              / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)) / 8.0, 1.0))
+                              / greatest(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')), 1)) / 8.0, 1.0))
                      * 1000000) AS BIGINT) AS q_ppm
         FROM documents
     ), ranked AS (

@@ -504,9 +504,13 @@ _pg_query(
     # format (varlena.c text_format), quote_ident/quote_literal
     # (quote.c), regexp_split_to_array (regexp.c — trailing empties
     # kept, hence split(..., -1) in the translation)
+    # the split array is compared as a joined string: the driver's
+    # canonicalizer hashes via a pandas sort and list cells are
+    # unhashable (same scalarization as percentile_multi); the raw
+    # array form stays available via regexp_split_to_array directly
     """
     SELECT n_nationkey,
-           regexp_split_to_array(n_name, '_') AS parts,
+           array_to_string(regexp_split_to_array(n_name, '_'), ',') AS parts,
            format('%I = %L (%s)', n_name, 'it''s ' || n_name, n_regionkey) AS fmt,
            quote_ident(lower(n_name)) AS qi,
            quote_literal(n_name) AS ql
@@ -516,7 +520,7 @@ _pg_query(
     # expansion; regexp_full_match = Spark's anchored RLIKE
     oracle="""
     SELECT n_nationkey,
-           regexp_split_to_array(n_name, '_') AS parts,
+           array_to_string(regexp_split_to_array(n_name, '_'), ',') AS parts,
            (CASE WHEN regexp_full_match(n_name, '[a-z_][a-z0-9_]*')
                  THEN n_name
                  ELSE '"' || replace(n_name, '"', '""') || '"' END)
@@ -536,15 +540,18 @@ _pg_query(
     "pg_unnest_ordinality_array_agg",
     # unnest WITH ORDINALITY (execSRF.c — 1-based position appended
     # last) and ordered array_agg (PG ordered-set aggregate syntax)
+    # the ordered array_agg is compared joined to a string — list cells
+    # crash the driver hasher's pandas sort (see percentile_multi); the
+    # ORDER BY inside the agg is still exercised (order changes the join)
     """
     SELECT r.r_regionkey, t.w, t.i,
-           (SELECT array_agg(n_name ORDER BY n_nationkey DESC)
+           (SELECT array_to_string(array_agg(n_name ORDER BY n_nationkey DESC), '|')
             FROM nation n WHERE n.n_regionkey = r.r_regionkey) AS names
     FROM region r, unnest(ARRAY['alpha','beta']) WITH ORDINALITY AS t(w, i)
     """,
     oracle="""
     SELECT r.r_regionkey, t.w, CAST(t.i AS INT) AS i,
-           (SELECT array_agg(n_name ORDER BY n_nationkey DESC)
+           (SELECT array_to_string(array_agg(n_name ORDER BY n_nationkey DESC), '|')
             FROM nation n WHERE n.n_regionkey = r.r_regionkey) AS names
     FROM region r,
          (SELECT unnest(['alpha','beta']) AS w,

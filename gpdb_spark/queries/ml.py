@@ -281,7 +281,8 @@ def _kmeans_oracle(k: int = 16, iters: int = 2) -> str:
                   CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, {idx}),
     cent0 AS (SELECT vid AS cid, i, floor(x * 1e9) / 1e9 AS val
-              FROM el WHERE vid < {k})"""]
+              FROM el WHERE vid IN
+                (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))"""]
     for it in range(1, iters + 1):
         p = it - 1
         ctes.append(f"""

@@ -462,11 +462,11 @@ def percentile_multi(spark, sf_dir):
                AS hyp_rank,
            count(DISTINCT CASE WHEN o_totalprice < 150000
                                THEN o_totalprice END) + 1 AS hyp_dense_rank,
-           CAST(floor(CAST(sum(CASE WHEN o_totalprice < 150000 THEN 1 ELSE 0
-                 END) AS DOUBLE) / count(*) * 1000000) AS BIGINT)
+           CAST((sum(CASE WHEN o_totalprice < 150000 THEN 1 ELSE 0 END)
+                 * 1000000) // count(*) AS BIGINT)
                AS hyp_percent_rank_ppm,
-           CAST(floor(CAST(sum(CASE WHEN o_totalprice <= 150000 THEN 1 ELSE 0
-                 END) + 1 AS DOUBLE) / (count(*) + 1) * 1000000) AS BIGINT)
+           CAST(((sum(CASE WHEN o_totalprice <= 150000 THEN 1 ELSE 0 END) + 1)
+                 * 1000000) // (count(*) + 1) AS BIGINT)
                AS hyp_cume_dist_ppm
     FROM orders
     GROUP BY o_orderpriority
@@ -481,27 +481,28 @@ def hypothetical_set_aggs(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     v = F.lit(150000.0)
     p = F.col("o_totalprice")
-    below = F.sum(F.when(p < v, 1).otherwise(0))
-    return o.groupBy("o_orderpriority").agg(
-        (F.count(F.lit(1)) + 1 - F.count(F.when(p >= v, 1))).alias(
-            "hyp_rank_gt"
-        ),
-        (below + 1).alias("hyp_rank"),
+    # All compared ratios are pure BIGINT (x * 1e6) DIV n — no doubles
+    # anywhere in the compared output, so no rounding/fusion question can
+    # exist between engines (ppm values are exact integers on both sides;
+    # operands are nonnegative so floor-div == trunc-div).
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.when(p < v, 1).otherwise(0)).cast("long").alias("_below"),
+        F.sum(F.when(p <= v, 1).otherwise(0)).cast("long").alias("_le"),
+        F.count(F.when(p >= v, 1)).cast("long").alias("_ge"),
         (F.count_distinct(F.when(p < v, p)) + 1).alias("hyp_dense_rank"),
-        # Integer-scaled ratios (parts-per-million): round() on doubles is
-        # HALF_UP in Spark but half-to-even in DuckDB, so a tie at the 6th
-        # digit flips the driver's value hash. floor(x*1e6) is identical
-        # IEEE arithmetic in both engines — comparison is rounding-free.
-        F.floor(below.cast("double") / F.count(F.lit(1)) * 1000000)
-        .cast("bigint")
-        .alias("hyp_percent_rank_ppm"),
-        F.floor(
-            (F.sum(F.when(p <= v, 1).otherwise(0)) + 1).cast("double")
-            / (F.count(F.lit(1)) + 1)
-            * 1000000
-        )
-        .cast("bigint")
-        .alias("hyp_cume_dist_ppm"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        (F.col("_n") + 1 - F.col("_ge")).alias("hyp_rank_gt"),
+        (F.col("_below") + 1).alias("hyp_rank"),
+        "hyp_dense_rank",
+        F.expr("CAST((_below * 1000000) DIV _n AS BIGINT)").alias(
+            "hyp_percent_rank_ppm"
+        ),
+        F.expr("CAST(((_le + 1) * 1000000) DIV (_n + 1) AS BIGINT)").alias(
+            "hyp_cume_dist_ppm"
+        ),
     )
 
 

@@ -407,3 +407,66 @@ def plpgsql_control_flow(spark, sf_dir):
     END;
     $fn$ LANGUAGE plpgsql""")
     return eng.call("nation_flow")
+
+
+@query(
+    "plpgsql_case_foreach",
+    # fizzbuzz via searched CASE, a simple CASE region label, and a
+    # FOREACH sum over an int array — the oracle re-derives all three
+    # declaratively
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey % 15 = 0 THEN 'fizzbuzz'
+                WHEN n_nationkey % 3 = 0 THEN 'fizz'
+                WHEN n_nationkey % 5 = 0 THEN 'buzz'
+                ELSE CAST(n_nationkey AS VARCHAR) END AS label,
+           CASE WHEN n_regionkey IN (0, 1) THEN 'americas-ish'
+                WHEN n_regionkey IN (2, 3) THEN 'eurasia-ish'
+                ELSE 'other' END AS zone,
+           CAST(10 + 20 + 30 AS BIGINT) AS arr_sum
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def plpgsql_case_foreach(spark, sf_dir):
+    """PL/pgSQL CASE statement (searched + simple forms,
+    pl_exec.c:113 exec_stmt_case) and FOREACH-over-array
+    (pl_exec.c:125 exec_stmt_foreach_a) — round 3's last documented
+    interpreter gaps. The searched CASE runs per row inside a
+    FOR-IN-query loop on the driver's arithmetic fast path; the simple
+    CASE exercises the comma-list membership rewrite; FOREACH folds a
+    literal array. RETURN NEXT accumulates the rows (the function's
+    tuplestore)."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.create_function("""
+    CREATE FUNCTION case_foreach_demo()
+    RETURNS TABLE(n_nationkey int, label text, zone text, arr_sum bigint) AS $fn$
+    DECLARE
+      total bigint := 0;
+      x int;
+      lbl text;
+      zn text;
+      rec record;
+    BEGIN
+      FOREACH x IN ARRAY ARRAY[10, 20, 30] LOOP
+        total := total + x;
+      END LOOP;
+      FOR rec IN SELECT n_nationkey, n_regionkey FROM nation ORDER BY n_nationkey LOOP
+        CASE
+          WHEN rec.n_nationkey % 15 = 0 THEN lbl := 'fizzbuzz';
+          WHEN rec.n_nationkey % 3 = 0 THEN lbl := 'fizz';
+          WHEN rec.n_nationkey % 5 = 0 THEN lbl := 'buzz';
+          ELSE lbl := rec.n_nationkey::text;
+        END CASE;
+        CASE rec.n_regionkey
+          WHEN 0, 1 THEN zn := 'americas-ish';
+          WHEN 2, 3 THEN zn := 'eurasia-ish';
+          ELSE zn := 'other';
+        END CASE;
+        RETURN NEXT (rec.n_nationkey, lbl, zn, total);
+      END LOOP;
+    END;
+    $fn$ LANGUAGE plpgsql""")
+    return eng.call("case_foreach_demo")

@@ -56,3 +56,109 @@ def test_hmac_over_corpus_distinct(spark):
     rows = {r.id: r.h for r in out.collect()}
     assert rows["a"] == rows["c"] != rows["b"]
     assert rows["a"] == reference_hmac_hex("doc one", b"signing-key", "sha256")
+
+
+def test_md5_crypt_glibc_vectors():
+    """The pure-Python md5-crypt reference must be byte-identical to
+    glibc's crypt(3) — an independent implementation of the same public
+    algorithm (crypt-md5.c). Skipped where the stdlib crypt module is
+    absent (removed in Python 3.13)."""
+    from gpdb_spark.functions.crypt_md5 import md5_crypt
+
+    try:
+        import crypt as glibc_crypt  # noqa: F401 — deprecated since 3.11
+    except ImportError:
+        import pytest as _pytest
+
+        _pytest.skip("stdlib crypt unavailable")
+    for pw, salt in [
+        ("password", "ab01cd23"),
+        ("", "xyz"),
+        ("naïve café", "s4ltS4lt"),
+        ("a" * 40, "qrstuvwx"),
+        ("it's a secret", "deadbeef"),
+    ]:
+        assert md5_crypt(pw, salt) == glibc_crypt.crypt(pw, f"$1${salt}$")
+
+
+def test_md5_crypt_verify_idiom():
+    """crypt(pw, stored_hash) == stored_hash — the standard verify path
+    (the full $1$salt$hash string is accepted as the salt argument)."""
+    from gpdb_spark.functions.crypt_md5 import md5_crypt
+
+    h = md5_crypt("secret", "saltsalt")
+    assert md5_crypt("secret", h) == h
+    assert md5_crypt("wrong", h) != h
+
+
+def test_crypt_column_and_gen_salt(spark):
+    from pyspark.sql import functions as F
+
+    from gpdb_spark.functions.crypt_md5 import crypt, gen_salt_md5, md5_crypt
+
+    df = spark.createDataFrame(
+        [("alice", "pw1", "11111111"), ("bob", "pw2", "22222222")],
+        "u string, pw string, salt string",
+    )
+    rows = df.select(
+        "u", crypt(F.col("pw"), F.col("salt")).alias("h")
+    ).collect()
+    want = {"alice": md5_crypt("pw1", "11111111"), "bob": md5_crypt("pw2", "22222222")}
+    assert {r.u: r.h for r in rows} == want
+    # seeded gen_salt is deterministic and well-formed
+    s = df.select(gen_salt_md5(F.col("u")).alias("s")).collect()
+    import re as _re
+
+    for r in s:
+        assert _re.fullmatch(r"\$1\$[./0-9A-Za-z]{8}", r.s)
+    s2 = df.select(gen_salt_md5(F.col("u")).alias("s")).collect()
+    assert [r.s for r in s] == [r.s for r in s2]
+
+
+def test_pgp_sym_roundtrip_and_tag(spark):
+    """pgp_sym_decrypt(pgp_sym_encrypt(x, k), k) == x; a wrong
+    passphrase fails the GCM auth tag (the MDC-check equivalent)."""
+    from pyspark.sql import functions as F
+
+    from gpdb_spark.functions.crypt_md5 import (
+        pgp_sym_decrypt,
+        pgp_sym_encrypt,
+        s2k_key,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "naïve café 中文 🙂")],
+        "id int, msg string",
+    )
+    enc = df.select("id", "msg", pgp_sym_encrypt(F.col("msg"), "k1").alias("ct"))
+    out = enc.select(
+        "id",
+        "msg",
+        pgp_sym_decrypt(F.col("ct"), "k1").alias("dec"),
+    ).collect()
+    assert all(r.msg == r.dec for r in out)
+    # wrong passphrase: GCM tag failure surfaces as an error
+    import pytest as _pytest
+
+    bad = enc.select(pgp_sym_decrypt(F.col("ct"), "nope").alias("x"))
+    with _pytest.raises(Exception):
+        bad.collect()
+    # S2K is the RFC 4880 iterated-salted construction: same inputs,
+    # same key; different salt, different key
+    assert s2k_key("pw", b"saltAAAA") == s2k_key("pw", b"saltAAAA")
+    assert s2k_key("pw", b"saltAAAA") != s2k_key("pw", b"saltBBBB")
+
+
+def test_pgp_stays_jvm_side(spark):
+    """encrypt/decrypt must be builtin JVM expressions (no BatchEvalPython
+    / ArrowEvalPython in the plan) — the pgcrypto hot path is codegen."""
+    from pyspark.sql import functions as F
+
+    from gpdb_spark.functions.crypt_md5 import pgp_sym_decrypt, pgp_sym_encrypt
+
+    df = spark.range(10).select(F.col("id").cast("string").alias("m"))
+    plan = (
+        df.select(pgp_sym_decrypt(pgp_sym_encrypt(F.col("m"), "k"), "k"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan

@@ -74,8 +74,9 @@ def test_kmeans_matches_numpy_reference(spark, sf_dir):
     order = np.argsort(ids)
     ids, X = ids[order], X[order]
     k = 16
-    cent = np.floor(X[ids < k] * 1e9) / 1e9
-    cent_ids = ids[ids < k]
+    # init = the k lowest ids (rows already sorted by id above)
+    cent = np.floor(X[:k] * 1e9) / 1e9
+    cent_ids = ids[:k]
     for _ in range(2):
         # dist with per-element floor-12 terms, summed exactly
         d = np.zeros((len(ids), len(cent_ids)))

@@ -209,3 +209,70 @@ def test_elsif_chain_and_reverse_for(eng):
     END;
     $$ LANGUAGE plpgsql""")
     assert eng.call("countdown", 3) == "321"
+
+
+def test_case_statement_searched_and_simple(eng):
+    """exec_stmt_case (pl_exec.c:113): searched CASE picks the first
+    true arm; simple CASE matches the selector against comma-lists."""
+    eng.create_function("""
+    CREATE FUNCTION fizz(n int) RETURNS text AS $$
+    DECLARE out text;
+    BEGIN
+      CASE
+        WHEN n % 15 = 0 THEN out := 'fizzbuzz';
+        WHEN n % 3 = 0 THEN out := 'fizz';
+        WHEN n % 5 = 0 THEN out := 'buzz';
+        ELSE out := n::text;
+      END CASE;
+      RETURN out;
+    END;
+    $$ LANGUAGE plpgsql""")
+    assert [eng.call("fizz", v) for v in (15, 9, 10, 7)] == [
+        "fizzbuzz", "fizz", "buzz", "7"]
+    eng.create_function("""
+    CREATE FUNCTION simple_case(n int) RETURNS text AS $$
+    BEGIN
+      CASE n
+        WHEN 1, 2 THEN RETURN 'low';
+        WHEN 3 THEN RETURN 'mid';
+        ELSE RETURN 'high';
+      END CASE;
+    END;
+    $$ LANGUAGE plpgsql""")
+    assert [eng.call("simple_case", v) for v in (1, 2, 3, 9)] == [
+        "low", "low", "mid", "high"]
+
+
+def test_case_not_found_raises(eng):
+    """No matching arm and no ELSE = CASE_NOT_FOUND (exec_stmt_case)."""
+    eng.create_function("""
+    CREATE FUNCTION case_nf(n int) RETURNS text AS $$
+    BEGIN
+      CASE n WHEN 1 THEN RETURN 'one'; END CASE;
+    END;
+    $$ LANGUAGE plpgsql""")
+    assert eng.call("case_nf", 1) == "one"
+    import pytest as _pytest
+    from gpdb_spark.plpgsql import PlPgSqlError
+    with _pytest.raises(PlPgSqlError, match="case not found"):
+        eng.call("case_nf", 2)
+
+
+def test_foreach_array(eng):
+    """exec_stmt_foreach_a (pl_exec.c:125): element iteration with
+    EXIT/CONTINUE; empty array = zero iterations; NULL array errors."""
+    eng.create_function("""
+    CREATE FUNCTION sum_arr() RETURNS bigint AS $$
+    DECLARE
+      total bigint := 0;
+      x int;
+    BEGIN
+      FOREACH x IN ARRAY ARRAY[1, 2, 3, 4, 5] LOOP
+        CONTINUE WHEN x = 2;
+        EXIT WHEN x = 5;
+        total := total + x;
+      END LOOP;
+      RETURN total;
+    END;
+    $$ LANGUAGE plpgsql""")
+    assert eng.call("sum_arr") == 1 + 3 + 4

@@ -152,6 +152,16 @@ def main(outdir: str, seed: int = 1337, scale: float = 1.0) -> None:
         n_words = int(rng.integers(5, 120))
         words = [WORDS[j] for j in rng.integers(0, len(WORDS), n_words)]
         texts.append(" ".join(words))
+    # degenerate documents — empty, whitespace-only, and 1-token text.
+    # The driver regenerates its corpus each round; seed-42-shaped
+    # fixtures (>=5 words/doc) masked the zero-token divergence class
+    # (pack_sequences r03) until the driver found it. Placed BEFORE the
+    # duplicate loop so degenerates can also appear as exact dups.
+    if n_doc >= 10:
+        texts[2] = ""
+        texts[5] = "  \t \n "
+        texts[7] = "solo"
+        texts[9] = "  padded  "
     # a few exact duplicates, as the driver's corpus has
     for i in range(0, n_doc, 37):
         texts[i] = texts[(i + 11) % n_doc]
