@@ -38,10 +38,15 @@ DRIVER_PRIORITY: list[str] = [
     "embed_quantize_int8",
     "text_dup_spans",
     "datapipe_pack_sequences",
-    # new round-4 queries
+    # new round-4 queries; embed_ann_ivf newly ORACLED (portable
+    # md5-sampled + exact-decimal-trained quantizer replaces the numpy
+    # RandomState path in the registered query)
     "pgcrypto_crypt",
     "pgcrypto_pgp",
     "plpgsql_case_foreach",
+    "embed_ann_ivf",
+    "mapreduce_yaml",
+    "pgcrypto_armor",
     # never-driver-checked, breadth-first by family (oracled)
     "string_funcs",
     "date_funcs",
@@ -112,11 +117,9 @@ DRIVER_PRIORITY: list[str] = [
     "mapinpandas_filter",
     "fulltext_match_any",
     # never-driver-checked, rows-only: the xxhash64 fast-path clusters
-    # query is validated via its oracled portable twin; IVF's k-means
-    # sample (numpy RandomState) is the one genuinely non-reproducible
-    # path
+    # query is validated via its oracled portable twin (the last
+    # rows-only entry — IVF's numpy path was oracled in round 4)
     "dedup_minhash_clusters",
-    "embed_ann_ivf",
 ]
 
 

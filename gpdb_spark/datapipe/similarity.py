@@ -410,8 +410,12 @@ def ivf_topk_flat(
     Trained centroids (ivf_topk) balance cells better on clustered
     corpora; the flat pick costs recall only when ids correlate with
     geometry."""
-    cent = corpus.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    # the n_centroids LOWEST ids, whatever the id base (a `< n` filter
+    # under-selects for 1-based ids); orderBy+limit = TakeOrdered top-k
+    cent = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy("cid")
+        .limit(n_centroids)
     )
 
     def cells(df: DataFrame, out_id: str, n: int) -> DataFrame:
@@ -432,6 +436,91 @@ def ivf_topk_flat(
     q_cells = cells(queries, "query_id", n_probe).withColumnRenamed("_v", "_qv")
     cand = c_cells.join(q_cells, "cid").where(
         F.col("corpus_id") != F.col("query_id")
+    )
+    cos = fr(
+        dec_dot(F.col("_qv"), F.col("_v")).cast("double")
+        / (dec_norm(F.col("_qv")) * dec_norm(F.col("_v"))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id"))
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "cos", "rnk")
+    )
+
+
+def ivf_topk_trained_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    iters: int = 2,
+    sample_size: int = 256,
+) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer whose every step is
+    engine-reproducible — the oracled twin of ivf_topk (whose numpy
+    RandomState sample is the one non-portable step).
+
+    Training sample = the ``sample_size`` ids with the LOWEST md5(id)
+    (the repo's portable-hash doctrine: a uniform, seedless, any-engine
+    sample — same family as sample.py's md5-prefix splits). Centroid
+    init = the ``n_centroids`` lowest-md5 members of that sample. The
+    Lloyd rounds are operators/kmeans.lloyd_rounds: floor-9 means,
+    floor-12 squared-distance terms, DECIMAL sums — bit-identical in
+    any engine, so DuckDB unrolls the identical training and the
+    trained-index SEARCH PATH itself is oracle-checked.
+
+    Scale shape: identical to ivf_topk — training is O(sample), the
+    corpus touches one broadcast of the k*dim centroid relation for
+    cell assignment, and the candidate join is keyed on cell id
+    (~n_probe/n_centroids of the corpus per query). Cell metric is
+    squared euclidean (the k-means objective; rank-equivalent to
+    cosine on unit-normalized inputs)."""
+    from gpdb_spark.catalog import spread
+    from gpdb_spark.operators.kmeans import (
+        assign_cells,
+        explode_long,
+        lloyd_rounds,
+    )
+    from gpdb_spark.operators.kmeans import _floor as kfloor
+
+    e_all = explode_long(spread(corpus), id_col, vec_col)
+    h = F.md5(F.col(id_col).cast("string"))
+    samp_ids = (
+        corpus.select(F.col(id_col).alias("vid"), h.alias("__h"))
+        .orderBy("__h", "vid")
+        .limit(sample_size)
+    )
+    e_s = e_all.join(F.broadcast(samp_ids.select("vid")), "vid").persist()
+    init_ids = samp_ids.orderBy("__h", "vid").limit(n_centroids)
+    cent0 = e_s.join(F.broadcast(init_ids.select("vid")), "vid").select(
+        F.col("vid").alias("cid"), "i", kfloor(F.col("x"), 9).alias("val")
+    )
+    _, cent = lloyd_rounds(e_s, cent0, iters)
+    cent = cent.persist()  # read by corpus AND query assignment below
+
+    c_cells = assign_cells(e_all, cent, 1).select(
+        F.col("vid").alias("corpus_id"), "cid"
+    )
+    q_cells = assign_cells(
+        explode_long(queries, id_col, vec_col), cent, n_probe
+    ).select(F.col("vid").alias("query_id"), "cid")
+
+    cv = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_v"))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    # each corpus vector lives in exactly ONE cell, so the cell join
+    # cannot duplicate a (query, corpus) pair — no dedup pass needed
+    cand = (
+        c_cells.join(q_cells, "cid")
+        .where(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id")
+        .join(cv, "corpus_id")
+        .join(F.broadcast(qv), "query_id")
     )
     cos = fr(
         dec_dot(F.col("_qv"), F.col("_v")).cast("double")

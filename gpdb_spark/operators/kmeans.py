@@ -31,46 +31,47 @@ def _floor(c, n):
     return F.floor(c * F.lit(s)) / F.lit(s)
 
 
-def kmeans_assign(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 16,
-    iterations: int = 2,
+def explode_long(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Returns (id, cluster) after ``iterations`` Lloyd rounds starting
-    from the k lowest-id vectors (deterministic init). Clusters that
-    lose all members drop out (matching plain Lloyd)."""
-    e = df.select(
+    """(vid, i, x) long form — the MPP layout the Lloyd rounds run on."""
+    return df.select(
         F.col(id_col).alias("vid"),
         F.posexplode(vec_col).alias("pos", "x_raw"),
     ).select(
         "vid", (F.col("pos") + 1).alias("i"), F.col("x_raw").cast("double").alias("x")
-    ).persist()
-
-    # init = the k LOWEST ids, whatever the id space (a `vid < k` filter
-    # would under-select for 1-based ids). Global top-k on the distinct
-    # id set — Catalyst plans orderBy+limit as TakeOrderedAndProject
-    # (per-partition top-k then a k-row merge), not a full sort.
-    init_ids = e.select("vid").distinct().orderBy("vid").limit(k)
-    cent = e.join(F.broadcast(init_ids), "vid").select(
-        F.col("vid").alias("cid"), "i", _floor(F.col("x"), 9).alias("val")
     )
+
+
+def assign_cells(e: DataFrame, cent: DataFrame, n: int = 1) -> DataFrame:
+    """Top-``n`` nearest centroids per vector by exact-decimal squared
+    distance (floor-12 per-element terms, DECIMAL sum — the engine-
+    reproducible metric of the Lloyd rounds). ``e`` is (vid, i, x) long
+    form, ``cent`` is (cid, i, val); returns (vid, cid, r)."""
+    d = F.col("x") - F.col("val")
+    dist = (
+        e.join(F.broadcast(cent), "i")
+        .select("vid", "cid", _floor(d * d, 12).cast(DEC30).alias("sq"))
+        .groupBy("vid", "cid")
+        .agg(F.sum("sq").cast("double").alias("dist"))
+    )
+    w = Window.partitionBy("vid").orderBy("dist", "cid")
+    return (
+        dist.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= n)
+        .select("vid", "cid", "r")
+    )
+
+
+def lloyd_rounds(
+    e: DataFrame, cent: DataFrame, iterations: int
+) -> tuple[DataFrame, DataFrame]:
+    """``iterations`` Lloyd rounds over (vid, i, x) from init centroids
+    (cid, i, val). Returns (assignments, final centroids); every mean is
+    floor-9, every distance term floor-12 — bit-reproducible."""
     assigned = None
     for _ in range(iterations):
-        d = F.col("x") - F.col("val")
-        dist = (
-            e.join(F.broadcast(cent), "i")
-            .select("vid", "cid", _floor(d * d, 12).cast(DEC30).alias("sq"))
-            .groupBy("vid", "cid")
-            .agg(F.sum("sq").cast("double").alias("dist"))
-        )
-        w = Window.partitionBy("vid").orderBy("dist", "cid")
-        assigned = (
-            dist.withColumn("r", F.row_number().over(w))
-            .where(F.col("r") == 1)
-            .select("vid", "cid")
-        )
+        assigned = assign_cells(e, cent, 1).select("vid", "cid")
         cent = (
             assigned.join(e, "vid")
             .groupBy("cid", "i")
@@ -82,4 +83,28 @@ def kmeans_assign(
                 ).alias("val")
             )
         )
+    return assigned, cent
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iterations: int = 2,
+) -> DataFrame:
+    """Returns (id, cluster) after ``iterations`` Lloyd rounds starting
+    from the k lowest-id vectors (deterministic init). Clusters that
+    lose all members drop out (matching plain Lloyd)."""
+    e = explode_long(df, id_col, vec_col).persist()
+
+    # init = the k LOWEST ids, whatever the id space (a `vid < k` filter
+    # would under-select for 1-based ids). Global top-k on the distinct
+    # id set — Catalyst plans orderBy+limit as TakeOrderedAndProject
+    # (per-partition top-k then a k-row merge), not a full sort.
+    init_ids = e.select("vid").distinct().orderBy("vid").limit(k)
+    cent = e.join(F.broadcast(init_ids), "vid").select(
+        F.col("vid").alias("cid"), "i", _floor(F.col("x"), 9).alias("val")
+    )
+    assigned, _ = lloyd_rounds(e, cent, iterations)
     return assigned.select(F.col("vid").alias(id_col), F.col("cid").alias("cluster"))

@@ -552,3 +552,52 @@ def pgcrypto_pgp(spark, sf_dir):
         F.length(F.unbase64(F.col("ct"))).cast("long").alias("ct_bytes"),
         (dec == F.col("text")).alias("tag_ok"),
     )
+
+
+@query(
+    "pgcrypto_armor",
+    # the CRC-24 line is masked in the compared text (DuckDB has no
+    # CRC-24); its correctness is pinned by golden vectors + an
+    # independent table-driven implementation in test_crypto.py. The
+    # exact armored length (which includes the real CRC line) and the
+    # dearmor roundtrip are compared unmasked.
+    oracle="""
+    SELECT doc_id,
+           '-----BEGIN PGP MESSAGE-----' || chr(10) || chr(10)
+           || rtrim(regexp_replace(base64(encode(text)),
+                                   '(.{76})', '\\1' || chr(10), 'g'), chr(10))
+           || chr(10) || '=CRC' || chr(10)
+           || '-----END PGP MESSAGE-----' || chr(10) AS armored_masked,
+           CAST(62 + length(base64(encode(text)))
+                + greatest(length(base64(encode(text))) - 1, 0) // 76
+                AS BIGINT) AS armored_len,
+           TRUE AS roundtrip_ok
+    FROM documents WHERE doc_id <= 40
+    """,
+)
+def pgcrypto_armor(spark, sf_dir):
+    """pgcrypto armor()/dearmor() (contrib/pgcrypto/pgp-armor.c; RFC
+    4880 §6 radix-64): BEGIN/END frame, 76-char-wrapped base64 body,
+    CRC-24 checksum line. The body wrap is pure JVM (base64 + regexp);
+    only the 3 CRC bytes ride an Arrow-batched UDF. Compared: the
+    CRC-masked armored text, the exact armored byte length (CRC line
+    included), and the dearmor(armor(x)) == x roundtrip."""
+    from gpdb_spark.functions.crypt_md5 import armor, dearmor
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 40)
+        .select("doc_id", "text", armor(F.col("text")).alias("armored"))
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("armored"), r"\n=[A-Za-z0-9+/]{4}\n", "\n=CRC\n"
+        ).alias("armored_masked"),
+        F.length(F.col("armored").cast("binary")).cast("long").alias(
+            "armored_len"
+        ),
+        (dearmor(F.col("armored")).cast("string") == F.col("text")).alias(
+            "roundtrip_ok"
+        ),
+    )

@@ -283,19 +283,109 @@ def embed_ann_lsh(spark, sf_dir):
                     portable=True)
 
 
-@query("embed_ann_ivf")
+def _ivf_trained_oracle(
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    iters: int = 2,
+    sample: int = 256,
+) -> str:
+    """DuckDB re-derivation of the TRAINED IVF index: md5-ordered
+    sample, the unrolled Lloyd rounds (same floor discipline as
+    queries/ml._kmeans_oracle), full-corpus cell assignment, probe,
+    exact-decimal cosine re-rank (same tail as embed_ann_ivf_flat)."""
+    dist = (
+        "CAST(sum(CAST(floor((e.x - c.val) * (e.x - c.val) * 1e12) / 1e12"
+        " AS DECIMAL(30,15))) AS DOUBLE)"
+    )
+    ctes = [f"""
+    el AS (SELECT vec_id AS vid, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, {IDX}),
+    samp AS (SELECT vec_id AS vid, md5(CAST(vec_id AS VARCHAR)) AS h
+             FROM embeddings ORDER BY h, vid LIMIT {sample}),
+    els AS (SELECT e.vid, e.i, e.x FROM el e JOIN samp s ON s.vid = e.vid),
+    init AS (SELECT vid FROM samp ORDER BY h, vid LIMIT {n_centroids}),
+    cent0 AS (SELECT vid AS cid, i, floor(x * 1e9) / 1e9 AS val
+              FROM els WHERE vid IN (SELECT vid FROM init))"""]
+    for it in range(1, iters + 1):
+        p = it - 1
+        ctes.append(f"""
+    d{it} AS (SELECT e.vid, c.cid, {dist} AS dist
+              FROM els e JOIN cent{p} c ON c.i = e.i
+              GROUP BY e.vid, c.cid),
+    a{it} AS (SELECT vid, cid FROM (
+                SELECT vid, cid,
+                       row_number() OVER (PARTITION BY vid
+                                          ORDER BY dist, cid) AS r
+                FROM d{it}) x WHERE r = 1),
+    cent{it} AS (SELECT a.cid, e.i,
+                        floor(CAST(sum(CAST(e.x AS DECIMAL(30,15))) AS DOUBLE)
+                              / count(*) * 1e9) / 1e9 AS val
+                 FROM a{it} a JOIN els e ON e.vid = a.vid
+                 GROUP BY a.cid, e.i)""")
+    ctes.append(f"""
+    dc AS (SELECT e.vid, c.cid, {dist} AS dist
+           FROM el e JOIN cent{iters} c ON c.i = e.i
+           GROUP BY e.vid, c.cid),
+    rc AS (SELECT vid, cid,
+                  row_number() OVER (PARTITION BY vid
+                                     ORDER BY dist, cid) AS r
+           FROM dc),
+    c_cell AS (SELECT vid AS corpus_id, cid FROM rc WHERE r = 1),
+    q_cell AS (SELECT vid AS query_id, cid FROM rc
+               WHERE r <= {n_probe} AND vid < 20),
+    norms AS (
+      SELECT vec_id,
+             sqrt(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+                                * CAST(embedding[i] AS DOUBLE)
+                                AS DECIMAL(30,15))) AS DOUBLE)) AS nrm
+      FROM embeddings, {IDX}
+      GROUP BY vec_id),
+    cand AS (
+      SELECT q.query_id, c.corpus_id
+      FROM q_cell q JOIN c_cell c ON q.cid = c.cid
+                                 AND c.corpus_id <> q.query_id),
+    dots AS (
+      SELECT cd.query_id, cd.corpus_id,
+             CAST(sum(CAST(CAST(q.embedding[i] AS DOUBLE)
+                           * CAST(co.embedding[i] AS DOUBLE)
+                           AS DECIMAL(30,15))) AS DOUBLE) AS dp
+      FROM cand cd
+      JOIN embeddings q ON q.vec_id = cd.query_id
+      JOIN embeddings co ON co.vec_id = cd.corpus_id, {IDX}
+      GROUP BY cd.query_id, cd.corpus_id),
+    scored AS (
+      SELECT query_id, corpus_id,
+             (floor(dp / (nq.nrm * nc.nrm) * 1e6) / 1e6) AS cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY (floor(dp / (nq.nrm * nc.nrm) * 1e6) / 1e6) DESC,
+                                         corpus_id) AS rnk
+      FROM dots JOIN norms nq ON nq.vec_id = query_id
+                JOIN norms nc ON nc.vec_id = corpus_id)""")
+    return (
+        "WITH" + ",".join(ctes)
+        + f" SELECT query_id, corpus_id, cos, rnk FROM scored WHERE rnk <= {k}"
+    )
+
+
+@query("embed_ann_ivf", oracle=_ivf_trained_oracle())
 def embed_ann_ivf(spark, sf_dir):
-    """IVF ANN top-5 (coarse k-means quantizer + inverted cell lists +
-    n_probe cell re-rank) — the index-backed scale path next to
-    embed_ann_lsh. Rows-only: recall vs brute force asserted in
-    tests/test_datapipe.py."""
+    """IVF ANN top-5 with a TRAINED coarse quantizer — ORACLED (was
+    rows-only): the numpy-RandomState training sample is replaced by
+    the portable md5-ordered sample and exact-decimal Lloyd rounds
+    (similarity.ivf_topk_trained_portable), so DuckDB re-derives the
+    training, the inverted lists, the probes, and the re-rank end to
+    end. The numpy fast path (similarity.ivf_topk, BLAS training) stays
+    available and recall-tested in tests/test_datapipe.py."""
     from pyspark.sql import functions as F
 
-    from gpdb_spark.datapipe.similarity import ivf_topk
+    from gpdb_spark.datapipe.similarity import ivf_topk_trained_portable
 
     e = spread(t(spark, sf_dir, "embeddings"))
     q = e.where(F.col("vec_id") < 20)
-    return ivf_topk(e, q, k=5, n_centroids=16, n_probe=8)
+    return ivf_topk_trained_portable(
+        e, q, k=5, n_centroids=16, n_probe=8, iters=2, sample_size=256
+    )
 
 
 @query("embed_ann_topk_blocked", oracle=_ANN_TOPK_ORACLE)
@@ -435,7 +525,9 @@ def embed_neardup_clusters(spark, sf_dir):
                CAST(sum(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
                              AS DECIMAL(30,15))) AS DOUBLE) AS dp
         FROM embeddings e
-        JOIN embeddings c ON c.vec_id < 16, {IDX}
+        JOIN embeddings c
+          ON c.vec_id IN (SELECT vec_id FROM embeddings
+                          ORDER BY vec_id LIMIT 16), {IDX}
         GROUP BY e.vec_id, c.vec_id
       ) d
       JOIN norms nv ON nv.vec_id = d.vec_id

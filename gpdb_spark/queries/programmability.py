@@ -470,3 +470,64 @@ def plpgsql_case_foreach(spark, sf_dir):
     END;
     $fn$ LANGUAGE plpgsql""")
     return eng.call("case_foreach_demo")
+
+
+_WORDCOUNT_YML = """
+%YAML 1.1
+---
+VERSION:         1.0.0.1
+
+DEFINE:
+  - INPUT:
+      NAME:      book
+      TABLE:     documents
+      COLUMNS:
+        - "text AS value"
+
+  - MAP:
+      NAME:      wordsplit_python
+      FUNCTION:  |
+        for word in value.split():
+          yield [word, 1]
+      LANGUAGE:   python
+      OPTIMIZE:   STRICT IMMUTABLE
+      PARAMETERS: value text
+      RETURNS:
+        - key text
+        - value integer
+
+EXECUTE:
+  - RUN:
+      SOURCE:    book
+      MAP:       wordsplit_python
+      REDUCE:    SUM
+"""
+
+
+@query(
+    "mapreduce_yaml",
+    # python str.split() drops empties and splits on runs of any
+    # whitespace — exactly list_filter(string_split_regex(.., '\\s+'))
+    oracle="""
+    SELECT w AS key, CAST(count(*) AS BIGINT) AS sum_value
+    FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents) t
+    GROUP BY key
+    """,
+)
+def mapreduce_yaml(spark, sf_dir):
+    """gpMapReduce YAML front door (gpcontrib/gpmapreduce/demo/
+    2_wordcount.yml): the reference's wordcount document — INPUT table,
+    python MAP yielding (word, 1), builtin SUM reducer — parsed by
+    operators/mapreduce_yaml.run_yaml and compiled onto the
+    mapInPandas + JVM-groupBy pipeline of operators/mapreduce.py. The
+    MAP is the Arrow-batched slow path by definition (user python); the
+    reduce shuffle is a native 2-stage hash aggregate."""
+    from gpdb_spark.operators.mapreduce_yaml import run_yaml
+
+    return run_yaml(
+        spark,
+        _WORDCOUNT_YML,
+        tables={"documents": t(spark, sf_dir, "documents")},
+    )

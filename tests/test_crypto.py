@@ -162,3 +162,57 @@ def test_pgp_stays_jvm_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def _crc24_table(data: bytes) -> int:
+    """Independent TABLE-DRIVEN CRC-24 (different formulation from the
+    bitwise crc24 in crypt_md5.py) — algebraic cross-check."""
+    tbl = []
+    for i in range(256):
+        crc = i << 16
+        for _ in range(8):
+            crc <<= 1
+            if crc & 0x1000000:
+                crc ^= 0x1864CFB
+        tbl.append(crc & 0xFFFFFF)
+    crc = 0xB704CE
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFF) ^ tbl[((crc >> 16) ^ b) & 0xFF]
+    return crc
+
+
+def test_crc24_vectors():
+    from gpdb_spark.functions.crypt_md5 import crc24
+
+    assert crc24(b"") == 0xB704CE  # init value, RFC 4880 §6.1
+    for m in (b"hello world", b"\x00", b"a" * 1000, bytes(range(256))):
+        assert crc24(m) == _crc24_table(m)
+
+
+def test_armor_roundtrip_and_format(spark):
+    """armor(): RFC 4880 radix-64 frame, 76-char wrap, CRC-24 line;
+    dearmor(armor(x)) == x incl. unicode and lengths that land exactly
+    on the wrap boundary."""
+    import base64 as b64
+
+    from pyspark.sql import functions as F
+
+    from gpdb_spark.functions.crypt_md5 import armor, crc24, dearmor
+
+    msgs = [(1, "hello"), (2, ""), (3, "A" * 57), (4, "naïve café 中文"),
+            (5, "x" * 300)]
+    df = spark.createDataFrame(msgs, "id int, m string")
+    rows = df.select(
+        "id", "m", armor(F.col("m")).alias("a"),
+        dearmor(armor(F.col("m"))).cast("string").alias("rt"),
+    ).collect()
+    for r in rows:
+        assert r.rt == r.m
+        assert r.a.startswith("-----BEGIN PGP MESSAGE-----\n\n")
+        assert r.a.endswith("\n-----END PGP MESSAGE-----\n")
+        body, crc_line = r.a.split("\n=")[0], r.a.split("\n=")[1].split("\n")[0]
+        raw = r.m.encode()
+        assert crc_line == b64.b64encode(crc24(raw).to_bytes(3, "big")).decode()
+        lines = [ln for ln in body.splitlines() if ln and "-" not in ln]
+        assert all(len(ln) <= 76 for ln in lines)
+        assert b64.b64decode("".join(lines)) == raw

@@ -1,0 +1,110 @@
+"""gpMapReduce YAML front door (operators/mapreduce_yaml.py) — parse
+the reference's document format (gpcontrib/gpmapreduce/demo/*.yml) and
+compile it to the mapInPandas + JVM-groupBy pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpdb_spark.operators.mapreduce_yaml import run_yaml
+
+WORDCOUNT = """
+DEFINE:
+  - INPUT:
+      NAME: src
+      TABLE: docs
+      COLUMNS: ["txt AS value"]
+  - MAP:
+      NAME: wordsplit
+      FUNCTION: |
+        for word in value.split():
+          yield [word, 1]
+      LANGUAGE: python
+      PARAMETERS: value text
+      RETURNS:
+        - key text
+        - value integer
+EXECUTE:
+  - RUN:
+      SOURCE: src
+      MAP: wordsplit
+      REDUCE: SUM
+"""
+
+
+def test_wordcount_yaml(spark):
+    docs = spark.createDataFrame(
+        [("a b a",), ("b  c",), ("",)], "txt string"
+    )
+    out = run_yaml(spark, WORDCOUNT, tables={"docs": docs})
+    got = {r.key: r.sum_value for r in out.collect()}
+    assert got == {"a": 2, "b": 2, "c": 1}
+
+
+def test_identity_reduce_and_file_input(spark, tmp_path):
+    """FILE input (seghost:path prefixes dropped) + REDUCE: IDENTITY —
+    the 1_grep.yml shape, with the perl map swapped for python."""
+    p = tmp_path / "log.txt"
+    p.write_text("GET /a HTTP\nPOST /b HTTP\nGET /c HTTP\n")
+    doc = f"""
+DEFINE:
+  - INPUT:
+      NAME: logs
+      FILE:
+        - somehost:{p}
+  - MAP:
+      NAME: grep_get
+      FUNCTION: |
+        if value.startswith('GET '):
+          yield [key, value]
+      LANGUAGE: python
+      PARAMETERS: key text, value text
+      RETURNS:
+        - key text
+        - value text
+EXECUTE:
+  - RUN:
+      SOURCE: logs
+      MAP: grep_get
+      REDUCE: IDENTITY
+"""
+    out = run_yaml(spark, doc)
+    vals = sorted(r.value for r in out.collect())
+    assert vals == ["GET /a HTTP", "GET /c HTTP"]
+
+
+def test_perl_map_raises(spark):
+    doc = """
+DEFINE:
+  - INPUT:
+      NAME: src
+      TABLE: docs
+  - MAP:
+      NAME: m
+      FUNCTION: "return [];"
+      LANGUAGE: perl
+      PARAMETERS: value text
+      RETURNS: ["key text"]
+EXECUTE:
+  - RUN:
+      SOURCE: src
+      MAP: m
+      REDUCE: IDENTITY
+"""
+    docs = spark.createDataFrame([("x",)], "value string")
+    with pytest.raises(NotImplementedError, match="perl"):
+        run_yaml(spark, doc, tables={"docs": docs}).collect()
+
+
+def test_builtin_reducer_stays_jvm_side(spark):
+    """The SUM reduce must plan as a native hash aggregate (2-stage,
+    map-side partial) — only the MAP is python."""
+    docs = spark.createDataFrame([("a b",)], "txt string")
+    out = run_yaml(
+        spark, WORDCOUNT.replace("TABLE: docs", "TABLE: docs"), tables={"docs": docs}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    # exactly one python eval (the MAP), none after the shuffle
+    assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") <= 1
