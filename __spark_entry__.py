@@ -47,6 +47,7 @@ DRIVER_PRIORITY: list[str] = [
     "embed_ann_ivf",
     "mapreduce_yaml",
     "pgcrypto_armor",
+    "plpgsql_cursor",
     # never-driver-checked, breadth-first by family (oracled)
     "string_funcs",
     "date_funcs",

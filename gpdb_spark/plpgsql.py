@@ -28,6 +28,11 @@ Supported statement set (pl_gram.y productions):
   error when no arm matches and there is no ELSE
 - ``FOREACH v IN ARRAY expr LOOP`` (exec_stmt_foreach_a), element-wise;
   NULL array errors, empty array runs zero iterations
+- cursors (exec_stmt_open / _fetch / _close): bound
+  ``cur CURSOR [(params)] FOR query`` declarations, ``refcursor`` +
+  ``OPEN c FOR query``, ``FETCH [NEXT] [FROM] c INTO ...`` (sets
+  FOUND; exhausted fetch nulls the targets), ``CLOSE c`` — rows
+  stream partition-at-a-time, same as FOR-IN-query
 - ``RETURN expr`` / ``RETURN QUERY <sql>`` / ``RETURN NEXT (exprs)``
   (exec_stmt_return / _return_query / _return_next)
 - ``SELECT ... INTO [STRICT] v, ... FROM ...`` (exec_stmt_execsql INTO)
@@ -47,9 +52,9 @@ fast path (no Spark job) so tight counter loops don't pay a JVM
 round-trip per iteration; any expression the fast path cannot prove
 safe falls through to the SQL path.
 
-Out of scope (documented): cursors inside functions (engine-level
-cursors exist), OPEN/FETCH, FOREACH SLICE n (subarray form), SCROLL,
-nested function definitions.
+Out of scope (documented): SCROLL cursors / non-NEXT FETCH directions,
+MOVE, FOR-over-cursor loops (FOR-IN-query covers the shape), FOREACH
+SLICE n (subarray form), nested function definitions.
 """
 
 from __future__ import annotations
@@ -328,6 +333,31 @@ def _parse_stmt(st: _Stream):
             handlers = _parse_handlers(st)
         st.push_remainder(st.take().lstrip()[len("end"):])
         return ("block", body, handlers)
+    if w == "open":
+        # OPEN bound_cur [(args)] | OPEN refcur FOR query
+        # (pl_gram.y stmt_open; executor exec_stmt_open, pl_exec.c)
+        m = re.match(r"(?is)^(\w+)\s+for\s+(.+)$", rest)
+        if m:
+            return ("open", m.group(1).lower(), None, m.group(2).strip())
+        m = re.match(r"(?is)^(\w+)\s*(?:\((.*)\))?$", rest)
+        if not m:
+            raise PlPgSqlError(f"plpgsql: bad OPEN: {rest[:60]!r}")
+        return ("open", m.group(1).lower(), m.group(2), None)
+    if w == "fetch":
+        # FETCH [NEXT] [FROM|IN] cur INTO v, ... (exec_stmt_fetch);
+        # other directions (PRIOR/ABSOLUTE/...) need SCROLL — out of
+        # scope, same as the engine-level cursor front door
+        m = re.match(
+            r"(?is)^(?:next\s+)?(?:from\s+|in\s+)?(\w+)\s+into\s+(.+)$", rest
+        )
+        if not m:
+            raise PlPgSqlError(
+                f"plpgsql: unsupported FETCH form (NEXT only): {rest[:60]!r}"
+            )
+        vars_ = [v.strip().lower() for v in _top_split(m.group(2), ",")]
+        return ("fetch", m.group(1).lower(), vars_)
+    if w == "close":
+        return ("close", rest.strip().lower())
     if w == "exit" or w == "continue":
         m = re.match(r"(?is)^when\s+(.*)$", rest)
         return (w, m.group(1) if m else None)
@@ -489,6 +519,24 @@ _DECL = re.compile(
     r"(?:\[\])?)\s*(?:(?::=|default)\s+(.+))?$"
 )
 
+# bound cursor declaration: cur [NO SCROLL] CURSOR [(params)] FOR|IS query
+# (pl_gram.y decl_cursor_query; pl_exec.c exec_stmt_open binds it)
+_CURSOR_DECL = re.compile(
+    r"(?is)^(\w+)\s+(?:no\s+scroll\s+|scroll\s+)?cursor\s*"
+    r"(?:\(([^)]*)\))?\s*(?:for|is)\s+(.+)$"
+)
+
+
+class _Cursor:
+    """A driver-side cursor: the query text plus, once OPENed, a
+    partition-at-a-time iterator (toLocalIterator — the same bounded
+    coordinator materialization the FOR-IN-query loop uses)."""
+
+    def __init__(self, query: str | None = None, params: list[str] | None = None):
+        self.query = query
+        self.params = params or []
+        self.it = None
+
 
 # ---------------------------------------------------------------------------
 # interpreter
@@ -587,10 +635,22 @@ class Interpreter:
 
     def run_block(self, decls: list, block, env: dict, collector=None):
         for d in decls:
+            mc = _CURSOR_DECL.match(d.strip())
+            if mc:
+                params = [
+                    p.strip().split()[0].lower()
+                    for p in _top_split(mc.group(2) or "", ",")
+                    if p.strip()
+                ]
+                env[mc.group(1).lower()] = _Cursor(mc.group(3).strip(), params)
+                continue
             m = _DECL.match(d.strip())
             if not m:
                 raise PlPgSqlError(f"plpgsql: bad declaration: {d!r}")
-            name, default = m.group(1).lower(), m.group(4)
+            name, typ, default = m.group(1).lower(), m.group(3), m.group(4)
+            if typ.strip().lower() == "refcursor":
+                env[name] = _Cursor()  # unbound; OPEN ... FOR binds it
+                continue
             env[name] = self.eval(default, env) if default else None
         self.exec_stmt(block, env, collector)
 
@@ -689,6 +749,61 @@ class Interpreter:
                 except _Continue:
                     continue
             env["found"] = found
+        elif op == "open":
+            # exec_stmt_open: bind args (or the refcursor's ad-hoc
+            # query), dispatch the SQL distributed, keep a streaming
+            # iterator on the coordinator
+            name, args, q = s[1], s[2], s[3]
+            cur = env.get(name)
+            if not isinstance(cur, _Cursor):
+                raise PlPgSqlError(f'"{name}" is not a cursor')
+            if cur.it is not None:
+                raise PlPgSqlError(f'cursor "{name}" already in use')
+            if q is not None:
+                if cur.params:
+                    raise PlPgSqlError(
+                        f'cursor "{name}" is bound; OPEN FOR needs a refcursor'
+                    )
+                cur.query = q
+            if cur.query is None:
+                raise PlPgSqlError(f'cursor "{name}" has no query (OPEN FOR it)')
+            sql = cur.query
+            if cur.params:
+                vals = (
+                    [self.eval(a, env) for a in _top_split(args, ",")]
+                    if args and args.strip()
+                    else []
+                )
+                if len(vals) != len(cur.params):
+                    raise PlPgSqlError(
+                        f'cursor "{name}" takes {len(cur.params)} arguments'
+                    )
+                penv = dict(env)
+                penv.update(dict(zip(cur.params, vals)))
+                sql = self._subst(sql, penv)
+            else:
+                sql = self._subst(sql, env)
+            cur.it = iter(self.engine.sql(sql).toLocalIterator())
+        elif op == "fetch":
+            # exec_stmt_fetch: one row into the targets; exhausted
+            # cursor nulls the targets and clears FOUND
+            cur = env.get(s[1])
+            if not isinstance(cur, _Cursor) or cur.it is None:
+                raise PlPgSqlError(f'cursor "{s[1]}" is not open')
+            try:
+                row = next(cur.it)
+                env["found"] = True
+                for name, v in zip(s[2], tuple(row)):
+                    env[name] = v
+            except StopIteration:
+                env["found"] = False
+                for name in s[2]:
+                    env[name] = None
+        elif op == "close":
+            cur = env.get(s[1])
+            if not isinstance(cur, _Cursor) or cur.it is None:
+                raise PlPgSqlError(f'cursor "{s[1]}" is not open')
+            cur.it = None
         elif op == "exit":
             if s[1] is None or self._truthy(s[1], env):
                 raise _Exit()

@@ -531,3 +531,55 @@ def mapreduce_yaml(spark, sf_dir):
         _WORDCOUNT_YML,
         tables={"documents": t(spark, sf_dir, "documents")},
     )
+
+
+@query(
+    "plpgsql_cursor",
+    oracle="""
+    SELECT r_regionkey,
+           (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation n
+            WHERE n.n_regionkey = r.r_regionkey) AS nation_sum,
+           (SELECT CAST(count(*) AS BIGINT) FROM nation n
+            WHERE n.n_regionkey = r.r_regionkey) AS n_fetched
+    FROM region r ORDER BY r_regionkey
+    """,
+)
+def plpgsql_cursor(spark, sf_dir):
+    """PL/pgSQL cursors (pl_exec.c exec_stmt_open/_fetch/_close) —
+    round 4 closes the interpreter's last deferred statement family: a
+    bound parameterized cursor is OPENed once per region inside a
+    FOR-IN-query loop, drained with FETCH..INTO under EXIT WHEN NOT
+    FOUND, and CLOSEd; per-region sums and fetch counts accumulate via
+    RETURN NEXT. Rows stream partition-at-a-time (toLocalIterator), so
+    driver memory stays bounded no matter the cursor's result size."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.create_function("""
+    CREATE FUNCTION region_cursor_sums()
+    RETURNS TABLE(r_regionkey bigint, nation_sum bigint, n_fetched bigint) AS $fn$
+    DECLARE
+      nc CURSOR (k int) FOR
+        SELECT n_nationkey FROM nation WHERE n_regionkey = k
+        ORDER BY n_nationkey;
+      rec record;
+      v bigint;
+      total bigint;
+      cnt bigint;
+    BEGIN
+      FOR rec IN SELECT r_regionkey FROM region ORDER BY r_regionkey LOOP
+        total := 0;
+        cnt := 0;
+        OPEN nc(rec.r_regionkey);
+        LOOP
+          FETCH nc INTO v;
+          EXIT WHEN NOT found;
+          total := total + v;
+          cnt := cnt + 1;
+        END LOOP;
+        CLOSE nc;
+        RETURN NEXT (rec.r_regionkey, total, cnt);
+      END LOOP;
+    END;
+    $fn$ LANGUAGE plpgsql""")
+    return eng.call("region_cursor_sums")

@@ -276,3 +276,76 @@ def test_foreach_array(eng):
     END;
     $$ LANGUAGE plpgsql""")
     assert eng.call("sum_arr") == 1 + 3 + 4
+
+
+def test_cursor_open_fetch_close(eng):
+    """Bound parameterized cursor + FETCH INTO + FOUND + CLOSE
+    (pl_exec.c exec_stmt_open/_fetch/_close)."""
+    eng.create_function("""
+    CREATE FUNCTION sum_region(rk int) RETURNS bigint AS $$
+    DECLARE
+      c CURSOR (k int) FOR
+        SELECT n_nationkey FROM nation WHERE n_regionkey = k
+        ORDER BY n_nationkey;
+      v bigint;
+      total bigint := 0;
+    BEGIN
+      OPEN c(rk);
+      LOOP
+        FETCH c INTO v;
+        EXIT WHEN NOT found;
+        total := total + v;
+      END LOOP;
+      CLOSE c;
+      RETURN total;
+    END;
+    $$ LANGUAGE plpgsql""")
+    import duckdb as _d  # independent expected value
+
+    want = _d.sql(
+        "SELECT sum(n_nationkey) FROM "
+        "read_parquet('/root/testdata/sf0.001/nation.parquet') "
+        "WHERE n_regionkey = 2"
+    ).fetchone()[0]
+    assert eng.call("sum_region", 2) == want
+
+
+def test_refcursor_open_for(eng):
+    """Unbound refcursor bound at OPEN ... FOR; exhausted FETCH nulls
+    the target and clears FOUND; double-OPEN and FETCH-closed error."""
+    eng.create_function("""
+    CREATE FUNCTION first_two() RETURNS text AS $$
+    DECLARE
+      rc refcursor;
+      nm text;
+      acc text := '';
+    BEGIN
+      OPEN rc FOR SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 2;
+      FETCH NEXT FROM rc INTO nm;
+      acc := acc || nm;
+      FETCH rc INTO nm;
+      acc := acc || ',' || nm;
+      FETCH rc INTO nm;
+      IF NOT found THEN
+        acc := acc || ',<end>';
+      END IF;
+      CLOSE rc;
+      RETURN acc;
+    END;
+    $$ LANGUAGE plpgsql""")
+    out = eng.call("first_two")
+    assert out.endswith(",<end>") and out.count(",") == 2
+
+    from gpdb_spark.plpgsql import PlPgSqlError
+    import pytest as _pytest
+
+    eng.create_function("""
+    CREATE FUNCTION fetch_closed() RETURNS int AS $$
+    DECLARE c refcursor; v int;
+    BEGIN
+      FETCH c INTO v;
+      RETURN v;
+    END;
+    $$ LANGUAGE plpgsql""")
+    with _pytest.raises(PlPgSqlError, match="not open"):
+        eng.call("fetch_closed")
