@@ -48,6 +48,8 @@ DRIVER_PRIORITY: list[str] = [
     "mapreduce_yaml",
     "pgcrypto_armor",
     "plpgsql_cursor",
+    "multimodal_image_features",
+    "multimodal_frame_manifest",
     # never-driver-checked, breadth-first by family (oracled)
     "string_funcs",
     "date_funcs",

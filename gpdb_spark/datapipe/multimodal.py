@@ -113,6 +113,73 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     return arr.reshape(8, 8, 3)
 
 
+def resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an HxWxC array — REAL image math (pure
+    index sampling, no media lib needed): out[r,c] = in[r*H//h, c*W//w].
+    This is the resize step of the decode→resize→featurize pipeline;
+    only the codec decode itself is a stub."""
+    H, W = img.shape[:2]
+    ri = (np.arange(h) * H) // h
+    ci = (np.arange(w) * W) // w
+    return img[ri][:, ci]
+
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        # per-channel mean of the 4x4 nearest-resized image, as exact
+        # milli-scaled integers ((sum*1000) // 16 — cross-engine safe)
+        StructField("mean_r_milli", LongType()),
+        StructField("mean_g_milli", LongType()),
+        StructField("mean_b_milli", LongType()),
+        StructField("pixel_checksum", LongType()),
+    ]
+)
+
+
+def image_features(
+    df: DataFrame, payload_col: str = "payload", out_hw: tuple[int, int] = (4, 4)
+) -> DataFrame:
+    """decode (deterministic fake) → resize_nearest → per-channel
+    features, Arrow-batched via mapInPandas — the full image-pipeline
+    plumbing with real schema/batching/math end to end. Because the
+    fake decoder is a pure function of the payload bytes (first 192
+    bytes tiled into 8x8x3), every feature is re-derivable by an
+    independent engine from the same bytes: the whole path is
+    oracle-checkable, not just smoke-tested."""
+    h, w = out_hw
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                img = decode_image(bytes(payload or b""), fake=True)
+                small = resize_nearest(img, h, w).astype(np.int64)
+                sums = small.reshape(-1, 3).sum(axis=0)
+                n_px = h * w
+                out.append(
+                    (
+                        int(mid),
+                        int(sums[0] * 1000) // n_px,
+                        int(sums[1] * 1000) // n_px,
+                        int(sums[2] * 1000) // n_px,
+                        int(small.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "mean_r_milli",
+                    "mean_g_milli",
+                    "mean_b_milli",
+                    "pixel_checksum",
+                ],
+            )
+
+    return df.mapInPandas(_feats, IMAGE_FEATURES_SCHEMA)
+
+
 def frame_sample_times(duration_s: float, fps: float = 1.0) -> list[float]:
     """Deterministic frame-sampling schedule for a video payload (the
     metadata-side half of frame extraction; decode itself is stubbed)."""
@@ -120,3 +187,35 @@ def frame_sample_times(duration_s: float, fps: float = 1.0) -> list[float]:
         return []
     n = int(duration_s * fps)
     return [round(i / fps, 3) for i in range(n)]
+
+
+def frame_manifest(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "n_bytes",
+    bytes_per_s: int = 100,
+    fps: int = 2,
+) -> DataFrame:
+    """Video frame-extraction MANIFEST: one row per frame to decode —
+    (media_id, frame_idx, t_centis). Duration is derived from payload
+    size (bytes_per_s stands in for the container's bitrate metadata);
+    the schedule is pure JVM (sequence→explode, zero shuffle), the
+    per-frame decode is the stubbed step a real deployment plugs in.
+    Times are exact centisecond integers with integer fps arithmetic —
+    engine-reproducible."""
+    if 100 % fps:
+        raise ValueError("fps must divide 100 for exact centisecond times")
+    n_frames = F.expr(f"CAST(({bytes_col} * {fps}) DIV {bytes_per_s} AS INT)")
+    d = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                n_frames > 0, F.sequence(F.lit(0), n_frames - 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__p", "frame_idx"),
+    )
+    return d.select(
+        id_col,
+        "frame_idx",
+        (F.col("frame_idx") * (100 // fps)).cast("long").alias("t_centis"),
+    )

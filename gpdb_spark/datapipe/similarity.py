@@ -496,13 +496,30 @@ def ivf_topk_trained_portable(
         .orderBy("__h", "vid")
         .limit(sample_size)
     )
-    e_s = e_all.join(F.broadcast(samp_ids.select("vid")), "vid").persist()
+    # the training relation is bounded at sample_size*dim rows — far
+    # below one healthy partition. Collapse it so every Lloyd-round
+    # groupBy/window schedules a couple of tasks instead of a full
+    # shuffle width of empty ones (the rounds chain 4+ shuffles).
+    e_s = (
+        e_all.join(F.broadcast(samp_ids.select("vid")), "vid")
+        .repartition(2, "vid")
+        .persist()
+    )
     init_ids = samp_ids.orderBy("__h", "vid").limit(n_centroids)
     cent0 = e_s.join(F.broadcast(init_ids.select("vid")), "vid").select(
         F.col("vid").alias("cid"), "i", kfloor(F.col("x"), 9).alias("val")
     )
     _, cent = lloyd_rounds(e_s, cent0, iters)
-    cent = cent.persist()  # read by corpus AND query assignment below
+    # materialize the trained centroids to the driver and re-emit them
+    # as a literal broadcast relation: the centroid table is BOUNDED at
+    # n_centroids*dim rows by construction (the standard IVF contract —
+    # FAISS holds the quantizer driver-side too), and without this both
+    # assignment passes below would drag the full multi-round training
+    # lineage into their plans (measured: 14 s -> ~5 s at sf0.1)
+    cent = F.broadcast(
+        corpus.sparkSession.createDataFrame(cent.collect(), cent.schema)
+    )
+    e_s.unpersist()
 
     c_cells = assign_cells(e_all, cent, 1).select(
         F.col("vid").alias("corpus_id"), "cid"

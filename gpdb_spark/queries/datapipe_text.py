@@ -322,6 +322,80 @@ def multimodal_byte_stats(spark, sf_dir):
 
 
 @query(
+    "multimodal_image_features",
+    # The fake decoder is a PURE function of the payload bytes (first
+    # min(len,192) bytes tiled to 192, reshaped 8x8x3), and the resize
+    # is nearest-neighbor index sampling — so DuckDB re-derives every
+    # sampled pixel from the same ASCII payload: byte at flat index
+    # (48r + 6c + ch) mod min(L,192), 0 for empty payloads. Means are
+    # (sum*1000) // 16 exact integers.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, least(octet_length(encode(text)), 192) AS L
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, ch,
+             CASE WHEN L = 0 THEN 0
+                  ELSE ord(substr(text, ((48*r + 6*c + ch) % L) + 1, 1))
+             END AS v
+      FROM d,
+           (SELECT unnest(generate_series(0, 3)) AS r) rr,
+           (SELECT unnest(generate_series(0, 3)) AS c) cc,
+           (SELECT unnest(generate_series(0, 2)) AS ch) chh
+    )
+    SELECT doc_id AS media_id,
+           CAST(sum(CASE WHEN ch = 0 THEN v ELSE 0 END) * 1000 // 16 AS BIGINT)
+               AS mean_r_milli,
+           CAST(sum(CASE WHEN ch = 1 THEN v ELSE 0 END) * 1000 // 16 AS BIGINT)
+               AS mean_g_milli,
+           CAST(sum(CASE WHEN ch = 2 THEN v ELSE 0 END) * 1000 // 16 AS BIGINT)
+               AS mean_b_milli,
+           CAST(sum(v) AS BIGINT) AS pixel_checksum
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_image_features(spark, sf_dir):
+    """Image pipeline plumbing end to end: binary payload -> decode
+    (deterministic fake — the one stubbed step, codec libs absent) ->
+    REAL nearest-neighbor resize -> per-channel features, Arrow-batched
+    mapInPandas (datapipe/multimodal.py image_features). ORACLED, not
+    just smoke-tested: the fake decode is a pure byte function, so the
+    oracle re-derives every sampled pixel value from the payload."""
+    from gpdb_spark.datapipe.multimodal import attach_binary, image_features
+
+    d = t(spark, sf_dir, "documents")
+    return image_features(attach_binary(d))
+
+
+@query(
+    "multimodal_frame_manifest",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(unnest(generate_series(0, nf - 1)) AS INT) AS frame_idx,
+           CAST(unnest(generate_series(0, nf - 1)) * 50 AS BIGINT) AS t_centis
+    FROM (
+      SELECT doc_id, (octet_length(encode(text)) * 2) // 100 AS nf
+      FROM documents
+    ) d
+    WHERE nf > 0
+    """,
+)
+def multimodal_frame_manifest(spark, sf_dir):
+    """Video frame-extraction manifest (datapipe/multimodal.py
+    frame_manifest): one row per frame to decode at 2 fps, duration
+    derived from payload size (stand-in for container bitrate
+    metadata). Pure JVM sequence/posexplode — zero shuffle; exact
+    integer centisecond times. The manifest is what a 100 TB video
+    pipeline shuffles/schedules; the per-frame codec decode is the
+    stubbed plug-in point."""
+    from gpdb_spark.datapipe.multimodal import attach_binary, frame_manifest
+
+    d = t(spark, sf_dir, "documents")
+    return frame_manifest(attach_binary(d), bytes_per_s=100, fps=2)
+
+
+@query(
     "datapipe_hash_split",
     # deterministic md5-prefix split: the identical expression runs in
     # DuckDB, so assignment parity is checked value-for-value

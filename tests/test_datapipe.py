@@ -508,3 +508,78 @@ def test_domain_mix_hits_target_weights(docs, spark):
     rerun = mix_to_weights(docs.select("doc_id", "lang"), "lang", w, "doc_id")
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in rerun.collect())
+
+
+def test_ivf_trained_portable_recall_and_plan(embeds):
+    """The oracled trained-IVF twin must (a) reach the same recall bar
+    as the numpy-trained path and (b) assign corpus cells via a
+    BROADCAST of the bounded centroid relation — never a shuffle of the
+    corpus for the quantizer, and no cartesian product anywhere."""
+    from gpdb_spark.datapipe.similarity import (
+        brute_force_topk,
+        ivf_topk_trained_portable,
+    )
+
+    q = embeds.where(F.col("vec_id") < 20)
+    res = ivf_topk_trained_portable(
+        embeds, q, k=5, n_centroids=16, n_probe=8, iters=2, sample_size=256
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+    bf = {
+        (r.query_id, r.corpus_id)
+        for r in brute_force_topk(embeds, q, k=5).collect()
+    }
+    got = {(r.query_id, r.corpus_id) for r in res.collect()}
+    recall = len(bf & got) / len(bf)
+    assert recall >= 0.7, f"trained-portable IVF recall too low: {recall}"
+
+
+def test_resize_nearest_math():
+    """Nearest-neighbor resize is pure index sampling: known 4x4 -> 2x2."""
+    import numpy as np
+
+    from gpdb_spark.datapipe.multimodal import resize_nearest
+
+    img = np.arange(4 * 4 * 3).reshape(4, 4, 3)
+    small = resize_nearest(img, 2, 2)
+    # out[r,c] = in[2r, 2c]
+    assert (small == img[[0, 2]][:, [0, 2]]).all()
+    # identity resize
+    assert (resize_nearest(img, 4, 4) == img).all()
+
+
+def test_image_features_deterministic_and_empty(spark):
+    """decode(fake)->resize->featurize is a pure function of the bytes;
+    empty payloads give all-zero features (the degenerate-doc class)."""
+    from gpdb_spark.datapipe.multimodal import attach_binary, image_features
+
+    df = spark.createDataFrame(
+        [(1, "abcdef" * 40), (2, ""), (3, "xyz")], "doc_id long, text string"
+    )
+    out = {r.media_id: r for r in image_features(attach_binary(df)).collect()}
+    assert out[2].mean_r_milli == 0 and out[2].pixel_checksum == 0
+    out2 = {r.media_id: r for r in image_features(attach_binary(df)).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in out2.items()
+    }
+    # sanity: means are (sum*1000)//16 of real sampled bytes
+    assert 0 < out[1].mean_r_milli < 256_000
+
+
+def test_frame_manifest_shapes(spark):
+    """Frame manifest: nf = bytes*fps//rate rows per doc, exact
+    centisecond times, zero rows for too-short payloads."""
+    from gpdb_spark.datapipe.multimodal import attach_binary, frame_manifest
+
+    df = spark.createDataFrame(
+        [(1, "a" * 250), (2, "ab"), (3, "")], "doc_id long, text string"
+    )
+    rows = frame_manifest(attach_binary(df), bytes_per_s=100, fps=2).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append((r.frame_idx, r.t_centis))
+    assert sorted(by_id[1]) == [(0, 0), (1, 50), (2, 100), (3, 150), (4, 200)]
+    assert 2 not in by_id and 3 not in by_id
