@@ -55,8 +55,24 @@ def md5_crypt(password: str | bytes, salt: str | bytes) -> str:
     crypt verify idiom: crypt(pw, stored) == stored)."""
     pw = password.encode() if isinstance(password, str) else password
     s = salt.decode() if isinstance(salt, bytes) else salt
+    if s.startswith("$") and not s.startswith("$1$"):
+        # bcrypt ($2a$...), sha-crypt ($5$/$6$), etc.: refuse loudly —
+        # silently hashing under the wrong scheme would make the verify
+        # idiom reject CORRECT passwords with no diagnostic
+        raise ValueError(
+            f"crypt scheme {s.split('$')[1]!r} not supported: only the "
+            "$1$ (md5-crypt) scheme is implemented (crypt-md5.c); "
+            "DES/Blowfish/sha-crypt are documented out of scope"
+        )
     if s.startswith("$1$"):
         s = s[3:]
+    else:
+        if len(s.split("$", 1)[0]) <= 2:
+            # a bare 1-2 char salt selects traditional DES crypt in PG
+            raise ValueError(
+                "2-char salts select DES crypt (crypt-des.c) — not "
+                "implemented; use gen_salt('md5') / a '$1$' salt"
+            )
     s = s.split("$", 1)[0][:8]
     sb = s.encode()
 

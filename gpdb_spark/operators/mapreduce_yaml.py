@@ -53,10 +53,25 @@ _PG_TO_SPARK = {
 }
 
 
-def _schema_of(returns: list) -> str:
+def _name_type_pairs(spec) -> list[str]:
+    """Normalize PARAMETERS / RETURNS to a list of 'name pgtype'
+    strings — both YAML shapes are accepted (a list of entries, like
+    the reference demos' RETURNS, or one comma-separated string, like
+    their PARAMETERS)."""
+    if isinstance(spec, str):
+        return [p.strip() for p in spec.split(",") if p.strip()]
+    return [str(p).strip() for p in spec]
+
+
+def _schema_of(returns) -> str:
     cols = []
-    for r in returns:
-        name, pg = str(r).split(None, 1)
+    for r in _name_type_pairs(returns):
+        parts = r.split(None, 1)
+        if len(parts) != 2:
+            raise ValueError(
+                f"gpmapreduce RETURNS entry needs 'name type': {r!r}"
+            )
+        name, pg = parts
         cols.append(f"{name} {_PG_TO_SPARK.get(pg.strip().lower(), 'string')}")
     return ", ".join(cols)
 
@@ -73,7 +88,7 @@ def _compile_map(define: dict):
         )
     params = [
         p.split()[0]
-        for p in str(define.get("PARAMETERS", "value text")).split(",")
+        for p in _name_type_pairs(define.get("PARAMETERS", "value text"))
     ]
     body = define["FUNCTION"]
     src = "def __map({}):\n".format(", ".join(params)) + "".join(
@@ -83,7 +98,7 @@ def _compile_map(define: dict):
     exec(src, {"__builtins__": __builtins__}, ns)  # noqa: S102 — user spec code, same trust level as a UDF
     fn = ns["__map"]
     schema = _schema_of(define["RETURNS"])
-    out_cols = [str(r).split()[0] for r in define["RETURNS"]]
+    out_cols = [r.split()[0] for r in _name_type_pairs(define["RETURNS"])]
 
     def batch_fn(pdf):
         import pandas as pd
@@ -130,6 +145,12 @@ def run_yaml(
         df = tables[name]
         if "COLUMNS" in src:
             df = df.selectExpr(*src["COLUMNS"])
+    elif "QUERY" in src:
+        # QUERY runs as Spark SQL against the provided tables,
+        # registered as temp views (gpmapreduce INPUT ... QUERY)
+        for tname, tdf in (tables or {}).items():
+            tdf.createOrReplaceTempView(tname)
+        df = spark.sql(src["QUERY"])
     elif "FILE" in src:
         paths = [str(p).split(":", 1)[-1] for p in src["FILE"]]
         df = spark.read.text(paths)
@@ -137,7 +158,7 @@ def run_yaml(
             F.input_file_name().alias("key"), F.col("value").cast("string")
         )
     else:
-        raise NotImplementedError("INPUT needs TABLE or FILE")
+        raise NotImplementedError("INPUT needs TABLE, QUERY or FILE")
 
     spec: dict = {}
     if "MAP" in run:

@@ -222,6 +222,15 @@ _BLOCK_STOPS = {"end", "end if", "end loop", "else", "elsif", "elseif",
                 "exception", "when"}
 
 
+
+def _after_kw(chunk: str, kw: str) -> str:
+    """Chunk text after a leading (possibly multi-word) keyword,
+    whitespace-insensitive — 'END  CASE' / 'END\nLOOP' strip cleanly
+    (a char-count slice would leave garbage in the statement stream)."""
+    pat = r"(?is)^\s*" + r"\s+".join(re.escape(w) for w in kw.split())
+    return re.sub(pat, "", chunk, count=1)
+
+
 def _parse_seq(st: _Stream, stops: set[str]) -> list:
     body = []
     while True:
@@ -246,7 +255,7 @@ def _parse_stmt(st: _Stream):
         cond = rest[:i].strip()
         st.chunks.insert(st.i, rest[j:].strip()) if rest[j:].strip() else None
         body = _parse_seq(st, {"end loop"})
-        st.push_remainder(st.take().lstrip()[len("end loop"):])
+        st.push_remainder(_after_kw(st.take(), "end loop"))
         return ("while", cond, body)
     if w == "for":
         i, j, _ = _find_kw(rest, {"loop"})
@@ -254,7 +263,7 @@ def _parse_stmt(st: _Stream):
         if tail:
             st.chunks.insert(st.i, tail)
         body = _parse_seq(st, {"end loop"})
-        st.push_remainder(st.take().lstrip()[len("end loop"):])
+        st.push_remainder(_after_kw(st.take(), "end loop"))
         m = re.match(r"(?is)^([\w]+)\s+in\s+(reverse\s+)?(.*)$", header)
         var, rev, src = m.group(1).lower(), bool(m.group(2)), m.group(3).strip()
         rng = _top_split(src, "..")
@@ -270,7 +279,7 @@ def _parse_stmt(st: _Stream):
         if rest:
             st.chunks.insert(st.i, rest)
         body = _parse_seq(st, {"end loop"})
-        st.push_remainder(st.take().lstrip()[len("end loop"):])
+        st.push_remainder(_after_kw(st.take(), "end loop"))
         return ("loop", body)
     if w == "foreach":
         # FOREACH var IN ARRAY expr LOOP ... END LOOP (pl_gram.y
@@ -281,7 +290,7 @@ def _parse_stmt(st: _Stream):
         if tail:
             st.chunks.insert(st.i, tail)
         body = _parse_seq(st, {"end loop"})
-        st.push_remainder(st.take().lstrip()[len("end loop"):])
+        st.push_remainder(_after_kw(st.take(), "end loop"))
         m = re.match(r"(?is)^([\w]+)\s+in\s+array\s+(.*)$", header)
         if not m:
             raise PlPgSqlError(
@@ -321,7 +330,7 @@ def _parse_stmt(st: _Stream):
                 else_body = _parse_seq(st, {"end case"})
                 continue
             if w2 == "end case":
-                st.push_remainder(st.take().lstrip()[len("end case"):])
+                st.push_remainder(_after_kw(st.take(), "end case"))
                 return ("case", selector, arms, else_body, has_else)
             raise PlPgSqlError(f"plpgsql: expected END CASE, got {c2[:40]!r}")
     if w == "begin":
@@ -331,7 +340,7 @@ def _parse_stmt(st: _Stream):
         handlers = []
         if _first_word(st.peek() or "") == "exception":
             handlers = _parse_handlers(st)
-        st.push_remainder(st.take().lstrip()[len("end"):])
+        st.push_remainder(_after_kw(st.take(), "end"))
         return ("block", body, handlers)
     if w == "open":
         # OPEN bound_cur [(args)] | OPEN refcur FOR query
@@ -449,7 +458,7 @@ def _parse_if(st: _Stream, rest: str):
             else_body = _parse_seq(st, {"end if"})
             continue
         if w2 == "end if":
-            st.push_remainder(st.take().lstrip()[len("end if"):])
+            st.push_remainder(_after_kw(st.take(), "end if"))
             return ("if", arms, else_body)
         raise PlPgSqlError(f"plpgsql: expected END IF, got {c[:40]!r}")
 
@@ -618,6 +627,12 @@ class Interpreter:
         fe = re.sub(r"(?i)\bor\b", " or ", fe)
         fe = re.sub(r"(?i)\bnot\b", " not ", fe)
         probe = re.sub(r"\b(True|False|and|or|not)\b", "", fe)
+        # '%' is only fast-path-safe when no negative can occur: Python %
+        # floors (sign of divisor) while SQL % truncates (sign of
+        # dividend). With only + * % over nonnegative literals every
+        # intermediate is nonnegative, so '-' anywhere demotes to SQL.
+        if "%" in probe and "-" in probe:
+            probe = "?"  # force the SQL path
         if _FAST.match(probe) and "." not in probe:
             py = re.sub(r"<>", "!=", fe)
             py = re.sub(r"(?<![<>!=])=(?![=])", "==", py)
@@ -768,6 +783,8 @@ class Interpreter:
             if cur.query is None:
                 raise PlPgSqlError(f'cursor "{name}" has no query (OPEN FOR it)')
             sql = cur.query
+            if args and args.strip() and not cur.params:
+                raise PlPgSqlError(f'cursor "{name}" has no arguments')
             if cur.params:
                 vals = (
                     [self.eval(a, env) for a in _top_split(args, ",")]
@@ -793,8 +810,19 @@ class Interpreter:
             try:
                 row = next(cur.it)
                 env["found"] = True
-                for name, v in zip(s[2], tuple(row)):
-                    env[name] = v
+                vals = tuple(row)
+                if len(s[2]) == 1 and len(vals) > 1:
+                    # single record target takes the whole row
+                    # (exec_stmt_fetch's row-typed target)
+                    env[s[2][0]] = row
+                elif len(s[2]) != len(vals):
+                    raise PlPgSqlError(
+                        f"FETCH has {len(s[2])} target(s) but the cursor "
+                        f"returns {len(vals)} column(s)"
+                    )
+                else:
+                    for name, v in zip(s[2], vals):
+                        env[name] = v
             except StopIteration:
                 env["found"] = False
                 for name in s[2]:

@@ -280,11 +280,16 @@ def text_langid_heuristic(spark, sf_dir):
     # ULP noise would need to land within ~1e-12 of a milli boundary to
     # flip it). The raw double entropy stays available on the API
     # (BYTES_STATS_SCHEMA) and is numpy-parity-tested.
+    # text is ASCII-sanitized identically on both sides (bytes outside
+    # printable-ASCII+whitespace -> '?') so DuckDB's character walk and
+    # the engine's byte walk agree by construction on ANY corpus
     oracle="""
     WITH ch AS (
-        SELECT doc_id, strlen(text) AS n,
-               list_filter(string_split(text, ''), c -> c <> '') AS chars
-        FROM documents
+        SELECT doc_id, strlen(s) AS n,
+               list_filter(string_split(s, ''), c -> c <> '') AS chars
+        FROM (SELECT doc_id,
+                     regexp_replace(text, '[^\\t\\n\\r -~]', '?', 'g') AS s
+              FROM documents) d
     )
     SELECT doc_id AS media_id,
            CAST(n AS BIGINT) AS n_bytes,
@@ -308,7 +313,10 @@ def multimodal_byte_stats(spark, sf_dir):
     entropy discipline)."""
     from gpdb_spark.datapipe.multimodal import attach_binary, byte_stats
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"[^\t\n\r -~]", "?").alias("text"),
+    )
     media = attach_binary(d)
     stats = byte_stats(media)
     return stats.select(
@@ -329,17 +337,26 @@ def multimodal_byte_stats(spark, sf_dir):
     # sampled pixel from the same ASCII payload: byte at flat index
     # (48r + 6c + ch) mod min(L,192), 0 for empty payloads. Means are
     # (sum*1000) // 16 exact integers.
+    # the payload is ASCII-sanitized IDENTICALLY on both sides (any
+    # byte outside printable-ASCII+whitespace -> '?') so DuckDB's
+    # character indexing and the engine's byte indexing agree by
+    # construction — the comparison doesn't depend on the corpus
+    # happening to be ASCII
     oracle="""
     WITH d AS (
-      SELECT doc_id, text, least(octet_length(encode(text)), 192) AS L
+      SELECT doc_id, regexp_replace(text, '[^\\t\\n\\r -~]', '?', 'g') AS text
       FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, text, least(octet_length(encode(text)), 192) AS L
+      FROM d
     ),
     px AS (
       SELECT doc_id, ch,
              CASE WHEN L = 0 THEN 0
                   ELSE ord(substr(text, ((48*r + 6*c + ch) % L) + 1, 1))
              END AS v
-      FROM d,
+      FROM dl,
            (SELECT unnest(generate_series(0, 3)) AS r) rr,
            (SELECT unnest(generate_series(0, 3)) AS c) cc,
            (SELECT unnest(generate_series(0, 2)) AS ch) chh
@@ -361,10 +378,16 @@ def multimodal_image_features(spark, sf_dir):
     REAL nearest-neighbor resize -> per-channel features, Arrow-batched
     mapInPandas (datapipe/multimodal.py image_features). ORACLED, not
     just smoke-tested: the fake decode is a pure byte function, so the
-    oracle re-derives every sampled pixel value from the payload."""
+    oracle re-derives every sampled pixel value from the payload. The
+    payload is ASCII-sanitized identically on both sides (see oracle
+    note) so byte-vs-character indexing cannot diverge on non-ASCII
+    corpora; the image_features OPERATOR itself is byte-true."""
     from gpdb_spark.datapipe.multimodal import attach_binary, image_features
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"[^\t\n\r -~]", "?").alias("text"),
+    )
     return image_features(attach_binary(d))
 
 

@@ -216,3 +216,17 @@ def test_armor_roundtrip_and_format(spark):
         lines = [ln for ln in body.splitlines() if ln and "-" not in ln]
         assert all(len(ln) <= 76 for ln in lines)
         assert b64.b64decode("".join(lines)) == raw
+
+
+def test_crypt_rejects_unsupported_schemes():
+    """Review regression: bcrypt/sha-crypt/DES salts must error loudly,
+    not silently hash under md5-crypt (which would reject correct
+    passwords in the verify idiom)."""
+    import pytest as _pytest
+
+    from gpdb_spark.functions.crypt_md5 import md5_crypt
+
+    for salt in ("$2a$06$abcdefghijklmnopqrstuv", "$5$rounds=5000$salt",
+                 "$6$salt", "ab"):
+        with _pytest.raises(ValueError):
+            md5_crypt("pw", salt)

@@ -108,3 +108,60 @@ def test_builtin_reducer_stays_jvm_side(spark):
     assert "HashAggregate" in plan
     # exactly one python eval (the MAP), none after the shuffle
     assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") <= 1
+
+
+def test_list_parameters_and_string_returns(spark):
+    """Review regression: PARAMETERS as a YAML list and RETURNS as one
+    comma string must both parse (either shape, either field)."""
+    doc = """
+DEFINE:
+  - INPUT:
+      NAME: src
+      TABLE: docs
+      COLUMNS: ["txt AS value"]
+  - MAP:
+      NAME: m
+      FUNCTION: |
+        for w in value.split():
+          yield [w, 1]
+      LANGUAGE: python
+      PARAMETERS:
+        - value text
+      RETURNS: "key text, value integer"
+EXECUTE:
+  - RUN:
+      SOURCE: src
+      MAP: m
+      REDUCE: SUM
+"""
+    docs = spark.createDataFrame([("a a b",)], "txt string")
+    got = {r.key: r.sum_value for r in run_yaml(spark, doc, tables={"docs": docs}).collect()}
+    assert got == {"a": 2, "b": 1}
+
+
+def test_query_input(spark):
+    """Review regression: INPUT QUERY (documented) runs as Spark SQL
+    over the provided tables registered as temp views."""
+    doc = """
+DEFINE:
+  - INPUT:
+      NAME: src
+      QUERY: "SELECT upper(txt) AS value FROM docs WHERE txt <> 'skip'"
+  - MAP:
+      NAME: m
+      FUNCTION: |
+        yield [value, 1]
+      LANGUAGE: python
+      PARAMETERS: value text
+      RETURNS:
+        - key text
+        - value integer
+EXECUTE:
+  - RUN:
+      SOURCE: src
+      MAP: m
+      REDUCE: COUNT
+"""
+    docs = spark.createDataFrame([("x",), ("skip",), ("x",)], "txt string")
+    got = {r.key: r.count_value for r in run_yaml(spark, doc, tables={"docs": docs}).collect()}
+    assert got == {"X": 2}

@@ -349,3 +349,93 @@ def test_refcursor_open_for(eng):
     $$ LANGUAGE plpgsql""")
     with _pytest.raises(PlPgSqlError, match="not open"):
         eng.call("fetch_closed")
+
+
+def test_case_negative_modulo_uses_sql_semantics(eng):
+    """Review regression: Python % floors (sign of divisor) but SQL %
+    truncates (sign of dividend) — a negative operand must not take the
+    driver fast path into the wrong CASE arm."""
+    eng.create_function("""
+    CREATE FUNCTION mod_sign(v int) RETURNS text AS $$
+    BEGIN
+      CASE
+        WHEN v % 2 = 1 THEN RETURN 'odd+';
+        WHEN v % 2 = -1 THEN RETURN 'odd-';
+        ELSE RETURN 'even';
+      END CASE;
+    END;
+    $$ LANGUAGE plpgsql""")
+    assert eng.call("mod_sign", 3) == "odd+"
+    assert eng.call("mod_sign", -3) == "odd-"  # SQL: -3 % 2 = -1
+    assert eng.call("mod_sign", -4) == "even"
+
+
+def test_end_case_extra_whitespace(eng):
+    """Review regression: 'END  CASE' / 'END\\nLOOP' terminators with
+    arbitrary whitespace must strip cleanly."""
+    eng.create_function("""
+    CREATE FUNCTION ws_term(v int) RETURNS int AS $$
+    DECLARE r int := 0;
+    BEGIN
+      CASE WHEN v > 0 THEN r := 1;
+           ELSE r := -1;
+      END
+      CASE;
+      WHILE r < 3 LOOP
+        r := r + 1;
+      END  LOOP;
+      RETURN r;
+    END;
+    $$ LANGUAGE plpgsql""")
+    assert eng.call("ws_term", 5) == 3
+
+
+def test_fetch_record_target_and_count_mismatch(eng):
+    """Review regression: a single record target receives the whole row
+    (rec.field works afterwards); a scalar-count mismatch errors."""
+    eng.create_function("""
+    CREATE FUNCTION rec_fetch() RETURNS text AS $$
+    DECLARE
+      c CURSOR FOR SELECT n_nationkey, n_name FROM nation
+                   ORDER BY n_nationkey LIMIT 1;
+      rec record;
+    BEGIN
+      OPEN c;
+      FETCH c INTO rec;
+      CLOSE c;
+      RETURN rec.n_name || ':' || rec.n_nationkey;
+    END;
+    $$ LANGUAGE plpgsql""")
+    out = eng.call("rec_fetch")
+    assert ":" in out and out.split(":")[1].isdigit()
+
+    from gpdb_spark.plpgsql import PlPgSqlError
+    import pytest as _pytest
+
+    eng.create_function("""
+    CREATE FUNCTION bad_fetch() RETURNS int AS $$
+    DECLARE
+      c CURSOR FOR SELECT n_nationkey FROM nation LIMIT 1;
+      a int; b int;
+    BEGIN
+      OPEN c;
+      FETCH c INTO a, b;
+      RETURN a;
+    END;
+    $$ LANGUAGE plpgsql""")
+    with _pytest.raises(PlPgSqlError, match="target"):
+        eng.call("bad_fetch")
+
+    eng.create_function("""
+    CREATE FUNCTION args_on_plain() RETURNS int AS $$
+    DECLARE
+      c CURSOR FOR SELECT n_nationkey FROM nation LIMIT 1;
+      v int;
+    BEGIN
+      OPEN c(42);
+      FETCH c INTO v;
+      RETURN v;
+    END;
+    $$ LANGUAGE plpgsql""")
+    with _pytest.raises(PlPgSqlError, match="no arguments"):
+        eng.call("args_on_plain")
