@@ -50,8 +50,12 @@ def chunk_documents(
     with ``step = size - overlap``; the final chunk may be short. Docs
     with ``len <= size`` yield exactly one chunk. Pure JVM
     (sequence → posexplode → substring), no shuffle."""
-    if overlap >= size:
-        raise ValueError("overlap must be < size")
+    if size <= 0:
+        raise ValueError("size must be > 0")
+    if not 0 <= overlap < size:
+        # a negative overlap would mean step > size: characters between
+        # consecutive windows appear in NO chunk — silent data loss
+        raise ValueError("overlap must satisfy 0 <= overlap < size")
     step = size - overlap
     ln = F.length(F.col(text_col))
     # integer ceil: 1 + (L - size + step - 1) DIV step
@@ -89,7 +93,21 @@ def prefix_sum(
     order, without a global sort: per-bucket totals are cumsum'd on a
     tiny one-row-per-bucket relation, then broadcast back and combined
     with a within-bucket window. Result column ``out_col`` =
-    sum of values of all rows strictly before this row."""
+    sum of values of all rows strictly before this row.
+
+    ``order_col`` must be an integral column: the bucket key is
+    ``id DIV bucket_size``, and a string id would (a) bucket by numeric
+    value while the within-bucket window sorts lexicographically —
+    two different orders — and (b) CAST to NULL for non-numeric
+    strings, silently dropping every row at the bucket join. Callers
+    with string ids should rank them first (e.g. the md5-ordered
+    keying of shuffle_shards, or zipWithIndex)."""
+    dtype = dict(df.dtypes).get(order_col, "")
+    if dtype not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise ValueError(
+            f"prefix_sum order_col {order_col!r} must be integral, "
+            f"got {dtype or 'unknown'}"
+        )
     bkt = F.expr(f"CAST({order_col} AS BIGINT) DIV {bucket_size}")
     d = df.withColumn("__bkt", bkt)
     totals = d.groupBy("__bkt").agg(F.sum(value_col).alias("__tot"))
@@ -162,7 +180,12 @@ def shuffle_shards(
     """Deterministic, engine-portable training-data shuffle: sort key =
     md5(id:seed) (uniform, reproducible anywhere md5 exists), shard =
     first 16 hash bits mod n_shards, position = rank of the key within
-    the shard. The per-shard window bounds sort size to ~N/n_shards."""
+    the shard. The per-shard window bounds sort size to ~N/n_shards.
+
+    ``id_col`` must be non-NULL and unique (a PK): NULL ids would all
+    share one sort key with a NULL tiebreaker, making their positions
+    collide nondeterministically — the contract this operator exists
+    to provide."""
     key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed)))
     d = df.withColumn("sort_key", key).withColumn(
         "shard",

@@ -37,6 +37,15 @@ from pyspark.sql.functions import broadcast
 
 from gpdb_spark.datapipe.text import tokens
 
+# ONE definition of the nominal vocabulary size: the add-one smoothing
+# denominator V must equal the vocab_size the model was trained with —
+# training and scoring share this default so the pair cannot silently
+# diverge (pass the same explicit value to BOTH if you customize it).
+# V is deliberately the NOMINAL cutoff, not vocab.count(): add-one over
+# a fixed event space keeps scores comparable across corpora that
+# under-fill the cutoff, and derivation would cost an extra action.
+DEFAULT_VOCAB_SIZE = 50_000
+
 
 def _pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2) adjacent-token pairs, JVM-side: zip the token array
@@ -57,7 +66,7 @@ def _pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def train_bigram_lm(
     docs: DataFrame,
     text_col: str = "text",
-    vocab_size: int = 50_000,
+    vocab_size: int = DEFAULT_VOCAB_SIZE,
     max_bigrams: int = 500_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Count-based bigram LM: returns (vocab, bigrams) where vocab is
@@ -87,14 +96,17 @@ def lm_quality(
     bigrams: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    vocab_size: int = 50_000,
+    vocab_size: int = DEFAULT_VOCAB_SIZE,
 ) -> DataFrame:
     """Per-document average negative log-likelihood under the bigram
     model with add-one smoothing:
 
         P(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V)
 
-    (OOV w1 has c=0 — the uniform backoff row.) Output per doc:
+    (OOV w1 has c=0 — the uniform backoff row.) ``vocab_size`` MUST
+    equal the value the model was trained with (shared default:
+    DEFAULT_VOCAB_SIZE) — a mismatched V silently skews every score.
+    Output per doc:
     ``n_pairs``, ``nll_sum_micro`` (integer micro-nats, exact
     order-independent sum of floor-scaled per-pair logs) and
     ``avg_nll_milli`` (milli-nats, floor-scaled). Lower = more natural

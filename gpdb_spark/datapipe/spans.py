@@ -86,22 +86,24 @@ def dup_spans(
         spans.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") > 1)
-        .select("h")
+        .select("h", F.lit(1).alias("__dup"))
     )
-    flagged = spans.join(dup, "h")
-    per_doc = flagged.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("n_dup_spans"),
-        F.sort_array(F.collect_list("start")).alias("dup_starts"),
-    )
-    totals = spans.groupBy("_id").agg(F.count(F.lit(1)).alias("n_spans"))
-    return (
-        totals.join(per_doc, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            "n_spans",
-            F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
-            F.coalesce(F.col("dup_starts"), F.array().cast("array<int>")).alias(
-                "dup_starts"
-            ),
-        )
+    # LEFT join + ONE per-doc aggregation serves both the totals and
+    # the duplicate stats — the naive three-branch formulation (dup /
+    # flagged / totals) re-tokenizes and re-hashes the whole corpus
+    # three times; this shape reads the span stream twice (once for the
+    # duplicate-hash set, once through the join), the minimum without
+    # caching a corpus-sized relation.
+    flagged = spans.join(dup, "h", "left")
+    return flagged.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("__n_spans"),
+        F.count("__dup").alias("__n_dup"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("__dup") == 1, F.col("start")))
+        ).alias("__starts"),
+    ).select(
+        F.col("_id").alias(id_col),
+        F.col("__n_spans").alias("n_spans"),
+        F.col("__n_dup").alias("n_dup_spans"),
+        F.col("__starts").alias("dup_starts"),
     )

@@ -12,9 +12,17 @@ Crawl style):
 - scheme and host lowercased; default ports (``:80`` http, ``:443``
   https) dropped
 - fragment (``#...``) dropped
-- tracking query parameters removed (``utm_*``, ``fbclid``, ``gclid``)
+- tracking query parameters removed (``utm_*`` as a name-prefix
+  family; ``fbclid`` / ``gclid`` by EXACT name — a prefix match would
+  also strip legitimate params like ``gclidtype``)
 - remaining query parameters SORTED (param order is not semantic)
-- trailing ``/`` on a non-root path dropped
+- trailing ``/`` on a non-root path dropped; an EMPTY path normalizes
+  to ``/`` (RFC 3986 §6.2.3: for an authority URI the empty path is
+  equivalent to ``/`` — ``http://x.com`` and ``http://x.com/`` are the
+  single most common duplicate pair in a crawl)
+- a URL the parser cannot decompose (no scheme/host — mailto:,
+  relative links, junk) canonicalizes to ITSELF, so malformed URLs
+  are never collapsed into one NULL group
 
 Everything is JVM expressions — ``parse_url`` (Hive URL parser, runs in
 codegen) + higher-order array functions for the param filter/sort; no
@@ -26,14 +34,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_TRACKING_PREFIXES = ("utm_", "fbclid", "gclid")
-
-
 def canonicalize_url(url) -> Column:
     """Canonical form of a URL column (module-docstring policy)."""
     u = F.col(url) if isinstance(url, str) else url
-    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
-    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
     # parse_url HOST excludes the port; pull it off the authority so
     # only scheme-default ports are dropped
     hostport = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
@@ -44,22 +49,24 @@ def canonicalize_url(url) -> Column:
         & ~((scheme == "https") & (port == "443")),
         F.concat(F.lit(":"), port),
     ).otherwise(F.lit(""))
-    raw_path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    raw_path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
     path = F.when(
         (F.length(raw_path) > 1) & raw_path.endswith("/"),
         raw_path.substr(F.lit(1), F.length(raw_path) - 1),
     ).otherwise(raw_path)
-    query = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    # empty path == root path for authority URIs (RFC 3986 §6.2.3)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit(""))
+    pname = lambda p: F.split(p, "=").getItem(0)  # noqa: E731
     params = F.filter(
         F.split(query, "&"),
         lambda p: (p != "")
-        & ~F.exists(
-            F.array(*[F.lit(pref) for pref in _TRACKING_PREFIXES]),
-            lambda pref: p.startswith(pref),
-        ),
+        & ~pname(p).startswith("utm_")
+        & (pname(p) != "fbclid")
+        & (pname(p) != "gclid"),
     )
     qcanon = F.array_join(F.array_sort(params), "&")
-    return F.concat(
+    canonical = F.concat(
         scheme,
         F.lit("://"),
         host,
@@ -69,6 +76,9 @@ def canonicalize_url(url) -> Column:
             F.lit("")
         ),
     )
+    # unparseable URL (concat null-propagates) -> identity, never a
+    # shared NULL group
+    return F.coalesce(canonical, u)
 
 
 def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:

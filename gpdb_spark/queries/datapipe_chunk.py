@@ -126,29 +126,40 @@ def datapipe_shuffle_shards(spark, sf_dir):
     # q8 is compared as a joined string — list cells are unhashable in
     # the driver canonicalizer's pandas sort (the r03 ERR); the raw
     # array form stays available via quantize.quantize_stats directly.
+    # the all-zero-vector branch (amax = 0) mirrors quantize_stats:
+    # zero codes / scale_micro 0 / sse 0 — an explicit CASE, not an
+    # epsilon guard (127/epsilon floor-scaled overflows BIGINT, where
+    # Spark's cast clamps but DuckDB raises)
     oracle="""
     SELECT vec_id,
-           array_to_string(list_transform(emb, x -> CAST(greatest(-127, least(127,
-             floor(CAST(x AS DOUBLE) * scale + 0.5))) AS INT)), ',') AS q8,
-           CAST(floor(scale * 1e6) AS BIGINT) AS scale_micro,
-           CAST(list_aggregate(list_transform(generate_series(1, len(emb)),
-             i -> CAST(floor(
-               (CAST(emb[i] AS DOUBLE)
-                - CAST(greatest(-127, least(127,
-                    floor(CAST(emb[i] AS DOUBLE) * scale + 0.5))) AS DOUBLE)
-                  / scale)
-               * (CAST(emb[i] AS DOUBLE)
-                - CAST(greatest(-127, least(127,
-                    floor(CAST(emb[i] AS DOUBLE) * scale + 0.5))) AS DOUBLE)
-                  / scale)
-               * 1e9) AS BIGINT)), 'sum') AS BIGINT) AS sse_nano
+           CASE WHEN amax > 0 THEN
+             array_to_string(list_transform(emb, x -> CAST(greatest(-127, least(127,
+               floor(CAST(x AS DOUBLE) * scale + 0.5))) AS INT)), ',')
+           ELSE array_to_string(list_transform(emb, x -> 0), ',') END AS q8,
+           CASE WHEN amax > 0 THEN CAST(floor(scale * 1e6) AS BIGINT)
+                ELSE 0 END AS scale_micro,
+           CASE WHEN amax > 0 THEN
+             CAST(list_aggregate(list_transform(generate_series(1, len(emb)),
+               i -> CAST(floor(
+                 (CAST(emb[i] AS DOUBLE)
+                  - CAST(greatest(-127, least(127,
+                      floor(CAST(emb[i] AS DOUBLE) * scale + 0.5))) AS DOUBLE)
+                    / scale)
+                 * (CAST(emb[i] AS DOUBLE)
+                  - CAST(greatest(-127, least(127,
+                      floor(CAST(emb[i] AS DOUBLE) * scale + 0.5))) AS DOUBLE)
+                    / scale)
+                 * 1e9) AS BIGINT)), 'sum') AS BIGINT)
+           ELSE 0 END AS sse_nano
     FROM (
-      SELECT vec_id, embedding AS emb,
-             127.0 / greatest(list_aggregate(
-               list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'),
-               1e-300)
-               AS scale
-      FROM embeddings
+      SELECT vec_id, emb, amax, 127.0 / amax AS scale
+      FROM (
+        SELECT vec_id, embedding AS emb,
+               list_aggregate(
+                 list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')
+                 AS amax
+        FROM embeddings
+      ) a
     ) s
     """,
 )

@@ -375,6 +375,17 @@ def test_canonicalize_url_policy(spark):
         ),
         # root path slash kept; empty query omitted
         ("http://ex.com/?utm_campaign=c", "http://ex.com/"),
+        # review regressions: empty path == root (RFC 3986 §6.2.3) —
+        # the most common crawl duplicate pair collapses
+        ("http://ex.com", "http://ex.com/"),
+        # fbclid/gclid match by EXACT name; gclidtype is legitimate
+        (
+            "http://ex.com/p?gclidtype=x&id=1&gclid=abc",
+            "http://ex.com/p?gclidtype=x&id=1",
+        ),
+        # unparseable URL canonicalizes to ITSELF (no shared NULL group)
+        ("mailto:a@b.com", "mailto:a@b.com"),
+        ("not a url", "not a url"),
     ]
     df = spark.createDataFrame(cases, "url string, want string")
     rows = df.select(
@@ -583,3 +594,22 @@ def test_frame_manifest_shapes(spark):
         by_id.setdefault(r.media_id, []).append((r.frame_idx, r.t_centis))
     assert sorted(by_id[1]) == [(0, 0), (1, 50), (2, 100), (3, 150), (4, 200)]
     assert 2 not in by_id and 3 not in by_id
+
+
+def test_quantize_zero_vector_and_scale(spark):
+    """Review regression: the all-zero vector gets zero codes /
+    scale_micro 0 / sse 0 via an explicit branch (an epsilon guard made
+    scale_micro overflow BIGINT — Spark clamps, DuckDB raises)."""
+    from gpdb_spark.datapipe.quantize import quantize_int8, quantize_stats
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [0.5, -1.0, 0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_stats(df).collect()}
+    assert rows[1].q8 == [0, 0, 0]
+    assert rows[1].scale_micro == 0 and rows[1].sse_nano == 0
+    assert rows[2].q8 == [64, -127, 32]  # floor(x*127 + .5)
+    assert rows[2].scale_micro == 127_000_000
+    q = df.select("vec_id", quantize_int8("embedding").alias("q")).collect()
+    assert {r.vec_id: r.q for r in q}[1] == [0, 0, 0]

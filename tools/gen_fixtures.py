@@ -157,11 +157,16 @@ def main(outdir: str, seed: int = 1337, scale: float = 1.0) -> None:
     # fixtures (>=5 words/doc) masked the zero-token divergence class
     # (pack_sequences r03) until the driver found it. Placed BEFORE the
     # duplicate loop so degenerates can also appear as exact dups.
-    if n_doc >= 10:
+    if n_doc >= 15:
         texts[2] = ""
         texts[5] = "  \t \n "
         texts[7] = "solo"
         texts[9] = "  padded  "
+        # punctuation-rich and mixed-case text (tokenizer edge shapes:
+        # punctuation stays attached to whitespace tokens on BOTH
+        # engines — this pins that contract)
+        texts[12] = "Hello, World! (test) -- end... a:b;c 100% $5.00"
+        texts[13] = "MiXeD CaSe WORDS lower UPPER"
     # a few exact duplicates, as the driver's corpus has
     for i in range(0, n_doc, 37):
         texts[i] = texts[(i + 11) % n_doc]
