@@ -17,6 +17,15 @@ Beyond-reference capability (SURVEY.md §7 phase 6). Design targets 100 TB:
 
 All candidate joins are plain equi-joins -> Spark plans shuffled hash
 joins with AQE skew handling; no driver-side state.
+
+Cache lifetime: the pair operators persist their signature relation
+because the lazily-returned plan reads it from both sides of the
+candidate self-join — it cannot be unpersisted inside the function
+(nothing has materialized yet). The blocks use Spark's default
+MEMORY_AND_DISK_DESER level, which is LRU-EVICTABLE — long sessions
+running many dedup calls degrade to recompute, never OOM. A caller
+needing deterministic release can `spark.catalog.clearCache()` between
+calls.
 """
 
 from __future__ import annotations
@@ -254,7 +263,13 @@ def minhash_lsh_pairs(
     )
     sig_a = sig.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
     sig_b = sig.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
-    est = F.round(
+    # fr (floor-truncation), NOT round: matches/k is only
+    # round-vs-floor-identical for power-of-two k; for any other k
+    # round(double) hits the Spark-HALF_UP vs DuckDB divergence the
+    # repo policy exists to avoid
+    from gpdb_spark.registry import fr as _fr
+
+    est = _fr(
         F.size(
             F.filter(
                 F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
@@ -281,6 +296,11 @@ def _banded(sig: DataFrame, k: int, bands: int, portable: bool = False) -> DataF
     collision-free by construction and reproducible by any engine (the
     band index is already a separate join key, so identical slices in
     different bands cannot collide)."""
+    if k % bands:
+        raise ValueError(
+            f"k={k} must be divisible by bands={bands} — a remainder "
+            "would silently drop the trailing signature components"
+        )
     rows_per_band = k // bands
 
     def bucket(b):
@@ -504,6 +524,15 @@ def simhash_pairs(
     DuckDB-oracle-checkable. Pass ``portable=False`` for the ~3x
     cheaper xxhash64 when signatures never leave this engine.
     """
+    if max_hamming >= N_CHUNKS:
+        # the pigeonhole guarantee needs strictly more chunks than the
+        # hamming budget: a pair differing by one bit in EVERY chunk
+        # shares no (chunk, val) key and would silently go missing
+        raise ValueError(
+            f"max_hamming must be < {N_CHUNKS} (one agreeing chunk is "
+            "only guaranteed below the chunk count); raise N_CHUNKS for "
+            "larger radii"
+        )
     # bits in their own projection: the array is packed 5x below (full sig
     # + 4 chunks), and CollapseProject keeps a non-cheap multi-referenced
     # expression materialized once per row rather than inlining 5 copies

@@ -81,12 +81,27 @@ def portable_plane(seed: int, dim: int) -> list[float]:
 
 def normalize(df: DataFrame, vec_col: str = "embedding", out_col: str = "unit") -> DataFrame:
     """Pre-normalize vectors so cosine becomes a plain dot product —
-    amortizes the norm across every downstream comparison."""
+    amortizes the norm across every downstream comparison.
+
+    The norm is projected as a REAL column before the element lambda:
+    Spark does not hoist invariant aggregate subtrees out of
+    higher-order-function bodies, so an inlined l2norm inside the
+    transform re-evaluates the O(dim) fold per element — O(dim²)/row
+    on the hottest path in this module.
+
+    A zero-norm vector has no direction: its ``out_col`` is NULL (the
+    similarity operators filter those out), never a NaN unit — Spark
+    floor(NaN)=0 would silently rank it mid-pack while other engines
+    keep NaN."""
     v = F.col(vec_col)
-    n = l2norm(v)
-    return df.withColumn(
-        out_col, F.transform(v, lambda x: x.cast("double") / n)
-    )
+    d = df.withColumn("__nrm", l2norm(v))
+    return d.withColumn(
+        out_col,
+        F.when(
+            F.col("__nrm") > 0,
+            F.transform(v, lambda x: x.cast("double") / F.col("__nrm")),
+        ),
+    ).drop("__nrm")
 
 
 def brute_force_topk(
@@ -99,10 +114,10 @@ def brute_force_topk(
     """Exact cosine top-k: for each query vector, the k nearest corpus
     vectors (excluding itself). Queries are broadcast; the corpus is
     scanned once; per-query top-k via window row_number."""
-    c = normalize(corpus, vec_col).select(
+    c = normalize(corpus, vec_col).where(F.col("unit").isNotNull()).select(
         F.col(id_col).alias("corpus_id"), F.col("unit").alias("cv")
     )
-    q = normalize(queries, vec_col).select(
+    q = normalize(queries, vec_col).where(F.col("unit").isNotNull()).select(
         F.col(id_col).alias("query_id"), F.col("unit").alias("qv")
     )
     scored = (
@@ -116,18 +131,6 @@ def brute_force_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("query_id", "corpus_id", "cos", "rnk")
-    )
-
-
-def _projection_vector(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random ±1 hyperplane: sign of xxhash64(plane,i).
-    Stateless — every executor derives the same planes, nothing shipped."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.when(
-            F.xxhash64(F.concat_ws(":", F.lit(plane), i.cast("string"))) % 2 == 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
     )
 
 
@@ -152,9 +155,20 @@ def srp_buckets(
     sign decisions are engine-identical, so bucket assignment is
     reproducible by any engine. Works on the RAW vector (SRP signs are
     scale-invariant, so normalization is unnecessary — and skipping it
-    keeps the decimal sums exact)."""
+    keeps the decimal sums exact).
+
+    ``dim`` must equal the actual vector length: a mismatch would make
+    every projection NULL (zip_with pads with nulls) and every bucket
+    bit 0 — ALL vectors in one bucket, i.e. the silent O(n²) cross
+    product LSH exists to avoid. A per-row assert_true fails loudly
+    instead (negligible next to the projection arithmetic)."""
     v = F.col(vec_col)
-    rows = df.select(F.col(id_col).alias(id_alias), v.alias("_v"))
+    rows = df.select(F.col(id_col).alias(id_alias), v.alias("_v")).where(
+        F.assert_true(
+            F.array_size(F.col("_v")) == dim,
+            F.lit(f"srp_buckets: vector length != dim={dim}"),
+        ).isNull()
+    )
     if portable:
         def bucket(tbl: int) -> Column:
             acc = F.lit(0).cast("long")
@@ -251,8 +265,8 @@ def lsh_topk(
         qb = srp_buckets(queries, vec_col, dim, tables, planes_per_table,
                          "query_id", id_col, portable=True)
     else:
-        cn = normalize(corpus, vec_col)
-        qn = normalize(queries, vec_col)
+        cn = normalize(corpus, vec_col).where(F.col("unit").isNotNull())
+        qn = normalize(queries, vec_col).where(F.col("unit").isNotNull())
         cb = srp_buckets(cn, "unit", dim, tables, planes_per_table, "corpus_id", id_col)
         qb = srp_buckets(qn, "unit", dim, tables, planes_per_table, "query_id", id_col)
     cand = (
@@ -308,8 +322,16 @@ def train_centroids(
         .limit(sample_size)
         .collect()
     )
+    if not rows:
+        raise ValueError("train_centroids: empty corpus")
     x = np.array([r[1] for r in rows], dtype=np.float64)
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    nrm = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x[nrm[:, 0] > 0] / nrm[nrm[:, 0] > 0]
+    if not len(x):
+        raise ValueError("train_centroids: all sampled vectors are zero")
+    # clamp: a corpus/sample smaller than n_centroids would make
+    # rng.choice raise 'larger sample than population'
+    n_centroids = min(n_centroids, len(x))
     rng = np.random.RandomState(42)
     cent = x[rng.choice(len(x), size=n_centroids, replace=False)]
     for _ in range(iters):
@@ -367,10 +389,10 @@ def ivf_topk(
     c_assign = _assign_udf(cent, 1)
     q_assign = _assign_udf(cent, n_probe)
 
-    cn = normalize(corpus, vec_col).select(
+    cn = normalize(corpus, vec_col).where(F.col("unit").isNotNull()).select(
         F.col(id_col).alias("corpus_id"), F.col("unit").alias("cv")
     )
-    qn = normalize(queries, vec_col).select(
+    qn = normalize(queries, vec_col).where(F.col("unit").isNotNull()).select(
         F.col(id_col).alias("query_id"), F.col("unit").alias("qv")
     )
     c_cells = cn.withColumn("cell", F.element_at(c_assign("cv"), 1))
@@ -582,10 +604,26 @@ def brute_force_topk_blocked(
     from per-row JVM expression folds to vectorized BLAS."""
     import numpy as np
 
+    schema = "query_id long, corpus_id long, cos double"
+    if emit_vectors:
+        schema += ", cv array<double>"
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        # an empty query set is a valid input (an upstream filter can
+        # match nothing); np.linalg.norm on a 0-row array would raise
+        return corpus.sparkSession.createDataFrame([], schema + ", rnk int"
+                                                   if not emit_vectors else schema)
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    # zero-norm vectors have no direction — excluded, matching
+    # normalize()'s NULL-unit contract in the JVM formulation
+    qkeep = qn[:, 0] > 0
+    q_ids, Q, qn = q_ids[qkeep], Q[qkeep], qn[qkeep]
+    if not len(q_ids):
+        return corpus.sparkSession.createDataFrame([], schema + ", rnk int"
+                                                   if not emit_vectors else schema)
+    Q /= qn
 
     def local_topk(batches):
         for pdf in batches:
@@ -593,14 +631,25 @@ def brute_force_topk_blocked(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            C /= np.linalg.norm(C, axis=1, keepdims=True)
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            ckeep = cn[:, 0] > 0
+            if not ckeep.all():
+                # drop zero-norm rows: a NaN score row would sort as
+                # largest inside np.partition and displace true winners
+                ids, C, cn = ids[ckeep], C[ckeep], cn[ckeep]
+                if not len(ids):
+                    continue
+            C /= cn
             S = C @ Q.T  # (n_batch, n_q)
             # self-matches sink below every real score; scores are rounded
             # BEFORE selection so the batch-local order is identical to the
             # global window's (round -> desc, id asc) and ties at the k-th
             # place keep exactly the rows the global ranking would
             S[ids[:, None] == q_ids[None, :]] = -np.inf
-            Sr = np.round(S, 6)
+            # floor-truncation, NOT np.round: fr (the repo's compared-
+            # output policy) floors, and round's half-to-even here would
+            # make the standalone output diverge from brute_force_topk
+            Sr = np.floor(S * 1e6) / 1e6
             kk = min(k, Sr.shape[0])
             # Fully vectorized candidate selection — no per-query Python
             # loop (a loop over 10^3+ queries per batch dominated wall
@@ -622,9 +671,6 @@ def brute_force_topk_blocked(
                 out["cv"] = [list(vecs[r]) for r in rows]
             yield pd.DataFrame(out)
 
-    schema = "query_id long, corpus_id long, cos double"
-    if emit_vectors:
-        schema += ", cv array<double>"
     cand = corpus.select(id_col, vec_col).mapInPandas(local_topk, schema)
     if emit_vectors:
         return cand
