@@ -21,6 +21,15 @@ from pyspark.sql.types import StructType
 from gpdb_spark.storage import GpTable
 
 
+def _fold_ident(name: str) -> str:
+    """PG identifier folding (scan.l downcase_truncate_identifier):
+    unquoted identifiers fold to lowercase, double-quoted keep case."""
+    name = name.strip()
+    if len(name) >= 2 and name[0] == '"' and name[-1] == '"':
+        return name[1:-1].replace('""', '"')
+    return name.lower()
+
+
 class Engine:
     def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
         if spark is None:
@@ -30,6 +39,18 @@ class Engine:
         self.spark = spark
         self.sf_dir = sf_dir
         self._tables: dict[str, GpTable] = {}
+        # session-state containers, visible in one place (accessors keep
+        # defensive getattr guards for Engine subclasses/pickling, but
+        # the canonical inventory lives here)
+        self._gucs: dict = {}
+        self._comments: dict = {}
+        self._prepared: dict = {}
+        self._cursors: dict = {}
+        self._views: dict = {}
+        self._matviews: dict = {}
+        self._pcursors: dict = {}
+        self._plfuncs: dict = {}
+        self._enums: dict = {}
         if sf_dir:
             from gpdb_spark.catalog import register_fixture_views
 
@@ -115,7 +136,7 @@ class Engine:
             ]
             self.create_enum(cm.group(1), vals)
             return self.spark.createDataFrame([("CREATE TYPE",)], "status string")
-        return pg_sql(self.spark, s, None)
+        return pg_sql(self.spark, s, self.sf_dir)
 
     def obj_description(self, name: str, objtype: str = "table") -> str | None:
         """obj_description() (pg_description lookup)."""
@@ -270,7 +291,15 @@ class Engine:
         return n
 
     def _refresh(self, name: str) -> None:
+        """Re-register the table view after a copy-on-write rewrite AND
+        re-plan every logical view: a temp view holds the analyzed plan
+        with the OLD file list, so without this a dependent view reads
+        deleted parquet files after any DML (views are 'always
+        current' by contract; materialized views stay frozen until
+        REFRESH, by design)."""
         self._tables[name].read(self.spark).createOrReplaceTempView(name)
+        for vname, vtext in getattr(self, "_views", {}).items():
+            self.sql(vtext).createOrReplaceTempView(vname)
 
     # -- COPY ----------------------------------------------------------------
 
@@ -585,7 +614,9 @@ class Engine:
                 df = self.sql(rest)
             target = self._tables[name].read(self.spark)
             if cols:
-                names = [c.strip() for c in cols[1:-1].split(",")]
+                # PG folds unquoted identifiers to lowercase; quoted
+                # ones keep their case (scan.l downcase_truncate_identifier)
+                names = [_fold_ident(c.strip()) for c in cols[1:-1].split(",")]
             else:
                 # positional INSERT: PG accepts fewer expressions than
                 # target columns (trailing columns NULL-fill below)
@@ -595,8 +626,12 @@ class Engine:
                 ]
             df = df.toDF(*names)
             # positional INSERT fills missing trailing columns with NULL
+            # (case-insensitive membership, matching Spark's resolver —
+            # an exact-case check would withColumn-REPLACE a same-named
+            # column with NULL and silently lose the inserted values)
+            have = {c.lower() for c in df.columns}
             for f in target.schema.fields:
-                if f.name not in df.columns:
+                if f.name.lower() not in have:
                     df = df.withColumn(
                         f.name, Fn.lit(None).cast(f.dataType)
                     )
@@ -621,9 +656,9 @@ class Engine:
             depth, where_at = 0, None
             splits = []
             for i, t in enumerate(toks):
-                if t == "(":
+                if t in ("(", "["):
                     depth += 1
-                elif t == ")":
+                elif t in (")", "]"):
                     depth -= 1
                 elif depth == 0 and t == ",":
                     splits.append(i)
@@ -636,7 +671,7 @@ class Engine:
             for a, b in zip(bounds, bounds[1:]):
                 frag = toks[a + 1 : b]
                 eq = frag.index("=")
-                col = frag[eq - 1]
+                col = _fold_ident(frag[eq - 1])
                 expr_sql = translate(" ".join(frag[eq + 1 :]))
                 assignments[col] = Fn.expr(expr_sql)
             cond = (

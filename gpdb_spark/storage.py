@@ -151,6 +151,7 @@ class GpTable:
         return df.repartition(self.num_buckets)
 
     def _write(self, df: DataFrame, mode: str) -> None:
+        self._last_schema = df.schema  # read() fallback for empty tables
         placed = self._placed(df)
         if self.sort_by:
             placed = placed.sortWithinPartitions(*self.sort_by)
@@ -167,8 +168,19 @@ class GpTable:
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Scan; REPLICATED tables come back broadcast-hinted so every join
-        against them is a broadcast join (no fact-side shuffle)."""
-        df = spark.read.parquet(self.path)
+        against them is a broadcast join (no fact-side shuffle).
+
+        A truncated PARTITIONED table has no files at all (an empty
+        partitionBy write emits no schema-bearing part file — verified
+        UNABLE_TO_INFER_SCHEMA), so reads fall back to an empty frame
+        with the last written schema."""
+        try:
+            df = spark.read.parquet(self.path)
+        except Exception:
+            schema = getattr(self, "_last_schema", None)
+            if schema is None:
+                raise
+            df = spark.createDataFrame([], schema)
         if self.policy.is_replicated:
             return F.broadcast(df)
         return df
@@ -201,7 +213,6 @@ class GpTable:
         with ``returning=True`` the OLD images of the deleted rows
         (DELETE ... RETURNING *), materialized before the rewrite."""
         cur = spark.read.parquet(self.path)
-        before = cur.count()
         doomed = cond & ~cond.isNull()
         for trig in self._triggers("delete"):
             if trig.skip_when is not None:
@@ -211,11 +222,14 @@ class GpTable:
             # pin the OLD images before their files are replaced
             ret = cur.where(doomed).cache()
             ret.count()
+        # count the doomed set directly (one scan, pre-rewrite) — the
+        # before-minus-after formulation cost two extra full-table scans
+        n = ret.count() if returning else cur.where(doomed).count()
         kept = cur.where(~doomed | doomed.isNull())
         self._rewrite(kept)
         if returning:
             return ret
-        return before - spark.read.parquet(self.path).count()
+        return n
 
     def update_set(
         self,
@@ -235,6 +249,20 @@ class GpTable:
             if trig.skip_when is not None:
                 upd = upd & ~F.coalesce(trig.skip_when, F.lit(False))
         cur = spark.read.parquet(self.path)
+        # resolve assignment targets case-insensitively (Spark's
+        # resolver semantics) and REFUSE unknown columns — a silent
+        # mismatch would rewrite the table unchanged while still
+        # reporting n matched rows as updated
+        by_lower = {c.lower(): c for c in cur.columns}
+        resolved = {}
+        for k, v in assignments.items():
+            if k.lower() not in by_lower:
+                raise ValueError(
+                    f'UPDATE target column "{k}" does not exist in '
+                    f"{self.path}"
+                )
+            resolved[by_lower[k.lower()]] = v
+        assignments = resolved
         n = cur.where(upd).count()
 
         # one projection over OLD values: trigger assignments take
@@ -339,7 +367,10 @@ class GpTable:
         rows now in the partition."""
         pcol = self.partition_by[0]
         part_dir = os.path.join(self.path, f"{pcol}={value}")
-        tmp = f"{part_dir}__exchange_{uuid.uuid4().hex[:8]}"
+        # temp output lives OUTSIDE the table root: a mid-write failure
+        # must not leave a directory that partition discovery would
+        # parse as a phantom partition (duplicating or corrupting reads)
+        tmp = f"{self.path}__exchange_{uuid.uuid4().hex[:8]}"
         out = df.drop(pcol) if pcol in df.columns else df
         placed = (
             out.repartition(self.num_buckets, *self.policy.distkey)
@@ -408,7 +439,8 @@ class GpTable:
             )
             if self.sort_by:
                 placed = placed.sortWithinPartitions(*self.sort_by)
-            tmp = f"{dirs[v]}__split_{uuid.uuid4().hex[:8]}"
+            # sibling of the TABLE, not inside it — see exchange_partition
+            tmp = f"{self.path}__split_{v}_{uuid.uuid4().hex[:8]}"
             placed.write.mode("overwrite").option(
                 "compression", self.compression
             ).parquet(tmp)
@@ -566,9 +598,24 @@ class GpTable:
         with a source match get ``assignments`` (expressions may
         reference source columns); unmatched rows pass through. Source
         must be unique per key (PG raises on multiple matches; here the
-        first match wins deterministically via dropDuplicates)."""
+        first match wins deterministically via dropDuplicates). Source
+        payload columns must not share a name with a target column —
+        the join would make the assignment expression resolve to the
+        target's OLD value and the update silently no-op; alias the
+        source column (PG disambiguates with s.col, which DataFrame
+        column references cannot express here)."""
         cur = spark.read.parquet(self.path)
         src = source.dropDuplicates(join_keys)
+        clash = [
+            c for c in src.columns
+            if c not in join_keys and c in cur.columns
+        ]
+        if clash:
+            raise ValueError(
+                f"update_from: source payload column(s) {clash} collide "
+                "with target columns — alias them in the source "
+                "DataFrame (e.g. .withColumnRenamed('val', 'new_val'))"
+            )
         src_cols = [
             c for c in src.columns if c not in cur.columns
         ]  # payload columns
@@ -635,14 +682,28 @@ class GpTable:
         writer.saveAsTable(table_name)
 
     def _rewrite(self, df: DataFrame) -> None:
-        """Atomic-ish copy-on-write: write to a temp dir, then swap."""
+        """Atomic-ish copy-on-write: write to a temp dir, then swap.
+        Honors ``sort_by`` like _write — without it, the first
+        UPDATE/DELETE after CLUSTER would silently destroy the
+        clustered order (and the row-group pruning it bought)."""
         tmp = f"{self.path}__rewrite_{uuid.uuid4().hex[:8]}"
-        writer = (
-            self._placed(df).write.mode("overwrite").option("compression", self.compression)
-        )
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(tmp)
+        self._last_schema = df.schema
+        if self.partition_by and df.isEmpty():
+            # an empty dynamic-partitioned write produces NO
+            # schema-bearing files and a root-level part file would
+            # conflict with later partition dirs — swap in a bare empty
+            # directory instead; read() serves the schema fallback
+            os.makedirs(tmp, exist_ok=True)
+        else:
+            placed = self._placed(df)
+            if self.sort_by:
+                placed = placed.sortWithinPartitions(*self.sort_by)
+            writer = (
+                placed.write.mode("overwrite").option("compression", self.compression)
+            )
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            writer.parquet(tmp)
         old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
         os.rename(self.path, old)
         os.rename(tmp, self.path)

@@ -478,3 +478,62 @@ def test_enum_type_ordering_and_check(spark, sf_dir):
     bad = spark.createDataFrame([("d", "angry")], "id string, m string")
     assert df.where(~eng.enum_check("mood", "m")).count() == 0
     assert bad.where(~eng.enum_check("mood", "m")).count() == 1
+
+
+def test_dml_identifier_case_folding(tmp_path, spark):
+    """Review regression: PG folds unquoted identifiers to lowercase —
+    INSERT (A) into column 'a' must not NULL the value, UPDATE SET
+    AMOUNT must hit 'amount', and an unknown SET column raises instead
+    of silently rewriting the table unchanged."""
+    import pytest as _pytest
+
+    eng = Engine(spark)
+    df = spark.createDataFrame([(1, 10.0)], "id long, amount double")
+    eng.create_table("casef", df, str(tmp_path / "casef"),
+                     distributed_by=["id"])
+    eng.execute_dml("INSERT INTO casef (ID, AMOUNT) VALUES (2, 20.0)")
+    rows = {r.id: r.amount for r in eng.sql("SELECT * FROM casef").collect()}
+    assert rows[2] == 20.0  # not NULL
+    n = eng.execute_dml("UPDATE casef SET AMOUNT = 99.0 WHERE ID = 1")
+    assert n == 1
+    rows = {r.id: r.amount for r in eng.sql("SELECT * FROM casef").collect()}
+    assert rows[1] == 99.0
+    with _pytest.raises(ValueError, match="does not exist"):
+        eng.execute_dml("UPDATE casef SET no_such_col = 1")
+
+
+def test_update_set_array_literal(tmp_path, spark):
+    """Review regression: a top-level comma inside ARRAY[...] must not
+    split the SET list (bracket depth tracked like parens)."""
+    eng = Engine(spark)
+    df = spark.createDataFrame(
+        [(1, [9])], "id long, tags array<int>"
+    )
+    eng.create_table("arrt", df, str(tmp_path / "arrt"),
+                     distributed_by=["id"])
+    n = eng.execute_dml("UPDATE arrt SET tags = ARRAY[1,2,3] WHERE id = 1")
+    assert n == 1
+    assert eng.sql("SELECT tags FROM arrt").collect()[0].tags == [1, 2, 3]
+
+
+def test_view_stays_current_after_dml(tmp_path, spark):
+    """Review regression: a logical view must re-plan after DML on its
+    base table (the frozen temp-view plan pointed at deleted files)."""
+    eng = Engine(spark)
+    df = spark.createDataFrame([(1, 5.0), (2, 50.0)], "id long, v double")
+    eng.create_table("vbase", df, str(tmp_path / "vbase"),
+                     distributed_by=["id"])
+    eng.create_view("vbig", "SELECT * FROM vbase WHERE v > 10")
+    assert eng.sql("SELECT count(*) AS n FROM vbig").collect()[0].n == 1
+    eng.execute_dml("UPDATE vbase SET v = 100.0 WHERE id = 1")
+    assert eng.sql("SELECT count(*) AS n FROM vbig").collect()[0].n == 2
+
+
+def test_engine_sql_int_division_uses_catalog(spark, sf_dir):
+    """Review regression: Engine.sql must pass sf_dir so the
+    catalog-type-driven PG integer-division rewrite applies."""
+    eng = Engine(spark, sf_dir)
+    r = eng.sql(
+        "SELECT n_nationkey / 2 AS d FROM nation WHERE n_nationkey = 7"
+    ).collect()[0]
+    assert r.d == 3  # PG int division truncates; double would give 3.5

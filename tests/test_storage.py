@@ -713,3 +713,53 @@ def test_external_uri_scheme_passthrough(tmp_path, spark):
     res = read_external_csv(spark, f"file://{p}", schema)
     assert res.n_rejected == 0
     assert {r.name for r in res.good.collect()} == {"alpha", "beta"}
+
+
+def test_update_from_collision_raises(tmp_path, spark, nation_df):
+    """Review regression: a source payload column sharing a target name
+    silently resolved assignments to the OLD value — now raises."""
+    import pytest as _pytest
+
+    t = GpTable.create(
+        nation_df, str(tmp_path / "nation_clash"),
+        distributed_by=["n_nationkey"], num_buckets=2,
+    )
+    src = spark.createDataFrame(
+        [(0, 7)], "n_nationkey long, n_regionkey long"
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        t.update_from(spark, src, ["n_nationkey"],
+                      {"n_regionkey": F.col("n_regionkey")})
+
+
+def test_truncate_partitioned_roundtrip(tmp_path, spark):
+    """Review regression: TRUNCATE on a partitioned table left no
+    schema-bearing files (UNABLE_TO_INFER_SCHEMA on every later read)."""
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, region string, v long"
+    )
+    t = GpTable.create(df, str(tmp_path / "trunc_part"),
+                       distributed_by=["id"], partition_by=["region"],
+                       num_buckets=2)
+    t.truncate(spark)
+    assert t.read(spark).count() == 0
+    t.insert_into(spark.createDataFrame(
+        [(3, "c", 30)], "id long, region string, v long"))
+    assert t.read(spark).count() == 1
+
+
+def test_rewrite_preserves_cluster_order(tmp_path, spark, nation_df):
+    """Review regression: UPDATE/DELETE rewrites must keep the
+    CLUSTER BY sort order (row-group pruning depends on it)."""
+    t = GpTable.create(
+        nation_df, str(tmp_path / "nation_clu"),
+        distributed_by=["n_regionkey"], num_buckets=2,
+        sort_by=["n_nationkey"],
+    )
+    t.delete_where(spark, F.col("n_nationkey") == 3)
+    import glob
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(f"{t.path}/*.parquet"):
+        ids = pq.read_table(f, columns=["n_nationkey"])["n_nationkey"].to_pylist()
+        assert ids == sorted(ids), f"unsorted after rewrite: {f}"
