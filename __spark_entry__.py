@@ -22,83 +22,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver samples the first N entries of queries() for its DuckDB
-# CORRECTNESS check (~50 per round). Round-4 head: the 6 round-3 reds
-# (4 array-hasher ERRs now stringified, the pack_sequences zero-token
-# divergence fixed both sides, hypothetical_set_aggs integerized to
-# pure-BIGINT ppm), the 3 new round-4 queries (pgcrypto crypt/pgp,
-# PL/pgSQL CASE+FOREACH), then the never-driver-checked queries in
-# round-3 tail order so the 50-sample drives ~41 more of them green.
-# The 139 queries with green rows in CORRECTNESS_r01–r03.json sort
-# last via _ordered().
+# CORRECTNESS check (~50 per round). Round-5 head (VERDICT r04 Next
+# 1/3/4): the 4 round-4 reds — 3 fixed by casting away cross-engine
+# output-dtype skew (DuckDB HUGEINT/DOUBLE/TINYINT vs Spark
+# BIGINT/DOUBLE), pg_casts_and_regex re-expressed over exact integer
+# cents — then the 4 single-column probes that bisect the old
+# pg_casts_and_regex projection, the 2 new round-5 operators (dblink,
+# pgcrypto raw encrypt/decrypt), the now-oracled dedup_minhash_clusters
+# (portable hash family took over the primary name; the xxhash64 fast
+# path stays benched + pytest-attested but is no longer a permanently
+# unattestable queries() row), and ALL 33 remaining never-driver-checked
+# queries so the ledger closes. Green rows from r01-r04 sort last.
 DRIVER_PRIORITY: list[str] = [
-    # round-3 reds, fixed this round (see VERDICT r03 What's-wrong 1-3)
+    # round-4 reds, fixed this round (VERDICT r04 What's-wrong #1/#2)
     "hypothetical_set_aggs",
-    "pg_format_quote_split",
-    "pg_unnest_ordinality_array_agg",
-    "embed_quantize_int8",
-    "text_dup_spans",
     "datapipe_pack_sequences",
-    # new round-4 queries; embed_ann_ivf newly ORACLED (portable
-    # md5-sampled + exact-decimal-trained quantizer replaces the numpy
-    # RandomState path in the registered query)
-    "pgcrypto_crypt",
-    "pgcrypto_pgp",
-    "plpgsql_case_foreach",
-    "embed_ann_ivf",
-    "mapreduce_yaml",
-    "pgcrypto_armor",
-    "plpgsql_cursor",
-    "multimodal_image_features",
-    "multimodal_frame_manifest",
-    # never-driver-checked, breadth-first by family (oracled)
-    "string_funcs",
-    "date_funcs",
-    "json_funcs",
-    "array_funcs",
-    "events_sessionize",
-    "events_asof_join",
-    "text_quality_score",
-    "dedup_exact",
-    "embed_ann_topk",
-    "fulltext_rank",
-    "udaf_grouped_agg",
-    "unpivot_stack",
-    "pg_casts_and_regex",
-    "pg_filter_distinct_on_combo",
-    "join_range_binned",
-    "setop_union_mixed",
-    "cte_shared_scan",
-    "recursive_cte_graph",
-    "regexp_like_funcs",
     "math_funcs",
-    "conditional_funcs",
-    "int_division_pg",
-    "json_each_explode",
-    "array_any_all_ops",
-    "interval_age_overlaps",
-    "tz_offset_convert",
-    "events_time_buckets",
-    "events_linear_interpolate",
-    "events_type_pivot",
-    "text_token_stats",
-    "text_fingerprint",
-    "dedup_ngram_jaccard",
-    "embed_norms",
-    "embed_centroids",
-    "table_function_scatter",
-    "udtf_function_scan",
-    "mapreduce_pipeline",
-    "fulltext_match_all",
-    "fulltext_headline",
-    "merge_append_ordered",
-    "matrix_sum_agg",
-    "complex_arith",
-    "svec_sparsify_stats",
-    "uuid_v3_funcs",
-    "pg_order_nulls_limit",
-    "pg_generate_series_lateral",
-    "pg_string_agg_window",
-    "pg_quoted_idents_case",
+    "pg_casts_and_regex",
+    # bisection probes for the old pg_casts_and_regex projection
+    "pg_cast_bal",
+    "pg_cast_bal_dec",
+    "pg_regex_name_match",
+    "pg_casts_int",
+    # new round-5 operators
+    "dblink_query",
+    "pgcrypto_encrypt_raw",
+    # newly oracled under its primary name (portable hash family)
+    "dedup_minhash_clusters",
+    # the 33 remaining never-driver-checked queries (all local-MATCH)
     "join_cross",
     "setop_intersect",
     "setop_except",
@@ -117,12 +68,21 @@ DRIVER_PRIORITY: list[str] = [
     "text_top_terms",
     "text_lang_distribution",
     "embed_cosine_pairs",
+    "udtf_function_scan",
     "mapinpandas_filter",
+    "mapreduce_pipeline",
+    "fulltext_match_all",
     "fulltext_match_any",
-    # never-driver-checked, rows-only: the xxhash64 fast-path clusters
-    # query is validated via its oracled portable twin (the last
-    # rows-only entry — IVF's numpy path was oracled in round 4)
-    "dedup_minhash_clusters",
+    "fulltext_headline",
+    "merge_append_ordered",
+    "matrix_sum_agg",
+    "complex_arith",
+    "svec_sparsify_stats",
+    "uuid_v3_funcs",
+    "pg_order_nulls_limit",
+    "pg_generate_series_lateral",
+    "pg_string_agg_window",
+    "pg_quoted_idents_case",
 ]
 
 

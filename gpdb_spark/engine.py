@@ -216,10 +216,55 @@ class Engine:
 
     def create_view(self, name: str, text: str) -> None:
         """CREATE VIEW name AS <pg sql> (commands/view.c): logical —
-        re-planned at every use, always current."""
+        re-planned at every use, always current. CREATE OR REPLACE of a
+        base view re-plans its dependent views (in dependency order) so
+        they never keep serving the stale temp-view plan."""
         self.sql(text).createOrReplaceTempView(name)
         self._views = getattr(self, "_views", {})
         self._views[name] = text
+        self._replan_views(name)
+
+    def _view_deps(self, text: str) -> set[str]:
+        """Relation names (tables/views/matviews) referenced by a view's
+        defining text — whole-word match, recomputed on demand so
+        later-created relations are seen."""
+        import re as _re
+
+        known = (
+            set(self._tables)
+            | set(getattr(self, "_views", {}))
+            | set(getattr(self, "_matviews", {}))
+        )
+        words = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", text.lower()))
+        return {k for k in known if k.lower() in words}
+
+    def _replan_views(self, root: str) -> None:
+        """Re-plan exactly the views whose transitive base set includes
+        ``root``, in topological (dependency) order — not every view on
+        every DML (a temp view holds the analyzed plan with the OLD file
+        list, so affected views MUST re-plan; unaffected ones must not
+        pay O(#views) planner overhead)."""
+        views = getattr(self, "_views", {})
+        deps = {v: self._view_deps(txt) - {v} for v, txt in views.items()}
+        affected: set = set()
+        changed = True
+        while changed:
+            changed = False
+            for v, d in deps.items():
+                if v != root and v not in affected and (
+                    root in d or (d & affected)
+                ):
+                    affected.add(v)
+                    changed = True
+        order = list(views)  # insertion order breaks ties/cycles
+        remaining = set(affected)
+        while remaining:
+            ready = [
+                v for v in remaining if not (deps[v] & (remaining - {v}))
+            ] or [v for v in order if v in remaining][:1]
+            for v in sorted(ready, key=order.index):
+                self.sql(views[v]).createOrReplaceTempView(v)
+                remaining.discard(v)
 
     def create_materialized_view(
         self, name: str, text: str, path: str
@@ -298,8 +343,7 @@ class Engine:
         current' by contract; materialized views stay frozen until
         REFRESH, by design)."""
         self._tables[name].read(self.spark).createOrReplaceTempView(name)
-        for vname, vtext in getattr(self, "_views", {}).items():
-            self.sql(vtext).createOrReplaceTempView(vname)
+        self._replan_views(name)
 
     # -- COPY ----------------------------------------------------------------
 

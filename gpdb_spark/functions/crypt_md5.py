@@ -67,12 +67,15 @@ def md5_crypt(password: str | bytes, salt: str | bytes) -> str:
     if s.startswith("$1$"):
         s = s[3:]
     else:
-        if len(s.split("$", 1)[0]) <= 2:
-            # a bare 1-2 char salt selects traditional DES crypt in PG
-            raise ValueError(
-                "2-char salts select DES crypt (crypt-des.c) — not "
-                "implemented; use gen_salt('md5') / a '$1$' salt"
-            )
+        # PG routes EVERY bare salt (no '$' prefix) to traditional DES
+        # crypt, which uses only the first 2 chars regardless of length
+        # (px-crypt.c px_crypt) — so crypt(pw, 'abcdefgh') is a DES hash
+        # in PG. Hashing it under md5-crypt here would be exactly the
+        # silent wrong-scheme divergence the guard above exists to stop.
+        raise ValueError(
+            "bare salts select DES crypt (px-crypt.c, crypt-des.c) — "
+            "not implemented; use gen_salt('md5') / a '$1$' salt"
+        )
     s = s.split("$", 1)[0][:8]
     sb = s.encode()
 

@@ -147,10 +147,28 @@ def run_yaml(
             df = df.selectExpr(*src["COLUMNS"])
     elif "QUERY" in src:
         # QUERY runs as Spark SQL against the provided tables,
-        # registered as temp views (gpmapreduce INPUT ... QUERY)
-        for tname, tdf in (tables or {}).items():
-            tdf.createOrReplaceTempView(tname)
-        df = spark.sql(src["QUERY"])
+        # registered as temp views (gpmapreduce INPUT ... QUERY).
+        # A same-named temp view already live in the session (e.g. an
+        # Engine fixture view) must NOT be clobbered as a side effect of
+        # one YAML job: capture its analyzed plan first and restore it
+        # (or drop ours) after planning the query.
+        saved: dict = {}
+        for tname in tables or {}:
+            if spark.catalog.tableExists(tname):
+                saved[tname] = spark.table(tname)
+        try:
+            for tname, tdf in (tables or {}).items():
+                tdf.createOrReplaceTempView(tname)
+            df = spark.sql(src["QUERY"])
+            # force analysis NOW, while our views are registered — the
+            # returned plan must not depend on the restored bindings
+            df.schema
+        finally:
+            for tname in tables or {}:
+                if tname in saved:
+                    saved[tname].createOrReplaceTempView(tname)
+                else:
+                    spark.catalog.dropTempView(tname)
     elif "FILE" in src:
         paths = [str(p).split(":", 1)[-1] for p in src["FILE"]]
         df = spark.read.text(paths)

@@ -487,13 +487,17 @@ def pgcrypto_crypt(spark, sf_dir):
     and symbol passwords."""
     from gpdb_spark.functions.crypt_md5 import crypt, gen_salt_md5
 
+    # salts carry the $1$ scheme prefix: PG routes BARE salts to DES
+    # crypt (px-crypt.c uses the first 2 chars regardless of length),
+    # so md5_crypt refuses them loudly rather than silently hashing
+    # under the wrong scheme
     rows = [
-        ("p1", "password", "ab01cd23"),
-        ("p2", "", "xyz12345"),
-        ("p3", "naïve café 中文", "s4ltS4lt"),
-        ("p4", "a" * 40, "qrstuvwx"),
-        ("p5", "it's a secret", "deadbeef"),
-        ("p6", "p@$$w0rd", "cafebabe"),
+        ("p1", "password", "$1$ab01cd23"),
+        ("p2", "", "$1$xyz12345"),
+        ("p3", "naïve café 中文", "$1$s4ltS4lt"),
+        ("p4", "a" * 40, "$1$qrstuvwx"),
+        ("p5", "it's a secret", "$1$deadbeef"),
+        ("p6", "p@$$w0rd", "$1$cafebabe"),
     ]
     df = spark.createDataFrame(rows, "mid string, pw string, salt string")
     hashed = df.select(
@@ -600,4 +604,52 @@ def pgcrypto_armor(spark, sf_dir):
         (dearmor(F.col("armored")).cast("string") == F.col("text")).alias(
             "roundtrip_ok"
         ),
+    )
+
+
+@query(
+    "pgcrypto_encrypt_raw",
+    # Zero-IV AES-CBC is fully deterministic, so three independent facts
+    # are compared: the decrypt(encrypt(x)) roundtrip, the exact PKCS
+    # ciphertext length ((n//16 + 1)*16), and the zero-IV identity that
+    # the first CBC block equals the first ECB block (CBC xors the first
+    # block with the IV = zeros). Byte-exact ciphertexts are pinned
+    # against contrib/pgcrypto/expected/rijndael.out in
+    # tests/test_crypto.py::test_raw_cipher_rijndael_vectors.
+    oracle="""
+    SELECT doc_id, text AS decrypted,
+           CAST((octet_length(encode(text)) // 16 + 1) * 16 AS BIGINT)
+               AS ct_bytes,
+           TRUE AS first_block_ecb_eq
+    FROM documents WHERE doc_id <= 40
+    """,
+)
+def pgcrypto_encrypt_raw(spark, sf_dir):
+    """pgcrypto raw cipher functions encrypt()/decrypt(data, key, type)
+    (contrib/pgcrypto/pgcrypto.c pg_encrypt/pg_decrypt; AES goldens
+    contrib/pgcrypto/expected/rijndael.out): the non-PGP symmetric API
+    — AES-CBC with PG's zero IV and zero-padded key, on Spark's JVM
+    aes_encrypt/aes_decrypt builtins. Everything stays inside
+    whole-stage codegen; no Python in the row loop."""
+    from gpdb_spark.functions.crypt_raw import decrypt, encrypt
+
+    key = "0123456789abcdef"
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 40)
+        .select(
+            "doc_id",
+            "text",
+            encrypt(F.col("text"), key, "aes").alias("ct"),
+            encrypt(F.col("text"), key, "aes-ecb").alias("ct_ecb"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        decrypt(F.col("ct"), key, "aes").cast("string").alias("decrypted"),
+        F.octet_length("ct").cast("long").alias("ct_bytes"),
+        (
+            F.substring(F.col("ct"), 1, 16)
+            == F.substring(F.col("ct_ecb"), 1, 16)
+        ).alias("first_block_ecb_eq"),
     )

@@ -60,9 +60,9 @@ def text_chunk_documents(spark, sf_dir):
            (cum_before + greatest(n_tokens, 1) - 1) // {_BUDGET} AS bin_end
     FROM (
       SELECT doc_id, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS cum_before
+               AS BIGINT) AS cum_before
       FROM (
         SELECT doc_id,
                CAST(len(list_filter(

@@ -576,7 +576,7 @@ def embed_ann_ivf_flat(spark, sf_dir):
     every step engine-reproducible, so the inverted-list search shape
     itself is oracle-checked. Complements embed_ann_ivf (trained
     k-means centroids, rows-only) the way
-    dedup_minhash_clusters_portable complements its fast path."""
+    dedup_minhash_clusters (portable family) complements its fast path."""
     from gpdb_spark.datapipe.similarity import ivf_topk_flat
 
     e = spread(t(spark, sf_dir, "embeddings"))

@@ -458,8 +458,8 @@ def percentile_multi(spark, sf_dir):
     SELECT o_orderpriority,
            count(*) + 1 - count(*) FILTER (WHERE o_totalprice >= 150000)
                AS hyp_rank_gt,
-           sum(CASE WHEN o_totalprice < 150000 THEN 1 ELSE 0 END) + 1
-               AS hyp_rank,
+           CAST(sum(CASE WHEN o_totalprice < 150000 THEN 1 ELSE 0 END) + 1
+                AS BIGINT) AS hyp_rank,
            count(DISTINCT CASE WHEN o_totalprice < 150000
                                THEN o_totalprice END) + 1 AS hyp_dense_rank,
            CAST((sum(CASE WHEN o_totalprice < 150000 THEN 1 ELSE 0 END)

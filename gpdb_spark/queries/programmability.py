@@ -583,3 +583,69 @@ def plpgsql_cursor(spark, sf_dir):
     END;
     $fn$ LANGUAGE plpgsql""")
     return eng.call("region_cursor_sums")
+
+
+@query(
+    "dblink_query",
+    # oracle mirrors the remote work locally: the dblink_exec-inserted
+    # sentinel row is the UNION ALL constant; remote GROUP BY + local
+    # broadcast join reproduce exactly
+    oracle="""
+    SELECT r.r_name, CAST(g.cnt AS BIGINT) AS cnt, g.first_name
+    FROM (SELECT n_regionkey, count(*) AS cnt, min(n_name) AS first_name
+          FROM (SELECT n_nationkey, n_name, n_regionkey FROM nation
+                UNION ALL SELECT 99, 'ZZTEST', 0) n
+          GROUP BY n_regionkey) g
+    JOIN region r ON g.n_regionkey = r.r_regionkey
+    """,
+)
+def dblink_query(spark, sf_dir):
+    """dblink front door (contrib/dblink/dblink.c): dblink_connect a
+    named connection, dblink_exec remote DML (INSERT a sentinel row),
+    then dblink(conn, sql) ships an arbitrary remote aggregate query —
+    the whole GROUP BY runs on the remote engine, exactly dblink's
+    contract (vs foreign_scan_fdw's table-granular pushdown scan) — and
+    the record stream joins a local broadcast dimension. Single remote
+    cursor = single input partition, the reference's own
+    coordinator-only execution shape."""
+    import os
+    import tempfile
+
+    from gpdb_spark.operators.dblink import (
+        dblink,
+        dblink_connect,
+        dblink_disconnect,
+        dblink_exec,
+        dblink_get_connections,
+    )
+    from gpdb_spark.operators.foreign import create_sqlite_table
+
+    rows = [
+        r.asDict()
+        for r in t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    ]
+    db = os.path.join(tempfile.mkdtemp(prefix="gpdb_dblink_"), "remote.db")
+    create_sqlite_table(db, "nation", rows)
+
+    if "nat_conn" in dblink_get_connections():
+        dblink_disconnect("nat_conn")
+    dblink_connect("nat_conn", f"dbname={db}")
+    status = dblink_exec(
+        "nat_conn", "INSERT INTO nation VALUES (99, 'ZZTEST', 0)"
+    )
+    assert status == "INSERT 0 1", status
+
+    g = dblink(
+        spark,
+        "nat_conn",
+        "SELECT n_regionkey, COUNT(*) AS cnt, MIN(n_name) AS first_name "
+        "FROM nation GROUP BY n_regionkey",
+        schema="n_regionkey long, cnt long, first_name string",
+    )
+    r = t(spark, sf_dir, "region")
+    return (
+        g.join(F.broadcast(r), g.n_regionkey == r.r_regionkey)
+        .select("r_name", "cnt", "first_name")
+    )

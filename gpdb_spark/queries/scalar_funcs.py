@@ -97,8 +97,8 @@ def regexp_like_funcs(spark, sf_dir):
     oracle="""
     SELECT o_orderkey,
            abs(o_totalprice - 30000.0) AS dist,
-           ceil(o_totalprice / 1000.0) AS kceil,
-           floor(o_totalprice / 1000.0) AS kfloor,
+           CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS kceil,
+           CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS kfloor,
            (floor(o_totalprice * 1e1) / 1e1) AS r1,
            (floor(sqrt(o_totalprice) * 1e6) / 1e6) AS sq,
            (floor(ln(o_totalprice) * 1e6) / 1e6) AS lnp,
@@ -107,7 +107,7 @@ def regexp_like_funcs(spark, sf_dir):
            (floor(cbrt(o_totalprice) * 1e6) / 1e6) AS cb,
            (floor(exp(o_totalprice / 100000.0) * 1e6) / 1e6) AS ex,
            CAST(o_orderkey % 7 AS BIGINT) AS m7,
-           sign(o_totalprice - 30000.0) AS sgn,
+           CAST(sign(o_totalprice - 30000.0) AS DOUBLE) AS sgn,
            (floor(pi() * 2 * 1e6) / 1e6) AS tau,
            (floor(degrees(1.0) * 1e6) / 1e6) AS deg,
            (floor(sin(o_totalprice / 10000.0) * 1e6) / 1e6) AS sn,

@@ -34,6 +34,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 
 @dataclass
@@ -166,6 +167,14 @@ class GpTable:
 
     # -- read path -----------------------------------------------------------
 
+    def _has_parquet_files(self) -> bool:
+        """True if any .parquet data file exists under the table path
+        (including partition subdirectories)."""
+        for _root, _dirs, files in os.walk(self.path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     def read(self, spark: SparkSession) -> DataFrame:
         """Scan; REPLICATED tables come back broadcast-hinted so every join
         against them is a broadcast join (no fact-side shuffle).
@@ -173,12 +182,15 @@ class GpTable:
         A truncated PARTITIONED table has no files at all (an empty
         partitionBy write emits no schema-bearing part file — verified
         UNABLE_TO_INFER_SCHEMA), so reads fall back to an empty frame
-        with the last written schema."""
+        with the last written schema. The fallback is deliberately
+        narrow: only AnalysisException when the path holds no parquet
+        data files. A corrupt footer, permission error, or mid-rewrite
+        race must raise, not masquerade as a truncated table."""
         try:
             df = spark.read.parquet(self.path)
-        except Exception:
+        except AnalysisException:
             schema = getattr(self, "_last_schema", None)
-            if schema is None:
+            if schema is None or self._has_parquet_files():
                 raise
             df = spark.createDataFrame([], schema)
         if self.policy.is_replicated:

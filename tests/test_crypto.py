@@ -78,7 +78,9 @@ def test_md5_crypt_glibc_vectors():
         ("a" * 40, "qrstuvwx"),
         ("it's a secret", "deadbeef"),
     ]:
-        assert md5_crypt(pw, salt) == glibc_crypt.crypt(pw, f"$1${salt}$")
+        assert md5_crypt(pw, f"$1${salt}") == glibc_crypt.crypt(
+            pw, f"$1${salt}$"
+        )
 
 
 def test_md5_crypt_verify_idiom():
@@ -86,7 +88,7 @@ def test_md5_crypt_verify_idiom():
     (the full $1$salt$hash string is accepted as the salt argument)."""
     from gpdb_spark.functions.crypt_md5 import md5_crypt
 
-    h = md5_crypt("secret", "saltsalt")
+    h = md5_crypt("secret", "$1$saltsalt")
     assert md5_crypt("secret", h) == h
     assert md5_crypt("wrong", h) != h
 
@@ -97,13 +99,16 @@ def test_crypt_column_and_gen_salt(spark):
     from gpdb_spark.functions.crypt_md5 import crypt, gen_salt_md5, md5_crypt
 
     df = spark.createDataFrame(
-        [("alice", "pw1", "11111111"), ("bob", "pw2", "22222222")],
+        [("alice", "pw1", "$1$11111111"), ("bob", "pw2", "$1$22222222")],
         "u string, pw string, salt string",
     )
     rows = df.select(
         "u", crypt(F.col("pw"), F.col("salt")).alias("h")
     ).collect()
-    want = {"alice": md5_crypt("pw1", "11111111"), "bob": md5_crypt("pw2", "22222222")}
+    want = {
+        "alice": md5_crypt("pw1", "$1$11111111"),
+        "bob": md5_crypt("pw2", "$1$22222222"),
+    }
     assert {r.u: r.h for r in rows} == want
     # seeded gen_salt is deterministic and well-formed
     s = df.select(gen_salt_md5(F.col("u")).alias("s")).collect()
@@ -227,6 +232,123 @@ def test_crypt_rejects_unsupported_schemes():
     from gpdb_spark.functions.crypt_md5 import md5_crypt
 
     for salt in ("$2a$06$abcdefghijklmnopqrstuv", "$5$rounds=5000$salt",
-                 "$6$salt", "ab"):
+                 "$6$salt", "ab", "abcdefgh"):
         with _pytest.raises(ValueError):
             md5_crypt("pw", salt)
+
+
+def test_raw_cipher_rijndael_vectors(spark):
+    """encrypt()/encrypt_iv() byte-identical to the reference's AES
+    goldens (contrib/pgcrypto/expected/rijndael.out): FIPS-197 ECB
+    vectors at all three key sizes, zero-IV CBC, key zero-padding
+    (6->16, 20->24, 28->32 bytes), empty data, and the explicit-IV
+    case ('abcd' zero-padded to 16)."""
+    from gpdb_spark.functions.crypt_raw import encrypt, encrypt_iv
+
+    h = bytes.fromhex
+    df = spark.range(1)
+
+    def hexof(col):
+        return df.select(F.hex(col).alias("v")).collect()[0].v.lower()
+
+    pt = F.unhex(F.lit("00112233445566778899aabbccddeeff"))
+    assert (
+        hexof(encrypt_iv(pt, h("000102030405060708090a0b0c0d0e0f"), b"",
+                         "aes-ecb/pad:none"))
+        == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    )
+    assert (
+        hexof(encrypt_iv(
+            pt,
+            h("000102030405060708090a0b0c0d0e0f1011121314151617"),
+            b"", "aes-ecb/pad:none"))
+        == "dda97ca4864cdfe06eaf70a0ec0d7191"
+    )
+    k256 = h("000102030405060708090a0b0c0d0e0f"
+             "101112131415161718191a1b1c1d1e1f")
+    assert (
+        hexof(encrypt_iv(pt, k256, b"", "aes-cbc/pad:none"))
+        == "8ea2b7ca516745bfeafc49904b496089"
+    )
+    # key zero-padding to the next supported size
+    assert (
+        hexof(encrypt(F.unhex(F.lit("0011223344")), h("000102030405"),
+                      "aes-cbc"))
+        == "189a28932213f017b246678dbc28655f"
+    )
+    assert (
+        hexof(encrypt(F.unhex(F.lit("0011223344")),
+                      h("000102030405060708090a0b0c0d0e0f10111213"),
+                      "aes-cbc"))
+        == "3b02279162d15580e069d3a71407a556"
+    )
+    assert (
+        hexof(encrypt(F.unhex(F.lit("0011223344")),
+                      h("000102030405060708090a0b0c0d0e0f10111213141516171819"
+                        "1a1b"), "aes-cbc"))
+        == "4facb6a041d53e0a5a73289170901fe7"
+    )
+    assert hexof(encrypt(F.lit(""), "foo", "aes")) == (
+        "b48cc3338a2eb293b6007ef72c360d48"
+    )
+    assert hexof(encrypt(F.lit("foo"), "0123456789", "aes")) == (
+        "f397f03d2819b7172b68d0706fda4693"
+    )
+    assert hexof(encrypt(F.lit("foo"), "0123456789012345678901", "aes")) == (
+        "5c9db77af02b4678117bcd8a71ae7f53"
+    )
+    assert hexof(encrypt_iv(F.lit("foo"), "0123456", "abcd", "aes")) == (
+        "2c24cb7da91d6d5699801268b0f5adad"
+    )
+    assert hexof(
+        encrypt(F.lit("Lets try a longer message."), "0123456789", "aes")
+    ) == (
+        "d9beb785dd5403ed02f66b755bb191b9"
+        "3ed93ca54930153f2c3b9ec7785056ad"
+    )
+
+
+def test_raw_cipher_roundtrip_and_errors(spark):
+    from gpdb_spark.functions.crypt_raw import (
+        decrypt,
+        decrypt_iv,
+        encrypt,
+        encrypt_iv,
+    )
+    import pytest
+
+    df = spark.createDataFrame(
+        [("foo",), ("naïve café 中文",), ("",), ("x" * 100,)], "m string"
+    )
+    out = df.select(
+        "m",
+        decrypt(encrypt(F.col("m"), "0123456", "aes"), "0123456", "aes")
+        .cast("string").alias("cbc_rt"),
+        decrypt(encrypt(F.col("m"), "k", "aes-ecb"), "k", "aes-ecb")
+        .cast("string").alias("ecb_rt"),
+        decrypt_iv(
+            encrypt_iv(F.col("m"), "k2", "iviviviv", "aes"),
+            "k2", "iviviviv", "aes",
+        ).cast("string").alias("iv_rt"),
+    ).collect()
+    for r in out:
+        assert r.cbc_rt == r.m and r.ecb_rt == r.m and r.iv_rt == r.m
+
+    with pytest.raises(ValueError):
+        encrypt(F.lit("x"), "k", "bf")  # blowfish out of scope — loud
+    with pytest.raises(ValueError):
+        encrypt(F.lit("x"), b"k" * 33, "aes")  # key > 32 bytes
+    with pytest.raises(NotImplementedError):
+        decrypt(F.lit("x"), "k", "aes/pad:none")
+
+
+def test_raw_cipher_stays_jvm_side(spark):
+    """The whole encrypt/decrypt pipeline must be codegen-resident —
+    no BatchEvalPython / ArrowEvalPython stage."""
+    from gpdb_spark.functions.crypt_raw import decrypt, encrypt
+
+    df = spark.range(8).select(F.col("id").cast("string").alias("m"))
+    plan = df.select(
+        decrypt(encrypt(F.col("m"), "k", "aes"), "k", "aes").alias("d")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

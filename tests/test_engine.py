@@ -537,3 +537,52 @@ def test_engine_sql_int_division_uses_catalog(spark, sf_dir):
         "SELECT n_nationkey / 2 AS d FROM nation WHERE n_nationkey = 7"
     ).collect()[0]
     assert r.d == 3  # PG int division truncates; double would give 3.5
+
+
+def test_view_over_view_replan_on_replace(tmp_path, spark):
+    """ADVICE regression: CREATE OR REPLACE of a base view re-plans its
+    dependents (topological order), so a view-over-view never serves the
+    stale plan; unrelated views are untouched by DML refresh."""
+    eng = Engine(spark)
+    df = spark.createDataFrame([(1, 5.0), (2, 50.0)], "id long, v double")
+    eng.create_table("wbase", df, str(tmp_path / "wbase"),
+                     distributed_by=["id"])
+    eng.create_view("w1", "SELECT * FROM wbase WHERE v > 10")
+    eng.create_view("w2", "SELECT count(*) AS n FROM w1")
+    assert eng.sql("SELECT n FROM w2").collect()[0].n == 1
+
+    # replace the base view: the dependent must see the new definition
+    eng.create_view("w1", "SELECT * FROM wbase")  # no filter now
+    assert eng.sql("SELECT n FROM w2").collect()[0].n == 2
+
+    # DML on the base table flows through the whole chain
+    eng.execute_dml("DELETE FROM wbase WHERE id = 1")
+    assert eng.sql("SELECT n FROM w2").collect()[0].n == 1
+
+
+def test_refresh_only_replans_affected_views(tmp_path, spark):
+    """_replan_views must touch only views whose transitive base set
+    includes the mutated table."""
+    eng = Engine(spark)
+    a = spark.createDataFrame([(1,)], "id long")
+    b = spark.createDataFrame([(10,), (20,)], "id long")
+    eng.create_table("ta", a, str(tmp_path / "ta"), distributed_by=["id"])
+    eng.create_table("tb", b, str(tmp_path / "tb"), distributed_by=["id"])
+    eng.create_view("va", "SELECT count(*) AS n FROM ta")
+    eng.create_view("vb", "SELECT count(*) AS n FROM tb")
+
+    calls = []
+    orig = eng.sql
+
+    def spy(text, *a_, **k):
+        calls.append(text)
+        return orig(text, *a_, **k)
+
+    eng.sql = spy
+    eng.execute_dml("INSERT INTO ta VALUES (2)")
+    replanned = [c for c in calls if "FROM ta" in c or "FROM tb" in c]
+    assert any("FROM ta" in c for c in replanned)
+    assert not any("FROM tb" in c for c in replanned)
+    eng.sql = orig
+    assert eng.sql("SELECT n FROM va").collect()[0].n == 2
+    assert eng.sql("SELECT n FROM vb").collect()[0].n == 2

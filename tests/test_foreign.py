@@ -107,3 +107,85 @@ def test_foreign_empty_table(spark):
         conn.commit()
     df = read_foreign_table(spark, path, "t")
     assert df.count() == 0
+
+
+# ---------------------------------------------------------------- dblink
+
+
+def test_dblink_basic_and_schema_sniff(spark, fdw_db):
+    from gpdb_spark.operators.dblink import dblink
+
+    path, rows = fdw_db
+    df = dblink(
+        spark, path, "SELECT id, name, val FROM items WHERE id < 10"
+    )
+    got = sorted((r.id, r.name, r.val) for r in df.collect())
+    assert got == [(i, f"name_{i:03d}", i * 0.5) for i in range(10)]
+    # sniffed types: int -> long, float -> double, text -> string
+    kinds = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert kinds == {"id": "bigint", "name": "string", "val": "double"}
+
+
+def test_dblink_arbitrary_remote_sql(spark, fdw_db):
+    """The whole aggregate runs remotely — dblink ships SQL, not tables."""
+    from gpdb_spark.operators.dblink import dblink
+
+    path, _ = fdw_db
+    df = dblink(
+        spark,
+        f"dbname={path}",
+        "SELECT tag, COUNT(*) AS n, SUM(val) AS s FROM items "
+        "WHERE tag IS NOT NULL GROUP BY tag",
+    )
+    assert df.rdd.getNumPartitions() == 1  # single remote cursor
+    got = {r.tag: (r.n, r.s) for r in df.collect()}
+    assert set(got) == {"t0", "t1", "t2"}
+    assert sum(n for n, _ in got.values()) == 450  # 500 minus 50 NULL-tag
+
+
+def test_dblink_named_connections_and_exec(spark, tmp_path):
+    from gpdb_spark.operators.dblink import (
+        dblink,
+        dblink_connect,
+        dblink_disconnect,
+        dblink_exec,
+        dblink_get_connections,
+    )
+    from gpdb_spark.operators.foreign import create_sqlite_table
+
+    path = str(tmp_path / "side.db")
+    create_sqlite_table(path, "kv", [dict(k=1, v="a"), dict(k=2, v="b")])
+
+    assert dblink_connect("side", f"dbname={path}") == "OK"
+    assert "side" in dblink_get_connections()
+    with pytest.raises(ValueError):
+        dblink_connect("side", f"dbname={path}")  # duplicate name
+
+    assert dblink_exec("side", "INSERT INTO kv VALUES (3, 'c')") == (
+        "INSERT 0 1"
+    )
+    assert dblink_exec("side", "UPDATE kv SET v = 'z' WHERE k <= 2") == (
+        "UPDATE 2"
+    )
+    got = sorted(
+        (r.k, r.v)
+        for r in dblink(spark, "side", "SELECT k, v FROM kv").collect()
+    )
+    assert got == [(1, "z"), (2, "z"), (3, "c")]
+
+    assert dblink_disconnect("side") == "OK"
+    assert "side" not in dblink_get_connections()
+    with pytest.raises(ValueError):
+        dblink_disconnect("side")
+
+
+def test_dblink_explicit_schema_and_empty_result(spark, fdw_db):
+    from gpdb_spark.operators.dblink import dblink
+
+    path, _ = fdw_db
+    df = dblink(
+        spark, path, "SELECT id, name FROM items WHERE id < 0",
+        schema="id long, name string",
+    )
+    assert df.collect() == []
+    assert [f.name for f in df.schema.fields] == ["id", "name"]

@@ -165,3 +165,44 @@ EXECUTE:
     docs = spark.createDataFrame([("x",), ("skip",), ("x",)], "txt string")
     got = {r.key: r.count_value for r in run_yaml(spark, doc, tables={"docs": docs}).collect()}
     assert got == {"X": 2}
+
+
+def test_query_input_does_not_clobber_session_views(spark):
+    """ADVICE regression: a session temp view sharing a name with a
+    caller-supplied YAML table must survive the job — captured and
+    restored, not clobbered; a name we introduced is dropped again."""
+    doc = """
+DEFINE:
+  - INPUT:
+      NAME: src
+      QUERY: "SELECT txt AS value FROM docs JOIN other ON 1=1"
+  - MAP:
+      NAME: m
+      FUNCTION: |
+        yield [value, 1]
+      LANGUAGE: python
+      PARAMETERS: value text
+      RETURNS:
+        - key text
+        - value integer
+EXECUTE:
+  - RUN:
+      SOURCE: src
+      MAP: m
+      REDUCE: SUM
+"""
+    # pre-existing session view named "docs" with DIFFERENT content
+    spark.createDataFrame([("session",)], "marker string") \
+        .createOrReplaceTempView("docs")
+    assert not spark.catalog.tableExists("other")
+
+    docs = spark.createDataFrame([("yaml",)], "txt string")
+    other = spark.createDataFrame([(1,)], "one int")
+    out = run_yaml(spark, doc, tables={"docs": docs, "other": other})
+    assert {r.key: r.sum_value for r in out.collect()} == {"yaml": 1}
+
+    # session view restored with its original content...
+    assert [r.marker for r in spark.table("docs").collect()] == ["session"]
+    # ...and the view the job introduced is gone again
+    assert not spark.catalog.tableExists("other")
+    spark.catalog.dropTempView("docs")

@@ -13,6 +13,7 @@ import duckdb
 
 import __spark_entry__ as E
 from gpdb_spark.session import get_spark
+from tools.dtype_parity import dtype_mismatches
 
 spark = get_spark(app_name="check-queries", shuffle_partitions=8)
 
@@ -62,6 +63,11 @@ for name in names:
         orows = cur.fetchall()
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
             print(f"{name}: SCHEMA MISMATCH spark={scols} oracle={ocols}")
+            bad += 1
+            continue
+        skew = dtype_mismatches(sdf.schema, con, osql[name])
+        if skew:
+            print(f"{name}: DTYPE SKEW {'; '.join(skew)}")
             bad += 1
             continue
         a, b = norm(srows, scols), norm(orows, ocols)

@@ -7,6 +7,7 @@ fragility (the driver regenerates its tables every round)."""
 import os, sys, math, datetime
 sys.path.insert(0, '/root/repo')
 import __spark_entry__ as E
+from tools.dtype_parity import dtype_mismatches
 from pyspark.sql import SparkSession
 
 spark = (SparkSession.builder.master('local[8]').appName('driver-sim')
@@ -53,9 +54,14 @@ for name in names:
     if name not in osql:
         print(f'{name}: rows-only, {len(srows)} rows'); continue
     cur = con.execute(osql[name]); ocols = [d[0] for d in cur.description]; orows = cur.fetchall()
+    # strict dtype parity: the driver's hasher is type-sensitive (HUGEINT
+    # vs BIGINT fails it even with equal values) — be at least as strict
+    skew = dtype_mismatches(sdf.schema, con, osql[name])
     ok = (sorted(c.lower() for c in sdf.columns) == sorted(c.lower() for c in ocols)
-          and norm(srows, sdf.columns) == norm(orows, ocols))
-    print(f'{name}: {"MATCH" if ok else "MISMATCH"} spark={len(srows)} oracle={len(orows)}')
+          and norm(srows, sdf.columns) == norm(orows, ocols)
+          and not skew)
+    tag = 'MATCH' if ok else ('DTYPE-SKEW ' + '; '.join(skew) if skew else 'MISMATCH')
+    print(f'{name}: {tag} spark={len(srows)} oracle={len(orows)}')
     if not ok: fails.append(name)
 
 print('RESULT:', 'ALL MATCH' if not fails else f'FAILS: {fails}')
