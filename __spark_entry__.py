@@ -47,6 +47,7 @@ DRIVER_PRIORITY: list[str] = [
     # new round-5 operators
     "dblink_query",
     "pgcrypto_encrypt_raw",
+    "plpgsql_forc_move",
     # newly oracled under its primary name (portable hash family)
     "dedup_minhash_clusters",
     # the 33 remaining never-driver-checked queries (all local-MATCH)

@@ -33,6 +33,11 @@ Supported statement set (pl_gram.y productions):
   ``OPEN c FOR query``, ``FETCH [NEXT] [FROM] c INTO ...`` (sets
   FOUND; exhausted fetch nulls the targets), ``CLOSE c`` — rows
   stream partition-at-a-time, same as FOR-IN-query
+- ``FOR rec IN bound_cursor [(args)] LOOP`` (exec_stmt_forc): opens the
+  bound cursor, streams rows, closes it when the loop exits (EXIT
+  included); errors if the cursor is already open
+- ``MOVE [NEXT] [FROM|IN] c`` (exec_stmt_fetch with is_move): advance
+  one row without returning it; sets FOUND
 - ``RETURN expr`` / ``RETURN QUERY <sql>`` / ``RETURN NEXT (exprs)``
   (exec_stmt_return / _return_query / _return_next)
 - ``SELECT ... INTO [STRICT] v, ... FROM ...`` (exec_stmt_execsql INTO)
@@ -52,8 +57,8 @@ fast path (no Spark job) so tight counter loops don't pay a JVM
 round-trip per iteration; any expression the fast path cannot prove
 safe falls through to the SQL path.
 
-Out of scope (documented): SCROLL cursors / non-NEXT FETCH directions,
-MOVE, FOR-over-cursor loops (FOR-IN-query covers the shape), FOREACH
+Out of scope (documented): SCROLL cursors / non-NEXT FETCH and MOVE
+directions (PRIOR/ABSOLUTE/RELATIVE need a scrollable portal), FOREACH
 SLICE n (subarray form), nested function definitions.
 """
 
@@ -367,6 +372,16 @@ def _parse_stmt(st: _Stream):
         return ("fetch", m.group(1).lower(), vars_)
     if w == "close":
         return ("close", rest.strip().lower())
+    if w == "move":
+        # MOVE [NEXT] [FROM|IN] cur (pl_gram.y stmt_move; executor is
+        # exec_stmt_fetch with is_move=true): advance without returning.
+        # Other directions need SCROLL — out of scope like FETCH's.
+        m = re.match(r"(?is)^(?:next\s+)?(?:from\s+|in\s+)?(\w+)$", rest)
+        if not m:
+            raise PlPgSqlError(
+                f"plpgsql: unsupported MOVE form (NEXT only): {rest[:60]!r}"
+            )
+        return ("move", m.group(1).lower())
     if w == "exit" or w == "continue":
         m = re.match(r"(?is)^when\s+(.*)$", rest)
         return (w, m.group(1) if m else None)
@@ -669,6 +684,45 @@ class Interpreter:
             env[name] = self.eval(default, env) if default else None
         self.exec_stmt(block, env, collector)
 
+    def _open_cursor(self, name, args, q, env) -> "_Cursor":
+        """exec_stmt_open: bind args (or the refcursor's ad-hoc query),
+        dispatch the SQL distributed, keep a streaming iterator on the
+        coordinator. Shared by OPEN and FOR-over-cursor (exec_stmt_forc
+        routes through the same portal-open path in the reference)."""
+        cur = env.get(name)
+        if not isinstance(cur, _Cursor):
+            raise PlPgSqlError(f'"{name}" is not a cursor')
+        if cur.it is not None:
+            raise PlPgSqlError(f'cursor "{name}" already in use')
+        if q is not None:
+            if cur.params:
+                raise PlPgSqlError(
+                    f'cursor "{name}" is bound; OPEN FOR needs a refcursor'
+                )
+            cur.query = q
+        if cur.query is None:
+            raise PlPgSqlError(f'cursor "{name}" has no query (OPEN FOR it)')
+        sql = cur.query
+        if args and args.strip() and not cur.params:
+            raise PlPgSqlError(f'cursor "{name}" has no arguments')
+        if cur.params:
+            vals = (
+                [self.eval(a, env) for a in _top_split(args, ",")]
+                if args and args.strip()
+                else []
+            )
+            if len(vals) != len(cur.params):
+                raise PlPgSqlError(
+                    f'cursor "{name}" takes {len(cur.params)} arguments'
+                )
+            penv = dict(env)
+            penv.update(dict(zip(cur.params, vals)))
+            sql = self._subst(sql, penv)
+        else:
+            sql = self._subst(sql, env)
+        cur.it = iter(self.engine.sql(sql).toLocalIterator())
+        return cur
+
     def exec_seq(self, stmts, env, collector):
         for s in stmts:
             self.exec_stmt(s, env, collector)
@@ -750,6 +804,30 @@ class Interpreter:
                     continue
         elif op == "forquery":
             var, sql, body = s[1:]
+            # FOR rec IN bound_cursor [(args)] — exec_stmt_forc: when the
+            # source is a lone identifier naming a declared cursor, open
+            # it, stream its rows, and close it when the loop exits
+            # (pl_exec.c exec_stmt_forc closes the portal even on EXIT)
+            mc = re.match(r"(?is)^(\w+)\s*(?:\((.*)\))?$", sql.strip())
+            if mc and isinstance(env.get(mc.group(1).lower()), _Cursor):
+                cur = self._open_cursor(
+                    mc.group(1).lower(), mc.group(2), None, env
+                )
+                found = False
+                try:
+                    for row in cur.it:
+                        found = True
+                        env[var] = row
+                        try:
+                            self.exec_seq(body, env, collector)
+                        except _Exit:
+                            break
+                        except _Continue:
+                            continue
+                finally:
+                    cur.it = None
+                env["found"] = found
+                return
             df = self.engine.sql(self._subst(sql, env))
             found = False
             # partition-at-a-time streaming: bounded driver memory, the
@@ -765,42 +843,7 @@ class Interpreter:
                     continue
             env["found"] = found
         elif op == "open":
-            # exec_stmt_open: bind args (or the refcursor's ad-hoc
-            # query), dispatch the SQL distributed, keep a streaming
-            # iterator on the coordinator
-            name, args, q = s[1], s[2], s[3]
-            cur = env.get(name)
-            if not isinstance(cur, _Cursor):
-                raise PlPgSqlError(f'"{name}" is not a cursor')
-            if cur.it is not None:
-                raise PlPgSqlError(f'cursor "{name}" already in use')
-            if q is not None:
-                if cur.params:
-                    raise PlPgSqlError(
-                        f'cursor "{name}" is bound; OPEN FOR needs a refcursor'
-                    )
-                cur.query = q
-            if cur.query is None:
-                raise PlPgSqlError(f'cursor "{name}" has no query (OPEN FOR it)')
-            sql = cur.query
-            if args and args.strip() and not cur.params:
-                raise PlPgSqlError(f'cursor "{name}" has no arguments')
-            if cur.params:
-                vals = (
-                    [self.eval(a, env) for a in _top_split(args, ",")]
-                    if args and args.strip()
-                    else []
-                )
-                if len(vals) != len(cur.params):
-                    raise PlPgSqlError(
-                        f'cursor "{name}" takes {len(cur.params)} arguments'
-                    )
-                penv = dict(env)
-                penv.update(dict(zip(cur.params, vals)))
-                sql = self._subst(sql, penv)
-            else:
-                sql = self._subst(sql, env)
-            cur.it = iter(self.engine.sql(sql).toLocalIterator())
+            self._open_cursor(s[1], s[2], s[3], env)
         elif op == "fetch":
             # exec_stmt_fetch: one row into the targets; exhausted
             # cursor nulls the targets and clears FOUND
@@ -832,6 +875,17 @@ class Interpreter:
             if not isinstance(cur, _Cursor) or cur.it is None:
                 raise PlPgSqlError(f'cursor "{s[1]}" is not open')
             cur.it = None
+        elif op == "move":
+            # exec_stmt_fetch with is_move: advance one row, discard it,
+            # set FOUND — targets untouched
+            cur = env.get(s[1])
+            if not isinstance(cur, _Cursor) or cur.it is None:
+                raise PlPgSqlError(f'cursor "{s[1]}" is not open')
+            try:
+                next(cur.it)
+                env["found"] = True
+            except StopIteration:
+                env["found"] = False
         elif op == "exit":
             if s[1] is None or self._truthy(s[1], env):
                 raise _Exit()

@@ -586,6 +586,62 @@ def plpgsql_cursor(spark, sf_dir):
 
 
 @query(
+    "plpgsql_forc_move",
+    oracle="""
+    SELECT r.r_regionkey AS rk,
+           (SELECT n_name FROM nation n WHERE n.n_regionkey = r.r_regionkey
+            ORDER BY n_nationkey LIMIT 1) AS first_name,
+           (SELECT n_name FROM nation n WHERE n.n_regionkey = r.r_regionkey
+            ORDER BY n_nationkey LIMIT 1 OFFSET 1) AS second_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM nation n
+            WHERE n.n_regionkey = r.r_regionkey) AS n_nations
+    FROM region r ORDER BY r_regionkey
+    """,
+)
+def plpgsql_forc_move(spark, sf_dir):
+    """PL/pgSQL FOR-over-cursor + MOVE (pl_exec.c exec_stmt_forc;
+    exec_stmt_fetch is_move) — the interpreter's last deferred cursor
+    forms: a bound parameterized cursor drives a FOR rec IN cur(args)
+    loop (opened and auto-closed by the loop), and a second pass OPENs
+    it, MOVEs past the first row, FETCHes the second. Streaming stays
+    partition-at-a-time on the coordinator."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.create_function("""
+    CREATE FUNCTION forc_move_demo()
+    RETURNS TABLE(rk bigint, first_name text, second_name text,
+                  n_nations bigint) AS $fn$
+    DECLARE
+      nc CURSOR (k int) FOR
+        SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = k
+        ORDER BY n_nationkey;
+      reg record;
+      rec record;
+      cnt bigint;
+      fname text;
+    BEGIN
+      FOR reg IN SELECT r_regionkey FROM region ORDER BY r_regionkey LOOP
+        cnt := 0;
+        fname := NULL;
+        FOR rec IN nc(reg.r_regionkey) LOOP
+          IF cnt = 0 THEN
+            fname := rec.n_name;
+          END IF;
+          cnt := cnt + 1;
+        END LOOP;
+        OPEN nc(reg.r_regionkey);
+        MOVE nc;
+        FETCH nc INTO rec;
+        CLOSE nc;
+        RETURN NEXT (reg.r_regionkey, fname, rec.n_name, cnt);
+      END LOOP;
+    END;
+    $fn$ LANGUAGE plpgsql""")
+    return eng.call("forc_move_demo")
+
+
+@query(
     "dblink_query",
     # oracle mirrors the remote work locally: the dblink_exec-inserted
     # sentinel row is the UNION ALL constant; remote GROUP BY + local

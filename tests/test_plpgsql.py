@@ -439,3 +439,105 @@ def test_fetch_record_target_and_count_mismatch(eng):
     $$ LANGUAGE plpgsql""")
     with _pytest.raises(PlPgSqlError, match="no arguments"):
         eng.call("args_on_plain")
+
+
+def test_for_over_cursor_and_auto_close(eng):
+    """FOR rec IN bound_cursor(args) (exec_stmt_forc): the loop opens
+    the cursor, streams rows, and closes it on exit — including EXIT —
+    so a second pass can re-open it."""
+    eng.create_function("""
+    CREATE FUNCTION forc_names(rk int) RETURNS text AS $$
+    DECLARE
+      c CURSOR (k int) FOR
+        SELECT n_name FROM nation WHERE n_regionkey = k
+        ORDER BY n_name;
+      rec record;
+      acc text := '';
+    BEGIN
+      FOR rec IN c(rk) LOOP
+        acc := acc || rec.n_name || ';';
+      END LOOP;
+      -- re-open immediately: proves the FOR loop closed it
+      FOR rec IN c(rk) LOOP
+        acc := acc || '+';
+        EXIT;
+      END LOOP;
+      -- and EXIT also closed it
+      FOR rec IN c(rk) LOOP
+        acc := acc || '!';
+        EXIT;
+      END LOOP;
+      RETURN acc;
+    END;
+    $$ LANGUAGE plpgsql""")
+    out = eng.call("forc_names", 2)
+    assert out.endswith(";+!")
+    assert out.count(";") == 5  # 5 nations per region
+
+
+def test_for_over_cursor_already_open_errors(eng):
+    """PG: 'cursor ... already in use' when FOR tries to open an open
+    cursor (exec_stmt_forc -> exec_stmt_open path)."""
+    eng.create_function("""
+    CREATE FUNCTION forc_clash() RETURNS int AS $$
+    DECLARE
+      c CURSOR FOR SELECT r_regionkey FROM region;
+      rec record;
+    BEGIN
+      OPEN c;
+      FOR rec IN c LOOP
+      END LOOP;
+      RETURN 1;
+    END;
+    $$ LANGUAGE plpgsql""")
+    with pytest.raises(PlPgSqlError, match="already in use"):
+        eng.call("forc_clash")
+
+
+def test_move_skips_and_sets_found(eng):
+    """MOVE advances without returning (exec_stmt_fetch is_move):
+    skip 2, fetch 3rd; MOVE past the end clears FOUND."""
+    eng.create_function("""
+    CREATE FUNCTION third_region() RETURNS text AS $$
+    DECLARE
+      c CURSOR FOR SELECT r_name FROM region ORDER BY r_regionkey;
+      v text;
+      tail int := 0;
+    BEGIN
+      OPEN c;
+      MOVE c;
+      MOVE NEXT FROM c;
+      FETCH c INTO v;
+      -- 2 rows remain: MOVE twice more succeeds, third clears FOUND
+      MOVE c; MOVE c;
+      MOVE c;
+      IF NOT found THEN
+        tail := 1;
+      END IF;
+      CLOSE c;
+      RETURN v || ':' || tail;
+    END;
+    $$ LANGUAGE plpgsql""")
+    name = eng.call("third_region")
+    import duckdb as _d
+
+    want = _d.sql(
+        "SELECT r_name FROM read_parquet("
+        "'/root/testdata/sf0.01/region.parquet') "
+        "ORDER BY r_regionkey LIMIT 1 OFFSET 2"
+    ).fetchone()[0]
+    assert name == f"{want}:1"
+
+
+def test_move_on_closed_cursor_errors(eng):
+    eng.create_function("""
+    CREATE FUNCTION move_closed() RETURNS int AS $$
+    DECLARE
+      c CURSOR FOR SELECT 1;
+    BEGIN
+      MOVE c;
+      RETURN 1;
+    END;
+    $$ LANGUAGE plpgsql""")
+    with pytest.raises(PlPgSqlError, match="not open"):
+        eng.call("move_closed")
