@@ -173,3 +173,122 @@ def dblink_exec(conn: str, sql: str) -> str:
     if verb in ("UPDATE", "DELETE"):
         return f"{verb} {n}"
     return verb
+
+
+# --------------------------------------------------------------------------
+# remote cursors (dblink.c dblink_open/dblink_fetch/dblink_close): an
+# explicitly user-paced remote cursor — each fetch returns at most n rows
+# through the coordinator, exactly the reference's bounded semantics
+# --------------------------------------------------------------------------
+
+_CURSORS: dict[tuple[str, str], object] = {}
+_CURSOR_DBS: dict[tuple[str, str], object] = {}
+
+
+def dblink_open(conn: str, cursor: str, sql: str) -> str:
+    """dblink_open(conn, curname, sql) — open a remote cursor."""
+    key = (conn, cursor)
+    if key in _CURSORS:
+        raise ValueError(f"cursor {cursor!r} already open on {conn!r}")
+    db = sqlite3.connect(_resolve_path(conn))
+    _CURSOR_DBS[key] = db
+    _CURSORS[key] = db.execute(sql)
+    return "OK"
+
+
+def dblink_fetch(spark: SparkSession, conn: str, cursor: str, n: int):
+    """dblink_fetch(conn, curname, n) -> DataFrame of the next <= n rows.
+    Driver transfer is bounded by the caller's n (the PG contract —
+    FETCH count is explicit); rows become a DataFrame so downstream
+    joins/aggs distribute."""
+    key = (conn, cursor)
+    if key not in _CURSORS:
+        raise ValueError(f"cursor {cursor!r} is not open on {conn!r}")
+    cur = _CURSORS[key]
+    names = [d[0] for d in cur.description]
+    rows = cur.fetchmany(n)
+    if rows:
+        return spark.createDataFrame(rows, schema=names)
+    # empty fetch at end-of-cursor: all-string empty frame (record shape
+    # unknown without rows — callers at EOF only check emptiness)
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    return spark.createDataFrame(
+        [], StructType([StructField(c, StringType()) for c in names])
+    )
+
+
+def dblink_close(conn: str, cursor: str) -> str:
+    key = (conn, cursor)
+    if key not in _CURSORS:
+        raise ValueError(f"cursor {cursor!r} is not open on {conn!r}")
+    _CURSORS.pop(key)
+    _CURSOR_DBS.pop(key).close()
+    return "OK"
+
+
+# --------------------------------------------------------------------------
+# catalog + SQL-builder helpers (dblink.c dblink_get_pkey,
+# dblink_build_sql_insert/_delete/_update)
+# --------------------------------------------------------------------------
+
+
+def dblink_get_pkey(conn: str, table: str) -> list[tuple[int, str]]:
+    """dblink_get_pkey: (position, column) pairs of the remote table's
+    primary key (dblink.c:1517; here via sqlite PRAGMA table_info)."""
+    with sqlite3.connect(_resolve_path(conn)) as db:
+        info = db.execute(f'PRAGMA table_info("{table}")').fetchall()
+    if not info:
+        raise ValueError(f"remote table {table!r} not found")
+    pk = sorted((row[5], row[1]) for row in info if row[5])
+    return [(i + 1, name) for i, (_, name) in enumerate(pk)]
+
+
+def _quote_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def dblink_build_sql_insert(
+    table: str, cols: list[str], values: list
+) -> str:
+    """dblink_build_sql_insert (dblink.c:1641, simplified to explicit
+    column/value lists): INSERT statement text for the remote side."""
+    if len(cols) != len(values):
+        raise ValueError("cols and values length mismatch")
+    collist = ", ".join(f'"{c}"' for c in cols)
+    vallist = ", ".join(_quote_lit(v) for v in values)
+    return f'INSERT INTO "{table}" ({collist}) VALUES ({vallist})'
+
+
+def dblink_build_sql_delete(
+    table: str, pkey_cols: list[str], pkey_values: list
+) -> str:
+    """dblink_build_sql_delete (dblink.c:1732): DELETE by primary key."""
+    if len(pkey_cols) != len(pkey_values):
+        raise ValueError("pkey cols and values length mismatch")
+    where = " AND ".join(
+        f'"{c}" = {_quote_lit(v)}' for c, v in zip(pkey_cols, pkey_values)
+    )
+    return f'DELETE FROM "{table}" WHERE {where}'
+
+
+def dblink_build_sql_update(
+    table: str,
+    pkey_cols: list[str],
+    pkey_values: list,
+    assignments: dict,
+) -> str:
+    """dblink_build_sql_update (dblink.c:1809): UPDATE by primary key."""
+    if len(pkey_cols) != len(pkey_values):
+        raise ValueError("pkey cols and values length mismatch")
+    sets = ", ".join(
+        f'"{c}" = {_quote_lit(v)}' for c, v in assignments.items()
+    )
+    where = " AND ".join(
+        f'"{c}" = {_quote_lit(v)}' for c, v in zip(pkey_cols, pkey_values)
+    )
+    return f'UPDATE "{table}" SET {sets} WHERE {where}'

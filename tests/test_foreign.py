@@ -189,3 +189,74 @@ def test_dblink_explicit_schema_and_empty_result(spark, fdw_db):
     )
     assert df.collect() == []
     assert [f.name for f in df.schema.fields] == ["id", "name"]
+
+
+def test_dblink_remote_cursor_paced_fetch(spark, fdw_db):
+    """dblink_open/fetch/close (dblink.c:378,558,473): explicitly paced
+    remote cursor; each fetch bounded by the caller's n."""
+    from gpdb_spark.operators.dblink import (
+        dblink_close,
+        dblink_fetch,
+        dblink_open,
+    )
+
+    path, _ = fdw_db
+    assert dblink_open(path, "c1", "SELECT id FROM items ORDER BY id") == "OK"
+    with pytest.raises(ValueError, match="already open"):
+        dblink_open(path, "c1", "SELECT 1")
+
+    first = [r.id for r in dblink_fetch(spark, path, "c1", 3).collect()]
+    assert first == [0, 1, 2]
+    second = [r.id for r in dblink_fetch(spark, path, "c1", 2).collect()]
+    assert second == [3, 4]
+    # drain: fetch more than remain, then EOF fetch is empty
+    rest = dblink_fetch(spark, path, "c1", 10_000).collect()
+    assert len(rest) == 495
+    assert dblink_fetch(spark, path, "c1", 5).collect() == []
+
+    assert dblink_close(path, "c1") == "OK"
+    with pytest.raises(ValueError, match="not open"):
+        dblink_close(path, "c1")
+    with pytest.raises(ValueError, match="not open"):
+        dblink_fetch(spark, path, "c1", 1)
+
+
+def test_dblink_pkey_and_sql_builders(tmp_path):
+    """dblink_get_pkey + dblink_build_sql_insert/_delete/_update
+    (dblink.c:1517,1641,1732,1809)."""
+    import sqlite3 as s3
+
+    from gpdb_spark.operators.dblink import (
+        dblink_build_sql_delete,
+        dblink_build_sql_insert,
+        dblink_build_sql_update,
+        dblink_exec,
+        dblink_get_pkey,
+    )
+
+    path = str(tmp_path / "pk.db")
+    with s3.connect(path) as db:
+        db.execute(
+            "CREATE TABLE t (a INTEGER, b TEXT, c REAL, PRIMARY KEY (a, b))"
+        )
+        db.execute("INSERT INTO t VALUES (1, 'x', 0.5)")
+        db.commit()
+
+    assert dblink_get_pkey(path, "t") == [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError, match="not found"):
+        dblink_get_pkey(path, "missing")
+
+    ins = dblink_build_sql_insert("t", ["a", "b", "c"], [2, "it's", None])
+    assert ins == (
+        "INSERT INTO \"t\" (\"a\", \"b\", \"c\") "
+        "VALUES (2, 'it''s', NULL)"
+    )
+    upd = dblink_build_sql_update("t", ["a", "b"], [1, "x"], {"c": 9.0})
+    dele = dblink_build_sql_delete("t", ["a", "b"], [2, "it's"])
+
+    # the generated SQL actually runs against the remote side
+    assert dblink_exec(path, ins) == "INSERT 0 1"
+    assert dblink_exec(path, upd) == "UPDATE 1"
+    assert dblink_exec(path, dele) == "DELETE 1"
+    with s3.connect(path) as db:
+        assert db.execute("SELECT a, b, c FROM t").fetchall() == [(1, "x", 9.0)]
