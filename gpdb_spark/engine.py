@@ -569,7 +569,25 @@ class Engine:
         s["calls"] += 1
         s["total_ms"] += ms
         s["rows"] += n_rows
+        # auto_explain (contrib/auto_explain explain_ExecutorEnd): log
+        # the plan of any statement whose wall time crossed the
+        # threshold, into the same notice stream elog routes to
+        threshold = getattr(self, "_auto_explain_ms", None)
+        if threshold is not None and ms >= threshold:
+            notices = self._pl_notices = getattr(self, "_pl_notices", [])
+            notices.append(
+                f"auto_explain: duration: {ms:.3f} ms  plan:\n"
+                + self.explain(df)
+            )
         return rows
+
+    def auto_explain(self, min_duration_ms: float | None = 0.0) -> None:
+        """contrib/auto_explain: automatically log the plan of every
+        executed statement at least ``min_duration_ms`` long
+        (auto_explain.c explain_ExecutorEnd; GUC
+        auto_explain.log_min_duration). Plans land in ``notices()``,
+        the engine's elog stream. ``None`` disables (the GUC's -1)."""
+        self._auto_explain_ms = min_duration_ms
 
     def pg_stat_statements(self) -> DataFrame:
         """The statistics view: one row per normalized query shape."""

@@ -653,3 +653,38 @@ def pgcrypto_encrypt_raw(spark, sf_dir):
             == F.substring(F.col("ct_ecb"), 1, 16)
         ).alias("first_block_ecb_eq"),
     )
+
+
+@query(
+    "unaccent_func",
+    # Independent oracle: unaccent(accent(ascii_text)) must round-trip
+    # to the ascii text itself (DuckDB predicts it with NO knowledge of
+    # the rule table), plus a golden constant covering the multigraph
+    # sources (Æ/ß/Ł/Œ/ё) hand-derived from unaccent.rules semantics.
+    oracle="""
+    SELECT doc_id,
+           translate(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'),
+                     'aeionc', 'áéîöñç') AS accented,
+           regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') AS unaccented,
+           'Aro S Lodz Euf еЕ' AS gold
+    FROM documents WHERE doc_id <= 100
+    """,
+)
+def unaccent_func(spark, sf_dir):
+    """contrib/unaccent (unaccent.c unaccent_dict; unaccent.rules): the
+    9.4-era rule table is a pure 1:1 char map, so unaccent() is ONE JVM
+    translate expression — codegen-resident, no UDF. The query accents
+    ascii fixture text (a->á etc.), un-accents it back, and emits a
+    golden covering the multigraph sources this vintage maps to single
+    letters (Æ->A, ß->S, Ł->L, Œ->E, ё->е)."""
+    from gpdb_spark.functions.unaccent import unaccent
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") <= 100)
+    ascii_txt = F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", "")
+    acc = F.translate(ascii_txt, "aeionc", "áéîöñç")
+    return d.select(
+        "doc_id",
+        acc.alias("accented"),
+        unaccent(acc).alias("unaccented"),
+        unaccent(F.lit("Ærø ß Łódź Œuf ёЁ")).alias("gold"),
+    )

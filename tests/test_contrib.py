@@ -255,3 +255,62 @@ class TestInet6:
         assert _one(
             spark, MT.inet6_contains(net, F.lit("2001:db8:0:20::1"))
         ) is False
+
+
+class TestUnaccent:
+    def test_rule_table_matches_reference_file(self):
+        """The embedded 187-rule table must be byte-identical to
+        contrib/unaccent/unaccent.rules (skipped if the reference tree
+        is absent)."""
+        import os
+
+        import pytest as _pytest
+
+        from gpdb_spark.functions.unaccent import UNACCENT_DST, UNACCENT_SRC
+
+        path = "/root/reference/contrib/unaccent/unaccent.rules"
+        if not os.path.exists(path):
+            _pytest.skip("reference rules file unavailable")
+        src, dst = [], []
+        for line in open(path, encoding="utf-8"):
+            line = line.rstrip("\n")
+            if line.strip():
+                a, b = line.split("\t")[:2]
+                src.append(a)
+                dst.append(b)
+        assert "".join(src) == UNACCENT_SRC
+        assert "".join(dst) == UNACCENT_DST
+
+    def test_nfd_consistency(self):
+        """Independent check: every rule whose source NFD-decomposes to
+        an ascii base letter maps exactly to that base letter."""
+        import unicodedata
+
+        from gpdb_spark.functions.unaccent import UNACCENT_DST, UNACCENT_SRC
+
+        checked = 0
+        for a, b in zip(UNACCENT_SRC, UNACCENT_DST):
+            d = unicodedata.normalize("NFD", a)
+            if len(d) > 1 and d[0].isascii():
+                assert d[0] == b, (a, b, d)
+                checked += 1
+        assert checked > 100  # the bulk of the table is NFD-checkable
+
+    def test_unaccent_column_and_codegen(self, spark):
+        from pyspark.sql import functions as F
+
+        from gpdb_spark.functions.unaccent import unaccent
+
+        df = spark.createDataFrame(
+            [("naïve café",), ("Ærø ß Łódź",), (None,), ("plain",)],
+            "t string",
+        )
+        got = [r.u for r in df.select(unaccent("t").alias("u")).collect()]
+        assert got == ["naive cafe", "Aro S Lodz", None, "plain"]
+        plan = (
+            df.select(unaccent("t"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "EvalPython" not in plan

@@ -586,3 +586,26 @@ def test_refresh_only_replans_affected_views(tmp_path, spark):
     eng.sql = orig
     assert eng.sql("SELECT n FROM va").collect()[0].n == 2
     assert eng.sql("SELECT n FROM vb").collect()[0].n == 2
+
+
+def test_auto_explain_logs_slow_plans(spark, sf_dir):
+    """contrib/auto_explain: plans of statements crossing
+    log_min_duration land in the notice stream; below-threshold and
+    disabled modes log nothing."""
+    eng = Engine(spark, sf_dir)
+    base = len(eng.notices())
+
+    eng.auto_explain(0.0)  # log everything
+    eng.run("SELECT count(*) AS n FROM nation")
+    got = eng.notices()[base:]
+    assert len(got) == 1
+    assert "auto_explain: duration:" in got[0]
+    assert "ms" in got[0]
+
+    eng.auto_explain(10_000_000.0)  # nothing is that slow
+    eng.run("SELECT count(*) AS n FROM region")
+    assert len(eng.notices()) == base + 1
+
+    eng.auto_explain(None)  # GUC -1: disabled
+    eng.run("SELECT count(*) AS n FROM region")
+    assert len(eng.notices()) == base + 1
