@@ -284,6 +284,9 @@ class Engine:
         text, path = self._matviews[name]
         self.sql(text).write.mode("overwrite").parquet(path)
         self.spark.read.parquet(path).createOrReplaceTempView(name)
+        # dependent logical views hold analyzed plans with the OLD file
+        # list (the overwrite deleted those parquet files) — re-plan them
+        self._replan_views(name)
 
     # -- DDL / catalog -------------------------------------------------------
 

@@ -50,9 +50,11 @@ def _to64(v: int, n: int) -> str:
 
 def md5_crypt(password: str | bytes, salt: str | bytes) -> str:
     """Pure-Python reference MD5-crypt (crypt-md5.c px_crypt_md5),
-    independent ground truth for the oracle and tests. ``salt`` may be
-    a bare salt, '$1$salt', or a full '$1$salt$hash' (the standard
-    crypt verify idiom: crypt(pw, stored) == stored)."""
+    independent ground truth for the oracle and tests. ``salt`` must
+    carry the '$1$' scheme prefix — '$1$salt' or a full '$1$salt$hash'
+    (the standard crypt verify idiom: crypt(pw, stored) == stored).
+    Bare salts raise: PG routes them to DES crypt (px-crypt.c), and
+    hashing them under md5-crypt here would silently diverge."""
     pw = password.encode() if isinstance(password, str) else password
     s = salt.decode() if isinstance(salt, bytes) else salt
     if s.startswith("$") and not s.startswith("$1$"):

@@ -28,7 +28,6 @@ def unaccent(text: Column | str) -> Column:
 
 def unaccent_sql_expr(expr: str) -> str:
     """The same mapping as a DuckDB/ANSI translate() call — for oracle
-    SQL construction."""
-    return f"translate({expr}, '{UNACCENT_SRC}', '{UNACCENT_DST}')".format(
-        expr=expr, UNACCENT_SRC=UNACCENT_SRC, UNACCENT_DST=UNACCENT_DST
-    )
+    SQL construction. ``expr`` is inserted verbatim (braces included —
+    no str.format re-scan)."""
+    return "translate(" + expr + ", '" + UNACCENT_SRC + "', '" + UNACCENT_DST + "')"

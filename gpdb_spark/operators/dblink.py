@@ -23,7 +23,9 @@ dblink's "AS t(col type, ...)" alias clause equivalent; pass
 
 from __future__ import annotations
 
+import math
 import sqlite3
+from contextlib import closing
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -76,26 +78,59 @@ def dblink_get_connections() -> list[str]:
 
 
 def _sniff_schema(path: str, sql: str) -> StructType:
-    with sqlite3.connect(path) as conn:
+    """Widening sniff over ALL probed rows (not just the first non-NULL:
+    SQLite columns are dynamically typed, so 1 followed by 2.5 is legal
+    and must widen to double; any str/num mix degrades to string)."""
+    with closing(sqlite3.connect(path)) as conn:
         cur = conn.execute(f"SELECT * FROM ({sql}) LIMIT 20")
         names = [d[0] for d in cur.description]
         rows = cur.fetchall()
     fields = []
     for i, name in enumerate(names):
-        ty = StringType()
+        kinds: set = set()
         for r in rows:
             v = r[i]
             if v is None:
                 continue
-            if isinstance(v, int):
-                ty = LongType()
+            if isinstance(v, bool) or isinstance(v, int):
+                kinds.add("int")
             elif isinstance(v, float):
-                ty = DoubleType()
+                kinds.add("float")
             elif isinstance(v, (bytes, bytearray)):
-                ty = BinaryType()
-            break
+                kinds.add("bin")
+            else:
+                kinds.add("str")
+        if kinds == {"int"}:
+            ty = LongType()
+        elif kinds and kinds <= {"int", "float"}:
+            ty = DoubleType()
+        elif kinds == {"bin"}:
+            ty = BinaryType()
+        else:  # str, mixed with str/bin, or all-NULL
+            ty = StringType()
         fields.append(StructField(name, ty))
     return StructType(fields)
+
+
+def _coerce_row(row: tuple, schema: StructType) -> tuple:
+    """Coerce one remote row onto the declared schema — the schema is a
+    sniff (or caller pin), while SQLite storage classes can vary per
+    row, and Spark's Python data-source conversion is strict."""
+    out = []
+    for v, f in zip(row, schema.fields):
+        if v is None:
+            out.append(None)
+        elif isinstance(f.dataType, LongType):
+            out.append(int(v))
+        elif isinstance(f.dataType, DoubleType):
+            out.append(float(v))
+        elif isinstance(f.dataType, StringType):
+            out.append(v if isinstance(v, str) else str(v))
+        elif isinstance(f.dataType, BinaryType):
+            out.append(bytes(v))
+        else:
+            out.append(v)
+    return tuple(out)
 
 
 class _Whole(InputPartition):
@@ -106,19 +141,21 @@ class DblinkReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.path = options["path"]
         self.sql = options["sql"]
+        self.out_schema = schema
 
     def partitions(self):
         # one remote cursor, like the reference's single libpq conn
         return [_Whole(0)]
 
     def read(self, partition) -> Iterator[tuple]:
-        with sqlite3.connect(self.path) as conn:
+        with closing(sqlite3.connect(self.path)) as conn:
             cur = conn.execute(self.sql)
             while True:
                 rows = cur.fetchmany(10_000)
                 if not rows:
                     break
-                yield from rows
+                for r in rows:
+                    yield _coerce_row(r, self.out_schema)
 
 
 class DblinkDataSource(DataSource):
@@ -163,7 +200,7 @@ def dblink_exec(conn: str, sql: str) -> str:
     """dblink_exec(conn, sql) — run remote DML/DDL, return a PG-style
     command status string (dblink.c dblink_exec)."""
     path = _resolve_path(conn)
-    with sqlite3.connect(path) as c:
+    with closing(sqlite3.connect(path)) as c:
         cur = c.execute(sql)
         c.commit()
         n = cur.rowcount if cur.rowcount is not None else 0
@@ -183,14 +220,20 @@ def dblink_exec(conn: str, sql: str) -> str:
 
 _CURSORS: dict[tuple[str, str], object] = {}
 _CURSOR_DBS: dict[tuple[str, str], object] = {}
+_CURSOR_SCHEMAS: dict[tuple[str, str], StructType] = {}
 
 
 def dblink_open(conn: str, cursor: str, sql: str) -> str:
-    """dblink_open(conn, curname, sql) — open a remote cursor."""
+    """dblink_open(conn, curname, sql) — open a remote cursor. The
+    record schema is fixed HERE (bounded LIMIT-20 probe, like dblink()'s
+    plan-time sniff) so every subsequent fetch of this cursor returns
+    the same schema — including batches where a column is all-NULL."""
     key = (conn, cursor)
     if key in _CURSORS:
         raise ValueError(f"cursor {cursor!r} already open on {conn!r}")
-    db = sqlite3.connect(_resolve_path(conn))
+    path = _resolve_path(conn)
+    _CURSOR_SCHEMAS[key] = _sniff_schema(path, sql)
+    db = sqlite3.connect(path)
     _CURSOR_DBS[key] = db
     _CURSORS[key] = db.execute(sql)
     return "OK"
@@ -205,17 +248,9 @@ def dblink_fetch(spark: SparkSession, conn: str, cursor: str, n: int):
     if key not in _CURSORS:
         raise ValueError(f"cursor {cursor!r} is not open on {conn!r}")
     cur = _CURSORS[key]
-    names = [d[0] for d in cur.description]
-    rows = cur.fetchmany(n)
-    if rows:
-        return spark.createDataFrame(rows, schema=names)
-    # empty fetch at end-of-cursor: all-string empty frame (record shape
-    # unknown without rows — callers at EOF only check emptiness)
-    from pyspark.sql.types import StringType, StructField, StructType
-
-    return spark.createDataFrame(
-        [], StructType([StructField(c, StringType()) for c in names])
-    )
+    schema = _CURSOR_SCHEMAS[key]
+    rows = [_coerce_row(r, schema) for r in cur.fetchmany(n)]
+    return spark.createDataFrame(rows, schema=schema)
 
 
 def dblink_close(conn: str, cursor: str) -> str:
@@ -223,6 +258,7 @@ def dblink_close(conn: str, cursor: str) -> str:
     if key not in _CURSORS:
         raise ValueError(f"cursor {cursor!r} is not open on {conn!r}")
     _CURSORS.pop(key)
+    _CURSOR_SCHEMAS.pop(key, None)
     _CURSOR_DBS.pop(key).close()
     return "OK"
 
@@ -236,7 +272,7 @@ def dblink_close(conn: str, cursor: str) -> str:
 def dblink_get_pkey(conn: str, table: str) -> list[tuple[int, str]]:
     """dblink_get_pkey: (position, column) pairs of the remote table's
     primary key (dblink.c:1517; here via sqlite PRAGMA table_info)."""
-    with sqlite3.connect(_resolve_path(conn)) as db:
+    with closing(sqlite3.connect(_resolve_path(conn))) as db:
         info = db.execute(f'PRAGMA table_info("{table}")').fetchall()
     if not info:
         raise ValueError(f"remote table {table!r} not found")
@@ -247,7 +283,15 @@ def dblink_get_pkey(conn: str, table: str) -> list[tuple[int, str]]:
 def _quote_lit(v) -> str:
     if v is None:
         return "NULL"
-    if isinstance(v, (int, float)):
+    if isinstance(v, bool):  # before int: bool IS an int subclass
+        return "1" if v else "0"  # portable (sqlite < 3.23 lacks TRUE)
+    if isinstance(v, (bytes, bytearray)):
+        return "X'" + bytes(v).hex() + "'"  # blob literal
+    if isinstance(v, float):
+        if not math.isfinite(v):
+            raise ValueError(f"non-finite float {v!r} has no SQL literal")
+        return repr(v)
+    if isinstance(v, int):
         return repr(v)
     return "'" + str(v).replace("'", "''") + "'"
 

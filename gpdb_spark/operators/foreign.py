@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import os
 import sqlite3
+from contextlib import closing
 from typing import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,7 +78,7 @@ _SQLITE_TYPE_MAP = {
 
 
 def _sqlite_schema(path: str, table: str) -> StructType:
-    with sqlite3.connect(path) as conn:
+    with closing(sqlite3.connect(path)) as conn:
         info = conn.execute(f'PRAGMA table_info("{table}")').fetchall()
     if not info:
         raise ValueError(f"foreign table {table!r} not found in {path}")
@@ -154,7 +155,7 @@ class SQLiteReader(DataSourceReader):
                 self.params.extend(params)
 
     def partitions(self) -> Sequence[InputPartition]:
-        with sqlite3.connect(self.path) as conn:
+        with closing(sqlite3.connect(self.path)) as conn:
             row = conn.execute(
                 f'SELECT MIN(rowid), MAX(rowid) FROM "{self.table}"'
             ).fetchone()
@@ -175,7 +176,7 @@ class SQLiteReader(DataSourceReader):
             f'SELECT {cols} FROM "{self.table}" '
             f"WHERE {' AND '.join(clauses)} ORDER BY rowid"
         )
-        with sqlite3.connect(self.path) as conn:
+        with closing(sqlite3.connect(self.path)) as conn:
             cur = conn.execute(sql, [partition.lo, partition.hi, *self.params])
             while True:
                 rows = cur.fetchmany(10_000)
@@ -239,7 +240,7 @@ def create_sqlite_table(path: str, table: str, rows: list[dict]) -> None:
         return "TEXT"
 
     ddl = ", ".join(f'"{c}" {decl(rows[0][c])}' for c in cols)
-    with sqlite3.connect(path) as conn:
+    with closing(sqlite3.connect(path)) as conn:
         conn.execute(f'DROP TABLE IF EXISTS "{table}"')
         conn.execute(f'CREATE TABLE "{table}" ({ddl})')
         conn.executemany(

@@ -152,9 +152,16 @@ def run_yaml(
         # Engine fixture view) must NOT be clobbered as a side effect of
         # one YAML job: capture its analyzed plan first and restore it
         # (or drop ours) after planning the query.
+        # only TEMP views are captured/restored — a persistent catalog
+        # table must NOT get a frozen temp-view snapshot installed over
+        # it (the snapshot would shadow later inserts); for those names
+        # the temp view we create below is simply dropped again
+        temp_names = {
+            t.name for t in spark.catalog.listTables() if t.isTemporary
+        }
         saved: dict = {}
         for tname in tables or {}:
-            if spark.catalog.tableExists(tname):
+            if tname in temp_names:
                 saved[tname] = spark.table(tname)
         try:
             for tname, tdf in (tables or {}).items():

@@ -314,3 +314,15 @@ class TestUnaccent:
             .toString()
         )
         assert "EvalPython" not in plan
+
+    def test_unaccent_sql_expr_brace_safe(self):
+        """Review regression: expr containing braces must pass through
+        verbatim (no str.format re-scan)."""
+        from gpdb_spark.functions.unaccent import (
+            UNACCENT_SRC,
+            unaccent_sql_expr,
+        )
+
+        out = unaccent_sql_expr("replace(t, '{', '')")
+        assert out.startswith("translate(replace(t, '{', ''), ")
+        assert UNACCENT_SRC in out

@@ -609,3 +609,25 @@ def test_auto_explain_logs_slow_plans(spark, sf_dir):
     eng.auto_explain(None)  # GUC -1: disabled
     eng.run("SELECT count(*) AS n FROM region")
     assert len(eng.notices()) == base + 1
+
+
+def test_matview_refresh_replans_dependent_views(tmp_path, spark):
+    """Review regression: REFRESH MATERIALIZED VIEW overwrites the
+    parquet files, so dependent logical views must re-plan (their
+    frozen plans point at the deleted files)."""
+    eng = Engine(spark)
+    df = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    eng.create_table("mbase", df, str(tmp_path / "mbase"),
+                     distributed_by=["id"])
+    eng.create_materialized_view(
+        "mv1", "SELECT id, v FROM mbase", str(tmp_path / "mv1")
+    )
+    eng.create_view("vm", "SELECT count(*) AS n, sum(v) AS s FROM mv1")
+    assert eng.sql("SELECT n FROM vm").collect()[0].n == 1
+
+    eng.execute_dml("INSERT INTO mbase VALUES (2, 7.0)")
+    # matview frozen until refresh — and the dependent view with it
+    assert eng.sql("SELECT n FROM vm").collect()[0].n == 1
+    eng.refresh_materialized_view("mv1")
+    row = eng.sql("SELECT n, s FROM vm").collect()[0]
+    assert row.n == 2 and row.s == 12.0

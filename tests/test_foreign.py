@@ -260,3 +260,76 @@ def test_dblink_pkey_and_sql_builders(tmp_path):
     assert dblink_exec(path, dele) == "DELETE 1"
     with s3.connect(path) as db:
         assert db.execute("SELECT a, b, c FROM t").fetchall() == [(1, "x", 9.0)]
+
+
+def test_dblink_fetch_stable_schema_with_nulls(spark, tmp_path):
+    """Review regression: the cursor's record schema is fixed at open
+    (probe), so a batch whose column is all-NULL still builds, and
+    successive fetches share one schema."""
+    from gpdb_spark.operators.dblink import (
+        dblink_close,
+        dblink_fetch,
+        dblink_open,
+    )
+    from gpdb_spark.operators.foreign import create_sqlite_table
+
+    path = str(tmp_path / "nulls.db")
+    create_sqlite_table(
+        path, "t",
+        [dict(k=1, v="a"), dict(k=2, v=None), dict(k=3, v=None)],
+    )
+    dblink_open(path, "c", "SELECT k, v FROM t ORDER BY k")
+    b1 = dblink_fetch(spark, path, "c", 1)
+    b2 = dblink_fetch(spark, path, "c", 2)  # v all-NULL in this batch
+    assert b1.schema == b2.schema
+    assert [r.v for r in b2.collect()] == [None, None]
+    dblink_close(path, "c")
+
+
+def test_dblink_sniff_widens_mixed_storage_classes(spark, tmp_path):
+    """Review regression: SQLite columns are dynamically typed — int
+    then float must widen to double (scanning ALL probed rows, not the
+    first non-NULL), and the reader coerces rows onto the schema."""
+    import sqlite3 as s3
+
+    from gpdb_spark.operators.dblink import dblink
+
+    path = str(tmp_path / "mixed.db")
+    with s3.connect(path) as db:
+        db.execute("CREATE TABLE m (x NUMERIC, y TEXT)")
+        db.executemany(
+            "INSERT INTO m VALUES (?, ?)",
+            [(1, None), (2.5, "b"), (3, "c")],
+        )
+        db.commit()
+    df = dblink(spark, path, "SELECT x, y FROM m ORDER BY rowid")
+    assert df.schema["x"].dataType.simpleString() == "double"
+    assert [r.x for r in df.collect()] == [1.0, 2.5, 3.0]
+
+
+def test_dblink_quote_lit_edge_types(tmp_path):
+    """Review regression: bool (an int subclass), bytes, and
+    non-finite floats in the SQL builders."""
+    import sqlite3 as s3
+
+    import pytest as _pytest
+
+    from gpdb_spark.operators.dblink import (
+        dblink_build_sql_insert,
+        dblink_exec,
+    )
+
+    path = str(tmp_path / "lit.db")
+    with s3.connect(path) as db:
+        db.execute("CREATE TABLE t (b INTEGER, blob BLOB, f REAL)")
+        db.commit()
+    ins = dblink_build_sql_insert("t", ["b", "blob", "f"],
+                                  [True, b"\x01\xff", 0.5])
+    assert "X'01ff'" in ins and "(1, " in ins
+    assert dblink_exec(path, ins) == "INSERT 0 1"
+    with s3.connect(path) as db:
+        assert db.execute("SELECT b, blob, f FROM t").fetchall() == [
+            (1, b"\x01\xff", 0.5)
+        ]
+    with _pytest.raises(ValueError, match="non-finite"):
+        dblink_build_sql_insert("t", ["f"], [float("inf")])

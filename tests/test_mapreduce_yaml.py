@@ -206,3 +206,46 @@ EXECUTE:
     # ...and the view the job introduced is gone again
     assert not spark.catalog.tableExists("other")
     spark.catalog.dropTempView("docs")
+
+
+def test_query_input_does_not_shadow_persistent_table(spark):
+    """Review regression: a PERSISTENT catalog table sharing a name
+    with a YAML input must not end up shadowed by a frozen temp-view
+    snapshot — the job's temp view is dropped, not 'restored'."""
+    doc = """
+DEFINE:
+  - INPUT:
+      NAME: src
+      QUERY: "SELECT txt AS value FROM mr_perm"
+  - MAP:
+      NAME: m
+      FUNCTION: |
+        yield [value, 1]
+      LANGUAGE: python
+      PARAMETERS: value text
+      RETURNS:
+        - key text
+        - value integer
+EXECUTE:
+  - RUN:
+      SOURCE: src
+      MAP: m
+      REDUCE: SUM
+"""
+    spark.sql("DROP TABLE IF EXISTS mr_perm")
+    spark.createDataFrame([("stored",)], "txt string") \
+        .write.saveAsTable("mr_perm")
+    try:
+        yaml_df = spark.createDataFrame([("yaml",)], "txt string")
+        out = run_yaml(spark, doc, tables={"mr_perm": yaml_df})
+        assert {r.key for r in out.collect()} == {"yaml"}
+        # no temp view left shadowing the real table
+        assert not any(
+            t.name == "mr_perm" and t.isTemporary
+            for t in spark.catalog.listTables()
+        )
+        assert [r.txt for r in spark.table("mr_perm").collect()] == [
+            "stored"
+        ]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mr_perm")
