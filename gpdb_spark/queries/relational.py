@@ -100,8 +100,17 @@ def join_cross(spark, sf_dir):
 
 @query(
     "join_notin_nullaware",
+    # Two branches so the row can never be TRIVIALLY green: 'no_nulls'
+    # is an ordinary NOT IN (returns rows), 'with_null' injects a NULL
+    # into the subquery set and must return ZERO rows by tri-valued
+    # logic — its absence is part of the compared hash.
     oracle="""
-    SELECT c_custkey FROM customer
+    SELECT c_custkey, 'no_nulls' AS variant FROM customer
+    WHERE c_custkey < 200
+      AND c_nationkey NOT IN (
+        SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+    UNION ALL
+    SELECT c_custkey, 'with_null' AS variant FROM customer
     WHERE c_custkey < 200
       AND c_nationkey NOT IN (
         SELECT CASE WHEN n_nationkey < 5 THEN NULL ELSE n_nationkey END
@@ -110,26 +119,33 @@ def join_cross(spark, sf_dir):
 )
 def join_notin_nullaware(spark, sf_dir):
     """Null-aware anti join — GPDB JOIN_LASJ_NOTIN (nodes.h:739-776,
-    convert_IN_to_antijoin cdbsubselect.c:1465). The subquery contains
-    NULLs, so tuples only qualify when the subquery-side null set is
-    handled per tri-valued logic. Expressed as an anti join whose
-    condition is true on (match OR either-side-null)."""
+    convert_IN_to_antijoin cdbsubselect.c:1465). Two variants: the
+    null-free subquery behaves as a plain anti join (non-empty — keeps
+    this row from matching trivially on any corpus), while the
+    NULL-containing subquery must reject EVERY tuple per tri-valued
+    logic. Both expressed as anti joins whose condition is true on
+    (match OR either-side-null)."""
     c = t(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
-    sub = (
-        t(spark, sf_dir, "nation")
-        .where(F.col("n_regionkey") == 2)
-        .select(
+
+    def branch(with_null: bool, tag: str):
+        sub = t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2)
+        k = (
             F.when(F.col("n_nationkey") < 5, F.lit(None))
             .otherwise(F.col("n_nationkey"))
-            .alias("k")
+            if with_null
+            else F.col("n_nationkey")
         )
-    )
-    cond = (
-        (c.c_nationkey == F.col("k"))
-        | c.c_nationkey.isNull()
-        | F.col("k").isNull()
-    )
-    return c.join(sub, cond, "left_anti").select("c_custkey")
+        sub = sub.select(k.alias("k"))
+        cond = (
+            (c.c_nationkey == F.col("k"))
+            | c.c_nationkey.isNull()
+            | F.col("k").isNull()
+        )
+        return c.join(sub, cond, "left_anti").select(
+            "c_custkey", F.lit(tag).alias("variant")
+        )
+
+    return branch(False, "no_nulls").unionAll(branch(True, "with_null"))
 
 
 @query(

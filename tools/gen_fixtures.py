@@ -30,10 +30,14 @@ PNOUNS = ["bolt", "widget", "rod", "anvil", "ring", "gear", "plate", "cog"]
 PADJS = ["small", "old", "new", "blue", "cold", "big", "red", "dim"]
 ETYPES = ["click", "view", "purchase", "signup", "error"]
 LANGS = ["en", "de", "fr", "es", "zh"]
+# Full driver-corpus vocabulary (all 31 distinct words observed in
+# /root/testdata documents) — a fuzz twin missing query-predicate words
+# ('vector', 'dup') silently turns the fulltext/near-dup queries into
+# trivially-green 0-row matches.
 WORDS = (
     "key agg row scan slow fast table value part hash merge batch line sort "
     "window spark order data column join small customer query big the a group "
-    "filter stream"
+    "filter stream vector"
 ).split()
 
 DAY_US = 86_400_000_000
@@ -167,9 +171,17 @@ def main(outdir: str, seed: int = 1337, scale: float = 1.0) -> None:
         # engines — this pins that contract)
         texts[12] = "Hello, World! (test) -- end... a:b;c 100% $5.00"
         texts[13] = "MiXeD CaSe WORDS lower UPPER"
-    # a few exact duplicates, as the driver's corpus has
+    # a few exact duplicates, as the driver's corpus has. Each dup pair
+    # carries a rare ' dup' marker token (mirroring the driver corpus,
+    # where 'dup' appears only in its ~25 duplicate docs): with the
+    # 31-word pool every ordinary token exceeds the 50% df-cutoff, so
+    # without a rare marker the jaccard/near-dup queries degenerate to
+    # trivially-green 0-row matches on reseeded twins.
     for i in range(0, n_doc, 37):
-        texts[i] = texts[(i + 11) % n_doc]
+        j = (i + 11) % n_doc
+        if not texts[j].rstrip().endswith("dup"):
+            texts[j] = (texts[j] + " dup").strip()
+        texts[i] = texts[j]
     write(
         "documents",
         doc_id=np.arange(1, n_doc + 1, dtype=np.int64),
