@@ -49,6 +49,7 @@ DRIVER_PRIORITY: list[str] = [
     "pgcrypto_encrypt_raw",
     "plpgsql_forc_move",
     "unaccent_func",
+    "isn_check_digits",
     # newly oracled under its primary name (portable hash family)
     "dedup_minhash_clusters",
     # the 33 remaining never-driver-checked queries (all local-MATCH)

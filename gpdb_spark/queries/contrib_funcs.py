@@ -688,3 +688,101 @@ def unaccent_func(spark, sf_dir):
         unaccent(acc).alias("unaccented"),
         unaccent(F.lit("Ærø ß Łódź Œuf ёЁ")).alias("gold"),
     )
+
+
+_EAN_SUM = " + ".join(
+    f"CAST(substr(b12, {i}, 1) AS INT) * {1 if (i - 1) % 2 == 0 else 3}"
+    for i in range(1, 13)
+)
+_ISBN_SUM = " + ".join(
+    f"CAST(substr(b9, {i}, 1) AS INT) * {11 - i}" for i in range(1, 10)
+)
+
+
+@query(
+    "isn_check_digits",
+    # the oracle re-derives both checksum schemes as explicit positional
+    # arithmetic — independent of the engine's HOF formulation
+    oracle=f"""
+    WITH src AS (
+      SELECT p_partkey,
+             lpad(CAST((p_partkey * 7919) % 1000000000000 AS VARCHAR),
+                  12, '0') AS b12,
+             lpad(CAST((p_partkey * 104729) % 1000000000 AS VARCHAR),
+                  9, '0') AS b9
+      FROM part WHERE p_partkey <= 300
+    ), chk AS (
+      SELECT p_partkey, b12, b9,
+             (10 - ({_EAN_SUM}) % 10) % 10 AS ec,
+             (11 - ({_ISBN_SUM}) % 11) % 11 AS iw
+      FROM src
+    )
+    SELECT p_partkey,
+           b12 || CAST(ec AS VARCHAR) AS ean13,
+           TRUE AS ean_ok,
+           FALSE AS ean_corrupt_ok,
+           b9 || (CASE WHEN iw = 10 THEN 'X' ELSE CAST(iw AS VARCHAR) END)
+               AS isbn10,
+           TRUE AS isbn_ok,
+           '978' || b9 || CAST(
+             (10 - (CAST(substr('978' || b9, 1, 1) AS INT) * 1
+                  + CAST(substr('978' || b9, 2, 1) AS INT) * 3
+                  + CAST(substr('978' || b9, 3, 1) AS INT) * 1
+                  + CAST(substr('978' || b9, 4, 1) AS INT) * 3
+                  + CAST(substr('978' || b9, 5, 1) AS INT) * 1
+                  + CAST(substr('978' || b9, 6, 1) AS INT) * 3
+                  + CAST(substr('978' || b9, 7, 1) AS INT) * 1
+                  + CAST(substr('978' || b9, 8, 1) AS INT) * 3
+                  + CAST(substr('978' || b9, 9, 1) AS INT) * 1
+                  + CAST(substr('978' || b9, 10, 1) AS INT) * 3
+                  + CAST(substr('978' || b9, 11, 1) AS INT) * 1
+                  + CAST(substr('978' || b9, 12, 1) AS INT) * 3) % 10) % 10
+             AS VARCHAR) AS isbn13
+    FROM chk
+    """,
+)
+def isn_check_digits(spark, sf_dir):
+    """contrib/isn (isn.c checkdig mod-10/3-weight EAN13,
+    weight_checkdig mod-11 ISBN10): check-digit derivation, full-number
+    validation (plus a corrupted-digit negative case), and the
+    ISBN10 -> ISBN13 Bookland conversion. All JVM zip_with/aggregate
+    HOFs — codegen, no shuffle; bodies synthesized deterministically
+    from p_partkey so both engines derive identical inputs."""
+    from gpdb_spark.functions.isn import (
+        ean13_check_digit,
+        is_valid_ean13,
+        is_valid_isbn10,
+        isbn10_check_digit,
+        isbn13_from_isbn10,
+    )
+
+    p = t(spark, sf_dir, "part").where(F.col("p_partkey") <= 300)
+    src = p.select(
+        "p_partkey",
+        F.lpad(
+            ((F.col("p_partkey") * 7919) % 1000000000000).cast("string"),
+            12, "0",
+        ).alias("b12"),
+        F.lpad(
+            ((F.col("p_partkey") * 104729) % 1000000000).cast("string"),
+            9, "0",
+        ).alias("b9"),
+    )
+    ean = F.concat(
+        F.col("b12"), ean13_check_digit("b12").cast("string")
+    )
+    # corrupt the LAST digit (+1 mod 10): always invalid
+    corrupt = F.concat(
+        F.col("b12"),
+        ((ean13_check_digit("b12") + 1) % 10).cast("string"),
+    )
+    isbn = F.concat(F.col("b9"), isbn10_check_digit("b9"))
+    return src.select(
+        "p_partkey",
+        ean.alias("ean13"),
+        is_valid_ean13(ean).alias("ean_ok"),
+        is_valid_ean13(corrupt).alias("ean_corrupt_ok"),
+        isbn.alias("isbn10"),
+        is_valid_isbn10(isbn).alias("isbn_ok"),
+        isbn13_from_isbn10(isbn).alias("isbn13"),
+    )

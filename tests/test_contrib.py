@@ -326,3 +326,51 @@ class TestUnaccent:
         out = unaccent_sql_expr("replace(t, '{', '')")
         assert out.startswith("translate(replace(t, '{', ''), ")
         assert UNACCENT_SRC in out
+
+
+class TestIsn:
+    def test_known_checksums(self, spark):
+        """Real-world vectors: the classic EAN 4006381333931, ISBN10
+        0306406152 (check 2), 097522980X ('X' = 10), and the Bookland
+        conversion 0306406152 -> 9780306406157."""
+        from pyspark.sql import functions as F
+
+        from gpdb_spark.functions.isn import (
+            ean13_check_digit,
+            is_valid_ean13,
+            is_valid_isbn10,
+            isbn10_check_digit,
+            isbn13_from_isbn10,
+        )
+
+        df = spark.range(1)
+        r = df.select(
+            ean13_check_digit(F.lit("400638133393")).alias("e"),
+            is_valid_ean13(F.lit("4006381333931")).alias("ev"),
+            is_valid_ean13(F.lit("4006381333932")).alias("ev_bad"),
+            is_valid_ean13(F.lit("40063813339")).alias("ev_short"),
+            is_valid_ean13(F.lit("40063813339ab")).alias("ev_alpha"),
+            isbn10_check_digit(F.lit("030640615")).alias("i"),
+            is_valid_isbn10(F.lit("0306406152")).alias("iv"),
+            is_valid_isbn10(F.lit("097522980X")).alias("ivx"),
+            is_valid_isbn10(F.lit("0975229801")).alias("ivx_bad"),
+            isbn13_from_isbn10(F.lit("0306406152")).alias("b13"),
+        ).collect()[0]
+        assert r.e == 1 and r.ev and not r.ev_bad
+        assert not r.ev_short and not r.ev_alpha
+        assert r.i == "2" and r.iv and r.ivx and not r.ivx_bad
+        assert r.b13 == "9780306406157"
+
+    def test_isn_stays_jvm_side(self, spark):
+        from pyspark.sql import functions as F
+
+        from gpdb_spark.functions.isn import is_valid_ean13
+
+        df = spark.range(4).select(
+            F.lpad(F.col("id").cast("string"), 13, "0").alias("s")
+        )
+        plan = (
+            df.select(is_valid_ean13("s"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "EvalPython" not in plan
