@@ -50,6 +50,7 @@ DRIVER_PRIORITY: list[str] = [
     "plpgsql_forc_move",
     "unaccent_func",
     "isn_check_digits",
+    "cube_ops",
     # newly oracled under its primary name (portable hash family)
     "dedup_minhash_clusters",
     # the 33 remaining never-driver-checked queries (all local-MATCH)

@@ -786,3 +786,87 @@ def isn_check_digits(spark, sf_dir):
         is_valid_isbn10(isbn).alias("isbn_ok"),
         isbn13_from_isbn10(isbn).alias("isbn13"),
     )
+
+
+_CUBE_DIMS = []
+for _d in (1, 2, 3):
+    _CUBE_DIMS.append(dict(
+        alo=f"(k * {_d} * 1.5 - 10.0)", ahi=f"(k * {_d} * 1.5 - 10.0 + {_d})",
+        blo=f"(k2 * {_d} * 1.5 - 10.0)", bhi=f"(k2 * {_d} * 1.5 - 10.0 + {_d})",
+    ))
+_CUBE_GAPS = " + ".join(
+    f"pow(greatest({d['alo']} - {d['bhi']}, {d['blo']} - {d['ahi']}, 0.0), 2)"
+    for d in _CUBE_DIMS
+)
+
+
+@query(
+    "cube_ops",
+    # independent oracle: 3 dims as explicit scalar arithmetic (no list
+    # machinery), same deterministic coordinate derivation from keys
+    oracle=f"""
+    WITH pts AS (
+      SELECT n_nationkey AS k, n_nationkey + 1 AS k2
+      FROM nation WHERE n_nationkey < 24
+    )
+    SELECT k,
+           3 AS ndim,
+           TRUE AS union_contains_a,
+           ({_CUBE_DIMS[0]['alo']} <= {_CUBE_DIMS[0]['bhi']}
+            AND {_CUBE_DIMS[0]['blo']} <= {_CUBE_DIMS[0]['ahi']})
+           AND ({_CUBE_DIMS[1]['alo']} <= {_CUBE_DIMS[1]['bhi']}
+            AND {_CUBE_DIMS[1]['blo']} <= {_CUBE_DIMS[1]['ahi']})
+           AND ({_CUBE_DIMS[2]['alo']} <= {_CUBE_DIMS[2]['bhi']}
+            AND {_CUBE_DIMS[2]['blo']} <= {_CUBE_DIMS[2]['ahi']})
+             AS ab_overlap,
+           (floor(sqrt({_CUBE_GAPS}) * 1e6) / 1e6) AS dist,
+           least({_CUBE_DIMS[0]['alo']}, {_CUBE_DIMS[0]['blo']}) AS u_ll1,
+           greatest({_CUBE_DIMS[2]['ahi']}, {_CUBE_DIMS[2]['bhi']}) AS u_ur3,
+           greatest({_CUBE_DIMS[0]['alo']}, {_CUBE_DIMS[0]['blo']}) AS i_ll1,
+           FALSE AS is_pt
+    FROM pts
+    """,
+)
+def cube_ops(spark, sf_dir):
+    """contrib/cube (cube.c): n-dim boxes as struct(lo,hi) arrays with
+    zip_with/aggregate HOF predicates — construction, @> containment
+    (union must contain its input), && overlap, closest-point euclidean
+    cube_distance (floor-truncated per float policy), union/intersection
+    coordinates, cube_is_point. GiST ops are n/a (no secondary indexes:
+    predicates run as scan filters, as the reference does unindexed)."""
+    from gpdb_spark.functions.cube import (
+        cube,
+        cube_contains,
+        cube_dim,
+        cube_distance,
+        cube_inter,
+        cube_is_point,
+        cube_ll_coord,
+        cube_overlap,
+        cube_union,
+        cube_ur_coord,
+    )
+
+    n = t(spark, sf_dir, "nation").where(F.col("n_nationkey") < 24)
+    k = F.col("n_nationkey").cast("double")
+    k2 = k + 1
+
+    def box(key):
+        lo = F.array(*[key * d * 1.5 - 10.0 for d in (1, 2, 3)])
+        hi = F.array(*[key * d * 1.5 - 10.0 + d for d in (1, 2, 3)])
+        return cube(lo, hi)
+
+    src = n.select(F.col("n_nationkey").alias("k"),
+                   box(k).alias("a"), box(k2).alias("b"))
+    u = cube_union("a", "b")
+    return src.select(
+        "k",
+        cube_dim("a").alias("ndim"),
+        cube_contains(u, F.col("a")).alias("union_contains_a"),
+        cube_overlap("a", "b").alias("ab_overlap"),
+        fr(cube_distance("a", "b"), 6).alias("dist"),
+        cube_ll_coord(u, 1).alias("u_ll1"),
+        cube_ur_coord(u, 3).alias("u_ur3"),
+        cube_ll_coord(cube_inter("a", "b"), 1).alias("i_ll1"),
+        cube_is_point("a").alias("is_pt"),
+    )

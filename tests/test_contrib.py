@@ -374,3 +374,72 @@ class TestIsn:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "EvalPython" not in plan
+
+
+class TestCube:
+    def test_cube_semantics(self, spark):
+        """cube.c semantics: constructor normalization (LL <= UR),
+        containment/overlap, distance between disjoint boxes, union,
+        non-normalized disjoint intersection, enlarge with midpoint
+        clamp, point detection."""
+        from pyspark.sql import functions as F
+
+        from gpdb_spark.functions.cube import (
+            cube,
+            cube_contains,
+            cube_dim,
+            cube_distance,
+            cube_enlarge,
+            cube_inter,
+            cube_is_point,
+            cube_ll_coord,
+            cube_overlap,
+            cube_union,
+            cube_ur_coord,
+        )
+
+        df = spark.range(1)
+        a = cube(F.array(F.lit(0.0), F.lit(0.0)),
+                 F.array(F.lit(2.0), F.lit(2.0)))
+        # constructor normalizes swapped coords
+        b = cube(F.array(F.lit(5.0), F.lit(1.0)),
+                 F.array(F.lit(3.0), F.lit(0.0)))
+        pt = cube(F.array(F.lit(1.0), F.lit(1.0)))
+        r = df.select(
+            cube_dim(a).alias("d"),
+            cube_contains(a, pt).alias("a_has_pt"),
+            cube_contains(pt, a).alias("pt_has_a"),
+            cube_overlap(a, b).alias("ab_ov"),
+            cube_distance(a, b).alias("dist"),
+            cube_ll_coord(b, 1).alias("b_ll1"),  # normalized to 3.0
+            cube_ur_coord(cube_union(a, b), 1).alias("u_ur1"),
+            cube_ll_coord(cube_inter(a, b), 1).alias("i_ll1"),
+            cube_ur_coord(cube_inter(a, b), 1).alias("i_ur1"),
+            cube_is_point(pt).alias("is_pt"),
+            cube_is_point(a).alias("a_is_pt"),
+            cube_ll_coord(cube_enlarge(a, 0.5), 1).alias("e_ll1"),
+            cube_ll_coord(cube_enlarge(a, -5.0), 1).alias("shrunk_ll1"),
+        ).collect()[0]
+        assert r.d == 2 and r.a_has_pt and not r.pt_has_a
+        assert not r.ab_ov
+        assert r.dist == 1.0  # x-gap 1, y overlaps
+        assert r.b_ll1 == 3.0 and r.u_ur1 == 5.0
+        # disjoint intersection is a pseudo-box (lo > hi), like cube.c
+        assert r.i_ll1 == 3.0 and r.i_ur1 == 2.0
+        assert r.is_pt and not r.a_is_pt
+        assert r.e_ll1 == -0.5
+        assert r.shrunk_ll1 == 1.0  # clamped at midpoint
+
+    def test_cube_stays_jvm_side(self, spark):
+        from pyspark.sql import functions as F
+
+        from gpdb_spark.functions.cube import cube, cube_distance
+
+        df = spark.range(8).select(
+            F.array(F.col("id").cast("double")).alias("p")
+        )
+        plan = (
+            df.select(cube_distance(cube("p"), cube("p")))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "EvalPython" not in plan
