@@ -51,6 +51,7 @@ DRIVER_PRIORITY: list[str] = [
     "unaccent_func",
     "isn_check_digits",
     "cube_ops",
+    "fulltext_dicts",
     # newly oracled under its primary name (portable hash family)
     "dedup_minhash_clusters",
     # the 33 remaining never-driver-checked queries (all local-MATCH)

@@ -295,3 +295,54 @@ def ts_rank_weighted(
     return allp.groupBy("id").agg(rank.alias("rank")).select(
         F.col("id").alias(id_col), "rank"
     )
+
+
+def dict_int_lexize(
+    tok: Column | str, maxlen: int = 6, rejectlong: bool = False
+) -> Column:
+    """contrib/dict_int (dict_int.c intdict_lexize): normalize integer
+    tokens — digits longer than ``maxlen`` are truncated (default, like
+    the module's maxlen=6) or rejected to NULL (rejectlong=true).
+    Non-digit tokens pass through unchanged (the dictionary only fires
+    on int/uint token types)."""
+    t = F.col(tok) if isinstance(tok, str) else tok
+    is_int = t.rlike("^[0-9]+$")
+    too_long = F.length(t) > maxlen
+    if rejectlong:
+        return F.when(is_int & too_long, F.lit(None)).otherwise(t)
+    return F.when(is_int & too_long, F.substring(t, 1, maxlen)).otherwise(t)
+
+
+def expand_xsyn(
+    toks: Column,
+    rules: dict[str, list[str]],
+    keeporig: bool = True,
+    matchsynonyms: bool = False,
+) -> Column:
+    """contrib/dict_xsyn (dict_xsyn.c xsyn_lexize): expand each token
+    through the synonym rules — a headword emits [orig?] + synonyms
+    (keeporig, dict_xsyn.c:240); with matchsynonyms=true the synonyms
+    themselves also map to their group. The rule map is a plan-time
+    literal (broadcast-free constant folding); expansion is one
+    flatten(transform(...)) — JVM, no shuffle."""
+    expanded: dict[str, list[str]] = {}
+    for word, syns in rules.items():
+        group = ([word] if keeporig else []) + list(syns)
+        expanded[word] = group
+        if matchsynonyms:
+            for s in syns:
+                group_s = ([s] if keeporig else []) + [word] + [
+                    x for x in syns if x != s
+                ]
+                expanded.setdefault(s, group_s)
+    pairs = []
+    for word, group in expanded.items():
+        pairs.append(F.lit(word))
+        pairs.append(F.array(*[F.lit(g) for g in group]))
+    m = F.create_map(*pairs) if pairs else F.create_map()
+    return F.flatten(
+        F.transform(
+            toks,
+            lambda t: F.coalesce(F.element_at(m, t), F.array(t)),
+        )
+    )

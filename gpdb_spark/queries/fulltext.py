@@ -266,3 +266,65 @@ def fulltext_tfidf_rank(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.sum("term").cast("double").alias("tfidf"))
     )
+
+
+@query(
+    "fulltext_dicts",
+    # oracle mirrors the two dictionaries independently: xsyn expansion
+    # as a per-token CASE into lists (same rules, re-derived), dict_int
+    # as substr/length arithmetic
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS toks,
+               CAST(length(text) AS VARCHAR) AS len_tok
+        FROM documents WHERE doc_id <= 120
+    ), ex AS (
+        SELECT doc_id, toks, len_tok,
+               flatten(list_transform(toks, t -> CASE
+                   WHEN t = 'fast' THEN ['fast', 'quick', 'rapid']
+                   WHEN t = 'spark' THEN ['spark', 'flame']
+                   ELSE [t] END)) AS etoks
+        FROM tk
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_before,
+           CAST(len(etoks) AS INT) AS n_after,
+           list_contains(etoks, 'quick') AS syn_match,
+           CASE WHEN length(len_tok) > 3 THEN substr(len_tok, 1, 3)
+                ELSE len_tok END AS len_trunc,
+           CASE WHEN length(len_tok) > 3 THEN NULL ELSE len_tok END
+               AS len_reject
+    FROM ex
+    """,
+)
+def fulltext_dicts(spark, sf_dir):
+    """Text-search dictionaries (contrib/dict_xsyn xsyn_lexize,
+    contrib/dict_int intdict_lexize): synonym expansion of the token
+    stream through a plan-time literal rule map ('fast' -> quick/rapid,
+    'spark' -> flame) so querying a synonym matches the headword, and
+    integer-token normalization (maxlen truncate vs rejectlong) applied
+    to the document-length digit token. All JVM map/flatten/transform
+    HOFs, zero shuffle."""
+    from gpdb_spark.datapipe.text import tokens as _tokens
+    from gpdb_spark.functions.fulltext import dict_int_lexize, expand_xsyn
+
+    rules = {"fast": ["quick", "rapid"], "spark": ["flame"]}
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") <= 120)
+    src = d.select(
+        "doc_id",
+        _tokens(F.col("text")).alias("toks"),
+        F.length("text").cast("string").alias("len_tok"),
+    )
+    e = src.withColumn("etoks", expand_xsyn(F.col("toks"), rules))
+    return e.select(
+        "doc_id",
+        F.array_size("toks").alias("n_before"),
+        F.array_size("etoks").alias("n_after"),
+        F.array_contains("etoks", "quick").alias("syn_match"),
+        dict_int_lexize("len_tok", maxlen=3).alias("len_trunc"),
+        dict_int_lexize("len_tok", maxlen=3, rejectlong=True).alias(
+            "len_reject"
+        ),
+    )

@@ -443,3 +443,49 @@ class TestCube:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "EvalPython" not in plan
+
+
+class TestTsDictionaries:
+    def test_xsyn_keeporig_and_matchsynonyms(self, spark):
+        """dict_xsyn.c option semantics: keeporig drops/keeps the
+        headword; matchsynonyms makes synonyms map back to the group."""
+        from pyspark.sql import functions as F
+
+        from gpdb_spark.functions.fulltext import expand_xsyn
+
+        df = spark.createDataFrame(
+            [(["supernova", "x"],), (["sn", "y"],)], "toks array<string>"
+        )
+        rules = {"supernova": ["sn", "sne", "1987a"]}
+        keep = df.select(
+            expand_xsyn(F.col("toks"), rules).alias("e")
+        ).collect()
+        assert keep[0].e == ["supernova", "sn", "sne", "1987a", "x"]
+        assert keep[1].e == ["sn", "y"]  # synonym not expanded by default
+
+        nokeep = df.select(
+            expand_xsyn(F.col("toks"), rules, keeporig=False).alias("e")
+        ).collect()
+        assert nokeep[0].e == ["sn", "sne", "1987a", "x"]
+
+        msyn = df.select(
+            expand_xsyn(F.col("toks"), rules, matchsynonyms=True).alias("e")
+        ).collect()
+        assert msyn[1].e[0] == "sn"  # keeporig
+        assert "supernova" in msyn[1].e  # synonym maps to group
+
+    def test_dict_int_options(self, spark):
+        from pyspark.sql import functions as F
+
+        from gpdb_spark.functions.fulltext import dict_int_lexize
+
+        df = spark.createDataFrame(
+            [("1234567890",), ("123456",), ("abc123",), (None,)],
+            "t string",
+        )
+        out = df.select(
+            dict_int_lexize("t").alias("trunc"),
+            dict_int_lexize("t", rejectlong=True).alias("rej"),
+        ).collect()
+        assert [r.trunc for r in out] == ["123456", "123456", "abc123", None]
+        assert [r.rej for r in out] == [None, "123456", "abc123", None]
