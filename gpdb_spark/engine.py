@@ -322,6 +322,51 @@ class Engine:
     def gp_table(self, name: str) -> GpTable:
         return self._tables[name]
 
+    def pgstattuple(self, name: str) -> dict:
+        """contrib/pgstattuple (pgstattuple.c): physical table statistics.
+        On immutable parquet there are no dead tuples or free space by
+        construction (copy-on-write rewrites drop them — the analog of a
+        permanently-vacuumed table), so those fields are structurally 0;
+        reported instead: live tuple count (JVM-side), data file count,
+        on-disk bytes, and average tuple width from the two."""
+        import os as _os
+
+        tbl = self._tables[name]
+        n = self.table(name).count()
+        files = total = 0
+        for root, _dirs, names in _os.walk(tbl.path):
+            for f in names:
+                if f.endswith(".parquet"):
+                    files += 1
+                    total += _os.path.getsize(_os.path.join(root, f))
+        return {
+            "table_len": total,
+            "tuple_count": n,
+            "tuple_len": total,  # parquet bytes ARE the tuple bytes
+            "tuple_percent": 100.0 if total else 0.0,
+            "dead_tuple_count": 0,
+            "dead_tuple_len": 0,
+            "free_space": 0,
+            "data_files": files,
+            "avg_tuple_len": (total / n) if n else 0.0,
+        }
+
+    def prewarm(self, name: str) -> int:
+        """contrib/pg_prewarm: load a relation into cache ahead of use.
+        Spark analog: persist the table's DataFrame and materialize it
+        once; returns the number of cached rows (pg_prewarm returns
+        blocks read). Subsequent reads via ``table(name)`` still re-read
+        parquet (views stay current); the cached frame is returned for
+        callers that want the warmed lineage."""
+        df = self.table(name).persist()
+        n = df.count()
+        self._prewarmed = getattr(self, "_prewarmed", {})
+        old = self._prewarmed.pop(name, None)
+        if old is not None:
+            old.unpersist()
+        self._prewarmed[name] = df
+        return n
+
     # -- DML -----------------------------------------------------------------
 
     def insert_into(self, name: str, df: DataFrame) -> None:

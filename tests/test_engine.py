@@ -631,3 +631,29 @@ def test_matview_refresh_replans_dependent_views(tmp_path, spark):
     eng.refresh_materialized_view("mv1")
     row = eng.sql("SELECT n, s FROM vm").collect()[0]
     assert row.n == 2 and row.s == 12.0
+
+
+def test_pgstattuple_and_prewarm(tmp_path, spark):
+    """contrib/pgstattuple + pg_prewarm analogs: physical stats over the
+    parquet table (dead/free structurally 0 on copy-on-write storage),
+    and persist-based prewarm returning the cached row count."""
+    eng = Engine(spark)
+    df = spark.range(100).selectExpr("id", "id * 2.0 AS v")
+    eng.create_table("stat_t", df, str(tmp_path / "stat_t"),
+                     distributed_by=["id"])
+
+    s = eng.pgstattuple("stat_t")
+    assert s["tuple_count"] == 100
+    assert s["data_files"] >= 1
+    assert s["table_len"] > 0 and s["tuple_len"] == s["table_len"]
+    assert s["dead_tuple_count"] == 0 and s["free_space"] == 0
+    assert s["avg_tuple_len"] == s["table_len"] / 100
+
+    # DML rewrite keeps stats current (no dead tuples by construction)
+    eng.execute_dml("DELETE FROM stat_t WHERE id >= 50")
+    s2 = eng.pgstattuple("stat_t")
+    assert s2["tuple_count"] == 50 and s2["dead_tuple_count"] == 0
+
+    assert eng.prewarm("stat_t") == 50
+    # re-warm replaces the cached frame without leaking the old one
+    assert eng.prewarm("stat_t") == 50
