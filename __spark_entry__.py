@@ -52,6 +52,7 @@ DRIVER_PRIORITY: list[str] = [
     "isn_check_digits",
     "cube_ops",
     "fulltext_dicts",
+    "pg_named_window",
     # newly oracled under its primary name (portable hash family)
     "dedup_minhash_clusters",
     # the 33 remaining never-driver-checked queries (all local-MATCH)

@@ -622,3 +622,35 @@ _pg_query(
                  unnest(generate_series(1, 2)) AS i) t
     """,
 )
+
+_pg_query(
+    "pg_named_window",
+    # named WINDOW clause (parsenodes.h windowClause; one definition
+    # shared by several window functions). Spark supports OVER w but not
+    # the PG `OVER (w ROWS ...)` refinement form — the shared-definition
+    # shape is what this query pins.
+    """
+    SELECT o_custkey,
+           o_orderkey,
+           sum(o_totalprice::numeric(12,2)) OVER w AS running_total,
+           rank() OVER w AS rnk,
+           count(*) OVER w AS n_so_far
+    FROM orders
+    WHERE o_orderkey < 600
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+    # same named-WINDOW text runs in DuckDB; the running sum goes
+    # through the exact-decimal discipline on both sides (o_totalprice
+    # is a parquet double — summing doubles is order-dependent)
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           CAST(sum(o_totalprice::numeric(12,2)) OVER w AS DECIMAL(25,2))
+               AS running_total,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(count(*) OVER w AS BIGINT) AS n_so_far
+    FROM orders
+    WHERE o_orderkey < 600
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
