@@ -355,15 +355,20 @@ class Engine:
         """contrib/pg_prewarm: load a relation into cache ahead of use.
         Spark analog: persist the table's DataFrame and materialize it
         once; returns the number of cached rows (pg_prewarm returns
-        blocks read). Subsequent reads via ``table(name)`` still re-read
-        parquet (views stay current); the cached frame is returned for
-        callers that want the warmed lineage."""
-        df = self.table(name).persist()
-        n = df.count()
+        blocks read). The warmed frame is retrievable via
+        ``table(name)`` — same path, same canonical cached plan.
+
+        Re-warm order matters: the old and new frames share ONE cache
+        entry (same parquet path -> same canonical plan), so the stale
+        entry must be dropped BEFORE persisting — unpersisting it after
+        would evict the entry the new persist() deduplicated onto and
+        leave the table cold."""
         self._prewarmed = getattr(self, "_prewarmed", {})
         old = self._prewarmed.pop(name, None)
         if old is not None:
-            old.unpersist()
+            old.unpersist(blocking=True)
+        df = self.table(name).persist()
+        n = df.count()
         self._prewarmed[name] = df
         return n
 

@@ -40,12 +40,14 @@ def cube_dim(c: Column | str) -> Column:
 
 
 def cube_ll_coord(c: Column | str, n: int) -> Column:
-    """cube_ll_coord(c, n): n-th (1-based) lower-left coordinate."""
-    return F.element_at(_c(c)["lo"], n)
+    """cube_ll_coord(c, n): n-th (1-based) lower-left coordinate.
+    Out-of-range n returns 0 like cube.c cube_ll_coord (try_element_at:
+    ANSI element_at would throw on mixed-dimensionality data)."""
+    return F.coalesce(F.try_element_at(_c(c)["lo"], F.lit(n)), F.lit(0.0))
 
 
 def cube_ur_coord(c: Column | str, n: int) -> Column:
-    return F.element_at(_c(c)["hi"], n)
+    return F.coalesce(F.try_element_at(_c(c)["hi"], F.lit(n)), F.lit(0.0))
 
 
 def cube_is_point(c: Column | str) -> Column:

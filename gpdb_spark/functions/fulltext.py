@@ -320,21 +320,20 @@ def expand_xsyn(
     matchsynonyms: bool = False,
 ) -> Column:
     """contrib/dict_xsyn (dict_xsyn.c xsyn_lexize): expand each token
-    through the synonym rules — a headword emits [orig?] + synonyms
-    (keeporig, dict_xsyn.c:240); with matchsynonyms=true the synonyms
-    themselves also map to their group. The rule map is a plan-time
-    literal (broadcast-free constant folding); expansion is one
-    flatten(transform(...)) — JVM, no shuffle."""
+    through the synonym rules. Per dict_xsyn.c:240 a rule line's
+    HEADWORD is emitted only when keeporig=true; the synonyms are
+    always emitted — and with matchsynonyms=true a synonym token
+    lexizes to the SAME group as its headword (not a reshuffled one).
+    The rule map is a plan-time literal (broadcast-free constant
+    folding); expansion is one flatten(transform(...)) — JVM, no
+    shuffle."""
     expanded: dict[str, list[str]] = {}
     for word, syns in rules.items():
         group = ([word] if keeporig else []) + list(syns)
         expanded[word] = group
         if matchsynonyms:
             for s in syns:
-                group_s = ([s] if keeporig else []) + [word] + [
-                    x for x in syns if x != s
-                ]
-                expanded.setdefault(s, group_s)
+                expanded.setdefault(s, group)
     pairs = []
     for word, group in expanded.items():
         pairs.append(F.lit(word))

@@ -468,11 +468,21 @@ class TestTsDictionaries:
         ).collect()
         assert nokeep[0].e == ["sn", "sne", "1987a", "x"]
 
+        # matchsynonyms: a synonym token lexizes to the SAME group as
+        # its headword (dict_xsyn.c emits headword-if-keeporig + syns)
         msyn = df.select(
             expand_xsyn(F.col("toks"), rules, matchsynonyms=True).alias("e")
         ).collect()
-        assert msyn[1].e[0] == "sn"  # keeporig
-        assert "supernova" in msyn[1].e  # synonym maps to group
+        assert msyn[1].e == ["supernova", "sn", "sne", "1987a", "y"]
+
+        # keeporig=false + matchsynonyms: no headword, synonyms only —
+        # 'sn' still maps to a set CONTAINING 'sn'
+        msyn2 = df.select(
+            expand_xsyn(
+                F.col("toks"), rules, keeporig=False, matchsynonyms=True
+            ).alias("e")
+        ).collect()
+        assert msyn2[1].e == ["sn", "sne", "1987a", "y"]
 
     def test_dict_int_options(self, spark):
         from pyspark.sql import functions as F

@@ -657,3 +657,18 @@ def test_pgstattuple_and_prewarm(tmp_path, spark):
     assert eng.prewarm("stat_t") == 50
     # re-warm replaces the cached frame without leaking the old one
     assert eng.prewarm("stat_t") == 50
+
+
+def test_prewarm_rewarm_keeps_cache(tmp_path, spark):
+    """Review regression: old and new prewarm frames share ONE cache
+    entry (same canonical plan), so the stale entry must be dropped
+    BEFORE re-persisting — the previous order left the table cold
+    after every re-warm."""
+    eng = Engine(spark)
+    df = spark.range(10).selectExpr("id")
+    eng.create_table("warm_t", df, str(tmp_path / "warm_t"),
+                     distributed_by=["id"])
+    eng.prewarm("warm_t")
+    eng.prewarm("warm_t")  # re-warm
+    lvl = eng._prewarmed["warm_t"].storageLevel
+    assert lvl.useMemory or lvl.useDisk  # still cached after re-warm

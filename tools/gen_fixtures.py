@@ -177,8 +177,11 @@ def main(outdir: str, seed: int = 1337, scale: float = 1.0) -> None:
     # 31-word pool every ordinary token exceeds the 50% df-cutoff, so
     # without a rare marker the jaccard/near-dup queries degenerate to
     # trivially-green 0-row matches on reseeded twins.
+    degenerate = {2, 5, 7, 9, 12, 13}  # pinned above — never mutate
     for i in range(0, n_doc, 37):
         j = (i + 11) % n_doc
+        while j in degenerate or j == i:
+            j = (j + 1) % n_doc
         if not texts[j].rstrip().endswith("dup"):
             texts[j] = (texts[j] + " dup").strip()
         texts[i] = texts[j]
