@@ -504,7 +504,14 @@ def q17_small_quantity_revenue(spark, sf_dir):
     """,
 )
 def q18_large_volume_customer(spark, sf_dir):
-    """TPC-H Q18: IN over a grouped/HAVING subquery -> semi join."""
+    """TPC-H Q18: IN over a grouped/HAVING subquery. The outer
+    sum(l_quantity) groups by exactly the subquery's key, so the HAVING
+    aggregation IS the output aggregate — reuse it instead of re-joining
+    the full lineitem fact and re-aggregating (the naive shape scans
+    lineitem twice and shuffles lineitem x orders before the semi
+    filter; this one scans it once, and the surviving per-order rows —
+    a small fraction past the >140 threshold — drive the orders join,
+    with AQE free to broadcast whichever side ends up small)."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     l = t(spark, sf_dir, "lineitem")
@@ -512,14 +519,18 @@ def q18_large_volume_customer(spark, sf_dir):
         l.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("q"))
         .where(F.col("q") > 140)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(big, o.o_orderkey == F.col("big_orderkey"), "left_semi")
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("q"), 2).cast("double").alias("sum_qty"),
+        )
     )
 
 
