@@ -284,3 +284,15 @@ def test_lm_quality_broadcasts_model_no_udf(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_q18_single_lineitem_scan(spark, sf_dir):
+    """Q18 reuses the HAVING aggregation as the output aggregate: the
+    plan must scan lineitem exactly once (the naive IN-subquery shape
+    scans it twice and shuffles lineitem x orders before the filter)."""
+    plan = plan_of(spark, "q18_large_volume_customer", sf_dir)
+    scans = [
+        ln for ln in plan.splitlines()
+        if "Location" in ln and "lineitem" in ln
+    ]
+    assert len(scans) == 1, plan[:3000]
