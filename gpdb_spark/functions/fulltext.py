@@ -74,7 +74,10 @@ def ts_match(
 
     Planned as: postings filtered to the query lexemes (predicate reaches
     the scan), then a doc-keyed count — shuffle volume is only the
-    postings of the query terms."""
+    postings of the query terms. Terms are lowercased at entry (the
+    postings tokenizer lowercases the corpus — ts_headline and
+    parse_tsquery already normalize; these must match)."""
+    terms = [t.lower() for t in terms]
     p = postings(df, text_col, id_col).where(F.col("lexeme").isin(list(terms)))
     hits = p.groupBy("id").agg(F.count_distinct("lexeme").alias("nhit"))
     if mode == "all":
@@ -91,6 +94,7 @@ def ts_rank(
     """tsrank.c-style term-frequency rank: sum over matched query lexemes
     of tf/(tf+1) (the reference's word-frequency saturation), as an exact
     decimal sum so ranking is reproducible across engines."""
+    terms = [t.lower() for t in terms]
     p = postings(df, text_col, id_col).where(F.col("lexeme").isin(list(terms)))
     rank = F.round(
         F.sum(
@@ -145,6 +149,7 @@ def ts_rank_cd(
     per-term position lists (product of per-doc term frequencies — small
     by construction for query terms). No extra shuffle beyond postings'.
     """
+    terms = [t.lower() for t in terms]
     p = postings(df, text_col, id_col).where(F.col("lexeme").isin(list(terms)))
     aggs = [
         F.max(F.when(F.col("lexeme") == term, F.col("positions"))).alias(
@@ -277,6 +282,7 @@ def ts_rank_weighted(
     at the scan), weight attached as a literal, a single 2-stage
     aggregation sums w * tf/(tf+1) per doc. Decimal-exact so ranking
     reproduces across engines."""
+    terms = [t.lower() for t in terms]
     parts = []
     for col, w in weighted_cols:
         p = postings(df, col, id_col).where(F.col("lexeme").isin(list(terms)))

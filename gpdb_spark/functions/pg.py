@@ -42,9 +42,10 @@ def int_div(a: Column | str, b: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     al, bl = a.cast("long"), b.cast("long")
-    # a % b follows the dividend's sign in both PG and Spark, so
-    # (a - a % b) is exactly divisible and the division truncates toward 0.
-    return ((al - al % bl) / bl).cast("long")
+    # Spark's `div` operator is exact integral division truncating
+    # toward zero, same as PG int8div. (The former float formulation
+    # (a - a%b)/b silently lost precision past 2^53.)
+    return F.call_function("div", al, bl)
 
 
 def string_agg(value: Column | str, sep: str, order_by: Column | str | None = None) -> Column:
@@ -168,6 +169,14 @@ class _SqlOps:
     def after_dot(self, s):
         return f"substring_index({s}, '.', -1)"
 
+    def group_digits(self, s):
+        """Insert ',' every 3 digits from the right — works on an
+        already zero-padded digit string (format_number would re-render
+        the numeric value and drop the padding)."""
+        return (
+            f"regexp_replace({s}, '(\\\\d)(?=(\\\\d{{3}})+$)', '$1,')"
+        )
+
 
 class _ColOps:
     """Render formatting primitives as Column trees."""
@@ -239,6 +248,9 @@ class _ColOps:
 
     def after_dot(self, s):
         return F.substring_index(s, ".", -1)
+
+    def group_digits(self, s):
+        return F.regexp_replace(s, r"(\d)(?=(\d{3})+$)", r"$1,")
 
 
 def _pad_name(o, x, fm):
@@ -479,7 +491,10 @@ def _render_to_char_num(o, x, spec: dict):
     if zp:
         int_str = o.lpad(int_str, zp, "0")
     if grouping:
-        int_str = o.fn("format_number", int_val, 0)
+        # group the (possibly zero-padded) digit string; the former
+        # format_number(int_val, 0) re-rendered the VALUE and silently
+        # dropped '0' zero-padding when a pattern combined 0 with G
+        int_str = o.group_digits(int_str)
     if fm and not zp and d:
         # FM suppresses a zero integer part next to decimals: '.1' not '0.1'
         int_str = o.when_chain(
@@ -586,18 +601,24 @@ def age_parts(a: Column | str, b: Column | str) -> Column:
     oracle-comparable per component."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
-    y = F.year(a) - F.year(b)
-    m = F.month(a) - F.month(b)
-    d = F.dayofmonth(a) - F.dayofmonth(b)
-    dim_b = F.dayofmonth(F.last_day(b))  # days in b's month
+    # PG's interval fields all carry the SAME sign: age(x, y) with
+    # x < y equals -age(y, x) (timestamp.c timestamp_age borrows toward
+    # negative uniformly). Compute on the ordered pair, then apply the
+    # sign — the one-directional borrow below is only valid for hi >= lo.
+    sign = F.when(a < b, F.lit(-1)).otherwise(F.lit(1))
+    hi, lo = F.greatest(a, b), F.least(a, b)
+    y = F.year(hi) - F.year(lo)
+    m = F.month(hi) - F.month(lo)
+    d = F.dayofmonth(hi) - F.dayofmonth(lo)
+    dim_lo = F.dayofmonth(F.last_day(lo))  # days in lo's month
     borrow_d = d < 0
-    d1 = F.when(borrow_d, d + dim_b).otherwise(d)
+    d1 = F.when(borrow_d, d + dim_lo).otherwise(d)
     m1 = F.when(borrow_d, m - 1).otherwise(m)
     borrow_m = m1 < 0
     return F.struct(
-        F.when(borrow_m, y - 1).otherwise(y).alias("years"),
-        F.when(borrow_m, m1 + 12).otherwise(m1).alias("months"),
-        d1.alias("days"),
+        (sign * F.when(borrow_m, y - 1).otherwise(y)).alias("years"),
+        (sign * F.when(borrow_m, m1 + 12).otherwise(m1)).alias("months"),
+        (sign * d1).alias("days"),
     )
 
 
@@ -608,6 +629,14 @@ def ts_overlaps(s1: Column, e1: Column, s2: Column, e2: Column) -> Column:
     zero-length point-interval case)."""
     l1, g1 = F.least(s1, e1), F.greatest(s1, e1)
     l2, g2 = F.least(s2, e2), F.greatest(s2, e2)
+    # Equal-starts must be an explicit (3-valued) condition: with NULL
+    # endpoints the two ordering whens are NULL and a bare otherwise()
+    # returned TRUE for all-NULL input where PG returns NULL. (PG can
+    # additionally resolve some single-NULL cases from the known bound;
+    # those return NULL here — documented simplification.)
     return (
-        F.when(l1 > l2, l1 < g2).when(l2 > l1, l2 < g1).otherwise(F.lit(True))
+        F.when(l1 > l2, l1 < g2)
+        .when(l2 > l1, l2 < g1)
+        .when(l1 == l2, F.lit(True))
+        .otherwise(F.lit(None).cast("boolean"))
     )

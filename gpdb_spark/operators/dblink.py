@@ -121,6 +121,15 @@ def _coerce_row(row: tuple, schema: StructType) -> tuple:
         if v is None:
             out.append(None)
         elif isinstance(f.dataType, LongType):
+            if isinstance(v, float) and not v.is_integer():
+                # a float past the 20-row sniff horizon: int(v) would
+                # silently truncate — refuse loudly; the caller can pin
+                # schema="... double" (dblink's AS t(col type) clause)
+                raise ValueError(
+                    f"dblink: column {f.name!r} sniffed as bigint but "
+                    f"remote row holds non-integral {v!r}; pin the "
+                    "schema (e.g. schema='... double')"
+                )
             out.append(int(v))
         elif isinstance(f.dataType, DoubleType):
             out.append(float(v))
@@ -234,8 +243,13 @@ def dblink_open(conn: str, cursor: str, sql: str) -> str:
     path = _resolve_path(conn)
     _CURSOR_SCHEMAS[key] = _sniff_schema(path, sql)
     db = sqlite3.connect(path)
+    try:
+        _CURSORS[key] = db.execute(sql)
+    except Exception:
+        _CURSOR_SCHEMAS.pop(key, None)
+        db.close()
+        raise
     _CURSOR_DBS[key] = db
-    _CURSORS[key] = db.execute(sql)
     return "OK"
 
 

@@ -34,9 +34,12 @@ from pyspark.sql.window import Window
 
 def time_bucket(ts: Column, width_seconds: int) -> Column:
     """Fixed-width bucket start (epoch-aligned), any width — the
-    time_bucket analog of date_trunc for arbitrary intervals."""
+    time_bucket analog of date_trunc for arbitrary intervals. Uses
+    floor-mod (``pmod``): Spark's ``%`` follows the dividend's sign, so
+    the naive ``secs - secs % w`` would round pre-1970 timestamps toward
+    zero (bucket END) instead of flooring to the bucket start."""
     secs = F.unix_timestamp(ts)
-    return F.timestamp_seconds((secs - secs % width_seconds))
+    return F.timestamp_seconds(secs - F.pmod(secs, F.lit(width_seconds)))
 
 
 def time_bucket_gapfill(

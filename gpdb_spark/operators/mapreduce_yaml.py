@@ -177,7 +177,19 @@ def run_yaml(
                 else:
                     spark.catalog.dropTempView(tname)
     elif "FILE" in src:
-        paths = [str(p).split(":", 1)[-1] for p in src["FILE"]]
+        # gpmapreduce FILE entries are 'hostname:/path' (every segment
+        # host reads its own file; Spark readers are already parallel,
+        # so the host part drops). A URI scheme ('file://', 'hdfs://',
+        # 's3a://') is NOT a hostname — pass those through intact.
+        import re as _re
+
+        def _strip_host(p: str) -> str:
+            p = str(p)
+            if _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", p):
+                return p  # URI — scheme stays
+            return p.split(":", 1)[-1]
+
+        paths = [_strip_host(p) for p in src["FILE"]]
         df = spark.read.text(paths)
         df = df.select(
             F.input_file_name().alias("key"), F.col("value").cast("string")

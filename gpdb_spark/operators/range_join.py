@@ -78,31 +78,33 @@ def interval_overlap_join(
     suffix: str = "_r",
 ) -> DataFrame:
     """Pairs of intervals that overlap (half-open: lo1 < hi2 AND lo2 < hi1).
-    Both sides explode to their touched bins; duplicate candidate pairs
-    (intervals sharing several bins) are deduplicated after the exact
-    filter, when only true matches remain."""
+    Both sides explode to their touched bins; an interval pair sharing
+    several bins yields one candidate per shared bin, so bin-induced
+    duplicates are removed on synthetic per-row ids (assigned BEFORE the
+    explode) — deduplicating on all output columns would also collapse
+    genuinely duplicate input rows and lose multiset join semantics."""
     for c in right.columns:
         if c in left.columns:
             right = right.withColumnRenamed(c, c + suffix)
     lo2, hi2 = (c + suffix if c in left.columns else c for c in (lo2, hi2))
-    l = left.withColumn(
+    l = left.withColumn("__lid", F.monotonically_increasing_id()).withColumn(
         "__bin",
         F.explode(
             F.sequence(_bin(F.col(lo1), bin_width), _bin(F.col(hi1), bin_width))
         ),
     )
-    r = right.withColumn(
+    r = right.withColumn("__rid", F.monotonically_increasing_id()).withColumn(
         "__bin",
         F.explode(
             F.sequence(_bin(F.col(lo2), bin_width), _bin(F.col(hi2), bin_width))
         ),
     )
-    out_cols = [c for c in l.columns if c != "__bin"] + [
-        c for c in r.columns if c != "__bin"
+    out_cols = [c for c in l.columns if c not in ("__bin", "__lid")] + [
+        c for c in r.columns if c not in ("__bin", "__rid")
     ]
     return (
         l.join(r, "__bin")
         .where((F.col(lo1) < F.col(hi2)) & (F.col(lo2) < F.col(hi1)))
+        .dropDuplicates(["__lid", "__rid"])
         .select(*out_cols)
-        .dropDuplicates()
     )

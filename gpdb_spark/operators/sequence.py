@@ -24,7 +24,12 @@ def add_sequence(df: DataFrame, col_name: str = "seq", start: int = 1) -> DataFr
     """Append a dense sequence column start..start+N-1. Ordering within
     the sequence follows (partition, arrival) order — like nextval,
     values are unique and dense but carry no semantic order."""
-    d = df.withColumn("__pid", F.spark_partition_id())
+    # persist BEFORE the two actions: the counts job and the final
+    # projection job otherwise recompute the plan independently, and any
+    # nondeterminism upstream (rand() filters, sample(), a changed file
+    # listing) would desynchronize offsets from row numbers — the same
+    # pinning the classic zipWithIndex requires
+    d = df.withColumn("__pid", F.spark_partition_id()).persist()
     w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
     d = d.withColumn("__rn", F.row_number().over(w))
     counts = {

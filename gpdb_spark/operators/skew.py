@@ -12,7 +12,9 @@ apply (e.g. a required sort order):
   uniformly spread across salt x partitions.
 
 Shuffle volume: fact unchanged, dim x salt (dims are small — that's why
-they're the replicated side). Result is identical to the unsalted join.
+they're the replicated side). Result is identical to the unsalted join
+for inner/left/semi/anti; right/full are rejected (an unmatched
+replicated-dim row would be preserved once per replica).
 """
 
 from __future__ import annotations
@@ -31,6 +33,18 @@ def salted_join(
     """Equi-join with the hot-key pressure spread over ``salt`` buckets.
     ``on`` columns must exist on both sides (dim is the replicated side)."""
     on = [on] if isinstance(on, str) else list(on)
+    if how in ("right", "rightouter", "right_outer", "full", "outer",
+               "fullouter", "full_outer"):
+        # the dim side is REPLICATED salt times: an unmatched dim key
+        # would survive once per replica under right/full preservation,
+        # yielding salt duplicates instead of one row. These joins
+        # belong on the unsalted path (the preserved side is the small
+        # one anyway — no hot-key pressure to spread).
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched "
+            "replicated-dim rows would duplicate; use a plain join "
+            "(the dim side is small) or swap the sides"
+        )
     f = fact.withColumn(
         "__salt", (F.rand(seed=7) * salt).cast("int")
     )

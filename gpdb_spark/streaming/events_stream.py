@@ -174,7 +174,15 @@ def stateful_sessions(
                     rows.append((user_id, start, last, n, sv))
                     start, last, n, sv = us, us, 1, float(value)
                 else:
-                    last, n, sv = us, n + 1, sv + float(value)
+                    # late (in-watermark) events can arrive with us <
+                    # last when the state spans batches: extend the
+                    # session bounds monotonically — moving `last`
+                    # backwards would split sessions wrongly and could
+                    # set a timeout timestamp below the watermark
+                    # (Spark rejects that with IllegalArgumentException)
+                    start = min(start, us)
+                    last = max(last, us)
+                    n, sv = n + 1, sv + float(value)
         if start is not None:
             state.update((start, last, n, sv))
             state.setTimeoutTimestamp((last + gap_us) // 1000)
@@ -366,7 +374,8 @@ def upsert_sink(
 
 
 def lm_scored_stream(docs_stream: DataFrame, vocab: DataFrame, bigrams: DataFrame,
-                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                     id_col: str = "doc_id", text_col: str = "text",
+                     vocab_size: int | None = None) -> DataFrame:
     """Streaming LM quality scoring: incoming documents scored against a
     STATIC bigram model (datapipe/lm.py) — the stream-static broadcast
     join shape. The model side is bounded by construction (top-V/top-B),
@@ -381,14 +390,19 @@ def lm_scored_stream(docs_stream: DataFrame, vocab: DataFrame, bigrams: DataFram
     lm_quality (asserted in tests/test_streaming.py)."""
     from pyspark.sql.functions import broadcast
 
-    from gpdb_spark.datapipe.lm import _pairs
+    from gpdb_spark.datapipe.lm import DEFAULT_VOCAB_SIZE, _pairs
 
+    # the smoothing denominator MUST match the V the model was trained
+    # with (lm.py: a mismatched V silently skews every score) — share
+    # the batch default instead of hard-coding it
+    if vocab_size is None:
+        vocab_size = DEFAULT_VOCAB_SIZE
     pr = _pairs(docs_stream, id_col, text_col)
     bi = broadcast(bigrams.select("w1", "w2", F.col("c").alias("cb")))
     un = broadcast(vocab.select(F.col("w").alias("w1"), F.col("c").alias("cu")))
     logp = F.log(
         (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
-        / (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(50_000.0))
+        / (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(float(vocab_size)))
     )
     scored = (
         pr.join(bi, ["w1", "w2"], "left")

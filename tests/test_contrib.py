@@ -499,3 +499,16 @@ class TestTsDictionaries:
         ).collect()
         assert [r.trunc for r in out] == ["123456", "123456", "abc123", None]
         assert [r.rej for r in out] == [None, "123456", "abc123", None]
+
+    def test_fulltext_terms_case_normalized(self, spark):
+        """Review regression: mixed-case query terms must match the
+        lowercased postings (ts_headline already normalized; the
+        match/rank family must agree)."""
+        from gpdb_spark.functions.fulltext import ts_match, ts_rank
+
+        df = spark.createDataFrame(
+            [(1, "Spark makes Joins fast"), (2, "nothing here")],
+            "doc_id long, text string",
+        )
+        assert [r.doc_id for r in ts_match(df, ["Spark"]).collect()] == [1]
+        assert [r.doc_id for r in ts_rank(df, ["JOINS"]).collect()] == [1]

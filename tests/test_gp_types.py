@@ -327,3 +327,58 @@ def test_xml_escaping_and_xpath(spark):
         .first()
     )
     assert forest.f == "<a>x</a>"
+
+
+def test_ts_overlaps_null_endpoints(spark):
+    """Review regression: all-NULL pair must yield NULL, not TRUE."""
+    from pyspark.sql import functions as F
+
+    from gpdb_spark.functions.pg import ts_overlaps
+
+    df = spark.range(1)
+    ts = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    r = df.select(
+        ts_overlaps(ts(None), ts(None), ts("2020-01-01"), ts("2020-01-02"))
+        .alias("nn"),
+        ts_overlaps(ts("2020-01-01"), ts("2020-01-03"),
+                    ts("2020-01-02"), ts("2020-01-04")).alias("yes"),
+        ts_overlaps(ts("2020-01-01"), ts("2020-01-02"),
+                    ts("2020-01-03"), ts("2020-01-04")).alias("no"),
+        ts_overlaps(ts("2020-01-01"), ts("2020-01-01"),
+                    ts("2020-01-01"), ts("2020-01-05")).alias("pt"),
+    ).collect()[0]
+    assert r.nn is None and r.yes and not r.no and r.pt
+
+
+def test_age_parts_negative_direction(spark):
+    """Review regression: a < b must mirror PG's uniformly-signed
+    interval fields (age is antisymmetric)."""
+    from pyspark.sql import functions as F
+
+    from gpdb_spark.functions.pg import age_parts
+
+    df = spark.range(1)
+    d = lambda s: F.lit(s).cast("date")  # noqa: E731
+    r = df.select(
+        age_parts(d("2001-01-01"), d("2001-02-01")).alias("neg"),
+        age_parts(d("2001-02-01"), d("2001-01-01")).alias("pos"),
+        age_parts(d("2003-03-10"), d("2001-06-25")).alias("big"),
+    ).collect()[0]
+    assert (r.neg.years, r.neg.months, r.neg.days) == (0, -1, 0)
+    assert (r.pos.years, r.pos.months, r.pos.days) == (0, 1, 0)
+    assert (r.big.years, r.big.months, r.big.days) == (1, 8, 15)
+
+
+def test_int_div_exact_past_2_53(spark):
+    """Review regression: integral division must be exact beyond the
+    double mantissa (the float formulation lost low bits)."""
+    from pyspark.sql import functions as F
+
+    from gpdb_spark.functions.pg import int_div
+
+    r = spark.range(1).select(
+        int_div(F.lit(1152921504606846977), F.lit(3)).alias("q"),
+        int_div(F.lit(-7), F.lit(2)).alias("t"),  # truncates toward 0
+    ).collect()[0]
+    assert r.q == 384307168202282325
+    assert r.t == -3

@@ -204,3 +204,68 @@ def test_redact_pii_semantics(spark):
     # audit counter counts pre-redaction hits
     n = df.agg(F.sum(pii_hit_count("s", "email")).alias("n")).first().n
     assert n == 1
+
+
+def test_salted_join_rejects_right_full(spark):
+    """Review regression: right/full would preserve each unmatched dim
+    replica once per salt — refuse instead of silently duplicating."""
+    import pytest as _pytest
+
+    from gpdb_spark.operators.skew import salted_join
+
+    f = spark.createDataFrame([(1, "a")], "k int, v string")
+    d = spark.createDataFrame([(1, "x"), (2, "y")], "k int, w string")
+    # supported hows still match the unsalted join
+    got = salted_join(f, d, "k", how="left", salt=4).collect()
+    assert len(got) == 1
+    for how in ("right", "full", "outer"):
+        with _pytest.raises(ValueError, match="salted_join"):
+            salted_join(f, d, "k", how=how)
+
+
+def test_interval_overlap_join_keeps_duplicate_rows(spark):
+    """Review regression: two identical input intervals must each join
+    (multiset semantics) — dedup only removes bin-induced duplicates."""
+    from gpdb_spark.operators.range_join import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(0.0, 10.0), (0.0, 10.0)], "lo double, hi double"
+    )  # identical rows, both overlap the right interval over many bins
+    right = spark.createDataFrame([(5.0, 25.0)], "lo double, hi double")
+    out = interval_overlap_join(left, right, "lo", "hi", "lo", "hi",
+                                bin_width=2.0)
+    assert out.count() == 2  # one per left row — not collapsed to 1
+
+
+def test_add_sequence_stable_under_nondeterminism(spark):
+    """Review regression: the counts pass and the projection pass must
+    see the SAME rows (persist pins the plan) — a rand() filter upstream
+    previously could desynchronize offsets from row numbers."""
+    from pyspark.sql import functions as F
+
+    from gpdb_spark.operators.sequence import add_sequence
+
+    df = (
+        spark.range(0, 2000, 1, 8)
+        .where(F.rand(seed=None) < 0.5)  # nondeterministic per-evaluation
+    )
+    out = add_sequence(df, "seq").collect()
+    seqs = sorted(r.seq for r in out)
+    assert seqs == list(range(1, len(out) + 1))  # dense, unique, no NULLs
+
+
+def test_time_bucket_floors_pre_epoch(spark):
+    """Review regression: pre-1970 timestamps floor to the bucket START
+    (Spark % follows the dividend sign; naive mod rounded toward zero)."""
+    from pyspark.sql import functions as F
+
+    from gpdb_spark.operators.gapfill import time_bucket
+
+    df = spark.createDataFrame(
+        [("1969-12-31 23:59:30",), ("1970-01-01 00:00:30",)], "t string"
+    ).select(F.col("t").cast("timestamp").alias("ts"))
+    got = [
+        str(r.b)
+        for r in df.select(time_bucket(F.col("ts"), 60).alias("b")).collect()
+    ]
+    assert got == ["1969-12-31 23:59:00", "1970-01-01 00:00:00"]

@@ -486,3 +486,54 @@ def test_streaming_chunker_matches_batch(spark, sf_dir):
         for r in chunk_documents(kept).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_sessions_late_event_keeps_bounds(spark, tmp_path):
+    """Review regression: a late (in-watermark) out-of-order event must
+    extend session bounds monotonically — never move `last` backwards
+    (which split sessions and could set a timeout below the watermark)."""
+    import pandas as pd
+
+    import os as _os
+
+    from gpdb_spark.streaming.events_stream import (
+        run_to_memory,
+        stateful_sessions,
+    )
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    # one user; events arrive out of order inside one file/batch after
+    # state exists: 10:00, 10:10 then a late 10:05, then 10:39 — the
+    # 10:39 gap must be measured from last=10:10 (29 min < 30) so ALL
+    # events are one session; the buggy code closed it at 10:05+30.
+    df0 = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "ts": pd.to_datetime(["2024-01-01 10:00:00",
+                                  "2024-01-01 10:10:00"]),
+            "value": [1.0, 1.0],
+        }
+    )
+    df0.to_parquet(f"{src}/b0.parquet", coerce_timestamps="us")
+    df1 = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "ts": pd.to_datetime(["2024-01-01 10:05:00",
+                                  "2024-01-01 10:39:00"]),
+            "value": [1.0, 1.0],
+        }
+    )
+    df1.to_parquet(f"{src}/b1.parquet", coerce_timestamps="us")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sessions = stateful_sessions(stream, gap_minutes=30, watermark="2 hours")
+    run_to_memory(sessions, "late_sessions", output_mode="append")
+    # nothing may be EMITTED yet (no session closed: all 4 events merge
+    # into one open session) — the buggy version emitted a split session
+    closed = spark.sql("SELECT * FROM late_sessions").collect()
+    assert closed == [], closed
