@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from gpdb_spark.functions import orafce
-from gpdb_spark.registry import fr, query, t
+from gpdb_spark.registry import fr, ofr, query, t
 
 # DuckDB mirrors of the Oracle date rules (derivations in the orafce
 # module docstrings): add_months last-day rule; months_between 31-day
@@ -869,4 +869,103 @@ def cube_ops(spark, sf_dir):
         cube_ur_coord(u, 3).alias("u_ur3"),
         cube_ll_coord(cube_inter("a", "b"), 1).alias("i_ll1"),
         cube_is_point("a").alias("is_pt"),
+    )
+
+
+# seg oracle: every boundary re-derived as scalar double arithmetic on
+# the same key (a = [k, k+2.5] via the parsed ``k .. k+2.5`` literal,
+# b = [1.3k-3, 1.3k-2] numeric, pm = parsed ``(k+1)(+-)0.5``, open =
+# parsed ``.. k``); both engines run identical IEEE double ops, float
+# outputs floor-truncated per repo policy.
+_SEG_A_LO, _SEG_A_HI = "kd", "(kd + 2.5)"
+_SEG_B_LO, _SEG_B_HI = "(kd * 1.3 - 3.0)", "(kd * 1.3 - 2.0)"
+
+
+@query(
+    "seg_ops",
+    oracle=f"""
+    WITH pts AS (
+      SELECT n_nationkey AS k, CAST(n_nationkey AS DOUBLE) AS kd
+      FROM nation WHERE n_nationkey < 25
+    )
+    SELECT k,
+           {ofr(_SEG_A_LO)} AS a_lo,
+           {ofr(_SEG_A_HI)} AS a_hi,
+           {ofr('1.0')} AS pm_size,
+           {ofr('(kd + 1.25)')} AS a_center,
+           (({_SEG_A_HI} >= {_SEG_B_HI} AND {_SEG_A_LO} <= {_SEG_B_HI})
+            OR ({_SEG_B_HI} >= {_SEG_A_HI} AND {_SEG_B_LO} <= {_SEG_A_HI}))
+             AS ab_overlap,
+           ({_SEG_A_HI} < {_SEG_B_LO}) AS a_left_of_b,
+           ({_SEG_B_LO} <= kd AND {_SEG_B_HI} >= kd) AS b_has_k,
+           ({_SEG_B_HI} <= kd) AS open_b,
+           {ofr(f'least({_SEG_A_LO}, {_SEG_B_LO})')} AS u_lo,
+           {ofr(f'greatest({_SEG_A_HI}, {_SEG_B_HI})')} AS u_hi,
+           {ofr(f'greatest({_SEG_A_LO}, {_SEG_B_LO})')} AS i_lo,
+           {ofr(f'abs(least({_SEG_A_HI}, {_SEG_B_HI})'
+                f' - greatest({_SEG_A_LO}, {_SEG_B_LO}))')} AS i_sz,
+           CASE WHEN {_SEG_A_LO} < {_SEG_B_LO} THEN -1
+                WHEN {_SEG_A_LO} > {_SEG_B_LO} THEN 1
+                WHEN {_SEG_A_HI} < {_SEG_B_HI} THEN -1
+                WHEN {_SEG_A_HI} > {_SEG_B_HI} THEN 1
+                ELSE 0 END AS cmp_ab,
+           TRUE AS swapped_null
+    FROM pts
+    """,
+)
+def seg_ops(spark, sf_dir):
+    """contrib/seg (seg.c, segparse.y): float intervals with the fuzzy
+    literal grammar. Exercises the parser on column-derived literals
+    (closed range ``a .. b``, plus-minus ``c(+-)d``, half-open
+    ``.. b`` with an IEEE -Infinity bound, and the swapped-boundary
+    NULL guard) plus the full predicate/arith set: overlap, strict
+    left, scalar containment, containment by a half-open segment,
+    union/intersection boundaries, Abs-based seg_size over the
+    disjoint pseudo-segment, and the numeric seg_cmp core. All JVM
+    regexp + arithmetic inside codegen — no UDF, no shuffle."""
+    from gpdb_spark.functions.seg import (
+        make_seg,
+        seg_center,
+        seg_cmp,
+        seg_contains,
+        seg_contains_scalar,
+        seg_in,
+        seg_inter,
+        seg_left,
+        seg_lower,
+        seg_overlap,
+        seg_size,
+        seg_union,
+        seg_upper,
+    )
+
+    n = t(spark, sf_dir, "nation").where(F.col("n_nationkey") < 25)
+    k = F.col("n_nationkey")
+    kd = k.cast("double")
+
+    src = n.select(
+        k.alias("k"),
+        seg_in(
+            F.concat(k.cast("string"), F.lit(" .. "), (kd + 2.5).cast("string"))
+        ).alias("a"),
+        make_seg(kd * 1.3 - 3.0, kd * 1.3 - 2.0).alias("b"),
+        seg_in(F.concat((k + 1).cast("string"), F.lit("(+-)0.5"))).alias("pm"),
+        seg_in(F.concat(F.lit(".. "), k.cast("string"))).alias("opn"),
+    )
+    return src.select(
+        "k",
+        fr(seg_lower("a")).alias("a_lo"),
+        fr(seg_upper("a")).alias("a_hi"),
+        fr(seg_size("pm")).alias("pm_size"),
+        fr(seg_center("a")).alias("a_center"),
+        seg_overlap("a", "b").alias("ab_overlap"),
+        seg_left("a", "b").alias("a_left_of_b"),
+        seg_contains_scalar(F.col("b"), F.col("k").cast("double")).alias("b_has_k"),
+        seg_contains("opn", "b").alias("open_b"),
+        fr(seg_lower(seg_union("a", "b"))).alias("u_lo"),
+        fr(seg_upper(seg_union("a", "b"))).alias("u_hi"),
+        fr(seg_lower(seg_inter("a", "b"))).alias("i_lo"),
+        fr(seg_size(seg_inter("a", "b"))).alias("i_sz"),
+        seg_cmp("a", "b").alias("cmp_ab"),
+        seg_in(F.lit("5 .. 2")).isNull().alias("swapped_null"),
     )

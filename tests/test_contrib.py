@@ -579,3 +579,120 @@ class TestTsDictionaries:
         got = df.select("i", "t", unaccent("t").alias("u")).collect()
         for r in got:
             assert r.u == r.t.translate(tbl), repr(r.t)
+
+
+class TestSeg:
+    def test_seg_literal_grammar(self, spark):
+        """segparse.y range productions: closed range, plus-minus,
+        half-open with HUGE_VAL bound, bare point, extension markers
+        stripped from the stored value, swapped boundaries -> NULL
+        (the documented ereport divergence)."""
+        from pyspark.sql import functions as F
+
+        from gpdb_spark.functions.seg import seg_in, seg_lower, seg_upper
+
+        cases = [
+            ("1 .. 2", 1.0, 2.0),
+            ("4.5..6.5", 4.5, 6.5),
+            ("5(+-)0.3", 4.7, 5.3),
+            ("5 (+-) 0.3", 4.7, 5.3),
+            ("3 ..", 3.0, float("inf")),
+            (".. 3", float("-inf"), 3.0),
+            ("7", 7.0, 7.0),
+            ("~3.5", 3.5, 3.5),           # approximate marker, value kept
+            (">2 .. <5", 2.0, 5.0),       # boundary extensions stripped
+            ("-1.5e1 .. -2", -15.0, -2.0),
+            ("5 .. 2", None, None),       # swapped -> NULL, not ereport
+            ("nonsense", None, None),
+        ]
+        df = spark.createDataFrame(
+            [(i, s) for i, (s, _, _) in enumerate(cases)], "i int, s string"
+        )
+        got = {
+            r.i: (r.lo, r.hi)
+            for r in df.select(
+                "i",
+                seg_lower(seg_in("s")).alias("lo"),
+                seg_upper(seg_in("s")).alias("hi"),
+            ).collect()
+        }
+        for i, (s, lo, hi) in enumerate(cases):
+            assert got[i] == (lo, hi), s
+
+    def test_seg_randomized_vs_python_reference(self, spark):
+        """One batched job: 300 random segment pairs vs an independent
+        pure-Python transliteration of seg.c's boundary logic."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from gpdb_spark.functions.seg import (
+            make_seg,
+            seg_cmp,
+            seg_contains,
+            seg_inter,
+            seg_left,
+            seg_lower,
+            seg_over_left,
+            seg_overlap,
+            seg_size,
+            seg_union,
+            seg_upper,
+        )
+
+        rng = random.Random(7)
+        rows = []
+        for i in range(300):
+            al = round(rng.uniform(-10, 10), 3)
+            bl = round(rng.uniform(-10, 10), 3)
+            rows.append(
+                (i, al, round(al + rng.uniform(0, 5), 3),
+                 bl, round(bl + rng.uniform(0, 5), 3))
+            )
+        df = spark.createDataFrame(
+            rows, "i int, al double, ah double, bl double, bh double"
+        )
+        a, b = make_seg("al", "ah"), make_seg("bl", "bh")
+        got = df.select(
+            "i", "al", "ah", "bl", "bh",
+            seg_contains(a, b).alias("con"),
+            seg_overlap(a, b).alias("ov"),
+            seg_left(a, b).alias("lt_strict"),
+            seg_over_left(a, b).alias("ovl"),
+            seg_cmp(a, b).alias("cmp"),
+            seg_lower(seg_union(a, b)).alias("ulo"),
+            seg_upper(seg_union(a, b)).alias("uhi"),
+            seg_lower(seg_inter(a, b)).alias("ilo"),
+            seg_size(seg_inter(a, b)).alias("isz"),
+        ).collect()
+        for r in got:
+            assert r.con == (r.al <= r.bl and r.ah >= r.bh), r.i
+            ov = ((r.ah >= r.bh and r.al <= r.bh)
+                  or (r.bh >= r.ah and r.bl <= r.ah))
+            assert r.ov == ov, r.i
+            assert r.lt_strict == (r.ah < r.bl), r.i
+            assert r.ovl == (r.ah <= r.bh), r.i
+            cmp = (-1 if r.al < r.bl else 1 if r.al > r.bl
+                   else -1 if r.ah < r.bh else 1 if r.ah > r.bh else 0)
+            assert r.cmp == cmp, r.i
+            assert r.ulo == min(r.al, r.bl) and r.uhi == max(r.ah, r.bh)
+            assert r.ilo == max(r.al, r.bl), r.i
+            assert abs(r.isz - abs(min(r.ah, r.bh) - max(r.al, r.bl))) < 1e-12
+
+    def test_seg_stays_jvm_side(self, spark):
+        """Parse + predicates are pure Catalyst expressions — no
+        Python eval node may appear in the plan."""
+        from pyspark.sql import functions as F
+
+        from gpdb_spark.functions.seg import seg_in, seg_overlap, make_seg
+
+        df = spark.range(8).select(
+            F.concat(F.col("id").cast("string"), F.lit(" .. "),
+                     (F.col("id") + 2).cast("string")).alias("s"),
+            F.col("id").cast("double").alias("x"),
+        )
+        plan = df.select(
+            seg_overlap(seg_in("s"), make_seg("x", "x")).alias("o")
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
