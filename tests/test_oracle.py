@@ -60,3 +60,19 @@ def test_every_query_has_entry():
     assert QUERIES, "registry is empty"
     missing = set(ORACLE) - set(QUERIES)
     assert not missing, f"oracles without queries: {missing}"
+
+
+def test_driver_priority_names_resolve():
+    """Every DRIVER_PRIORITY name must exist in the registry and appear
+    once: `_ordered` silently drops unknown names, so a typo here would
+    waste one of the driver's ~50 correctness-sample slots without any
+    visible failure."""
+    import __spark_entry__ as entry
+
+    missing = [n for n in entry.DRIVER_PRIORITY if n not in QUERIES]
+    assert not missing, f"DRIVER_PRIORITY names not in registry: {missing}"
+    dupes = {
+        n for n in entry.DRIVER_PRIORITY
+        if entry.DRIVER_PRIORITY.count(n) > 1
+    }
+    assert not dupes, f"duplicate DRIVER_PRIORITY names: {dupes}"
