@@ -969,3 +969,26 @@ def seg_ops(spark, sf_dir):
         seg_cmp("a", "b").alias("cmp_ab"),
         seg_in(F.lit("5 .. 2")).isNull().alias("swapped_null"),
     )
+
+
+def _normal_rand_oracle() -> str:
+    from gpdb_spark.functions.tablefunc import duck_normal_rand_sql
+
+    inner = duck_normal_rand_sql(500, 10.0, 2.0, seed=42)
+    return f"SELECT i, {ofr('val')} AS val FROM ({inner}) q"
+
+
+@query("tablefunc_normal_rand", oracle=_normal_rand_oracle())
+def tablefunc_normal_rand(spark, sf_dir):
+    """contrib/tablefunc normal_rand (tablefunc.c:174): n deviates from
+    N(mean, stddev) as a function scan. Portable tier: seeded
+    md5-derived Irwin-Hall(12) — both engines re-derive the identical
+    column with exact IEEE +,*,/ only (module docstring documents the
+    divergence from the reference's srandom Box-Muller, which no
+    deterministic oracle can reproduce). Pure per-row map over a range
+    generator: no source, no shuffle, no Python."""
+    from gpdb_spark.functions.tablefunc import normal_rand
+
+    return normal_rand(spark, 500, 10.0, 2.0, seed=42).select(
+        "i", fr("val").alias("val")
+    )

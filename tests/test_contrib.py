@@ -696,3 +696,54 @@ class TestSeg:
         )._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+class TestNormalRand:
+    def test_portable_tier_matches_python_md5_reference(self, spark):
+        """The portable Irwin-Hall(12) deviates are reproduced exactly
+        by an independent hashlib/float reimplementation (same md5
+        strings, same IEEE op order)."""
+        import hashlib
+
+        from gpdb_spark.functions.tablefunc import normal_rand
+
+        got = {r.i: r.val
+               for r in normal_rand(spark, 50, 10.0, 2.0, seed=42).collect()}
+
+        def py_val(i: int) -> float:
+            s = 0.0
+            for j in range(6):
+                hx = hashlib.md5(f"42:{i}:{j}".encode()).hexdigest()
+                s = s + (int(hx[0:13], 16) + 0.5) * 2.0 ** -52
+                s = s + (int(hx[13:26], 16) + 0.5) * 2.0 ** -52
+            return 10.0 + 2.0 * (s - 6.0)
+
+        for i in range(50):
+            assert got[i] == py_val(i), i
+
+    def test_moments_both_tiers(self, spark):
+        """Mean/stddev of 4000 deviates land near (mean, stddev) for
+        the portable CLT tier AND the native randn tier."""
+        from pyspark.sql import functions as F
+
+        from gpdb_spark.functions.tablefunc import normal_rand
+
+        for portable in (True, False):
+            stats = (
+                normal_rand(spark, 4000, 10.0, 2.0, seed=7, portable=portable)
+                .agg(F.avg("val").alias("m"),
+                     F.stddev_pop("val").alias("s"))
+                .collect()[0]
+            )
+            assert abs(stats.m - 10.0) < 0.2, (portable, stats.m)
+            assert abs(stats.s - 2.0) < 0.2, (portable, stats.s)
+
+    def test_stays_jvm_side(self, spark):
+        from gpdb_spark.functions.tablefunc import normal_rand
+
+        plan = (
+            normal_rand(spark, 100, 0.0, 1.0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
