@@ -33,9 +33,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # path stays benched + pytest-attested but is no longer a permanently
 # unattestable queries() row), and ALL 33 remaining never-driver-checked
 # queries so the ledger closes. Green rows from r01-r04 sort last.
-# (seg_ops, added late in round 5 after this head was already exactly
-# 50 deep, stays outside it — local sim MATCH incl. strict dtype
-# parity — and is the first rotation candidate for round 6.)
+# (seg_ops and tablefunc_normal_rand, added late in round 5 after this
+# head was already exactly 50 deep, stay outside it — both local sim
+# MATCH incl. strict dtype parity — and are the first two rotation
+# candidates for round 6.)
 DRIVER_PRIORITY: list[str] = [
     # round-4 reds, fixed this round (VERDICT r04 What's-wrong #1/#2)
     "hypothetical_set_aggs",

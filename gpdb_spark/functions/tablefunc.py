@@ -77,20 +77,32 @@ def duck_normal_rand_sql(n: int, mean: float, stddev: float, seed: int = 0) -> s
     two — every term exact in a double)."""
 
     def hex13(expr: str, start: int) -> str:
-        # start is 1-based (DuckDB substr), mirroring Spark substring
+        # start is 1-based (DuckDB substr), mirroring Spark substring.
+        # Multipliers MUST be CAST(... AS DOUBLE), not written as
+        # 281474976710656.0: that literal types as DECIMAL in DuckDB,
+        # the whole term chain then sums in DECIMAL(18,1), and THAT ->
+        # DOUBLE conversion rounds (mantissas ending .5 exceed 2^53) —
+        # a 1-ulp skew vs Spark that floor-truncation can flip at a
+        # boundary. A BIGINT literal cast to DOUBLE is exact (every
+        # power of 16 here is < 2^53), keeping the chain pure IEEE.
         return " + ".join(
             f"(strpos('0123456789abcdef', substr({expr}, {start + p}, 1)) - 1)"
-            f" * {16 ** (12 - p)}.0"
+            f" * CAST({16 ** (12 - p)} AS DOUBLE)"
             for p in range(13)
         )
+
+    def dbl(x: float) -> str:
+        # 17-sig-digit E-notation round-trips any double exactly and
+        # always parses as DOUBLE (never DECIMAL) in DuckDB
+        return f"{float(x):.17e}"
 
     us = []
     for j in range(6):
         h = f"md5('{seed}:' || CAST(i AS VARCHAR) || ':{j}')"
-        us.append(f"((({hex13(h, 1)}) + 0.5) * {_SCALE!r})")
-        us.append(f"((({hex13(h, 14)}) + 0.5) * {_SCALE!r})")
+        us.append(f"((({hex13(h, 1)}) + 0.5) * {dbl(_SCALE)})")
+        us.append(f"((({hex13(h, 14)}) + 0.5) * {dbl(_SCALE)})")
     z = "(" + " + ".join(us) + " - 6.0)"
     return (
-        f"SELECT i, ({mean!r} + {stddev!r} * {z}) AS val "
+        f"SELECT i, ({dbl(mean)} + {dbl(stddev)} * {z}) AS val "
         f"FROM range({int(n)}) t(i)"
     )

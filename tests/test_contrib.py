@@ -328,6 +328,30 @@ class TestUnaccent:
         assert UNACCENT_SRC in out
 
 
+    def test_unaccent_randomized_vs_str_translate(self, spark):
+        """One batched job: 300 random strings mixing rule-table chars
+        with ascii/none vs Python str.translate over the same table."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from gpdb_spark.functions.unaccent import (
+            UNACCENT_DST,
+            UNACCENT_SRC,
+            unaccent,
+        )
+
+        rng = random.Random(5)
+        pool = UNACCENT_SRC + "abc XYZ 123 ß.œ-"
+        rows = [
+            (i, "".join(rng.choice(pool) for _ in range(rng.randrange(0, 40))))
+            for i in range(300)
+        ]
+        tbl = str.maketrans(UNACCENT_SRC, UNACCENT_DST)
+        df = spark.createDataFrame(rows, "i int, t string")
+        got = df.select("i", "t", unaccent("t").alias("u")).collect()
+        for r in got:
+            assert r.u == r.t.translate(tbl), repr(r.t)
 class TestIsn:
     def test_known_checksums(self, spark):
         """Real-world vectors: the classic EAN 4006381333931, ISBN10
@@ -376,6 +400,47 @@ class TestIsn:
         assert "EvalPython" not in plan
 
 
+    def test_isn_randomized_vs_python_reference(self, spark):
+        """One batched job: 400 random digit bodies vs an independent
+        pure-Python reimplementation of both checksum schemes."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from gpdb_spark.functions.isn import (
+            ean13_check_digit,
+            isbn10_check_digit,
+        )
+
+        rng = random.Random(99)
+        rows = [
+            (
+                i,
+                "".join(rng.choice("0123456789") for _ in range(12)),
+                "".join(rng.choice("0123456789") for _ in range(9)),
+            )
+            for i in range(400)
+        ]
+
+        def py_ean(b12: str) -> int:
+            s = sum(int(c) * (1 if i % 2 == 0 else 3)
+                    for i, c in enumerate(b12))
+            return (10 - s % 10) % 10
+
+        def py_isbn(b9: str) -> str:
+            s = sum(int(c) * (10 - i) for i, c in enumerate(b9))
+            w = (11 - s % 11) % 11
+            return "X" if w == 10 else str(w)
+
+        df = spark.createDataFrame(rows, "i int, b12 string, b9 string")
+        got = df.select(
+            "i", "b12", "b9",
+            ean13_check_digit("b12").alias("e"),
+            isbn10_check_digit("b9").alias("s"),
+        ).collect()
+        for r in got:
+            assert r.e == py_ean(r.b12), r.b12
+            assert r.s == py_isbn(r.b9), r.b9
 class TestCube:
     def test_cube_semantics(self, spark):
         """cube.c semantics: constructor normalization (LL <= UR),
@@ -512,73 +577,6 @@ class TestTsDictionaries:
         )
         assert [r.doc_id for r in ts_match(df, ["Spark"]).collect()] == [1]
         assert [r.doc_id for r in ts_rank(df, ["JOINS"]).collect()] == [1]
-
-    def test_isn_randomized_vs_python_reference(self, spark):
-        """One batched job: 400 random digit bodies vs an independent
-        pure-Python reimplementation of both checksum schemes."""
-        import random
-
-        from pyspark.sql import functions as F
-
-        from gpdb_spark.functions.isn import (
-            ean13_check_digit,
-            isbn10_check_digit,
-        )
-
-        rng = random.Random(99)
-        rows = [
-            (
-                i,
-                "".join(rng.choice("0123456789") for _ in range(12)),
-                "".join(rng.choice("0123456789") for _ in range(9)),
-            )
-            for i in range(400)
-        ]
-
-        def py_ean(b12: str) -> int:
-            s = sum(int(c) * (1 if i % 2 == 0 else 3)
-                    for i, c in enumerate(b12))
-            return (10 - s % 10) % 10
-
-        def py_isbn(b9: str) -> str:
-            s = sum(int(c) * (10 - i) for i, c in enumerate(b9))
-            w = (11 - s % 11) % 11
-            return "X" if w == 10 else str(w)
-
-        df = spark.createDataFrame(rows, "i int, b12 string, b9 string")
-        got = df.select(
-            "i", "b12", "b9",
-            ean13_check_digit("b12").alias("e"),
-            isbn10_check_digit("b9").alias("s"),
-        ).collect()
-        for r in got:
-            assert r.e == py_ean(r.b12), r.b12
-            assert r.s == py_isbn(r.b9), r.b9
-
-    def test_unaccent_randomized_vs_str_translate(self, spark):
-        """One batched job: 300 random strings mixing rule-table chars
-        with ascii/none vs Python str.translate over the same table."""
-        import random
-
-        from pyspark.sql import functions as F
-
-        from gpdb_spark.functions.unaccent import (
-            UNACCENT_DST,
-            UNACCENT_SRC,
-            unaccent,
-        )
-
-        rng = random.Random(5)
-        pool = UNACCENT_SRC + "abc XYZ 123 ß.œ-"
-        rows = [
-            (i, "".join(rng.choice(pool) for _ in range(rng.randrange(0, 40))))
-            for i in range(300)
-        ]
-        tbl = str.maketrans(UNACCENT_SRC, UNACCENT_DST)
-        df = spark.createDataFrame(rows, "i int, t string")
-        got = df.select("i", "t", unaccent("t").alias("u")).collect()
-        for r in got:
-            assert r.u == r.t.translate(tbl), repr(r.t)
 
 
 class TestSeg:
@@ -747,3 +745,29 @@ class TestNormalRand:
         )
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+    def test_duckdb_oracle_matches_python_bit_exactly(self):
+        """The DuckDB side of the portable tier must equal the hashlib
+        reference PRE-truncation — the review found DECIMAL-typed
+        literals silently shifting 5/50 rows by 1 ulp (masked by floor
+        truncation until a value lands on a boundary). No Spark needed."""
+        import hashlib
+
+        import duckdb
+
+        from gpdb_spark.functions.tablefunc import duck_normal_rand_sql
+
+        got = dict(
+            duckdb.sql(duck_normal_rand_sql(50, 10.0, 2.0, seed=42)).fetchall()
+        )
+
+        def py_val(i: int) -> float:
+            s = 0.0
+            for j in range(6):
+                hx = hashlib.md5(f"42:{i}:{j}".encode()).hexdigest()
+                s = s + (int(hx[0:13], 16) + 0.5) * 2.0 ** -52
+                s = s + (int(hx[13:26], 16) + 0.5) * 2.0 ** -52
+            return 10.0 + 2.0 * (s - 6.0)
+
+        for i in range(50):
+            assert got[i] == py_val(i), (i, got[i], py_val(i))
