@@ -566,7 +566,13 @@ class _Cursor:
 # interpreter
 # ---------------------------------------------------------------------------
 
-_FAST = re.compile(r"^[0-9+\-*%()<>=!. ]+$")
+_FAST = re.compile(r"^[0-9+\-*%()<>=!., ]+$")
+# constant fast paths (no Spark job): a quoted string literal with ''
+# escapes (optionally ::text-cast), and an integer-literal ::text cast —
+# the assignment staples of interpreter loops (lbl := 'fizz';
+# s := n::text). Everything else still goes through SQL.
+_STRLIT = re.compile(r"^'((?:[^']|'')*)'(?:\s*::\s*text)?$", re.IGNORECASE)
+_INT_TEXT = re.compile(r"^(-?\d+)\s*::\s*text$", re.IGNORECASE)
 
 
 @dataclass
@@ -634,14 +640,30 @@ class Interpreter:
 
     def eval(self, expr: str, env: dict):
         e = self._subst(expr, env).strip()
+        # constant fast paths first — each miss here is one whole Spark
+        # job inside an interpreter loop (the round-5 timing audit found
+        # a 25-row FOR loop spending ~100 s on literal assignments)
+        m = _STRLIT.match(e)
+        if m:
+            return m.group(1).replace("''", "'")
+        if e.upper() == "NULL":
+            return None
+        m = _INT_TEXT.match(e)
+        if m:
+            return m.group(1)
         # fast path: integer/boolean arithmetic without division (PG int
-        # '/' truncates toward zero — don't risk a semantic mismatch)
+        # '/' truncates toward zero — don't risk a semantic mismatch).
+        # IN over an int comma-list maps to Python membership (a
+        # one-element right side isn't a tuple in Python -> TypeError ->
+        # clean fall-through to the SQL path); a NULL selector keeps the
+        # SQL path because the bare word NULL fails the charset probe.
         fe = re.sub(r"(?i)\btrue\b", " True ", e)
         fe = re.sub(r"(?i)\bfalse\b", " False ", fe)
         fe = re.sub(r"(?i)\band\b", " and ", fe)
         fe = re.sub(r"(?i)\bor\b", " or ", fe)
         fe = re.sub(r"(?i)\bnot\b", " not ", fe)
-        probe = re.sub(r"\b(True|False|and|or|not)\b", "", fe)
+        fe = re.sub(r"(?i)\bin\b", " in ", fe)
+        probe = re.sub(r"\b(True|False|and|or|not|in)\b", "", fe)
         # '%' is only fast-path-safe when no negative can occur: Python %
         # floors (sign of divisor) while SQL % truncates (sign of
         # dividend). With only + * % over nonnegative literals every

@@ -27,24 +27,48 @@ from gpdb_spark.registry import query, t
 )
 def table_function_scatter(spark, sf_dir):
     """Enhanced table function over table input with SCATTER BY
-    (nodeTableFunction.c:278, gram.y:14056): per-customer min-max scaling
-    where the function sees the complete scatter group as a pandas frame.
+    (nodeTableFunction.c:278, gram.y:14056): per-customer min-max
+    scaling. SCATTER BY o_custkey hash-partitions the input so every
+    customer lands whole in one partition; the function then sees Arrow
+    batches of its scattered slice and vectorizes the per-group min/max
+    with one pandas groupby-transform per BATCH — not one pandas frame
+    per group, which the round-5 timing audit measured at 22 s for the
+    ~10k tiny customer groups at sf0.1 (per-group applyInPandas
+    overhead dominates when groups are small; the batch form is 4x
+    faster and is the shape that survives a 100 TB key count).
 
     min/max are exact (no summation), so the pandas arithmetic is
     IEEE-identical to the oracle's window SQL."""
-    from gpdb_spark.operators.table_function import grouped_table_function
+    import numpy as np
+
+    from gpdb_spark.operators.table_function import table_function
 
     o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
 
-    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
-        mn, mx = pdf.o_totalprice.min(), pdf.o_totalprice.max()
-        if mx == mn:
-            scaled = pd.Series(0.5, index=pdf.index)
-        else:
-            import numpy as np
-
-            scaled = np.floor((pdf.o_totalprice - mn) / (mx - mn) * 1e6) / 1e6
-        return pd.DataFrame(
+    def scale(batches):
+        # The function must see its COMPLETE scattered slice before the
+        # per-group stats (nodeTableFunction's contract: one QE consumes
+        # its whole scattered input) — Arrow hands the partition as
+        # ~10k-row batches and a customer can span batch boundaries, so
+        # concatenate first. Memory bound = one partition, the same
+        # contract the reference QE has with its slice.
+        pdfs = [p for p in batches if not p.empty]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
+        g = pdf.groupby("o_custkey").o_totalprice
+        mn, mx = g.transform("min"), g.transform("max")
+        rng = (mx - mn).to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scaled = np.where(
+                rng == 0.0,
+                0.5,
+                np.floor(
+                    (pdf.o_totalprice.to_numpy() - mn.to_numpy())
+                    / rng * 1e6
+                ) / 1e6,
+            )
+        yield pd.DataFrame(
             {
                 "o_custkey": pdf.o_custkey,
                 "o_orderkey": pdf.o_orderkey,
@@ -52,11 +76,11 @@ def table_function_scatter(spark, sf_dir):
             }
         )
 
-    return grouped_table_function(
+    return table_function(
         o,
-        ["o_custkey"],
         scale,
         "o_custkey long, o_orderkey long, scaled double",
+        scatter_by=["o_custkey"],
     )
 
 

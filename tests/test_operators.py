@@ -269,3 +269,36 @@ def test_time_bucket_floors_pre_epoch(spark):
         for r in df.select(time_bucket(F.col("ts"), 60).alias("b")).collect()
     ]
     assert got == ["1969-12-31 23:59:00", "1970-01-01 00:00:00"]
+
+
+def test_scatter_function_sees_complete_slice_across_arrow_batches(spark, tmp_path):
+    """Regression (round-5 timing-audit rewrite): mapInPandas hands a
+    partition as ~10k-row Arrow batches, so a scatter group larger than
+    one batch must still get group-COMPLETE stats — per-batch min/max
+    silently produced plausible-but-wrong scaling for 873/15000 rows
+    before the slice-concat fix."""
+    import numpy as np
+    import pandas as pd
+
+    import gpdb_spark.queries  # noqa: F401
+    from gpdb_spark.registry import QUERIES
+
+    n = 25_000  # one customer spanning ~3 Arrow batches
+    pd.DataFrame(
+        {
+            "o_custkey": np.int64(7),
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "o_totalprice": np.arange(n, dtype=np.float64) + 100.0,
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+
+    got = (
+        QUERIES["table_function_scatter"](spark, str(tmp_path))
+        .toPandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    v = np.arange(n, dtype=np.float64) + 100.0
+    want = np.floor((v - v.min()) / (v.max() - v.min()) * 1e6) / 1e6
+    assert len(got) == n
+    assert (got.scaled.to_numpy() == want).all()

@@ -541,3 +541,31 @@ def test_move_on_closed_cursor_errors(eng):
     $$ LANGUAGE plpgsql""")
     with pytest.raises(PlPgSqlError, match="not open"):
         eng.call("move_closed")
+
+
+def test_eval_constant_fast_paths_skip_spark(eng):
+    """String literals ('' escapes, ::text cast), NULL, int ::text, and
+    int IN-lists must evaluate without a Spark job — each miss costs a
+    whole one-row job inside interpreter loops (round-5 timing audit:
+    a 25-row FOR loop spent ~100 s on literal assignments)."""
+    from gpdb_spark.plpgsql import Interpreter
+
+    it = Interpreter(eng)
+
+    class _Boom:
+        def sql(self, q, *a, **k):  # any SQL fallback fails the test
+            raise AssertionError(f"fast path missed, ran SQL: {q}")
+
+    it.engine = _Boom()
+    assert it.eval("'fizzbuzz'", {}) == "fizzbuzz"
+    assert it.eval("'it''s'", {}) == "it's"
+    assert it.eval("'x'::text", {}) == "x"
+    assert it.eval("NULL", {}) is None
+    assert it.eval("25::text", {}) == "25"
+    assert it.eval("-7::text", {}) == "-7"
+    assert it.eval("(2) IN (0, 1)", {}) is False
+    assert it.eval("(1) IN (0, 1)", {}) is True
+    assert it.eval("3 % 15 = 0", {}) is False
+
+    it.engine = eng  # single-element IN isn't a Python tuple -> SQL path
+    assert bool(it.eval("(5) IN (5)", {})) is True
