@@ -80,13 +80,19 @@ def _norm_iv(iv: bytes | str) -> bytes:
 
 
 def _check_block_multiple(data: Column) -> Column:
-    """pad:none requires block-aligned input — PG errors, so do we."""
-    return F.when(
-        F.octet_length(data) % _BLOCK == 0, data
-    ).otherwise(
-        F.raise_error(
-            F.lit("encrypt(pad:none): data is not a multiple of 16 bytes")
-        ).cast("binary")
+    """pad:none requires block-aligned input — PG errors, so do we.
+    NULL rows must pass through untouched (PG encrypt is STRICT: NULL
+    in, NULL out) — without the explicit isNull arm the NULL condition
+    fell to otherwise() and raise_error aborted the whole query on any
+    NULL row (round-5 review finding)."""
+    return (
+        F.when(data.isNull(), data)
+        .when(F.octet_length(data) % _BLOCK == 0, data)
+        .otherwise(
+            F.raise_error(
+                F.lit("encrypt(pad:none): data is not a multiple of 16 bytes")
+            ).cast("binary")
+        )
     )
 
 

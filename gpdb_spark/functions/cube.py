@@ -66,12 +66,31 @@ def _all_dims(pairs: Column) -> Column:
     )
 
 
+def _pad_pair(a: Column, b: Column) -> tuple[Column, Column, Column, Column]:
+    """Zero-pad both cubes to their common dimensionality before any
+    binary op. cube.c treats the missing dimensions of the
+    lower-dimensional cube as zeroes everywhere (cube_contains_v0's
+    excess-dim zero check, cube_union_v0's Min(0,..)/Max(0,..) arms,
+    distance over absent coords) — zip_with alone pads with NULL, which
+    coalesced to FALSE in predicates and mis-evaluated mixed-dim data
+    (round-5 review finding). Returns (a_lo, a_hi, b_lo, b_hi)."""
+    n = F.greatest(F.array_size(a["lo"]), F.array_size(b["lo"]))
+
+    def pad(arr: Column) -> Column:
+        k = F.greatest(n - F.array_size(arr), F.lit(0))
+        return F.concat(arr, F.array_repeat(F.lit(0.0), k))
+
+    return pad(a["lo"]), pad(a["hi"]), pad(b["lo"]), pad(b["hi"])
+
+
 def cube_contains(a: Column | str, b: Column | str) -> Column:
-    """a @> b (cube_contains): every b dimension inside a."""
+    """a @> b (cube_contains): every b dimension inside a (missing
+    dimensions of either side are zeroes, per cube_contains_v0)."""
     a, b = _c(a), _c(b)
+    alo, ahi, blo, bhi = _pad_pair(a, b)
     return _all_dims(
-        F.zip_with(a["lo"], b["lo"], lambda al, bl: al <= bl)
-    ) & _all_dims(F.zip_with(a["hi"], b["hi"], lambda ah, bh: ah >= bh))
+        F.zip_with(alo, blo, lambda al, bl: al <= bl)
+    ) & _all_dims(F.zip_with(ahi, bhi, lambda ah, bh: ah >= bh))
 
 
 def cube_contained(a: Column | str, b: Column | str) -> Column:
@@ -80,21 +99,24 @@ def cube_contained(a: Column | str, b: Column | str) -> Column:
 
 
 def cube_overlap(a: Column | str, b: Column | str) -> Column:
-    """a && b (cube_overlap): intervals intersect in every dimension."""
+    """a && b (cube_overlap): intervals intersect in every dimension
+    (missing dimensions are zero-width [0,0] intervals, per cube.c)."""
     a, b = _c(a), _c(b)
+    alo, ahi, blo, bhi = _pad_pair(a, b)
     return _all_dims(
-        F.zip_with(a["lo"], b["hi"], lambda al, bh: al <= bh)
-    ) & _all_dims(F.zip_with(b["lo"], a["hi"], lambda bl, ah: bl <= ah))
+        F.zip_with(alo, bhi, lambda al, bh: al <= bh)
+    ) & _all_dims(F.zip_with(blo, ahi, lambda bl, ah: bl <= ah))
 
 
 def cube_union(a: Column | str, b: Column | str) -> Column:
-    """cube_union: bounding box of both."""
+    """cube_union: bounding box of both (cube_union_v0 runs
+    Min(0,..)/Max(0,..) over the dims only one side has — identical to
+    zero-padding the shorter cube first)."""
     a, b = _c(a), _c(b)
+    alo, ahi, blo, bhi = _pad_pair(a, b)
     return F.struct(
-        F.zip_with(a["lo"], b["lo"], lambda x, y: F.least(x, y)).alias("lo"),
-        F.zip_with(a["hi"], b["hi"], lambda x, y: F.greatest(x, y)).alias(
-            "hi"
-        ),
+        F.zip_with(alo, blo, lambda x, y: F.least(x, y)).alias("lo"),
+        F.zip_with(ahi, bhi, lambda x, y: F.greatest(x, y)).alias("hi"),
     )
 
 
@@ -103,26 +125,25 @@ def cube_inter(a: Column | str, b: Column | str) -> Column:
     exactly cube.c's formulation, which for DISJOINT inputs returns a
     non-normalized pseudo-box (lo > hi) rather than swapping."""
     a, b = _c(a), _c(b)
+    alo, ahi, blo, bhi = _pad_pair(a, b)
     return F.struct(
-        F.zip_with(a["lo"], b["lo"], lambda x, y: F.greatest(x, y)).alias(
-            "lo"
-        ),
-        F.zip_with(a["hi"], b["hi"], lambda x, y: F.least(x, y)).alias(
-            "hi"
-        ),
+        F.zip_with(alo, blo, lambda x, y: F.greatest(x, y)).alias("lo"),
+        F.zip_with(ahi, bhi, lambda x, y: F.least(x, y)).alias("hi"),
     )
 
 
 def cube_distance(a: Column | str, b: Column | str) -> Column:
     """cube_distance: euclidean distance between closest points of the
     two boxes (per-dim gap = distance between intervals, 0 if they
-    overlap — cube.c distance_1D)."""
+    overlap — cube.c distance_1D; absent dims contribute the distance
+    to 0, matching cube.c's zero treatment)."""
     a, b = _c(a), _c(b)
+    alo, ahi, blo, bhi = _pad_pair(a, b)
     gap_sq_lo = F.zip_with(
-        a["lo"], b["hi"], lambda al, bh: F.greatest(al - bh, F.lit(0.0))
+        alo, bhi, lambda al, bh: F.greatest(al - bh, F.lit(0.0))
     )
     gap_sq_hi = F.zip_with(
-        b["lo"], a["hi"], lambda bl, ah: F.greatest(bl - ah, F.lit(0.0))
+        blo, ahi, lambda bl, ah: F.greatest(bl - ah, F.lit(0.0))
     )
     gap = F.zip_with(gap_sq_lo, gap_sq_hi, lambda x, y: F.greatest(x, y))
     return F.sqrt(

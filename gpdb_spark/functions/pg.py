@@ -605,7 +605,12 @@ def age_parts(a: Column | str, b: Column | str) -> Column:
     # x < y equals -age(y, x) (timestamp.c timestamp_age borrows toward
     # negative uniformly). Compute on the ordered pair, then apply the
     # sign — the one-directional borrow below is only valid for hi >= lo.
-    sign = F.when(a < b, F.lit(-1)).otherwise(F.lit(1))
+    # The sign term also carries NULL propagation: greatest/least SKIP
+    # NULLs in Spark, so without this a NULL input silently collapsed to
+    # age = (0,0,0) where PG returns NULL (round-5 review finding).
+    sign = F.when(a.isNull() | b.isNull(), F.lit(None).cast("int")).when(
+        a < b, F.lit(-1)
+    ).otherwise(F.lit(1))
     hi, lo = F.greatest(a, b), F.least(a, b)
     y = F.year(hi) - F.year(lo)
     m = F.month(hi) - F.month(lo)
@@ -623,20 +628,42 @@ def age_parts(a: Column | str, b: Column | str) -> Column:
 
 
 def ts_overlaps(s1: Column, e1: Column, s2: Column, e2: Column) -> Column:
-    """PG ``(s1, e1) OVERLAPS (s2, e2)`` (overlaps_timestamp, reference
-    src/backend/utils/adt/timestamp.c): endpoints normalized so start <=
-    end, then half-open comparison; equal starts overlap (covers the
-    zero-length point-interval case)."""
-    l1, g1 = F.least(s1, e1), F.greatest(s1, e1)
-    l2, g2 = F.least(s2, e2), F.greatest(s2, e2)
-    # Equal-starts must be an explicit (3-valued) condition: with NULL
-    # endpoints the two ordering whens are NULL and a bare otherwise()
-    # returned TRUE for all-NULL input where PG returns NULL. (PG can
-    # additionally resolve some single-NULL cases from the known bound;
-    # those return NULL here — documented simplification.)
+    """PG ``(s1, e1) OVERLAPS (s2, e2)`` — the FULL overlaps_timestamp
+    branch structure (reference src/backend/utils/adt/timestamp.c),
+    including its three-valued NULL semantics: an interval with both
+    endpoints NULL is unknown; with one endpoint NULL the known one
+    becomes the start and the end is unknown, so the result can still
+    be TRUE when the known start falls strictly inside the other
+    interval, NULL when it can't be resolved, and FALSE only when both
+    ends are known. (Spark least/greatest skip NULLs, so the previous
+    least/greatest normalization silently collapsed single-NULL
+    intervals to points and returned definite wrong booleans — round-5
+    review finding.)"""
+    # typed NULL of the operand type (works for date AND timestamp)
+    tnull = F.when(F.lit(False), s1)
+    ts1 = F.when(s1.isNull(), e1).when(e1.isNull(), s1).otherwise(F.least(s1, e1))
+    te1 = F.when(s1.isNull() | e1.isNull(), tnull).otherwise(F.greatest(s1, e1))
+    ts2 = F.when(s2.isNull(), e2).when(e2.isNull(), s2).otherwise(F.least(s2, e2))
+    te2 = F.when(s2.isNull() | e2.isNull(), tnull).otherwise(F.greatest(s2, e2))
+    bnull = F.lit(None).cast("boolean")
     return (
-        F.when(l1 > l2, l1 < g2)
-        .when(l2 > l1, l2 < g1)
-        .when(l1 == l2, F.lit(True))
-        .otherwise(F.lit(None).cast("boolean"))
+        F.when((s1.isNull() & e1.isNull()) | (s2.isNull() & e2.isNull()), bnull)
+        .when(
+            ts1 > ts2,
+            # ts1 < te2 OR te1 < te2 (timestamp.c's comment: not quite
+            # redundant under NULLs)
+            F.when(te2.isNull(), bnull)
+            .when(ts1 < te2, F.lit(True))
+            .when(te1.isNull(), bnull)
+            .otherwise(F.lit(False)),
+        )
+        .when(
+            ts1 < ts2,
+            F.when(te1.isNull(), bnull)
+            .when(ts2 < te1, F.lit(True))
+            .when(te2.isNull(), bnull)
+            .otherwise(F.lit(False)),
+        )
+        # ts1 = ts2: true if both ends known, else unknown
+        .otherwise(F.when(te1.isNull() | te2.isNull(), bnull).otherwise(F.lit(True)))
     )

@@ -24,6 +24,7 @@ dblink's "AS t(col type, ...)" alias clause equivalent; pass
 from __future__ import annotations
 
 import math
+import re
 import sqlite3
 from contextlib import closing
 from typing import Iterator
@@ -45,11 +46,20 @@ _CONNECTIONS: dict[str, str] = {}
 
 
 def _resolve_path(conn: str) -> str:
-    """'dbname=/x/y.db host=...' or bare path -> sqlite file path."""
+    """'dbname=/x/y.db host=...' or bare path -> sqlite file path.
+
+    A string is a libpq-style connstring only if EVERY whitespace token
+    is key=value (PQconnectdb's conninfo grammar) — a bare substring
+    test on '=' misclassified hive-style paths like '/data/run=5/x.db'
+    as connstrings and rejected them (round-5 review finding)."""
     if conn in _CONNECTIONS:
         conn = _CONNECTIONS[conn]
-    if "=" in conn:
-        for part in conn.split():
+    parts = conn.split()
+    if parts and all(
+        "=" in p and re.match(r"^\w+=", p) and not p.startswith("/")
+        for p in parts
+    ):
+        for part in parts:
             k, _, v = part.partition("=")
             if k == "dbname":
                 return v
@@ -77,14 +87,32 @@ def dblink_get_connections() -> list[str]:
     return sorted(_CONNECTIONS)
 
 
+_SNIFF = 20
+
+
+def _sniff(path: str, sql: str) -> tuple[StructType, list[tuple], bool]:
+    """One remote probe: returns (schema, first rows, complete). Probes
+    _SNIFF+1 rows so ``complete`` is exact — a complete result is served
+    directly from these rows and the remote SQL never runs again
+    (dblink() was executing every unpinned query twice: once in the
+    plan-time schema sniff, once in the executor read — round-5 review
+    finding)."""
+    with closing(sqlite3.connect(path)) as conn:
+        cur = conn.execute(f"SELECT * FROM ({sql}) LIMIT {_SNIFF + 1}")
+        names = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+    complete = len(rows) <= _SNIFF
+    return _widen_schema(names, rows), rows, complete
+
+
 def _sniff_schema(path: str, sql: str) -> StructType:
+    return _sniff(path, sql)[0]
+
+
+def _widen_schema(names: list[str], rows: list[tuple]) -> StructType:
     """Widening sniff over ALL probed rows (not just the first non-NULL:
     SQLite columns are dynamically typed, so 1 followed by 2.5 is legal
     and must widen to double; any str/num mix degrades to string)."""
-    with closing(sqlite3.connect(path)) as conn:
-        cur = conn.execute(f"SELECT * FROM ({sql}) LIMIT 20")
-        names = [d[0] for d in cur.description]
-        rows = cur.fetchall()
     fields = []
     for i, name in enumerate(names):
         kinds: set = set()
@@ -193,15 +221,30 @@ def dblink(
 ) -> DataFrame:
     """dblink(conn, sql) -> DataFrame — the SELECT * FROM dblink(...)
     AS t(...) form. ``conn`` is a named connection or a connection
-    string; ``schema`` pins the record shape (else it is sniffed)."""
+    string; ``schema`` pins the record shape (else it is sniffed).
+
+    Execution discipline: a pinned schema runs the remote SQL exactly
+    once (in the executor read). Unpinned, the driver probes once; a
+    result that fits the probe is returned AS those rows (one remote
+    execution total), and a larger one pins the probed schema so the
+    plan-time schema() callback never re-runs the query — the full SQL
+    executes once in the reader, plus the bounded LIMIT probe."""
     _register(spark)
+    path = _resolve_path(conn)
+    if schema is None:
+        sniffed, rows, complete = _sniff(path, sql)
+        if complete:
+            # keep the one-partition shape of the remote-cursor contract
+            return spark.createDataFrame(
+                [_coerce_row(r, sniffed) for r in rows], sniffed
+            ).coalesce(1)
+        schema = sniffed
     reader = (
         spark.read.format("dblink")
-        .option("path", _resolve_path(conn))
+        .option("path", path)
         .option("sql", sql)
+        .schema(schema)
     )
-    if schema is not None:
-        reader = reader.schema(schema)
     return reader.load()
 
 

@@ -46,7 +46,18 @@ def add_sequence(df: DataFrame, col_name: str = "seq", start: int = 1) -> DataFr
         ),
         F.col("__pid"),
     )
-    return (
+    res = (
         d.withColumn(col_name, (off_expr + F.col("__rn") - 1).cast("long"))
         .drop("__pid", "__rn")
     )
+    # Freeze the assignment, then RELEASE the input cache: the bare
+    # persist leaked one pinned copy of the (arbitrarily large) input
+    # per call for the session lifetime (round-5 review finding), and
+    # an unpersist alone would let later actions recompute the lineage
+    # and desynchronize ids. localCheckpoint(eager) materializes the
+    # result once with truncated lineage — ids are final, the cache is
+    # freed now, and the checkpoint storage is reclaimed by the context
+    # cleaner when the returned frame is dropped.
+    res = res.localCheckpoint(eager=True)
+    d.unpersist(blocking=False)
+    return res

@@ -572,7 +572,9 @@ _FAST = re.compile(r"^[0-9+\-*%()<>=!., ]+$")
 # the assignment staples of interpreter loops (lbl := 'fizz';
 # s := n::text). Everything else still goes through SQL.
 _STRLIT = re.compile(r"^'((?:[^']|'')*)'(?:\s*::\s*text)?$", re.IGNORECASE)
-_INT_TEXT = re.compile(r"^(-?\d+)\s*::\s*text$", re.IGNORECASE)
+# unsigned only: PG's :: binds tighter than unary minus, so -7::text is
+# -('7'::text) — an error — and must fall through to the SQL path
+_INT_TEXT = re.compile(r"^(\d+)\s*::\s*text$", re.IGNORECASE)
 
 
 @dataclass

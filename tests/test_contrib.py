@@ -495,6 +495,44 @@ class TestCube:
         assert r.e_ll1 == -0.5
         assert r.shrunk_ll1 == 1.0  # clamped at midpoint
 
+    def test_cube_mixed_dimensionality_zero_pads(self, spark):
+        """Round-5 review regression (cube.c parity): the
+        lower-dimensional cube's missing coordinates are ZEROES
+        (cube_contains_v0 excess-dim check, cube_union_v0 Min/Max(0,..)
+        arms) — zip_with's NULL padding coalesced to FALSE and
+        mis-evaluated every mixed-dim predicate."""
+        from pyspark.sql import functions as F
+
+        from gpdb_spark.functions.cube import (
+            cube,
+            cube_contains,
+            cube_distance,
+            cube_ll_coord,
+            cube_overlap,
+            cube_union,
+            cube_ur_coord,
+        )
+
+        df = spark.range(1)
+        box3 = cube(F.array(F.lit(-1.0), F.lit(-1.0), F.lit(-1.0)),
+                    F.array(F.lit(2.0), F.lit(2.0), F.lit(2.0)))
+        pt2 = cube(F.array(F.lit(1.0), F.lit(1.0)))
+        far2 = cube(F.array(F.lit(9.0), F.lit(9.0)))
+        r = df.select(
+            # (1,1) == (1,1,0), inside [-1,2]^3 -> TRUE like cube.c
+            cube_contains(box3, pt2).alias("has_pt"),
+            cube_overlap(box3, pt2).alias("ov"),
+            cube_contains(box3, far2).alias("has_far"),
+            # union of 3D box and 2D point extends dim3 to cover 0
+            cube_ll_coord(cube_union(box3, pt2), 3).alias("u3lo"),
+            cube_ur_coord(cube_union(box3, pt2), 3).alias("u3hi"),
+            # distance treats the missing dim as 0: gap only in x/y
+            cube_distance(box3, far2).alias("dist"),
+        ).collect()[0]
+        assert r.has_pt and r.ov and not r.has_far
+        assert r.u3lo == -1.0 and r.u3hi == 2.0
+        assert abs(r.dist - (2 * 7.0 ** 2) ** 0.5) < 1e-12
+
     def test_cube_stays_jvm_side(self, spark):
         from pyspark.sql import functions as F
 

@@ -413,3 +413,26 @@ def test_raw_cipher_randomized_roundtrip(spark):
         assert bytes(r.rt_cbc or b"") == bytes(r.pt or b""), r.i
         assert bytes(r.rt_ecb or b"") == bytes(r.pt or b""), r.i
         assert r.ctl == (r.ptl // 16 + 1) * 16, r.i
+
+
+def test_raw_cipher_pad_none_null_passthrough(spark):
+    """Round-5 review regression: PG encrypt is STRICT — a NULL row
+    must yield NULL, not abort the query via the pad:none block-size
+    raise_error (whose when() treated the NULL condition as false)."""
+    from gpdb_spark.functions.crypt_raw import decrypt, encrypt
+
+    df = spark.createDataFrame(
+        [(0, b"0123456789abcdef"), (1, None)], "i int, m binary"
+    )
+    key = b"k" * 16
+    got = df.select(
+        "i",
+        encrypt(F.col("m"), key, "aes/pad:none").alias("ct"),
+    ).orderBy("i").collect()
+    assert got[0].ct is not None
+    assert got[1].ct is None
+    # NULL also passes through the pkcs path (and the roundtrip holds)
+    rt = df.select(
+        decrypt(encrypt(F.col("m"), key, "aes"), key, "aes").alias("rt")
+    ).orderBy("i").collect()
+    assert bytes(rt[0].rt) == b"0123456789abcdef" and rt[1].rt is None

@@ -333,3 +333,43 @@ def test_dblink_quote_lit_edge_types(tmp_path):
         ]
     with _pytest.raises(ValueError, match="non-finite"):
         dblink_build_sql_insert("t", ["f"], [float("inf")])
+
+
+def test_dblink_bare_path_with_equals_sign(tmp_path):
+    """Round-5 review regression: hive-style directory names contain
+    '=', which the substring connstring test misread as a connection
+    string and rejected."""
+    import sqlite3
+
+    from gpdb_spark.operators.dblink import _resolve_path
+
+    d = tmp_path / "run=5"
+    d.mkdir()
+    p = str(d / "side.db")
+    sqlite3.connect(p).close()
+    assert _resolve_path(p) == p
+    assert _resolve_path("dbname=/x/y.db host=h") == "/x/y.db"
+
+
+def test_dblink_single_execution(spark, tmp_path):
+    """Round-5 review fix: an unpinned dblink() must execute the remote
+    SQL exactly once when the result fits the probe, and at most
+    once-plus-bounded-probe when it doesn't (was: full double
+    execution via the plan-time schema sniff)."""
+    import sqlite3
+
+    from gpdb_spark.operators.dblink import dblink
+
+    p = str(tmp_path / "exec_count.db")
+    with sqlite3.connect(p) as c:
+        c.execute("CREATE TABLE t (v INTEGER)")
+        c.executemany("INSERT INTO t VALUES (?)", [(i,) for i in range(50)])
+        # a side-effect counter incremented per execution via a trigger
+        # isn't possible for SELECT; instead assert the small-result
+        # path returns local rows (no data source scan node)
+        c.commit()
+    small = dblink(spark, p, "SELECT count(*) AS n FROM t")
+    assert "dblink" not in small._jdf.queryExecution().executedPlan().toString()
+    assert small.collect()[0].n == 50
+    big = dblink(spark, p, "SELECT v FROM t")
+    assert big.count() == 50  # > probe horizon: served by the reader

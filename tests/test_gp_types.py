@@ -382,3 +382,53 @@ def test_int_div_exact_past_2_53(spark):
     ).collect()[0]
     assert r.q == 384307168202282325
     assert r.t == -3
+
+
+def test_ts_overlaps_single_null_matches_reference_branches(spark):
+    """Round-5 review regression: the FULL overlaps_timestamp branch
+    table — a single NULL endpoint makes the known one the START with
+    an unknown end, so the result is TRUE when that start falls
+    strictly inside the other interval, NULL when unresolvable, never
+    a definite FALSE from a collapsed point."""
+    from pyspark.sql import functions as F
+
+    from gpdb_spark.functions.pg import ts_overlaps
+
+    df = spark.range(1)
+    ts = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    r = df.select(
+        # (01-01, NULL) vs (01-02, 01-04): ts1 < ts2, te1 unknown -> NULL
+        ts_overlaps(ts("2020-01-01"), ts(None),
+                    ts("2020-01-02"), ts("2020-01-04")).alias("a"),
+        # (01-03, NULL) vs (01-02, 01-04): ts1 inside [ts2,te2) -> TRUE
+        ts_overlaps(ts("2020-01-03"), ts(None),
+                    ts("2020-01-02"), ts("2020-01-04")).alias("b"),
+        # (01-09, NULL) vs (01-02, 01-04): ts1 >= te2, te1 unknown -> NULL
+        ts_overlaps(ts("2020-01-09"), ts(None),
+                    ts("2020-01-02"), ts("2020-01-04")).alias("c"),
+        # NULL start swaps: (NULL, 01-03) == start 01-03 -> TRUE
+        ts_overlaps(ts(None), ts("2020-01-03"),
+                    ts("2020-01-02"), ts("2020-01-04")).alias("d"),
+        # equal starts with one unknown end -> NULL
+        ts_overlaps(ts("2020-01-02"), ts(None),
+                    ts("2020-01-02"), ts("2020-01-04")).alias("e"),
+    ).collect()[0]
+    assert r.a is None and r.b is True and r.c is None
+    assert r.d is True and r.e is None
+
+
+def test_age_parts_null_propagates(spark):
+    """Round-5 review regression: greatest/least skip NULLs, so a NULL
+    input collapsed to age=(0,0,0); PG age(NULL, x) is NULL."""
+    from pyspark.sql import functions as F
+
+    from gpdb_spark.functions.pg import age_parts
+
+    df = spark.range(1)
+    d = lambda s: F.lit(s).cast("date")  # noqa: E731
+    r = df.select(
+        age_parts(d(None), d("2020-01-01")).alias("a"),
+        age_parts(d("2020-01-01"), d(None)).alias("b"),
+    ).collect()[0]
+    assert r.a.years is None and r.a.months is None and r.a.days is None
+    assert r.b.years is None and r.b.months is None and r.b.days is None

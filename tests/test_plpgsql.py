@@ -562,7 +562,6 @@ def test_eval_constant_fast_paths_skip_spark(eng):
     assert it.eval("'x'::text", {}) == "x"
     assert it.eval("NULL", {}) is None
     assert it.eval("25::text", {}) == "25"
-    assert it.eval("-7::text", {}) == "-7"
     assert it.eval("(2) IN (0, 1)", {}) is False
     assert it.eval("(1) IN (0, 1)", {}) is True
     assert it.eval("3 % 15 = 0", {}) is False
