@@ -273,25 +273,35 @@ def dblink_exec(conn: str, sql: str) -> str:
 _CURSORS: dict[tuple[str, str], object] = {}
 _CURSOR_DBS: dict[tuple[str, str], object] = {}
 _CURSOR_SCHEMAS: dict[tuple[str, str], StructType] = {}
+# rows prefetched from the LIVE cursor for schema widening, served back
+# before new fetches (single remote execution — see dblink_open)
+_CURSOR_BUF: dict[tuple[str, str], list] = {}
 
 
 def dblink_open(conn: str, cursor: str, sql: str) -> str:
     """dblink_open(conn, curname, sql) — open a remote cursor. The
-    record schema is fixed HERE (bounded LIMIT-20 probe, like dblink()'s
-    plan-time sniff) so every subsequent fetch of this cursor returns
-    the same schema — including batches where a column is all-NULL."""
+    record schema is fixed HERE, widened over the live cursor's first
+    rows (buffered and served back on fetch — ONE remote execution), so
+    every subsequent fetch of this cursor returns the same schema —
+    including batches where a column is all-NULL."""
     key = (conn, cursor)
     if key in _CURSORS:
         raise ValueError(f"cursor {cursor!r} already open on {conn!r}")
     path = _resolve_path(conn)
-    _CURSOR_SCHEMAS[key] = _sniff_schema(path, sql)
     db = sqlite3.connect(path)
     try:
-        _CURSORS[key] = db.execute(sql)
+        cur = db.execute(sql)
+        # widen the schema from the live cursor's first rows and keep
+        # them buffered for the first fetches — the separate LIMIT
+        # probe ran the remote SQL twice (round-5 review finding)
+        head = cur.fetchmany(_SNIFF + 1)
+        names = [d[0] for d in cur.description]
     except Exception:
-        _CURSOR_SCHEMAS.pop(key, None)
         db.close()
         raise
+    _CURSOR_SCHEMAS[key] = _widen_schema(names, head)
+    _CURSOR_BUF[key] = list(head)
+    _CURSORS[key] = cur
     _CURSOR_DBS[key] = db
     return "OK"
 
@@ -306,7 +316,11 @@ def dblink_fetch(spark: SparkSession, conn: str, cursor: str, n: int):
         raise ValueError(f"cursor {cursor!r} is not open on {conn!r}")
     cur = _CURSORS[key]
     schema = _CURSOR_SCHEMAS[key]
-    rows = [_coerce_row(r, schema) for r in cur.fetchmany(n)]
+    buf = _CURSOR_BUF.get(key, [])
+    take, _CURSOR_BUF[key] = buf[:n], buf[n:]
+    if len(take) < n:
+        take += cur.fetchmany(n - len(take))
+    rows = [_coerce_row(r, schema) for r in take]
     return spark.createDataFrame(rows, schema=schema)
 
 
@@ -316,6 +330,7 @@ def dblink_close(conn: str, cursor: str) -> str:
         raise ValueError(f"cursor {cursor!r} is not open on {conn!r}")
     _CURSORS.pop(key)
     _CURSOR_SCHEMAS.pop(key, None)
+    _CURSOR_BUF.pop(key, None)
     _CURSOR_DBS.pop(key).close()
     return "OK"
 

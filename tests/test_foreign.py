@@ -373,3 +373,30 @@ def test_dblink_single_execution(spark, tmp_path):
     assert small.collect()[0].n == 50
     big = dblink(spark, p, "SELECT v FROM t")
     assert big.count() == 50  # > probe horizon: served by the reader
+
+
+def test_dblink_cursor_prefetch_buffer_order(spark, tmp_path):
+    """Round-5 review fix: the cursor schema is widened from the LIVE
+    cursor's prefetched head (one remote execution); fetches must drain
+    that buffer first and cross into fresh rows without gap or reorder."""
+    import sqlite3
+
+    from gpdb_spark.operators.dblink import (
+        dblink_close,
+        dblink_fetch,
+        dblink_open,
+    )
+
+    p = str(tmp_path / "cur.db")
+    with sqlite3.connect(p) as c:
+        c.execute("CREATE TABLE t (v INTEGER)")
+        c.executemany("INSERT INTO t VALUES (?)", [(i,) for i in range(50)])
+        c.commit()
+    dblink_open(p, "c1", "SELECT v FROM t ORDER BY v")
+    a = [r.v for r in dblink_fetch(spark, p, "c1", 10).collect()]
+    b = [r.v for r in dblink_fetch(spark, p, "c1", 30).collect()]
+    c_ = [r.v for r in dblink_fetch(spark, p, "c1", 30).collect()]
+    dblink_close(p, "c1")
+    assert a == list(range(10))
+    assert b == list(range(10, 40))   # crosses the 21-row prefetch buffer
+    assert c_ == list(range(40, 50))  # exhausted tail
