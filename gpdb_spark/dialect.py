@@ -2681,6 +2681,15 @@ def pg_sql(
         return spark.createDataFrame(
             [(line,) for line in plan.splitlines()], "query_plan string"
         )
+    # contrib functions as SQL-callable names (unaccent, crypt,
+    # pg_size_pretty, inet accessors, earth/geo distance, metaphone —
+    # idempotent per session, one batched probe on first call); PG's
+    # soundex is the fuzzystrmatch table variant, which cannot shadow
+    # Spark's builtin of the same name, so the dialect rewrites it here
+    from gpdb_spark.functions.sql_registry import register_pg_functions
+
+    register_pg_functions(spark)
+    sql = re.sub(r"(?i)\bsoundex\s*\(", "pg_soundex(", sql)
     rec = _try_recursive_cte(spark, sql, int_cols)
     if rec is not None:
         return rec

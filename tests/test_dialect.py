@@ -551,3 +551,80 @@ class TestSrfFormatQuote:
             sf_dir,
         ).first()
         assert r.a == [0, 1, 2, 3, 4]
+
+
+class TestSqlCallableContribs:
+    """Round-5: contrib functions must be callable from SQL TEXT (the
+    form a migrating user's scripts use), not only the Column API."""
+
+    def test_registry_registers_everything(self, spark):
+        from gpdb_spark.functions.sql_registry import register_pg_functions
+
+        r = register_pg_functions(spark)
+        assert not r["skipped"], r
+        for name in ("unaccent", "pg_soundex", "crypt", "metaphone",
+                     "earth_distance", "network", "pg_size_pretty"):
+            assert name in r["registered"], name
+
+    def test_sql_matches_column_api(self, spark, sf_dir):
+        """One implementation, two surfaces: SQL-text results must equal
+        the Python Column API on real fixture data."""
+        from pyspark.sql import functions as F
+
+        from gpdb_spark.engine import Engine
+        from gpdb_spark.functions.unaccent import unaccent
+        from gpdb_spark.functions.fuzzy import soundex
+
+        eng = Engine(spark, sf_dir)
+        got = {
+            r.k: (r.u, r.s)
+            for r in eng.sql(
+                "SELECT c_custkey AS k, unaccent(c_name) AS u, "
+                "soundex(c_mktsegment) AS s FROM customer "
+                "WHERE c_custkey < 50"
+            ).collect()
+        }
+        want = {
+            r.k: (r.u, r.s)
+            for r in eng.table("customer")
+            .where(F.col("c_custkey") < 50)
+            .select(
+                F.col("c_custkey").alias("k"),
+                unaccent(F.col("c_name")).alias("u"),
+                soundex(F.col("c_mktsegment")).alias("s"),
+            )
+            .collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_sql_udf_stays_jvm_side(self, spark):
+        """The expression-backed registrations must inline into Catalyst
+        — no Python eval node for unaccent/soundex/inet calls."""
+        from gpdb_spark.functions.sql_registry import register_pg_functions
+
+        register_pg_functions(spark)
+        plan = (
+            spark.sql(
+                "SELECT unaccent(x) AS u, pg_soundex(x) AS s, "
+                "masklen(x) AS m FROM VALUES ('a/24') AS t(x)"
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_crypt_verify_idiom_in_sql(self, spark):
+        """The reference's auth-check idiom, purely in SQL."""
+        from gpdb_spark.functions.sql_registry import register_pg_functions
+
+        register_pg_functions(spark)
+        stored = spark.sql(
+            "SELECT crypt('s3cret', '$1$abcdefgh') AS h"
+        ).collect()[0].h
+        ok = spark.sql(
+            f"SELECT crypt('s3cret', '{stored}') = '{stored}' AS ok, "
+            f"crypt('wrong', '{stored}') = '{stored}' AS bad"
+        ).collect()[0]
+        assert ok.ok is True and ok.bad is False
