@@ -101,6 +101,21 @@ def _specs():
             4,
         ),
         (
+            # fuzzystrmatch levenshtein_less_equal(a, b, k): PG returns
+            # the real distance when <= k, else "some value > k" — the
+            # documented contract callers rely on is only the <= k
+            # comparison, which Spark's bounded 3-arg levenshtein (-1
+            # past the threshold) satisfies after mapping -1 to k+1.
+            # Raw SQL body: the Python API requires a foldable
+            # threshold, but the SQL builtin takes the k parameter.
+            "levenshtein_less_equal",
+            [("a", "STRING"), ("b", "STRING"), ("k", "INT")],
+            "CASE WHEN levenshtein(a, b, k) < 0 THEN k + 1 "
+            "ELSE levenshtein(a, b, k) END",
+            "SELECT levenshtein_less_equal('kitten', 'sitting', 2)",
+            3,
+        ),
+        (
             "pg_size_pretty",
             [("sz", "BIGINT")],
             lambda: M.pg_size_pretty(c("sz")),
@@ -189,8 +204,11 @@ def register_pg_functions(spark: SparkSession) -> dict:
     for name, params, build, probe, want in _specs():
         sig = ", ".join(f"{p} {t}" for p, t in params)
         try:
-            df = spark.createDataFrame([], sig)
-            body = _body_sql(df, build())
+            if isinstance(build, str):
+                body = build  # raw SQL body (builtin-only composition)
+            else:
+                df = spark.createDataFrame([], sig)
+                body = _body_sql(df, build())
             spark.sql(
                 f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) "
                 f"RETURN {body}"
