@@ -2674,7 +2674,10 @@ def pg_sql(
         analyze = body[:7].lower() == "analyze"
         if analyze:
             body = body[7:].lstrip()
-        df = pg_sql(spark, body, None)
+        # recurse with sf_dir so the catalog-driven integer-`/` rewrite
+        # applies: EXPLAIN must plan the SAME query that would execute
+        # (with None the plan showed double division — review finding)
+        df = pg_sql(spark, body, sf_dir)
         if analyze:
             df._jdf.queryExecution().toRdd().count()
         plan = explain_motion(df)
@@ -2685,11 +2688,20 @@ def pg_sql(
     # pg_size_pretty, inet accessors, earth/geo distance, metaphone —
     # idempotent per session, one batched probe on first call); PG's
     # soundex is the fuzzystrmatch table variant, which cannot shadow
-    # Spark's builtin of the same name, so the dialect rewrites it here
+    # Spark's builtin of the same name, so the dialect rewrites calls to
+    # pg_soundex — ONLY when that registration verified on this session
+    # (else the builtin keeps resolving), and never inside string
+    # literals (split on the quoted-literal grammar incl. '' escapes;
+    # \b + the required "(" already skip "soundex" quoted identifiers)
     from gpdb_spark.functions.sql_registry import register_pg_functions
 
-    register_pg_functions(spark)
-    sql = re.sub(r"(?i)\bsoundex\s*\(", "pg_soundex(", sql)
+    reg = register_pg_functions(spark)
+    if "pg_soundex" in reg["registered"]:
+        parts = re.split(r"('(?:[^']|'')*')", sql)
+        sql = "".join(
+            p if i % 2 else re.sub(r"(?i)\bsoundex\s*\(", "pg_soundex(", p)
+            for i, p in enumerate(parts)
+        )
     rec = _try_recursive_cte(spark, sql, int_cols)
     if rec is not None:
         return rec

@@ -106,11 +106,12 @@ def md5_crypt(password: str | bytes, salt: str | bytes) -> str:
     return f"$1${s}$" + "".join(out)
 
 
-def crypt(password: Column | str, salt: Column | str) -> Column:
-    """pgcrypto crypt(password, salt) for the '$1$' (md5-crypt) scheme.
-    Verify idiom: ``crypt(pw, stored_hash) == stored_hash``. Arrow-
-    batched pandas UDF (the UDF object is built here because pandas_udf
-    requires an active session at decoration time)."""
+def crypt_batch_udf():
+    """THE crypt pandas UDF — the single implementation behind both the
+    Column API (``crypt``) and the SQL registration
+    (sql_registry ``spark.udf.register("crypt", ...)``), so the two
+    surfaces cannot drift. Built per call because pandas_udf requires
+    an active session at decoration time."""
 
     @pandas_udf("string")
     def _crypt_batch(pw: pd.Series, s: pd.Series) -> pd.Series:
@@ -121,9 +122,16 @@ def crypt(password: Column | str, salt: Column | str) -> Column:
             ]
         )
 
+    return _crypt_batch
+
+
+def crypt(password: Column | str, salt: Column | str) -> Column:
+    """pgcrypto crypt(password, salt) for the '$1$' (md5-crypt) scheme.
+    Verify idiom: ``crypt(pw, stored_hash) == stored_hash``. Arrow-
+    batched pandas UDF."""
     p = F.col(password) if isinstance(password, str) else password
     s = F.col(salt) if isinstance(salt, str) else salt
-    return _crypt_batch(p, s)
+    return crypt_batch_udf()(p, s)
 
 
 def gen_salt_md5(seed: Column | None = None) -> Column:

@@ -57,19 +57,14 @@ def _body_sql(df: DataFrame, col: Column) -> str:
     )
 
 
-def _haversine(lat1, lon1, lat2, lon2, radius: float) -> Column:
-    """Great-circle distance (same formula as earth_distance_funcs)."""
-    dlat = F.radians(lat2 - lat1) / 2
-    dlon = F.radians(lon2 - lon1) / 2
-    h = F.pow(F.sin(dlat), 2) + (
-        F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.pow(F.sin(dlon), 2)
-    )
-    return 2.0 * radius * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
-
-
 def _specs():
     """(name, [(param, sqltype)...], builder, probe_sql, expected)."""
     from gpdb_spark.functions import misc_types as M
+    from gpdb_spark.functions.earth import (
+        EARTH_RADIUS_M,
+        EARTH_RADIUS_MILES,
+        haversine,
+    )
     from gpdb_spark.functions.fuzzy import difference, soundex
     from gpdb_spark.functions.unaccent import unaccent
 
@@ -165,8 +160,8 @@ def _specs():
                 ("lat2", "DOUBLE"),
                 ("lon2", "DOUBLE"),
             ],
-            lambda: _haversine(
-                c("lat1"), c("lon1"), c("lat2"), c("lon2"), 6378168.0
+            lambda: haversine(
+                c("lat1"), c("lon1"), c("lat2"), c("lon2"), EARTH_RADIUS_M
             ),
             "SELECT CAST(earth_distance(0.0, 0.0, 0.0, 0.0) AS BIGINT)",
             0,
@@ -179,8 +174,8 @@ def _specs():
                 ("lat2", "DOUBLE"),
                 ("lon2", "DOUBLE"),
             ],
-            lambda: _haversine(
-                c("lat1"), c("lon1"), c("lat2"), c("lon2"), 3958.747716
+            lambda: haversine(
+                c("lat1"), c("lon1"), c("lat2"), c("lon2"), EARTH_RADIUS_MILES
             ),
             "SELECT CAST(geo_distance(30.0, -90.0, 30.0, -90.0) AS BIGINT)",
             0,
@@ -223,11 +218,24 @@ def register_pg_functions(spark: SparkSession) -> dict:
     # ONE batched probe job for every created function (a per-function
     # probe would cost a Spark job each on the first front-door call)
     if created:
-        cols = ", ".join(
-            f"({p.split('SELECT ', 1)[1]}) AS c{i}"
-            for i, (_, p, _) in enumerate(created)
-        )
+        import re as _re
+
+        def _probe_expr(p: str) -> str:
+            m = _re.match(r"(?is)^\s*SELECT\s+(.*)$", p)
+            if not m:  # malformed spec: keep it probing standalone
+                raise ValueError(f"probe must start with SELECT: {p!r}")
+            return m.group(1)
+
         try:
+            cols = ", ".join(
+                f"({_probe_expr(p)}) AS c{i}"
+                for i, (_, p, _) in enumerate(created)
+            )
+        except ValueError:
+            cols = None
+        try:
+            if cols is None:
+                raise ValueError("per-function probe fallback")
             row = list(spark.sql(f"SELECT {cols}").collect()[0])
         except Exception:
             # one bad body poisons the batch — fall back to per-function
@@ -252,31 +260,34 @@ def register_pg_functions(spark: SparkSession) -> dict:
     # per-row CPU by its key-stretching contract and was already a
     # pandas UDF; metaphone is the rule automaton, row-at-a-time)
     try:
-        from gpdb_spark.functions.crypt_md5 import md5_crypt
+        from gpdb_spark.functions.crypt_md5 import crypt_batch_udf
 
-        from pyspark.sql.functions import pandas_udf
-
-        @pandas_udf("string")
-        def _crypt(pw: pd.Series, salt: pd.Series) -> pd.Series:
-            return pd.Series(
-                [
-                    None if p is None or s is None else md5_crypt(p, s)
-                    for p, s in zip(pw, salt)
-                ]
-            )
-
-        spark.udf.register("crypt", _crypt)
+        spark.udf.register("crypt", crypt_batch_udf())
         registered.append("crypt")
     except Exception:
         skipped.append("crypt")
     try:
         from gpdb_spark.functions.metaphone import metaphone
 
-        spark.udf.register(
-            "metaphone",
-            lambda w, n: None if w is None else metaphone(w, n or 4),
-            "string",
-        )
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _metaphone(w: pd.Series, n: pd.Series) -> pd.Series:
+            # PG rejects max_length < 1 with an error (metaphone.c
+            # checks the arg); raising aborts the query, same as PG
+            out = []
+            for word, k in zip(w, n):
+                if word is None or k is None:
+                    out.append(None)
+                    continue
+                if int(k) < 1:
+                    raise ValueError(
+                        "metaphone: output length must be > 0"
+                    )
+                out.append(metaphone(word, int(k)))
+            return pd.Series(out)
+
+        spark.udf.register("metaphone", _metaphone)
         registered.append("metaphone")
     except Exception:
         skipped.append("metaphone")

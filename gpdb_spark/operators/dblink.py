@@ -291,6 +291,15 @@ def dblink_open(conn: str, cursor: str, sql: str) -> str:
     db = sqlite3.connect(path)
     try:
         cur = db.execute(sql)
+        # a cursor must return rows: DML/DDL has no description. Close
+        # WITHOUT commit so sqlite's implicit transaction rolls the
+        # statement back — no side effect escapes the failed open
+        # (review finding: the bare description access was an opaque
+        # TypeError after the DML had already run)
+        if cur.description is None:
+            raise ValueError(
+                f"dblink_open: cursor SQL must return rows, got {sql!r}"
+            )
         # widen the schema from the live cursor's first rows and keep
         # them buffered for the first fetches — the separate LIMIT
         # probe ran the remote SQL twice (round-5 review finding)

@@ -126,30 +126,27 @@ def earth_distance_funcs(spark, sf_dir):
     miles with EARTH_RADIUS = 3958.747716. Haversine form of the same
     great-circle arc; coordinates synthesized deterministically from
     n_nationkey so both engines derive identical inputs."""
+    from gpdb_spark.functions.earth import (
+        EARTH_RADIUS_M,
+        EARTH_RADIUS_MILES,
+        haversine,
+    )
+
     n = t(spark, sf_dir, "nation").select(
         "n_nationkey",
         (F.col("n_nationkey") * 7.3 - 80.0).alias("lat"),
         (F.col("n_nationkey") * 14.7 - 170.0).alias("lon"),
     )
     a, b = n.alias("a"), n.alias("b")
-
-    def haversine(radius):
-        dlat = F.radians(F.col("b.lat") - F.col("a.lat")) / 2
-        dlon = F.radians(F.col("b.lon") - F.col("a.lon")) / 2
-        h = F.pow(F.sin(dlat), 2) + (
-            F.cos(F.radians(F.col("a.lat")))
-            * F.cos(F.radians(F.col("b.lat")))
-            * F.pow(F.sin(dlon), 2)
-        )
-        return 2.0 * radius * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+    args = (F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon"))
 
     return (
         a.join(b, F.col("b.n_nationkey") == F.col("a.n_nationkey") + 1)
         .select(
             F.col("a.n_nationkey").alias("n_nationkey"),
             F.col("b.n_nationkey").alias("other_key"),
-            fr(haversine(6378168.0), 3).alias("earth_m"),
-            fr(haversine(3958.747716), 3).alias("geo_miles"),
+            fr(haversine(*args, EARTH_RADIUS_M), 3).alias("earth_m"),
+            fr(haversine(*args, EARTH_RADIUS_MILES), 3).alias("geo_miles"),
         )
     )
 

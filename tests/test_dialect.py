@@ -628,3 +628,27 @@ class TestSqlCallableContribs:
             f"crypt('wrong', '{stored}') = '{stored}' AS bad"
         ).collect()[0]
         assert ok.ok is True and ok.bad is False
+
+    def test_soundex_rewrite_skips_string_literals(self, spark, sf_dir):
+        """The soundex->pg_soundex rename must not touch literal text."""
+        from gpdb_spark.engine import Engine
+
+        eng = Engine(spark, sf_dir)
+        r = eng.sql(
+            "SELECT 'call soundex(name) here' AS hint, "
+            "soundex('Ashcraft') AS s"
+        ).collect()[0]
+        assert r.hint == "call soundex(name) here"
+        assert r.s == "A226"  # PG table variant, not Spark's A261
+
+    def test_metaphone_rejects_nonpositive_length(self, spark):
+        import pytest
+
+        from gpdb_spark.functions.sql_registry import register_pg_functions
+
+        register_pg_functions(spark)
+        assert (
+            spark.sql("SELECT metaphone('Thompson', 4) AS m").collect()[0].m
+        )
+        with pytest.raises(Exception, match="length must be > 0"):
+            spark.sql("SELECT metaphone('Thompson', 0)").collect()

@@ -400,3 +400,23 @@ def test_dblink_cursor_prefetch_buffer_order(spark, tmp_path):
     assert a == list(range(10))
     assert b == list(range(10, 40))   # crosses the 21-row prefetch buffer
     assert c_ == list(range(40, 50))  # exhausted tail
+
+
+def test_dblink_open_rejects_dml_without_side_effect(spark, tmp_path):
+    """Round-5 review regression: non-row-returning cursor SQL must
+    fail with a clear error AND roll back (close without commit) so the
+    failed open leaves no remote side effect."""
+    import sqlite3
+
+    import pytest
+
+    from gpdb_spark.operators.dblink import dblink_open
+
+    p = str(tmp_path / "dml.db")
+    with sqlite3.connect(p) as c:
+        c.execute("CREATE TABLE t (v INTEGER)")
+        c.commit()
+    with pytest.raises(ValueError, match="must return rows"):
+        dblink_open(p, "c1", "INSERT INTO t VALUES (1)")
+    with sqlite3.connect(p) as c:
+        assert c.execute("SELECT count(*) FROM t").fetchone()[0] == 0
