@@ -48,15 +48,55 @@ def norm(rows, cols):
 fails = []
 # optional subset: names as argv (for targeted verify of changed queries)
 names = sorted(qs) if len(sys.argv) < 2 else [n for n in sys.argv[1:] if n in qs]
+
+# optional per-query watchdog (seconds): on oversized stress fixtures a
+# single quadratic DuckDB oracle (recursive-CTE transitive closure) can
+# hang the whole sweep — the round-5 scale-10 run sat on one query for
+# 50+ min. SIGALRM handles the Spark side (py4j recv raises on EINTR);
+# a blocking DuckDB C call never returns to the interpreter, so a
+# watchdog thread fires con.interrupt() for the oracle side (verified:
+# raises duckdb.InterruptException mid-recursive-CTE).
+_tmo = int(os.environ.get('SPARK_GRAFT_SIM_TIMEOUT', '0'))
+if _tmo:
+    import signal
+    import threading
+
+    def _alarm(signum, frame):
+        raise TimeoutError(f'query exceeded {_tmo}s')
+
+    signal.signal(signal.SIGALRM, _alarm)
+
+    def _duck_watchdog():
+        t = threading.Timer(_tmo, con.interrupt)
+        t.daemon = True
+        t.start()
+        return t
+
 for name in names:
-    sdf = qs[name](spark, sf)
-    srows = [tuple(r) for r in sdf.collect()]
-    if name not in osql:
-        print(f'{name}: rows-only, {len(srows)} rows'); continue
-    cur = con.execute(osql[name]); ocols = [d[0] for d in cur.description]; orows = cur.fetchall()
-    # strict dtype parity: the driver's hasher is type-sensitive (HUGEINT
-    # vs BIGINT fails it even with equal values) — be at least as strict
-    skew = dtype_mismatches(sdf.schema, con, osql[name])
+    if _tmo:
+        import signal
+        signal.alarm(_tmo)  # covers Spark run + collect + oracle run
+    _wd = _duck_watchdog() if _tmo else None
+    try:
+        sdf = qs[name](spark, sf)
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in osql:
+            print(f'{name}: rows-only, {len(srows)} rows'); continue
+        cur = con.execute(osql[name]); ocols = [d[0] for d in cur.description]; orows = cur.fetchall()
+        # strict dtype parity: the driver's hasher is type-sensitive (HUGEINT
+        # vs BIGINT fails it even with equal values) — be at least as strict
+        skew = dtype_mismatches(sdf.schema, con, osql[name])
+    except TimeoutError as exc:
+        print(f'{name}: TIMEOUT {exc}'); fails.append(name); continue
+    except Exception as exc:
+        if _tmo and 'INTERRUPT' in str(type(exc)).upper() + str(exc).upper():
+            print(f'{name}: TIMEOUT oracle interrupted after {_tmo}s')
+            fails.append(name); continue
+        raise
+    finally:
+        if _tmo:
+            signal.alarm(0)
+            _wd.cancel()
     ok = (sorted(c.lower() for c in sdf.columns) == sorted(c.lower() for c in ocols)
           and norm(srows, sdf.columns) == norm(orows, ocols)
           and not skew)
