@@ -292,6 +292,30 @@ def register_pg_functions(spark: SparkSession) -> dict:
     except Exception:
         skipped.append("metaphone")
 
+    try:
+        # gen_salt('md5') completes the crypt idiom in SQL. PG's
+        # px_gen_salt draws from strong random per CALL — a SQL-UDF
+        # rand() body would freeze its seed at registration and repeat
+        # within a row, so this one is a Python UDF over secrets
+        # (salt generation is rare; the slow path is irrelevant).
+        from gpdb_spark.functions.crypt_md5 import _ITOA64
+
+        def _gen_salt(scheme):
+            if scheme is None or scheme.lower() != "md5":
+                raise ValueError(
+                    f"gen_salt: unsupported type {scheme!r} "
+                    "(md5-crypt is the implemented scheme)"
+                )
+            import secrets
+
+            body = secrets.token_bytes(8)
+            return "$1$" + "".join(_ITOA64[b & 0x3F] for b in body)
+
+        spark.udf.register("gen_salt", _gen_salt, "string")
+        registered.append("gen_salt")
+    except Exception:
+        skipped.append("gen_salt")
+
     result = {"registered": registered, "skipped": skipped}
     spark._gp_sql_functions = result
     return result

@@ -652,3 +652,25 @@ class TestSqlCallableContribs:
         )
         with pytest.raises(Exception, match="length must be > 0"):
             spark.sql("SELECT metaphone('Thompson', 0)").collect()
+
+    def test_gen_salt_crypt_idiom_random_per_call(self, spark):
+        """gen_salt draws strong random per CALL (PG px_gen_salt) — two
+        rows must get different salts, and the stored-hash verify idiom
+        must close over them."""
+        import pytest
+
+        from gpdb_spark.functions.sql_registry import register_pg_functions
+
+        register_pg_functions(spark)
+        rows = spark.sql(
+            "SELECT id, crypt('pw', gen_salt('md5')) AS h "
+            "FROM range(4)"
+        ).collect()
+        salts = {r.h.split("$")[2] for r in rows}
+        assert len(salts) == 4  # distinct per call
+        h = rows[0].h
+        assert spark.sql(
+            f"SELECT crypt('pw', '{h}') = '{h}' AS ok"
+        ).collect()[0].ok
+        with pytest.raises(Exception, match="unsupported type"):
+            spark.sql("SELECT gen_salt('bf')").collect()
