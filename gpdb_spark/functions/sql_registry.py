@@ -301,7 +301,9 @@ def register_pg_functions(spark: SparkSession) -> dict:
         from gpdb_spark.functions.crypt_md5 import _ITOA64
 
         def _gen_salt(scheme):
-            if scheme is None or scheme.lower() != "md5":
+            if scheme is None:
+                return None  # STRICT, like pgcrypto's gen_salt
+            if scheme.lower() != "md5":
                 raise ValueError(
                     f"gen_salt: unsupported type {scheme!r} "
                     "(md5-crypt is the implemented scheme)"
@@ -311,7 +313,15 @@ def register_pg_functions(spark: SparkSession) -> dict:
             body = secrets.token_bytes(8)
             return "$1$" + "".join(_ITOA64[b & 0x3F] for b in body)
 
-        spark.udf.register("gen_salt", _gen_salt, "string")
+        # VOLATILE like PG's declaration: without asNondeterministic,
+        # Catalyst dedups identical gen_salt calls into ONE evaluation
+        # (two columns get the same salt) and may re-evaluate across a
+        # projection/filter split with different results — silently
+        # breaking the stored-hash verify idiom (review finding)
+        spark.udf.register(
+            "gen_salt",
+            F.udf(_gen_salt, "string").asNondeterministic(),
+        )
         registered.append("gen_salt")
     except Exception:
         skipped.append("gen_salt")

@@ -642,8 +642,6 @@ class TestSqlCallableContribs:
         assert r.s == "A226"  # PG table variant, not Spark's A261
 
     def test_metaphone_rejects_nonpositive_length(self, spark):
-        import pytest
-
         from gpdb_spark.functions.sql_registry import register_pg_functions
 
         register_pg_functions(spark)
@@ -657,8 +655,6 @@ class TestSqlCallableContribs:
         """gen_salt draws strong random per CALL (PG px_gen_salt) — two
         rows must get different salts, and the stored-hash verify idiom
         must close over them."""
-        import pytest
-
         from gpdb_spark.functions.sql_registry import register_pg_functions
 
         register_pg_functions(spark)

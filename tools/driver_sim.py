@@ -73,30 +73,40 @@ if _tmo:
         return t
 
 for name in names:
-    if _tmo:
-        import signal
-        signal.alarm(_tmo)  # covers Spark run + collect + oracle run
-    _wd = _duck_watchdog() if _tmo else None
+    # two-phase watchdog (review findings: a single shared deadline let
+    # a deferred SIGALRM fire inside the interrupt handler and kill the
+    # sweep, and substring matching misrouted real errors as timeouts):
+    # SIGALRM is armed ONLY around the Spark phase (py4j recv raises on
+    # EINTR) and disabled before the oracle phase, where the duckdb
+    # interrupt timer is precise via its own exception type.
     try:
-        sdf = qs[name](spark, sf)
-        srows = [tuple(r) for r in sdf.collect()]
+        if _tmo:
+            signal.alarm(_tmo)
+        try:
+            sdf = qs[name](spark, sf)
+            srows = [tuple(r) for r in sdf.collect()]
+        finally:
+            if _tmo:
+                signal.alarm(0)
         if name not in osql:
             print(f'{name}: rows-only, {len(srows)} rows'); continue
-        cur = con.execute(osql[name]); ocols = [d[0] for d in cur.description]; orows = cur.fetchall()
-        # strict dtype parity: the driver's hasher is type-sensitive (HUGEINT
-        # vs BIGINT fails it even with equal values) — be at least as strict
-        skew = dtype_mismatches(sdf.schema, con, osql[name])
+        _wd = _duck_watchdog() if _tmo else None
+        try:
+            cur = con.execute(osql[name]); ocols = [d[0] for d in cur.description]; orows = cur.fetchall()
+            # strict dtype parity: the driver's hasher is type-sensitive (HUGEINT
+            # vs BIGINT fails it even with equal values) — be at least as strict
+            skew = dtype_mismatches(sdf.schema, con, osql[name])
+        finally:
+            if _wd is not None:
+                _wd.cancel()
     except TimeoutError as exc:
+        # the JVM job keeps running after the Python-side raise; cancel
+        # it or it hogs the local cores for every later query
+        spark.sparkContext.cancelAllJobs()
         print(f'{name}: TIMEOUT {exc}'); fails.append(name); continue
-    except Exception as exc:
-        if _tmo and 'INTERRUPT' in str(type(exc)).upper() + str(exc).upper():
-            print(f'{name}: TIMEOUT oracle interrupted after {_tmo}s')
-            fails.append(name); continue
-        raise
-    finally:
-        if _tmo:
-            signal.alarm(0)
-            _wd.cancel()
+    except duckdb.InterruptException:
+        print(f'{name}: TIMEOUT oracle interrupted after {_tmo}s')
+        fails.append(name); continue
     ok = (sorted(c.lower() for c in sdf.columns) == sorted(c.lower() for c in ocols)
           and norm(srows, sdf.columns) == norm(orows, ocols)
           and not skew)
