@@ -22,77 +22,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver samples the first N entries of queries() for its DuckDB
-# CORRECTNESS check (~50 per round). Round-5 head (VERDICT r04 Next
-# 1/3/4): the 4 round-4 reds — 3 fixed by casting away cross-engine
-# output-dtype skew (DuckDB HUGEINT/DOUBLE/TINYINT vs Spark
-# BIGINT/DOUBLE), pg_casts_and_regex re-expressed over exact integer
-# cents — then the 4 single-column probes that bisect the old
-# pg_casts_and_regex projection, the 2 new round-5 operators (dblink,
-# pgcrypto raw encrypt/decrypt), the now-oracled dedup_minhash_clusters
-# (portable hash family took over the primary name; the xxhash64 fast
-# path stays benched + pytest-attested but is no longer a permanently
-# unattestable queries() row), and ALL 33 remaining never-driver-checked
-# queries so the ledger closes. Green rows from r01-r04 sort last.
-# (seg_ops and tablefunc_normal_rand, added late in round 5 after this
-# head was already exactly 50 deep, stay outside it — both local sim
-# MATCH incl. strict dtype parity — and are the first two rotation
-# candidates for round 6.)
+# CORRECTNESS check (~50 per round). Round-6 head (VERDICT r05 Next
+# 1/3): the two round-5 reds, both re-expressed away from DECIMAL-typed
+# compared output (the proven driver-hasher root cause — pg_named_window
+# now sums integer cents under the same named-WINDOW shape;
+# pg_cast_bal_dec compares the numeric(12,2) cast's DOUBLE image), the
+# two latent green-by-luck decimal queries re-expressed the same way
+# (pg_filter_distinct_on_combo drops the ::numeric output cast,
+# pg_parse_funcs compares to_number's DOUBLE image), the two
+# never-driver-checked round-5 late adds (seg_ops,
+# tablefunc_normal_rand — both full-sim MATCH, fuzz-swept), then new
+# round-6 queries, then the oldest-attested green rows (drv1-era) for
+# freshness. Everything else keeps its r02-r05 green row and sorts last.
 DRIVER_PRIORITY: list[str] = [
-    # round-4 reds, fixed this round (VERDICT r04 What's-wrong #1/#2)
-    "hypothetical_set_aggs",
-    "datapipe_pack_sequences",
-    "math_funcs",
-    "pg_casts_and_regex",
-    # bisection probes for the old pg_casts_and_regex projection
-    "pg_cast_bal",
-    "pg_cast_bal_dec",
-    "pg_regex_name_match",
-    "pg_casts_int",
-    # new round-5 operators
-    "dblink_query",
-    "pgcrypto_encrypt_raw",
-    "plpgsql_forc_move",
-    "unaccent_func",
-    "isn_check_digits",
-    "cube_ops",
-    "fulltext_dicts",
+    # the 2 round-5 reds, re-expressed (VERDICT r05 What's-wrong #1)
     "pg_named_window",
-    # newly oracled under its primary name (portable hash family)
-    "dedup_minhash_clusters",
-    # the 33 remaining never-driver-checked queries (all local-MATCH)
-    "join_cross",
-    "setop_intersect",
-    "setop_except",
-    "distinct_dropdup",
-    "limit_offset",
-    "generate_series_agg",
-    "json_build_agg",
-    "width_bucket_func",
-    "string_funcs2",
-    "generate_series_timestamp",
-    "regexp_split_ordinality",
-    "string_encode_funcs",
-    "array_funcs2",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "text_top_terms",
-    "text_lang_distribution",
-    "embed_cosine_pairs",
-    "udtf_function_scan",
-    "mapinpandas_filter",
-    "mapreduce_pipeline",
-    "fulltext_match_all",
-    "fulltext_match_any",
-    "fulltext_headline",
-    "merge_append_ordered",
-    "matrix_sum_agg",
-    "complex_arith",
-    "svec_sparsify_stats",
-    "uuid_v3_funcs",
-    "pg_order_nulls_limit",
-    "pg_generate_series_lateral",
-    "pg_string_agg_window",
-    "pg_quoted_idents_case",
+    "pg_cast_bal_dec",
+    # never-driver-checked (ledger closes with these two)
+    "seg_ops",
+    "tablefunc_normal_rand",
+    # latent decimal outputs, re-expressed — re-check
+    "pg_filter_distinct_on_combo",
+    "pg_parse_funcs",
+    # oldest green rows (drv1) — freshness re-checks
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q06_forecast_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "grouping_sets_mixed",
+    "window_running_sum",
+    "join_full_outer",
+    "join_theta_range",
 ]
 
 

@@ -56,6 +56,30 @@ def test_oracle(name, spark, duck, sf_dir):
     assert a == b, f"{name}: first mismatches: {mismatches[:3]}"
 
 
+def test_no_decimal_compared_outputs(duck):
+    """Registry-wide no-decimal-output policy gate (VERDICT r05
+    What's-wrong #1): the driver's value hasher is not value-transparent
+    on DECIMAL columns (DuckDB's pandas path drops trailing zero cents,
+    Spark keeps scale), so ANY decimal-family column in a compared
+    output is a latent red regardless of value correctness. DESCRIBE is
+    bind-only, so this sweeps all ~240 oracles in seconds and stops a
+    decimal output from ever reaching a round head again. The Spark
+    side needs no separate scan: a Spark decimal against a non-decimal
+    oracle is already a dtype_parity mismatch, and decimal/decimal pairs
+    are flagged by this scan's oracle side."""
+    offenders = []
+    for name in sorted(ORACLE):
+        for col, coltype, *_ in duck.execute(
+            f"DESCRIBE {ORACLE[name]}"
+        ).fetchall():
+            if coltype.upper().startswith("DECIMAL"):
+                offenders.append(f"{name}.{col}: {coltype}")
+    assert not offenders, (
+        "decimal-typed compared outputs (re-express over integer cents "
+        f"or CAST AS DOUBLE): {offenders}"
+    )
+
+
 def test_every_query_has_entry():
     assert QUERIES, "registry is empty"
     missing = set(ORACLE) - set(QUERIES)

@@ -94,4 +94,16 @@ def dtype_mismatches(spark_schema, duck_con, sql: str) -> list[str]:
             out.append(
                 f"{col}: spark={spark_types[col]} duck={duck_types[col]}"
             )
+        elif spark_types[col].startswith("decimal"):
+            # Policy (VERDICT r05 What's-wrong #1): DECIMAL-typed columns
+            # in compared output are NOT value-transparent through the
+            # driver's hasher — DuckDB's pandas path renders 2547.40 as
+            # 2547.4 while Spark keeps scale, so equal values hash
+            # differently whenever a money value ends in a zero cent.
+            # A matching decimal/decimal pair is therefore still a
+            # violation: re-express over integer cents or CAST AS DOUBLE.
+            out.append(
+                f"{col}: decimal-typed compared output (policy violation:"
+                f" driver hasher is not value-transparent on decimals)"
+            )
     return out
