@@ -44,6 +44,8 @@ DRIVER_PRIORITY: list[str] = [
     # latent decimal outputs, re-expressed — re-check
     "pg_filter_distinct_on_combo",
     "pg_parse_funcs",
+    # new round-6 operator: SCROLL cursors / backward FETCH+MOVE
+    "plpgsql_scroll_fetch",
     # oldest green rows (drv1) — freshness re-checks
     "q01_pricing_summary",
     "q03_shipping_priority",

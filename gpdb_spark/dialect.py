@@ -2651,6 +2651,27 @@ def _try_recursive_cte(
     return run(outer)
 
 
+def _rewrite_soundex(sql: str) -> str:
+    """soundex( -> pg_soundex( outside literal spans. Literal spans are
+    single-quoted strings (incl. '' escapes) AND dollar-quoted bodies
+    ($$..$$ / $tag$..$tag$, gram.y dolqdelim) — round-6 advice: without
+    the dollar-quoted arm, 'soundex(' inside a $$ string was rewritten.
+    \\b + the required "(" already skip quoted "soundex" identifiers."""
+    parts = re.split(
+        r"('(?:[^']|'')*'|\$\$.*?\$\$|\$([A-Za-z_]\w*)\$.*?\$\2\$)",
+        sql, flags=re.S,
+    )
+    # split emits (text, literal, tag) triples — the tag group is a
+    # substring of the literal, so only re-emit indices 0 and 1
+    out = []
+    for i, p in enumerate(parts):
+        if i % 3 == 0:
+            out.append(re.sub(r"(?i)\bsoundex\s*\(", "pg_soundex(", p))
+        elif i % 3 == 1:
+            out.append(p)
+    return "".join(out)
+
+
 def pg_sql(
     spark: SparkSession, sql: str, sf_dir: str | None = None
 ) -> DataFrame:
@@ -2697,11 +2718,7 @@ def pg_sql(
 
     reg = register_pg_functions(spark)
     if "pg_soundex" in reg["registered"]:
-        parts = re.split(r"('(?:[^']|'')*')", sql)
-        sql = "".join(
-            p if i % 2 else re.sub(r"(?i)\bsoundex\s*\(", "pg_soundex(", p)
-            for i, p in enumerate(parts)
-        )
+        sql = _rewrite_soundex(sql)
     rec = _try_recursive_cte(spark, sql, int_cols)
     if rec is not None:
         return rec

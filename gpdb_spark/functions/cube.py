@@ -84,13 +84,29 @@ def _pad_pair(a: Column, b: Column) -> tuple[Column, Column, Column, Column]:
 
 
 def cube_contains(a: Column | str, b: Column | str) -> Column:
-    """a @> b (cube_contains): every b dimension inside a (missing
-    dimensions of either side are zeroes, per cube_contains_v0)."""
+    """a @> b (cube_contains): every b dimension inside a.
+
+    cube_contains_v0 is ASYMMETRIC about excess dimensions: the
+    containee's (b's) excess dims must be exactly zero, but the
+    CONTAINER's excess dims are ignored ("can't care less about the
+    excess dimensions of (a)") — zero-padding both sides wrongly
+    required a higher-dimensional container to span 0 in its excess
+    dims (round-5 advice finding). Fitting a to exactly dim(b) —
+    truncate when longer, zero-pad when shorter — reproduces the
+    reference: a-excess dims drop out, and a b-excess dim must satisfy
+    0 <= b_lo <= b_hi <= 0, i.e. be exactly zero, which is
+    cube_contains_v0's LL==0 && UR==0 check."""
     a, b = _c(a), _c(b)
-    alo, ahi, blo, bhi = _pad_pair(a, b)
+    db = F.array_size(b["lo"])
+
+    def fit(arr: Column) -> Column:
+        sliced = F.slice(arr, F.lit(1), F.least(F.array_size(arr), db))
+        k = F.greatest(db - F.array_size(arr), F.lit(0))
+        return F.concat(sliced, F.array_repeat(F.lit(0.0), k))
+
     return _all_dims(
-        F.zip_with(alo, blo, lambda al, bl: al <= bl)
-    ) & _all_dims(F.zip_with(ahi, bhi, lambda ah, bh: ah >= bh))
+        F.zip_with(fit(a["lo"]), b["lo"], lambda al, bl: al <= bl)
+    ) & _all_dims(F.zip_with(fit(a["hi"]), b["hi"], lambda ah, bh: ah >= bh))
 
 
 def cube_contained(a: Column | str, b: Column | str) -> Column:

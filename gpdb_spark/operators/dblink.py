@@ -354,11 +354,21 @@ def dblink_get_pkey(conn: str, table: str) -> list[tuple[int, str]]:
     """dblink_get_pkey: (position, column) pairs of the remote table's
     primary key (dblink.c:1517; here via sqlite PRAGMA table_info)."""
     with closing(sqlite3.connect(_resolve_path(conn))) as db:
-        info = db.execute(f'PRAGMA table_info("{table}")').fetchall()
+        info = db.execute(
+            f"PRAGMA table_info({_quote_ident(table)})"
+        ).fetchall()
     if not info:
         raise ValueError(f"remote table {table!r} not found")
     pk = sorted((row[5], row[1]) for row in info if row[5])
     return [(i + 1, name) for i, (_, name) in enumerate(pk)]
+
+
+def _quote_ident(name: str) -> str:
+    """Double-quote an identifier, doubling embedded quotes — the
+    quote_ident discipline dblink.c applies to every interpolated
+    table/column name (round-6 advice: bare f'"{name}"' produced
+    malformed/injected SQL for names containing '"')."""
+    return '"' + str(name).replace('"', '""') + '"'
 
 
 def _quote_lit(v) -> str:
@@ -384,9 +394,9 @@ def dblink_build_sql_insert(
     column/value lists): INSERT statement text for the remote side."""
     if len(cols) != len(values):
         raise ValueError("cols and values length mismatch")
-    collist = ", ".join(f'"{c}"' for c in cols)
+    collist = ", ".join(_quote_ident(c) for c in cols)
     vallist = ", ".join(_quote_lit(v) for v in values)
-    return f'INSERT INTO "{table}" ({collist}) VALUES ({vallist})'
+    return f"INSERT INTO {_quote_ident(table)} ({collist}) VALUES ({vallist})"
 
 
 def dblink_build_sql_delete(
@@ -396,9 +406,10 @@ def dblink_build_sql_delete(
     if len(pkey_cols) != len(pkey_values):
         raise ValueError("pkey cols and values length mismatch")
     where = " AND ".join(
-        f'"{c}" = {_quote_lit(v)}' for c, v in zip(pkey_cols, pkey_values)
+        f"{_quote_ident(c)} = {_quote_lit(v)}"
+        for c, v in zip(pkey_cols, pkey_values)
     )
-    return f'DELETE FROM "{table}" WHERE {where}'
+    return f"DELETE FROM {_quote_ident(table)} WHERE {where}"
 
 
 def dblink_build_sql_update(
@@ -411,9 +422,10 @@ def dblink_build_sql_update(
     if len(pkey_cols) != len(pkey_values):
         raise ValueError("pkey cols and values length mismatch")
     sets = ", ".join(
-        f'"{c}" = {_quote_lit(v)}' for c, v in assignments.items()
+        f"{_quote_ident(c)} = {_quote_lit(v)}" for c, v in assignments.items()
     )
     where = " AND ".join(
-        f'"{c}" = {_quote_lit(v)}' for c, v in zip(pkey_cols, pkey_values)
+        f"{_quote_ident(c)} = {_quote_lit(v)}"
+        for c, v in zip(pkey_cols, pkey_values)
     )
-    return f'UPDATE "{table}" SET {sets} WHERE {where}'
+    return f"UPDATE {_quote_ident(table)} SET {sets} WHERE {where}"

@@ -26,18 +26,28 @@ Supported statement set (pl_gram.y productions):
 - ``CASE [expr] WHEN ... THEN ... [ELSE ...] END CASE`` — searched and
   simple statement forms (exec_stmt_case), incl. the CASE_NOT_FOUND
   error when no arm matches and there is no ELSE
-- ``FOREACH v IN ARRAY expr LOOP`` (exec_stmt_foreach_a), element-wise;
+- ``FOREACH v [SLICE n] IN ARRAY expr LOOP`` (exec_stmt_foreach_a):
+  element-wise by default (multi-dim arrays fully flattened, like
+  array_create_iterator(arr, 0)); SLICE n yields depth-n subarrays;
   NULL array errors, empty array runs zero iterations
 - cursors (exec_stmt_open / _fetch / _close): bound
-  ``cur CURSOR [(params)] FOR query`` declarations, ``refcursor`` +
-  ``OPEN c FOR query``, ``FETCH [NEXT] [FROM] c INTO ...`` (sets
-  FOUND; exhausted fetch nulls the targets), ``CLOSE c`` — rows
-  stream partition-at-a-time, same as FOR-IN-query
+  ``cur [SCROLL|NO SCROLL] CURSOR [(params)] FOR query`` declarations,
+  ``refcursor`` + ``OPEN c [[NO] SCROLL] FOR query``,
+  ``FETCH [direction [FROM|IN]] c INTO ...`` (sets FOUND; no row at the
+  destination nulls the targets), ``CLOSE c`` — rows stream
+  partition-at-a-time, same as FOR-IN-query. Directions
+  (pl_gram.y read_fetch_direction): NEXT/PRIOR/FIRST/LAST/
+  ABSOLUTE expr/RELATIVE expr/FORWARD/BACKWARD; backward movement
+  requires SCROLL (which retains fetched rows coordinator-side, the
+  scrollable-portal tuplestore analog) — a NO SCROLL cursor stays
+  purely streaming and raises the reference's "cursor can only scan
+  forward" error
 - ``FOR rec IN bound_cursor [(args)] LOOP`` (exec_stmt_forc): opens the
   bound cursor, streams rows, closes it when the loop exits (EXIT
   included); errors if the cursor is already open
-- ``MOVE [NEXT] [FROM|IN] c`` (exec_stmt_fetch with is_move): advance
-  one row without returning it; sets FOUND
+- ``MOVE [direction [FROM|IN]] c`` (exec_stmt_fetch with is_move):
+  reposition without returning rows; sets FOUND from the processed
+  count; adds the MOVE-only ``FORWARD/BACKWARD count|ALL`` forms
 - ``RETURN expr`` / ``RETURN QUERY <sql>`` / ``RETURN NEXT (exprs)``
   (exec_stmt_return / _return_query / _return_next)
 - ``SELECT ... INTO [STRICT] v, ... FROM ...`` (exec_stmt_execsql INTO)
@@ -57,9 +67,7 @@ fast path (no Spark job) so tight counter loops don't pay a JVM
 round-trip per iteration; any expression the fast path cannot prove
 safe falls through to the SQL path.
 
-Out of scope (documented): SCROLL cursors / non-NEXT FETCH and MOVE
-directions (PRIOR/ABSOLUTE/RELATIVE need a scrollable portal), FOREACH
-SLICE n (subarray form), nested function definitions.
+Out of scope (documented): nested function definitions.
 """
 
 from __future__ import annotations
@@ -287,21 +295,25 @@ def _parse_stmt(st: _Stream):
         st.push_remainder(_after_kw(st.take(), "end loop"))
         return ("loop", body)
     if w == "foreach":
-        # FOREACH var IN ARRAY expr LOOP ... END LOOP (pl_gram.y
-        # stmt_foreach_a; executor exec_stmt_foreach_a, pl_exec.c:125).
-        # SLICE n (subarray iteration) is out of scope — documented.
+        # FOREACH var [SLICE n] IN ARRAY expr LOOP ... END LOOP
+        # (pl_gram.y stmt_foreach_a; executor exec_stmt_foreach_a,
+        # pl_exec.c:2222). SLICE n iterates depth-n subarrays (n is an
+        # integer constant, ICONST in the grammar); SLICE 0 == the
+        # element-wise default.
         i, j, _ = _find_kw(rest, {"loop"})
         header, tail = rest[:i].strip(), rest[j:].strip()
         if tail:
             st.chunks.insert(st.i, tail)
         body = _parse_seq(st, {"end loop"})
         st.push_remainder(_after_kw(st.take(), "end loop"))
-        m = re.match(r"(?is)^([\w]+)\s+in\s+array\s+(.*)$", header)
+        m = re.match(
+            r"(?is)^([\w]+)\s+(?:slice\s+(\d+)\s+)?in\s+array\s+(.*)$",
+            header,
+        )
         if not m:
-            raise PlPgSqlError(
-                f"plpgsql: FOREACH syntax (SLICE unsupported): {header!r}"
-            )
-        return ("foreach", m.group(1).lower(), m.group(2).strip(), body)
+            raise PlPgSqlError(f"plpgsql: bad FOREACH syntax: {header!r}")
+        return ("foreach", m.group(1).lower(), int(m.group(2) or 0),
+                m.group(3).strip(), body)
     if w == "case":
         # CASE statement, searched and simple forms (pl_gram.y stmt_case;
         # executor exec_stmt_case, pl_exec.c:113). Distinct from the CASE
@@ -348,40 +360,37 @@ def _parse_stmt(st: _Stream):
         st.push_remainder(_after_kw(st.take(), "end"))
         return ("block", body, handlers)
     if w == "open":
-        # OPEN bound_cur [(args)] | OPEN refcur FOR query
+        # OPEN bound_cur [(args)] | OPEN refcur [[NO] SCROLL] FOR query
         # (pl_gram.y stmt_open; executor exec_stmt_open, pl_exec.c)
-        m = re.match(r"(?is)^(\w+)\s+for\s+(.+)$", rest)
+        m = re.match(
+            r"(?is)^(\w+)\s+(?:(no\s+scroll|scroll)\s+)?for\s+(.+)$", rest
+        )
         if m:
-            return ("open", m.group(1).lower(), None, m.group(2).strip())
+            scroll = (m.group(2) or "").strip().lower() == "scroll"
+            return ("open", m.group(1).lower(), None, m.group(3).strip(),
+                    scroll)
         m = re.match(r"(?is)^(\w+)\s*(?:\((.*)\))?$", rest)
         if not m:
             raise PlPgSqlError(f"plpgsql: bad OPEN: {rest[:60]!r}")
-        return ("open", m.group(1).lower(), m.group(2), None)
+        return ("open", m.group(1).lower(), m.group(2), None, None)
     if w == "fetch":
-        # FETCH [NEXT] [FROM|IN] cur INTO v, ... (exec_stmt_fetch);
-        # other directions (PRIOR/ABSOLUTE/...) need SCROLL — out of
-        # scope, same as the engine-level cursor front door
-        m = re.match(
-            r"(?is)^(?:next\s+)?(?:from\s+|in\s+)?(\w+)\s+into\s+(.+)$", rest
-        )
+        # FETCH [direction [FROM|IN]] cur INTO v, ... (exec_stmt_fetch).
+        # All pl_gram.y directions parse; backward-moving ones require a
+        # SCROLL cursor at runtime, like the reference's portal check.
+        m = re.match(r"(?is)^(.*?)\s+into\s+(.+)$", rest)
         if not m:
-            raise PlPgSqlError(
-                f"plpgsql: unsupported FETCH form (NEXT only): {rest[:60]!r}"
-            )
+            raise PlPgSqlError(f"plpgsql: bad FETCH (no INTO): {rest[:60]!r}")
+        dirn = _parse_fetch_direction(m.group(1), is_move=False)
         vars_ = [v.strip().lower() for v in _top_split(m.group(2), ",")]
-        return ("fetch", m.group(1).lower(), vars_)
+        return ("fetch", dirn, vars_)
     if w == "close":
         return ("close", rest.strip().lower())
     if w == "move":
-        # MOVE [NEXT] [FROM|IN] cur (pl_gram.y stmt_move; executor is
-        # exec_stmt_fetch with is_move=true): advance without returning.
-        # Other directions need SCROLL — out of scope like FETCH's.
-        m = re.match(r"(?is)^(?:next\s+)?(?:from\s+|in\s+)?(\w+)$", rest)
-        if not m:
-            raise PlPgSqlError(
-                f"plpgsql: unsupported MOVE form (NEXT only): {rest[:60]!r}"
-            )
-        return ("move", m.group(1).lower())
+        # MOVE [direction [FROM|IN]] cur (pl_gram.y stmt_move; executor
+        # is exec_stmt_fetch with is_move=true): reposition without
+        # returning rows; FORWARD/BACKWARD count|ALL allowed (MOVE-only,
+        # read_fetch_direction's check_FROM=false path).
+        return ("move", _parse_fetch_direction(rest, is_move=True))
     if w == "exit" or w == "continue":
         m = re.match(r"(?is)^when\s+(.*)$", rest)
         return (w, m.group(1) if m else None)
@@ -540,26 +549,89 @@ def _parse_body(body: str):
 
 _DECL = re.compile(
     r"(?is)^(\w+)\s+(constant\s+)?([\w ]+?(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
-    r"(?:\[\])?)\s*(?:(?::=|default)\s+(.+))?$"
+    r"(?:\[\])*)\s*(?:(?::=|default)\s+(.+))?$"
 )
 
 # bound cursor declaration: cur [NO SCROLL] CURSOR [(params)] FOR|IS query
 # (pl_gram.y decl_cursor_query; pl_exec.c exec_stmt_open binds it)
 _CURSOR_DECL = re.compile(
-    r"(?is)^(\w+)\s+(?:no\s+scroll\s+|scroll\s+)?cursor\s*"
+    r"(?is)^(\w+)\s+(?:(no\s+scroll|scroll)\s+)?cursor\s*"
     r"(?:\(([^)]*)\))?\s*(?:for|is)\s+(.+)$"
 )
+
+# FETCH/MOVE direction grammar (pl_gram.y read_fetch_direction):
+# NEXT | PRIOR | FIRST | LAST | ABSOLUTE expr | RELATIVE expr |
+# FORWARD | BACKWARD, plus the MOVE-only FORWARD/BACKWARD count|ALL
+# forms. Count/position exprs are evaluated at runtime, like
+# exec_stmt_fetch's expr_until_semi expressions. Groups: (simple-dir,
+# abs/rel keyword, abs/rel expr, fwd/bwd keyword, fwd/bwd count, cursor).
+_FETCH_DIR = re.compile(
+    r"(?is)^(?:(next|prior|first|last)"
+    r"|(absolute|relative)\s+(.+?)"
+    r"|(forward|backward)(?:\s+(all|.+?))?"
+    r")?\s*(?:from\s+|in\s+)?(\w+)$"
+)
+
+
+def _parse_fetch_direction(text: str, is_move: bool) -> tuple:
+    """-> (cursor, kind, count_expr|None). kinds: next/prior/first/last/
+    absolute/relative/forward/backward/forward_all/backward_all; the
+    count forms of FORWARD/BACKWARD are MOVE-only — pl_gram.y rejects a
+    FETCH whose direction returns_multiple_rows ("FETCH statement cannot
+    return multiple rows")."""
+    m = _FETCH_DIR.match(text.strip())
+    if not m:
+        what = "MOVE" if is_move else "FETCH"
+        raise PlPgSqlError(f"plpgsql: bad {what} direction: {text[:60]!r}")
+    simple, abskw, absexpr, fwdkw, fwdcount, cur = m.groups()
+    cur = cur.lower()
+    if simple:
+        return (cur, simple.lower(), None)
+    if abskw:
+        return (cur, abskw.lower(), absexpr.strip())
+    if fwdkw:
+        kind = fwdkw.lower()
+        if fwdcount is None:
+            return (cur, kind, None)  # FORWARD/BACKWARD == NEXT/PRIOR
+        if not is_move:
+            raise PlPgSqlError(
+                "plpgsql: FETCH statement cannot return multiple rows"
+            )
+        if fwdcount.strip().lower() == "all":
+            return (cur, kind + "_all", None)
+        return (cur, kind + "_n", fwdcount.strip())
+    return (cur, "next", None)
 
 
 class _Cursor:
     """A driver-side cursor: the query text plus, once OPENed, a
     partition-at-a-time iterator (toLocalIterator — the same bounded
-    coordinator materialization the FOR-IN-query loop uses)."""
+    coordinator materialization the FOR-IN-query loop uses).
 
-    def __init__(self, query: str | None = None, params: list[str] | None = None):
+    SCROLL cursors additionally retain fetched rows in ``buf`` — the
+    analog of the reference's scrollable-portal tuplestore
+    (pl_exec.c exec_stmt_open sets CURSOR_OPT_SCROLL, and the portal
+    materializes in the backend to honor backward fetch): backward
+    positioning needs the rows kept, and like the reference this
+    materialization is coordinator-side, bounded by the cursor's result
+    size. NO SCROLL cursors stay purely streaming (bounded memory) and
+    reject backward movement with the reference's error. ``pos`` is the
+    SQL FETCH position model: 0 = before first row, 1..N = on a row,
+    N+1 = after last."""
+
+    def __init__(
+        self,
+        query: str | None = None,
+        params: list[str] | None = None,
+        scroll: bool = False,
+    ):
         self.query = query
         self.params = params or []
-        self.it = None
+        self.scroll = scroll
+        self.it = None  # open iff not None
+        self.buf: list | None = None  # SCROLL: retained rows
+        self.pos = 0
+        self.src_done = False
 
 
 # ---------------------------------------------------------------------------
@@ -602,6 +674,10 @@ class Interpreter:
             return "TRUE" if v else "FALSE"
         if isinstance(v, (int, float, decimal.Decimal)):
             return str(v)
+        if isinstance(v, list):
+            # array-typed variable (e.g. a FOREACH SLICE subarray) back
+            # into SQL as an array constructor, element-wise recursive
+            return "ARRAY[" + ", ".join(Interpreter._lit(x) for x in v) + "]"
         if isinstance(v, datetime.datetime):
             return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
         if isinstance(v, datetime.date):
@@ -693,10 +769,13 @@ class Interpreter:
             if mc:
                 params = [
                     p.strip().split()[0].lower()
-                    for p in _top_split(mc.group(2) or "", ",")
+                    for p in _top_split(mc.group(3) or "", ",")
                     if p.strip()
                 ]
-                env[mc.group(1).lower()] = _Cursor(mc.group(3).strip(), params)
+                scroll = (mc.group(2) or "").strip().lower() == "scroll"
+                env[mc.group(1).lower()] = _Cursor(
+                    mc.group(4).strip(), params, scroll=scroll
+                )
                 continue
             m = _DECL.match(d.strip())
             if not m:
@@ -708,7 +787,7 @@ class Interpreter:
             env[name] = self.eval(default, env) if default else None
         self.exec_stmt(block, env, collector)
 
-    def _open_cursor(self, name, args, q, env) -> "_Cursor":
+    def _open_cursor(self, name, args, q, env, scroll=None) -> "_Cursor":
         """exec_stmt_open: bind args (or the refcursor's ad-hoc query),
         dispatch the SQL distributed, keep a streaming iterator on the
         coordinator. Shared by OPEN and FOR-over-cursor (exec_stmt_forc
@@ -724,6 +803,7 @@ class Interpreter:
                     f'cursor "{name}" is bound; OPEN FOR needs a refcursor'
                 )
             cur.query = q
+            cur.scroll = bool(scroll)  # OPEN ref [NO] SCROLL FOR query
         if cur.query is None:
             raise PlPgSqlError(f'cursor "{name}" has no query (OPEN FOR it)')
         sql = cur.query
@@ -745,7 +825,149 @@ class Interpreter:
         else:
             sql = self._subst(sql, env)
         cur.it = iter(self.engine.sql(sql).toLocalIterator())
+        cur.buf = [] if cur.scroll else None
+        cur.pos = 0
+        cur.src_done = False
         return cur
+
+    def _cursor_seek(self, cur, kind, expr, env):
+        """exec_stmt_fetch core: position ``cur`` per the SQL FETCH
+        direction and return (row at the final position or None,
+        processed). FOUND is processed != 0 for both FETCH and MOVE,
+        exactly the reference's exec_stmt_fetch contract.
+
+        SCROLL cursors seek over the retained buffer (tuplestore
+        analog); NO SCROLL cursors advance the stream and reject any
+        backward movement with the reference's "cursor can only scan
+        forward" error (portal.c DoPortalRunFetch's check)."""
+        n = None
+        if expr is not None:
+            v = self.eval(expr, env)
+            if v is None:
+                raise PlPgSqlError("FETCH/MOVE count must not be null")
+            n = int(v)
+        # FORWARD -n == BACKWARD n and vice versa (portal.c)
+        if kind == "forward_n" and n < 0:
+            kind, n = "backward_n", -n
+        elif kind == "backward_n" and n < 0:
+            kind, n = "forward_n", -n
+
+        if cur.scroll:
+            buf = cur.buf
+
+            def ensure(k):
+                while not cur.src_done and (k is None or len(buf) < k):
+                    try:
+                        buf.append(next(cur.it))
+                    except StopIteration:
+                        cur.src_done = True
+
+            def seek_abs(target):
+                if target <= 0:
+                    cur.pos = 0
+                    return None, 0
+                ensure(target)
+                if target > len(buf):
+                    cur.pos = len(buf) + 1
+                    return None, 0
+                cur.pos = target
+                return buf[target - 1], 1
+
+            if kind in ("next", "forward"):
+                return seek_abs(cur.pos + 1)
+            if kind in ("prior", "backward"):
+                return seek_abs(cur.pos - 1)
+            if kind == "first":
+                return seek_abs(1)
+            if kind == "last":
+                ensure(None)
+                return seek_abs(len(buf))
+            if kind == "absolute":
+                if n >= 0:
+                    return seek_abs(n)
+                ensure(None)  # ABSOLUTE -k counts from the end
+                return seek_abs(len(buf) + n + 1)
+            if kind == "relative":
+                if n == 0:  # re-fetch current row, position unchanged
+                    if 1 <= cur.pos <= len(buf):
+                        return buf[cur.pos - 1], 1
+                    return None, 0
+                return seek_abs(cur.pos + n)
+            if kind == "forward_n":
+                target = cur.pos + n
+                ensure(target)
+                if target <= len(buf):
+                    processed = target - cur.pos
+                    cur.pos = target
+                else:
+                    processed = max(0, len(buf) - cur.pos)
+                    cur.pos = len(buf) + 1
+                return None, processed
+            if kind == "forward_all":
+                ensure(None)
+                processed = max(0, len(buf) - cur.pos)
+                cur.pos = len(buf) + 1
+                return None, processed
+            if kind == "backward_n":
+                lo, hi = max(cur.pos - n, 1), cur.pos - 1
+                processed = max(0, hi - lo + 1)
+                cur.pos = cur.pos - n if cur.pos - n >= 1 else 0
+                return None, processed
+            if kind == "backward_all":
+                processed = max(0, cur.pos - 1)
+                cur.pos = 0
+                return None, processed
+            raise PlPgSqlError(f"plpgsql: bad fetch direction {kind!r}")
+
+        # NO SCROLL: purely streaming — forward only
+        def forbid_backward():
+            raise PlPgSqlError(
+                "cursor can only scan forward "
+                "(declare it with SCROLL to enable backward scan)"
+            )
+
+        def stream_advance(k):
+            row, moved = None, 0
+            for _ in range(k):
+                if cur.src_done:
+                    return None, moved
+                try:
+                    row = next(cur.it)
+                    moved += 1
+                    cur.pos += 1
+                except StopIteration:
+                    cur.src_done = True
+                    cur.pos += 1  # after-last position
+                    return None, moved
+            return row, moved
+
+        if kind in ("next", "forward"):
+            row, _ = stream_advance(1)
+            return row, 1 if row is not None else 0
+        if kind in ("absolute", "relative", "first"):
+            target = (
+                n if kind == "absolute"
+                else cur.pos + n if kind == "relative"
+                else 1
+            )
+            if kind == "absolute" and n < 0:
+                forbid_backward()  # needs the end, then backward
+            if target < cur.pos or (target == cur.pos and target != 0):
+                forbid_backward()
+            if target == cur.pos:  # ABSOLUTE 0 while before first row
+                return None, 0
+            row, _ = stream_advance(target - cur.pos)
+            return row, 1 if row is not None else 0
+        if kind == "forward_n":
+            _, moved = stream_advance(n)
+            return None, moved
+        if kind == "forward_all":
+            moved = 0
+            while not cur.src_done:
+                _, m = stream_advance(1)
+                moved += m
+            return None, moved
+        forbid_backward()
 
     def exec_seq(self, stmts, env, collector):
         for s in stmts:
@@ -810,15 +1032,41 @@ class Interpreter:
                 return
             raise PlPgSqlError("case not found")
         elif op == "foreach":
-            # exec_stmt_foreach_a: element-wise iteration over an array
-            # value; a NULL array is an error (matching the reference's
-            # "FOREACH expression must not be null"), an empty array
-            # runs zero iterations.
-            var, expr, body = s[1:]
+            # exec_stmt_foreach_a: iteration over an array value — SLICE
+            # 0 (default) walks individual ELEMENTS (fully flattened for
+            # multi-dim arrays, like array_create_iterator(arr, 0));
+            # SLICE n yields successive depth-n subarrays. A NULL array
+            # is an error ("FOREACH expression must not be null"); an
+            # empty array runs zero iterations; SLICE beyond the array's
+            # dimensionality raises the reference's range error.
+            var, slice_n, expr, body = s[1:]
             arr = self.eval(expr, env)
             if arr is None:
                 raise PlPgSqlError("FOREACH expression must not be null")
-            for v in list(arr):
+            arr = list(arr)
+            # dimensionality by list-nesting depth; ONLY list counts —
+            # Spark struct values surface as Row (a tuple subclass) and
+            # must stay scalar elements, not an extra array dimension
+            ndim, probe = 0, arr
+            while isinstance(probe, list):
+                ndim += 1
+                if not probe:
+                    break
+                probe = probe[0]
+            if slice_n > ndim:
+                raise PlPgSqlError(
+                    f"slice dimension ({slice_n}) is out of the valid "
+                    f"range 0..{ndim}"
+                )
+
+            def _slices(a, depth):
+                if depth == slice_n:
+                    yield a
+                    return
+                for sub in a:
+                    yield from _slices(sub, depth - 1)
+
+            for v in _slices(arr, ndim):
                 env[var] = v
                 try:
                     self.exec_seq(body, env, collector)
@@ -867,16 +1115,18 @@ class Interpreter:
                     continue
             env["found"] = found
         elif op == "open":
-            self._open_cursor(s[1], s[2], s[3], env)
+            self._open_cursor(s[1], s[2], s[3], env, scroll=s[4])
         elif op == "fetch":
-            # exec_stmt_fetch: one row into the targets; exhausted
-            # cursor nulls the targets and clears FOUND
-            cur = env.get(s[1])
+            # exec_stmt_fetch: position per the direction, one row into
+            # the targets; no row at the destination nulls the targets
+            # and clears FOUND
+            cname, kind, expr = s[1]
+            cur = env.get(cname)
             if not isinstance(cur, _Cursor) or cur.it is None:
-                raise PlPgSqlError(f'cursor "{s[1]}" is not open')
-            try:
-                row = next(cur.it)
-                env["found"] = True
+                raise PlPgSqlError(f'cursor "{cname}" is not open')
+            row, processed = self._cursor_seek(cur, kind, expr, env)
+            env["found"] = processed != 0
+            if row is not None:
                 vals = tuple(row)
                 if len(s[2]) == 1 and len(vals) > 1:
                     # single record target takes the whole row
@@ -890,8 +1140,7 @@ class Interpreter:
                 else:
                     for name, v in zip(s[2], vals):
                         env[name] = v
-            except StopIteration:
-                env["found"] = False
+            else:
                 for name in s[2]:
                     env[name] = None
         elif op == "close":
@@ -899,17 +1148,16 @@ class Interpreter:
             if not isinstance(cur, _Cursor) or cur.it is None:
                 raise PlPgSqlError(f'cursor "{s[1]}" is not open')
             cur.it = None
+            cur.buf = None  # free the SCROLL tuplestore
         elif op == "move":
-            # exec_stmt_fetch with is_move: advance one row, discard it,
-            # set FOUND — targets untouched
-            cur = env.get(s[1])
+            # exec_stmt_fetch with is_move: reposition, discard rows,
+            # set FOUND from the processed count — targets untouched
+            cname, kind, expr = s[1]
+            cur = env.get(cname)
             if not isinstance(cur, _Cursor) or cur.it is None:
-                raise PlPgSqlError(f'cursor "{s[1]}" is not open')
-            try:
-                next(cur.it)
-                env["found"] = True
-            except StopIteration:
-                env["found"] = False
+                raise PlPgSqlError(f'cursor "{cname}" is not open')
+            _, processed = self._cursor_seek(cur, kind, expr, env)
+            env["found"] = processed != 0
         elif op == "exit":
             if s[1] is None or self._truthy(s[1], env):
                 raise _Exit()

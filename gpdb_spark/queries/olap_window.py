@@ -329,11 +329,17 @@ def window_frame_exclude_groups(spark, sf_dir):
 
 @query(
     "window_filter_clause",
+    # ok_running follows the owsum discipline EXACTLY like the Spark
+    # side (round the exact DECIMAL sum to 2, then cast to double) — the
+    # former round(CAST(... AS DOUBLE), 6) was asymmetric in both the
+    # rounding base (double vs decimal) and the digit count (6 vs
+    # wround's 2), masked by pre-rounded fixture money and caught by the
+    # round-6 full-precision-money fuzz sweep
     oracle="""
     SELECT event_id, user_id,
-           round(CAST(sum(CAST(value AS DECIMAL(25,6)))
+           CAST(round(sum(CAST(value AS DECIMAL(25,6)))
                       FILTER (WHERE event_type <> 'error')
-                      OVER w AS DOUBLE), 6) AS ok_running,
+                      OVER w, 2) AS DOUBLE) AS ok_running,
            count(*) FILTER (WHERE event_type = 'click') OVER w AS clicks_so_far,
            max(value) FILTER (WHERE event_type = 'view') OVER w AS max_view
     FROM events

@@ -666,6 +666,67 @@ def plpgsql_forc_move(spark, sf_dir):
 
 
 @query(
+    "plpgsql_scroll_fetch",
+    oracle="""
+    SELECT r.r_regionkey AS rk,
+           (SELECT n_name FROM nation n WHERE n.n_regionkey = r.r_regionkey
+            ORDER BY n_nationkey LIMIT 1) AS first_name,
+           (SELECT n_name FROM nation n WHERE n.n_regionkey = r.r_regionkey
+            ORDER BY n_nationkey DESC LIMIT 1) AS last_name,
+           (SELECT n_name FROM nation n WHERE n.n_regionkey = r.r_regionkey
+            ORDER BY n_nationkey DESC LIMIT 1 OFFSET 1) AS second_last,
+           (SELECT CAST(count(*) AS BIGINT) FROM nation n
+            WHERE n.n_regionkey = r.r_regionkey) AS n_walked
+    FROM region r ORDER BY r_regionkey
+    """,
+)
+def plpgsql_scroll_fetch(spark, sf_dir):
+    """PL/pgSQL SCROLL cursors + backward FETCH directions
+    (pl_gram.y read_fetch_direction; pl_exec.c exec_stmt_fetch over a
+    scrollable portal — the round-5 declared gap, now closed): per
+    region, a SCROLL cursor fetches LAST, PRIOR, FIRST, then re-walks
+    the whole result backward (LAST + PRIOR-until-BOF) to count rows.
+    SCROLL retains the fetched rows coordinator-side (the reference's
+    scrollable-portal tuplestore does the same materialization); the
+    per-region result here is dimension-sized, so the buffer is O(25)."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.create_function("""
+    CREATE FUNCTION scroll_fetch_demo()
+    RETURNS TABLE(rk bigint, first_name text, last_name text,
+                  second_last text, n_walked bigint) AS $fn$
+    DECLARE
+      nc SCROLL CURSOR (k int) FOR
+        SELECT n_name FROM nation WHERE n_regionkey = k
+        ORDER BY n_nationkey;
+      reg record;
+      v text;
+      firstn text;
+      lastn text;
+      secondl text;
+      cnt bigint;
+    BEGIN
+      FOR reg IN SELECT r_regionkey FROM region ORDER BY r_regionkey LOOP
+        OPEN nc(reg.r_regionkey);
+        FETCH LAST FROM nc INTO lastn;
+        FETCH PRIOR FROM nc INTO secondl;
+        FETCH FIRST FROM nc INTO firstn;
+        FETCH LAST FROM nc INTO v;
+        cnt := 0;
+        WHILE found LOOP
+          cnt := cnt + 1;
+          FETCH PRIOR FROM nc INTO v;
+        END LOOP;
+        CLOSE nc;
+        RETURN NEXT (reg.r_regionkey, firstn, lastn, secondl, cnt);
+      END LOOP;
+    END;
+    $fn$ LANGUAGE plpgsql""")
+    return eng.call("scroll_fetch_demo")
+
+
+@query(
     "dblink_query",
     # oracle mirrors the remote work locally: the dblink_exec-inserted
     # sentinel row is the UNION ALL constant; remote GROUP BY + local

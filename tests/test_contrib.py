@@ -533,6 +533,42 @@ class TestCube:
         assert r.u3lo == -1.0 and r.u3hi == 2.0
         assert abs(r.dist - (2 * 7.0 ** 2) ** 0.5) < 1e-12
 
+    def test_cube_contains_ignores_container_excess_dims(self, spark):
+        """Round-6 advice regression (cube_contains_v0): the CONTAINER's
+        excess dimensions are ignored ("can't care less about the excess
+        dimensions of (a)") — only the CONTAINEE's excess dims must be
+        exactly zero. A 3D box spanning [5,6]^3 (excess dim excludes 0)
+        still contains the 2D point (5.5, 5.5); the reverse containment
+        requires the 3D containee's dim-3 to be exactly [0,0]."""
+        from pyspark.sql import functions as F
+
+        from gpdb_spark.functions.cube import cube, cube_contained, cube_contains
+
+        df = spark.range(1)
+        box3 = cube(F.array(F.lit(5.0), F.lit(5.0), F.lit(5.0)),
+                    F.array(F.lit(6.0), F.lit(6.0), F.lit(6.0)))
+        pt2 = cube(F.array(F.lit(5.5), F.lit(5.5)))
+        # containee with nonzero excess dim: [5,6]^2 x [0.5, 0.5]
+        box3_nz = cube(F.array(F.lit(5.0), F.lit(5.0), F.lit(0.5)),
+                       F.array(F.lit(6.0), F.lit(6.0), F.lit(0.5)))
+        # containee whose excess dim IS [0,0] inside a 2D container
+        box3_z = cube(F.array(F.lit(5.0), F.lit(5.0), F.lit(0.0)),
+                      F.array(F.lit(6.0), F.lit(6.0), F.lit(0.0)))
+        box2 = cube(F.array(F.lit(4.0), F.lit(4.0)),
+                    F.array(F.lit(7.0), F.lit(7.0)))
+        r = df.select(
+            cube_contains(box3, pt2).alias("box3_has_pt2"),
+            cube_contained(pt2, box3).alias("pt2_in_box3"),
+            cube_contains(pt2, box3).alias("pt2_has_box3"),
+            cube_contains(box2, box3_nz).alias("box2_has_nz"),
+            cube_contains(box2, box3_z).alias("box2_has_z"),
+        ).collect()[0]
+        # PG: cube('(5,5,5),(6,6,6)') @> cube('(5.5,5.5)') IS true
+        assert r.box3_has_pt2 and r.pt2_in_box3
+        assert not r.pt2_has_box3
+        assert not r.box2_has_nz
+        assert r.box2_has_z
+
     def test_cube_stays_jvm_side(self, spark):
         from pyspark.sql import functions as F
 

@@ -641,6 +641,22 @@ class TestSqlCallableContribs:
         assert r.hint == "call soundex(name) here"
         assert r.s == "A226"  # PG table variant, not Spark's A261
 
+    def test_soundex_rewrite_skips_dollar_quoted_literals(self):
+        """Round-6 advice: dollar-quoted spans ($$..$$ and $tag$..$tag$)
+        are literals too — the rewrite must leave their bodies alone and
+        must not duplicate the tag text."""
+        from gpdb_spark.dialect import _rewrite_soundex
+
+        assert _rewrite_soundex(
+            "select $$ soundex(q) $$, soundex(b)"
+        ) == "select $$ soundex(q) $$, pg_soundex(b)"
+        assert _rewrite_soundex(
+            "select $fn$ body soundex(z) $fn$ || soundex(c)"
+        ) == "select $fn$ body soundex(z) $fn$ || pg_soundex(c)"
+        assert _rewrite_soundex(
+            "select 'it''s soundex(x)', soundex(d)"
+        ) == "select 'it''s soundex(x)', pg_soundex(d)"
+
     def test_metaphone_rejects_nonpositive_length(self, spark):
         from gpdb_spark.functions.sql_registry import register_pg_functions
 

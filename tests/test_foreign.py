@@ -262,6 +262,41 @@ def test_dblink_pkey_and_sql_builders(tmp_path):
         assert db.execute("SELECT a, b, c FROM t").fetchall() == [(1, "x", 9.0)]
 
 
+def test_dblink_quote_ident_escapes_embedded_quotes(tmp_path):
+    """Round-6 advice regression: table/column names containing '"' must
+    be escaped by doubling (dblink.c uses quote_ident) — bare f'"{name}"'
+    produced malformed/injected SQL. The generated statements must both
+    LOOK right and actually run against a remote table whose identifiers
+    embed a double quote."""
+    import sqlite3 as s3
+
+    from gpdb_spark.operators.dblink import (
+        dblink_build_sql_delete,
+        dblink_build_sql_insert,
+        dblink_build_sql_update,
+        dblink_exec,
+        dblink_get_pkey,
+    )
+
+    path = str(tmp_path / "quoted.db")
+    with s3.connect(path) as db:
+        db.execute(
+            'CREATE TABLE "we""ird" ("a""x" INTEGER PRIMARY KEY, b TEXT)'
+        )
+        db.commit()
+
+    assert dblink_get_pkey(path, 'we"ird') == [(1, 'a"x')]
+    ins = dblink_build_sql_insert('we"ird', ['a"x', "b"], [1, "v"])
+    assert ins == (
+        'INSERT INTO "we""ird" ("a""x", "b") VALUES (1, \'v\')'
+    )
+    upd = dblink_build_sql_update('we"ird', ['a"x'], [1], {"b": "w"})
+    dele = dblink_build_sql_delete('we"ird', ['a"x'], [1])
+    assert dblink_exec(path, ins) == "INSERT 0 1"
+    assert dblink_exec(path, upd) == "UPDATE 1"
+    assert dblink_exec(path, dele) == "DELETE 1"
+
+
 def test_dblink_fetch_stable_schema_with_nulls(spark, tmp_path):
     """Review regression: the cursor's record schema is fixed at open
     (probe), so a batch whose column is all-NULL still builds, and

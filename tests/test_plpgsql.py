@@ -568,3 +568,196 @@ def test_eval_constant_fast_paths_skip_spark(eng):
 
     it.engine = eng  # single-element IN isn't a Python tuple -> SQL path
     assert bool(it.eval("(5) IN (5)", {})) is True
+
+def test_scroll_cursor_backward_directions(eng):
+    """SCROLL cursor honors the full read_fetch_direction set:
+    PRIOR/FIRST/LAST/ABSOLUTE/RELATIVE, including negative ABSOLUTE
+    (from the end) and RELATIVE 0 (re-fetch current), with the SQL
+    position model (before-first / on-row / after-last)."""
+    eng.create_function("""
+    CREATE FUNCTION scroll_walk() RETURNS text AS $$
+    DECLARE
+      c SCROLL CURSOR FOR
+        SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 5;
+      v int;
+      acc text := '';
+    BEGIN
+      OPEN c;
+      FETCH LAST FROM c INTO v;        -- 4
+      acc := v::text;
+      FETCH PRIOR FROM c INTO v;       -- 3
+      acc := acc || ',' || v;
+      FETCH ABSOLUTE 1 FROM c INTO v;  -- 0
+      acc := acc || ',' || v;
+      FETCH ABSOLUTE -2 FROM c INTO v; -- 3 (second from end)
+      acc := acc || ',' || v;
+      FETCH RELATIVE -1 FROM c INTO v; -- 2
+      acc := acc || ',' || v;
+      FETCH RELATIVE 0 FROM c INTO v;  -- 2 again, position unchanged
+      acc := acc || ',' || v;
+      FETCH FIRST FROM c INTO v;       -- 0
+      acc := acc || ',' || v;
+      -- walk past either end: targets nulled, FOUND cleared
+      FETCH PRIOR FROM c INTO v;
+      IF NOT found AND v IS NULL THEN acc := acc || ',<bof>'; END IF;
+      FETCH LAST FROM c INTO v;
+      FETCH NEXT FROM c INTO v;
+      IF NOT found THEN acc := acc || ',<eof>'; END IF;
+      -- after-last: PRIOR comes back to the last row
+      FETCH PRIOR FROM c INTO v;
+      acc := acc || ',' || v;
+      CLOSE c;
+      RETURN acc;
+    END;
+    $$ LANGUAGE plpgsql""")
+    assert eng.call("scroll_walk") == "4,3,0,3,2,2,0,<bof>,<eof>,4"
+
+
+def test_move_forward_backward_counts(eng):
+    """MOVE-only count forms (FORWARD/BACKWARD n|ALL): FOUND reflects
+    the processed count (exec_stmt_fetch is_move), and FORWARD -n is
+    BACKWARD n."""
+    eng.create_function("""
+    CREATE FUNCTION move_counts() RETURNS text AS $$
+    DECLARE
+      c SCROLL CURSOR FOR
+        SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 6;
+      v int;
+      acc text := '';
+    BEGIN
+      OPEN c;
+      MOVE FORWARD 3 FROM c;           -- on row 3
+      FETCH RELATIVE 0 FROM c INTO v;  -- nationkey 2
+      acc := v::text;
+      MOVE BACKWARD 2 FROM c;          -- on row 1
+      FETCH RELATIVE 0 FROM c INTO v;  -- nationkey 0
+      acc := acc || ',' || v;
+      MOVE FORWARD ALL FROM c;         -- after last, processed 5 > 0
+      IF found THEN acc := acc || ',fwd_all'; END IF;
+      MOVE FORWARD 1 FROM c;           -- nothing left
+      IF NOT found THEN acc := acc || ',empty'; END IF;
+      MOVE BACKWARD ALL FROM c;        -- before first, processed 6
+      IF found THEN acc := acc || ',bwd_all'; END IF;
+      MOVE FORWARD -1 FROM c;          -- == BACKWARD 1: already at BOF
+      IF NOT found THEN acc := acc || ',bof'; END IF;
+      CLOSE c;
+      RETURN acc;
+    END;
+    $$ LANGUAGE plpgsql""")
+    assert eng.call("move_counts") == "2,0,fwd_all,empty,bwd_all,bof"
+
+
+def test_no_scroll_cursor_rejects_backward(eng):
+    """A NO SCROLL cursor stays streaming: forward ABSOLUTE works, any
+    backward movement raises the reference's 'cursor can only scan
+    forward' error."""
+    eng.create_function("""
+    CREATE FUNCTION fwd_abs() RETURNS int AS $$
+    DECLARE
+      c CURSOR FOR SELECT n_nationkey FROM nation ORDER BY n_nationkey;
+      v int;
+    BEGIN
+      OPEN c;
+      FETCH ABSOLUTE 4 FROM c INTO v;
+      CLOSE c;
+      RETURN v;
+    END;
+    $$ LANGUAGE plpgsql""")
+    assert eng.call("fwd_abs") == 3
+
+    eng.create_function("""
+    CREATE FUNCTION bad_prior() RETURNS int AS $$
+    DECLARE
+      c NO SCROLL CURSOR FOR SELECT n_nationkey FROM nation;
+      v int;
+    BEGIN
+      OPEN c;
+      FETCH NEXT FROM c INTO v;
+      FETCH PRIOR FROM c INTO v;
+      RETURN v;
+    END;
+    $$ LANGUAGE plpgsql""")
+    with pytest.raises(PlPgSqlError, match="can only scan forward"):
+        eng.call("bad_prior")
+
+
+def test_fetch_count_form_rejected(eng):
+    """pl_gram.y rejects FETCH directions that return multiple rows
+    (FORWARD n / ALL are MOVE-only)."""
+    with pytest.raises(PlPgSqlError, match="cannot return multiple rows"):
+        eng.create_function("""
+        CREATE FUNCTION bad_fetch() RETURNS int AS $$
+        DECLARE
+          c CURSOR FOR SELECT 1;
+          v int;
+        BEGIN
+          OPEN c;
+          FETCH FORWARD 2 FROM c INTO v;
+          RETURN v;
+        END;
+        $$ LANGUAGE plpgsql""")
+        eng.call("bad_fetch")
+
+
+def test_open_refcursor_scroll_for(eng):
+    """OPEN ref SCROLL FOR query makes the ad-hoc cursor scrollable."""
+    eng.create_function("""
+    CREATE FUNCTION ref_scroll() RETURNS text AS $$
+    DECLARE
+      rc refcursor;
+      v int;
+      acc text := '';
+    BEGIN
+      OPEN rc SCROLL FOR SELECT n_nationkey FROM nation
+        ORDER BY n_nationkey LIMIT 3;
+      FETCH LAST FROM rc INTO v;
+      acc := v::text;
+      FETCH FIRST FROM rc INTO v;
+      acc := acc || ',' || v;
+      CLOSE rc;
+      RETURN acc;
+    END;
+    $$ LANGUAGE plpgsql""")
+    assert eng.call("ref_scroll") == "2,0"
+
+def test_foreach_slice(eng):
+    """FOREACH ... SLICE n (exec_stmt_foreach_a, pl_exec.c:2222): SLICE 1
+    over a 2-D array yields rows; the default (SLICE 0) flattens to
+    elements; SLICE equal to ndim yields the whole array once; SLICE
+    beyond ndim raises the reference's range error."""
+    eng.create_function("""
+    CREATE FUNCTION slice_rows() RETURNS text AS $$
+    DECLARE
+      m int[][] := ARRAY[ARRAY[1,2,3], ARRAY[4,5,6]];
+      row int[];
+      v int;
+      acc text := '';
+      total int := 0;
+    BEGIN
+      FOREACH row SLICE 1 IN ARRAY m LOOP
+        acc := acc || '[' || array_length(row, 1)::text || ']';
+      END LOOP;
+      FOREACH v IN ARRAY m LOOP
+        total := total + v;
+      END LOOP;
+      FOREACH row SLICE 2 IN ARRAY m LOOP
+        acc := acc || 'whole';
+      END LOOP;
+      RETURN acc || ':' || total;
+    END;
+    $$ LANGUAGE plpgsql""")
+    assert eng.call("slice_rows") == "[3][3]whole:21"
+
+    eng.create_function("""
+    CREATE FUNCTION slice_range() RETURNS int AS $$
+    DECLARE
+      a int[] := ARRAY[1,2];
+      x int[];
+    BEGIN
+      FOREACH x SLICE 2 IN ARRAY a LOOP
+      END LOOP;
+      RETURN 0;
+    END;
+    $$ LANGUAGE plpgsql""")
+    with pytest.raises(PlPgSqlError, match="out of the valid range"):
+        eng.call("slice_range")

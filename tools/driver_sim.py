@@ -66,11 +66,37 @@ if _tmo:
 
     signal.signal(signal.SIGALRM, _alarm)
 
+    class _DuckWatchdog:
+        """con.interrupt() guarded by a per-query done flag (round-6
+        advice): a bare threading.Timer could fire in the window between
+        the oracle completing and t.cancel(), leaving DuckDB's interrupt
+        flag set so the NEXT query's execute raised InterruptException
+        and was misreported as a timeout. The lock makes fire/cancel
+        mutually exclusive; `fired` distinguishes a genuine timeout from
+        a stale interrupt (the residual execute-just-finished race),
+        which the caller retries once."""
+
+        def __init__(self):
+            self._lock = threading.Lock()
+            self._done = False
+            self.fired = False
+            self._t = threading.Timer(_tmo, self._fire)
+            self._t.daemon = True
+            self._t.start()
+
+        def _fire(self):
+            with self._lock:
+                if not self._done:
+                    self.fired = True
+                    con.interrupt()
+
+        def cancel(self):
+            with self._lock:
+                self._done = True
+            self._t.cancel()
+
     def _duck_watchdog():
-        t = threading.Timer(_tmo, con.interrupt)
-        t.daemon = True
-        t.start()
-        return t
+        return _DuckWatchdog()
 
 for name in names:
     # two-phase watchdog (review findings: a single shared deadline let
@@ -90,15 +116,23 @@ for name in names:
                 signal.alarm(0)
         if name not in osql:
             print(f'{name}: rows-only, {len(srows)} rows'); continue
-        _wd = _duck_watchdog() if _tmo else None
-        try:
-            cur = con.execute(osql[name]); ocols = [d[0] for d in cur.description]; orows = cur.fetchall()
-            # strict dtype parity: the driver's hasher is type-sensitive (HUGEINT
-            # vs BIGINT fails it even with equal values) — be at least as strict
-            skew = dtype_mismatches(sdf.schema, con, osql[name])
-        finally:
-            if _wd is not None:
-                _wd.cancel()
+        for _attempt in (0, 1):
+            _wd = _duck_watchdog() if _tmo else None
+            try:
+                cur = con.execute(osql[name]); ocols = [d[0] for d in cur.description]; orows = cur.fetchall()
+                # strict dtype parity: the driver's hasher is type-sensitive (HUGEINT
+                # vs BIGINT fails it even with equal values) — be at least as strict
+                skew = dtype_mismatches(sdf.schema, con, osql[name])
+                break
+            except duckdb.InterruptException:
+                # genuine timeout (this query's watchdog fired) → report;
+                # otherwise a stale interrupt flag (prior watchdog fired
+                # post-completion despite the done-flag guard) → retry once
+                if (_wd is not None and _wd.fired) or _attempt == 1:
+                    raise
+            finally:
+                if _wd is not None:
+                    _wd.cancel()
     except TimeoutError as exc:
         # the JVM job keeps running after the Python-side raise; cancel
         # it or it hogs the local cores for every later query

@@ -9,8 +9,15 @@ the same schemas and value distributions but a DIFFERENT seed; running
 ``SPARK_GRAFT_SIM_SF=/tmp/fuzz_sf0.01 python tools/driver_sim.py``
 then flushes out data-dependent fragility before the driver does.
 
-Usage: python tools/gen_fixtures.py [outdir] [seed] [scale]
+Usage: python tools/gen_fixtures.py [outdir] [seed] [scale] [raw]
   scale multiplies row counts (default 1.0 == sf0.01 sizes).
+  A 4th arg "raw" writes FULL-PRECISION money columns (no pre-rounding
+  to 2 decimals). Pre-rounded money structurally hides the
+  double->decimal(12,2) cast divergence (Spark rounds the shortest
+  decimal repr, DuckDB the binary value — 891/50k values in the
+  round-5 cross-engine fuzz): sweeping the raw twin surfaces any query
+  whose oracle still casts unrounded doubles to decimal/numeric at
+  compare time (VERDICT r05 Next #4).
 """
 
 from __future__ import annotations
@@ -43,11 +50,18 @@ WORDS = (
 DAY_US = 86_400_000_000
 
 
+RAW_MONEY = False  # set by main(): full-precision money fuzz mode
+
+
 def _money(rng, n, lo, hi):
-    return np.round(rng.uniform(lo, hi, n), 2)
+    v = rng.uniform(lo, hi, n)
+    return v if RAW_MONEY else np.round(v, 2)
 
 
-def main(outdir: str, seed: int = 1337, scale: float = 1.0) -> None:
+def main(outdir: str, seed: int = 1337, scale: float = 1.0,
+         raw_money: bool = False) -> None:
+    global RAW_MONEY
+    RAW_MONEY = raw_money
     rng = np.random.default_rng(seed)
     import os
 
@@ -201,11 +215,15 @@ def main(outdir: str, seed: int = 1337, scale: float = 1.0) -> None:
         embedding=pa.array([list(map(float, row)) for row in emb], pa.list_(pa.float32())),
         label=pa.array(rng.integers(0, 10, n_emb), pa.int32()),
     )
-    print(f"wrote reseeded fixtures to {outdir} (seed={seed}, scale={scale})")
+    print(
+        f"wrote reseeded fixtures to {outdir} "
+        f"(seed={seed}, scale={scale}, raw_money={RAW_MONEY})"
+    )
 
 
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fuzz_sf0.01"
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1337
     scale = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
-    main(out, seed, scale)
+    raw = len(sys.argv) > 4 and sys.argv[4].lower().startswith("raw")
+    main(out, seed, scale, raw)
