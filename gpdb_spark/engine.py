@@ -30,6 +30,191 @@ def _fold_ident(name: str) -> str:
     return name.lower()
 
 
+class _Portal:
+    """SQL-level cursor portal (portal.c DoPortalRunFetch; fetch.sgml
+    direction semantics). Position model: 0 = before first row, 1..N =
+    on a row, N+1 = after last. A SCROLL portal retains fetched rows
+    (the reference's backend tuplestore materialization — bounded by
+    the cursor's own result size); a NO SCROLL portal stays purely
+    streaming (bounded driver memory) and rejects backward movement
+    with the reference's "cursor can only scan forward" error."""
+
+    def __init__(self, it, scroll: bool):
+        self.it = it
+        self.scroll = scroll
+        self.buf: list | None = [] if scroll else None
+        self.pos = 0
+        self.done = False
+
+    @staticmethod
+    def _forbid():
+        raise ValueError(
+            "cursor can only scan forward "
+            "(declare it with SCROLL to enable backward scan)"
+        )
+
+    @staticmethod
+    def _norm(direction: str, n):
+        """-> (d, n) with d in forward/backward/absolute/relative and n
+        an int, None (= ALL), or the absolute/relative position."""
+        d = direction.lower().strip().replace(" ", "_")
+        if d == "next":
+            return "forward", 1
+        if d == "prior":
+            return "backward", 1
+        if d == "first":
+            return "absolute", 1
+        if d == "last":
+            return "absolute", -1
+        if d == "all":
+            return "forward", None
+        if d in ("backward_all", "backwards_all"):
+            return "backward", None
+        if d not in ("forward", "backward", "absolute", "relative"):
+            raise ValueError(f"bad FETCH/MOVE direction {direction!r}")
+        # FORWARD -n == BACKWARD n (portal.c)
+        if d == "forward" and n is not None and n < 0:
+            return "backward", -n
+        if d == "backward" and n is not None and n < 0:
+            return "forward", -n
+        return d, n
+
+    def _ensure(self, k=None):
+        while not self.done and (k is None or len(self.buf) < k):
+            try:
+                self.buf.append(next(self.it))
+            except StopIteration:
+                self.done = True
+
+    def _adv(self):
+        """Streaming: next row or None; on exhaustion pos steps to
+        after-last exactly once."""
+        if self.done:
+            return None
+        try:
+            r = next(self.it)
+            self.pos += 1
+            return r
+        except StopIteration:
+            self.done = True
+            self.pos += 1
+            return None
+
+    def fetch(self, direction: str = "forward", n=1) -> list:
+        d, n = self._norm(direction, n)
+        if self.scroll:
+            return self._fetch_scroll(d, n)
+        return self._fetch_stream(d, n)
+
+    def move(self, direction: str = "forward", n=1) -> int:
+        """Reposition like fetch but only count rows passed — avoids
+        materializing a list for MOVE FORWARD ALL on a streaming
+        portal."""
+        d, n = self._norm(direction, n)
+        if self.scroll:
+            buf = self.buf
+            if d in ("forward", "backward") and n == 0:
+                return 1 if 1 <= self.pos <= len(buf) else 0
+            if d == "forward":
+                target = None if n is None else self.pos + n
+                self._ensure(target)
+                if target is not None and target <= len(buf):
+                    c = target - self.pos
+                    self.pos = target
+                else:
+                    c = max(0, len(buf) - self.pos)
+                    self.pos = len(buf) + 1
+                return c
+            if d == "backward":
+                lo = 1 if n is None else max(self.pos - n, 1)
+                c = max(0, self.pos - 1 - lo + 1)
+                self.pos = 0 if (n is None or self.pos - n < 1) else self.pos - n
+                return c
+            return len(self._fetch_scroll(d, n))
+        if d == "forward":
+            if n == 0:
+                if self.pos == 0:
+                    return 0
+                self._forbid()
+            c = 0
+            while n is None or c < n:
+                if self._adv() is None:
+                    break
+                c += 1
+            return c
+        if d in ("absolute", "relative"):
+            return len(self._fetch_stream(d, n))
+        self._forbid()
+
+    def _fetch_scroll(self, d, n) -> list:
+        buf = self.buf
+        if d in ("forward", "backward") and n == 0:
+            # FETCH 0: re-fetch the current row, position unchanged
+            return [buf[self.pos - 1]] if 1 <= self.pos <= len(buf) else []
+        if d == "forward":
+            target = None if n is None else self.pos + n
+            self._ensure(target)
+            if target is not None and target <= len(buf):
+                rows = buf[self.pos:target]
+                self.pos = target  # on the last returned row
+            else:
+                rows = buf[self.pos:]
+                self.pos = len(buf) + 1  # exhausted: after last
+            return rows
+        if d == "backward":
+            lo = 1 if n is None else max(self.pos - n, 1)
+            rows = [buf[i - 1] for i in range(self.pos - 1, lo - 1, -1)]
+            self.pos = 0 if (n is None or self.pos - n < 1) else self.pos - n
+            return rows
+        if d == "relative" and n == 0:
+            return [buf[self.pos - 1]] if 1 <= self.pos <= len(buf) else []
+        if d == "absolute" and n < 0:
+            self._ensure(None)  # from the end: -1 is the last row
+            target = len(buf) + n + 1
+        elif d == "relative":
+            target = self.pos + n
+        else:
+            target = n
+        if target <= 0:
+            self.pos = 0
+            return []
+        self._ensure(target)
+        if target > len(buf):
+            self.pos = len(buf) + 1
+            return []
+        self.pos = target
+        return [buf[target - 1]]
+
+    def _fetch_stream(self, d, n) -> list:
+        if d == "forward":
+            if n == 0:
+                if self.pos == 0:
+                    return []
+                self._forbid()  # re-fetch needs the row retained
+            rows = []
+            while n is None or len(rows) < n:
+                r = self._adv()
+                if r is None:
+                    break
+                rows.append(r)
+            return rows
+        if d in ("absolute", "relative"):
+            if d == "absolute" and n < 0:
+                self._forbid()  # needs the end, then backward
+            target = n if d == "absolute" else self.pos + n
+            if target < self.pos or (target == self.pos and target != 0):
+                self._forbid()
+            if target == self.pos:  # ABSOLUTE/RELATIVE 0 before first row
+                return []
+            row = None
+            while self.pos < target:
+                row = self._adv()
+                if row is None:
+                    return []
+            return [row]
+        self._forbid()
+
+
 class Engine:
     def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
         if spark is None:
@@ -187,26 +372,37 @@ class Engine:
 
     # -- cursors (portals: DECLARE / FETCH / MOVE / CLOSE) -------------------
 
-    def declare_cursor(self, name: str, text: str) -> None:
-        """DECLARE name CURSOR FOR <pg sql> (portalmem.c / PortalRun):
-        the query starts executing lazily; rows stream to the driver
-        one partition at a time via toLocalIterator — bounded client
-        memory is the entire point of a cursor, so no full collect."""
+    def declare_cursor(self, name: str, text: str, scroll: bool = False) -> None:
+        """DECLARE name [SCROLL] CURSOR FOR <pg sql> (portalmem.c /
+        PortalRun): the query starts executing lazily; rows stream to
+        the driver one partition at a time via toLocalIterator —
+        bounded client memory is the entire point of a cursor, so no
+        full collect. SCROLL retains fetched rows driver-side (the
+        scrollable portal materializes in a backend tuplestore in the
+        reference — same contract, bounded by the cursor's result
+        size) so FETCH/MOVE can run every SQL direction; a NO SCROLL
+        portal stays purely streaming and rejects backward movement
+        with the reference's error (portal.c DoPortalRunFetch)."""
         self._cursors = getattr(self, "_cursors", {})
         df = self.sql(text)
-        self._cursors[name] = iter(df.toLocalIterator())
+        self._cursors[name] = _Portal(iter(df.toLocalIterator()), scroll)
 
-    def fetch(self, name: str, n: int = 1) -> list:
-        """FETCH [n] FROM name: next n rows; fewer (possibly []) at
-        end of portal, like FETCH past the last row."""
-        import itertools
+    def fetch(self, name: str, n: int = 1, direction: str = "forward") -> list:
+        """FETCH [direction] [n] FROM name (fetch.sgml semantics):
+        ``forward n`` (the default; the plain ``FETCH n`` form) returns
+        the next n rows, fewer (possibly []) at end of portal;
+        ``backward n`` returns up to n prior rows in reverse order;
+        ``next/prior/first/last`` one row; ``absolute n``/``relative n``
+        one row at/offset-from a position (negative absolute counts
+        from the end); ``all``/``backward all`` the whole remainder.
+        Backward movement requires SCROLL."""
+        return self._cursors[name].fetch(direction, n)
 
-        return list(itertools.islice(self._cursors[name], n))
-
-    def move(self, name: str, n: int) -> int:
-        """MOVE n IN name: advance without returning rows; reports how
-        many rows were actually skipped."""
-        return len(self.fetch(name, n))
+    def move(self, name: str, n: int = 1, direction: str = "forward") -> int:
+        """MOVE [direction] [n] IN name: reposition without returning
+        rows; reports how many rows were passed over (the MOVE command
+        tag count; FOUND-equivalent is count != 0)."""
+        return self._cursors[name].move(direction, n)
 
     def close_cursor(self, name: str) -> None:
         """CLOSE name."""

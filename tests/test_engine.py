@@ -211,6 +211,45 @@ def test_cursor_portal(spark):
     eng.close_cursor("c1")
 
 
+def test_scroll_cursor_portal(spark):
+    """DECLARE SCROLL CURSOR honors every SQL FETCH/MOVE direction
+    (portal.c DoPortalRunFetch; fetch.sgml): BACKWARD returns rows in
+    reverse order, ABSOLUTE -k counts from the end, FETCH 0 re-fetches
+    the current row, MOVE returns the passed-over count, and a NO
+    SCROLL portal raises on backward movement."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    eng.declare_cursor(
+        "sc", "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 10",
+        scroll=True,
+    )
+    assert [r.n_nationkey for r in eng.fetch("sc", 4)] == [0, 1, 2, 3]
+    # BACKWARD 2 from row 4: rows 3, 2 in reverse order, ends on row 2
+    assert [r.n_nationkey for r in eng.fetch("sc", 2, "backward")] == [2, 1]
+    assert eng.fetch("sc", 0)[0].n_nationkey == 1  # FETCH 0 = current
+    assert eng.fetch("sc", 1, "last")[0].n_nationkey == 9
+    assert eng.fetch("sc", -3, "absolute")[0].n_nationkey == 7
+    assert eng.fetch("sc", -2, "relative")[0].n_nationkey == 5
+    assert eng.fetch("sc", 1, "first")[0].n_nationkey == 0
+    assert eng.fetch("sc", 1, "prior") == []  # before first row
+    # MOVE family: counts, ALL forms, sign flip
+    assert eng.move("sc", 3) == 3  # on row 3 (value 2)
+    assert eng.move("sc", None, "all") == 7  # after last
+    assert eng.move("sc", 1) == 0
+    assert eng.move("sc", None, "backward all") == 10
+    assert eng.move("sc", -2, "backward") == 2  # MOVE BACKWARD -2 == FWD 2
+    assert eng.fetch("sc", 0)[0].n_nationkey == 1
+    eng.close_cursor("sc")
+
+    eng.declare_cursor("ns", "SELECT n_nationkey FROM nation")
+    eng.fetch("ns", 2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="can only scan forward"):
+        eng.fetch("ns", 1, "prior")
+
+
 def test_pg_stat_statements(spark, sf_dir):
     from gpdb_spark.engine import Engine
 
