@@ -30,6 +30,72 @@ def _fold_ident(name: str) -> str:
     return name.lower()
 
 
+def _split_top(text: str) -> list[str]:
+    """Comma-split at paren/quote top level (EXECUTE argument lists)."""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth, i, n, in_str = 0, 0, len(text), False
+    while i < n:
+        ch = text[i]
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                if i + 1 < n and text[i + 1] == "'":
+                    cur.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _parse_sql_literal(text: str, spark):
+    """One EXECUTE argument -> Python value. Plain literals (NULL, bool,
+    int, float, string) parse driver-locally; anything else evaluates as
+    one bounded single-row Spark job through the dialect (the
+    exec_bind_message analog for expression arguments)."""
+    import re as _re
+
+    t = text.strip()
+    if not t:
+        raise ValueError("empty EXECUTE argument")
+    low = t.lower()
+    if low == "null":
+        return None
+    if low in ("true", "false"):
+        return low == "true"
+    if _re.match(r"^[+-]?\d+$", t):
+        return int(t)
+    if _re.match(
+        r"^[+-]?(?:\d+\.\d*|\.\d+)(?:[eE][+-]?\d+)?$|^[+-]?\d+[eE][+-]?\d+$",
+        t,
+    ):
+        return float(t)
+    m = _re.match(r"^'((?:[^']|'')*)'$", t, _re.S)
+    if m:
+        return m.group(1).replace("''", "'")
+    from gpdb_spark.dialect import translate
+
+    return spark.sql(f"SELECT ({translate(t)}) AS v").collect()[0][0]
+
+
 class _Portal:
     """SQL-level cursor portal (portal.c DoPortalRunFetch; fetch.sgml
     direction semantics). Position model: 0 = before first row, 1..N =
@@ -39,9 +105,10 @@ class _Portal:
     streaming (bounded driver memory) and rejects backward movement
     with the reference's "cursor can only scan forward" error."""
 
-    def __init__(self, it, scroll: bool):
+    def __init__(self, it, scroll: bool, schema=None):
         self.it = it
         self.scroll = scroll
+        self.schema = schema  # result schema, for SQL-text FETCH
         self.buf: list | None = [] if scroll else None
         self.pos = 0
         self.done = False
@@ -310,6 +377,94 @@ class Engine:
                 else:
                     self._comments[key] = m.group(3).replace("''", "'")
                 return self.spark.createDataFrame([("COMMENT",)], "status string")
+        # portals as SQL text (gram.y DeclareCursorStmt / FetchStmt /
+        # ClosePortalStmt — what a ported psql script actually sends):
+        # DECLARE name [BINARY] [INSENSITIVE] [[NO] SCROLL] CURSOR
+        # [{WITH|WITHOUT} HOLD] FOR query / FETCH|MOVE [dir [FROM|IN]]
+        # name / CLOSE name|ALL. FETCH returns the rows as a DataFrame
+        # (the portal's own schema); MOVE returns its command tag.
+        m = _re.match(
+            r"(?is)^declare\s+(\w+)\s+(?:binary\s+)?(?:insensitive\s+)?"
+            r"(?:(no\s+scroll|scroll)\s+)?cursor\s*"
+            r"(?:with(?:out)?\s+hold\s+)?for\s+(.+)$",
+            s,
+        )
+        if m:
+            scroll = (m.group(2) or "").strip().lower() == "scroll"
+            self.declare_cursor(m.group(1).lower(), m.group(3), scroll=scroll)
+            return self.spark.createDataFrame(
+                [("DECLARE CURSOR",)], "status string"
+            )
+        m = _re.match(
+            r"(?is)^(fetch|move)\s+"
+            r"(?:(next|prior|first|last)\s+"
+            r"|(absolute|relative)\s+([+-]?\d+)\s+"
+            r"|(forward|backward)(?:\s+(all|[+-]?\d+))?\s+"
+            r"|(all)\s+"
+            r"|([+-]?\d+)\s+"
+            r")?(?:from\s+|in\s+)?(\w+)$",
+            s,
+        )
+        if m:
+            kw = m.group(1).lower()
+            name = m.group(9).lower()
+            if m.group(2):
+                d, n = m.group(2), 1
+            elif m.group(3):
+                d, n = m.group(3), int(m.group(4))
+            elif m.group(5):
+                c = m.group(6)
+                d = m.group(5)
+                n = None if (c or "").lower() == "all" else int(c) if c else 1
+            elif m.group(7):
+                d, n = "forward", None  # FETCH ALL
+            elif m.group(8):
+                d, n = "forward", int(m.group(8))  # bare count
+            else:
+                d, n = "next", 1
+            if name not in getattr(self, "_cursors", {}):
+                raise ValueError(f'cursor "{name}" does not exist')
+            if kw == "move":
+                c = self.move(name, n, d)
+                return self.spark.createDataFrame(
+                    [(f"MOVE {c}",)], "status string"
+                )
+            portal = self._cursors[name]
+            rows = portal.fetch(d, n)
+            return self.spark.createDataFrame(rows, portal.schema)
+        m = _re.match(r"(?is)^close\s+(\w+)$", s)
+        if m:
+            if m.group(1).lower() == "all":
+                self._cursors = {}
+            else:
+                self.close_cursor(m.group(1).lower())
+            return self.spark.createDataFrame(
+                [("CLOSE CURSOR",)], "status string"
+            )
+        # prepared statements as SQL text (gram.y PrepareStmt /
+        # ExecuteStmt / DeallocateStmt — SURVEY §3.2's protocol surface
+        # in its SQL spelling)
+        m = _re.match(
+            r"(?is)^prepare\s+(\w+)\s*(?:\([^)]*\))?\s+as\s+(.+)$", s
+        )
+        if m:
+            self.prepare(m.group(1).lower(), m.group(2))
+            return self.spark.createDataFrame([("PREPARE",)], "status string")
+        m = _re.match(r"(?is)^execute\s+(\w+)\s*(?:\((.*)\))?\s*$", s)
+        if m and m.group(1).lower() in getattr(self, "_prepared", {}):
+            vals = []
+            for part in _split_top(m.group(2) or ""):
+                vals.append(_parse_sql_literal(part, self.spark))
+            return self.execute(m.group(1).lower(), *vals)
+        m = _re.match(r"(?is)^deallocate\s+(?:prepare\s+)?(\w+)$", s)
+        if m:
+            if m.group(1).lower() == "all":
+                self._prepared = {}
+            else:
+                getattr(self, "_prepared", {}).pop(m.group(1).lower(), None)
+            return self.spark.createDataFrame(
+                [("DEALLOCATE",)], "status string"
+            )
         cm = _re.match(
             r"(?is)^create\s+type\s+([\w.]+)\s+as\s+enum\s*\((.*)\)\s*$", s
         )
@@ -385,7 +540,9 @@ class Engine:
         with the reference's error (portal.c DoPortalRunFetch)."""
         self._cursors = getattr(self, "_cursors", {})
         df = self.sql(text)
-        self._cursors[name] = _Portal(iter(df.toLocalIterator()), scroll)
+        self._cursors[name] = _Portal(
+            iter(df.toLocalIterator()), scroll, schema=df.schema
+        )
 
     def fetch(self, name: str, n: int = 1, direction: str = "forward") -> list:
         """FETCH [direction] [n] FROM name (fetch.sgml semantics):

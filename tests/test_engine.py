@@ -250,6 +250,44 @@ def test_scroll_cursor_portal(spark):
         eng.fetch("ns", 1, "prior")
 
 
+def test_portal_and_prepared_sql_text_front_door(spark, sf_dir):
+    """The simple-protocol SQL spellings a ported psql script sends
+    (gram.y DeclareCursorStmt/FetchStmt/ClosePortalStmt,
+    PrepareStmt/ExecuteStmt/DeallocateStmt) route through Engine.sql:
+    DECLARE SCROLL + FETCH directions as text, MOVE's command tag,
+    CLOSE ALL, and PREPARE/EXECUTE with literal and expression args."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    assert eng.sql(
+        "DECLARE sc SCROLL CURSOR FOR "
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 6"
+    ).collect()[0].status == "DECLARE CURSOR"
+    assert [r.n_nationkey for r in eng.sql("FETCH 3 FROM sc").collect()] \
+        == [0, 1, 2]
+    assert [r.n_nationkey for r in
+            eng.sql("FETCH BACKWARD 2 FROM sc").collect()] == [1, 0]
+    assert eng.sql("FETCH LAST IN sc").collect()[0].n_nationkey == 5
+    assert eng.sql("MOVE BACKWARD ALL IN sc").collect()[0].status == "MOVE 5"
+    assert eng.sql("FETCH ALL FROM sc").collect()[-1].n_nationkey == 5
+    assert eng.sql("FETCH sc").collect() == []  # after last
+    assert eng.sql("CLOSE ALL").collect()[0].status == "CLOSE CURSOR"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not exist"):
+        eng.sql("FETCH 1 FROM sc")
+
+    assert eng.sql(
+        "PREPARE nat_by_region AS SELECT count(*)::int8 AS n "
+        "FROM nation WHERE n_regionkey = $1"
+    ).collect()[0].status == "PREPARE"
+    assert eng.sql("EXECUTE nat_by_region (2)").collect()[0].n == 5
+    # expression argument takes the bounded single-row eval path
+    assert eng.sql("EXECUTE nat_by_region (1 + 1)").collect()[0].n == 5
+    assert eng.sql("DEALLOCATE nat_by_region").collect()[0].status \
+        == "DEALLOCATE"
+
+
 def test_pg_stat_statements(spark, sf_dir):
     from gpdb_spark.engine import Engine
 
