@@ -170,8 +170,17 @@ _TYPE_MAP = {
 
 def _map_type(tokens: list[str], i: int) -> tuple[str, int]:
     """Map tokens starting at i (a type name, optionally with (p,s) or
-    'double precision' / 'timestamp with time zone') to a Spark type.
-    Returns (spark_type, next_index)."""
+    'double precision' / 'timestamp with time zone', optionally with
+    PG array-type brackets ``[]``/``[][]`` -> ARRAY<...> nesting) to a
+    Spark type. Returns (spark_type, next_index)."""
+    base, j = _map_base_type(tokens, i)
+    while j + 1 < len(tokens) and tokens[j] == "[" and tokens[j + 1] == "]":
+        base = f"ARRAY<{base}>"
+        j += 2
+    return base, j
+
+
+def _map_base_type(tokens: list[str], i: int) -> tuple[str, int]:
     w = tokens[i].lower()
     j = i + 1
     if w == "double" and j < len(tokens) and _is_word(tokens[j], "precision"):

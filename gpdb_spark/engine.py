@@ -451,7 +451,16 @@ class Engine:
             self.prepare(m.group(1).lower(), m.group(2))
             return self.spark.createDataFrame([("PREPARE",)], "status string")
         m = _re.match(r"(?is)^execute\s+(\w+)\s*(?:\((.*)\))?\s*$", s)
-        if m and m.group(1).lower() in getattr(self, "_prepared", {}):
+        if m:
+            # EXECUTE only ever means prepared-statement execution at
+            # the top level (ExecuteStmt) — an unknown name gets the
+            # reference's clean error, not an opaque fall-through parse
+            # failure (round-6 review)
+            if m.group(1).lower() not in getattr(self, "_prepared", {}):
+                raise ValueError(
+                    f'prepared statement "{m.group(1).lower()}" '
+                    "does not exist"
+                )
             vals = []
             for part in _split_top(m.group(2) or ""):
                 vals.append(_parse_sql_literal(part, self.spark))

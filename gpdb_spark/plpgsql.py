@@ -565,26 +565,41 @@ _CURSOR_DECL = re.compile(
 # forms. Count/position exprs are evaluated at runtime, like
 # exec_stmt_fetch's expr_until_semi expressions. Groups: (simple-dir,
 # abs/rel keyword, abs/rel expr, fwd/bwd keyword, fwd/bwd count, cursor).
+# The negative lookaheads keep FROM/IN out of lazy count matches, and
+# the (?=\s) after the bare-count arm stops it from splitting a plain
+# cursor name. Groups: (simple, abs/rel kw, abs/rel expr, fwd/bwd kw,
+# fwd/bwd count, bare ALL, bare count expr, cursor).
 _FETCH_DIR = re.compile(
     r"(?is)^(?:(next|prior|first|last)"
     r"|(absolute|relative)\s+(.+?)"
-    r"|(forward|backward)(?:\s+(all|.+?))?"
+    r"|(forward|backward)(?:\s+(all|(?!from\b|in\b).+?))?"
+    r"|(all)"
+    r"|((?!from\b|in\b)\S+(?:\s+\S+)*?)(?=\s)"
     r")?\s*(?:from\s+|in\s+)?(\w+)$"
 )
 
 
 def _parse_fetch_direction(text: str, is_move: bool) -> tuple:
     """-> (cursor, kind, count_expr|None). kinds: next/prior/first/last/
-    absolute/relative/forward/backward/forward_all/backward_all; the
-    count forms of FORWARD/BACKWARD are MOVE-only — pl_gram.y rejects a
-    FETCH whose direction returns_multiple_rows ("FETCH statement cannot
-    return multiple rows")."""
+    absolute/relative/forward/backward/forward_n/backward_n/forward_all/
+    backward_all; the multi-row forms (FORWARD/BACKWARD count|ALL, bare
+    ALL, bare count — read_fetch_direction accepts all of them for MOVE)
+    are MOVE-only: pl_gram.y rejects a FETCH whose direction
+    returns_multiple_rows ("FETCH statement cannot return multiple
+    rows")."""
     m = _FETCH_DIR.match(text.strip())
     if not m:
         what = "MOVE" if is_move else "FETCH"
         raise PlPgSqlError(f"plpgsql: bad {what} direction: {text[:60]!r}")
-    simple, abskw, absexpr, fwdkw, fwdcount, cur = m.groups()
+    simple, abskw, absexpr, fwdkw, fwdcount, allkw, barecount, cur = m.groups()
     cur = cur.lower()
+
+    def multi_row_only():
+        if not is_move:
+            raise PlPgSqlError(
+                "plpgsql: FETCH statement cannot return multiple rows"
+            )
+
     if simple:
         return (cur, simple.lower(), None)
     if abskw:
@@ -593,13 +608,16 @@ def _parse_fetch_direction(text: str, is_move: bool) -> tuple:
         kind = fwdkw.lower()
         if fwdcount is None:
             return (cur, kind, None)  # FORWARD/BACKWARD == NEXT/PRIOR
-        if not is_move:
-            raise PlPgSqlError(
-                "plpgsql: FETCH statement cannot return multiple rows"
-            )
+        multi_row_only()
         if fwdcount.strip().lower() == "all":
             return (cur, kind + "_all", None)
         return (cur, kind + "_n", fwdcount.strip())
+    if allkw:
+        multi_row_only()
+        return (cur, "forward_all", None)
+    if barecount:
+        multi_row_only()
+        return (cur, "forward_n", barecount.strip())
     return (cur, "next", None)
 
 
@@ -608,16 +626,13 @@ class _Cursor:
     partition-at-a-time iterator (toLocalIterator — the same bounded
     coordinator materialization the FOR-IN-query loop uses).
 
-    SCROLL cursors additionally retain fetched rows in ``buf`` — the
-    analog of the reference's scrollable-portal tuplestore
-    (pl_exec.c exec_stmt_open sets CURSOR_OPT_SCROLL, and the portal
-    materializes in the backend to honor backward fetch): backward
-    positioning needs the rows kept, and like the reference this
-    materialization is coordinator-side, bounded by the cursor's result
-    size. NO SCROLL cursors stay purely streaming (bounded memory) and
-    reject backward movement with the reference's error. ``pos`` is the
-    SQL FETCH position model: 0 = before first row, 1..N = on a row,
-    N+1 = after last."""
+    Direction semantics (SCROLL row retention, streaming NO SCROLL,
+    the position model, the forward-only error) live in ONE place —
+    ``gpdb_spark.engine._Portal``, the SQL-level portal — which every
+    OPEN wraps around its row iterator (round-6 review: the interpreter
+    previously duplicated the whole DoPortalRunFetch state machine).
+    ``it`` stays the raw iterator so FOR-over-cursor (exec_stmt_forc)
+    can stream it directly; FETCH/MOVE go through ``portal``."""
 
     def __init__(
         self,
@@ -629,9 +644,7 @@ class _Cursor:
         self.params = params or []
         self.scroll = scroll
         self.it = None  # open iff not None
-        self.buf: list | None = None  # SCROLL: retained rows
-        self.pos = 0
-        self.src_done = False
+        self.portal = None  # engine._Portal over ``it`` (FETCH/MOVE)
 
 
 # ---------------------------------------------------------------------------
@@ -824,150 +837,44 @@ class Interpreter:
             sql = self._subst(sql, penv)
         else:
             sql = self._subst(sql, env)
+        from gpdb_spark.engine import _Portal
+
         cur.it = iter(self.engine.sql(sql).toLocalIterator())
-        cur.buf = [] if cur.scroll else None
-        cur.pos = 0
-        cur.src_done = False
+        cur.portal = _Portal(cur.it, cur.scroll)
         return cur
 
     def _cursor_seek(self, cur, kind, expr, env):
-        """exec_stmt_fetch core: position ``cur`` per the SQL FETCH
+        """exec_stmt_fetch core: position ``cur`` per the FETCH/MOVE
         direction and return (row at the final position or None,
         processed). FOUND is processed != 0 for both FETCH and MOVE,
-        exactly the reference's exec_stmt_fetch contract.
-
-        SCROLL cursors seek over the retained buffer (tuplestore
-        analog); NO SCROLL cursors advance the stream and reject any
-        backward movement with the reference's "cursor can only scan
-        forward" error (portal.c DoPortalRunFetch's check)."""
+        exactly the reference's exec_stmt_fetch contract. All direction
+        semantics (SCROLL buffer, streaming forward-only, position
+        model) are the engine _Portal's — one implementation of
+        DoPortalRunFetch for both the SQL and PL/pgSQL front doors."""
         n = None
         if expr is not None:
             v = self.eval(expr, env)
             if v is None:
                 raise PlPgSqlError("FETCH/MOVE count must not be null")
             n = int(v)
-        # FORWARD -n == BACKWARD n and vice versa (portal.c)
-        if kind == "forward_n" and n < 0:
-            kind, n = "backward_n", -n
-        elif kind == "backward_n" and n < 0:
-            kind, n = "forward_n", -n
-
-        if cur.scroll:
-            buf = cur.buf
-
-            def ensure(k):
-                while not cur.src_done and (k is None or len(buf) < k):
-                    try:
-                        buf.append(next(cur.it))
-                    except StopIteration:
-                        cur.src_done = True
-
-            def seek_abs(target):
-                if target <= 0:
-                    cur.pos = 0
-                    return None, 0
-                ensure(target)
-                if target > len(buf):
-                    cur.pos = len(buf) + 1
-                    return None, 0
-                cur.pos = target
-                return buf[target - 1], 1
-
-            if kind in ("next", "forward"):
-                return seek_abs(cur.pos + 1)
-            if kind in ("prior", "backward"):
-                return seek_abs(cur.pos - 1)
-            if kind == "first":
-                return seek_abs(1)
-            if kind == "last":
-                ensure(None)
-                return seek_abs(len(buf))
-            if kind == "absolute":
-                if n >= 0:
-                    return seek_abs(n)
-                ensure(None)  # ABSOLUTE -k counts from the end
-                return seek_abs(len(buf) + n + 1)
-            if kind == "relative":
-                if n == 0:  # re-fetch current row, position unchanged
-                    if 1 <= cur.pos <= len(buf):
-                        return buf[cur.pos - 1], 1
-                    return None, 0
-                return seek_abs(cur.pos + n)
-            if kind == "forward_n":
-                target = cur.pos + n
-                ensure(target)
-                if target <= len(buf):
-                    processed = target - cur.pos
-                    cur.pos = target
-                else:
-                    processed = max(0, len(buf) - cur.pos)
-                    cur.pos = len(buf) + 1
-                return None, processed
-            if kind == "forward_all":
-                ensure(None)
-                processed = max(0, len(buf) - cur.pos)
-                cur.pos = len(buf) + 1
-                return None, processed
-            if kind == "backward_n":
-                lo, hi = max(cur.pos - n, 1), cur.pos - 1
-                processed = max(0, hi - lo + 1)
-                cur.pos = cur.pos - n if cur.pos - n >= 1 else 0
-                return None, processed
-            if kind == "backward_all":
-                processed = max(0, cur.pos - 1)
-                cur.pos = 0
-                return None, processed
-            raise PlPgSqlError(f"plpgsql: bad fetch direction {kind!r}")
-
-        # NO SCROLL: purely streaming — forward only
-        def forbid_backward():
-            raise PlPgSqlError(
-                "cursor can only scan forward "
-                "(declare it with SCROLL to enable backward scan)"
-            )
-
-        def stream_advance(k):
-            row, moved = None, 0
-            for _ in range(k):
-                if cur.src_done:
-                    return None, moved
-                try:
-                    row = next(cur.it)
-                    moved += 1
-                    cur.pos += 1
-                except StopIteration:
-                    cur.src_done = True
-                    cur.pos += 1  # after-last position
-                    return None, moved
-            return row, moved
-
-        if kind in ("next", "forward"):
-            row, _ = stream_advance(1)
-            return row, 1 if row is not None else 0
-        if kind in ("absolute", "relative", "first"):
-            target = (
-                n if kind == "absolute"
-                else cur.pos + n if kind == "relative"
-                else 1
-            )
-            if kind == "absolute" and n < 0:
-                forbid_backward()  # needs the end, then backward
-            if target < cur.pos or (target == cur.pos and target != 0):
-                forbid_backward()
-            if target == cur.pos:  # ABSOLUTE 0 while before first row
-                return None, 0
-            row, _ = stream_advance(target - cur.pos)
-            return row, 1 if row is not None else 0
-        if kind == "forward_n":
-            _, moved = stream_advance(n)
-            return None, moved
-        if kind == "forward_all":
-            moved = 0
-            while not cur.src_done:
-                _, m = stream_advance(1)
-                moved += m
-            return None, moved
-        forbid_backward()
+        p = cur.portal
+        try:
+            if kind in ("next", "prior", "first", "last", "forward",
+                        "backward"):
+                rows = p.fetch(kind, 1)
+            elif kind in ("absolute", "relative"):
+                rows = p.fetch(kind, n)
+            elif kind in ("forward_n", "backward_n",
+                          "forward_all", "backward_all"):
+                d = kind.split("_", 1)[0]
+                return None, p.move(d, None if kind.endswith("_all") else n)
+            else:
+                raise PlPgSqlError(f"plpgsql: bad fetch direction {kind!r}")
+        except ValueError as e:
+            # _Portal's forward-only / bad-direction errors in the
+            # interpreter's exception type
+            raise PlPgSqlError(str(e)) from None
+        return (rows[0] if rows else None), len(rows)
 
     def exec_seq(self, stmts, env, collector):
         for s in stmts:
@@ -1046,12 +953,14 @@ class Interpreter:
             arr = list(arr)
             # dimensionality by list-nesting depth; ONLY list counts —
             # Spark struct values surface as Row (a tuple subclass) and
-            # must stay scalar elements, not an extra array dimension
+            # must stay scalar elements, not an extra array dimension.
+            # An EMPTY array has ndims 0 in PG (ARR_NDIM of '{}'), so
+            # SLICE n>0 over it is out of range and the default form
+            # runs zero iterations (round-6 review: the depth probe
+            # reported 1 and SLICE 1 yielded the empty array once).
             ndim, probe = 0, arr
-            while isinstance(probe, list):
+            while isinstance(probe, list) and probe:
                 ndim += 1
-                if not probe:
-                    break
                 probe = probe[0]
             if slice_n > ndim:
                 raise PlPgSqlError(
@@ -1066,7 +975,7 @@ class Interpreter:
                 for sub in a:
                     yield from _slices(sub, depth - 1)
 
-            for v in _slices(arr, ndim):
+            for v in (_slices(arr, ndim) if arr else ()):
                 env[var] = v
                 try:
                     self.exec_seq(body, env, collector)
@@ -1148,7 +1057,7 @@ class Interpreter:
             if not isinstance(cur, _Cursor) or cur.it is None:
                 raise PlPgSqlError(f'cursor "{s[1]}" is not open')
             cur.it = None
-            cur.buf = None  # free the SCROLL tuplestore
+            cur.portal = None  # frees the SCROLL tuplestore buffer
         elif op == "move":
             # exec_stmt_fetch with is_move: reposition, discard rows,
             # set FOUND from the processed count — targets untouched

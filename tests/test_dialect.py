@@ -686,3 +686,19 @@ class TestSqlCallableContribs:
         ).collect()[0].ok
         with pytest.raises(Exception, match="unsupported type"):
             spark.sql("SELECT gen_salt('bf')").collect()
+
+    def test_array_type_casts(self, spark, sf_dir):
+        """PG array-type casts ::int[] / CAST(x AS text[]) map to
+        ARRAY<...> (round-6: the bracket suffix previously leaked into
+        the subscript pass and produced element_at with no index)."""
+        from gpdb_spark.engine import Engine
+
+        eng = Engine(spark, sf_dir)
+        r = eng.sql(
+            "SELECT ARRAY[]::int[] AS empty_arr, "
+            "ARRAY[1,2]::bigint[] AS big_arr, "
+            "CAST(ARRAY['x'] AS text[]) AS txt_arr"
+        ).collect()[0]
+        assert r.empty_arr == []
+        assert r.big_arr == [1, 2]
+        assert r.txt_arr == ["x"]

@@ -749,3 +749,15 @@ def test_prewarm_rewarm_keeps_cache(tmp_path, spark):
     eng.prewarm("warm_t")  # re-warm
     lvl = eng._prewarmed["warm_t"].storageLevel
     assert lvl.useMemory or lvl.useDisk  # still cached after re-warm
+
+def test_execute_unknown_prepared_statement_errors(spark, sf_dir):
+    """Round-6 review: EXECUTE of an unknown name raises the reference's
+    clean does-not-exist error instead of falling through to an opaque
+    Spark parse failure."""
+    import pytest
+
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    with pytest.raises(ValueError, match='prepared statement "nosuch"'):
+        eng.sql("EXECUTE nosuch(1)")

@@ -761,3 +761,62 @@ def test_foreach_slice(eng):
     $$ LANGUAGE plpgsql""")
     with pytest.raises(PlPgSqlError, match="out of the valid range"):
         eng.call("slice_range")
+
+def test_fetch_forward_from_and_move_bare_forms(eng):
+    """Round-6 review regressions: FETCH FORWARD FROM c (no count) is
+    FETCH NEXT — the direction parser must not eat FROM/IN as a count
+    expression; MOVE accepts the bare-count and bare-ALL spellings
+    (read_fetch_direction's returns_multiple_rows forms); FOREACH over
+    an empty array runs zero iterations and SLICE n>0 over it is out of
+    range (ARR_NDIM of '{}' is 0)."""
+    eng.create_function("""
+    CREATE FUNCTION fwd_from() RETURNS text AS $$
+    DECLARE
+      c SCROLL CURSOR FOR
+        SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 5;
+      v int;
+      acc text := '';
+    BEGIN
+      OPEN c;
+      FETCH FORWARD FROM c INTO v;   -- == NEXT
+      acc := v::text;
+      MOVE FORWARD IN c;             -- == NEXT, no count
+      MOVE 2 FROM c;                 -- bare count
+      FETCH RELATIVE 0 FROM c INTO v;
+      acc := acc || ',' || v;
+      MOVE ALL FROM c;               -- bare ALL
+      IF found THEN acc := acc || ',all'; END IF;
+      CLOSE c;
+      RETURN acc;
+    END;
+    $$ LANGUAGE plpgsql""")
+    assert eng.call("fwd_from") == "0,3,all"
+
+    eng.create_function("""
+    CREATE FUNCTION empty_foreach() RETURNS int AS $$
+    DECLARE
+      a int[] := ARRAY[]::int[];
+      v int;
+      n int := 0;
+    BEGIN
+      FOREACH v IN ARRAY a LOOP
+        n := n + 1;
+      END LOOP;
+      RETURN n;
+    END;
+    $$ LANGUAGE plpgsql""")
+    assert eng.call("empty_foreach") == 0
+
+    eng.create_function("""
+    CREATE FUNCTION empty_slice() RETURNS int AS $$
+    DECLARE
+      a int[] := ARRAY[]::int[];
+      x int[];
+    BEGIN
+      FOREACH x SLICE 1 IN ARRAY a LOOP
+      END LOOP;
+      RETURN 0;
+    END;
+    $$ LANGUAGE plpgsql""")
+    with pytest.raises(PlPgSqlError, match="valid range 0..0"):
+        eng.call("empty_slice")
