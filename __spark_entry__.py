@@ -44,8 +44,10 @@ DRIVER_PRIORITY: list[str] = [
     # latent decimal outputs, re-expressed — re-check
     "pg_filter_distinct_on_combo",
     "pg_parse_funcs",
-    # new round-6 operator: SCROLL cursors / backward FETCH+MOVE
+    # new round-6 operators: SCROLL cursors / backward FETCH+MOVE,
+    # SemDeDup semantic prune
     "plpgsql_scroll_fetch",
+    "embed_semdedup",
     # oldest green rows (drv1) — freshness re-checks
     "q01_pricing_summary",
     "q03_shipping_priority",

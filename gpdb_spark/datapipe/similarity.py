@@ -682,3 +682,104 @@ def brute_force_topk_blocked(
         .where(F.col("rnk") <= k)
         .select("query_id", "corpus_id", "cos", "rnk")
     )
+
+
+def semdedup_prune(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 4,
+    tau: float = 0.35,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, then within each cluster drop
+    every member whose cosine similarity to a higher-ranked member
+    reaches ``tau``, where rank = cosine-to-cluster-centroid descending
+    (the paper's keep-one-representative-per-semantic-neighborhood
+    pruning, made deterministic).
+
+    Deviations from the paper, for engine-reproducibility: the
+    clustering is the portable SRP family (``srp_buckets`` with one
+    table of ``planes`` hyperplanes — deterministic, any-engine
+    reproducible) instead of trained k-means, and a member is dropped
+    if it is tau-similar to ANY higher-ranked member (not only kept
+    ones) — one window + one bounded join instead of a sequential scan.
+
+    Scale shape: one hash shuffle on the bucket key; the centroid table
+    is (2^planes x dim) rows — computed with a tiny two-level
+    aggregation and broadcast back; the pair join is per-bucket, never
+    corpus-squared (add planes to keep buckets bounded as the corpus
+    grows); every dot product is an exact-decimal JVM fold (no Python).
+
+    Returns (vec_id, bucket, rnk, dropped); zero-norm vectors (no
+    direction, no cosine) are excluded.
+    """
+    e = df.select("vec_id", F.col(vec_col).alias("_v")).withColumn(
+        "nrm", dec_norm(F.col("_v"))
+    ).where(F.col("nrm") > 0)
+    b = srp_buckets(
+        e, "_v", dim, tables=1, planes_per_table=planes,
+        id_alias="vec_id", portable=True,
+    ).select("vec_id", "bucket")
+    m = e.join(b, "vec_id").withColumn(
+        "unit", F.transform(F.col("_v"), lambda x: x.cast("double") / F.col("nrm"))
+    )
+    # per-bucket centroid of the unit vectors: exact decimal mean per
+    # dimension, reassembled in index order; 2^planes rows -> broadcast
+    cents = (
+        m.select("bucket", F.posexplode("unit").alias("i", "u"))
+        .groupBy("bucket", "i")
+        .agg(
+            (F.sum(F.col("u").cast(DEC30)).cast("double") / F.count("*")).alias("cv")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cv"))),
+                lambda s: s.cv,
+            ).alias("cent")
+        )
+        .withColumn("cn", dec_norm(F.col("cent")))
+    )
+    ranked = (
+        m.join(F.broadcast(cents), "bucket")
+        .withColumn(
+            "cosc",
+            fr(dec_dot(F.col("_v"), F.col("cent")).cast("double")
+               / (F.col("nrm") * F.col("cn")), 6),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("bucket").orderBy(
+                    F.col("cosc").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .select("vec_id", "bucket", "rnk", "_v", "nrm")
+    )
+    hi = ranked.select(
+        F.col("bucket").alias("hb"), F.col("rnk").alias("hr"),
+        F.col("_v").alias("hv"), F.col("nrm").alias("hn"),
+    )
+    dup_ids = (
+        ranked.join(
+            hi, (F.col("bucket") == F.col("hb")) & (F.col("hr") < F.col("rnk"))
+        )
+        .withColumn(
+            "pc",
+            fr(dec_dot(F.col("_v"), F.col("hv")).cast("double")
+               / (F.col("nrm") * F.col("hn")), 5),
+        )
+        .where(F.col("pc") >= tau)
+        .select("vec_id")
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        ranked.join(dup_ids, "vec_id", "left")
+        .select(
+            "vec_id", "bucket", "rnk",
+            F.coalesce(F.col("dropped"), F.lit(False)).alias("dropped"),
+        )
+    )

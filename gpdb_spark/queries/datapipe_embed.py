@@ -582,3 +582,112 @@ def embed_ann_ivf_flat(spark, sf_dir):
     e = spread(t(spark, sf_dir, "embeddings"))
     q = e.where(F.col("vec_id") < 20)
     return ivf_topk_flat(e, q, k=5, n_centroids=16, n_probe=8)
+
+
+def _srp_planes_values(planes: int, dim: int) -> str:
+    """The portable SRP hyperplanes (similarity.portable_plane, seeds
+    0..planes-1) as a DuckDB VALUES list — inlining the md5-parity
+    family as literals is constant folding, not a third hash family."""
+    from gpdb_spark.datapipe.similarity import portable_plane
+
+    rows = []
+    for p in range(planes):
+        s = ", ".join(
+            "1.0" if x > 0 else "-1.0" for x in portable_plane(p, dim)
+        )
+        rows.append(f"({p}, [{s}])")
+    return ", ".join(rows)
+
+
+@query(
+    "embed_semdedup",
+    oracle=f"""
+    WITH planes(p, s) AS (VALUES {_srp_planes_values(4, DIM)}),
+    norms AS (
+        SELECT vec_id,
+               sqrt(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,15)))
+                         AS DOUBLE)) AS nrm
+        FROM embeddings, {IDX}
+        GROUP BY vec_id
+    ),
+    projs AS (
+        SELECT e.vec_id, pl.p,
+               CAST(sum(CAST(CAST(e.embedding[i] AS DOUBLE) * pl.s[i] AS DECIMAL(30,15)))
+                    AS DOUBLE) AS proj
+        FROM embeddings e JOIN norms n USING (vec_id), planes pl, {IDX}
+        WHERE n.nrm > 0
+        GROUP BY e.vec_id, pl.p
+    ),
+    bucketed AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN proj >= 0
+                             THEN (CASE p WHEN 0 THEN 8 WHEN 1 THEN 4
+                                          WHEN 2 THEN 2 ELSE 1 END)
+                             ELSE 0 END) AS BIGINT) AS bucket
+        FROM projs GROUP BY vec_id
+    ),
+    units AS (
+        SELECT e.vec_id, b.bucket, i,
+               CAST(e.embedding[i] AS DOUBLE) / n.nrm AS u
+        FROM embeddings e JOIN norms n USING (vec_id)
+                          JOIN bucketed b USING (vec_id), {IDX}
+        WHERE n.nrm > 0
+    ),
+    cents AS (
+        SELECT bucket, i,
+               CAST(sum(CAST(u AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS cv
+        FROM units GROUP BY bucket, i
+    ),
+    centnorm AS (
+        SELECT bucket,
+               sqrt(CAST(sum(CAST(cv * cv AS DECIMAL(30,15))) AS DOUBLE)) AS cn
+        FROM cents GROUP BY bucket
+    ),
+    cosc AS (
+        SELECT b.vec_id, b.bucket,
+               floor(CAST(sum(CAST(CAST(e.embedding[c.i] AS DOUBLE) * c.cv AS DECIMAL(30,15)))
+                          AS DOUBLE) / (n.nrm * cn.cn) * 1e6) / 1e6 AS cosc
+        FROM embeddings e
+        JOIN bucketed b USING (vec_id)
+        JOIN norms n USING (vec_id)
+        JOIN cents c ON c.bucket = b.bucket
+        JOIN centnorm cn ON cn.bucket = b.bucket
+        GROUP BY b.vec_id, b.bucket, n.nrm, cn.cn
+    ),
+    ranked AS (
+        SELECT vec_id, bucket,
+               row_number() OVER (PARTITION BY bucket
+                                  ORDER BY cosc DESC, vec_id) AS rnk
+        FROM cosc
+    ),
+    paircos AS (
+        SELECT rb.vec_id AS dup_id,
+               floor(CAST(sum(CAST(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE) AS DECIMAL(30,15)))
+                          AS DOUBLE) / (na.nrm * nb.nrm) * 1e5) / 1e5 AS pc
+        FROM ranked ra
+        JOIN ranked rb ON rb.bucket = ra.bucket AND ra.rnk < rb.rnk
+        JOIN embeddings ea ON ea.vec_id = ra.vec_id
+        JOIN embeddings eb ON eb.vec_id = rb.vec_id
+        JOIN norms na ON na.vec_id = ra.vec_id
+        JOIN norms nb ON nb.vec_id = rb.vec_id, {IDX}
+        GROUP BY ra.vec_id, rb.vec_id, na.nrm, nb.nrm
+    ),
+    dups AS (SELECT dup_id FROM paircos WHERE pc >= 0.35 GROUP BY dup_id)
+    SELECT r.vec_id, r.bucket, r.rnk, (d.dup_id IS NOT NULL) AS dropped
+    FROM ranked r LEFT JOIN dups d ON d.dup_id = r.vec_id
+    """,
+)
+def embed_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540)
+    over the embeddings fixture: portable-SRP clusters (16 buckets),
+    rank members by cosine-to-centroid, drop members tau-similar
+    (>= 0.35) to any higher-ranked cluster-mate — the
+    keep-one-representative-per-semantic-neighborhood prune a training
+    pipeline runs after exact/minhash dedup. Fully oracled: clustering,
+    centroids, ranking, and the prune decision are all exact-decimal
+    deterministic (see datapipe.similarity.semdedup_prune for the 100 TB
+    shape: one bucket shuffle, broadcast centroids, per-bucket pairs)."""
+    from gpdb_spark.datapipe.similarity import semdedup_prune
+
+    e = spread(t(spark, sf_dir, "embeddings"))
+    return semdedup_prune(e, "embedding", dim=DIM, planes=4, tau=0.35)

@@ -613,3 +613,58 @@ def test_quantize_zero_vector_and_scale(spark):
     assert rows[2].scale_micro == 127_000_000
     q = df.select("vec_id", quantize_int8("embedding").alias("q")).collect()
     assert {r.vec_id: r.q for r in q}[1] == [0, 0, 0]
+
+
+class TestSemDedup:
+    def test_prune_invariants(self, embeds, spark):
+        """Greedy-by-centroid-rank prune: rnk 1 is never dropped; every
+        dropped member is tau-similar to some higher-ranked bucket-mate;
+        kept members have no tau-similar HIGHER-RANKED mate (lower-ranked
+        tau-pairs are allowed — the drop lands on the lower rank)."""
+        from gpdb_spark.datapipe.similarity import semdedup_prune, dec_dot, dec_norm
+        from gpdb_spark.registry import fr
+
+        res = semdedup_prune(embeds, "embedding", dim=64, planes=4, tau=0.35)
+        rows = res.collect()
+        assert len(rows) == embeds.count()
+        by_id = {r.vec_id: r for r in rows}
+        assert all(not r.dropped for r in rows if r.rnk == 1)
+        assert 0 < sum(r.dropped for r in rows) < len(rows)
+
+        # recompute the tau pair graph independently (exact decimal cosine)
+        e = embeds.select("vec_id", "embedding")
+        a = e.selectExpr("vec_id as a", "embedding as va")
+        b = e.selectExpr("vec_id as b", "embedding as vb")
+        import pyspark.sql.functions as F
+
+        pairs = (
+            a.join(b, F.col("a") < F.col("b"))
+            .withColumn(
+                "pc",
+                fr(
+                    dec_dot(F.col("va"), F.col("vb")).cast("double")
+                    / (dec_norm(F.col("va")) * dec_norm(F.col("vb"))),
+                    5,
+                ),
+            )
+            .where(F.col("pc") >= 0.35)
+            .select("a", "b")
+            .collect()
+        )
+        sim = [
+            (p.a, p.b)
+            for p in pairs
+            if by_id[p.a].bucket == by_id[p.b].bucket
+        ]
+        for x, y in sim:
+            hi, lo = sorted((x, y), key=lambda v: by_id[v].rnk)
+            assert by_id[lo].dropped, (
+                f"{lo} is tau-similar to higher-ranked {hi} but kept"
+            )
+        dropped_ok = {lo for x, y in sim
+                      for lo in [max((x, y), key=lambda v: by_id[v].rnk)]}
+        for r in rows:
+            if r.dropped:
+                assert r.vec_id in dropped_ok, (
+                    f"{r.vec_id} dropped without a higher-ranked tau-mate"
+                )
