@@ -48,6 +48,7 @@ DRIVER_PRIORITY: list[str] = [
     # SemDeDup semantic prune
     "plpgsql_scroll_fetch",
     "embed_semdedup",
+    "datapipe_dsir_select",
     # oldest green rows (drv1) — freshness re-checks
     "q01_pricing_summary",
     "q03_shipping_priority",

@@ -1,0 +1,140 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169): score every raw document by how much more likely its
+hashed n-gram features are under a target-domain distribution than under
+the raw-corpus distribution, then keep the high-scoring tail.
+
+The classifier is two multinomials over a hashed feature space
+(unigrams + bigrams -> B buckets): log w(doc) = sum over the doc's
+feature occurrences of ln p_target(b) - ln p_raw(b), with Laplace
+smoothing. The paper resamples with Gumbel noise; this implementation
+is the deterministic variant (threshold / top-k on the exact weight) so
+every keep decision is reproducible and oracle-checkable.
+
+Scale design (100 TB):
+- fitting = two B-row aggregations (map-side combine; B ~ 10^4 real,
+  256 here) — the only shuffles, and they carry B rows per partition.
+- the fitted log-ratio table is O(B), collected to the driver
+  (bounded, documented) and re-broadcast as a literal MAP expression,
+  so the scoring pass is a zero-shuffle per-row map: tokenize ->
+  bucket (md5, engine-portable) -> map lookup -> exact-decimal fold.
+  No Python in either pass; everything stays in codegen.
+- ln() is applied once per bucket at fit time and floored to 1e-9
+  BEFORE broadcasting, so per-doc sums add identical doubles in every
+  engine (the repo's float-determinism doctrine applied to logs).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gpdb_spark.datapipe.text import tokens
+from gpdb_spark.registry import fr
+
+DEC30 = "decimal(30,15)"
+
+
+def hashed_features(text: Column | str, buckets: int = 256) -> Column:
+    """Unigram + bigram occurrences hashed into [0, buckets) via the
+    first two hex digits of md5 (engine-portable; 256 native buckets,
+    reduced mod ``buckets``). Multiplicity is kept — these are counts,
+    not a set."""
+    toks = tokens(text)
+    n = F.array_size(toks)
+    bigrams = F.when(
+        n > 1,
+        F.zip_with(
+            F.slice(toks, 1, (n - 1).cast("int")),
+            F.slice(toks, 2, (n - 1).cast("int")),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    return F.transform(
+        feats,
+        lambda s: (F.conv(F.substring(F.md5(s), 1, 2), 16, 10).cast("int")
+                   % buckets),
+    )
+
+
+def fit_log_ratios(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    buckets: int = 256,
+) -> dict[int, float]:
+    """Fit the per-bucket importance log-ratio
+    ln((t_b + 1)/(T + B)) - ln((r_b + 1)/(R + B)) from the target and
+    raw corpora. Two B-row aggregations; the result is O(B) and is
+    collected to the driver (bounded by construction — B is a model
+    hyperparameter, not data-dependent). Logs are computed driver-side
+    (C libm, matching DuckDB's ln for the oracle) and floored to 1e-9
+    so the broadcast constants are engine-identical."""
+
+    def counts(df: DataFrame) -> dict[int, int]:
+        rows = (
+            df.select(
+                F.explode(hashed_features(F.col(text_col), buckets)).alias("b")
+            )
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()  # bounded: at most ``buckets`` rows
+        )
+        return {r.b: r.c for r in rows}
+
+    tc, rc = counts(target), counts(raw)
+    tot_t, tot_r = sum(tc.values()), sum(rc.values())
+    out = {}
+    for b in range(buckets):
+        lr = math.log((tc.get(b, 0) + 1) / (tot_t + buckets)) - math.log(
+            (rc.get(b, 0) + 1) / (tot_r + buckets)
+        )
+        out[b] = math.floor(lr * 1e9) / 1e9
+    return out
+
+
+def dsir_weights(
+    raw: DataFrame,
+    log_ratios: dict[int, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+) -> DataFrame:
+    """Score every raw document: exact-decimal fold of the fitted
+    log-ratio over the doc's feature occurrences (zero-shuffle pass;
+    the ratio table rides along as a literal MAP inside codegen).
+    Returns (id, n_features, weight) with weight floored to 1e-6."""
+    ratio_map = F.create_map(
+        *[F.lit(x) for b, v in sorted(log_ratios.items()) for x in (b, v)]
+    )
+    feats = hashed_features(F.col(text_col), buckets)
+    d = raw.withColumn("_f", feats)
+    w = F.aggregate(
+        F.col("_f"),
+        F.lit(0).cast(DEC30),
+        lambda acc, b: (acc + F.element_at(ratio_map, b).cast(DEC30)).cast(DEC30),
+    ).cast("double")
+    return d.select(
+        F.col(id_col),
+        F.array_size(F.col("_f")).cast("int").alias("n_features"),
+        fr(w, 6).alias("weight"),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """End-to-end DSIR selection: fit on (raw, target), score raw, keep
+    docs whose importance weight clears ``threshold`` (0 = more
+    target-like than raw-average). Deterministic twin of the paper's
+    Gumbel-top-k resample."""
+    lr = fit_log_ratios(raw, target, text_col, buckets)
+    scored = dsir_weights(raw, lr, id_col, text_col, buckets)
+    return scored.withColumn("selected", F.col("weight") >= threshold)

@@ -1047,3 +1047,71 @@ def dedup_best_representative(spark, sf_dir):
             F.col("q_ppm").alias("rep_quality_ppm"),
         )
     )
+
+
+@query(
+    "datapipe_dsir_select",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, source,
+               list_concat(tk, CASE WHEN len(tk) > 1
+                   THEN list_transform(range(1, len(tk)),
+                                       i -> tk[i] || ' ' || tk[i+1])
+                   ELSE [] END) AS fs
+        FROM toks
+    ),
+    occ AS (
+        SELECT doc_id, source,
+               ((strpos('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5(f), 2, 1)) - 1)) AS b
+        FROM (SELECT doc_id, source, unnest(fs) AS f FROM feats)
+    ),
+    tcnt AS (SELECT b, count(*) AS c FROM occ WHERE source = 'src0' GROUP BY b),
+    rcnt AS (SELECT b, count(*) AS c FROM occ GROUP BY b),
+    tot AS (SELECT (SELECT count(*) FROM occ WHERE source = 'src0') AS tt,
+                   (SELECT count(*) FROM occ) AS tr),
+    ratios AS (
+        SELECT g.b,
+               floor((ln((coalesce(t.c, 0) + 1) / CAST(tt + 256 AS DOUBLE))
+                      - ln((coalesce(r.c, 0) + 1) / CAST(tr + 256 AS DOUBLE)))
+                     * 1e9) / 1e9 AS lr
+        FROM (SELECT unnest(range(0, 256)) AS b) g
+        LEFT JOIN tcnt t USING (b) LEFT JOIN rcnt r USING (b), tot
+    ),
+    weights AS (
+        SELECT o.doc_id,
+               CAST(count(*) AS INT) AS n_features,
+               floor(CAST(sum(CAST(r.lr AS DECIMAL(30,15))) AS DOUBLE)
+                     * 1e6) / 1e6 AS weight
+        FROM occ o JOIN ratios r USING (b)
+        GROUP BY o.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(w.n_features, 0) AS n_features,
+           coalesce(w.weight, 0.0) AS weight,
+           (coalesce(w.weight, 0.0) >= 0.0) AS selected
+    FROM documents d LEFT JOIN weights w USING (doc_id)
+    """,
+)
+def datapipe_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): fit
+    hashed unigram+bigram multinomials for a target domain (source =
+    'src0') vs the raw corpus, then keep documents whose importance
+    log-weight is >= 0 (more target-like than raw-average). The whole
+    pipeline — md5 feature hashing, Laplace-smoothed log-ratios floored
+    to 1e-9, exact-decimal per-doc folds — is engine-reproducible, so
+    the oracle recomputes fit AND scoring in SQL. 100 TB shape in
+    datapipe/dsir.py: two B-row fit aggregations, O(B) bounded collect,
+    zero-shuffle scoring pass via a broadcast literal MAP."""
+    from gpdb_spark.datapipe.dsir import dsir_select
+
+    d = t(spark, sf_dir, "documents")
+    return dsir_select(
+        d, d.where(F.col("source") == "src0"), buckets=256
+    ).select("doc_id", "n_features", "weight", "selected")

@@ -668,3 +668,42 @@ class TestSemDedup:
                 assert r.vec_id in dropped_ok, (
                     f"{r.vec_id} dropped without a higher-ranked tau-mate"
                 )
+
+
+class TestDsir:
+    def test_target_docs_score_higher(self, docs, spark):
+        """DSIR importance weights separate the target domain from the
+        rest: the mean weight of source='src0' docs beats the rest, the
+        majority of target docs clear the 0 threshold, and scoring is
+        deterministic (same fit -> identical weights)."""
+        import pyspark.sql.functions as F
+        from gpdb_spark.datapipe.dsir import dsir_select, fit_log_ratios, dsir_weights
+
+        res = dsir_select(docs, docs.where(F.col("source") == "src0"))
+        j = res.join(docs.select("doc_id", "source"), "doc_id")
+        means = {
+            r.is_tgt: r.m
+            for r in j.groupBy((F.col("source") == "src0").alias("is_tgt"))
+            .agg(F.avg("weight").alias("m"))
+            .collect()
+        }
+        assert means[True] > means[False] + 1.0
+        tgt = j.where(F.col("source") == "src0")
+        assert tgt.where("selected").count() > tgt.count() * 0.6
+        n_sel = res.where("selected").count()
+        assert 0 < n_sel < res.count()
+
+        lr = fit_log_ratios(docs, docs.where(F.col("source") == "src0"))
+        again = dsir_weights(docs, lr).select("doc_id", "weight")
+        assert res.select("doc_id", "weight").subtract(again).count() == 0
+
+    def test_zero_token_doc_scores_zero(self, spark):
+        from gpdb_spark.datapipe.dsir import dsir_weights
+
+        d = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "   ")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in dsir_weights(d, {b: 0.5 for b in range(256)}).collect()}
+        assert out[2].n_features == 0 and out[2].weight == 0.0
+        assert out[1].n_features == 3  # 2 unigrams + 1 bigram
+        assert abs(out[1].weight - 1.5) < 1e-9
