@@ -296,3 +296,33 @@ def test_q18_single_lineitem_scan(spark, sf_dir):
         if "Location" in ln and "lineitem" in ln
     ]
     assert len(scans) == 1, plan[:3000]
+
+
+def test_dsir_scoring_pass_is_shuffle_free(spark, sf_dir):
+    """DSIR scoring is a per-row map with the fitted log-ratio table
+    riding along as a literal MAP: no Exchange, no Join, no Python in
+    the scoring plan (the two bounded fit aggregations run separately,
+    at fit time)."""
+    import pyspark.sql.functions as F
+    from gpdb_spark.datapipe.dsir import fit_log_ratios, dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lr = fit_log_ratios(docs, docs.where(F.col("source") == "src0"))
+    df = dsir_weights(docs, lr)
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in body, body[:2000]
+    assert "Join" not in body, body[:2000]
+    assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
+
+
+def test_semdedup_centroid_join_is_broadcast(spark, sf_dir):
+    """The per-bucket centroid table (2^planes rows) must come back to
+    the members via a broadcast, never a shuffled join."""
+    plan = plan_of(spark, "embed_semdedup", sf_dir)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body or "BroadcastNestedLoopJoin" in body
+    assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
