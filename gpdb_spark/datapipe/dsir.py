@@ -41,7 +41,9 @@ def hashed_features(text: Column | str, buckets: int = 256) -> Column:
     first two hex digits of md5 (engine-portable; 256 native buckets,
     reduced mod ``buckets``). Multiplicity is kept — these are counts,
     not a set."""
-    toks = tokens(text)
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(F.coalesce(c, F.lit("")))  # NULL text = zero features,
+    # matching the oracle's LEFT JOIN + coalesce(weight, 0) contract
     n = F.array_size(toks)
     bigrams = F.when(
         n > 1,
