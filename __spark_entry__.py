@@ -49,6 +49,7 @@ DRIVER_PRIORITY: list[str] = [
     "plpgsql_scroll_fetch",
     "embed_semdedup",
     "datapipe_dsir_select",
+    "datapipe_filter_cascade",
     # oldest green rows (drv1) — freshness re-checks
     "q01_pricing_summary",
     "q03_shipping_priority",

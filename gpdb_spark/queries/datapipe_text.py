@@ -1115,3 +1115,65 @@ def datapipe_dsir_select(spark, sf_dir):
     return dsir_select(
         d, d.where(F.col("source") == "src0"), buckets=256
     ).select("doc_id", "n_features", "weight", "selected")
+
+
+@query(
+    "datapipe_filter_cascade",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ),
+    stats AS (
+        SELECT doc_id, lang,
+               CAST(len(tk) AS INT) AS n_tokens,
+               CAST(len(list_distinct(tk)) AS INT) AS n_distinct,
+               CASE WHEN len(tk) >= 2
+                    THEN list_transform(range(1, len(tk)),
+                                        i -> tk[i] || ' ' || tk[i+1])
+                    ELSE [] END AS g2,
+               CAST(len(list_filter(tk, x -> x IN
+                    ('the','a','of','and','to','in','is','that','it','for')))
+                    AS INT) AS n_stopwords
+        FROM toks
+    ),
+    verdicts AS (
+        SELECT doc_id, n_tokens,
+               coalesce(lang = 'en', false) AS pass_lang,
+               (n_tokens >= 5) AS pass_min_tokens,
+               (n_tokens <= 2000) AS pass_max_tokens,
+               (n_distinct * 2 >= n_tokens) AS pass_ttr,
+               ((len(g2) - len(list_distinct(g2))) * 5 <= len(g2))
+                   AS pass_rep_2gram,
+               (n_stopwords * 25 >= n_tokens) AS pass_stopwords
+        FROM stats
+    )
+    SELECT doc_id, n_tokens, pass_lang, pass_min_tokens, pass_max_tokens,
+           pass_ttr, pass_rep_2gram, pass_stopwords,
+           CASE WHEN NOT pass_lang THEN 'lang'
+                WHEN NOT pass_min_tokens THEN 'min_tokens'
+                WHEN NOT pass_max_tokens THEN 'max_tokens'
+                WHEN NOT pass_ttr THEN 'ttr'
+                WHEN NOT pass_rep_2gram THEN 'rep_2gram'
+                WHEN NOT pass_stopwords THEN 'stopwords'
+                ELSE NULL END AS drop_reason,
+           (pass_lang AND pass_min_tokens AND pass_max_tokens AND pass_ttr
+            AND pass_rep_2gram AND pass_stopwords) AS kept
+    FROM verdicts
+    """,
+)
+def datapipe_filter_cascade(spark, sf_dir):
+    """C4/Gopher-style quality-filter cascade with first-fail
+    provenance (Raffel et al. 2020 §2.2; Rae et al. 2021 A.1.1): six
+    ordered gates — declared language, token-count window, type-token
+    ratio, duplicate-2-gram mass, stopword floor — each emitted as an
+    attribute column plus the Dolma-style ``drop_reason``/``kept``
+    verdict. Every threshold is an integer cross-multiplication, so the
+    whole cascade is float-free and bit-identical cross-engine; the
+    plan is a single zero-shuffle projection over the scan (100 TB
+    shape + gate: datapipe/cascade.py, tests/test_plans.py)."""
+    from gpdb_spark.datapipe.cascade import filter_cascade
+
+    return filter_cascade(t(spark, sf_dir, "documents"))

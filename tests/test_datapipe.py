@@ -707,3 +707,49 @@ class TestDsir:
         assert out[2].n_features == 0 and out[2].weight == 0.0
         assert out[1].n_features == 3  # 2 unigrams + 1 bigram
         assert abs(out[1].weight - 1.5) < 1e-9
+
+
+class TestFilterCascade:
+    def test_provenance_is_first_failing_stage(self, spark, sf_dir):
+        """drop_reason must equal the first stage whose pass_* column is
+        False, in declaration order, and kept == all pass."""
+        from gpdb_spark.datapipe.cascade import filter_cascade
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rows = filter_cascade(docs).collect()
+        order = ["lang", "min_tokens", "max_tokens", "ttr", "rep_2gram",
+                 "stopwords"]
+        assert len(rows) == docs.count()
+        seen_reasons = set()
+        for r in rows:
+            fails = [s for s in order if not r[f"pass_{s}"]]
+            assert r.kept == (not fails)
+            assert r.drop_reason == (fails[0] if fails else None)
+            seen_reasons.add(r.drop_reason)
+        # the fixture must actually exercise the cascade: kept docs AND
+        # at least two distinct drop reasons
+        assert None in seen_reasons and len(seen_reasons) >= 3
+
+    def test_degenerate_docs_fail_min_tokens(self, spark):
+        from gpdb_spark.datapipe.cascade import filter_cascade
+
+        d = spark.createDataFrame(
+            [(1, None, "en"), (2, "   \t \n ", "en"), (3, "word", "en")],
+            "doc_id long, text string, lang string",
+        )
+        out = {r.doc_id: r for r in filter_cascade(d).collect()}
+        for k in (1, 2, 3):
+            assert out[k].drop_reason == "min_tokens" and not out[k].kept
+
+    def test_custom_stage_list_is_respected(self, spark):
+        import pyspark.sql.functions as F
+        from gpdb_spark.datapipe.cascade import filter_cascade
+
+        d = spark.createDataFrame(
+            [(1, "a b c d e f", "en"), (2, "a b", "en")],
+            "doc_id long, text string, lang string",
+        )
+        stages = [("exactly_two", lambda _: F.col("n_tokens") == 2)]
+        out = {r.doc_id: r for r in filter_cascade(d, stages).collect()}
+        assert not out[1].kept and out[1].drop_reason == "exactly_two"
+        assert out[2].kept and out[2].drop_reason is None

@@ -326,3 +326,21 @@ def test_semdedup_centroid_join_is_broadcast(spark, sf_dir):
     body = plan.split("== Physical Plan ==")[-1]
     assert "BroadcastHashJoin" in body or "BroadcastNestedLoopJoin" in body
     assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
+
+
+def test_filter_cascade_is_one_zero_shuffle_projection(spark, sf_dir):
+    """The quality-filter cascade must pipeline with the scan: one
+    projection, no Exchange, no Join, no Python — at 100 TB it costs
+    exactly the parquet read."""
+    from gpdb_spark.datapipe.cascade import filter_cascade
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = filter_cascade(docs)
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in body, body[:2000]
+    assert "Join" not in body, body[:2000]
+    assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
