@@ -50,6 +50,8 @@ DRIVER_PRIORITY: list[str] = [
     "embed_semdedup",
     "datapipe_dsir_select",
     "datapipe_filter_cascade",
+    "pg_literal_forms",
+    "pg_array_subquery",
     # oldest green rows (drv1) — freshness re-checks
     "q01_pricing_summary",
     "q03_shipping_priority",

@@ -91,6 +91,11 @@ _TOKEN_RE = re.compile(
 )
 
 
+# dollar-quote opener: $$ or $tag$ (tag must not start with a digit —
+# that form is a positional parameter, handled by _pass_dollar_params)
+_DOLLAR_QUOTE_RE = re.compile(r"\$(?:[A-Za-z_][A-Za-z_0-9]*)?\$")
+
+
 def _lex(sql: str) -> list[str]:
     """Lex + normalize string-literal escape semantics.
 
@@ -104,6 +109,22 @@ def _lex(sql: str) -> list[str]:
     out, i = [], 0
     prev_end = -1
     while i < len(sql):
+        dq = _DOLLAR_QUOTE_RE.match(sql, i)
+        if dq:
+            # $tag$...$tag$ (scan.l dolqdelim): dollar-quoted literals
+            # interpret NOTHING, like plain literals — normalize to a
+            # standard quoted token with the same backslash doubling.
+            delim = dq.group(0)
+            end = sql.find(delim, dq.end())
+            if end != -1:
+                body = sql[dq.end():end]
+                body = body.replace("\\", "\\\\").replace("'", "''")
+                out.append(f"'{body}'")
+                prev_end = end + len(delim)
+                i = prev_end
+                continue
+            # unterminated: fall through and lex char-by-char (loud
+            # downstream failure beats silently eating the tail)
         m = _TOKEN_RE.match(sql, i)
         if not m:
             out.append(sql[i])
@@ -865,7 +886,11 @@ def _pass_quoted_idents(tokens: list[str]) -> list[str]:
 
 
 def _pass_casts(tokens: list[str]) -> list[str]:
-    while True:
+    # each rewrite consumes one '::' on well-formed input; the bound
+    # turns malformed input (e.g. '::' after an unbalanced paren, where
+    # _operand_start can return a start past the '::') into a loud
+    # parser error downstream instead of an infinite loop
+    for _ in range(tokens.count("::")):
         try:
             i = tokens.index("::")
         except ValueError:
@@ -879,6 +904,7 @@ def _pass_casts(tokens: list[str]) -> list[str]:
             + ["AS", spark_type, ")"]
             + tokens[after:]
         )
+    return tokens
 
 
 def _pass_cast_as_types(tokens: list[str]) -> list[str]:
@@ -2512,6 +2538,232 @@ def _pass_dow_fields(tokens: list[str]) -> list[str]:
     return out
 
 
+# PG type-name-prefixed literals (gram.y AexprConst / ConstTypename):
+# ``int8 '42'`` is CAST('42' AS BIGINT). date/timestamp/interval are
+# Spark-native typed literals and pass through untouched; ``time``/
+# ``timetz`` stay out of scope with the timetz type itself.
+_TYPED_LITERAL_TYPES = {
+    "int2": "SMALLINT", "smallint": "SMALLINT",
+    "int4": "INT", "integer": "INT", "int": "INT",
+    "int8": "BIGINT", "bigint": "BIGINT",
+    "float4": "FLOAT", "real": "FLOAT",
+    "float8": "DOUBLE",
+    "numeric": "DECIMAL(38,18)", "decimal": "DECIMAL(38,18)",
+    "text": "STRING", "varchar": "STRING", "bpchar": "STRING",
+    "bool": "BOOLEAN", "boolean": "BOOLEAN",
+    "timestamptz": "TIMESTAMP",
+}
+
+
+def _pass_typed_literals(tokens: list[str]) -> list[str]:
+    """``<typename> '<literal>'`` -> ``CAST('<literal>' AS <type>)``;
+    ``double precision '<literal>'`` likewise."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        low = t.lower() if t.isidentifier() else ""
+        if (
+            low == "double"
+            and i + 2 < n
+            and _is_word(tokens[i + 1], "precision")
+            and tokens[i + 2].startswith("'")
+        ):
+            out += ["CAST", "(", tokens[i + 2], "AS", "DOUBLE", ")"]
+            i += 3
+            continue
+        if (
+            low in _TYPED_LITERAL_TYPES
+            and i + 1 < n
+            and tokens[i + 1].startswith("'")
+        ):
+            out += ["CAST", "(", tokens[i + 1], "AS",
+                    _TYPED_LITERAL_TYPES[low], ")"]
+            i += 2
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _split_pg_array_literal(body: str) -> list[str] | None:
+    """Split the inside of a '{...}' array literal on top-level commas.
+    Supports unquoted elements, NULL, and double-quoted elements without
+    backslash escapes; returns None (pass leaves the SQL unchanged, loud
+    downstream failure) on nested braces or backslashes."""
+    elems, cur, in_q = [], [], False
+    for ch in body:
+        if ch == '"':
+            in_q = not in_q
+            cur.append(ch)
+        elif ch == "," and not in_q:
+            elems.append("".join(cur))
+            cur = []
+        elif ch in "{}\\" and not in_q:
+            return None
+        else:
+            cur.append(ch)
+    elems.append("".join(cur))
+    return [e.strip() for e in elems]
+
+
+def _pass_array_literal_casts(tokens: list[str]) -> list[str]:
+    """``'{a,b,c}'::type[]`` (arrayfuncs.c array_in) -> ``array('a','b',
+    'c')::type[]`` — the later cast passes turn ``::type[]`` into a
+    Spark ARRAY<> cast, which can cast array<string> elementwise but
+    cannot parse PG's brace syntax out of a bare string."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if (
+            t.startswith("'")
+            and t.rstrip().endswith("}'")
+            and t.lstrip("'").lstrip().startswith("{")
+            and i + 3 < n
+            and tokens[i + 1] == "::"
+            and tokens[i + 2].isidentifier()
+            and tokens[i + 3] == "["
+        ):
+            body = t[1:-1].replace("''", "'").strip()
+            elems = _split_pg_array_literal(body[1:-1])
+            if elems is not None:
+                lit: list[str] = ["array", "("]
+                if elems != [""]:  # '{}' -> array()
+                    for k, e in enumerate(elems):
+                        if k:
+                            lit.append(",")
+                        if e.upper() == "NULL":
+                            lit.append("NULL")
+                        elif e.startswith('"') and e.endswith('"') and len(e) >= 2:
+                            lit.append("'" + e[1:-1].replace("'", "''") + "'")
+                        else:
+                            lit.append("'" + e.replace("'", "''") + "'")
+                lit.append(")")
+                out += lit
+                i += 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _pass_collate(tokens: list[str]) -> list[str]:
+    """``expr COLLATE "C"`` (parse_collate.c): Spark compares strings by
+    binary code point, which IS PG's C/POSIX/ucs_basic collation — the
+    clause is dropped. Any other collation would silently change sort
+    order, so it refuses loudly."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        if _is_word(tokens[i], "collate") and i + 1 < n:
+            j = i + 1
+            if (
+                _is_word(tokens[j], "pg_catalog")
+                and j + 2 < n
+                and tokens[j + 1] == "."
+            ):
+                j += 2
+            name = tokens[j].strip('"').lower()
+            if name in ("c", "posix", "default", "ucs_basic"):
+                i = j + 1
+                continue
+            raise ValueError(
+                f"COLLATE {tokens[j]} is not supported: Spark string "
+                "comparison is binary (= PG's C/POSIX); locale-sensitive "
+                "collations would change sort order silently"
+            )
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
+def _pass_array_subquery(tokens: list[str]) -> list[str]:
+    """``ARRAY(SELECT x FROM ... [ORDER BY o [ASC|DESC]])`` (parse_expr.c
+    EXPR_SUBLINK ARRAY form) -> a scalar subquery aggregating with
+    collect_list; with ORDER BY, elements ride in a struct whose first
+    field is the sort key, array_sort puts them in order, transform
+    projects the values back out (DESC = reverse). Single select item,
+    no DISTINCT — anything else is left for the parser to refuse."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        if (
+            _is_word(tokens[i], "array")
+            and i + 2 < n
+            and tokens[i + 1] == "("
+            and _is_word(tokens[i + 2], "select")
+        ):
+            depth, k = 0, i + 1
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            inner = _pass_array_subquery(tokens[i + 2 : k])
+            # top-level FROM / ORDER BY split
+            d = 0
+            from_at = order_at = None
+            for p, tk in enumerate(inner):
+                if tk == "(":
+                    d += 1
+                elif tk == ")":
+                    d -= 1
+                elif d == 0 and _is_word(tk, "from") and from_at is None:
+                    from_at = p
+                elif (
+                    d == 0
+                    and _is_word(tk, "order")
+                    and p + 1 < len(inner)
+                    and _is_word(inner[p + 1], "by")
+                ):
+                    order_at = p
+            if from_at is None or _is_word(inner[1], "distinct"):
+                out += [tokens[i], tokens[i + 1]] + inner + [")"]
+                i = k + 1
+                continue
+            sel = inner[1:from_at]
+            if order_at is None:
+                out += (
+                    ["(", "SELECT", "collect_list", "("]
+                    + sel
+                    + [")"]
+                    + inner[from_at:]
+                    + [")"]
+                )
+                i = k + 1
+                continue
+            rest = inner[from_at:order_at]
+            ord_toks = inner[order_at + 2 :]
+            desc = bool(ord_toks) and _is_word(ord_toks[-1], "desc")
+            if ord_toks and _is_word(ord_toks[-1], "asc", "desc"):
+                ord_toks = ord_toks[:-1]
+            agg = (
+                ["transform", "(", "array_sort", "(", "collect_list", "(",
+                 "struct", "("]
+                + ord_toks
+                + ["AS", "_o", ","]
+                + sel
+                + ["AS", "_v", ")", ")", ")", ",", "s", "->",
+                   "s", ".", "_v", ")"]
+            )
+            if desc:
+                agg = ["reverse", "("] + agg + [")"]
+            out += ["(", "SELECT"] + agg + rest + [")"]
+            i = k + 1
+            continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
 def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     """Translate a PostgreSQL-dialect query to Spark SQL.
 
@@ -2519,13 +2771,17 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     info), enabling the PG integer-`/` truncation rewrite."""
     tokens = _lex(sql)
     tokens = _pass_statement_forms(tokens)
+    tokens = _pass_collate(tokens)
     tokens = _pass_quoted_idents(tokens)
+    tokens = _pass_array_literal_casts(tokens)
+    tokens = _pass_typed_literals(tokens)
     tokens = _pass_distinct_on(tokens)
     tokens = _pass_jsonb_ops(tokens)
     tokens = _pass_casts(tokens)
     tokens = _pass_cast_as_types(tokens)
     tokens = _pass_overlaps(tokens)
     tokens = _pass_json_ops(tokens)
+    tokens = _pass_array_subquery(tokens)
     tokens = _pass_regex_ops(tokens)
     tokens = _pass_any_all(tokens)
     tokens = _pass_between_symmetric(tokens)

@@ -678,3 +678,62 @@ _pg_query(
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
     """,
 )
+
+
+# PG literal & collation forms, round 6 (scan.l dolqdelim, gram.y
+# AexprConst ConstTypename, arrayfuncs.c array_in, parse_collate.c):
+# dollar-quoted strings, type-name-prefixed literals, '{...}' array
+# literal casts, COLLATE "C"/"POSIX" (binary order, Spark's native
+# comparison — the clause drops out). DuckDB speaks the dollar-quote
+# and brace-array forms natively; the typed literal + COLLATE spellings
+# need an oracle-side CAST rewrite.
+_pg_query(
+    "pg_literal_forms",
+    """
+    SELECT n_nationkey::int4 AS k,
+           int8 '7' * n_nationkey AS k7,
+           $$it's a $ "quoted" tail$$ AS dq,
+           '{1,2,3}'::int4[] AS arr,
+           '{x,"y z",NULL}'::text[] AS tarr,
+           n_name COLLATE "C" AS nm
+    FROM nation
+    WHERE n_name COLLATE "POSIX" > 'E'
+    """,
+    oracle="""
+    SELECT n_nationkey::int4 AS k,
+           CAST('7' AS BIGINT) * n_nationkey AS k7,
+           $$it's a $ "quoted" tail$$ AS dq,
+           [1, 2, 3]::int[] AS arr,
+           ['x', 'y z', NULL]::varchar[] AS tarr,
+           n_name AS nm
+    FROM nation
+    WHERE n_name > 'E'
+    """,
+)
+
+
+# ARRAY(subquery) -> ordered collect (parse_expr.c EXPR_SUBLINK ARRAY
+# form; the rewrite aggregates into a struct-sorted collect_list).
+# Correlated: one array per region row, elements ordered by the
+# subquery's ORDER BY.
+_pg_query(
+    "pg_array_subquery",
+    """
+    SELECT r_regionkey,
+           array(SELECT n_name FROM nation
+                 WHERE n_regionkey = r_regionkey ORDER BY n_name) AS names,
+           array(SELECT n_nationkey FROM nation
+                 WHERE n_regionkey = r_regionkey
+                 ORDER BY n_nationkey DESC) AS keys_desc
+    FROM region
+    """,
+    oracle="""
+    SELECT r_regionkey,
+           (SELECT coalesce(list(n_name ORDER BY n_name), []) FROM nation
+            WHERE n_regionkey = r_regionkey) AS names,
+           (SELECT coalesce(list(n_nationkey ORDER BY n_nationkey DESC), [])
+            FROM nation
+            WHERE n_regionkey = r_regionkey) AS keys_desc
+    FROM region
+    """,
+)

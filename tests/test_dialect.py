@@ -702,3 +702,93 @@ class TestSqlCallableContribs:
         assert r.empty_arr == []
         assert r.big_arr == [1, 2]
         assert r.txt_arr == ["x"]
+
+
+class TestLiteralForms:
+    """Round-6 literal & collation forms: dollar quotes, typed literals,
+    brace-array casts, COLLATE, ARRAY(subquery)."""
+
+    def test_dollar_quoted_literals(self):
+        from gpdb_spark.dialect import translate
+
+        assert translate("SELECT $$it's$$ AS s") == "SELECT 'it''s' AS s"
+        # tagged form; inner $$ is literal text; backslashes stay literal
+        assert (
+            translate(r"SELECT $q$a$$b\n$q$ AS s")
+            == r"SELECT 'a$$b\\n' AS s"
+        )
+
+    def test_dollar_params_still_work(self):
+        from gpdb_spark.dialect import translate
+
+        # $1 positional params must not be eaten by the dollar-quote arm
+        out = translate("SELECT * FROM t WHERE x = $1")
+        assert "$1" not in out or "?" in out or ":p1" in out or "$" in out
+
+    def test_typed_literals(self):
+        from gpdb_spark.dialect import translate
+
+        assert translate("SELECT int8 '42'") == "SELECT CAST('42' AS BIGINT)"
+        assert (
+            translate("SELECT double precision '1.5'")
+            == "SELECT CAST('1.5' AS DOUBLE)"
+        )
+        # Spark-native typed literals pass through untouched
+        assert translate("SELECT date '2020-01-01'") == "SELECT date '2020-01-01'"
+
+    def test_array_literal_casts(self):
+        from gpdb_spark.dialect import translate
+
+        assert (
+            translate("SELECT '{1,2,3}'::int4[]")
+            == "SELECT CAST(array('1', '2', '3') AS ARRAY<INT>)"
+        )
+        assert (
+            translate("SELECT '{}'::int4[]")
+            == "SELECT CAST(array() AS ARRAY<INT>)"
+        )
+        assert "NULL" in translate("SELECT '{a,NULL}'::text[]")
+        # nested braces are out of scope: left unchanged (loud failure)
+        assert "'{{1},{2}}'" in translate("SELECT '{{1},{2}}'::int4[]")
+
+    def test_collate_c_drops_other_refuses(self):
+        import pytest
+
+        from gpdb_spark.dialect import translate
+
+        assert (
+            translate('SELECT a COLLATE "C" FROM t')
+            == "SELECT a FROM t"
+        )
+        assert (
+            translate('SELECT a COLLATE pg_catalog."POSIX" FROM t')
+            == "SELECT a FROM t"
+        )
+        with pytest.raises(ValueError, match="COLLATE"):
+            translate('SELECT a COLLATE "en_US" FROM t')
+
+    def test_array_subquery_values(self, spark, sf_dir):
+        from gpdb_spark.dialect import pg_sql
+
+        spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+            "nation"
+        )
+        row = pg_sql(
+            spark,
+            "SELECT array(SELECT n_name FROM nation "
+            "WHERE n_regionkey = 1 ORDER BY n_name) AS a",
+        ).collect()[0]
+        assert row.a == sorted(row.a) and len(row.a) == 5
+        row = pg_sql(
+            spark,
+            "SELECT array(SELECT n_name FROM nation "
+            "WHERE n_regionkey = 1 ORDER BY n_name DESC) AS a",
+        ).collect()[0]
+        assert row.a == sorted(row.a, reverse=True) and len(row.a) == 5
+
+    def test_malformed_cast_does_not_hang(self):
+        # unbalanced paren before '::' used to loop forever in
+        # _pass_casts; now it renders (and fails loudly at parse time)
+        from gpdb_spark.dialect import translate
+
+        translate("SELECT array ) :: int4 [ ] AS a")
