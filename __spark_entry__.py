@@ -52,6 +52,7 @@ DRIVER_PRIORITY: list[str] = [
     "datapipe_filter_cascade",
     "pg_literal_forms",
     "pg_array_subquery",
+    "pg_operator_forms",
     # oldest green rows (drv1) — freshness re-checks
     "q01_pricing_summary",
     "q03_shipping_priority",

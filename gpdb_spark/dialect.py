@@ -977,6 +977,12 @@ def _pass_regex_ops(tokens: list[str]) -> list[str]:
             i = end
             continue
         if t in ("~", "~*", "!~", "!~*"):
+            if t == "~" and not (out and _is_operand_end(out[-1])):
+                # prefix ~ is PG's (and Spark's) bitwise NOT, not a
+                # regex match — pass it through untouched
+                out.append(t)
+                i += 1
+                continue
             neg = t.startswith("!")
             ci = t.endswith("*")
             end = _rhs_end(tokens, i + 1)
@@ -2492,10 +2498,10 @@ def _pass_statement_forms(tokens: list[str]) -> list[str]:
 
 
 def _pass_dow_fields(tokens: list[str]) -> list[str]:
-    """PG day-of-week numbering (timestamp.c / date.c extract):
-    dow Sunday=0..Saturday=6, isodow Monday=1..Sunday=7. Spark's DOW
-    field is dayofweek (Sunday=1) and has no isodow — rewrite
-    extract/date_part to weekday() arithmetic (Monday=0)."""
+    """PG extract fields Spark lacks (timestamp.c / date.c extract):
+    dow Sunday=0..Saturday=6, isodow Monday=1..Sunday=7 (weekday()
+    arithmetic), isoyear (Spark's YEAROFWEEK), decade/century/millennium
+    (year arithmetic, CE only)."""
     out: list[str] = []
     i = 0
     n = len(tokens)
@@ -2505,14 +2511,23 @@ def _pass_dow_fields(tokens: list[str]) -> list[str]:
         nxt = tokens[i + 1] if i + 1 < n else ""
         field = None
         inner_start = None
-        if low == "extract" and nxt == "(" and i + 2 < n and _is_word(tokens[i + 2], "dow", "isodow"):
+        if (
+            low == "extract"
+            and nxt == "("
+            and i + 2 < n
+            and _is_word(tokens[i + 2], "dow", "isodow", "isoyear",
+                         "decade", "century", "millennium")
+        ):
             field = tokens[i + 2].lower()
             inner_start = i + 4  # skip field FROM
         elif (
             low == "date_part"
             and nxt == "("
             and i + 2 < n
-            and tokens[i + 2].lower() in ("'dow'", "'isodow'")
+            and tokens[i + 2].lower() in (
+                "'dow'", "'isodow'", "'isoyear'", "'decade'",
+                "'century'", "'millennium'",
+            )
         ):
             field = tokens[i + 2][1:-1]
             inner_start = i + 4  # skip 'field' ,
@@ -2529,9 +2544,207 @@ def _pass_dow_fields(tokens: list[str]) -> list[str]:
             inner = tokens[inner_start:k]
             if field == "dow":
                 out += ["(", "(", "weekday", "("] + inner + [")", "+", "1", ")", "%", "7", ")"]
-            else:
+            elif field == "isodow":
                 out += ["(", "weekday", "("] + inner + [")", "+", "1", ")"]
+            elif field == "isoyear":
+                # ISO week-numbering year == Spark's YEAROFWEEK
+                out += ["extract", "(", "YEAROFWEEK", "FROM"] + inner + [")"]
+            elif field == "decade":
+                out += ["(", "year", "("] + inner + [")", "div", "10", ")"]
+            elif field == "century":
+                # CE only: century 21 starts 2001 (timestamp.c; BC years
+                # are out of scope with the rest of pre-CE handling)
+                out += ["(", "(", "year", "("] + inner + [")", "+", "99",
+                        ")", "div", "100", ")"]
+            else:  # millennium
+                out += ["(", "(", "year", "("] + inner + [")", "+", "999",
+                        ")", "div", "1000", ")"]
             i = k + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _pass_num_nulls(tokens: list[str]) -> list[str]:
+    """``num_nonnulls(a, b, ...)`` / ``num_nulls(a, b, ...)`` (misc
+    variadic functions) -> a sum of CASE WHEN ... IS NULL arms. The
+    VARIADIC-array spelling is out of scope (loud failure)."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        low = t.lower() if t.isidentifier() else ""
+        if (
+            low in ("num_nonnulls", "num_nulls")
+            and i + 1 < n
+            and tokens[i + 1] == "("
+        ):
+            depth, k = 0, i + 1
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            args: list[list[str]] = [[]]
+            d = 0
+            for tk in tokens[i + 2 : k]:
+                if tk in ("(", "["):
+                    d += 1
+                elif tk in (")", "]"):
+                    d -= 1
+                if tk == "," and d == 0:
+                    args.append([])
+                else:
+                    args[-1].append(tk)
+            null_v, nn_v = ("1", "0") if low == "num_nulls" else ("0", "1")
+            out.append("(")
+            for a_i, arg in enumerate(args):
+                if a_i:
+                    out.append("+")
+                out += (["CASE", "WHEN"] + _pass_num_nulls(arg)
+                        + ["IS", "NULL", "THEN", null_v, "ELSE", nn_v, "END"])
+            out.append(")")
+            i = k + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _is_operand_end(tok: str) -> bool:
+    """True when ``tok`` can END an operand (so the next op is infix):
+    closers, literals, numbers, backticked or plain identifiers."""
+    if not tok:
+        return False
+    return (
+        tok in (")", "]")
+        or tok.startswith("'")
+        or tok.startswith("`")
+        or tok[0].isdigit()
+        or (tok.isidentifier() and tok.lower() not in _KEYWORDS)
+    )
+
+
+def _operand_end(tokens: list[str], i: int) -> int:
+    """Index just past the operand starting at tokens[i]: optional unary
+    +/-/~ prefixes, one atom (paren group / literal / number / ident,
+    with call parens), then postfix .field / [idx] chains."""
+    n = len(tokens)
+    j = i
+    while j < n and tokens[j] in ("+", "-", "~"):
+        j += 1
+    if j >= n:
+        return j
+    if tokens[j] == "(":
+        depth = 0
+        while j < n:
+            if tokens[j] == "(":
+                depth += 1
+            elif tokens[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        j += 1
+    else:
+        t = tokens[j]
+        j += 1
+        if (
+            t.isidentifier()
+            and t.lower() not in _KEYWORDS
+            and j < n
+            and tokens[j] == "("
+        ):
+            depth = 0
+            while j < n:
+                if tokens[j] == "(":
+                    depth += 1
+                elif tokens[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            j += 1
+    while j < n and tokens[j] in (".", "["):
+        if tokens[j] == ".":
+            j += 2
+        else:
+            depth = 0
+            while j < n:
+                if tokens[j] == "[":
+                    depth += 1
+                elif tokens[j] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            j += 1
+    return j
+
+
+def _pass_pg_operators(tokens: list[str]) -> list[str]:
+    """PG math/bit operator spellings (float.c / int.c / numeric.c
+    operator tables) whose Spark meaning differs or does not parse:
+
+    - ``a ^ b``  -> ``pow(a, b)``   (Spark ``^`` is XOR — silent wrong)
+    - ``a # b``  -> ``a ^ b``       (PG XOR spelled as Spark XOR)
+    - ``a << b`` / ``a >> b`` -> shiftleft/shiftright (lexed as two
+      ``<``/``>`` tokens; an infix pair can only be a shift)
+    - ``|/ x``   -> ``sqrt(x)``,  ``||/ x`` -> ``cbrt(x)``
+    - ``@ x``    -> ``abs(x)``      (prefix only; ``@>``/``<@`` are
+      their own tokens and untouched)
+
+    Operand extents follow PG precedence: unary minus binds LOOSER than
+    ``^`` (``-2 ^ 2`` is ``-(2^2)``), so the lhs walk never swallows a
+    leading sign; chains left-associate (``2^3^2`` = ``pow(pow(2,3),2)``).
+    """
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        infix = bool(out) and _is_operand_end(out[-1])
+        if t == "^" and infix and i + 1 < n:
+            end = _operand_end(tokens, i + 1)
+            rhs = tokens[i + 1 : end]
+            lhs_start = _operand_start(out + ["^"], len(out))
+            lhs = out[lhs_start:]
+            out = out[:lhs_start] + ["pow", "("] + lhs + [","] + rhs + [")"]
+            i = end
+            continue
+        if t == "#" and infix and i + 1 < n:
+            out.append("^")
+            i += 1
+            continue
+        if (
+            t in ("<", ">")
+            and infix
+            and i + 1 < n
+            and tokens[i + 1] == t
+        ):
+            fn = "shiftleft" if t == "<" else "shiftright"
+            end = _operand_end(tokens, i + 2)
+            rhs = tokens[i + 2 : end]
+            lhs_start = _operand_start(out + ["^"], len(out))
+            lhs = out[lhs_start:]
+            out = out[:lhs_start] + [fn, "("] + lhs + [","] + rhs + [")"]
+            i = end
+            continue
+        if t in ("|", "||") and not infix and i + 1 < n and tokens[i + 1] == "/":
+            fn = "sqrt" if t == "|" else "cbrt"
+            end = _operand_end(tokens, i + 2)
+            out += [fn, "("] + tokens[i + 2 : end] + [")"]
+            i = end
+            continue
+        if t == "@" and not infix and i + 1 < n:
+            end = _operand_end(tokens, i + 1)
+            out += ["abs", "("] + tokens[i + 1 : end] + [")"]
+            i = end
             continue
         out.append(t)
         i += 1
@@ -2783,11 +2996,13 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_json_ops(tokens)
     tokens = _pass_array_subquery(tokens)
     tokens = _pass_regex_ops(tokens)
+    tokens = _pass_pg_operators(tokens)
     tokens = _pass_any_all(tokens)
     tokens = _pass_between_symmetric(tokens)
     tokens = _pass_at_time_zone(tokens)
     tokens = _pass_array_syntax(tokens)
     tokens = _pass_dow_fields(tokens)
+    tokens = _pass_num_nulls(tokens)
     tokens = _pass_similar_to(tokens)
     tokens = _pass_fetch_first(tokens)
     tokens = _pass_tablesample(tokens)

@@ -737,3 +737,45 @@ _pg_query(
     FROM region
     """,
 )
+
+
+# PG math/bit operator spellings, round 6 (float.c numeric_power,
+# int.c int4xor/shift, misc num_nonnulls; timestamp.c extract fields):
+# ^ is POWER in PG but XOR in Spark — the one silent-wrong operator the
+# round-6 idiom probe found; # << >> |/ @ and prefix ~ simply failed to
+# parse. DuckDB speaks ** for power and xor()/bit ops differently, so
+# the oracle spells the semantics out.
+_pg_query(
+    "pg_operator_forms",
+    """
+    SELECT n_nationkey,
+           n_nationkey ^ 2 AS square,
+           n_nationkey # 3 AS xored,
+           n_nationkey << 2 AS shl,
+           n_nationkey >> 1 AS shr,
+           |/ (n_nationkey * n_nationkey)::float8 AS root,
+           @ (10 - n_nationkey) AS dist,
+           ~n_nationkey AS bnot,
+           num_nonnulls(nullif(n_regionkey, 2), n_nationkey) AS nn,
+           extract(isoyear from date '2020-01-01')::int8 AS iso,
+           extract(century from date '2001-01-01')::int8 AS cen,
+           extract(decade from date '1999-12-31')::int8 AS dec
+    FROM nation
+    """,
+    oracle="""
+    SELECT n_nationkey,
+           n_nationkey ** 2 AS square,
+           xor(n_nationkey, 3) AS xored,
+           n_nationkey << 2 AS shl,
+           n_nationkey >> 1 AS shr,
+           sqrt((n_nationkey * n_nationkey)::DOUBLE) AS root,
+           abs(10 - n_nationkey) AS dist,
+           ~n_nationkey AS bnot,
+           (CASE WHEN nullif(n_regionkey, 2) IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN n_nationkey IS NULL THEN 0 ELSE 1 END) AS nn,
+           CAST(extract(isoyear FROM DATE '2020-01-01') AS BIGINT) AS iso,
+           CAST(extract(century FROM DATE '2001-01-01') AS BIGINT) AS cen,
+           CAST(extract(decade FROM DATE '1999-12-31') AS BIGINT) AS dec
+    FROM nation
+    """,
+)

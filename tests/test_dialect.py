@@ -792,3 +792,61 @@ class TestLiteralForms:
         from gpdb_spark.dialect import translate
 
         translate("SELECT array ) :: int4 [ ] AS a")
+
+
+class TestPgOperators:
+    """Round-6 PG math/bit operator spellings: ^ power, # xor, shifts,
+    |/ sqrt, @ abs, prefix ~, num_nonnulls, extract field extensions."""
+
+    def test_power_not_xor(self):
+        from gpdb_spark.dialect import translate
+
+        assert translate("SELECT 2 ^ 3") == "SELECT pow(2, 3)"
+        # left-assoc chain, like numeric_power via gram.y %left '^'
+        assert translate("SELECT 2 ^ 3 ^ 2") == "SELECT pow(pow(2, 3), 2)"
+        # unary minus binds looser than ^ in PG: -2 ^ 2 = -(2^2)
+        assert translate("SELECT -2 ^ 2") == "SELECT - pow(2, 2)"
+
+    def test_xor_and_shifts(self):
+        from gpdb_spark.dialect import translate
+
+        assert translate("SELECT 5 # 3") == "SELECT 5 ^ 3"
+        assert translate("SELECT 1 << 4") == "SELECT shiftleft(1, 4)"
+        assert translate("SELECT 16 >> 2") == "SELECT shiftright(16, 2)"
+
+    def test_prefix_ops(self):
+        from gpdb_spark.dialect import translate
+
+        assert translate("SELECT |/ 25.0") == "SELECT sqrt(25.0)"
+        assert translate("SELECT ||/ 27.0") == "SELECT cbrt(27.0)"
+        assert translate("SELECT @ -5") == "SELECT abs(- 5)"
+        # prefix ~ stays bitwise NOT; infix ~ stays a regex match
+        assert translate("SELECT ~5") == "SELECT ~ 5"
+        assert "RLIKE" in translate("SELECT 'x' ~ 'y'")
+        # || concat (infix) is untouched by the ||/ prefix arm
+        assert translate("SELECT a || '/'") == "SELECT a || '/'"
+
+    def test_num_nonnulls_values(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT num_nonnulls(1, NULL, 3) AS a, num_nulls(1, NULL) AS b",
+        ).collect()[0]
+        assert (row.a, row.b) == (2, 1)
+
+    def test_extract_fields(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT extract(isoyear from date '2016-01-01')::int4 AS iso,"
+            " extract(century from date '2000-12-31')::int4 AS c20,"
+            " extract(century from date '2001-01-01')::int4 AS c21,"
+            " extract(decade from date '1999-12-31')::int4 AS dec,"
+            " extract(millennium from date '2000-12-31')::int4 AS m2",
+        ).collect()[0]
+        # isoyear of 2016-01-01 is 2015 (ISO week 53 of 2015)
+        assert (row.iso, row.c20, row.c21, row.dec, row.m2) == (
+            2015, 20, 21, 199, 2,
+        )
