@@ -53,6 +53,8 @@ DRIVER_PRIORITY: list[str] = [
     "pg_literal_forms",
     "pg_array_subquery",
     "pg_operator_forms",
+    "pg_string_date_funcs",
+    "pg_json_srf_scan",
     # oldest green rows (drv1) — freshness re-checks
     "q01_pricing_summary",
     "q03_shipping_priority",

@@ -1016,6 +1016,14 @@ _FN_RENAME = {
     # array_to_string(arr, sep) == array_join(arr, sep) (arrayfuncs.c);
     # the 3-arg null-replacement form is array_join's too
     "array_to_string": "array_join",
+    # varlena.c text_starts_with — Spark spells it without the underscore
+    "starts_with": "startswith",
+    # PG's three timestamp families all map to query-start time; the
+    # reference's clock_timestamp advances WITHIN a statement — Spark
+    # has no volatile per-row clock, documented divergence (COVERAGE.md)
+    "clock_timestamp": "current_timestamp",
+    "statement_timestamp": "current_timestamp",
+    "transaction_timestamp": "current_timestamp",
 }
 
 # DCH parse tokens -> Java datetime parse patterns (to_date/to_timestamp;
@@ -2566,6 +2574,214 @@ def _pass_dow_fields(tokens: list[str]) -> list[str]:
     return out
 
 
+def _fn_args(tokens: list[str], i: int) -> tuple[list[list[str]], int] | None:
+    """For a function-call head at tokens[i] (name) with tokens[i+1] ==
+    '(': the top-level-comma-split argument token lists and the index of
+    the closing paren. None when there is no call here."""
+    n = len(tokens)
+    if i + 1 >= n or tokens[i + 1] != "(":
+        return None
+    depth, k = 0, i + 1
+    while k < n:
+        if tokens[k] == "(":
+            depth += 1
+        elif tokens[k] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        k += 1
+    args: list[list[str]] = [[]]
+    d = 0
+    for tk in tokens[i + 2 : k]:
+        if tk in ("(", "["):
+            d += 1
+        elif tk in (")", "]"):
+            d -= 1
+        if tk == "," and d == 0:
+            args.append([])
+        else:
+            args[-1].append(tk)
+    if args == [[]]:
+        args = []
+    return args, k
+
+
+_MAKE_INTERVAL_FIELDS = ["years", "months", "weeks", "days", "hours",
+                         "mins", "secs"]
+
+
+def _pass_misc_funcs(tokens: list[str]) -> list[str]:
+    """Small PG function forms Spark spells differently (the round-6
+    idiom probe's third batch):
+
+    - ``to_hex(n)`` -> ``lower(hex(n))`` (PG emits lowercase)
+    - ``isfinite(x)`` -> NULL-preserving TRUE (Spark has no infinite
+      dates/timestamps to be finite against)
+    - ``trunc(x)`` / ``trunc(x, n)`` -> truncate-toward-zero arithmetic
+      (PG numeric trunc; Spark's trunc is date-only)
+    - ``make_interval(days => 3)`` named args (gram.y func_arg_expr
+      NamedArgExpr) -> positional make_interval (same 7-field order)
+    """
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        low = t.lower() if t.isidentifier() else ""
+        call = _fn_args(tokens, i) if low in (
+            "to_hex", "isfinite", "trunc", "make_interval",
+        ) else None
+        if call is not None:
+            args, k = call
+            if low == "to_hex" and len(args) == 1:
+                out += ["lower", "(", "hex", "("] + args[0] + [")", ")"]
+                i = k + 1
+                continue
+            if low == "isfinite" and len(args) == 1:
+                out += (["CAST", "(", "CASE", "WHEN", "("] + args[0]
+                        + [")", "IS", "NULL", "THEN", "NULL", "ELSE",
+                           "TRUE", "END", "AS", "BOOLEAN", ")"])
+                i = k + 1
+                continue
+            if low == "trunc" and len(args) in (1, 2):
+                x = ["("] + args[0] + [")"]
+                scale = (["pow", "(", "10", ","] + args[1] + [")"]
+                         if len(args) == 2 else None)
+                expr = (["sign"] + x + ["*", "floor", "(", "abs"] + x)
+                if scale:
+                    expr += ["*"] + scale + [")", "/"] + scale
+                else:
+                    expr += [")"]
+                out += ["("] + expr + [")"]
+                i = k + 1
+                continue
+            if low == "make_interval" and any(
+                "=" in a and ">" in a for a in args
+            ):
+                slots: dict[str, list[str]] = {}
+                pos = 0
+                ok = True
+                for a in args:
+                    if len(a) >= 3 and a[1] == "=" and a[2] == ">":
+                        name = a[0].lower()
+                        if name not in _MAKE_INTERVAL_FIELDS:
+                            ok = False
+                            break
+                        slots[name] = a[3:]
+                    else:
+                        slots[_MAKE_INTERVAL_FIELDS[pos]] = a
+                        pos += 1
+                if ok:
+                    out += ["make_interval", "("]
+                    for f_i, f in enumerate(_MAKE_INTERVAL_FIELDS):
+                        if f_i:
+                            out.append(",")
+                        out += slots.get(f, ["0"])
+                    out.append(")")
+                    i = k + 1
+                    continue
+        out.append(t)
+        i += 1
+    return out
+
+
+_JSON_SRF_SHAPES = {
+    # fn -> (from_json schema or None, generator tokens template key)
+    "json_each_text": "each",
+    "jsonb_each_text": "each",
+    "json_array_elements_text": "elements",
+    "jsonb_array_elements_text": "elements",
+    "json_object_keys": "keys",
+    "jsonb_object_keys": "keys",
+}
+
+
+def _pass_json_srf(tokens: list[str]) -> list[str]:
+    """JSON set-returning functions in FROM position (jsonfuncs.c
+    json_each_text / json_array_elements_text / json_object_keys, plus
+    generate_subscripts) -> derived tables over explode(from_json(..)).
+    PG's default output column names (key/value, value,
+    json_object_keys, generate_subscripts) are preserved so ``AS t`` and
+    ``AS t(a, b)`` aliases keep working. Non-_text json_each /
+    json_array_elements keep jsonb quoting on string leaves — out of
+    scope, loud failure. FROM position only (prev token FROM / , /
+    JOIN); an SRF in the select list stays a loud failure."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        low = t.lower() if t.isidentifier() else ""
+        prev = out[-1].lower() if out else ""
+        in_from = prev in ("from", ",", "join")
+        shape = _JSON_SRF_SHAPES.get(low)
+        if shape or low == "generate_subscripts":
+            call = _fn_args(tokens, i)
+            if call is not None:
+                args, k = call
+                # select-list SRF (PG's SRF-in-targetlist): single-column
+                # generators inline as a bare explode — Spark allows one
+                # generator per select list; 'each' needs two output
+                # columns and stays FROM-only
+                if not in_from and shape != "each":
+                    if shape == "elements" and len(args) == 1:
+                        out += (["explode", "(", "from_json", "(", "("]
+                                + args[0]
+                                + [")", ",", "'array<string>'", ")", ")"])
+                        i = k + 1
+                        continue
+                    # NOT 'keys' here: json_object_keys is also a Spark
+                    # BUILTIN returning array<string> (the jsonb passes
+                    # build on it) — exploding it in expression position
+                    # would break that; PG's SRF spelling works in FROM
+                    if (
+                        low == "generate_subscripts"
+                        and len(args) == 2
+                        and args[1] == ["1"]
+                    ):
+                        out += (["explode", "(", "sequence", "(", "1", ",",
+                                 "size", "(", "("] + args[0]
+                                + [")", ")", ")", ")"])
+                        i = k + 1
+                        continue
+                if in_from and shape == "each" and len(args) == 1:
+                    out += (["(", "SELECT", "explode", "(", "from_json",
+                             "(", "("] + args[0]
+                            + [")", ",", "'map<string,string>'", ")", ")",
+                               "AS", "(", "key", ",", "value", ")", ")"])
+                    i = k + 1
+                    continue
+                if in_from and shape == "elements" and len(args) == 1:
+                    out += (["(", "SELECT", "explode", "(", "from_json",
+                             "(", "("] + args[0]
+                            + [")", ",", "'array<string>'", ")", ")",
+                               "AS", "value", ")"])
+                    i = k + 1
+                    continue
+                if in_from and shape == "keys" and len(args) == 1:
+                    out += (["(", "SELECT", "explode", "(", "map_keys",
+                             "(", "from_json", "(", "("] + args[0]
+                            + [")", ",", "'map<string,string>'", ")", ")",
+                               ")", "AS", low, ")"])
+                    i = k + 1
+                    continue
+                if (
+                    in_from
+                    and low == "generate_subscripts"
+                    and len(args) == 2
+                    and args[1] == ["1"]
+                ):
+                    out += (["(", "SELECT", "explode", "(", "sequence",
+                             "(", "1", ",", "size", "(", "("] + args[0]
+                            + [")", ")", ")", ")", "AS",
+                               "generate_subscripts", ")"])
+                    i = k + 1
+                    continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _pass_num_nulls(tokens: list[str]) -> list[str]:
     """``num_nonnulls(a, b, ...)`` / ``num_nulls(a, b, ...)`` (misc
     variadic functions) -> a sum of CASE WHEN ... IS NULL arms. The
@@ -2709,6 +2925,16 @@ def _pass_pg_operators(tokens: list[str]) -> list[str]:
     while i < n:
         t = tokens[i]
         infix = bool(out) and _is_operand_end(out[-1])
+        if t == "^" and infix and i + 1 < n and tokens[i + 1] == "@":
+            # ^@ starts-with operator (text_starts_with, varlena.c)
+            end = _operand_end(tokens, i + 2)
+            rhs = tokens[i + 2 : end]
+            lhs_start = _operand_start(out + ["^"], len(out))
+            lhs = out[lhs_start:]
+            out = (out[:lhs_start] + ["startswith", "("] + lhs + [","]
+                   + rhs + [")"])
+            i = end
+            continue
         if t == "^" and infix and i + 1 < n:
             end = _operand_end(tokens, i + 1)
             rhs = tokens[i + 1 : end]
@@ -2997,6 +3223,8 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_array_subquery(tokens)
     tokens = _pass_regex_ops(tokens)
     tokens = _pass_pg_operators(tokens)
+    tokens = _pass_misc_funcs(tokens)
+    tokens = _pass_json_srf(tokens)
     tokens = _pass_any_all(tokens)
     tokens = _pass_between_symmetric(tokens)
     tokens = _pass_at_time_zone(tokens)

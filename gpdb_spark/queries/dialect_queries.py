@@ -779,3 +779,65 @@ _pg_query(
     FROM nation
     """,
 )
+
+
+# PG string/date function forms + JSON SRFs, round 6 (idiom probe batch
+# 3): ^@ starts-with (varlena.c text_starts_with), to_hex lowercase,
+# trunc-toward-zero numeric trunc, make_interval named args, isfinite,
+# num-family renames. The JSON SRF FROM-position rewrites
+# (json_each_text -> explode(from_json)) are exercised in
+# pg_json_srf_scan below.
+_pg_query(
+    "pg_string_date_funcs",
+    """
+    SELECT n_nationkey,
+           (n_name ^@ 'A') AS starts_a,
+           to_hex(n_nationkey * 100) AS hx,
+           trunc((n_nationkey * 1.39)::float8) AS tr0,
+           trunc((n_nationkey * 1.39)::float8, 1) AS tr1,
+           split_part(n_name || '|x|y', '|', 2) AS sp,
+           quote_literal(n_name) AS ql,
+           (date '2020-01-01' + make_interval(days => n_nationkey))::date
+               AS shifted,
+           isfinite(date '2020-01-01') AS fin
+    FROM nation
+    """,
+    oracle="""
+    SELECT n_nationkey,
+           starts_with(n_name, 'A') AS starts_a,
+           lower(to_hex(n_nationkey * 100)) AS hx,
+           CAST(trunc((n_nationkey * 1.39)::DOUBLE) AS DOUBLE) AS tr0,
+           CAST(sign((n_nationkey * 1.39)::DOUBLE)
+                * floor(abs((n_nationkey * 1.39)::DOUBLE) * 10) / 10
+                AS DOUBLE) AS tr1,
+           split_part(n_name || '|x|y', '|', 2) AS sp,
+           '''' || replace(n_name, '''', '''''') || '''' AS ql,
+           (DATE '2020-01-01' + to_days(n_nationkey))::date AS shifted,
+           isfinite(DATE '2020-01-01') AS fin
+    FROM nation
+    """,
+)
+
+
+_pg_query(
+    "pg_json_srf_scan",
+    # SRFs in FROM (jsonfuncs.c each/elements/keys + generate_subscripts;
+    # nodeFunctionscan.c): lateral-style row expansion per input row is
+    # the common PG idiom; here the SRF input is a constant per query,
+    # cross-joined against nation exactly as PG FunctionScan does.
+    """
+    SELECT t.key, t.value::int4 AS v, e.value AS elem, g.i
+    FROM json_each_text('{"a": 1, "b": 2}') AS t,
+         json_array_elements_text('["x","y"]') AS e,
+         generate_subscripts(ARRAY[10, 20, 30], 1) AS g(i)
+    ORDER BY t.key, elem, g.i
+    """,
+    oracle="""
+    SELECT t.key, t.value::int4 AS v, e.elem, g.i
+    FROM (SELECT unnest(map_keys(map {'a': 1, 'b': 2}))::varchar AS key,
+                 unnest(map_values(map {'a': 1, 'b': 2}))::varchar AS value) t,
+         (SELECT unnest(['x','y']) AS elem) e,
+         (SELECT unnest(generate_series(1, 3)) AS i) g
+    ORDER BY t.key, elem, g.i
+    """,
+)

@@ -850,3 +850,77 @@ class TestPgOperators:
         assert (row.iso, row.c20, row.c21, row.dec, row.m2) == (
             2015, 20, 21, 199, 2,
         )
+
+
+class TestMiscFuncsAndSrfs:
+    """Round-6 idiom probe batch 3: ^@, to_hex, trunc, make_interval
+    named args, isfinite, JSON SRFs, generate_subscripts."""
+
+    def test_starts_with_forms(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT 'alpha' ^@ 'al' AS op, starts_with('alpha', 'x') AS fn",
+        ).collect()[0]
+        assert (row.op, row.fn) == (True, False)
+
+    def test_to_hex_lowercase(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        assert pg_sql(spark, "SELECT to_hex(255) AS h").collect()[0].h == "ff"
+
+    def test_numeric_trunc_toward_zero(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT trunc(-1.7::float8) AS a, trunc(42.4382::float8, 2) AS b",
+        ).collect()[0]
+        assert (row.a, row.b) == (-1.0, 42.43)
+
+    def test_make_interval_named_args(self, spark):
+        from gpdb_spark.dialect import pg_sql
+        import datetime
+
+        row = pg_sql(
+            spark,
+            "SELECT (timestamp '2020-01-01 00:00:00'"
+            " + make_interval(days => 1, hours => 2)) AS t",
+        ).collect()[0]
+        assert row.t == datetime.datetime(2020, 1, 2, 2, 0)
+
+    def test_isfinite_null_preserving(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT isfinite(date '2020-01-01') AS a,"
+            " isfinite(CAST(NULL AS date)) AS b",
+        ).collect()[0]
+        assert (row.a, row.b) == (True, None)
+
+    def test_json_srfs_in_from(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        rows = pg_sql(
+            spark,
+            "SELECT key, value FROM json_each_text('{\"a\":1,\"b\":2}')"
+            " ORDER BY key",
+        ).collect()
+        assert [(r.key, r.value) for r in rows] == [("a", "1"), ("b", "2")]
+        rows = pg_sql(
+            spark,
+            "SELECT value::int4 AS v"
+            " FROM json_array_elements_text('[3,1]') ORDER BY 1",
+        ).collect()
+        assert [r.v for r in rows] == [1, 3]
+
+    def test_generate_subscripts_select_position(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        rows = pg_sql(
+            spark,
+            "SELECT generate_subscripts(ARRAY[10,20,30], 1) AS i",
+        ).collect()
+        assert [r.i for r in rows] == [1, 2, 3]
