@@ -55,6 +55,9 @@ DRIVER_PRIORITY: list[str] = [
     "pg_operator_forms",
     "pg_string_date_funcs",
     "pg_json_srf_scan",
+    "pg_quantified_subq",
+    "pg_array_family",
+    "pg_hypothetical_sql",
     # oldest green rows (drv1) — freshness re-checks
     "q01_pricing_summary",
     "q03_shipping_priority",

@@ -1016,6 +1016,7 @@ _FN_RENAME = {
     # array_to_string(arr, sep) == array_join(arr, sep) (arrayfuncs.c);
     # the 3-arg null-replacement form is array_join's too
     "array_to_string": "array_join",
+    "array_cat": "concat",
     # varlena.c text_starts_with — Spark spells it without the underscore
     "starts_with": "startswith",
     # PG's three timestamp families all map to query-start time; the
@@ -2195,6 +2196,14 @@ def _pass_any_all(tokens: list[str]) -> list[str]:
     - ``<> ALL (SELECT ...)`` -> ``NOT IN (SELECT ...)``
     - ``LIKE/ILIKE ANY (array)`` -> ``exists(array, __p -> x LIKE __p)``
       (Spark has no quantified LIKE; the lambda keeps it JVM-side)
+    - ``</<=/>/>= ANY|ALL (SELECT e ...)`` -> comparison against the
+      subquery's MIN/MAX scalar (x > ALL(S) == x > max(S), x < ANY(S)
+      == x < min(S), ...). Documented divergence from scanner-level
+      quantifiers: PG yields TRUE for ALL over an EMPTY set and NULL
+      when the set mixes NULLs with non-deciding values; the min/max
+      image yields NULL for both (min/max of nothing is NULL). The
+      common analytics shape (non-empty, non-NULL subquery in WHERE)
+      is exact.
     """
     out: list[str] = []
     i = 0
@@ -2211,6 +2220,31 @@ def _pass_any_all(tokens: list[str]) -> list[str]:
         if t in ("<>", "!=") and _is_word(nxt, "all") and nxt2 == "(" and _is_word(nxt3, "select"):
             out += ["NOT", "IN"]
             i += 2
+            continue
+        if (
+            t in ("<", "<=", ">", ">=")
+            and (_is_word(nxt, "any", "some") or _is_word(nxt, "all"))
+            and nxt2 == "("
+            and _is_word(nxt3, "select")
+        ):
+            depth, k = 0, i + 2
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            inner = tokens[i + 3 : k]
+            is_all = _is_word(nxt, "all")
+            bigger = t in (">", ">=")
+            agg = "MAX" if bigger == is_all else "MIN"
+            # wrap the whole subquery as a derived table — robust to
+            # select-item aliases, DISTINCT, UNION arms, ORDER BY
+            out += ([t, "(", "SELECT", agg, "(", "__c", ")", "FROM", "("]
+                    + inner + [")", "AS", "__q", "(", "__c", ")", ")"])
+            i = k + 1
             continue
         if (
             t.isidentifier()
@@ -2352,6 +2386,24 @@ def _pass_array_syntax(tokens: list[str]) -> list[str]:
                     + [")", ")", ")", "AS", name]
                 )
                 i = j
+                continue
+            inner = tokens[i + 2 : k]
+            d = 0
+            multi = False
+            for tk in inner:
+                if tk in ("(", "["):
+                    d += 1
+                elif tk in (")", "]"):
+                    d -= 1
+                elif tk == "," and d == 0:
+                    multi = True
+            if multi:
+                # unnest(a, b, ...) (execSRF.c multi-array form): rows
+                # zip positionally, shorter arrays NULL-pad to the
+                # longest — exactly arrays_zip + inline
+                inner = _pass_array_syntax(inner)
+                out += ["inline", "(", "arrays_zip", "("] + inner + [")", ")"]
+                i = k + 1
                 continue
             out.append("explode")
             i += 1
@@ -2621,6 +2673,14 @@ def _pass_misc_funcs(tokens: list[str]) -> list[str]:
       (PG numeric trunc; Spark's trunc is date-only)
     - ``make_interval(days => 3)`` named args (gram.y func_arg_expr
       NamedArgExpr) -> positional make_interval (same 7-field order)
+    - array family gaps (arrayfuncs.c): ``array_positions`` (null-safe
+      ``<=>`` per the IS NOT DISTINCT FROM contract), ``array_replace``,
+      ``array_prepend`` (Spark's argument order is flipped),
+      ``array_fill(v, dims)`` 1-dim, ``array_lower/upper/ndims`` for
+      dimension 1 (multi-dim arrays here are arrays-of-arrays; ndims
+      reports the outer level)
+    - ``ROW(a, b)`` -> ``struct(a, b)`` (fields are positional; PG's
+      f1..fn names vs Spark's col names differ — compare by position)
     """
     out: list[str] = []
     i = 0
@@ -2629,10 +2689,66 @@ def _pass_misc_funcs(tokens: list[str]) -> list[str]:
         t = tokens[i]
         low = t.lower() if t.isidentifier() else ""
         call = _fn_args(tokens, i) if low in (
-            "to_hex", "isfinite", "trunc", "make_interval",
+            "to_hex", "isfinite", "trunc", "make_interval", "row",
+            "array_positions", "array_replace", "array_prepend",
+            "array_fill", "array_lower", "array_upper", "array_ndims",
         ) else None
         if call is not None:
             args, k = call
+            if low == "row":
+                out += ["struct", "("]
+                for a_i, a in enumerate(args):
+                    if a_i:
+                        out.append(",")
+                    out += a
+                out.append(")")
+                i = k + 1
+                continue
+            if low == "array_positions" and len(args) == 2:
+                a = ["("] + args[0] + [")"]
+                x = ["("] + args[1] + [")"]
+                out += (["transform", "(", "filter", "(", "transform", "("]
+                        + a + [",", "(", "v", ",", "i", ")", "->",
+                               "struct", "(", "v", ",", "i", ")", ")",
+                               ",", "s", "->", "s", ".", "v", "<=>"]
+                        + x + [")", ",", "s", "->", "s", ".", "i", "+",
+                               "1", ")"])
+                i = k + 1
+                continue
+            if low == "array_replace" and len(args) == 3:
+                a = ["("] + args[0] + [")"]
+                out += (["transform", "("] + a
+                        + [",", "v", "->", "CASE", "WHEN", "v", "<=>",
+                           "("] + args[1] + [")", "THEN", "("] + args[2]
+                        + [")", "ELSE", "v", "END", ")"])
+                i = k + 1
+                continue
+            if low == "array_prepend" and len(args) == 2:
+                out += (["array_prepend", "(", "("] + args[1]
+                        + [")", ",", "("] + args[0] + [")", ")"])
+                i = k + 1
+                continue
+            if low == "array_fill" and len(args) == 2:
+                out += (["array_repeat", "(", "("] + args[0]
+                        + [")", ",", "element_at", "(", "("] + args[1]
+                        + [")", ",", "1", ")", ")"])
+                i = k + 1
+                continue
+            if low == "array_lower" and len(args) == 2 and args[1] == ["1"]:
+                out += (["(", "CASE", "WHEN", "size", "(", "("] + args[0]
+                        + [")", ")", ">=", "1", "THEN", "1", "END", ")"])
+                i = k + 1
+                continue
+            if low == "array_upper" and len(args) == 2 and args[1] == ["1"]:
+                out += (["nullif", "(", "size", "(", "("] + args[0]
+                        + [")", ")", ",", "0", ")"])
+                i = k + 1
+                continue
+            if low == "array_ndims" and len(args) == 1:
+                out += (["(", "CASE", "WHEN", "size", "(", "("] + args[0]
+                        + [")", ")", ">=", "1", "THEN", "1", "END", ")"])
+                i = k + 1
+                continue
             if low == "to_hex" and len(args) == 1:
                 out += ["lower", "(", "hex", "("] + args[0] + [")", ")"]
                 i = k + 1
@@ -2777,6 +2893,96 @@ def _pass_json_srf(tokens: list[str]) -> list[str]:
                                "generate_subscripts", ")"])
                     i = k + 1
                     continue
+        out.append(t)
+        i += 1
+    return out
+
+
+_HYPO_AGGS = {"rank", "dense_rank", "percent_rank", "cume_dist"}
+
+
+def _pass_hypothetical_set(tokens: list[str]) -> list[str]:
+    """Hypothetical-set aggregates in SQL form (ordered-set grammar,
+    gram.y WITHIN GROUP; execAgg hypothetical_dense_rank_final et al.):
+    ``rank(v) WITHIN GROUP (ORDER BY c [ASC|DESC])`` and friends become
+    the counting aggregates they are defined as (single hypothetical
+    argument + single sort key — PG's n-ary form is out of scope):
+
+    - rank         = count(c before v) + 1
+    - dense_rank   = count(DISTINCT c before v) + 1
+    - percent_rank = count(c before v) / N
+    - cume_dist    = (count(c at-or-before v) + 1) / (N + 1)
+
+    NULL sort values land after non-NULLs (ASC NULLS LAST, PG default)
+    because a NULL comparison contributes nothing to the count."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        low = t.lower() if t.isidentifier() else ""
+        if low in _HYPO_AGGS:
+            call = _fn_args(tokens, i)
+            if call is not None:
+                args, k = call
+                j = k + 1
+                if (
+                    len(args) == 1
+                    and j + 1 < n
+                    and _is_word(tokens[j], "within")
+                    and _is_word(tokens[j + 1], "group")
+                    and tokens[j + 2] == "("
+                ):
+                    depth, m = 0, j + 2
+                    while m < n:
+                        if tokens[m] == "(":
+                            depth += 1
+                        elif tokens[m] == ")":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        m += 1
+                    ob = tokens[j + 3 : m]
+                    if (
+                        len(ob) >= 3
+                        and _is_word(ob[0], "order")
+                        and _is_word(ob[1], "by")
+                    ):
+                        key = ob[2:]
+                        desc = bool(key) and _is_word(key[-1], "desc")
+                        if key and _is_word(key[-1], "asc", "desc"):
+                            key = key[:-1]
+                        cmp_ = ">" if desc else "<"
+                        cmpe = ">=" if desc else "<="
+                        v = ["("] + args[0] + [")"]
+                        c = ["("] + key + [")"]
+                        before = (["coalesce", "(", "sum", "(", "CASE",
+                                   "WHEN"] + c + [cmp_] + v
+                                  + ["THEN", "1", "ELSE", "0", "END", ")",
+                                     ",", "0", ")"])
+                        if low == "rank":
+                            out += ["("] + before + ["+", "1", ")"]
+                        elif low == "dense_rank":
+                            out += (["(", "count", "(", "DISTINCT",
+                                     "CASE", "WHEN"] + c + [cmp_] + v
+                                    + ["THEN"] + c + ["END", ")", "+",
+                                       "1", ")"])
+                        elif low == "percent_rank":
+                            out += (["(", "CAST", "("] + before
+                                    + ["AS", "DOUBLE", ")", "/",
+                                       "greatest", "(", "count", "(",
+                                       "*", ")", ",", "1", ")", ")"])
+                        else:  # cume_dist
+                            at_or = (["coalesce", "(", "sum", "(", "CASE",
+                                      "WHEN"] + c + [cmpe] + v
+                                     + ["THEN", "1", "ELSE", "0", "END",
+                                        ")", ",", "0", ")"])
+                            out += (["(", "CAST", "(", "("] + at_or
+                                    + ["+", "1", ")", "AS", "DOUBLE", ")",
+                                       "/", "(", "count", "(", "*", ")",
+                                       "+", "1", ")", ")"])
+                        i = m + 1
+                        continue
         out.append(t)
         i += 1
     return out
@@ -3224,6 +3430,7 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_regex_ops(tokens)
     tokens = _pass_pg_operators(tokens)
     tokens = _pass_misc_funcs(tokens)
+    tokens = _pass_hypothetical_set(tokens)
     tokens = _pass_json_srf(tokens)
     tokens = _pass_any_all(tokens)
     tokens = _pass_between_symmetric(tokens)

@@ -841,3 +841,100 @@ _pg_query(
     ORDER BY t.key, elem, g.i
     """,
 )
+
+
+# Quantified comparisons over subqueries (parse_oper.c
+# make_scalar_array_op SUBLINK form; probe batch 4). DuckDB speaks the
+# PG quantifier natively — the fixture subqueries are non-empty and
+# NULL-free, where the engine's MIN/MAX image is exact (the documented
+# divergence is empty-set / NULL-mixing quantifiers, dialect.py
+# _pass_any_all).
+_pg_query(
+    "pg_quantified_subq",
+    """
+    SELECT n_nationkey, n_name
+    FROM nation
+    WHERE n_nationkey > ALL(SELECT r_regionkey FROM region)
+      AND n_nationkey <= ANY(SELECT r_regionkey + 20 FROM region)
+    ORDER BY n_nationkey
+    """,
+)
+
+
+# Array function family + ROW constructor + multi-array unnest
+# (arrayfuncs.c, probe batch 4): positions/replace/fill/lower/upper/
+# ndims/cat/prepend re-expressed over Spark HOFs; unnest(a, b) zips
+# with NULL padding exactly like execSRF.c's multi-array form.
+_pg_query(
+    "pg_array_family",
+    """
+    SELECT u.a, u.b,
+           array_positions(ARRAY[1, 2, 1, 3], 1) AS pos,
+           array_replace(ARRAY[1, 2, 1], 1, 9) AS repl,
+           array_cat(ARRAY[1], ARRAY[2, 3]) AS cat,
+           array_prepend(0, ARRAY[1, 2]) AS prep,
+           array_append(ARRAY[1, 2], 3) AS app,
+           array_fill(7, ARRAY[3]) AS fill,
+           array_lower(ARRAY[1, 2], 1) AS lo,
+           array_upper(ARRAY[1, 2], 1) AS hi,
+           array_ndims(ARRAY[1, 2]) AS nd,
+           cardinality(ARRAY[1, 2, 3]) AS card,
+           (ROW(u.a, coalesce(u.b, '-')) = ROW(u.a, coalesce(u.b, '-')))
+               AS row_eq
+    FROM unnest(ARRAY[1, 2, 3], ARRAY['x', 'y']) AS u(a, b)
+    ORDER BY u.a
+    """,
+    oracle="""
+    SELECT u.a, u.b,
+           list_transform(list_filter(range(1, 5),
+               i -> [1,2,1,3][i] IS NOT DISTINCT FROM 1), i -> i) AS pos,
+           list_transform([1,2,1],
+               v -> CASE WHEN v IS NOT DISTINCT FROM 1 THEN 9 ELSE v END)
+               AS repl,
+           list_concat([1], [2, 3]) AS cat,
+           list_prepend(0, [1, 2]) AS prep,
+           list_append([1, 2], 3) AS app,
+           [7 FOR x IN range(3)] AS fill,
+           1 AS lo, 2 AS hi, 1 AS nd,
+           CAST(len([1, 2, 3]) AS BIGINT) AS card,
+           (row(u.a, coalesce(u.b, '-')) = row(u.a, coalesce(u.b, '-')))
+               AS row_eq
+    FROM (SELECT unnest([1, 2, 3]) AS a, unnest(['x', 'y']) AS b) u
+    ORDER BY u.a
+    """,
+)
+
+
+# Hypothetical-set aggregates in their SQL spelling (the Column-API
+# twins are `hypothetical_set_aggs`): the oracle states the counting
+# definitions from orderedsetaggs.c directly.
+_pg_query(
+    "pg_hypothetical_sql",
+    """
+    SELECT n_regionkey,
+           rank(12) WITHIN GROUP (ORDER BY n_nationkey) AS r,
+           dense_rank(12) WITHIN GROUP (ORDER BY n_nationkey) AS dr,
+           percent_rank(12) WITHIN GROUP (ORDER BY n_nationkey) AS pr,
+           cume_dist(12) WITHIN GROUP (ORDER BY n_nationkey) AS cd,
+           rank(12) WITHIN GROUP (ORDER BY n_nationkey DESC) AS rdesc
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    oracle="""
+    SELECT n_regionkey,
+           (sum(CASE WHEN n_nationkey < 12 THEN 1 ELSE 0 END) + 1)::int8
+               AS r,
+           (count(DISTINCT CASE WHEN n_nationkey < 12
+                           THEN n_nationkey END) + 1)::int8 AS dr,
+           CAST(sum(CASE WHEN n_nationkey < 12 THEN 1 ELSE 0 END)
+                AS DOUBLE) / greatest(count(*), 1) AS pr,
+           CAST(sum(CASE WHEN n_nationkey <= 12 THEN 1 ELSE 0 END) + 1
+                AS DOUBLE) / (count(*) + 1) AS cd,
+           (sum(CASE WHEN n_nationkey > 12 THEN 1 ELSE 0 END) + 1)::int8
+               AS rdesc
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)

@@ -924,3 +924,81 @@ class TestMiscFuncsAndSrfs:
             "SELECT generate_subscripts(ARRAY[10,20,30], 1) AS i",
         ).collect()
         assert [r.i for r in rows] == [1, 2, 3]
+
+
+class TestQuantifiedArraysHypo:
+    """Round-6 probe batch 4: ANY/ALL subqueries, multi-array unnest,
+    array family, ROW constructor, hypothetical-set SQL spellings."""
+
+    def test_quantified_subquery_comparisons(self, spark, sf_dir):
+        from gpdb_spark.dialect import pg_sql
+
+        spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+            "nation"
+        )
+        n = pg_sql(
+            spark,
+            "SELECT count(*) AS n FROM nation"
+            " WHERE n_nationkey > ALL(SELECT 20 AS x)",
+        ).collect()[0].n
+        assert n == 4  # keys 21..24
+        n = pg_sql(
+            spark,
+            "SELECT count(*) AS n FROM nation"
+            " WHERE n_nationkey < ANY(SELECT 3 AS x UNION ALL SELECT 1)",
+        ).collect()[0].n
+        assert n == 3  # keys 0,1,2 are < max(3,1)
+
+    def test_unnest_multi_array_zips_with_null_padding(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        rows = pg_sql(
+            spark,
+            "SELECT a, b FROM unnest(ARRAY[1,2,3], ARRAY['x','y'])"
+            " AS t(a, b) ORDER BY a",
+        ).collect()
+        assert [(r.a, r.b) for r in rows] == [(1, "x"), (2, "y"), (3, None)]
+
+    def test_array_family_values(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT array_positions(ARRAY[1,2,1], 1) AS p,"
+            " array_replace(ARRAY[1,2,1], 1, 9) AS r,"
+            " array_prepend(0, ARRAY[1]) AS pre,"
+            " array_fill(7, ARRAY[3]) AS f,"
+            " array_lower(ARRAY[1,2], 1) AS lo,"
+            " array_upper(ARRAY[1,2], 1) AS hi,"
+            " array_upper(ARRAY[]::int4[], 1) AS hi_empty,"
+            " array_ndims(ARRAY[1]) AS nd",
+        ).collect()[0]
+        assert row.p == [1, 3] and row.r == [9, 2, 9]
+        assert row.pre == [0, 1] and row.f == [7, 7, 7]
+        assert (row.lo, row.hi, row.hi_empty, row.nd) == (1, 2, None, 1)
+
+    def test_hypothetical_set_sql_spelling(self, spark, sf_dir):
+        from gpdb_spark.dialect import pg_sql
+
+        spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+            "nation"
+        )
+        row = pg_sql(
+            spark,
+            "SELECT rank(12) WITHIN GROUP (ORDER BY n_nationkey) AS r,"
+            " dense_rank(12) WITHIN GROUP (ORDER BY n_nationkey) AS dr,"
+            " percent_rank(12) WITHIN GROUP (ORDER BY n_nationkey) AS pr,"
+            " cume_dist(12) WITHIN GROUP (ORDER BY n_nationkey) AS cd"
+            " FROM nation",
+        ).collect()[0]
+        # keys 0..24: 12 keys below 12 -> rank 13; pr 12/25; cd 14/26
+        assert (row.r, row.dr) == (13, 13)
+        assert abs(row.pr - 0.48) < 1e-12
+        assert abs(row.cd - 14 / 26) < 1e-12
+        # window rank() (zero args) is untouched by the rewrite
+        rows = pg_sql(
+            spark,
+            "SELECT rank() OVER (ORDER BY n_nationkey) AS r FROM nation"
+            " ORDER BY r LIMIT 2",
+        ).collect()
+        assert [r.r for r in rows] == [1, 2]
