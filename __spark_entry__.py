@@ -58,6 +58,7 @@ DRIVER_PRIORITY: list[str] = [
     "pg_quantified_subq",
     "pg_array_family",
     "pg_hypothetical_sql",
+    "pg_regress_fixes",
     # oldest green rows (drv1) — freshness re-checks
     "q01_pricing_summary",
     "q03_shipping_priority",

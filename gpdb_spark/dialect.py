@@ -2626,6 +2626,130 @@ def _pass_dow_fields(tokens: list[str]) -> list[str]:
     return out
 
 
+def _lit_decode(tok: str) -> str:
+    """Runtime string value of a lexed literal token (undo the lexer's
+    '' and backslash-doubling normalization)."""
+    return tok[1:-1].replace("''", "'").replace("\\\\", "\\")
+
+
+def _lit_encode(s: str) -> str:
+    """Literal token the Spark parser reads back as exactly ``s``."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _pass_bytea_literals(tokens: list[str]) -> list[str]:
+    """``'\\xDEADBEEF'::bytea`` / ``bytea '\\x...'`` hex input
+    (varlena.c byteain): Spark's string->binary cast UTF-8-encodes the
+    characters, so the hex form must become unhex(). Invalid hex (odd
+    length, non-hex digit) refuses loudly, like byteain. The escape
+    (octal) input format is out of scope — loud. Plain text maps to
+    the UTF-8 cast, which IS PG's behavior for escape-free input."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        lit = None
+        skip = 0
+        if (
+            t.startswith("'")
+            and i + 2 < n
+            and tokens[i + 1] == "::"
+            and _is_word(tokens[i + 2], "bytea")
+        ):
+            lit, skip = t, 3
+        elif (
+            _is_word(t, "bytea")
+            and i + 1 < n
+            and tokens[i + 1].startswith("'")
+        ):
+            lit, skip = tokens[i + 1], 2
+        if lit is not None:
+            val = _lit_decode(lit)
+            if val.startswith("\\x"):
+                body = val[2:]
+                if len(body) % 2 or not re.fullmatch(r"[0-9A-Fa-f]*", body):
+                    raise ValueError(
+                        f"invalid hexadecimal bytea literal: {val!r}"
+                    )
+                out += ["unhex", "(", f"'{body}'", ")"]
+                i += skip
+                continue
+            if "\\" in val:
+                raise ValueError(
+                    "bytea escape (octal) input format is not supported; "
+                    "use the \\x hex form"
+                )
+            out += ["CAST", "(", lit, "AS", "BINARY", ")"]
+            i += skip
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _like_pattern_to_default_escape(pat: str, esc: str) -> str:
+    """Re-express a LIKE pattern with a custom ESCAPE char (like.c
+    ``like_escape``) in the default backslash form."""
+    out = []
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if esc and c == esc:
+            i += 1
+            nxt = pat[i] if i < len(pat) else ""
+            out.append("\\" + nxt if nxt in ("%", "_", "\\") else nxt)
+        elif c == "\\":
+            out.append("\\\\")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _pass_like_escape(tokens: list[str]) -> list[str]:
+    """``x [NOT] LIKE/ILIKE 'pat' ESCAPE 'c'`` with both literals ->
+    the default-escape pattern, ESCAPE clause dropped (Spark rejects
+    wildcard characters as custom escapes; PG allows any)."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if (
+            t.isidentifier()
+            and t.lower() in ("like", "ilike")
+            and i + 3 < n
+            and tokens[i + 1].startswith("'")
+            and _is_word(tokens[i + 2], "escape")
+            and tokens[i + 3].startswith("'")
+        ):
+            pat = _lit_decode(tokens[i + 1])
+            esc = _lit_decode(tokens[i + 3])
+            out += [t, _lit_encode(_like_pattern_to_default_escape(pat, esc))]
+            i += 4
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _regex_group_count(pat: str) -> int:
+    """Capturing groups in a POSIX/Java regex literal: unescaped '('
+    not followed by '?'."""
+    g = 0
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "(" and not pat[i + 1 : i + 2] == "?":
+            g += 1
+        i += 1
+    return g
+
+
 def _fn_args(tokens: list[str], i: int) -> tuple[list[list[str]], int] | None:
     """For a function-call head at tokens[i] (name) with tokens[i+1] ==
     '(': the top-level-comma-split argument token lists and the index of
@@ -2692,9 +2816,72 @@ def _pass_misc_funcs(tokens: list[str]) -> list[str]:
             "to_hex", "isfinite", "trunc", "make_interval", "row",
             "array_positions", "array_replace", "array_prepend",
             "array_fill", "array_lower", "array_upper", "array_ndims",
+            "ltrim", "rtrim", "regexp_matches",
+            "regexp_split_to_array", "regexp_split_to_table",
         ) else None
         if call is not None:
             args, k = call
+            if low in ("ltrim", "rtrim"):
+                # PG ltrim(str, chars) vs Spark ltrim(trimStr, str):
+                # the TWO-ARG forms have FLIPPED argument order (silent
+                # wrong-way trim, caught by the regress probe)
+                if len(args) == 2:
+                    out += ([low, "(", "("] + args[1] + [")", ",", "("]
+                            + args[0] + [")", ")"])
+                    i = k + 1
+                    continue
+                out.append(t)
+                i += 1
+                continue
+            if (
+                low == "regexp_matches"
+                and len(args) in (2, 3)
+                and len(args[1]) == 1
+                and args[1][0].startswith("'")
+                and (len(args) == 2
+                     or args[2] in (["'i'"], ["''"]))
+            ):
+                # non-'g' regexp_matches (regexp.c): SETOF text[] with
+                # ZERO rows on no match — explode of a 0/1-element
+                # array reproduces that; capture-group count is read
+                # from the literal pattern ('g' flag stays out of
+                # scope, loud)
+                pat_tok = args[1][0]
+                if len(args) == 3 and args[2] == ["'i'"]:
+                    pat_tok = _lit_encode("(?i)" + _lit_decode(pat_tok))
+                g = _regex_group_count(_lit_decode(pat_tok))
+                x = ["("] + args[0] + [")"]
+                groups: list[str] = ["array", "("]
+                for gi in range(1, g + 1) if g else [0]:
+                    if gi not in (1, 0):
+                        groups.append(",")
+                    groups += (["regexp_extract", "("] + x
+                               + [",", pat_tok, ",", str(gi), ")"])
+                groups.append(")")
+                out += (["explode", "(", "CASE", "WHEN"] + x
+                        + ["RLIKE", pat_tok, "THEN", "array", "("]
+                        + groups
+                        + [")", "ELSE", "array", "(", ")", "END", ")"])
+                i = k + 1
+                continue
+            if (
+                low in ("regexp_split_to_array", "regexp_split_to_table")
+                and len(args) == 3
+                and len(args[1]) == 1
+                and args[1][0].startswith("'")
+                and args[2] == ["'i'"]
+            ):
+                # 3-arg flags form: fold the 'i' flag into the pattern
+                # and fall back to the 2-arg path (handled downstream)
+                pat_tok = _lit_encode("(?i)" + _lit_decode(args[1][0]))
+                out += [t, "("] + args[0] + [",", pat_tok, ")"]
+                i = k + 1
+                continue
+            if low in ("regexp_matches", "regexp_split_to_array",
+                       "regexp_split_to_table"):
+                out.append(t)  # unsupported arg shape: leave loud
+                i += 1
+                continue
             if low == "row":
                 out += ["struct", "("]
                 for a_i, a in enumerate(args):
@@ -3178,6 +3365,27 @@ def _pass_pg_operators(tokens: list[str]) -> list[str]:
             out += ["abs", "("] + tokens[i + 1 : end] + [")"]
             i = end
             continue
+        if t == "!" and infix and (
+            i + 1 >= n
+            or not (
+                tokens[i + 1].startswith(("'", "`", "("))
+                or (tokens[i + 1][0].isdigit() if tokens[i + 1] else False)
+                or (tokens[i + 1].isidentifier()
+                    and tokens[i + 1].lower() not in _KEYWORDS)
+            )
+        ):
+            # postfix factorial (int.c / numeric.c '!'); the prefix
+            # '!!' spelling too (two '!' chars lex separately)
+            lhs_start = _operand_start(out + ["^"], len(out))
+            lhs = out[lhs_start:]
+            out = out[:lhs_start] + ["factorial", "("] + lhs + [")"]
+            i += 1
+            continue
+        if t == "!" and not infix and i + 1 < n and tokens[i + 1] == "!":
+            end = _operand_end(tokens, i + 2)
+            out += ["factorial", "("] + tokens[i + 2 : end] + [")"]
+            i = end
+            continue
         out.append(t)
         i += 1
     return out
@@ -3227,6 +3435,29 @@ def _pass_typed_literals(tokens: list[str]) -> list[str]:
                     _TYPED_LITERAL_TYPES[low], ")"]
             i += 2
             continue
+        # typmod form: char(20) 'x', varchar(10) 'x', numeric(p,s) 'x'
+        if (
+            low in ("char", "varchar", "bpchar", "numeric", "decimal")
+            and i + 3 < n
+            and tokens[i + 1] == "("
+        ):
+            j = i + 2
+            mods = []
+            while j < n and tokens[j] != ")":
+                mods.append(tokens[j])
+                j += 1
+            if (
+                j + 1 < n
+                and tokens[j + 1].startswith("'")
+                and all(m == "," or m.isdigit() for m in mods)
+            ):
+                if low in ("numeric", "decimal"):
+                    ty = "DECIMAL(" + "".join(mods) + ")"
+                else:
+                    ty = "STRING"
+                out += ["CAST", "(", tokens[j + 1], "AS", ty, ")"]
+                i = j + 2
+                continue
         out.append(t)
         i += 1
     return out
@@ -3419,7 +3650,9 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_collate(tokens)
     tokens = _pass_quoted_idents(tokens)
     tokens = _pass_array_literal_casts(tokens)
+    tokens = _pass_bytea_literals(tokens)
     tokens = _pass_typed_literals(tokens)
+    tokens = _pass_like_escape(tokens)
     tokens = _pass_distinct_on(tokens)
     tokens = _pass_jsonb_ops(tokens)
     tokens = _pass_casts(tokens)

@@ -938,3 +938,37 @@ _pg_query(
     ORDER BY n_regionkey
     """,
 )
+
+
+
+# Regress-probe fixes, round 6 (tools/pg_regress_probe.py over the
+# reference's own src/test/regress/sql corpus): bytea hex input,
+# two-arg ltrim/rtrim (Spark's argument order is FLIPPED vs PG —
+# silent wrong-way trim, the probe's one silent-wrong catch),
+# regexp_matches non-g, LIKE with custom ESCAPE, typmod typed
+# literals, postfix factorial.
+_pg_query(
+    "pg_regress_fixes",
+    """
+    SELECT n_nationkey,
+           length('\\xDeAd'::bytea)::int8 AS blen,
+           ltrim('zz' || n_name, 'z') AS lt,
+           rtrim(n_name || 'xx', 'x') AS rt,
+           (n_name LIKE 'A%L%' ESCAPE '%') AS esc_like,
+           (n_nationkey % 10)! AS fact,
+           char(20) 'pad me' || '-' || n_name AS typmod_concat
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    oracle="""
+    SELECT n_nationkey,
+           octet_length('\\xDE\\xAD'::blob)::int8 AS blen,
+           ltrim('zz' || n_name, 'z') AS lt,
+           rtrim(n_name || 'xx', 'x') AS rt,
+           (n_name LIKE 'A!%L%' ESCAPE '!') AS esc_like,
+           CAST(factorial(n_nationkey % 10) AS BIGINT) AS fact,
+           'pad me' || '-' || n_name AS typmod_concat
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)

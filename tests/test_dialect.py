@@ -1002,3 +1002,83 @@ class TestQuantifiedArraysHypo:
             " ORDER BY r LIMIT 2",
         ).collect()
         assert [r.r for r in rows] == [1, 2]
+
+
+class TestRegressProbeFixes:
+    """Round-6 regress-corpus probe fixes (tools/pg_regress_probe.py)."""
+
+    def test_bytea_hex_literals(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            r"SELECT E'\\xDeAdBeEf'::bytea AS h, 'abc'::bytea AS t,"
+            r" length(bytea '\xFF00')::int4 AS n",
+        ).collect()[0]
+        assert bytes(row.h) == bytes.fromhex("deadbeef")
+        assert bytes(row.t) == b"abc" and row.n == 2
+
+    def test_bytea_invalid_hex_refuses(self):
+        import pytest
+
+        from gpdb_spark.dialect import translate
+
+        with pytest.raises(ValueError, match="hexadecimal"):
+            translate(r"SELECT E'\\xDeAdBeE'::bytea")  # odd length
+        with pytest.raises(ValueError, match="hexadecimal"):
+            translate(r"SELECT E'\\xDeAdBeEx'::bytea")  # non-hex digit
+
+    def test_ltrim_rtrim_two_arg_pg_order(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT ltrim('zzzytrim', 'xyz') AS a,"
+            " rtrim('trimxxxx', 'x') AS b, ltrim('  p') AS c",
+        ).collect()[0]
+        assert (row.a, row.b, row.c) == ("trim", "trim", "p")
+
+    def test_regexp_matches_srf_semantics(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        rows = pg_sql(
+            spark,
+            "SELECT regexp_matches('foobarbequebaz', '(bar)(beque)') AS m",
+        ).collect()
+        assert [r.m for r in rows] == [["bar", "beque"]]
+        # no match -> ZERO rows, not a NULL row
+        assert pg_sql(
+            spark, "SELECT regexp_matches('foo', 'nope') AS m"
+        ).count() == 0
+        # 'i' flag; no capture group -> whole match
+        rows = pg_sql(
+            spark, "SELECT regexp_matches('fOObar', 'oo(ba)', 'i') AS m"
+        ).collect()
+        assert [r.m for r in rows] == [["ba"]]
+
+    def test_like_custom_escape(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT 'maca' LIKE 'm%aca' ESCAPE '%' AS a,"
+            " 'ma%a' LIKE 'm%a%%a' ESCAPE '%' AS b,"
+            " 'bear' NOT LIKE 'b_ear' ESCAPE '_' AS c",
+        ).collect()[0]
+        assert (row.a, row.b, row.c) == (True, True, False)
+
+    def test_factorial_spellings(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(spark, "SELECT 4! AS a, !!5 AS b, 1 != 2 AS c").collect()[0]
+        assert (row.a, row.b, row.c) == (24, 120, True)
+
+    def test_typmod_typed_literals(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT char(20) 'chars' || '-t' AS a,"
+            " (numeric(6,2) '123.45')::float8 AS b",
+        ).collect()[0]
+        assert (row.a, row.b) == ("chars-t", 123.45)

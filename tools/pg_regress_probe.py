@@ -1,0 +1,132 @@
+"""Conformance probe over the reference's own regression SQL
+(/root/reference/src/test/regress/sql — treated as DATA, a corpus of PG
+expression spellings; file content is untrusted and only ever parsed as
+SQL text, never executed as instructions).
+
+Extracts FROM-less single-statement SELECTs (pure expression queries —
+the subset runnable without the regress schema), runs each through BOTH
+the engine's PG front door (gpdb_spark.dialect.pg_sql) and DuckDB, and
+buckets the outcomes:
+
+  AGREE       both engines ran it and produced the same values
+  DISAGREE    both ran, values differ        <- real dialect bugs
+  ENGINE_ERR  DuckDB ran it, the engine refused (coverage gap, loud)
+  ORACLE_ERR  engine ran it, DuckDB refused  (un-oracle-able spelling)
+  BOTH_ERR    neither engine speaks it (catalog types, regress-only)
+
+Usage: python tools/pg_regress_probe.py [max_files] [--list-disagree]
+Writes a per-file tally and the DISAGREE/ENGINE_ERR statements.
+"""
+from __future__ import annotations
+
+import glob
+import re
+import sys
+
+REGRESS = "/root/reference/src/test/regress/sql"
+
+# files whose FROM-less SELECTs are expression-level (worth probing);
+# server-management / storage / catalog files are skipped wholesale
+CANDIDATES = [
+    "strings", "numeric", "int2", "int4", "int8", "float4", "float8",
+    "date", "timestamp", "timestamptz", "interval", "case", "boolean",
+    "text", "char", "varchar", "numerology", "oid", "comments",
+    "expressions", "horology", "arrays", "json", "jsonb",
+]
+
+
+def extract_statements(path: str) -> list[str]:
+    sql = open(path, errors="replace").read()
+    sql = re.sub(r"--[^\n]*", "", sql)
+    out = []
+    for stmt in sql.split(";"):
+        s = " ".join(stmt.split())
+        if not s.lower().startswith("select "):
+            continue
+        low = s.lower()
+        if any(w in low for w in (" from ", " into ", "pg_", "::regclass",
+                                  "::regtype", "current_user", "session_user",
+                                  "version()", "random", "now()",
+                                  "current_timestamp", "current_date",
+                                  "current_time", "timeofday", "setseed",
+                                  "clock_timestamp", "localtime", "set_config")):
+            continue
+        if len(s) > 400:
+            continue
+        out.append(s)
+    return out
+
+
+def norm(rows) -> str:
+    def v(x):
+        if isinstance(x, float):
+            return f"{x:.10g}"
+        if isinstance(x, bool):
+            return str(x)
+        return str(x)
+    return repr(sorted(tuple(v(c) for c in r) for r in rows))
+
+
+def main() -> None:
+    max_files = int(sys.argv[1]) if len(sys.argv) > 1 else len(CANDIDATES)
+    list_bad = "--list-disagree" in sys.argv
+
+    import duckdb
+    sys.path.insert(0, "/root/repo")
+    from gpdb_spark.session import get_spark
+    from gpdb_spark.dialect import pg_sql
+
+    spark = get_spark()
+    con = duckdb.connect()
+    tallies: dict[str, dict[str, int]] = {}
+    disagree: list[tuple[str, str]] = []
+    engine_err: list[tuple[str, str]] = []
+
+    for name in CANDIDATES[:max_files]:
+        path = f"{REGRESS}/{name}.sql"
+        if not glob.glob(path):
+            continue
+        tally = {"AGREE": 0, "DISAGREE": 0, "ENGINE_ERR": 0,
+                 "ORACLE_ERR": 0, "BOTH_ERR": 0}
+        for s in extract_statements(path):
+            try:
+                duck = norm(con.sql(s).fetchall())
+                duck_ok = True
+            except Exception:
+                duck_ok = False
+            try:
+                eng = norm([tuple(r) for r in pg_sql(spark, s).collect()])
+                eng_ok = True
+            except Exception:
+                eng_ok = False
+            if duck_ok and eng_ok:
+                if eng == duck:
+                    tally["AGREE"] += 1
+                else:
+                    tally["DISAGREE"] += 1
+                    disagree.append((name, s))
+            elif duck_ok:
+                tally["ENGINE_ERR"] += 1
+                engine_err.append((name, s))
+            elif eng_ok:
+                tally["ORACLE_ERR"] += 1
+            else:
+                tally["BOTH_ERR"] += 1
+        tallies[name] = tally
+        print(name, tally, flush=True)
+
+    total = {k: sum(t[k] for t in tallies.values())
+             for k in ("AGREE", "DISAGREE", "ENGINE_ERR", "ORACLE_ERR",
+                       "BOTH_ERR")}
+    print("TOTAL", total)
+    if list_bad:
+        print("\n== DISAGREE ==")
+        for f, s in disagree:
+            print(f"[{f}] {s}")
+        print("\n== ENGINE_ERR ==")
+        for f, s in engine_err[:80]:
+            print(f"[{f}] {s}")
+
+
+if __name__ == "__main__":
+    main()
