@@ -1491,18 +1491,43 @@ def _pass_string_to_array(tokens: list[str]) -> list[str]:
                 elif tokens[k] == "," and depth == 1:
                     commas.append(k)
                 k += 1
-            if len(commas) == 1 and k < n:
-                delim = tokens[commas[0] + 1 : k]
-                if len(delim) == 1 and delim[0].startswith("'"):
+            if len(commas) in (1, 2) and k < n:
+                s = tokens[i + 2 : commas[0]]
+                delim = tokens[commas[0] + 1 : (commas[1] if len(commas) == 2 else k)]
+                base: list[str] | None = None
+                if len(delim) == 1 and delim[0] == "''":
+                    # empty delimiter (text_to_array): NO split — the
+                    # whole string as a one-element array (NULL in,
+                    # NULL out; array(NULL) is not NULL, hence the CASE)
+                    base = (["CASE", "WHEN", "("] + s
+                            + [")", "IS", "NULL", "THEN", "NULL",
+                               "ELSE", "array", "("] + s + [")", "END"])
+                elif len(delim) == 1 and _is_word(delim[0], "null"):
+                    # NULL delimiter: each character its own element;
+                    # Spark's split('') appends one trailing '' — drop
+                    # empties (none can be real: every element is 1 char)
+                    base = (["filter", "(", "split", "(", "("] + s
+                            + [")", ",", "''", ")", ",", "__c", "->",
+                               "__c", "<>", "''", ")"])
+                elif len(delim) == 1 and delim[0].startswith("'"):
                     # lexer already doubled backslashes in the literal;
                     # \Q..\E quoting needs doubled backslashes in Spark
                     # SQL source too
                     quoted = "'\\\\Q" + delim[0][1:-1] + "\\\\E'"
-                    out += (
-                        ["split"]
-                        + tokens[i + 1 : commas[0] + 1]
-                        + [quoted, ")"]
-                    )
+                    base = (["split", "(", "("] + s + [")", ",",
+                            quoted, ")"])
+                if base is not None:
+                    if len(commas) == 2:
+                        # 3-arg null-string form: elements equal to
+                        # nullstr become NULL (nullstr NULL -> the
+                        # CASE's = NULL never matches -> no-op, as PG)
+                        ns = tokens[commas[1] + 1 : k]
+                        base = (["transform", "("] + base
+                                + [",", "__e", "->", "CASE", "WHEN",
+                                   "__e", "=", "("] + ns
+                                + [")", "THEN", "NULL", "ELSE", "__e",
+                                   "END", ")"])
+                    out += base
                     i = k + 1
                     continue
             out.append("split")
@@ -2126,6 +2151,158 @@ def _pass_between_symmetric(tokens: list[str]) -> list[str]:
     return out
 
 
+# PG's default timezone-abbreviation set (src/timezone/tznames/Default),
+# the subset that shows up in analytics SQL: fixed-offset abbreviations
+# map to their offset, dynamic abbreviations (MSK) to their region zone
+# (PG resolves those through the zone's rules too). Java/Spark does not
+# accept bare PG abbreviations as zone ids, so AT TIME ZONE / literal
+# zone suffixes translate through this table.
+_TZ_ABBREVS = {
+    "utc": "UTC", "gmt": "UTC", "ut": "UTC", "z": "UTC", "zulu": "UTC",
+    "est": "-05:00", "edt": "-04:00", "cst": "-06:00", "cdt": "-05:00",
+    "mst": "-07:00", "mdt": "-06:00", "pst": "-08:00", "pdt": "-07:00",
+    "jst": "+09:00", "kst": "+09:00", "aest": "+10:00", "aedt": "+11:00",
+    "bst": "+01:00", "cet": "+01:00", "cest": "+02:00",
+    "eet": "+02:00", "eest": "+03:00", "nzst": "+12:00", "nzdt": "+13:00",
+    "msk": "Europe/Moscow",
+    # POSIX-style compound names are valid tzdata backward zones — Java
+    # resolves them itself; listed so the literal-suffix path keeps them
+    "pst8pdt": "PST8PDT", "est5edt": "EST5EDT",
+    "cst6cdt": "CST6CDT", "mst7mdt": "MST7MDT",
+}
+
+
+def _tz_zone_tokens(tz: list[str]) -> list[str]:
+    """Normalize an AT TIME ZONE operand: a quoted PG abbreviation
+    ('MSK', 'EST') becomes its zone id / fixed offset; a bare numeric
+    offset ('+2', '-16') becomes '+HH:00'. Everything else unchanged."""
+    if len(tz) == 1 and tz[0].startswith("'"):
+        body = tz[0][1:-1].strip()
+        mapped = _TZ_ABBREVS.get(body.lower())
+        if mapped is not None:
+            return [f"'{mapped}'"]
+        m = re.fullmatch(r"([+-]?)(\d{1,2})", body)
+        if m:
+            sign = "-" if m.group(1) == "-" else "+"
+            return [f"'{sign}{int(m.group(2)):02d}:00'"]
+    return tz
+
+
+def _normalize_ts_zone_literal(lit: str) -> str:
+    """A timestamptz input literal with a trailing PG zone abbreviation
+    or bare-hour offset ('2011-03-27 00:00:00 MSK', '... +2') rewrites
+    the suffix to a Spark-parseable zone id / ±HH:MM offset. Region
+    names (Europe/Moscow) Spark parses natively and pass through."""
+    m = re.fullmatch(r"'(.+?)\s+([A-Za-z][A-Za-z0-9/_]*|[+-]\d{1,2})'", lit)
+    if not m:
+        return lit
+    body, zone = m.group(1), m.group(2)
+    mapped = _TZ_ABBREVS.get(zone.lower())
+    if mapped is None and re.fullmatch(r"[+-]\d{1,2}", zone):
+        mapped = f"{zone[0]}{int(zone[1:]):02d}:00"
+    if mapped is None:
+        return lit
+    if mapped.startswith(("+", "-")):
+        return f"'{body}{mapped}'"
+    return f"'{body} {mapped}'"
+
+
+def _pass_date_interval_ts(tokens: list[str]) -> list[str]:
+    """``date '<l>' ± interval '<i>'`` (and the commuted ``interval
+    '<i>' + date '<l>'``): PG's date+interval operator returns
+    TIMESTAMP (timestamp.c date_pl_interval via promotion) while Spark
+    keeps DATE for year-month intervals — wrap the date literal in a
+    TIMESTAMP cast so the result type matches. Column-typed date
+    arithmetic is left alone (no static type info), documented."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        if (
+            _is_word(tokens[i], "date")
+            and i + 3 < n
+            and tokens[i + 1].startswith("'")
+            and tokens[i + 2] in ("+", "-")
+            and _is_word(tokens[i + 3], "interval")
+        ):
+            out += ["CAST", "(", "date", tokens[i + 1], "AS",
+                    "TIMESTAMP", ")"]
+            i += 2
+            continue
+        if (
+            _is_word(tokens[i], "interval")
+            and i + 4 < n
+            and tokens[i + 1].startswith("'")
+            and tokens[i + 2] == "+"
+            and _is_word(tokens[i + 3], "date")
+            and tokens[i + 4].startswith("'")
+        ):
+            out += [tokens[i], tokens[i + 1], "+", "CAST", "(", "date",
+                    tokens[i + 4], "AS", "TIMESTAMP", ")"]
+            i += 5
+            continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
+def _pass_tstz_literals(tokens: list[str]) -> list[str]:
+    """``'<lit>'::timestamptz`` — normalize a PG zone-abbreviation
+    suffix inside the literal before the cast pass turns the spelling
+    into a plain TIMESTAMP cast (the prefix ``timestamptz '<lit>'``
+    form is normalized in _pass_typed_literals)."""
+    out = list(tokens)
+    for i, t in enumerate(out):
+        if (
+            t.startswith("'")
+            and i + 2 < len(out)
+            and out[i + 1] == "::"
+            and _is_word(out[i + 2], "timestamptz")
+        ):
+            out[i] = _normalize_ts_zone_literal(t)
+    return out
+
+
+def _pass_naive_tz(tokens: list[str]) -> list[str]:
+    """``x::timestamp AT TIME ZONE z`` — the POSTFIX-cast naive form
+    (timestamp.c timezone(zone, timestamp)): the operand is a
+    *timestamp without time zone*, so the result is the instant when
+    the z wall clock read x -> ``to_utc_timestamp(CAST(x AS
+    TIMESTAMP), z)``. Runs BEFORE _pass_casts, which would otherwise
+    erase the timestamp-vs-timestamptz spelling (both cast to Spark
+    TIMESTAMP) and leave _pass_at_time_zone to pick the timestamptz
+    default — the wrong direction (regress-probe catch)."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        if (
+            tokens[i] == "::"
+            and i + 4 < n
+            and _is_word(tokens[i + 1], "timestamp")
+            and _is_word(tokens[i + 2], "at")
+            and _is_word(tokens[i + 3], "time")
+            and _is_word(tokens[i + 4], "zone")
+        ):
+            tz_end = _rhs_end(tokens, i + 5)
+            tz = _tz_zone_tokens(tokens[i + 5 : tz_end])
+            lhs_start = _operand_start(out + ["~"], len(out))
+            lhs = out[lhs_start:]
+            out = (
+                out[:lhs_start]
+                + ["to_utc_timestamp", "(", "CAST", "("]
+                + lhs
+                + ["AS", "TIMESTAMP", ")", ","]
+                + tz
+                + [")"]
+            )
+            i = tz_end
+            continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
 def _pass_at_time_zone(tokens: list[str]) -> list[str]:
     """X AT TIME ZONE 'z' (timestamp.c timezone(), BOTH directions):
 
@@ -2150,7 +2327,7 @@ def _pass_at_time_zone(tokens: list[str]) -> list[str]:
             and _is_word(tokens[i + 2], "zone")
         ):
             tz_end = _rhs_end(tokens, i + 3)
-            tz = tokens[i + 3 : tz_end]
+            tz = _tz_zone_tokens(tokens[i + 3 : tz_end])
             lhs_start = _operand_start(out + ["~"], len(out))
             # typed literal (TIMESTAMP '...' AT TIME ZONE ...): include
             # the type keyword in the operand
@@ -2818,9 +2995,56 @@ def _pass_misc_funcs(tokens: list[str]) -> list[str]:
             "array_fill", "array_lower", "array_upper", "array_ndims",
             "ltrim", "rtrim", "regexp_matches",
             "regexp_split_to_array", "regexp_split_to_table",
+            "date_trunc", "make_timestamptz",
         ) else None
         if call is not None:
             args, k = call
+            # date_trunc millennium/century/decade (timestamp.c
+            # timestamp_trunc DTK_MILLENNIUM..DTK_DECADE): Spark's
+            # date_trunc returns NULL for these fields (silent wrong,
+            # regress-probe catch). PG's first-year arithmetic, CE
+            # years (BC dates don't parse here): decade floors to
+            # year%10==0, century/millennium start at xx01 (2004 ->
+            # 2001-01-01, 1970 -> 1001-01-01 for millennium).
+            if low == "date_trunc" and len(args) == 2 and (
+                len(args[0]) == 1
+                and args[0][0].startswith("'")
+                and args[0][0][1:-1].lower()
+                in ("millennium", "century", "decade")
+            ):
+                field = args[0][0][1:-1].lower()
+                yr = ["year", "(", "("] + args[1] + [")", ")"]
+                if field == "decade":
+                    expr = ["(", "("] + yr + [")", "div", "10", ")",
+                            "*", "10"]
+                elif field == "century":
+                    expr = ["(", "(", "("] + yr + [")", "+", "99", ")",
+                            "div", "100", ")", "*", "100", "-", "99"]
+                else:
+                    expr = ["(", "(", "("] + yr + [")", "+", "999", ")",
+                            "div", "1000", ")", "*", "1000", "-", "999"]
+                out += (["CAST", "(", "make_date", "("] + expr
+                        + [",", "1", ",", "1", ")", "AS", "TIMESTAMP",
+                           ")"])
+                i = k + 1
+                continue
+            if low == "date_trunc":
+                out.append(t)
+                i += 1
+                continue
+            # make_timestamptz (timestamp.c): Spark's make_timestamp
+            # takes the same 6 fields plus an optional zone-id 7th arg;
+            # PG's bare-hour offsets ('+2') and zone abbreviations
+            # normalize through the AT TIME ZONE table
+            if low == "make_timestamptz":
+                body: list[str] = []
+                for j, a in enumerate(args):
+                    if j:
+                        body.append(",")
+                    body += _tz_zone_tokens(a) if j == 6 else a
+                out += ["make_timestamp", "("] + body + [")"]
+                i = k + 1
+                continue
             if low in ("ltrim", "rtrim"):
                 # PG ltrim(str, chars) vs Spark ltrim(trimStr, str):
                 # the TWO-ARG forms have FLIPPED argument order (silent
@@ -3408,9 +3632,69 @@ _TYPED_LITERAL_TYPES = {
 }
 
 
+_PG_MONTHS = {
+    "jan": 1, "feb": 2, "mar": 3, "apr": 4, "may": 5, "jun": 6,
+    "jul": 7, "aug": 8, "sep": 9, "oct": 10, "nov": 11, "dec": 12,
+}
+
+
+def _pg_date_literal(lit: str) -> str:
+    """Normalize a PG date-input literal (datetime.c DecodeDate under
+    the default DateStyle = ISO, MDY) to ISO for Spark's DATE literal:
+    '01/02/03' -> '2003-01-02' (MDY), '99-01-08' / '1999 01 08' ->
+    YMD when the first field is a year (4 digits or > 31). Two-digit
+    years window per PG: < 70 -> 20xx, else 19xx. Literals that are
+    already ISO, or that don't fit a numeric triple, pass through
+    unchanged (loud downstream parse failure — e.g. 'infinity', BC
+    dates, text months). SET datestyle is unsupported: the engine is
+    fixed at PG's default, a documented divergence."""
+    body = lit[1:-1].strip()
+    if re.fullmatch(r"\d{4}-\d{2}-\d{2}", body):
+        return lit
+    # text-month forms ('08-Jan-99', 'Jan-08-1999', 'January 8, 99'):
+    # the alpha field is the month; of the two numeric fields, a
+    # 4-digit or >31 leading one is the year, otherwise day-first
+    tm = re.fullmatch(
+        r"(\d{1,4}|[A-Za-z]{3,9})[-/. ]([A-Za-z]{3,9}|\d{1,2}),?[-/. ]"
+        r"\s*(\d{1,4})",
+        body,
+    )
+    if tm and (tm.group(1).isalpha() or tm.group(2).isalpha()):
+        parts = [tm.group(1), tm.group(2), tm.group(3)]
+        alpha = [p for p in parts if p.isalpha()][0]
+        mo = _PG_MONTHS.get(alpha[:3].lower())
+        nums = [p for p in parts if not p.isalpha()]
+        if mo and len(nums) == 2:
+            a, b = nums
+            ystr, dstr = (a, b) if (len(a) == 4 or int(a) > 31) else (b, a)
+            y, d = int(ystr), int(dstr)
+            if len(ystr) <= 2:
+                y += 2000 if y < 70 else 1900
+            if 1 <= d <= 31 and len(str(y)) <= 4:
+                return f"'{y:04d}-{mo:02d}-{d:02d}'"
+        return lit
+    m = re.fullmatch(r"(\d{1,4})[-/. ](\d{1,2})[-/. ](\d{1,4})", body)
+    if not m:
+        return lit
+    f1, f2, f3 = m.group(1), m.group(2), m.group(3)
+    if len(f1) == 4 or int(f1) > 31:
+        y, mo, d = int(f1), int(f2), int(f3)
+        if len(f1) <= 2:
+            y += 2000 if y < 70 else 1900
+    else:
+        mo, d, y = int(f1), int(f2), int(f3)
+        if len(f3) <= 2:
+            y += 2000 if y < 70 else 1900
+    if not (1 <= mo <= 12 and 1 <= d <= 31 and len(str(y)) <= 4):
+        return lit
+    return f"'{y:04d}-{mo:02d}-{d:02d}'"
+
+
 def _pass_typed_literals(tokens: list[str]) -> list[str]:
     """``<typename> '<literal>'`` -> ``CAST('<literal>' AS <type>)``;
-    ``double precision '<literal>'`` likewise."""
+    ``double precision '<literal>'`` and the multi-word
+    ``timestamp [with|without] time zone '<literal>'`` forms likewise;
+    ``date '<literal>'`` normalizes PG's flexible date input to ISO."""
     out: list[str] = []
     i = 0
     n = len(tokens)
@@ -3426,12 +3710,37 @@ def _pass_typed_literals(tokens: list[str]) -> list[str]:
             out += ["CAST", "(", tokens[i + 2], "AS", "DOUBLE", ")"]
             i += 3
             continue
+        # timestamp [with|without] time zone '<lit>' (gram.y
+        # ConstDatetime): WITH -> timestamptz semantics (zone-suffix
+        # parsing via Spark's TIMESTAMP cast), WITHOUT -> the naive
+        # Spark typed literal
+        if (
+            low == "timestamp"
+            and i + 4 < n
+            and _is_word(tokens[i + 1], "with", "without")
+            and _is_word(tokens[i + 2], "time")
+            and _is_word(tokens[i + 3], "zone")
+            and tokens[i + 4].startswith("'")
+        ):
+            if tokens[i + 1].lower() == "with":
+                out += ["CAST", "(", tokens[i + 4], "AS", "TIMESTAMP", ")"]
+            else:
+                out += ["timestamp", tokens[i + 4]]
+            i += 5
+            continue
+        if low == "date" and i + 1 < n and tokens[i + 1].startswith("'"):
+            out += ["date", _pg_date_literal(tokens[i + 1])]
+            i += 2
+            continue
         if (
             low in _TYPED_LITERAL_TYPES
             and i + 1 < n
             and tokens[i + 1].startswith("'")
         ):
-            out += ["CAST", "(", tokens[i + 1], "AS",
+            lit = tokens[i + 1]
+            if low == "timestamptz":
+                lit = _normalize_ts_zone_literal(lit)
+            out += ["CAST", "(", lit, "AS",
                     _TYPED_LITERAL_TYPES[low], ")"]
             i += 2
             continue
@@ -3652,9 +3961,12 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_array_literal_casts(tokens)
     tokens = _pass_bytea_literals(tokens)
     tokens = _pass_typed_literals(tokens)
+    tokens = _pass_date_interval_ts(tokens)
     tokens = _pass_like_escape(tokens)
     tokens = _pass_distinct_on(tokens)
     tokens = _pass_jsonb_ops(tokens)
+    tokens = _pass_tstz_literals(tokens)
+    tokens = _pass_naive_tz(tokens)
     tokens = _pass_casts(tokens)
     tokens = _pass_cast_as_types(tokens)
     tokens = _pass_overlaps(tokens)

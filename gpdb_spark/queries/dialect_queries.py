@@ -972,3 +972,52 @@ _pg_query(
     ORDER BY n_nationkey
     """,
 )
+
+
+# Date/time conformance batch, round 6 (regress-probe DISAGREE sweep
+# over date.sql/timestamptz.sql/horology.sql/arrays.sql):
+# date_trunc millennium/century/decade (timestamp.c first-year
+# arithmetic — Spark returns NULL for these fields, DuckDB truncates
+# to xx00, PG to xx01; the oracle spells PG's formula explicitly),
+# naive-timestamp AT TIME ZONE (the postfix ::timestamp spelling
+# converted the WRONG DIRECTION before _pass_naive_tz), PG zone
+# abbreviations (MSK -> Europe/Moscow per tznames/Default),
+# make_timestamptz with bare-hour offsets, DateStyle=ISO,MDY flexible
+# date input, date±interval -> timestamp, and string_to_array's
+# ''/NULL-delimiter + 3-arg null-string contracts (text_to_array).
+_pg_query(
+    "pg_datetime_forms",
+    """
+    SELECT o_orderkey::int8 AS k,
+           date_trunc('century', o_orderdate) AS century_start,
+           date_trunc('decade', o_orderdate) AS decade_start,
+           extract(epoch FROM o_orderdate::timestamp AT TIME ZONE 'MSK')::int8 AS msk_epoch,
+           extract(epoch FROM make_timestamptz(1973, 7, 15, 8, 15, 55, '+2'))::int8 AS mk_epoch,
+           date '01/02/03' AS d_mdy,
+           date '99-01-08' AS d_y2,
+           date '1991-02-03' + interval '2 years' AS d_plus,
+           array_to_string(string_to_array(o_orderpriority, '-'), '|') AS pri_parts,
+           array_to_string(string_to_array(o_orderpriority, NULL), '.') AS pri_chars,
+           array_to_string(string_to_array(o_orderpriority, '-', 'URGENT'), '|') AS pri_nullsub
+    FROM orders
+    WHERE o_orderkey < 400
+    ORDER BY k
+    """,
+    oracle="""
+    SELECT o_orderkey::int8 AS k,
+           make_date(((year(o_orderdate)+99)//100)*100-99, 1, 1)::timestamp AS century_start,
+           make_date((year(o_orderdate)//10)*10, 1, 1)::timestamp AS decade_start,
+           CAST(epoch(o_orderdate::timestamp AT TIME ZONE 'Europe/Moscow') AS BIGINT) AS msk_epoch,
+           CAST(epoch('1973-07-15 08:15:55+02:00'::timestamptz) AS BIGINT) AS mk_epoch,
+           DATE '2003-01-02' AS d_mdy,
+           DATE '1999-01-08' AS d_y2,
+           TIMESTAMP '1993-02-03 00:00:00' AS d_plus,
+           array_to_string(str_split(o_orderpriority, '-'), '|') AS pri_parts,
+           array_to_string(string_to_array(o_orderpriority, ''), '.') AS pri_chars,
+           array_to_string(list_transform(str_split(o_orderpriority, '-'),
+               e -> CASE WHEN e = 'URGENT' THEN NULL ELSE e END), '|') AS pri_nullsub
+    FROM orders
+    WHERE o_orderkey < 400
+    ORDER BY k
+    """,
+)

@@ -1082,3 +1082,124 @@ class TestRegressProbeFixes:
             " (numeric(6,2) '123.45')::float8 AS b",
         ).collect()[0]
         assert (row.a, row.b) == ("chars-t", 123.45)
+
+
+class TestDatetimeForms:
+    """Round-6 date/time conformance batch (regress-probe DISAGREE
+    sweep): PG-faithful values pinned from src/test/regress/expected
+    (date.out, timestamptz.out, horology.out, arrays.out)."""
+
+    def test_date_trunc_extended_fields(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT date_trunc('century', DATE '2004-08-10') AS c,"
+            " date_trunc('decade', DATE '1993-12-25') AS d,"
+            " date_trunc('millennium', TIMESTAMP '1970-03-20 04:30:00') AS m",
+        ).collect()[0]
+        # PG: centuries/millennia start at xx01 (timestamp.c), NOT xx00
+        assert str(row.c) == "2001-01-01 00:00:00"
+        assert str(row.d) == "1990-01-01 00:00:00"
+        assert str(row.m) == "1001-01-01 00:00:00"
+
+    def test_naive_at_time_zone_direction(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT '2011-03-27 00:00:00'::timestamp"
+            " AT TIME ZONE 'Europe/Moscow' AS a,"
+            " timestamp '2011-03-27 00:00:00' AT TIME ZONE 'MSK' AS b",
+        ).collect()[0]
+        # naive ts is a Moscow wall-clock reading -> instant 21:00 UTC
+        # (the postfix ::timestamp spelling used to convert the wrong
+        # direction); MSK resolves via tznames/Default -> Europe/Moscow
+        assert str(row.a) == "2011-03-26 21:00:00"
+        assert str(row.b) == "2011-03-26 21:00:00"
+
+    def test_tstz_literal_zone_suffix(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT '2014-10-26 00:59:59 MSK'::timestamptz AS a,"
+            " '2011-03-26 21:00:00 UTC'::timestamptz AS b",
+        ).collect()[0]
+        # 2014-10-26 00:59:59 Moscow predates that night's +4 -> +3
+        # switch, so the instant is 20:59:59 UTC (dynamic abbreviation)
+        assert str(row.a) == "2014-10-25 20:59:59"
+        assert str(row.b) == "2011-03-26 21:00:00"
+
+    def test_make_timestamptz(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT make_timestamptz(1973, 7, 15, 8, 15, 55.33, '+2') AS a,"
+            " make_timestamptz(2014, 12, 10, 0, 0, 0, 'Europe/Prague')"
+            " AT TIME ZONE 'UTC' AS b",
+        ).collect()[0]
+        assert str(row.a) == "1973-07-15 06:15:55.330000"
+        assert str(row.b) == "2014-12-09 23:00:00"
+
+    def test_flexible_date_input(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT date '01/02/03' AS a, date '99-01-08' AS b,"
+            " date '1999 08 01' AS c, date '08-Jan-99' AS d",
+        ).collect()[0]
+        # default DateStyle ISO,MDY: 01/02/03 is M/D/Y (date.out);
+        # text-month forms (DecodeDate month tokens) normalize too
+        assert str(row.a) == "2003-01-02"
+        assert str(row.b) == "1999-01-08"
+        assert str(row.c) == "1999-08-01"
+        assert str(row.d) == "1999-01-08"
+
+    def test_date_plus_interval_is_timestamp(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        df = pg_sql(
+            spark,
+            "SELECT date '1991-02-03' + interval '2 years' AS a,"
+            " interval '2 years' + date '1991-02-03' AS b,"
+            " date '2001-12-13' - interval '2 years' AS c",
+        )
+        assert [f.dataType.typeName() for f in df.schema.fields] == [
+            "timestamp", "timestamp", "timestamp"]
+        row = df.collect()[0]
+        assert str(row.a) == "1993-02-03 00:00:00"
+        assert str(row.c) == "1999-12-13 00:00:00"
+
+    def test_string_to_array_contracts(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT string_to_array('abc', '') AS whole,"
+            " string_to_array('1|2|3', NULL) AS chars,"
+            " string_to_array('', NULL) AS empty,"
+            " string_to_array(NULL, '') AS nul,"
+            " string_to_array('1,2,3,nil', ',', 'nil') AS sub",
+        ).collect()[0]
+        # text_to_array: '' delimiter -> whole string; NULL delimiter
+        # -> per character; NULL input -> NULL; 3-arg null-string
+        assert row.whole == ["abc"]
+        assert row.chars == ["1", "|", "2", "|", "3"]
+        assert row.empty == []
+        assert row.nul is None
+        assert row.sub == ["1", "2", "3", None]
+
+    def test_multiword_timestamp_literal(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT date_trunc('week', timestamp with time zone"
+            " '2004-02-29 15:44:17.71393') AS a,"
+            " timestamp without time zone '2004-02-29 01:02:03' AS b",
+        ).collect()[0]
+        assert str(row.a) == "2004-02-23 00:00:00"
+        assert str(row.b) == "2004-02-29 01:02:03"

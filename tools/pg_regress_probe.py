@@ -16,6 +16,31 @@ buckets the outcomes:
 
 Usage: python tools/pg_regress_probe.py [max_files] [--list-disagree]
 Writes a per-file tally and the DISAGREE/ENGINE_ERR statements.
+
+Known DuckDB-as-oracle artifacts (DuckDB itself diverges from PG —
+the ENGINE side is the PG-faithful one, verified against the regress
+expected/ files; these statements stay DISAGREE/ENGINE_ERR by design):
+- regexp_matches returns BOOLEAN in DuckDB (PG: setof text[])
+- format() is {}-style in DuckDB (PG: printf-style %s/%I/%L)
+- to_hex uppercases in DuckDB (PG: lowercase)
+- date_trunc century/millennium: DuckDB truncates to xx00 (PG: first
+  year of the century/millennium, xx01 — timestamp.c)
+- array_to_string(arr, NULL) -> NULL in PG (strict); DuckDB joins
+- string_to_array('' / NULL delimiter): DuckDB char-splits on ''
+  and no-ops on NULL; PG is the reverse (text_to_array)
+- E'\\xDeAd'::bytea: DuckDB applies C-escape decoding, PG hex-decodes
+- date '01/02/03': DuckDB reads Y/M/D 0001-02-03; PG default
+  DateStyle is MDY -> 2003-01-02 (regress runs this under three
+  SET datestyle variants the FROM-less extraction cannot see)
+- timestamptz literals with zone suffixes: DuckDB ignores unknown
+  abbreviations (MSK) instead of resolving them
+- x/0, float->int overflow, json_array_length(scalar),
+  split_part(.., 0), odd-length bytea hex: PG raises (and the engine
+  raises or refuses loudly); DuckDB is lenient (NULL / wraps / 0)
+Engine-side known divergences (documented, lenient-by-Spark):
+- float->int2/int4 overflow CLAMPS (Spark non-ANSI cast) where PG
+  errors; 'infinity'::date unsupported (no infinite dates);
+  SET datestyle fixed at ISO,MDY.
 """
 from __future__ import annotations
 
@@ -58,11 +83,26 @@ def extract_statements(path: str) -> list[str]:
 
 
 def norm(rows) -> str:
+    """Value-normalize a result set for cross-engine comparison:
+    Decimals render float-style (scale is representation, not value),
+    midnight datetimes equal dates (PG date_trunc returns timestamp
+    where DuckDB returns date), and UTC tzinfo is stripped (DuckDB's
+    timestamptz fetch is tz-aware, Spark's session-UTC naive)."""
+    import datetime
+    import decimal
+
     def v(x):
-        if isinstance(x, float):
-            return f"{x:.10g}"
         if isinstance(x, bool):
             return str(x)
+        if isinstance(x, decimal.Decimal):
+            return f"{float(x):.10g}"
+        if isinstance(x, float):
+            return f"{x:.10g}"
+        if isinstance(x, datetime.datetime):
+            if x.tzinfo is not None:
+                x = x.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            if (x.hour, x.minute, x.second, x.microsecond) == (0, 0, 0, 0):
+                return str(x.date())
         return str(x)
     return repr(sorted(tuple(v(c) for c in r) for r in rows))
 
@@ -124,7 +164,7 @@ def main() -> None:
         for f, s in disagree:
             print(f"[{f}] {s}")
         print("\n== ENGINE_ERR ==")
-        for f, s in engine_err[:80]:
+        for f, s in engine_err[:400]:
             print(f"[{f}] {s}")
 
 
