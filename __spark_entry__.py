@@ -59,6 +59,8 @@ DRIVER_PRIORITY: list[str] = [
     "pg_array_family",
     "pg_hypothetical_sql",
     "pg_regress_fixes",
+    "pg_datetime_forms",
+    "pg_interval_format_forms",
     # oldest green rows (drv1) — freshness re-checks
     "q01_pricing_summary",
     "q03_shipping_priority",

@@ -125,6 +125,26 @@ def _lex(sql: str) -> list[str]:
                 continue
             # unterminated: fall through and lex char-by-char (loud
             # downstream failure beats silently eating the tail)
+        # comments (scan.l xc state): -- to end of line; /* */ NESTS
+        # in PG, unlike C. Dropped here — Spark's parser also takes
+        # comments, but passes see clean token streams this way.
+        if sql.startswith("--", i):
+            nl = sql.find("\n", i)
+            i = len(sql) if nl == -1 else nl + 1
+            prev_end = -1
+            continue
+        if sql.startswith("/*", i):
+            depth, j = 1, i + 2
+            while j < len(sql) and depth:
+                if sql.startswith("/*", j):
+                    depth, j = depth + 1, j + 2
+                elif sql.startswith("*/", j):
+                    depth, j = depth - 1, j + 2
+                else:
+                    j += 1
+            i = j
+            prev_end = -1
+            continue
         m = _TOKEN_RE.match(sql, i)
         if not m:
             out.append(sql[i])
@@ -1119,6 +1139,29 @@ def _pass_functions(tokens: list[str]) -> list[str]:
             out += body
             i = k + 1
             continue
+        # concat(VARIADIC x) / concat_ws(sep, VARIADIC x) over a
+        # non-literal array expression (text_format's variadic
+        # contract): join the array, skipping NULL elements exactly as
+        # concat/concat_ws do; elements stringify first (array_join
+        # wants array<string>)
+        if low in ("concat", "concat_ws") and nxt == "(":
+            fa = _fn_args(tokens, i)
+            if fa is not None:
+                fargs, fk = fa
+                vi = 1 if low == "concat_ws" else 0
+                if (
+                    len(fargs) == vi + 1
+                    and len(fargs[vi]) > 1
+                    and _is_word(fargs[vi][0], "variadic")
+                ):
+                    arr = fargs[vi][1:]
+                    sep = fargs[0] if vi else ["''"]
+                    out += (["array_join", "(", "transform", "(", "("]
+                            + arr + [")", ",", "__v", "->", "CAST", "(",
+                                     "__v", "AS", "STRING", ")", ")",
+                                     ","] + sep + [")"])
+                    i = fk + 1
+                    continue
         # quote_ident / quote_literal (quote.c) as SQL expressions —
         # same semantics as the DataFrame forms in scalar_funcs
         if low in ("quote_ident", "quote_literal") and nxt == "(":
@@ -1165,31 +1208,58 @@ def _pass_functions(tokens: list[str]) -> list[str]:
             ]
             import re as _re2
 
-            if not _re2.search(r"%\d+\$", fmt):  # positional %n$ unsupported
-                parts, ai, ok = [], 0, True
-                for piece in _re2.split(r"(%[sIL%])", fmt):
-                    if piece == "%%":
-                        parts.append("'%'")
-                    elif piece in ("%s", "%I", "%L"):
-                        if ai >= len(args):
-                            ok = False
-                            break
-                        a = args[ai]
-                        ai += 1
-                        if piece == "%s":
-                            parts.append(f"coalesce(CAST({a} AS STRING), '')")
-                        elif piece == "%I":
-                            parts.append(_quote_sql(a, True))
-                        else:
-                            parts.append(
-                                f"coalesce({_quote_sql(a, False)}, 'NULL')"
-                            )
-                    elif piece:
-                        parts.append("'" + piece.replace("'", "''") + "'")
-                if ok:
-                    out += _lex("concat(" + ", ".join(parts or ["''"]) + ")")
-                    i = k + 1
+            # full conversion spec %[argpos$][-][width]{s|I|L} plus %%
+            # (text_format): positional %n$ sets the argument cursor
+            # (a following plain %s continues at n+1); width is a
+            # MINIMUM (no truncation), right-aligned, '-' left-aligns.
+            # *-widths and malformed specs fall through to a loud
+            # UNRESOLVED_ROUTINE instead of a silent wrong answer.
+            spec = _re2.compile(r"%(?:(\d+)\$)?(-?)(\d+)?([sIL])|%(%)")
+            parts, ai, ok, pos = [], 0, True, 0
+            while pos < len(fmt):
+                pct = fmt.find("%", pos)
+                if pct == -1:
+                    lit = fmt[pos:]
+                    if lit:
+                        parts.append("'" + lit.replace("'", "''") + "'")
+                    break
+                if pct > pos:
+                    lit = fmt[pos:pct]
+                    parts.append("'" + lit.replace("'", "''") + "'")
+                m2 = spec.match(fmt, pct)
+                if not m2:
+                    ok = False
+                    break
+                pos = m2.end()
+                if m2.group(5):  # %%
+                    parts.append("'%'")
                     continue
+                argpos, minus, width, conv = m2.group(1, 2, 3, 4)
+                if argpos is not None:
+                    if int(argpos) < 1:
+                        ok = False
+                        break
+                    ai = int(argpos) - 1
+                if ai >= len(args):
+                    ok = False
+                    break
+                a = args[ai]
+                ai += 1
+                if conv == "s":
+                    v = f"coalesce(CAST({a} AS STRING), '')"
+                elif conv == "I":
+                    v = _quote_sql(a, True)
+                else:
+                    v = f"coalesce({_quote_sql(a, False)}, 'NULL')"
+                if width:
+                    pad = "rpad" if minus else "lpad"
+                    v = (f"{pad}({v}, greatest({int(width)}, "
+                         f"length({v})), ' ')")
+                parts.append(v)
+            if ok:
+                out += _lex("concat(" + ", ".join(parts or ["''"]) + ")")
+                i = k + 1
+                continue
         # array_agg(expr ORDER BY key [ASC|DESC]) / array_agg(DISTINCT
         # expr ORDER BY expr): Spark's array_agg has no ordered form, so
         # sort explicitly — same-key form via sort_array, general key
@@ -2207,6 +2277,135 @@ def _normalize_ts_zone_literal(lit: str) -> str:
     return f"'{body} {mapped}'"
 
 
+# PG interval-input vocabulary (datetime.c deltatktbl): unit word ->
+# (months-or-days-or-microseconds bucket, multiplier)
+_IVL_UNITS: dict[str, tuple[str, float]] = {}
+for _names, _bucket, _mult in [
+    (("millennium", "millenniums", "millennia", "mil", "mils"), "mo", 12000),
+    (("century", "centuries", "cent", "c"), "mo", 1200),
+    (("decade", "decades", "dec", "decs"), "mo", 120),
+    (("year", "years", "yr", "yrs", "y"), "mo", 12),
+    (("month", "months", "mon", "mons"), "mo", 1),
+    (("week", "weeks", "w"), "d", 7),
+    (("day", "days", "d"), "d", 1),
+    (("hour", "hours", "hr", "hrs", "h"), "us", 3_600_000_000),
+    (("minute", "minutes", "min", "mins", "m"), "us", 60_000_000),
+    (("second", "seconds", "sec", "secs", "s"), "us", 1_000_000),
+    (("millisecond", "milliseconds", "msec", "msecs", "ms"), "us", 1_000),
+    (("microsecond", "microseconds", "usec", "usecs", "us"), "us", 1),
+]:
+    for _nm in _names:
+        _IVL_UNITS[_nm] = (_bucket, _mult)
+
+_IVL_ITEM = re.compile(
+    r"([+-]?\d+:\d{1,2}(?::\d{1,2}(?:\.\d+)?)?)"  # H:MM[:SS[.f]]
+    r"|([+-]?\d+-\d+)"                            # SQL year-month
+    r"|([+-]?\d+(?:\.\d+)?)\s*([a-z]+)?"          # number [unit]
+    r"|(ago)|(@)|([a-z]+)"                        # trailers / noise
+)
+
+
+def _pg_interval_triple(body: str) -> tuple[int, int, int] | None:
+    """Parse a PG interval input string (datetime.c DecodeInterval) to
+    its internal (months, days, microseconds) triple. Fractional units
+    spill exactly as PG's AdjustFractYears/Days/Seconds: fractional
+    years -> rounded months, fractional months -> frac*30 days with the
+    day remainder cascading to seconds, fractional days/time -> seconds.
+    Repeated units sum; '@' is noise; a trailing 'ago' negates; a
+    unitless number is seconds. Returns None on anything unrecognized
+    (ISO-8601 P-forms, 'infinity') — the caller passes those through
+    for Spark to accept or refuse loudly."""
+    months = days = 0
+    micros = 0.0
+    neg_all = False
+    pos = 0
+    body = body.strip().lower()
+    while pos < len(body):
+        m = _IVL_ITEM.match(body, pos)
+        if not m or m.end() == pos:
+            return None
+        pos = m.end()
+        while pos < len(body) and body[pos] == " ":
+            pos += 1
+        if m.group(7):  # bare word that is not a unit (or 'ago'/'@')
+            return None
+        if m.group(6):  # '@'
+            continue
+        if m.group(5):  # 'ago'
+            neg_all = True
+            continue
+        if m.group(1):  # H:MM[:SS.f]
+            t = m.group(1)
+            sign = -1 if t.startswith("-") else 1
+            parts = t.lstrip("+-").split(":")
+            secs = int(parts[0]) * 3600 + int(parts[1]) * 60
+            if len(parts) == 3:
+                secs += float(parts[2])
+            micros += sign * secs * 1_000_000
+            continue
+        if m.group(2):  # SQL-standard 'Y-M'
+            sign = -1 if m.group(2).startswith("-") else 1
+            ys, ms_ = m.group(2).lstrip("+-").split("-")
+            months += sign * (int(ys) * 12 + int(ms_))
+            continue
+        num = float(m.group(3))
+        unit = m.group(4)
+        if unit is None:
+            micros += num * 1_000_000  # unitless trailing seconds
+            continue
+        hit = _IVL_UNITS.get(unit)
+        if hit is None:
+            return None
+        bucket, mult = hit
+        whole = int(num)  # C-style truncation toward zero
+        frac = num - whole
+        if bucket == "mo":
+            months += int(whole * mult)
+            if frac:
+                if mult == 1:  # fractional months -> days + seconds
+                    fd = frac * 30
+                    days += int(fd)
+                    micros += (fd - int(fd)) * 86_400_000_000
+                else:  # fractional years/decades/... -> rounded months
+                    months += round(frac * mult)
+        elif bucket == "d":
+            fd = num * mult
+            days += int(fd)
+            micros += (fd - int(fd)) * 86_400_000_000
+        else:
+            micros += num * mult
+    if neg_all:
+        months, days, micros = -months, -days, -micros
+    return months, days, int(round(micros))
+
+
+def _interval_literal_tokens(lit: str) -> list[str] | None:
+    """Rewrite an ``interval '<lit>'`` literal Spark cannot parse (or
+    would mis-parse) into an equivalent constructor expression:
+
+    - day-time only -> ``make_dt_interval(d, 0, 0, s.us)`` — a
+      DayTimeIntervalType, collectable and comparable
+    - year-month only -> native ``INTERVAL '<n>' MONTH``
+    - mixed -> ``make_interval(0, mo, 0, d, 0, 0, s.us)`` — Spark's
+      CalendarIntervalType: full timestamp/date arithmetic, but (like
+      the PySpark driver's YearMonthIntervalType) not fetchable as a
+      bare top-level column
+    Returns None to leave the literal for Spark's native parser."""
+    triple = _pg_interval_triple(lit[1:-1])
+    if triple is None:
+        return None
+    months, days, micros = triple
+    sec = micros / 1_000_000
+    sec_s = f"{sec:.6f}".rstrip("0").rstrip(".") or "0"
+    if months == 0:
+        return ["make_dt_interval", "(", str(days), ",", "0", ",", "0",
+                ",", sec_s, ")"]
+    if days == 0 and micros == 0:
+        return ["INTERVAL", f"'{months}'", "MONTH"]
+    return ["make_interval", "(", "0", ",", str(months), ",", "0", ",",
+            str(days), ",", "0", ",", "0", ",", sec_s, ")"]
+
+
 def _pass_date_interval_ts(tokens: list[str]) -> list[str]:
     """``date '<l>' ± interval '<i>'`` (and the commuted ``interval
     '<i>' + date '<l>'``): PG's date+interval operator returns
@@ -2241,7 +2440,188 @@ def _pass_date_interval_ts(tokens: list[str]) -> list[str]:
                     tokens[i + 4], "AS", "TIMESTAMP", ")"]
             i += 5
             continue
+        # date '<l>' + time '<t>' (datetime_pl_time -> timestamp):
+        # combine the two literals into one timestamp literal
+        if (
+            _is_word(tokens[i], "date", "time")
+            and i + 4 < n
+            and tokens[i + 1].startswith("'")
+            and tokens[i + 2] == "+"
+            and _is_word(tokens[i + 3], "time", "date")
+            and tokens[i + 4].startswith("'")
+            and tokens[i].lower() != tokens[i + 3].lower()
+        ):
+            d, t = (tokens[i + 1], tokens[i + 4])
+            if tokens[i].lower() == "time":
+                d, t = t, d
+            out += ["timestamp", f"'{d[1:-1]} {t[1:-1]}'"]
+            i += 5
+            continue
         out.append(tokens[i])
+        i += 1
+    return out
+
+
+def _pass_variadic(tokens: list[str]) -> list[str]:
+    """``f(..., VARIADIC ARRAY[a, b, c])`` (gram.y func_arg_expr) —
+    spread the literal array's elements as plain arguments, which is
+    exactly PG's call semantics. Only the literal ARRAY[...] form
+    spreads; ``VARIADIC <expr>`` is handled per-function (concat /
+    concat_ws in _pass_functions) and otherwise refuses loudly."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        if (
+            _is_word(tokens[i], "variadic")
+            and i + 2 < n
+            and _is_word(tokens[i + 1], "array")
+            and tokens[i + 2] == "["
+        ):
+            depth, k = 0, i + 2
+            while k < n:
+                if tokens[k] == "[":
+                    depth += 1
+                elif tokens[k] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            # an array-level cast after the bracket (::text[]) would
+            # bind to the last spread element — leave that form intact
+            if k + 1 < n and tokens[k + 1] == "::":
+                out.append(tokens[i])
+                i += 1
+                continue
+            out += tokens[i + 3 : k]
+            i = k + 1
+            continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
+def _pass_concat_precedence(tokens: list[str]) -> list[str]:
+    """PG's ``||`` binds LOWER than ``+``/``-`` (gram.y %nonassoc
+    generic Op below '+' '-'); Spark parses them at the same level,
+    left-associative — so ``'four: ' || 2+2`` concatenates before
+    adding. Parenthesize the additive chain on the RHS of each ``||``
+    to restore PG grouping (the LHS groups identically either way)."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        if tokens[i] == "||":
+            e = _rhs_end(tokens, i + 1)
+            start = e
+            while (
+                e < n
+                and tokens[e] in ("+", "-")
+                and e + 1 < n
+            ):
+                e = _rhs_end(tokens, e + 1)
+            if e > start:
+                out += ["||", "("] + tokens[i + 1 : e] + [")"]
+                i = e
+                continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
+def _pass_array_elem_concat(tokens: list[str]) -> list[str]:
+    """``ARRAY[...] || elem`` / ``elem || ARRAY[...]`` (array_append /
+    array_prepend via the anycompatiblearray || anycompatible
+    operators). Runs after _pass_array_syntax, so literal arrays are
+    ``array(...)`` calls — only those (or chains built from them) are
+    recognizable without type info; column-typed operands keep Spark's
+    native ``||`` (array||array concat works there already)."""
+    heads = ("array", "array_append", "array_prepend", "array_repeat")
+
+    def is_array_call(seg: list[str]) -> bool:
+        return (
+            len(seg) >= 2
+            and seg[0].isidentifier()
+            and seg[0].lower() in heads
+            and seg[1] == "("
+        )
+
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        if tokens[i] == "||" and out:
+            e = _rhs_end(tokens, i + 1)
+            rhs = tokens[i + 1 : e]
+            lhs_start = _operand_start(out + ["~"], len(out))
+            lhs = out[lhs_start:]
+            l_arr, r_arr = is_array_call(lhs), is_array_call(rhs)
+            if l_arr != r_arr:
+                if l_arr:
+                    repl = (["array_append", "("] + lhs + [","]
+                            + rhs + [")"])
+                else:
+                    repl = (["array_prepend", "("] + rhs + [","]
+                            + lhs + [")"])
+                out = out[:lhs_start] + repl
+                i = e
+                continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
+# suffix words after INTERVAL '<n>' that mean Spark's native
+# single-field / field-range literal form — leave those untouched
+_IVL_SUFFIX_FIELDS = frozenset(
+    w for ws in (("year", "years"), ("month", "months"), ("day", "days"),
+                 ("hour", "hours"), ("minute", "minutes"),
+                 ("second", "seconds"))
+    for w in ws
+)
+
+
+def _pass_interval_literals(tokens: list[str]) -> list[str]:
+    """``interval '<pg-input>'`` / ``'<pg-input>'::interval`` -> a
+    value-equivalent Spark constructor via the DecodeInterval triple
+    (see _pg_interval_triple): fractional units ('1.5 hours'),
+    ms/us/decade/century/millennium units, repeated-unit sums, '@'
+    / 'ago', SQL 'Y-M', and mixed year-month+day-time inputs — all
+    forms Spark's literal parser rejects or has no vocabulary for.
+    The suffix-field form (``interval '1' year``) and anything the
+    triple parser does not recognize stay native."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if (
+            _is_word(t, "interval")
+            and i + 1 < n
+            and tokens[i + 1].startswith("'")
+            and not (
+                i + 2 < n
+                and tokens[i + 2].isidentifier()
+                and tokens[i + 2].lower() in _IVL_SUFFIX_FIELDS
+            )
+        ):
+            sub = _interval_literal_tokens(tokens[i + 1])
+            if sub is not None:
+                out += sub
+                i += 2
+                continue
+        if (
+            t.startswith("'")
+            and i + 2 < n
+            and tokens[i + 1] == "::"
+            and _is_word(tokens[i + 2], "interval")
+        ):
+            sub = _interval_literal_tokens(t)
+            if sub is not None:
+                out += sub
+                i += 3
+                continue
+        out.append(t)
         i += 1
     return out
 
@@ -2421,6 +2801,41 @@ def _pass_any_all(tokens: list[str]) -> list[str]:
             # select-item aliases, DISTINCT, UNION arms, ORDER BY
             out += ([t, "(", "SELECT", agg, "(", "__c", ")", "FROM", "("]
                     + inner + [")", "AS", "__q", "(", "__c", ")", ")"])
+            i = k + 1
+            continue
+        # comparison op ANY|SOME|ALL (<array expr>) — the scalar-vs-
+        # array quantifier (parse_oper.c make_scalar_array_op over a
+        # non-subquery operand). exists/forall reproduce PG's
+        # three-valued results exactly: NULL array -> NULL, no match
+        # with NULL elements -> NULL, else TRUE/FALSE.
+        if (
+            t in ("=", "<>", "!=", "<", "<=", ">", ">=")
+            and _is_word(nxt, "any", "some", "all")
+            and nxt2 == "("
+            and not _is_word(nxt3, "select")
+        ):
+            depth, k = 0, i + 2
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            arr = tokens[i + 3 : k]
+            lhs_start = _operand_start(out + ["~"], len(out))
+            lhs = out[lhs_start:]
+            fn = "forall" if nxt.lower() == "all" else "exists"
+            op = "<>" if t == "!=" else t
+            out = (
+                out[:lhs_start]
+                + [fn, "(", "("]
+                + arr
+                + [")", ",", "__q", "->", "("]
+                + lhs
+                + [")", op, "__q", ")"]
+            )
             i = k + 1
             continue
         if (
@@ -2996,9 +3411,59 @@ def _pass_misc_funcs(tokens: list[str]) -> list[str]:
             "ltrim", "rtrim", "regexp_matches",
             "regexp_split_to_array", "regexp_split_to_table",
             "date_trunc", "make_timestamptz",
+            "json_extract_path", "json_extract_path_text",
+            "row_to_json", "array_to_json",
         ) else None
         if call is not None:
             args, k = call
+            # json_extract_path[_text](j, 'k1', 'k2', ...) with literal
+            # path elements -> one get_json_object (the same target the
+            # -> / ->> operators compile to; jsonfuncs.c get_path_all).
+            # Non-literal path elements fall through loudly.
+            if low in ("json_extract_path", "json_extract_path_text") \
+                    and len(args) >= 2:
+                path, ok2 = "", True
+                for a in args[1:]:
+                    if len(a) == 1 and a[0].startswith("'"):
+                        el = a[0][1:-1]
+                        path += f"[{el}]" if el.isdigit() else "." + el
+                    elif len(a) == 1 and a[0].isdigit():
+                        path += f"[{a[0]}]"
+                    else:
+                        ok2 = False
+                if ok2:
+                    out += (["get_json_object", "(", "("] + args[0]
+                            + [")", ",", f"'${path}'", ")"])
+                    i = k + 1
+                    continue
+                out.append(t)
+                i += 1
+                continue
+            # row_to_json(ROW(a, b)) -> to_json(named_struct('f1', a,
+            # 'f2', b)) — PG's anonymous-record field names (json.c
+            # composite_to_json); other args / array_to_json -> to_json
+            if low in ("row_to_json", "array_to_json") and len(args) == 1:
+                a = args[0]
+                inner_call = (
+                    _fn_args(a, 0)
+                    if low == "row_to_json"
+                    and len(a) >= 2
+                    and _is_word(a[0], "row")
+                    and a[1] == "("
+                    else None
+                )
+                if inner_call is not None and inner_call[1] == len(a) - 1:
+                    body2: list[str] = []
+                    for j2, ra in enumerate(inner_call[0]):
+                        if j2:
+                            body2.append(",")
+                        body2 += [f"'f{j2 + 1}'", ","] + ra
+                    out += (["to_json", "(", "named_struct", "("]
+                            + body2 + [")", ")"])
+                else:
+                    out += ["to_json", "(", "("] + a + [")", ")"]
+                i = k + 1
+                continue
             # date_trunc millennium/century/decade (timestamp.c
             # timestamp_trunc DTK_MILLENNIUM..DTK_DECADE): Spark's
             # date_trunc returns NULL for these fields (silent wrong,
@@ -3629,6 +4094,7 @@ _TYPED_LITERAL_TYPES = {
     "text": "STRING", "varchar": "STRING", "bpchar": "STRING",
     "bool": "BOOLEAN", "boolean": "BOOLEAN",
     "timestamptz": "TIMESTAMP",
+    "char": "STRING", "name": "STRING",
 }
 
 
@@ -3690,11 +4156,24 @@ def _pg_date_literal(lit: str) -> str:
     return f"'{y:04d}-{mo:02d}-{d:02d}'"
 
 
+def _pg_ts_literal(lit: str) -> str:
+    """Normalize the DATE PART of a timestamp input literal the same
+    way date literals normalize ('2001/12/27 04:05:06.789-08' ->
+    '2001-12-27 04:05:06.789-08'); time-of-day and zone suffix pass
+    through for Spark's parser."""
+    body = lit[1:-1].strip()
+    sp = body.find(" ")
+    date_part, rest = (body, "") if sp == -1 else (body[:sp], body[sp:])
+    fixed = _pg_date_literal(f"'{date_part}'")[1:-1]
+    return f"'{fixed}{rest}'"
+
+
 def _pass_typed_literals(tokens: list[str]) -> list[str]:
     """``<typename> '<literal>'`` -> ``CAST('<literal>' AS <type>)``;
     ``double precision '<literal>'`` and the multi-word
     ``timestamp [with|without] time zone '<literal>'`` forms likewise;
-    ``date '<literal>'`` normalizes PG's flexible date input to ISO."""
+    ``date``/``timestamp`` literals normalize PG's flexible date input
+    to ISO."""
     out: list[str] = []
     i = 0
     n = len(tokens)
@@ -3722,14 +4201,24 @@ def _pass_typed_literals(tokens: list[str]) -> list[str]:
             and _is_word(tokens[i + 3], "zone")
             and tokens[i + 4].startswith("'")
         ):
+            lit5 = _pg_ts_literal(tokens[i + 4])
             if tokens[i + 1].lower() == "with":
-                out += ["CAST", "(", tokens[i + 4], "AS", "TIMESTAMP", ")"]
+                lit5 = _normalize_ts_zone_literal(lit5)
+                out += ["CAST", "(", lit5, "AS", "TIMESTAMP", ")"]
             else:
-                out += ["timestamp", tokens[i + 4]]
+                out += ["timestamp", lit5]
             i += 5
             continue
         if low == "date" and i + 1 < n and tokens[i + 1].startswith("'"):
             out += ["date", _pg_date_literal(tokens[i + 1])]
+            i += 2
+            continue
+        if (
+            low == "timestamp"
+            and i + 1 < n
+            and tokens[i + 1].startswith("'")
+        ):
+            out += ["timestamp", _pg_ts_literal(tokens[i + 1])]
             i += 2
             continue
         if (
@@ -3739,7 +4228,7 @@ def _pass_typed_literals(tokens: list[str]) -> list[str]:
         ):
             lit = tokens[i + 1]
             if low == "timestamptz":
-                lit = _normalize_ts_zone_literal(lit)
+                lit = _normalize_ts_zone_literal(_pg_ts_literal(lit))
             out += ["CAST", "(", lit, "AS",
                     _TYPED_LITERAL_TYPES[low], ")"]
             i += 2
@@ -3962,6 +4451,7 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_bytea_literals(tokens)
     tokens = _pass_typed_literals(tokens)
     tokens = _pass_date_interval_ts(tokens)
+    tokens = _pass_interval_literals(tokens)
     tokens = _pass_like_escape(tokens)
     tokens = _pass_distinct_on(tokens)
     tokens = _pass_jsonb_ops(tokens)
@@ -3977,10 +4467,13 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_misc_funcs(tokens)
     tokens = _pass_hypothetical_set(tokens)
     tokens = _pass_json_srf(tokens)
+    tokens = _pass_variadic(tokens)
+    tokens = _pass_concat_precedence(tokens)
     tokens = _pass_any_all(tokens)
     tokens = _pass_between_symmetric(tokens)
     tokens = _pass_at_time_zone(tokens)
     tokens = _pass_array_syntax(tokens)
+    tokens = _pass_array_elem_concat(tokens)
     tokens = _pass_dow_fields(tokens)
     tokens = _pass_num_nulls(tokens)
     tokens = _pass_similar_to(tokens)

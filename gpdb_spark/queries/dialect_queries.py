@@ -1021,3 +1021,41 @@ _pg_query(
     ORDER BY k
     """,
 )
+
+
+# Regress-probe batch 6 (interval/text/arrays/json files): PG interval
+# input through the DecodeInterval triple (fractional units spill
+# exactly — '1.5 days' = 36 hours; mixed year-month + day-time builds
+# a CalendarInterval), full format() conversion specs (positional n$,
+# minimum-width padding, VARIADIC), scalar-vs-array quantifiers via
+# exists/forall (PG three-valued results), ARRAY[..] || elem append,
+# nested /* */ comments, and to_json builders. The oracle spells each
+# PG semantic in DuckDB vocabulary (DuckDB's own format() is {}-style,
+# its || on arrays stringifies — see pg_regress_probe.py header).
+_pg_query(
+    "pg_interval_format_forms",
+    """
+    SELECT /* nested /* comment */ ok */ o_orderkey::int8 AS k,
+           o_orderdate + interval '1.5 days' AS d_frac,
+           (o_orderdate + interval '2 mons 3 days')::date AS d_mixed,
+           format('%2$s:%1$s', o_orderpriority, o_orderkey % 5) AS fmt,
+           (o_orderkey % 7) = any (array[1,2,3]) AS in_small,
+           (o_orderkey % 7) > all (array[1,2]) AS gt_all,
+           array_to_string(array[o_orderkey % 10] || (o_orderkey % 7), ',') AS arr_app
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY k
+    """,
+    oracle="""
+    SELECT o_orderkey::int8 AS k,
+           o_orderdate + INTERVAL 36 HOUR AS d_frac,
+           (o_orderdate + INTERVAL 2 MONTH + INTERVAL 3 DAY)::date AS d_mixed,
+           (o_orderkey % 5)::varchar || ':' || o_orderpriority AS fmt,
+           (o_orderkey % 7) IN (1,2,3) AS in_small,
+           (o_orderkey % 7) > 2 AS gt_all,
+           array_to_string([o_orderkey % 10, o_orderkey % 7], ',') AS arr_app
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY k
+    """,
+)

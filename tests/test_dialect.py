@@ -1203,3 +1203,107 @@ class TestDatetimeForms:
         ).collect()[0]
         assert str(row.a) == "2004-02-23 00:00:00"
         assert str(row.b) == "2004-02-29 01:02:03"
+
+
+class TestRegressBatch6:
+    """Round-6 regress-probe batch: intervals, format spec, array
+    quantifiers, comments, variadic, JSON builders. PG-faithful values
+    pinned from src/test/regress/expected (interval.out, text.out,
+    arrays.out, json.out)."""
+
+    def test_interval_fractional_and_units(self, spark):
+        from gpdb_spark.dialect import pg_sql
+        import datetime
+
+        row = pg_sql(
+            spark,
+            "SELECT interval '1.5 weeks' AS a,"
+            " '3 days 5 milliseconds'::interval AS b,"
+            " '1 day 1 day'::interval AS c,"
+            " interval '@ 0.70 secs' AS d,"
+            " '1:20:05 5 microseconds'::interval AS e,"
+            " interval '500' AS f",
+        ).collect()[0]
+        assert row.a == datetime.timedelta(days=10, hours=12)
+        assert row.b == datetime.timedelta(days=3, microseconds=5000)
+        assert row.c == datetime.timedelta(days=2)
+        assert row.d == datetime.timedelta(microseconds=700000)
+        assert row.e == datetime.timedelta(seconds=4805, microseconds=5)
+        assert row.f == datetime.timedelta(seconds=500)
+
+    def test_interval_mixed_arithmetic(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT timestamp '2001-12-27 00:00:00'"
+            " + interval '1 year 2 mons 3 days 04:05:06.699999' AS a,"
+            " timestamp '2001-12-27 00:00:00'"
+            " - interval '1 day 2 hours ago' AS b,"
+            " date '1991-02-03' + interval '1.5 months' AS c",
+        ).collect()[0]
+        # mixed year-month + day-time inputs build a CalendarInterval:
+        # full arithmetic, PG-exact fraction spill (1.5 mons = 1 mon
+        # 15 days; 'ago' negates)
+        assert str(row.a) == "2003-03-02 04:05:06.699999"
+        assert str(row.b) == "2001-12-28 02:00:00"
+        assert str(row.c) == "1991-03-18 00:00:00"
+
+    def test_format_positional_width_variadic(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT format('%1$s %3$s', 1, 2, 3) AS a,"
+            " format('Hello %s %1$s %s', 'World', 'again') AS b,"
+            " format('>>%1$10s<<', 'Hello') AS c,"
+            " format('>>%-10s<<', NULL) AS d,"
+            " format('%2$s, %1$s', variadic array[1, 2]) AS e",
+        ).collect()[0]
+        assert row.a == "1 3"
+        # positional resets the cursor: %s after %1$s reads arg 2
+        assert row.b == "Hello World World again"
+        assert row.c == ">>     Hello<<"
+        assert row.d == ">>          <<"
+        assert row.e == "2, 1"
+
+    def test_array_quantifiers_and_append(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT 33.4 = any (array[1,2,3]) AS a,"
+            " 33.4 > all (array[1,2,3]) AS b,"
+            " 33 = any (null::int[]) AS c,"
+            " array[1,2] || 3 AS d,"
+            " 0 || array[1,2] || 3 AS e",
+        ).collect()[0]
+        assert (row.a, row.b, row.c) == (False, True, None)
+        assert row.d == [1, 2, 3]
+        assert row.e == [0, 1, 2, 3]
+
+    def test_comments_and_concat_precedence(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT /* block /* nested */ ok */ 'x' AS a, -- tail\n"
+            " 'four: ' || 2+2 AS b, concat(variadic array[1,2,3]) AS c,"
+            " concat_ws(',', variadic array[1,2,3]) AS d",
+        ).collect()[0]
+        # PG: || binds below +, so the sum happens first
+        assert (row.a, row.b) == ("x", "four: 4")
+        assert (row.c, row.d) == ("123", "1,2,3")
+
+    def test_json_builders(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT row_to_json(row(1,'foo')) AS a,"
+            " array_to_json(array[1,2,3]) AS b,"
+            " json_extract_path('{\"f2\":{\"f3\":1}}','f2','f3') AS c",
+        ).collect()[0]
+        assert row.a == '{"f1":1,"f2":"foo"}'
+        assert row.b == "[1,2,3]"
+        assert row.c == "1"

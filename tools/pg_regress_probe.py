@@ -57,6 +57,8 @@ CANDIDATES = [
     "date", "timestamp", "timestamptz", "interval", "case", "boolean",
     "text", "char", "varchar", "numerology", "oid", "comments",
     "expressions", "horology", "arrays", "json", "jsonb",
+    "bit", "money", "regex", "inet", "macaddr", "uuid", "tstypes",
+    "union", "limit",
 ]
 
 
