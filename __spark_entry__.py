@@ -61,6 +61,7 @@ DRIVER_PRIORITY: list[str] = [
     "pg_regress_fixes",
     "pg_datetime_forms",
     "pg_interval_format_forms",
+    "pg_bit_literals",
     # oldest green rows (drv1) — freshness re-checks
     "q01_pricing_summary",
     "q03_shipping_priority",

@@ -161,6 +161,18 @@ def _lex(sql: str) -> list[str]:
                     and prev_end == m.start()
                 ):
                     out.pop()  # E'...': Spark interprets escapes natively
+                elif (
+                    out
+                    and out[-1].lower() == "b"
+                    and len(out[-1]) == 1
+                    and prev_end == m.start()
+                    and all(c in "01" for c in tok[1:-1])
+                ):
+                    # B'0101' bit-string literal (varbit.c bit_in):
+                    # modeled as its PG text rendering — =, ||,
+                    # POSITION, substring compose textually; malformed
+                    # digits keep the B prefix for a loud parse error
+                    out.pop()
                 else:
                     tok = tok.replace("\\", "\\\\")
             out.append(tok)

@@ -1059,3 +1059,32 @@ _pg_query(
     ORDER BY k
     """,
 )
+
+
+# B'...' bit-string literals (varbit.c bit_in) — modeled as PG's text
+# rendering, so =, ||, POSITION, substring compose textually. The
+# oracle writes the same text literals directly (DuckDB's own B''
+# handling stringifies differently — probe header).
+_pg_query(
+    "pg_bit_literals",
+    """
+    SELECT n_nationkey::int8 AS k,
+           position(B'1010' IN B'00001010')::int8 AS pos_hit,
+           position(B'1010' IN B'0000101')::int8 AS pos_miss,
+           (B'0010' || B'1111') AS cat,
+           (B'1010' = B'1010') AS eq,
+           substring(B'01101101' from 3 for 4) AS mid
+    FROM nation
+    ORDER BY k
+    """,
+    oracle="""
+    SELECT n_nationkey::int8 AS k,
+           position('1010' IN '00001010')::int8 AS pos_hit,
+           position('1010' IN '0000101')::int8 AS pos_miss,
+           '0010' || '1111' AS cat,
+           '1010' = '1010' AS eq,
+           substring('01101101' from 3 for 4) AS mid
+    FROM nation
+    ORDER BY k
+    """,
+)

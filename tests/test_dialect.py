@@ -1307,3 +1307,32 @@ class TestRegressBatch6:
         assert row.a == '{"f1":1,"f2":"foo"}'
         assert row.b == "[1,2,3]"
         assert row.c == "1"
+
+
+class TestBitLiterals:
+    """B'...' bit-string literals (varbit.c bit_in) — values pinned
+    from src/test/regress/expected/bit.out."""
+
+    def test_bit_position_concat(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT position(B'1010' IN B'00001010') AS hit,"
+            " position(B'1010' IN B'0000101') AS miss,"
+            " position(B'' IN B'00001010') AS empty_needle,"
+            " position(B'0' IN B'') AS empty_hay,"
+            " B'0010' || B'1111' AS cat,"
+            " B'1010' = B'1010' AS eq",
+        ).collect()[0]
+        assert (row.hit, row.miss) == (5, 0)
+        assert (row.empty_needle, row.empty_hay) == (1, 0)
+        assert row.cat == "00101111"
+        assert row.eq is True
+
+    def test_malformed_bit_literal_is_loud(self, spark):
+        import pytest as _pt
+        from gpdb_spark.dialect import pg_sql
+
+        with _pt.raises(Exception):
+            pg_sql(spark, "SELECT B'0102'").collect()
