@@ -377,6 +377,34 @@ def _pass_json_ops(tokens: list[str]) -> list[str]:
         t = tokens[i]
         if t in ("->", "->>", "#>", "#>>") and i + 1 < n:
             rhs = tokens[i + 1]
+            # NULL path (strict operators, jsonfuncs.c): j -> NULL is
+            # NULL; the cast pass has already turned null::text into
+            # CAST(NULL AS STRING)
+            null_end = None
+            if _is_word(rhs, "null"):
+                null_end = i + 2
+            elif (
+                _is_word(rhs, "cast")
+                and i + 3 < n
+                and tokens[i + 2] == "("
+                and _is_word(tokens[i + 3], "null")
+            ):
+                depth2, k2 = 0, i + 2
+                while k2 < n:
+                    if tokens[k2] == "(":
+                        depth2 += 1
+                    elif tokens[k2] == ")":
+                        depth2 -= 1
+                        if depth2 == 0:
+                            break
+                    k2 += 1
+                null_end = k2 + 1
+            if null_end is not None:
+                lhs_start = _operand_start(out + [t], len(out))
+                out = out[:lhs_start] + ["CAST", "(", "NULL", "AS",
+                                         "STRING", ")"]
+                i = null_end
+                continue
             if t in ("#>", "#>>"):
                 if not rhs.startswith("'"):
                     out.append(t)
@@ -1226,7 +1254,8 @@ def _pass_functions(tokens: list[str]) -> list[str]:
             # MINIMUM (no truncation), right-aligned, '-' left-aligns.
             # *-widths and malformed specs fall through to a loud
             # UNRESOLVED_ROUTINE instead of a silent wrong answer.
-            spec = _re2.compile(r"%(?:(\d+)\$)?(-?)(\d+)?([sIL])|%(%)")
+            spec = _re2.compile(
+                r"%(?:(\d+)\$)?(-?)(\d+|\*(?:\d+\$)?)?([sIL])|%(%)")
             parts, ai, ok, pos = [], 0, True, 0
             while pos < len(fmt):
                 pct = fmt.find("%", pos)
@@ -1247,6 +1276,28 @@ def _pass_functions(tokens: list[str]) -> list[str]:
                     parts.append("'%'")
                     continue
                 argpos, minus, width, conv = m2.group(1, 2, 3, 4)
+                # '*' width consumes the next sequential argument (or
+                # '*n$' a positional one) BEFORE the value argument —
+                # text_format's runtime-width path; NULL width is 0,
+                # negative width left-aligns on |width|
+                wexpr = None
+                if width and width.startswith("*"):
+                    if width == "*":
+                        if ai >= len(args):
+                            ok = False
+                            break
+                        wexpr = args[ai]
+                        ai += 1
+                    else:
+                        # '*n$' SETS the argument cursor to n and
+                        # advances past it (varlena.c: arg = widthpos;
+                        # ... arg++), so the value reads arg n+1
+                        wp = int(width[1:-1])
+                        if not 1 <= wp <= len(args):
+                            ok = False
+                            break
+                        wexpr = args[wp - 1]
+                        ai = wp
                 if argpos is not None:
                     if int(argpos) < 1:
                         ok = False
@@ -1263,7 +1314,17 @@ def _pass_functions(tokens: list[str]) -> list[str]:
                     v = _quote_sql(a, True)
                 else:
                     v = f"coalesce({_quote_sql(a, False)}, 'NULL')"
-                if width:
+                if wexpr is not None:
+                    w = f"coalesce(CAST({wexpr} AS INT), 0)"
+                    if minus:
+                        v = (f"rpad({v}, greatest(abs({w}), "
+                             f"length({v})), ' ')")
+                    else:
+                        v = (f"CASE WHEN {w} < 0 THEN rpad({v}, "
+                             f"greatest(-({w}), length({v})), ' ') "
+                             f"ELSE lpad({v}, greatest({w}, "
+                             f"length({v})), ' ') END")
+                elif width:
                     pad = "rpad" if minus else "lpad"
                     v = (f"{pad}({v}, greatest({int(width)}, "
                          f"length({v})), ' ')")
@@ -3390,6 +3451,73 @@ _MAKE_INTERVAL_FIELDS = ["years", "months", "weeks", "days", "hours",
                          "mins", "secs"]
 
 
+def _json_escape(s: str) -> str:
+    out = []
+    for ch in s:
+        if ch in '"\\':
+            out.append("\\" + ch)
+        elif ord(ch) < 0x20:
+            out.append(f"\\u{ord(ch):04x}")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _json_object_const(args: list[list[str]]) -> str | None:
+    """json_object over LITERAL brace arrays (jsonfuncs.c json_object /
+    json_object_two_arg): the result is a compile-time constant —
+    PG's exact rendering is ``{"k" : "v", ...}`` with every value a
+    JSON string. One arg: flat alternating {k,v,...} or 2-D
+    {{k,v},...}. Returns None (loud fall-through) on non-literals,
+    odd/mismatched lengths, or NULL keys — the cases PG errors on."""
+    lits = []
+    for a in args:
+        if len(a) != 1 or not a[0].startswith("'"):
+            return None
+        lits.append(a[0][1:-1].strip())
+    pairs: list[tuple[str, str | None]] = []
+    if len(lits) == 1:
+        body = lits[0]
+        if body.startswith("{{") and body.endswith("}}"):
+            inner = body[1:-1]
+            # split '{k,v},{k,v}' on the commas BETWEEN braces
+            chunks = re.split(r"\}\s*,\s*\{", inner.strip("{}"))
+            for ch in chunks:
+                kv = _split_pg_array_literal(ch)
+                if kv is None or len(kv) != 2:
+                    return None
+                pairs.append((kv[0], kv[1]))
+        else:
+            flat = _split_pg_array_literal(body.strip("{}"))
+            if flat is None or len(flat) % 2:
+                return None
+            pairs = list(zip(flat[0::2], flat[1::2]))
+    elif len(lits) == 2:
+        ks = _split_pg_array_literal(lits[0].strip("{}"))
+        vs = _split_pg_array_literal(lits[1].strip("{}"))
+        if ks is None or vs is None or len(ks) != len(vs):
+            return None
+        if len(ks) == 1 and ks[0] == "" and vs[0] == "":
+            ks = vs = []
+        pairs = list(zip(ks, vs))
+    else:
+        return None
+
+    def unq(e: str) -> str | None:
+        if e == "NULL":
+            return None
+        return e[1:-1] if e.startswith('"') and e.endswith('"') else e
+
+    items = []
+    for k, v in pairs:
+        ku, vu = unq(k), unq(v)
+        if ku is None:
+            return None  # NULL key: PG errors
+        vr = "null" if vu is None else f'"{_json_escape(vu)}"'
+        items.append(f'"{_json_escape(ku)}" : {vr}')
+    return "{" + ", ".join(items) + "}"
+
+
 def _pass_misc_funcs(tokens: list[str]) -> list[str]:
     """Small PG function forms Spark spells differently (the round-6
     idiom probe's third batch):
@@ -3424,10 +3552,22 @@ def _pass_misc_funcs(tokens: list[str]) -> list[str]:
             "regexp_split_to_array", "regexp_split_to_table",
             "date_trunc", "make_timestamptz",
             "json_extract_path", "json_extract_path_text",
-            "row_to_json", "array_to_json",
+            "row_to_json", "array_to_json", "json_object",
         ) else None
         if call is not None:
             args, k = call
+            if low == "json_object":
+                const = _json_object_const(args)
+                if const is not None:
+                    # double backslashes: Spark's literal parser
+                    # interprets escapes, PG's rendering is raw text
+                    out.append("'" + const.replace("\\", "\\\\")
+                               .replace("'", "''") + "'")
+                    i = k + 1
+                    continue
+                out.append(t)
+                i += 1
+                continue
             # json_extract_path[_text](j, 'k1', 'k2', ...) with literal
             # path elements -> one get_json_object (the same target the
             # -> / ->> operators compile to; jsonfuncs.c get_path_all).

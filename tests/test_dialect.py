@@ -1336,3 +1336,59 @@ class TestBitLiterals:
 
         with _pt.raises(Exception):
             pg_sql(spark, "SELECT B'0102'").collect()
+
+
+class TestFormatStarJsonObject:
+    """Star-width format specs and json_object literals — values pinned
+    from text.out / json.out."""
+
+    def test_star_width_specs(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT format('>>%*s<<', 10, 'Hello') AS a,"
+            " format('>>%*1$s<<', 10, 'Hello') AS b,"
+            " format('>>%2$*1$L<<', 10, 'Hello') AS c,"
+            " format('>>%2$*1$L<<', -10, NULL) AS d,"
+            " format('>>%2$*1$L<<', NULL, 'Hello') AS e",
+        ).collect()[0]
+        # '*n$' sets the cursor (varlena.c arg = widthpos; arg++), so
+        # b pads 'Hello', not '10'; NULL width means no padding;
+        # negative width left-aligns
+        assert row.a == ">>     Hello<<"
+        assert row.b == ">>     Hello<<"
+        assert row.c == ">>   'Hello'<<"
+        assert row.d == ">>NULL      <<"
+        assert row.e == ">>'Hello'<<"
+
+    def test_json_object_literals(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT json_object('{a,b,c,\"d e f\"}','{1,2,3,\"a b c\"}') AS two,"
+            " json_object('{{a,1},{b,2},{3,NULL},{\"d e f\",\"a b c\"}}') AS twod,"
+            " json_object('{a,b,\"\",\"d e f\"}','{1,2,3,\"a b c\"}') AS emptyk",
+        ).collect()[0]
+        assert row.two == '{"a" : "1", "b" : "2", "c" : "3", "d e f" : "a b c"}'
+        assert row.twod == '{"a" : "1", "b" : "2", "3" : null, "d e f" : "a b c"}'
+        assert row.emptyk == '{"a" : "1", "b" : "2", "" : "3", "d e f" : "a b c"}'
+
+    def test_json_null_path_and_null_key_loud(self, spark):
+        import pytest as _pt
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT '{\"a\": 1}'::json -> null::text AS a,"
+            " '{\"a\": 1}'::json ->> null::int AS b",
+        ).collect()[0]
+        assert row.a is None and row.b is None
+        with _pt.raises(Exception):
+            # NULL object key: PG errors (json.out), the dialect
+            # refuses loudly rather than guessing
+            pg_sql(
+                spark,
+                "SELECT json_object('{a,NULL}','{1,2}')",
+            ).collect()
