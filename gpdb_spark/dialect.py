@@ -4255,6 +4255,18 @@ _PG_MONTHS = {
     "jul": 7, "aug": 8, "sep": 9, "oct": 10, "nov": 11, "dec": 12,
 }
 
+# DateStyle field order for ambiguous numeric date input (guc.c
+# datestyle; the ISO output half is fixed — Spark renders ISO). The
+# engine default matches PG's default ISO, MDY. Engine.sql's SET
+# datestyle handler switches this session-wide.
+_DATE_ORDER = "mdy"
+
+
+def set_date_order(order: str) -> None:
+    global _DATE_ORDER
+    if order.lower() in ("mdy", "dmy", "ymd"):
+        _DATE_ORDER = order.lower()
+
 
 def _pg_date_literal(lit: str) -> str:
     """Normalize a PG date-input literal (datetime.c DecodeDate under
@@ -4299,8 +4311,15 @@ def _pg_date_literal(lit: str) -> str:
         y, mo, d = int(f1), int(f2), int(f3)
         if len(f1) <= 2:
             y += 2000 if y < 70 else 1900
+    elif _DATE_ORDER == "ymd":
+        y, mo, d = int(f1), int(f2), int(f3)
+        if len(f1) <= 2:
+            y += 2000 if y < 70 else 1900
     else:
-        mo, d, y = int(f1), int(f2), int(f3)
+        if _DATE_ORDER == "dmy":
+            d, mo, y = int(f1), int(f2), int(f3)
+        else:
+            mo, d, y = int(f1), int(f2), int(f3)
         if len(f3) <= 2:
             y += 2000 if y < 70 else 1900
     if not (1 <= mo <= 12 and 1 <= d <= 31 and len(str(y)) <= 4):

@@ -334,14 +334,22 @@ class Engine:
             if not hasattr(self, "_gucs"):
                 self._gucs: dict[str, str] = {}
             if head == "reset":
-                self._gucs.pop(s.split(None, 1)[1].strip().lower(), None)
+                name = s.split(None, 1)[1].strip().lower()
+                self._gucs.pop(name, None)
+                if name in ("timezone", "time zone"):
+                    self.spark.conf.set("spark.sql.session.timeZone", "UTC")
+                elif name == "datestyle":
+                    from gpdb_spark.dialect import set_date_order
+                    set_date_order("mdy")
             else:
                 m = _re.match(
-                    r"(?is)^set\s+(?:session\s+|local\s+)?([\w.]+)\s*(?:to|=)\s*(.+)$",
+                    r"(?is)^set\s+(?:session\s+|local\s+)?"
+                    r"(time\s+zone|[\w.]+)\s*(?:to\s|=|\s)\s*(.+)$",
                     s,
                 )
                 if m:
                     name, val = m.group(1).lower(), m.group(2).strip().strip("'")
+                    name = "timezone" if name.startswith("time") else name
                     self._gucs[name] = val
                     if name == "gp_resource_group":
                         self.set_resource_group(val)
@@ -350,6 +358,27 @@ class Engine:
                         self.spark.conf.set(
                             "spark.sql.shuffle.partitions", val
                         )
+                    elif name == "timezone":
+                        # SET TIME ZONE takes real effect: Spark's
+                        # session zone governs timestamptz rendering
+                        # and AT-TIME-ZONE-free casts exactly like
+                        # PG's TimeZone GUC. LOCAL/DEFAULT restore the
+                        # engine default (UTC); PG abbreviations map
+                        # through the tznames/Default table.
+                        from gpdb_spark.dialect import _TZ_ABBREVS
+                        if val.lower() in ("local", "default"):
+                            zone = "UTC"
+                        else:
+                            zone = _TZ_ABBREVS.get(val.lower(), val)
+                        self.spark.conf.set(
+                            "spark.sql.session.timeZone", zone)
+                        self._gucs[name] = zone
+                    elif name == "datestyle":
+                        # guc.c: only the input field order matters
+                        # here (output is fixed ISO, like Spark)
+                        from gpdb_spark.dialect import set_date_order
+                        for part in val.replace(",", " ").split():
+                            set_date_order(part)
             return self.spark.createDataFrame([("SET",)], "status string")
         if head == "show":
             name = s.split(None, 1)[1].strip().lower()

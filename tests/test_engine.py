@@ -761,3 +761,57 @@ def test_execute_unknown_prepared_statement_errors(spark, sf_dir):
     eng = Engine(spark, sf_dir)
     with pytest.raises(ValueError, match='prepared statement "nosuch"'):
         eng.sql("EXECUTE nosuch(1)")
+
+
+def test_set_time_zone_takes_effect(spark, sf_dir):
+    """SET TIME ZONE governs timestamptz rendering like PG's TimeZone
+    GUC (guc.c): the same instant shows as local wall-clock time."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    try:
+        eng.sql("SET TIME ZONE 'Europe/Moscow'")
+        # session-zone rendering happens IN-PLAN (cast to text), like
+        # PG's output function; PySpark's collect() converts with the
+        # JVM zone and is not the product surface
+        row = eng.sql(
+            "SELECT ('2011-03-26 21:00:00 UTC'::timestamptz)::text AS t"
+        ).collect()[0]
+        assert row.t == "2011-03-27 00:00:00"
+        shown = eng.sql("SHOW timezone").collect()[0]
+        assert shown.setting == "Europe/Moscow"
+        # abbreviation + LOCAL restore paths
+        eng.sql("SET TIME ZONE 'MSK'")
+        assert (
+            eng.sql("SHOW timezone").collect()[0].setting == "Europe/Moscow"
+        )
+        eng.sql("SET TIME ZONE LOCAL")
+        row = eng.sql(
+            "SELECT ('2011-03-26 21:00:00 UTC'::timestamptz)::text AS t"
+        ).collect()[0]
+        assert row.t == "2011-03-26 21:00:00"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_set_datestyle_field_order(spark, sf_dir):
+    """SET datestyle switches ambiguous-date input order (guc.c); the
+    regress date.sql runs the same literals under all three."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    try:
+        assert str(eng.sql("SELECT date '01/02/03' AS d").collect()[0].d) \
+            == "2003-01-02"
+        eng.sql("SET datestyle TO ISO, DMY")
+        assert str(eng.sql("SELECT date '01/02/03' AS d").collect()[0].d) \
+            == "2003-02-01"
+        eng.sql("SET datestyle = 'ISO, YMD'")
+        assert str(eng.sql("SELECT date '01/02/03' AS d").collect()[0].d) \
+            == "2001-02-03"
+        eng.sql("RESET datestyle")
+        assert str(eng.sql("SELECT date '01/02/03' AS d").collect()[0].d) \
+            == "2003-01-02"
+    finally:
+        from gpdb_spark.dialect import set_date_order
+        set_date_order("mdy")
