@@ -185,6 +185,90 @@ def _is_word(tok: str, *names: str) -> bool:
     return tok.isidentifier() and tok.lower() in names
 
 
+def _decode_uescape(body: str, esc: str) -> str:
+    """Decode a U&'...' body (scan.l xus state): esc+XXXX is a 4-hex
+    code point, esc+'+'+XXXXXX a 6-hex one, esc+esc a literal escape
+    char. Malformed sequences raise — PG errors on them too."""
+    out: list[str] = []
+    i = 0
+    n = len(body)
+    while i < n:
+        ch = body[i]
+        if ch != esc:
+            out.append(ch)
+            i += 1
+            continue
+        nxt = body[i + 1 : i + 2]
+        if nxt == esc:
+            out.append(esc)
+            i += 2
+        elif nxt == "+":
+            hexs = body[i + 2 : i + 8]
+            if len(hexs) != 6 or any(c not in "0123456789abcdefABCDEF"
+                                     for c in hexs):
+                raise ValueError(f"invalid Unicode escape: {body[i:i+8]!r}")
+            out.append(chr(int(hexs, 16)))
+            i += 8
+        else:
+            hexs = body[i + 1 : i + 5]
+            if len(hexs) != 4 or any(c not in "0123456789abcdefABCDEF"
+                                     for c in hexs):
+                raise ValueError(f"invalid Unicode escape: {body[i:i+5]!r}")
+            out.append(chr(int(hexs, 16)))
+            i += 5
+    return "".join(out)
+
+
+def _pass_unicode_literals(tokens: list[str]) -> list[str]:
+    """``U&'...' [UESCAPE 'c']`` strings and ``U&"..."`` identifiers
+    (scan.l xus/xui): decode the escape sequences into a plain literal
+    / quoted identifier. Runs first, so every later pass sees ordinary
+    tokens. PG requires adjacency of U& and the quote; token-level
+    matching is the closest spelling (a spaced ``u & 'x'`` bit-and of
+    a column named u against a string is not meaningful SQL)."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        if (
+            _is_word(tokens[i], "u")
+            and i + 2 < n
+            and tokens[i + 1] == "&"
+            and (tokens[i + 2].startswith("'")
+                 or tokens[i + 2].startswith('"'))
+        ):
+            tok = tokens[i + 2]
+            is_str = tok.startswith("'")
+            esc = "\\"
+            end = i + 3
+            if (
+                i + 4 < n
+                and _is_word(tokens[i + 3], "uescape")
+                and tokens[i + 4].startswith("'")
+            ):
+                esc_body = tokens[i + 4][1:-1]
+                if len(esc_body) != 1 or esc_body in "'\"+0123456789abcdefABCDEF \t":
+                    raise ValueError(f"invalid UESCAPE {esc_body!r}")
+                esc = esc_body
+                end = i + 5
+            body = tok[1:-1]
+            if is_str:
+                # the lexer doubled backslashes in the plain-literal
+                # token; undo before decoding, re-double after (the
+                # decoded text is a plain literal for Spark)
+                raw = body.replace("\\\\", "\\")
+                decoded = _decode_uescape(raw, esc)
+                out.append("'" + decoded.replace("\\", "\\\\") + "'")
+            else:
+                decoded = _decode_uescape(body, esc)
+                out.append('"' + decoded + '"')
+            i = end
+            continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
 # ---------------------------------------------------------------------------
 # type mapping for :: casts
 # ---------------------------------------------------------------------------
@@ -2819,6 +2903,36 @@ def _pass_at_time_zone(tokens: list[str]) -> list[str]:
     return out
 
 
+def _quant_array_tokens(arr: list[str]) -> list[str]:
+    """A quantifier RHS that is a single '{...}' brace-literal string
+    (parse_coerce.c resolving unknown to array): expand to an array
+    constructor so exists/forall can iterate it. Anything else passes
+    through unchanged."""
+    if len(arr) == 1 and arr[0].startswith("'"):
+        body = arr[0][1:-1].strip()
+        if body.startswith("{") and body.endswith("}"):
+            inner = body[1:-1].strip()
+            if not inner:
+                return ["array", "(", ")"]
+            elems = _split_pg_array_literal(inner)
+            if elems is not None:
+                toks = ["array", "("]
+                for j, e in enumerate(elems):
+                    if j:
+                        toks.append(",")
+                    if e.upper() == "NULL":
+                        toks.append("NULL")
+                    elif e.startswith('"') and e.endswith('"'):
+                        toks.append("'" + e[1:-1].replace("'", "''") + "'")
+                    elif re.fullmatch(r"[+-]?\d+(?:\.\d+)?", e):
+                        toks.append(e)
+                    else:
+                        toks.append("'" + e.replace("'", "''") + "'")
+                toks.append(")")
+                return toks
+    return arr
+
+
 def _pass_any_all(tokens: list[str]) -> list[str]:
     """Quantified comparisons (parse_oper.c make_scalar_array_op):
 
@@ -2896,7 +3010,7 @@ def _pass_any_all(tokens: list[str]) -> list[str]:
                     if depth == 0:
                         break
                 k += 1
-            arr = tokens[i + 3 : k]
+            arr = _quant_array_tokens(tokens[i + 3 : k])
             lhs_start = _operand_start(out + ["~"], len(out))
             lhs = out[lhs_start:]
             fn = "forall" if nxt.lower() == "all" else "exists"
@@ -2914,7 +3028,7 @@ def _pass_any_all(tokens: list[str]) -> list[str]:
         if (
             t.isidentifier()
             and t.lower() in ("like", "ilike")
-            and _is_word(nxt, "any")
+            and _is_word(nxt, "any", "some", "all")
             and nxt2 == "("
         ):
             depth, k = 0, i + 2
@@ -2926,16 +3040,24 @@ def _pass_any_all(tokens: list[str]) -> list[str]:
                     if depth == 0:
                         break
                 k += 1
-            inner = tokens[i + 3 : k]
+            inner = _quant_array_tokens(tokens[i + 3 : k])
+            negated = bool(out) and _is_word(out[-1], "not")
+            if negated:
+                out.pop()
             lhs_start = _operand_start(out + ["~"], len(out))
             lhs = out[lhs_start:]
+            fn = "forall" if nxt.lower() == "all" else "exists"
+            body = lhs + [t.upper(), "__p"]
+            if negated:
+                # x NOT LIKE ALL(a) == every element fails to match
+                body = ["NOT", "("] + body + [")"]
             out = (
                 out[:lhs_start]
-                + ["exists", "("]
+                + [fn, "("]
                 + inner
                 + [",", "__p", "->"]
-                + lhs
-                + [t.upper(), "__p", ")"]
+                + body
+                + [")"]
             )
             i = k + 1
             continue
@@ -3676,6 +3798,48 @@ def _pass_misc_funcs(tokens: list[str]) -> list[str]:
                 continue
             if (
                 low == "regexp_matches"
+                and len(args) == 3
+                and len(args[1]) == 1
+                and args[1][0].startswith("'")
+                and len(args[2]) == 1
+                and args[2][0].startswith("'")
+                and "g" in args[2][0]
+                and set(args[2][0][1:-1]) <= set("gim")
+            ):
+                # 'g' regexp_matches (regexp.c re_match computing ALL
+                # matches): regexp_extract_all collects every full
+                # match; per-match capture groups re-extract against
+                # the ^(?:pat)$-anchored pattern on the matched
+                # substring (exact for patterns whose groups don't
+                # depend on surrounding context — the PG idiom)
+                flags2 = "".join(c for c in args[2][0][1:-1] if c != "g")
+                pat_raw = _lit_decode(args[1][0])
+                if flags2:
+                    pat_raw = f"(?{flags2})" + pat_raw
+                pat_tok = _lit_encode(pat_raw)
+                anch_tok = _lit_encode("^(?:" + pat_raw + ")$")
+                g = _regex_group_count(pat_raw)
+                x = ["("] + args[0] + [")"]
+                alls = (["regexp_extract_all", "("] + x
+                        + [",", pat_tok, ",", "0", ")"])
+                if g == 0:
+                    out += (["explode", "(", "transform", "("] + alls
+                            + [",", "__m", "->", "array", "(", "__m",
+                               ")", ")", ")"])
+                else:
+                    groups2: list[str] = []
+                    for gi in range(1, g + 1):
+                        if gi > 1:
+                            groups2.append(",")
+                        groups2 += ["regexp_extract", "(", "__m", ",",
+                                    anch_tok, ",", str(gi), ")"]
+                    out += (["explode", "(", "transform", "("] + alls
+                            + [",", "__m", "->", "array", "("]
+                            + groups2 + [")", ")", ")"])
+                i = k + 1
+                continue
+            if (
+                low == "regexp_matches"
                 and len(args) in (2, 3)
                 and len(args[1]) == 1
                 and args[1][0].startswith("'")
@@ -3685,8 +3849,7 @@ def _pass_misc_funcs(tokens: list[str]) -> list[str]:
                 # non-'g' regexp_matches (regexp.c): SETOF text[] with
                 # ZERO rows on no match — explode of a 0/1-element
                 # array reproduces that; capture-group count is read
-                # from the literal pattern ('g' flag stays out of
-                # scope, loud)
+                # from the literal pattern
                 pat_tok = args[1][0]
                 if len(args) == 3 and args[2] == ["'i'"]:
                     pat_tok = _lit_encode("(?i)" + _lit_decode(pat_tok))
@@ -4615,6 +4778,7 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     ``int_cols`` — lowercase names of integer-typed columns (catalog type
     info), enabling the PG integer-`/` truncation rewrite."""
     tokens = _lex(sql)
+    tokens = _pass_unicode_literals(tokens)
     tokens = _pass_statement_forms(tokens)
     tokens = _pass_collate(tokens)
     tokens = _pass_quoted_idents(tokens)

@@ -1088,3 +1088,37 @@ _pg_query(
     ORDER BY k
     """,
 )
+
+
+# Regress batch 7: U&'...' unicode-escape literals (scan.l xus —
+# formerly a documented out-of-scope form), regexp_matches 'g' (ALL
+# matches via regexp_extract_all + per-match anchored group
+# re-extraction), LIKE/ILIKE ALL and NOT LIKE quantifiers, and
+# quantifiers over '{...}' brace-literal arrays with PG's three-valued
+# NULL-element results. DuckDB speaks none of these spellings — the
+# oracle re-expresses each semantic (strings.out / arrays.out values).
+_pg_query(
+    "pg_unicode_quantifier_forms",
+    """
+    SELECT n_nationkey::int8 AS k,
+           U&'d\\0061t\\0061' AS uni,
+           (n_name LIKE ALL (ARRAY['%A%', '%'])) AS like_all,
+           (n_name NOT LIKE ANY (ARRAY['%ZZZ%', '%QQQ%'])) AS nlike_any,
+           (n_nationkey = ANY ('{1,2,33}')) AS eq_any,
+           (n_nationkey = ANY ('{1,null,3}')) AS eq_any_null,
+           (SELECT count(*) FROM (SELECT regexp_matches(n_name, '([AEIOU])', 'g') AS m) v)::int8 AS vowels
+    FROM nation
+    ORDER BY k
+    """,
+    oracle="""
+    SELECT n_nationkey::int8 AS k,
+           'data' AS uni,
+           (n_name LIKE '%A%') AS like_all,
+           (NOT n_name LIKE '%ZZZ%' OR NOT n_name LIKE '%QQQ%') AS nlike_any,
+           (n_nationkey IN (1,2,33)) AS eq_any,
+           (CASE WHEN n_nationkey IN (1,3) THEN TRUE ELSE NULL END) AS eq_any_null,
+           length(regexp_replace(n_name, '[^AEIOU]', '', 'g'))::int8 AS vowels
+    FROM nation
+    ORDER BY k
+    """,
+)

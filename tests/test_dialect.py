@@ -1392,3 +1392,68 @@ class TestFormatStarJsonObject:
                 spark,
                 "SELECT json_object('{a,NULL}','{1,2}')",
             ).collect()
+
+
+class TestUnicodeRegexQuantifiers:
+    """U&'' literals, regexp_matches 'g', LIKE ALL / NOT LIKE
+    quantifiers, brace-literal quantifier arrays — pinned from
+    strings.out / arrays.out."""
+
+    def test_unicode_escape_literals(self, spark):
+        import pytest as _pt
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT U&'d\\0061t\\+000061' AS a,"
+            " U&'d!0061t!+000061' UESCAPE '!' AS b,"
+            " U&'backslash \\\\ ok' AS c",
+        ).collect()[0]
+        assert row.a == "data"
+        assert row.b == "data"
+        assert row.c == "backslash \\ ok"
+        with _pt.raises(Exception):
+            pg_sql(spark, "SELECT U&'wrong: \\061'")
+
+    def test_regexp_matches_global(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        rows = pg_sql(
+            spark,
+            "SELECT regexp_matches('foobarbequebazilbarfbonk',"
+            " $re$(b[^b]+)(b[^b]+)$re$, 'g') AS m",
+        ).collect()
+        assert [r.m for r in rows] == [["bar", "beque"], ["bazil", "barf"]]
+        rows2 = pg_sql(
+            spark,
+            "SELECT regexp_matches('aAbBab', 'a(b)', 'gi') AS m",
+        ).collect()
+        assert [r.m for r in rows2] == [["b"], ["b"]]
+
+    def test_like_quantifiers(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT 'foo' like all (array['f%', '%o']) AS a,"
+            " 'foo' like all (array['f%', '%b']) AS b,"
+            " 'foo' ilike all (array['F%', '%O']) AS c,"
+            " 'foo' not like all (array['%a', '%o']) AS d,"
+            " 'foo' not like any (array['%a', '%b']) AS e",
+        ).collect()[0]
+        assert (row.a, row.b, row.c, row.d, row.e) == (
+            True, False, True, False, True)
+
+    def test_brace_literal_quantifiers(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT 33 = any ('{1,2,33}') AS a,"
+            " 33 = any ('{1,null,3}') AS b,"
+            " 33 = all ('{33,null,33}') AS c,"
+            " 33 >= all ('{1,2,33}') AS d",
+        ).collect()[0]
+        # PG three-valued results (arrays.out): NULL elements decide
+        # only when no definite answer exists
+        assert (row.a, row.b, row.c, row.d) == (True, None, None, True)

@@ -112,6 +112,7 @@ def norm(rows) -> str:
 def main() -> None:
     max_files = int(sys.argv[1]) if len(sys.argv) > 1 else len(CANDIDATES)
     list_bad = "--list-disagree" in sys.argv
+    list_both = "--list-both" in sys.argv
 
     import duckdb
     sys.path.insert(0, "/root/repo")
@@ -123,6 +124,7 @@ def main() -> None:
     tallies: dict[str, dict[str, int]] = {}
     disagree: list[tuple[str, str]] = []
     engine_err: list[tuple[str, str]] = []
+    both_err: list[tuple[str, str]] = []
 
     for name in CANDIDATES[:max_files]:
         path = f"{REGRESS}/{name}.sql"
@@ -154,6 +156,7 @@ def main() -> None:
                 tally["ORACLE_ERR"] += 1
             else:
                 tally["BOTH_ERR"] += 1
+                both_err.append((name, s))
         tallies[name] = tally
         print(name, tally, flush=True)
 
@@ -167,6 +170,10 @@ def main() -> None:
             print(f"[{f}] {s}")
         print("\n== ENGINE_ERR ==")
         for f, s in engine_err[:400]:
+            print(f"[{f}] {s}")
+    if list_both:
+        print("\n== BOTH_ERR ==")
+        for f, s in both_err[:900]:
             print(f"[{f}] {s}")
 
 
