@@ -490,18 +490,58 @@ def _pass_json_ops(tokens: list[str]) -> list[str]:
                 i = null_end
                 continue
             if t in ("#>", "#>>"):
-                if not rhs.startswith("'"):
+                consumed = 2  # operator + literal rhs
+                if (
+                    _is_word(rhs, "array")
+                    and i + 2 < n
+                    and tokens[i + 2] == "["
+                ):
+                    # path as an ARRAY['f2','0'] constructor (the
+                    # other jsonfuncs.c spelling); literal elements
+                    # only — computed paths stay loud
+                    elems = []
+                    j2 = i + 3
+                    ok3 = True
+                    while j2 < n and tokens[j2] != "]":
+                        tk = tokens[j2]
+                        if tk == ",":
+                            pass
+                        elif tk.startswith("'"):
+                            elems.append(tk[1:-1])
+                        elif tk.isdigit():
+                            elems.append(tk)
+                        else:
+                            ok3 = False
+                            break
+                        j2 += 1
+                    if not ok3:
+                        out.append(t)
+                        i += 1
+                        continue
+                    consumed = j2 - i + 1
+                elif rhs.startswith("'"):
+                    elems = [
+                        e.strip()
+                        for e in rhs[1:-1].strip("{}").split(",")
+                        if e.strip()
+                    ]
+                else:
                     out.append(t)
                     i += 1
                     continue
-                elems = [
-                    e.strip()
-                    for e in rhs[1:-1].strip("{}").split(",")
-                    if e.strip()
-                ]
                 path = "".join(
                     f"[{e}]" if e.isdigit() else "." + e for e in elems
                 )
+                lhs_start = _operand_start(out + [t], len(out))
+                lhs = out[lhs_start:]
+                out = (
+                    out[:lhs_start]
+                    + ["get_json_object", "("]
+                    + lhs
+                    + [",", f"'${path}'", ")"]
+                )
+                i += consumed
+                continue
             else:
                 elem = _json_path_elem(rhs)
                 if elem is None:
@@ -4410,7 +4450,24 @@ _TYPED_LITERAL_TYPES = {
     "bool": "BOOLEAN", "boolean": "BOOLEAN",
     "timestamptz": "TIMESTAMP",
     "char": "STRING", "name": "STRING",
+    "json": "STRING", "jsonb": "STRING",
 }
+
+# bool input (bool.c parse_bool_with_len): unique PREFIXES of these
+# words are valid — 'tru' is true, 'of' is false, 'o' is ambiguous
+_BOOL_WORDS = [("true", "TRUE"), ("false", "FALSE"), ("yes", "TRUE"),
+               ("no", "FALSE"), ("on", "TRUE"), ("off", "FALSE"),
+               ("1", "TRUE"), ("0", "FALSE"), ("t", "TRUE"),
+               ("f", "FALSE")]
+
+
+def _pg_bool_literal(lit: str) -> str | None:
+    body = lit[1:-1].strip().lower()
+    if not body:
+        return None
+    hits = {kw for w, kw in _BOOL_WORDS if w.startswith(body)}
+    # 'on'/'off' prefix overlap: 'o' matches both -> ambiguous, error
+    return hits.pop() if len(hits) == 1 else None
 
 
 _PG_MONTHS = {
@@ -4554,6 +4611,21 @@ def _pass_typed_literals(tokens: list[str]) -> list[str]:
         ):
             out += ["timestamp", _pg_ts_literal(tokens[i + 1])]
             i += 2
+            continue
+        if (
+            low in ("bool", "boolean")
+            and i + 1 < n
+            and tokens[i + 1].startswith("'")
+        ):
+            kw = _pg_bool_literal(tokens[i + 1])
+            if kw is not None:
+                out.append(kw)
+                i += 2
+                continue
+            # not a valid bool input: leave for a loud parse error,
+            # matching boolin's ERROR
+            out.append(t)
+            i += 1
             continue
         if (
             low in _TYPED_LITERAL_TYPES

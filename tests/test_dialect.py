@@ -1457,3 +1457,37 @@ class TestUnicodeRegexQuantifiers:
         # PG three-valued results (arrays.out): NULL elements decide
         # only when no definite answer exists
         assert (row.a, row.b, row.c, row.d) == (True, None, None, True)
+
+
+class TestBoolJsonbLiterals:
+    """bool prefix input (bool.c parse_bool_with_len), json/jsonb typed
+    literals, #> ARRAY-constructor paths — boolean.out / jsonb.out."""
+
+    def test_bool_prefix_inputs(self, spark):
+        import pytest as _pt
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT bool 'of' AS a, bool 'tru' AS b, bool 'yeS' AS c,"
+            " bool 'n' AS d, bool '1' AS e",
+        ).collect()[0]
+        assert (row.a, row.b, row.c, row.d, row.e) == (
+            False, True, True, False, True)
+        for bad in ("o", "on_", "11", "nay", ""):
+            with _pt.raises(Exception):
+                pg_sql(spark, f"SELECT bool '{bad}'").collect()
+
+    def test_jsonb_typed_literal_and_array_path(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT jsonb '{\"a\":null, \"b\":\"qq\"}' ? 'a' AS a,"
+            " '{\"f2\":{\"f3\":1},\"f4\":{\"f6\":\"stringy\"}}'::jsonb"
+            "  #>> array['f4','f6'] AS b,"
+            " '{\"f2\":[\"f3\",1]}'::jsonb #> array['f2','1'] AS c",
+        ).collect()[0]
+        assert row.a is True
+        assert row.b == "stringy"
+        assert row.c == "1"
