@@ -162,6 +162,22 @@ def _lex(sql: str) -> list[str]:
                 ):
                     out.pop()  # E'...': Spark interprets escapes natively
                 elif (
+                    len(out) >= 2
+                    and out[-1] == "&"
+                    and out[-2].lower() == "u"
+                    and len(out[-2]) == 1
+                    and sql[m.start() - 2 : m.start()].lower() == "u&"
+                ):
+                    # U&'...' (scan.l xus): adjacency verified against
+                    # the SOURCE text, so a real ``col_u & 'str'``
+                    # bit-and never matches. Emit a single marker
+                    # token; _pass_unicode_literals decodes it (with
+                    # any trailing UESCAPE) — no backslash doubling
+                    # here, the decoder owns escape handling.
+                    out.pop()
+                    out.pop()
+                    tok = "U&" + m.group(0)
+                elif (
                     out
                     and out[-1].lower() == "b"
                     and len(out[-1]) == 1
@@ -175,6 +191,18 @@ def _lex(sql: str) -> list[str]:
                     out.pop()
                 else:
                     tok = tok.replace("\\", "\\\\")
+            elif (
+                m.lastgroup == "qident"
+                and len(out) >= 2
+                and out[-1] == "&"
+                and out[-2].lower() == "u"
+                and len(out[-2]) == 1
+                and sql[m.start() - 2 : m.start()].lower() == "u&"
+            ):
+                # U&"ident" (scan.l xui) — same marker-token scheme
+                out.pop()
+                out.pop()
+                tok = "U&" + m.group(0)
             out.append(tok)
             prev_end = m.end()
         i = m.end()
@@ -220,51 +248,40 @@ def _decode_uescape(body: str, esc: str) -> str:
 
 
 def _pass_unicode_literals(tokens: list[str]) -> list[str]:
-    """``U&'...' [UESCAPE 'c']`` strings and ``U&"..."`` identifiers
-    (scan.l xus/xui): decode the escape sequences into a plain literal
-    / quoted identifier. Runs first, so every later pass sees ordinary
-    tokens. PG requires adjacency of U& and the quote; token-level
-    matching is the closest spelling (a spaced ``u & 'x'`` bit-and of
-    a column named u against a string is not meaningful SQL)."""
+    """Decode the ``U&'...'`` / ``U&"..."`` marker tokens the lexer
+    emits (adjacency was verified against the source there), honoring
+    a trailing ``UESCAPE 'c'``, into a plain literal / quoted
+    identifier. Runs first, so every later pass sees ordinary
+    tokens."""
     out: list[str] = []
     i = 0
     n = len(tokens)
     while i < n:
-        if (
-            _is_word(tokens[i], "u")
-            and i + 2 < n
-            and tokens[i + 1] == "&"
-            and (tokens[i + 2].startswith("'")
-                 or tokens[i + 2].startswith('"'))
-        ):
-            tok = tokens[i + 2]
-            is_str = tok.startswith("'")
+        tok = tokens[i]
+        if tok.startswith("U&'") or tok.startswith('U&"'):
+            is_str = tok[2] == "'"
             esc = "\\"
-            end = i + 3
+            end = i + 1
             if (
-                i + 4 < n
-                and _is_word(tokens[i + 3], "uescape")
-                and tokens[i + 4].startswith("'")
+                i + 2 < n
+                and _is_word(tokens[i + 1], "uescape")
+                and tokens[i + 2].startswith("'")
             ):
-                esc_body = tokens[i + 4][1:-1]
+                esc_body = tokens[i + 2][1:-1]
                 if len(esc_body) != 1 or esc_body in "'\"+0123456789abcdefABCDEF \t":
                     raise ValueError(f"invalid UESCAPE {esc_body!r}")
                 esc = esc_body
-                end = i + 5
-            body = tok[1:-1]
+                end = i + 3
+            decoded = _decode_uescape(tok[3:-1], esc)
             if is_str:
-                # the lexer doubled backslashes in the plain-literal
-                # token; undo before decoding, re-double after (the
-                # decoded text is a plain literal for Spark)
-                raw = body.replace("\\\\", "\\")
-                decoded = _decode_uescape(raw, esc)
+                # decoded text is a PLAIN literal for Spark: double
+                # backslashes so its parser reads them literally
                 out.append("'" + decoded.replace("\\", "\\\\") + "'")
             else:
-                decoded = _decode_uescape(body, esc)
                 out.append('"' + decoded + '"')
             i = end
             continue
-        out.append(tokens[i])
+        out.append(tok)
         i += 1
     return out
 

@@ -1491,3 +1491,12 @@ class TestBoolJsonbLiterals:
         assert row.a is True
         assert row.b == "stringy"
         assert row.c == "1"
+
+
+def test_spaced_u_ampersand_is_not_unicode_literal():
+    """``col_u & 'str'`` with spaces must stay a bit-and expression —
+    U& adjacency is verified against the SOURCE text in the lexer."""
+    from gpdb_spark.dialect import translate
+
+    assert "u & 'str'" in translate("SELECT u & 'str' FROM t")
+    assert "'data'" in translate("SELECT U&'d\\0061t\\0061'")
