@@ -15,6 +15,8 @@ Maps the reference's user surface onto the library:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -406,6 +408,139 @@ class Engine:
                 else:
                     self._comments[key] = m.group(3).replace("''", "'")
                 return self.spark.createDataFrame([("COMMENT",)], "status string")
+        # -- maintenance statements as SQL text (vacuumlazy.c /
+        # analyze.c / tablecmds.c ExecuteTruncate) -----------------------
+        if head == "vacuum":
+            m = _re.match(
+                r"(?is)^vacuum(?:\s+full|\s+freeze|\s+verbose|\s+analyze)*"
+                r"(?:\s+([\w.\"]+))?\s*$",
+                s,
+            )
+            if m:
+                do_analyze = " analyze" in s.lower() or s.lower().startswith("vacuum analyze")
+                names = (
+                    [_fold_ident(m.group(1).strip('"'))]
+                    if m.group(1)
+                    else list(self._tables)
+                )
+                for nm in names:
+                    gp = self._tables.get(nm)
+                    if gp is not None:
+                        # real effect: small-file compaction (the AO
+                        # segment-rewrite analog, GpTable.vacuum)
+                        gp.vacuum(self.spark)
+                        self._refresh(nm)
+                    if do_analyze:
+                        self._analyze_any(nm)
+                return self.spark.createDataFrame(
+                    [("VACUUM",)], "status string")
+        if head == "analyze":
+            m = _re.match(
+                r"(?is)^analyze(?:\s+verbose)?(?:\s+([\w.\"]+)"
+                r"(?:\s*\(([^)]*)\))?)?\s*$",
+                s,
+            )
+            if m:
+                names = (
+                    [_fold_ident(m.group(1).strip('"'))]
+                    if m.group(1)
+                    else list(self._tables)
+                )
+                cols = (
+                    [c.strip() for c in m.group(2).split(",")]
+                    if m.group(2)
+                    else None
+                )
+                for nm in names:
+                    self._analyze_any(nm, cols)
+                return self.spark.createDataFrame(
+                    [("ANALYZE",)], "status string")
+        if head == "truncate":
+            m = _re.match(
+                r"(?is)^truncate\s+(?:table\s+)?(?:only\s+)?(.+?)"
+                r"(?:\s+restart\s+identity|\s+continue\s+identity"
+                r"|\s+cascade|\s+restrict)*\s*$",
+                s,
+            )
+            if m:
+                for part in m.group(1).split(","):
+                    nm = _fold_ident(part.strip().strip('"'))
+                    gp = self._tables.get(nm)
+                    if gp is None:
+                        raise ValueError(
+                            f'cannot TRUNCATE "{nm}": not an '
+                            "engine-governed table"
+                        )
+                    gp.truncate(self.spark)
+                    self._refresh(nm)
+                return self.spark.createDataFrame(
+                    [("TRUNCATE TABLE",)], "status string")
+        # CREATE [TEMP] TABLE name (column defs) [DISTRIBUTED ...]
+        # (tablecmds.c DefineRelation): an empty governed GpTable with
+        # the declared schema — INSERT/UPDATE/DELETE/TRUNCATE/VACUUM
+        # then work against it. Column constraints (NOT NULL, PRIMARY
+        # KEY, DEFAULT ...) are recorded-not-enforced like GRANT; CHECK
+        # constraints enforce via the AssertOp path only when added
+        # through the API. CTAS and Spark-native DDL pass through below.
+        m = _re.match(
+            r"(?is)^create\s+(?:temp\s+|temporary\s+|unlogged\s+)?table\s+"
+            r"(?:if\s+not\s+exists\s+)?([\w.\"]+)\s*\((.+)\)\s*"
+            r"(?:distributed\s+by\s*\(([^)]*)\)|distributed\s+randomly"
+            r"|(distributed\s+replicated))?\s*$",
+            s,
+        )
+        if m and not _re.search(r"(?is)\)\s*as\s+select", s):
+            name = _fold_ident(m.group(1).strip('"'))
+            coldefs, ok = [], True
+            for cd in _split_top(m.group(2)):
+                words = cd.strip().split()
+                if not words:
+                    continue
+                headw = words[0].lower()
+                if headw in ("primary", "unique", "check", "constraint",
+                             "foreign", "like", "exclude"):
+                    continue  # table-level constraint: recorded only
+                colname = _fold_ident(words[0].strip('"'))
+                tw = []
+                for w in words[1:]:
+                    if w.lower() in ("not", "null", "primary", "unique",
+                                     "default", "check", "references",
+                                     "generated", "collate"):
+                        break
+                    tw.append(w)
+                if not tw:
+                    ok = False
+                    break
+                from gpdb_spark.dialect import _lex as _dlex, \
+                    _map_type as _dmap
+                toks = _dlex(" ".join(tw))
+                try:
+                    spark_type, after = _dmap(toks, 0)
+                except Exception:
+                    ok = False
+                    break
+                coldefs.append(f"{colname} {spark_type}")
+            if ok and coldefs:
+                import uuid as _uuid
+                dist = None
+                if m.group(3):
+                    dist = tuple(
+                        _fold_ident(c.strip().strip('"'))
+                        for c in m.group(3).split(",")
+                    )
+                path = os.path.join(
+                    "spark-warehouse", "engine_tables",
+                    f"{name}_{_uuid.uuid4().hex[:8]}",
+                )
+                empty = self.spark.createDataFrame(
+                    [], ", ".join(coldefs))
+                self.create_table(
+                    name, empty, path,
+                    distributed_by=dist,
+                    replicated=bool(m.group(4)),
+                )
+                return self.spark.createDataFrame(
+                    [("CREATE TABLE",)], "status string")
         # portals as SQL text (gram.y DeclareCursorStmt / FetchStmt /
         # ClosePortalStmt — what a ported psql script actually sends):
         # DECLARE name [BINARY] [INSENSITIVE] [[NO] SCROLL] CURSOR
@@ -543,6 +678,20 @@ class Engine:
             )
         else:
             self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+
+    def _analyze_any(self, name: str, columns: list[str] | None = None) -> None:
+        """ANALYZE front door: catalog-registered tables get real Spark
+        statistics; temp-view-backed names (fixture views, governed
+        GpTables) get a computed row count recorded in ``_table_stats``
+        — the pg_class.reltuples analog (analyze.c acquire_sample_rows'
+        headline number). An unknown name raises from the scan."""
+        try:
+            self.analyze(name, columns)
+        except Exception:
+            self._table_stats = getattr(self, "_table_stats", {})
+            self._table_stats[name] = {
+                "reltuples": self.table(name).count()
+            }
 
     # -- prepared statements (extended query protocol, SURVEY §3.2) ----------
 

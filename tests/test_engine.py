@@ -815,3 +815,46 @@ def test_set_datestyle_field_order(spark, sf_dir):
     finally:
         from gpdb_spark.dialect import set_date_order
         set_date_order("mdy")
+
+
+def test_maintenance_statements_sql(spark, sf_dir, tmp_path):
+    """VACUUM / ANALYZE / TRUNCATE / CREATE TABLE (coldefs) as SQL text
+    (vacuumlazy.c, analyze.c, tablecmds.c ExecuteTruncate and
+    DefineRelation): the statements every ported maintenance script
+    emits."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql(
+        "CREATE TEMP TABLE mt1 (a int, b text NOT NULL,"
+        " c numeric(10,2) DEFAULT 0, PRIMARY KEY (a))"
+        " DISTRIBUTED BY (a)"
+    )
+    assert eng.table("mt1").count() == 0
+    assert [f.dataType.simpleString() for f in eng.table("mt1").schema.fields] \
+        == ["int", "string", "decimal(10,2)"]
+    eng.insert_into(
+        "mt1",
+        spark.sql("SELECT 1 a, 'x' b, CAST(1.5 AS DECIMAL(10,2)) c"),
+    )
+    # many small inserts -> VACUUM compacts the files (AO compaction
+    # analog); row content is untouched
+    for i in range(2, 5):
+        eng.insert_into(
+            "mt1",
+            spark.sql(f"SELECT {i} a, 'y' b, CAST(0 AS DECIMAL(10,2)) c"),
+        )
+    assert eng.sql("VACUUM FULL ANALYZE mt1").collect()[0].status == "VACUUM"
+    assert eng.table("mt1").count() == 4
+    assert eng._table_stats["mt1"]["reltuples"] == 4
+    # ANALYZE of a fixture view records the reltuples analog
+    eng.sql("ANALYZE nation")
+    assert eng._table_stats["nation"]["reltuples"] == 25
+    # TRUNCATE empties but keeps the schema; fixture views refuse
+    eng.sql("TRUNCATE mt1")
+    assert eng.table("mt1").count() == 0
+    assert len(eng.table("mt1").schema.fields) == 3
+    with _pt.raises(ValueError, match="not an engine-governed"):
+        eng.sql("TRUNCATE nation")
