@@ -638,6 +638,21 @@ class Engine:
             return self.spark.createDataFrame(
                 [("DEALLOCATE",)], "status string"
             )
+        # DML against a governed table routes through execute_dml (the
+        # ExecModifyTable path: placement, triggers, copy-on-write,
+        # view refresh) instead of Spark's file-source passthrough,
+        # which would write files behind the GpTable's back. The
+        # command-tag row mirrors PG's "INSERT 0 n" / "UPDATE n".
+        if head in ("insert", "update", "delete"):
+            dm = _re.match(
+                r"(?is)^(?:insert\s+into|update|delete\s+from)\s+"
+                r"(\w+)", s)
+            if dm and _fold_ident(dm.group(1)) in self._tables:
+                n = self.execute_dml(s)
+                tag = {"insert": f"INSERT 0 {n}", "update": f"UPDATE {n}",
+                       "delete": f"DELETE {n}"}[head]
+                return self.spark.createDataFrame(
+                    [(tag,)], "status string")
         cm = _re.match(
             r"(?is)^create\s+type\s+([\w.]+)\s+as\s+enum\s*\((.*)\)\s*$", s
         )

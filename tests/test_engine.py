@@ -858,3 +858,27 @@ def test_maintenance_statements_sql(spark, sf_dir, tmp_path):
     assert len(eng.table("mt1").schema.fields) == 3
     with _pt.raises(ValueError, match="not an engine-governed"):
         eng.sql("TRUNCATE nation")
+
+
+def test_dml_sql_routes_through_governed_path(spark, sf_dir):
+    """INSERT/UPDATE/DELETE as single SQL statements route through
+    execute_dml (ExecModifyTable: placement, triggers, copy-on-write)
+    and return PG command tags — not Spark's file-source passthrough,
+    which would write behind the GpTable's back."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("CREATE TEMP TABLE dmlt (a int, b text) DISTRIBUTED BY (a)")
+    assert eng.sql(
+        "INSERT INTO dmlt VALUES (1, 'x'), (2, 'y')"
+    ).collect()[0].status == "INSERT 0 2"
+    assert eng.sql(
+        "INSERT INTO dmlt (b, a) VALUES ('z', 3)"
+    ).collect()[0].status == "INSERT 0 1"
+    assert eng.sql(
+        "UPDATE dmlt SET b = 'w' WHERE a = 2"
+    ).collect()[0].status == "UPDATE 1"
+    assert eng.sql("DELETE FROM dmlt WHERE a = 1").collect()[0].status \
+        == "DELETE 1"
+    assert sorted(tuple(r) for r in eng.table("dmlt").collect()) == [
+        (2, "w"), (3, "z")]
