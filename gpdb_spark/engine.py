@@ -475,6 +475,135 @@ class Engine:
                     self._refresh(nm)
                 return self.spark.createDataFrame(
                     [("TRUNCATE TABLE",)], "status string")
+        # ALTER TABLE (tablecmds.c): RENAME TO / RENAME COLUMN /
+        # ADD COLUMN / DROP COLUMN / SET DISTRIBUTED for governed
+        # tables. PG's rename is metadata-only; on parquet the column
+        # lives in the file footers, so ADD/DROP/RENAME COLUMN are
+        # copy-on-write rewrites through the same swap machinery as
+        # UPDATE (ALTER ... SET DISTRIBUTED is the reference's
+        # full-table redistribute and rewrites by design).
+        if head == "alter" and _re.match(r"(?is)^alter\s+table\s+", s):
+            at = _re.match(
+                r"(?is)^alter\s+table\s+(?:if\s+exists\s+)?(?:only\s+)?"
+                r'([\w."]+)\s+(.*)$', s)
+            gp = self._tables.get(
+                _fold_ident(at.group(1).strip('"'))) if at else None
+            if at and gp is not None:
+                from pyspark.sql import functions as Fn2
+                nm = _fold_ident(at.group(1).strip('"'))
+                action = at.group(2).strip()
+                ok_tag = self.spark.createDataFrame(
+                    [("ALTER TABLE",)], "status string")
+                m2 = _re.match(r"(?is)^rename\s+to\s+([\w\"]+)\s*$", action)
+                if m2:
+                    new = _fold_ident(m2.group(1).strip('"'))
+                    self._tables[new] = self._tables.pop(nm)
+                    self.spark.catalog.dropTempView(nm)
+                    self._refresh(new)
+                    return ok_tag
+                m2 = _re.match(
+                    r"(?is)^rename\s+(?:column\s+)?([\w\"]+)\s+to\s+"
+                    r"([\w\"]+)\s*$", action)
+                if m2:
+                    old = _fold_ident(m2.group(1).strip('"'))
+                    new = _fold_ident(m2.group(2).strip('"'))
+                    gp._rewrite(
+                        gp.read(self.spark).withColumnRenamed(old, new))
+                    if old in gp.policy.distkey:
+                        from gpdb_spark.storage import DistributionPolicy
+                        gp.policy = DistributionPolicy(
+                            policytype=gp.policy.policytype,
+                            distkey=tuple(
+                                new if c == old else c
+                                for c in gp.policy.distkey),
+                        )
+                    self._refresh(nm)
+                    return ok_tag
+                m2 = _re.match(
+                    r"(?is)^add\s+(?:column\s+)?(?:if\s+not\s+exists\s+)?"
+                    r"([\w\"]+)\s+([\w\s(),]+?)"
+                    r"(?:\s+default\s+(.+?))?(?:\s+not\s+null)?\s*$",
+                    action)
+                if m2:
+                    col = _fold_ident(m2.group(1).strip('"'))
+                    from gpdb_spark.dialect import _lex as _dlex, \
+                        _map_type as _dmap, translate as _dtranslate
+                    spark_type, _after = _dmap(_dlex(m2.group(2)), 0)
+                    if m2.group(3):
+                        # DEFAULT fills existing rows (PG 11+ fast
+                        # default semantics, visible-value equivalent)
+                        expr_sql = _dtranslate(
+                            f"SELECT {m2.group(3)}").split("SELECT", 1)[1]
+                        val = Fn2.expr(expr_sql).cast(spark_type)
+                    else:
+                        val = Fn2.lit(None).cast(spark_type)
+                    gp._rewrite(
+                        gp.read(self.spark).withColumn(col, val))
+                    self._refresh(nm)
+                    return ok_tag
+                m2 = _re.match(
+                    r"(?is)^drop\s+(?:column\s+)?(?:if\s+exists\s+)?"
+                    r"([\w\"]+)\s*(?:cascade|restrict)?\s*$", action)
+                if m2:
+                    col = _fold_ident(m2.group(1).strip('"'))
+                    if col in gp.policy.distkey:
+                        raise ValueError(
+                            f'cannot drop distribution-key column "{col}"')
+                    gp._rewrite(gp.read(self.spark).drop(col))
+                    self._refresh(nm)
+                    return ok_tag
+                m2 = _re.match(
+                    r"(?is)^set\s+distributed\s+"
+                    r"(?:by\s*\(([^)]*)\)|(randomly)|(replicated))\s*$",
+                    action)
+                if m2:
+                    keys = tuple(
+                        _fold_ident(c.strip().strip('"'))
+                        for c in m2.group(1).split(",")
+                    ) if m2.group(1) else None
+                    gp.alter_distribution(
+                        self.spark, distributed_by=keys,
+                        replicated=bool(m2.group(3)))
+                    self._refresh(nm)
+                    return ok_tag
+        # COPY table FROM/TO 'file' (commands/copy.c) — the parallel
+        # CSV load (with the table's own schema) and unload spellings
+        if head == "copy":
+            m = _re.match(
+                r"(?is)^copy\s+(\(.+\)|[\w.\"]+)\s+(from|to)\s+"
+                r"'([^']+)'\s*(.*)$", s)
+            if m:
+                src, direction, fpath, opts = m.groups()
+                optsl = opts.lower()
+                header = "header" in optsl
+                dm = _re.search(r"delimiter\s+'(.)'", optsl)
+                delim = dm.group(1) if dm else ","
+                if direction.lower() == "to":
+                    df = (
+                        self.sql(src[1:-1])
+                        if src.startswith("(")
+                        else self.table(_fold_ident(src.strip('"')))
+                    )
+                    n = df.count()
+                    self.copy_to(df, fpath, header=header)
+                    return self.spark.createDataFrame(
+                        [(f"COPY {n}",)], "status string")
+                nm = _fold_ident(src.strip('"'))
+                gp = self._tables.get(nm)
+                if gp is None:
+                    raise ValueError(
+                        f'COPY FROM target "{nm}" is not an '
+                        "engine-governed table")
+                from gpdb_spark.operators.external import \
+                    read_external_csv
+                res = read_external_csv(
+                    self.spark, fpath, gp.read(self.spark).schema,
+                    header, delim, None)
+                n = res.good.count()
+                gp.insert_into(res.good)
+                self._refresh(nm)
+                return self.spark.createDataFrame(
+                    [(f"COPY {n}",)], "status string")
         # CREATE [TEMP] TABLE name (column defs) [DISTRIBUTED ...]
         # (tablecmds.c DefineRelation): an empty governed GpTable with
         # the declared schema — INSERT/UPDATE/DELETE/TRUNCATE/VACUUM
@@ -484,7 +613,7 @@ class Engine:
         # through the API. CTAS and Spark-native DDL pass through below.
         m = _re.match(
             r"(?is)^create\s+(?:temp\s+|temporary\s+|unlogged\s+)?table\s+"
-            r"(?:if\s+not\s+exists\s+)?([\w.\"]+)\s*\((.+)\)\s*"
+            r"(?:if\s+not\s+exists\s+)?([\w.\"]+)\s*\((.+?)\)\s*"
             r"(?:distributed\s+by\s*\(([^)]*)\)|distributed\s+randomly"
             r"|(distributed\s+replicated))?\s*$",
             s,

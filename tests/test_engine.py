@@ -882,3 +882,41 @@ def test_dml_sql_routes_through_governed_path(spark, sf_dir):
         == "DELETE 1"
     assert sorted(tuple(r) for r in eng.table("dmlt").collect()) == [
         (2, "w"), (3, "z")]
+
+
+def test_alter_table_and_copy_sql(spark, sf_dir, tmp_path):
+    """ALTER TABLE RENAME/ADD/DROP/SET DISTRIBUTED and COPY FROM/TO as
+    SQL text (tablecmds.c, commands/copy.c). Column changes are
+    copy-on-write rewrites (parquet footers own the names); DEFAULT
+    fills existing rows."""
+    import pytest as _pt
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("CREATE TEMP TABLE alt1 (a int, b text) DISTRIBUTED BY (a)")
+    eng.sql("INSERT INTO alt1 VALUES (1,'x'), (2,'y')")
+    eng.sql("ALTER TABLE alt1 ADD COLUMN c numeric(8,2) DEFAULT 1.5")
+    rows = {tuple(r) for r in eng.table("alt1").collect()}
+    assert all(str(r[2]) == "1.50" for r in rows)
+    # distkey drop refuses while hash-distributed
+    with _pt.raises(ValueError, match="distribution-key"):
+        eng.sql("ALTER TABLE alt1 DROP COLUMN a")
+    eng.sql("ALTER TABLE alt1 RENAME COLUMN b TO label")
+    eng.sql("ALTER TABLE alt1 DROP COLUMN c")
+    eng.sql("ALTER TABLE alt1 RENAME TO alt2")
+    assert eng.table("alt2").columns == ["a", "label"]
+    assert "alt2" in eng._tables and "alt1" not in eng._tables
+    out = str(tmp_path / "unload_dir")
+    tag = eng.sql(
+        "COPY (SELECT n_nationkey, n_name FROM nation"
+        " WHERE n_nationkey < 3) TO '" + out + "' CSV HEADER"
+    ).collect()[0].status
+    assert tag == "COPY 3"
+    eng.sql("CREATE TEMP TABLE cpl (n_nationkey bigint, n_name text)")
+    tag = eng.sql(
+        "COPY cpl FROM '" + out + "' CSV HEADER"
+    ).collect()[0].status
+    assert tag == "COPY 3"
+    assert eng.table("cpl").count() == 3
+    with _pt.raises(ValueError, match="engine-governed"):
+        eng.sql("COPY nation FROM '" + out + "' CSV HEADER")
