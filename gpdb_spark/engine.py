@@ -386,6 +386,152 @@ class Engine:
             name = s.split(None, 1)[1].strip().lower()
             val = getattr(self, "_gucs", {}).get(name, "")
             return self.spark.createDataFrame([(name, val)], "name string, setting string")
+        # CREATE/DROP INDEX (indexcmds.c): parquet has no index AMs
+        # (SURVEY §2.1 — zone-map/row-group pruning replaces them), so
+        # the definition is RECORDED for introspection like GRANT, and
+        # a clustered-index intent is realizable through CLUSTER below.
+        if head == "create" and _re.match(
+                r"(?is)^create\s+(?:unique\s+)?index\b", s):
+            m = _re.match(
+                r"(?is)^create\s+(?:unique\s+)?index\s+"
+                r"(?:concurrently\s+)?(?:if\s+not\s+exists\s+)?"
+                r"([\w\"]+)\s+on\s+([\w.\"]+)\s*(?:using\s+\w+\s*)?"
+                r"\(([^)]*)\)",
+                s,
+            )
+            if m:
+                self._indexes = getattr(self, "_indexes", {})
+                self._indexes[_fold_ident(m.group(1).strip('"'))] = {
+                    "table": _fold_ident(m.group(2).strip('"')),
+                    "columns": [c.strip() for c in m.group(3).split(",")],
+                }
+                return self.spark.createDataFrame(
+                    [("CREATE INDEX",)], "status string")
+        if head == "drop" and _re.match(r"(?is)^drop\s+index\b", s):
+            m = _re.match(
+                r"(?is)^drop\s+index\s+(?:concurrently\s+)?"
+                r"(?:if\s+exists\s+)?([\w\"]+)", s)
+            if m:
+                getattr(self, "_indexes", {}).pop(
+                    _fold_ident(m.group(1).strip('"')), None)
+                return self.spark.createDataFrame(
+                    [("DROP INDEX",)], "status string")
+        # CLUSTER table [USING index] (cluster.c): the real physical
+        # reorder — range-partition + in-partition sort on the index's
+        # columns so row-group min/max stats prune at scan time
+        if head == "cluster":
+            m = _re.match(
+                r"(?is)^cluster\s+(?:verbose\s+)?([\w.\"]+)"
+                r"(?:\s+using\s+([\w\"]+))?\s*$", s)
+            if m:
+                nm = _fold_ident(m.group(1).strip('"'))
+                gp = self._tables.get(nm)
+                if gp is None:
+                    raise ValueError(
+                        f'cannot CLUSTER "{nm}": not an engine-governed'
+                        " table")
+                idx = getattr(self, "_indexes", {}).get(
+                    _fold_ident((m.group(2) or "").strip('"')))
+                if idx is None:
+                    raise ValueError(
+                        "CLUSTER needs USING <index> naming a recorded"
+                        " index (CREATE INDEX first)")
+                gp.cluster_by(self.spark, idx["columns"])
+                self._refresh(nm)
+                return self.spark.createDataFrame(
+                    [("CLUSTER",)], "status string")
+        # CREATE [OR REPLACE] [TEMP] VIEW name AS query (view.c
+        # DefineView) — logical, re-planned at every use via create_view
+        if head == "create" and _re.match(
+                r"(?is)^create\s+(?:or\s+replace\s+)?"
+                r"(?:temp(?:orary)?\s+)?view\b", s):
+            m = _re.match(
+                r"(?is)^create\s+(?:or\s+replace\s+)?"
+                r"(?:temp(?:orary)?\s+)?view\s+([\w.\"]+)\s+as\s+(.+)$",
+                s,
+            )
+            if m:
+                self.create_view(
+                    _fold_ident(m.group(1).strip('"')), m.group(2).strip()
+                )
+                return self.spark.createDataFrame(
+                    [("CREATE VIEW",)], "status string")
+        # CREATE MATERIALIZED VIEW name AS query (matview.c
+        # ExecCreateTableAs): eager materialization to parquet under the
+        # warehouse; WITH NO DATA (an unpopulated, unscannable matview)
+        # has no lazy analog here and refuses loudly
+        if head == "create" and _re.match(
+                r"(?is)^create\s+materialized\s+view\b", s):
+            if _re.search(r"(?is)\bwith\s+no\s+data\s*$", s):
+                raise ValueError(
+                    "CREATE MATERIALIZED VIEW ... WITH NO DATA is not "
+                    "supported: materialization is eager here (drop the "
+                    "clause, or REFRESH after create)")
+            m = _re.match(
+                r"(?is)^create\s+materialized\s+view\s+"
+                r"(?:if\s+not\s+exists\s+)?([\w.\"]+)\s+as\s+(.+?)"
+                r"(?:\s+with\s+data)?\s*$",
+                s,
+            )
+            if m:
+                import uuid as _uuid
+                nm = _fold_ident(m.group(1).strip('"'))
+                path = os.path.join(
+                    "spark-warehouse", "engine_matviews",
+                    f"{nm}_{_uuid.uuid4().hex[:8]}",
+                )
+                self.create_materialized_view(nm, m.group(2).strip(), path)
+                return self.spark.createDataFrame(
+                    [("CREATE MATERIALIZED VIEW",)], "status string")
+        # REFRESH MATERIALIZED VIEW [CONCURRENTLY] name (matview.c
+        # ExecRefreshMatView): recompute + swap; CONCURRENTLY is a lock
+        # discipline with no analog under per-statement snapshots
+        if head == "refresh":
+            m = _re.match(
+                r"(?is)^refresh\s+materialized\s+view\s+"
+                r"(?:concurrently\s+)?([\w.\"]+)\s*$", s)
+            if m:
+                nm = _fold_ident(m.group(1).strip('"'))
+                if nm not in getattr(self, "_matviews", {}):
+                    raise ValueError(
+                        f'"{nm}" is not a materialized view')
+                self.refresh_materialized_view(nm)
+                return self.spark.createDataFrame(
+                    [("REFRESH MATERIALIZED VIEW",)], "status string")
+        # DROP TABLE / VIEW / MATERIALIZED VIEW [IF EXISTS] name[, ...]
+        # [CASCADE|RESTRICT] (tablecmds.c RemoveRelations +
+        # dependency.c): RESTRICT (the default) refuses when a recorded
+        # view depends on the relation; CASCADE drops dependents too
+        if head == "drop" and _re.match(
+                r"(?is)^drop\s+(?:table|(?:materialized\s+)?view)\b", s):
+            m = _re.match(
+                r"(?is)^drop\s+(table|materialized\s+view|view)\s+"
+                r"(if\s+exists\s+)?(.+?)(\s+cascade|\s+restrict)?\s*$",
+                s,
+            )
+            if m:
+                kind = " ".join(m.group(1).lower().split())
+                if_exists = bool(m.group(2))
+                cascade = (m.group(4) or "").strip().lower() == "cascade"
+                for part in m.group(3).split(","):
+                    nm = _fold_ident(part.strip().strip('"'))
+                    self._drop_relation(nm, kind, if_exists, cascade)
+                return self.spark.createDataFrame(
+                    [(f"DROP {kind.upper()}",)], "status string")
+        # EXPLAIN [ANALYZE] [VERBOSE] query (explain.c): one text row
+        # per plan line, Motion vocabulary included — PG's result shape
+        if head == "explain":
+            m = _re.match(
+                r"(?is)^explain\s+(?:\(([^)]*)\)\s+|"
+                r"((?:analyze\s+|verbose\s+)*))(.+)$", s)
+            if m:
+                opts = (m.group(1) or m.group(2) or "").lower()
+                body = m.group(3).strip()
+                txt = (self.explain_analyze(body)
+                       if "analyze" in opts else self.explain(body))
+                return self.spark.createDataFrame(
+                    [(line,) for line in txt.splitlines()],
+                    "`QUERY PLAN` string")
         if head in ("grant", "revoke"):
             # aclchk.c: single-tenant batch engine — privileges are
             # recorded for introspection, never enforced (the cluster
@@ -670,6 +816,57 @@ class Engine:
                 )
                 return self.spark.createDataFrame(
                     [("CREATE TABLE",)], "status string")
+        # CREATE [TEMP] TABLE name AS query [DISTRIBUTED BY (...)]
+        # (createas.c ExecCreateTableAs; the trailing distribution
+        # clause is the reference's CTAS grammar). WITH NO DATA refuses
+        # loudly like the matview form. PG's command tag is SELECT n.
+        m = _re.match(
+            r"(?is)^create\s+(?:temp\s+|temporary\s+|unlogged\s+)?table\s+"
+            r"(?:if\s+not\s+exists\s+)?([\w.\"]+)\s+as\s+(.+?)\s*"
+            r"(?:distributed\s+by\s*\(([^)]*)\)|distributed\s+randomly"
+            r"|(distributed\s+replicated))?\s*$",
+            s,
+        )
+        if m:
+            if _re.search(r"(?is)\bwith\s+no\s+data\s*$", m.group(2)):
+                raise ValueError(
+                    "CREATE TABLE AS ... WITH NO DATA is not supported: "
+                    "materialization is eager here (declare columns with "
+                    "CREATE TABLE instead)")
+            import uuid as _uuid
+            nm = _fold_ident(m.group(1).strip('"'))
+            body = _re.sub(r"(?is)\s+with\s+data\s*$", "", m.group(2))
+            df = self.sql(body)
+            dist = None
+            if m.group(3):
+                dist = tuple(
+                    _fold_ident(c.strip().strip('"'))
+                    for c in m.group(3).split(",")
+                )
+            path = os.path.join(
+                "spark-warehouse", "engine_tables",
+                f"{nm}_{_uuid.uuid4().hex[:8]}",
+            )
+            self.create_table(
+                nm, df, path,
+                distributed_by=dist, replicated=bool(m.group(4)),
+            )
+            n = self.table(nm).count()
+            return self.spark.createDataFrame(
+                [(f"SELECT {n}",)], "status string")
+        # SELECT ... INTO name FROM ... (gram.y select_into; the parser
+        # rewrites it to CTAS — same here). Matches the first top-level
+        # INTO after the select list; an INTO inside a string literal in
+        # the select list would mis-split (documented, loud downstream).
+        if head == "select":
+            m = _re.match(
+                r"(?is)^(select\s+.+?)\s+into\s+"
+                r"(?:temp(?:orary)?\s+|unlogged\s+)?(?:table\s+)?"
+                r"([\w.\"]+)\s+(from\s+.+)$", s)
+            if m:
+                return self.sql(
+                    f"CREATE TABLE {m.group(2)} AS "
+                    f"{m.group(1)} {m.group(3)}")
         # portals as SQL text (gram.y DeclareCursorStmt / FetchStmt /
         # ClosePortalStmt — what a ported psql script actually sends):
         # DECLARE name [BINARY] [INSENSITIVE] [[NO] SCROLL] CURSOR
@@ -949,6 +1146,58 @@ class Engine:
             for v in sorted(ready, key=order.index):
                 self.sql(views[v]).createOrReplaceTempView(v)
                 remaining.discard(v)
+
+    def _dependent_views(self, name: str) -> list[str]:
+        """Recorded logical views whose defining text references
+        ``name`` (dependency.c's pg_depend edges, recomputed on
+        demand). Matviews are snapshots — they keep serving after a
+        base drop, like the reference's materialized contents."""
+        views = getattr(self, "_views", {})
+        return [
+            v for v, t in views.items()
+            if v != name and name in self._view_deps(t)
+        ]
+
+    def _drop_relation(
+        self, nm: str, kind: str, if_exists: bool, cascade: bool
+    ) -> None:
+        """DROP TABLE/VIEW/MATERIALIZED VIEW core (tablecmds.c
+        RemoveRelations): RESTRICT refuses while a recorded view
+        depends on the relation; CASCADE drops dependents first.
+        Dropping a governed table or a matview reclaims its parquet
+        storage (performDeletion drops the relfilenode)."""
+        tables = self._tables
+        views = getattr(self, "_views", {})
+        mvs = getattr(self, "_matviews", {})
+        present = {
+            "table": nm in tables,
+            "view": nm in views,
+            "materialized view": nm in mvs,
+        }[kind]
+        if not present:
+            if if_exists:
+                return
+            raise ValueError(f'{kind} "{nm}" does not exist')
+        deps = self._dependent_views(nm)
+        if deps and not cascade:
+            raise ValueError(
+                f'cannot drop {kind} "{nm}": view "{deps[0]}" depends '
+                "on it (use CASCADE)")
+        for d in deps:
+            self._drop_relation(d, "view", True, True)
+        import shutil
+
+        if kind == "table":
+            shutil.rmtree(tables.pop(nm).path, ignore_errors=True)
+        elif kind == "view":
+            views.pop(nm)
+        else:
+            _text, path = mvs.pop(nm)
+            shutil.rmtree(path, ignore_errors=True)
+        try:
+            self.spark.catalog.dropTempView(nm)
+        except Exception:
+            pass
 
     def create_materialized_view(
         self, name: str, text: str, path: str

@@ -920,3 +920,107 @@ def test_alter_table_and_copy_sql(spark, sf_dir, tmp_path):
     assert eng.table("cpl").count() == 3
     with _pt.raises(ValueError, match="engine-governed"):
         eng.sql("COPY nation FROM '" + out + "' CSV HEADER")
+
+
+def test_create_index_and_cluster_sql(spark, sf_dir):
+    """CREATE INDEX records the definition (parquet row-group pruning
+    replaces index AMs); CLUSTER ... USING performs the real physical
+    reorder through GpTable.cluster_by."""
+    import pytest as _pt
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("CREATE TEMP TABLE ct (k int, v text) DISTRIBUTED BY (k)")
+    for i in (5, 3, 1, 4, 2):
+        eng.sql(f"INSERT INTO ct VALUES ({i}, 'v{i}')")
+    assert eng.sql(
+        "CREATE INDEX ct_k_idx ON ct USING btree (k)"
+    ).collect()[0].status == "CREATE INDEX"
+    assert eng._indexes["ct_k_idx"]["columns"] == ["k"]
+    eng.sql("CLUSTER ct USING ct_k_idx")
+    assert eng._tables["ct"].sort_by == ("k",)
+    assert eng.table("ct").count() == 5
+    with _pt.raises(ValueError, match="CREATE INDEX first"):
+        eng.sql("CLUSTER ct USING nosuch")
+    eng.sql("DROP INDEX ct_k_idx")
+    assert "ct_k_idx" not in eng._indexes
+
+
+def test_view_and_matview_sql(spark, sf_dir):
+    """CREATE/DROP VIEW + MATERIALIZED VIEW + REFRESH as SQL text, with
+    dependency-aware RESTRICT/CASCADE (tablecmds.c RemoveRelations +
+    dependency.c)."""
+    import pytest as _pt
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql(
+        "CREATE VIEW v_nat AS SELECT n_regionkey, count(*)::int8 AS n "
+        "FROM nation GROUP BY n_regionkey")
+    assert eng.sql("SELECT * FROM v_nat").count() == 5
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv_nat AS "
+        "SELECT * FROM v_nat WHERE n >= 5 WITH DATA")
+    assert "mv_nat" in eng._matviews
+    base = eng.sql("SELECT * FROM mv_nat").count()
+    assert base == 5
+    eng.sql("CREATE VIEW v_top AS SELECT max(n) AS top FROM mv_nat")
+    eng.sql("REFRESH MATERIALIZED VIEW mv_nat")
+    assert eng.sql("SELECT * FROM v_top").collect()[0].top == 5
+    # RESTRICT (default) refuses while v_top depends on mv_nat
+    with _pt.raises(ValueError, match="depends"):
+        eng.sql("DROP MATERIALIZED VIEW mv_nat")
+    eng.sql("DROP MATERIALIZED VIEW mv_nat CASCADE")
+    assert "v_top" not in eng._views and "mv_nat" not in eng._matviews
+    eng.sql("DROP VIEW v_nat")
+    with _pt.raises(ValueError, match="does not exist"):
+        eng.sql("DROP VIEW v_nat")
+    eng.sql("DROP VIEW IF EXISTS v_nat")  # no-op, no raise
+    with _pt.raises(ValueError, match="WITH NO DATA"):
+        eng.sql("CREATE MATERIALIZED VIEW m2 AS SELECT 1 AS x WITH NO DATA")
+
+
+def test_ctas_select_into_drop_table_sql(spark, sf_dir):
+    """CREATE TABLE AS (createas.c, GPDB trailing DISTRIBUTED BY) and
+    SELECT INTO rewrite; DROP TABLE reclaims storage."""
+    import os as _os
+
+    import pytest as _pt
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tag = eng.sql(
+        "CREATE TABLE ct_as AS SELECT n_nationkey AS k, n_name "
+        "FROM nation WHERE n_regionkey = 0 DISTRIBUTED BY (k)"
+    ).collect()[0].status
+    assert tag.startswith("SELECT ")
+    assert eng._tables["ct_as"].policy.distkey == ("k",)
+    n = eng.table("ct_as").count()
+    assert n == int(tag.split()[1]) and n > 0
+    eng.sql(
+        "SELECT n_nationkey AS k INTO ct_into FROM nation "
+        "WHERE n_regionkey = 1")
+    assert eng.table("ct_into").count() > 0
+    path = eng._tables["ct_as"].path
+    eng.sql("DROP TABLE ct_as")
+    assert "ct_as" not in eng._tables and not _os.path.exists(path)
+    eng.sql("DROP TABLE IF EXISTS ct_as")
+    with _pt.raises(ValueError, match="does not exist"):
+        eng.sql("DROP TABLE ct_as")
+    eng.sql("DROP TABLE ct_into")
+
+
+def test_explain_sql_text(spark, sf_dir):
+    """EXPLAIN [ANALYZE] as SQL text returns PG's one-text-column
+    QUERY PLAN shape with the Motion vocabulary."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    rows = eng.sql(
+        "EXPLAIN SELECT n_regionkey, count(*) FROM nation "
+        "GROUP BY n_regionkey").collect()
+    assert rows and rows[0].__fields__ == ["QUERY PLAN"]
+    txt = "\n".join(r["QUERY PLAN"] for r in rows)
+    assert "Motion" in txt or "Aggregate" in txt or "HashAggregate" in txt
+    rows2 = eng.sql("EXPLAIN ANALYZE SELECT count(*) AS c FROM region")
+    assert rows2.count() > 0
