@@ -63,6 +63,7 @@ DRIVER_PRIORITY: list[str] = [
     "pg_interval_format_forms",
     "pg_bit_literals",
     "pg_unicode_quantifier_forms",
+    "pg_interval_qualifiers",
     # oldest green rows (drv1) — freshness re-checks
     "q01_pricing_summary",
     "q03_shipping_priority",

@@ -18,6 +18,10 @@ pandas UDFs (dedup / similarity / multimodal operators).
 
 __version__ = "0.1.0"
 
+from gpdb_spark import pyspark_compat as _pyspark_compat
+
+_pyspark_compat.install()  # ym-interval outputs fetch as PG interval text
+
 from gpdb_spark.session import get_spark
 from gpdb_spark.catalog import FIXTURE_TABLES, load_table, register_fixture_views
 from gpdb_spark.engine import Engine

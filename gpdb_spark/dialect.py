@@ -2532,6 +2532,7 @@ def _pg_interval_triple(body: str) -> tuple[int, int, int] | None:
     months = days = 0
     micros = 0.0
     neg_all = False
+    seen_unitless = False
     pos = 0
     body = body.strip().lower()
     while pos < len(body):
@@ -2565,7 +2566,20 @@ def _pg_interval_triple(body: str) -> tuple[int, int, int] | None:
         num = float(m.group(3))
         unit = m.group(4)
         if unit is None:
-            micros += num * 1_000_000  # unitless trailing seconds
+            # DecodeInterval's unitless-number rule: days when a time
+            # field follows ('1 2:03:04' = 1 day 02:03:04), trailing
+            # seconds otherwise ('5' = 00:00:05). A SECOND unitless
+            # number ('123 11') is invalid input in PG — bail out so
+            # the caller leaves the literal for Spark's parser to
+            # refuse loudly instead of silently summing seconds.
+            if seen_unitless:
+                return None
+            seen_unitless = True
+            if re.match(r"[+-]?\d+:\d", body[pos:]):
+                days += int(num)
+                micros += (num - int(num)) * 86_400_000_000
+            else:
+                micros += num * 1_000_000
             continue
         hit = _IVL_UNITS.get(unit)
         if hit is None:
@@ -2593,6 +2607,41 @@ def _pg_interval_triple(body: str) -> tuple[int, int, int] | None:
     return months, days, int(round(micros))
 
 
+def _ivl_truncate_below(
+    triple: tuple[int, int, int], end_field: str
+) -> tuple[int, int, int]:
+    """AdjustIntervalForTypmod (timestamp.c): an ``INTERVAL 'lit' X TO
+    Y`` (or single-field) qualifier zeroes every component FINER than
+    the end field Y — '1 2:03:04' DAY TO HOUR keeps 1 day 02:00:00.
+    C-style truncation toward zero on negatives."""
+    months, days, micros = triple
+    if end_field in ("year", "years"):
+        return int(months / 12) * 12, 0, 0
+    if end_field in ("month", "months"):
+        return months, 0, 0
+    if end_field in ("day", "days"):
+        return months, days, 0
+    if end_field in ("hour", "hours"):
+        return months, days, int(micros / 3_600_000_000) * 3_600_000_000
+    if end_field in ("minute", "minutes"):
+        return months, days, int(micros / 60_000_000) * 60_000_000
+    return months, days, micros  # second: fractional seconds kept
+
+
+def _ivl_triple_tokens(months: int, days: int, micros: int) -> list[str]:
+    """Emit the constructor tokens for an interval triple (see
+    _interval_literal_tokens for the three type shapes)."""
+    sec = micros / 1_000_000
+    sec_s = f"{sec:.6f}".rstrip("0").rstrip(".") or "0"
+    if months == 0:
+        return ["make_dt_interval", "(", str(days), ",", "0", ",", "0",
+                ",", sec_s, ")"]
+    if days == 0 and micros == 0:
+        return ["INTERVAL", f"'{months}'", "MONTH"]
+    return ["make_interval", "(", "0", ",", str(months), ",", "0", ",",
+            str(days), ",", "0", ",", "0", ",", sec_s, ")"]
+
+
 def _interval_literal_tokens(lit: str) -> list[str] | None:
     """Rewrite an ``interval '<lit>'`` literal Spark cannot parse (or
     would mis-parse) into an equivalent constructor expression:
@@ -2608,16 +2657,7 @@ def _interval_literal_tokens(lit: str) -> list[str] | None:
     triple = _pg_interval_triple(lit[1:-1])
     if triple is None:
         return None
-    months, days, micros = triple
-    sec = micros / 1_000_000
-    sec_s = f"{sec:.6f}".rstrip("0").rstrip(".") or "0"
-    if months == 0:
-        return ["make_dt_interval", "(", str(days), ",", "0", ",", "0",
-                ",", sec_s, ")"]
-    if days == 0 and micros == 0:
-        return ["INTERVAL", f"'{months}'", "MONTH"]
-    return ["make_interval", "(", "0", ",", str(months), ",", "0", ",",
-            str(days), ",", "0", ",", "0", ",", sec_s, ")"]
+    return _ivl_triple_tokens(*triple)
 
 
 def _pass_date_interval_ts(tokens: list[str]) -> list[str]:
@@ -2809,21 +2849,112 @@ def _pass_interval_literals(tokens: list[str]) -> list[str]:
     n = len(tokens)
     while i < n:
         t = tokens[i]
+        # interval(p) '<lit>' — whole-literal seconds precision
+        # (anytimestamp_typmodin's p applied by AdjustIntervalForTypmod)
+        if (
+            _is_word(t, "interval")
+            and i + 4 < n
+            and tokens[i + 1] == "("
+            and tokens[i + 2].isdigit()
+            and tokens[i + 3] == ")"
+            and tokens[i + 4].startswith("'")
+        ):
+            triple = _pg_interval_triple(tokens[i + 4][1:-1])
+            if triple is not None:
+                mo, d, us = triple
+                scale = 10 ** (6 - min(int(tokens[i + 2]), 6))
+                us = int(round(us / scale)) * scale
+                out += _ivl_triple_tokens(mo, d, us)
+                i += 5
+                continue
         if (
             _is_word(t, "interval")
             and i + 1 < n
             and tokens[i + 1].startswith("'")
-            and not (
+        ):
+            suffix = (
                 i + 2 < n
                 and tokens[i + 2].isidentifier()
                 and tokens[i + 2].lower() in _IVL_SUFFIX_FIELDS
             )
-        ):
-            sub = _interval_literal_tokens(tokens[i + 1])
-            if sub is not None:
-                out += sub
-                i += 2
-                continue
+            # field-qualified forms (gram.y opt_interval +
+            # AdjustIntervalForTypmod): a bare number takes the single
+            # field as its unit ('1.5' month -> 1 mon 15 days); a
+            # structured literal parses normally and then zeroes fields
+            # finer than the end field ('1 2:03:04' DAY TO HOUR ->
+            # 1 day 02:00:00). second(p) precision forms stay native.
+            if suffix:
+                to_form = (
+                    i + 4 < n
+                    and _is_word(tokens[i + 3], "to")
+                    and tokens[i + 4].isidentifier()
+                    and tokens[i + 4].lower() in _IVL_SUFFIX_FIELDS
+                )
+                end_field = (tokens[i + 4] if to_form else tokens[i + 2])
+                end_field = end_field.lower()
+                skip = i + (5 if to_form else 3)
+                # second(p): round micros to p fractional digits
+                # (AdjustIntervalForTypmod's IntervalScales rounding)
+                precision = None
+                if (
+                    skip + 2 < n
+                    and tokens[skip] == "("
+                    and tokens[skip + 1].isdigit()
+                    and tokens[skip + 2] == ")"
+                    and end_field in ("second", "seconds")
+                ):
+                    precision = int(tokens[skip + 1])
+                    skip += 3
+                has_precision = skip < n and tokens[skip] == "("
+                body = tokens[i + 1][1:-1].strip()
+                sub = None
+                if not has_precision:
+                    triple = None
+                    start_f = tokens[i + 2].lower().rstrip("s")
+                    end_f = end_field.rstrip("s")
+                    # DecodeInterval's range-driven input readings:
+                    # 'A B' DAY TO HOUR = A days B hours (the only
+                    # valid two-bare-number form); '[D] MM:SS[.f]'
+                    # under MINUTE TO SECOND reads the two-part time
+                    # as minutes:seconds, not hours:minutes
+                    m_dh = re.fullmatch(r"([+-]?\d+)\s+([+-]?\d+)", body)
+                    m_ms = re.fullmatch(
+                        r"(?:([+-]?\d+)\s+)?([+-]?\d+):"
+                        r"(\d{1,2}(?:\.\d+)?)", body)
+                    if to_form and (start_f, end_f) == ("day", "hour") \
+                            and m_dh:
+                        triple = (0, int(m_dh.group(1)),
+                                  int(m_dh.group(2)) * 3_600_000_000)
+                    elif to_form and (start_f, end_f) == \
+                            ("minute", "second") and m_ms:
+                        d = int(m_ms.group(1) or 0)
+                        mins = int(m_ms.group(2))
+                        sign = -1 if m_ms.group(2).startswith("-") else 1
+                        secs = sign * (abs(mins) * 60
+                                       + float(m_ms.group(3)))
+                        triple = (0, d, int(round(secs * 1_000_000)))
+                    elif re.fullmatch(r"[+-]?\d+(?:\.\d+)?", body):
+                        if not to_form:
+                            triple = _pg_interval_triple(
+                                f"{body} {end_field}")
+                    else:
+                        triple = _pg_interval_triple(body)
+                    if triple is not None:
+                        mo, d, us = _ivl_truncate_below(triple, end_field)
+                        if precision is not None:
+                            scale = 10 ** (6 - min(precision, 6))
+                            us = int(round(us / scale)) * scale
+                        sub = _ivl_triple_tokens(mo, d, us)
+                if sub is not None:
+                    out += sub
+                    i = skip
+                    continue
+            if not suffix:
+                sub = _interval_literal_tokens(tokens[i + 1])
+                if sub is not None:
+                    out += sub
+                    i += 2
+                    continue
         if (
             t.startswith("'")
             and i + 2 < n

@@ -1061,6 +1061,41 @@ _pg_query(
 )
 
 
+# INTERVAL '<lit>' field [TO field] [(p)] qualifiers (gram.y
+# opt_interval + timestamp.c AdjustIntervalForTypmod): end-field
+# truncation, bare-number units, DAY TO HOUR two-number and MINUTE TO
+# SECOND MM:SS input readings, seconds-precision rounding. The oracle
+# writes the already-adjusted values in DuckDB's own interval
+# vocabulary (DuckDB has no field qualifiers).
+_pg_query(
+    "pg_interval_qualifiers",
+    """
+    SELECT o_orderkey::int8 AS k,
+           o_orderdate + interval '1 2:03:04' day to hour AS t_dh,
+           o_orderdate + interval '1 2' day to hour AS t_dh2,
+           (o_orderdate + interval '14 months' year)::date AS d_y,
+           o_orderdate + interval '12:34.5678' minute to second(2) AS t_ms,
+           o_orderdate + interval(0) '1 day 01:23:45.6789' AS t_p0,
+           o_orderdate + interval '123 11' day to hour AS t_big
+    FROM orders
+    WHERE o_orderkey < 300
+    ORDER BY k
+    """,
+    oracle="""
+    SELECT o_orderkey::int8 AS k,
+           o_orderdate + INTERVAL 26 HOUR AS t_dh,
+           o_orderdate + INTERVAL 26 HOUR AS t_dh2,
+           (o_orderdate + INTERVAL 12 MONTH)::date AS d_y,
+           o_orderdate + INTERVAL 754570 MILLISECOND AS t_ms,
+           o_orderdate + INTERVAL 91426 SECOND AS t_p0,
+           o_orderdate + INTERVAL 10666800 SECOND AS t_big
+    FROM orders
+    WHERE o_orderkey < 300
+    ORDER BY k
+    """,
+)
+
+
 # B'...' bit-string literals (varbit.c bit_in) — modeled as PG's text
 # rendering, so =, ||, POSITION, substring compose textually. The
 # oracle writes the same text literals directly (DuckDB's own B''

@@ -1500,3 +1500,111 @@ def test_spaced_u_ampersand_is_not_unicode_literal():
 
     assert "u & 'str'" in translate("SELECT u & 'str' FROM t")
     assert "'data'" in translate("SELECT U&'d\\0061t\\0061'")
+
+
+class TestIntervalFieldQualifiers:
+    """Round-6 probe batch 7: INTERVAL '<lit>' field [TO field]
+    [(p)] qualifiers (gram.y opt_interval + timestamp.c
+    AdjustIntervalForTypmod) and the year-month fetch shim. Values
+    pinned from src/test/regress/expected/interval.out."""
+
+    def test_single_field_units(self, spark):
+        from gpdb_spark.dialect import pg_sql
+        import datetime
+
+        row = pg_sql(
+            spark,
+            "SELECT interval '999' second AS a,"
+            " interval '999' minute AS b,"
+            " interval '2.5' day AS c,"
+            " interval '14 months' year AS d,"
+            " interval '1 year 2 mons 3 days' month AS e",
+        ).collect()[0]
+        assert row.a == datetime.timedelta(seconds=999)
+        assert row.b == datetime.timedelta(minutes=999)
+        # fraction spills to hours in DecodeInterval, then the DAY
+        # qualifier's AdjustIntervalForTypmod zeroes the time part
+        assert row.c == datetime.timedelta(days=2)
+        # end-field truncation zeroes finer components
+        assert row.d == "1 year" and row.e == "1 year 2 mons"
+
+    def test_range_forms_truncate_below_end_field(self, spark):
+        from gpdb_spark.dialect import pg_sql
+        import datetime
+
+        row = pg_sql(
+            spark,
+            "SELECT interval '1 2' day to hour AS a,"
+            " interval '1 2:03:04' day to hour AS b,"
+            " interval '1 2:03:04' day to minute AS c,"
+            " interval '1 2:03:04' day to second AS d,"
+            " interval '123 11' day to hour AS e",
+        ).collect()[0]
+        assert row.a == datetime.timedelta(days=1, hours=2)
+        assert row.b == datetime.timedelta(days=1, hours=2)
+        assert row.c == datetime.timedelta(days=1, hours=2, minutes=3)
+        assert row.d == datetime.timedelta(
+            days=1, hours=2, minutes=3, seconds=4)
+        assert row.e == datetime.timedelta(days=123, hours=11)
+
+    def test_minute_to_second_rereads_two_part_time(self, spark):
+        from gpdb_spark.dialect import pg_sql
+        import datetime
+
+        row = pg_sql(
+            spark,
+            "SELECT interval '12:34.5678' minute to second(2) AS a,"
+            " interval '1 -2:03' minute to second AS b",
+        ).collect()[0]
+        # MM:SS reading + fsec rounding (00:12:34.57); '1 day -00:02:03'
+        assert row.a == datetime.timedelta(
+            minutes=12, seconds=34, microseconds=570000)
+        assert row.b == datetime.timedelta(days=1) - datetime.timedelta(
+            minutes=2, seconds=3)
+
+    def test_precision_prefix_and_suffix(self, spark):
+        from gpdb_spark.dialect import pg_sql
+        import datetime
+
+        row = pg_sql(
+            spark,
+            "SELECT interval(2) '1 day 01:23:45.6789' AS a,"
+            " interval(0) '1 day 01:23:45.6789' AS b,"
+            " interval '10.56789' second(3) AS c",
+        ).collect()[0]
+        assert row.a == datetime.timedelta(
+            days=1, hours=1, minutes=23, seconds=45, microseconds=680000)
+        assert row.b == datetime.timedelta(
+            days=1, hours=1, minutes=23, seconds=46)
+        assert row.c == datetime.timedelta(seconds=10, microseconds=568000)
+
+    def test_invalid_double_bare_number_is_loud(self, spark):
+        import pytest
+        from gpdb_spark.dialect import pg_sql
+
+        # PG: invalid input syntax ('123 11' / '1 2' day to minute) —
+        # must refuse, never silently sum unitless numbers as seconds
+        for q in ("SELECT interval '123 11' AS i",
+                  "SELECT interval '1 2' day to minute AS i"):
+            with pytest.raises(Exception):
+                pg_sql(spark, q, None).collect()
+
+    def test_ym_interval_fetches_as_pg_text(self, spark):
+        from gpdb_spark.dialect import pg_sql
+        from gpdb_spark.pyspark_compat import ym_interval_out
+
+        row = pg_sql(
+            spark,
+            "SELECT interval '1' year AS a,"
+            " interval '999' month AS b,"
+            " interval '-14 months' AS c,"
+            " interval '1-2' year to month AS d,"
+            " date '2001-09-28' + interval '1' month AS e",
+        ).collect()[0]
+        assert row.a == "1 year"
+        assert row.b == "83 years 3 mons"
+        assert row.c == "-1 years -2 mons"
+        assert row.d == "1 year 2 mons"
+        assert str(row.e) == "2001-10-28 00:00:00"
+        assert ym_interval_out(0) == "00:00:00"
+        assert ym_interval_out(1) == "1 mon"

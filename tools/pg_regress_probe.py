@@ -37,6 +37,16 @@ expected/ files; these statements stay DISAGREE/ENGINE_ERR by design):
 - x/0, float->int overflow, json_array_length(scalar),
   split_part(.., 0), odd-length bytea hex: PG raises (and the engine
   raises or refuses loudly); DuckDB is lenient (NULL / wraps / 0)
+Round-6 sweep verifications (engine output checked against PG by hand
+— the ENGINE side is PG-exact, DuckDB diverges; stay DISAGREE):
+- ARRAY[1,2] || 3 / 0 || ARRAY[1,2] element append/prepend
+- 33 = ANY/ALL (NULL::int[]) -> NULL (DuckDB: false)
+- POSITION(B'1010' IN B'00001010') -> 5 (bit position)
+- concat(VARIADIC array[1,2,3]) -> '123'
+- json_object('{a,b}','{1,2}') -> PG's '{"a" : "1", ...}' spacing
+- make_timestamptz(..., '+2'|'EDT') offset/abbreviation zones
+- regexp_matches('llmmmfff','^(l*)(.*)(f*)$') -> {ll,mmmfff,""}
+  (Java and PG regex agree here; DuckDB's list differs)
 Engine-side known divergences (documented, lenient-by-Spark):
 - float->int2/int4 overflow CLAMPS (Spark non-ANSI cast) where PG
   errors; 'infinity'::date unsupported (no infinite dates);
