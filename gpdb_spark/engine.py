@@ -979,6 +979,30 @@ class Engine:
                        "delete": f"DELETE {n}"}[head]
                 return self.spark.createDataFrame(
                     [(tag,)], "status string")
+        # procedural statements a psql script sends one at a time
+        # (functioncmds.c ExecuteDoStmt / CreateFunction): run_script
+        # routes these too, but a single-statement front door must not
+        # fall through to the Spark parser
+        if head == "do":
+            self.do(s)
+            return self.spark.createDataFrame([("DO",)], "status string")
+        if head == "create" and _re.search(
+            r"(?is)\bfunction\b.*\blanguage\s+plpgsql\b", s
+        ):
+            self.create_function(s)
+            return self.spark.createDataFrame(
+                [("CREATE FUNCTION",)], "status string")
+        if head == "drop" and _re.match(r"(?is)^drop\s+function\b", s):
+            m = _re.match(
+                r"(?is)^drop\s+function\s+(?:if\s+exists\s+)?([\w.\"]+)", s)
+            if m:
+                nm = _fold_ident(m.group(1).strip('"'))
+                if nm not in getattr(self, "_plfuncs", {}) and \
+                        "if exists" not in s.lower():
+                    raise ValueError(f'function "{nm}" does not exist')
+                getattr(self, "_plfuncs", {}).pop(nm, None)
+                return self.spark.createDataFrame(
+                    [("DROP FUNCTION",)], "status string")
         cm = _re.match(
             r"(?is)^create\s+type\s+([\w.]+)\s+as\s+enum\s*\((.*)\)\s*$", s
         )

@@ -1024,3 +1024,25 @@ def test_explain_sql_text(spark, sf_dir):
     assert "Motion" in txt or "Aggregate" in txt or "HashAggregate" in txt
     rows2 = eng.sql("EXPLAIN ANALYZE SELECT count(*) AS c FROM region")
     assert rows2.count() > 0
+
+
+def test_do_and_create_function_sql(spark, sf_dir):
+    """DO blocks and CREATE/DROP FUNCTION ... LANGUAGE plpgsql as
+    single statements through Engine.sql (exec_simple_query path)."""
+    import pytest as _pt
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    assert eng.sql(
+        "DO $$ BEGIN RAISE NOTICE 'hi %', 41 + 1; END $$"
+    ).collect()[0].status == "DO"
+    assert "hi 42" in eng.notices()[-1]
+    eng.sql(
+        "CREATE FUNCTION add2(a int, b int) RETURNS int AS $$ "
+        "BEGIN RETURN a + b; END $$ LANGUAGE plpgsql")
+    assert eng.call("add2", 3, 4) == 7
+    eng.sql("DROP FUNCTION add2")
+    assert "add2" not in eng._plfuncs
+    with _pt.raises(ValueError, match="does not exist"):
+        eng.sql("DROP FUNCTION add2")
+    eng.sql("DROP FUNCTION IF EXISTS add2")
