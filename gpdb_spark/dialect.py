@@ -2722,6 +2722,20 @@ def _pass_variadic(tokens: list[str]) -> list[str]:
     exactly PG's call semantics. Only the literal ARRAY[...] form
     spreads; ``VARIADIC <expr>`` is handled per-function (concat /
     concat_ws in _pass_functions) and otherwise refuses loudly."""
+    def _split_elems(seg: list[str]) -> list[list[str]]:
+        elems: list[list[str]] = [[]]
+        depth = 0
+        for t2 in seg:
+            if t2 in ("[", "("):
+                depth += 1
+            elif t2 in ("]", ")"):
+                depth -= 1
+            if t2 == "," and depth == 0:
+                elems.append([])
+            else:
+                elems[-1].append(t2)
+        return [e for e in elems if e]
+
     out: list[str] = []
     i = 0
     n = len(tokens)
@@ -2741,15 +2755,42 @@ def _pass_variadic(tokens: list[str]) -> list[str]:
                     if depth == 0:
                         break
                 k += 1
-            # an array-level cast after the bracket (::text[]) would
-            # bind to the last spread element — leave that form intact
-            if k + 1 < n and tokens[k + 1] == "::":
-                out.append(tokens[i])
-                i += 1
-                continue
             out += tokens[i + 3 : k]
             i = k + 1
             continue
+        # VARIADIC ARRAY[a,b]::type[] arrives here already cast-lowered
+        # (_pass_casts runs first): VARIADIC CAST(ARRAY[..] AS
+        # ARRAY<T>). PG casts the array and THEN spreads — equivalent
+        # to spreading each element wrapped in CAST(.. AS T).
+        m_arr = None
+        if (
+            _is_word(tokens[i], "variadic")
+            and i + 4 < n
+            and _is_word(tokens[i + 1], "cast")
+            and tokens[i + 2] == "("
+            and _is_word(tokens[i + 3], "array")
+            and tokens[i + 4] == "["
+        ):
+            depth, k = 0, i + 4
+            while k < n:
+                if tokens[k] == "[":
+                    depth += 1
+                elif tokens[k] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            if k + 2 < n and _is_word(tokens[k + 1], "as"):
+                m_arr = re.fullmatch(
+                    r"(?is)ARRAY<(.+)>", tokens[k + 2])
+            if m_arr and k + 3 < n and tokens[k + 3] == ")":
+                inner = m_arr.group(1)
+                for j, el in enumerate(_split_elems(tokens[i + 5 : k])):
+                    if j:
+                        out.append(",")
+                    out += ["CAST", "("] + el + ["AS", inner, ")"]
+                i = k + 4
+                continue
         out.append(tokens[i])
         i += 1
     return out

@@ -1608,3 +1608,18 @@ class TestIntervalFieldQualifiers:
         assert str(row.e) == "2001-10-28 00:00:00"
         assert ym_interval_out(0) == "00:00:00"
         assert ym_interval_out(1) == "1 mon"
+
+    def test_variadic_array_with_cast_spreads(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT format('%s, %s', variadic array[true, false]::text[])"
+            " AS a,"
+            " format('%s, %s', variadic array[1, 2]::text[]) AS b,"
+            " concat_ws('-', variadic array[1, 2, 3]::text[]) AS c",
+        ).collect()[0]
+        # PG casts the array, THEN spreads (text_format variadic)
+        assert row.a == "true, false"
+        assert row.b == "1, 2"
+        assert row.c == "1-2-3"
