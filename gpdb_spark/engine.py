@@ -863,7 +863,9 @@ class Engine:
                 r"(?is)^(select\s+.+?)\s+into\s+"
                 r"(?:temp(?:orary)?\s+|unlogged\s+)?(?:table\s+)?"
                 r"([\w.\"]+)\s+(from\s+.+)$", s)
-            if m:
+            # quote-parity guard: an INTO inside a string literal has
+            # an odd number of quotes before it — not a select_into
+            if m and m.group(1).count("'") % 2 == 0:
                 return self.sql(
                     f"CREATE TABLE {m.group(2)} AS "
                     f"{m.group(1)} {m.group(3)}")

@@ -1046,3 +1046,14 @@ def test_do_and_create_function_sql(spark, sf_dir):
     with _pt.raises(ValueError, match="does not exist"):
         eng.sql("DROP FUNCTION add2")
     eng.sql("DROP FUNCTION IF EXISTS add2")
+
+
+def test_select_into_not_fooled_by_literal(spark, sf_dir):
+    """A string literal containing ' into x from y' is NOT a
+    select_into (quote-parity guard)."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    rows = eng.sql("SELECT 'go into t9 from here' AS s").collect()
+    assert rows[0].s == "go into t9 from here"
+    assert "t9" not in eng._tables
