@@ -527,6 +527,15 @@ class Engine:
             if m:
                 opts = (m.group(1) or m.group(2) or "").lower()
                 body = m.group(3).strip()
+                bh = body.split(None, 1)[0].lower() if body else ""
+                if bh not in ("select", "with", "values", "table"):
+                    # routing DML through self.sql would EXECUTE it;
+                    # plain EXPLAIN must never run the statement
+                    raise ValueError(
+                        "EXPLAIN supports query statements here "
+                        "(SELECT/WITH/VALUES); EXPLAIN over DML would "
+                        "execute under this engine's per-statement "
+                        "snapshot — use explain() on the DataFrame")
                 txt = (self.explain_analyze(body)
                        if "analyze" in opts else self.explain(body))
                 return self.spark.createDataFrame(

@@ -1057,3 +1057,18 @@ def test_select_into_not_fooled_by_literal(spark, sf_dir):
     rows = eng.sql("SELECT 'go into t9 from here' AS s").collect()
     assert rows[0].s == "go into t9 from here"
     assert "t9" not in eng._tables
+
+
+def test_explain_never_executes_dml(spark, sf_dir):
+    """Plain EXPLAIN over DML refuses loudly rather than executing the
+    statement (explain.c only plans unless ANALYZE)."""
+    import pytest as _pt
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("CREATE TEMP TABLE exdml (k int) DISTRIBUTED BY (k)")
+    eng.sql("INSERT INTO exdml VALUES (1)")
+    with _pt.raises(ValueError, match="EXPLAIN"):
+        eng.sql("EXPLAIN INSERT INTO exdml VALUES (2)")
+    assert eng.table("exdml").count() == 1
+    eng.sql("DROP TABLE exdml")
