@@ -106,9 +106,16 @@ def window_running_sum(spark, sf_dir):
 
 @query(
     "window_sliding_avg",
+    # the measure is floor-truncated to cents BEFORE the decimal cast:
+    # fr(x,2) is IEEE-identical cross-engine and its result's shortest
+    # repr has <= 2 decimals, so the DECIMAL(25,6) cast is tie-free —
+    # raw (non-pre-rounded) money cannot diverge (seed-626364 fuzz:
+    # casting the raw double directly hit a repr-vs-binary rounding
+    # tie whose 1e-6 sum difference the floor-at-6 average exposed)
     oracle=f"""
     SELECT o_custkey, o_orderkey,
-           (floor(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+           (floor(CAST(sum(CAST((floor(o_totalprice * 1e2) / 1e2)
+                               AS DECIMAL(25,6)))
                       OVER (PARTITION BY o_custkey {ORD}
                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
                  / count(*) OVER (PARTITION BY o_custkey {ORD}
@@ -129,7 +136,7 @@ def window_sliding_avg(spark, sf_dir):
         "o_custkey",
         "o_orderkey",
         fr(
-            F.sum(wdec("o_totalprice")).over(w).cast("double")
+            F.sum(wdec(fr("o_totalprice", 2))).over(w).cast("double")
             / F.count(F.lit(1)).over(w),
             6,
         ).alias("sliding_avg"),

@@ -69,6 +69,9 @@ CANDIDATES = [
     "expressions", "horology", "arrays", "json", "jsonb",
     "bit", "money", "regex", "inet", "macaddr", "uuid", "tstypes",
     "union", "limit",
+    # round-6 batch 2: geometry/time/name/enum expression files
+    "point", "box", "lseg", "line", "path", "polygon", "circle",
+    "time", "timetz", "name", "enum",
 ]
 
 
