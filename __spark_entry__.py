@@ -64,6 +64,7 @@ DRIVER_PRIORITY: list[str] = [
     "pg_bit_literals",
     "pg_unicode_quantifier_forms",
     "pg_interval_qualifiers",
+    "pg_json_each_typed",
     # oldest green rows (drv1) — freshness re-checks
     "q01_pricing_summary",
     "q03_shipping_priority",

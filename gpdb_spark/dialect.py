@@ -4229,6 +4229,16 @@ _JSON_SRF_SHAPES = {
     "jsonb_array_elements_text": "elements",
     "json_object_keys": "keys",
     "jsonb_object_keys": "keys",
+    # non-_text variants (jsonfuncs.c json_each / json_array_elements):
+    # values keep their JSON typing — string leaves stay quoted, nested
+    # composites re-serialize (compactly; PG's json_each echoes the
+    # original text, jsonb_each normalizes with spaces — documented
+    # spacing divergence on composite leaves only). VARIANT carries the
+    # typed value through explode, to_json renders it.
+    "json_each": "each_json",
+    "jsonb_each": "each_json",
+    "json_array_elements": "elements_json",
+    "jsonb_array_elements": "elements_json",
 }
 
 
@@ -4239,9 +4249,10 @@ def _pass_json_srf(tokens: list[str]) -> list[str]:
     PG's default output column names (key/value, value,
     json_object_keys, generate_subscripts) are preserved so ``AS t`` and
     ``AS t(a, b)`` aliases keep working. Non-_text json_each /
-    json_array_elements keep jsonb quoting on string leaves — out of
-    scope, loud failure. FROM position only (prev token FROM / , /
-    JOIN); an SRF in the select list stays a loud failure."""
+    json_array_elements keep JSON typing on the value (string leaves
+    stay quoted) via map/array<variant> — see _JSON_SRF_SHAPES. FROM
+    position only (prev token FROM / , / JOIN) except the single-column
+    generators, which also inline in the select list."""
     out: list[str] = []
     i = 0
     n = len(tokens)
@@ -4259,11 +4270,19 @@ def _pass_json_srf(tokens: list[str]) -> list[str]:
                 # generators inline as a bare explode — Spark allows one
                 # generator per select list; 'each' needs two output
                 # columns and stays FROM-only
-                if not in_from and shape != "each":
+                if not in_from and shape not in ("each", "each_json"):
                     if shape == "elements" and len(args) == 1:
                         out += (["explode", "(", "from_json", "(", "("]
                                 + args[0]
                                 + [")", ",", "'array<string>'", ")", ")"])
+                        i = k + 1
+                        continue
+                    if shape == "elements_json" and len(args) == 1:
+                        out += (["explode", "(", "transform", "(",
+                                 "from_json", "(", "("] + args[0]
+                                + [")", ",", "'array<variant>'", ")", ",",
+                                   "__v", "->", "to_json", "(", "__v",
+                                   ")", ")", ")"])
                         i = k + 1
                         continue
                     # NOT 'keys' here: json_object_keys is also a Spark
@@ -4292,6 +4311,25 @@ def _pass_json_srf(tokens: list[str]) -> list[str]:
                              "(", "("] + args[0]
                             + [")", ",", "'array<string>'", ")", ")",
                                "AS", "value", ")"])
+                    i = k + 1
+                    continue
+                if in_from and shape == "each_json" and len(args) == 1:
+                    out += (["(", "SELECT", "key", ",", "to_json", "(",
+                             "value", ")", "AS", "value", "FROM", "(",
+                             "SELECT", "explode", "(", "from_json", "(",
+                             "("] + args[0]
+                            + [")", ",", "'map<string,variant>'", ")",
+                               ")", "AS", "(", "key", ",", "value", ")",
+                               ")", ")"])
+                    i = k + 1
+                    continue
+                if in_from and shape == "elements_json" and len(args) == 1:
+                    out += (["(", "SELECT", "to_json", "(", "value", ")",
+                             "AS", "value", "FROM", "(", "SELECT",
+                             "explode", "(", "from_json", "(", "("]
+                            + args[0]
+                            + [")", ",", "'array<variant>'", ")", ")",
+                               "AS", "value", ")", ")"])
                     i = k + 1
                     continue
                 if in_from and shape == "keys" and len(args) == 1:

@@ -1096,6 +1096,36 @@ _pg_query(
 )
 
 
+# Non-_text json_each / json_array_elements (jsonfuncs.c): the value
+# column keeps its JSON typing — quoted string leaves, bare numbers,
+# 'null', compact composites. The oracle pins PG's exact outputs as
+# VALUES (DuckDB's own json_each is a different table function).
+_pg_query(
+    "pg_json_each_typed",
+    """
+    SELECT 'each' AS src, t.key AS jkey, t.value AS jval
+    FROM json_each('{"a":"x y","b":2,"c":[1,2],"d":null}') AS t
+    UNION ALL
+    SELECT 'elem' AS src, '' AS jkey, value AS jval
+    FROM json_array_elements('["a",2,null,{"b":1}]')
+    ORDER BY src, jkey, jval
+    """,
+    oracle="""
+    SELECT * FROM (VALUES
+      ('each', 'a', '"x y"'),
+      ('each', 'b', '2'),
+      ('each', 'c', '[1,2]'),
+      ('each', 'd', 'null'),
+      ('elem', '', '"a"'),
+      ('elem', '', '2'),
+      ('elem', '', 'null'),
+      ('elem', '', '{"b":1}')
+    ) AS v(src, jkey, jval)
+    ORDER BY src, jkey, jval
+    """,
+)
+
+
 # B'...' bit-string literals (varbit.c bit_in) — modeled as PG's text
 # rendering, so =, ||, POSITION, substring compose textually. The
 # oracle writes the same text literals directly (DuckDB's own B''

@@ -1623,3 +1623,50 @@ class TestIntervalFieldQualifiers:
         assert row.a == "true, false"
         assert row.b == "1, 2"
         assert row.c == "1-2-3"
+
+
+class TestJsonEachTyped:
+    """Non-_text json_each / json_array_elements (jsonfuncs.c): values
+    keep their JSON typing — string leaves stay quoted, numbers/null
+    bare, composites re-serialized (compact; documented spacing
+    divergence vs jsonb_each's ': ' only on composite leaves)."""
+
+    def test_json_each_typed_values(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        rows = pg_sql(
+            spark,
+            """SELECT * FROM json_each(
+               '{"a":"x y","b":2,"c":[1,2],"d":null,"e":{"f":1}}')
+               ORDER BY key""",
+        ).collect()
+        assert [(r.key, r.value) for r in rows] == [
+            ("a", '"x y"'), ("b", "2"), ("c", "[1,2]"),
+            ("d", "null"), ("e", '{"f":1}'),
+        ]
+
+    def test_jsonb_each_and_alias(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        rows = pg_sql(
+            spark,
+            "SELECT t.key, t.value FROM jsonb_each('{\"k\":\"v\"}') AS t",
+        ).collect()
+        assert rows == [("k", '"v"')] or (
+            rows[0].key == "k" and rows[0].value == '"v"')
+
+    def test_json_array_elements_typed(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        rows = pg_sql(
+            spark,
+            "SELECT value FROM json_array_elements("
+            "'[\"a\",2,null,{\"b\":1}]')",
+        ).collect()
+        assert [r.value for r in rows] == ['"a"', "2", "null", '{"b":1}']
+        # select-list position inlines as a bare generator
+        rows2 = pg_sql(
+            spark,
+            "SELECT json_array_elements('[1,\"two\"]') AS v",
+        ).collect()
+        assert [r.v for r in rows2] == ["1", '"two"']
