@@ -2533,6 +2533,7 @@ def _pg_interval_triple(body: str) -> tuple[int, int, int] | None:
     micros = 0.0
     neg_all = False
     seen_unitless = False
+    seen_time = False
     pos = 0
     body = body.strip().lower()
     while pos < len(body):
@@ -2550,6 +2551,12 @@ def _pg_interval_triple(body: str) -> tuple[int, int, int] | None:
             neg_all = True
             continue
         if m.group(1):  # H:MM[:SS.f]
+            # DecodeInterval rejects a SECOND time field ('123 2:03
+            # -2:04' is invalid input) — bail to a loud native refusal
+            # rather than silently summing
+            if seen_time:
+                return None
+            seen_time = True
             t = m.group(1)
             sign = -1 if t.startswith("-") else 1
             parts = t.lstrip("+-").split(":")

@@ -1670,3 +1670,12 @@ class TestJsonEachTyped:
             "SELECT json_array_elements('[1,\"two\"]') AS v",
         ).collect()
         assert [r.v for r in rows2] == ["1", '"two"']
+
+    def test_redundant_time_fields_are_loud(self, spark):
+        import pytest
+        from gpdb_spark.dialect import pg_sql
+
+        # PG: invalid input syntax ('123 2:03 -2:04' — redundant hh:mm)
+        with pytest.raises(Exception):
+            pg_sql(spark,
+                   "SELECT interval '123 2:03 -2:04' AS i", None).collect()
