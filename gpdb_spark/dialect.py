@@ -96,6 +96,81 @@ _TOKEN_RE = re.compile(
 _DOLLAR_QUOTE_RE = re.compile(r"\$(?:[A-Za-z_][A-Za-z_0-9]*)?\$")
 
 
+_E_ESC = {"b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t"}
+
+
+def _decode_estring(tok: str) -> str:
+    """Decode an E'...' literal per scan.l's xe rules: \\b \\f \\n \\r
+    \\t, \\o \\oo \\ooo octal, \\xh[h] hex, \\uXXXX / \\UXXXXXXXX
+    unicode, '' quote doubling; any OTHER backslashed character is
+    taken literally (xeescape). Spark's own escape set lacks the
+    octal/hex/\\U forms (E'\\123' silently became '123'), so the
+    engine decodes and re-emits a plain doubled-backslash literal that
+    Spark passes through byte-for-byte. Octal/hex escapes above 0x7F
+    raise like PG's invalid-byte-sequence check (a lone high byte is
+    never valid UTF-8); \\u/\\U escapes carry full codepoints."""
+    s = tok[1:-1].replace("''", "'")
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        if i + 1 >= len(s):
+            out.append("\\")
+            break
+        nxt = s[i + 1]
+        if nxt in _E_ESC:
+            out.append(_E_ESC[nxt])
+            i += 2
+            continue
+        if nxt in "01234567":
+            j = i + 1
+            while j < len(s) and j < i + 4 and s[j] in "01234567":
+                j += 1
+            val = int(s[i + 1 : j], 8)
+            if val > 0x7F:
+                raise ValueError(
+                    f"invalid byte sequence in E'' octal escape: "
+                    f"\\{s[i + 1:j]}")
+            out.append(chr(val))
+            i = j
+            continue
+        if nxt in "xX":
+            j = i + 2
+            hexd = "0123456789abcdefABCDEF"
+            while j < len(s) and j < i + 4 and s[j] in hexd:
+                j += 1
+            if j > i + 2:
+                val = int(s[i + 2 : j], 16)
+                if val > 0x7F:
+                    raise ValueError(
+                        f"invalid byte sequence in E'' hex escape: "
+                        f"\\x{s[i + 2:j]}")
+                out.append(chr(val))
+                i = j
+                continue
+            out.append(nxt)  # bare \x: literal 'x' (xeescape)
+            i += 2
+            continue
+        if nxt in "uU":
+            width = 4 if nxt == "u" else 8
+            hexs = s[i + 2 : i + 2 + width]
+            if len(hexs) == width and all(
+                ch in "0123456789abcdefABCDEF" for ch in hexs
+            ):
+                out.append(chr(int(hexs, 16)))
+                i += 2 + width
+                continue
+            raise ValueError("invalid Unicode escape in E'' string")
+        out.append(nxt)  # any other char following \ is literal
+        i += 2
+    body = "".join(out)
+    return "'" + body.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
 def _lex(sql: str) -> list[str]:
     """Lex + normalize string-literal escape semantics.
 
@@ -160,7 +235,10 @@ def _lex(sql: str) -> list[str]:
                     and len(out[-1]) == 1
                     and prev_end == m.start()
                 ):
-                    out.pop()  # E'...': Spark interprets escapes natively
+                    # E'...' (scan.l xe): decode PG's escape set here
+                    # — Spark's native set lacks octal/\xhh/\U forms
+                    out.pop()
+                    tok = _decode_estring(tok)
                 elif (
                     len(out) >= 2
                     and out[-1] == "&"

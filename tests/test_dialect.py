@@ -1679,3 +1679,40 @@ class TestJsonEachTyped:
         with pytest.raises(Exception):
             pg_sql(spark,
                    "SELECT interval '123 2:03 -2:04' AS i", None).collect()
+
+
+class TestEStringEscapes:
+    """E'...' decoding per scan.l xe: octal, \\xhh hex, \\uXXXX /
+    \\UXXXXXXXX, control escapes, literal-on-unknown — decoded by the
+    engine (Spark's native escape set lacks octal/hex/\\U, so E'\\123'
+    silently became '123' before)."""
+
+    def test_octal_hex_unicode_control(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            r"SELECT E'\101\102' AS oct, E'\x41\x4a' AS hex,"
+            r" E'a\nb' AS nl, E'A\U0001F600' AS uni,"
+            r" E'\q' AS lit, E'\xZZ' AS barex",
+        ).collect()[0]
+        assert row.oct == "AB" and row.hex == "AJ"
+        assert row.nl == "a\nb" and row.uni == "A\U0001F600"
+        assert row.lit == "q" and row.barex == "xZZ"
+
+    def test_estring_octal_to_bytea(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark, r"SELECT E'De\123dBeEf'::bytea AS b", None
+        ).collect()[0]
+        assert bytes(row.b) == b"DeSdBeEf"
+
+    def test_high_byte_escape_is_loud(self, spark):
+        import pytest
+        from gpdb_spark.dialect import pg_sql
+
+        # a lone high byte is never valid UTF-8 (PG errors the same way)
+        for q in (r"SELECT E'\377' AS s", r"SELECT E'\xFF' AS s"):
+            with pytest.raises(Exception):
+                pg_sql(spark, q, None).collect()
