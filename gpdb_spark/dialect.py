@@ -745,9 +745,32 @@ def _jsonb_contains_sql(lhs_sql: str, needle) -> str:
                 f"{_sql_str(key or '')}), false))"
             )
         elif isinstance(v, (int, float)) and not isinstance(v, bool):
-            conds.append(f"CAST({leaf} AS DOUBLE) = CAST({v} AS DOUBLE)")
+            if path == "":
+                # root scalar: JsonbDeepContains treats a top-level
+                # ARRAY haystack as containing the scalar if it is an
+                # element ('[5]' @> '5' is true); nested levels do NOT
+                # get this rule. try_cast keeps the array case NULL-safe
+                conds.append(
+                    f"coalesce(CASE WHEN {lhs_sql} LIKE '[%' THEN "
+                    f"array_contains(from_json({lhs_sql}, "
+                    f"'array<double>'), CAST({v} AS DOUBLE)) ELSE "
+                    f"try_cast({leaf} AS DOUBLE) = CAST({v} AS DOUBLE) "
+                    f"END, false)"
+                )
+            else:
+                conds.append(
+                    f"CAST({leaf} AS DOUBLE) = CAST({v} AS DOUBLE)")
         else:
-            conds.append(f"{leaf} = {_sql_str(scalar_txt(v))}")
+            if path == "":
+                conds.append(
+                    f"coalesce(CASE WHEN {lhs_sql} LIKE '[%' THEN "
+                    f"array_contains(from_json({lhs_sql}, "
+                    f"'array<string>'), {_sql_str(scalar_txt(v))}) "
+                    f"ELSE {leaf} = {_sql_str(scalar_txt(v))} "
+                    f"END, false)"
+                )
+            else:
+                conds.append(f"{leaf} = {_sql_str(scalar_txt(v))}")
 
     walk("", needle, "", None)
     return "(" + " AND ".join(conds) + ")"
@@ -860,11 +883,89 @@ def _pass_jsonb_ops(tokens: list[str]) -> list[str]:
     visible (they are identity casts here — the representation is json
     text — and are consumed by this pass).
     """
+    def _strip_arg_cast(arg: list[str]) -> list[str]:
+        if (
+            len(arg) >= 3
+            and arg[-2] == "::"
+            and arg[-1].lower() in ("jsonb", "json")
+        ):
+            return arg[:-2]
+        return arg
+
     out: list[str] = []
     i = 0
     n = len(tokens)
     while i < n:
         t = tokens[i]
+        low = t.lower() if t.isidentifier() else ""
+        # function spellings of the operators (jsonb_op.c registers
+        # jsonb_contains/contained/exists/exists_any/exists_all over
+        # the same C functions as @> <@ ? ?| ?&)
+        if (
+            low in ("jsonb_contains", "jsonb_contained")
+            and i + 1 < n
+            and tokens[i + 1] == "("
+        ):
+            fa = _fn_args(tokens, i)
+            if fa is not None and len(fa[0]) == 2:
+                (a1, a2), k = fa
+                hay, needle = (
+                    (a1, a2) if low == "jsonb_contains" else (a2, a1)
+                )
+                hay = _strip_arg_cast(hay)
+                needle = _strip_arg_cast(needle)
+                if len(needle) == 1 and needle[0].startswith("'"):
+                    out.append(
+                        _jsonb_contains_sql(
+                            _render(hay), _parse_json_literal(needle[0])
+                        )
+                    )
+                    i = k + 1
+                    continue
+            raise ValueError(
+                f"{low} requires a literal needle argument")
+        if (
+            low == "jsonb_exists"
+            and i + 1 < n
+            and tokens[i + 1] == "("
+        ):
+            fa = _fn_args(tokens, i)
+            if fa is not None and len(fa[0]) == 2:
+                (a1, a2), k = fa
+                lhs_sql = _render(_strip_arg_cast(a1))
+                if len(a2) == 1 and a2[0].startswith("'"):
+                    out.append(
+                        f"coalesce(array_contains(json_object_keys("
+                        f"{lhs_sql}), {a2[0]}), array_contains("
+                        f"from_json({lhs_sql}, 'array<string>'), "
+                        f"{a2[0]}), false)"
+                    )
+                    i = k + 1
+                    continue
+            raise ValueError("jsonb_exists requires a literal key")
+        if (
+            low in ("jsonb_exists_any", "jsonb_exists_all")
+            and i + 1 < n
+            and tokens[i + 1] == "("
+        ):
+            fa = _fn_args(tokens, i)
+            if fa is not None and len(fa[0]) == 2:
+                (a1, a2), k = fa
+                lhs_sql = _render(_strip_arg_cast(a1))
+                keys = [tok for tok in a2 if tok.startswith("'")]
+                if keys:
+                    arr = "array(" + ", ".join(keys) + ")"
+                    fn = (
+                        "exists" if low == "jsonb_exists_any"
+                        else "forall"
+                    )
+                    out.append(
+                        f"{fn}({arr}, k_ -> coalesce(array_contains("
+                        f"json_object_keys({lhs_sql}), k_), false))"
+                    )
+                    i = k + 1
+                    continue
+            raise ValueError(f"{low} requires a literal key array")
         if t == "@>" and i + 1 < n:
             rhs = _jsonb_rhs_literal(tokens, i + 1)
             if rhs is None:
@@ -1304,6 +1405,9 @@ _FN_RENAME = {
     "clock_timestamp": "current_timestamp",
     "statement_timestamp": "current_timestamp",
     "transaction_timestamp": "current_timestamp",
+    # jsonb_* spelling shares the json_* implementation (jsonfuncs.c
+    # registers both over the same C function)
+    "jsonb_array_length": "json_array_length",
 }
 
 # DCH parse tokens -> Java datetime parse patterns (to_date/to_timestamp;

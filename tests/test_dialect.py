@@ -1716,3 +1716,41 @@ class TestEStringEscapes:
         for q in (r"SELECT E'\377' AS s", r"SELECT E'\xFF' AS s"):
             with pytest.raises(Exception):
                 pg_sql(spark, q, None).collect()
+
+
+class TestJsonbFunctionSpellings:
+    """jsonb_contains/contained/exists/exists_any/exists_all function
+    spellings (jsonb_op.c registers them over the same C functions as
+    @> <@ ? ?| ?&), jsonb_array_length, and the root-scalar
+    containment rule ('[5]' @> '5' is true at the TOP level only —
+    JsonbDeepContains)."""
+
+    def test_function_spellings(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            """SELECT
+              jsonb_contains('{"a":"b","b":1,"c":null}', '{"a":"b"}') AS a,
+              jsonb_contains('{"a":"b"}', '{"a":"c"}') AS b,
+              jsonb_contained('{"a":"b"}', '{"a":"b","b":1}') AS c,
+              jsonb_contains('{"a":"b","c":null}', '{"c":null}') AS d,
+              jsonb_exists('{"a":1,"b":2}', 'a') AS e,
+              jsonb_exists_any('{"a":1}', ARRAY['x','a']) AS f,
+              jsonb_exists_all('{"a":1}', ARRAY['x','a']) AS g,
+              jsonb_array_length('[1,2,3,{"f1":1},4]') AS h""",
+        ).collect()[0]
+        assert (row.a, row.b, row.c, row.d) == (True, False, True, True)
+        assert (row.e, row.f, row.g, row.h) == (True, True, False, 5)
+
+    def test_root_scalar_containment(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            """SELECT '[5]'::jsonb @> '5' AS a,
+                      '[1,2,3]'::jsonb @> '4' AS b,
+                      '5'::jsonb @> '5' AS c,
+                      '["a","b"]'::jsonb @> '"a"' AS d""",
+        ).collect()[0]
+        assert (row.a, row.b, row.c, row.d) == (True, False, True, True)
