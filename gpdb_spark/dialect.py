@@ -1527,6 +1527,26 @@ def _pass_functions(tokens: list[str]) -> list[str]:
                     continue
         # quote_ident / quote_literal (quote.c) as SQL expressions —
         # same semantics as the DataFrame forms in scalar_funcs
+        # width_bucket (float.c width_bucket_float8): Spark's builtin
+        # is NULL-lenient on bad arguments where PG errors — wrap with
+        # PG's two validation arms (constant-folded for literal args)
+        if low == "width_bucket" and nxt == "(":
+            fa = _fn_args(tokens, i)
+            if fa is not None and len(fa[0]) == 4:
+                (op_a, lo_a, hi_a, cnt_a), k = fa
+                a, lo_s, hi_s, cnt_s = (
+                    "(" + _render(_pass_functions(x)) + ")"
+                    for x in (op_a, lo_a, hi_a, cnt_a)
+                )
+                out += _lex(
+                    f"CASE WHEN {cnt_s} <= 0 THEN raise_error("
+                    f"'count must be greater than zero') "
+                    f"WHEN {lo_s} = {hi_s} THEN raise_error("
+                    f"'lower bound cannot equal upper bound') "
+                    f"ELSE width_bucket({a}, {lo_s}, {hi_s}, {cnt_s}) END"
+                )
+                i = k + 1
+                continue
         if low in ("quote_ident", "quote_literal") and nxt == "(":
             depth, k = 0, i + 1
             while k < n:

@@ -1754,3 +1754,17 @@ class TestJsonbFunctionSpellings:
                       '["a","b"]'::jsonb @> '"a"' AS d""",
         ).collect()[0]
         assert (row.a, row.b, row.c, row.d) == (True, False, True, True)
+
+    def test_width_bucket_validation_parity(self, spark):
+        import pytest
+        from gpdb_spark.dialect import pg_sql
+
+        # float.c width_bucket_float8: PG errors where Spark's builtin
+        # is NULL-lenient
+        assert pg_sql(
+            spark, "SELECT width_bucket(5.35, 0.024, 10.06, 5) AS x", None
+        ).collect()[0].x == 3
+        for q in ("SELECT width_bucket(5.0, 3.0, 4.0, 0) AS x",
+                  "SELECT width_bucket(3.5, 3.0, 3.0, 888) AS x"):
+            with pytest.raises(Exception, match="USER_RAISED|bound|zero"):
+                pg_sql(spark, q, None).collect()
