@@ -1276,6 +1276,25 @@ def _pass_casts(tokens: list[str]) -> list[str]:
         except ValueError:
             return tokens
         start = _operand_start(tokens, i)
+        # '<literal>'::json[b] (json_in / jsonb_in): the cast is an
+        # identity here (the representation IS json text), so PG's
+        # input validation must happen at translate time or malformed
+        # json passes silently where PG errors
+        if (
+            i + 1 < len(tokens)
+            and tokens[i + 1].lower() in ("json", "jsonb")
+            and start == i - 1
+            and tokens[start].startswith("'")
+        ):
+            import json as _json
+
+            try:
+                _json.loads(_lit_decode(tokens[start]))
+            except ValueError:
+                raise ValueError(
+                    "invalid input syntax for type json: "
+                    + tokens[start][:60]
+                ) from None
         spark_type, after = _map_type(tokens, i + 1)
         tokens = (
             tokens[:start]

@@ -1768,3 +1768,16 @@ class TestJsonbFunctionSpellings:
                   "SELECT width_bucket(3.5, 3.0, 3.0, 888) AS x"):
             with pytest.raises(Exception, match="USER_RAISED|bound|zero"):
                 pg_sql(spark, q, None).collect()
+
+    def test_json_literal_input_validation(self, spark):
+        import pytest
+        from gpdb_spark.dialect import pg_sql
+
+        # json_in/jsonb_in validate input; the identity cast must too
+        assert pg_sql(
+            spark, """SELECT '{"a":1}'::json AS j""", None
+        ).collect()[0].j == '{"a":1}'
+        for q in ("""SELECT '{"a":1'::json AS j""",
+                  "SELECT 'junk'::jsonb AS j"):
+            with pytest.raises(ValueError, match="invalid input syntax"):
+                pg_sql(spark, q, None)
