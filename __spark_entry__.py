@@ -22,59 +22,70 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver samples the first N entries of queries() for its DuckDB
-# CORRECTNESS check (~50 per round). Round-6 head (VERDICT r05 Next
-# 1/3): the two round-5 reds, both re-expressed away from DECIMAL-typed
-# compared output (the proven driver-hasher root cause — pg_named_window
-# now sums integer cents under the same named-WINDOW shape;
-# pg_cast_bal_dec compares the numeric(12,2) cast's DOUBLE image), the
-# two latent green-by-luck decimal queries re-expressed the same way
-# (pg_filter_distinct_on_combo drops the ::numeric output cast,
-# pg_parse_funcs compares to_number's DOUBLE image), the two
-# never-driver-checked round-5 late adds (seg_ops,
-# tablefunc_normal_rand — both full-sim MATCH, fuzz-swept), then new
-# round-6 queries, then the oldest-attested green rows (drv1-era) for
-# freshness. Everything else keeps its r02-r05 green row and sorts last.
+# CORRECTNESS check (~50 per round). Round-7 head (VERDICT r06 Next
+# 1/3): the three round-6 reds, all re-expressed away from raw
+# ARRAY-typed compared output (the driver's canonicalizer crashes on
+# list cells — pandas sort_values "unhashable type: 'list'"; every
+# array compared column is now serialized with array_to_string on both
+# engine and oracle sides, with the array operations unchanged inside
+# the serialization), then the oldest-attested green rows for freshness:
+# all 23 names whose latest driver check is still round 1, then the 24
+# oldest round-2 rows. Everything else keeps its r02-r06 green row and
+# sorts last.
 DRIVER_PRIORITY: list[str] = [
-    # the 2 round-5 reds, re-expressed (VERDICT r05 What's-wrong #1)
-    "pg_named_window",
-    "pg_cast_bal_dec",
-    # never-driver-checked (ledger closes with these two)
-    "seg_ops",
-    "tablefunc_normal_rand",
-    # latent decimal outputs, re-expressed — re-check
-    "pg_filter_distinct_on_combo",
-    "pg_parse_funcs",
-    # new round-6 operators: SCROLL cursors / backward FETCH+MOVE,
-    # SemDeDup semantic prune
-    "plpgsql_scroll_fetch",
-    "embed_semdedup",
-    "datapipe_dsir_select",
-    "datapipe_filter_cascade",
+    # the 3 round-6 reds, re-expressed (VERDICT r06 What's-wrong #1)
     "pg_literal_forms",
     "pg_array_subquery",
-    "pg_operator_forms",
-    "pg_string_date_funcs",
-    "pg_json_srf_scan",
-    "pg_quantified_subq",
     "pg_array_family",
-    "pg_hypothetical_sql",
-    "pg_regress_fixes",
-    "pg_datetime_forms",
-    "pg_interval_format_forms",
-    "pg_bit_literals",
-    "pg_unicode_quantifier_forms",
-    "pg_interval_qualifiers",
-    "pg_json_each_typed",
-    # oldest green rows (drv1) — freshness re-checks
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q06_forecast_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "grouping_sets_mixed",
-    "window_running_sum",
-    "join_full_outer",
-    "join_theta_range",
+    # oldest green rows — latest check drv1 (all 23)
+    "q20_potential_promotion",
+    "rollup_returns",
+    "cube_orders",
+    "mdqa_multi_distinct",
+    "sum_distinct",
+    "ordered_set_aggs",
+    "percentile_disc_agg",
+    "mode_deterministic",
+    "string_agg_ordered",
+    "array_agg_ordered_str",
+    "bool_bit_aggs",
+    "minmax_hetero",
+    "corr_regr_explicit",
+    "agg_filter_clause",
+    "window_rank_family",
+    "window_topk_per_group",
+    "window_sliding_avg",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_first_last_nth",
+    "window_ntile",
+    "window_multi_windows",
+    "join_right_outer",
+    # oldest drv2-era rows — freshness re-checks
+    "approx_count_distinct_hll",
+    "percentile_multi",
+    "window_filter_clause",
+    "setop_except_all",
+    "json_populate_record",
+    "quote_funcs",
+    "events_interval_join",
+    "events_gapfill_locf",
+    "datapipe_hash_split",
+    "text_repetition_quality",
+    "text_pii_redaction",
+    "datapipe_stratified_cap",
+    "text_line_dedup",
+    "text_contamination",
+    "dedup_jaccard_pairs",
+    "external_program_scan",
+    "foreign_scan_fdw",
+    "gp_skew_report",
+    "fulltext_rank_cd",
+    "fulltext_tsquery_boolean",
+    "fulltext_weighted_rank",
+    "range_type_ops",
+    "misc_type_funcs",
+    "geometry_ops",
 ]
 
 

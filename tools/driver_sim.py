@@ -39,6 +39,15 @@ def norm(rows, cols):
         vals = []
         for i in order:
             v = r[i]
+            # Driver-canonicalizer parity (VERDICT r06 What's-wrong #2):
+            # the driver's pandas sort_values crashes on list/dict cells
+            # ("unhashable type: 'list'"), so the sim must refuse them
+            # too instead of silently repr-sorting past the class.
+            if isinstance(v, (list, dict)):
+                raise TypeError(
+                    f"unhashable type: {type(v).__name__!r} in compared "
+                    f"column {cols[i]!r} (driver canonicalizer parity — "
+                    "serialize nested outputs to text)")
             if isinstance(v, float) and math.isnan(v): v = 'NaN'
             if isinstance(v, datetime.datetime): v = v.replace(tzinfo=None)
             vals.append(v)
@@ -141,9 +150,13 @@ for name in names:
     except duckdb.InterruptException:
         print(f'{name}: TIMEOUT oracle interrupted after {_tmo}s')
         fails.append(name); continue
-    ok = (sorted(c.lower() for c in sdf.columns) == sorted(c.lower() for c in ocols)
-          and norm(srows, sdf.columns) == norm(orows, ocols)
-          and not skew)
+    try:
+        ok = (sorted(c.lower() for c in sdf.columns) == sorted(c.lower() for c in ocols)
+              and norm(srows, sdf.columns) == norm(orows, ocols)
+              and not skew)
+    except TypeError as exc:
+        # nested cell reached the canonicalizer — the driver would ERR here
+        print(f'{name}: CANON-ERR {exc}'); fails.append(name); continue
     tag = 'MATCH' if ok else ('DTYPE-SKEW ' + '; '.join(skew) if skew else 'MISMATCH')
     print(f'{name}: {tag} spark={len(srows)} oracle={len(orows)}')
     if not ok: fails.append(name)

@@ -94,6 +94,18 @@ def dtype_mismatches(spark_schema, duck_con, sql: str) -> list[str]:
             out.append(
                 f"{col}: spark={spark_types[col]} duck={duck_types[col]}"
             )
+        elif spark_types[col] in ("array", "map", "struct"):
+            # Policy (VERDICT r06 What's-wrong #1): nested-typed columns
+            # in compared output CRASH the driver's canonicalizer —
+            # pandas sort_values -> Categorical -> factorize raises
+            # "unhashable type: 'list'" on list cells.  A matching
+            # array/array pair is therefore still a violation: serialize
+            # the compared image to text (array_to_string with a NULL
+            # sentinel, or to_json) on BOTH engine and oracle sides.
+            out.append(
+                f"{col}: {spark_types[col]}-typed compared output (policy"
+                f" violation: driver canonicalizer crashes on nested cells)"
+            )
         elif spark_types[col].startswith("decimal"):
             # Policy (VERDICT r05 What's-wrong #1): DECIMAL-typed columns
             # in compared output are NOT value-transparent through the
