@@ -37,6 +37,11 @@ DRIVER_PRIORITY: list[str] = [
     "pg_literal_forms",
     "pg_array_subquery",
     "pg_array_family",
+    # new round-7 operators: tsvector/tsquery literal algebra + ts_rank,
+    # time-of-day literals with PG wrap arithmetic (VERDICT r06
+    # What's-missing #1)
+    "pg_tsvector_ops",
+    "pg_time_of_day",
     # oldest green rows — latest check drv1 (all 23)
     "q20_potential_promotion",
     "rollup_returns",

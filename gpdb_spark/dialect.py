@@ -322,7 +322,28 @@ def _decode_uescape(body: str, esc: str) -> str:
                 raise ValueError(f"invalid Unicode escape: {body[i:i+5]!r}")
             out.append(chr(int(hexs, 16)))
             i += 5
-    return "".join(out)
+    # UTF-16 surrogate pairs combine into one code point, and a lone
+    # surrogate is an error — scan.l's xus check_utf16 pairing (round-7
+    # advice: two lone surrogate chars break UTF-8 encoding at the
+    # driver boundary)
+    combined: list[str] = []
+    j = 0
+    while j < len(out):
+        c = out[j]
+        cp = ord(c)
+        if 0xD800 <= cp <= 0xDBFF:
+            if j + 1 < len(out) and 0xDC00 <= ord(out[j + 1]) <= 0xDFFF:
+                combined.append(chr(
+                    0x10000 + ((cp - 0xD800) << 10)
+                    + (ord(out[j + 1]) - 0xDC00)))
+                j += 2
+                continue
+            raise ValueError("invalid Unicode surrogate pair")
+        if 0xDC00 <= cp <= 0xDFFF:
+            raise ValueError("invalid Unicode surrogate pair")
+        combined.append(c)
+        j += 1
+    return "".join(combined)
 
 
 def _pass_unicode_literals(tokens: list[str]) -> list[str]:
@@ -432,7 +453,15 @@ def _map_base_type(tokens: list[str], i: int) -> tuple[str, int]:
     if w in ("timestamp", "time") and j + 2 < len(tokens) and _is_word(
         tokens[j], "with", "without"
     ):
-        # timestamp with[out] time zone
+        # timestamp with[out] time zone; time without time zone -> TIME
+        # (Spark 4 TimeType); time WITH time zone is out of scope (the
+        # reference's timetz carries a per-value zone Spark has no
+        # vocabulary for) — loud refusal, not a silent TIMESTAMP image
+        if w == "time":
+            if _is_word(tokens[j], "with"):
+                raise ValueError(
+                    "time with time zone (timetz) is not supported")
+            return "TIME", j + 3
         return "TIMESTAMP", j + 3
     if (
         w in ("varchar", "char", "bpchar", "character")
@@ -522,6 +551,13 @@ def _operand_start(tokens: list[str], i: int) -> int:
         return j
     if tokens[j].isidentifier() and tokens[j].lower() not in _KEYWORDS:
         return _dot_chain_start(tokens, j)
+    # typed literal (TIME '..' / DATE '..' / TIMESTAMP '..' / INTERVAL
+    # '..' [qualifier]) is ONE operand — the cast applies to the value,
+    # not the inner string (gram.y AexprConst)
+    if tokens[j].startswith("'") and j - 1 >= 0 and tokens[j - 1].lower() in (
+        "time", "date", "timestamp", "interval",
+    ):
+        return j - 1
     return j
 
 
@@ -1288,13 +1324,57 @@ def _pass_casts(tokens: list[str]) -> list[str]:
         ):
             import json as _json
 
+            def _no_const(s: str):
+                # json_in rejects NaN/Infinity (round-7 advice:
+                # Python's json.loads accepts them by default)
+                raise ValueError(s)
+
             try:
-                _json.loads(_lit_decode(tokens[start]))
+                _json.loads(
+                    _lit_decode(tokens[start]), parse_constant=_no_const
+                )
             except ValueError:
                 raise ValueError(
                     "invalid input syntax for type json: "
                     + tokens[start][:60]
                 ) from None
+        # '<literal>'::float4/float8 range validation (float.c
+        # float4in/float8in set ERANGE on overflow AND on denormal
+        # underflow — '1e309' and '1e-324' are both errors in PG, while
+        # the Infinity/NaN word spellings are accepted; round-7
+        # golden-probe ERR_MISS class)
+        if (
+            i + 1 < len(tokens)
+            and tokens[i + 1].lower() in ("float4", "float8", "real",
+                                          "float", "double")
+            and start == i - 1
+            and tokens[start].startswith("'")
+        ):
+            _fs = _lit_decode(tokens[start]).strip().lower()
+            if _fs not in ("infinity", "-infinity", "+infinity", "inf",
+                           "-inf", "+inf", "nan", "-nan", "+nan"):
+                try:
+                    _fv = float(_fs)
+                except ValueError:
+                    raise ValueError(
+                        "invalid input syntax for type double precision: "
+                        + tokens[start][:40]
+                    ) from None
+                _f4 = tokens[i + 1].lower() in ("float4", "real")
+                _max = 3.4028234663852886e38 if _f4 else float("inf")
+                _min = 1.1754943508222875e-38 if _f4 \
+                    else 2.2250738585072014e-308
+                _mant = _fs.split("e")[0]
+                _underflow = (
+                    (_fv != 0.0 and abs(_fv) < _min)
+                    or (_fv == 0.0 and any(c in "123456789" for c in _mant))
+                )
+                if abs(_fv) > _max or _fv in (float("inf"), float("-inf")) \
+                        or _underflow:
+                    raise ValueError(
+                        f'"{_fs}" is out of range for type '
+                        + ("real" if _f4 else "double precision")
+                    )
         spark_type, after = _map_type(tokens, i + 1)
         tokens = (
             tokens[:start]
@@ -1562,6 +1642,19 @@ def _pass_functions(tokens: list[str]) -> list[str]:
                     f"'count must be greater than zero') "
                     f"WHEN {lo_s} = {hi_s} THEN raise_error("
                     f"'lower bound cannot equal upper bound') "
+                    # width_bucket_float8: NaN operand and infinite
+                    # bounds are errors (round-7 ERR_MISS parity)
+                    f"WHEN isnan(CAST({a} AS DOUBLE)) THEN raise_error("
+                    f"'operand, lower bound, and upper bound cannot be NaN')"
+                    f" WHEN isnan(CAST({lo_s} AS DOUBLE))"
+                    f" OR isnan(CAST({hi_s} AS DOUBLE)) THEN raise_error("
+                    f"'operand, lower bound, and upper bound cannot be NaN')"
+                    f" WHEN CAST({lo_s} AS DOUBLE) IN (CAST('Infinity' AS"
+                    f" DOUBLE), CAST('-Infinity' AS DOUBLE))"
+                    f" OR CAST({hi_s} AS DOUBLE) IN (CAST('Infinity' AS"
+                    f" DOUBLE), CAST('-Infinity' AS DOUBLE))"
+                    f" THEN raise_error("
+                    f"'lower and upper bounds must be finite') "
                     f"ELSE width_bucket({a}, {lo_s}, {hi_s}, {cnt_s}) END"
                 )
                 i = k + 1
@@ -2717,6 +2810,12 @@ def _tz_zone_tokens(tz: list[str]) -> list[str]:
             return [f"'{mapped}'"]
         m = re.fullmatch(r"([+-]?)(\d{1,2})", body)
         if m:
+            # DecodeTimezone caps numeric offsets at ±15:59 ('+16' is
+            # "time zone displacement out of range" — round-7 ERR_MISS
+            # parity)
+            if int(m.group(2)) > 15:
+                raise ValueError(
+                    f'numeric time zone "{body}" out of range')
             sign = "-" if m.group(1) == "-" else "+"
             return [f"'{sign}{int(m.group(2)):02d}:00'"]
     return tz
@@ -2775,10 +2874,14 @@ def _pg_interval_triple(body: str) -> tuple[int, int, int] | None:
     spill exactly as PG's AdjustFractYears/Days/Seconds: fractional
     years -> rounded months, fractional months -> frac*30 days with the
     day remainder cascading to seconds, fractional days/time -> seconds.
-    Repeated units sum; '@' is noise; a trailing 'ago' negates; a
-    unitless number is seconds. Returns None on anything unrecognized
-    (ISO-8601 P-forms, 'infinity') — the caller passes those through
-    for Spark to accept or refuse loudly."""
+    '@' is noise; a trailing 'ago' negates; a unitless number is
+    seconds. A REPEATED field raises like DecodeInterval's fmask check
+    ('1 day 1 day' / '5.5 seconds 3 milliseconds' are invalid input in
+    PG — round-7 golden-probe finding; a fractional-seconds value
+    claims the ms/us fields too, and a time field claims all five time
+    fields). Returns None on anything unrecognized (ISO-8601 P-forms,
+    'infinity') — the caller passes those through for Spark to accept
+    or refuse loudly."""
     months = days = 0
     micros = 0.0
     neg_all = False
@@ -2786,6 +2889,21 @@ def _pg_interval_triple(body: str) -> tuple[int, int, int] | None:
     seen_time = False
     pos = 0
     body = body.strip().lower()
+    claimed: set[str] = set()
+
+    def claim(*fields: str) -> None:
+        if claimed & set(fields):
+            raise ValueError(
+                f'invalid input syntax for type interval: "{body}"')
+        claimed.update(fields)
+
+    _FIELD_BY_MULT = {
+        ("mo", 12000): "millennium", ("mo", 1200): "century",
+        ("mo", 120): "decade", ("mo", 12): "year", ("mo", 1): "month",
+        ("d", 7): "week", ("d", 1): "day",
+        ("us", 3_600_000_000): "hour", ("us", 60_000_000): "minute",
+        ("us", 1_000_000): "second", ("us", 1_000): "ms", ("us", 1): "us",
+    }
     while pos < len(body):
         m = _IVL_ITEM.match(body, pos)
         if not m or m.end() == pos:
@@ -2801,12 +2919,10 @@ def _pg_interval_triple(body: str) -> tuple[int, int, int] | None:
             neg_all = True
             continue
         if m.group(1):  # H:MM[:SS.f]
-            # DecodeInterval rejects a SECOND time field ('123 2:03
-            # -2:04' is invalid input) — bail to a loud native refusal
-            # rather than silently summing
             if seen_time:
                 return None
             seen_time = True
+            claim("hour", "minute", "second", "ms", "us")
             t = m.group(1)
             sign = -1 if t.startswith("-") else 1
             parts = t.lstrip("+-").split(":")
@@ -2816,6 +2932,7 @@ def _pg_interval_triple(body: str) -> tuple[int, int, int] | None:
             micros += sign * secs * 1_000_000
             continue
         if m.group(2):  # SQL-standard 'Y-M'
+            claim("year", "month")
             sign = -1 if m.group(2).startswith("-") else 1
             ys, ms_ = m.group(2).lstrip("+-").split("-")
             months += sign * (int(ys) * 12 + int(ms_))
@@ -2833,15 +2950,24 @@ def _pg_interval_triple(body: str) -> tuple[int, int, int] | None:
                 return None
             seen_unitless = True
             if re.match(r"[+-]?\d+:\d", body[pos:]):
+                claim("day")
                 days += int(num)
                 micros += (num - int(num)) * 86_400_000_000
             else:
+                claim("second")
                 micros += num * 1_000_000
             continue
         hit = _IVL_UNITS.get(unit)
         if hit is None:
             return None
         bucket, mult = hit
+        field = _FIELD_BY_MULT[(bucket, mult)]
+        if field == "second" and num != int(num):
+            claim("second", "ms", "us")
+        elif field == "ms" and num != int(num):
+            claim("ms", "us")
+        else:
+            claim(field)
         whole = int(num)  # C-style truncation toward zero
         frac = num - whole
         if bucket == "mo":
@@ -2928,6 +3054,20 @@ def _pass_date_interval_ts(tokens: list[str]) -> list[str]:
     i = 0
     n = len(tokens)
     while i < n:
+        # date '<a>' - date '<b>' -> integer days (date.c date_mi
+        # returns int4; Spark's date subtraction yields an interval)
+        if (
+            _is_word(tokens[i], "date")
+            and i + 4 < n
+            and tokens[i + 1].startswith("'")
+            and tokens[i + 2] == "-"
+            and _is_word(tokens[i + 3], "date")
+            and tokens[i + 4].startswith("'")
+        ):
+            out += ["datediff", "(", "date", tokens[i + 1], ",",
+                    "date", tokens[i + 4], ")"]
+            i += 5
+            continue
         if (
             _is_word(tokens[i], "date")
             and i + 3 < n
@@ -3091,6 +3231,18 @@ def _pass_array_elem_concat(tokens: list[str]) -> list[str]:
     heads = ("array", "array_append", "array_prepend", "array_repeat")
 
     def is_array_call(seg: list[str]) -> bool:
+        # CAST(... AS ARRAY<...>) — the output of
+        # _pass_array_literal_casts for '{1,2}'::int[] spellings — is
+        # an array operand too (round-7 advice: '{1,2}'::int[] || 3
+        # fell through to Spark's array||int and failed analysis)
+        if (
+            len(seg) >= 4
+            and seg[0].upper() == "CAST"
+            and seg[1] == "("
+            and seg[-1] == ")"
+            and seg[-2].upper().startswith("ARRAY<")
+        ):
+            return True
         return (
             len(seg) >= 2
             and seg[0].isidentifier()
@@ -3910,6 +4062,530 @@ def _lit_encode(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
+def _pass_ts_fold(tokens: list[str]) -> list[str]:
+    """tsvector/tsquery literal input and constant ops, folded at
+    translate time (VERDICT r06 What's-missing #1).
+
+    ``'...'::tsvector`` / ``tsvector '...'`` (tsvector.c tsvectorin) and
+    the tsquery twins parse through functions/tstypes.py; the constant
+    operator algebra over them — ``||`` concat/OR, ``&&`` AND, ``!!``
+    NOT, ``@@`` match, tsquery comparisons, setweight/strip/numnode/
+    tsvectorin/tsvectorout — reduces to literals, and any remaining
+    value renders as its canonical PG text image (the engine's output
+    representation for these types IS the text form). Non-constant uses
+    (ts ops over columns) keep refusing loudly — the corpus-scale path
+    is the relational postings() layout in functions/fulltext.py.
+    Malformed input raises at translate time exactly where tsvectorin/
+    tsqueryin ereport (error-loudness parity)."""
+    if not any(
+        t.lower() in ("tsvector", "tsquery", "tsvectorin", "tsqueryin",
+                      "to_tsvector")
+        for t in tokens
+    ):
+        return tokens
+    from gpdb_spark.functions import tstypes as _ts
+
+    vals: dict[str, tuple[str, object]] = {}
+    counter = [0]
+
+    def mk(kind: str, val) -> str:
+        tok = f"__TS{kind.upper()}_{counter[0]}__"
+        counter[0] += 1
+        vals[tok] = (kind, val)
+        return tok
+
+    def as_v(tok: str):
+        if tok in vals:
+            kind, v = vals[tok]
+            return v if kind == "v" else None
+        if tok.startswith("'"):
+            return _ts.parse_tsvector(_lit_decode(tok))
+        return None
+
+    def as_q(tok: str):
+        if tok in vals:
+            kind, v = vals[tok]
+            return v if kind == "q" else None
+        if tok.startswith("'"):
+            return _ts.parse_tsquery(_lit_decode(tok))
+        return None
+
+    def is_operand(tok: str) -> bool:
+        return tok in vals or tok.startswith("'")
+
+    try:
+        changed = True
+        while changed:
+            changed = False
+            out: list[str] = []
+            i, n = 0, len(tokens)
+            while i < n:
+                t = tokens[i]
+                low = t.lower()
+                nxt = tokens[i + 1] if i + 1 < n else ""
+                nxt2 = tokens[i + 2] if i + 2 < n else ""
+                # '<lit>'::tsvector / '<lit>'::tsquery
+                if (
+                    t.startswith("'")
+                    and nxt == "::"
+                    and nxt2.lower() in ("tsvector", "tsquery")
+                ):
+                    kind = "v" if nxt2.lower() == "tsvector" else "q"
+                    parse = (
+                        _ts.parse_tsvector if kind == "v"
+                        else _ts.parse_tsquery
+                    )
+                    out.append(mk(kind, parse(_lit_decode(t))))
+                    i += 3
+                    changed = True
+                    continue
+                # tsvector '<lit>' / tsquery '<lit>' prefix form
+                if low in ("tsvector", "tsquery") and nxt.startswith("'"):
+                    kind = "v" if low == "tsvector" else "q"
+                    parse = (
+                        _ts.parse_tsvector if kind == "v"
+                        else _ts.parse_tsquery
+                    )
+                    out.append(mk(kind, parse(_lit_decode(nxt))))
+                    i += 2
+                    changed = True
+                    continue
+                # function forms over constants
+                if low in ("tsvectorin", "tsqueryin") and nxt == "(" \
+                        and nxt2.startswith("'") and i + 3 < n \
+                        and tokens[i + 3] == ")":
+                    if low == "tsvectorin":
+                        out.append(
+                            mk("v", _ts.parse_tsvector(_lit_decode(nxt2))))
+                    else:
+                        out.append(
+                            mk("q", _ts.parse_tsquery(_lit_decode(nxt2))))
+                    i += 4
+                    changed = True
+                    continue
+                if low in ("tsvectorout", "tsqueryout") and nxt == "(" \
+                        and nxt2 in vals and i + 3 < n \
+                        and tokens[i + 3] == ")":
+                    kind, v = vals[nxt2]
+                    render = (
+                        _ts.render_tsvector if kind == "v"
+                        else _ts.render_tsquery
+                    )
+                    out.append(_lit_encode(render(v)))
+                    i += 4
+                    changed = True
+                    continue
+                if low == "setweight" and nxt == "(" and nxt2 in vals \
+                        and vals[nxt2][0] == "v" and i + 5 < n \
+                        and tokens[i + 3] == "," \
+                        and tokens[i + 4].startswith("'") \
+                        and tokens[i + 5] == ")":
+                    out.append(mk("v", _ts.tsvector_setweight(
+                        vals[nxt2][1], _lit_decode(tokens[i + 4]))))
+                    i += 6
+                    changed = True
+                    continue
+                if low == "strip" and nxt == "(" and nxt2 in vals \
+                        and vals[nxt2][0] == "v" and i + 3 < n \
+                        and tokens[i + 3] == ")":
+                    out.append(mk("v", _ts.tsvector_strip(vals[nxt2][1])))
+                    i += 4
+                    changed = True
+                    continue
+                if low == "numnode" and nxt == "(" and nxt2 in vals \
+                        and vals[nxt2][0] == "q" and i + 3 < n \
+                        and tokens[i + 3] == ")":
+                    out.append(str(_ts.numnode(vals[nxt2][1])))
+                    i += 4
+                    changed = True
+                    continue
+                # ts_rank / ts_rank_cd over constants (tsrank.c, default
+                # weights, RANK_NO_NORM) — folded to the float4 image
+                if low in ("ts_rank", "ts_rank_cd") and nxt == "(" \
+                        and nxt2 in vals and vals[nxt2][0] == "v" \
+                        and i + 5 < n and tokens[i + 3] == "," \
+                        and is_operand(tokens[i + 4]) \
+                        and tokens[i + 5] == ")":
+                    q = as_q(tokens[i + 4])
+                    if q is not None:
+                        fn = (_ts.ts_rank if low == "ts_rank"
+                              else _ts.ts_rank_cd)
+                        out += ["CAST", "(",
+                                _ts.pg_float4_text(fn(vals[nxt2][1], q)),
+                                "AS", "DOUBLE", ")"]
+                        i += 6
+                        changed = True
+                        continue
+                # to_tsvector('simple', '<lit>') — simple config only
+                if low == "to_tsvector" and nxt == "(" \
+                        and nxt2.lower() == "'simple'" and i + 5 < n \
+                        and tokens[i + 3] == "," \
+                        and tokens[i + 4].startswith("'") \
+                        and tokens[i + 5] == ")":
+                    out.append(mk("v", _ts.to_tsvector_simple(
+                        _lit_decode(tokens[i + 4]))))
+                    i += 6
+                    changed = True
+                    continue
+                # ( PLACEHOLDER ) -> PLACEHOLDER
+                if t == "(" and nxt in vals and nxt2 == ")":
+                    out.append(nxt)
+                    i += 3
+                    changed = True
+                    continue
+                # !! <q>  (tsquery_not; lexed as two '!' tokens)
+                if t == "!" and nxt == "!" and nxt2 in vals \
+                        and vals[nxt2][0] == "q":
+                    out.append(mk("q", _ts.tsq_not(vals[nxt2][1])))
+                    i += 3
+                    changed = True
+                    continue
+                # binary ops: operand OP operand where >=1 side folded
+                if out and is_operand(out[-1]):
+                    lhs = out[-1]
+                    # '&&' / '@@' arrive as two single-char tokens
+                    two = t + nxt if t in ("&", "@") and nxt == t else None
+                    opw = 2 if two else 1
+                    op = two or t
+                    rhs = tokens[i + opw] if i + opw < n else ""
+                    folded = lhs in vals or rhs in vals
+                    # a bare string RHS followed by '::' must fold its
+                    # own cast first (else the cast tokens orphan)
+                    if (
+                        rhs.startswith("'")
+                        and i + opw + 1 < n
+                        and tokens[i + opw + 1] == "::"
+                    ):
+                        folded = False
+                    if folded and is_operand(rhs):
+                        res = None
+                        if op == "||":
+                            if (vals.get(lhs, ("",))[0] == "v"
+                                    or vals.get(rhs, ("",))[0] == "v"):
+                                a, b = as_v(lhs), as_v(rhs)
+                                if a is not None and b is not None:
+                                    res = mk("v", _ts.tsvector_concat(a, b))
+                            else:
+                                a, b = as_q(lhs), as_q(rhs)
+                                if a is not None and b is not None:
+                                    res = mk("q", _ts.tsq_or(a, b))
+                        elif op == "&&":
+                            a, b = as_q(lhs), as_q(rhs)
+                            if a is not None and b is not None:
+                                res = mk("q", _ts.tsq_and(a, b))
+                        elif op == "@@":
+                            a, b = as_v(lhs), as_q(rhs)
+                            if a is not None and b is not None:
+                                res = (
+                                    "TRUE" if _ts.ts_match(a, b) else "FALSE"
+                                )
+                        elif op in ("<", ">", "<=", ">=", "=", "<>", "!=") \
+                                and (vals.get(lhs, ("",))[0] == "q"
+                                     or vals.get(rhs, ("",))[0] == "q"):
+                            a, b = as_q(lhs), as_q(rhs)
+                            if a is not None and b is not None:
+                                c = _ts.tsquery_cmp(a, b)
+                                hit = {
+                                    "<": c < 0, ">": c > 0, "<=": c <= 0,
+                                    ">=": c >= 0, "=": c == 0,
+                                    "<>": c != 0, "!=": c != 0,
+                                }[op]
+                                res = "TRUE" if hit else "FALSE"
+                        if res is not None:
+                            out.pop()
+                            out.append(res)
+                            i += opw + 1
+                            changed = True
+                            continue
+                out.append(t)
+                i += 1
+            tokens = out
+    except _ts.TSSyntaxError as exc:
+        raise ValueError(str(exc)) from None
+    # remaining values render as their canonical text image
+    return [
+        _lit_encode(
+            (_ts.render_tsvector if vals[t][0] == "v"
+             else _ts.render_tsquery)(vals[t][1])
+        ) if t in vals else t
+        for t in tokens
+    ]
+
+
+def _parse_pg_time(s: str) -> tuple[int, int, int, int]:
+    """PG time-of-day input (date.c time_in / DecodeTimeOnly) ->
+    (hour, minute, second, microsecond). Accepts 'HH:MM[:SS[.f]]',
+    compact 'HHMMSS[.f]' / 'HHMM', a leading ISO 'T', AM/PM, and a
+    trailing zone (numeric offset or abbreviation) which time-without-
+    time-zone input DISCARDS, exactly as the reference does. 'allballs'
+    is midnight. PG's '24:00:00' has no Spark TimeType image — loud."""
+    t = s.strip()
+    low = t.lower()
+    if low == "allballs":
+        return 0, 0, 0, 0
+    m = re.match(
+        r"""(?ix)^
+        t?                                   # ISO T prefix
+        (?: (?P<h>\d{1,2}) : (?P<mi>\d{1,2}) (?: : (?P<sec>\d{1,2})
+              (?:\.(?P<f>\d+))? )?           # HH:MM[:SS[.f]]
+          | (?P<c>\d{4}|\d{6}) (?:\.(?P<cf>\d+))?   # HHMM / HHMMSS[.f]
+        )
+        \s* (?P<ampm>[ap]\.?m\.?)?           # meridian
+        \s* (?: [+-]\d{1,2}(?::?\d{2}){0,2}  # numeric zone offset
+              | [A-Za-z][A-Za-z0-9/_+-]*     # zone abbreviation/name
+            )?
+        \s*$""",
+        t,
+    )
+    if not m:
+        raise ValueError(f'invalid input syntax for type time: "{s}"')
+    frac = "0"
+    if m.group("c"):
+        c = m.group("c")
+        h, mi = int(c[0:2]), int(c[2:4])
+        sec = int(c[4:6]) if len(c) == 6 else 0
+        frac = m.group("cf") or "0"
+    else:
+        h, mi = int(m.group("h")), int(m.group("mi"))
+        sec = int(m.group("sec") or 0)
+        frac = m.group("f") or "0"
+    us = int(round(float("0." + frac) * 1_000_000))
+    ampm = (m.group("ampm") or "").replace(".", "").lower()
+    if ampm:
+        if not 1 <= h <= 12:
+            raise ValueError(f'invalid input syntax for type time: "{s}"')
+        if ampm == "am" and h == 12:
+            h = 0
+        elif ampm == "pm" and h != 12:
+            h += 12
+    if h == 24 and (mi, sec, us) == (0, 0, 0):
+        raise ValueError(
+            "time '24:00:00' has no TimeType image (documented divergence)"
+        )
+    if not (0 <= h <= 23 and 0 <= mi <= 59 and 0 <= sec <= 59):
+        raise ValueError(f'date/time field value out of range: "{s}"')
+    return h, mi, sec, us
+
+
+def _time_text(h: int, mi: int, sec: int, us: int) -> str:
+    s = f"{h:02d}:{mi:02d}:{sec:02d}"
+    if us:
+        s += f".{us:06d}".rstrip("0")
+    return s
+
+
+def _time_us(h: int, mi: int, sec: int, us: int) -> int:
+    return ((h * 60 + mi) * 60 + sec) * 1_000_000 + us
+
+
+def _us_time_tokens(us: int) -> list[str]:
+    """Wrap to [0, 24h) and emit a TIME literal token pair
+    (timestamp.c time_pl_interval's modulo discipline)."""
+    us %= 86_400_000_000
+    sec, rem = divmod(us, 1_000_000)
+    h, ms = divmod(sec, 3600)
+    mi, s = divmod(ms, 60)
+    return ["TIME", _lit_encode(_time_text(int(h), int(mi), int(s),
+                                           int(rem)))]
+
+
+def _pass_time_literals(tokens: list[str]) -> list[str]:
+    """time-of-day through the SQL front door (VERDICT r06
+    What's-missing #1): ``time '...'`` / ``'...'::time`` literals map to
+    Spark 4 TimeType literals, and the constant arithmetic PG defines
+    over them folds at translate time with PG's wrap-around semantics
+    (timestamp.c time_pl_interval/time_mi_interval use only the
+    interval's *time* field, modulo 24h; date+time -> timestamp;
+    time<->interval casts). Runs BEFORE the interval/cast passes so the
+    raw ``interval '<pg-input>'`` text is still visible for exact
+    Python folding. Non-literal ``::time`` casts become CAST(x AS TIME)
+    (native, flag-gated); native TIME comparisons and TIME-TIME
+    subtraction need no rewrite. timetz refuses loudly (out of scope)."""
+    if not any(_is_word(t, "time", "timestamptz", "timetz")
+               for t in tokens):
+        return tokens
+    n = len(tokens)
+    # literal normalization: time [without time zone] '<lit>' and
+    # '<lit>'::time [without time zone] -> TIME '<canon>'
+    out: list[str] = []
+    i = 0
+    while i < n:
+        t = tokens[i]
+        if _is_word(t, "timetz"):
+            raise ValueError("time with time zone (timetz) is not supported")
+        if _is_word(t, "time"):
+            j = i + 1
+            if (
+                j + 2 < n
+                and _is_word(tokens[j], "with", "without")
+                and _is_word(tokens[j + 1], "time")
+                and _is_word(tokens[j + 2], "zone")
+            ):
+                if _is_word(tokens[j], "with"):
+                    raise ValueError(
+                        "time with time zone (timetz) is not supported")
+                j += 3
+            if j < n and tokens[j].startswith("'") and (
+                not out or out[-1] != "::"  # not part of a cast type
+            ):
+                h, mi, sec, us = _parse_pg_time(_lit_decode(tokens[j]))
+                out += ["TIME", _lit_encode(_time_text(h, mi, sec, us))]
+                i = j + 1
+                continue
+        if (
+            t.startswith("'")
+            and i + 1 < n
+            and tokens[i + 1] == "::"
+            and i + 2 < n
+            and _is_word(tokens[i + 2], "time")
+            and not (i + 3 < n and tokens[i + 3] == "(")
+        ):
+            j = i + 3
+            if (
+                j + 2 < n
+                and _is_word(tokens[j], "with", "without")
+                and _is_word(tokens[j + 1], "time")
+                and _is_word(tokens[j + 2], "zone")
+            ):
+                if _is_word(tokens[j], "with"):
+                    raise ValueError(
+                        "time with time zone (timetz) is not supported")
+                j += 3
+            h, mi, sec, us = _parse_pg_time(_lit_decode(t))
+            out += ["TIME", _lit_encode(_time_text(h, mi, sec, us))]
+            i = j
+            continue
+        out.append(t)
+        i += 1
+    tokens, n = out, len(out)
+
+    # constant arithmetic over TIME literals
+    def time_at(k: int):
+        if k + 1 < n and tokens[k] == "TIME" and tokens[k + 1].startswith("'"):
+            return _parse_pg_time(_lit_decode(tokens[k + 1]))
+        return None
+
+    def ivl_at(k: int):
+        if (
+            k + 1 < n
+            and _is_word(tokens[k], "interval")
+            and tokens[k + 1].startswith("'")
+        ):
+            return _pg_interval_triple(_lit_decode(tokens[k + 1]))
+        return None
+
+    out = []
+    i = 0
+    while i < n:
+        tv = time_at(i)
+        # TIME '<t>' ± interval '<i>' — wrap mod 24h on the interval's
+        # time field only (months/days drop out, PG semantics)
+        if tv is not None and i + 3 < n and tokens[i + 2] in ("+", "-"):
+            ivl = ivl_at(i + 3)
+            if ivl is not None:
+                _, _, ius = ivl
+                sign = 1 if tokens[i + 2] == "+" else -1
+                out += _us_time_tokens(_time_us(*tv) + sign * ius)
+                i += 5
+                continue
+        # interval '<i>' + TIME '<t>' (commuted)
+        ivl = ivl_at(i)
+        if (
+            ivl is not None
+            and i + 3 < n
+            and tokens[i + 2] == "+"
+            and time_at(i + 3) is not None
+        ):
+            tv2 = time_at(i + 3)
+            out += _us_time_tokens(_time_us(*tv2) + ivl[2])
+            i += 5
+            continue
+        # date '<d>' ± TIME '<t>' -> TIMESTAMP (datetime.c
+        # datetime_pl_time); the commuted time+date form too
+        if (
+            _is_word(tokens[i], "date")
+            and i + 1 < n
+            and tokens[i + 1].startswith("'")
+            and i + 3 < n
+            and tokens[i + 2] in ("+", "-")
+            and time_at(i + 3) is not None
+        ):
+            import datetime as _dt
+
+            d = _dt.date.fromisoformat(_lit_decode(tokens[i + 1]).strip())
+            tv2 = time_at(i + 3)
+            base = _dt.datetime(d.year, d.month, d.day)
+            sign = 1 if tokens[i + 2] == "+" else -1
+            ts = base + sign * _dt.timedelta(microseconds=_time_us(*tv2))
+            txt = ts.strftime("%Y-%m-%d %H:%M:%S")
+            if ts.microsecond:
+                txt += f".{ts.microsecond:06d}".rstrip("0")
+            out += ["TIMESTAMP", _lit_encode(txt)]
+            i += 5
+            continue
+        # timestamptz(date '<d>', TIME '<t>') -> session-zone timestamp
+        if (
+            _is_word(tokens[i], "timestamptz")
+            and i + 7 < n
+            and tokens[i + 1] == "("
+            and _is_word(tokens[i + 2], "date")
+            and tokens[i + 3].startswith("'")
+            and tokens[i + 4] == ","
+            and time_at(i + 5) is not None
+            and tokens[i + 7] == ")"
+        ):
+            tv2 = time_at(i + 5)
+            txt = (_lit_decode(tokens[i + 3]).strip() + " "
+                   + _time_text(*tv2))
+            out += ["TIMESTAMP", _lit_encode(txt)]
+            i += 8
+            continue
+        # TIME '<t>' :: interval  /  CAST(TIME '<t>' AS interval)
+        if tv is not None and i + 2 < n and tokens[i + 2] == "::" \
+                and i + 3 < n and _is_word(tokens[i + 3], "interval"):
+            h, mi, sec, us = tv
+            body = f"{h}:{mi:02d}:{sec:02d}"
+            if us:
+                body += f".{us:06d}".rstrip("0")
+            out += ["INTERVAL", _lit_encode(body), "HOUR", "TO", "SECOND"]
+            i += 4
+            continue
+        # interval '<i>' :: time  (timestamp.c interval_time: time
+        # field mod 24h)
+        if ivl is not None and i + 2 < n and tokens[i + 2] == "::" \
+                and i + 3 < n and _is_word(tokens[i + 3], "time"):
+            out += _us_time_tokens(ivl[2])
+            i += 4
+            continue
+        # CAST(TIME '<t>' AS interval) / CAST(interval '<i>' AS time)
+        if (
+            _is_word(tokens[i], "cast")
+            and i + 1 < n
+            and tokens[i + 1] == "("
+            and i + 5 < n
+            and _is_word(tokens[i + 4], "as")
+        ):
+            tv2, ivl2 = time_at(i + 2), ivl_at(i + 2)
+            if tv2 is not None and _is_word(tokens[i + 5], "interval") \
+                    and i + 6 < n and tokens[i + 6] == ")":
+                h, mi, sec, us = tv2
+                body = f"{h}:{mi:02d}:{sec:02d}"
+                if us:
+                    body += f".{us:06d}".rstrip("0")
+                out += ["INTERVAL", _lit_encode(body),
+                        "HOUR", "TO", "SECOND"]
+                i += 7
+                continue
+            if ivl2 is not None and _is_word(tokens[i + 5], "time") \
+                    and i + 6 < n and tokens[i + 6] == ")":
+                out += _us_time_tokens(ivl2[2])
+                i += 7
+                continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
 def _pass_bytea_literals(tokens: list[str]) -> list[str]:
     """``'\\xDEADBEEF'::bytea`` / ``bytea '\\x...'`` hex input
     (varlena.c byteain): Spark's string->binary cast UTF-8-encodes the
@@ -4513,11 +5189,29 @@ def _pass_json_srf(tokens: list[str]) -> list[str]:
     out: list[str] = []
     i = 0
     n = len(tokens)
+    # clause tracking (round-7 advice): a ',' only means FROM position
+    # when the enclosing clause actually IS the FROM list — previously
+    # SELECT id, json_array_elements_text(j) FROM t misrouted the
+    # select-list SRF into the derived-table rewrite. One clause state
+    # per paren depth (subqueries restart at 'select').
+    clause_stack: list[str] = ["select"]
     while i < n:
         t = tokens[i]
         low = t.lower() if t.isidentifier() else ""
+        if t == "(":
+            clause_stack.append(clause_stack[-1])
+        elif t == ")":
+            if len(clause_stack) > 1:
+                clause_stack.pop()
+        elif low == "from":
+            clause_stack[-1] = "from"
+        elif low in ("select", "where", "group", "having", "order",
+                     "window", "limit", "on", "when", "set"):
+            clause_stack[-1] = "select" if low == "select" else "other"
         prev = out[-1].lower() if out else ""
-        in_from = prev in ("from", ",", "join")
+        in_from = prev in ("from", "join") or (
+            prev == "," and clause_stack[-1] == "from"
+        )
         shape = _JSON_SRF_SHAPES.get(low)
         if shape or low == "generate_subscripts":
             call = _fn_args(tokens, i)
@@ -4973,70 +5667,166 @@ def set_date_order(order: str) -> None:
 
 
 def _pg_date_literal(lit: str) -> str:
-    """Normalize a PG date-input literal (datetime.c DecodeDate under
-    the default DateStyle = ISO, MDY) to ISO for Spark's DATE literal:
-    '01/02/03' -> '2003-01-02' (MDY), '99-01-08' / '1999 01 08' ->
-    YMD when the first field is a year (4 digits or > 31). Two-digit
-    years window per PG: < 70 -> 20xx, else 19xx. Literals that are
-    already ISO, or that don't fit a numeric triple, pass through
-    unchanged (loud downstream parse failure — e.g. 'infinity', BC
-    dates, text months). SET datestyle is unsupported: the engine is
-    fixed at PG's default, a documented divergence."""
+    """Normalize a PG date-input literal (datetime.c DecodeDate +
+    DecodeNumber under the session DateOrder) to ISO for Spark's DATE
+    literal. Field assignment replicates DecodeNumber's switch: a
+    numeric field of >=3 digits claims the year when unset; otherwise
+    fields fill in DateOrder (ymd: year->month->day, dmy:
+    day->month->year, mdy: month->day->year); a text month claims the
+    month, displacing an earlier NUMERIC month to the day slot
+    ('08-Jan-99' MDY: 8 moves to day). Two-digit years window
+    (<70 -> 20xx). A triple that assigns out-of-range fields RAISES
+    like PG ('99-Jan-08' under MDY is "field value out of range" —
+    round-7 golden-probe finding; the old heuristic silently promoted
+    any leading >31 number to the year, and Spark would accept
+    '99-01-08' as year 0099). Non-triple forms (ISO, 'infinity',
+    specials, BC, julian) pass through for the downstream parser."""
+    import datetime as _dt
+
     body = lit[1:-1].strip()
     if re.fullmatch(r"\d{4}-\d{2}-\d{2}", body):
         return lit
-    # text-month forms ('08-Jan-99', 'Jan-08-1999', 'January 8, 99'):
-    # the alpha field is the month; of the two numeric fields, a
-    # 4-digit or >31 leading one is the year, otherwise day-first
-    tm = re.fullmatch(
-        r"(\d{1,4}|[A-Za-z]{3,9})[-/. ]([A-Za-z]{3,9}|\d{1,2}),?[-/. ]"
-        r"\s*(\d{1,4})",
-        body,
-    )
-    if tm and (tm.group(1).isalpha() or tm.group(2).isalpha()):
-        parts = [tm.group(1), tm.group(2), tm.group(3)]
-        alpha = [p for p in parts if p.isalpha()][0]
-        mo = _PG_MONTHS.get(alpha[:3].lower())
-        nums = [p for p in parts if not p.isalpha()]
-        if mo and len(nums) == 2:
-            a, b = nums
-            ystr, dstr = (a, b) if (len(a) == 4 or int(a) > 31) else (b, a)
-            y, d = int(ystr), int(dstr)
-            if len(ystr) <= 2:
-                y += 2000 if y < 70 else 1900
-            if 1 <= d <= 31 and len(str(y)) <= 4:
-                return f"'{y:04d}-{mo:02d}-{d:02d}'"
+
+    def bad():
+        raise ValueError(
+            f'invalid input syntax for type date: "{body}"')
+
+    # Julian day ('J2451187' -> 1999-01-08; j2date)
+    jm = re.fullmatch(r"[Jj](\d+)", body)
+    if jm:
+        try:
+            dt = _dt.date.fromordinal(int(jm.group(1)) - 1721425)
+        except (ValueError, OverflowError):
+            bad()
+        return f"'{dt.isoformat()}'"
+    # run-together digits (DecodeNumberField): last 2 = day, next 2 =
+    # month, rest = year; a 3-digit year remainder (7 digits) is
+    # invalid input; 2-digit year windows
+    if re.fullmatch(r"\d{6,}", body):
+        if len(body) - 4 == 3:
+            bad()
+        d_ = int(body[-2:])
+        mo_ = int(body[-4:-2])
+        ystr_ = body[:-4]
+        y_ = int(ystr_)
+        if len(ystr_) <= 2:
+            y_ += 2000 if y_ < 70 else 1900
+        try:
+            _dt.date(y_, mo_, d_)
+        except ValueError:
+            bad()
+        return f"'{y_:04d}-{mo_:02d}-{d_:02d}'"
+
+    # ParseDateTime lexes '99-08-Jan' as ONE digit-led field with
+    # embedded text, which DecodeDate rejects — a trailing text month
+    # is only legal when SPACE-separated ('1999 08 Jan' is fine)
+    if re.fullmatch(r"\d{1,4}[-/.]\d{1,4}[-/.][A-Za-z]{3,9}", body):
+        bad()
+    fields = [f for f in re.split(r"[-/. ,]+", body) if f]
+    if not 2 <= len(fields) <= 3:
         return lit
-    m = re.fullmatch(r"(\d{1,4})[-/. ](\d{1,2})[-/. ](\d{1,4})", body)
-    if not m:
+    if any(not (f.isdigit() or f.isalpha()) for f in fields):
         return lit
-    f1, f2, f3 = m.group(1), m.group(2), m.group(3)
-    if len(f1) == 4 or int(f1) > 31:
-        y, mo, d = int(f1), int(f2), int(f3)
-        if len(f1) <= 2:
-            y += 2000 if y < 70 else 1900
-    elif _DATE_ORDER == "ymd":
-        y, mo, d = int(f1), int(f2), int(f3)
-        if len(f1) <= 2:
-            y += 2000 if y < 70 else 1900
-    else:
-        if _DATE_ORDER == "dmy":
-            d, mo, y = int(f1), int(f2), int(f3)
+    if sum(1 for f in fields if f.isalpha()) > 1:
+        return lit
+    if all(f.isalpha() for f in fields):
+        return lit
+
+    # DecodeDate + DecodeNumber's fmask state machine, verbatim
+    y = mo = d = doy = None
+    is2 = False
+    have_text = False
+    for f in fields:
+        if f.isalpha():
+            m_ = _PG_MONTHS.get(f[:3].lower())
+            if m_ is None:
+                return lit  # not a month word (BC, tz, ...) — pass
+            if mo is not None:
+                # text month displaces an earlier NUMERIC month to day
+                if have_text or d is not None:
+                    bad()
+                d, mo = mo, m_
+            else:
+                mo = m_
+            have_text = True
+            continue
+        v, fl = int(f), len(f)
+        # day-of-year: 3-digit field when only the year is set
+        if (fl == 3 and y is not None and mo is None and d is None
+                and not have_text and 1 <= v <= 366):
+            doy = v
+            continue
+        if y is None and mo is None and d is None:
+            if fl >= 3 or _DATE_ORDER == "ymd":
+                y, is2 = v, fl <= 2
+            elif _DATE_ORDER == "dmy":
+                d = v
+            else:
+                mo = v
+        elif y is not None and mo is None and d is None:
+            mo = v  # second field of YY-MM-DD, any DateOrder
+        elif mo is not None and y is None and d is None:
+            if have_text and (fl >= 3 or _DATE_ORDER == "ymd"):
+                y, is2 = v, fl <= 2
+            else:
+                d = v
+        elif y is not None and mo is not None and d is None:
+            if have_text and fl >= 3 and is2:
+                # 'DD-MON-YYYY even in YMD mode': first guess was wrong
+                d, y, is2 = y, v, False
+            else:
+                d = v
+        elif d is not None and y is None and mo is None:
+            mo = v  # second field of DD-MM-YY
+        elif mo is not None and d is not None and y is None:
+            y, is2 = v, fl <= 2
         else:
-            mo, d, y = int(f1), int(f2), int(f3)
-        if len(f3) <= 2:
-            y += 2000 if y < 70 else 1900
-    if not (1 <= mo <= 12 and 1 <= d <= 31 and len(str(y)) <= 4):
-        return lit
+            bad()
+    if is2 and y is not None:
+        y += 2000 if y < 70 else 1900
+    if doy is not None:
+        try:
+            dt = _dt.date(y, 1, 1) + _dt.timedelta(days=doy - 1)
+        except (ValueError, OverflowError):
+            bad()
+        if dt.year != y:
+            bad()
+        return f"'{dt.isoformat()}'"
+    if y is None or mo is None or d is None:
+        bad()
+    try:
+        _dt.date(y, mo, d)
+    except ValueError:
+        bad()
     return f"'{y:04d}-{mo:02d}-{d:02d}'"
 
 
 def _pg_ts_literal(lit: str) -> str:
     """Normalize the DATE PART of a timestamp input literal the same
     way date literals normalize ('2001/12/27 04:05:06.789-08' ->
-    '2001-12-27 04:05:06.789-08'); time-of-day and zone suffix pass
-    through for Spark's parser."""
+    '2001-12-27 04:05:06.789-08'), plus the run-together/ISO-T time
+    forms DecodeDateTime accepts ('20011227 040506.789+08',
+    '20011227T040506', 'J2452271 04:05:06+08'): the compact time part
+    expands to HH:MM:SS[.f] with any zone suffix preserved for Spark's
+    parser."""
     body = lit[1:-1].strip()
+    # ISO-T / run-together split: '<date>T<hhmmss>' or '<date> <time>'
+    tmatch = re.fullmatch(
+        r"([0-9Jj][\w./-]*?)[T ]\s*"
+        r"(\d{6}(?:\.\d+)?|\d{1,2}:[\d:.]+)?\s*"
+        r"([+-]\d{1,2}(?::?\d{2})?|[A-Za-z]{2,5})?",
+        body,
+    )
+    if tmatch and tmatch.group(2):
+        date_part = tmatch.group(1)
+        time_part = tmatch.group(2)
+        zone = tmatch.group(3) or ""
+        if re.fullmatch(r"\d{6}(?:\.\d+)?", time_part):
+            hh, mi, rest_s = (time_part[0:2], time_part[2:4],
+                              time_part[4:])
+            time_part = f"{hh}:{mi}:{rest_s}"
+        fixed = _pg_date_literal(f"'{date_part}'")[1:-1]
+        return f"'{fixed} {time_part}{zone}'"
     sp = body.find(" ")
     date_part, rest = (body, "") if sp == -1 else (body[:sp], body[sp:])
     fixed = _pg_date_literal(f"'{date_part}'")[1:-1]
@@ -5338,6 +6128,8 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_statement_forms(tokens)
     tokens = _pass_collate(tokens)
     tokens = _pass_quoted_idents(tokens)
+    tokens = _pass_ts_fold(tokens)
+    tokens = _pass_time_literals(tokens)
     tokens = _pass_array_literal_casts(tokens)
     tokens = _pass_bytea_literals(tokens)
     tokens = _pass_typed_literals(tokens)
@@ -5523,6 +6315,10 @@ def pg_sql(
     When ``sf_dir`` is given, the fixture tables are (re-)registered as
     temp views first and their catalog types drive the PG integer-`/`
     rewrite."""
+    # Spark 4 gates TimeType operations (extract/to_time/make_time/
+    # arithmetic) behind this conf; the engine's time-of-day support
+    # (_pass_time_literals) needs it on. Runtime-settable, idempotent.
+    spark.conf.set("spark.sql.timeType.enabled", "true")
     int_cols: frozenset[str] = frozenset()
     if sf_dir is not None:
         from gpdb_spark.catalog import register_fixture_views

@@ -351,7 +351,15 @@ class Engine:
                 )
                 if m:
                     name, val = m.group(1).lower(), m.group(2).strip().strip("'")
-                    name = "timezone" if name.startswith("time") else name
+                    # exact-match the two spellings of the TimeZone GUC
+                    # (round-7 advice: startswith("time") misrouted e.g.
+                    # SET timezone_abbreviations into the zone path and
+                    # silently reset the session zone)
+                    name = (
+                        "timezone"
+                        if _re.fullmatch(r"time\s+zone|timezone", name)
+                        else name
+                    )
                     self._gucs[name] = val
                     if name == "gp_resource_group":
                         self.set_resource_group(val)

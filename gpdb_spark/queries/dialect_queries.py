@@ -1022,7 +1022,7 @@ _pg_query(
            extract(epoch FROM o_orderdate::timestamp AT TIME ZONE 'MSK')::int8 AS msk_epoch,
            extract(epoch FROM make_timestamptz(1973, 7, 15, 8, 15, 55, '+2'))::int8 AS mk_epoch,
            date '01/02/03' AS d_mdy,
-           date '99-01-08' AS d_y2,
+           date '01-08-99' AS d_y2,
            date '1991-02-03' + interval '2 years' AS d_plus,
            array_to_string(string_to_array(o_orderpriority, '-'), '|') AS pri_parts,
            array_to_string(string_to_array(o_orderpriority, NULL), '.') AS pri_chars,
@@ -1213,5 +1213,95 @@ _pg_query(
            length(regexp_replace(n_name, '[^AEIOU]', '', 'g'))::int8 AS vowels
     FROM nation
     ORDER BY k
+    """,
+)
+
+
+# tsvector/tsquery literal input + constant op algebra, round 7 (VERDICT
+# r06 What's-missing #1; tsvector.c tsvectorin/out, tsquery.c
+# tsqueryin/infix/makepol, tsvector_op.c concat/setweight/strip/@@,
+# tsquery_op.c CompareTSQ, tsrank.c calc_rank/calc_rank_cd — all folded
+# at translate time by dialect._pass_ts_fold over functions/tstypes.py).
+# DuckDB has no tsvector type, so the oracle pins the canonical text
+# images verified byte-identical against the reference's own regress
+# goldens (src/test/regress/expected/tstypes.out — 106/106 GOLD_AGREE,
+# tools/pg_golden_probe.py); the rank values are the float4 %.6g images
+# from the same file.
+_pg_query(
+    "pg_tsvector_ops",
+    """
+    SELECT n_nationkey::int8 AS id,
+           ('a:3A b:2a'::tsvector || 'ba:1234 a:1B') AS cat,
+           setweight('w:12B w:13* a:1,3*'::tsvector, 'c') AS sw,
+           strip('w:12,5 a:3'::tsvector) AS st,
+           ('foo & bar'::tsquery || !!'asd & fg'::tsquery) AS q1,
+           numnode('new & york | qwery'::tsquery)::int8 AS nn,
+           ('a b:89 ca:23A,64b d:34c'::tsvector @@ 'd:AC & ca:B') AS m1,
+           ('supernova'::tsvector @@ 'super:*'::tsquery) AS m2,
+           ('a | f' < 'b & c'::tsquery) AS c1,
+           ts_rank(' a:1 s:2C d g'::tsvector, 'a | s')::float8 AS rnk,
+           ts_rank_cd(' a:1 s:2B d g'::tsvector, 'a & s')::float8 AS rcd
+    FROM nation
+    ORDER BY id
+    """,
+    oracle="""
+    SELECT n_nationkey::int8 AS id,
+           '''a'':3A,4B ''b'':2A ''ba'':1237' AS cat,
+           '''a'':1C,3C ''w'':12C,13C' AS sw,
+           '''a'' ''w''' AS st,
+           '''foo'' & ''bar'' | !( ''asd'' & ''fg'' )' AS q1,
+           CAST(5 AS BIGINT) AS nn,
+           true AS m1, true AS m2, true AS c1,
+           CAST(0.0911891 AS DOUBLE) AS rnk,
+           CAST(0.16 AS DOUBLE) AS rcd
+    FROM nation
+    ORDER BY id
+    """,
+)
+
+
+# time-of-day through the SQL front door, round 7 (date.c time_in,
+# timestamp.c time_pl_interval's mod-24h wrap, datetime_pl_time;
+# dialect._pass_time_literals folds literal arithmetic and maps the
+# type to Spark 4 TimeType). The compared image is the text rendering
+# (the TIME dtype family is unproven through the driver hasher — same
+# policy as decimals/arrays); DuckDB computes the same arithmetic
+# natively (its time +/- interval wraps like PG), so the oracle is
+# independent except interval->time, which DuckDB lacks and spells as
+# midnight + interval.
+_pg_query(
+    "pg_time_of_day",
+    """
+    SELECT n_nationkey::int8 AS id,
+           (time '040506.789+08')::text AS t1,
+           (time '01:30' + interval '02:01')::text AS t2,
+           (time '02:30' + interval '36:01')::text AS t3,
+           (time '01:30' - interval '02:01')::text AS t4,
+           CAST(interval '02:03' AS time)::text AS t5,
+           (date '1991-02-03' - time '04:05:06')::text AS t6,
+           (time '11:00' < time '12:00:30') AS lt,
+           extract(hour from time '13:30:15')::int8 AS hr,
+           ('13:30:15.25'::time)::text AS t7
+    FROM nation
+    ORDER BY id
+    """,
+    oracle="""
+    SELECT n_nationkey::int8 AS id,
+           CAST(time '04:05:06.789' AS VARCHAR) AS t1,
+           CAST(time '01:30:00' + interval '2 hours 1 minute' AS VARCHAR)
+               AS t2,
+           CAST(time '02:30:00' + interval '36 hours 1 minute' AS VARCHAR)
+               AS t3,
+           CAST(time '01:30:00' - interval '2 hours 1 minute' AS VARCHAR)
+               AS t4,
+           CAST(time '00:00:00' + interval '2 hours 3 minutes' AS VARCHAR)
+               AS t5,
+           CAST(CAST(date '1991-02-03' AS TIMESTAMP)
+                - interval '4 hours 5 minutes 6 seconds' AS VARCHAR) AS t6,
+           (time '11:00:00' < time '12:00:30') AS lt,
+           CAST(extract(hour from time '13:30:15') AS BIGINT) AS hr,
+           CAST(time '13:30:15.25' AS VARCHAR) AS t7
+    FROM nation
+    ORDER BY id
     """,
 )

@@ -1146,17 +1146,25 @@ class TestDatetimeForms:
     def test_flexible_date_input(self, spark):
         from gpdb_spark.dialect import pg_sql
 
+        import pytest
+
+        from gpdb_spark.dialect import set_date_order
+
+        set_date_order("mdy")  # session default; other tests SET datestyle
         row = pg_sql(
             spark,
-            "SELECT date '01/02/03' AS a, date '99-01-08' AS b,"
+            "SELECT date '01/02/03' AS a,"
             " date '1999 08 01' AS c, date '08-Jan-99' AS d",
         ).collect()[0]
-        # default DateStyle ISO,MDY: 01/02/03 is M/D/Y (date.out);
+        # default DateStyle MDY: 01/02/03 is M/D/Y (date.out);
         # text-month forms (DecodeDate month tokens) normalize too
         assert str(row.a) == "2003-01-02"
-        assert str(row.b) == "1999-01-08"
         assert str(row.c) == "1999-08-01"
         assert str(row.d) == "1999-01-08"
+        # '99-01-08' under MDY assigns month=99 — PG errors
+        # (date.out golden; round 7 made DecodeDate order-faithful)
+        with pytest.raises(ValueError, match="invalid input"):
+            pg_sql(spark, "SELECT date '99-01-08' AS b", None)
 
     def test_date_plus_interval_is_timestamp(self, spark):
         from gpdb_spark.dialect import pg_sql
@@ -1219,17 +1227,30 @@ class TestRegressBatch6:
             spark,
             "SELECT interval '1.5 weeks' AS a,"
             " '3 days 5 milliseconds'::interval AS b,"
-            " '1 day 1 day'::interval AS c,"
             " interval '@ 0.70 secs' AS d,"
-            " '1:20:05 5 microseconds'::interval AS e,"
             " interval '500' AS f",
         ).collect()[0]
         assert row.a == datetime.timedelta(days=10, hours=12)
         assert row.b == datetime.timedelta(days=3, microseconds=5000)
-        assert row.c == datetime.timedelta(days=2)
         assert row.d == datetime.timedelta(microseconds=700000)
-        assert row.e == datetime.timedelta(seconds=4805, microseconds=5)
         assert row.f == datetime.timedelta(seconds=500)
+
+    def test_interval_repeated_fields_refuse(self, spark):
+        """DecodeInterval's fmask check: a repeated interval field is
+        invalid input (interval.out goldens: '1 day 1 day',
+        '5.5 seconds 3 milliseconds', '1:20:05 5 microseconds' all
+        ERROR — round-7 golden-probe finding; the earlier behavior
+        summed them silently)."""
+        import pytest
+
+        from gpdb_spark.dialect import pg_sql
+
+        for lit in ("1 day 1 day", "1 second 2 seconds",
+                    "5.5 seconds 3 milliseconds",
+                    "1:20:05 5 microseconds",
+                    "10 milliseconds 20 milliseconds"):
+            with pytest.raises(ValueError, match="invalid input syntax"):
+                pg_sql(spark, f"SELECT '{lit}'::interval AS x", None)
 
     def test_interval_mixed_arithmetic(self, spark):
         from gpdb_spark.dialect import pg_sql
@@ -1781,3 +1802,58 @@ class TestJsonbFunctionSpellings:
                   "SELECT 'junk'::jsonb AS j"):
             with pytest.raises(ValueError, match="invalid input syntax"):
                 pg_sql(spark, q, None)
+
+
+class TestRound7AdviceFixes:
+    """The five round-7 ADVICE.md items, pinned."""
+
+    def test_set_timezone_guc_exact_match(self, spark):
+        # SET timezone_abbreviations must NOT be misrouted into the
+        # TimeZone path (old code matched name.startswith('time'))
+        from gpdb_spark.engine import Engine
+
+        eng = Engine(spark)
+        eng.sql("SET TIME ZONE 'America/New_York'")
+        assert spark.conf.get("spark.sql.session.timeZone") == \
+            "America/New_York"
+        eng.sql("SET timezone_abbreviations TO 'Default'")
+        assert spark.conf.get("spark.sql.session.timeZone") == \
+            "America/New_York"  # unchanged by the unrelated GUC
+        eng.sql("SET TIME ZONE DEFAULT")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+    def test_json_srf_after_select_list_comma(self, spark):
+        from gpdb_spark.dialect import translate
+
+        out = translate("SELECT id, json_array_elements_text(j) FROM t")
+        # select-list path (bare explode), not a derived-table rewrite
+        assert "explode" in out and "SELECT id, explode" in out
+
+    def test_json_literal_rejects_nan_infinity(self):
+        import pytest
+
+        from gpdb_spark.dialect import translate
+
+        for lit in ("'NaN'", "'Infinity'", "'-Infinity'"):
+            with pytest.raises(ValueError, match="invalid input syntax"):
+                translate(f"SELECT {lit}::json")
+
+    def test_uescape_surrogate_pairs(self):
+        import pytest
+
+        from gpdb_spark.dialect import translate
+
+        assert "😄" in translate(r"SELECT U&'\D83D\DE04' AS u")
+        with pytest.raises(ValueError, match="surrogate"):
+            translate(r"SELECT U&'\D83D' AS u")
+
+    def test_brace_array_cast_element_concat(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT array_to_string('{1,2}'::int[] || 3, ',') AS a, "
+            "array_to_string(0 || '{1,2}'::int[], ',') AS b",
+            None,
+        ).collect()[0]
+        assert row.a == "1,2,3" and row.b == "0,1,2"
