@@ -1360,15 +1360,19 @@ def _pass_casts(tokens: list[str]) -> list[str]:
                         "invalid input syntax for type double precision: "
                         + tokens[start][:40]
                     ) from None
+                # float8in's ERANGE rule: overflow to +-inf, or TRUE
+                # underflow to zero (denormals like '1e-323' are fine)
                 _f4 = tokens[i + 1].lower() in ("float4", "real")
                 _max = 3.4028234663852886e38 if _f4 else float("inf")
-                _min = 1.1754943508222875e-38 if _f4 \
-                    else 2.2250738585072014e-308
                 _mant = _fs.split("e")[0]
                 _underflow = (
-                    (_fv != 0.0 and abs(_fv) < _min)
-                    or (_fv == 0.0 and any(c in "123456789" for c in _mant))
+                    _fv == 0.0 and any(c in "123456789" for c in _mant)
                 )
+                if _f4 and _fv != 0.0 and abs(_fv) <= _max:
+                    import numpy as _np
+
+                    if float(_np.float32(_fv)) == 0.0:
+                        _underflow = True  # underflows float4 entirely
                 if abs(_fv) > _max or _fv in (float("inf"), float("-inf")) \
                         or _underflow:
                     raise ValueError(
@@ -2000,6 +2004,32 @@ def _pass_functions(tokens: list[str]) -> list[str]:
             if last_comma and tokens[last_comma + 1].startswith("'"):
                 operand = tokens[i + 2 : last_comma]
                 fmt_lit = tokens[last_comma + 1]
+                # LITERAL input + literal format: fold through the
+                # faithful Python DCH_from_char (covers the exotic
+                # tokens — Q/W/CC/J/DDD/IYYY/SSSS/RM/Y,YYY, FX/FM,
+                # quoted text, PG's one-char-per-pattern-char space
+                # rule — that Java patterns cannot express); column
+                # inputs keep the Java-pattern runtime path below
+                if (
+                    low in ("to_date", "to_timestamp")
+                    and len(operand) == 1
+                    and operand[0].startswith("'")
+                ):
+                    val = _lit_decode(operand[0])
+                    pat = _lit_decode(fmt_lit)
+                    ry, rmo, rd, rh, rmi, rs, rus = _dch_resolve(
+                        _dch_from_char(val, pat))
+                    if low == "to_date":
+                        out += ["DATE",
+                                _lit_encode(f"{ry:04d}-{rmo:02d}-{rd:02d}")]
+                    else:
+                        txt = (f"{ry:04d}-{rmo:02d}-{rd:02d} "
+                               f"{rh:02d}:{rmi:02d}:{rs:02d}")
+                        if rus:
+                            txt += f".{rus:06d}".rstrip("0")
+                        out += ["TIMESTAMP", _lit_encode(txt)]
+                    i = k + 1
+                    continue
                 if low == "to_number":
                     # formatting.c NUM input: ignore grouping/currency,
                     # keep digits, sign and decimal point
@@ -4586,6 +4616,360 @@ def _pass_time_literals(tokens: list[str]) -> list[str]:
     return out
 
 
+_JB_FNS = {
+    "jsonb_typeof", "json_typeof", "jsonb_array_length",
+    "json_array_length", "jsonb_extract_path", "json_extract_path",
+    "jsonb_extract_path_text", "json_extract_path_text",
+    "jsonb_contains", "jsonb_contained", "jsonb_exists",
+    "jsonb_exists_any", "jsonb_exists_all", "jsonb_strip_nulls",
+    "json_strip_nulls", "jsonb_concat", "jsonb_delete", "jsonb_pretty",
+}
+
+
+def _pass_jsonb_fold(tokens: list[str]) -> list[str]:
+    """jsonb/json literal canonicalization + the constant operator
+    algebra, folded at translate time (round 7; jsonb_util.c input
+    canonicalization — key sort by (length, bytes), last duplicate
+    wins, numeric_out numbers — and jsonb_op.c/jsonfuncs.c operators:
+    -> ->> #> #>> @> <@ ? ?| ?& || - , typeof/array_length/
+    extract_path/exists/strip_nulls). Non-constant json ops (columns)
+    keep the runtime get_json_object paths in _pass_json(b)_ops."""
+    if not any(
+        t.lower() in ("jsonb", "json") or t.lower() in _JB_FNS
+        for t in tokens
+    ):
+        return tokens
+    from gpdb_spark.functions import jsonbtypes as _jb
+
+    # tok -> (is_jsonb, value, raw-input-text-or-None); the json type
+    # preserves input text verbatim (jsonb canonicalizes), so a plain
+    # ::json literal that no operator consumed renders as its raw text
+    vals: dict[str, tuple[bool, object, str | None]] = {}
+    counter = [0]
+
+    def mk(is_b: bool, val, raw: str | None = None) -> str:
+        tok = f"__JB_{counter[0]}__"
+        counter[0] += 1
+        vals[tok] = (is_b, val, raw)
+        return tok
+
+    def as_val(tok: str):
+        if tok in vals:
+            return vals[tok][1]
+        if tok.startswith("'"):
+            return _jb.parse(_lit_decode(tok))
+        return _MISSING_JB
+
+    def text_arr(toks: list[str]):
+        """array['a','b',NULL] tokens or a '{a,b}' text[] brace
+        literal (possibly ::text[]-cast) -> Python list | None."""
+        if len(toks) >= 1 and toks[0].startswith("'"):
+            body = _lit_decode(toks[0]).strip()
+            if body.startswith("{") and body.endswith("}"):
+                inner = body[1:-1].strip()
+                if not inner:
+                    return []
+                return [
+                    None if e.strip().upper() == "NULL"
+                    else e.strip().strip('"')
+                    for e in inner.split(",")
+                ]
+            return None
+        if toks and _is_word(toks[0], "array") and len(toks) >= 2 \
+                and toks[1] == "[" and toks[-1] == "]":
+            out = []
+            for t in toks[2:-1]:
+                if t == ",":
+                    continue
+                if t.startswith("'"):
+                    out.append(_lit_decode(t))
+                elif _is_word(t, "null"):
+                    out.append(None)
+                elif t.isdigit():
+                    out.append(t)
+                else:
+                    return None
+            return out
+        return None
+
+    _MISSING_JB = object()
+    try:
+        changed = True
+        while changed:
+            changed = False
+            out: list[str] = []
+            i, n = 0, len(tokens)
+            while i < n:
+                t = tokens[i]
+                low = t.lower()
+                nxt = tokens[i + 1] if i + 1 < n else ""
+                nxt2 = tokens[i + 2] if i + 2 < n else ""
+                # '<lit>'::jsonb / ::json  |  jsonb '<lit>' / json '<lit>'
+                if t.startswith("'") and nxt == "::" \
+                        and nxt2.lower() in ("jsonb", "json"):
+                    is_b2 = nxt2.lower() == "jsonb"
+                    raw = None if is_b2 else _lit_decode(t)
+                    out.append(mk(is_b2, _jb.parse(_lit_decode(t)), raw))
+                    i += 3
+                    changed = True
+                    continue
+                if low in ("jsonb", "json") and nxt.startswith("'"):
+                    is_b2 = low == "jsonb"
+                    raw = None if is_b2 else _lit_decode(nxt)
+                    out.append(mk(is_b2, _jb.parse(_lit_decode(nxt)),
+                                  raw))
+                    i += 2
+                    changed = True
+                    continue
+                # function folds over constant args
+                if low in _JB_FNS and nxt == "(":
+                    call = _fn_args(tokens, i)
+                    if call is not None:
+                        args, k = call
+                        ok_args = all(
+                            len(a) == 1 and (
+                                a[0] in vals or a[0].startswith("'")
+                            ) or (
+                                # 0::text style index args
+                                len(a) == 3 and a[0].isdigit()
+                                and a[1] == "::"
+                            )
+                            for a in args
+                        )
+                        if ok_args and args:
+                            vv = as_val(args[0][0])
+                            if vv is not _MISSING_JB:
+                                res = _jb_fn_fold(
+                                    _jb, low, vv, args, as_val, text_arr)
+                                if res is not None:
+                                    out.append(res)
+                                    i = k + 1
+                                    changed = True
+                                    continue
+                if t == "(" and nxt in vals and nxt2 == ")":
+                    out.append(nxt)
+                    i += 3
+                    changed = True
+                    continue
+                # binary operators with a folded LHS
+                if out and out[-1] in vals:
+                    lhs_tok = out[-1]
+                    is_b, lv = vals[lhs_tok][0], vals[lhs_tok][1]
+                    res = None
+                    width = 0
+                    if t in ("->", "->>"):
+                        key = None
+                        if nxt.startswith("'"):
+                            key, width = _lit_decode(nxt), 2
+                        elif nxt.isdigit():
+                            key, width = int(nxt), 2
+                        elif nxt == "-" and nxt2.isdigit():
+                            key, width = -int(nxt2), 3
+                        if key is not None:
+                            got = _jb.get_field(lv, key)
+                            if got is _jb._MISSING:
+                                res = "NULL"
+                            elif t == "->":
+                                res = mk(is_b, got)
+                            else:
+                                ti = _jb.text_image(got)
+                                res = ("NULL" if ti is None
+                                       else _lit_encode(ti))
+                    elif t in ("#>", "#>>"):
+                        j = i + 1
+                        end = _rhs_end(tokens, j)
+                        if tokens[j] == "array" and end < n and \
+                                tokens[j + 1] != "[":
+                            end = j + 1
+                        # array[...] isn't paren-shaped for _rhs_end:
+                        if _is_word(tokens[j], "array") and j + 1 < n \
+                                and tokens[j + 1] == "[":
+                            depth2, e2 = 0, j + 1
+                            while e2 < n:
+                                if tokens[e2] == "[":
+                                    depth2 += 1
+                                elif tokens[e2] == "]":
+                                    depth2 -= 1
+                                    if depth2 == 0:
+                                        break
+                                e2 += 1
+                            end = e2 + 1
+                        rhs_toks = tokens[j:end]
+                        # strip a ::text[] cast suffix
+                        if end + 1 < n and tokens[end] == "::":
+                            pass
+                        path = text_arr(rhs_toks)
+                        if path is not None:
+                            got = _jb.get_path(lv, path)
+                            if got is _jb._MISSING:
+                                res = "NULL"
+                            elif t == "#>":
+                                res = mk(is_b, got)
+                            else:
+                                ti = _jb.text_image(got)
+                                res = ("NULL" if ti is None
+                                       else _lit_encode(ti))
+                            width = end - i
+                    elif t in ("@>", "<@") and (
+                        nxt in vals or nxt.startswith("'")
+                    ):
+                        rv = as_val(nxt)
+                        if rv is not _MISSING_JB:
+                            hit = (_jb.contains(lv, rv) if t == "@>"
+                                   else _jb.contains(rv, lv))
+                            res, width = ("TRUE" if hit else "FALSE"), 2
+                            # skip a trailing ::jsonb on the rhs
+                            if nxt.startswith("'") and nxt2 == "::" and \
+                                    i + 3 < n and tokens[i + 3].lower() \
+                                    in ("jsonb", "json"):
+                                width = 4
+                    elif t == "?" and nxt.startswith("'"):
+                        res = ("TRUE" if _jb.exists(lv, _lit_decode(nxt))
+                               else "FALSE")
+                        width = 2
+                    elif t in ("?|", "?&"):
+                        j = i + 1
+                        end = j + 1
+                        if _is_word(tokens[j], "array") and j + 1 < n \
+                                and tokens[j + 1] == "[":
+                            depth2, e2 = 0, j + 1
+                            while e2 < n:
+                                if tokens[e2] == "[":
+                                    depth2 += 1
+                                elif tokens[e2] == "]":
+                                    depth2 -= 1
+                                    if depth2 == 0:
+                                        break
+                                e2 += 1
+                            end = e2 + 1
+                        elif tokens[j].startswith("'") and end + 1 < n \
+                                and tokens[end] == "::":
+                            # '{..}'::text[] — include the cast tokens
+                            e2 = end + 1
+                            while e2 < n and (
+                                tokens[e2].lower() == "text"
+                                or tokens[e2] in ("[", "]")
+                            ):
+                                e2 += 1
+                            keys = text_arr([tokens[j]])
+                            if keys is not None:
+                                hit = (any if t == "?|" else all)(
+                                    _jb.exists(lv, k2) for k2 in keys
+                                ) if keys or t == "?&" else False
+                                if not keys:
+                                    hit = False if t == "?|" else True
+                                res = "TRUE" if hit else "FALSE"
+                                width = e2 - i
+                        if res is None:
+                            keys = text_arr(tokens[j:end])
+                            if keys is not None:
+                                if not keys:
+                                    hit = t == "?&"
+                                else:
+                                    hit = (any if t == "?|" else all)(
+                                        _jb.exists(lv, k2) for k2 in keys)
+                                res = "TRUE" if hit else "FALSE"
+                                width = end - i
+                    elif t == "||" and (nxt in vals or nxt.startswith("'")):
+                        rv = as_val(nxt)
+                        if rv is not _MISSING_JB:
+                            res = mk(is_b, _jb.concat(lv, rv))
+                            width = 2
+                    elif t == "-" and (nxt.startswith("'") or
+                                       nxt.isdigit()):
+                        key = (_lit_decode(nxt) if nxt.startswith("'")
+                               else int(nxt))
+                        res = mk(is_b, _jb.delete(lv, key))
+                        width = 2
+                    if res is not None:
+                        out.pop()
+                        out.append(res)
+                        i += width
+                        changed = True
+                        continue
+                out.append(t)
+                i += 1
+            tokens = out
+    except _jb.JsonbError as exc:
+        raise ValueError(str(exc)) from None
+    return [
+        _lit_encode(
+            vals[t][2] if vals[t][2] is not None
+            else _jb.render(vals[t][1], sort_keys=vals[t][0])
+        ) if t in vals else t
+        for t in tokens
+    ]
+
+
+def _jb_fn_fold(_jb, low, vv, args, as_val, text_arr):
+    """Constant fold for the jsonb_* function spellings; returns a
+    token or None when the shape isn't constant-foldable."""
+    is_b = not low.startswith("json_")
+
+    def lit(v):
+        return _lit_encode(v) if isinstance(v, str) else v
+
+    if low in ("jsonb_typeof", "json_typeof") and len(args) == 1:
+        return _lit_encode(_jb.typeof(vv))
+    if low in ("jsonb_array_length", "json_array_length") \
+            and len(args) == 1:
+        return str(_jb.array_length(vv))
+    if low in ("jsonb_strip_nulls", "json_strip_nulls") \
+            and len(args) == 1:
+        return _lit_encode(_jb.render(_jb.strip_nulls(vv),
+                                      sort_keys=is_b))
+    if low in ("jsonb_pretty",) and len(args) == 1:
+        return None  # indentation form not folded
+    if low in ("jsonb_extract_path", "json_extract_path",
+               "jsonb_extract_path_text", "json_extract_path_text"):
+        path = []
+        for a in args[1:]:
+            if len(a) == 1 and a[0].startswith("'"):
+                path.append(_lit_decode(a[0]))
+            elif len(a) >= 1 and a[0].isdigit():
+                path.append(a[0])
+            else:
+                return None
+        got = _jb.get_path(vv, path)
+        if got is _jb._MISSING:
+            return "NULL"
+        if low.endswith("_text"):
+            ti = _jb.text_image(got)
+            return "NULL" if ti is None else _lit_encode(ti)
+        return _lit_encode(_jb.render(got, sort_keys=is_b))
+    if low in ("jsonb_contains", "jsonb_contained") and len(args) == 2:
+        rv = as_val(args[1][0])
+        hit = (_jb.contains(vv, rv) if low == "jsonb_contains"
+               else _jb.contains(rv, vv))
+        return "TRUE" if hit else "FALSE"
+    if low == "jsonb_exists" and len(args) == 2 \
+            and args[1][0].startswith("'"):
+        return ("TRUE" if _jb.exists(vv, _lit_decode(args[1][0]))
+                else "FALSE")
+    if low in ("jsonb_exists_any", "jsonb_exists_all") \
+            and len(args) == 2:
+        keys = text_arr(args[1])
+        if keys is None:
+            return None
+        if not keys:
+            return "FALSE" if low.endswith("any") else "TRUE"
+        hit = (any if low.endswith("any") else all)(
+            _jb.exists(vv, k) for k in keys)
+        return "TRUE" if hit else "FALSE"
+    if low == "jsonb_concat" and len(args) == 2:
+        rv = as_val(args[1][0])
+        return _lit_encode(_jb.render(_jb.concat(vv, rv), sort_keys=True))
+    if low == "jsonb_delete" and len(args) == 2:
+        a1 = args[1]
+        if a1[0].startswith("'"):
+            return _lit_encode(_jb.render(
+                _jb.delete(vv, _lit_decode(a1[0])), sort_keys=True))
+        if a1[0].isdigit():
+            return _lit_encode(_jb.render(
+                _jb.delete(vv, int(a1[0])), sort_keys=True))
+    return None
+
+
 def _pass_bytea_literals(tokens: list[str]) -> list[str]:
     """``'\\xDEADBEEF'::bytea`` / ``bytea '\\x...'`` hex input
     (varlena.c byteain): Spark's string->binary cast UTF-8-encodes the
@@ -5653,6 +6037,334 @@ _PG_MONTHS = {
     "jul": 7, "aug": 8, "sep": 9, "oct": 10, "nov": 11, "dec": 12,
 }
 
+_MONTH_NAMES = ["january", "february", "march", "april", "may", "june",
+                "july", "august", "september", "october", "november",
+                "december"]
+_DAY_NAMES = ["sunday", "monday", "tuesday", "wednesday", "thursday",
+              "friday", "saturday"]
+_ROMAN_MONTHS = ["i", "ii", "iii", "iv", "v", "vi", "vii", "viii",
+                 "ix", "x", "xi", "xii"]
+
+# DCH parse tokens for the Python from_char fold, longest-first
+# (formatting.c DCH_keywords). Value: (kind, digits) for numeric
+# fields; name kinds handle their own matching.
+_DCH_TOKENS = [
+    ("A.M.", "ampm"), ("P.M.", "ampm"), ("a.m.", "ampm"),
+    ("p.m.", "ampm"), ("A.D.", "era"), ("B.C.", "era"),
+    ("a.d.", "era"), ("b.c.", "era"),
+    ("HH24", ("hh24", 2)), ("HH12", ("hh12", 2)),
+    ("IDDD", ("iddd", 3)), ("IYYY", ("iyyy", 4)),
+    ("YYYY", ("yyyy", 4)), ("Y,YYY", ("ycomma", 5)),
+    ("DDD", ("ddd", 3)), ("IYY", ("iyy", 3)), ("YYY", ("yyy", 3)),
+    ("SSSS", ("ssss", 5)),
+    ("MONTH", "month"), ("Month", "month"), ("month", "month"),
+    ("MON", "mon"), ("Mon", "mon"), ("mon", "mon"),
+    ("DAY", "dayname"), ("Day", "dayname"), ("day", "dayname"),
+    ("DY", "dyname"), ("Dy", "dyname"), ("dy", "dyname"),
+    ("HH", ("hh12", 2)), ("AM", "ampm"), ("PM", "ampm"),
+    ("am", "ampm"), ("pm", "ampm"), ("AD", "era"), ("BC", "era"),
+    ("ad", "era"), ("bc", "era"),
+    ("MM", ("mm", 2)), ("DD", ("dd", 2)), ("MI", ("mi", 2)),
+    ("SS", ("ss", 2)), ("MS", ("ms", 3)), ("US", ("us", 6)),
+    ("IW", ("iw", 2)), ("WW", ("ww", 2)), ("IY", ("iy", 2)),
+    ("YY", ("yy", 2)), ("ID", ("id", 1)), ("RM", "rm"), ("rm", "rm"),
+    ("CC", ("cc", 2)), ("W", ("w", 1)), ("D", ("d", 1)),
+    ("I", ("iy1", 1)), ("Y", ("y1", 1)), ("J", ("j", 7)),
+    ("Q", ("q", 1)),
+    ("TZ", "tz"), ("tz", "tz"), ("OF", "tz"),
+]
+
+
+def _dch_from_char(value: str, fmt: str) -> dict:
+    """formatting.c DCH_from_char + do_to_timestamp for a LITERAL
+    (value, format) pair: parse `value` under the DCH pattern and
+    resolve the field set to a concrete datetime dict. Faithful to the
+    reference's quirks: in non-FX mode each literal pattern character
+    consumes exactly one input character (so an extra pattern space
+    eats a digit — horology.out pins this), numeric fields are
+    fixed-width when the NEXT pattern node is also a field and
+    free-width (strtol, leading-space skipping) otherwise, FM makes a
+    field free-width, "quoted text" consumes one char per character,
+    TH/th ordinal suffixes skip trailing letters, Q parses and is
+    ignored, W/WW map to first-day-of-week, CC combines with 2-digit
+    years, J is a Julian day, IYYY/IW/ID/IDDD are ISO-week fields, and
+    SSSS is seconds-past-midnight. Raises ValueError with PG's
+    loudness on mismatches and on TZ/OF (not supported in to_date)."""
+    import datetime as _dt
+
+    def err(msg: str):
+        raise ValueError(msg)
+
+    # --- parse the format into nodes
+    nodes: list = []  # ('lit', ch) | ('fld', kind, digits, fm) | names
+    i, n = 0, len(fmt)
+    fx = False
+    if fmt[:2] in ("FX", "fx"):
+        fx = True
+        i = 2
+    fm = False
+    while i < n:
+        if fmt.startswith('"', i):
+            j = i + 1
+            buf = []
+            while j < n and fmt[j] != '"':
+                if fmt[j] == "\\" and j + 1 < n:
+                    j += 1  # backslash escapes the next char (incl. ")
+                buf.append(fmt[j])
+                j += 1
+            for ch in buf:
+                nodes.append(("lit", ch))
+            i = j + 1
+            continue
+        if fmt.startswith("FM", i) or fmt.startswith("fm", i):
+            fm = True
+            i += 2
+            continue
+        if fmt.startswith("TH", i) or fmt.startswith("th", i):
+            nodes.append(("th",))
+            i += 2
+            continue
+        hit = None
+        for tok, spec in _DCH_TOKENS:
+            if fmt.startswith(tok, i):
+                hit = (tok, spec)
+                break
+        if hit:
+            tok, spec = hit
+            if spec == "tz":
+                err('"TZ"/"tz"/"OF" format patterns are not supported'
+                    " in to_date")
+            if isinstance(spec, tuple):
+                nodes.append(("fld", spec[0], spec[1], fm))
+            else:
+                nodes.append((spec, tok))
+            fm = False
+            i += len(tok)
+            continue
+        nodes.append(("lit", fmt[i]))
+        i += 1
+
+    # --- scan the input
+    f: dict = {}
+    s, slen = value, len(value)
+    p = 0
+
+    def skip_ws():
+        nonlocal p
+        while p < slen and s[p].isspace():
+            p += 1
+
+    def next_is_field(idx: int) -> bool:
+        for nd in nodes[idx + 1 :]:
+            if nd[0] == "th":
+                continue
+            return nd[0] in ("fld", "month", "mon", "rm", "ampm",
+                             "era", "dayname", "dyname")
+        return False
+
+    def read_int(digits: int, free: bool) -> int:
+        nonlocal p
+        if not fx:
+            skip_ws()
+        j = p
+        if j < slen and s[j] in "+-":
+            j += 1
+        k = j
+        limit = slen if free else min(j + digits, slen)
+        while k < limit and s[k].isdigit():
+            k += 1
+        if k == j:
+            err(f'invalid value "{s[p:p+10]}" for field')
+        v = int(s[p:k])
+        p = k
+        return v
+
+    def match_name(cands: list[str], base: str) -> str:
+        """Longest case-insensitive prefix match; consumes it."""
+        nonlocal p
+        if not fx:
+            skip_ws()
+        low = s[p:].lower()
+        best = None
+        for cand in cands:
+            if low.startswith(cand) and (
+                best is None or len(cand) > len(best)
+            ):
+                best = cand
+        if best is None:
+            err(f'invalid value "{s[p:p+10]}" for "{base}"')
+        p += len(best)
+        return best
+
+    for ni, nd in enumerate(nodes):
+        kind = nd[0]
+        if kind == "lit":
+            # non-FX: one pattern char consumes one input char; FX:
+            # the char must match
+            if p < slen:
+                if fx and s[p] != nd[1]:
+                    err(f'unexpected character "{s[p]}"')
+                p += 1
+            continue
+        if kind == "th":
+            while p < slen and s[p].isalpha() and p - 0 >= 0 and \
+                    s[p].lower() in "stndrh":
+                p += 1
+            continue
+        if kind == "month":
+            f["mm"] = _MONTH_NAMES.index(
+                match_name(_MONTH_NAMES, "Month")) + 1
+            continue
+        if kind == "mon":
+            f["mm"] = _PG_MONTHS[match_name(list(_PG_MONTHS), "Mon")]
+            continue
+        if kind in ("dayname", "dyname"):
+            cands = (_DAY_NAMES if kind == "dayname"
+                     else [d[:3] for d in _DAY_NAMES])
+            match_name(cands, "Day")
+            continue
+        if kind == "rm":
+            f["mm"] = _ROMAN_MONTHS.index(
+                match_name(_ROMAN_MONTHS, "RM")) + 1
+            continue
+        if kind == "ampm":
+            if not fx:
+                skip_ws()
+            low = s[p:p + 4].lower()
+            if low.startswith(("a.m.", "p.m.")):
+                f["pm"] = low[0] == "p"
+                p += 4
+            elif low.startswith(("am", "pm")):
+                f["pm"] = low[0] == "p"
+                p += 2
+            else:
+                err(f'invalid value "{s[p:p+6]}" for "AM/PM"')
+            continue
+        if kind == "era":
+            if not fx:
+                skip_ws()
+            low = s[p:p + 4].lower()
+            if low.startswith(("a.d.", "b.c.")):
+                f["bc"] = low[0] == "b"
+                p += 4
+            elif low.startswith(("ad", "bc")):
+                f["bc"] = low[0] == "b"
+                p += 2
+            else:
+                err(f'invalid value "{s[p:p+6]}" for "BC/AD"')
+            continue
+        # numeric field
+        _, fkind, digits, fld_fm = nd
+        free = fld_fm or not next_is_field(ni)
+        if fkind == "ycomma":
+            # Y,YYY: thousands then comma then 3 digits
+            if not fx:
+                skip_ws()
+            m = re.match(r"(\d{1,}),(\d{3})", s[p:])
+            if not m:
+                err(f'invalid value "{s[p:p+8]}" for "Y,YYY"')
+            f["yyyy"] = int(m.group(1)) * 1000 + int(m.group(2))
+            f["ysz"] = 4
+            p += m.end()
+            continue
+        v = read_int(digits, free)
+        if fkind in ("yyyy", "yyy", "yy", "y1"):
+            f["yyyy"] = v
+            f["ysz"] = {"yyyy": 4, "yyy": 3, "yy": 2, "y1": 1}[fkind]
+        elif fkind in ("iyyy", "iyy", "iy", "iy1"):
+            f["iyyy"] = v
+            f["iysz"] = {"iyyy": 4, "iyy": 3, "iy": 2, "iy1": 1}[fkind]
+        else:
+            f[fkind] = v
+
+    return f
+
+
+def _dch_resolve(f: dict):
+    """do_to_timestamp field resolution -> (y, mo, d, hh, mi, ss, us).
+    Years past datetime's 9999 cap resolve through the plain y/m/d
+    path without calendar arithmetic (PG supports them; '20000-1116'
+    is a horology golden)."""
+    import datetime as _dt
+
+    def err(msg: str):
+        raise ValueError(msg)
+
+    # year windowing per field width (DCH_YYYY..Y)
+    def window(year: int, sz: int) -> int:
+        if sz == 4 or year < 0:
+            return year
+        if sz == 2:
+            return year + (2000 if year < 70 else 1900)
+        if sz == 1:
+            return year + 2000
+        if sz == 3:
+            return year + (2000 if year < 100 else 1000)
+        return year
+
+    if f.get("bc"):
+        err("BC dates are out of scope (documented divergence)")
+    year = None
+    if "yyyy" in f:
+        year = window(f["yyyy"], f.get("ysz", 4))
+    if "cc" in f:
+        if year is not None and f.get("ysz", 4) <= 2:
+            year = (f["cc"] - 1) * 100 + f["yyyy"]
+        elif year is None:
+            year = (f["cc"] - 1) * 100 + 1
+    # time of day
+    hh = f.get("hh24", 0)
+    pm = f.get("pm")
+    if "hh12" in f:
+        h12 = f["hh12"]
+        if not 1 <= h12 <= 12:
+            err("hour out of range")
+        hh = h12 % 12 + (12 if pm else 0)
+    mi, ss = f.get("mi", 0), f.get("ss", 0)
+    if "ssss" in f:
+        hh, rest = divmod(f["ssss"], 3600)
+        mi, ss = divmod(rest, 60)
+    us = f.get("us", 0) + f.get("ms", 0) * 1000
+    if not (0 <= hh <= 23 and 0 <= mi <= 59 and 0 <= ss <= 59):
+        err("time field out of range")
+    # date part
+    if "j" in f:
+        d = _dt.date.fromordinal(f["j"] - 1721425)
+    elif "iyyy" in f or "iw" in f or "iddd" in f:
+        iy = window(f.get("iyyy", 0), f.get("iysz", 4))
+        if "iddd" in f:
+            d = _dt.date.fromisocalendar(iy, 1, 1) + _dt.timedelta(
+                days=f["iddd"] - 1)
+        else:
+            d = _dt.date.fromisocalendar(
+                iy, f.get("iw", 1), f.get("id", 1))
+    else:
+        if year is None:
+            err("cannot calculate day of year without year information")
+        if "ddd" in f:
+            d = _dt.date(year, 1, 1) + _dt.timedelta(days=f["ddd"] - 1)
+            if d.year != year:
+                err("date out of range")
+        elif "ww" in f:
+            d = _dt.date(year, 1, 1) + _dt.timedelta(
+                days=(f["ww"] - 1) * 7)
+        else:
+            dd = f.get("dd")
+            if dd is None and "w" in f:
+                dd = (f["w"] - 1) * 7 + 1
+            mo_ = f.get("mm", 1)
+            dd = dd if dd else 1
+            if year > 9999:
+                # past datetime's cap: plain field validation only
+                if not (1 <= mo_ <= 12 and 1 <= dd <= 31):
+                    err("date out of range")
+                return year, mo_, dd, hh, mi, ss, us
+            try:
+                d = _dt.date(year, mo_, dd)
+            except ValueError:
+                err("date/time field value out of range")
+    return d.year, d.month, d.day, hh, mi, ss, us
+
 # DateStyle field order for ambiguous numeric date input (guc.c
 # datestyle; the ISO output half is fixed — Spark renders ISO). The
 # engine default matches PG's default ISO, MDY. Engine.sql's SET
@@ -6130,6 +6842,7 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_quoted_idents(tokens)
     tokens = _pass_ts_fold(tokens)
     tokens = _pass_time_literals(tokens)
+    tokens = _pass_jsonb_fold(tokens)
     tokens = _pass_array_literal_casts(tokens)
     tokens = _pass_bytea_literals(tokens)
     tokens = _pass_typed_literals(tokens)

@@ -1857,3 +1857,126 @@ class TestRound7AdviceFixes:
             None,
         ).collect()[0]
         assert row.a == "1,2,3" and row.b == "0,1,2"
+
+
+class TestDCHFromChar:
+    """to_date/to_timestamp literal folding through the faithful Python
+    DCH_from_char (formatting.c) — every value pinned from
+    horology.out goldens, including PG's one-input-char-per-pattern-
+    char space rule and the exotic tokens Java patterns can't spell."""
+
+    def test_exotic_tokens(self):
+        from gpdb_spark.dialect import _dch_from_char, _dch_resolve
+
+        def run(val, fmt):
+            y, mo, d, h, mi, s, us = _dch_resolve(_dch_from_char(val, fmt))
+            t = f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}"
+            return t + (f".{us:06d}".rstrip("0") if us else "")
+
+        assert run("1,582nd VIII 21", "Y,YYYth FMRM DD") == \
+            "1582-08-21 00:00:00"
+        assert run("2005426", "YYYYWWD") == "2005-10-15 00:00:00"
+        assert run("2005300", "YYYYDDD") == "2005-10-27 00:00:00"
+        assert run("2005527", "IYYYIWID") == "2006-01-01 00:00:00"
+        assert run("2005364", "IYYYIDDD") == "2006-01-01 00:00:00"
+        assert run("3 4 21 01", "W MM CC YY") == "2001-04-15 00:00:00"
+        assert run("2458872", "J") == "2020-01-23 00:00:00"
+        assert run("2015-02-11 86000", "YYYY-MM-DD SSSS") == \
+            "2015-02-11 23:53:20"
+        assert run("2011-12-18 11:38 P.M.",
+                   "YYYY-MM-DD HH12:MI P.M.") == "2011-12-18 23:38:00"
+        assert run("2018-11-02 12:34:56.025",
+                   "YYYY-MM-DD HH24:MI:SS.MS") == "2018-11-02 12:34:56.025"
+
+    def test_space_discipline(self):
+        """Non-FX: each literal pattern char consumes ONE input char —
+        an extra pattern space eats a digit (horology.out pins this)."""
+        from gpdb_spark.dialect import _dch_from_char, _dch_resolve
+
+        def run(val, fmt):
+            return _dch_resolve(_dch_from_char(val, fmt))[:6]
+
+        assert run("2011-12-18 23:38:15", "YYYY-MM-DD  HH24:MI:SS") == \
+            (2011, 12, 18, 3, 38, 15)
+        assert run("2011-12-18  23:38:15", "YYYY-MM-DD HH24:MI:SS") == \
+            (2011, 12, 18, 23, 38, 15)
+        assert run("2011 12 18", "YYYY  MM DD") == (2011, 2, 18, 0, 0, 0)
+        assert run("  20050302", "YYYYMMDD") == (2005, 3, 2, 0, 0, 0)
+
+    def test_errors_are_loud(self):
+        import pytest
+
+        from gpdb_spark.dialect import _dch_from_char, _dch_resolve
+
+        with pytest.raises(ValueError, match="Mon"):
+            _dch_from_char("97/Feb/16", "YYMonDD")
+        with pytest.raises(ValueError, match="not supported"):
+            _dch_from_char("2011-12-18 11:38 PST",
+                           "YYYY-MM-DD HH12:MI TZ")
+        with pytest.raises(ValueError):
+            _dch_resolve(_dch_from_char("2015 366", "YYYY DDD"))
+
+    def test_sql_front_door_fold(self, spark):
+        from gpdb_spark.dialect import pg_sql
+
+        row = pg_sql(
+            spark,
+            "SELECT to_date('1 4 1902', 'Q MM YYYY') AS a,"
+            " to_timestamp('05121445482000', 'MMDDHH24MISSYYYY')::text AS b",
+            None,
+        ).collect()[0]
+        assert str(row.a) == "1902-04-01"
+        assert row.b.startswith("2000-05-12 14:45:48")
+
+
+class TestJsonbFold:
+    """jsonb literal canonicalization + constant op algebra (round 7;
+    jsonb_util.c / jsonb_op.c) — values pinned from jsonb.out goldens."""
+
+    def test_canonical_rendering(self):
+        from gpdb_spark.dialect import translate
+
+        assert translate("SELECT '[1,2]'::jsonb") == "SELECT '[1, 2]'"
+        assert translate("SELECT '{\"abc\":1}'::jsonb") == \
+            "SELECT '{\"abc\": 1}'"
+        # key order is (length, bytes); duplicate keys keep the last
+        assert translate("SELECT '{\"aa\":1,\"b\":2}'::jsonb") == \
+            "SELECT '{\"b\": 2, \"aa\": 1}'"
+        assert translate("SELECT '{\"a\":1,\"a\":2}'::jsonb") == \
+            "SELECT '{\"a\": 2}'"
+        # numbers render through numeric_out (no exponent)
+        out = translate("SELECT '1e100'::jsonb")
+        assert out == "SELECT '1" + "0" * 100 + "'"
+
+    def test_constant_operators(self):
+        from gpdb_spark.dialect import translate
+
+        t = translate
+        assert t("select '[{\"b\": \"c\"}, {\"b\": \"cc\"}]'::jsonb -> 1"
+                 ) == "select '{\"b\": \"cc\"}'"
+        assert t("select '{\"b\": null}'::jsonb -> 'b'") == "select 'null'"
+        assert t("select '[1,2,null]'::jsonb -> -1") == "select 'null'"
+        assert t("SELECT '{\"a\":1}'::jsonb @> '{\"a\":1}'") == \
+            "SELECT TRUE"
+        # null-valued needle key does NOT match a different value
+        assert t("SELECT '{\"a\":\"b\",\"c\":null}'::jsonb "
+                 "@> '{\"a\":\"b\", \"c\":\"q\"}'") == "SELECT FALSE"
+        assert t("SELECT '{\"a\":{\"b\":\"x\"}}'::jsonb#>array['a','b']"
+                 ) == "SELECT '\"x\"'"
+        assert t("SELECT '{\"a\":{\"b\":\"x\"}}'::jsonb#>>array['a','b']"
+                 ) == "SELECT 'x'"
+        assert t("SELECT jsonb '{\"a\":1}' ?| '{}'::text[]") == \
+            "SELECT FALSE"
+        assert t("SELECT jsonb_typeof('1e2') AS n") == "SELECT 'number' AS n"
+        assert t("SELECT jsonb_extract_path_text("
+                 "'{\"f\":[\"x\",1]}','f',1::text)") == "SELECT '1'"
+
+    def test_errors_are_loud(self):
+        import pytest
+
+        from gpdb_spark.dialect import translate
+
+        with pytest.raises(ValueError, match="non-array|scalar"):
+            translate("SELECT jsonb_array_length('4')")
+        with pytest.raises(ValueError, match="invalid input"):
+            translate("SELECT '{\"a\":'::jsonb")

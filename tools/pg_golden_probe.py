@@ -232,15 +232,23 @@ def render(v, ctx=_DEFAULT_CTX) -> str:
     if v is False:
         return "f"
     if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        if v == float("inf"):
+            return "Infinity"
+        if v == float("-inf"):
+            return "-Infinity"
         r = repr(v)
         return r[:-2] if r.endswith(".0") else r
     if isinstance(v, Decimal):
         return str(v)
     if isinstance(v, datetime.datetime):
-        if ctx.get("tstz"):
-            # regress runs under TimeZone=PST8PDT; the engine stores
-            # UTC instants — rendering converts to the regress zone and
-            # appends the abbreviation, exactly EncodeDateTime's tzp arm
+        if ctx.get("ltz", True):
+            # the session zone governs INPUT interpretation, but
+            # PySpark collects TimestampType (LTZ) as OS-local (UTC
+            # here) wall times — rendering converts the UTC instant to
+            # the tracked zone; NTZ values pass through untouched. The
+            # abbreviation only prints for timestamptz statements.
             from zoneinfo import ZoneInfo
 
             try:
@@ -315,7 +323,8 @@ def apply_set(stmt: str, ctx: dict) -> None:
         m = re.match(r"(?i)^reset\s+(\w+)", stmt)
         name = m.group(1).lower() if m else ""
         if name == "datestyle":
-            ctx["dstyle"], ctx["dorder"] = "iso", "mdy"
+            # RESET restores the regress session default
+            ctx["dstyle"], ctx["dorder"] = "postgres", "mdy"
             set_date_order("mdy")
         elif name == "intervalstyle":
             ctx["istyle"] = "postgres"
@@ -336,6 +345,11 @@ def apply_set(stmt: str, ctx: dict) -> None:
         return
     val = val.lower()
     if name == "datestyle":
+        if val == "default":
+            # the regress session default is 'Postgres, MDY'
+            ctx["dstyle"], ctx["dorder"] = "postgres", "mdy"
+            set_date_order("mdy")
+            return
         for part in re.split(r"[,\s]+", val):
             if part in ("iso", "postgres", "sql", "german"):
                 ctx["dstyle"] = part
@@ -360,9 +374,12 @@ def main(argv):
     import gpdb_spark  # noqa: F401 — ym shim
     from gpdb_spark.dialect import pg_sql
 
+    # the regress suite runs under TimeZone=PST8PDT (pg_regress.c) —
+    # zoneless timestamptz input must interpret in THAT session zone,
+    # exactly as PG does, or every tstz value is off by the offset
     spark = (
         SparkSession.builder.master("local[8]")
-        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.session.timeZone", "PST8PDT")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -376,9 +393,19 @@ def main(argv):
         ctx = dict(_DEFAULT_CTX)
         from gpdb_spark.dialect import set_date_order
         set_date_order("mdy")
+        spark.conf.set("spark.sql.session.timeZone", "PST8PDT")
         for stmt, (kind, rows) in parse_expected(f"{EXPECTED}/{f}.out"):
             if kind == "set":
                 apply_set(stmt, ctx)
+                # SET TIME ZONE changes input interpretation too —
+                # mirror it into the live session like PG's GUC does
+                try:
+                    from zoneinfo import ZoneInfo
+                    ZoneInfo(ctx["tz"])
+                    spark.conf.set(
+                        "spark.sql.session.timeZone", ctx["tz"])
+                except Exception:
+                    pass
                 continue
             if kind == "skip":
                 per["SKIP"] += 1
@@ -391,11 +418,18 @@ def main(argv):
             sctx = dict(ctx)
             if re.search(
                 r"(?i)timestamp\s+with\s+time\s+zone|::\s*timestamptz"
-                r"|timestamptz\s*'", stmt,
+                r"|timestamptz\s*[('!]|\bto_timestamp\s*\(", stmt,
             ):
                 sctx["tstz"] = True
             try:
-                got = pg_sql(spark, stmt, None).collect()
+                df = pg_sql(spark, stmt, None)
+                # LTZ timestamps collect as OS-local (UTC) walls; NTZ
+                # collect as-is — rendering must convert only the former
+                sctx["ltz_cols"] = {
+                    idx for idx, fl in enumerate(df.schema.fields)
+                    if fl.dataType.simpleString() == "timestamp"
+                }
+                got = df.collect()
                 ok = True
             except Exception:
                 ok = False
@@ -417,7 +451,12 @@ def main(argv):
                 for r in (x for x in rows)
             ]
             have = [
-                " | ".join(render(v, sctx).strip() for v in r) for r in got
+                " | ".join(
+                    render(v, {**sctx, "ltz": ci in sctx["ltz_cols"]}
+                           ).strip()
+                    for ci, v in enumerate(r)
+                )
+                for r in got
             ]
             if want == have:
                 per["GOLD_AGREE"] += 1
