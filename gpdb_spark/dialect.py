@@ -2898,6 +2898,454 @@ _IVL_ITEM = re.compile(
 )
 
 
+_INTERVAL_STYLE = "postgres"
+
+
+def set_interval_style(style: str) -> None:
+    """SET IntervalStyle (guc.c): governs interval_out rendering for
+    the translate-time constant folds."""
+    global _INTERVAL_STYLE
+    if style.lower() in ("postgres", "postgres_verbose", "sql_standard",
+                         "iso_8601"):
+        _INTERVAL_STYLE = style.lower()
+
+
+def _ivl_time_text(us: int, pad: bool = True) -> str:
+    a = abs(us)
+    sec, rem = divmod(a, 1_000_000)
+    h, ms = divmod(sec, 3600)
+    mi, s2 = divmod(ms, 60)
+    t = (f"{h:02d}:{mi:02d}:{s2:02d}" if pad
+         else f"{h}:{mi:02d}:{s2:02d}")
+    if rem:
+        t += f".{rem:06d}".rstrip("0")
+    return t
+
+
+def _pg_interval_out(mo: int, d: int, us: int) -> str:
+    """interval_out under the session IntervalStyle (datetime.c
+    EncodeInterval): postgres (per-field signs, '+' explicit after a
+    negative field, unbounded hours), postgres_verbose ('@ n unit ...'
+    with the first nonzero field's sign steering an 'ago' suffix),
+    sql_standard ('Y-M' / '[D ]H:MM:SS' / the three signed groups for
+    mixed values), iso_8601 (per-component signed designators)."""
+    style = _INTERVAL_STYLE
+    years = int(abs(mo) // 12) * (1 if mo >= 0 else -1)
+    mons = mo - years * 12
+    if style == "postgres_verbose":
+        sec_tot, rem = divmod(abs(us), 1_000_000)
+        h, ms = divmod(sec_tot, 3600)
+        mi, s2 = divmod(ms, 60)
+        neg_t = us < 0
+        fields = [
+            (years, "year"), (mons, "mon"), (d, "day"),
+            (-h if neg_t else h, "hour"),
+            (-mi if neg_t else mi, "min"),
+        ]
+        sec_txt = None
+        if s2 or rem:
+            sec_txt = str(s2) + (f".{rem:06d}".rstrip("0") if rem else "")
+        parts = []
+        is_zero, is_before = True, False
+        for val, unit in fields:
+            if not val:
+                continue
+            if is_zero:
+                is_before = val < 0
+                val = abs(val)
+            elif is_before:
+                val = -val
+            parts.append(f"{val} {unit}" + ("" if val == 1 else "s"))
+            is_zero = False
+        if sec_txt is not None:
+            sv = -1 if neg_t else 1
+            if is_zero:
+                is_before = sv < 0
+                sign = ""
+            else:
+                sign = "-" if (is_before) != (sv < 0) else ""
+            one = sec_txt == "1"
+            parts.append(f"{sign}{sec_txt} sec" + ("" if one else "s"))
+            is_zero = False
+        if is_zero:
+            return "@ 0"
+        return "@ " + " ".join(parts) + (" ago" if is_before else "")
+    if style == "sql_standard":
+        pure_ym = (d == 0 and us == 0)
+        pure_dt = mo == 0
+        signs = {v < 0 for v in (mo, d, us) if v}
+        uniform = len(signs) <= 1
+        if mo == 0 and d == 0 and us == 0:
+            return "0"
+        if pure_ym and uniform:
+            sign = "-" if mo < 0 else ""
+            return f"{sign}{abs(years)}-{abs(mons)}"
+        if pure_dt and uniform:
+            sign = "-" if (d < 0 or us < 0) else ""
+            t = _ivl_time_text(us, pad=False)
+            return f"{sign}{abs(d)} {t}" if d else sign + t
+        def sgn(v):
+            return "-" if v < 0 else "+"
+        return (f"{sgn(mo)}{abs(years)}-{abs(mons)} {sgn(d)}{abs(d)} "
+                f"{sgn(us)}{_ivl_time_text(us, pad=False)}")
+    if style == "iso_8601":
+        if mo == 0 and d == 0 and us == 0:
+            return "PT0S"
+        out = "P"
+        if years:
+            out += f"{years}Y"
+        if mons:
+            out += f"{mons}M"
+        if d:
+            out += f"{d}D"
+        if us:
+            sec_tot, rem = divmod(abs(us), 1_000_000)
+            h, ms = divmod(sec_tot, 3600)
+            mi, s2 = divmod(ms, 60)
+            sg = "-" if us < 0 else ""
+            out += "T"
+            if h:
+                out += f"{sg}{h}H"
+            if mi:
+                out += f"{sg}{mi}M"
+            if s2 or rem:
+                out += f"{sg}{s2}" + (f".{rem:06d}".rstrip("0")
+                                      if rem else "") + "S"
+        return out
+    # postgres (default)
+    parts = []
+    before = False
+    for val, unit in ((years, "year"), (mons, "mon"), (d, "day")):
+        if val:
+            sign = "+" if before and val > 0 else ""
+            parts.append(f"{sign}{val} {unit}" + ("" if val == 1
+                                                  else "s"))
+            before = before or val < 0
+    if us or not parts:
+        sign = "-" if us < 0 else ("+" if before and parts else "")
+        parts.append(sign + _ivl_time_text(us))
+    return " ".join(parts)
+
+
+def _pass_interval_fold(tokens: list[str]) -> list[str]:
+    """Constant interval algebra folded to interval_out text (round 7):
+    interval ± interval, unary minus, justify_hours/days/interval,
+    named-argument make_interval, and interval comparisons via PG's
+    TimeOffset span — plus any MIXED year-month+day-time literal, whose
+    CalendarInterval image Spark cannot return to the driver at all.
+    Pure single-typed literals that no constant op consumes are
+    restored verbatim for the native/typed path (the driver-compared
+    queries keep their timedelta images)."""
+    low_any = any(
+        _is_word(t, "interval", "justify_hours", "justify_days",
+                 "justify_interval", "make_interval", "interval_hash")
+        for t in tokens
+    )
+    if not low_any:
+        return tokens
+    vals: dict[str, tuple[tuple[int, int, int], list[str] | None]] = {}
+    counter = [0]
+
+    def mk(triple, orig=None) -> str:
+        tok = f"__IVL_{counter[0]}__"
+        counter[0] += 1
+        vals[tok] = (triple, orig)
+        return tok
+
+    def consume(tok: str):
+        """Mark a placeholder as op-consumed (no verbatim restore)."""
+        triple, _ = vals[tok]
+        return triple
+
+    def span(triple) -> int:
+        mo, d, us = triple
+        return (mo * 30 + d) * 86_400_000_000 + us
+
+    def justify(triple, hours=False, days_=False, full=False):
+        mo, d, us = triple
+        if hours or full:
+            extra = int(us / 86_400_000_000) if us >= 0 \
+                else -int(-us // 86_400_000_000)
+            # C integer division truncates toward zero
+            extra = int(abs(us) // 86_400_000_000) * (1 if us >= 0 else -1)
+            d += extra
+            us -= extra * 86_400_000_000
+        if days_ or full:
+            extra = int(abs(d) // 30) * (1 if d >= 0 else -1)
+            mo += extra
+            d -= extra * 30
+        if full:
+            if mo > 0 and (d < 0 or (d == 0 and us < 0)):
+                d += 30
+                mo -= 1
+            elif mo < 0 and (d > 0 or (d == 0 and us > 0)):
+                d -= 30
+                mo += 1
+            if d > 0 and us < 0:
+                us += 86_400_000_000
+                d -= 1
+            elif d < 0 and us > 0:
+                us -= 86_400_000_000
+                d += 1
+        return mo, d, us
+
+    changed = True
+    while changed:
+        changed = False
+        out: list[str] = []
+        i, n = 0, len(tokens)
+        while i < n:
+            t = tokens[i]
+            low = t.lower()
+            nxt = tokens[i + 1] if i + 1 < n else ""
+            nxt2 = tokens[i + 2] if i + 2 < n else ""
+            # interval '<lit>' (no qualifier suffix / precision form —
+            # those stay on the existing pass)
+            if (
+                _is_word(t, "interval")
+                and nxt.startswith("'")
+                and not (nxt2.isidentifier()
+                         and nxt2.lower() in _IVL_SUFFIX_FIELDS)
+                and not _is_word(nxt2, "year", "day", "hour", "minute")
+            ):
+                triple = _pg_interval_triple(_lit_decode(nxt))
+                if triple is not None:
+                    out.append(mk(triple, [t, nxt]))
+                    i += 2
+                    changed = True
+                    continue
+            if t.startswith("'") and nxt == "::" and _is_word(
+                nxt2, "interval"
+            ) and not (i + 3 < n and tokens[i + 3] == "("):
+                triple = _pg_interval_triple(_lit_decode(t))
+                if triple is not None:
+                    out.append(mk(triple, [t, nxt, nxt2]))
+                    i += 3
+                    changed = True
+                    continue
+            # justify_*(IVL)
+            if low in ("justify_hours", "justify_days",
+                       "justify_interval") and nxt == "(" \
+                    and nxt2 in vals and i + 3 < n and tokens[i + 3] == ")":
+                tri = consume(nxt2)
+                res = justify(tri, hours=low == "justify_hours",
+                              days_=low == "justify_days",
+                              full=low == "justify_interval")
+                out.append(mk(res))
+                i += 4
+                changed = True
+                continue
+            # named-arg make_interval
+            if low == "make_interval" and nxt == "(":
+                call = _fn_args(tokens, i)
+                if call is not None:
+                    args, k = call
+                    named = {}
+                    ok = bool(args) or True
+                    for a in args:
+                        if len(a) >= 3 and a[1] == ":" and a[2] == "=":
+                            named[a[0].lower()] = "".join(a[3:])
+                        elif len(a) >= 2 and a[1] == ":=":
+                            named[a[0].lower()] = "".join(a[2:])
+                        elif a:
+                            ok = False
+                            break
+                    if ok and (named or not args):
+                        try:
+                            g = {k2: float(v2) for k2, v2 in named.items()}
+                        except ValueError:
+                            g = None
+                        if g is not None and set(g) <= {
+                            "years", "months", "weeks", "days",
+                            "hours", "mins", "secs",
+                        }:
+                            mo = int(g.get("years", 0) * 12
+                                     + g.get("months", 0))
+                            d2 = int(g.get("weeks", 0) * 7
+                                     + g.get("days", 0))
+                            us2 = int(round(
+                                (g.get("hours", 0) * 3600
+                                 + g.get("mins", 0) * 60
+                                 + g.get("secs", 0)) * 1_000_000))
+                            if abs(us2) < 2**63:
+                                out.append(mk((mo, d2, us2)))
+                                i = k + 1
+                                changed = True
+                                continue
+            # ( IVL ) -> IVL
+            if t == "(" and nxt in vals and nxt2 == ")":
+                out.append(nxt)
+                i += 3
+                changed = True
+                continue
+            # unary minus: '-' preceded by a non-operand
+            if t == "-" and nxt in vals and (
+                not out or out[-1] in ("(", ",") or _is_word(
+                    out[-1], "select", "as", "union", "all", "where",
+                    "and", "or", "then", "else",
+                )
+            ):
+                mo, d2, us2 = consume(nxt)
+                out.append(mk((-mo, -d2, -us2)))
+                i += 2
+                changed = True
+                continue
+            # binary ops between two interval placeholders
+            if out and out[-1] in vals and t in ("+", "-", "=", "<>",
+                                                 "<", ">", "<=", ">=") \
+                    and nxt in vals:
+                lt = consume(out[-1])
+                rt = consume(nxt)
+                out.pop()
+                if t in ("+", "-"):
+                    sgn = 1 if t == "+" else -1
+                    out.append(mk((lt[0] + sgn * rt[0],
+                                   lt[1] + sgn * rt[1],
+                                   lt[2] + sgn * rt[2])))
+                else:
+                    c = span(lt) - span(rt)
+                    hit = {"=": c == 0, "<>": c != 0, "<": c < 0,
+                           ">": c > 0, "<=": c <= 0, ">=": c >= 0}[t]
+                    out.append("TRUE" if hit else "FALSE")
+                i += 2
+                changed = True
+                continue
+            # interval_hash(a) = interval_hash(b) -> span equality
+            if low == "interval_hash" and nxt == "(" and nxt2 in vals \
+                    and i + 3 < n and tokens[i + 3] == ")":
+                j = i + 4
+                if j + 5 < n and tokens[j] == "=" and _is_word(
+                    tokens[j + 1], "interval_hash"
+                ) and tokens[j + 2] == "(" and tokens[j + 3] in vals \
+                        and tokens[j + 4] == ")":
+                    eq = span(consume(nxt2)) == span(consume(tokens[j + 3]))
+                    out.append("TRUE" if eq else "FALSE")
+                    i = j + 5
+                    changed = True
+                    continue
+                # lone interval_hash: not folded — restore below
+            out.append(t)
+            i += 1
+        tokens = out
+    final: list[str] = []
+    for ti, t in enumerate(tokens):
+        if t not in vals:
+            final.append(t)
+            continue
+        (mo, d2, us2), orig = vals[t]
+        # fold to text when the value is unrepresentable/lossy as a
+        # Spark interval: year-month mixed with day-time (Calendar-
+        # Interval is unfetchable), or day/time fields with OPPOSITE
+        # signs ('1 day -01:00:00' — a timedelta collapses the split)
+        mixed = (mo != 0 and (d2 != 0 or us2 != 0)) or (
+            d2 != 0 and us2 != 0 and (d2 < 0) != (us2 < 0)
+        )
+        # a literal consumed by ARITHMETIC with a non-interval operand
+        # (timestamp + interval '...') must stay on the native path —
+        # make_interval works fine in arithmetic; only a bare driver
+        # fetch of the CalendarInterval fails
+        prev_t = tokens[ti - 1] if ti else ""
+        next_t = tokens[ti + 1] if ti + 1 < len(tokens) else ""
+        in_arith = prev_t in ("+", "-", "*", "/") or next_t in (
+            "+", "-", "*", "/")
+        if orig is not None and (
+            in_arith or (not mixed and _INTERVAL_STYLE == "postgres")
+        ):
+            final.extend(orig)  # native/typed path
+        else:
+            final.append(_lit_encode(_pg_interval_out(mo, d2, us2)))
+    return final
+
+
+def _pg_interval_iso8601(body: str) -> tuple[int, int, int] | None:
+    """ISO-8601 interval input (datetime.c DecodeISO8601Interval,
+    lowercased): designator form P[nY][nM][nW][nD][T[nH][nM][nS]] with
+    per-component signs and fractions; 'alternative' basic
+    (Pyyyymmdd[Thhmmss]) and extended (Pyyyy-mm[-dd][Thh[:mm[:ss]]])
+    formats, including the partial forms ('P0002-10', 'PT10' = 10
+    hours). Returns (months, days, micros) or None."""
+    months = days = 0
+    micros = 0.0
+    s = body[1:]
+    date_part, t_part = (s.split("t", 1) + [""])[:2] if "t" in s \
+        else (s, "")
+    # alternative extended: yyyy[-mm[-dd]]
+    m = re.fullmatch(r"(\d{4})(?:-(\d{1,2})(?:-(\d{1,2}))?)?", date_part)
+    if m and ("-" in date_part or len(date_part) == 4):
+        months = int(m.group(1)) * 12 + int(m.group(2) or 0)
+        days = int(m.group(3) or 0)
+        tm = re.fullmatch(
+            r"(\d{1,2})(?::(\d{1,2})(?::(\d{1,2}(?:\.\d+)?))?)?"
+            r"|(\d+(?:\.\d+)?)s", t_part) if t_part else None
+        if t_part:
+            ts = re.fullmatch(
+                r"(\d{1,2})(?::(\d{1,2})(?::(\d{1,2}(?:\.\d+)?))?)?",
+                t_part)
+            if ts:
+                micros = (int(ts.group(1)) * 3600
+                          + int(ts.group(2) or 0) * 60
+                          + float(ts.group(3) or 0)) * 1_000_000
+            else:
+                tm2 = re.fullmatch(r"(\d+(?:\.\d+)?)s", t_part)
+                if not tm2:
+                    return None
+                micros = float(tm2.group(1)) * 1_000_000
+        return months, days, int(round(micros))
+    # alternative basic: yyyymmdd[Thhmmss]
+    m = re.fullmatch(r"(\d{4})(\d{2})(\d{2})", date_part)
+    if m:
+        months = int(m.group(1)) * 12 + int(m.group(2))
+        days = int(m.group(3))
+        if t_part:
+            tb = re.fullmatch(r"(\d{2})(\d{2})(\d{2}(?:\.\d+)?)", t_part)
+            if not tb:
+                return None
+            micros = (int(tb.group(1)) * 3600 + int(tb.group(2)) * 60
+                      + float(tb.group(3))) * 1_000_000
+        return months, days, int(round(micros))
+    # designator form
+    item = re.compile(r"([+-]?\d+(?:\.\d+)?)([ymwd])")
+    p = 0
+    while p < len(date_part):
+        im = item.match(date_part, p)
+        if not im:
+            return None
+        v = float(im.group(1))
+        u = im.group(2)
+        if u == "y":
+            months += int(v * 12)
+        elif u == "m":
+            months += int(v)
+        elif u == "w":
+            days += int(v * 7)
+            micros += (v * 7 - int(v * 7)) * 86_400_000_000
+        else:
+            days += int(v)
+            micros += (v - int(v)) * 86_400_000_000
+        p = im.end()
+    titem = re.compile(r"([+-]?\d+(?:\.\d+)?)([hms])")
+    p = 0
+    while p < len(t_part):
+        im = titem.match(t_part, p)
+        if not im:
+            # bare 'PT10' (hour only) / 'PT10:30' (hour minute)
+            ts = re.fullmatch(
+                r"(\d{1,2})(?::(\d{1,2})(?::(\d{1,2}(?:\.\d+)?))?)?",
+                t_part[p:])
+            if ts:
+                micros += (int(ts.group(1)) * 3600
+                           + int(ts.group(2) or 0) * 60
+                           + float(ts.group(3) or 0)) * 1_000_000
+                break
+            return None
+        v = float(im.group(1))
+        u = im.group(2)
+        mult = {"h": 3_600_000_000, "m": 60_000_000, "s": 1_000_000}[u]
+        micros += v * mult
+        p = im.end()
+    return months, days, int(round(micros))
+
+
 def _pg_interval_triple(body: str) -> tuple[int, int, int] | None:
     """Parse a PG interval input string (datetime.c DecodeInterval) to
     its internal (months, days, microseconds) triple. Fractional units
@@ -2919,6 +3367,8 @@ def _pg_interval_triple(body: str) -> tuple[int, int, int] | None:
     seen_time = False
     pos = 0
     body = body.strip().lower()
+    if body[:1] == "p":
+        return _pg_interval_iso8601(body)
     claimed: set[str] = set()
 
     def claim(*fields: str) -> None:
@@ -4970,6 +5420,198 @@ def _jb_fn_fold(_jb, low, vv, args, as_val, text_arr):
     return None
 
 
+def _cash_in(text: str) -> int:
+    """cash_in (cash.c): '$1,234.56' / '-12345' / '($5.00)' -> int64
+    cents, rounding fractional input half away from zero."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    s = text.strip()
+    neg = s.startswith("-") or s.startswith("(") or s.startswith("$-")
+    digits = re.sub(r"[^0-9.]", "", s)
+    if not digits or digits.count(".") > 1:
+        raise ValueError(f'invalid input syntax for type money: "{text}"')
+    cents = int(
+        (Decimal(digits) * 100).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    )
+    cents = -cents if neg else cents
+    if not -(2**63) <= cents < 2**63:
+        raise ValueError(f'value "{text}" is out of range for type money')
+    return cents
+
+
+def _cash_out(cents: int) -> str:
+    """cash_out: '-$1,234.56' — sign, symbol, comma grouping, 2dp."""
+    sign = "-" if cents < 0 else ""
+    a = abs(cents)
+    return f"{sign}${a // 100:,d}.{a % 100:02d}"
+
+
+def _pass_money_fold(tokens: list[str]) -> list[str]:
+    """money through the SQL front door for constant expressions
+    (cash.c; round 7): '<lit>'::money / money '<lit>' / <int>::money
+    (with int4/int8/numeric intermediate casts), money::numeric,
+    money ± money, money * factor, and the division semantics the
+    reference pins — cash_div_int truncates, cash_div_flt rounds
+    half-even (rint). Non-constant money expressions stay on the
+    Column API (functions/misc_types.py money_*)."""
+    if not any(_is_word(t, "money") for t in tokens):
+        return tokens
+    from decimal import Decimal
+
+    vals: dict[str, int] = {}
+    counter = [0]
+
+    def mk(cents: int) -> str:
+        tok = f"__MONEY_{counter[0]}__"
+        counter[0] += 1
+        if not -(2**63) <= cents < 2**63:
+            raise ValueError("money out of range")
+        vals[tok] = cents
+        return tok
+
+    changed = True
+    while changed:
+        changed = False
+        out: list[str] = []
+        i, n = 0, len(tokens)
+        while i < n:
+            t = tokens[i]
+            nxt = tokens[i + 1] if i + 1 < n else ""
+            nxt2 = tokens[i + 2] if i + 2 < n else ""
+            # '<lit>'::money  |  money '<lit>'
+            if t.startswith("'") and nxt == "::" and _is_word(
+                nxt2, "money"
+            ):
+                out.append(mk(_cash_in(_lit_decode(t))))
+                i += 3
+                changed = True
+                continue
+            if _is_word(t, "money") and nxt.startswith("'"):
+                out.append(mk(_cash_in(_lit_decode(nxt))))
+                i += 2
+                changed = True
+                continue
+            # ( - N ) [:: inttype]* :: money
+            if (
+                t == "("
+                and nxt == "-"
+                and re.fullmatch(r"\d+(?:\.\d+)?", nxt2)
+                and i + 3 < n
+                and tokens[i + 3] == ")"
+            ):
+                j = i + 4
+                while (
+                    j + 1 < n
+                    and tokens[j] == "::"
+                    and tokens[j + 1].lower() in (
+                        "int", "int2", "int4", "int8", "smallint",
+                        "integer", "bigint", "numeric", "decimal",
+                    )
+                ):
+                    j += 2
+                if j + 1 < n and tokens[j] == "::" and _is_word(
+                    tokens[j + 1], "money"
+                ):
+                    out.append(mk(-int(
+                        (Decimal(nxt2) * 100).to_integral_value())))
+                    i = j + 2
+                    changed = True
+                    continue
+            # numeric literal -> money: N [:: int4|int8|numeric] :: money
+            m_num = re.fullmatch(r"\d+(?:\.\d+)?", t)
+            if m_num:
+                j = i + 1
+                while (
+                    j + 1 < n
+                    and tokens[j] == "::"
+                    and tokens[j + 1].lower() in (
+                        "int", "int2", "int4", "int8", "smallint",
+                        "integer", "bigint", "numeric", "decimal",
+                    )
+                ):
+                    j += 2
+                if j + 1 < n and tokens[j] == "::" and _is_word(
+                    tokens[j + 1], "money"
+                ):
+                    sign = -1 if out and out[-1] == "-" and (
+                        len(out) < 2 or not (
+                            out[-2].isidentifier()
+                            or out[-2].replace(".", "").isdigit()
+                            or out[-2] in (")", "]")
+                        )
+                    ) else 1
+                    if sign == -1:
+                        out.pop()
+                    cents = int(
+                        (Decimal(t) * 100).to_integral_value()) * sign
+                    out.append(mk(cents))
+                    i = j + 2
+                    changed = True
+                    continue
+            # ( __MONEY__ ) -> __MONEY__
+            if t == "(" and nxt in vals and nxt2 == ")":
+                out.append(nxt)
+                i += 3
+                changed = True
+                continue
+            # money ops with folded LHS
+            if out and out[-1] in vals:
+                lv = vals[out[-1]]
+                res = None
+                width = 0
+                # :: numeric -> exact cents/100 image
+                if t == "::" and _is_word(nxt, "numeric"):
+                    sign = "-" if lv < 0 else ""
+                    res = ["CAST", "(",
+                           f"'{sign}{abs(lv) // 100}.{abs(lv) % 100:02d}'",
+                           "AS", "DECIMAL(38,2)", ")"]
+                    width = 2
+                elif t in ("+", "-") and nxt in vals:
+                    rv = vals[nxt]
+                    res = [mk(lv + rv if t == "+" else lv - rv)]
+                    width = 2
+                elif t in ("*", "/"):
+                    # factor: N [:: type]
+                    ftok = nxt
+                    ftype = None
+                    width = 2
+                    if re.fullmatch(r"\d+(?:\.\d+)?", ftok):
+                        if nxt2 == "::" and i + 3 < n:
+                            ftype = tokens[i + 3].lower()
+                            width = 4
+                        fv = Decimal(ftok)
+                        is_int = (
+                            ftype in ("int", "int2", "int4", "int8",
+                                      "smallint", "integer", "bigint")
+                            or (ftype is None and "." not in ftok)
+                        )
+                        if t == "*":
+                            res = [mk(int((Decimal(lv) * fv)
+                                          .to_integral_value()))]
+                        elif is_int:
+                            # cash_div_int: truncation toward zero
+                            q = abs(lv) // int(fv)
+                            res = [mk(-q if lv < 0 else q)]
+                        else:
+                            # cash_div_flt: rint (round half to even)
+                            import numpy as _np
+
+                            res = [mk(int(_np.rint(lv / float(fv))))]
+                if res is not None:
+                    out.pop()
+                    out += res
+                    i += width
+                    changed = True
+                    continue
+            out.append(t)
+            i += 1
+        tokens = out
+    return [
+        _lit_encode(_cash_out(vals[t])) if t in vals else t
+        for t in tokens
+    ]
+
+
 def _pass_bytea_literals(tokens: list[str]) -> list[str]:
     """``'\\xDEADBEEF'::bytea`` / ``bytea '\\x...'`` hex input
     (varlena.c byteain): Spark's string->binary cast UTF-8-encodes the
@@ -6843,6 +7485,8 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_ts_fold(tokens)
     tokens = _pass_time_literals(tokens)
     tokens = _pass_jsonb_fold(tokens)
+    tokens = _pass_money_fold(tokens)
+    tokens = _pass_interval_fold(tokens)
     tokens = _pass_array_literal_casts(tokens)
     tokens = _pass_bytea_literals(tokens)
     tokens = _pass_typed_literals(tokens)

@@ -343,6 +343,9 @@ class Engine:
                 elif name == "datestyle":
                     from gpdb_spark.dialect import set_date_order
                     set_date_order("mdy")
+                elif name == "intervalstyle":
+                    from gpdb_spark.dialect import set_interval_style
+                    set_interval_style("postgres")
             else:
                 m = _re.match(
                     r"(?is)^set\s+(?:session\s+|local\s+)?"
@@ -363,6 +366,9 @@ class Engine:
                     self._gucs[name] = val
                     if name == "gp_resource_group":
                         self.set_resource_group(val)
+                    elif name == "intervalstyle":
+                        from gpdb_spark.dialect import set_interval_style
+                        set_interval_style(val)
                     elif name in ("gp_segments_for_planner",
                                   "spark.sql.shuffle.partitions"):
                         self.spark.conf.set(

@@ -1980,3 +1980,70 @@ class TestJsonbFold:
             translate("SELECT jsonb_array_length('4')")
         with pytest.raises(ValueError, match="invalid input"):
             translate("SELECT '{\"a\":'::jsonb")
+
+
+class TestMoneyIntervalFold:
+    """money through the SQL front door (cash.c) and the constant
+    interval algebra (round 7) — values pinned from money.out /
+    interval.out goldens."""
+
+    def test_money_literals_and_arithmetic(self):
+        from gpdb_spark.dialect import translate
+
+        t = translate
+        assert t("SELECT 1234567890::money") == \
+            "SELECT '$1,234,567,890.00'"
+        assert t("SELECT (-12345)::money") == "SELECT '-$12,345.00'"
+        assert t("SELECT 12345678901234567::numeric::money") == \
+            "SELECT '$12,345,678,901,234,567.00'"
+        # cash_div_int truncates; cash_div_flt rounds (rint)
+        assert t("SELECT '878.08'::money / 11::int") == "SELECT '$79.82'"
+        assert t("SELECT '878.08'::money / 11::float8") == \
+            "SELECT '$79.83'"
+        assert t("SELECT '90000000000000099.00'::money / 10::int") == \
+            "SELECT '$9,000,000,000,000,009.90'"
+        assert "DECIMAL(38,2)" in t(
+            "SELECT '12345678901234567'::money::numeric")
+
+    def test_interval_iso8601_and_algebra(self):
+        from gpdb_spark.dialect import translate
+
+        t = translate
+        assert t("SELECT interval 'P1Y2M3DT4H5M6.7S' AS f") == \
+            "SELECT '1 year 2 mons 3 days 04:05:06.7' AS f"
+        assert t("SELECT INTERVAL '10 years -11 month -12 days +13:14'"
+                 ) == "SELECT '9 years 1 mon -12 days +13:14:00'"
+        assert t("SELECT justify_interval(interval '1 month -1 hour')"
+                 ) == "SELECT '29 days 23:00:00'"
+        assert t("SELECT justify_hours(interval '52 hours')") == \
+            "SELECT '2 days 04:00:00'"
+        assert t("select '30 days'::interval = '1 month'::interval as x"
+                 ) == "select TRUE as x"
+        assert t("select make_interval(years := 1, months := 6) AS m"
+                 ) == "select '1 year 6 mons' AS m"
+        # mixed-SIGN day-time folds to the field-preserving text
+        assert t("SELECT interval '+1 -1:00:00'") == \
+            "SELECT '1 day -01:00:00'"
+        # untouched pure literals keep the native (typed) path
+        assert "make_dt_interval" in t("SELECT interval '1 day'")
+        assert "make_dt_interval" in t(
+            "SELECT timestamp '2001-01-01' + interval '2 hours'")
+
+    def test_interval_styles(self):
+        from gpdb_spark.dialect import set_interval_style, translate
+
+        try:
+            set_interval_style("postgres_verbose")
+            assert translate("select interval '1 year 2 mons 3 days "
+                             "04:05:06.699999'") == \
+                "select '@ 1 year 2 mons 3 days 4 hours 5 mins " \
+                "6.699999 secs'"
+            set_interval_style("sql_standard")
+            assert translate("SELECT interval '1-2'") == "SELECT '1-2'"
+            assert translate("SELECT interval '1 day -1 hours'") == \
+                "SELECT '+0-0 +1 -1:00:00'"
+            set_interval_style("iso_8601")
+            assert translate("SELECT interval '1 2:03:04'") == \
+                "SELECT 'P1DT2H3M4S'"
+        finally:
+            set_interval_style("postgres")

@@ -328,6 +328,8 @@ def apply_set(stmt: str, ctx: dict) -> None:
             set_date_order("mdy")
         elif name == "intervalstyle":
             ctx["istyle"] = "postgres"
+            from gpdb_spark.dialect import set_interval_style
+            set_interval_style("postgres")
         elif name == "bytea_output":
             ctx["bytea"] = "hex"
         elif name == "standard_conforming_strings":
@@ -359,6 +361,8 @@ def apply_set(stmt: str, ctx: dict) -> None:
                 set_date_order(order)
     elif name == "intervalstyle":
         ctx["istyle"] = val
+        from gpdb_spark.dialect import set_interval_style
+        set_interval_style(val)
     elif name == "bytea_output":
         ctx["bytea"] = val
     elif name == "standard_conforming_strings":
@@ -391,8 +395,9 @@ def main(argv):
     for f in files:
         per = dict.fromkeys(tally, 0)
         ctx = dict(_DEFAULT_CTX)
-        from gpdb_spark.dialect import set_date_order
+        from gpdb_spark.dialect import set_date_order, set_interval_style
         set_date_order("mdy")
+        set_interval_style("postgres")
         spark.conf.set("spark.sql.session.timeZone", "PST8PDT")
         for stmt, (kind, rows) in parse_expected(f"{EXPECTED}/{f}.out"):
             if kind == "set":
