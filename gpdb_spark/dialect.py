@@ -7316,16 +7316,140 @@ def _split_pg_array_literal(body: str) -> list[str] | None:
     return [e.strip() for e in elems]
 
 
+def _parse_pg_array_nested(body: str):
+    """Recursive array_in for MULTI-DIMENSIONAL brace literals
+    ('{{1,2},{3,4}}'): nested lists of element strings (None on
+    backslashes / malformed nesting). Double-quoted elements keep
+    their quotes for the caller's unquoting."""
+    pos = [0]
+    n = len(body)
+
+    def parse_list():
+        # at '{'
+        pos[0] += 1
+        out = []
+        cur: list[str] = []
+        has_any = False
+        while pos[0] < n:
+            ch = body[pos[0]]
+            if ch == "{":
+                sub = parse_list()
+                if sub is None:
+                    return None
+                out.append(sub)
+                has_any = True
+                continue
+            if ch == "}":
+                pos[0] += 1
+                s = "".join(cur).strip()
+                if s:
+                    out.append(s)
+                    has_any = True
+                return out if has_any or not out else out
+            if ch == ",":
+                s = "".join(cur).strip()
+                if s:
+                    out.append(s)
+                    has_any = True
+                cur = []
+                pos[0] += 1
+                continue
+            if ch == '"':
+                q = [ch]
+                pos[0] += 1
+                while pos[0] < n and body[pos[0]] != '"':
+                    if body[pos[0]] == "\\":
+                        return None
+                    q.append(body[pos[0]])
+                    pos[0] += 1
+                if pos[0] >= n:
+                    return None
+                q.append('"')
+                pos[0] += 1
+                cur.append("".join(q))
+                continue
+            if ch == "\\":
+                return None
+            cur.append(ch)
+            pos[0] += 1
+        return None
+
+    body = body.strip()
+    if not body.startswith("{"):
+        return None
+    res = parse_list()
+    if res is None or pos[0] != n:
+        return None
+    return res
+
+
+def _nested_depth(v) -> int:
+    d = 0
+    while isinstance(v, list):
+        d += 1
+        v = v[0] if v else ""
+    return d
+
+
+def _emit_nested_array(v) -> list[str]:
+    if isinstance(v, list):
+        toks = ["array", "("]
+        for k, e in enumerate(v):
+            if k:
+                toks.append(",")
+            toks += _emit_nested_array(e)
+        toks.append(")")
+        return toks
+    if v.upper() == "NULL":
+        return ["NULL"]
+    if v.startswith('"') and v.endswith('"') and len(v) >= 2:
+        return ["'" + v[1:-1].replace("'", "''") + "'"]
+    return ["'" + v.replace("'", "''") + "'"]
+
+
 def _pass_array_literal_casts(tokens: list[str]) -> list[str]:
     """``'{a,b,c}'::type[]`` (arrayfuncs.c array_in) -> ``array('a','b',
     'c')::type[]`` — the later cast passes turn ``::type[]`` into a
     Spark ARRAY<> cast, which can cast array<string> elementwise but
-    cannot parse PG's brace syntax out of a bare string."""
+    cannot parse PG's brace syntax out of a bare string. Round 7:
+    MULTI-DIM literals ('{{1,2},{3,4}}'::int[]) build nested array()
+    constructors with the cast depth matching the VALUE's dimensions
+    (PG's written bracket count is advisory), and constant
+    cardinality() over them folds to the total element count
+    (ArrayGetNItems — Spark's size() counts only the top dimension)."""
     out: list[str] = []
     i = 0
     n = len(tokens)
     while i < n:
         t = tokens[i]
+        # cardinality('<multi-dim lit>'::type[]) -> total element count
+        if (
+            _is_word(t, "cardinality")
+            and i + 2 < n
+            and tokens[i + 1] == "("
+            and tokens[i + 2].startswith("'")
+            and tokens[i + 2].rstrip().endswith("}'")
+            and i + 4 < n
+            and tokens[i + 3] == "::"
+        ):
+            j = i + 4
+            if j + 2 < n and tokens[j].isidentifier() \
+                    and tokens[j + 1] == "[" and tokens[j + 2] == "]":
+                j += 3
+                while j + 1 < n and tokens[j] == "[" and tokens[j + 1] == "]":
+                    j += 2
+                if j < n and tokens[j] == ")":
+                    nested = _parse_pg_array_nested(
+                        tokens[i + 2][1:-1].replace("''", "'"))
+                    if nested is not None:
+                        def count(v):
+                            if isinstance(v, list):
+                                return sum(count(e) for e in v)
+                            return 1
+                        out += ["CAST", "(", str(count(nested)),
+                                "AS", "BIGINT", ")"]
+                        i = j + 1
+                        continue
         if (
             t.startswith("'")
             and t.rstrip().endswith("}'")
@@ -7337,6 +7461,20 @@ def _pass_array_literal_casts(tokens: list[str]) -> list[str]:
         ):
             body = t[1:-1].replace("''", "'").strip()
             elems = _split_pg_array_literal(body[1:-1])
+            if elems is None:
+                nested = _parse_pg_array_nested(body)
+                if nested is not None and _nested_depth(nested) >= 2:
+                    spark_type, after = _map_type(tokens, i + 2)
+                    inner = spark_type
+                    while inner.upper().startswith("ARRAY<"):
+                        inner = inner[6:-1]
+                    depth = _nested_depth(nested)
+                    for _ in range(depth):
+                        inner = f"ARRAY<{inner}>"
+                    out += (["CAST", "("] + _emit_nested_array(nested)
+                            + ["AS", inner, ")"])
+                    i = after
+                    continue
             if elems is not None:
                 lit: list[str] = ["array", "("]
                 if elems != [""]:  # '{}' -> array()

@@ -748,8 +748,17 @@ class TestLiteralForms:
             == "SELECT CAST(array() AS ARRAY<INT>)"
         )
         assert "NULL" in translate("SELECT '{a,NULL}'::text[]")
-        # nested braces are out of scope: left unchanged (loud failure)
-        assert "'{{1},{2}}'" in translate("SELECT '{{1},{2}}'::int4[]")
+        # round 7: multi-dim brace literals build nested constructors
+        # with the cast depth following the VALUE's dimensionality
+        assert (
+            translate("SELECT '{{1},{2}}'::int4[]")
+            == "SELECT CAST(array(array('1'), array('2')) AS "
+               "ARRAY<ARRAY<INT>>)"
+        )
+        # constant cardinality counts ALL elements (ArrayGetNItems)
+        assert translate(
+            "select cardinality('{{1,2},{3,4},{5,6}}'::int[])"
+        ) == "select CAST(6 AS BIGINT)"
 
     def test_collate_c_drops_other_refuses(self):
         import pytest

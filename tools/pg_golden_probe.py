@@ -304,6 +304,9 @@ def render(v, ctx=_DEFAULT_CTX) -> str:
     if isinstance(v, list):
         out = []
         for e in v:
+            if isinstance(e, list):
+                out.append(render(e, ctx))  # nested dims never quote
+                continue
             t = render(e, ctx)
             if t == "" or re.search(r'[{},"\\\s]', t) or t.lower() == "null":
                 t = '"' + t.replace("\\", "\\\\").replace('"', '\\"') + '"'
