@@ -22,75 +22,88 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver samples the first N entries of queries() for its DuckDB
-# CORRECTNESS check (~50 per round). Round-7 head (VERDICT r06 Next
-# 1/3): the three round-6 reds, all re-expressed away from raw
-# ARRAY-typed compared output (the driver's canonicalizer crashes on
-# list cells — pandas sort_values "unhashable type: 'list'"; every
-# array compared column is now serialized with array_to_string on both
-# engine and oracle sides, with the array operations unchanged inside
-# the serialization), then the oldest-attested green rows for freshness:
-# all 23 names whose latest driver check is still round 1, then the 24
-# oldest round-2 rows. Everything else keeps its r02-r06 green row and
-# sorts last.
+# CORRECTNESS check (~50 per round). Round-8 head (VERDICT r07 Next
+# #3): the three new round-8 queries (never checked), then the 24 rows
+# whose latest green is still round 2, then the round-3-era rows —
+# freshness floor target r04. Everything else keeps its r04-r07 green
+# row and sorts last.
 DRIVER_PRIORITY: list[str] = [
-    # the 3 round-6 reds, re-expressed (VERDICT r06 What's-wrong #1)
-    "pg_literal_forms",
-    "pg_array_subquery",
-    "pg_array_family",
-    # new round-7 operators: tsvector/tsquery literal algebra + ts_rank,
-    # time-of-day literals with PG wrap arithmetic (VERDICT r06
-    # What's-missing #1)
-    "pg_tsvector_ops",
-    "pg_time_of_day",
-    # oldest green rows — latest check drv1 (all 23)
-    "q20_potential_promotion",
-    "rollup_returns",
-    "cube_orders",
-    "mdqa_multi_distinct",
-    "sum_distinct",
-    "ordered_set_aggs",
-    "percentile_disc_agg",
-    "mode_deterministic",
-    "string_agg_ordered",
-    "array_agg_ordered_str",
-    "bool_bit_aggs",
-    "minmax_hetero",
-    "corr_regr_explicit",
-    "agg_filter_clause",
-    "window_rank_family",
-    "window_topk_per_group",
-    "window_sliding_avg",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_first_last_nth",
-    "window_ntile",
-    "window_multi_windows",
-    "join_right_outer",
-    # oldest drv2-era rows — freshness re-checks
-    "approx_count_distinct_hll",
-    "percentile_multi",
-    "window_filter_clause",
-    "setop_except_all",
-    "json_populate_record",
-    "quote_funcs",
-    "events_interval_join",
-    "events_gapfill_locf",
-    "datapipe_hash_split",
-    "text_repetition_quality",
-    "text_pii_redaction",
-    "datapipe_stratified_cap",
-    "text_line_dedup",
-    "text_contamination",
-    "dedup_jaccard_pairs",
-    "external_program_scan",
-    "foreign_scan_fdw",
-    "gp_skew_report",
-    "fulltext_rank_cd",
-    "fulltext_tsquery_boolean",
-    "fulltext_weighted_rank",
-    "range_type_ops",
-    "misc_type_funcs",
+    # never-driver-checked round-8 queries first (DST interval
+    # arithmetic, geometry literal algebra, enum front door)
+    "pg_dst_interval_arith",
+    "pg_geometry_literals",
+    "pg_enum_ops",
+    # freshness rotation (VERDICT r07 Next #3): the 24 rows whose
+    # latest driver check is still round 2 ...
+    "trgm_similarity",
+    "trgm_neardup_pairs",
+    "fuzzy_match_funcs",
+    "fuzzy_phonetic",
+    "unaccent_citext",
+    "orafce_funcs",
+    "earth_distance_funcs",
+    "pgcrypto_digest",
+    "hstore_funcs",
+    "ltree_funcs",
+    "connectby_tree",
+    "intarray_ops",
+    "pg_array_slice",
+    "inet6_funcs",
+    "pg_int_division",
+    "pg_json_arrows",
+    "pg_recursive_series",
+    "pg_to_char_patterns",
     "geometry_ops",
+    "money_type_funcs",
+    "xml_funcs",
+    "pg_array_dow_syntax",
+    "pg_to_char_numeric",
+    "misc_type_funcs",
+    # ... then the round-3-era rows (floor moves to r04 as the
+    # driver's ~50-row sample walks this head)
+    "embed_neardup_clusters",
+    "pg_lateral_subquery",
+    "pg_jsonb_ops",
+    "pg_jsonb_funcs",
+    "pg_overlaps_predicate",
+    "pg_at_time_zone",
+    "pg_multidim_arrays",
+    "text_chunk_documents",
+    "datapipe_pack_manifest",
+    "datapipe_shuffle_shards",
+    "vocab_pair_counts",
+    "linregr_multi",
+    "text_bpe_encode",
+    "graph_pagerank",
+    "kmeans_lloyd",
+    "text_nb_langid",
+    "approx_percentile_sketch",
+    "fulltext_tfidf_rank",
+    "dedup_best_representative",
+    "events_funnel",
+    "events_retention_cohorts",
+    "logregr_irls",
+    "plpgsql_function",
+    "plpgsql_control_flow",
+    "pgcrypto_hmac",
+    "fuzzy_metaphone",
+    "tablefunc_crosstab",
+    "text_lm_quality",
+    "datapipe_domain_mix",
+    "embed_ann_topk_blocked",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "embed_ann_lsh",
+    "embed_ann_ivf_flat",
+    "text_url_canonical_dedup",
+    "text_langid_heuristic",
+    "multimodal_byte_stats",
+    "distinct_ordered_aggs",
+    "window_frame_exclude_groups",
+    "join_notin_nullaware",
+    "setop_intersect_all",
+    "values_scan",
+    "recursive_cte_series",
 ]
 
 

@@ -1944,6 +1944,11 @@ class Engine:
         the domain constraint (AssertOp) on writes."""
         self._enums = getattr(self, "_enums", {})
         self._enums[name.lower()] = list(values)
+        # the SQL-text front door folds '<label>'::name casts and the
+        # enum support functions against the same declaration (r8)
+        from gpdb_spark.dialect import register_enum
+
+        register_enum(name, values)
 
     def enum_ordinal(self, name: str, col) -> Column:
         """Label -> 1-based enumsortorder (NULL for non-members):

@@ -1,0 +1,669 @@
+"""PG geometric type literal I/O and constant operator algebra.
+
+Faithful Python reimplementation (studied, not copied) of the
+reference's geometry layer — input parsing, text output, and the
+operator semantics — for the TRANSLATE-TIME constant folds in
+gpdb_spark/dialect.py (_pass_geo_fold).  Column-valued geometry stays
+on the struct representation in functions/geometry.py (point =
+struct<x,y>, etc. — all JVM expressions, scale path); this module is
+the front door for the literal forms ('(1,2)'::point, line '{1,-1,0}')
+that previously refused at translate time (VERDICT r07 What's-missing
+#2).
+
+Reference: src/backend/utils/adt/geo_ops.c (point_in/line_in/path_in
+etc., line_construct_pts:1097, line_parallel:1166, line_distance:1237,
+line_interpt_internal:1278, dist_pl_internal, on_pl/on_sl,
+interpt_sl/has_interpt_sl, close_pl:2745, close_ls, inter_lb,
+point_inside:5257 + lseg_crossing, lseg_inside_poly:3892,
+poly_overlap:3779, plist_same) and src/include/utils/geo_decls.h
+(EPSILON 1.0E-06 fuzzy comparisons).  Values here are plain Python
+tuples; every public op is exact PG semantics including the EPSILON
+discipline, verified against expected/line.out, polygon.out,
+geometry.out.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+EPSILON = 1.0e-06
+
+
+class GeoSyntaxError(ValueError):
+    pass
+
+
+def _err(typ: str, s: str) -> GeoSyntaxError:
+    return GeoSyntaxError(f'invalid input syntax for type {typ}: "{s}"')
+
+
+# -- fuzzy comparisons (geo_decls.h) ----------------------------------------
+
+def fp_zero(a: float) -> bool:
+    return abs(a) <= EPSILON
+
+
+def fp_eq(a: float, b: float) -> bool:
+    return abs(a - b) <= EPSILON
+
+
+def fp_lt(a: float, b: float) -> bool:
+    return b - a > EPSILON
+
+
+def fp_le(a: float, b: float) -> bool:
+    return a - b <= EPSILON
+
+
+def fp_gt(a: float, b: float) -> bool:
+    return a - b > EPSILON
+
+
+def fp_ge(a: float, b: float) -> bool:
+    return b - a <= EPSILON
+
+
+def pt_eq(p: tuple, q: tuple) -> bool:
+    return fp_eq(p[0], q[0]) and fp_eq(p[1], q[1])
+
+
+# -- number / point-list scanning -------------------------------------------
+
+_NUM = r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+
+
+def _scan_numbers(s: str, typ: str, raw: str) -> list[float]:
+    """All numbers from a delimiter-stripped body; refuses junk."""
+    cleaned = s
+    out: list[float] = []
+    pos = 0
+    for m in re.finditer(_NUM, cleaned):
+        between = cleaned[pos:m.start()]
+        if between.strip(" ,()[]<>{}\t"):
+            raise _err(typ, raw)
+        out.append(float(m.group(0)))
+        pos = m.end()
+    if cleaned[pos:].strip(" ,()[]<>{}\t"):
+        raise _err(typ, raw)
+    return out
+
+
+def _check_balance(s: str, typ: str, raw: str) -> None:
+    for op, cl in (("(", ")"), ("[", "]"), ("<", ">"), ("{", "}")):
+        depth = 0
+        for ch in s:
+            if ch == op:
+                depth += 1
+            elif ch == cl:
+                depth -= 1
+                if depth < 0:
+                    raise _err(typ, raw)
+        if depth != 0:
+            raise _err(typ, raw)
+
+
+def _pairs(nums: list[float], typ: str, raw: str) -> list[tuple]:
+    if len(nums) % 2:
+        raise _err(typ, raw)
+    return [(nums[i], nums[i + 1]) for i in range(0, len(nums), 2)]
+
+
+# -- input (geo_ops.c *_in) --------------------------------------------------
+
+def point_in(s: str) -> tuple:
+    t = s.strip()
+    _check_balance(t, "point", s)
+    nums = _scan_numbers(t, "point", s)
+    if len(nums) != 2:
+        raise _err("point", s)
+    return (nums[0], nums[1])
+
+
+def lseg_in(s: str) -> tuple:
+    t = s.strip()
+    _check_balance(t, "lseg", s)
+    nums = _scan_numbers(t, "lseg", s)
+    if len(nums) != 4:
+        raise _err("lseg", s)
+    return ((nums[0], nums[1]), (nums[2], nums[3]))
+
+
+def line_in(s: str) -> tuple:
+    """line_in: '{A,B,C}' stores coefficients; any two-point form runs
+    line_construct_pts.  Raises the reference's two specification
+    errors verbatim."""
+    t = s.strip()
+    _check_balance(t, "line", s)
+    if t.startswith("{") and t.endswith("}"):
+        nums = _scan_numbers(t, "line", s)
+        if len(nums) != 3:
+            raise _err("line", s)
+        a, b, c = nums
+        if fp_zero(a) and fp_zero(b):
+            raise GeoSyntaxError(
+                "invalid line specification: A and B cannot both be zero")
+        return (a, b, c)
+    nums = _scan_numbers(t, "line", s)
+    if len(nums) != 4:
+        raise _err("line", s)
+    p1, p2 = (nums[0], nums[1]), (nums[2], nums[3])
+    if fp_eq(p1[0], p2[0]) and fp_eq(p1[1], p2[1]):
+        raise GeoSyntaxError(
+            "invalid line specification: must be two distinct points")
+    return line_construct_pts(p1, p2)
+
+
+def line_construct_pts(p1: tuple, p2: tuple) -> tuple:
+    # geo_ops.c line_construct_pts:1097
+    if fp_eq(p1[0], p2[0]):  # vertical: x = C
+        return (-1.0, 0.0, p1[0])
+    if fp_eq(p1[1], p2[1]):  # horizontal: y = C
+        return (0.0, -1.0, p1[1])
+    a = (p2[1] - p1[1]) / (p2[0] - p1[0])
+    c = p1[1] - a * p1[0]
+    if c == 0.0:
+        c = 0.0  # collapse -0
+    return (a, -1.0, c)
+
+
+def box_in(s: str) -> tuple:
+    """box_in + box_fill: corners reorder to (high, low)."""
+    t = s.strip()
+    _check_balance(t, "box", s)
+    if t.startswith("[") or t.startswith("<") or t.startswith("{"):
+        raise _err("box", s)
+    nums = _scan_numbers(t, "box", s)
+    if len(nums) != 4:
+        raise _err("box", s)
+    x1, y1, x2, y2 = nums
+    high = (max(x1, x2), max(y1, y2))
+    low = (min(x1, x2), min(y1, y2))
+    return (high, low)
+
+
+def path_in(s: str) -> tuple:
+    """-> (closed: bool, [points]).  '[...]' is open, '(...)' or bare
+    is closed (geo_ops.c path_in)."""
+    t = s.strip()
+    _check_balance(t, "path", s)
+    is_open = t.startswith("[") and t.endswith("]")
+    nums = _scan_numbers(t, "path", s)
+    pts = _pairs(nums, "path", s)
+    if not pts:
+        raise _err("path", s)
+    return (not is_open, pts)
+
+
+def poly_in(s: str) -> tuple:
+    """-> tuple of points; polygons are always closed."""
+    t = s.strip()
+    _check_balance(t, "polygon", s)
+    if t.startswith("[") or t.startswith("<"):
+        raise _err("polygon", s)
+    nums = _scan_numbers(t, "polygon", s)
+    pts = _pairs(nums, "polygon", s)
+    if not pts:
+        raise _err("polygon", s)
+    return tuple(pts)
+
+
+def circle_in(s: str) -> tuple:
+    """-> (center, radius).  '<(x,y),r>' / '((x,y),r)' / 'x,y,r'."""
+    t = s.strip()
+    _check_balance(t, "circle", s)
+    nums = _scan_numbers(t, "circle", s)
+    if len(nums) != 3:
+        raise _err("circle", s)
+    if nums[2] < 0:
+        raise _err("circle", s)
+    return ((nums[0], nums[1]), nums[2])
+
+
+# -- output (geo_ops.c *_out via pair_encode %.15g) --------------------------
+
+def fmt_g(v: float) -> str:
+    if v == int(v) and abs(v) < 1e15:
+        # %.15g of an integral double has no decimal point
+        s = f"{int(v)}"
+        return "0" if s == "-0" else s
+    return f"{v:.15g}"
+
+
+def point_out(p: tuple) -> str:
+    return f"({fmt_g(p[0])},{fmt_g(p[1])})"
+
+
+def lseg_out(l: tuple) -> str:
+    return f"[{point_out(l[0])},{point_out(l[1])}]"
+
+
+def line_out(l: tuple) -> str:
+    return f"{{{fmt_g(l[0])},{fmt_g(l[1])},{fmt_g(l[2])}}}"
+
+
+def box_out(b: tuple) -> str:
+    return f"{point_out(b[0])},{point_out(b[1])}"
+
+
+def path_out(p: tuple) -> str:
+    closed, pts = p
+    inner = ",".join(point_out(q) for q in pts)
+    return f"({inner})" if closed else f"[{inner}]"
+
+
+def poly_out(p: tuple) -> str:
+    return "(" + ",".join(point_out(q) for q in p) + ")"
+
+
+def circle_out(c: tuple) -> str:
+    return f"<{point_out(c[0])},{fmt_g(c[1])}>"
+
+
+# -- line relationships (geo_ops.c) ------------------------------------------
+
+def line_parallel(l1: tuple, l2: tuple) -> bool:
+    if fp_zero(l1[1]):
+        return fp_zero(l2[1])
+    return fp_eq(l2[0], l1[0] * (l2[1] / l1[1]))
+
+
+def line_perp(l1: tuple, l2: tuple) -> bool:
+    if fp_zero(l1[0]):
+        return fp_zero(l2[1])
+    if fp_zero(l1[1]):
+        return fp_zero(l2[0])
+    return fp_eq((l1[0] * l2[1]) / (l1[1] * l2[0]), -1.0)
+
+
+def line_vertical(l: tuple) -> bool:
+    return fp_zero(l[1])
+
+
+def line_horizontal(l: tuple) -> bool:
+    return fp_zero(l[0])
+
+
+def line_eq(l1: tuple, l2: tuple) -> bool:
+    if not fp_zero(l2[0]):
+        k = l1[0] / l2[0]
+    elif not fp_zero(l2[1]):
+        k = l1[1] / l2[1]
+    elif not fp_zero(l2[2]):
+        k = l1[2] / l2[2]
+    else:
+        k = 1.0
+    return (fp_eq(l1[0], k * l2[0]) and fp_eq(l1[1], k * l2[1])
+            and fp_eq(l1[2], k * l2[2]))
+
+
+def line_interpt(l1: tuple, l2: tuple) -> tuple | None:
+    # line_interpt_internal:1278 — identical lines read as parallel
+    if line_parallel(l1, l2):
+        return None
+    if fp_zero(l1[1]):
+        x = l1[2]
+        y = l2[0] * x + l2[2]
+    elif fp_zero(l2[1]):
+        x = l2[2]
+        y = l1[0] * x + l1[2]
+    else:
+        x = (l1[2] - l2[2]) / (l2[0] - l1[0])
+        y = l1[0] * x + l1[2]
+    return (x, y)
+
+
+def dist_pp(p: tuple, q: tuple) -> float:
+    return math.hypot(p[0] - q[0], p[1] - q[1])
+
+
+def dist_pl(p: tuple, l: tuple) -> float:
+    return abs((l[0] * p[0] + l[1] * p[1] + l[2])
+               / math.hypot(l[0], l[1]))
+
+
+def line_distance(l1: tuple, l2: tuple) -> float:
+    if not line_parallel(l1, l2):
+        return 0.0
+    if fp_zero(l1[1]):  # vertical
+        return abs(l1[2] - l2[2])
+    return dist_pl((0.0, l1[2]), l2)
+
+
+def on_pl(p: tuple, l: tuple) -> bool:
+    return fp_zero(l[0] * p[0] + l[1] * p[1] + l[2])
+
+
+def on_ps(p: tuple, seg: tuple) -> bool:
+    # triangle-inequality colinearity (on_ps_internal)
+    return fp_eq(dist_pp(p, seg[0]) + dist_pp(p, seg[1]),
+                 dist_pp(seg[0], seg[1]))
+
+
+def on_sl(seg: tuple, l: tuple) -> bool:
+    return on_pl(seg[0], l) and on_pl(seg[1], l)
+
+
+def interpt_sl(seg: tuple, l: tuple) -> tuple | None:
+    tmp = line_construct_pts(seg[0], seg[1])
+    p = line_interpt(tmp, l)
+    if p is not None and not on_ps(p, seg):
+        return None
+    return p
+
+
+def inter_sl(seg: tuple, l: tuple) -> bool:
+    return interpt_sl(seg, l) is not None
+
+
+def inter_lb(l: tuple, b: tuple) -> bool:
+    # box corner walk (inter_lb)
+    (hx, hy), (lx, ly) = b
+    corners = [(lx, ly), (lx, hy), (hx, hy), (hx, ly)]
+    for i in range(4):
+        seg = (corners[i], corners[(i + 1) % 4])
+        if inter_sl(seg, l):
+            return True
+    return False
+
+
+def close_pl(p: tuple, l: tuple) -> tuple:
+    if fp_zero(l[1]):  # vertical
+        return (l[2], p[1])
+    if fp_zero(l[0]):  # horizontal
+        return (p[0], l[2])
+    invm = l[1] / l[0]
+    # line through p with slope invm: A=invm, B=-1, C=p.y - invm*p.x
+    tmp = (invm, -1.0, p[1] - invm * p[0])
+    return line_interpt(tmp, l)
+
+
+def close_ls(l: tuple, seg: tuple) -> tuple:
+    p = interpt_sl(seg, l)
+    if p is not None:
+        return p
+    d1 = dist_pl(seg[0], l)
+    d2 = dist_pl(seg[1], l)
+    return seg[0] if d1 < d2 else seg[1]
+
+
+def dist_sl(seg: tuple, l: tuple) -> float:
+    if inter_sl(seg, l):
+        return 0.0
+    d1 = dist_pl(seg[0], l)
+    d2 = dist_pl(seg[1], l)
+    return max(d1, d2)  # geo_ops.c dist_sl keeps the max (XXX comment)
+
+
+def lseg_interpt(s1: tuple, s2: tuple) -> tuple | None:
+    t1 = line_construct_pts(s1[0], s1[1])
+    t2 = line_construct_pts(s2[0], s2[1])
+    p = line_interpt(t1, t2)
+    if p is None or not on_ps(p, s1) or not on_ps(p, s2):
+        return None
+    # snap to matching endpoints (lsb residue, geo_ops.c)
+    if pt_eq(s1[0], s2[0]) or pt_eq(s1[0], s2[1]):
+        return s1[0]
+    if pt_eq(s1[1], s2[0]) or pt_eq(s1[1], s2[1]):
+        return s1[1]
+    return p
+
+
+def lseg_intersect(s1: tuple, s2: tuple) -> bool:
+    return lseg_interpt(s1, s2) is not None
+
+
+# -- polygon machinery (geo_ops.c point_inside family) ------------------------
+
+_ON_POLYGON = object()
+
+
+def _lseg_crossing(x, y, prev_x, prev_y):
+    if fp_zero(y):
+        if fp_zero(x):
+            return _ON_POLYGON
+        if fp_gt(x, 0):
+            if fp_zero(prev_y):
+                return 0 if fp_gt(prev_x, 0) else _ON_POLYGON
+            return 1 if fp_lt(prev_y, 0) else -1
+        if fp_zero(prev_y):
+            return 0 if fp_lt(prev_x, 0) else _ON_POLYGON
+        return 0
+    y_sign = 1 if fp_gt(y, 0) else -1
+    if fp_zero(prev_y):
+        return 0 if fp_lt(prev_x, 0) else y_sign
+    if fp_gt(y_sign * prev_y, 0):
+        return 0
+    if fp_ge(x, 0) and fp_gt(prev_x, 0):
+        return 2 * y_sign
+    if fp_lt(x, 0) and fp_le(prev_x, 0):
+        return 0
+    z = (x - prev_x) * y - (y - prev_y) * x
+    if fp_zero(z):
+        return _ON_POLYGON
+    return 0 if fp_gt(y_sign * z, 0) else 2 * y_sign
+
+
+def point_inside(p: tuple, pts) -> int:
+    """0 outside / 1 inside / 2 on boundary."""
+    n = len(pts)
+    if n <= 0:
+        return 0
+    x0, y0 = pts[0][0] - p[0], pts[0][1] - p[1]
+    prev_x, prev_y = x0, y0
+    total = 0
+    x = x0
+    y = y0
+    for i in range(1, n):
+        x, y = pts[i][0] - p[0], pts[i][1] - p[1]
+        cross = _lseg_crossing(x, y, prev_x, prev_y)
+        if cross is _ON_POLYGON:
+            return 2
+        total += cross
+        prev_x, prev_y = x, y
+    cross = _lseg_crossing(x0, y0, prev_x, prev_y)
+    if cross is _ON_POLYGON:
+        return 2
+    total += cross
+    return 1 if total != 0 else 0
+
+
+def _touched_lseg_inside_poly(a, b, s, poly, start):
+    t = (a, b)
+    if pt_eq(a, s[0]):
+        if on_ps(s[1], t):
+            return _lseg_inside_poly(b, s[1], poly, start)
+    elif pt_eq(a, s[1]):
+        if on_ps(s[0], t):
+            return _lseg_inside_poly(b, s[0], poly, start)
+    elif on_ps(s[0], t):
+        return _lseg_inside_poly(b, s[0], poly, start)
+    elif on_ps(s[1], t):
+        return _lseg_inside_poly(b, s[1], poly, start)
+    return True
+
+
+def _lseg_inside_poly(a, b, poly, start):
+    t = (a, b)
+    n = len(poly)
+    s0 = poly[n - 1] if start == 0 else poly[start - 1]
+    res = True
+    intersection = False
+    i = start
+    while i < n and res:
+        s = (s0, poly[i])
+        if on_ps(t[0], s):
+            if on_ps(t[1], s):
+                return True
+            res = _touched_lseg_inside_poly(t[0], t[1], s, poly, i + 1)
+        elif on_ps(t[1], s):
+            res = _touched_lseg_inside_poly(t[1], t[0], s, poly, i + 1)
+        else:
+            interpt = lseg_interpt(t, s)
+            if interpt is not None:
+                intersection = True
+                res = _lseg_inside_poly(t[0], interpt, poly, i + 1)
+                if res:
+                    res = _lseg_inside_poly(t[1], interpt, poly, i + 1)
+        s0 = poly[i]
+        i += 1
+    if res and not intersection:
+        mid = ((t[0][0] + t[1][0]) / 2.0, (t[0][1] + t[1][1]) / 2.0)
+        res = point_inside(mid, poly) != 0
+    return res
+
+
+def _poly_bbox(pts) -> tuple:
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    return ((max(xs), max(ys)), (min(xs), min(ys)))
+
+
+def _box_ov(b1: tuple, b2: tuple) -> bool:
+    return (fp_le(b1[1][0], b2[0][0]) and fp_le(b2[1][0], b1[0][0])
+            and fp_le(b1[1][1], b2[0][1]) and fp_le(b2[1][1], b1[0][1]))
+
+
+def _box_contain(b1: tuple, b2: tuple) -> bool:
+    return (fp_ge(b1[0][0], b2[0][0]) and fp_le(b1[1][0], b2[1][0])
+            and fp_ge(b1[0][1], b2[0][1]) and fp_le(b1[1][1], b2[1][1]))
+
+
+def poly_left(a, b) -> bool:
+    return _poly_bbox(a)[0][0] < _poly_bbox(b)[1][0]
+
+
+def poly_overleft(a, b) -> bool:
+    return _poly_bbox(a)[0][0] <= _poly_bbox(b)[0][0]
+
+
+def poly_right(a, b) -> bool:
+    return _poly_bbox(a)[1][0] > _poly_bbox(b)[0][0]
+
+
+def poly_overright(a, b) -> bool:
+    return _poly_bbox(a)[1][0] >= _poly_bbox(b)[1][0]
+
+
+def poly_below(a, b) -> bool:
+    return _poly_bbox(a)[0][1] < _poly_bbox(b)[1][1]
+
+
+def poly_above(a, b) -> bool:
+    return _poly_bbox(a)[1][1] > _poly_bbox(b)[0][1]
+
+
+def poly_overbelow(a, b) -> bool:
+    return _poly_bbox(a)[0][1] <= _poly_bbox(b)[0][1]
+
+
+def poly_overabove(a, b) -> bool:
+    return _poly_bbox(a)[1][1] >= _poly_bbox(b)[1][1]
+
+
+def poly_same(a, b) -> bool:
+    if len(a) != len(b):
+        return False
+    n = len(a)
+    for i in range(n):
+        if pt_eq(b[i], a[0]):
+            if all(pt_eq(b[(i + k) % n], a[k]) for k in range(1, n)):
+                return True
+            if all(pt_eq(b[(i - k) % n], a[k]) for k in range(1, n)):
+                return True
+    return False
+
+
+def poly_overlap(a, b) -> bool:
+    if not (len(a) > 0 and len(b) > 0
+            and _box_ov(_poly_bbox(a), _poly_bbox(b))):
+        return False
+    sa0 = a[-1]
+    for pa in a:
+        sb0 = b[-1]
+        for pb in b:
+            if lseg_intersect((sa0, pa), (sb0, pb)):
+                return True
+            sb0 = pb
+        sa0 = pa
+    return (point_inside(a[0], b) != 0) or (point_inside(b[0], a) != 0)
+
+
+def poly_contain(a, b) -> bool:
+    """a @> b (poly_contain:3958)."""
+    if not (len(a) > 0 and len(b) > 0
+            and _box_contain(_poly_bbox(a), _poly_bbox(b))):
+        return False
+    s0 = b[-1]
+    for pb in b:
+        if not _lseg_inside_poly(s0, pb, a, 0):
+            return False
+        s0 = pb
+    return True
+
+
+def poly_contained(a, b) -> bool:
+    return poly_contain(b, a)
+
+
+def poly_npoints(a) -> int:
+    return len(a)
+
+
+def poly_center(a) -> tuple:
+    # polygon -> circle center (poly_circle): average of vertices
+    n = len(a)
+    return (sum(p[0] for p in a) / n, sum(p[1] for p in a) / n)
+
+
+# -- point ops ---------------------------------------------------------------
+
+def point_add(p, q):
+    return (p[0] + q[0], p[1] + q[1])
+
+
+def point_sub(p, q):
+    return (p[0] - q[0], p[1] - q[1])
+
+
+def point_mul(p, q):
+    # complex multiplication (point_mul)
+    return (p[0] * q[0] - p[1] * q[1], p[0] * q[1] + p[1] * q[0])
+
+
+def point_div(p, q):
+    div = q[0] * q[0] + q[1] * q[1]
+    if div == 0.0:
+        raise GeoSyntaxError("division by zero")
+    return ((p[0] * q[0] + p[1] * q[1]) / div,
+            (q[0] * p[1] - q[1] * p[0]) / div)
+
+
+# -- box ops -----------------------------------------------------------------
+
+def box_area(b) -> float:
+    return (b[0][0] - b[1][0]) * (b[0][1] - b[1][1])
+
+
+def box_center(b) -> tuple:
+    return ((b[0][0] + b[1][0]) / 2.0, (b[0][1] + b[1][1]) / 2.0)
+
+
+def box_contain_pt(b, p) -> bool:
+    return (fp_le(b[1][0], p[0]) and fp_le(p[0], b[0][0])
+            and fp_le(b[1][1], p[1]) and fp_le(p[1], b[0][1]))
+
+
+# -- circle ops ---------------------------------------------------------------
+
+def circle_area(c) -> float:
+    return math.pi * c[1] * c[1]
+
+
+def circle_contain_pt(c, p) -> bool:
+    return fp_le(dist_pp(c[0], p), c[1])
+
+
+def dist_cc(c1, c2) -> float:
+    d = dist_pp(c1[0], c2[0]) - (c1[1] + c2[1])
+    return max(d, 0.0)

@@ -279,8 +279,11 @@ def _tz_is_tstz(o, e):
 
 def _tz_abbrev(o, e, lower: bool):
     # DCH_TZ: session-zone abbreviation for the instant (honors DST —
-    # 'PST' vs 'PDT' under PST8PDT); '' for naive inputs.
-    ab = o.fmt(e, "zzz")
+    # 'PST' vs 'PDT' under PST8PDT); '' for naive inputs. A
+    # fixed-offset session renders the bare ISO offset the way PG's
+    # EncodeDateTime prints it ('-01:30', not Java's 'GMT-01:30').
+    ab = o.re_replace(o.fmt(e, "zzz"), "^GMT(?=[+-])", "")
+    ab = o.re_replace(ab, ":00$", "")
     if lower:
         ab = o.fn("lower", ab)
     return o.when_chain([(_tz_is_tstz(o, e), ab)], o.lit(""))

@@ -2035,7 +2035,9 @@ class TestMoneyIntervalFold:
             "SELECT '1 day -01:00:00'"
         # untouched pure literals keep the native (typed) path
         assert "make_dt_interval" in t("SELECT interval '1 day'")
-        assert "make_dt_interval" in t(
+        # sub-day ts arithmetic is physical-instant since r8
+        # (_pass_interval_physical — see TestDstIntervalArithmetic)
+        assert "unix_micros" in t(
             "SELECT timestamp '2001-01-01' + interval '2 hours'")
 
     def test_interval_styles(self):
@@ -2144,3 +2146,138 @@ class TestRound8VerdictFixes:
             translate("SELECT '{{1,{2}},{2,3}}'::text[]")
         with pytest.raises(ValueError, match='Unexpected "}"'):
             translate("SELECT '{{},{}}'::text[]")
+
+
+class TestDstIntervalArithmetic:
+    """timestamp.c timestamptz_pl_interval (round 8 — VERDICT r07
+    missing #1a): interval DAY components advance the session-zone
+    calendar (wall-preserving across DST), HOUR components advance the
+    physical instant. Pinned against horology.out's CST7CDT block
+    (offset-identical MST7MDT stands in — the JDK tzdb has no
+    CST7CDT)."""
+
+    def test_day_vs_hours_across_spring_forward(self, spark):
+        from gpdb_spark.dialect import translate
+
+        old = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "MST7MDT")
+            cases = [
+                ("timestamp with time zone '2005-04-02 12:00-07' "
+                 "+ interval '1 day'", "2005-04-03 12:00:00 MDT"),
+                ("timestamp with time zone '2005-04-02 12:00-07' "
+                 "+ interval '24 hours'", "2005-04-03 13:00:00 MDT"),
+                ("timestamp with time zone '2005-04-03 12:00-06' "
+                 "- interval '1 day'", "2005-04-02 12:00:00 MST"),
+                ("timestamp with time zone '2005-04-03 12:00-06' "
+                 "- interval '24 hours'", "2005-04-02 11:00:00 MST"),
+            ]
+            for expr, want in cases:
+                t = translate(f"SELECT {expr}")
+                got = spark.sql(
+                    "SELECT date_format(" + t[len("SELECT "):]
+                    + ", 'yyyy-MM-dd HH:mm:ss zzz') AS v"
+                ).collect()[0][0]
+                assert got == want, (expr, got, want)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
+
+    def test_sub_day_rewrite_shapes(self):
+        from gpdb_spark.dialect import translate
+
+        # sub-day part -> physical instant arithmetic
+        out = translate("SELECT now() + interval '2 hours'")
+        assert "unix_micros" in out and "+ 7200000000" in out
+        # day-only stays native (wall/calendar — already PG-correct)
+        out = translate("SELECT now() + interval '3 days'")
+        assert "unix_micros" not in out
+        # mixed: day part wall, time part physical
+        out = translate("SELECT now() - interval '1 day 2 hours'")
+        assert "make_dt_interval(1, 0, 0, 0)" in out \
+            and "- 7200000000" in out
+        # interval+interval constant folding is untouched
+        assert translate("SELECT interval '1 day' + interval '2 hours'") \
+            == "SELECT '1 day 02:00:00'"
+        # TIME literal arithmetic folds before this pass and stays TIME
+        assert translate("SELECT time '11:00' + interval '3 hours'") \
+            == "SELECT TIME '14:00:00'"
+
+
+class TestEnumFold:
+    """Enum front door (pg_enum.c/enum.c, round 8 — VERDICT r07
+    missing #3), pinned against expected/enum.out."""
+
+    def _reg(self):
+        from gpdb_spark.dialect import register_enum, reset_enums
+
+        reset_enums()
+        register_enum("rainbow", ["red", "orange", "yellow", "green",
+                                  "blue", "purple"])
+        register_enum("rgb", ["red", "green", "blue"])
+
+    def test_literal_casts_and_validation(self):
+        import pytest
+
+        from gpdb_spark.dialect import translate
+
+        self._reg()
+        try:
+            assert translate("SELECT 'red'::rainbow") == "SELECT 'red'"
+            assert translate("SELECT rainbow 'green'") == "SELECT 'green'"
+            with pytest.raises(ValueError,
+                               match="invalid input value for enum"):
+                translate("SELECT 'mauve'::rainbow")
+            # domain/sibling constraint carries through a chained cast
+            with pytest.raises(ValueError, match="invalid input value"):
+                translate("SELECT 'purple'::rainbow::rgb")
+            assert translate("SELECT 'red'::text::rainbow = "
+                             "'red'::rainbow") \
+                == "SELECT CAST('red' AS STRING) = 'red'"
+        finally:
+            from gpdb_spark.dialect import reset_enums
+            reset_enums()
+
+    def test_support_functions_and_arrays(self):
+        from gpdb_spark.dialect import translate
+
+        self._reg()
+        try:
+            t = translate
+            assert t("SELECT enum_first(NULL::rainbow)") == "SELECT 'red'"
+            assert t("SELECT enum_last('green'::rainbow)") \
+                == "SELECT 'purple'"
+            assert t("SELECT enum_range('orange'::rainbow, "
+                     "'green'::rainbow)") \
+                == "SELECT array('orange', 'yellow', 'green')"
+            assert t("SELECT enum_range(NULL, 'green'::rainbow)") \
+                == "SELECT array('red', 'orange', 'yellow', 'green')"
+            assert t("SELECT enum_range('orange'::rainbow, NULL)") \
+                == ("SELECT array('orange', 'yellow', 'green', 'blue',"
+                    " 'purple')")
+            assert t("SELECT '{red,green,blue}'::rainbow[]") \
+                == "SELECT array('red', 'green', 'blue')"
+        finally:
+            from gpdb_spark.dialect import reset_enums
+            reset_enums()
+
+    def test_alter_type_add_value(self):
+        import pytest
+
+        from gpdb_spark.dialect import (enum_add_value, register_enum,
+                                        reset_enums, translate)
+
+        reset_enums()
+        try:
+            register_enum("planets", ["venus", "earth", "mars"])
+            enum_add_value("planets", "mercury", before="venus")
+            enum_add_value("planets", "jupiter", after="mars")
+            assert translate("SELECT enum_first(NULL::planets)") \
+                == "SELECT 'mercury'"
+            assert translate("SELECT enum_last(NULL::planets)") \
+                == "SELECT 'jupiter'"
+            with pytest.raises(ValueError, match="already exists"):
+                enum_add_value("planets", "mercury")
+            with pytest.raises(ValueError, match="63 characters"):
+                enum_add_value("planets", "p" * 70)
+        finally:
+            reset_enums()
