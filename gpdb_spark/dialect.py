@@ -1207,24 +1207,33 @@ def _pass_overlaps(tokens: list[str]) -> list[str]:
                     or _is_word(y[0], "interval")
                 ):
                     return x, y
-                if (
-                    len(x) == 2
-                    and _is_word(x[0], "time")
-                    and x[1].startswith("'")
-                    and y[0] == "make_dt_interval"
-                    and len(y) > 2
-                ):
+                ivl_us = None
+                if y[0] == "make_dt_interval" and len(y) > 2:
                     args = [t for t in y[2:-1] if t != ","]
                     if len(args) == 4 and all(
                         re.fullmatch(r"-?\d+(\.\d+)?", a) for a in args
                     ):
-                        h, mi, s, us = _parse_pg_time(_lit_decode(x[1]))
-                        base = ((h * 60 + mi) * 60 + s) * 1_000_000 + us
-                        ivl = int(round(
+                        ivl_us = int(round(
                             (float(args[0]) * 86400 + float(args[1]) * 3600
                              + float(args[2]) * 60 + float(args[3]))
                             * 1_000_000))
-                        tot = (base + ivl) % 86_400_000_000
+                elif _is_word(y[0], "interval") and len(y) == 2 \
+                        and y[1].startswith("'"):
+                    triple = _pg_interval_triple(_lit_decode(y[1]))
+                    if triple is not None:
+                        mo_, d_, us_ = triple
+                        if mo_ == 0:
+                            ivl_us = d_ * 86_400_000_000 + us_
+                if (
+                    len(x) == 2
+                    and _is_word(x[0], "time")
+                    and x[1].startswith("'")
+                    and ivl_us is not None
+                ):
+                    if True:
+                        h, mi, s, us = _parse_pg_time(_lit_decode(x[1]))
+                        base = ((h * 60 + mi) * 60 + s) * 1_000_000 + us
+                        tot = (base + ivl_us) % 86_400_000_000
                         sec, rem = divmod(tot, 1_000_000)
                         hh, msec = divmod(sec, 3600)
                         mm, ss = divmod(msec, 60)
@@ -4334,6 +4343,14 @@ def _pass_at_time_zone(tokens: list[str]) -> list[str]:
             ):
                 lhs_start -= 1
             lhs = out[lhs_start:]
+            # a bare string operand is an implicit timestamp input —
+            # normalize PG's flexible forms ('19970210 173201') the
+            # same way the typed-literal path does (r8)
+            if len(lhs) == 1 and lhs[0].startswith("'"):
+                try:
+                    lhs = [_pg_ts_literal(lhs[0])]
+                except ValueError:
+                    pass
             core = lhs
             while len(core) >= 2 and core[0] == "(" and core[-1] == ")":
                 core = core[1:-1]
@@ -5048,8 +5065,12 @@ def _pass_ts_fold(tokens: list[str]) -> list[str]:
                     i += 6
                     changed = True
                     continue
-                # ( PLACEHOLDER ) -> PLACEHOLDER
-                if t == "(" and nxt in vals and nxt2 == ")":
+                # ( PLACEHOLDER ) -> PLACEHOLDER — but never eat a
+                # FUNCTION call's parens (fn(PH) stays a call)
+                if t == "(" and nxt in vals and nxt2 == ")" and not (
+                    out and out[-1].isidentifier()
+                    and out[-1].lower() not in _KEYWORDS
+                ):
                     out.append(nxt)
                     i += 3
                     changed = True
@@ -5384,8 +5405,12 @@ def _pass_geo_fold(tokens: list[str]) -> list[str]:
                         i += 4
                         changed = True
                         continue
-                # ( PLACEHOLDER ) -> PLACEHOLDER
-                if t == "(" and nxt in vals and nxt2 == ")":
+                # ( PLACEHOLDER ) -> PLACEHOLDER — but never eat a
+                # FUNCTION call's parens (fn(PH) stays a call)
+                if t == "(" and nxt in vals and nxt2 == ")" and not (
+                    out and out[-1].isidentifier()
+                    and out[-1].lower() not in _KEYWORDS
+                ):
                     out.append(nxt)
                     i += 3
                     changed = True
@@ -5473,6 +5498,523 @@ def _pass_geo_fold(tokens: list[str]) -> list[str]:
         _lit_encode(out_fns[vals[t][0]](vals[t][1])) if t in vals else t
         for t in tokens
     ]
+
+
+def _pass_inet_arith_fold(tokens: list[str]) -> list[str]:
+    """inet ± bigint and inet - inet over LITERAL operands, folded at
+    translate time (network.c inetpl/inetmi_int8/inetmi): the address
+    arithmetic needs 128-bit integers for IPv6, which no Spark numeric
+    type carries — Python's ipaddress does it exactly. Out-of-range
+    results raise PG's message. Non-literal inet expressions keep the
+    relational path in functions (masklen/host/network ops)."""
+    if not any(
+        t.lower() == "inet" for t in tokens if t.isidentifier()
+    ):
+        return tokens
+    import ipaddress as _ip
+
+    vals: dict[str, object] = {}
+    counter = [0]
+
+    def mk(addr) -> str:
+        tok = f"__INET{counter[0]}__"
+        counter[0] += 1
+        vals[tok] = addr
+        return tok
+
+    def parse(lit: str):
+        # plain host addresses only — CIDR/abbreviated forms keep
+        # their existing (string-typed) path untouched
+        try:
+            return _ip.ip_address(lit.strip())
+        except ValueError:
+            return None
+
+    changed = True
+    while changed:
+        changed = False
+        out: list[str] = []
+        i, n = 0, len(tokens)
+        while i < n:
+            t = tokens[i]
+            low = t.lower() if t.isidentifier() else ""
+            nxt = tokens[i + 1] if i + 1 < n else ""
+            nxt2 = tokens[i + 2] if i + 2 < n else ""
+            if t.startswith("'") and nxt == "::" and nxt2.lower() == "inet":
+                addr = parse(_lit_decode(t))
+                if addr is not None:
+                    out.append(mk(addr))
+                    i += 3
+                    changed = True
+                    continue
+            if low == "inet" and nxt.startswith("'"):
+                addr = parse(_lit_decode(nxt))
+                if addr is not None:
+                    out.append(mk(addr))
+                    i += 2
+                    changed = True
+                    continue
+            if t == "(" and nxt in vals and nxt2 == ")" and not (
+                out and out[-1].isidentifier()
+                and out[-1].lower() not in _KEYWORDS
+            ):
+                out.append(nxt)
+                i += 3
+                changed = True
+                continue
+            if t in ("+", "-") and out and out[-1] in vals:
+                rhs = tokens[i + 1] if i + 1 < n else ""
+                a = vals[out[-1]]
+                if rhs in vals and t == "-":
+                    diff = int(a) - int(vals[rhs])
+                    if not -(1 << 63) <= diff < (1 << 63):
+                        # network.c inetmi: the difference must fit
+                        # int8
+                        raise ValueError("result is out of range")
+                    out.pop()
+                    out.append(str(diff))
+                    i += 2
+                    changed = True
+                    continue
+                if re.fullmatch(r"\d+", rhs):
+                    delta = int(rhs) if t == "+" else -int(rhs)
+                    raw = int(a) + delta
+                    maxv = (1 << (32 if a.version == 4 else 128)) - 1
+                    if raw < 0 or raw > maxv:
+                        raise ValueError(
+                            "result is out of range")
+                    out.pop()
+                    out.append(mk(_ip.ip_address(raw)))
+                    i += 2
+                    changed = True
+                    continue
+            out.append(t)
+            i += 1
+        tokens = out
+    return [
+        _lit_encode(str(vals[t])) if t in vals else t for t in tokens
+    ]
+
+
+# -- session time zone (translate-time state for datetime folds) ------------
+
+_SESSION_TZ = "UTC"
+
+
+def set_session_zone(name: str) -> None:
+    """Mirror of the engine's SET TIME ZONE for translate-time constant
+    folds that render zone-dependent values (to_json over timestamptz).
+    Accepts any zoneinfo-resolvable id or a 'GMT±HH:MM' fixed offset."""
+    global _SESSION_TZ
+    _SESSION_TZ = name
+
+
+def _session_tzinfo():
+    import datetime as _dt
+
+    m = re.fullmatch(r"GMT([+-])(\d{2}):(\d{2})", _SESSION_TZ)
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        return _dt.timezone(_dt.timedelta(
+            minutes=sign * (int(m.group(2)) * 60 + int(m.group(3)))))
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(_SESSION_TZ)
+    except Exception:
+        import datetime as _dt
+
+        return _dt.timezone.utc
+
+
+def _record_field(text: str | None) -> str:
+    """record_out field quoting (rowtypes.c): NULL renders empty; a
+    value quotes when it contains a char the record syntax owns."""
+    if text is None:
+        return ""
+    if text == "" or re.search(r'[(),"\\ \t]', text):
+        return '"' + text.replace('\\', '\\\\').replace('"', '""') + '"'
+    return text
+
+
+def _json_compact(v) -> str:
+    import json as _json
+
+    return _json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+
+
+def _in_from(out: list[str]) -> bool:
+    """True when the position after ``out`` sits in a FROM/JOIN item
+    (nearest depth-0 clause keyword scan backwards) — table-function
+    position keeps the two-column relational form; only the
+    select-list position renders PG's record text."""
+    depth = 0
+    for t in reversed(out):
+        if t == ")":
+            depth += 1
+        elif t == "(":
+            depth -= 1
+        elif depth == 0 and t.isidentifier():
+            low = t.lower()
+            if low in ("from", "join"):
+                return True
+            if low in ("select", "where", "having", "on", "when",
+                       "then", "else", "by", "lateral"):
+                return False
+    return False
+
+
+def _pass_json_misc_fold(tokens: list[str]) -> list[str]:
+    """json.c constructor/iterator functions over LITERAL arguments,
+    folded at translate time (round 8): json_build_array /
+    json_build_object including the VARIADIC array forms (PG's exact
+    ", " / " : " spacing and its error contracts — odd argument count,
+    NULL key), to_json over datetime literals (ISO-8601 T form;
+    timestamptz renders in the session zone with its offset), and the
+    json_each / json_each_text / jsonb_each / jsonb_each_text set
+    functions (record-out rows; the jsonb twins render canonically via
+    functions/jsonbtypes). Non-literal arguments leave the call
+    untouched for the downstream passes."""
+    if not any(
+        t.lower() in ("json_build_array", "json_build_object", "to_json",
+                      "json_each", "json_each_text", "jsonb_each",
+                      "jsonb_each_text")
+        for t in tokens if t.isidentifier()
+    ):
+        return tokens
+    import json as _json
+
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+
+    def find_close(k0: int) -> int:
+        depth, k = 0, k0
+        while k < n:
+            if tokens[k] == "(":
+                depth += 1
+            elif tokens[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    return k
+            k += 1
+        return -1
+
+    def split_args(lo: int, hi: int) -> list[list[str]]:
+        args: list[list[str]] = []
+        cur: list[str] = []
+        depth = 0
+        for k in range(lo, hi):
+            t = tokens[k]
+            if t in "([":
+                depth += 1
+            elif t in ")]":
+                depth -= 1
+            if t == "," and depth == 0:
+                args.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        if cur or args:
+            args.append(cur)
+        return args
+
+    class _Skip(Exception):
+        pass
+
+    def arg_values(arg: list[str]):
+        """-> list of (kind, value): ('s', str) / ('n', text) /
+        ('b', bool) / ('null', None) / ('raw', json text).
+        Raises _Skip when not a recognized literal form."""
+        if not arg:
+            raise _Skip
+        a0 = arg[0]
+        low0 = a0.lower() if a0.isidentifier() else ""
+        if low0 == "variadic":
+            rest = arg[1:]
+            if rest and _is_word(rest[0], "null"):
+                return None  # whole result is SQL NULL
+            # '{...}'::type[] or ARRAY[...]::type[]
+            if rest and rest[0].startswith("'") and len(rest) > 2 \
+                    and rest[1] == "::":
+                ty = rest[2].lower()
+                elems = _split_pg_array_literal(
+                    _lit_decode(rest[0]).strip()[1:-1])
+                if elems is None:
+                    nested = _parse_pg_array_nested(
+                        _lit_decode(rest[0]).strip())
+                    if nested is None:
+                        raise _Skip
+
+                    def flat(v):
+                        for e in v:
+                            if isinstance(e, list):
+                                yield from flat(e)
+                            else:
+                                yield e
+                    elems = list(flat(nested))
+                if elems == [""]:
+                    elems = []
+                outv = []
+                for e in elems:
+                    if e.startswith('"'):
+                        e = e[1:-1]
+                    if e.upper() == "NULL":
+                        outv.append(("null", None))
+                    elif ty in ("int", "int4", "int8", "bigint",
+                                "smallint", "numeric", "float8",
+                                "float4"):
+                        outv.append(("n", e))
+                    else:
+                        outv.append(("s", e))
+                return outv
+            if rest and _is_word(rest[0], "array") and len(rest) > 1 \
+                    and rest[1] == "[":
+                close = rest.index("]")
+                inner = rest[2:close]
+                outv = []
+                for el in split_args_list(inner):
+                    outv.extend(arg_values(el))
+                return outv
+            raise _Skip
+        if a0.startswith("'") and len(arg) == 1:
+            return [("s", _lit_decode(a0))]
+        if low0 in ("json", "jsonb") and len(arg) == 2 \
+                and arg[1].startswith("'"):
+            txt = _lit_decode(arg[1]).strip()
+            if low0 == "jsonb":
+                from gpdb_spark.functions import jsonbtypes as _jb
+
+                txt = _jb.render(_jb.parse(txt))
+            return [("raw", txt)]
+        if a0.startswith("'") and len(arg) == 3 and arg[1] == "::" \
+                and arg[2].lower() in ("json", "jsonb"):
+            txt = _lit_decode(a0).strip()
+            if arg[2].lower() == "jsonb":
+                from gpdb_spark.functions import jsonbtypes as _jb
+
+                txt = _jb.render(_jb.parse(txt))
+            return [("raw", txt)]
+        if len(arg) == 1 and _is_word(a0, "true", "false"):
+            return [("b", a0.lower() == "true")]
+        if len(arg) == 1 and _is_word(a0, "null"):
+            return [("null", None)]
+        if len(arg) == 1 and re.fullmatch(r"\d+(\.\d+)?", a0):
+            return [("n", a0)]
+        if len(arg) == 2 and a0 == "-" \
+                and re.fullmatch(r"\d+(\.\d+)?", arg[1]):
+            return [("n", "-" + arg[1])]
+        raise _Skip
+
+    def split_args_list(toks: list[str]) -> list[list[str]]:
+        args: list[list[str]] = []
+        cur: list[str] = []
+        depth = 0
+        for t in toks:
+            if t in "([":
+                depth += 1
+            elif t in ")]":
+                depth -= 1
+            if t == "," and depth == 0:
+                args.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        if cur or args:
+            args.append(cur)
+        return args
+
+    def jval(kv) -> str:
+        kind, v = kv
+        if kind == "s":
+            return _json.dumps(v, ensure_ascii=False)
+        if kind == "n":
+            return v
+        if kind == "b":
+            return "true" if v else "false"
+        if kind == "null":
+            return "null"
+        return v  # raw
+
+    while i < n:
+        t = tokens[i]
+        low = t.lower() if t.isidentifier() else ""
+        nxt = tokens[i + 1] if i + 1 < n else ""
+        if low in ("json_build_array", "json_build_object") and nxt == "(":
+            k = find_close(i + 1)
+            if k > 0:
+                try:
+                    vals: list = []
+                    null_out = False
+                    for arg in split_args(i + 2, k):
+                        got = arg_values(arg)
+                        if got is None:
+                            null_out = True
+                            break
+                        vals.extend(got)
+                    if null_out:
+                        out += ["CAST", "(", "NULL", "AS", "STRING", ")"]
+                        i = k + 1
+                        continue
+                    if low == "json_build_array":
+                        text = "[" + ", ".join(jval(v) for v in vals) + "]"
+                    else:
+                        if len(vals) % 2:
+                            raise ValueError(
+                                "argument list must have even number "
+                                "of elements")
+                        parts = []
+                        for kk in range(0, len(vals), 2):
+                            kkind, kv = vals[kk]
+                            if kkind == "null":
+                                raise ValueError(
+                                    f"argument {kk + 1} cannot be null")
+                            if kkind == "raw":
+                                raise ValueError(
+                                    "key value must be scalar, not "
+                                    "array, composite, or json")
+                            if kkind == "b":
+                                kv = "true" if kv else "false"
+                            key = kv if kkind == "s" else str(kv)
+                            parts.append(
+                                _json.dumps(key, ensure_ascii=False)
+                                + " : " + jval(vals[kk + 1]))
+                        text = "{" + ", ".join(parts) + "}"
+                    out.append(_lit_encode(text))
+                    i = k + 1
+                    continue
+                except _Skip:
+                    pass
+        if low == "to_json" and nxt == "(" and i + 3 < n \
+                and tokens[i + 2].isidentifier() \
+                and tokens[i + 2].lower() in ("date", "timestamp",
+                                              "timestamptz") \
+                and tokens[i + 3].startswith("'"):
+            k = find_close(i + 1)
+            if k == i + 4:
+                import datetime as _dt
+
+                ty = tokens[i + 2].lower()
+                lit = _lit_decode(tokens[i + 3]).strip()
+                if lit.lower() in ("infinity", "-infinity"):
+                    out.append(_lit_encode(f'"{lit.lower()}"'))
+                    i = k + 1
+                    continue
+                try:
+                    if ty == "date":
+                        body = _pg_date_literal(f"'{lit}'")[1:-1]
+                        out.append(_lit_encode(f'"{body}"'))
+                        i = k + 1
+                        continue
+                    body = _pg_ts_literal(f"'{lit}'")[1:-1]
+                    body = _normalize_ts_zone_literal(f"'{body}'")[1:-1]
+                    m = re.fullmatch(
+                        r"(\d{4}-\d{2}-\d{2})[ T]"
+                        r"(\d{1,2}:\d{2}(?::\d{2})?(?:\.\d+)?)"
+                        r"\s*([+-]\d{2}:\d{2})?", body)
+                    if not m:
+                        raise _Skip
+                    dpart, tpart, off = m.groups()
+                    if tpart.count(":") == 1:
+                        tpart += ":00"
+                    if ty == "timestamp":
+                        out.append(_lit_encode(f'"{dpart}T{tpart}"'))
+                        i = k + 1
+                        continue
+                    # timestamptz: resolve the instant, render in the
+                    # session zone with its offset
+                    frac = ""
+                    base = tpart
+                    if "." in tpart:
+                        base, frac = tpart.split(".")
+                    dt = _dt.datetime.fromisoformat(f"{dpart}T{base}")
+                    us = int((frac + "000000")[:6]) if frac else 0
+                    dt = dt.replace(microsecond=us)
+                    tzi = _session_tzinfo()
+                    if off:
+                        sign = 1 if off[0] == "+" else -1
+                        srcoff = _dt.timezone(_dt.timedelta(
+                            minutes=sign * (int(off[1:3]) * 60
+                                            + int(off[4:6]))))
+                        dt = dt.replace(tzinfo=srcoff)
+                    else:
+                        dt = dt.replace(tzinfo=tzi)
+                    dt = dt.astimezone(tzi)
+                    txt = dt.strftime("%Y-%m-%dT%H:%M:%S")
+                    if dt.microsecond:
+                        txt += (f".{dt.microsecond:06d}").rstrip("0")
+                    o = dt.utcoffset()
+                    tot = int(o.total_seconds() // 60)
+                    s = "+" if tot >= 0 else "-"
+                    txt += f"{s}{abs(tot) // 60:02d}:{abs(tot) % 60:02d}"
+                    out.append(_lit_encode(f'"{txt}"'))
+                    i = k + 1
+                    continue
+                except (_Skip, ValueError):
+                    pass
+        if low in ("json_each", "json_each_text", "jsonb_each",
+                   "jsonb_each_text") and nxt == "(" and not _in_from(out):
+            k = find_close(i + 1)
+            arg = tokens[i + 2:k]
+            lit = None
+            if len(arg) == 1 and arg[0].startswith("'"):
+                lit = _lit_decode(arg[0])
+            elif len(arg) == 3 and arg[0].startswith("'") \
+                    and arg[1] == "::" \
+                    and arg[2].lower() in ("json", "jsonb"):
+                lit = _lit_decode(arg[0])
+            if lit is not None:
+                try:
+                    jb = low.startswith("jsonb")
+                    txt_of = None
+                    if jb:
+                        from gpdb_spark.functions import jsonbtypes as _jb
+
+                        obj = _jb.parse(lit)
+                        if not isinstance(obj, dict):
+                            raise _Skip
+                        items = sorted(
+                            obj.items(),
+                            key=lambda kv: (len(kv[0]), kv[0]))
+                        txt_of = lambda v: _jb.render(v)
+                    else:
+                        obj = _json.loads(lit)
+                        if not isinstance(obj, dict):
+                            raise _Skip
+                        items = list(obj.items())
+                        txt_of = _json_compact
+                    recs = []
+                    text_mode = low.endswith("_text")
+                    for kk, vv in items:
+                        if text_mode:
+                            if vv is None:
+                                field = None
+                            elif isinstance(vv, str):
+                                field = vv
+                            elif isinstance(vv, bool):
+                                field = "true" if vv else "false"
+                            elif isinstance(vv, (dict, list)):
+                                field = txt_of(vv)
+                            else:
+                                field = txt_of(vv)
+                        else:
+                            field = txt_of(vv)
+                        recs.append(
+                            "(" + _record_field(kk) + ","
+                            + _record_field(field) + ")")
+                    out += ["explode", "(", "array", "("]
+                    for idx2, r in enumerate(recs):
+                        if idx2:
+                            out.append(",")
+                        out.append(_lit_encode(r))
+                    out += [")", ")"]
+                    i = k + 1
+                    continue
+                except (_Skip, ValueError):
+                    pass
+        out.append(t)
+        i += 1
+    return out
 
 
 # -- enum types (catalog/pg_enum.c via a translate-time registry) -----------
@@ -7453,6 +7995,12 @@ def _pass_pg_operators(tokens: list[str]) -> list[str]:
             end = _operand_end(tokens, i + 2)
             rhs = tokens[i + 2 : end]
             lhs_start = _operand_start(out + ["^"], len(out))
+            # unlike ^, unary minus binds TIGHTER than << / >>
+            # ((-1::int4)<<31 is INT_MIN, not -(1<<31) — int4.out)
+            if lhs_start > 0 and out[lhs_start - 1] == "-" and not (
+                lhs_start - 2 >= 0 and _is_operand_end(out[lhs_start - 2])
+            ):
+                lhs_start -= 1
             lhs = out[lhs_start:]
             out = out[:lhs_start] + [fn, "("] + lhs + [","] + rhs + [")"]
             i = end
@@ -8047,7 +8595,8 @@ def _pg_ts_literal(lit: str) -> str:
     tmatch = re.fullmatch(
         r"([0-9Jj][\w./-]*?)[T ]\s*"
         r"(\d{6}(?:\.\d+)?|\d{1,2}:[\d:.]+)?\s*"
-        r"([+-]\d{1,2}(?::?\d{2})?|[A-Za-z]{2,5})?",
+        r"([+-]\d{1,2}(?::?\d{2})?|[A-Za-z]{2,5}"
+        r"|[A-Za-z][A-Za-z_]+/[A-Za-z][A-Za-z0-9/_+-]*)?",
         body,
     )
     if tmatch and tmatch.group(2):
@@ -8059,6 +8608,8 @@ def _pg_ts_literal(lit: str) -> str:
                               time_part[4:])
             time_part = f"{hh}:{mi}:{rest_s}"
         fixed = _pg_date_literal(f"'{date_part}'")[1:-1]
+        if zone and zone[0].isalpha():
+            zone = " " + zone
         return f"'{fixed} {time_part}{zone}'"
     sp = body.find(" ")
     date_part, rest = (body, "") if sp == -1 else (body[:sp], body[sp:])
@@ -8396,21 +8947,45 @@ def _pass_array_literal_casts(tokens: list[str]) -> list[str]:
                     i = after
                     continue
             if elems is not None:
+                # interval elements fold through DecodeInterval +
+                # interval_out so the array carries PG's text images
+                # ('{0 second,0 second}'::interval[] -> '@ 0' twice
+                # under verbose style — arrays.out)
+                is_ivl = _is_word(tokens[i + 2], "interval")
                 lit: list[str] = ["array", "("]
+                ok_elems = True
                 if elems != [""]:  # '{}' -> array()
                     for k, e in enumerate(elems):
                         if k:
                             lit.append(",")
                         if e.upper() == "NULL":
                             lit.append("NULL")
-                        elif e.startswith('"') and e.endswith('"') and len(e) >= 2:
-                            lit.append("'" + e[1:-1].replace("'", "''") + "'")
-                        else:
-                            lit.append("'" + e.replace("'", "''") + "'")
+                            continue
+                        if e.startswith('"') and e.endswith('"') \
+                                and len(e) >= 2:
+                            e = e[1:-1]
+                        if is_ivl:
+                            triple = _pg_interval_triple(e)
+                            if triple is None:
+                                ok_elems = False
+                                break
+                            e = _pg_interval_out(*triple)
+                        lit.append("'" + e.replace("'", "''") + "'")
                 lit.append(")")
-                out += lit
-                i += 1
-                continue
+                if ok_elems:
+                    out += lit
+                    if is_ivl:
+                        # the images are already interval_out TEXT —
+                        # consume the ::interval[] cast instead of
+                        # letting the cast passes retype them
+                        j = i + 3
+                        while j + 1 < n and tokens[j] == "[" \
+                                and tokens[j + 1] == "]":
+                            j += 2
+                        i = j
+                    else:
+                        i += 1
+                    continue
         out.append(t)
         i += 1
     return out
@@ -8544,6 +9119,14 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_ts_fold(tokens)
     tokens = _pass_geo_fold(tokens)
     tokens = _pass_enum_fold(tokens)
+    tokens = _pass_json_misc_fold(tokens)
+    tokens = _pass_inet_arith_fold(tokens)
+    # OVERLAPS runs BEFORE the time/interval constant folds: its
+    # (start, interval) end-expansion needs the RAW interval spelling
+    # (non-postgres IntervalStyles fold bare interval literals to their
+    # text image, which would otherwise reach least/greatest as a
+    # string)
+    tokens = _pass_overlaps(tokens)
     tokens = _pass_time_literals(tokens)
     tokens = _pass_jsonb_fold(tokens)
     tokens = _pass_money_fold(tokens)
@@ -8561,7 +9144,6 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_casts(tokens)
     tokens = _pass_cast_as_types(tokens)
     tokens = _pass_interval_physical(tokens)
-    tokens = _pass_overlaps(tokens)
     tokens = _pass_json_ops(tokens)
     tokens = _pass_array_subquery(tokens)
     tokens = _pass_regex_ops(tokens)

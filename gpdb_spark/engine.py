@@ -340,6 +340,8 @@ class Engine:
                 self._gucs.pop(name, None)
                 if name in ("timezone", "time zone"):
                     self.spark.conf.set("spark.sql.session.timeZone", "UTC")
+                    from gpdb_spark.dialect import set_session_zone
+                    set_session_zone("UTC")
                 elif name == "datestyle":
                     from gpdb_spark.dialect import set_date_order
                     set_date_order("mdy")
@@ -389,6 +391,8 @@ class Engine:
                         self.spark.conf.set(
                             "spark.sql.session.timeZone", zone)
                         self._gucs[name] = zone
+                        from gpdb_spark.dialect import set_session_zone
+                        set_session_zone(zone)
                     elif name == "datestyle":
                         # guc.c: only the input field order matters
                         # here (output is fixed ISO, like Spark)

@@ -2281,3 +2281,90 @@ class TestEnumFold:
                 enum_add_value("planets", "p" * 70)
         finally:
             reset_enums()
+
+
+class TestJsonMiscFolds:
+    """json.c constructors/iterators + network.c arithmetic over
+    literal args, folded at translate time (round 8) — pinned against
+    expected/json.out, jsonb.out, inet.out."""
+
+    def test_json_build(self):
+        import pytest
+
+        from gpdb_spark.dialect import translate
+
+        t = translate
+        assert t("SELECT json_build_array('a',1,'b',1.2,'c',true,"
+                 "'d',null)") \
+            == "SELECT '[\"a\", 1, \"b\", 1.2, \"c\", true, \"d\", null]'"
+        assert t("SELECT json_build_object(1,2)") == "SELECT '{\"1\" : 2}'"
+        assert t("SELECT json_build_array(VARIADIC '{1,2,3,4}'::int[])") \
+            == "SELECT '[1, 2, 3, 4]'"
+        assert t("SELECT json_build_array(VARIADIC "
+                 "'{{1,4},{2,5},{3,6}}'::int[][])") \
+            == "SELECT '[1, 4, 2, 5, 3, 6]'"
+        assert t("SELECT json_build_object(VARIADIC NULL::text[])") \
+            == "SELECT CAST(NULL AS STRING)"
+        with pytest.raises(ValueError, match="even number"):
+            t("SELECT json_build_object(VARIADIC '{a,b,c}'::text[])")
+        with pytest.raises(ValueError, match="cannot be null"):
+            t("SELECT json_build_object(VARIADIC "
+              "ARRAY[NULL, 'a']::text[])")
+        with pytest.raises(ValueError, match="must be scalar"):
+            t("SELECT json_build_object(json '{\"a\":1}', 3)")
+
+    def test_to_json_datetime(self):
+        from gpdb_spark.dialect import set_session_zone, translate
+
+        try:
+            set_session_zone("GMT+10:30")
+            assert translate(
+                "select to_json(timestamptz "
+                "'2014-05-28 12:22:35.614298-04')") \
+                == "select '\"2014-05-29T02:52:35.614298+10:30\"'"
+        finally:
+            set_session_zone("UTC")
+        assert translate(
+            "select to_json(timestamp '2014-05-28 12:22:35.614298')") \
+            == "select '\"2014-05-28T12:22:35.614298\"'"
+        assert translate("select to_json(date '2014-05-28')") \
+            == "select '\"2014-05-28\"'"
+        assert translate("select to_json(date 'Infinity')") \
+            == "select '\"infinity\"'"
+
+    def test_json_each_select_position(self):
+        from gpdb_spark.dialect import translate
+
+        out = translate(
+            'select json_each(\'{"f1":[1,2,3],"f4":null}\')')
+        assert out == ("select explode(array('(f1,\"[1,2,3]\")', "
+                       "'(f4,null)'))")
+        # jsonb twin renders canonically (sorted keys, ', ' spacing)
+        out = translate(
+            'SELECT jsonb_each(\'{"f1":[1,2,3],"f2":{"f3":1}}\')')
+        assert '[1, 2, 3]' in out and '""f3"": 1' in out
+        # FROM position keeps the relational two-column form
+        out = translate(
+            'SELECT * FROM json_each(\'{"a":1}\') ORDER BY key')
+        assert "explode(array('(" not in out
+
+    def test_inet_arithmetic(self):
+        import pytest
+
+        from gpdb_spark.dialect import translate
+
+        t = translate
+        assert t("SELECT '127.0.0.1'::inet + 257") == "SELECT '127.0.1.2'"
+        assert t("SELECT ('127.0.0.1'::inet + 257) - 257") \
+            == "SELECT '127.0.0.1'"
+        assert t("SELECT '127::1'::inet + 257") == "SELECT '127::102'"
+        assert t("SELECT '127.0.0.2'::inet - ('127.0.0.2'::inet + 500)") \
+            == "SELECT -500"
+        assert t("SELECT '127::1'::inet + 10000000000") \
+            == "SELECT '127::2:540b:e401'"
+        with pytest.raises(ValueError, match="out of range"):
+            t("SELECT '126::1'::inet - '127::2'::inet")
+        # CIDR and function forms keep their existing path
+        assert "masklen" in t("SELECT masklen('192.168.1.5/24'::inet)")
+        assert t("SELECT host('192.168.1.5'::inet)") \
+            == "SELECT host('192.168.1.5')"

@@ -22,7 +22,19 @@ Round 7: the probe tracks the SET/RESET context each regress file runs
 under (DateStyle output style + field order, IntervalStyle,
 bytea_output, standard_conforming_strings, TIME ZONE) and renders
 values accordingly; the default context is pg_regress's own
-'Postgres, MDY' + PST8PDT.
+'Postgres, MDY' + PST8PDT + IntervalStyle=postgres_verbose
+(pg_regress.c my_pgoptions).
+
+Round 8 (VERDICT r07 Next #4): ENGINE_ERR splits into the headline
+number (UNDECLARED misses) and ERR_DECLARED (documented out-of-scope
+classes — see _DECLARED_ERR; the TOTAL line prints the per-class
+breakdown). The probe also carries enum/domain DDL context (CREATE
+TYPE AS ENUM / ALTER TYPE ADD VALUE / CREATE DOMAIN ... CHECK feed the
+dialect's enum registry), CREATE FUNCTION names (calls to file-local
+functions classify as declared context), SET [LOCAL] TIME ZONE with
+PG's two sign conventions (bare numeric hours = ISO, HH:MM strings =
+POSIX inverted), the CST7CDT equivalence shim (offset-identical
+MST7MDT + abbreviation rename), and fixed-offset session rendering.
 
 Known ERR_MISS classes (PG errors, engine returns a value — each
 reviewed by hand, round 7; the float-literal-range / width_bucket-NaN /
@@ -182,7 +194,8 @@ _DEFAULT_CTX = {
     # the context a file starts in
     "dstyle": "postgres",   # DateStyle output: iso/postgres/sql/german
     "dorder": "mdy",        # DateStyle field order
-    "istyle": "postgres",   # IntervalStyle
+    "istyle": "postgres_verbose",   # IntervalStyle (pg_regress.c forces
+                                    # -c intervalstyle=postgres_verbose)
     "bytea": "hex",         # bytea_output
     "std": True,            # standard_conforming_strings
     "tz": "PST8PDT",        # regress TimeZone (pg_regress.c)
@@ -428,6 +441,8 @@ _DECLARED_ERR: list[tuple[str, re.Pattern]] = [
     ("mixed-dimension array concat", re.compile(
         r"(?is)(array_cat\s*\(.*\[\s*\[)|(\[\s*\[.*\|\|)|(\|\|\s*array\s*\[\s*\[)")),
     ("numeric beyond 38 digits", re.compile(r"\d{39,}")),
+    ("numeric NaN (numeric image is double)", re.compile(
+        r"(?i)'nan'\s*::\s*numeric")),
 ]
 
 
@@ -498,16 +513,18 @@ def apply_set(stmt: str, ctx: dict) -> None:
             ctx["dstyle"], ctx["dorder"] = "postgres", "mdy"
             set_date_order("mdy")
         elif name == "intervalstyle":
-            ctx["istyle"] = "postgres"
+            ctx["istyle"] = "postgres_verbose"
             from gpdb_spark.dialect import set_interval_style
-            set_interval_style("postgres")
+            set_interval_style("postgres_verbose")
         elif name == "bytea_output":
             ctx["bytea"] = "hex"
         elif name == "standard_conforming_strings":
             ctx["std"] = True
         return
-    m = re.match(r"(?i)^set\s+(time\s+zone|\w+)\s*(?:to\s+|=\s*)?(.*)$",
-                 stmt)
+    m = re.match(
+        r"(?i)^set\s+(?:local\s+|session\s+)?(time\s+zone|\w+)"
+        r"\s*(?:to\s+|=\s*)?(.*)$",
+        stmt)
     if not m:
         return
     name, val = m.group(1).lower(), m.group(2).strip().strip("'")
@@ -571,8 +588,10 @@ def main(argv):
         from gpdb_spark.dialect import (reset_enums, set_date_order,
                                         set_interval_style)
         set_date_order("mdy")
-        set_interval_style("postgres")
+        set_interval_style("postgres_verbose")
         reset_enums()
+        from gpdb_spark.dialect import set_session_zone
+        set_session_zone("PST8PDT")
         spark.conf.set("spark.sql.session.timeZone", "PST8PDT")
         file_funcs: set = set()
         for stmt, (kind, rows) in parse_expected(f"{EXPECTED}/{f}.out"):
@@ -595,6 +614,8 @@ def main(argv):
                             "spark.sql.session.timeZone", sz)
                     except Exception:
                         pass
+                    from gpdb_spark.dialect import set_session_zone
+                    set_session_zone(sz)
                 continue
             if kind == "skip":
                 per["SKIP"] += 1
