@@ -563,10 +563,10 @@ def _render_to_char_num(o, x, spec: dict):
         # digits after the point are already zero-filled
         dec_str = o.after_dot(o.cast(rounded, "string"))
         if fm:
+            # NUM_processor FM strips trailing ZEROS but keeps the
+            # decimal point ('0.', '74881.' — numeric.out to_char_7)
             dec_str = o.rstrip_zeros(dec_str)
         body = o.concat([int_str, o.lit("."), dec_str])
-        if fm:
-            body = o.rstrip_dot(body)
     else:
         body = int_str
     if spec.get("currency"):

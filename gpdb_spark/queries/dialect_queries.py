@@ -459,7 +459,7 @@ _pg_query(
     """,
     oracle="""
     SELECT o_orderkey,
-           rtrim(rtrim(printf('%.2f', round(o_totalprice, 2)), '0'), '.')
+           rtrim(printf('%.2f', round(o_totalprice, 2)), '0')
                AS fm_price,
            ' ' || lpad(CAST(o_custkey AS VARCHAR), 7, '0') AS pad_cust,
            lpad(printf('%.2f', round(o_totalprice, 2)), 11, ' ') || '-'

@@ -176,7 +176,9 @@ def test_to_char_numeric_pg_examples(spark):
         (1485, "9G999", " 1,485"),
         (148.5, "999D999", " 148.500"),
         (148.5, "FM999D999", "148.5"),
-        (148.0, "FM999D999", "148"),
+        # FM strips trailing zeros but KEEPS the decimal point
+        # (numeric.out to_char_7: '74881.', '0.')
+        (148.0, "FM999D999", "148."),
         (-485, "999S", "485-"),
         (-485, "999MI", "485-"),
         (485, "999MI", "485 "),
