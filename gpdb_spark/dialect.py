@@ -2074,11 +2074,25 @@ def _pass_functions(tokens: list[str]) -> list[str]:
                         out += ["DATE",
                                 _lit_encode(f"{ry:04d}-{rmo:02d}-{rd:02d}")]
                     else:
-                        txt = (f"{ry:04d}-{rmo:02d}-{rd:02d} "
-                               f"{rh:02d}:{rmi:02d}:{rs:02d}")
-                        if rus:
-                            txt += f".{rus:06d}".rstrip("0")
-                        out += ["TIMESTAMP", _lit_encode(txt)]
+                        # to_timestamp returns timestamptz: the wall
+                        # resolves to an instant IN THE SESSION ZONE in
+                        # Python (DetermineTimeZoneOffset discipline) —
+                        # leaving a naive literal to Spark would apply
+                        # the JDK's zone rules (PST8PDT links to
+                        # America/Los_Angeles there, whose pre-1883 LMT
+                        # shifts old dates by 7:02)
+                        import datetime as _dt
+
+                        try:
+                            wall = _dt.datetime(ry, rmo, rd, rh, rmi,
+                                                rs, rus)
+                        except ValueError as exc:
+                            raise ValueError(
+                                f"timestamp out of range: {exc}")
+                        u = _pg_wall_to_utc(wall, _session_tzinfo())
+                        out += ["CAST", "(",
+                                _lit_encode(f"{_fmt_wall(u)}+00:00"),
+                                "AS", "TIMESTAMP", ")"]
                     i = k + 1
                     continue
                 if low == "to_number":
@@ -2970,11 +2984,124 @@ def _tz_zone_tokens(tz: list[str]) -> list[str]:
     return tz
 
 
+def _zone_pytz(name: str):
+    """Resolve a zone spelling (PG abbreviation, region id, ±HH[:MM]
+    offset, POSIX NAME±HH[:MM] compound) to ``(tzinfo, is_abbrev)``
+    for Python-side constant folds; ``(None, False)`` when the
+    spelling is unresolvable (callers fall back to the runtime
+    path)."""
+    import datetime as _dt
+
+    name = name.strip().strip("'")
+    mapped = _TZ_ABBREVS.get(name.lower())
+    is_abbrev = mapped is not None and "/" in (mapped or "")
+    spec = mapped or name
+    m = re.fullmatch(r"([+-])(\d{1,2}):?(\d{2})?(?::\d{2})?", spec)
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        mins = int(m.group(2)) * 60 + int(m.group(3) or 0)
+        return _dt.timezone(_dt.timedelta(minutes=sign * mins)), False
+    # POSIX compound NAME±HH[:MM] — the SIGN IS INVERTED (positive =
+    # west of Greenwich): 'GMT-4' is UTC+4 (datetime.c DecodePosixTimezone)
+    m = re.fullmatch(r"([A-Za-z]+)([+-])(\d{1,2})(?::(\d{2}))?", spec)
+    if m:
+        sign = -1 if m.group(2) == "+" else 1
+        mins = int(m.group(3)) * 60 + int(m.group(4) or 0)
+        return _dt.timezone(_dt.timedelta(minutes=sign * mins)), False
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(spec), is_abbrev
+    except Exception:
+        return None, False
+
+
+def _pg_wall_to_utc(wall, tz, is_abbrev: bool = False):
+    """datetime.c DetermineTimeZoneOffset: a wall time falling in a
+    DST gap resolves with the BEFORE offset, an ambiguous one with the
+    AFTER offset (the regress goldens pin both — Europe/Moscow
+    2011-03-27 02:00 -> +3, 2014-10-26 01:00 -> +3). Dynamic
+    abbreviations (DetermineTimeZoneAbbrevOffset) prefer AFTER in both
+    cases ('02:00 MSK' -> +4). PEP 495: gap has off(fold=0) <
+    off(fold=1); ambiguity the reverse."""
+    import datetime as _dt
+
+    if is_abbrev:
+        return wall.replace(tzinfo=tz, fold=1).astimezone(_dt.timezone.utc)
+    off0 = tz.utcoffset(wall.replace(tzinfo=tz, fold=0))
+    off1 = tz.utcoffset(wall.replace(tzinfo=tz, fold=1))
+    fold = 0 if (off0 or _dt.timedelta()) < (off1 or _dt.timedelta()) else 1
+    return wall.replace(tzinfo=tz, fold=fold).astimezone(_dt.timezone.utc)
+
+
+def _fmt_wall(dt) -> str:
+    t = (f"{dt.year:04d}-{dt.month:02d}-{dt.day:02d} "
+         f"{dt.hour:02d}:{dt.minute:02d}:{dt.second:02d}")
+    if dt.microsecond:
+        t += f".{dt.microsecond:06d}".rstrip("0")
+    return t
+
+
+def _parse_wall(txt: str):
+    """Parse a normalized 'YYYY-MM-DD[ T]HH:MM[:SS[.f]]' wall text to a
+    naive datetime; None when it isn't that shape. Years beyond 9999
+    raise loudly (PG reaches 294276, the Python/Spark image does not —
+    a documented range gap, never a silent wrap)."""
+    import datetime as _dt
+
+    m = re.fullmatch(
+        r"(\d{4,6})-(\d{1,2})-(\d{1,2})[ T]"
+        r"(\d{1,2}):(\d{1,2})(?::(\d{1,2})(?:\.(\d+))?)?",
+        txt.strip(),
+    )
+    if not m:
+        return None
+    y = int(m.group(1))
+    if y > 9999:
+        raise ValueError(f'timestamp out of range: "{txt}"')
+    us = int((m.group(7) or "0").ljust(6, "0")[:6])
+    return _dt.datetime(y, int(m.group(2)), int(m.group(3)),
+                        int(m.group(4)), int(m.group(5)),
+                        int(m.group(6) or 0), us)
+
+
+def _wall_at_zone_to_utc_lit(body: str, zone: str) -> str | None:
+    """Fold '<wall> <zone>' to a Spark-parseable UTC-instant literal
+    using PG's gap/ambiguity discipline. None -> caller keeps its
+    text-rewrite path."""
+    tz, is_abbrev = _zone_pytz(zone)
+    if tz is None:
+        return None
+    wall = _parse_wall(body)
+    if wall is None:
+        return None
+    u = _pg_wall_to_utc(wall, tz, is_abbrev)
+    return f"'{_fmt_wall(u)}+00:00'"
+
+
+def _tstz_literal(lit: str) -> str:
+    """Full timestamptz input normalization: date-part/compact-form
+    expansion (_pg_ts_literal) + zone-suffix resolution
+    (_normalize_ts_zone_literal). The special value 'epoch' and the
+    day-name alternative field order bypass the date normalizer, which
+    would otherwise mangle them."""
+    body = lit[1:-1].strip().lower()
+    if body == "epoch" or re.match(
+        r"(?:mon|tue|tues|wed|thu|thur|thurs|fri|sat|sun)[a-z]*\s+"
+        r"[a-z]{3}", body,
+    ):
+        return _normalize_ts_zone_literal(lit)
+    return _normalize_ts_zone_literal(_pg_ts_literal(lit))
+
+
 def _normalize_ts_zone_literal(lit: str) -> str:
     """A timestamptz input literal with a trailing PG zone abbreviation
     or bare-hour offset ('2011-03-27 00:00:00 MSK', '... +2') rewrites
     the suffix to a Spark-parseable zone id / ±HH:MM offset. Region
-    names (Europe/Moscow) Spark parses natively and pass through."""
+    names and dynamic abbreviations fold to an explicit UTC instant in
+    Python — Java resolves DST gaps by shifting and ambiguities with
+    the EARLIER offset, PG (DetermineTimeZoneOffset) uses before-in-gap
+    / after-in-ambiguity, so Spark's parser cannot be left to choose."""
     # attached numeric offset, optionally minutes-only time
     # ('2005-04-02 12:00-07', '... 12:00:00+05:30', '... 12:00-0730'):
     # Spark's cast needs seconds and a ±HH:MM offset (datetime.c
@@ -2994,19 +3121,59 @@ def _normalize_ts_zone_literal(lit: str) -> str:
         else:
             hh, mm = int(rest[:-2]), int(rest[-2:])
         return f"'{body}{sign}{hh:02d}:{mm:02d}'"
-    m = re.fullmatch(r"'(.+?)\s+([A-Za-z][A-Za-z0-9/_]*|[+-]\d{1,2})'", lit)
+    if lit[1:-1].strip().lower() == "epoch":
+        # timestamptz 'epoch' is the UTC epoch INSTANT, not a
+        # session-zone wall (datetime.c DecodeSpecial DTK_EPOCH)
+        return "'1970-01-01 00:00:00+00:00'"
+    # alternative field order datetime.c historically supports:
+    # 'Wed Jul 11 10:51:14 <zonespec> 2001' (day-name, month-name,
+    # day, time, zone, year)
+    m = re.fullmatch(
+        r"'(?:mon|tue|tues|wed|thu|thur|thurs|fri|sat|sun)[a-z]*\s+"
+        r"([A-Za-z]{3,9})\s+(\d{1,2})\s+(\d{1,2}:\d{2}(?::\d{2}(?:\.\d+)?)?)"
+        r"\s+(\S+)\s+(\d{4})'",
+        lit, re.IGNORECASE,
+    )
+    if m:
+        mons = ("jan feb mar apr may jun jul aug sep oct nov dec"
+                .split())
+        try:
+            mo = mons.index(m.group(1).lower()[:3]) + 1
+        except ValueError:
+            mo = 0
+        if mo:
+            body = (f"{int(m.group(5)):04d}-{mo:02d}-"
+                    f"{int(m.group(2)):02d} {m.group(3)}")
+            folded = _wall_at_zone_to_utc_lit(body, m.group(4))
+            if folded is not None:
+                return folded
+    m = re.fullmatch(
+        r"'(.+?)\s+([A-Za-z]+[+-]\d{1,2}(?::\d{2})?"
+        r"|[A-Za-z][A-Za-z0-9/_]*|[+-]\d{1,2})'",
+        lit,
+    )
     if not m:
         return lit
     body, zone = m.group(1), m.group(2)
     mapped = _TZ_ABBREVS.get(zone.lower())
     if mapped is None and re.fullmatch(r"[+-]\d{1,2}", zone):
         mapped = f"{zone[0]}{int(zone[1:]):02d}:00"
-    if mapped is None and "/" in zone:
-        # region zone id ('America/New_York') — Spark parses it, but
-        # only with a complete HH:MM:SS time part
+    if (mapped is None and "/" in zone) or (mapped and "/" in mapped) \
+            or (mapped is None
+                and re.fullmatch(r"[A-Za-z]+[+-]\d{1,2}(?::\d{2})?",
+                                 zone)):
+        # region id / dynamic abbreviation / POSIX compound: resolve
+        # the instant in Python with PG's gap-and-ambiguity discipline
+        folded = _wall_at_zone_to_utc_lit(body, zone)
+        if folded is not None:
+            return folded
+        if mapped is None and "/" not in zone:
+            return lit
+        # unfoldable body (column-adjacent or exotic): Spark parses a
+        # region id itself, with a complete HH:MM:SS time part
         if re.search(r"[T ]\d{1,2}:\d{2}$", body):
             body += ":00"
-        return f"'{body} {zone}'"
+        return f"'{body} {mapped if mapped else zone}'"
     if mapped is None:
         return lit
     if mapped.startswith(("+", "-")):
@@ -3696,10 +3863,24 @@ def _pass_interval_physical(tokens: list[str]) -> list[str]:
         for i, t in enumerate(toks):
             if t not in ("+", "-") or i + 2 >= n:
                 continue
-            if toks[i + 1] not in ("make_dt_interval", "make_interval") \
-                    or toks[i + 2] != "(":
+            # optional integer product prefix: '± N * make_dt_interval'
+            # (interval '1 second' * N scales each FIELD — seconds stay
+            # physical seconds, they do not promote to calendar days)
+            mult = 1
+            fpos = i + 1
+            if (
+                re.fullmatch(r"\d+", toks[fpos])
+                and fpos + 2 < n
+                and toks[fpos + 1] == "*"
+            ):
+                mult = int(toks[fpos])
+                fpos += 2
+            if fpos + 1 >= n \
+                    or toks[fpos] not in ("make_dt_interval",
+                                          "make_interval") \
+                    or toks[fpos + 1] != "(":
                 continue
-            depth, k = 0, i + 2
+            depth, k = 0, fpos + 1
             args: list[str] = []
             cur: list[str] = []
             nested = False
@@ -3720,12 +3901,20 @@ def _pass_interval_physical(tokens: list[str]) -> list[str]:
                 elif depth == 1:
                     cur.append(tk)
                 k += 1
-            is_dt = toks[i + 1] == "make_dt_interval"
+            is_dt = toks[fpos] == "make_dt_interval"
             want = 4 if is_dt else 7
             if nested or k >= n or len(args) != want or not all(
                 re.fullmatch(r"-?\d+(\.\d+)?", a) for a in args
             ):
                 continue
+            # optional integer product suffix: 'make_dt_interval(...) * N'
+            if (
+                k + 2 < n
+                and toks[k + 1] == "*"
+                and re.fullmatch(r"\d+", toks[k + 2])
+            ):
+                mult *= int(toks[k + 2])
+                k += 2
             if is_dt:
                 mo, d = 0, int(float(args[0]))
                 us = int(round(
@@ -3736,6 +3925,7 @@ def _pass_interval_physical(tokens: list[str]) -> list[str]:
                 us = int(round(
                     (float(args[4]) * 3600 + float(args[5]) * 60
                      + float(args[6])) * 1_000_000))
+            mo, d, us = mo * mult, d * mult, us * mult
             if us == 0:
                 continue
             s = _operand_start(toks, i)
@@ -4264,8 +4454,78 @@ def _pass_tstz_literals(tokens: list[str]) -> list[str]:
             and out[i + 1] == "::"
             and _is_word(out[i + 2], "timestamptz")
         ):
-            out[i] = _normalize_ts_zone_literal(t)
+            out[i] = _tstz_literal(t)
     return out
+
+
+def _fold_at_time_zone(core: list[str], tz: list[str],
+                       fn: str) -> list[str] | None:
+    """Constant AT TIME ZONE (timestamp.c timezone()): literal operand
+    + literal zone fold in Python so gap/ambiguous walls resolve with
+    PG's DetermineTimeZoneOffset discipline, not Java's. The
+    tstz->naive direction emits a TIMESTAMP_NTZ literal — PG's result
+    type is timestamp WITHOUT time zone, so it must neither convert at
+    render time nor print a zone abbreviation. None -> runtime path."""
+    import datetime as _dt
+
+    if len(tz) != 1 or not tz[0].startswith("'"):
+        return None
+    ztz, zabbr = _zone_pytz(tz[0][1:-1])
+    if ztz is None:
+        return None
+    if fn == "to_utc_timestamp":
+        # naive wall read on the z clock -> instant
+        if (len(core) == 2 and _is_word(core[0], "timestamp")
+                and core[1].startswith("'")):
+            try:
+                wall = _parse_wall(_pg_ts_literal(core[1])[1:-1])
+            except ValueError:
+                return None
+            if wall is None:
+                return None
+            u = _pg_wall_to_utc(wall, ztz, zabbr)
+            return ["CAST", "(", f"'{_fmt_wall(u)}+00:00'",
+                    "AS", "TIMESTAMP", ")"]
+        return None
+    # from_utc direction: operand is an instant (tstz literal — bare
+    # string input resolves in the session zone, PG's unknown->tstz)
+    lit = None
+    if len(core) == 1 and core[0].startswith("'"):
+        lit = _tstz_literal(core[0])
+    elif (len(core) == 6 and core[0] == "CAST" and core[2].startswith("'")
+          and _is_word(core[4], "timestamp")):
+        lit = core[2]
+    if lit is None:
+        return None
+    body = lit[1:-1]
+    # a named zone suffix the text path left for Spark ('... UTC')
+    # resolves here so the fold still applies
+    m0 = re.fullmatch(r"(.+?)\s+([A-Za-z][A-Za-z0-9/_]*)", body)
+    if m0:
+        alt = _wall_at_zone_to_utc_lit(m0.group(1), m0.group(2))
+        if alt is None:
+            return None
+        body = alt[1:-1]
+    m = re.fullmatch(r"(.*?)([+-]\d{2}:\d{2})", body)
+    try:
+        if m:
+            wall = _parse_wall(m.group(1).strip())
+            if wall is None:
+                return None
+            sign = 1 if m.group(2)[0] == "+" else -1
+            off = _dt.timedelta(hours=int(m.group(2)[1:3]),
+                                minutes=int(m.group(2)[4:6])) * sign
+            instant = wall.replace(tzinfo=_dt.timezone(off)).astimezone(
+                _dt.timezone.utc)
+        else:
+            wall = _parse_wall(body)
+            if wall is None:
+                return None
+            instant = _pg_wall_to_utc(wall, _session_tzinfo(), False)
+    except ValueError:
+        return None
+    out_wall = instant.astimezone(ztz)
+    return ["TIMESTAMP_NTZ", f"'{_fmt_wall(out_wall)}'"]
 
 
 def _pass_naive_tz(tokens: list[str]) -> list[str]:
@@ -4290,9 +4550,20 @@ def _pass_naive_tz(tokens: list[str]) -> list[str]:
             and _is_word(tokens[i + 4], "zone")
         ):
             tz_end = _rhs_end(tokens, i + 5)
-            tz = _tz_zone_tokens(tokens[i + 5 : tz_end])
+            tz_raw = tokens[i + 5 : tz_end]
+            tz = _tz_zone_tokens(tz_raw)
             lhs_start = _operand_start(out + ["~"], len(out))
             lhs = out[lhs_start:]
+            if len(lhs) == 1 and lhs[0].startswith("'"):
+                # the RAW spelling decides abbreviation-vs-zone
+                # resolution discipline (MSK prefers AFTER even in a
+                # gap; Europe/Moscow prefers BEFORE)
+                folded = _fold_at_time_zone(
+                    ["timestamp", lhs[0]], tz_raw, "to_utc_timestamp")
+                if folded is not None:
+                    out = out[:lhs_start] + folded
+                    i = tz_end
+                    continue
             out = (
                 out[:lhs_start]
                 + ["to_utc_timestamp", "(", "CAST", "("]
@@ -4332,7 +4603,8 @@ def _pass_at_time_zone(tokens: list[str]) -> list[str]:
             and _is_word(tokens[i + 2], "zone")
         ):
             tz_end = _rhs_end(tokens, i + 3)
-            tz = _tz_zone_tokens(tokens[i + 3 : tz_end])
+            tz_raw = tokens[i + 3 : tz_end]
+            tz = _tz_zone_tokens(tz_raw)
             lhs_start = _operand_start(out + ["~"], len(out))
             # typed literal (TIMESTAMP '...' AT TIME ZONE ...): include
             # the type keyword in the operand
@@ -4364,6 +4636,11 @@ def _pass_at_time_zone(tokens: list[str]) -> list[str]:
                 )
             ):
                 fn = "to_utc_timestamp"
+            folded = _fold_at_time_zone(core, tz_raw, fn)
+            if folded is not None:
+                out = out[:lhs_start] + folded
+                i = tz_end
+                continue
             out = (
                 out[:lhs_start]
                 + [fn, "("]
@@ -7361,6 +7638,42 @@ def _pass_misc_funcs(tokens: list[str]) -> list[str]:
             # PG's bare-hour offsets ('+2') and zone abbreviations
             # normalize through the AT TIME ZONE table
             if low == "make_timestamptz":
+                # constant 7-arg form folds in Python: the zone's DST
+                # gap/ambiguity resolution must follow
+                # DetermineTimeZoneOffset, not the JDK (timestamp.c
+                # make_timestamptz_at_timezone); a SIGNLESS numeric
+                # zone is PG's error contract
+                if (
+                    len(args) == 7
+                    and all(
+                        len(a) == 1
+                        and re.fullmatch(r"\d+(\.\d+)?", a[0])
+                        for a in args[:6]
+                    )
+                    and len(args[6]) == 1
+                    and args[6][0].startswith("'")
+                ):
+                    zname = args[6][0][1:-1].strip()
+                    if re.fullmatch(r"\d+(\.\d+)?", zname):
+                        raise ValueError(
+                            "invalid input syntax for type numeric "
+                            f'time zone: "{zname}"')
+                    ztz, zabbr = _zone_pytz(zname)
+                    if ztz is not None:
+                        import datetime as _dt
+
+                        sec = float(args[5][0])
+                        us = int(round((sec - int(sec)) * 1e6))
+                        wall = _dt.datetime(
+                            int(args[0][0]), int(args[1][0]),
+                            int(args[2][0]), int(args[3][0]),
+                            int(args[4][0]), int(sec), us)
+                        u = _pg_wall_to_utc(wall, ztz, zabbr)
+                        out += ["CAST", "(",
+                                _lit_encode(f"{_fmt_wall(u)}+00:00"),
+                                "AS", "TIMESTAMP", ")"]
+                        i = k + 1
+                        continue
                 body: list[str] = []
                 for j, a in enumerate(args):
                     if j:
@@ -8650,12 +8963,11 @@ def _pass_typed_literals(tokens: list[str]) -> list[str]:
             and _is_word(tokens[i + 3], "zone")
             and tokens[i + 4].startswith("'")
         ):
-            lit5 = _pg_ts_literal(tokens[i + 4])
             if tokens[i + 1].lower() == "with":
-                lit5 = _normalize_ts_zone_literal(lit5)
-                out += ["CAST", "(", lit5, "AS", "TIMESTAMP", ")"]
+                out += ["CAST", "(", _tstz_literal(tokens[i + 4]),
+                        "AS", "TIMESTAMP", ")"]
             else:
-                out += ["timestamp", lit5]
+                out += ["timestamp", _pg_ts_literal(tokens[i + 4])]
             i += 5
             continue
         if low == "date" and i + 1 < n and tokens[i + 1].startswith("'"):
@@ -8692,7 +9004,7 @@ def _pass_typed_literals(tokens: list[str]) -> list[str]:
         ):
             lit = tokens[i + 1]
             if low == "timestamptz":
-                lit = _normalize_ts_zone_literal(_pg_ts_literal(lit))
+                lit = _tstz_literal(lit)
             out += ["CAST", "(", lit, "AS",
                     _TYPED_LITERAL_TYPES[low], ")"]
             i += 2

@@ -2370,3 +2370,122 @@ class TestJsonMiscFolds:
         assert "masklen" in t("SELECT masklen('192.168.1.5/24'::inet)")
         assert t("SELECT host('192.168.1.5'::inet)") \
             == "SELECT host('192.168.1.5')"
+
+
+class TestRound8ZoneDiscipline:
+    """PG DetermineTimeZoneOffset parity for constant zone folds
+    (datetime.c): region zones resolve DST gaps with the BEFORE offset
+    and ambiguities with AFTER; dynamic abbreviations
+    (DetermineTimeZoneAbbrevOffset — MSK) prefer AFTER in both. The
+    values are pinned against expected/timestamptz.out's Moscow 2011/
+    2014 block. Also covered: AT TIME ZONE's tstz->naive direction
+    returns timestamp WITHOUT time zone (TIMESTAMP_NTZ literal),
+    timestamptz 'epoch' is the UTC instant, POSIX compound suffixes
+    invert their sign, and N * INTERVAL products keep sub-day
+    components physical across DST."""
+
+    def _with_zone(self, fn):
+        from gpdb_spark.dialect import set_session_zone
+
+        set_session_zone("PST8PDT")
+        try:
+            return fn()
+        finally:
+            set_session_zone("UTC")
+
+    def test_zone_gap_and_ambiguity(self):
+        from gpdb_spark.dialect import translate as t
+
+        def run():
+            # gap (2011-03-27 02:00 Moscow, +3 -> +4): zone id -> before
+            assert "'2011-03-26 23:00:00+00:00'" in t(
+                "SELECT '2011-03-27 02:00:00 Europe/Moscow'::timestamptz")
+            # ... dynamic abbreviation -> after
+            assert "'2011-03-26 22:00:00+00:00'" in t(
+                "SELECT '2011-03-27 02:00:00 MSK'::timestamptz")
+            # ambiguity (2014-10-26 01:00, +4 -> +3): both -> after
+            assert "'2014-10-25 22:00:00+00:00'" in t(
+                "SELECT '2014-10-26 01:00:00 Europe/Moscow'::timestamptz")
+            assert "'2014-10-25 22:00:00+00:00'" in t(
+                "SELECT '2014-10-26 01:00:00 MSK'::timestamptz")
+
+        self._with_zone(run)
+
+    def test_at_time_zone_directions(self):
+        from gpdb_spark.dialect import translate as t
+
+        def run():
+            # naive -> tstz keeps the abbreviation discipline
+            assert "'2011-03-26 22:00:00+00:00'" in t(
+                "SELECT '2011-03-27 02:00:00'::timestamp "
+                "AT TIME ZONE 'MSK'")
+            assert "'2011-03-26 23:00:00+00:00'" in t(
+                "SELECT '2011-03-27 02:00:00'::timestamp "
+                "AT TIME ZONE 'Europe/Moscow'")
+            # tstz -> naive emits TIMESTAMP_NTZ (no zone, no abbrev)
+            out = t("SELECT '2011-03-26 21:00:00 UTC'::timestamptz "
+                    "AT TIME ZONE 'Europe/Moscow'")
+            assert "TIMESTAMP_NTZ '2011-03-27 00:00:00'" in out
+            # bare-string operand is timestamptz input (session zone)
+            out = t("SELECT '19970210 173201' "
+                    "AT TIME ZONE 'America/New_York'")
+            assert "TIMESTAMP_NTZ '1997-02-10 20:32:01'" in out
+
+        self._with_zone(run)
+
+    def test_posix_and_dayname_literals(self):
+        from gpdb_spark.dialect import translate as t
+
+        def run():
+            # POSIX compound suffix: sign INVERTED (GMT-4 = UTC+4)
+            assert "'2001-07-11 06:51:14+00:00'" in t(
+                "SELECT 'Wed Jul 11 10:51:14 GMT-4 2001'::timestamptz")
+            assert "'2001-07-11 13:51:14+00:00'" in t(
+                "SELECT 'Wed Jul 11 10:51:14 PST+03:00 2001'"
+                "::timestamptz")
+            # day-name alternative field order with a region zone
+            assert "'2001-07-11 14:51:14+00:00'" in t(
+                "SELECT 'Wed Jul 11 10:51:14 America/New_York 2001'"
+                "::timestamptz")
+            # compact run-together form with a region suffix
+            assert "'2050-07-10 14:32:01+00:00'" in t(
+                "SELECT '20500710 173201 Europe/Helsinki'::timestamptz")
+
+        self._with_zone(run)
+
+    def test_epoch_instant_and_interval_product(self):
+        from gpdb_spark.dialect import translate as t
+
+        out = t("SELECT TIMESTAMP WITH TIME ZONE 'epoch' "
+                "+ 1407545520 * INTERVAL '1 second'")
+        # epoch = UTC instant, and the N * interval product adds
+        # physical microseconds (timestamp_micros path), not a
+        # session-wall Spark interval
+        assert "'1970-01-01 00:00:00+00:00'" in out
+        assert "timestamp_micros" in out and "1407545520000000" in out
+
+    def test_make_timestamptz_fold(self):
+        import pytest
+
+        from gpdb_spark.dialect import translate as t
+
+        assert "'2014-12-09 23:00:00+00:00'" in t(
+            "SELECT make_timestamptz(2014, 12, 10, 0, 0, 0, "
+            "'Europe/Prague')")
+        assert "'2014-10-25 22:00:00+00:00'" in t(
+            "SELECT make_timestamptz(2014, 10, 26, 1, 0, 0, 'MSK')")
+        with pytest.raises(ValueError, match="numeric time zone"):
+            t("SELECT make_timestamptz(1973, 7, 15, 8, 15, 55.33, '2')")
+
+    def test_to_timestamp_session_instant(self):
+        from gpdb_spark.dialect import translate as t
+
+        def run():
+            # PST8PDT is a POSIX fixed-rule zone: 0097 folds at -8
+            # exactly (the JDK's PST8PDT->America/Los_Angeles link
+            # would shift pre-1883 walls by the 7:02 LMT offset)
+            assert "'0097-02-16 16:14:30+00:00'" in t(
+                "SELECT to_timestamp('97/2/16 8:14:30', "
+                "'FMYYYY/FMMM/FMDD FMHH:FMMI:FMSS')")
+
+        self._with_zone(run)

@@ -358,25 +358,34 @@ def render(v, ctx=_DEFAULT_CTX) -> str:
             equiv = _TZ_POSIX_EQUIV.get(ctx.get("tz", "PST8PDT"))
             if equiv:
                 abbrev = equiv[1].get(abbrev, abbrev)
-        zone = " " + abbrev if ctx.get("tstz") else ""
+        # the zone abbreviation prints only for timestamptz VALUES —
+        # an NTZ column (AT TIME ZONE's tstz->naive direction) stays
+        # bare even inside a tstz-flagged statement
+        zone = " " + abbrev if ctx.get("tstz") and ctx.get("ltz", True) \
+            else ""
         style = ctx["dstyle"]
+        # EncodeDateTime zero-pads the year to 4 digits in every
+        # style; glibc strftime %Y does not ('0097' would print '97')
+        y4 = f"{v.year:04d}"
         if style == "postgres":
             # DMY field order prints day before month (EncodeDateTime)
             dpart = ("%a %d %b " if ctx["dorder"] == "dmy"
                      else "%a %b %d ")
             return v.strftime(dpart) + v.strftime("%H:%M:%S") \
-                + frac + v.strftime(" %Y") + zone
+                + frac + " " + y4 + zone
         if style == "sql":
             dmy = ctx["dorder"] == "dmy"
-            dpart = v.strftime("%d/%m/%Y" if dmy else "%m/%d/%Y")
+            dpart = v.strftime("%d/%m/" if dmy else "%m/%d/") + y4
             return f"{dpart} {v.strftime('%H:%M:%S')}{frac}{zone}"
         if style == "german":
-            return v.strftime("%d.%m.%Y %H:%M:%S") + frac + zone
+            return v.strftime("%d.%m.") + y4 + v.strftime(" %H:%M:%S") \
+                + frac + zone
         # ISO renders a numeric offset, not the abbreviation
-        if ctx.get("tstz"):
+        if ctx.get("tstz") and ctx.get("ltz", True):
             off = v.strftime("%z")
             zone = off[:3] if off.endswith("00") else off[:3] + ":" + off[3:]
-        return v.strftime("%Y-%m-%d %H:%M:%S") + frac + zone
+        return (f"{v.year:04d}-" + v.strftime("%m-%d %H:%M:%S")
+                + frac + zone)
     if isinstance(v, datetime.time):
         s = v.strftime("%H:%M:%S")
         if v.microsecond:
@@ -385,12 +394,13 @@ def render(v, ctx=_DEFAULT_CTX) -> str:
     if isinstance(v, datetime.date):
         style = ctx["dstyle"]
         dmy = ctx["dorder"] == "dmy"
+        y4 = f"{v.year:04d}"
         if style == "postgres":
-            return v.strftime("%d-%m-%Y" if dmy else "%m-%d-%Y")
+            return v.strftime("%d-%m-" if dmy else "%m-%d-") + y4
         if style == "sql":
-            return v.strftime("%d/%m/%Y" if dmy else "%m/%d/%Y")
+            return v.strftime("%d/%m/" if dmy else "%m/%d/") + y4
         if style == "german":
-            return v.strftime("%d.%m.%Y")
+            return v.strftime("%d.%m.") + y4
         return v.isoformat()
     if isinstance(v, datetime.timedelta):
         if ctx["istyle"] == "postgres_verbose":
@@ -441,6 +451,8 @@ _DECLARED_ERR: list[tuple[str, re.Pattern]] = [
     ("mixed-dimension array concat", re.compile(
         r"(?is)(array_cat\s*\(.*\[\s*\[)|(\[\s*\[.*\|\|)|(\|\|\s*array\s*\[\s*\[)")),
     ("numeric beyond 38 digits", re.compile(r"\d{39,}")),
+    ("year beyond 9999 (datetime image range)", re.compile(
+        r"(?i)'\d{5,6}-\d|/2942\d\d\b|to_timestamp\s*\(\s*'\d{5}-")),
     ("numeric NaN (numeric image is double)", re.compile(
         r"(?i)'nan'\s*::\s*numeric")),
 ]
@@ -508,7 +520,13 @@ def apply_set(stmt: str, ctx: dict) -> None:
     if re.match(r"(?i)^reset\b", stmt):
         m = re.match(r"(?i)^reset\s+(\w+)", stmt)
         name = m.group(1).lower() if m else ""
-        if name == "datestyle":
+        if name in ("timezone", "time"):
+            # RESET TimeZone restores the regress session default —
+            # missing this left America/New_York / Europe/Moscow
+            # leaking into every later statement (the r07 EST/MSK
+            # GOLD_DIFF class)
+            ctx["tz"] = "PST8PDT"
+        elif name == "datestyle":
             # RESET restores the regress session default
             ctx["dstyle"], ctx["dorder"] = "postgres", "mdy"
             set_date_order("mdy")
@@ -628,7 +646,13 @@ def main(argv):
             sctx = dict(ctx)
             if re.search(
                 r"(?i)timestamp\s+with\s+time\s+zone|::\s*timestamptz"
-                r"|timestamptz\s*[('!]|\bto_timestamp\s*\(", stmt,
+                r"|timestamptz\s*[('!]|\bto_timestamp\s*\("
+                # AT TIME ZONE's naive->tstz direction and the
+                # date->timestamptz promotions return timestamptz
+                # (the NTZ direction suppresses the abbrev via the
+                # per-column ltz gate above)
+                r"|\bat\s+time\s+zone\b|\bmake_timestamptz\s*\("
+                r"|date_trunc\s*\(\s*'[^']+'\s*,\s*date\b", stmt,
             ):
                 sctx["tstz"] = True
             try:
