@@ -1618,8 +1618,13 @@ def _quote_sql(arg_sql: str, ident: bool) -> str:
             f"CASE WHEN {arg_sql} RLIKE '^[a-z_][a-z0-9_]*$' THEN {arg_sql} "
             f"ELSE '\"' || replace({arg_sql}, '\"', '\"\"') || '\"' END"
         )
+    s = f"CAST({arg_sql} AS STRING)"
+    # quote.c quote_literal: a value containing backslashes renders in
+    # E'' form with the backslashes doubled; plain values keep ''
     return (
-        f"'''' || replace(CAST({arg_sql} AS STRING), '''', '''''') || ''''"
+        f"CASE WHEN instr({s}, '\\\\') > 0 THEN 'E''' || "
+        f"replace(replace({s}, '\\\\', '\\\\\\\\'), '''', '''''') || '''' "
+        f"ELSE '''' || replace({s}, '''', '''''') || '''' END"
     )
 
 
@@ -1736,6 +1741,25 @@ def _pass_functions(tokens: list[str]) -> list[str]:
             low == "format"
             and nxt == "("
             and i + 2 < n
+            and tokens[i + 2].upper() == "NULL"
+        ):
+            # text_format: a NULL format string yields NULL
+            depth, k = 0, i + 1
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            out += ["CAST", "(", "NULL", "AS", "STRING", ")"]
+            i = k + 1
+            continue
+        if (
+            low == "format"
+            and nxt == "("
+            and i + 2 < n
             and tokens[i + 2].startswith("'")
         ):
             depth, k = 0, i + 1
@@ -1818,9 +1842,18 @@ def _pass_functions(tokens: list[str]) -> list[str]:
                     break
                 a = args[ai]
                 ai += 1
+                core_a = a[1:-1].strip().upper()
                 if conv == "s":
-                    v = f"coalesce(CAST({a} AS STRING), '')"
+                    # boolean literals render with boolout's t/f
+                    if core_a in ("TRUE", "FALSE"):
+                        v = "'t'" if core_a == "TRUE" else "'f'"
+                    else:
+                        v = f"coalesce(CAST({a} AS STRING), '')"
                 elif conv == "I":
+                    if core_a == "NULL":
+                        raise ValueError(
+                            "null values cannot be formatted as an "
+                            "SQL identifier")
                     v = _quote_sql(a, True)
                 else:
                     v = f"coalesce({_quote_sql(a, False)}, 'NULL')"
@@ -3336,6 +3369,436 @@ def _pg_interval_out(mo: int, d: int, us: int) -> str:
         sign = "-" if us < 0 else ("+" if before and parts else "")
         parts.append(sign + _ivl_time_text(us))
     return " ".join(parts)
+
+
+def _numeric_weight_first(d) -> tuple[int, int]:
+    """Base-10000 weight and first base-10000 digit of a Decimal —
+    value ~= firstdigit * 10000^weight (numeric.c NumericVar)."""
+    import math
+
+    if d == 0:
+        return 0, 0
+    e10 = math.floor(abs(d).log10())
+    w = e10 // 4 if e10 >= 0 else -((-e10 + 3) // 4)
+    import decimal as _dec
+
+    fd = int(abs(d).scaleb(-4 * w).to_integral_value(
+        rounding=_dec.ROUND_DOWN))
+    # scaleb rounding at prec boundaries: clamp into 1..9999
+    while fd >= 10000:
+        fd //= 10000
+        w += 1
+    return w, fd
+
+
+def _pg_select_div_scale(a, sa: int, b, sb: int) -> int:
+    """numeric.c select_div_scale: at least 16 significant digits, not
+    less than either input's display scale."""
+    w1, f1 = _numeric_weight_first(a)
+    w2, f2 = _numeric_weight_first(b)
+    qweight = w1 - w2
+    if f1 <= f2:
+        qweight -= 1
+    rscale = 16 - qweight * 4
+    return min(max(rscale, sa, sb, 0), 1000)
+
+
+def _pass_numeric_fold(tokens: list[str]) -> list[str]:
+    """numeric.c constant arithmetic folded at translate time:
+    ``+ - * / % ^`` and ``div()``/``mod()`` over numeric-typed literal
+    operands reproduce PG's result-scale selection (add/sub: max
+    dscale; mul: s1+s2; div: select_div_scale; mod: max dscale; div():
+    truncated, scale 0; power: >=16 significant digits) and its
+    half-away-from-zero rounding. A chain folds only when a
+    numeric-typed constant participates (a decimal point, a ::numeric
+    cast, or an integer wider than int8) — pure int-int arithmetic
+    keeps integer semantics, and column operands leave the expression
+    untouched. Power results wider than the numeric image raise PG's
+    'value overflows numeric format'."""
+    quick = False
+    for i, t in enumerate(tokens):
+        if re.fullmatch(r"\d{19,}", t):
+            quick = True
+            break
+        if t == "^" or t.lower() in ("div",):
+            quick = True
+            break
+        if t.lower() == "numeric" and i >= 1 and tokens[i - 1] == "::":
+            quick = True
+            break
+        if re.fullmatch(r"\d+\.\d*", t) and any(
+            x in tokens for x in ("/", "%", "*", "+", "-")
+        ):
+            quick = True
+            break
+    if not quick:
+        return tokens
+
+    import decimal as _dec
+    from decimal import Decimal
+
+    vals: dict[str, tuple[Decimal, int]] = {}
+    counter = [0]
+
+    def mk(d: Decimal, scale: int) -> str:
+        tok = f"__NUMC{counter[0]}__"
+        counter[0] += 1
+        vals[tok] = (d, scale)
+        return tok
+
+    def as_num(tok: str):
+        """(Decimal, dscale, is_numeric_typed) or None."""
+        if tok in vals:
+            d, s = vals[tok]
+            return d, s, True
+        if re.fullmatch(r"\d+", tok):
+            return Decimal(tok), 0, len(tok) > 18
+        if re.fullmatch(r"\d+\.\d*|\.\d+", tok):
+            frac = tok.split(".", 1)[1]
+            return Decimal(tok), len(frac), True
+        return None
+
+    def emit(tok: str) -> list[str]:
+        d, s = vals[tok]
+        q = d.quantize(Decimal(1).scaleb(-s),
+                       rounding=_dec.ROUND_HALF_UP)
+        text = f"{q:f}"
+        digits = text.lstrip("-").replace(".", "")
+        p = max(len(digits), s, 1)
+        if p > 38:
+            raise ValueError("value overflows numeric format")
+        return ["CAST", "(", f"'{text}'", "AS", f"DECIMAL({p},{s})", ")"]
+
+    def binop(op: str, a, sa, b, sb):
+        with _dec.localcontext() as c:
+            c.prec = 300
+            if op == "+":
+                return a + b, max(sa, sb)
+            if op == "-":
+                return a - b, max(sa, sb)
+            if op == "*":
+                return a * b, sa + sb
+            if op == "%":
+                if b == 0:
+                    raise ValueError("division by zero")
+                r = a - (a / b).to_integral_value(
+                    rounding=_dec.ROUND_DOWN) * b
+                return r, max(sa, sb)
+            if op == "/":
+                if b == 0:
+                    raise ValueError("division by zero")
+                rscale = _pg_select_div_scale(a, sa, b, sb)
+                q = (a / b).quantize(Decimal(1).scaleb(-rscale),
+                                     rounding=_dec.ROUND_HALF_UP)
+                return q, rscale
+            if op == "^":
+                rscale = max(16, sa, sb)
+                try:
+                    r = a ** b
+                except _dec.Overflow:
+                    raise ValueError("value overflows numeric format")
+                if r.adjusted() > 524288:
+                    raise ValueError("value overflows numeric format")
+                if r.adjusted() >= 0 and r.adjusted() + 1 > 38 - rscale:
+                    # keep the result within the DECIMAL(38) image —
+                    # wider constants would need the text path
+                    raise ValueError("value overflows numeric format")
+                return r, rscale
+        raise ValueError(op)
+
+    orig = list(tokens)
+    try:
+        changed = True
+        reduced = False
+        while changed:
+            changed = False
+            # '<lit>'::numeric / <lit>::numeric (no typmod) -> value
+            out: list[str] = []
+            i, n = 0, len(tokens)
+            while i < n:
+                if (
+                    tokens[i] == "::"
+                    and i + 1 < n
+                    and tokens[i + 1].lower() in ("numeric", "decimal")
+                    and (i + 2 >= n or tokens[i + 2] != "(")
+                    and out
+                ):
+                    prev = out[-1]
+                    src = None
+                    if prev.startswith("'"):
+                        src = prev[1:-1].strip()
+                    elif re.fullmatch(r"\d+(\.\d*)?|\.\d+", prev):
+                        src = prev
+                    if src is not None and re.fullmatch(
+                        r"[+-]?(\d+(\.\d*)?|\.\d+)", src
+                    ):
+                        frac = src.split(".", 1)[1] if "." in src else ""
+                        out.pop()
+                        out.append(mk(Decimal(src), len(frac)))
+                        i += 2
+                        changed = True
+                        continue
+                out.append(tokens[i])
+                i += 1
+            tokens = out
+            # functions div(a,b) / mod(a,b) over constants
+            out = []
+            i, n = 0, len(tokens)
+            while i < n:
+                t = tokens[i]
+                low = t.lower() if t.isidentifier() else ""
+                if (
+                    low in ("div", "mod")
+                    and i + 5 < n
+                    and tokens[i + 1] == "("
+                    and tokens[i + 3] == ","
+                    and tokens[i + 5] == ")"
+                ):
+                    a = as_num(tokens[i + 2])
+                    b = as_num(tokens[i + 4])
+                    if a and b and (a[2] or b[2]):
+                        if low == "div":
+                            if b[0] == 0:
+                                raise ValueError("division by zero")
+                            with _dec.localcontext() as c:
+                                c.prec = 300
+                                q = (a[0] / b[0]).to_integral_value(
+                                    rounding=_dec.ROUND_DOWN)
+                            out.append(mk(q, 0))
+                        else:
+                            r, s = binop("%", a[0], a[1], b[0], b[1])
+                            out.append(mk(r, s))
+                        i += 6
+                        changed = reduced = True
+                        continue
+                out.append(t)
+                i += 1
+            tokens = out
+            # parenthesized single value
+            out = []
+            i, n = 0, len(tokens)
+            while i < n:
+                if (
+                    tokens[i] == "("
+                    and i + 2 < n
+                    and tokens[i + 1] in vals
+                    and tokens[i + 2] == ")"
+                    and (i == 0 or not tokens[i - 1].isidentifier())
+                ):
+                    out.append(tokens[i + 1])
+                    i += 3
+                    changed = True
+                    continue
+                out.append(tokens[i])
+                i += 1
+            tokens = out
+            # unary minus: operator/start before '-' before a value
+            out = []
+            i, n = 0, len(tokens)
+            while i < n:
+                if (
+                    tokens[i] == "-"
+                    and i + 1 < n
+                    and tokens[i + 1] in vals
+                    and (
+                        i == 0
+                        or tokens[i - 1] in ("(", ",", "+", "-", "*",
+                                             "/", "%", "^", "=", "<",
+                                             ">")
+                        or _is_word(tokens[i - 1], "select", "where",
+                                    "when", "then", "else", "by", "and",
+                                    "or")
+                    )
+                ):
+                    d, s = vals[tokens[i + 1]]
+                    out.append(mk(-d, s))
+                    i += 2
+                    changed = True
+                    continue
+                out.append(tokens[i])
+                i += 1
+            tokens = out
+            # binary operators by precedence tier; adjacency guards
+            # keep left-associativity and precedence honest when an
+            # UNFOLDED (column) operand sits on either side
+            rank = {"^": 3, "*": 2, "/": 2, "%": 2, "+": 1, "-": 1}
+            for tier in (("^",), ("*", "/", "%"), ("+", "-")):
+                out = []
+                i, n = 0, len(tokens)
+                while i < n:
+                    t = tokens[i]
+                    if (
+                        t in tier
+                        and out
+                        and i + 1 < n
+                        # the left operand must not belong to a
+                        # pending same-or-higher-precedence chain
+                        # (count(*) * 100.0 / 7 folds NOTHING)
+                        and not (
+                            len(out) >= 2
+                            and rank.get(out[-2], 0) >= rank[t]
+                        )
+                    ):
+                        a = as_num(out[-1])
+                        rhs = tokens[i + 1]
+                        neg = False
+                        if (
+                            rhs == "-"
+                            and i + 2 < n
+                            and t in ("^", "*", "/", "%")
+                        ):
+                            # a ^ -b / a * -b: unary rhs sign
+                            nxt = as_num(tokens[i + 2])
+                            if nxt:
+                                rhs = tokens[i + 2]
+                                neg = True
+                        after = tokens[i + (3 if neg else 2)] \
+                            if i + (3 if neg else 2) < n else ""
+                        b = as_num(rhs)
+                        if (
+                            a and b and (a[2] or b[2])
+                            # the right operand must not bind to a
+                            # higher-precedence operator first
+                            and rank.get(after, 0) <= rank[t]
+                        ):
+                            bd = -b[0] if neg else b[0]
+                            r, s = binop(t, a[0], a[1], bd, b[1])
+                            out.pop()
+                            out.append(mk(r, s))
+                            i += 3 if neg else 2
+                            changed = reduced = True
+                            continue
+                    out.append(t)
+                    i += 1
+                tokens = out
+    except ValueError:
+        raise
+    except Exception:
+        return orig
+    if not reduced:
+        # no constant ARITHMETIC happened — keep the original spelling
+        # (standalone ::numeric literals keep their existing cast path)
+        return orig
+    flat: list[str] = []
+    for t in tokens:
+        if t in vals:
+            flat += emit(t)
+        else:
+            flat.append(t)
+    return flat
+
+
+_INT_TYPES = {"int2": ("smallint", -32768, 32767),
+              "smallint": ("smallint", -32768, 32767),
+              "int4": ("integer", -2147483648, 2147483647),
+              "int": ("integer", -2147483648, 2147483647),
+              "integer": ("integer", -2147483648, 2147483647),
+              "int8": ("bigint", -(1 << 63), (1 << 63) - 1),
+              "bigint": ("bigint", -(1 << 63), (1 << 63) - 1)}
+
+
+def _pass_error_contracts(tokens: list[str]) -> list[str]:
+    """Constant expressions whose PG evaluation ERRORS must refuse at
+    translate time rather than return a Spark-semantics value (the
+    round-5/7 ERR_MISS parity discipline): chr(0), length(integer)
+    resolution failure, numeric || numeric, INT_MIN / -1 on the
+    casted int types (int.c ereport where Spark wraps two's-
+    complement), and float->int chained casts whose rounded value
+    leaves the target range (float.c dtoi2 etc. — Spark saturates)."""
+
+    def const_int(toks, j):
+        """Parse lit / -lit / (lit) / (-lit) ENDING at j (inclusive).
+        Returns (value, start) or (None, j)."""
+        if j >= 0 and re.fullmatch(r"\d+", toks[j] or ""):
+            if j >= 1 and toks[j - 1] == "-":
+                return -int(toks[j]), j - 1
+            return int(toks[j]), j
+        if (
+            j >= 2
+            and toks[j] == ")"
+            and re.fullmatch(r"\d+", toks[j - 1] or "")
+        ):
+            if j >= 3 and toks[j - 2] == "-" and toks[j - 3] == "(":
+                return -int(toks[j - 1]), j - 3
+            if toks[j - 2] == "(":
+                return int(toks[j - 1]), j - 2
+        return None, j
+
+    n = len(tokens)
+    for i, t in enumerate(tokens):
+        low = t.lower() if t.isidentifier() else ""
+        # chr(0) — "null character not permitted" (oracle_expr.c chr)
+        if (
+            low == "chr"
+            and i + 3 < n
+            and tokens[i + 1] == "("
+            and tokens[i + 2] == "0"
+            and tokens[i + 3] == ")"
+        ):
+            raise ValueError("null character not permitted")
+        # length(42) — PG has no length(integer)
+        if (
+            low == "length"
+            and i + 3 < n
+            and tokens[i + 1] == "("
+            and re.fullmatch(r"\d+", tokens[i + 2])
+            and tokens[i + 3] == ")"
+        ):
+            raise ValueError("function length(integer) does not exist")
+        # numeric || numeric — no such operator (PG resolves || only
+        # with at least one string-ish side)
+        if (
+            t == "||"
+            and 0 < i < n - 1
+            and re.fullmatch(r"\d+(\.\d*)?", tokens[i - 1])
+            and re.fullmatch(r"\d+(\.\d*)?", tokens[i + 1])
+        ):
+            raise ValueError(
+                "operator does not exist: integer || numeric")
+        # INT_MIN / -1 on casted int types
+        if (
+            t == "/"
+            and i >= 3
+            and tokens[i - 1].lower() in _INT_TYPES
+            and tokens[i - 2] == "::"
+        ):
+            name, lo, _hi = _INT_TYPES[tokens[i - 1].lower()]
+            lval, _ = const_int(tokens, i - 3)
+            rstart = i + 1
+            rv = None
+            # rhs: (-1)::type / -1 / (-1)
+            for j in range(rstart, min(rstart + 5, n)):
+                rv, _s = const_int(tokens, j)
+                if rv is not None and (
+                    j + 2 >= n
+                    or tokens[j + 1] != "::"
+                    or tokens[j + 2].lower() in _INT_TYPES
+                ):
+                    break
+                rv = None
+            if lval == lo and rv == -1:
+                raise ValueError(f"{name} out of range")
+        # '<num>'::float4::int2 family — rounded value range check
+        if (
+            tokens[i].startswith("'")
+            and i + 4 < n
+            and tokens[i + 1] == "::"
+            and tokens[i + 2].lower() in ("float4", "float8", "real")
+            and tokens[i + 3] == "::"
+            and tokens[i + 4].lower() in _INT_TYPES
+        ):
+            body = tokens[i][1:-1].strip()
+            if re.fullmatch(r"[+-]?\d+(\.\d*)?([eE][+-]?\d+)?", body):
+                x = float(body)
+                if tokens[i + 2].lower() in ("float4", "real"):
+                    import struct
+
+                    x = struct.unpack("f", struct.pack("f", x))[0]
+                name, lo, hi = _INT_TYPES[tokens[i + 4].lower()]
+                r = round(x)  # rint: ties to even, like PG
+                if r < lo or r > hi:
+                    raise ValueError(f"{name} out of range")
+    return tokens
 
 
 def _pass_interval_fold(tokens: list[str]) -> list[str]:
@@ -9442,6 +9905,8 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_time_literals(tokens)
     tokens = _pass_jsonb_fold(tokens)
     tokens = _pass_money_fold(tokens)
+    tokens = _pass_numeric_fold(tokens)
+    tokens = _pass_error_contracts(tokens)
     tokens = _pass_interval_fold(tokens)
     tokens = _pass_array_literal_casts(tokens)
     tokens = _pass_bytea_literals(tokens)

@@ -2489,3 +2489,89 @@ class TestRound8ZoneDiscipline:
                 "'FMYYYY/FMMM/FMDD FMHH:FMMI:FMSS')")
 
         self._with_zone(run)
+
+
+class TestRound8NumericAlgebra:
+    """numeric.c constant arithmetic scale selection + the ERR_MISS
+    error-contract parity batch, pinned against expected/numeric.out,
+    int2/int4.out, float4/float8.out and text.out."""
+
+    def test_select_div_scale(self):
+        from gpdb_spark.dialect import translate as t
+
+        assert "'1.00000000000000000000' AS DECIMAL(21,20)" in t(
+            "select 999999999999999999999::numeric"
+            "/1000000000000000000000")
+        assert "'1.00000000000000000000' AS DECIMAL(21,20)" in t(
+            "select 70.0 / 70")
+        # int-digit-heavy quotient selects scale 0 WITH rounding
+        assert "'100371373180768845'" in t(
+            "select 12345678901234567890 / 123")
+        # div() truncates
+        assert "'100371373180768844'" in t(
+            "select div(12345678901234567890, 123)")
+        # div/mod identity reassembles the dividend exactly
+        assert "'12345678901234567890'" in t(
+            "select div(12345678901234567890, 123) * 123 "
+            "+ 12345678901234567890 % 123")
+
+    def test_power_scale_and_overflow(self):
+        import pytest
+
+        from gpdb_spark.dialect import translate as t
+
+        assert "'0.0000000000000000' AS DECIMAL(17,16)" in t(
+            "select 10.0 ^ -2147483648")
+        for s in ("select 10.0 ^ 2147483647",
+                  "select 117743296169.0 ^ 1000000000"):
+            with pytest.raises(ValueError, match="overflows numeric"):
+                t(s)
+
+    def test_precedence_guards_hold(self):
+        from gpdb_spark.dialect import translate as t
+
+        # an unfolded column on the left of a same-tier chain poisons
+        # the whole chain (left-associativity)
+        assert t("SELECT count(*) * 100.0 / 7 AS pct FROM orders") \
+            == "SELECT count(*) * 100.0 / 7 AS pct FROM orders"
+        assert t("SELECT colX * 2.0 + 3 FROM x") \
+            == "SELECT colX * 2.0 + 3 FROM x"
+        # pure constants on a lower tier still fold
+        assert "'6.0' AS DECIMAL(2,1)" in t(
+            "SELECT colX + 2.0 * 3 FROM x")
+        # int-int arithmetic keeps integer semantics
+        assert t("SELECT 1 + 2") == "SELECT 1 + 2"
+        assert t("SELECT 5 / 2") == "SELECT 5 div 2"
+
+    def test_error_contract_parity(self):
+        import pytest
+
+        from gpdb_spark.dialect import translate as t
+
+        for s, msg in [
+            ("SELECT (-32768)::int2 / (-1)::int2", "smallint out of"),
+            ("SELECT (-2147483648)::int4 / (-1)::int4",
+             "integer out of"),
+            ("SELECT '32767.6'::float4::int2", "smallint out of"),
+            ("SELECT '9223372036854775807'::float8::int8",
+             "bigint out of"),
+            ("SELECT chr(0)", "null character"),
+            ("select length(42)", "length\\(integer\\)"),
+            ("select 3 || 4.0", "operator does not exist"),
+            ("select format('%I', NULL)", "SQL identifier"),
+        ]:
+            with pytest.raises(ValueError, match=msg):
+                t(s)
+        # the exact int8 boundary is NOT an error (-2^63 fits)
+        assert "CAST" in t("SELECT '-9223372036854775808.5'"
+                           "::float8::int8")
+
+    def test_format_and_quote_literal(self):
+        from gpdb_spark.dialect import translate as t
+
+        assert t("select format(NULL)") == "select CAST(NULL AS STRING)"
+        assert t("select format('%s, %s', variadic "
+                 "array[true, false])") == "select concat('t', ', ', 'f')"
+        # quote_literal adds the E'' form when backslashes are present
+        out = t("select quote_literal(e'\\\\')")
+        assert "'E'''" in out and "instr" in out
