@@ -2227,6 +2227,7 @@ def _pass_functions(tokens: list[str]) -> list[str]:
         if low == "array_to_string" and nxt == "(":
             depth, k = 0, i + 1
             first_comma = None
+            commas = []
             while k < n:
                 if tokens[k] == "(":
                     depth += 1
@@ -2234,9 +2235,23 @@ def _pass_functions(tokens: list[str]) -> list[str]:
                     depth -= 1
                     if depth == 0:
                         break
-                elif tokens[k] == "," and depth == 1 and first_comma is None:
-                    first_comma = k
+                elif tokens[k] == "," and depth == 1:
+                    commas.append(k)
+                    if first_comma is None:
+                        first_comma = k
                 k += 1
+            # a NULL null_string third arg means "omit NULL elements"
+            # (array_to_text_null with a null replacement is strict
+            # ONLY on the replacement in Spark — drop it to get PG's
+            # omit-behavior instead of a NULL result)
+            if (
+                len(commas) == 2
+                and k < n
+                and tokens[commas[1] + 1 : k] == ["NULL"]
+            ):
+                tokens = tokens[: commas[1]] + tokens[k:]
+                n = len(tokens)
+                k = commas[1]
             if first_comma and k < n:
                 # the inner arg tokens re-enter this pass (a linear copy
                 # would skip renames of nested calls, e.g. array_cat)
@@ -2246,6 +2261,28 @@ def _pass_functions(tokens: list[str]) -> list[str]:
                     + ["AS", "ARRAY<STRING>", ")"]
                     + _pass_functions(tokens[first_comma : k + 1])
                 )
+                i = k + 1
+                continue
+        # array_remove(x, NULL) removes NULL elements (arrayfuncs.c
+        # array_remove); Spark's array_remove is strict on the needle
+        if low == "array_remove" and nxt == "(":
+            depth, k = 0, i + 1
+            last_comma = None
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif tokens[k] == "," and depth == 1:
+                    last_comma = k
+                k += 1
+            if last_comma and tokens[last_comma + 1 : k] == ["NULL"]:
+                out += (["filter", "(", "("]
+                        + _pass_functions(tokens[i + 2 : last_comma])
+                        + [")", ",", "__e", "->", "__e", "IS", "NOT",
+                           "NULL", ")"])
                 i = k + 1
                 continue
         if low in _FN_RENAME and nxt == "(":
@@ -2335,10 +2372,13 @@ def _pass_string_to_array(tokens: list[str]) -> list[str]:
                 elif len(delim) == 1 and delim[0].startswith("'"):
                     # lexer already doubled backslashes in the literal;
                     # \Q..\E quoting needs doubled backslashes in Spark
-                    # SQL source too
+                    # SQL source too. An empty INPUT is the empty
+                    # array (text_to_array), where split returns ['']
                     quoted = "'\\\\Q" + delim[0][1:-1] + "\\\\E'"
-                    base = (["split", "(", "("] + s + [")", ",",
-                            quoted, ")"])
+                    base = (["CASE", "WHEN", "("] + s
+                            + [")", "=", "''", "THEN", "array", "(",
+                               ")", "ELSE", "split", "(", "("] + s
+                            + [")", ",", quoted, ")", "END"])
                 if base is not None:
                     if len(commas) == 2:
                         # 3-arg null-string form: elements equal to
@@ -3695,6 +3735,87 @@ _INT_TYPES = {"int2": ("smallint", -32768, 32767),
               "integer": ("integer", -2147483648, 2147483647),
               "int8": ("bigint", -(1 << 63), (1 << 63) - 1),
               "bigint": ("bigint", -(1 << 63), (1 << 63) - 1)}
+
+
+def _pass_multidim_cast_drop(tokens: list[str]) -> list[str]:
+    """Casting a multi-dimensional ARRAY[[...]] constructor to a
+    1-bracket array type is a NO-OP in PG — array casts convert the
+    element type and IGNORE dimensionality (arrayfuncs.c array_cast
+    via element coercion). Spark's CAST(array<array<T>> AS ARRAY<T>)
+    would instead stringify each inner array (a silent wrong image),
+    so the cast drops when the operand is an explicit nested
+    constructor of string/untyped elements."""
+    changed = True
+    while changed:
+        changed = False
+        n = len(tokens)
+        # postfix: ARRAY[[...]]::type[]
+        for i in range(n):
+            if (
+                tokens[i] == "::"
+                and i + 3 < n
+                and tokens[i + 1].isidentifier()
+                and tokens[i + 2] == "["
+                and tokens[i + 3] == "]"
+                and i >= 1
+                and tokens[i - 1] == "]"
+            ):
+                depth = 0
+                open_at = None
+                for j in range(i - 1, -1, -1):
+                    if tokens[j] == "]":
+                        depth += 1
+                    elif tokens[j] == "[":
+                        depth -= 1
+                        if depth == 0:
+                            open_at = j
+                            break
+                if (
+                    open_at is not None
+                    and open_at >= 1
+                    and _is_word(tokens[open_at - 1], "array")
+                    and open_at + 1 < n
+                    and tokens[open_at + 1] == "["
+                ):
+                    tokens = tokens[:i] + tokens[i + 4:]
+                    changed = True
+                    break
+        if changed:
+            continue
+        # CAST(ARRAY[[...]] AS type[])
+        for i in range(n):
+            if (
+                _is_word(tokens[i], "cast")
+                and i + 4 < n
+                and tokens[i + 1] == "("
+                and _is_word(tokens[i + 2], "array")
+                and tokens[i + 3] == "["
+                and tokens[i + 4] == "["
+            ):
+                depth = 0
+                close_at = None
+                for j in range(i + 3, n):
+                    if tokens[j] == "[":
+                        depth += 1
+                    elif tokens[j] == "]":
+                        depth -= 1
+                        if depth == 0:
+                            close_at = j
+                            break
+                if (
+                    close_at is not None
+                    and close_at + 5 < n
+                    and _is_word(tokens[close_at + 1], "as")
+                    and tokens[close_at + 2].isidentifier()
+                    and tokens[close_at + 3] == "["
+                    and tokens[close_at + 4] == "]"
+                    and tokens[close_at + 5] == ")"
+                ):
+                    tokens = (tokens[:i] + tokens[i + 2 : close_at + 1]
+                              + tokens[close_at + 6:])
+                    changed = True
+                    break
+    return tokens
 
 
 def _pass_error_contracts(tokens: list[str]) -> list[str]:
@@ -5345,12 +5466,48 @@ def _pass_array_syntax(tokens: list[str]) -> list[str]:
                     if depth == 0:
                         break
                 k += 1
+            if k == i + 2 and (
+                k + 1 >= n
+                or (tokens[k + 1] != "::"
+                    and not _is_word(tokens[k + 1], "as"))
+            ):
+                # parse_expr.c: a bare empty ARRAY[] has no type (a
+                # following :: or CAST...AS supplies one)
+                raise ValueError("cannot determine type of empty array")
             inner = _pass_array_syntax(
                 _nested_brackets_to_arrays(tokens[i + 2 : k])
             )
             out += ["array", "("] + inner + [")"]
             i = k + 1
             continue
+        # scalar-function-wrapped unnest in the select list: PG 9.x
+        # SRF-in-expression semantics — the function maps over the
+        # set (fn(unnest(a)) == unnest(transform-by-fn(a)))
+        if (
+            low not in ("", "unnest", "array")
+            and low not in _KEYWORDS
+            and nxt == "("
+            and i + 2 < n
+            and tokens[i + 2].lower() == "unnest"
+            and i + 3 < n
+            and tokens[i + 3] == "("
+        ):
+            depth, k = 0, i + 3
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            if k + 1 < n and tokens[k + 1] == ")":
+                arr = _pass_array_syntax(tokens[i + 4 : k])
+                out += (["explode", "(", "transform", "(", "("] + arr
+                        + [")", ",", "__u", "->", t, "(", "__u", ")",
+                           ")", ")"])
+                i = k + 2
+                continue
         if low == "unnest" and nxt == "(":
             # unnest(arr) WITH ORDINALITY [AS t(c1, c2)] -> a derived
             # table over posexplode with the 1-based position LAST
@@ -5411,6 +5568,40 @@ def _pass_array_syntax(tokens: list[str]) -> list[str]:
             out.append("explode")
             i += 1
             continue
+        # <array-fn(...)> = '{...}': the unknown-type rhs literal
+        # coerces to the array type (parse_coerce.c) — expand it to a
+        # constructor so Spark compares arrays, not a stringified image
+        if (
+            t in ("=", "<>", "!=")
+            and i + 1 < n
+            and tokens[i + 1].startswith("'")
+            and tokens[i + 1][1:-1].strip().startswith("{")
+            and tokens[i + 1][1:-1].strip().endswith("}")
+            and out
+            and out[-1] == ")"
+        ):
+            depth2 = 0
+            fn_at = None
+            for j in range(len(out) - 1, -1, -1):
+                if out[j] == ")":
+                    depth2 += 1
+                elif out[j] == "(":
+                    depth2 -= 1
+                    if depth2 == 0:
+                        fn_at = j - 1
+                        break
+            fname = (out[fn_at].lower()
+                     if fn_at is not None and fn_at >= 0
+                     and out[fn_at].isidentifier() else "")
+            if fname in ("array_remove", "array_cat", "array_append",
+                         "array_prepend", "array_positions", "filter",
+                         "string_to_array", "array", "array_agg",
+                         "array_replace", "slice", "array_distinct"):
+                rhs = _quant_array_tokens([tokens[i + 1]])
+                if rhs != [tokens[i + 1]]:
+                    out += [t] + rhs
+                    i += 2
+                    continue
         if low == "array_length" and nxt == "(":
             depth, k = 0, i + 1
             last_comma = None
@@ -5436,6 +5627,20 @@ def _pass_array_syntax(tokens: list[str]) -> list[str]:
                     + inner
                     + [",", "1", ")", ")"]
                 )
+                i = k + 1
+                continue
+            # dims <= 0 or beyond the value's dimensionality return
+            # NULL (arrayfuncs.c array_length): the engine models
+            # up to 2 dims, so literal 0/negative/>=3 fold to NULL
+            dim_toks = tokens[last_comma + 1 : k] if last_comma else []
+            if dim_toks == ["0"] or (
+                len(dim_toks) == 2 and dim_toks[0] == "-"
+            ) or (
+                len(dim_toks) == 1
+                and re.fullmatch(r"\d+", dim_toks[0])
+                and int(dim_toks[0]) >= 3
+            ):
+                out += ["CAST", "(", "NULL", "AS", "INT", ")"]
                 i = k + 1
                 continue
         if t == "[" and out:
@@ -6404,6 +6609,34 @@ def _in_from(out: list[str]) -> bool:
     return False
 
 
+def _pass_const_repeat(tokens: list[str]) -> list[str]:
+    """repeat('<lit>', n) with constant args folds to the literal so
+    downstream validation sees the real value (repeat('[',10000)::json
+    must hit the json validator, not a runtime expression). Capped at
+    1 MB — larger stays a runtime expression."""
+    out: list[str] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        if (
+            tokens[i].lower() == "repeat"
+            and i + 5 < n
+            and tokens[i + 1] == "("
+            and tokens[i + 2].startswith("'")
+            and tokens[i + 3] == ","
+            and re.fullmatch(r"\d+", tokens[i + 4])
+            and tokens[i + 5] == ")"
+        ):
+            body = tokens[i + 2][1:-1]
+            cnt = int(tokens[i + 4])
+            if len(body) * cnt <= 1_000_000:
+                out.append("'" + body * cnt + "'")
+                i += 6
+                continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
 def _pass_json_misc_fold(tokens: list[str]) -> list[str]:
     """json.c constructor/iterator functions over LITERAL arguments,
     folded at translate time (round 8): json_build_array /
@@ -7222,7 +7455,9 @@ def _pass_jsonb_fold(tokens: list[str]) -> list[str]:
     extract_path/exists/strip_nulls). Non-constant json ops (columns)
     keep the runtime get_json_object paths in _pass_json(b)_ops."""
     if not any(
-        t.lower() in ("jsonb", "json") or t.lower() in _JB_FNS
+        t.lower() in ("jsonb", "json", "jsonb_array_elements",
+                      "jsonb_array_elements_text", "array_to_json")
+        or t.lower() in _JB_FNS
         for t in tokens
     ):
         return tokens
@@ -7308,11 +7543,82 @@ def _pass_jsonb_fold(tokens: list[str]) -> list[str]:
                     i += 2
                     changed = True
                     continue
+                # jsonb_array_elements[_text]('<lit>') in the SELECT
+                # list: elements render CANONICALLY (jsonb's ", "
+                # spacing + key sort), which the runtime
+                # explode/variant path cannot produce
+                if (
+                    low in ("jsonb_array_elements",
+                            "jsonb_array_elements_text")
+                    and nxt == "("
+                    and i + 3 < n
+                    and tokens[i + 3] == ")"
+                    and (nxt2 in vals or nxt2.startswith("'"))
+                    and out
+                    and _is_word(out[-1], "select")
+                ):
+                    av = as_val(nxt2)
+                    if av is not _MISSING_JB and isinstance(av, list):
+                        elems: list[str] = []
+                        for e in av:
+                            if elems:
+                                elems.append(",")
+                            if low.endswith("_text"):
+                                ti = _jb.text_image(e)
+                                elems.append(
+                                    "NULL" if ti is None
+                                    else _lit_encode(ti))
+                            else:
+                                elems.append(_lit_encode(
+                                    _jb.render(e, sort_keys=True)))
+                        out += (["explode", "(", "array", "("]
+                                + elems + [")", ")"])
+                        i += 4
+                        changed = True
+                        continue
+                # array_to_json over an ARRAY[] of jsonb values embeds
+                # them as json (','-joined), not as quoted strings
+                if (
+                    low == "array_to_json"
+                    and nxt == "("
+                    and _is_word(nxt2, "array")
+                    and i + 3 < n
+                    and tokens[i + 3] == "["
+                ):
+                    j2 = i + 4
+                    elems2: list[str] = []
+                    ok2 = True
+                    while j2 < n and tokens[j2] != "]":
+                        tk = tokens[j2]
+                        if tk == ",":
+                            pass
+                        elif tk in vals:
+                            elems2.append(_jb.render(vals[tk][1],
+                                                     sort_keys=True))
+                        else:
+                            ok2 = False
+                            break
+                        j2 += 1
+                    if ok2 and elems2 and j2 + 1 < n \
+                            and tokens[j2 + 1] == ")":
+                        out.append(_lit_encode(
+                            "[" + ",".join(elems2) + "]"))
+                        i = j2 + 2
+                        changed = True
+                        continue
                 # function folds over constant args
                 if low in _JB_FNS and nxt == "(":
                     call = _fn_args(tokens, i)
                     if call is not None:
                         args, k = call
+                        # a trailing ::text[] cast on a text-array arg
+                        # is a no-op here ('{}'::text[] in exists_any)
+                        args = [
+                            a[:-4] if len(a) >= 5 and a[-4] == "::"
+                            and a[-3].lower() in ("text", "varchar")
+                            and a[-2] == "[" and a[-1] == "]" else a
+                            for a in args
+                        ]
                         ok_args = all(
                             len(a) == 1 and (
                                 a[0] in vals or a[0].startswith("'")
@@ -7325,9 +7631,15 @@ def _pass_jsonb_fold(tokens: list[str]) -> list[str]:
                         )
                         if ok_args and args:
                             vv = as_val(args[0][0])
+                            raw0 = (vals[args[0][0]][2]
+                                    if args[0][0] in vals
+                                    else (_lit_decode(args[0][0])
+                                          if args[0][0].startswith("'")
+                                          else None))
                             if vv is not _MISSING_JB:
                                 res = _jb_fn_fold(
-                                    _jb, low, vv, args, as_val, text_arr)
+                                    _jb, low, vv, args, as_val,
+                                    text_arr, raw0)
                                 if res is not None:
                                     out.append(res)
                                     i = k + 1
@@ -7353,15 +7665,34 @@ def _pass_jsonb_fold(tokens: list[str]) -> list[str]:
                         elif nxt == "-" and nxt2.isdigit():
                             key, width = -int(nxt2), 3
                         if key is not None:
-                            got = _jb.get_field(lv, key)
-                            if got is _jb._MISSING:
+                            raw0 = vals[lhs_tok][2]
+                            if isinstance(key, int) and key < 0:
+                                # 9.4-vintage jsonb: no negative
+                                # indexing — NULL, never end-relative
+                                res = "NULL"
+                                got = _jb._MISSING
+                            else:
+                                got = _jb.get_field(lv, key)
+                            if res == "NULL":
+                                pass
+                            elif got is _jb._MISSING:
                                 res = "NULL"
                             elif t == "->":
-                                res = mk(is_b, got)
+                                span = (_json_raw_span(raw0, [key])
+                                        if not is_b and raw0 is not None
+                                        else None)
+                                res = mk(is_b, got, span)
                             else:
-                                ti = _jb.text_image(got)
-                                res = ("NULL" if ti is None
-                                       else _lit_encode(ti))
+                                span = (_json_raw_span(raw0, [key])
+                                        if not is_b and raw0 is not None
+                                        and isinstance(got, (dict, list))
+                                        else None)
+                                if span is not None:
+                                    res = _lit_encode(span)
+                                else:
+                                    ti = _jb.text_image(got)
+                                    res = ("NULL" if ti is None
+                                           else _lit_encode(ti))
                     elif t in ("#>", "#>>"):
                         j = i + 1
                         end = _rhs_end(tokens, j)
@@ -7387,15 +7718,35 @@ def _pass_jsonb_fold(tokens: list[str]) -> list[str]:
                             pass
                         path = text_arr(rhs_toks)
                         if path is not None:
-                            got = _jb.get_path(lv, path)
+                            raw0 = vals[lhs_tok][2]
+                            if any(
+                                isinstance(e, str)
+                                and re.fullmatch(r"-\d+", e)
+                                for e in path
+                            ):
+                                # 9.4-vintage: negative path indexes
+                                # are plain misses
+                                got = _jb._MISSING
+                            else:
+                                got = _jb.get_path(lv, path)
                             if got is _jb._MISSING:
                                 res = "NULL"
                             elif t == "#>":
-                                res = mk(is_b, got)
+                                span = (_json_raw_span(raw0, path)
+                                        if not is_b and raw0 is not None
+                                        else None)
+                                res = mk(is_b, got, span)
                             else:
-                                ti = _jb.text_image(got)
-                                res = ("NULL" if ti is None
-                                       else _lit_encode(ti))
+                                span = (_json_raw_span(raw0, path)
+                                        if not is_b and raw0 is not None
+                                        and isinstance(got, (dict, list))
+                                        else None)
+                                if span is not None:
+                                    res = _lit_encode(span)
+                                else:
+                                    ti = _jb.text_image(got)
+                                    res = ("NULL" if ti is None
+                                           else _lit_encode(ti))
                             width = end - i
                     elif t in ("@>", "<@") and (
                         nxt in vals or nxt.startswith("'")
@@ -7488,7 +7839,131 @@ def _pass_jsonb_fold(tokens: list[str]) -> list[str]:
     ]
 
 
-def _jb_fn_fold(_jb, low, vv, args, as_val, text_arr):
+def _json_raw_span(raw: str, path: list) -> str | None:
+    """Walk json TEXT and return the exact source substring for the
+    given path. The json type is text-preserving: extraction must
+    return the ORIGINAL bytes of the node, not a re-serialization
+    (jsonfuncs.c get_worker) — '{"f3":1}' keeps its spacing. For
+    duplicate object keys the LAST match wins, as in PG's json get.
+    None on missing keys / scalar-mid-path / negative indexes."""
+    import json as _json
+
+    s = raw
+
+    def skip_ws(p):
+        while p < len(s) and s[p] in " \t\n\r":
+            p += 1
+        return p
+
+    def scan_string(p):
+        q = p + 1
+        while q < len(s):
+            c = s[q]
+            if c == "\\":
+                q += 2
+                continue
+            if c == '"':
+                return _json.loads(s[p:q + 1]), q + 1
+            q += 1
+        return None, len(s)
+
+    def scan_value(p):
+        p = skip_ws(p)
+        if p >= len(s):
+            return None
+        c = s[p]
+        if c == '"':
+            _, e = scan_string(p)
+            return p, e
+        if c in "{[":
+            depth, q = 0, p
+            while q < len(s):
+                ch = s[q]
+                if ch == '"':
+                    _, q = scan_string(q)
+                    continue
+                if ch in "{[":
+                    depth += 1
+                elif ch in "}]":
+                    depth -= 1
+                    if depth == 0:
+                        return p, q + 1
+                q += 1
+            return None
+        q = p
+        while q < len(s) and s[q] not in ",}] \t\n\r":
+            q += 1
+        return p, q
+
+    def walk(p, rest):
+        p = skip_ws(p)
+        if not rest:
+            sp = scan_value(p)
+            return s[sp[0]:sp[1]] if sp else None
+        key = rest[0]
+        if p < len(s) and s[p] == "{" and isinstance(key, str) \
+                and not key.lstrip("-").isdigit():
+            q = p + 1
+            hit = None
+            while True:
+                q = skip_ws(q)
+                if q >= len(s):
+                    break
+                if s[q] == "}":
+                    break
+                if s[q] != '"':
+                    return None
+                k, q = scan_string(q)
+                q = skip_ws(q)
+                if q >= len(s) or s[q] != ":":
+                    return None
+                sp = scan_value(q + 1)
+                if sp is None:
+                    return None
+                if k == key:
+                    hit = sp
+                q = skip_ws(sp[1])
+                if q < len(s) and s[q] == ",":
+                    q += 1
+                    continue
+                break
+            if hit is None:
+                return None
+            return (walk(hit[0], rest[1:]) if rest[1:]
+                    else s[hit[0]:hit[1]])
+        if p < len(s) and s[p] == "[":
+            try:
+                idx = int(key)
+            except (TypeError, ValueError):
+                return None
+            if idx < 0:
+                return None
+            q, cnt = p + 1, 0
+            while True:
+                q = skip_ws(q)
+                if q >= len(s) or s[q] == "]":
+                    return None
+                sp = scan_value(q)
+                if sp is None:
+                    return None
+                if cnt == idx:
+                    return (walk(sp[0], rest[1:]) if rest[1:]
+                            else s[sp[0]:sp[1]])
+                cnt += 1
+                q = skip_ws(sp[1])
+                if q < len(s) and s[q] == ",":
+                    q += 1
+                else:
+                    return None
+        return None
+
+    try:
+        return walk(0, list(path))
+    except Exception:
+        return None
+
+
+def _jb_fn_fold(_jb, low, vv, args, as_val, text_arr, raw0=None):
     """Constant fold for the jsonb_* function spellings; returns a
     token or None when the shape isn't constant-foldable."""
     is_b = not low.startswith("json_")
@@ -7520,6 +7995,14 @@ def _jb_fn_fold(_jb, low, vv, args, as_val, text_arr):
         got = _jb.get_path(vv, path)
         if got is _jb._MISSING:
             return "NULL"
+        if not is_b and raw0 is not None:
+            # json is text-preserving: extraction keeps source bytes
+            span = _json_raw_span(raw0, path)
+            if span is not None and (
+                not low.endswith("_text")
+                or isinstance(got, (dict, list))
+            ):
+                return _lit_encode(span)
         if low.endswith("_text"):
             ti = _jb.text_image(got)
             return "NULL" if ti is None else _lit_encode(ti)
@@ -8121,6 +8604,12 @@ def _pass_misc_funcs(tokens: list[str]) -> list[str]:
                         raise ValueError(
                             "invalid input syntax for type numeric "
                             f'time zone: "{zname}"')
+                    m16 = re.fullmatch(r"[+-](\d{1,2})(?::\d{2})?",
+                                       zname)
+                    if m16 and int(m16.group(1)) > 15:
+                        # DecodeTimezone caps offsets at +-15:59
+                        raise ValueError(
+                            f'numeric time zone "{zname}" out of range')
                     ztz, zabbr = _zone_pytz(zname)
                     if ztz is not None:
                         import datetime as _dt
@@ -8281,6 +8770,29 @@ def _pass_misc_funcs(tokens: list[str]) -> list[str]:
                 i = k + 1
                 continue
             if low == "array_fill" and len(args) == 2:
+                # literal dims: multi-dim fill nests array_repeat
+                # (arrayfuncs.c array_fill_internal); NULL dims are
+                # PG's error contract
+                dm = args[1]
+                if (
+                    len(dm) >= 3
+                    and _is_word(dm[0], "array")
+                    and dm[1] == "["
+                    and dm[-1] == "]"
+                ):
+                    dims = [x for x in dm[2:-1] if x != ","]
+                    if any(d.upper() == "NULL" for d in dims):
+                        raise ValueError(
+                            "dimension array or low bound array "
+                            "cannot contain nulls")
+                    if all(re.fullmatch(r"\d+", d) for d in dims):
+                        body = ["("] + args[0] + [")"]
+                        for d in reversed(dims):
+                            body = (["array_repeat", "("] + body
+                                    + [",", d, ")"])
+                        out += body
+                        i = k + 1
+                        continue
                 out += (["array_repeat", "(", "("] + args[0]
                         + [")", ",", "element_at", "(", "("] + args[1]
                         + [")", ",", "1", ")", ")"])
@@ -8967,6 +9479,14 @@ def _dch_from_char(value: str, fmt: str) -> dict:
 
     # --- scan the input
     f: dict = {}
+
+    def set_mm(v: int):
+        # do_to_timestamp: the same field arriving twice with
+        # different values is an error (MM vs Mon conflict)
+        if f.get("mm", v) != v:
+            err('conflicting values for "Mon" field in formatting '
+                'string')
+        f["mm"] = v
     s, slen = value, len(value)
     p = 0
 
@@ -9033,11 +9553,11 @@ def _dch_from_char(value: str, fmt: str) -> dict:
                 p += 1
             continue
         if kind == "month":
-            f["mm"] = _MONTH_NAMES.index(
-                match_name(_MONTH_NAMES, "Month")) + 1
+            set_mm(_MONTH_NAMES.index(
+                match_name(_MONTH_NAMES, "Month")) + 1)
             continue
         if kind == "mon":
-            f["mm"] = _PG_MONTHS[match_name(list(_PG_MONTHS), "Mon")]
+            set_mm(_PG_MONTHS[match_name(list(_PG_MONTHS), "Mon")])
             continue
         if kind in ("dayname", "dyname"):
             cands = (_DAY_NAMES if kind == "dayname"
@@ -9045,8 +9565,8 @@ def _dch_from_char(value: str, fmt: str) -> dict:
             match_name(cands, "Day")
             continue
         if kind == "rm":
-            f["mm"] = _ROMAN_MONTHS.index(
-                match_name(_ROMAN_MONTHS, "RM")) + 1
+            set_mm(_ROMAN_MONTHS.index(
+                match_name(_ROMAN_MONTHS, "RM")) + 1)
             continue
         if kind == "ampm":
             if not fx:
@@ -9095,6 +9615,8 @@ def _dch_from_char(value: str, fmt: str) -> dict:
         elif fkind in ("iyyy", "iyy", "iy", "iy1"):
             f["iyyy"] = v
             f["iysz"] = {"iyyy": 4, "iyy": 3, "iy": 2, "iy1": 1}[fkind]
+        elif fkind == "mm":
+            set_mm(v)
         else:
             f[fkind] = v
 
@@ -9572,6 +10094,13 @@ def _parse_pg_array_nested(body: str):
                 q.append('"')
                 pos[0] += 1
                 cur.append("".join(q))
+                # array_in: only whitespace may follow a closing quote
+                # before the next delimiter ("Junk after closing right
+                # quote" is an error, not extra element text)
+                while pos[0] < n and body[pos[0]].isspace():
+                    pos[0] += 1
+                if pos[0] < n and body[pos[0]] not in ",}":
+                    return None
                 continue
             if ch == "\\":
                 return None
@@ -9709,6 +10238,14 @@ def _pass_array_literal_casts(tokens: list[str]) -> list[str]:
                 nested = _parse_pg_array_nested(body)
                 if nested is not None:
                     _validate_nested_array(nested, body)
+                elif "\\" not in body:
+                    # neither parser accepts it (junk after a closing
+                    # quote, unbalanced braces): array_in ereports —
+                    # a raw brace-string cast would be neither PG's
+                    # error nor a value (backslash escapes are the
+                    # one form the parsers don't model; those keep
+                    # the loud fall-through below)
+                    raise ValueError(f'malformed array literal: "{body}"')
                 if nested is not None and _nested_depth(nested) >= 2:
                     spark_type, after = _map_type(tokens, i + 2)
                     inner = spark_type
@@ -9841,6 +10378,16 @@ def _pass_array_subquery(tokens: list[str]) -> list[str]:
                     and _is_word(inner[p + 1], "by")
                 ):
                     order_at = p
+            if from_at is None and not _is_word(inner[1], "distinct") \
+                    and order_at is None:
+                # FROM-less sub-select: one row, so the select items
+                # ARE the array elements (alias dropped)
+                sel = inner[1:]
+                if len(sel) >= 2 and _is_word(sel[-2], "as"):
+                    sel = sel[:-2]
+                out += ["array", "("] + sel + [")"]
+                i = k + 1
+                continue
             if from_at is None or _is_word(inner[1], "distinct"):
                 out += [tokens[i], tokens[i + 1]] + inner + [")"]
                 i = k + 1
@@ -9903,10 +10450,12 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     # string)
     tokens = _pass_overlaps(tokens)
     tokens = _pass_time_literals(tokens)
+    tokens = _pass_const_repeat(tokens)
     tokens = _pass_jsonb_fold(tokens)
     tokens = _pass_money_fold(tokens)
     tokens = _pass_numeric_fold(tokens)
     tokens = _pass_error_contracts(tokens)
+    tokens = _pass_multidim_cast_drop(tokens)
     tokens = _pass_interval_fold(tokens)
     tokens = _pass_array_literal_casts(tokens)
     tokens = _pass_bytea_literals(tokens)

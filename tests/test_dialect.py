@@ -1966,7 +1966,9 @@ class TestJsonbFold:
         assert t("select '[{\"b\": \"c\"}, {\"b\": \"cc\"}]'::jsonb -> 1"
                  ) == "select '{\"b\": \"cc\"}'"
         assert t("select '{\"b\": null}'::jsonb -> 'b'") == "select 'null'"
-        assert t("select '[1,2,null]'::jsonb -> -1") == "select 'null'"
+        # 9.4-vintage jsonb (the reference's): negative indexes are
+        # misses, not end-relative (expected/jsonb.out pins '')
+        assert t("select '[1,2,null]'::jsonb -> -1") == "select NULL"
         assert t("SELECT '{\"a\":1}'::jsonb @> '{\"a\":1}'") == \
             "SELECT TRUE"
         # null-valued needle key does NOT match a different value
@@ -2575,3 +2577,95 @@ class TestRound8NumericAlgebra:
         # quote_literal adds the E'' form when backslashes are present
         out = t("select quote_literal(e'\\\\')")
         assert "'E'''" in out and "instr" in out
+
+
+class TestRound8ArrayJsonResidue:
+    """arrays.out / json.out / jsonb.out residue batch: multi-dim
+    array_fill, out-of-range array_length dims, NULL handling in
+    array_to_string/array_remove, dimension-preserving array casts,
+    SRF-in-expression, text-preserving json extraction, canonical
+    jsonb element output, 9.4-vintage negative-index misses, and the
+    repeat()/format()/DCH error contracts."""
+
+    def test_array_batch(self):
+        import pytest
+
+        from gpdb_spark.dialect import translate as t
+
+        assert "array_repeat(array_repeat((7), 3), 3)" in \
+            t("select array_fill(7, array[3,3])").replace("  ", " ")
+        assert "CAST(NULL AS INT)" in \
+            t("select array_length(array[[1,2],[3,4]], 0)")
+        assert "CAST(NULL AS INT)" in \
+            t("select array_length(array[[1,2],[3,4]], 3)")
+        # 3-arg array_to_string with NULL nullstr omits NULLs
+        out = t("select array_to_string(array[1,NULL,2], ',', NULL)")
+        assert out.count("NULL") == 1  # only the array element
+        assert "filter" in t("select array_remove(array[1,NULL], NULL)")
+        assert "= array()" in \
+            t("select array_remove(array['X'], 'X') = '{}'")
+        # dimension-preserving cast: PG array casts ignore the written
+        # bracket count
+        assert "AS ARRAY" not in \
+            t("SELECT ARRAY[['a','bc'],['def','hijk']]::text[]")
+        with pytest.raises(ValueError, match="empty array"):
+            t("select array[]")
+        assert "CAST(array() AS" in t("select array[]::text[]")
+        with pytest.raises(ValueError, match="cannot contain nulls"):
+            t("select array_fill(1, array[1,2,null])")
+        with pytest.raises(ValueError, match="malformed array"):
+            t("select '{{\"1 2\" x},{3}}'::text[]")
+        # SRF-in-expression (9.x): fn maps over the set
+        assert "explode(transform" in \
+            t("select abs(unnest(array[1,2,-3])))")
+        # empty input -> empty array, not ['']
+        assert "THEN array()" in t("select string_to_array('', '|')")
+
+    def test_json_text_preserving_extraction(self):
+        from gpdb_spark.dialect import translate as t
+
+        src = '\'{"f2":{"f3":1},"f4":{"f5":99}}\''
+        assert t(f"select json_extract_path({src},'f2')") \
+            == "select '{\"f3\":1}'"
+        assert t(f"select {src}::json#>array['f2']") \
+            == "select '{\"f3\":1}'"
+        # identity path returns the ORIGINAL text
+        assert t("select '{\"a\": {\"b\":{\"c\": \"foo\"}}}'::json "
+                 "#> '{}'") == "select '{\"a\": {\"b\":{\"c\": \"foo\"}}}'"
+        assert t("select '[1,2,3]'::json #>> '{}'") == "select '[1,2,3]'"
+
+    def test_jsonb_vintage_and_canonical(self):
+        from gpdb_spark.dialect import translate as t
+
+        # 9.4 jsonb: negative indexes are misses, not end-relative
+        assert t("SELECT '[\"a\",\"b\"]'::jsonb -> -1") == "SELECT NULL"
+        assert t("SELECT '{\"c\":[1,2,3]}'::jsonb #> '{c,-1}'") \
+            == "SELECT NULL"
+        # canonical element rendering in the select list
+        out = t('SELECT jsonb_array_elements(\'[[1,[2,3]]]\')')
+        assert "'[1, [2, 3]]'" in out
+        # jsonb values embed as json inside array_to_json
+        assert t("SELECT array_to_json(ARRAY[jsonb '{\"a\":1}'])") \
+            == "SELECT '[{\"a\": 1}]'"
+        # empty text[] key sets
+        assert t("SELECT jsonb_exists_any('{\"a\":1}', '{}'::text[])") \
+            == "SELECT FALSE"
+        assert t("SELECT jsonb_exists_all('{\"a\":1}', '{}'::text[])") \
+            == "SELECT TRUE"
+
+    def test_repeat_and_dch_contracts(self):
+        import pytest
+
+        from gpdb_spark.dialect import translate as t
+
+        for s in ("SELECT repeat('[', 10000)::json",
+                  "SELECT repeat('{\"a\":', 10000)::jsonb"):
+            with pytest.raises(Exception):
+                t(s)
+        with pytest.raises(ValueError, match="conflicting values"):
+            t("SELECT to_timestamp('1997-11-Jan-16', 'YYYY-MM-Mon-DD')")
+        with pytest.raises(ValueError, match="out of range"):
+            t("SELECT make_timestamptz(2014,12,10,10,10,10,'+16')")
+        # FROM-less ARRAY(SELECT ...) sublink
+        assert t("SELECT array_to_json(array(select 1 as a))") \
+            == "SELECT to_json((array(1)))"

@@ -84,6 +84,40 @@ EXPECTED = "/root/reference/src/test/regress/expected"
 from pg_regress_probe import CANDIDATES  # noqa: E402
 
 
+def strip_comments(stmt: str) -> str:
+    """Remove -- comments OUTSIDE string literals ('--> 08:14:30'
+    inside a to_timestamp literal is content, not a comment)."""
+    out = []
+    i, n = 0, len(stmt)
+    in_str = False
+    while i < n:
+        c = stmt[i]
+        if in_str:
+            out.append(c)
+            if c == "'":
+                if i + 1 < n and stmt[i + 1] == "'":
+                    out.append("'")
+                    i += 2
+                    continue
+                in_str = False
+            i += 1
+            continue
+        if c == "'":
+            in_str = True
+            out.append(c)
+            i += 1
+            continue
+        if c == "-" and i + 1 < n and stmt[i + 1] == "-":
+            nl = stmt.find("\n", i)
+            if nl == -1:
+                break
+            i = nl
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def parse_expected(path: str):
     """Yield (statement, expect) where expect is ('error',) or
     ('rows', [row-text, ...]) for single-statement FROM-less SELECTs."""
@@ -136,8 +170,12 @@ def parse_expected(path: str):
             i += 1
             stmt_lines.append(lines[i])
         i += 1
-        stmt = " ".join(stmt_lines)
-        stmt = re.sub(r"--[^\n]*", "", stmt).strip().rstrip(";").strip()
+        # newline-join: a multi-line string LITERAL must keep its
+        # embedded newline (PG refuses a raw 0x0a inside json, and
+        # to_char patterns may contain one) — a space-join silently
+        # rewrites the statement under test
+        stmt = strip_comments("\n".join(stmt_lines))
+        stmt = stmt.strip().rstrip(";").strip()
         # FROM-less, single-statement, no SRF-free guard needed: the
         # engine refusing is itself a bucket
         if re.search(r"(?i)\bfrom\b", stmt) or not stmt:
@@ -337,8 +375,12 @@ def render(v, ctx=_DEFAULT_CTX) -> str:
             if sz and sz.startswith("GMT"):
                 # fixed-offset session: PG renders the ISO offset text
                 hh, mm = int(sz[3:6]), int(sz[7:9])
+                # the sign carries to the minutes too (GMT-01:30 is
+                # -90 min, not -60+30)
                 zone_info = datetime.timezone(
-                    datetime.timedelta(hours=hh, minutes=mm))
+                    datetime.timedelta(
+                        minutes=(abs(hh) * 60 + mm)
+                        * (-1 if sz[3] == "-" else 1)))
                 fixed_abbrev = f"{sz[3]}{abs(hh):02d}"
                 fixed_abbrev += f":{mm:02d}" if mm else ""
             if zone_info is None:
