@@ -1521,6 +1521,19 @@ def _pass_regex_ops(tokens: list[str]) -> list[str]:
             ci = t.endswith("*")
             end = _rhs_end(tokens, i + 1)
             rhs = tokens[i + 1 : end]
+            if len(rhs) == 1 and rhs[0].startswith("'"):
+                # PG ARE word-boundary constraint escapes -> Java
+                # lookarounds (regc_lex.c: \m begin-word, \M end-word,
+                # \y any word boundary, \Y non-boundary). Tokens carry
+                # lexer-doubled backslashes.
+                body_rx = rhs[0][1:-1]
+                if re.search(r"\\\\[mMyY]", body_rx):
+                    body_rx = (body_rx
+                               .replace("\\\\m", "\\\\b(?=\\\\w)")
+                               .replace("\\\\M", "\\\\b(?<=\\\\w)")
+                               .replace("\\\\y", "\\\\b")
+                               .replace("\\\\Y", "\\\\B"))
+                    rhs = ["'" + body_rx + "'"]
             if ci:
                 if len(rhs) == 1 and rhs[0].startswith("'"):
                     rhs = ["'(?i)" + rhs[0][1:]]
@@ -2261,6 +2274,47 @@ def _pass_functions(tokens: list[str]) -> list[str]:
                     + ["AS", "ARRAY<STRING>", ")"]
                     + _pass_functions(tokens[first_comma : k + 1])
                 )
+                i = k + 1
+                continue
+        # get_bit/set_bit over a BIT STRING literal (varbit.c
+        # bitgetbit/bitsetbit): 0-based from the LEFT, returning
+        # int / the modified bit string; out-of-range is PG's error
+        if (
+            low in ("get_bit", "set_bit")
+            and nxt == "("
+            and i + 2 < n
+            and tokens[i + 2].startswith("'")
+            and re.fullmatch(r"[01]+", tokens[i + 2][1:-1])
+        ):
+            depth, k = 0, i + 1
+            parts: list[str] = []
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif depth == 1 and tokens[k] != ",":
+                    parts.append(tokens[k])
+                k += 1
+            bits = tokens[i + 2][1:-1]
+            rest = parts[1:]
+            if all(re.fullmatch(r"\d+", x) for x in rest) and (
+                (low == "get_bit" and len(rest) == 1)
+                or (low == "set_bit" and len(rest) == 2)
+            ):
+                pos_b = int(rest[0])
+                if pos_b >= len(bits):
+                    raise ValueError(
+                        f"bit index {pos_b} out of valid range "
+                        f"(0..{len(bits) - 1})")
+                if low == "get_bit":
+                    out.append(bits[pos_b])
+                else:
+                    v = "1" if int(rest[1]) else "0"
+                    out.append(
+                        "'" + bits[:pos_b] + v + bits[pos_b + 1:] + "'")
                 i = k + 1
                 continue
         # array_remove(x, NULL) removes NULL elements (arrayfuncs.c
@@ -3275,7 +3329,8 @@ for _names, _bucket, _mult in [
         _IVL_UNITS[_nm] = (_bucket, _mult)
 
 _IVL_ITEM = re.compile(
-    r"([+-]?\d+:\d{1,2}(?::\d{1,2}(?:\.\d+)?)?)"  # H:MM[:SS[.f]]
+    # H:MM[:SS[.f]] or MM:SS.f (the fraction form reads min:sec)
+    r"([+-]?\d+:\d{1,2}(?::\d{1,2}(?:\.\d+)?|\.\d+)?)"
     r"|([+-]?\d+-\d+)"                            # SQL year-month
     r"|([+-]?\d+(?:\.\d+)?)\s*([a-z]+)?"          # number [unit]
     r"|(ago)|(@)|([a-z]+)"                        # trailers / noise
@@ -4304,9 +4359,15 @@ def _pg_interval_triple(body: str) -> tuple[int, int, int] | None:
             t = m.group(1)
             sign = -1 if t.startswith("-") else 1
             parts = t.lstrip("+-").split(":")
-            secs = int(parts[0]) * 3600 + int(parts[1]) * 60
-            if len(parts) == 3:
-                secs += float(parts[2])
+            if len(parts) == 2 and "." in parts[1]:
+                # DecodeInterval: a two-field time whose second part
+                # carries a FRACTION reads as MM:SS.f, not HH:MM
+                # ('12:34.5678' is 12 min 34.5678 sec)
+                secs = int(parts[0]) * 60 + float(parts[1])
+            else:
+                secs = int(parts[0]) * 3600 + int(parts[1]) * 60
+                if len(parts) == 3:
+                    secs += float(parts[2])
             micros += sign * secs * 1_000_000
             continue
         if m.group(2):  # SQL-standard 'Y-M'
@@ -4798,6 +4859,25 @@ def _pass_interval_literals(tokens: list[str]) -> list[str]:
     out: list[str] = []
     i = 0
     n = len(tokens)
+
+    def emit_ivl(triple, nxt_idx: int) -> list[str]:
+        """Constructor tokens — or, for a STANDALONE select-list
+        literal, PG's interval_out text: the collected timedelta image
+        collapses PG's (days, micros) field split ('999 hours' is NOT
+        '41 days 15:00:00') and the ym fetch shim ignores
+        IntervalStyle, so a bare output column renders at translate
+        time where every style and field split is exact. Operand
+        positions (arithmetic, comparisons, casts) keep the typed
+        constructor."""
+        prev = out[-1] if out else ""
+        nxt = tokens[nxt_idx] if nxt_idx < n else ""
+        if (
+            (prev == "," or _is_word(prev, "select"))
+            and (nxt == "" or nxt == "," or _is_word(nxt, "as", "from"))
+        ):
+            return [_lit_encode(_pg_interval_out(*triple))]
+        return _ivl_triple_tokens(*triple)
+
     while i < n:
         t = tokens[i]
         # interval(p) '<lit>' — whole-literal seconds precision
@@ -4810,13 +4890,39 @@ def _pass_interval_literals(tokens: list[str]) -> list[str]:
             and tokens[i + 3] == ")"
             and tokens[i + 4].startswith("'")
         ):
+            # optional trailing field qualifier: interval(2) '...'
+            # MINUTE TO SECOND — truncation range applies, and a
+            # second(q) precision there is "specified twice"
+            skip = i + 5
+            end_field = None
+            if skip < n and tokens[skip].isidentifier() \
+                    and tokens[skip].lower() in _IVL_SUFFIX_FIELDS:
+                end_field = tokens[skip].lower()
+                skip += 1
+                if (
+                    skip + 1 < n
+                    and _is_word(tokens[skip], "to")
+                    and tokens[skip + 1].isidentifier()
+                    and tokens[skip + 1].lower() in _IVL_SUFFIX_FIELDS
+                ):
+                    end_field = tokens[skip + 1].lower()
+                    skip += 2
+                if skip + 2 < n and tokens[skip] == "(" \
+                        and tokens[skip + 1].isdigit() \
+                        and tokens[skip + 2] == ")":
+                    raise ValueError(
+                        "interval precision specified twice")
             triple = _pg_interval_triple(tokens[i + 4][1:-1])
             if triple is not None:
                 mo, d, us = triple
+                if end_field is not None:
+                    mo, d, us = _ivl_truncate_below(
+                        (mo, d, us), end_field)
                 scale = 10 ** (6 - min(int(tokens[i + 2]), 6))
                 us = int(round(us / scale)) * scale
-                out += _ivl_triple_tokens(mo, d, us)
-                i += 5
+                nxt_idx = skip if end_field is not None else i + 5
+                out += emit_ivl((mo, d, us), nxt_idx)
+                i = nxt_idx
                 continue
         if (
             _is_word(t, "interval")
@@ -4885,9 +4991,11 @@ def _pass_interval_literals(tokens: list[str]) -> list[str]:
                                        + float(m_ms.group(3)))
                         triple = (0, d, int(round(secs * 1_000_000)))
                     elif re.fullmatch(r"[+-]?\d+(?:\.\d+)?", body):
-                        if not to_form:
-                            triple = _pg_interval_triple(
-                                f"{body} {end_field}")
+                        # a bare number takes the END field as its
+                        # unit in both the single-field and X TO Y
+                        # forms ('1' YEAR TO MONTH -> 1 mon)
+                        triple = _pg_interval_triple(
+                            f"{body} {end_field}")
                     else:
                         triple = _pg_interval_triple(body)
                     if triple is not None:
@@ -4895,15 +5003,15 @@ def _pass_interval_literals(tokens: list[str]) -> list[str]:
                         if precision is not None:
                             scale = 10 ** (6 - min(precision, 6))
                             us = int(round(us / scale)) * scale
-                        sub = _ivl_triple_tokens(mo, d, us)
+                        sub = emit_ivl((mo, d, us), skip)
                 if sub is not None:
                     out += sub
                     i = skip
                     continue
             if not suffix:
-                sub = _interval_literal_tokens(tokens[i + 1])
-                if sub is not None:
-                    out += sub
+                triple0 = _pg_interval_triple(tokens[i + 1][1:-1])
+                if triple0 is not None:
+                    out += emit_ivl(triple0, i + 2)
                     i += 2
                     continue
         if (
@@ -4912,9 +5020,9 @@ def _pass_interval_literals(tokens: list[str]) -> list[str]:
             and tokens[i + 1] == "::"
             and _is_word(tokens[i + 2], "interval")
         ):
-            sub = _interval_literal_tokens(t)
-            if sub is not None:
-                out += sub
+            triple0 = _pg_interval_triple(t[1:-1])
+            if triple0 is not None:
+                out += emit_ivl(triple0, i + 3)
                 i += 3
                 continue
         out.append(t)
@@ -5468,11 +5576,13 @@ def _pass_array_syntax(tokens: list[str]) -> list[str]:
                 k += 1
             if k == i + 2 and (
                 k + 1 >= n
-                or (tokens[k + 1] != "::"
+                or (tokens[k + 1] not in ("::", ")")
                     and not _is_word(tokens[k + 1], "as"))
             ):
                 # parse_expr.c: a bare empty ARRAY[] has no type (a
-                # following :: or CAST...AS supplies one)
+                # following :: or CAST...AS supplies one; a paren
+                # wrap passes — the PL/pgSQL evaluator re-types
+                # against the declared variable)
                 raise ValueError("cannot determine type of empty array")
             inner = _pass_array_syntax(
                 _nested_brackets_to_arrays(tokens[i + 2 : k])
@@ -6614,27 +6724,66 @@ def _pass_const_repeat(tokens: list[str]) -> list[str]:
     downstream validation sees the real value (repeat('[',10000)::json
     must hit the json validator, not a runtime expression). Capped at
     1 MB — larger stays a runtime expression."""
-    out: list[str] = []
-    i, n = 0, len(tokens)
-    while i < n:
-        if (
-            tokens[i].lower() == "repeat"
-            and i + 5 < n
-            and tokens[i + 1] == "("
-            and tokens[i + 2].startswith("'")
-            and tokens[i + 3] == ","
-            and re.fullmatch(r"\d+", tokens[i + 4])
-            and tokens[i + 5] == ")"
-        ):
-            body = tokens[i + 2][1:-1]
-            cnt = int(tokens[i + 4])
-            if len(body) * cnt <= 1_000_000:
-                out.append("'" + body * cnt + "'")
-                i += 6
+    changed = True
+    while changed:
+        changed = False
+        out: list[str] = []
+        i, n = 0, len(tokens)
+        while i < n:
+            if (
+                tokens[i].lower() == "repeat"
+                and i + 5 < n
+                and tokens[i + 1] == "("
+                and tokens[i + 2].startswith("'")
+                and tokens[i + 3] == ","
+                and re.fullmatch(r"\d+", tokens[i + 4])
+                and tokens[i + 5] == ")"
+            ):
+                body = tokens[i + 2][1:-1]
+                cnt = int(tokens[i + 4])
+                if len(body) * cnt <= 1_000_000:
+                    out.append("'" + body * cnt + "'")
+                    i += 6
+                    changed = True
+                    continue
+            # chr(n) constant (oracle_compat.c chr — unicode code
+            # point; 0 is PG's error)
+            if (
+                tokens[i].lower() == "chr"
+                and i + 3 < n
+                and tokens[i + 1] == "("
+                and re.fullmatch(r"\d+", tokens[i + 2])
+                and tokens[i + 3] == ")"
+            ):
+                cp = int(tokens[i + 2])
+                if cp == 0:
+                    raise ValueError("null character not permitted")
+                if cp <= 0x10FFFF:
+                    out.append(_lit_encode(chr(cp)))
+                    i += 4
+                    changed = True
+                    continue
+            # '<a>' || '<b>' -> '<ab>' (unknown || unknown resolves as
+            # text); skipped when the rhs carries a cast, which could
+            # re-type the operator (jsonb concat)
+            if (
+                tokens[i] == "||"
+                and out
+                and out[-1].startswith("'")
+                and i + 1 < n
+                and tokens[i + 1].startswith("'")
+                and (i + 2 >= n or tokens[i + 2] != "::")
+            ):
+                lhs3 = out.pop()
+                out.append(
+                    "'" + lhs3[1:-1] + tokens[i + 1][1:-1] + "'")
+                i += 2
+                changed = True
                 continue
-        out.append(tokens[i])
-        i += 1
-    return out
+            out.append(tokens[i])
+            i += 1
+        tokens = out
+    return tokens
 
 
 def _pass_json_misc_fold(tokens: list[str]) -> list[str]:
@@ -8646,6 +8795,88 @@ def _pass_misc_funcs(tokens: list[str]) -> list[str]:
                 out.append(t)
                 i += 1
                 continue
+            # ALL-LITERAL regexp_matches / regexp_split_to_array fold
+            # through Python re (regexp.c setup_regexp_matches):
+            # non-participating groups are NULL (Java's regexp_extract
+            # maps them to ''), 'g' collects EVERY match including a
+            # zero-length final one, and split ignores zero-length
+            # matches at the string edges or adjacent to the previous
+            # match. Patterns Python cannot compile keep the runtime
+            # path.
+            if (
+                low in ("regexp_matches", "regexp_split_to_array")
+                and 2 <= len(args) <= 3
+                and all(
+                    len(a) == 1 and a[0].startswith("'") for a in args
+                )
+            ):
+                import re as _re3
+
+                sval = _lit_decode(args[0][0])
+                pat = _lit_decode(args[1][0])
+                flg = (_lit_decode(args[2][0])
+                       if len(args) == 3 else "")
+                pyflags = 0
+                ok_f = set(flg) <= set("gim")
+                if "i" in flg:
+                    pyflags |= _re3.IGNORECASE
+                if "m" in flg:
+                    pyflags |= _re3.MULTILINE
+                rx = None
+                if ok_f and not _re3.search(r"\\[mMyYZAz]|\[\[:", pat):
+                    try:
+                        rx = _re3.compile(pat, pyflags)
+                    except _re3.error:
+                        rx = None
+                if rx is not None and low == "regexp_matches":
+                    rows = []
+                    for m3 in rx.finditer(sval):
+                        arr = ([m3.group(0)] if rx.groups == 0
+                               else list(m3.groups()))
+                        rows.append(arr)
+                        if "g" not in flg:
+                            break
+                    body3: list[str] = []
+                    for r3 in rows:
+                        if body3:
+                            body3.append(",")
+                        body3 += ["array", "("]
+                        for e_i, e3 in enumerate(r3):
+                            if e_i:
+                                body3.append(",")
+                            body3.append(
+                                "NULL" if e3 is None
+                                else _lit_encode(e3))
+                        body3.append(")")
+                    out += (["explode", "(", "array", "("] + body3
+                            + [")", ")"])
+                    i = k + 1
+                    continue
+                if rx is not None and low == "regexp_split_to_array":
+                    fields: list[str] = []
+                    start3 = 0
+                    prev_end = -1
+                    for m3 in rx.finditer(sval):
+                        if m3.start() == m3.end():
+                            # zero-length: ignore at start, at end,
+                            # or adjacent to the previous match
+                            if m3.start() in (0, len(sval)) \
+                                    or m3.start() == prev_end:
+                                continue
+                        fields.append(sval[start3:m3.start()])
+                        start3 = m3.end()
+                        prev_end = m3.end()
+                    fields.append(sval[start3:])
+                    if sval == "":
+                        fields = [""]
+                    body3 = []
+                    for e_i, e3 in enumerate(fields):
+                        if e_i:
+                            body3.append(",")
+                        body3.append(_lit_encode(e3))
+                    out += ["array", "("] + body3 + [")"]
+                    i = k + 1
+                    continue
             if (
                 low == "regexp_matches"
                 and len(args) == 3
@@ -10188,6 +10419,22 @@ def _pass_array_literal_casts(tokens: list[str]) -> list[str]:
     (PG's written bracket count is advisory), and constant
     cardinality() over them folds to the total element count
     (ArrayGetNItems — Spark's size() counts only the top dimension)."""
+    # '<lit>'::text::int[] — the intermediate text cast is an
+    # identity on a literal; collapsing it lets the brace parser see
+    # the array cast (PG resolves the chain the same way)
+    tokens = [
+        tok for j, tok in enumerate(tokens)
+        if not (
+            (tok == "::" and j + 3 < len(tokens)
+             and tokens[j + 1].lower() in ("text", "varchar")
+             and tokens[j + 2] == "::" and j >= 1
+             and tokens[j - 1].startswith("'"))
+            or (tok.lower() in ("text", "varchar") and j >= 1
+                and tokens[j - 1] == "::" and j + 2 < len(tokens)
+                and tokens[j + 1] == "::" and j >= 2
+                and tokens[j - 2].startswith("'"))
+        )
+    ]
     out: list[str] = []
     i = 0
     n = len(tokens)

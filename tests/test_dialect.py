@@ -1241,10 +1241,12 @@ class TestRegressBatch6:
             " interval '@ 0.70 secs' AS d,"
             " interval '500' AS f",
         ).collect()[0]
-        assert row.a == datetime.timedelta(days=10, hours=12)
-        assert row.b == datetime.timedelta(days=3, microseconds=5000)
-        assert row.d == datetime.timedelta(microseconds=700000)
-        assert row.f == datetime.timedelta(seconds=500)
+        # standalone select-list literals render interval_out TEXT
+        # (round 8, field-split fidelity)
+        assert row.a == "10 days 12:00:00"
+        assert row.b == "3 days 00:00:00.005"
+        assert row.d == "00:00:00.7"
+        assert row.f == "00:08:20"
 
     def test_interval_repeated_fields_refuse(self, spark):
         """DecodeInterval's fmask check: a repeated interval field is
@@ -1552,11 +1554,14 @@ class TestIntervalFieldQualifiers:
             " interval '14 months' year AS d,"
             " interval '1 year 2 mons 3 days' month AS e",
         ).collect()[0]
-        assert row.a == datetime.timedelta(seconds=999)
-        assert row.b == datetime.timedelta(minutes=999)
+        # standalone select-list literals render interval_out TEXT
+        # (round 8): the timedelta image collapses PG's (days, micros)
+        # split and the ym shim ignores IntervalStyle
+        assert row.a == "00:16:39"
+        assert row.b == "16:39:00"
         # fraction spills to hours in DecodeInterval, then the DAY
         # qualifier's AdjustIntervalForTypmod zeroes the time part
-        assert row.c == datetime.timedelta(days=2)
+        assert row.c == "2 days"
         # end-field truncation zeroes finer components
         assert row.d == "1 year" and row.e == "1 year 2 mons"
 
@@ -1572,12 +1577,11 @@ class TestIntervalFieldQualifiers:
             " interval '1 2:03:04' day to second AS d,"
             " interval '123 11' day to hour AS e",
         ).collect()[0]
-        assert row.a == datetime.timedelta(days=1, hours=2)
-        assert row.b == datetime.timedelta(days=1, hours=2)
-        assert row.c == datetime.timedelta(days=1, hours=2, minutes=3)
-        assert row.d == datetime.timedelta(
-            days=1, hours=2, minutes=3, seconds=4)
-        assert row.e == datetime.timedelta(days=123, hours=11)
+        assert row.a == "1 day 02:00:00"
+        assert row.b == "1 day 02:00:00"
+        assert row.c == "1 day 02:03:00"
+        assert row.d == "1 day 02:03:04"
+        assert row.e == "123 days 11:00:00"
 
     def test_minute_to_second_rereads_two_part_time(self, spark):
         from gpdb_spark.dialect import pg_sql
@@ -1589,10 +1593,10 @@ class TestIntervalFieldQualifiers:
             " interval '1 -2:03' minute to second AS b",
         ).collect()[0]
         # MM:SS reading + fsec rounding (00:12:34.57); '1 day -00:02:03'
-        assert row.a == datetime.timedelta(
-            minutes=12, seconds=34, microseconds=570000)
-        assert row.b == datetime.timedelta(days=1) - datetime.timedelta(
-            minutes=2, seconds=3)
+        # as TEXT — PG's mixed-sign field split is unrepresentable in
+        # a collected timedelta (exactly why standalone literals fold)
+        assert row.a == "00:12:34.57"
+        assert row.b == "1 day -00:02:03"
 
     def test_precision_prefix_and_suffix(self, spark):
         from gpdb_spark.dialect import pg_sql
@@ -1604,11 +1608,9 @@ class TestIntervalFieldQualifiers:
             " interval(0) '1 day 01:23:45.6789' AS b,"
             " interval '10.56789' second(3) AS c",
         ).collect()[0]
-        assert row.a == datetime.timedelta(
-            days=1, hours=1, minutes=23, seconds=45, microseconds=680000)
-        assert row.b == datetime.timedelta(
-            days=1, hours=1, minutes=23, seconds=46)
-        assert row.c == datetime.timedelta(seconds=10, microseconds=568000)
+        assert row.a == "1 day 01:23:45.68"
+        assert row.b == "1 day 01:23:46"
+        assert row.c == "00:00:10.568"
 
     def test_invalid_double_bare_number_is_loud(self, spark):
         import pytest
@@ -2037,8 +2039,11 @@ class TestMoneyIntervalFold:
         # mixed-SIGN day-time folds to the field-preserving text
         assert t("SELECT interval '+1 -1:00:00'") == \
             "SELECT '1 day -01:00:00'"
-        # untouched pure literals keep the native (typed) path
-        assert "make_dt_interval" in t("SELECT interval '1 day'")
+        # standalone select-list literals render text; OPERAND
+        # positions keep the native (typed) path
+        assert t("SELECT interval '1 day'") == "SELECT '1 day'"
+        assert "make_dt_interval" in t(
+            "SELECT x FROM t WHERE y > interval '1 day'")
         # sub-day ts arithmetic is physical-instant since r8
         # (_pass_interval_physical — see TestDstIntervalArithmetic)
         assert "unix_micros" in t(
@@ -2669,3 +2674,64 @@ class TestRound8ArrayJsonResidue:
         # FROM-less ARRAY(SELECT ...) sublink
         assert t("SELECT array_to_json(array(select 1 as a))") \
             == "SELECT to_json((array(1)))"
+
+
+class TestRound8IntervalTypmodAndBits:
+    """interval.out typmod residue + bit/regex/text-chain items: the
+    file now probes fully exact (78 GOLD_AGREE / 0 DIFF / 0 MISS)."""
+
+    def test_interval_typmod_forms(self):
+        import pytest
+
+        from gpdb_spark.dialect import translate as t
+
+        # bare number under X TO Y takes the END field as its unit
+        assert t("SELECT interval '1' year to month") \
+            == "SELECT '1 mon'"
+        # interval(p) with a qualifier; second(q) there is PG's error
+        assert t("SELECT interval(2) '12:34.5678' minute to second") \
+            == "SELECT '00:12:34.57'"
+        with pytest.raises(ValueError, match="specified twice"):
+            t("SELECT interval(2) '12:34.5678' minute to second(2)")
+        # two-field time with a FRACTION reads MM:SS, not HH:MM
+        assert t("SELECT interval '1 2:03.4567' day to second(2)") \
+            == "SELECT '1 day 00:02:03.46'"
+
+    def test_standalone_literal_text_rendering(self):
+        from gpdb_spark.dialect import (set_interval_style,
+                                        translate as t)
+
+        # PG keeps the (days, micros) field split a collected
+        # timedelta cannot carry: 999 hours is NOT 41 days 15:00
+        assert t("SELECT interval '999' hour") == "SELECT '999:00:00'"
+        assert t("SELECT interval '1 -2:03' minute to second") \
+            == "SELECT '1 day -00:02:03'"
+        set_interval_style("sql_standard")
+        try:
+            assert t("SELECT interval '1-2' year to month AS ym") \
+                == "SELECT '1-2' AS ym"
+        finally:
+            set_interval_style("postgres")
+
+    def test_bit_string_get_set(self):
+        import pytest
+
+        from gpdb_spark.dialect import translate as t
+
+        assert t("SELECT get_bit(B'0101011000100', 10)") == "SELECT 1"
+        assert t("SELECT set_bit(B'0101011000100100', 15, 1)") \
+            == "SELECT '0101011000100101'"
+        with pytest.raises(ValueError, match="out of valid range"):
+            t("SELECT get_bit(B'0101', 10)")
+
+    def test_regex_word_boundary_escapes(self):
+        from gpdb_spark.dialect import translate as t
+
+        assert "\\\\b(?=\\\\w)" in t("select 'x' ~ 'abcd(\\m)+xyz'")
+        assert "\\\\B" in t("select 'x' ~ 'xyz(\\Y\\Y)+'")
+
+    def test_text_chain_array_cast(self):
+        from gpdb_spark.dialect import translate as t
+
+        assert t("SELECT '{1,2}'::text::integer[]") \
+            == "SELECT CAST(array('1', '2') AS ARRAY<INT>)"

@@ -495,15 +495,22 @@ _DECLARED_ERR: list[tuple[str, re.Pattern]] = [
     ("numeric beyond 38 digits", re.compile(r"\d{39,}")),
     ("year beyond 9999 (datetime image range)", re.compile(
         r"(?i)'\d{5,6}-\d|/2942\d\d\b|to_timestamp\s*\(\s*'\d{5}-")),
+    ("instant before 0001-01-01 UTC (timestamptz image range)",
+     re.compile(r"(?i)date_trunc\s*\(\s*'(century|decade|millennium)'"
+                r"\s*,\s*(date|timestamp)\s*'000\d\b")),
     ("numeric NaN (numeric image is double)", re.compile(
         r"(?i)'nan'\s*::\s*numeric")),
 ]
 
 
-def classify_engine_err(stmt: str, file_funcs: set) -> str | None:
+def classify_engine_err(stmt: str, file_funcs: set,
+                        file_types: set = frozenset()) -> str | None:
     for name in file_funcs:
         if re.search(rf"(?i)\b{re.escape(name)}\s*\(", stmt):
             return "user-defined function context"
+    for name in file_types:
+        if re.search(rf"(?i)\b{re.escape(name)}\b", stmt):
+            return "user-defined type context"
     for label, rx in _DECLARED_ERR:
         if rx.search(stmt):
             return label
@@ -654,12 +661,17 @@ def main(argv):
         set_session_zone("PST8PDT")
         spark.conf.set("spark.sql.session.timeZone", "PST8PDT")
         file_funcs: set = set()
+        file_types: set = set()
         for stmt, (kind, rows) in parse_expected(f"{EXPECTED}/{f}.out"):
             if kind == "funcdef":
                 file_funcs.add(stmt)
                 continue
             if kind == "typeddl":
                 apply_type_ddl(stmt)
+                mt = re.match(r"(?is)^create\s+(?:type|domain)\s+"
+                              r"([\w.]+)", stmt)
+                if mt:
+                    file_types.add(mt.group(1))
                 continue
             if kind == "set":
                 apply_set(stmt, ctx)
@@ -715,7 +727,8 @@ def main(argv):
                     diffs.append((f, stmt, "expected ERROR, got rows"))
                 continue
             if not ok:
-                declared = classify_engine_err(stmt, file_funcs)
+                declared = classify_engine_err(
+                    stmt, file_funcs, file_types)
                 if declared is not None:
                     per["ERR_DECLARED"] += 1
                     declared_counts[declared] = (
