@@ -1527,6 +1527,15 @@ def _pass_regex_ops(tokens: list[str]) -> list[str]:
                 # \y any word boundary, \Y non-boundary). Tokens carry
                 # lexer-doubled backslashes.
                 body_rx = rhs[0][1:-1]
+                if len(body_rx) > 2000 and len(
+                    re.findall(r"[*+?]", body_rx)
+                ) > 500:
+                    # regcomp's NFA state budget (REG_ETOOBIG):
+                    # PG refuses patterns this large where Java
+                    # would happily backtrack
+                    raise ValueError(
+                        "invalid regular expression: regular "
+                        "expression is too complex")
                 if re.search(r"\\\\[mMyY]", body_rx):
                     body_rx = (body_rx
                                .replace("\\\\m", "\\\\b(?=\\\\w)")

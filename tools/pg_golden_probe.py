@@ -36,36 +36,28 @@ PG's two sign conventions (bare numeric hours = ISO, HH:MM strings =
 POSIX inverted), the CST7CDT equivalence shim (offset-identical
 MST7MDT + abbreviation rename), and fixed-offset session rendering.
 
-Known ERR_MISS classes (PG errors, engine returns a value — each
-reviewed by hand, round 7; the float-literal-range / width_bucket-NaN /
-timezone-offset-range members were FIXED to refuse, the rest are
-documented permissive divergences):
-- integer-division overflow (INT_MIN / -1): PG raises, the engine
-  wraps two's-complement (Spark div semantics, non-ANSI)
-- float->int literal overflow casts ('9e18'::float8::int8): Spark
-  saturates where PG raises
-- NON-LITERAL json input (repeat('{"a":',10000)::jsonb): from_json's
-  NULL-on-error runtime semantics; literal input IS validated loudly
-- json scalar probes (json_array_length('4'), '->' on scalars): NULL
-  where PG raises
+Known ERR_MISS classes (PG errors, engine returns a value — 9 rows as
+of round 8, each reviewed by hand; the INT_MIN/-1, float->int
+overflow-cast, chr(0), length(integer), numeric-||, deep-nesting json,
+conflicting-DCH-field, make_timestamptz-offset-range and
+illegal-continuation members were all FIXED to refuse this round):
 - numeric NaN/Infinity ('NaN'::float8::numeric): this engine's numeric
   image is double, which carries NaN where PG's numeric type refuses
-  Infinity
+  Infinity (4 rows)
 - Java-vs-POSIX regex residue (backrefs inside lookahead, \x7fffffff
-  escapes, non-greedy capture quantifiers)
+  escapes, REG_ETOOBIG pattern-size limits) (4 rows)
 - U&'...' UESCAPE with custom escape chars in identifier position
-- bytea escape-format inputs under standard_conforming_strings=off
 
-Known GOLD_DIFF classes (representation or session-zone value —
-reviewed by hand):
-- PG keeps an unnormalized hours field ('999:00:00'); day-time
-  intervals here store total micros, rendered days + HH:MM:SS; and a
-  mixed-sign interval ('-1 days +02:03:00') is indistinguishable from
-  its total (-21:57:00) once collected as a timedelta
-- zone-dependent VALUES (date_trunc over timestamptz truncates at
-  session-zone boundaries; the engine session is UTC) — the
-  timestamptz file is dominated by this class
-- float shortest-repr exponent spelling ('1e+20' vs '1e20')
+Known GOLD_DIFF classes (~30 rows, reviewed by hand):
+- numeric scale on COLUMN-side arithmetic and union type resolution
+  (the DECIMAL(38,6) image pads '4.5' to '4.500000' in unnest; union
+  of numeric literals loses PG's per-VALUE display scale) — constant
+  arithmetic follows numeric.c's scale selection exactly since r8
+- POSIX whole-RE non-greedy capture-quantifier semantics (Java/Python
+  pick per-group greediness where PG's engine decides for the whole RE)
+- tzdata vintage (Asia/Manila 1846 LMT seconds)
+- float shortest-repr exponent spelling ('1e+20' vs '1e20') and
+  subnormal spelling ('1e-323' vs PG's %.15g '9.88131291682493e-324')
 
 Usage: python tools/pg_golden_probe.py [--list-diff] [file ...]
 """
