@@ -29,10 +29,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # row and sorts last.
 DRIVER_PRIORITY: list[str] = [
     # never-driver-checked round-8 queries first (DST interval
-    # arithmetic, geometry literal algebra, enum front door)
+    # arithmetic, geometry literal algebra, enum front door, zone
+    # fold discipline, numeric scale algebra, interval field
+    # fidelity)
     "pg_dst_interval_arith",
     "pg_geometry_literals",
     "pg_enum_ops",
+    "pg_zone_fold_discipline",
+    "pg_numeric_scale_algebra",
+    "pg_interval_field_fidelity",
     # freshness rotation (VERDICT r07 Next #3): the 24 rows whose
     # latest driver check is still round 2 ...
     "trgm_similarity",

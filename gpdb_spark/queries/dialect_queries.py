@@ -1431,3 +1431,99 @@ ORACLE["pg_enum_ops"] = " ".join(
            TRUE AS is_in
     """.split()
 )
+
+
+# PG DetermineTimeZoneOffset discipline for constant zone folds
+# (datetime.c, round 8): region zones resolve a DST GAP with the
+# before offset and an AMBIGUITY with after; dynamic abbreviations
+# (MSK -> Europe/Moscow) prefer after in both. Every value is pinned
+# against expected/timestamptz.out's Moscow 2011/2014 block — the
+# oracle carries the golden instants as literals because DuckDB's own
+# ICU resolution (Java-style earliest-offset) intentionally DIFFERS
+# on these walls. ::text renders under the engine's UTC session.
+_pg_query(
+    "pg_zone_fold_discipline",
+    """
+    SELECT ('2011-03-27 02:00:00 Europe/Moscow'::timestamptz)::text
+               AS gap_zone,
+           ('2011-03-27 02:00:00 MSK'::timestamptz)::text AS gap_abbrev,
+           ('2014-10-26 01:00:00 Europe/Moscow'::timestamptz)::text
+               AS amb_zone,
+           ('2014-10-26 01:00:00 MSK'::timestamptz)::text AS amb_abbrev,
+           ('2011-03-26 21:00:00 UTC'::timestamptz
+               AT TIME ZONE 'Europe/Moscow')::text AS to_naive,
+           ('Wed Jul 11 10:51:14 GMT-4 2001'::timestamptz)::text
+               AS posix_inverted,
+           (make_timestamptz(2014, 10, 26, 1, 0, 0, 'MSK'))::text
+               AS mk_tstz,
+           (timestamp with time zone 'epoch'
+               + 1407545520 * interval '1 second')::text AS epoch_arith
+    """,
+    oracle="""
+    SELECT '2011-03-26 23:00:00' AS gap_zone,
+           '2011-03-26 22:00:00' AS gap_abbrev,
+           '2014-10-25 22:00:00' AS amb_zone,
+           '2014-10-25 22:00:00' AS amb_abbrev,
+           '2011-03-27 00:00:00' AS to_naive,
+           '2001-07-11 06:51:14' AS posix_inverted,
+           '2014-10-25 22:00:00' AS mk_tstz,
+           '2014-08-09 00:52:00' AS epoch_arith
+    """,
+)
+
+
+# numeric.c constant-arithmetic scale selection (round 8): div keeps
+# >=16 significant digits (select_div_scale), div()/mod() are exact
+# truncating forms, power keeps >=16 significant digits and rounds
+# half away from zero. Values pinned against expected/numeric.out.
+_pg_query(
+    "pg_numeric_scale_algebra",
+    """
+    SELECT (999999999999999999999::numeric
+                / 1000000000000000000000)::text AS div20,
+           (70.0 / 70)::text AS div70,
+           (12345678901234567890 / 123)::text AS bigdiv,
+           (div(12345678901234567890, 123))::text AS tdiv,
+           (mod(999999999999999999999::numeric,
+                1000000000000000000000))::text AS m21,
+           (div(12345678901234567890, 123) * 123
+                + 12345678901234567890 % 123)::text AS identity_chk,
+           (10.0 ^ -2147483648)::text AS pow_zero
+    """,
+    oracle="""
+    SELECT '1.00000000000000000000' AS div20,
+           '1.00000000000000000000' AS div70,
+           '100371373180768845' AS bigdiv,
+           '100371373180768844' AS tdiv,
+           '999999999999999999999' AS m21,
+           '12345678901234567890' AS identity_chk,
+           '0.0000000000000000' AS pow_zero
+    """,
+)
+
+
+# interval_out field fidelity (round 8): standalone select-list
+# interval literals render PG's (months, days, micros) FIELD SPLIT as
+# text — '999 hours' keeps the unnormalized hours field, a mixed-sign
+# day-time value keeps per-field signs, interval(p)/second(p) typmods
+# round fractional seconds, and a bare number under X TO Y takes the
+# end field as its unit. Pinned against expected/interval.out.
+_pg_query(
+    "pg_interval_field_fidelity",
+    """
+    SELECT interval '999' hour AS h999,
+           interval '1 -2:03' minute to second AS mixed_sign,
+           interval(2) '12:34.5678' minute to second AS prec2,
+           interval '1 2:03.4567' day to second(2) AS d2s2,
+           interval '1' year to month AS y2m,
+           interval '1.5 weeks' AS frac_spill
+    """,
+    oracle="""
+    SELECT '999:00:00' AS h999,
+           '1 day -00:02:03' AS mixed_sign,
+           '00:12:34.57' AS prec2,
+           '1 day 00:02:03.46' AS d2s2,
+           '1 mon' AS y2m,
+           '10 days 12:00:00' AS frac_spill
+    """,
+)
