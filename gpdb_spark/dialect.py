@@ -1329,9 +1329,21 @@ def _pass_int_division(
             lhs = out[lhs_start:]
             end = _rhs_end(tokens, i + 1)
             rhs = tokens[i + 1 : end]
-            if _seg_is_integer(lhs, int_cols) and _seg_is_integer(
-                rhs, int_cols
-            ):
+            # left-associativity: when a same-precedence operator
+            # precedes the lhs, the REAL left operand is the whole
+            # earlier chain (pi()*2/3 divides pi()*2, not the int 2)
+            # — every segment of that chain must be integral too
+            # (8*2/3 stays int division; pi()*2/3 stays float)
+            chain_ok = True
+            cs = lhs_start
+            while cs > 0 and out[cs - 1] in ("*", "/", "%", "div"):
+                prev = _operand_start(out[: cs - 1] + ["~"], cs - 1)
+                if not _seg_is_integer(out[prev : cs - 1], int_cols):
+                    chain_ok = False
+                    break
+                cs = prev
+            if chain_ok and _seg_is_integer(lhs, int_cols) \
+                    and _seg_is_integer(rhs, int_cols):
                 out += ["div"] + rhs
                 i = end
                 continue
@@ -2479,6 +2491,7 @@ def _pass_substring_pattern(tokens: list[str]) -> list[str]:
         if t.lower() == "substring" and i + 1 < n and tokens[i + 1] == "(":
             depth, k = 0, i + 1
             from_at = None
+            last_comma = None
             while k < n:
                 if tokens[k] == "(":
                     depth += 1
@@ -2488,7 +2501,28 @@ def _pass_substring_pattern(tokens: list[str]) -> list[str]:
                         break
                 elif depth == 1 and _is_word(tokens[k], "from"):
                     from_at = k
+                elif depth == 1 and tokens[k] == ",":
+                    last_comma = k
                 k += 1
+            # two-arg COMMA form with a non-numeric literal second
+            # arg is the POSIX-regex substring too (regexp.c
+            # textregexsubstr via the substr(text,text) alias)
+            if (
+                from_at is None
+                and last_comma is not None
+                and last_comma == k - 2
+                and tokens[k - 1].startswith("'")
+                and not re.fullmatch(r"\d+", tokens[k - 1][1:-1])
+            ):
+                pat = _lit_decode(tokens[k - 1])
+                grp = "1" if _regex_group_count(pat) >= 1 else "0"
+                out += (["nullif", "(", "regexp_extract", "("]
+                        + _pass_substring_pattern(
+                            tokens[i + 2 : last_comma])
+                        + [",", tokens[k - 1], ",", grp, ")", ",",
+                           "''", ")"])
+                i = k + 1
+                continue
             if (
                 from_at is not None
                 and k < n
@@ -3596,6 +3630,10 @@ def _pass_numeric_fold(tokens: list[str]) -> list[str]:
                                      rounding=_dec.ROUND_HALF_UP)
                 return q, rscale
             if op == "^":
+                if a < 0 and b != b.to_integral_value():
+                    raise ValueError(
+                        "a negative number raised to a non-integer "
+                        "power yields a complex result")
                 rscale = max(16, sa, sb)
                 try:
                     r = a ** b
@@ -3678,7 +3716,7 @@ def _pass_numeric_fold(tokens: list[str]) -> list[str]:
                 out.append(t)
                 i += 1
             tokens = out
-            # parenthesized single value
+            # parenthesized single value, incl. (-1) literal forms
             out = []
             i, n = 0, len(tokens)
             while i < n:
@@ -3691,6 +3729,22 @@ def _pass_numeric_fold(tokens: list[str]) -> list[str]:
                 ):
                     out.append(tokens[i + 1])
                     i += 3
+                    changed = True
+                    continue
+                if (
+                    tokens[i] == "("
+                    and i + 3 < n
+                    and tokens[i + 1] == "-"
+                    and re.fullmatch(r"\d+(\.\d*)?", tokens[i + 2])
+                    and tokens[i + 3] == ")"
+                    and (i == 0 or not tokens[i - 1].isidentifier()
+                         or tokens[i - 1].lower() in _KEYWORDS)
+                ):
+                    lit2 = tokens[i + 2]
+                    frac2 = (len(lit2.split(".", 1)[1])
+                             if "." in lit2 else 0)
+                    out.append(mk(-Decimal(lit2), frac2))
+                    i += 4
                     changed = True
                     continue
                 out.append(tokens[i])
@@ -3912,6 +3966,22 @@ def _pass_error_contracts(tokens: list[str]) -> list[str]:
     n = len(tokens)
     for i, t in enumerate(tokens):
         low = t.lower() if t.isidentifier() else ""
+        # power(negative, non-integer) — float8 pow's complex-result
+        # contract (float.c dpow ereport)
+        if (
+            low in ("power", "pow")
+            and i + 6 < n
+            and tokens[i + 1] == "("
+            and tokens[i + 2] == "-"
+            and re.fullmatch(r"\d+(\.\d*)?", tokens[i + 3])
+            and tokens[i + 4] == ","
+            and re.fullmatch(r"\d+\.\d+", tokens[i + 5])
+            and tokens[i + 6] == ")"
+            and float(tokens[i + 5]) != int(float(tokens[i + 5]))
+        ):
+            raise ValueError(
+                "a negative number raised to a non-integer power "
+                "yields a complex result")
         # chr(0) — "null character not permitted" (oracle_expr.c chr)
         if (
             low == "chr"
@@ -6306,6 +6376,425 @@ _GEO_OP_SEQS: list[tuple[tuple[str, ...], str]] = [
     (("*",), "*"),
     (("/",), "/"),
 ]
+
+
+def _pass_complex_fold(tokens: list[str]) -> list[str]:
+    """GPDB ``complex`` literal input and constant operator algebra,
+    folded at translate time (complex_type.c via the pure-Python
+    functions/complextype.py — the tstypes playbook): ``COMPLEX(a,b)``
+    constructors with constant scalar args (including sqrt()/pi()
+    sub-expressions), ``COMPLEX '<lit>'`` / ``'<lit>'::complex`` /
+    ``<n>::complex`` / ``POINT(x,y)::complex`` input, unary +/-, the
+    ``+ - * / ^ = <>`` operators, and re/im/abs/@/conj/radians/
+    degrees/sqrt/cbrt/ln/power/dotproduct/hashcomplex. Float results
+    emit as DOUBLE casts (Spark-native arithmetic continues around
+    them); complex results render their complex_out text image.
+    Column-valued complex math keeps functions/complex.py."""
+    if not any(
+        t.isidentifier() and t.lower() == "complex" for t in tokens
+    ):
+        return tokens
+    from gpdb_spark.functions import complextype as _cx
+
+    vals: dict[str, tuple[float, float]] = {}
+    counter = [0]
+
+    def mk(z) -> str:
+        tok = f"__CPLX{counter[0]}__"
+        counter[0] += 1
+        vals[tok] = z
+        return tok
+
+    def emit_f(v: float) -> list[str]:
+        if v != v:
+            return ["CAST", "(", "'NaN'", "AS", "DOUBLE", ")"]
+        if v == float("inf"):
+            return ["CAST", "(", "'Infinity'", "AS", "DOUBLE", ")"]
+        if v == float("-inf"):
+            return ["CAST", "(", "'-Infinity'", "AS", "DOUBLE", ")"]
+        return ["CAST", "(", f"'{v!r}'", "AS", "DOUBLE", ")"]
+
+    def sc_eval(toks: list[str]) -> float | None:
+        """Tiny constant scalar evaluator for constructor args /
+        exponents: numbers, 'infinity'/'nan' strings, + - * /,
+        unary -, sqrt(), cbrt(), pi(), parens, ::float4/8 casts."""
+        import math as _m
+
+        pos = [0]
+        n2 = len(toks)
+
+        def peek():
+            return toks[pos[0]] if pos[0] < n2 else ""
+
+        def factor():
+            t2 = peek()
+            if t2 == "-":
+                pos[0] += 1
+                v = factor()
+                return None if v is None else -v
+            if t2 == "+":
+                pos[0] += 1
+                return factor()
+            if t2 == "(":
+                pos[0] += 1
+                v = expr()
+                if peek() != ")":
+                    return None
+                pos[0] += 1
+                return postfix(v)
+            if t2.lower() in ("sqrt", "cbrt") and pos[0] + 1 < n2 \
+                    and toks[pos[0] + 1] == "(":
+                fn2 = t2.lower()
+                pos[0] += 2
+                v = expr()
+                if v is None or peek() != ")":
+                    return None
+                pos[0] += 1
+                return postfix(
+                    _m.sqrt(v) if fn2 == "sqrt"
+                    else math.copysign(abs(v) ** (1 / 3), v))
+            if t2.lower() == "pi" and pos[0] + 2 < n2 \
+                    and toks[pos[0] + 1] == "(" \
+                    and toks[pos[0] + 2] == ")":
+                pos[0] += 3
+                return postfix(_m.pi)
+            if t2.startswith("'"):
+                body2 = t2[1:-1].strip().lower()
+                if body2 in ("infinity", "inf", "-infinity", "-inf",
+                             "nan", "-nan"):
+                    pos[0] += 1
+                    if body2.startswith("-") and "inf" in body2:
+                        return postfix(float("-inf"))
+                    return postfix(
+                        float("inf") if "inf" in body2
+                        else float("nan"))
+                return None
+            if re.fullmatch(r"\d+(\.\d*)?([eE][+-]?\d+)?|\.\d+", t2):
+                pos[0] += 1
+                return postfix(float(t2))
+            return None
+
+        def postfix(v):
+            # ::float4 / ::float8 / ::int casts on a constant scalar
+            while v is not None and peek() == "::" \
+                    and pos[0] + 1 < n2:
+                ty = toks[pos[0] + 1].lower()
+                if ty in ("float4", "real"):
+                    import struct as _st
+
+                    v = _st.unpack("f", _st.pack("f", v))[0]
+                elif ty in ("float8", "int2", "int4", "int8",
+                            "smallint", "int", "integer", "bigint",
+                            "numeric", "decimal"):
+                    if ty not in ("float8",):
+                        v = float(int(v))
+                else:
+                    return None
+                pos[0] += 2
+            return v
+
+        def term():
+            v = factor()
+            while v is not None and peek() in ("*", "/"):
+                op2 = peek()
+                pos[0] += 1
+                w = factor()
+                if w is None:
+                    return None
+                v = v * w if op2 == "*" else v / w
+            return v
+
+        def expr():
+            v = term()
+            while v is not None and peek() in ("+", "-"):
+                op2 = peek()
+                pos[0] += 1
+                w = term()
+                if w is None:
+                    return None
+                v = v + w if op2 == "+" else v - w
+            return v
+
+        v = expr()
+        return v if pos[0] == n2 else None
+
+    import math
+
+    try:
+        changed = True
+        while changed:
+            changed = False
+            out: list[str] = []
+            i, n = 0, len(tokens)
+            while i < n:
+                t = tokens[i]
+                low = t.lower() if t.isidentifier() else ""
+                nxt = tokens[i + 1] if i + 1 < n else ""
+                nxt2 = tokens[i + 2] if i + 2 < n else ""
+                # COMPLEX '<lit>' and '<lit>'::complex
+                if low == "complex" and nxt.startswith("'"):
+                    out.append(mk(_cx.complex_in(_lit_decode(nxt))))
+                    i += 2
+                    changed = True
+                    continue
+                if t.startswith("'") and nxt == "::" \
+                        and nxt2.lower() == "complex":
+                    out.append(mk(_cx.complex_in(_lit_decode(t))))
+                    i += 3
+                    changed = True
+                    continue
+                # <scalar>::complex (the scalar may carry its own
+                # ::int2 etc. — sc_eval consumes those)
+                if t == "::" and nxt.lower() == "complex" and out:
+                    s0 = _operand_start(out + ["~"], len(out))
+                    v = sc_eval(out[s0:])
+                    if v is not None:
+                        out = out[:s0] + [mk((v, 0.0))]
+                        i += 2
+                        changed = True
+                        continue
+                    # POINT(x,y)::complex
+                    if (
+                        len(out) - s0 >= 4
+                        and out[s0].lower() == "point"
+                        and out[s0 + 1] == "("
+                        and out[-1] == ")"
+                    ):
+                        inner2 = out[s0 + 2 : -1]
+                        if "," in inner2:
+                            ci = inner2.index(",")
+                            a = sc_eval(inner2[:ci])
+                            b = sc_eval(inner2[ci + 1:])
+                            if a is not None and b is not None:
+                                out = out[:s0] + [mk((a, b))]
+                                i += 2
+                                changed = True
+                                continue
+                # COMPLEX(a, b) constructor
+                if low == "complex" and nxt == "(":
+                    depth, k = 0, i + 1
+                    commas = []
+                    while k < n:
+                        if tokens[k] == "(":
+                            depth += 1
+                        elif tokens[k] == ")":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        elif tokens[k] == "," and depth == 1:
+                            commas.append(k)
+                        k += 1
+                    if len(commas) == 1 and k < n:
+                        a = sc_eval(tokens[i + 2 : commas[0]])
+                        b = sc_eval(tokens[commas[0] + 1 : k])
+                        if a is not None and b is not None:
+                            out.append(mk((a, b)))
+                            i = k + 1
+                            changed = True
+                            continue
+                # functions over complex values
+                if (
+                    low in ("re", "im", "abs", "conj", "radians",
+                            "degrees", "sqrt", "cbrt", "ln",
+                            "hashcomplex")
+                    and nxt == "("
+                    and nxt2 in vals
+                    and i + 3 < n
+                    and tokens[i + 3] == ")"
+                ):
+                    z = vals[nxt2]
+                    if low == "re":
+                        out += emit_f(z[0])
+                    elif low == "im":
+                        out += emit_f(z[1])
+                    elif low == "abs":
+                        out += emit_f(_cx.c_abs(z))
+                    elif low == "conj":
+                        out.append(mk(_cx.c_conj(z)))
+                    elif low == "radians":
+                        out += emit_f(_cx.c_arg(z))
+                    elif low == "degrees":
+                        out += emit_f(math.degrees(_cx.c_arg(z)))
+                    elif low == "sqrt":
+                        out.append(mk(_cx.c_sqrt(z)))
+                    elif low == "cbrt":
+                        out.append(mk(_cx.c_cbrt(z)))
+                    elif low == "ln":
+                        out.append(mk(_cx.c_ln(z)))
+                    else:
+                        out.append(str(_cx.hashcomplex(z)))
+                    i += 4
+                    changed = True
+                    continue
+                if low in ("power", "dotproduct") and nxt == "(":
+                    depth, k = 0, i + 1
+                    commas = []
+                    while k < n:
+                        if tokens[k] in ("(", "["):
+                            depth += 1
+                        elif tokens[k] in (")", "]"):
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        elif tokens[k] == "," and depth == 1:
+                            commas.append(k)
+                        k += 1
+
+                    def as_cx(toks):
+                        if len(toks) == 1 and toks[0] in vals:
+                            return vals[toks[0]]
+                        v = sc_eval(toks)
+                        return (v, 0.0) if v is not None else None
+
+                    def as_cx_array(toks):
+                        # ARRAY[VAL, VAL|NULL, ...] -> list
+                        if len(toks) < 3 or not _is_word(
+                            toks[0], "array"
+                        ) or toks[1] != "[" or toks[-1] != "]":
+                            return None
+                        els = []
+                        for tk in toks[2:-1]:
+                            if tk == ",":
+                                continue
+                            if tk in vals:
+                                els.append(vals[tk])
+                            elif tk.upper() == "NULL":
+                                els.append(None)
+                            else:
+                                return None
+                        return els
+
+                    if len(commas) == 1 and k < n:
+                        a1 = tokens[i + 2 : commas[0]]
+                        a2 = tokens[commas[0] + 1 : k]
+                        ca, cb = as_cx(a1), as_cx(a2)
+                        has_cx = any(
+                            tk in vals for tk in a1 + a2
+                        )
+                        if low == "power" and has_cx \
+                                and ca is not None and cb is not None:
+                            out.append(mk(_cx.c_pow(ca, cb)))
+                            i = k + 1
+                            changed = True
+                            continue
+                        if low == "dotproduct":
+                            va, vb = (as_cx_array(a1),
+                                      as_cx_array(a2))
+                            if va is not None and vb is not None \
+                                    and len(va) == len(vb):
+                                if any(e is None for e in va + vb):
+                                    out += ["CAST", "(", "NULL", "AS",
+                                            "STRING", ")"]
+                                else:
+                                    acc = (0.0, 0.0)
+                                    for ea, eb in zip(va, vb):
+                                        acc = _cx.c_add(
+                                            acc, _cx.c_mul(ea, eb))
+                                    out.append(mk(acc))
+                                i = k + 1
+                                changed = True
+                                continue
+                # ( VAL ) -> VAL
+                if t == "(" and nxt in vals and nxt2 == ")" and (
+                    not out
+                    or not (out[-1].isidentifier()
+                            and out[-1].lower() not in _KEYWORDS)
+                ):
+                    out.append(nxt)
+                    i += 3
+                    changed = True
+                    continue
+                # @ (absolute value operator) before VAL
+                if t == "@" and nxt in vals:
+                    out += emit_f(_cx.c_abs(vals[nxt]))
+                    i += 2
+                    changed = True
+                    continue
+                # unary +/- before VAL
+                if t in ("+", "-") and nxt in vals and (
+                    not out
+                    or out[-1] in ("(", ",", "=", "+", "-", "*", "/",
+                                   "^", "<", ">")
+                    or (out[-1].isidentifier()
+                        and out[-1].lower() in _KEYWORDS)
+                ):
+                    out.append(
+                        mk(_cx.c_neg(vals[nxt])) if t == "-" else nxt)
+                    i += 2
+                    changed = True
+                    continue
+                # binary ops with at least one complex side (the
+                # scalar side coerces; '::FLOAT4'-suffixed and
+                # sign-prefixed scalars parse via sc_eval)
+                if (
+                    t in ("+", "-", "*", "/", "^", "=", "<>", "!=")
+                    and out
+                    and i + 1 < n
+                ):
+                    end2 = _rhs_end(tokens, i + 1)
+                    # include a trailing ::type cast chain in the
+                    # scalar operand span (4.5::FLOAT4)
+                    while (
+                        end2 + 1 < n
+                        and tokens[end2] == "::"
+                        and tokens[end2 + 1].isidentifier()
+                    ):
+                        end2 += 2
+                    # precedence guards: ^ > * / > + - > comparisons
+                    crank = {"^": 3, "*": 2, "/": 2, "+": 1, "-": 1,
+                             "=": 0, "<>": 0, "!=": 0}
+                    after2 = tokens[end2] if end2 < n else ""
+                    prev2 = out[-2] if len(out) >= 2 else ""
+                    if crank.get(after2, -1) > crank[t] \
+                            or crank.get(prev2, -1) >= crank[t]:
+                        out.append(t)
+                        i += 1
+                        continue
+                    lhs_t = out[-1]
+                    rhs_is_val = (end2 == i + 2
+                                  and tokens[i + 1] in vals)
+                    if lhs_t in vals or rhs_is_val:
+                        a = vals.get(lhs_t)
+                        if a is None:
+                            v = sc_eval([lhs_t])
+                            a = (v, 0.0) if v is not None else None
+                        if rhs_is_val:
+                            b = vals[tokens[i + 1]]
+                        else:
+                            v = sc_eval(tokens[i + 1 : end2])
+                            b = (v, 0.0) if v is not None else None
+                    else:
+                        a = b = None
+                    if a is not None and b is not None:
+                        out.pop()
+                        if t == "+":
+                            out.append(mk(_cx.c_add(a, b)))
+                        elif t == "-":
+                            out.append(mk(_cx.c_sub(a, b)))
+                        elif t == "*":
+                            out.append(mk(_cx.c_mul(a, b)))
+                        elif t == "/":
+                            out.append(mk(_cx.c_div(a, b)))
+                        elif t == "^":
+                            out.append(mk(_cx.c_pow(a, b)))
+                        elif t == "=":
+                            out.append(
+                                "TRUE" if _cx.c_eq(a, b) else "FALSE")
+                        else:
+                            out.append(
+                                "FALSE" if _cx.c_eq(a, b) else "TRUE")
+                        i = end2
+                        changed = True
+                        continue
+                out.append(t)
+                i += 1
+            tokens = out
+    except ValueError:
+        raise
+    return [
+        _lit_encode(_cx.complex_out(vals[t])) if t in vals else t
+        for t in tokens
+    ]
 
 
 def _pass_geo_fold(tokens: list[str]) -> list[str]:
@@ -10695,6 +11184,7 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_quoted_idents(tokens)
     tokens = _pass_tochar_naive_tz(tokens)
     tokens = _pass_ts_fold(tokens)
+    tokens = _pass_complex_fold(tokens)
     tokens = _pass_geo_fold(tokens)
     tokens = _pass_enum_fold(tokens)
     tokens = _pass_json_misc_fold(tokens)

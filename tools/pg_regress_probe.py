@@ -67,7 +67,7 @@ CANDIDATES = [
     "date", "timestamp", "timestamptz", "interval", "case", "boolean",
     "text", "char", "varchar", "numerology", "oid", "comments",
     "expressions", "horology", "arrays", "json", "jsonb",
-    "bit", "money", "regex", "inet", "macaddr", "uuid", "tstypes",
+    "bit", "money", "regex", "regex_gp", "complex", "inet", "macaddr", "uuid", "tstypes",
     "union", "limit",
     # round-6 batch 2: geometry/time/name/enum expression files
     "point", "box", "lseg", "line", "path", "polygon", "circle",
