@@ -1652,12 +1652,18 @@ def _quote_sql(arg_sql: str, ident: bool) -> str:
             f"CASE WHEN {arg_sql} RLIKE '^[a-z_][a-z0-9_]*$' THEN {arg_sql} "
             f"ELSE '\"' || replace({arg_sql}, '\"', '\"\"') || '\"' END"
         )
+    # the rendered argument SQL carries lexer-doubled backslashes and
+    # this whole expression re-enters _lex (which doubles again) —
+    # halve them so the value round-trips once
+    arg_sql = arg_sql.replace("\\\\", "\\")
     s = f"CAST({arg_sql} AS STRING)"
     # quote.c quote_literal: a value containing backslashes renders in
-    # E'' form with the backslashes doubled; plain values keep ''
+    # E'' form with the backslashes doubled; plain values keep ''.
+    # (Single source backslashes here: this text re-enters _lex, which
+    # doubles them for Spark's escape processing.)
     return (
-        f"CASE WHEN instr({s}, '\\\\') > 0 THEN 'E''' || "
-        f"replace(replace({s}, '\\\\', '\\\\\\\\'), '''', '''''') || '''' "
+        f"CASE WHEN instr({s}, '\\') > 0 THEN 'E''' || "
+        f"replace(replace({s}, '\\', '\\\\'), '''', '''''') || '''' "
         f"ELSE '''' || replace({s}, '''', '''''') || '''' END"
     )
 
@@ -3665,6 +3671,28 @@ def _pass_numeric_fold(tokens: list[str]) -> list[str]:
                     and (i + 2 >= n or tokens[i + 2] != "(")
                     and out
                 ):
+                    # 'NaN'/'Infinity'::floatX::numeric — PG's numeric
+                    # carries NaN but refuses Infinity (numeric.c
+                    # float8_numeric); this engine's numeric image is
+                    # double, so NaN stays a DOUBLE NaN
+                    if (
+                        len(out) >= 3
+                        and out[-1].lower() in ("float4", "float8",
+                                                "real")
+                        and out[-2] == "::"
+                        and out[-3].startswith("'")
+                    ):
+                        sp = out[-3][1:-1].strip().lower()
+                        if sp in ("nan", "-nan"):
+                            out = out[:-3] + ["CAST", "(", "'NaN'",
+                                              "AS", "DOUBLE", ")"]
+                            i += 2
+                            changed = reduced = True
+                            continue
+                        if sp in ("infinity", "-infinity", "inf",
+                                  "-inf"):
+                            raise ValueError(
+                                "cannot convert infinity to numeric")
                     prev = out[-1]
                     src = None
                     if prev.startswith("'"):
@@ -9207,6 +9235,39 @@ def _pass_misc_funcs(tokens: list[str]) -> list[str]:
                 in ("millennium", "century", "decade")
             ):
                 field = args[0][0][1:-1].lower()
+                # constant date/timestamp arg: resolve the truncated
+                # midnight as a session-zone INSTANT in Python — the
+                # JDK's PST8PDT->America/Los_Angeles link renders
+                # pre-1883 walls with the 7:02 LMT offset (the
+                # millennium-1001 probe row)
+                if (
+                    len(args[1]) == 2
+                    and _is_word(args[1][0], "date", "timestamp")
+                    and args[1][1].startswith("'")
+                ):
+                    m_y = re.match(r"'(\d{4})", args[1][1])
+                    if m_y:
+                        y0 = int(m_y.group(1))
+                        if field == "decade":
+                            y1 = (y0 // 10) * 10
+                        elif field == "century":
+                            y1 = ((y0 + 99) // 100) * 100 - 99
+                        else:
+                            y1 = ((y0 + 999) // 1000) * 1000 - 999
+                        import datetime as _dt
+
+                        try:
+                            u = _pg_wall_to_utc(
+                                _dt.datetime(y1, 1, 1),
+                                _session_tzinfo())
+                            out += ["CAST", "(",
+                                    _lit_encode(
+                                        f"{_fmt_wall(u)}+00:00"),
+                                    "AS", "TIMESTAMP", ")"]
+                            i = k + 1
+                            continue
+                        except (ValueError, OverflowError):
+                            pass
                 yr = ["year", "(", "("] + args[1] + [")", ")"]
                 if field == "decade":
                     expr = ["(", "("] + yr + [")", "div", "10", ")",
@@ -9320,6 +9381,12 @@ def _pass_misc_funcs(tokens: list[str]) -> list[str]:
                     pyflags |= _re3.IGNORECASE
                 if "m" in flg:
                     pyflags |= _re3.MULTILINE
+                if low == "regexp_split_to_array" and "g" in flg:
+                    # regexp.c: split is inherently global — the
+                    # explicit flag is PG's error
+                    raise ValueError(
+                        'regexp_split_to_array() does not support '
+                        'the "global" option')
                 rx = None
                 if ok_f and not _re3.search(r"\\[mMyYZAz]|\[\[:", pat):
                     try:
@@ -10938,6 +11005,51 @@ def _pass_array_literal_casts(tokens: list[str]) -> list[str]:
     n = len(tokens)
     while i < n:
         t = tokens[i]
+        # ARRAY[lits]::text (SCALAR text, no brackets): array_out's
+        # brace image, not Spark's '[1, 2]' stringification
+        if (
+            _is_word(t, "array")
+            and i + 1 < n
+            and tokens[i + 1] == "["
+        ):
+            depth2, k2 = 0, i + 1
+            while k2 < n:
+                if tokens[k2] == "[":
+                    depth2 += 1
+                elif tokens[k2] == "]":
+                    depth2 -= 1
+                    if depth2 == 0:
+                        break
+                k2 += 1
+            if (
+                k2 + 2 < n
+                and tokens[k2 + 1] == "::"
+                and tokens[k2 + 2].lower() in ("text", "varchar")
+                and (k2 + 3 >= n or tokens[k2 + 3] != "[")
+            ):
+                els = []
+                ok2 = True
+                for tk in tokens[i + 2 : k2]:
+                    if tk == ",":
+                        continue
+                    if re.fullmatch(r"[+-]?\d+(\.\d*)?", tk):
+                        els.append(tk)
+                    elif tk.startswith("'"):
+                        body2 = tk[1:-1]
+                        els.append(
+                            '"' + body2.replace('"', '\\"') + '"'
+                            if re.search(r'[{},"\\\s]', body2)
+                            or body2 == "" else body2)
+                    elif tk.upper() == "NULL":
+                        els.append("NULL")
+                    else:
+                        ok2 = False
+                        break
+                if ok2:
+                    out.append(
+                        "'{" + ",".join(els).replace("'", "''") + "}'")
+                    i = k2 + 3
+                    continue
         # cardinality('<multi-dim lit>'::type[]) -> total element count
         if (
             _is_word(t, "cardinality")

@@ -2796,3 +2796,42 @@ class TestRound8ComplexType:
         # positional 2-arg stays native
         assert t("SELECT SUBSTRING('abc', 2)") \
             == "SELECT SUBSTRING('abc', 2)"
+
+
+class TestRound8FinalResidue:
+    """Last residual batch: NaN/Infinity through the float->numeric
+    chain, array_out text images, constant date_trunc instants,
+    quote_literal backslash round-trip, split 'g' refusal."""
+
+    def test_float_numeric_specials(self):
+        import pytest
+
+        from gpdb_spark.dialect import translate as t
+
+        assert t("SELECT 'NaN'::float8::numeric") \
+            == "SELECT CAST('NaN' AS DOUBLE)"
+        for s in ("SELECT 'Infinity'::float8::numeric",
+                  "SELECT '-Infinity'::float4::numeric"):
+            with pytest.raises(ValueError, match="infinity"):
+                t(s)
+
+    def test_array_out_scalar_text(self):
+        from gpdb_spark.dialect import translate as t
+
+        assert t("SELECT array[1,2]::text") == "SELECT '{1,2}'"
+        # bracketed array-type casts keep the array path
+        assert "array" in t("SELECT array[1,2]::text[]").lower()
+
+    def test_date_trunc_constant_instant(self):
+        from gpdb_spark.dialect import translate as t
+
+        out = t("SELECT DATE_TRUNC('MILLENNIUM', DATE '1970-03-20')")
+        assert "'1001-01-01 00:00:00+00:00'" in out
+
+    def test_split_global_flag_refuses(self):
+        import pytest
+
+        from gpdb_spark.dialect import translate as t
+
+        with pytest.raises(ValueError, match="global"):
+            t("SELECT regexp_split_to_array('a b', ' ', 'g')")

@@ -346,10 +346,15 @@ def render(v, ctx=_DEFAULT_CTX) -> str:
             return "Infinity"
         if v == float("-inf"):
             return "-Infinity"
+        if v != 0.0 and abs(v) < 2.2250738585072014e-308:
+            # subnormals: float8out's %.15g, not shortest-repr
+            return "%.15g" % v
         r = repr(v)
         return r[:-2] if r.endswith(".0") else r
     if isinstance(v, Decimal):
-        return str(v)
+        # numeric_out never uses E-notation (0E-16 prints as
+        # 0.0000000000000000)
+        return f"{v:f}"
     if isinstance(v, datetime.datetime):
         if ctx.get("ltz", True):
             # the session zone governs INPUT interpretation, but
