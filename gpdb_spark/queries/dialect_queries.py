@@ -1321,11 +1321,14 @@ _pg_query(
     "pg_dst_interval_arith",
     """
     SELECT t.label,
-           ((t.ts::timestamptz AT TIME ZONE 'America/Denver')
-              + interval '1 day')::timestamp
-              AT TIME ZONE 'America/Denver' AS cal_next,
-           t.ts::timestamptz + interval '24 hours' AS phys_next,
-           t.ts::timestamptz + interval '1 day 3 hours' AS mixed_next
+           (((t.ts::timestamptz AT TIME ZONE 'America/Denver')
+               + interval '1 day')
+              AT TIME ZONE 'America/Denver'
+              AT TIME ZONE 'UTC')::text AS cal_next,
+           ((t.ts::timestamptz + interval '24 hours')
+              AT TIME ZONE 'UTC')::text AS phys_next,
+           ((t.ts::timestamptz + interval '1 day 3 hours')
+              AT TIME ZONE 'UTC')::text AS mixed_next
     FROM (VALUES
         ('spring', timestamp '2005-04-02 19:00:00'),
         ('fall',   timestamp '2005-10-29 19:00:00'),
@@ -1334,11 +1337,14 @@ _pg_query(
     """,
     oracle="""
     SELECT t.label,
-           ((t.ts::TIMESTAMPTZ AT TIME ZONE 'America/Denver')
-              + INTERVAL '1 day')::TIMESTAMP
-              AT TIME ZONE 'America/Denver' AS cal_next,
-           t.ts::TIMESTAMPTZ + INTERVAL '24 hours' AS phys_next,
-           t.ts::TIMESTAMPTZ + INTERVAL '1 day 3 hours' AS mixed_next
+           CAST((((t.ts::TIMESTAMPTZ AT TIME ZONE 'America/Denver')
+                    + INTERVAL '1 day')
+                   AT TIME ZONE 'America/Denver')
+                  AT TIME ZONE 'UTC' AS VARCHAR) AS cal_next,
+           CAST((t.ts::TIMESTAMPTZ + INTERVAL '24 hours')
+                  AT TIME ZONE 'UTC' AS VARCHAR) AS phys_next,
+           CAST((t.ts::TIMESTAMPTZ + INTERVAL '1 day 3 hours')
+                  AT TIME ZONE 'UTC' AS VARCHAR) AS mixed_next
     FROM (VALUES
         ('spring', TIMESTAMP '2005-04-02 19:00:00'),
         ('fall',   TIMESTAMP '2005-10-29 19:00:00'),

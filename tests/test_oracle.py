@@ -26,7 +26,16 @@ def _norm_val(v):
             return 0.0
         return v
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None)
+        # Driver parity (VERDICT r08 What's-wrong #1): a tz-aware value
+        # in a compared column is a guaranteed driver red (DuckDB hands
+        # pandas datetime64[us, UTC]; Spark collects naive). Refusing
+        # here keeps this gate at least as strict as the driver.
+        if v.tzinfo is not None:
+            raise TypeError(
+                "tz-aware datetime in compared output — serialize with "
+                "(x AT TIME ZONE 'UTC')::text on both sides"
+            )
+        return v
     return v
 
 
@@ -106,6 +115,31 @@ def test_no_array_compared_outputs(duck):
     assert not offenders, (
         "nested-typed compared outputs (serialize with array_to_string "
         f"or to_json on both sides): {offenders}"
+    )
+
+
+def test_no_tz_aware_compared_outputs(duck):
+    """Registry-wide no-timestamptz-output policy gate (VERDICT r08
+    What's-wrong #1, the third sibling of the decimal and nested
+    gates): a TIMESTAMP WITH TIME ZONE column in a compared output is a
+    guaranteed driver red — DuckDB's pandas path produces
+    datetime64[us, UTC] while Spark collects naive datetimes, so the
+    driver's schema and value-hash compares can never match even when
+    the instants are identical (the exact r08 pg_dst_interval_arith
+    failure). Serialize zone-explicitly on both sides:
+    (x AT TIME ZONE 'UTC')::text. DESCRIBE is bind-only, so this
+    sweeps every oracle in seconds."""
+    offenders = []
+    for name in sorted(ORACLE):
+        for col, coltype, *_ in duck.execute(
+            f"DESCRIBE {ORACLE[name]}"
+        ).fetchall():
+            t = coltype.upper()
+            if "WITH TIME ZONE" in t or t == "TIMESTAMPTZ":
+                offenders.append(f"{name}.{col}: {coltype}")
+    assert not offenders, (
+        "tz-aware compared outputs (serialize with "
+        f"(x AT TIME ZONE 'UTC')::text on both sides): {offenders}"
     )
 
 

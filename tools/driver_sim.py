@@ -49,7 +49,15 @@ def norm(rows, cols):
                     f"column {cols[i]!r} (driver canonicalizer parity — "
                     "serialize nested outputs to text)")
             if isinstance(v, float) and math.isnan(v): v = 'NaN'
-            if isinstance(v, datetime.datetime): v = v.replace(tzinfo=None)
+            # Driver parity (VERDICT r08 What's-wrong #1): the driver
+            # compares DuckDB's datetime64[us, UTC] against Spark's
+            # naive timestamps and reds the row; stripping tzinfo here
+            # made the sim LESS strict than the driver. Refuse instead.
+            if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+                raise TypeError(
+                    f"tz-aware datetime in compared column {cols[i]!r} "
+                    "(driver schema/hash parity — serialize with "
+                    "(x AT TIME ZONE 'UTC')::text on both sides)")
             vals.append(v)
         out.append(tuple(vals))
     return sorted(out, key=repr)
