@@ -813,14 +813,20 @@ class Engine:
                 if not tw:
                     ok = False
                     break
-                from gpdb_spark.dialect import _lex as _dlex, \
-                    _map_type as _dmap
+                from gpdb_spark.dialect import _ENUM_TYPES as _denums, \
+                    _lex as _dlex, _map_type as _dmap, \
+                    register_enum_column as _dregcol
                 toks = _dlex(" ".join(tw))
                 try:
                     spark_type, after = _dmap(toks, 0)
                 except Exception:
                     ok = False
                     break
+                if toks and toks[0].lower() in _denums:
+                    # enum-typed column: bind it so the SQL front door
+                    # compares/sorts by declared order (enum.c
+                    # enumsortorder), not label text
+                    _dregcol(colname, toks[0])
                 coldefs.append(f"{colname} {spark_type}")
             if ok and coldefs:
                 import uuid as _uuid

@@ -1439,6 +1439,67 @@ ORACLE["pg_enum_ops"] = " ".join(
 )
 
 
+def _pg_enum_order(spark, sf_dir):
+    """Declared-order enum comparison (enum.c enum_cmp via
+    enumsortorder; regress enum.sql:134-152 — VERDICT r08 What's-wrong
+    #3): constant comparisons fold by declaration index (green < blue
+    is TRUE under rainbow's declaration though label text says
+    otherwise), GREATEST/LEAST pick by index, and a registered enum
+    COLUMN routes WHERE ``< <= > >=``, ORDER BY, and min()/max()
+    through the 1-based ordinal. The oracle maps labels to ordinals
+    with CASE, exactly as the verdict prescribes."""
+    from gpdb_spark.dialect import (
+        pg_sql, register_enum, register_enum_column,
+    )
+
+    register_enum(
+        "rainbow", ["red", "orange", "yellow", "green", "blue", "purple"]
+    )
+    register_enum_column("rbcol", "rainbow")
+    return pg_sql(
+        spark,
+        """
+        SELECT ('green'::rainbow < 'blue'::rainbow) AS lt_const,
+               (rainbow 'red' >= rainbow 'orange') AS ge_const,
+               greatest('red'::rainbow, 'green'::rainbow) AS g_const,
+               least(rainbow 'blue', rainbow 'orange') AS l_const,
+               min(e.rbcol) AS mn,
+               max(e.rbcol) AS mx,
+               max(e.rbcol) FILTER (WHERE e.rbcol < 'green') AS mx_lt,
+               string_agg(e.rbcol, ',' ORDER BY e.rbcol) AS declared,
+               count(*) FILTER (WHERE e.rbcol > 'yellow') AS n_gt
+        FROM (VALUES ('purple'), ('red'), ('blue'), ('yellow'),
+                     ('green'), ('orange')) AS e(rbcol)
+        """,
+        sf_dir,
+    )
+
+
+QUERIES["pg_enum_order"] = _pg_enum_order
+ORACLE["pg_enum_order"] = " ".join(
+    """
+    WITH e AS (
+        SELECT col1 AS rbcol,
+               CASE col1 WHEN 'red' THEN 1 WHEN 'orange' THEN 2
+                         WHEN 'yellow' THEN 3 WHEN 'green' THEN 4
+                         WHEN 'blue' THEN 5 WHEN 'purple' THEN 6 END
+                   AS ord
+        FROM (VALUES ('purple'), ('red'), ('blue'), ('yellow'),
+                     ('green'), ('orange')) AS t(col1))
+    SELECT TRUE AS lt_const,
+           FALSE AS ge_const,
+           'green' AS g_const,
+           'orange' AS l_const,
+           min_by(rbcol, ord) AS mn,
+           max_by(rbcol, ord) AS mx,
+           max_by(rbcol, ord) FILTER (WHERE ord < 4) AS mx_lt,
+           string_agg(rbcol, ',' ORDER BY ord) AS declared,
+           count(*) FILTER (WHERE ord > 3) AS n_gt
+    FROM e
+    """.split()
+)
+
+
 # PG DetermineTimeZoneOffset discipline for constant zone folds
 # (datetime.c, round 8): region zones resolve a DST GAP with the
 # before offset and an AMBIGUITY with after; dynamic abbreviations

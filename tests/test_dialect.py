@@ -2835,3 +2835,146 @@ class TestRound8FinalResidue:
 
         with pytest.raises(ValueError, match="global"):
             t("SELECT regexp_split_to_array('a b', ' ', 'g')")
+
+
+class TestRound9VerdictFixes:
+    """The three round-8 silent-wrong residues (VERDICT r08 'What's
+    wrong' #2-4), pinned against the reference: geometry operator
+    completeness with the refuse-unknown contract (geo_ops.c box_eq:751
+    area equality, lseg_eq:2221 fuzzy endpoints, pg_operator.h — point
+    has ~= but no =), enum declared-order comparison (enum.c enum_cmp
+    via enumsortorder; regress enum.sql:134-152), and the
+    ``numeric '...'`` prefix literal joining the numeric.c scale
+    algebra."""
+
+    def test_box_eq_is_area_equality(self, spark):
+        from gpdb_spark.dialect import translate
+
+        # geo_ops.c:751 FPeq(box_ar, box_ar): different shapes, equal
+        # areas -> TRUE (string compare said FALSE — the r8 wrong)
+        r = spark.sql(translate(
+            "SELECT box '(2,2),(0,0)' = box '(4,1),(0,0)' AS t"
+        )).collect()[0][0]
+        assert r is True
+        r = spark.sql(translate(
+            "SELECT box '(2,2),(0,0)' < box '(5,1),(0,0)' AS t"
+        )).collect()[0][0]
+        assert r is True
+
+    def test_point_eq_does_not_exist(self):
+        from gpdb_spark.dialect import translate
+
+        # pg_operator.h: point has ~= only — PG raises, never compares
+        with pytest.raises(ValueError, match="operator does not exist"):
+            translate("SELECT point '(1,2)' = point '(1,2)'")
+
+    def test_lseg_fuzzy_equality(self, spark):
+        from gpdb_spark.dialect import translate
+
+        # geo_ops.c:2221 FPeq per coordinate: EPSILON 1e-6 absorbs the
+        # 1e-7 wobble (exact text compare said FALSE)
+        r = spark.sql(translate(
+            "SELECT lseg '[(1,1),(2,2)]' = lseg '[(1.00000005,1),(2,2)]'"
+            " AS t")).collect()[0][0]
+        assert r is True
+        r = spark.sql(translate(
+            "SELECT lseg '[(0,0),(1,0)]' < lseg '[(0,0),(0,2)]' AS t"
+        )).collect()[0][0]
+        assert r is True
+
+    def test_path_count_and_circle_area_order(self, spark):
+        from gpdb_spark.dialect import translate
+
+        r = spark.sql(translate(
+            "SELECT path '((0,0),(1,1))' = path '((9,9),(8,8))' AS a,"
+            "       circle '<(0,0),2>' > circle '<(5,5),1>' AS b"
+        )).collect()[0]
+        assert r[0] is True and r[1] is True
+
+    def test_geo_unimplemented_carries_pg_message(self):
+        from gpdb_spark.dialect import translate
+
+        with pytest.raises(ValueError, match="not implemented"):
+            translate(
+                "SELECT polygon '((0,0),(1,1),(1,0))'"
+                " <-> polygon '((5,5),(6,6),(6,5))'")
+
+    def test_enum_constant_declared_order(self):
+        from gpdb_spark.dialect import (
+            register_enum, translate,
+        )
+
+        register_enum(
+            "rainbow",
+            ["red", "orange", "yellow", "green", "blue", "purple"])
+        register_enum("rgb", ["red", "green", "blue"])
+        # enum.c enum_cmp: green (4) precedes blue (5) -> TRUE, though
+        # label text order says FALSE (the r8 silent-wrong)
+        assert "TRUE" in translate(
+            "SELECT 'green'::rainbow < 'blue'::rainbow AS t")
+        assert "FALSE" in translate(
+            "SELECT rainbow 'red' >= rainbow 'orange' AS t")
+        assert "'green'" in translate(
+            "SELECT greatest('red'::rainbow, 'green'::rainbow)")
+        with pytest.raises(ValueError, match="operator does not exist"):
+            translate("SELECT 'red'::rainbow < 'green'::rgb")
+
+    def test_enum_column_ordinal_routing(self, spark):
+        from gpdb_spark.dialect import (
+            pg_sql, register_enum, register_enum_column,
+        )
+
+        register_enum(
+            "rainbow",
+            ["red", "orange", "yellow", "green", "blue", "purple"])
+        register_enum_column("r9col", "rainbow")
+        rows = pg_sql(spark, """
+            SELECT min(t.r9col) AS mn, max(t.r9col) AS mx,
+                   max(t.r9col) FILTER (WHERE t.r9col < 'green') AS lt
+            FROM (VALUES ('purple'), ('red'), ('yellow')) AS t(r9col)
+        """).collect()[0]
+        # enum.sql:148-152: min/max follow the declaration, and the
+        # filtered max under < 'green' is 'yellow' (label order would
+        # have excluded it: 'yellow' > 'green' as text)
+        assert (rows[0], rows[1], rows[2]) == ("red", "purple", "yellow")
+
+    def test_enum_order_by_declared(self, spark):
+        from gpdb_spark.dialect import (
+            pg_sql, register_enum, register_enum_column,
+        )
+
+        register_enum(
+            "rainbow",
+            ["red", "orange", "yellow", "green", "blue", "purple"])
+        register_enum_column("r9col", "rainbow")
+        rows = pg_sql(spark, """
+            SELECT t.r9col FROM (VALUES ('green'), ('red'), ('blue'))
+                AS t(r9col)
+            WHERE t.r9col > 'orange' ORDER BY t.r9col
+        """).collect()
+        assert [r[0] for r in rows] == ["green", "blue"]
+
+    def test_numeric_prefix_literal_scale(self, spark):
+        from gpdb_spark.dialect import translate
+
+        # numeric.c display scale: the literal's OWN dscale renders
+        # (the r8 wrong padded to the generic DECIMAL(38,18) image)
+        r = spark.sql(translate(
+            "SELECT (numeric '4.500')::text AS a,"
+            "       numeric '4.500' + numeric '0.1' AS b"
+        )).collect()[0]
+        assert r[0] == "4.500"
+        assert str(r[1]) == "4.600"
+
+    def test_numeric_prefix_matches_cast_spelling(self):
+        from gpdb_spark.dialect import translate
+
+        pairs = [
+            ("SELECT numeric '4.500' AS x", "SELECT '4.500'::numeric AS x"),
+            ("SELECT (numeric '-4.5')::text AS x",
+             "SELECT ('-4.5'::numeric)::text AS x"),
+            ("SELECT numeric '10' / numeric '3' AS x",
+             "SELECT '10'::numeric / '3'::numeric AS x"),
+        ]
+        for a, b in pairs:
+            assert translate(a) == translate(b), (a, b)
