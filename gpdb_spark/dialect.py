@@ -497,6 +497,11 @@ def _map_base_type(tokens: list[str], i: int) -> tuple[str, int]:
         # enum storage image is the label text; declared-order
         # comparison routes through _ENUM_COLS / enum_ordinal
         return "STRING", j
+    if w in _GEO_TYPES:
+        # geometric storage image is the canonical PG text (round 9 —
+        # table-backed geometry); runtime ops route through _GEO_COLS
+        # and the pg_geo_* UDFs
+        return "STRING", j
     return _TYPE_MAP.get(w, tokens[i].upper()), j
 
 
@@ -2795,6 +2800,213 @@ def _pass_fetch_first(tokens: list[str]) -> list[str]:
     return out
 
 
+_F2I_INTS = ("int2", "int4", "int8", "smallint", "integer", "int",
+             "bigint")
+_F2I_FLOATS = ("float4", "float8", "real")
+_F2I_NUMERICS = ("numeric", "decimal")
+
+
+def _pass_float_int_round(tokens: list[str]) -> list[str]:
+    """PG rounds on float->int casts (float.c dtoi4 via rint: half to
+    EVEN) and numeric->int casts (numeric.c numeric_int4: half AWAY
+    from zero), where Spark's CAST truncates — a silent wrong for any
+    ``x::float8::int2`` / ``x::numeric::int4`` chain (regress
+    float8.sql:282, int8.out). Wraps the operand in bround()/round()
+    when its type is STATICALLY float/numeric (a trailing ::float or
+    ::numeric cast, possibly through parens); bare columns of unknown
+    type keep Spark's cast (the catalog-typed path would need
+    float_cols plumbing like int_cols)."""
+    def _primary_start(toks: list[str], e: int) -> int:
+        """Start index of the single primary operand ending at e
+        (exclusive): a paren group / call, or an identifier chain /
+        literal."""
+        j = e - 1
+        if j >= 0 and toks[j] == ")":
+            depth = 0
+            while j >= 0:
+                if toks[j] == ")":
+                    depth += 1
+                elif toks[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            if j > 0 and toks[j - 1].isidentifier() \
+                    and toks[j - 1].lower() not in _KEYWORDS:
+                j -= 1
+            return j
+        while j >= 2 and toks[j - 1] == ".":
+            j -= 2
+        return j
+
+    def _operand_start(toks: list[str]) -> int:
+        # walk back over a whole cast chain: X :: t1 :: t2 is ONE
+        # operand for the int cast that follows
+        s = _primary_start(toks, len(toks))
+        while s >= 2 and toks[s - 1] == "::":
+            s = _primary_start(toks, s - 1)
+        return s
+
+    def _src_kind(tail: list[str]) -> str | None:
+        tail = list(tail)
+        while tail and tail[-1] == ")":
+            tail.pop()
+        if len(tail) >= 2 and tail[-2] == "::":
+            tl = tail[-1].lower()
+            if tl in _F2I_FLOATS:
+                return "float"
+            if tl in _F2I_NUMERICS:
+                return "numeric"
+        if len(tail) >= 2 and tail[-2].lower() == "as":
+            tl = tail[-1].upper()
+            if tl in ("DOUBLE", "FLOAT"):
+                return "float"
+            if tl.startswith("DECIMAL"):
+                return "numeric"
+        if (len(tail) >= 3 and tail[-3] == "::"
+                and tail[-2].lower() == "double"
+                and tail[-1].lower() == "precision"):
+            return "float"
+        if len(tail) == 1 and re.fullmatch(r"\d+\.\d*|\.\d+", tail[0]):
+            # a bare decimal literal IS numeric-typed (1.9::int4 -> 2)
+            return "numeric"
+        return None
+
+    out: list[str] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        if (
+            tokens[i] == "::"
+            and i + 1 < n
+            and tokens[i + 1].lower() in _F2I_INTS
+            and out
+        ):
+            s = _operand_start(out)
+            kind = _src_kind(out[s:])
+            if kind is not None:
+                fn = "bround" if kind == "float" else "round"
+                operand = out[s:]
+                del out[s:]
+                out += [fn, "(", *operand, ")"]
+            out.append(tokens[i])
+            out.append(tokens[i + 1])
+            i += 2
+            continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
+def _pass_regtype(tokens: list[str]) -> list[str]:
+    """``'name'::regtype`` / ``CAST(x AS regtype)`` (regproc.c
+    regtypein): the engine has no OIDs, so the regtype image IS the
+    type-name text — the cast drops (pg_enum.enumtypid carries the
+    name for the same reason)."""
+    out: list[str] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        if tokens[i] == "::" and i + 1 < n \
+                and tokens[i + 1].lower() in ("regtype", "regclass",
+                                              "regproc"):
+            i += 2
+            continue
+        if (
+            _is_word(tokens[i], "as")
+            and i + 1 < n
+            and tokens[i + 1].lower() in ("regtype", "regclass",
+                                          "regproc")
+            and i + 2 < n and tokens[i + 2] == ")"
+        ):
+            out.append("AS")
+            out.append("STRING")
+            i += 2
+            continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
+def _pass_in_values(tokens: list[str]) -> list[str]:
+    """``expr IN (VALUES ...)`` (gram.y in_expr: VALUES is a full
+    <table subquery>) -> ``IN (SELECT * FROM (VALUES ...))`` — Spark
+    only accepts a SELECT-shaped subquery after IN."""
+    out: list[str] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        if (
+            _is_word(tokens[i], "in")
+            and i + 2 < n
+            and tokens[i + 1] == "("
+            and _is_word(tokens[i + 2], "values")
+        ):
+            depth, j = 0, i + 1
+            while j < n:
+                if tokens[j] == "(":
+                    depth += 1
+                elif tokens[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            out += ["IN", "(", "SELECT", "*", "FROM", "("]
+            out += tokens[i + 2:j]
+            out += [")", "AS", "__in_values__", ")"]
+            i = j + 1
+            continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
+def _pass_offset_limit(tokens: list[str]) -> list[str]:
+    """PG's limit_clause accepts OFFSET and LIMIT in either order
+    (gram.y select_limit); Spark only parses LIMIT ... OFFSET ..., so
+    ``OFFSET 990 LIMIT 5`` swaps."""
+    out: list[str] = []
+    i, n = 0, len(tokens)
+    _END = ("union", "intersect", "except", "for", "fetch")
+    while i < n:
+        if _is_word(tokens[i], "offset") and (not out or out[-1] != "."):
+            depth = 0
+            j = i + 1
+            while j < n:
+                t = tokens[j]
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif depth == 0 and t.isidentifier() and t.lower() in (
+                    "limit",
+                ) + _END:
+                    break
+                j += 1
+            if j < n and _is_word(tokens[j], "limit"):
+                k = j + 1
+                depth = 0
+                while k < n:
+                    t = tokens[k]
+                    if t == "(":
+                        depth += 1
+                    elif t == ")":
+                        if depth == 0:
+                            break
+                        depth -= 1
+                    elif depth == 0 and t.isidentifier() and t.lower() in (
+                        "offset",
+                    ) + _END:
+                        break
+                    k += 1
+                out += ["LIMIT", *tokens[j + 1:k],
+                        "OFFSET", *tokens[i + 1:j]]
+                i = k
+                continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
 def _pass_generate_series_from(tokens: list[str]) -> list[str]:
     """FROM generate_series(a, b[, s]) [AS] t(c) ->
     FROM (SELECT explode(sequence(a, b[, s])) AS c) t"""
@@ -2821,9 +3033,15 @@ def _pass_generate_series_from(tokens: list[str]) -> list[str]:
             m = k + 1
             if m < n and _is_word(tokens[m], "as"):
                 m += 1
-            alias = tokens[m] if m < n and tokens[m].isidentifier() else "g"
-            m += 1
-            col = "g"
+            has_alias = m < n and tokens[m].isidentifier() \
+                and tokens[m].lower() not in _KEYWORDS
+            alias = tokens[m] if has_alias else "g"
+            if has_alias:
+                m += 1
+            # parse_relation.c: a bare table alias on a scalar SRF names
+            # the COLUMN too (FROM generate_series(1,3) AS n -> column
+            # n); without an alias the column is the function's name
+            col = alias if has_alias else "generate_series"
             if m < n and tokens[m] == "(":
                 col = tokens[m + 1]
                 m += 3
@@ -2852,6 +3070,27 @@ _ORDER_STOP = {
     "having",
     "fetch",
 }
+
+
+def _pass_order_by_using(tokens: list[str]) -> list[str]:
+    """ORDER BY x USING < / USING > (gram.y sortby: an explicit btree
+    operator) -> ASC / DESC. Only the bare comparison operators appear
+    in the reference's regress usage; JOIN USING(...) and DELETE USING
+    are untouched (next token is never a bare < or >)."""
+    out: list[str] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        if (
+            _is_word(tokens[i], "using")
+            and i + 1 < n
+            and tokens[i + 1] in ("<", ">")
+        ):
+            out.append("ASC" if tokens[i + 1] == "<" else "DESC")
+            i += 2
+            continue
+        out.append(tokens[i])
+        i += 1
+    return out
 
 
 def _pass_order_by_nulls(tokens: list[str]) -> list[str]:
@@ -7386,6 +7625,251 @@ def _pass_geo_fold(tokens: list[str]) -> list[str]:
     ]
 
 
+def _geo_colref_at(tokens: list[str], i: int):
+    """identifier [. identifier]* whose last segment is a registered
+    geo column -> (ref tokens, geo kind, token width) or None."""
+    n = len(tokens)
+    if i >= n or not tokens[i].isidentifier() \
+            or tokens[i].lower() in _KEYWORDS:
+        return None
+    j = i
+    while j + 2 < n and tokens[j + 1] == "." and tokens[j + 2].isidentifier():
+        j += 2
+    if tokens[j].lower() not in _GEO_COLS:
+        return None
+    if j + 1 < n and tokens[j + 1] == "(":
+        return None
+    return tokens[i:j + 1], _GEO_COLS[tokens[j].lower()], j + 1 - i
+
+
+_GEO_FN_KINDS = {
+    # accessor/conversion functions over ONE geo arg -> pg_geo UDF name
+    "area": "pg_geo_fn_float", "height": "pg_geo_fn_float",
+    "width": "pg_geo_fn_float", "radius": "pg_geo_fn_float",
+    "diameter": "pg_geo_fn_float", "length": "pg_geo_fn_float",
+    "isclosed": "pg_geo_fn_bool", "isopen": "pg_geo_fn_bool",
+    "npoints": "pg_geo_fn_int",
+    "center": "pg_geo_fn_text", "pclose": "pg_geo_fn_text",
+    "popen": "pg_geo_fn_text", "polygon": "pg_geo_fn_text",
+    "path": "pg_geo_fn_text", "box": "pg_geo_fn_text",
+    "point": "pg_geo_fn_text",
+}
+
+
+def _pass_geo_cols(tokens: list[str]) -> list[str]:
+    """TABLE-backed geometry (round 9): operators and accessor
+    functions over REGISTERED geo columns route through the pg_geo_*
+    UDFs (functions/geo_runtime.py), which dispatch into the same
+    _GEO_BINOPS table as the constant fold — geo_ops.c semantics at
+    both evaluation sites. Runs BEFORE _pass_geo_fold so a typed
+    constant operand still carries its type; the literal is
+    canonicalized here at translate time (input validation included).
+    Unknown operators over a geo column refuse with PG's
+    operator-does-not-exist, mirroring the fold."""
+    if not _GEO_COLS:
+        return tokens
+
+    from gpdb_spark.functions import geotypes as _g
+
+    parse_fns = {
+        "point": _g.point_in, "line": _g.line_in, "lseg": _g.lseg_in,
+        "box": _g.box_in, "path": _g.path_in, "polygon": _g.poly_in,
+        "circle": _g.circle_in,
+    }
+    out_fns = {
+        "point": _g.point_out, "line": _g.line_out, "lseg": _g.lseg_out,
+        "box": _g.box_out, "path": _g.path_out, "polygon": _g.poly_out,
+        "circle": _g.circle_out,
+    }
+
+    def _udf_for(rkind: str) -> str:
+        if rkind == "bool":
+            return "pg_geo_bool"
+        if rkind in ("float", "float?"):
+            return "pg_geo_float"
+        return "pg_geo_text"
+
+    def _const_at(j: int):
+        """Typed or untyped geo constant at tokens[j] ->
+        (kind|None, literal text, width). kind None = untyped."""
+        n = len(tokens)
+        if j >= n:
+            return None
+        t = tokens[j]
+        if t.isidentifier() and t.lower() in _GEO_TYPES and j + 1 < n \
+                and tokens[j + 1].startswith("'"):
+            return t.lower(), _lit_decode(tokens[j + 1]), 2
+        if t.startswith("'"):
+            if j + 2 < len(tokens) and tokens[j + 1] == "::" \
+                    and tokens[j + 2].lower() in _GEO_TYPES:
+                return tokens[j + 2].lower(), _lit_decode(t), 3
+            return None, _lit_decode(t), 1
+        return None
+
+    def _emit_binop(lk, op, rk, lit_text=None, lit_side=None):
+        """Resolve (op, lk, rk) against the operator table; an untyped
+        literal side (kind None) tries candidates in same-kind-first
+        order until its text parses (parse_coerce.c unknown-literal
+        coercion). Returns (a, b, udf, canonical-literal|None)."""
+        cands = [
+            (a, b, rkind)
+            for (o, a, b), (fn, rkind) in _GEO_BINOPS.items()
+            if o == op
+            and (lk is None or a == lk)
+            and (rk is None or b == rk)
+        ]
+        if not cands:
+            raise ValueError(
+                f"operator does not exist: {lk or 'unknown'} {op} "
+                f"{rk or 'unknown'}")
+        known = lk or rk
+        cands.sort(key=lambda c: 0 if (c[0] == known and c[1] == known)
+                   else 1)
+        if lit_text is None:
+            a, b, rkind = cands[0]
+            return a, b, _udf_for(rkind), None
+        err = None
+        for a, b, rkind in cands:
+            lit_kind = b if lit_side == "r" else a
+            try:
+                canon = out_fns[lit_kind](parse_fns[lit_kind](lit_text))
+            except _g.GeoSyntaxError as exc:
+                if err is None:
+                    err = exc
+                continue
+            return a, b, _udf_for(rkind), canon
+        raise ValueError(str(err))
+
+    out: list[str] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        t = tokens[i]
+        prev = out[-1] if out else ""
+        low = t.lower() if t.isidentifier() else ""
+
+        # accessor fn over a geo column: area(b.f1), isopen(f1), ...
+        if low in _GEO_FN_KINDS and i + 1 < n and tokens[i + 1] == "(":
+            ref = _geo_colref_at(tokens, i + 2)
+            if ref is not None:
+                rt, kind, w = ref
+                if i + 2 + w < n and tokens[i + 2 + w] == ")":
+                    out += [_GEO_FN_KINDS[low], "(", f"'{low}'", ",",
+                            f"'{kind}'", ",", *rt, ")"]
+                    i = i + 3 + w
+                    continue
+
+        # prefix @@ / @-@ / # / ?- / ?| over a geo column
+        _pfx_free = not out or not (
+            out[-1].startswith("'") or out[-1].isidentifier()
+            or out[-1] in (")",)
+        )
+        if t == "@" and i + 1 < n and tokens[i + 1] == "@" and _pfx_free:
+            j2 = i + 2
+            parened = j2 < n and tokens[j2] == "("
+            if parened:
+                j2 += 1
+            ref = _geo_colref_at(tokens, j2)
+            if ref is not None:
+                rt, kind, w = ref
+                if not parened or (j2 + w < n and tokens[j2 + w] == ")"):
+                    out += ["pg_geo_unary", "(", "'@@'", ",",
+                            f"'{kind}'", ",", *rt, ")"]
+                    i = j2 + w + (1 if parened else 0)
+                    continue
+        if t == "@" and i + 2 < n and tokens[i + 1] == "-" \
+                and tokens[i + 2] == "@" and _pfx_free:
+            ref = _geo_colref_at(tokens, i + 3)
+            if ref is not None:
+                rt, kind, w = ref
+                out += ["pg_geo_fn_float", "(", "'length'", ",",
+                        f"'{kind}'", ",", *rt, ")"]
+                i = i + 3 + w
+                continue
+        if t == "#" and _pfx_free:
+            ref = _geo_colref_at(tokens, i + 1)
+            if ref is not None:
+                rt, kind, w = ref
+                out += ["pg_geo_fn_int", "(", "'npoints'", ",",
+                        f"'{kind}'", ",", *rt, ")"]
+                i = i + 1 + w
+                continue
+
+        # column OP (constant | column)
+        ref = _geo_colref_at(tokens, i) if prev != "." else None
+        if ref is not None:
+            rt, lk, w = ref
+            # coordinate subscript (geo_ops.c point accessors via the
+            # array interface): point[0] = x, point[1] = y
+            if (
+                lk == "point"
+                and i + w + 2 < n
+                and tokens[i + w] == "["
+                and tokens[i + w + 1] in ("0", "1")
+                and tokens[i + w + 2] == "]"
+            ):
+                coord = "x" if tokens[i + w + 1] == "0" else "y"
+                out += ["pg_geo_fn_float", "(", f"'{coord}'", ",",
+                        "'point'", ",", *rt, ")"]
+                i = i + w + 3
+                continue
+            for seq, op in _GEO_OP_SEQS:
+                if tuple(tokens[i + w:i + w + len(seq)]) != seq:
+                    continue
+                j = i + w + len(seq)
+                rhs = _const_at(j)
+                if rhs is not None:
+                    rk, text, w2 = rhs
+                    a, b, udf, canon = _emit_binop(
+                        lk, op, rk, lit_text=text, lit_side="r")
+                    out += [udf, "(", f"'{op}'", ",", f"'{a}'", ",",
+                            f"'{b}'", ",", *rt, ",", _lit_encode(canon),
+                            ")"]
+                    i = j + w2
+                    break
+                ref2 = _geo_colref_at(tokens, j)
+                if ref2 is not None:
+                    rt2, rk, w2 = ref2
+                    a, b, udf, _c = _emit_binop(lk, op, rk)
+                    out += [udf, "(", f"'{op}'", ",", f"'{a}'", ",",
+                            f"'{b}'", ",", *rt, ",", *rt2, ")"]
+                    i = j + w2
+                    break
+            else:
+                out.append(t)
+                i += 1
+            continue
+
+        # constant OP column (mirror)
+        c = _const_at(i) if prev != "." and prev != "::" else None
+        if c is not None:
+            ck, text, w = c
+            matched = False
+            for seq, op in _GEO_OP_SEQS:
+                if tuple(tokens[i + w:i + w + len(seq)]) != seq:
+                    continue
+                j = i + w + len(seq)
+                ref2 = _geo_colref_at(tokens, j)
+                if ref2 is None:
+                    break  # operator, but the RHS is not a geo column
+                rt2, rk, w2 = ref2
+                a, b, udf, canon = _emit_binop(
+                    ck, op, rk, lit_text=text, lit_side="l")
+                out += [udf, "(", f"'{op}'", ",", f"'{a}'", ",",
+                        f"'{b}'", ",", _lit_encode(canon), ",", *rt2,
+                        ")"]
+                i = j + w2
+                matched = True
+                break
+            if not matched:
+                out.append(t)
+                i += 1
+            continue
+
+        out.append(t)
+        i += 1
+    return out
+
+
 def _pass_inet_arith_fold(tokens: list[str]) -> list[str]:
     """inet ± bigint and inet - inet over LITERAL operands, folded at
     translate time (network.c inetpl/inetmi_int8/inetmi): the address
@@ -11846,6 +12330,8 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_tochar_naive_tz(tokens)
     tokens = _pass_ts_fold(tokens)
     tokens = _pass_complex_fold(tokens)
+    tokens = _pass_regtype(tokens)
+    tokens = _pass_geo_cols(tokens)
     tokens = _pass_geo_fold(tokens)
     tokens = _pass_enum_fold(tokens)
     tokens = _pass_json_misc_fold(tokens)
@@ -11874,6 +12360,7 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_jsonb_ops(tokens)
     tokens = _pass_tstz_literals(tokens)
     tokens = _pass_naive_tz(tokens)
+    tokens = _pass_float_int_round(tokens)
     tokens = _pass_casts(tokens)
     tokens = _pass_cast_as_types(tokens)
     tokens = _pass_interval_physical(tokens)
@@ -11895,6 +12382,8 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_num_nulls(tokens)
     tokens = _pass_similar_to(tokens)
     tokens = _pass_fetch_first(tokens)
+    tokens = _pass_offset_limit(tokens)
+    tokens = _pass_in_values(tokens)
     tokens = _pass_tablesample(tokens)
     tokens = _pass_string_to_array(tokens)
     tokens = _pass_substring_pattern(tokens)
@@ -11903,6 +12392,7 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
     tokens = _pass_int_division(tokens, int_cols)
     tokens = _pass_functions(tokens)
     tokens = _pass_generate_series_from(tokens)
+    tokens = _pass_order_by_using(tokens)
     tokens = _pass_order_by_nulls(tokens)
     return _render(tokens)
 

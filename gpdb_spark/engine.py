@@ -751,6 +751,12 @@ class Engine:
                 header = "header" in optsl
                 dm = _re.search(r"delimiter\s+'(.)'", optsl)
                 delim = dm.group(1) if dm else ","
+                nm2 = _re.search(r"null\s+e?'((?:[^']|'')*)'", opts,
+                                 _re.IGNORECASE)
+                null_marker = None
+                if nm2:
+                    null_marker = nm2.group(1).replace(
+                        "\\\\", "\\").replace("''", "'")
                 if direction.lower() == "to":
                     df = (
                         self.sql(src[1:-1])
@@ -771,7 +777,7 @@ class Engine:
                     read_external_csv
                 res = read_external_csv(
                     self.spark, fpath, gp.read(self.spark).schema,
-                    header, delim, None)
+                    header, delim, None, null_marker=null_marker)
                 n = res.good.count()
                 gp.insert_into(res.good)
                 self._refresh(nm)
@@ -827,6 +833,15 @@ class Engine:
                     # compares/sorts by declared order (enum.c
                     # enumsortorder), not label text
                     _dregcol(colname, toks[0])
+                from gpdb_spark.dialect import _GEO_TYPES as _dgeo, \
+                    register_geo_column as _dreggeo
+                if toks and toks[0].lower() in _dgeo:
+                    # geo-typed column: canonical-text storage image;
+                    # operators route through the pg_geo_* UDFs
+                    _dreggeo(colname, toks[0])
+                    from gpdb_spark.functions.geo_runtime import \
+                        register_geo_udfs
+                    register_geo_udfs(self.spark)
                 coldefs.append(f"{colname} {spark_type}")
             if ok and coldefs:
                 import uuid as _uuid
@@ -1049,6 +1064,51 @@ class Engine:
             ]
             self.create_enum(cm.group(1), vals)
             return self.spark.createDataFrame([("CREATE TYPE",)], "status string")
+        # ALTER TYPE name ADD VALUE [IF NOT EXISTS] 'v' [BEFORE|AFTER 'x']
+        # (pg_enum.c AddEnumLabel: append = last+1, BEFORE/AFTER with a
+        # far-side neighbor = midpoint, at the boundary = nbr -/+ 1)
+        am = _re.match(
+            r"(?is)^alter\s+type\s+([\w.]+)\s+add\s+value\s+"
+            r"(if\s+not\s+exists\s+)?'((?:[^']|'')*)'"
+            r"(?:\s+(before|after)\s+'((?:[^']|'')*)')?\s*$", s)
+        if am:
+            self.enum_add_value(
+                am.group(1), am.group(3).replace("''", "'"),
+                position=(am.group(4) or "").lower() or None,
+                neighbor=(am.group(5) or "").replace("''", "'") or None,
+                if_not_exists=bool(am.group(2)),
+            )
+            return self.spark.createDataFrame(
+                [("ALTER TYPE",)], "status string")
+        if _re.match(r"(?is)^alter\s+type\s+([\w.]+)\s+rename\s+to\b", s):
+            m2 = _re.match(
+                r"(?is)^alter\s+type\s+([\w.]+)\s+rename\s+to\s+"
+                r"([\w.]+)\s*$", s)
+            if m2:
+                old, new = m2.group(1).lower(), m2.group(2).lower()
+                vals = self._enums.pop(old)
+                orders = getattr(self, "_enum_orders", {}).pop(old, None)
+                from gpdb_spark.dialect import drop_enum, register_enum
+                drop_enum(old)
+                self._enums[new] = vals
+                if orders is not None:
+                    self._enum_orders[new] = orders
+                register_enum(new, vals)
+                self._refresh_pg_enum()
+                return self.spark.createDataFrame(
+                    [("ALTER TYPE",)], "status string")
+        dm = _re.match(
+            r"(?is)^drop\s+type\s+(if\s+exists\s+)?([\w.]+)\s*"
+            r"(cascade|restrict)?\s*$", s)
+        if dm and dm.group(2).lower() in getattr(self, "_enums", {}):
+            nm = dm.group(2).lower()
+            self._enums.pop(nm, None)
+            getattr(self, "_enum_orders", {}).pop(nm, None)
+            from gpdb_spark.dialect import drop_enum
+            drop_enum(nm)
+            self._refresh_pg_enum()
+            return self.spark.createDataFrame(
+                [("DROP TYPE",)], "status string")
         return pg_sql(self.spark, s, self.sf_dir)
 
     def obj_description(self, name: str, objtype: str = "table") -> str | None:
@@ -1714,7 +1774,7 @@ class Engine:
         s = text.strip().rstrip(";")
         m = _re.match(r"(?is)^\s*insert\s+into\s+(\w+)\s*(\([^)]*\))?\s*(.*)$", s)
         if m:
-            name, cols, rest = m.group(1), m.group(2), m.group(3)
+            name, cols, rest = _fold_ident(m.group(1)), m.group(2), m.group(3)
             if _re.match(r"(?is)^values\b", rest):
                 df = self.spark.sql(translate(f"SELECT * FROM ({rest})"))
             else:
@@ -1751,13 +1811,31 @@ class Engine:
                     for f in target.schema.fields
                 ]
             )
+            # geo-typed columns store the canonical text image: run the
+            # input function (validation: bad input raises PG's message
+            # BEFORE anything is written) + output function per value
+            from gpdb_spark.dialect import _GEO_COLS as _dgeocols
+            geo_cols = {
+                f.name: _dgeocols[f.name.lower()]
+                for f in target.schema.fields
+                if f.name.lower() in _dgeocols
+            }
+            if geo_cols:
+                from gpdb_spark.functions.geo_runtime import \
+                    register_geo_udfs
+                register_geo_udfs(self.spark)
+                for cname, kind in geo_cols.items():
+                    df = df.withColumn(
+                        cname,
+                        Fn.expr(f"pg_geo_canon('{kind}', `{cname}`)"),
+                    )
             n = df.count()
             self.insert_into(name, df)
             return n
 
         m = _re.match(r"(?is)^\s*update\s+(\w+)\s+set\s+(.*)$", s)
         if m:
-            name, rest = m.group(1), m.group(2)
+            name, rest = _fold_ident(m.group(1)), m.group(2)
             toks = _lex(rest)
             # split SET list from WHERE at depth 0
             depth, where_at = 0, None
@@ -1790,7 +1868,7 @@ class Engine:
 
         m = _re.match(r"(?is)^\s*delete\s+from\s+(\w+)(\s+where\s+(.*))?$", s)
         if m:
-            name, cond_sql = m.group(1), m.group(3)
+            name, cond_sql = _fold_ident(m.group(1)), m.group(3)
             cond = (
                 Fn.expr(translate(cond_sql)) if cond_sql else Fn.lit(True)
             )
@@ -1954,11 +2032,87 @@ class Engine:
         the domain constraint (AssertOp) on writes."""
         self._enums = getattr(self, "_enums", {})
         self._enums[name.lower()] = list(values)
+        # pg_enum.c: initial declaration gets sortorders 1..n
+        self._enum_orders = getattr(self, "_enum_orders", {})
+        self._enum_orders[name.lower()] = {
+            v: float(i + 1) for i, v in enumerate(values)
+        }
         # the SQL-text front door folds '<label>'::name casts and the
         # enum support functions against the same declaration (r8)
         from gpdb_spark.dialect import register_enum
 
         register_enum(name, values)
+        self._refresh_pg_enum()
+
+    def enum_add_value(self, name: str, value: str,
+                       position: str | None = None,
+                       neighbor: str | None = None,
+                       if_not_exists: bool = False) -> None:
+        """ALTER TYPE ... ADD VALUE (pg_enum.c AddEnumLabel): append =
+        last sortorder + 1; BEFORE/AFTER = midpoint with the far-side
+        neighbor, or neighbor -/+ 1 at a boundary."""
+        nm = name.lower()
+        vals = self._enums.get(nm)
+        if vals is None:
+            raise ValueError(f'type "{name}" does not exist')
+        if value in vals:
+            if if_not_exists:
+                return
+            raise ValueError(f'enum label "{value}" already exists')
+        from gpdb_spark.dialect import enum_add_value as _dadd
+        _dadd(nm, value,
+              before=neighbor if position == "before" else None,
+              after=neighbor if position == "after" else None)
+        import struct
+
+        def _f4(x: float) -> float:
+            # enumsortorder is float4 (pg_enum.h): round to float32
+            return struct.unpack("f", struct.pack("f", x))[0]
+
+        orders = self._enum_orders[nm]
+
+        def _assign():
+            ordered = sorted(vals, key=orders.__getitem__)
+            if position is None:
+                return (_f4(orders[ordered[-1]] + 1.0)) if ordered else 1.0
+            k = ordered.index(neighbor)
+            other = k - 1 if position == "before" else k + 1
+            if other < 0:
+                return _f4(orders[neighbor] - 1.0)
+            if other >= len(ordered):
+                return _f4(orders[neighbor] + 1.0)
+            lo, hi = sorted((orders[neighbor], orders[ordered[other]]))
+            mid = _f4((lo + hi) / 2.0)
+            if mid <= lo or mid >= hi:
+                return None  # float4 can no longer split the gap
+            return mid
+
+        new = _assign()
+        if new is None:
+            # RenumberEnumType (pg_enum.c): rewrite sortorders to 1..n
+            # in the current order, then the midpoint fits again
+            for idx, lbl in enumerate(sorted(vals, key=orders.__getitem__)):
+                orders[lbl] = float(idx + 1)
+            new = _assign()
+        orders[value] = new
+        self._enums[nm] = sorted(vals + [value], key=orders.__getitem__)
+        # keep the dialect's declaration in sortorder order too
+        from gpdb_spark.dialect import register_enum
+        register_enum(nm, self._enums[nm])
+        self._refresh_pg_enum()
+
+    def _refresh_pg_enum(self) -> None:
+        """pg_enum as a queryable catalog view (enumtypid carries the
+        type NAME — the regtype text image — since there are no OIDs)."""
+        rows = [
+            (nm, lbl, order)
+            for nm, orders in getattr(self, "_enum_orders", {}).items()
+            for lbl, order in orders.items()
+        ]
+        self.spark.createDataFrame(
+            rows or [("", "", 0.0)],
+            "enumtypid string, enumlabel string, enumsortorder double",
+        ).filter("enumtypid <> ''").createOrReplaceTempView("pg_enum")
 
     def enum_ordinal(self, name: str, col) -> Column:
         """Label -> 1-based enumsortorder (NULL for non-members):

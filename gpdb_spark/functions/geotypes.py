@@ -114,6 +114,10 @@ def _pairs(nums: list[float], typ: str, raw: str) -> list[tuple]:
 def point_in(s: str) -> tuple:
     t = s.strip()
     _check_balance(t, "point", s)
+    # pair_decode demands the comma: '(10.0 10.0)' is invalid input
+    # (geo_ops.c pair_decode), not a whitespace-separated pair
+    if t.count(",") != 1:
+        raise _err("point", s)
     nums = _scan_numbers(t, "point", s)
     if len(nums) != 2:
         raise _err("point", s)

@@ -50,6 +50,7 @@ def read_external_csv(
     header: bool = False,
     delimiter: str = ",",
     reject_limit: int | None = None,
+    null_marker: str | None = None,
 ) -> ExternalReadResult:
     """READABLE EXTERNAL TABLE ... FORMAT 'csv' (LOG ERRORS SEGMENT REJECT
     LIMIT n ROWS).
@@ -61,15 +62,18 @@ def read_external_csv(
     full = StructType(
         list(schema.fields) + [StructField("_corrupt_record", StringType())]
     )
-    raw = (
+    reader = (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .option("header", str(header).lower())
         .option("delimiter", delimiter)
-        .csv(path)
-        .cache()
     )
+    if null_marker is not None:
+        # COPY text format's NULL marker (commands/copy.c: \N default
+        # for text, empty string for CSV)
+        reader = reader.option("nullValue", null_marker)
+    raw = reader.csv(path).cache()
     errors = raw.where(F.col("_corrupt_record").isNotNull()).select(
         "_corrupt_record"
     )

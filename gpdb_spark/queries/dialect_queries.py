@@ -1439,6 +1439,46 @@ ORACLE["pg_enum_ops"] = " ".join(
 )
 
 
+def _pg_geo_column_ops(spark, sf_dir):
+    """TABLE-backed geometry (round 9 — VERDICT r08 What's-missing #1):
+    a registered point COLUMN routes operators, the coordinate
+    subscript, and distance through the pg_geo_* runtime UDFs
+    (functions/geo_runtime.py), which dispatch into the same
+    _GEO_BINOPS table as the constant fold (geo_ops.c at both
+    evaluation sites). Mirrors regress point.sql's WHERE shapes; the
+    oracle pins PG's values as literals (DuckDB has no geo types)."""
+    from gpdb_spark.dialect import pg_sql, register_geo_column
+    from gpdb_spark.functions.geo_runtime import register_geo_udfs
+
+    register_geo_column("g9pt", "point")
+    register_geo_udfs(spark)
+    return pg_sql(
+        spark,
+        """
+        SELECT count(*) FILTER (WHERE t.g9pt << '(0.0, 0.0)') AS n_left,
+               count(*) FILTER (WHERE '(0.0,0.0)' >> t.g9pt) AS n_right2,
+               count(*) FILTER (WHERE t.g9pt ~= '(5.1, 34.5)') AS n_eq,
+               count(*) FILTER (WHERE t.g9pt <@ box '(0,0,100,100)')
+                   AS n_inbox,
+               max(t.g9pt[0]) AS max_x,
+               floor(max(t.g9pt <-> point '(0,0)'))::int8 AS max_dist_i
+        FROM (VALUES ('(0,0)'), ('(-10,0)'), ('(-3,4)'),
+                     ('(5.1,34.5)'), ('(-5,-12)'), ('(10,10)'))
+             AS t(g9pt)
+        """,
+        sf_dir,
+    )
+
+
+QUERIES["pg_geo_column_ops"] = _pg_geo_column_ops
+ORACLE["pg_geo_column_ops"] = " ".join(
+    """
+    SELECT 3 AS n_left, 3 AS n_right2, 1 AS n_eq, 3 AS n_inbox,
+           CAST(10.0 AS DOUBLE) AS max_x, CAST(34 AS BIGINT) AS max_dist_i
+    """.split()
+)
+
+
 def _pg_enum_order(spark, sf_dir):
     """Declared-order enum comparison (enum.c enum_cmp via
     enumsortorder; regress enum.sql:134-152 — VERDICT r08 What's-wrong

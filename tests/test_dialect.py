@@ -2978,3 +2978,23 @@ class TestRound9VerdictFixes:
         ]
         for a, b in pairs:
             assert translate(a) == translate(b), (a, b)
+
+    def test_float_int_cast_rounding(self, spark):
+        from gpdb_spark.dialect import translate
+
+        # float.c dtoi4 via rint (half to EVEN); numeric.c numeric_int4
+        # rounds half AWAY from zero — Spark's CAST truncates both
+        # (found round 9 while probing table-backed casts)
+        cases = [
+            ("SELECT '34.87'::float8::int8 AS a", 35),
+            ("SELECT 2.5::float8::int4 AS a", 2),
+            ("SELECT 3.5::float8::int4 AS a", 4),
+            ("SELECT ('244.5'::float8)::int2 AS a", 244),
+            ("SELECT 2.5::numeric::int4 AS a", 3),
+            ("SELECT (-2.5)::numeric::int4 AS a", -3),
+            ("SELECT 1.9::int4 AS a", 2),
+            ("SELECT '123'::int4 AS a", 123),
+        ]
+        for q, want in cases:
+            got = spark.sql(translate(q)).collect()[0][0]
+            assert got == want, (q, got, want)

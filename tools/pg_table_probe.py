@@ -1,0 +1,465 @@
+"""Table-driven golden-file conformance probe (round 9 — VERDICT r08
+What's-missing #1 / Next #4): run the reference's TABLE-backed
+regression files end-to-end through the Engine — CREATE TABLE, COPY
+from the reference's own in-tree data files, INSERT/UPDATE/DELETE,
+then every SELECT — and compare against expected/*.out.
+(/root/reference/src/test/regress/{expected,data} — treated as DATA;
+file content is untrusted and only ever parsed as statement/result
+text or COPY rows.)
+
+This is the structural complement of tools/pg_golden_probe.py: that
+probe is FROM-less (pure expressions), so any regress file whose
+statements read tables was invisible to it — exactly where round 8's
+enum/geometry silent-wrongs hid.
+
+Comparison is atmsort-style (the reference's own gpdiff/atmsort.pl
+idea): result blocks compare as sorted multisets of rendered rows,
+because a distributed engine does not owe the golden's physical row
+order — and with ORDER BY, ties are still arbitrary. Cell rendering
+reuses pg_golden_probe.render (the PG output-function layer).
+
+Buckets:
+  GOLD_AGREE  SELECT rows render to the expected multiset
+  GOLD_DIFF   SELECT ran, multiset differs            <- review these
+  ERR_AGREE   golden expects ERROR and the engine refused
+  ERR_MISS    golden expects ERROR but the statement succeeded
+  ENGINE_ERR  golden expects success but the engine refused
+  STMT_OK     non-SELECT statement succeeded as expected (not counted
+              as GOLD_AGREE — DDL/DML echoes carry no result block)
+  SKIP        statement the parser cannot carry
+
+Usage: python tools/pg_table_probe.py [--list-diff] [file ...]
+Default files: the round-9 target set (limit select point box lseg
+path circle enum).
+"""
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from pg_golden_probe import (  # noqa: E402
+    _DEFAULT_CTX,
+    apply_set,
+    apply_type_ddl,
+    render,
+    strip_comments,
+)
+
+EXPECTED = "/root/reference/src/test/regress/expected"
+DATA = "/root/reference/src/test/regress/data"
+
+DEFAULT_FILES = ["limit", "select", "point", "box", "lseg", "path",
+                 "circle", "enum"]
+
+_STMT_HEAD = (
+    r"(?i)^(select|insert|update|delete|create|drop|alter|copy|analyze|"
+    r"vacuum|set|reset|truncate|comment|begin|commit|rollback|end|"
+    r"values|with|grant|revoke|declare|fetch|close|prepare|execute|"
+    r"deallocate)\b"
+)
+
+# the standard regress fixtures (sql/create_table.sql DDL + the
+# input/copy.source loads), re-expressed inline: inherited child
+# tables carry their parents' columns flattened (tupdesc order), and
+# onek2/tenk2 load the same data files as onek/tenk1, exactly as the
+# reference's schedule does
+BOOTSTRAP: dict[str, tuple[str, str | None]] = {
+    "onek": (
+        "CREATE TABLE onek (unique1 int4, unique2 int4, two int4,"
+        " four int4, ten int4, twenty int4, hundred int4, thousand int4,"
+        " twothousand int4, fivethous int4, tenthous int4, odd int4,"
+        " even int4, stringu1 name, stringu2 name, string4 name)",
+        "onek.data"),
+    "onek2": (
+        "CREATE TABLE onek2 (unique1 int4, unique2 int4, two int4,"
+        " four int4, ten int4, twenty int4, hundred int4, thousand int4,"
+        " twothousand int4, fivethous int4, tenthous int4, odd int4,"
+        " even int4, stringu1 name, stringu2 name, string4 name)",
+        "onek.data"),
+    "tenk1": (
+        "CREATE TABLE tenk1 (unique1 int4, unique2 int4, two int4,"
+        " four int4, ten int4, twenty int4, hundred int4, thousand int4,"
+        " twothousand int4, fivethous int4, tenthous int4, odd int4,"
+        " even int4, stringu1 name, stringu2 name, string4 name)",
+        "tenk.data"),
+    "tenk2": (
+        "CREATE TABLE tenk2 (unique1 int4, unique2 int4, two int4,"
+        " four int4, ten int4, twenty int4, hundred int4, thousand int4,"
+        " twothousand int4, fivethous int4, tenthous int4, odd int4,"
+        " even int4, stringu1 name, stringu2 name, string4 name)",
+        "tenk.data"),
+    "person": (
+        "CREATE TABLE person (name text, age int4, location point)",
+        "person.data"),
+    "emp": (
+        "CREATE TABLE emp (name text, age int4, location point,"
+        " salary int4, manager name)",
+        "emp.data"),
+    "student": (
+        "CREATE TABLE student (name text, age int4, location point,"
+        " gpa float8)",
+        "student.data"),
+    "stud_emp": (
+        "CREATE TABLE stud_emp (name text, age int4, location point,"
+        " salary int4, manager name, gpa float8, percent int4)",
+        "stud_emp.data"),
+    "aggtest": ("CREATE TABLE aggtest (a int2, b float4)", "agg.data"),
+    "road": ("CREATE TABLE road (name text, thepath path)",
+             "streets.data"),
+    "slow_emp4000": ("CREATE TABLE slow_emp4000 (home_base box)",
+                     "rect.data"),
+}
+
+# per-target-file table needs; "@file" runs that regress file silently
+# first (its CREATEs+INSERTs build the fixture, bad-input INSERTs fail
+# exactly as they do in PG, leaving PG's final table content)
+FILE_SETUP: dict[str, list[str]] = {
+    "limit": ["onek"],
+    "select": ["onek", "onek2", "person", "emp", "student", "stud_emp",
+               "@int8"],
+    "aggregates": ["onek", "tenk1", "aggtest", "student",
+                   "@int4", "@int8", "@varchar"],
+    "point": [],
+    "box": [],
+    "lseg": [],
+    "path": [],
+    "circle": [],
+    "polygon": [],
+    "enum": [],
+    "macaddr": [],
+    "uuid": [],
+}
+
+# PG single inheritance flattens into parent reads (SELECT FROM person
+# includes emp/student/stud_emp rows projected to person's columns) —
+# modeled as a UNION ALL view over the loaded children
+INHERIT_VIEWS = {
+    "person": ["person", "emp", "student", "stud_emp"],
+}
+
+
+def parse_out(path: str):
+    """Yield (stmt, kind, payload) from an expected/*.out file in
+    order. kind: 'error' (payload=None), 'rows' (payload=[row-text]),
+    'none' (statement echo with no result block), 'stdin' (COPY FROM
+    stdin; payload=inline rows)."""
+    lines = open(path, errors="replace").read().splitlines()
+    i, n = 0, len(lines)
+    while i < n:
+        if not re.match(_STMT_HEAD, lines[i]):
+            i += 1
+            continue
+        stmt_lines = [lines[i]]
+        i += 1
+
+        def _complete() -> bool:
+            # the statement ends at a line-final ';' that is OUTSIDE
+            # any '...' literal or $$...$$ dollar-quoted body
+            if not re.search(r";\s*(--.*)?$", stmt_lines[-1]):
+                return False
+            text = "\n".join(stmt_lines)
+            if text.count("$$") % 2:
+                return False
+            return text.replace("''", "").count("'") % 2 == 0
+
+        while not _complete() and i < n:
+            stmt_lines.append(lines[i])
+            i += 1
+        stmt = strip_comments("\n".join(stmt_lines))
+        stmt = stmt.strip().rstrip(";").strip()
+        if not stmt:
+            continue
+        if re.search(r"(?is)\bfrom\s+stdin\b", stmt):
+            # inline COPY data follows until the \. terminator
+            data = []
+            while i < n and lines[i] != "\\.":
+                data.append(lines[i])
+                i += 1
+            i += 1
+            yield stmt, "stdin", data
+            continue
+        if i < n and lines[i].startswith("ERROR:"):
+            while i < n and lines[i] != "" and not re.match(
+                _STMT_HEAD, lines[i]
+            ):
+                i += 1
+            yield stmt, "error", None
+            continue
+        if i + 1 < n and re.fullmatch(r"-+(\+-+)*", lines[i + 1] or ""):
+            j = i + 2
+            rows = []
+            while j < n and not re.fullmatch(r"\((\d+) rows?\)", lines[j]):
+                rows.append(lines[j])
+                j += 1
+            if j < n:
+                yield stmt, "rows", rows
+                i = j + 1
+                continue
+        yield stmt, "none", None
+
+
+def bootstrap(eng, names: list[str], done: set) -> None:
+    for name in names:
+        if name in done:
+            continue
+        done.add(name)
+        if name.startswith("@"):
+            run_file(eng, name[1:], silent=True)
+            continue
+        ddl, datafile = BOOTSTRAP[name]
+        eng.sql(ddl)
+        if datafile:
+            # PG COPY text-format defaults: TAB delimiter, \N null
+            eng.sql(
+                f"COPY {name} FROM '{DATA}/{datafile}'"
+                " delimiter '\t' null E'\\\\N'"
+            )
+    for view, parts in INHERIT_VIEWS.items():
+        if view in done and all(p in done for p in parts):
+            dfs = None
+            cols = eng.table(view).columns
+            for p in parts:
+                d = eng.table(p).select(*cols)
+                dfs = d if dfs is None else dfs.unionAll(d)
+            dfs.createOrReplaceTempView(view)
+
+
+# documented out-of-scope classes (the FROM-less probe's ERR_DECLARED
+# idea): each is a reviewed Spark-planner or composite-type limitation,
+# not a silent wrong — the statement REFUSES loudly
+_DECLARED_TABLE_ERR = [
+    # Spark cannot plan a correlated reference inside LIMIT/OFFSET
+    (r"(?is)\boffset\b[^;]*\bfrom\s+generate_series", "correlated-offset"),
+    # Spark refuses scalar subqueries inside a VALUES list
+    (r"(?is)\bvalues\b[^;]*\(\s*\(\s*select\b", "scalar-subquery-in-values"),
+    # whole-row composite reference (select foo from (...) as foo)
+    (r"(?is)^select\s+(\w+)\s*(?:,|from)[^;]*\bas\s+\1\b",
+     "whole-row-composite"),
+]
+
+
+def _classify_table_err(stmt: str, file_funcs: set) -> str | None:
+    low = stmt.lower()
+    head = low.split(None, 1)[0] if low else ""
+    if head in ("create", "drop") and re.match(
+        r"(?is)^(create|drop)\s+(or\s+replace\s+)?"
+        r"(function|aggregate|ordered\s+aggregate)\b", stmt
+    ):
+        return "user-defined-function context"
+    if re.search(r"(?is)\(\s*select\b[^;]*\(\s*select\b", stmt) or \
+            re.search(r"(?is)\bmax\s*\(\s*\(\s*select\b", stmt):
+        # Spark refuses an aggregate over mixed outer/local subquery
+        # references (nested correlated aggregation)
+        return "nested-correlated-aggregate"
+    for fn in file_funcs:
+        if re.search(rf"(?i)\b{re.escape(fn)}\s*\(", stmt):
+            return "user-defined-function context"
+    for pat, label in _DECLARED_TABLE_ERR:
+        if re.search(pat, stmt):
+            return label
+    return None
+
+
+def _render(v, ctx) -> str:
+    """pg_golden_probe.render plus this vintage's float8out: the
+    regress suite runs under extra_float_digits=0, i.e. %.15g
+    (float.c float8out), not shortest-repr."""
+    if isinstance(v, float) and v == v and abs(v) not in (
+        float("inf"),
+    ):
+        return "%.15g" % v
+    return render(v, ctx)
+
+
+def _normalize_stmt(stmt: str) -> str:
+    # inheritance-star spelling: FROM person* p == FROM person (the
+    # default inclusive read; the probe's person view IS inclusive).
+    # FROM ONLY t reads the base table — which is exactly what the
+    # probe's non-inherited table names already are.
+    stmt = re.sub(r"(?i)\b([a-z_][\w]*)\*", r"\1", stmt)
+    return re.sub(r"(?i)\bfrom\s+only\s+", "FROM ", stmt)
+
+
+def run_file(eng, f: str, silent: bool = False, list_diff: bool = False):
+    from gpdb_spark.dialect import (
+        reset_enums,
+        reset_geo_columns,
+        set_date_order,
+        set_interval_style,
+        set_session_zone,
+    )
+
+    spark = eng.spark
+    per = {k: 0 for k in ("GOLD_AGREE", "GOLD_DIFF", "ERR_AGREE",
+                          "ERR_MISS", "ENGINE_ERR", "ERR_DECLARED",
+                          "STMT_OK", "SKIP")}
+    diffs = []
+    file_funcs: set = set()
+    if not silent:
+        ctx = dict(_DEFAULT_CTX)
+        set_date_order("mdy")
+        set_interval_style("postgres_verbose")
+        reset_enums()
+        reset_geo_columns()
+        set_session_zone("PST8PDT")
+        spark.conf.set("spark.sql.session.timeZone", "PST8PDT")
+    else:
+        ctx = dict(_DEFAULT_CTX)
+    for stmt, kind, payload in parse_out(f"{EXPECTED}/{f}.out"):
+        head = stmt.split(None, 1)[0].lower()
+        if head in ("set", "reset"):
+            apply_set(stmt, ctx)
+            try:
+                eng.sql(stmt)
+            except Exception:
+                pass
+            continue
+        if kind == "stdin":
+            # COPY ... FROM stdin: materialize the inline rows to a
+            # temp file and route through the engine's COPY path with
+            # text-format defaults (TAB delimiter) + the statement's
+            # own NULL marker
+            import tempfile
+            m = re.match(r"(?is)^copy\s+([\w.\"]+)", stmt)
+            nullm = re.search(r"(?i)null\s+'((?:[^']|'')*)'", stmt)
+            marker = nullm.group(1) if nullm else "\\N"
+            try:
+                with tempfile.NamedTemporaryFile(
+                    "w", suffix=".data", delete=False
+                ) as fh:
+                    fh.write("\n".join(payload) + "\n")
+                eng.sql(
+                    f"COPY {m.group(1)} FROM '{fh.name}'"
+                    f" delimiter '\t' null '{marker}'"
+                )
+                per["STMT_OK"] += 1
+            except Exception as exc:
+                per["ENGINE_ERR"] += 1
+                if list_diff:
+                    diffs.append((f, stmt, f"stdin copy error: {exc}"))
+            continue
+        stmt = _normalize_stmt(stmt)
+        fm = re.match(
+            r"(?is)^create\s+(?:or\s+replace\s+)?"
+            r"(?:function|aggregate|ordered\s+aggregate)\s+([\w.]+)",
+            stmt)
+        if fm:
+            file_funcs.add(fm.group(1).lower())
+        is_query = head in ("select", "values", "with")
+        sctx = dict(ctx)
+        if re.search(
+            r"(?i)timestamp\s+with\s+time\s+zone|::\s*timestamptz"
+            r"|\bat\s+time\s+zone\b", stmt,
+        ):
+            sctx["tstz"] = True
+        got = None
+        try:
+            if is_query:
+                df = eng.sql(stmt)
+                sctx["ltz_cols"] = {
+                    idx for idx, fl in enumerate(df.schema.fields)
+                    if fl.dataType.simpleString() == "timestamp"
+                }
+                got = df.collect()
+            else:
+                eng.sql(stmt)
+            ok = True
+        except Exception as exc:
+            ok = False
+            err = exc
+        if silent:
+            continue
+        if kind == "error":
+            per["ERR_AGREE" if not ok else "ERR_MISS"] += 1
+            if ok and list_diff:
+                diffs.append((f, stmt, "expected ERROR, got success"))
+            continue
+        if not ok:
+            declared = _classify_table_err(stmt, file_funcs)
+            if declared is not None:
+                per["ERR_DECLARED"] += 1
+            else:
+                per["ENGINE_ERR"] += 1
+                if list_diff:
+                    diffs.append((f, stmt, f"engine error: {err}"))
+            continue
+        if kind == "none" or not is_query:
+            per["STMT_OK"] += 1
+            continue
+        want = sorted(
+            " | ".join(p.strip() for p in r.split(" | "))
+            for r in payload
+        )
+        have = sorted(
+            " | ".join(
+                _render(v, {**sctx, "ltz": ci in sctx.get("ltz_cols", set())}
+                        ).strip()
+                for ci, v in enumerate(r)
+            )
+            for r in got
+        )
+        if want == have:
+            per["GOLD_AGREE"] += 1
+        else:
+            per["GOLD_DIFF"] += 1
+            if list_diff:
+                diffs.append((f, stmt, f"want={want!r} have={have!r}"))
+    return per, diffs
+
+
+def main(argv):
+    list_diff = "--list-diff" in argv
+    files = [a for a in argv if not a.startswith("--")] or DEFAULT_FILES
+
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession
+
+    import gpdb_spark  # noqa: F401
+    from gpdb_spark.engine import Engine
+
+    workdir = tempfile.mkdtemp(prefix="pg_table_probe_")
+    os.chdir(workdir)
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "PST8PDT")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tally = {k: 0 for k in ("GOLD_AGREE", "GOLD_DIFF", "ERR_AGREE",
+                            "ERR_MISS", "ENGINE_ERR", "ERR_DECLARED",
+                            "STMT_OK", "SKIP")}
+    all_diffs = []
+    for f in files:
+        eng = Engine(spark)
+        done: set = set()
+        try:
+            bootstrap(eng, FILE_SETUP.get(f, []), done)
+        except Exception as exc:
+            print(f"{f} BOOTSTRAP FAILED: {exc}")
+            continue
+        per, diffs = run_file(eng, f, list_diff=list_diff)
+        all_diffs += diffs
+        for k in tally:
+            tally[k] += per[k]
+        print(f"{f} {per}")
+        # drop this file's temp views so the next file starts clean
+        for v in spark.catalog.listTables():
+            if v.isTemporary:
+                spark.catalog.dropTempView(v.name)
+    print(f"TOTAL {tally}")
+    if list_diff:
+        for f, stmt, why in all_diffs:
+            print(f"[{f}] {stmt}\n    {why}")
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
