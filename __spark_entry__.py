@@ -22,93 +22,64 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver samples the first N entries of queries() for its DuckDB
-# CORRECTNESS check (~50 per round). Round-8 head (VERDICT r07 Next
-# #3): the three new round-8 queries (never checked), then the 24 rows
-# whose latest green is still round 2, then the round-3-era rows —
-# freshness floor target r04. Everything else keeps its r04-r07 green
-# row and sorts last.
+# CORRECTNESS check (~50 per round). Round-9 head: never-checked
+# round-9 queries, then the r03-era rows, then the oldest r04 rows.
+# Everything else keeps its r04-r08 green row and sorts last.
 DRIVER_PRIORITY: list[str] = [
-    # never-driver-checked round-8 queries first (DST interval
-    # arithmetic, geometry literal algebra, enum front door, zone
-    # fold discipline, numeric scale algebra, interval field
-    # fidelity)
-    "pg_dst_interval_arith",
-    "pg_geometry_literals",
-    "pg_enum_ops",
-    "pg_zone_fold_discipline",
-    "pg_numeric_scale_algebra",
-    "pg_interval_field_fidelity",
-    # freshness rotation (VERDICT r07 Next #3): the 24 rows whose
-    # latest driver check is still round 2 ...
-    "trgm_similarity",
-    "trgm_neardup_pairs",
-    "fuzzy_match_funcs",
-    "fuzzy_phonetic",
-    "unaccent_citext",
-    "orafce_funcs",
-    "earth_distance_funcs",
-    "pgcrypto_digest",
-    "hstore_funcs",
-    "ltree_funcs",
-    "connectby_tree",
-    "intarray_ops",
-    "pg_array_slice",
-    "inet6_funcs",
-    "pg_int_division",
-    "pg_json_arrows",
-    "pg_recursive_series",
-    "pg_to_char_patterns",
-    "geometry_ops",
-    "money_type_funcs",
-    "xml_funcs",
-    "pg_array_dow_syntax",
-    "pg_to_char_numeric",
-    "misc_type_funcs",
-    # ... then the round-3-era rows (floor moves to r04 as the
-    # driver's ~50-row sample walks this head)
-    "embed_neardup_clusters",
-    "pg_lateral_subquery",
-    "pg_jsonb_ops",
-    "pg_jsonb_funcs",
-    "pg_overlaps_predicate",
-    "pg_at_time_zone",
-    "pg_multidim_arrays",
-    "text_chunk_documents",
-    "datapipe_pack_manifest",
-    "datapipe_shuffle_shards",
-    "vocab_pair_counts",
-    "linregr_multi",
-    "text_bpe_encode",
-    "graph_pagerank",
-    "kmeans_lloyd",
-    "text_nb_langid",
-    "approx_percentile_sketch",
-    "fulltext_tfidf_rank",
-    "dedup_best_representative",
-    "events_funnel",
-    "events_retention_cohorts",
-    "logregr_irls",
-    "plpgsql_function",
-    "plpgsql_control_flow",
-    "pgcrypto_hmac",
-    "fuzzy_metaphone",
-    "tablefunc_crosstab",
-    "text_lm_quality",
+    # round-9 head: the two never-driver-checked round-9 queries
+    # (enum declared order, geo table columns), then the 24 rows
+    # whose latest green is still round 3, then the oldest round-4
+    # rows — freshness floor target moves to r04-r05 (VERDICT r08
+    # Next #7)
+    "pg_enum_order",
+    "pg_geo_column_ops",
     "datapipe_domain_mix",
-    "embed_ann_topk_blocked",
-    "dedup_simhash",
     "dedup_minhash_lsh",
-    "embed_ann_lsh",
-    "embed_ann_ivf_flat",
-    "text_url_canonical_dedup",
-    "text_langid_heuristic",
-    "multimodal_byte_stats",
+    "dedup_simhash",
     "distinct_ordered_aggs",
-    "window_frame_exclude_groups",
+    "embed_ann_ivf_flat",
+    "embed_ann_lsh",
+    "embed_ann_topk_blocked",
+    "events_retention_cohorts",
+    "fuzzy_metaphone",
     "join_notin_nullaware",
-    "setop_intersect_all",
-    "values_scan",
+    "logregr_irls",
+    "multimodal_byte_stats",
+    "pgcrypto_hmac",
+    "plpgsql_control_flow",
+    "plpgsql_function",
     "recursive_cte_series",
+    "setop_intersect_all",
+    "tablefunc_crosstab",
+    "text_langid_heuristic",
+    "text_lm_quality",
+    "text_url_canonical_dedup",
+    "values_scan",
+    "window_frame_exclude_groups",
+    "array_any_all_ops",
+    "array_funcs",
+    "conditional_funcs",
+    "cte_shared_scan",
+    "date_funcs",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "embed_ann_ivf",
+    "embed_ann_topk",
+    "embed_centroids",
+    "embed_norms",
+    "embed_quantize_int8",
+    "events_asof_join",
+    "events_linear_interpolate",
+    "events_sessionize",
+    "events_time_buckets",
+    "events_type_pivot",
+    "fulltext_rank",
+    "int_division_pg",
+    "interval_age_overlaps",
+    "join_range_binned",
+    "json_each_explode",
+    "json_funcs",
+    "mapreduce_yaml",
 ]
 
 

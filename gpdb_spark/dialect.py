@@ -463,6 +463,25 @@ def _map_base_type(tokens: list[str], i: int) -> tuple[str, int]:
                     "time with time zone (timetz) is not supported")
             return "TIME", j + 3
         return "TIMESTAMP", j + 3
+    if w in ("bit", "varbit") or (
+        w == "bit" and j < len(tokens) and _is_word(tokens[j], "varying")
+    ):
+        # bit-string storage image is the '0101' text (functions/
+        # varbit ops run over it); consume VARYING and the (n) typmod
+        if j < len(tokens) and _is_word(tokens[j], "varying"):
+            j += 1
+        if j < len(tokens) and tokens[j] == "(":
+            k, depth = j, 0
+            while k < len(tokens):
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            return "STRING", k + 1
+        return "STRING", j
     if (
         w in ("varchar", "char", "bpchar", "character")
         and j < len(tokens)
@@ -1947,33 +1966,75 @@ def _pass_functions(tokens: list[str]) -> list[str]:
                 ):
                     order_at = k
                 k += 1
-            if order_at:
-                start = i + 2
-                distinct = _is_word(tokens[start], "distinct")
-                if distinct:
-                    start += 1
-                expr_t = tokens[start:order_at]
-                key_t = tokens[order_at + 2 : k]
-                asc = "true"
-                if key_t and _is_word(key_t[-1], "desc"):
-                    asc, key_t = "false", key_t[:-1]
-                elif key_t and _is_word(key_t[-1], "asc"):
-                    key_t = key_t[:-1]
-                expr_s = _render(_pass_functions(expr_t))
-                key_s = _render(_pass_functions(key_t))
-                same = [t0.lower() for t0 in expr_t] == [t0.lower() for t0 in key_t]
-                if same:
-                    fn = "collect_set" if distinct else "collect_list"
-                    out += _lex(f"sort_array({fn}({expr_s}), {asc})")
-                    i = k + 1
-                    continue
-                if not distinct:
-                    out += _lex(
-                        f"transform(sort_array(collect_list(named_struct("
-                        f"'_o', {key_s}, '_v', {expr_s})), {asc}), s -> s._v)"
-                    )
-                    i = k + 1
-                    continue
+            # PG's array_agg KEEPS NULL inputs (array_agg_transfn has
+            # no strictness on the element) where Spark's
+            # array_agg/collect_list DROP them — every form rides in a
+            # struct (never null) and projects back out (round 9;
+            # regress aggregates.sql array_agg(distinct a) expects
+            # {1,2,3,NULL}). DISTINCT and ORDER BY sort with an
+            # explicit comparator: asc = NULLS LAST, desc = NULLS
+            # FIRST (PG sort defaults), overridable by the clause.
+            start = i + 2
+            distinct = _is_word(tokens[start], "distinct")
+            if distinct:
+                start += 1
+            end = order_at if order_at else k
+            expr_t = tokens[start:end]
+            key_t = tokens[order_at + 2: k] if order_at else []
+            nulls_last = None
+            if len(key_t) >= 2 and _is_word(key_t[-2], "nulls"):
+                nulls_last = _is_word(key_t[-1], "last")
+                key_t = key_t[:-2]
+            asc = True
+            if key_t and _is_word(key_t[-1], "desc"):
+                asc, key_t = False, key_t[:-1]
+            elif key_t and _is_word(key_t[-1], "asc"):
+                key_t = key_t[:-1]
+            if nulls_last is None:
+                nulls_last = asc
+            expr_s = _render(_pass_functions(expr_t))
+            key_s = _render(_pass_functions(key_t)) if key_t else None
+            same = key_t and [t0.lower() for t0 in expr_t] == [
+                t0.lower() for t0 in key_t]
+
+            def _cmp(field: str) -> str:
+                lo, hi = ("-1", "1") if asc else ("1", "-1")
+                nl, nf = ("1", "-1") if nulls_last else ("-1", "1")
+                return (
+                    f"(l, r) -> case"
+                    f" when l.{field} is null and r.{field} is null"
+                    f" then 0"
+                    f" when l.{field} is null then {nl}"
+                    f" when r.{field} is null then {nf}"
+                    f" when l.{field} < r.{field} then {lo}"
+                    f" when l.{field} > r.{field} then {hi}"
+                    f" else 0 end"
+                )
+
+            if distinct and (not key_t or same):
+                # DISTINCT [ORDER BY the same expr]: set semantics,
+                # sorted output (nodeAgg sorts the distinct input)
+                out += _lex(
+                    f"transform(array_sort(collect_set(named_struct("
+                    f"'_v', {expr_s})), {_cmp('_v')}), s -> s._v)"
+                )
+                i = k + 1
+                continue
+            if not distinct and not key_t:
+                out += _lex(
+                    f"transform(array_agg(named_struct("
+                    f"'_v', {expr_s})), s -> s._v)"
+                )
+                i = k + 1
+                continue
+            if not distinct and key_t:
+                out += _lex(
+                    f"transform(array_sort(collect_list(named_struct("
+                    f"'_o', {key_s}, '_v', {expr_s})), {_cmp('_o')}),"
+                    f" s -> s._v)"
+                )
+                i = k + 1
+                continue
         # json[b]_build_object('k', v, ...) -> to_json(named_struct(...))
         # (json.c json_build_object; value types preserved — named_struct
         # keeps ints as json numbers, unlike a map<string,string> round
@@ -2893,6 +2954,71 @@ def _pass_float_int_round(tokens: list[str]) -> list[str]:
             i += 2
             continue
         out.append(tokens[i])
+        i += 1
+    return out
+
+
+def _pass_avg_numeric(
+    tokens: list[str], int_cols: frozenset[str],
+    f32_cols: frozenset[str] = frozenset(),
+) -> list[str]:
+    """avg(int) returns NUMERIC in PG (numeric.c int8_avg etc., display
+    scale 16: avg(four) renders 1.5000000000000000), where Spark's
+    avg(int) is DOUBLE. Under the engine front door (numeric_agg=True)
+    an avg over a catalog-typed INTEGER column computes exactly in
+    decimal and lands on DECIMAL(38,16). The driver-compared registry
+    queries keep Spark's double (their DuckDB-oracle hashing policy
+    demands non-decimal compared outputs)."""
+    out: list[str] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        t = tokens[i]
+        if (
+            t.isidentifier() and t.lower() == "avg"
+            and i + 2 < n and tokens[i + 1] == "("
+        ):
+            j = i + 2
+            # [qual .] col )
+            cols = []
+            k = j
+            while k < n and tokens[k].isidentifier():
+                cols.append(tokens[k])
+                if k + 1 < n and tokens[k + 1] == ".":
+                    k += 2
+                    continue
+                k += 1
+                break
+            if cols and k < n and tokens[k] == ")" \
+                    and cols[-1].lower() in int_cols:
+                out += ["CAST", "(", "avg", "(", "CAST", "(",
+                        *tokens[j:k], "AS", "DECIMAL(26,12)", ")", ")",
+                        "AS", "DECIMAL(38,16)", ")"]
+                i = k + 1
+                continue
+        if (
+            t.isidentifier() and t.lower() == "sum"
+            and i + 2 < n and tokens[i + 1] == "("
+        ):
+            # sum(float4) stays FLOAT4 in PG (float.c float4pl
+            # accumulation) where Spark widens to double — narrow the
+            # result back so float4out's %.6g image matches
+            j = i + 2
+            cols = []
+            k = j
+            while k < n and tokens[k].isidentifier():
+                cols.append(tokens[k])
+                if k + 1 < n and tokens[k + 1] == ".":
+                    k += 2
+                    continue
+                k += 1
+                break
+            if cols and k < n and tokens[k] == ")" \
+                    and cols[-1].lower() in f32_cols:
+                out += ["CAST", "(", "sum", "(", *tokens[j:k], ")",
+                        "AS", "FLOAT", ")"]
+                i = k + 1
+                continue
+        out.append(t)
         i += 1
     return out
 
@@ -4017,6 +4143,15 @@ def _pass_numeric_fold(tokens: list[str]) -> list[str]:
                         src = prev[1:-1].strip()
                     elif re.fullmatch(r"\d+(\.\d*)?|\.\d+", prev):
                         src = prev
+                    # 'NaN'::numeric: PG's numeric carries NaN; this
+                    # engine's NaN image is a DOUBLE NaN (the same
+                    # choice the float->numeric path documents above)
+                    if src is not None and src.lower() in ("nan", "-nan"):
+                        out = out[:-1] + ["CAST", "(", "'NaN'",
+                                          "AS", "DOUBLE", ")"]
+                        i += 2
+                        changed = reduced = True
+                        continue
                     if src is not None and re.fullmatch(
                         r"[+-]?(\d+(\.\d*)?|\.\d+)", src
                     ):
@@ -12298,6 +12433,25 @@ def _pass_array_subquery(tokens: list[str]) -> list[str]:
             desc = bool(ord_toks) and _is_word(ord_toks[-1], "desc")
             if ord_toks and _is_word(ord_toks[-1], "asc", "desc"):
                 ord_toks = ord_toks[:-1]
+            # a select-item alias (AS s / bare s) cannot ride into the
+            # struct field; strip it, and an ORDER BY naming the alias
+            # orders by the underlying expression
+            alias = None
+            if len(sel) >= 3 and _is_word(sel[-2], "as") \
+                    and sel[-1].isidentifier():
+                alias, sel = sel[-1], sel[:-2]
+            elif (
+                len(sel) >= 2
+                and sel[-1].isidentifier()
+                and sel[-1].lower() not in _KEYWORDS
+                and (sel[-2] == ")" or sel[-2].startswith("'")
+                     or sel[-2].isidentifier()
+                     or re.fullmatch(r"[\d.]+", sel[-2]))
+            ):
+                alias, sel = sel[-1], sel[:-1]
+            if alias is not None and [t.lower() for t in ord_toks] == \
+                    [alias.lower()]:
+                ord_toks = list(sel)
             agg = (
                 ["transform", "(", "array_sort", "(", "collect_list", "(",
                  "struct", "("]
@@ -12317,12 +12471,19 @@ def _pass_array_subquery(tokens: list[str]) -> list[str]:
     return out
 
 
-def translate(sql: str, int_cols: frozenset[str] = frozenset()) -> str:
+def translate(sql: str, int_cols: frozenset[str] = frozenset(),
+              numeric_agg: bool = False,
+              f32_cols: frozenset[str] = frozenset()) -> str:
     """Translate a PostgreSQL-dialect query to Spark SQL.
 
     ``int_cols`` — lowercase names of integer-typed columns (catalog type
-    info), enabling the PG integer-`/` truncation rewrite."""
+    info), enabling the PG integer-`/` truncation rewrite.
+    ``numeric_agg`` — PG-exact avg(int) NUMERIC typing (engine front
+    door; the registry queries keep Spark's double per the oracle
+    hashing policy)."""
     tokens = _lex(sql)
+    if numeric_agg and (int_cols or f32_cols):
+        tokens = _pass_avg_numeric(tokens, int_cols, f32_cols)
     tokens = _pass_unicode_literals(tokens)
     tokens = _pass_statement_forms(tokens)
     tokens = _pass_collate(tokens)
@@ -12533,7 +12694,9 @@ def _rewrite_soundex(sql: str) -> str:
 
 
 def pg_sql(
-    spark: SparkSession, sql: str, sf_dir: str | None = None
+    spark: SparkSession, sql: str, sf_dir: str | None = None,
+    int_cols: frozenset[str] = frozenset(), numeric_agg: bool = False,
+    f32_cols: frozenset[str] = frozenset(),
 ) -> DataFrame:
     """The engine's SQL front door: PG-dialect text in, DataFrame out.
     When ``sf_dir`` is given, the fixture tables are (re-)registered as
@@ -12543,12 +12706,11 @@ def pg_sql(
     # arithmetic) behind this conf; the engine's time-of-day support
     # (_pass_time_literals) needs it on. Runtime-settable, idempotent.
     spark.conf.set("spark.sql.timeType.enabled", "true")
-    int_cols: frozenset[str] = frozenset()
     if sf_dir is not None:
         from gpdb_spark.catalog import register_fixture_views
 
         register_fixture_views(spark, sf_dir)
-        int_cols = _fixture_int_cols(spark, sf_dir)
+        int_cols = int_cols | _fixture_int_cols(spark, sf_dir)
     stripped = sql.lstrip()
     if stripped[:7].lower() == "explain":
         # EXPLAIN [ANALYZE] <query>: one-row DataFrame with the plan in
@@ -12562,7 +12724,8 @@ def pg_sql(
         # recurse with sf_dir so the catalog-driven integer-`/` rewrite
         # applies: EXPLAIN must plan the SAME query that would execute
         # (with None the plan showed double division — review finding)
-        df = pg_sql(spark, body, sf_dir)
+        df = pg_sql(spark, body, sf_dir, int_cols, numeric_agg,
+                    f32_cols)
         if analyze:
             df._jdf.queryExecution().toRdd().count()
         plan = explain_motion(df)
@@ -12586,4 +12749,5 @@ def pg_sql(
     rec = _try_recursive_cte(spark, sql, int_cols)
     if rec is not None:
         return rec
-    return spark.sql(translate(sql, int_cols))
+    return spark.sql(translate(sql, int_cols, numeric_agg=numeric_agg,
+                               f32_cols=f32_cols))

@@ -792,14 +792,33 @@ class Engine:
         # through the API. CTAS and Spark-native DDL pass through below.
         m = _re.match(
             r"(?is)^create\s+(?:temp\s+|temporary\s+|unlogged\s+)?table\s+"
-            r"(?:if\s+not\s+exists\s+)?([\w.\"]+)\s*\((.+?)\)\s*"
+            r"(?:if\s+not\s+exists\s+)?([\w.\"]+)\s*\((.*?)\)\s*"
+            r"(?:inherits\s*\(\s*([\w.\" ,]*?)\s*\)\s*)?"
             r"(?:distributed\s+by\s*\(([^)]*)\)|distributed\s+randomly"
             r"|(distributed\s+replicated))?\s*$",
             s,
         )
         if m and not _re.search(r"(?is)\)\s*as\s+select", s):
             name = _fold_ident(m.group(1).strip('"'))
-            coldefs, ok = [], True
+            # single inheritance (tablecmds.c MergeAttributes): the
+            # child carries the parent's columns first; parent reads
+            # include child rows (the union view _refresh maintains)
+            parent = None
+            parent_defs: list[str] = []
+            if m.group(3):
+                parents = [
+                    _fold_ident(p.strip().strip('"'))
+                    for p in m.group(3).split(",") if p.strip()
+                ]
+                if len(parents) > 1:
+                    raise ValueError(
+                        "multiple inheritance is not supported")
+                parent = parents[0]
+                for fld in self._tables[parent].read(
+                        self.spark).schema.fields:
+                    parent_defs.append(
+                        f"{fld.name} {fld.dataType.simpleString()}")
+            coldefs, ok = list(parent_defs), True
             for cd in _split_top(m.group(2)):
                 words = cd.strip().split()
                 if not words:
@@ -833,12 +852,36 @@ class Engine:
                     # compares/sorts by declared order (enum.c
                     # enumsortorder), not label text
                     _dregcol(colname, toks[0])
+                # varchar(n)/char(n) typmod: record for INSERT-time
+                # input discipline (varchar.c: overlength errors unless
+                # the excess is spaces; bpchar pads)
+                tl = toks[0].lower() if toks else ""
+                tm = None
+                if tl in ("varchar", "char", "bpchar", "character"):
+                    k2 = 1
+                    kind2 = "varchar" if tl == "varchar" else "bpchar"
+                    if k2 < len(toks) and toks[k2].lower() == "varying":
+                        kind2 = "varchar"
+                        k2 += 1
+                    if k2 + 2 < len(toks) and toks[k2] == "(" \
+                            and toks[k2 + 1].isdigit():
+                        tm = (kind2, int(toks[k2 + 1]))
+                if tm is not None:
+                    self._typmod_cols = getattr(
+                        self, "_typmod_cols", {})
+                    self._typmod_cols[(name, colname.lower())] = tm
                 from gpdb_spark.dialect import _GEO_TYPES as _dgeo, \
                     register_geo_column as _dreggeo
                 if toks and toks[0].lower() in _dgeo:
                     # geo-typed column: canonical-text storage image;
-                    # operators route through the pg_geo_* UDFs
+                    # operators route through the pg_geo_* UDFs. The
+                    # INSERT-time canonicalizer keys per-TABLE (bare
+                    # column names collide across regress tables)
                     _dreggeo(colname, toks[0])
+                    self._geo_tbl_cols = getattr(
+                        self, "_geo_tbl_cols", {})
+                    self._geo_tbl_cols[(name, colname.lower())] = \
+                        toks[0].lower()
                     from gpdb_spark.functions.geo_runtime import \
                         register_geo_udfs
                     register_geo_udfs(self.spark)
@@ -846,10 +889,10 @@ class Engine:
             if ok and coldefs:
                 import uuid as _uuid
                 dist = None
-                if m.group(3):
+                if m.group(4):
                     dist = tuple(
                         _fold_ident(c.strip().strip('"'))
-                        for c in m.group(3).split(",")
+                        for c in m.group(4).split(",")
                     )
                 path = os.path.join(
                     "spark-warehouse", "engine_tables",
@@ -860,8 +903,12 @@ class Engine:
                 self.create_table(
                     name, empty, path,
                     distributed_by=dist,
-                    replicated=bool(m.group(4)),
+                    replicated=bool(m.group(5)),
                 )
+                if parent is not None:
+                    self._inherits = getattr(self, "_inherits", {})
+                    self._inherits.setdefault(parent, []).append(name)
+                    self._refresh(parent)
                 return self.spark.createDataFrame(
                     [("CREATE TABLE",)], "status string")
         # CREATE [TEMP] TABLE name AS query [DISTRIBUTED BY (...)]
@@ -1097,9 +1144,23 @@ class Engine:
                 self._refresh_pg_enum()
                 return self.spark.createDataFrame(
                     [("ALTER TYPE",)], "status string")
+        # CREATE DOMAIN name AS enumtype CHECK (VALUE IN (...)): the
+        # CHECK list IS the label set (typecmds.c DefineDomain — the
+        # rgb-over-rainbow shape in regress enum.sql)
+        dmm = _re.match(
+            r"(?is)^create\s+domain\s+([\w.]+)\s+as\s+[\w.]+\s+"
+            r"check\s*\(\s*value\s+in\s*\((.*)\)\s*\)\s*$", s)
+        if dmm:
+            vals = [
+                v.replace("''", "'")
+                for v in _re.findall(r"'((?:[^']|'')*)'", dmm.group(2))
+            ]
+            self.create_enum(dmm.group(1), vals)
+            return self.spark.createDataFrame(
+                [("CREATE DOMAIN",)], "status string")
         dm = _re.match(
-            r"(?is)^drop\s+type\s+(if\s+exists\s+)?([\w.]+)\s*"
-            r"(cascade|restrict)?\s*$", s)
+            r"(?is)^drop\s+(?:type|domain)\s+(if\s+exists\s+)?"
+            r"([\w.]+)\s*(cascade|restrict)?\s*$", s)
         if dm and dm.group(2).lower() in getattr(self, "_enums", {}):
             nm = dm.group(2).lower()
             self._enums.pop(nm, None)
@@ -1109,7 +1170,12 @@ class Engine:
             self._refresh_pg_enum()
             return self.spark.createDataFrame(
                 [("DROP TYPE",)], "status string")
-        return pg_sql(self.spark, s, self.sf_dir)
+        return pg_sql(self.spark, s, self.sf_dir,
+                      int_cols=frozenset(
+                          getattr(self, "_int_cols", set())),
+                      numeric_agg=True,
+                      f32_cols=frozenset(
+                          getattr(self, "_f32_cols", set())))
 
     def obj_description(self, name: str, objtype: str = "table") -> str | None:
         """obj_description() (pg_description lookup)."""
@@ -1363,6 +1429,16 @@ class Engine:
             mode=mode,
         )
         self._tables[name] = table
+        # catalog type info for the dialect: integer-typed columns
+        # drive the PG integer-/ rewrite and avg(int) NUMERIC typing
+        self._int_cols = getattr(self, "_int_cols", set())
+        self._f32_cols = getattr(self, "_f32_cols", set())
+        for f in df.schema.fields:
+            if f.dataType.simpleString() in ("tinyint", "smallint",
+                                             "int", "bigint"):
+                self._int_cols.add(f.name.lower())
+            elif f.dataType.simpleString() == "float":
+                self._f32_cols.add(f.name.lower())
         table.read(self.spark).createOrReplaceTempView(name)
         return table
 
@@ -1448,6 +1524,19 @@ class Engine:
         current' by contract; materialized views stay frozen until
         REFRESH, by design)."""
         self._tables[name].read(self.spark).createOrReplaceTempView(name)
+        # inheritance (round 9): the PARENT's readable view is base +
+        # children projected to the parent's columns (PG's inclusive
+        # default; DML still targets the base GpTable directly)
+        for parent, children in getattr(self, "_inherits", {}).items():
+            if name != parent and name not in children:
+                continue
+            base = self._tables[parent].read(self.spark)
+            cols = base.columns
+            u = base
+            for ch in children:
+                u = u.unionAll(
+                    self._tables[ch].read(self.spark).select(*cols))
+            u.createOrReplaceTempView(parent)
         self._replan_views(name)
 
     # -- COPY ----------------------------------------------------------------
@@ -1814,13 +1903,19 @@ class Engine:
             # geo-typed columns store the canonical text image: run the
             # input function (validation: bad input raises PG's message
             # BEFORE anything is written) + output function per value
-            from gpdb_spark.dialect import _GEO_COLS as _dgeocols
+            _geotbl = getattr(self, "_geo_tbl_cols", {})
             geo_cols = {
-                f.name: _dgeocols[f.name.lower()]
+                f.name: _geotbl[(name, f.name.lower())]
                 for f in target.schema.fields
-                if f.name.lower() in _dgeocols
+                if (name, f.name.lower()) in _geotbl
             }
-            if geo_cols:
+            _tmods = getattr(self, "_typmod_cols", {})
+            typmods = {
+                f.name: _tmods[(name, f.name.lower())]
+                for f in target.schema.fields
+                if (name, f.name.lower()) in _tmods
+            }
+            if geo_cols or typmods:
                 from gpdb_spark.functions.geo_runtime import \
                     register_geo_udfs
                 register_geo_udfs(self.spark)
@@ -1828,6 +1923,12 @@ class Engine:
                     df = df.withColumn(
                         cname,
                         Fn.expr(f"pg_geo_canon('{kind}', `{cname}`)"),
+                    )
+                for cname, (kind, tn) in typmods.items():
+                    df = df.withColumn(
+                        cname,
+                        Fn.expr(f"pg_vartype_canon('{kind}', {tn},"
+                                f" `{cname}`)"),
                     )
             n = df.count()
             self.insert_into(name, df)
@@ -2102,8 +2203,9 @@ class Engine:
         self._refresh_pg_enum()
 
     def _refresh_pg_enum(self) -> None:
-        """pg_enum as a queryable catalog view (enumtypid carries the
-        type NAME — the regtype text image — since there are no OIDs)."""
+        """pg_enum + pg_type as queryable catalog views (enumtypid and
+        pg_type.oid carry the type NAME — the regtype text image —
+        since there are no OIDs)."""
         rows = [
             (nm, lbl, order)
             for nm, orders in getattr(self, "_enum_orders", {}).items()
@@ -2113,6 +2215,13 @@ class Engine:
             rows or [("", "", 0.0)],
             "enumtypid string, enumlabel string, enumsortorder double",
         ).filter("enumtypid <> ''").createOrReplaceTempView("pg_enum")
+        trows = [
+            (nm, nm, "e") for nm in getattr(self, "_enums", {})
+        ]
+        self.spark.createDataFrame(
+            trows or [("", "", "")],
+            "oid string, typname string, typtype string",
+        ).filter("oid <> ''").createOrReplaceTempView("pg_type")
 
     def enum_ordinal(self, name: str, col) -> Column:
         """Label -> 1-based enumsortorder (NULL for non-members):

@@ -189,6 +189,22 @@ def geo_fn_text(name, kind, text):
     raise ValueError(f"function {name}({kind}) does not exist")
 
 
+def vartype_canon(kind, n, v):
+    """varchar(n)/char(n) input discipline (varchar.c varchar_input /
+    bpchar_input): overlength input errors UNLESS the excess is all
+    spaces (then truncate); bpchar pads to the declared length."""
+    if v is None:
+        return None
+    n = int(n)
+    if len(v) > n:
+        if v[n:].strip() != "":
+            tname = ("character varying" if kind == "varchar"
+                     else "character")
+            raise ValueError(f"value too long for type {tname}({n})")
+        v = v[:n]
+    return v.ljust(n) if kind == "bpchar" else v
+
+
 _REGISTERED: set[int] = set()
 
 
@@ -227,6 +243,7 @@ def register_geo_udfs(spark: SparkSession) -> None:
         ("pg_geo_fn_bool", "geo_fn_bool", BooleanType()),
         ("pg_geo_fn_int", "geo_fn_int", IntegerType()),
         ("pg_geo_fn_text", "geo_fn_text", StringType()),
+        ("pg_vartype_canon", "vartype_canon", StringType()),
     ):
         spark.udf.register(name, _worker_wrapper(fn), rtype)
     _REGISTERED.add(key)
