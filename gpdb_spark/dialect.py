@@ -3023,6 +3023,57 @@ def _pass_avg_numeric(
     return out
 
 
+def _pass_left_right(tokens: list[str]) -> list[str]:
+    """PG's left/right accept NEGATIVE lengths (text.c text_left/
+    text_right: left(s,-n) = all but the last n chars, right(s,-n) =
+    all but the first n), and right(s,n) with n > length(s) returns
+    the whole string — Spark's builtins return '' for all of these.
+    Rewrite both over arbitrary (column) arguments."""
+    out: list[str] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        t = tokens[i]
+        low = t.lower() if t.isidentifier() else ""
+        if low in ("left", "right") and i + 1 < n and tokens[i + 1] == "(" \
+                and (not out or out[-1] != "."):
+            depth, k = 0, i + 1
+            comma = None
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif tokens[k] == "," and depth == 1:
+                    comma = k
+                k += 1
+            if comma is not None and k < n:
+                s_t = _pass_left_right(tokens[i + 2:comma])
+                y_t = _pass_left_right(tokens[comma + 1:k])
+                s = "(" + _render(s_t) + ")"
+                y = "(" + _render(y_t) + ")"
+                if low == "left":
+                    expr = (
+                        f"CASE WHEN {y} >= 0 THEN substring({s}, 1, {y})"
+                        f" ELSE substring({s}, 1,"
+                        f" greatest(length({s}) + {y}, 0)) END"
+                    )
+                else:
+                    expr = (
+                        f"CASE WHEN {y} = 0 THEN ''"
+                        f" WHEN {y} > 0 THEN substring({s},"
+                        f" greatest(length({s}) - {y} + 1, 1))"
+                        f" ELSE substring({s}, 1 - {y}) END"
+                    )
+                out += _lex(expr)
+                i = k + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _pass_regtype(tokens: list[str]) -> list[str]:
     """``'name'::regtype`` / ``CAST(x AS regtype)`` (regproc.c
     regtypein): the engine has no OIDs, so the regtype image IS the
@@ -12492,6 +12543,7 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset(),
     tokens = _pass_ts_fold(tokens)
     tokens = _pass_complex_fold(tokens)
     tokens = _pass_regtype(tokens)
+    tokens = _pass_left_right(tokens)
     tokens = _pass_geo_cols(tokens)
     tokens = _pass_geo_fold(tokens)
     tokens = _pass_enum_fold(tokens)

@@ -866,9 +866,16 @@ class Engine:
                     if k2 + 2 < len(toks) and toks[k2] == "(" \
                             and toks[k2 + 1].isdigit():
                         tm = (kind2, int(toks[k2 + 1]))
+                    elif kind2 == "bpchar":
+                        # bare char/bpchar defaults to length 1
+                        # (gram.y CharacterWithoutLength); varchar
+                        # without a typmod is unlimited
+                        tm = ("bpchar", 1)
+                self._typmod_cols = getattr(self, "_typmod_cols", {})
+                # a re-CREATE of the table must not inherit the old
+                # declaration's typmod
+                self._typmod_cols.pop((name, colname.lower()), None)
                 if tm is not None:
-                    self._typmod_cols = getattr(
-                        self, "_typmod_cols", {})
                     self._typmod_cols[(name, colname.lower())] = tm
                 from gpdb_spark.dialect import _GEO_TYPES as _dgeo, \
                     register_geo_column as _dreggeo

@@ -52,7 +52,7 @@ Known declared-ENGINE_ERR classes (loud refusals, never silent):
 
 Usage: python tools/pg_table_probe.py [--list-diff] [file ...]
 Default files: the round-9 target set (limit select point box lseg
-path circle enum aggregates).
+path circle enum aggregates case int2 int4 varchar char text).
 """
 from __future__ import annotations
 
@@ -74,7 +74,8 @@ EXPECTED = "/root/reference/src/test/regress/expected"
 DATA = "/root/reference/src/test/regress/data"
 
 DEFAULT_FILES = ["limit", "select", "point", "box", "lseg", "path",
-                 "circle", "enum", "aggregates"]
+                 "circle", "enum", "aggregates", "case", "int2",
+                 "int4", "varchar", "char", "text"]
 
 _STMT_HEAD = (
     r"(?i)^(select|insert|update|delete|create|drop|alter|copy|analyze|"
