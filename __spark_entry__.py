@@ -22,64 +22,67 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver samples the first N entries of queries() for its DuckDB
-# CORRECTNESS check (~50 per round). Round-9 head: never-checked
-# round-9 queries, then the r03-era rows, then the oldest r04 rows.
-# Everything else keeps its r04-r08 green row and sorts last.
+# CORRECTNESS check (~50 per round). Round-10 head, per VERDICT r09
+# Next #1 (standing rule: any row red at its latest driver check leads
+# the head): pg_dst_interval_arith first (fixed in r9, sim-green, but
+# the r9 rotation never re-sampled it — latest driver row is the r8
+# red), then the one remaining r03-era row, all 21 r04-era rows, and
+# the oldest r05 rows — freshness floor moves to r05.
 DRIVER_PRIORITY: list[str] = [
-    # round-9 head: the two never-driver-checked round-9 queries
-    # (enum declared order, geo table columns), then the 24 rows
-    # whose latest green is still round 3, then the oldest round-4
-    # rows — freshness floor target moves to r04-r05 (VERDICT r08
-    # Next #7)
-    "pg_enum_order",
-    "pg_geo_column_ops",
-    "datapipe_domain_mix",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "distinct_ordered_aggs",
-    "embed_ann_ivf_flat",
-    "embed_ann_lsh",
-    "embed_ann_topk_blocked",
-    "events_retention_cohorts",
-    "fuzzy_metaphone",
-    "join_notin_nullaware",
-    "logregr_irls",
-    "multimodal_byte_stats",
-    "pgcrypto_hmac",
-    "plpgsql_control_flow",
-    "plpgsql_function",
-    "recursive_cte_series",
-    "setop_intersect_all",
-    "tablefunc_crosstab",
-    "text_langid_heuristic",
-    "text_lm_quality",
-    "text_url_canonical_dedup",
-    "values_scan",
-    "window_frame_exclude_groups",
-    "array_any_all_ops",
-    "array_funcs",
-    "conditional_funcs",
-    "cte_shared_scan",
-    "date_funcs",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "embed_ann_ivf",
-    "embed_ann_topk",
-    "embed_centroids",
-    "embed_norms",
-    "embed_quantize_int8",
-    "events_asof_join",
-    "events_linear_interpolate",
-    "events_sessionize",
-    "events_time_buckets",
-    "events_type_pivot",
-    "fulltext_rank",
-    "int_division_pg",
-    "interval_age_overlaps",
-    "join_range_binned",
-    "json_each_explode",
-    "json_funcs",
-    "mapreduce_yaml",
+    # stale-red re-attestation (VERDICT r09 What's-wrong #1)
+    "pg_dst_interval_arith",
+    # (the one r03-era ledger row, dedup_minhash_clusters_portable, was
+    # renamed to dedup_minhash_clusters in r05 — its successor is below)
+    # the 21 r04-era rows
+    "multimodal_frame_manifest",
+    "multimodal_image_features",
+    "pg_format_quote_split",
+    "pg_unnest_ordinality_array_agg",
+    "pgcrypto_armor",
+    "pgcrypto_crypt",
+    "pgcrypto_pgp",
+    "plpgsql_case_foreach",
+    "plpgsql_cursor",
+    "recursive_cte_graph",
+    "regexp_like_funcs",
+    "setop_union_mixed",
+    "string_funcs",
+    "table_function_scatter",
+    "text_dup_spans",
+    "text_fingerprint",
+    "text_quality_score",
+    "text_token_stats",
+    "tz_offset_convert",
+    "udaf_grouped_agg",
+    "unpivot_stack",
+    # oldest r05 rows (alphabetical) to fill the ~50-sample
+    "array_funcs2",
+    "complex_arith",
+    "cube_ops",
+    "datapipe_pack_sequences",
+    "dblink_query",
+    "dedup_minhash_clusters",
+    "distinct_dropdup",
+    "embed_cosine_pairs",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "fulltext_dicts",
+    "fulltext_headline",
+    "fulltext_match_all",
+    "fulltext_match_any",
+    "generate_series_agg",
+    "generate_series_timestamp",
+    "hypothetical_set_aggs",
+    "isn_check_digits",
+    "join_cross",
+    "json_build_agg",
+    "limit_offset",
+    "mapinpandas_filter",
+    "mapreduce_pipeline",
+    "math_funcs",
+    "matrix_sum_agg",
+    "merge_append_ordered",
+    "pg_cast_bal",
 ]
 
 
