@@ -2911,6 +2911,25 @@ def _pass_float_int_round(tokens: list[str]) -> list[str]:
     def _src_kind(tail: list[str]) -> str | None:
         tail = list(tail)
         while tail and tail[-1] == ")":
+            # a trailing balanced '( p [, s] )' group preceded by
+            # ::numeric / ::decimal is a typmod spelling of the cast
+            # (x::numeric(10,2)::int4 — ADVICE r09 #3: this used to
+            # fall through and keep Spark's truncating CAST)
+            depth, j = 0, len(tail) - 1
+            while j >= 0:
+                if tail[j] == ")":
+                    depth += 1
+                elif tail[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            if (j >= 2 and tail[j - 1].lower() in _F2I_NUMERICS
+                    and tail[j - 2] == "::"):
+                return "numeric"
+            if (j >= 2 and tail[j - 1].upper().startswith("DECIMAL")
+                    and tail[j - 2].lower() == "as"):
+                return "numeric"
             tail.pop()
         if len(tail) >= 2 and tail[-2] == "::":
             tl = tail[-1].lower()
@@ -2990,8 +3009,13 @@ def _pass_avg_numeric(
                 break
             if cols and k < n and tokens[k] == ")" \
                     and cols[-1].lower() in int_cols:
+                # DECIMAL(38,12) input cast, not (26,12): bigint values
+                # >= 1e14 overflowed (26,12) to NULL under non-ANSI
+                # Spark and were silently excluded from the average
+                # (ADVICE r09 #4). avg(DECIMAL(38,12)) lands on Spark's
+                # DECIMAL(38,16) — PG's 16-dscale display image.
                 out += ["CAST", "(", "avg", "(", "CAST", "(",
-                        *tokens[j:k], "AS", "DECIMAL(26,12)", ")", ")",
+                        *tokens[j:k], "AS", "DECIMAL(38,12)", ")", ")",
                         "AS", "DECIMAL(38,16)", ")"]
                 i = k + 1
                 continue

@@ -630,13 +630,13 @@ class Engine:
                     [("ANALYZE",)], "status string")
         if head == "truncate":
             m = _re.match(
-                r"(?is)^truncate\s+(?:table\s+)?(?:only\s+)?(.+?)"
+                r"(?is)^truncate\s+(?:table\s+)?(only\s+)?(.+?)"
                 r"(?:\s+restart\s+identity|\s+continue\s+identity"
                 r"|\s+cascade|\s+restrict)*\s*$",
                 s,
             )
             if m:
-                for part in m.group(1).split(","):
+                for part in m.group(2).split(","):
                     nm = _fold_ident(part.strip().strip('"'))
                     gp = self._tables.get(nm)
                     if gp is None:
@@ -644,8 +644,13 @@ class Engine:
                             f'cannot TRUNCATE "{nm}": not an '
                             "engine-governed table"
                         )
-                    gp.truncate(self.spark)
-                    self._refresh(nm)
+                    # tablecmds.c ExecuteTruncate: recurses to
+                    # inheritance children unless ONLY
+                    targets = [nm] if m.group(1) else \
+                        [nm, *self._inherit_children(nm)]
+                    for t in targets:
+                        self._tables[t].truncate(self.spark)
+                        self._refresh(t)
                 return self.spark.createDataFrame(
                     [("TRUNCATE TABLE",)], "status string")
         # ALTER TABLE (tablecmds.c): RENAME TO / RENAME COLUMN /
@@ -778,8 +783,12 @@ class Engine:
                 res = read_external_csv(
                     self.spark, fpath, gp.read(self.spark).schema,
                     header, delim, None, null_marker=null_marker)
-                n = res.good.count()
-                gp.insert_into(res.good)
+                # COPY runs the same per-type input functions as INSERT
+                # (copy.c CopyFrom -> InputFunctionCall): canonicalize
+                # and validate geo/typmod columns (ADVICE r09 #5)
+                good = self._canon_write(nm, res.good)
+                n = good.count()
+                gp.insert_into(good)
                 self._refresh(nm)
                 return self.spark.createDataFrame(
                     [(f"COPY {n}",)], "status string")
@@ -800,6 +809,15 @@ class Engine:
         )
         if m and not _re.search(r"(?is)\)\s*as\s+select", s):
             name = _fold_ident(m.group(1).strip('"'))
+            if name in self._tables or name in getattr(self, "_views", {}):
+                # heap.c heap_create_with_catalog: duplicate relation
+                # names error; IF NOT EXISTS downgrades to a notice and
+                # skips (the old path silently REPLACED the table,
+                # leaking its parquet dir and its catalog bindings)
+                if _re.search(r"(?is)\bif\s+not\s+exists\b", s):
+                    return self.spark.createDataFrame(
+                        [("CREATE TABLE",)], "status string")
+                raise ValueError(f'relation "{name}" already exists')
             # single inheritance (tablecmds.c MergeAttributes): the
             # child carries the parent's columns first; parent reads
             # include child rows (the union view _refresh maintains)
@@ -850,8 +868,14 @@ class Engine:
                 if toks and toks[0].lower() in _denums:
                     # enum-typed column: bind it so the SQL front door
                     # compares/sorts by declared order (enum.c
-                    # enumsortorder), not label text
+                    # enumsortorder), not label text. The table-keyed
+                    # record makes the bare-name binding revocable on
+                    # DROP TABLE (ADVICE r09 #2).
                     _dregcol(colname, toks[0])
+                    self._enum_tbl_cols = getattr(
+                        self, "_enum_tbl_cols", {})
+                    self._enum_tbl_cols[(name, colname.lower())] = \
+                        toks[0].lower()
                 # varchar(n)/char(n) typmod: record for INSERT-time
                 # input discipline (varchar.c: overlength errors unless
                 # the excess is spaces; bpchar pads)
@@ -1076,7 +1100,7 @@ class Engine:
         if head in ("insert", "update", "delete"):
             dm = _re.match(
                 r"(?is)^(?:insert\s+into|update|delete\s+from)\s+"
-                r"(\w+)", s)
+                r"(?:only\s+)?(\w+)", s)
             if dm and _fold_ident(dm.group(1)) in self._tables:
                 n = self.execute_dml(s)
                 tag = {"insert": f"INSERT 0 {n}", "update": f"UPDATE {n}",
@@ -1375,12 +1399,35 @@ class Engine:
             raise ValueError(
                 f'cannot drop {kind} "{nm}": view "{deps[0]}" depends '
                 "on it (use CASCADE)")
+        inh = getattr(self, "_inherits", {})
+        kids = inh.get(nm, []) if kind == "table" else []
+        if kids and not cascade:
+            # dependency.c: inheritance children depend on the parent
+            raise ValueError(
+                f'cannot drop table "{nm}" because other objects '
+                f'depend on it: table "{kids[0]}" (use CASCADE)')
         for d in deps:
             self._drop_relation(d, "view", True, True)
+        for ch in list(kids):
+            self._drop_relation(ch, "table", True, True)
         import shutil
 
         if kind == "table":
             shutil.rmtree(tables.pop(nm).path, ignore_errors=True)
+            # inheritance bookkeeping (ADVICE r09 #1): forget the
+            # dropped relation as parent and as child, and re-derive
+            # every affected parent's inclusive view — a stale child
+            # entry left the parent's UNION view reading an rmtree'd
+            # parquet dir (KeyError on the next _refresh).
+            inh.pop(nm, None)
+            for parent, children in list(inh.items()):
+                if nm in children:
+                    children.remove(nm)
+                    if not children:
+                        inh.pop(parent)
+                    if parent in tables:
+                        self._refresh(parent)
+            self._unbind_table_cols(nm)
         elif kind == "view":
             views.pop(nm)
         else:
@@ -1390,6 +1437,48 @@ class Engine:
             self.spark.catalog.dropTempView(nm)
         except Exception:
             pass
+
+    def _unbind_table_cols(self, nm: str) -> None:
+        """Forget a dropped table's column-type catalog bindings
+        (ADVICE r09 #2): the dialect's bare-name _GEO_COLS/_ENUM_COLS
+        routing and the engine's _int_cols/_f32_cols sets are derived
+        catalogs — a stale entry misroutes a same-named column created
+        later with a different type (CREATE t(c point); DROP t;
+        CREATE t(c text) rewrote c through geo operators)."""
+        from gpdb_spark import dialect as _d
+
+        for key in [k for k in getattr(self, "_typmod_cols", {})
+                    if k[0] == nm]:
+            self._typmod_cols.pop(key)
+        for attr, bare in (("_geo_tbl_cols", _d._GEO_COLS),
+                           ("_enum_tbl_cols", _d._ENUM_COLS)):
+            tblmap = getattr(self, attr, {})
+            for key in [k for k in tblmap if k[0] == nm]:
+                col = key[1]
+                tblmap.pop(key)
+                # rebind the bare-name routing to a surviving table's
+                # binding if one exists (bare-name keying is the
+                # translate-time reality — no table context there)
+                remain = [v for (t, c), v in tblmap.items() if c == col]
+                if remain:
+                    bare[col] = remain[-1]
+                else:
+                    bare.pop(col, None)
+        # integer/float4 catalogs: recompute exactly from the per-table
+        # schema records of the surviving tables
+        coltypes = getattr(self, "_tbl_coltypes", {})
+        coltypes.pop(nm, None)
+        ints, f32s = set(), set()
+        for cols in coltypes.values():
+            for c, t in cols:
+                if t in ("tinyint", "smallint", "int", "bigint"):
+                    ints.add(c)
+                elif t == "float":
+                    f32s.add(c)
+        if hasattr(self, "_int_cols"):
+            self._int_cols &= ints
+        if hasattr(self, "_f32_cols"):
+            self._f32_cols &= f32s
 
     def create_materialized_view(
         self, name: str, text: str, path: str
@@ -1437,9 +1526,16 @@ class Engine:
         )
         self._tables[name] = table
         # catalog type info for the dialect: integer-typed columns
-        # drive the PG integer-/ rewrite and avg(int) NUMERIC typing
+        # drive the PG integer-/ rewrite and avg(int) NUMERIC typing.
+        # _tbl_coltypes keeps the per-table record so DROP TABLE can
+        # recompute the bare-name sets exactly (ADVICE r09 #2).
         self._int_cols = getattr(self, "_int_cols", set())
         self._f32_cols = getattr(self, "_f32_cols", set())
+        self._tbl_coltypes = getattr(self, "_tbl_coltypes", {})
+        self._tbl_coltypes[name] = [
+            (f.name.lower(), f.dataType.simpleString())
+            for f in df.schema.fields
+        ]
         for f in df.schema.fields:
             if f.dataType.simpleString() in ("tinyint", "smallint",
                                              "int", "bigint"):
@@ -1451,7 +1547,15 @@ class Engine:
 
     def table(self, name: str) -> DataFrame:
         if name in self._tables:
-            return self._tables[name].read(self.spark)
+            base = self._tables[name].read(self.spark)
+            # PG's inclusive inheritance default applies to every read
+            # of a parent, DataFrame API included (the SQL front door
+            # already resolves the union temp view)
+            kids = getattr(self, "_inherits", {}).get(name, [])
+            for ch in kids:
+                base = base.unionAll(
+                    self.table(ch).select(*base.columns))
+            return base
         return self.spark.table(name)
 
     def gp_table(self, name: str) -> GpTable:
@@ -1513,15 +1617,119 @@ class Engine:
         self._tables[name].insert_into(df)
         self._refresh(name)
 
-    def delete_where(self, name: str, cond: Column) -> int:
+    def _inherit_children(self, name: str) -> list[str]:
+        """Transitive inheritance children of ``name`` (tablecmds.c
+        find_all_inheritors) — PG's inclusive default makes
+        UPDATE/DELETE on a parent touch child rows too."""
+        out: list[str] = []
+        stack = list(getattr(self, "_inherits", {}).get(name, []))
+        while stack:
+            ch = stack.pop()
+            if ch in out:
+                continue
+            out.append(ch)
+            stack.extend(getattr(self, "_inherits", {}).get(ch, []))
+        return out
+
+    def delete_where(
+        self, name: str, cond: Column, only: bool = False
+    ) -> int:
+        """DELETE with PG's inclusive inheritance default: a DELETE on
+        a parent deletes matching child rows too (ExecModifyTable over
+        the inheritance expansion); ``only=True`` is DELETE FROM ONLY.
+        VERDICT r09 What's-wrong #2: this used to silently skip
+        children."""
         n = self._tables[name].delete_where(self.spark, cond)
+        if not only:
+            for ch in self._inherit_children(name):
+                n += self._tables[ch].delete_where(self.spark, cond)
+                self._refresh(ch)
         self._refresh(name)
         return n
 
-    def update_set(self, name: str, cond: Column, assignments: dict) -> int:
-        n = self._tables[name].update_set(self.spark, cond, assignments)
+    def update_set(
+        self, name: str, cond: Column, assignments: dict,
+        only: bool = False,
+    ) -> int:
+        """UPDATE with PG's inclusive inheritance default (see
+        delete_where) and write-path input discipline: geo/typmod
+        columns canonicalize+validate on UPDATE like INSERT (ADVICE
+        r09 #5 — raw un-validated text used to be stored)."""
+        n = self._tables[name].update_set(
+            self.spark, cond, self._canon_assignments(name, assignments))
+        if not only:
+            for ch in self._inherit_children(name):
+                n += self._tables[ch].update_set(
+                    self.spark, cond,
+                    self._canon_assignments(ch, assignments))
+                self._refresh(ch)
         self._refresh(name)
         return n
+
+    def _canon_assignments(
+        self, name: str, assignments: dict
+    ) -> dict:
+        """Wrap UPDATE SET expressions for geo-typed / typmod'd columns
+        in the same input functions the INSERT path runs (copy.c and
+        nodeModifyTable.c share the per-type input functions)."""
+        _geotbl = getattr(self, "_geo_tbl_cols", {})
+        _tmods = getattr(self, "_typmod_cols", {})
+        need = [c for c in assignments
+                if (name, c.lower()) in _geotbl
+                or (name, c.lower()) in _tmods]
+        if not need:
+            return assignments
+        from pyspark.sql import functions as Fn
+
+        from gpdb_spark.functions.geo_runtime import register_geo_udfs
+
+        register_geo_udfs(self.spark)
+        out = dict(assignments)
+        for c in need:
+            if (name, c.lower()) in _geotbl:
+                out[c] = Fn.call_udf(
+                    "pg_geo_canon",
+                    Fn.lit(_geotbl[(name, c.lower())]),
+                    out[c].cast("string"))
+            else:
+                tkind, tn = _tmods[(name, c.lower())]
+                out[c] = Fn.call_udf(
+                    "pg_vartype_canon", Fn.lit(tkind), Fn.lit(tn),
+                    out[c].cast("string"))
+        return out
+
+    def _canon_write(self, name: str, df: DataFrame) -> DataFrame:
+        """Apply geo canonicalization + varchar/bpchar typmod input
+        discipline to a to-be-written DataFrame (INSERT/COPY paths —
+        ADVICE r09 #5: COPY used to store raw text)."""
+        _geotbl = getattr(self, "_geo_tbl_cols", {})
+        _tmods = getattr(self, "_typmod_cols", {})
+        geo_cols = {
+            f.name: _geotbl[(name, f.name.lower())]
+            for f in df.schema.fields
+            if (name, f.name.lower()) in _geotbl
+        }
+        typmods = {
+            f.name: _tmods[(name, f.name.lower())]
+            for f in df.schema.fields
+            if (name, f.name.lower()) in _tmods
+        }
+        if not geo_cols and not typmods:
+            return df
+        from pyspark.sql import functions as Fn
+
+        from gpdb_spark.functions.geo_runtime import register_geo_udfs
+
+        register_geo_udfs(self.spark)
+        for cname, kind in geo_cols.items():
+            df = df.withColumn(
+                cname, Fn.expr(f"pg_geo_canon('{kind}', `{cname}`)"))
+        for cname, (tkind, tn) in typmods.items():
+            df = df.withColumn(
+                cname,
+                Fn.expr(f"pg_vartype_canon('{tkind}', {tn},"
+                        f" `{cname}`)"))
+        return df
 
     def _refresh(self, name: str) -> None:
         """Re-register the table view after a copy-on-write rewrite AND
@@ -1534,13 +1742,14 @@ class Engine:
         # inheritance (round 9): the PARENT's readable view is base +
         # children projected to the parent's columns (PG's inclusive
         # default; DML still targets the base GpTable directly)
-        for parent, children in getattr(self, "_inherits", {}).items():
-            if name != parent and name not in children:
+        for parent in list(getattr(self, "_inherits", {})):
+            kids = self._inherit_children(parent)
+            if name != parent and name not in kids:
                 continue
             base = self._tables[parent].read(self.spark)
             cols = base.columns
             u = base
-            for ch in children:
+            for ch in kids:
                 u = u.unionAll(
                     self._tables[ch].read(self.spark).select(*cols))
             u.createOrReplaceTempView(parent)
@@ -1910,40 +2119,16 @@ class Engine:
             # geo-typed columns store the canonical text image: run the
             # input function (validation: bad input raises PG's message
             # BEFORE anything is written) + output function per value
-            _geotbl = getattr(self, "_geo_tbl_cols", {})
-            geo_cols = {
-                f.name: _geotbl[(name, f.name.lower())]
-                for f in target.schema.fields
-                if (name, f.name.lower()) in _geotbl
-            }
-            _tmods = getattr(self, "_typmod_cols", {})
-            typmods = {
-                f.name: _tmods[(name, f.name.lower())]
-                for f in target.schema.fields
-                if (name, f.name.lower()) in _tmods
-            }
-            if geo_cols or typmods:
-                from gpdb_spark.functions.geo_runtime import \
-                    register_geo_udfs
-                register_geo_udfs(self.spark)
-                for cname, kind in geo_cols.items():
-                    df = df.withColumn(
-                        cname,
-                        Fn.expr(f"pg_geo_canon('{kind}', `{cname}`)"),
-                    )
-                for cname, (kind, tn) in typmods.items():
-                    df = df.withColumn(
-                        cname,
-                        Fn.expr(f"pg_vartype_canon('{kind}', {tn},"
-                                f" `{cname}`)"),
-                    )
+            df = self._canon_write(name, df)
             n = df.count()
             self.insert_into(name, df)
             return n
 
-        m = _re.match(r"(?is)^\s*update\s+(\w+)\s+set\s+(.*)$", s)
+        m = _re.match(
+            r"(?is)^\s*update\s+(only\s+)?(\w+)\s+set\s+(.*)$", s)
         if m:
-            name, rest = _fold_ident(m.group(1)), m.group(2)
+            only = bool(m.group(1))
+            name, rest = _fold_ident(m.group(2)), m.group(3)
             toks = _lex(rest)
             # split SET list from WHERE at depth 0
             depth, where_at = 0, None
@@ -1972,15 +2157,18 @@ class Engine:
                 if where_at is not None
                 else Fn.lit(True)
             )
-            return self.update_set(name, cond, assignments)
+            return self.update_set(name, cond, assignments, only=only)
 
-        m = _re.match(r"(?is)^\s*delete\s+from\s+(\w+)(\s+where\s+(.*))?$", s)
+        m = _re.match(
+            r"(?is)^\s*delete\s+from\s+(only\s+)?(\w+)"
+            r"(\s+where\s+(.*))?$", s)
         if m:
-            name, cond_sql = _fold_ident(m.group(1)), m.group(3)
+            only = bool(m.group(1))
+            name, cond_sql = _fold_ident(m.group(2)), m.group(4)
             cond = (
                 Fn.expr(translate(cond_sql)) if cond_sql else Fn.lit(True)
             )
-            return self.delete_where(name, cond)
+            return self.delete_where(name, cond, only=only)
 
         raise ValueError(f"not a supported DML statement: {text[:80]}")
 

@@ -1072,3 +1072,163 @@ def test_explain_never_executes_dml(spark, sf_dir):
         eng.sql("EXPLAIN INSERT INTO exdml VALUES (2)")
     assert eng.table("exdml").count() == 1
     eng.sql("DROP TABLE exdml")
+
+
+# -- round 10: inheritance DML cascade + catalog unbind (VERDICT r09 --
+# What's-wrong #2, ADVICE r09 #1/#2/#5) ------------------------------
+
+
+def _mk_family(eng):
+    eng.sql("CREATE TABLE r10person (pname text, age int)"
+            " DISTRIBUTED BY (pname)")
+    eng.sql("CREATE TABLE r10emp (salary int) INHERITS (r10person)")
+    eng.sql("INSERT INTO r10person VALUES ('p1', 30), ('p2', 40)")
+    eng.sql("INSERT INTO r10emp VALUES ('e1', 30, 100), ('e2', 50, 200)")
+
+
+def test_inherit_update_delete_cascade(spark, sf_dir):
+    """UPDATE/DELETE on a parent touches child rows too (PG's inclusive
+    default, ExecModifyTable over the inheritance expansion); ONLY
+    restricts to the parent's own rows (VERDICT r09 What's-wrong #2:
+    children used to be silently skipped)."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    _mk_family(eng)
+    try:
+        # inclusive UPDATE: the age=30 rows in BOTH tables change
+        # (table() reads are inclusive too: e1,e2,p1,p2 by name)
+        eng.sql("UPDATE r10person SET age = 31 WHERE age = 30")
+        assert [r.age for r in eng.table("r10person").orderBy(
+            "pname").collect()] == [31, 50, 31, 40]
+        assert [r.age for r in eng.gp_table("r10emp").read(
+            spark).orderBy("pname").collect()] == [31, 50]
+        # ONLY: child rows untouched
+        eng.sql("UPDATE ONLY r10person SET age = 32 WHERE age = 31")
+        assert [r.age for r in eng.gp_table("r10emp").read(
+            spark).orderBy("pname").collect()] == [31, 50]
+        # inclusive DELETE
+        eng.sql("DELETE FROM r10person WHERE age = 31")
+        assert eng.gp_table("r10emp").read(spark).count() == 1
+        eng.sql("DELETE FROM ONLY r10person WHERE age = 50")
+        assert eng.gp_table("r10emp").read(spark).count() == 1
+        # p1 (now 32 via the ONLY update), p2, e2 via the union view
+        assert eng.table("r10person").count() == 3
+        # TRUNCATE recurses to children (tablecmds.c ExecuteTruncate)
+        eng.sql("TRUNCATE r10person")
+        assert eng.table("r10person").count() == 0
+        assert eng.gp_table("r10emp").read(spark).count() == 0
+    finally:
+        eng.sql("DROP TABLE IF EXISTS r10person CASCADE")
+
+
+def test_inherit_drop_bookkeeping(spark, sf_dir):
+    """ADVICE r09 #1: dropping a child must clean _inherits and keep
+    the parent readable; dropping a parent with children refuses
+    without CASCADE and drops them with it."""
+    import pytest as _pt
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    _mk_family(eng)
+    with _pt.raises(ValueError, match="depend"):
+        eng.sql("DROP TABLE r10person")
+    eng.sql("DROP TABLE r10emp")
+    # parent view no longer references the dropped child
+    assert eng.table("r10person").count() == 2
+    eng.sql("INSERT INTO r10person VALUES ('p3', 60)")
+    assert eng.table("r10person").count() == 3
+    eng.sql("DROP TABLE r10person")
+    # recreate the family, drop the parent with CASCADE
+    _mk_family(eng)
+    eng.sql("DROP TABLE r10person CASCADE")
+    assert "r10emp" not in eng._tables
+    assert "r10person" not in getattr(eng, "_inherits", {})
+
+
+def test_create_existing_table_errors(spark, sf_dir):
+    """heap.c: duplicate relation names error; IF NOT EXISTS skips
+    (the old path silently replaced the table)."""
+    import pytest as _pt
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("CREATE TABLE r10dup (k int) DISTRIBUTED BY (k)")
+    try:
+        eng.sql("INSERT INTO r10dup VALUES (7)")
+        with _pt.raises(ValueError, match="already exists"):
+            eng.sql("CREATE TABLE r10dup (k text)")
+        eng.sql("CREATE TABLE IF NOT EXISTS r10dup (k text)")
+        assert eng.table("r10dup").collect()[0].k == 7
+    finally:
+        eng.sql("DROP TABLE r10dup")
+
+
+def test_drop_unbinds_geo_enum_catalog(spark, sf_dir):
+    """ADVICE r09 #2: DROP TABLE unbinds the dialect's bare-name
+    geo/enum column routing — a same-named column recreated with a
+    different type must not be misrouted."""
+    from gpdb_spark import dialect as _d
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("CREATE TABLE r10geo (g10 point) DISTRIBUTED BY (g10)")
+    assert _d._GEO_COLS.get("g10") == "point"
+    eng.sql("DROP TABLE r10geo")
+    assert "g10" not in _d._GEO_COLS
+    # recreate as text: value survives a round-trip untouched
+    eng.sql("CREATE TABLE r10geo (g10 text) DISTRIBUTED BY (g10)")
+    eng.sql("INSERT INTO r10geo VALUES ('(9,9)')")
+    assert eng.sql("SELECT g10 FROM r10geo").collect()[0].g10 == "(9,9)"
+    eng.sql("DROP TABLE r10geo")
+    # enum binding follows the same discipline
+    eng.sql("CREATE TYPE r10mood AS ENUM ('sad', 'ok', 'happy')")
+    eng.sql("CREATE TABLE r10moods (m10 r10mood) DISTRIBUTED BY (m10)")
+    assert _d._ENUM_COLS.get("m10") == "r10mood"
+    eng.sql("DROP TABLE r10moods")
+    assert "m10" not in _d._ENUM_COLS
+    eng.sql("DROP TYPE r10mood")
+
+
+def test_update_copy_canon_discipline(spark, sf_dir):
+    """ADVICE r09 #5: UPDATE and COPY run the same input functions as
+    INSERT — geo text canonicalizes ('(3, 4)' stores as '(3,4)'),
+    overlength varchar raises, bad geo input raises."""
+    import pytest as _pt
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("CREATE TABLE r10canon (k int, pt point, v varchar(5))"
+            " DISTRIBUTED BY (k)")
+    try:
+        eng.sql("INSERT INTO r10canon VALUES (1, '(1,2)', 'abc')")
+        eng.sql("UPDATE r10canon SET pt = '( 3.0 , 4.50 )' WHERE k = 1")
+        assert eng.sql("SELECT pt FROM r10canon").collect()[0].pt \
+            == "(3,4.5)"
+        with _pt.raises(Exception, match="invalid input|too long"):
+            eng.sql("UPDATE r10canon SET pt = 'nonsense' WHERE k = 1")
+        with _pt.raises(Exception, match="too long"):
+            eng.sql("UPDATE r10canon SET v = 'abcdefgh' WHERE k = 1")
+        # trailing-space excess is allowed (varchar.c)
+        eng.sql("UPDATE r10canon SET v = 'abcde   ' WHERE k = 1")
+        assert eng.sql("SELECT v FROM r10canon").collect()[0].v \
+            == "abcde"
+    finally:
+        eng.sql("DROP TABLE r10canon")
+
+
+def test_avg_bigint_no_overflow(spark, sf_dir):
+    """ADVICE r09 #4: engine-front-door avg over bigints >= 1e14 must
+    compute exactly (the DECIMAL(26,12) input cast overflowed to NULL
+    and silently excluded rows)."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("CREATE TABLE r10big (v bigint) DISTRIBUTED BY (v)")
+    try:
+        eng.sql("INSERT INTO r10big VALUES (200000000000000),"
+                " (100000000000001)")
+        got = eng.sql("SELECT avg(v) AS a FROM r10big").collect()[0].a
+        assert str(got) == "150000000000000.5000000000000000"
+    finally:
+        eng.sql("DROP TABLE r10big")
