@@ -333,7 +333,7 @@ def minhash_dedup_clusters(
     k: int = 64,
     bands: int = 16,
     ngram: int = 1,
-    max_iter: int = 10,
+    max_iter: int = 30,
     portable: bool = False,
 ) -> DataFrame:
     """Scale-path dedup: (doc_id, keep_id) cluster assignment WITHOUT
@@ -426,6 +426,13 @@ def minhash_dedup_clusters(
         labels = new_labels
         if n_changed == 0:
             break
+    else:
+        memb.unpersist()
+        # refuse rather than return a silently-unconverged clustering
+        # (same class as the graph.py round-10 stress-twin find)
+        raise RuntimeError(
+            f"minhash label propagation did not converge in {max_iter} "
+            "rounds — raise max_iter (component diameter exceeds it)")
     memb.unpersist()
     # re-attach zero-shingle docs as singleton clusters (keep_id = own id)
     ids = spread(df).select(F.col(id_col).alias("id"))

@@ -24,7 +24,7 @@ def components_from_edges(
     id_col: str = "id",
     a_col: str = "a",
     b_col: str = "b",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """(id, component) assignment; component = min node id reachable.
 
@@ -50,6 +50,7 @@ def components_from_edges(
     labels = nodes.select(
         F.col(id_col).alias("u"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels.withColumnsRenamed({"u": "v", "label": "vlbl"}), "v")
@@ -60,6 +61,21 @@ def components_from_edges(
             "u",
             F.least(F.col("label"), F.coalesce("nlbl", "label")).alias("label"),
             F.col("label").alias("__old"),
+        )
+        # pointer doubling (shortcutting): also take the label OF my
+        # label — labels are node ids, so one extra slim join halves
+        # the remaining distance each round, turning O(diameter) rounds
+        # into O(log diameter). Without it, a chain-shaped component
+        # longer than max_iter rounds silently kept WRONG labels (the
+        # round-10 stress twin caught exactly that at 10x data).
+        lbl_of_lbl = labels.select(
+            F.col("u").alias("label"), F.col("label").alias("__ll")
+        )
+        joined = joined.join(lbl_of_lbl, "label", "left").select(
+            "u",
+            F.least(F.col("label"), F.coalesce("__ll", "label")).alias(
+                "label"),
+            "__old",
         )
         new_labels = joined.select("u", "label", "__old").localCheckpoint(
             eager=True
@@ -72,6 +88,13 @@ def components_from_edges(
         )
         labels = new_labels.select("u", "label")
         if n_changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        # NEVER return silently-wrong components: with shortcutting,
+        # max_iter=50 covers diameters ~2^50 — exhaustion means a bug
+        raise RuntimeError(
+            f"components_from_edges did not converge in {max_iter} "
+            "rounds")
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("component"))

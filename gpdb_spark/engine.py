@@ -343,8 +343,10 @@ class Engine:
                     from gpdb_spark.dialect import set_session_zone
                     set_session_zone("UTC")
                 elif name == "datestyle":
-                    from gpdb_spark.dialect import set_date_order
+                    from gpdb_spark.dialect import set_date_order, \
+                        set_date_style
                     set_date_order("mdy")
+                    set_date_style("iso")
                 elif name == "intervalstyle":
                     from gpdb_spark.dialect import set_interval_style
                     set_interval_style("postgres")
@@ -394,11 +396,16 @@ class Engine:
                         from gpdb_spark.dialect import set_session_zone
                         set_session_zone(zone)
                     elif name == "datestyle":
-                        # guc.c: only the input field order matters
-                        # here (output is fixed ISO, like Spark)
-                        from gpdb_spark.dialect import set_date_order
+                        # guc.c: field order feeds the input parser,
+                        # style feeds the OUTPUT hook (EncodeDateTime)
+                        from gpdb_spark.dialect import \
+                            set_date_order, set_date_style
                         for part in val.replace(",", " ").split():
-                            set_date_order(part)
+                            p = {"us": "mdy",
+                                 "european": "dmy"}.get(
+                                     part.lower(), part.lower())
+                            set_date_order(p)
+                            set_date_style(p)
             return self.spark.createDataFrame([("SET",)], "status string")
         if head == "show":
             name = s.split(None, 1)[1].strip().lower()
@@ -895,6 +902,20 @@ class Engine:
                         # (gram.y CharacterWithoutLength); varchar
                         # without a typmod is unlimited
                         tm = ("bpchar", 1)
+                elif tl in ("bit", "varbit"):
+                    # bit(n)/varbit(n) input discipline + the bit
+                    # aggregate routing catalog (varbit.c; bare BIT =
+                    # bit(1), gram.y BitWithoutLength)
+                    k2 = 1
+                    kind2 = "varbit" if tl == "varbit" else "bit"
+                    if k2 < len(toks) and toks[k2].lower() == "varying":
+                        kind2 = "varbit"
+                        k2 += 1
+                    if k2 + 2 < len(toks) and toks[k2] == "(" \
+                            and toks[k2 + 1].isdigit():
+                        tm = (kind2, int(toks[k2 + 1]))
+                    else:
+                        tm = (kind2, 1 if kind2 == "bit" else 0)
                 self._typmod_cols = getattr(self, "_typmod_cols", {})
                 # a re-CREATE of the table must not inherit the old
                 # declaration's typmod
@@ -1131,6 +1152,55 @@ class Engine:
                 getattr(self, "_plfuncs", {}).pop(nm, None)
                 return self.spark.createDataFrame(
                     [("DROP FUNCTION",)], "status string")
+        # ALTER TABLE child [NO] INHERIT parent (tablecmds.c
+        # ATExecAddInherit/ATExecDropInherit): attach/detach a child
+        # from a parent's inclusive read set post-CREATE
+        im = _re.match(
+            r"(?is)^alter\s+table\s+([\w.\"]+)\s+(no\s+)?inherit\s+"
+            r"([\w.\"]+)\s*$", s)
+        if im:
+            child = _fold_ident(im.group(1).strip('"'))
+            parent = _fold_ident(im.group(3).strip('"'))
+            for nm2 in (child, parent):
+                if nm2 not in self._tables:
+                    raise ValueError(f'relation "{nm2}" does not exist')
+            self._inherits = getattr(self, "_inherits", {})
+            kids = self._inherits.setdefault(parent, [])
+            if im.group(2):
+                if child in kids:
+                    kids.remove(child)
+                if not kids:
+                    self._inherits.pop(parent, None)
+            elif child not in kids:
+                kids.append(child)
+            self._refresh(parent)
+            return self.spark.createDataFrame(
+                [("ALTER TABLE",)], "status string")
+        # CREATE AGGREGATE over the builtin ordered-set machinery
+        # (pg_aggregate.c AggregateCreate): regress defines
+        # test_rank/test_percentile_disc as exact clones of the
+        # builtins via ordered_set_transition + a builtin finalfunc —
+        # the alias renames the head at translate time. Any other
+        # user-defined transition refuses loudly (declared class).
+        agm = _re.match(
+            r"(?is)^create\s+(?:or\s+replace\s+)?aggregate\s+"
+            r"([\w.]+)\s*\(.*?finalfunc\s*=\s*(\w+).*$", s)
+        if agm:
+            from gpdb_spark.dialect import register_ordered_set_alias
+            register_ordered_set_alias(agm.group(1), agm.group(2))
+            return self.spark.createDataFrame(
+                [("CREATE AGGREGATE",)], "status string")
+        ram = _re.match(
+            r"(?is)^alter\s+aggregate\s+([\w.]+)\s*\([^)]*\)\s+"
+            r"rename\s+to\s+([\w.]+)\s*$", s)
+        if ram:
+            from gpdb_spark.dialect import _ORDERED_SET_ALIASES
+            old, new = ram.group(1).lower(), ram.group(2).lower()
+            if old not in _ORDERED_SET_ALIASES:
+                raise ValueError(f'aggregate "{old}" does not exist')
+            _ORDERED_SET_ALIASES[new] = _ORDERED_SET_ALIASES.pop(old)
+            return self.spark.createDataFrame(
+                [("ALTER AGGREGATE",)], "status string")
         cm = _re.match(
             r"(?is)^create\s+type\s+([\w.]+)\s+as\s+enum\s*\((.*)\)\s*$", s
         )
@@ -1206,7 +1276,19 @@ class Engine:
                           getattr(self, "_int_cols", set())),
                       numeric_agg=True,
                       f32_cols=frozenset(
-                          getattr(self, "_f32_cols", set())))
+                          getattr(self, "_f32_cols", set())),
+                      bin_cols=frozenset(
+                          c for cols in getattr(
+                              self, "_tbl_coltypes", {}).values()
+                          for c, t in cols if t == "binary"),
+                      bit_cols=frozenset(
+                          c for (_t, c), (k, _n) in getattr(
+                              self, "_typmod_cols", {}).items()
+                          if k in ("bit", "varbit")),
+                      f64_cols=frozenset(
+                          c for cols in getattr(
+                              self, "_tbl_coltypes", {}).values()
+                          for c, t in cols if t == "double"))
 
     def obj_description(self, name: str, objtype: str = "table") -> str | None:
         """obj_description() (pg_description lookup)."""
@@ -2109,13 +2191,28 @@ class Engine:
                     )
             # align to the target schema's types (VALUES literals may
             # lex narrower — an INT literal into a BIGINT column must
-            # not produce mixed-type parquet footers)
-            df = df.select(
-                *[
-                    Fn.col(f.name).cast(f.dataType).alias(f.name)
-                    for f in target.schema.fields
-                ]
-            )
+            # not produce mixed-type parquet footers). Text into a
+            # float column routes through float8in/float4in's strtod
+            # ERANGE contract (pg_float_in — Spark's cast turns
+            # '10e400' into Infinity silently, float.c:304)
+            src_types = {f.name.lower(): f.dataType.simpleString()
+                         for f in df.schema.fields}
+            tgt_float = {"float": "float4", "double": "float8"}
+
+            def _align(f):
+                ts = f.dataType.simpleString()
+                if ts in tgt_float and \
+                        src_types.get(f.name.lower()) == "string":
+                    from gpdb_spark.functions.pg_numeric_agg import \
+                        register_numeric_agg_udfs
+                    register_numeric_agg_udfs(self.spark)
+                    return Fn.call_udf(
+                        "pg_float_in", Fn.col(f.name),
+                        Fn.lit(tgt_float[ts])
+                    ).cast(f.dataType).alias(f.name)
+                return Fn.col(f.name).cast(f.dataType).alias(f.name)
+
+            df = df.select(*[_align(f) for f in target.schema.fields])
             # geo-typed columns store the canonical text image: run the
             # input function (validation: bad input raises PG's message
             # BEFORE anything is written) + output function per value
@@ -2130,19 +2227,60 @@ class Engine:
             only = bool(m.group(1))
             name, rest = _fold_ident(m.group(2)), m.group(3)
             toks = _lex(rest)
-            # split SET list from WHERE at depth 0
-            depth, where_at = 0, None
+            # split SET list from FROM / WHERE at depth 0
+            depth, where_at, from_at = 0, None, None
             splits = []
             for i, t in enumerate(toks):
                 if t in ("(", "["):
                     depth += 1
                 elif t in (")", "]"):
                     depth -= 1
-                elif depth == 0 and t == ",":
+                elif depth == 0 and t == "," and from_at is None:
                     splits.append(i)
+                elif depth == 0 and t.lower() == "from" \
+                        and from_at is None and where_at is None:
+                    from_at = i
                 elif depth == 0 and t.lower() == "where":
                     where_at = i
                     break
+            if from_at is not None:
+                # UPDATE t SET ... FROM src WHERE cond (gram.y
+                # from_clause on UPDATE — the join-update). Resolution
+                # rides a rid-tagged temp view of the target joined
+                # against the PG-translated FROM/WHERE text, so source
+                # aliases (b.i) and target-qualified refs (t.i) resolve
+                # exactly as PG's parser does. This used to fall into
+                # the plain-UPDATE parse and rewrite with a garbage SET
+                # expression (case.sql silent-wrong, round 10).
+                return self._update_from_sql(
+                    name, toks, splits, from_at, where_at)
+            # a single-table UPDATE may self-qualify columns
+            # (UPDATE FLOAT8_TBL SET f1 = FLOAT8_TBL.f1 * '-1'): the
+            # expressions evaluate against the bare DataFrame, so the
+            # self-qualifiers drop and positions recompute
+            stripped: list[str] = []
+            k = 0
+            while k < len(toks):
+                if (toks[k].lower() == name and k + 2 < len(toks)
+                        and toks[k + 1] == "."
+                        and toks[k + 2].isidentifier()):
+                    k += 2
+                    continue
+                stripped.append(toks[k])
+                k += 1
+            if len(stripped) != len(toks):
+                toks = stripped
+                depth, where_at, splits = 0, None, []
+                for i, t in enumerate(toks):
+                    if t in ("(", "["):
+                        depth += 1
+                    elif t in (")", "]"):
+                        depth -= 1
+                    elif depth == 0 and t == ",":
+                        splits.append(i)
+                    elif depth == 0 and t.lower() == "where":
+                        where_at = i
+                        break
             set_end = where_at if where_at is not None else len(toks)
             bounds = [-1] + [x for x in splits if x < set_end] + [set_end]
             assignments = {}
@@ -2160,17 +2298,117 @@ class Engine:
             return self.update_set(name, cond, assignments, only=only)
 
         m = _re.match(
+            r"(?is)^\s*delete\s+from\s+(only\s+)?(\w+)\s+using\s+"
+            r"(.+?)(?:\s+where\s+(.*))?$", s)
+        if m:
+            # DELETE FROM t USING src WHERE cond (gram.y using_clause):
+            # the doomed set is the rid-join against the USING list
+            name = _fold_ident(m.group(2))
+            using_text, cond_text = m.group(3), m.group(4) or "TRUE"
+            cur, view = self._rid_view(name)
+            try:
+                doomed = self.sql(
+                    f"SELECT {name}.__rid AS __rid FROM {view} {name},"
+                    f" {using_text} WHERE {cond_text}").distinct()
+                kept = cur.join(doomed, "__rid", "left_anti")
+                n = cur.count() - kept.count()
+                kept = kept.drop("__rid")
+                gp = self._tables[name]
+                if gp._heap_window():
+                    gp._rewrite(kept.coalesce(1), placed=False)
+                else:
+                    gp._rewrite(kept)
+            finally:
+                cur.unpersist()
+                self.spark.catalog.dropTempView(view)
+            self._refresh(name)
+            return n
+
+        m = _re.match(
             r"(?is)^\s*delete\s+from\s+(only\s+)?(\w+)"
             r"(\s+where\s+(.*))?$", s)
         if m:
             only = bool(m.group(1))
             name, cond_sql = _fold_ident(m.group(2)), m.group(4)
+            if cond_sql:
+                # drop self-qualifiers like the UPDATE path
+                cond_sql = _re.sub(
+                    rf"(?i)\b{_re.escape(name)}\s*\.\s*", "", cond_sql)
             cond = (
                 Fn.expr(translate(cond_sql)) if cond_sql else Fn.lit(True)
             )
             return self.delete_where(name, cond, only=only)
 
         raise ValueError(f"not a supported DML statement: {text[:80]}")
+
+    def _rid_view(self, name: str):
+        """Row-identity handle for join-DML (UPDATE..FROM /
+        DELETE..USING): the target pinned with a __rid column and
+        registered as a temp view the translated join text can
+        reference."""
+        from pyspark.sql import functions as Fn
+
+        cur = self._tables[name].read(self.spark).withColumn(
+            "__rid", Fn.monotonically_increasing_id()).persist()
+        cur.count()
+        cur.createOrReplaceTempView("__gp_dml_tgt")
+        return cur, "__gp_dml_tgt"
+
+    def _update_from_sql(self, name, toks, splits, from_at, where_at):
+        """UPDATE t SET ... FROM src WHERE cond — resolve the SET
+        expressions inside the target x source join (nodeModifyTable.c
+        join-update), then project matched rows to their new images.
+        First match wins on multiple source matches (PG leaves the
+        choice unspecified)."""
+        from pyspark.sql import functions as Fn
+
+        bounds = [-1] + [x for x in splits if x < from_at] + [from_at]
+        sets: dict[str, str] = {}
+        for a, b in zip(bounds, bounds[1:]):
+            frag = toks[a + 1:b]
+            eq = frag.index("=")
+            col = _fold_ident(frag[eq - 1])
+            sets[col] = " ".join(frag[eq + 1:])
+        stop = where_at if where_at is not None else len(toks)
+        from_text = " ".join(toks[from_at + 1:stop])
+        cond_text = (" ".join(toks[where_at + 1:])
+                     if where_at is not None else "TRUE")
+        cur, view = self._rid_view(name)
+        try:
+            sel = ", ".join(
+                f"({rhs}) AS __new_{c}" for c, rhs in sets.items())
+            matches = self.sql(
+                f"SELECT {name}.__rid AS __rid, TRUE AS __m, {sel}"
+                f" FROM {view} {name}, {from_text}"
+                f" WHERE {cond_text}").dropDuplicates(["__rid"]).persist()
+            n = matches.count()
+            joined = cur.join(matches, "__rid", "left")
+            gate = Fn.coalesce(Fn.col("__m"), Fn.lit(False))
+            new_vals = self._canon_assignments(
+                name, {c: Fn.col(f"__new_{c}") for c in sets})
+            tgt_cols = [c for c in cur.columns if c != "__rid"]
+            gp = self._tables[name]
+            if gp._heap_window():
+                # heapam: new tuple versions land at the heap's end
+                unchanged = joined.where(~gate).select(*tgt_cols)
+                moved = joined.where(gate).select(*[
+                    new_vals[c].alias(c) if c in sets else Fn.col(c)
+                    for c in tgt_cols])
+                gp._rewrite(
+                    unchanged.unionAll(moved).coalesce(1), placed=False)
+            else:
+                out = joined.select(*[
+                    Fn.when(gate, new_vals[c]).otherwise(
+                        Fn.col(c)).alias(c)
+                    if c in sets else Fn.col(c)
+                    for c in tgt_cols])
+                gp._rewrite(out)
+            matches.unpersist()
+        finally:
+            cur.unpersist()
+            self.spark.catalog.dropTempView(view)
+        self._refresh(name)
+        return n
 
     # -- script execution (psql -f / exec_simple_query loop) -----------------
 

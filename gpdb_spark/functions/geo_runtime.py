@@ -192,10 +192,27 @@ def geo_fn_text(name, kind, text):
 def vartype_canon(kind, n, v):
     """varchar(n)/char(n) input discipline (varchar.c varchar_input /
     bpchar_input): overlength input errors UNLESS the excess is all
-    spaces (then truncate); bpchar pads to the declared length."""
+    spaces (then truncate); bpchar pads to the declared length.
+    bit(n)/varbit(n) (varbit.c bit_in): canonical image is the bare
+    0/1 string (an optional leading B marks binary input), fixed-width
+    bit must match n exactly, varbit at most n (0 = unlimited)."""
     if v is None:
         return None
     n = int(n)
+    if kind in ("bit", "varbit"):
+        s = v[1:] if v[:1] in ("B", "b") else v
+        bad = next((c for c in s if c not in "01"), None)
+        if bad is not None:
+            raise ValueError(
+                f'"{bad}" is not a valid binary digit')
+        if kind == "bit" and n and len(s) != n:
+            raise ValueError(
+                f"bit string length {len(s)} does not match type "
+                f"bit({n})")
+        if kind == "varbit" and n and len(s) > n:
+            raise ValueError(
+                f"bit string too long for type bit varying({n})")
+        return s
     if len(v) > n:
         if v[n:].strip() != "":
             tname = ("character varying" if kind == "varchar"

@@ -205,15 +205,63 @@ class GpTable:
 
     # -- DML (copy-on-write rewrite) ----------------------------------------
 
+    # Heap-order emulation window (bytes of existing parquet data):
+    # PG reads a small heap in insertion order, and the reference's
+    # regress goldens lean on that (string_agg/array_agg without ORDER
+    # BY render insertion-ordered).  Below this threshold, DML keeps
+    # the table as ONE file in PG heap order (insert appends at the
+    # end, delete preserves survivor order, update moves new tuple
+    # versions to the end — heapam.c semantics).  At or above it, the
+    # scale paths apply (placed append / distributed rewrite): physical
+    # order is arbitrary there, exactly as it is across the reference's
+    # own segments.
+    HEAP_ORDER_BYTES = 64 << 20
+    HEAP_ORDER_ROWS = 100_000
+
+    def _heap_bytes(self) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(self.path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    def _heap_window(self) -> bool:
+        """True when the table is small enough to keep PG heap order
+        (single-file layout). Partitioned / clustered tables opt out —
+        their layout IS the contract."""
+        return (not self.partition_by and not self.sort_by
+                and os.path.isdir(self.path)
+                and self._heap_bytes() <= self.HEAP_ORDER_BYTES)
+
     def insert_into(self, df: DataFrame) -> None:
         """INSERT: append new files, placed per the distribution policy.
         BEFORE INSERT row triggers fire first: skip_when drops rows,
-        assignments rewrite NEW."""
+        assignments rewrite NEW.
+
+        Inside the heap-order window the table is rewritten as a single
+        file with the new rows at the end (heapam insertion order); the
+        incoming batch is row-count-guarded so a bulk INSERT...SELECT
+        into a small table still takes the placed-append scale path."""
         for trig in self._triggers("insert"):
             if trig.skip_when is not None:
                 df = df.where(~F.coalesce(trig.skip_when, F.lit(False)))
             if trig.assignments:
                 df = self._trigger_project(df, trig)
+        if self._heap_window():
+            try:
+                probe = df.limit(self.HEAP_ORDER_ROWS + 1).count()
+                if probe <= self.HEAP_ORDER_ROWS:
+                    spark = df.sparkSession
+                    try:
+                        cur = spark.read.parquet(self.path)
+                        combined = cur.unionAll(df.select(cur.columns))
+                    except AnalysisException:
+                        combined = df
+                    self._rewrite(combined.coalesce(1), placed=False)
+                    return
+            except AnalysisException:
+                pass
         self._write(df, mode="append")
 
     def delete_where(
@@ -238,7 +286,11 @@ class GpTable:
         # before-minus-after formulation cost two extra full-table scans
         n = ret.count() if returning else cur.where(doomed).count()
         kept = cur.where(~doomed | doomed.isNull())
-        self._rewrite(kept)
+        if self._heap_window():
+            # survivors keep their heap positions (heapam delete)
+            self._rewrite(kept.coalesce(1), placed=False)
+        else:
+            self._rewrite(kept)
         if returning:
             return ret
         return n
@@ -296,15 +348,26 @@ class GpTable:
             return expr.otherwise(F.col(c)).alias(c)
 
         updated = cur.select(*[new_value(c) for c in cur.columns])
+        ret = None
         if returning:
             # NEW images of the touched rows (UPDATE ... RETURNING *),
             # pinned before the rewrite invalidates the source files
             ret = updated.where(upd).cache()
             ret.count()
-            self._rewrite(updated)
-            return ret
-        self._rewrite(updated)
-        return n
+        heap = self._heap_window()
+        if heap:
+            # heapam update: the new tuple version lands at the END of
+            # the heap; untouched rows keep their positions (PG renders
+            # "1,3,2" after UPDATE ... WHERE id=2 on a 1,2,3 heap)
+            gate = F.coalesce(upd, F.lit(False))
+            # filter on OLD values FIRST, then project: gate applied to
+            # the projected frame would re-evaluate the WHERE against
+            # the NEW values and drop rows whose SET falsified it
+            moved = cur.where(gate).select(
+                *[new_value(c) for c in cur.columns])
+            updated = cur.where(~gate).unionAll(moved).coalesce(1)
+        self._rewrite(updated, placed=not heap)
+        return ret if returning else n
 
     def alter_distribution(
         self,
@@ -693,13 +756,23 @@ class GpTable:
             writer = writer.sortBy(*sort_cols)
         writer.saveAsTable(table_name)
 
-    def _rewrite(self, df: DataFrame) -> None:
+    def _rewrite(self, df: DataFrame, placed: bool = True) -> None:
         """Atomic-ish copy-on-write: write to a temp dir, then swap.
         Honors ``sort_by`` like _write — without it, the first
         UPDATE/DELETE after CLUSTER would silently destroy the
-        clustered order (and the row-group pruning it bought)."""
+        clustered order (and the row-group pruning it bought).
+        ``placed=False`` skips the distribution shuffle (heap-order
+        emulation: the caller pre-coalesced to one ordered file)."""
         tmp = f"{self.path}__rewrite_{uuid.uuid4().hex[:8]}"
         self._last_schema = df.schema
+        if not placed:
+            (df.write.mode("overwrite")
+             .option("compression", self.compression).parquet(tmp))
+            old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(self.path, old)
+            os.rename(tmp, self.path)
+            shutil.rmtree(old)
+            return
         if self.partition_by and df.isEmpty():
             # an empty dynamic-partitioned write produces NO
             # schema-bearing files and a root-level part file would

@@ -1232,3 +1232,304 @@ def test_avg_bigint_no_overflow(spark, sf_dir):
         assert str(got) == "150000000000000.5000000000000000"
     finally:
         eng.sql("DROP TABLE r10big")
+
+
+# -- round 10: aggregates.sql burn-down machinery ---------------------
+
+
+def test_exact_numeric_stddev(spark, sf_dir):
+    """stddev/variance over ::numeric operands compute in exact decimal
+    with numeric.c's select_div_scale result scale (aggregates.out
+    golden images, reference numeric.c:4376)."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("CREATE TABLE r10aggtest (a int2, b float4)"
+            " DISTRIBUTED BY (a)")
+    try:
+        eng.sql("INSERT INTO r10aggtest VALUES (56, 7.8), (100, 99.097),"
+                " (0, 0.09561), (42, 324.78)")
+        want = {
+            "stddev_pop": "131.107032862199",
+            "stddev_samp": "151.389361431288",
+            "var_pop": "17189.054065929769",
+            "var_samp": "22918.738754573025",
+        }
+        for fn, w in want.items():
+            got = eng.sql(
+                f"SELECT {fn}(b::numeric) FROM r10aggtest").collect()[0][0]
+            assert str(got) == w, (fn, got, w)
+    finally:
+        eng.sql("DROP TABLE r10aggtest")
+
+
+def test_bytea_string_agg_heap_order(spark, sf_dir):
+    """string_agg over bytea concatenates binary in heap order
+    (aggregates.sql:634-650): decode('hex') inserts, empty/NULL/bytea
+    separators, insertion-ordered result."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("create table r10bytea(gpDistKey int, v bytea)")
+    try:
+        assert eng.sql("select string_agg(v, '') from r10bytea"
+                       ).collect()[0][0] is None
+        eng.sql("insert into r10bytea(v) values(decode('ff','hex'))")
+        eng.sql("insert into r10bytea(v) values(decode('aa','hex'))")
+        got = eng.sql("select string_agg(v, '') from r10bytea"
+                      ).collect()[0][0]
+        assert bytes(got).hex() == "ffaa"
+        got = eng.sql("select string_agg(v, NULL) from r10bytea"
+                      ).collect()[0][0]
+        assert bytes(got).hex() == "ffaa"
+        got = eng.sql("select string_agg(v, decode('ee', 'hex'))"
+                      " from r10bytea").collect()[0][0]
+        assert bytes(got).hex() == "ffeeaa"
+        got = eng.sql("select encode(string_agg(v, ''), 'hex')"
+                      " from r10bytea").collect()[0][0]
+        assert got == "ffaa"
+    finally:
+        eng.sql("drop table r10bytea")
+
+
+def test_bit_aggregates(spark, sf_dir):
+    """bit_and/bit_or over stored BIT(4) columns (aggregates.sql:131-
+    168): conv-based routing keeps the 0101 text image and width."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("CREATE TABLE r10bits(i2 INT2, y BIT(4))")
+    try:
+        r = eng.sql("SELECT BIT_AND(y) AS a, BIT_OR(y) AS b"
+                    " FROM r10bits").collect()[0]
+        assert r.a is None and r.b is None
+        eng.sql("INSERT INTO r10bits VALUES (1, B'0101'), (3, B'0100'),"
+                " (7, B'1100')")
+        r = eng.sql("SELECT BIT_AND(i2) AS a, BIT_AND(y) AS b,"
+                    " BIT_OR(i2) AS c, BIT_OR(y) AS d"
+                    " FROM r10bits").collect()[0]
+        assert [r.a, r.b, r.c, r.d] == [1, "0100", 7, "1101"]
+    finally:
+        eng.sql("DROP TABLE r10bits")
+
+
+def test_percentile_rewrites(spark, sf_dir):
+    """percentile_disc over text / 2-D fraction arrays / non-foldable
+    fractions (orderedsetaggs.c:407,542; aggregates.sql:526,563,570)."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    r = eng.sql(
+        "select percentile_disc(array[0.25,0.5,0.75]) within group"
+        " (order by x) from (values ('fred'),('jim'),('fred'),('jack'),"
+        "('jill'),('fred'),('jill'),('jim'),('jim'),('sheila'),('jim'),"
+        "('sheila')) u(x)").collect()[0][0]
+    assert r == ["fred", "jill", "jim"]
+    r = eng.sql(
+        "select percentile_disc(array[[null,1,0.5],[0.75,0.25,null]])"
+        " within group (order by x) from (values (1),(2),(3),(4)) v(x)"
+    ).collect()[0][0]
+    assert [list(x) for x in r] == [[None, 4, 2], [3, 1, None]]
+    rows = eng.sql(
+        "select p, percentile_cont(p) within group (order by x::float8)"
+        " as v from (values (1),(2),(3),(4),(5)) g(x),"
+        " (values (0::float8),(0.5),(1)) v(p) group by p order by p"
+    ).collect()
+    assert [(float(r.p), r.v) for r in rows] == [
+        (0.0, 1.0), (0.5, 3.0), (1.0, 5.0)]
+
+
+def test_ordered_set_error_contracts(spark, sf_dir):
+    """parse_agg.c/parse_collate.c refusals: ungrouped direct args and
+    explicit-collation mismatch error instead of succeeding
+    (aggregates.sql:583,597 expected errors — were ERR_MISS)."""
+    import pytest as _pt
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    with _pt.raises(Exception, match="GROUP BY"):
+        eng.sql("select rank(x) within group (order by x)"
+                " from (values (1),(2)) v(x)").collect()
+    with _pt.raises(Exception, match="collation mismatch"):
+        eng.sql('select rank(\'adam\'::text collate "C") within group'
+                ' (order by x collate "POSIX")'
+                " from (values ('fred'),('jim')) v(x)").collect()
+
+
+def test_create_aggregate_ordered_set_alias(spark, sf_dir):
+    """CREATE AGGREGATE over builtin ordered-set final functions +
+    ALTER AGGREGATE RENAME (create_aggregate.sql:85-103)."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("create aggregate r10_pd(float8 ORDER BY anyelement)"
+            " (stype = internal, sfunc = ordered_set_transition,"
+            " finalfunc = percentile_disc_final, finalfunc_extra = true)")
+    eng.sql("alter aggregate r10_pd(float8 ORDER BY anyelement)"
+            " rename to r10_test_pd")
+    r = eng.sql("select r10_test_pd(0.5) within group (order by x)"
+                " from (values (1),(2),(3),(4)) v(x)").collect()[0][0]
+    assert r == 2
+
+
+def test_srf_after_aggregate(spark, sf_dir):
+    """generate_series in the select list applies AFTER aggregation
+    (ExecProjectSRF; aggregates.sql 'select max(unique2),
+    generate_series(1,3)')."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    rows = eng.sql("select max(x), generate_series(1,3) as g"
+                   " from (values (5),(9)) v(x) order by g desc"
+                   ).collect()
+    assert [(r[0], r[1]) for r in rows] == [(9, 3), (9, 2), (9, 1)]
+
+
+def test_boolfunc_statefuncs(spark, sf_dir):
+    """booland/boolor_statefunc are STRICT (bool.c): NULL in -> NULL
+    out, else plain AND/OR (aggregates.sql:120-130)."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    r = eng.sql(
+        "SELECT booland_statefunc(FALSE, NULL) IS NULL AS a,"
+        " boolor_statefunc(TRUE, NULL) IS NULL AS b,"
+        " booland_statefunc(TRUE, TRUE) AS c,"
+        " boolor_statefunc(FALSE, FALSE) AS d").collect()[0]
+    assert [r.a, r.b, r.c, r.d] == [True, True, True, False]
+
+
+# -- round 10: UPDATE..FROM / DELETE..USING, float contracts, ---------
+# DateStyle output, per-value literal scale -----------------------
+
+
+def test_update_from_delete_using(spark, sf_dir):
+    """UPDATE ... FROM resolves SET expressions inside the join
+    (case.sql:151-155 — the round-10 silent-wrong through the SQL
+    front door); DELETE ... USING deletes the semi-join."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("CREATE TABLE r10case (i integer, f double precision)")
+    eng.sql("CREATE TABLE r10case2 (i integer, j integer)")
+    try:
+        eng.sql("INSERT INTO r10case VALUES (-12, NULL), (-9, -30.3),"
+                " (4, 10.1), (8, 20.2)")
+        eng.sql("INSERT INTO r10case2 VALUES (1, -1), (2, -2), (3, -3),"
+                " (2, -4), (1, -6)")
+        eng.sql("""UPDATE r10case
+          SET i = CASE WHEN b.i >= 2 THEN (2 * j) ELSE (3 * j) END
+          FROM r10case2 b WHERE j = -r10case.i""")
+        got = sorted(
+            ((r.i, r.f) for r in eng.table("r10case").collect()),
+            key=repr)
+        assert sorted([(-12, None), (-9, -30.3), (-8, 10.1), (8, 20.2)],
+                      key=repr) == got
+        eng.sql("DELETE FROM r10case USING r10case2 b"
+                " WHERE r10case.i = 4 * b.i")  # 8 = 4*2 -> deleted
+        assert sorted(r.i for r in eng.table("r10case").collect()) \
+            == [-12, -9, -8]
+    finally:
+        eng.sql("DROP TABLE r10case")
+        eng.sql("DROP TABLE r10case2")
+
+
+def test_float8_input_contracts(spark, sf_dir):
+    """float8in's strtod ERANGE contract on INSERT (float.c:304):
+    overflow/underflow text errors, [+-]NaN parses, self-qualified
+    UPDATE works (float8.sql ERR_MISS class)."""
+    import math
+    import pytest as _pt
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("CREATE TABLE r10f8 (f1 float8)")
+    try:
+        eng.sql("INSERT INTO r10f8(f1) VALUES ('    0.0   ')")
+        eng.sql("INSERT INTO r10f8(f1) VALUES ('1.2345678901234e+200')")
+        for bad in ("10e400", "-10e400", "1e309", "10e-400", "1e-324"):
+            with _pt.raises(Exception, match="out of range"):
+                eng.sql(f"INSERT INTO r10f8(f1) VALUES ('{bad}')")
+        eng.sql("INSERT INTO r10f8(f1) VALUES ('+naN'::float8)")
+        vals = [r.f1 for r in eng.table("r10f8").collect()]
+        assert any(v is not None and math.isnan(v) for v in vals)
+        eng.sql("DELETE FROM r10f8 WHERE f1='+naN'::float8"
+                " OR f1 <> f1")
+        eng.sql("UPDATE r10f8 SET f1 = r10f8.f1 * '-1' WHERE f1 > '0.0'")
+        assert sorted(r.f1 for r in eng.table("r10f8").collect()) \
+            == [-1.2345678901234e+200, 0.0]
+    finally:
+        eng.sql("DROP TABLE r10f8")
+
+
+def test_float8_runtime_contracts(spark, sf_dir):
+    """CHECKFLOATVAL on column arithmetic (float.c): overflow raises
+    instead of producing Infinity; ln/exp domain errors; ceil/floor/
+    trunc keep float8 typing (Spark's ceil(double) saturates BIGINT)."""
+    import pytest as _pt
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("CREATE TABLE r10fops (f1 float8)")
+    try:
+        eng.sql("INSERT INTO r10fops VALUES ('1.2345678901234e+200'),"
+                " ('1004.3'), ('0.0')")
+        with _pt.raises(Exception, match="out of range"):
+            eng.sql("SELECT f1 * '1e200' FROM r10fops").collect()
+        with _pt.raises(Exception, match="out of range"):
+            eng.sql("SELECT f1 ^ '1e200' FROM r10fops").collect()
+        with _pt.raises(Exception, match="logarithm of zero"):
+            eng.sql("SELECT ln(f1) FROM r10fops WHERE f1 = '0.0'"
+                    ).collect()
+        with _pt.raises(Exception, match="out of range"):
+            eng.sql("SELECT exp(f1) FROM r10fops").collect()
+        r = eng.sql("SELECT ceil(f1) AS c FROM r10fops"
+                    " WHERE f1 > '1e10'").collect()[0].c
+        assert r == 1.2345678901234e+200
+        r = eng.sql("SELECT floor(f1) AS c, trunc(f1) AS t FROM r10fops"
+                    " WHERE f1 = '1004.3'").collect()[0]
+        assert (r.c, r.t) == (1004.0, 1004.0)
+    finally:
+        eng.sql("DROP TABLE r10fops")
+
+
+def test_union_values_literal_scale(spark, sf_dir):
+    """Per-value numeric display scale through literal UNION chains and
+    VALUES (parse_coerce.c select_common_type: '2' stays '2' next to
+    '1.1', not '2.0')."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    got = sorted(str(r[0]) for r in eng.sql(
+        "SELECT 1.1 AS two UNION SELECT 2").collect())
+    assert got == ["1.1", "2"]
+    got = sorted((str(r[0]), str(r[1])) for r in eng.sql(
+        "VALUES (1,2), (3,4+4), (7,77.7)").collect())
+    assert got == [("1", "2"), ("3", "8"), ("7", "77.7")]
+    # homogeneous literals keep their numeric typing
+    got = eng.sql("SELECT 1 AS x UNION SELECT 2").collect()
+    assert sorted(r.x for r in got) == [1, 2]
+
+
+def test_datestyle_output_hook(spark, sf_dir):
+    """EncodeDateOnly inside concat (datetime.c:4117): under
+    'Postgres, MDY' a date prints MM-DD-YYYY and booleans print t/f
+    (text.sql golden images); ISO restores Spark's native images."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("SET datestyle = 'Postgres, MDY'")
+    try:
+        r = eng.sql("select concat(1,2,3,'hello',true, false,"
+                    " to_date('20100309','YYYYMMDD')) AS c"
+                    ).collect()[0].c
+        assert r == "123hellotf03-09-2010"
+        r = eng.sql("select concat_ws('#',1,2,3,'hello',true, false,"
+                    " to_date('20100309','YYYYMMDD')) AS c"
+                    ).collect()[0].c
+        assert r == "1#2#3#hello#t#f#03-09-2010"
+    finally:
+        eng.sql("RESET datestyle")
+    r = eng.sql("select concat('x', to_date('20100309','YYYYMMDD'))"
+                " AS c").collect()[0].c
+    assert r == "x2010-03-09"

@@ -598,6 +598,10 @@ def test_vacuum_compacts_small_files(spark, tmp_path):
 
     src = spark.range(0, 1000).selectExpr("id", "id * 2 AS v")
     t = GpTable.create(src, str(tmp_path / "vac"), distributed_by=("id",))
+    # force the placed-append scale path: inside the heap-order window
+    # (round 10) small inserts rewrite to ONE ordered file and vacuum
+    # would have nothing to compact
+    t.HEAP_ORDER_BYTES = -1
     for i in range(3):  # micro-batch appends -> file fragmentation
         t.insert_into(
             spark.range(1000 + i * 100, 1100 + i * 100).selectExpr(

@@ -561,7 +561,7 @@ def apply_set(stmt: str, ctx: dict) -> None:
     under. DateStyle field order also feeds the dialect's date-input
     parser (set_date_order — the engine's real SET path does the same,
     gpdb_spark/engine.py)."""
-    from gpdb_spark.dialect import set_date_order
+    from gpdb_spark.dialect import set_date_order, set_date_style
 
     if re.match(r"(?i)^reset\b", stmt):
         m = re.match(r"(?i)^reset\s+(\w+)", stmt)
@@ -576,6 +576,7 @@ def apply_set(stmt: str, ctx: dict) -> None:
             # RESET restores the regress session default
             ctx["dstyle"], ctx["dorder"] = "postgres", "mdy"
             set_date_order("mdy")
+            set_date_style("postgres")
         elif name == "intervalstyle":
             ctx["istyle"] = "postgres_verbose"
             from gpdb_spark.dialect import set_interval_style
@@ -603,10 +604,12 @@ def apply_set(stmt: str, ctx: dict) -> None:
             # the regress session default is 'Postgres, MDY'
             ctx["dstyle"], ctx["dorder"] = "postgres", "mdy"
             set_date_order("mdy")
+            set_date_style("postgres")
             return
         for part in re.split(r"[,\s]+", val):
             if part in ("iso", "postgres", "sql", "german"):
                 ctx["dstyle"] = part
+                set_date_style(part)
             elif part in ("mdy", "dmy", "ymd", "us", "european"):
                 order = {"us": "mdy", "european": "dmy"}.get(part, part)
                 ctx["dorder"] = order
@@ -650,8 +653,10 @@ def main(argv):
         per = dict.fromkeys(tally, 0)
         ctx = dict(_DEFAULT_CTX)
         from gpdb_spark.dialect import (reset_enums, set_date_order,
+                                        set_date_style,
                                         set_interval_style)
         set_date_order("mdy")
+        set_date_style("postgres")  # pg_regress runs 'Postgres, MDY'
         set_interval_style("postgres_verbose")
         reset_enums()
         from gpdb_spark.dialect import set_session_zone
