@@ -433,8 +433,46 @@ def _map_type(tokens: list[str], i: int) -> tuple[str, int]:
     return base, j
 
 
+# plain domains (CREATE DOMAIN name AS base — typecmds.c DefineDomain
+# without a CHECK-IN label list, which routes to the enum path): the
+# name is a transparent alias of its base type in DDL and casts
+_DOMAIN_BASES: dict[str, list[str]] = {}
+
+
+def register_domain(name: str, base_tokens: list[str]) -> None:
+    _DOMAIN_BASES[name.lower()] = list(base_tokens)
+
+
+def drop_domain(name: str) -> None:
+    _DOMAIN_BASES.pop(name.lower(), None)
+
+
+def _pass_domain_casts(tokens: list[str]) -> list[str]:
+    """``expr::domainname`` -> ``expr::basetype`` (domains are
+    transparent for casts here; CHECK constraints on plain domains are
+    recorded-not-enforced like table constraints)."""
+    if not _DOMAIN_BASES:
+        return tokens
+    out: list[str] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        if (tokens[i] == "::" and i + 1 < n
+                and tokens[i + 1].lower() in _DOMAIN_BASES):
+            out.append("::")
+            out += _DOMAIN_BASES[tokens[i + 1].lower()]
+            i += 2
+            continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
 def _map_base_type(tokens: list[str], i: int) -> tuple[str, int]:
     w = tokens[i].lower()
+    if w in _DOMAIN_BASES:
+        sub = _DOMAIN_BASES[w]
+        base, _ = _map_type(sub, 0)
+        return base, i + 1
     j = i + 1
     if w == "double" and j < len(tokens) and _is_word(tokens[j], "precision"):
         return "DOUBLE", j + 1
@@ -2867,7 +2905,9 @@ _F2I_FLOATS = ("float4", "float8", "real")
 _F2I_NUMERICS = ("numeric", "decimal")
 
 
-def _pass_float_int_round(tokens: list[str]) -> list[str]:
+def _pass_float_int_round(
+    tokens: list[str], fcols: frozenset[str] = frozenset()
+) -> list[str]:
     """PG rounds on float->int casts (float.c dtoi4 via rint: half to
     EVEN) and numeric->int casts (numeric.c numeric_int4: half AWAY
     from zero), where Spark's CAST truncates — a silent wrong for any
@@ -2963,6 +3003,16 @@ def _pass_float_int_round(tokens: list[str]) -> list[str]:
         ):
             s = _operand_start(out)
             kind = _src_kind(out[s:])
+            if kind is None:
+                # catalog-typed float COLUMNS round too (the r9 pass
+                # covered statically-typed operands only — VERDICT r09
+                # What's-missing #5): bare [qual .] col in the f32/f64
+                # catalog
+                op = out[s:]
+                if (len(op) in (1, 3) and op[-1].isidentifier()
+                        and op[-1].lower() in fcols
+                        and (len(op) == 1 or op[-2] == ".")):
+                    kind = "float"
             if kind is not None:
                 fn = "bround" if kind == "float" else "round"
                 operand = out[s:]
@@ -3827,6 +3877,60 @@ def _pass_offset_limit(tokens: list[str]) -> list[str]:
     return out
 
 
+# composite types (CREATE TYPE name AS (f1 t1, ...) — typecmds.c
+# DefineCompositeType): values live as the canonical record TEXT image
+# ('(1,abc)'), produced/validated by pg_record_canon (rowtypes.c
+# record_in/record_out). Conformance surface; the scale path for
+# structured data is native Spark structs.
+_COMPOSITE_TYPES: dict[str, str] = {}
+
+
+def register_composite_type(name: str, field_types: list[str]) -> None:
+    _COMPOSITE_TYPES[name.lower()] = ",".join(field_types)
+
+
+def unregister_composite_type(name: str) -> None:
+    _COMPOSITE_TYPES.pop(name.lower(), None)
+
+
+def _pass_composite_casts(tokens: list[str]) -> list[str]:
+    """``expr::comptype`` routes the text through pg_record_canon's
+    record_in validation + record_out canonical image."""
+    if not _COMPOSITE_TYPES:
+        return tokens
+    out: list[str] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        if (tokens[i] == "::" and i + 1 < n
+                and tokens[i + 1].lower() in _COMPOSITE_TYPES and out):
+            # operand: trailing paren group or literal/identifier chain
+            # (with any earlier :: casts — they are part of the operand)
+            j = len(out) - 1
+            if out[j] == ")":
+                depth = 0
+                while j >= 0:
+                    if out[j] == ")":
+                        depth += 1
+                    elif out[j] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j -= 1
+            else:
+                while j >= 2 and out[j - 1] in ("::", "."):
+                    j -= 2
+            operand = out[j:]
+            del out[j:]
+            sig = _COMPOSITE_TYPES[tokens[i + 1].lower()]
+            out += ["pg_record_canon", "(", f"'{sig}'", ",", "CAST",
+                    "(", *operand, "AS", "STRING", ")", ")"]
+            i += 2
+            continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
 _SETOP_WORDS = ("union", "intersect", "except")
 
 
@@ -4286,8 +4390,18 @@ def _pass_generate_series_from(tokens: list[str]) -> list[str]:
         if (
             _is_word(tokens[i], "from", "join", ",")
             or tokens[i] == ","
-        ) and i + 1 < n and _is_word(tokens[i + 1], "generate_series"):
+        ) and i + 1 < n and (
+            _is_word(tokens[i + 1], "generate_series")
+            or (_is_word(tokens[i + 1], "lateral") and i + 2 < n
+                and _is_word(tokens[i + 2], "generate_series"))
+        ):
             out.append(tokens[i])
+            if _is_word(tokens[i + 1], "lateral"):
+                # LATERAL SRF (gram.y: implicit for SRFs in PG) —
+                # Spark needs the LATERAL keyword on the derived
+                # table for correlated bounds
+                out.append("LATERAL")
+                i += 1
             j = i + 2  # at '('
             depth, k = 0, j
             while k < n:
@@ -11490,9 +11604,20 @@ def _pass_misc_funcs(tokens: list[str]) -> list[str]:
             "row_to_json", "array_to_json", "json_object",
             "booland_statefunc", "boolor_statefunc",
             "float8in", "float8out", "float4in", "float4out",
+            "float8", "float4", "int2", "int4", "int8",
         ) else None
         if call is not None:
             args, k = call
+            if low in ("float8", "float4", "int2", "int4",
+                       "int8") and len(args) == 1:
+                # function-style casts (parse_func.c: a type name used
+                # as a function IS a cast — float8(count(*)))
+                ty = {"float8": "DOUBLE", "float4": "FLOAT",
+                      "int2": "SMALLINT", "int4": "INT",
+                      "int8": "BIGINT"}[low]
+                out += ["CAST", "(", *args[0], "AS", ty, ")"]
+                i = k + 1
+                continue
             if low in ("float8in", "float4in") and len(args) == 1:
                 # float8in(cstring) — the input function by name
                 # (float.c); rides pg_float_in's strtod contract
@@ -13798,6 +13923,8 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset(),
     tokens = _pass_unicode_literals(tokens)
     tokens = _pass_statement_forms(tokens)
     tokens = _pass_setop_literal_scale(tokens)
+    tokens = _pass_composite_casts(tokens)
+    tokens = _pass_domain_casts(tokens)
     tokens = _pass_srf_after_agg(tokens)
     tokens = _pass_srf_select_list(tokens)
     tokens = _pass_concat_output_images(tokens)
@@ -13838,7 +13965,7 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset(),
     tokens = _pass_jsonb_ops(tokens)
     tokens = _pass_tstz_literals(tokens)
     tokens = _pass_naive_tz(tokens)
-    tokens = _pass_float_int_round(tokens)
+    tokens = _pass_float_int_round(tokens, f32_cols | f64_cols)
     tokens = _pass_casts(tokens)
     tokens = _pass_cast_as_types(tokens)
     tokens = _pass_interval_physical(tokens)

@@ -1201,6 +1201,28 @@ class Engine:
             _ORDERED_SET_ALIASES[new] = _ORDERED_SET_ALIASES.pop(old)
             return self.spark.createDataFrame(
                 [("ALTER AGGREGATE",)], "status string")
+        # CREATE TYPE name AS (f1 t1, ...) — composite (typecmds.c
+        # DefineCompositeType); values ride the canonical record text
+        ctm = _re.match(
+            r"(?is)^create\s+type\s+([\w.]+)\s+as\s*\((.*)\)\s*$", s)
+        if ctm and not _re.match(r"(?is)^\s*enum\b", ctm.group(2)) \
+                and "as enum" not in s.lower():
+            from gpdb_spark.dialect import register_composite_type
+            ftypes = []
+            for fd in ctm.group(2).split(","):
+                parts = fd.strip().split()
+                if len(parts) < 2:
+                    raise ValueError(
+                        f"bad composite field definition: {fd!r}")
+                ftypes.append(" ".join(parts[1:]))
+            register_composite_type(ctm.group(1), ftypes)
+            self._composites = getattr(self, "_composites", set())
+            self._composites.add(ctm.group(1).lower())
+            from gpdb_spark.functions.geo_runtime import \
+                register_geo_udfs
+            register_geo_udfs(self.spark)
+            return self.spark.createDataFrame(
+                [("CREATE TYPE",)], "status string")
         cm = _re.match(
             r"(?is)^create\s+type\s+([\w.]+)\s+as\s+enum\s*\((.*)\)\s*$", s
         )
@@ -1259,9 +1281,36 @@ class Engine:
             self.create_enum(dmm.group(1), vals)
             return self.spark.createDataFrame(
                 [("CREATE DOMAIN",)], "status string")
+        # plain CREATE DOMAIN name AS base [DEFAULT ...] [constraints]:
+        # transparent base-type alias; CHECK/NOT NULL recorded only
+        dpm = _re.match(
+            r"(?is)^create\s+domain\s+([\w.]+)\s+as\s+(.+?)"
+            r"(?:\s+default\s.*|\s+check\s*\(.*|\s+not\s+null.*)?\s*$",
+            s)
+        if dpm:
+            from gpdb_spark.dialect import _lex as _dlex, register_domain
+            base = _dlex(dpm.group(2))
+            register_domain(dpm.group(1), base)
+            self._domains = getattr(self, "_domains", set())
+            self._domains.add(dpm.group(1).lower())
+            return self.spark.createDataFrame(
+                [("CREATE DOMAIN",)], "status string")
         dm = _re.match(
             r"(?is)^drop\s+(?:type|domain)\s+(if\s+exists\s+)?"
             r"([\w.]+)\s*(cascade|restrict)?\s*$", s)
+        if dm and dm.group(2).lower() in getattr(self, "_domains", set()):
+            from gpdb_spark.dialect import drop_domain
+            drop_domain(dm.group(2))
+            self._domains.discard(dm.group(2).lower())
+            return self.spark.createDataFrame(
+                [("DROP DOMAIN",)], "status string")
+        if dm and dm.group(2).lower() in getattr(
+                self, "_composites", set()):
+            from gpdb_spark.dialect import unregister_composite_type
+            unregister_composite_type(dm.group(2))
+            self._composites.discard(dm.group(2).lower())
+            return self.spark.createDataFrame(
+                [("DROP TYPE",)], "status string")
         if dm and dm.group(2).lower() in getattr(self, "_enums", {}):
             nm = dm.group(2).lower()
             self._enums.pop(nm, None)
@@ -2305,6 +2354,10 @@ class Engine:
             # the doomed set is the rid-join against the USING list
             name = _fold_ident(m.group(2))
             using_text, cond_text = m.group(3), m.group(4) or "TRUE"
+            if _re.search(r"(?i)\blateral\b", using_text):
+                raise ValueError(
+                    "LATERAL in DELETE ... USING is not supported: the"
+                    " lateral item cannot reference the delete target")
             cur, view = self._rid_view(name)
             try:
                 doomed = self.sql(
@@ -2360,6 +2413,8 @@ class Engine:
         join-update), then project matched rows to their new images.
         First match wins on multiple source matches (PG leaves the
         choice unspecified)."""
+        import re as _re
+
         from pyspark.sql import functions as Fn
 
         bounds = [-1] + [x for x in splits if x < from_at] + [from_at]
@@ -2371,6 +2426,13 @@ class Engine:
             sets[col] = " ".join(frag[eq + 1:])
         stop = where_at if where_at is not None else len(toks)
         from_text = " ".join(toks[from_at + 1:stop])
+        if _re.search(r"(?i)\blateral\b", from_text):
+            # PG refuses target-row references from LATERAL items in
+            # UPDATE ... FROM (parse_clause.c) — refuse loudly rather
+            # than resolving them against the joined frame
+            raise ValueError(
+                "LATERAL in UPDATE ... FROM is not supported: the "
+                "lateral item cannot reference the update target")
         cond_text = (" ".join(toks[where_at + 1:])
                      if where_at is not None else "TRUE")
         cur, view = self._rid_view(name)

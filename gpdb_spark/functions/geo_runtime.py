@@ -222,6 +222,100 @@ def vartype_canon(kind, n, v):
     return v.ljust(n) if kind == "bpchar" else v
 
 
+def record_canon(sig, v):
+    """Composite-type input + output function (rowtypes.c record_in /
+    record_out): parse '(f1,f2,...)' with double-quote quoting and
+    backslash escapes, validate the field count and per-type input
+    against ``sig`` (comma-separated field type names), and return the
+    canonical record text image. Conformance surface — the scale path
+    for structured data is native Spark structs."""
+    if v is None:
+        return None
+    s = v.strip()
+    if not (s.startswith("(") and s.endswith(")")):
+        raise ValueError(
+            f'malformed record literal: "{v}" — '
+            "Missing left parenthesis." if not s.startswith("(")
+            else f'malformed record literal: "{v}"')
+    types = [t.strip().lower() for t in sig.split(",")]
+    fields: list[str | None] = []
+    cur: list[str] = []
+    i, n = 1, len(s)
+    quoted_any = False
+    in_q = False
+    while i < n:
+        c = s[i]
+        if in_q:
+            if c == '"':
+                if i + 1 < n and s[i + 1] == '"':
+                    cur.append('"')
+                    i += 2
+                    continue
+                in_q = False
+                i += 1
+                continue
+            if c == "\\" and i + 1 < n:
+                cur.append(s[i + 1])
+                i += 2
+                continue
+            cur.append(c)
+            i += 1
+            continue
+        if c == '"':
+            in_q = True
+            quoted_any = True
+            i += 1
+            continue
+        if c == "\\" and i + 1 < n:
+            cur.append(s[i + 1])
+            quoted_any = True
+            i += 2
+            continue
+        if c in (",", ")"):
+            txt = "".join(cur)
+            fields.append(None if txt == "" and not quoted_any else txt)
+            cur, quoted_any = [], False
+            if c == ")":
+                if i != n - 1:
+                    raise ValueError(
+                        f'malformed record literal: "{v}" — '
+                        "Junk after right parenthesis.")
+                break
+            i += 1
+            continue
+        cur.append(c)
+        i += 1
+    else:
+        raise ValueError(
+            f'malformed record literal: "{v}" — '
+            "Unexpected end of input.")
+    if len(fields) != len(types):
+        raise ValueError(
+            f'malformed record literal: "{v}" — wrong number of '
+            f"columns ({len(fields)} vs {len(types)})")
+    out = []
+    for txt, ty in zip(fields, types):
+        if txt is None:
+            out.append("")
+            continue
+        if ty in ("int", "int2", "int4", "int8", "integer", "smallint",
+                  "bigint"):
+            try:
+                int(txt.strip())
+            except ValueError:
+                raise ValueError(
+                    f"invalid input syntax for integer: \"{txt}\"")
+            out.append(txt.strip())
+            continue
+        # record_out quotes fields containing specials / empty strings
+        if txt == "" or any(ch in txt for ch in ',()"\\ '):
+            out.append('"' + txt.replace("\\", "\\\\")
+                       .replace('"', '""') + '"')
+        else:
+            out.append(txt)
+    return "(" + ",".join(out) + ")"
+
+
 _REGISTERED: set[int] = set()
 
 
@@ -261,6 +355,7 @@ def register_geo_udfs(spark: SparkSession) -> None:
         ("pg_geo_fn_int", "geo_fn_int", IntegerType()),
         ("pg_geo_fn_text", "geo_fn_text", StringType()),
         ("pg_vartype_canon", "vartype_canon", StringType()),
+        ("pg_record_canon", "record_canon", StringType()),
     ):
         spark.udf.register(name, _worker_wrapper(fn), rtype)
     _REGISTERED.add(key)

@@ -1533,3 +1533,53 @@ def test_datestyle_output_hook(spark, sf_dir):
     r = eng.sql("select concat('x', to_date('20100309','YYYYMMDD'))"
                 " AS c").collect()[0].c
     assert r == "x2010-03-09"
+
+
+def test_composite_type_record_canon(spark, sf_dir):
+    """CREATE TYPE AS (...) composite: record_in validation +
+    record_out canonical image (rowtypes.c; text.sql:39-40)."""
+    import pytest as _pt
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("CREATE TYPE r10comp as (id int, name text)")
+    try:
+        r = eng.sql("SELECT '(1,abc)'::text::r10comp AS t"
+                    ).collect()[0].t
+        assert r == "(1,abc)"
+        for bad in ("'(1,abc,zz)'", "'(x,abc)'", "'1,abc)'"):
+            with _pt.raises(Exception):
+                eng.sql(f"SELECT {bad}::text::r10comp").collect()
+    finally:
+        eng.sql("DROP TYPE r10comp")
+
+
+def test_float_column_int_cast_rounds(spark, sf_dir):
+    """Catalog-typed float COLUMNS round on ::int casts like PG rint
+    (the r9 pass covered statically-typed operands only)."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("CREATE TABLE r10fcast (a float4, b float8)")
+    try:
+        eng.sql("INSERT INTO r10fcast VALUES ('2.5', '-2.5'),"
+                " ('3.5', '3.5')")
+        r = eng.sql("SELECT a::int4 AS ai, b::int4 AS bi FROM r10fcast"
+                    " ORDER BY 1").collect()
+        assert [(x.ai, x.bi) for x in r] == [(2, -2), (4, 4)]
+    finally:
+        eng.sql("DROP TABLE r10fcast")
+
+
+def test_lateral_generate_series_and_fn_casts(spark, sf_dir):
+    """LATERAL generate_series in FROM (gram.y implicit-lateral SRF)
+    and function-style casts (float8(x) IS a cast, parse_func.c)."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    r = eng.sql("select * from (values(1)) x(lb),"
+                " lateral generate_series(lb,3) g(n)").collect()
+    assert sorted((x.lb, x.n) for x in r) == [(1, 1), (1, 2), (1, 3)]
+    r = eng.sql("select float8(count(*)) / 2 AS h"
+                " from (values (1),(2),(3)) v(x)").collect()[0].h
+    assert r == 1.5
