@@ -418,6 +418,11 @@ _TYPE_MAP = {
     # binary form is a storage detail of the reference, not semantics)
     "json": "STRING",
     "jsonb": "STRING",
+    # uuid/macaddr: canonical text images (uuid.c/mac.c output
+    # functions); the canonical forms sort and compare bytewise like
+    # the native types, so text ordering IS PG ordering
+    "uuid": "STRING",
+    "macaddr": "STRING",
 }
 
 
@@ -3479,6 +3484,107 @@ def _pass_float_guards(
             i = j
             continue
         out.append(tokens[i])
+        i += 1
+    return out
+
+
+_NET_CMP_OPS = ("=", "<>", "!=", "<", ">", "<=", ">=")
+
+
+def _pass_netaddr(tokens: list[str], net_cols: dict) -> list[str]:
+    """uuid/macaddr catalog columns (canonical-text storage, uuid.c /
+    mac.c): literals compared against them fold to the canonical image
+    at translate time (so text comparison IS type comparison, every
+    accepted input spelling included), macaddr bitwise ~ & | route
+    through pg_mac_op, trunc(macaddr) through pg_mac_trunc."""
+    if not net_cols:
+        return tokens
+    from gpdb_spark.functions.geo_runtime import (mac_canon, time_canon,
+                                                  uuid_canon)
+
+    def canon(kind, lit: str) -> str:
+        k, n = kind
+        body = lit[1:-1].replace("''", "'")
+        if k == "uuid":
+            out = uuid_canon(body)
+        elif k == "macaddr":
+            out = mac_canon(body)
+        else:
+            out = time_canon(n, body)
+        return "'" + out.replace("'", "''") + "'"
+
+    def ref_at(i: int) -> tuple[list[str], str] | None:
+        if (i + 2 < len(tokens) and tokens[i].isidentifier()
+                and tokens[i + 1] == "."
+                and tokens[i + 2].lower() in net_cols):
+            return tokens[i:i + 3], net_cols[tokens[i + 2].lower()]
+        if tokens[i].isidentifier() and tokens[i].lower() in net_cols \
+                and not (i + 1 < len(tokens)
+                         and tokens[i + 1] in ("(", ".")):
+            return [tokens[i]], net_cols[tokens[i].lower()]
+        return None
+
+    out: list[str] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        t = tokens[i]
+        # trunc(maccol) -> pg_mac_trunc
+        if (t.isidentifier() and t.lower() == "trunc"
+                and i + 2 < n and tokens[i + 1] == "("):
+            call = _fn_args(tokens, i)
+            if call is not None and len(call[0]) == 1:
+                r = None
+                if len(call[0][0]) in (1, 3):
+                    sub = call[0][0]
+                    if sub[-1].isidentifier() and \
+                            sub[-1].lower() in net_cols and \
+                            net_cols[sub[-1].lower()][0] == "macaddr":
+                        r = sub
+                if r is not None:
+                    out += ["pg_mac_trunc", "(", *r, ")"]
+                    i = call[1] + 1
+                    continue
+        # prefix ~maccol (macaddr_not)
+        if t == "~" and i + 1 < n:
+            r = ref_at(i + 1)
+            prev_operand = bool(out) and (
+                out[-1] == ")" or out[-1].startswith("'")
+                or (out[-1].isidentifier()
+                    and out[-1].lower() not in _KEYWORDS))
+            if r is not None and r[1][0] == "macaddr" \
+                    and not prev_operand:
+                out += ["pg_mac_op", "(", "'~'", ",", *r[0], ",",
+                        "CAST", "(", "NULL", "AS", "STRING", ")", ")"]
+                i += 1 + len(r[0])
+                continue
+        r = ref_at(i)
+        if r is not None:
+            span, kind = r
+            j = i + len(span)
+            if j + 1 < n and tokens[j] in _NET_CMP_OPS \
+                    and tokens[j + 1].startswith("'"):
+                out += span + [tokens[j], canon(kind, tokens[j + 1])]
+                i = j + 2
+                continue
+            if (kind[0] == "macaddr" and j + 1 < n
+                    and tokens[j] in ("&", "|")
+                    and tokens[j + 1].startswith("'")):
+                out += ["pg_mac_op", "(", f"'{tokens[j]}'", ",",
+                        *span, ",", canon(kind, tokens[j + 1]), ")"]
+                i = j + 2
+                continue
+            out += span
+            i = j
+            continue
+        # literal OP col (reversed operand order)
+        if (t.startswith("'") and i + 1 < n
+                and tokens[i + 1] in _NET_CMP_OPS):
+            r2 = ref_at(i + 2) if i + 2 < n else None
+            if r2 is not None:
+                out += [canon(r2[1], t), tokens[i + 1], *r2[0]]
+                i = i + 2 + len(r2[0])
+                continue
+        out.append(t)
         i += 1
     return out
 
@@ -13901,7 +14007,8 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset(),
               f32_cols: frozenset[str] = frozenset(),
               bin_cols: frozenset[str] = frozenset(),
               bit_cols: frozenset[str] = frozenset(),
-              f64_cols: frozenset[str] = frozenset()) -> str:
+              f64_cols: frozenset[str] = frozenset(),
+              net_cols: dict | None = None) -> str:
     """Translate a PostgreSQL-dialect query to Spark SQL.
 
     ``int_cols`` — lowercase names of integer-typed columns (catalog type
@@ -13918,6 +14025,7 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset(),
     tokens = _pass_encode_decode(tokens)
     tokens = _pass_string_agg_bytea(tokens, bin_cols)
     tokens = _pass_bit_aggs(tokens, bit_cols)
+    tokens = _pass_netaddr(tokens, net_cols or {})
     tokens = _pass_float_nan_literals(tokens)
     tokens = _pass_float_guards(tokens, f32_cols | f64_cols)
     tokens = _pass_unicode_literals(tokens)
@@ -14144,6 +14252,7 @@ def pg_sql(
     bin_cols: frozenset[str] = frozenset(),
     bit_cols: frozenset[str] = frozenset(),
     f64_cols: frozenset[str] = frozenset(),
+    net_cols: dict | None = None,
 ) -> DataFrame:
     """The engine's SQL front door: PG-dialect text in, DataFrame out.
     When ``sf_dir`` is given, the fixture tables are (re-)registered as
@@ -14172,7 +14281,7 @@ def pg_sql(
         # applies: EXPLAIN must plan the SAME query that would execute
         # (with None the plan showed double division — review finding)
         df = pg_sql(spark, body, sf_dir, int_cols, numeric_agg,
-                    f32_cols, bin_cols, bit_cols, f64_cols)
+                    f32_cols, bin_cols, bit_cols, f64_cols, net_cols)
         if analyze:
             df._jdf.queryExecution().toRdd().count()
         plan = explain_motion(df)
@@ -14203,4 +14312,5 @@ def pg_sql(
         return rec
     return spark.sql(translate(sql, int_cols, numeric_agg=numeric_agg,
                                f32_cols=f32_cols, bin_cols=bin_cols,
-                               bit_cols=bit_cols, f64_cols=f64_cols))
+                               bit_cols=bit_cols, f64_cols=f64_cols,
+                               net_cols=net_cols))

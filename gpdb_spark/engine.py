@@ -417,8 +417,12 @@ class Engine:
         # a clustered-index intent is realizable through CLUSTER below.
         if head == "create" and _re.match(
                 r"(?is)^create\s+(?:unique\s+)?index\b", s):
+            if _re.search(r"(?is)\busing\s+hash\b", s):
+                # the reference refuses hash index AMs outright
+                # (GPDB indexcmds.c)
+                raise ValueError("hash indexes are not supported")
             m = _re.match(
-                r"(?is)^create\s+(?:unique\s+)?index\s+"
+                r"(?is)^create\s+(unique\s+)?index\s+"
                 r"(?:concurrently\s+)?(?:if\s+not\s+exists\s+)?"
                 r"([\w\"]+)\s+on\s+([\w.\"]+)\s*(?:using\s+\w+\s*)?"
                 r"\(([^)]*)\)",
@@ -426,10 +430,17 @@ class Engine:
             )
             if m:
                 self._indexes = getattr(self, "_indexes", {})
-                self._indexes[_fold_ident(m.group(1).strip('"'))] = {
-                    "table": _fold_ident(m.group(2).strip('"')),
-                    "columns": [c.strip() for c in m.group(3).split(",")],
+                idxname = _fold_ident(m.group(2).strip('"'))
+                self._indexes[idxname] = {
+                    "table": _fold_ident(m.group(3).strip('"')),
+                    "columns": [c.strip() for c in m.group(4).split(",")],
+                    "unique": bool(m.group(1)),
                 }
+                if m.group(1):
+                    # btree_check analog: a UNIQUE index over existing
+                    # duplicate keys refuses at build time like PG
+                    self._check_unique(idxname)
+                self._refresh_pg_class()
                 return self.spark.createDataFrame(
                     [("CREATE INDEX",)], "status string")
         if head == "drop" and _re.match(r"(?is)^drop\s+index\b", s):
@@ -902,6 +913,21 @@ class Engine:
                         # (gram.y CharacterWithoutLength); varchar
                         # without a typmod is unlimited
                         tm = ("bpchar", 1)
+                elif tl in ("uuid", "macaddr"):
+                    # canonical text storage + input validation
+                    # (uuid.c / mac.c input functions)
+                    tm = (tl, 0)
+                elif tl == "time" and "zone" not in [
+                        t2.lower() for t2 in toks]:
+                    # TIME columns store the canonical text image
+                    # (Spark gates TimeType out of parquet DDL);
+                    # typmod = fractional precision (date.c
+                    # AdjustTimeForTypmod; bare time = 6)
+                    prec = 6
+                    if len(toks) > 3 and toks[1] == "("                             and toks[2].isdigit():
+                        prec = int(toks[2])
+                    tm = ("time", prec)
+                    spark_type = "STRING"
                 elif tl in ("bit", "varbit"):
                     # bit(n)/varbit(n) input discipline + the bit
                     # aggregate routing catalog (varbit.c; bare BIT =
@@ -1337,7 +1363,11 @@ class Engine:
                       f64_cols=frozenset(
                           c for cols in getattr(
                               self, "_tbl_coltypes", {}).values()
-                          for c, t in cols if t == "double"))
+                          for c, t in cols if t == "double"),
+                      net_cols={
+                          c: (k, n) for (_t, c), (k, n) in getattr(
+                              self, "_typmod_cols", {}).items()
+                          if k in ("uuid", "macaddr", "time")})
 
     def obj_description(self, name: str, objtype: str = "table") -> str | None:
         """obj_description() (pg_description lookup)."""
@@ -1559,6 +1589,7 @@ class Engine:
                     if parent in tables:
                         self._refresh(parent)
             self._unbind_table_cols(nm)
+            self._refresh_pg_class()
         elif kind == "view":
             views.pop(nm)
         else:
@@ -1674,6 +1705,7 @@ class Engine:
             elif f.dataType.simpleString() == "float":
                 self._f32_cols.add(f.name.lower())
         table.read(self.spark).createOrReplaceTempView(name)
+        self._refresh_pg_class()
         return table
 
     def table(self, name: str) -> DataFrame:
@@ -2266,6 +2298,7 @@ class Engine:
             # input function (validation: bad input raises PG's message
             # BEFORE anything is written) + output function per value
             df = self._canon_write(name, df)
+            self._enforce_unique(name, df)
             n = df.count()
             self.insert_into(name, df)
             return n
@@ -2393,6 +2426,51 @@ class Engine:
             return self.delete_where(name, cond, only=only)
 
         raise ValueError(f"not a supported DML statement: {text[:80]}")
+
+    def _check_unique(self, idxname: str) -> None:
+        """CREATE UNIQUE INDEX over existing duplicates refuses like
+        PG's btree build (tuplesort comparetup_index_btree)."""
+        from pyspark.sql import functions as Fn
+
+        idx = self._indexes[idxname]
+        if idx["table"] not in self._tables:
+            return
+        df = self._tables[idx["table"]].read(self.spark)
+        nn = df
+        for c in idx["columns"]:
+            nn = nn.where(Fn.col(c).isNotNull())
+        if nn.groupBy(*idx["columns"]).count().where(
+                "count > 1").limit(1).count():
+            raise ValueError(
+                f'could not create unique index "{idxname}": '
+                "Key is duplicated.")
+
+    def _enforce_unique(self, name: str, df: DataFrame) -> None:
+        """INSERT-time unique-index enforcement (nbtinsert.c
+        _bt_check_unique): batch-internal duplicates and collisions
+        with stored rows refuse. NULL keys never conflict (PG's NULLS
+        DISTINCT default). Cost is one aggregate + one semi join per
+        unique index per INSERT — the price every engine pays for
+        enforced uniqueness."""
+        from pyspark.sql import functions as Fn
+
+        for iname, idx in getattr(self, "_indexes", {}).items():
+            if not idx.get("unique") or idx["table"] != name:
+                continue
+            cols = idx["columns"]
+            nn = df.select(*cols)
+            for c in cols:
+                nn = nn.where(Fn.col(c).isNotNull())
+            if nn.groupBy(*cols).count().where(
+                    "count > 1").limit(1).count():
+                raise ValueError(
+                    "duplicate key value violates unique constraint "
+                    f'"{iname}"')
+            cur = self._tables[name].read(self.spark).select(*cols)
+            if nn.join(cur, cols, "left_semi").limit(1).count():
+                raise ValueError(
+                    "duplicate key value violates unique constraint "
+                    f'"{iname}"')
 
     def _rid_view(self, name: str):
         """Row-identity handle for join-DML (UPDATE..FROM /
@@ -2717,6 +2795,19 @@ class Engine:
             trows or [("", "", "")],
             "oid string, typname string, typtype string",
         ).filter("oid <> ''").createOrReplaceTempView("pg_type")
+
+    def _refresh_pg_class(self) -> None:
+        """pg_class as a queryable catalog view (relname + relkind:
+        r = table, i = index, v = view — the regress introspection
+        queries' surface)."""
+        rows = (
+            [(nm, "r") for nm in self._tables]
+            + [(nm, "i") for nm in getattr(self, "_indexes", {})]
+            + [(nm, "v") for nm in getattr(self, "_views", {})]
+        )
+        self.spark.createDataFrame(
+            rows or [("", "")], "relname string, relkind string"
+        ).filter("relname <> ''").createOrReplaceTempView("pg_class")
 
     def enum_ordinal(self, name: str, col) -> Column:
         """Label -> 1-based enumsortorder (NULL for non-members):

@@ -199,6 +199,12 @@ def vartype_canon(kind, n, v):
     if v is None:
         return None
     n = int(n)
+    if kind == "uuid":
+        return uuid_canon(v)
+    if kind == "macaddr":
+        return mac_canon(v)
+    if kind == "time":
+        return time_canon(n, v)
     if kind in ("bit", "varbit"):
         s = v[1:] if v[:1] in ("B", "b") else v
         bad = next((c for c in s if c not in "01"), None)
@@ -220,6 +226,128 @@ def vartype_canon(kind, n, v):
             raise ValueError(f"value too long for type {tname}({n})")
         v = v[:n]
     return v.ljust(n) if kind == "bpchar" else v
+
+
+def uuid_canon(v):
+    """uuid_in/uuid_out (utils/adt/uuid.c): optional braces, either
+    the standard 8-4-4-4-12 hyphenation or a bare 32-hex string;
+    canonical image is lowercase hyphenated."""
+    import re as _re
+
+    if v is None:
+        return None
+    s = v.strip()
+    body = s
+    if body.startswith("{") and body.endswith("}"):
+        body = body[1:-1]
+    h = body.replace("-", "")
+    ok = (_re.fullmatch(r"[0-9a-fA-F]{32}", h)
+          and (body == h
+               or _re.fullmatch(
+                   r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+                   r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}", body)))
+    if not ok:
+        raise ValueError(f'invalid input syntax for uuid: "{v}"')
+    h = h.lower()
+    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
+
+
+def mac_canon(v):
+    """macaddr_in/macaddr_out (utils/adt/mac.c): the five accepted
+    spellings (xx:xx:xx:xx:xx:xx, xx-xx-..., xxxxxx:xxxxxx,
+    xxxxxx-xxxxxx, xxxx.xxxx.xxxx, bare 12 hex); canonical image is
+    the lowercase colon form."""
+    import re as _re
+
+    if v is None:
+        return None
+    s = v.strip().lower()
+    pats = [
+        r"([0-9a-f]{2}):([0-9a-f]{2}):([0-9a-f]{2}):([0-9a-f]{2}):"
+        r"([0-9a-f]{2}):([0-9a-f]{2})",
+        r"([0-9a-f]{2})-([0-9a-f]{2})-([0-9a-f]{2})-([0-9a-f]{2})-"
+        r"([0-9a-f]{2})-([0-9a-f]{2})",
+        r"([0-9a-f]{6})[:-]([0-9a-f]{6})",
+        r"([0-9a-f]{4})\.([0-9a-f]{4})\.([0-9a-f]{4})",
+        r"([0-9a-f]{12})",
+    ]
+    for p in pats:
+        m = _re.fullmatch(p, s)
+        if m:
+            h = "".join(m.groups())
+            return ":".join(h[i:i + 2] for i in range(0, 12, 2))
+    raise ValueError(f'invalid input syntax for type macaddr: "{v}"')
+
+
+def mac_op(op, a, b):
+    """macaddr bitwise operators ~ & | (mac.c macaddr_not/and/or) over
+    canonical colon-form text."""
+    if a is None or (op != "~" and b is None):
+        return None
+    av = int(mac_canon(a).replace(":", ""), 16)
+    if op == "~":
+        r = (~av) & 0xFFFFFFFFFFFF
+    else:
+        bv = int(mac_canon(b).replace(":", ""), 16)
+        r = (av & bv) if op == "&" else (av | bv)
+    h = f"{r:012x}"
+    return ":".join(h[i:i + 2] for i in range(0, 12, 2))
+
+
+def mac_trunc(a):
+    """trunc(macaddr): zero the NIC-specific low 3 bytes (mac.c
+    macaddr_trunc)."""
+    if a is None:
+        return None
+    return mac_canon(a)[:9] + "00:00:00"
+
+
+def time_canon(n, v):
+    """time_in + AdjustTimeForTypmod (utils/adt/date.c): HH:MM[:SS
+    [.frac]] with optional AM/PM, an optional leading date (consumed),
+    and an optional trailing zone spec that is accepted-and-ignored —
+    EXCEPT a dynamic region zone without a date, whose offset cannot
+    be resolved (the regress error row). Canonical image HH:MM:SS
+    [.frac], fraction rounded half-even to the typmod precision."""
+    import re as _re
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    if v is None:
+        return None
+    s = v.strip()
+    dm = _re.match(r"^(\d{4}-\d{2}-\d{2})\s+(.*)$", s)
+    has_date = bool(dm)
+    if dm:
+        s = dm.group(2)
+    m = _re.match(
+        r"(?i)^(\d{1,2}):(\d{2})(?::(\d{2}))?(\.\d+)?"
+        r"\s*(am|pm)?\s*(.*)$", s)
+    if not m:
+        raise ValueError(f'invalid input syntax for type time: "{v}"')
+    hh, mi = int(m.group(1)), int(m.group(2))
+    ss = int(m.group(3) or 0)
+    frac = m.group(4) or ""
+    ampm = (m.group(5) or "").lower()
+    zone = m.group(6).strip()
+    if zone and "/" in zone and not has_date:
+        raise ValueError(
+            f'time zone displacement out of range: "{v}"')
+    if ampm == "pm" and hh < 12:
+        hh += 12
+    elif ampm == "am" and hh == 12:
+        hh = 0
+    if hh > 24 or mi > 59 or ss > 60 or (hh == 24 and (mi or ss)):
+        raise ValueError(
+            f'date/time field value out of range: "{v}"')
+    out = f"{hh:02d}:{mi:02d}:{ss:02d}"
+    if frac:
+        n = int(n)
+        q = Decimal(frac).quantize(
+            Decimal(1).scaleb(-n) if n else Decimal(1),
+            rounding=ROUND_HALF_EVEN)
+        txt = f"{q:f}"[1:].rstrip("0").rstrip(".")
+        out += txt
+    return out
 
 
 def record_canon(sig, v):
@@ -356,6 +484,8 @@ def register_geo_udfs(spark: SparkSession) -> None:
         ("pg_geo_fn_text", "geo_fn_text", StringType()),
         ("pg_vartype_canon", "vartype_canon", StringType()),
         ("pg_record_canon", "record_canon", StringType()),
+        ("pg_mac_op", "mac_op", StringType()),
+        ("pg_mac_trunc", "mac_trunc", StringType()),
     ):
         spark.udf.register(name, _worker_wrapper(fn), rtype)
     _REGISTERED.add(key)

@@ -1583,3 +1583,97 @@ def test_lateral_generate_series_and_fn_casts(spark, sf_dir):
     r = eng.sql("select float8(count(*)) / 2 AS h"
                 " from (values (1),(2),(3)) v(x)").collect()[0].h
     assert r == 1.5
+
+
+def test_uuid_macaddr_types(spark, sf_dir):
+    """uuid/macaddr canonical-text types (uuid.c/mac.c): every input
+    spelling canonicalizes, literals in comparisons fold, macaddr
+    bitwise ops and trunc work, unique indexes enforce."""
+    import pytest as _pt
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("CREATE TABLE r10mac (a int, b macaddr)")
+    eng.sql("CREATE TABLE r10guid (g uuid)")
+    try:
+        for i, v in enumerate(["08:00:2b:01:02:03", "08-00-2b-01-02-03",
+                               "08002b:010203", "0800.2b01.0203",
+                               "08002b010203"]):
+            eng.sql(f"INSERT INTO r10mac VALUES ({i}, '{v}')")
+        rows = {r.b for r in eng.table("r10mac").collect()}
+        assert rows == {"08:00:2b:01:02:03"}
+        with _pt.raises(Exception, match="invalid input"):
+            eng.sql("INSERT INTO r10mac VALUES (9, '0800:2b01:0203')")
+        r = eng.sql("SELECT trunc(b) AS t, ~b AS n,"
+                    " b & '00:00:00:ff:ff:ff' AS a FROM r10mac"
+                    " WHERE a = 0").collect()[0]
+        assert r.t == "08:00:2b:00:00:00"
+        assert r.n == "f7:ff:d4:fe:fd:fc"
+        assert r.a == "00:00:00:01:02:03"
+        assert eng.sql("SELECT count(*) AS c FROM r10mac WHERE"
+                       " b = '08002b010203'").collect()[0].c == 5
+        # uuid: brace/bare/hyphen forms canonicalize; bad forms refuse
+        eng.sql("INSERT INTO r10guid VALUES"
+                " ('{22222222-2222-2222-2222-222222222222}')")
+        eng.sql("INSERT INTO r10guid VALUES"
+                " ('3f3e3c3b3a3039383736353433a2313e')")
+        assert sorted(r.g for r in eng.table("r10guid").collect()) == [
+            "22222222-2222-2222-2222-222222222222",
+            "3f3e3c3b-3a30-3938-3736-353433a2313e"]
+        with _pt.raises(Exception, match="invalid input"):
+            eng.sql("INSERT INTO r10guid VALUES"
+                    " ('111-11111-1111-1111-1111-111111111111')")
+        # unique index: build-time + insert-time enforcement
+        eng.sql("CREATE UNIQUE INDEX r10guid_u ON r10guid (g)")
+        with _pt.raises(Exception, match="duplicate key"):
+            eng.sql("INSERT INTO r10guid VALUES"
+                    " ('22222222-2222-2222-2222-222222222222')")
+        with _pt.raises(Exception, match="hash indexes"):
+            eng.sql("CREATE INDEX r10mac_h ON r10mac USING hash (b)")
+    finally:
+        eng.sql("DROP INDEX r10guid_u")
+        eng.sql("DROP TABLE r10mac")
+        eng.sql("DROP TABLE r10guid")
+
+
+def test_plain_domain_alias(spark, sf_dir):
+    """CREATE DOMAIN name AS base: transparent alias in DDL + casts."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("CREATE DOMAIN r10dom AS text")
+    try:
+        assert eng.sql("SELECT 'hi'::r10dom AS x").collect()[0].x == "hi"
+        eng.sql("CREATE TABLE r10domt (v r10dom)")
+        eng.sql("INSERT INTO r10domt VALUES ('a')")
+        assert eng.table("r10domt").collect()[0].v == "a"
+        eng.sql("DROP TABLE r10domt")
+    finally:
+        eng.sql("DROP DOMAIN r10dom")
+
+
+def test_time_column_canonical_text(spark, sf_dir):
+    """TIME(p) columns store the canonical text image (date.c time_in
+    + AdjustTimeForTypmod; Spark gates TimeType out of parquet DDL):
+    AM/PM, ignored zone specs, date-prefixed input, and the
+    region-zone-without-date error (time.sql)."""
+    import pytest as _pt
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("CREATE TABLE r10time (f1 time(2))")
+    try:
+        for v in ("00:00", "02:03 PST", "11:59:59.99 PM",
+                  "2003-03-07 15:36:39 America/New_York"):
+            eng.sql(f"INSERT INTO r10time VALUES ('{v}')")
+        got = sorted(r.f1 for r in eng.table("r10time").collect())
+        assert got == ["00:00:00", "02:03:00", "15:36:39",
+                       "23:59:59.99"]
+        with _pt.raises(Exception, match="time zone"):
+            eng.sql("INSERT INTO r10time VALUES"
+                    " ('15:36:39 America/New_York')")
+        r = eng.sql("SELECT f1 FROM r10time WHERE f1 < '05:06:07'"
+                    ).collect()
+        assert sorted(x.f1 for x in r) == ["00:00:00", "02:03:00"]
+    finally:
+        eng.sql("DROP TABLE r10time")

@@ -76,7 +76,7 @@ DATA = "/root/reference/src/test/regress/data"
 DEFAULT_FILES = ["limit", "select", "point", "box", "lseg", "path",
                  "circle", "enum", "aggregates", "case", "int2",
                  "int4", "varchar", "char", "text", "union", "float8",
-                 "join", "subselect"]
+                 "join", "subselect", "macaddr", "uuid", "time"]
 
 _STMT_HEAD = (
     r"(?i)^(select|insert|update|delete|create|drop|alter|copy|analyze|"
