@@ -11721,13 +11721,15 @@ def _pass_misc_funcs(tokens: list[str]) -> list[str]:
                 ty = {"float8": "DOUBLE", "float4": "FLOAT",
                       "int2": "SMALLINT", "int4": "INT",
                       "int8": "BIGINT"}[low]
-                out += ["CAST", "(", *args[0], "AS", ty, ")"]
+                out += ["CAST", "(", *_pass_misc_funcs(args[0]),
+                        "AS", ty, ")"]
                 i = k + 1
                 continue
             if low in ("float8in", "float4in") and len(args) == 1:
                 # float8in(cstring) — the input function by name
                 # (float.c); rides pg_float_in's strtod contract
-                out += ["pg_float_in", "(", "CAST", "(", "(", *args[0],
+                out += ["pg_float_in", "(", "CAST", "(", "(",
+                        *_pass_misc_funcs(args[0]),
                         ")", "AS", "STRING", ")", ",",
                         f"'{low[:6]}'", ")"]
                 i = k + 1
@@ -11735,7 +11737,7 @@ def _pass_misc_funcs(tokens: list[str]) -> list[str]:
             if low in ("float8out", "float4out") and len(args) == 1:
                 fn = ("pg_float8_numeric" if low == "float8out"
                       else "pg_float4_numeric")
-                out += [fn, "(", *args[0], ")"]
+                out += [fn, "(", *_pass_misc_funcs(args[0]), ")"]
                 i = k + 1
                 continue
             if low in ("booland_statefunc", "boolor_statefunc") \

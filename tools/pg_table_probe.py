@@ -319,6 +319,9 @@ _DECLARED_TABLE_ERR = [
      "whole-row-composite"),
     (r"(?is)\(\s*select\s+(\w+)\s*\)\s*from\s+\1\b",
      "whole-row-composite"),
+    # format() with a DYNAMIC format string (built by an aggregate):
+    # the engine's format implementation folds literal patterns only
+    (r"(?is)\bformat\s*\(\s*\w+_agg\b", "dynamic format string"),
     # SRF inside an expression over a grouped subquery (PG expands
     # set-returning functions post-aggregation; the engine's rewrite
     # covers bare SRF select items only — loud refusal)
