@@ -11709,6 +11709,7 @@ def _pass_misc_funcs(tokens: list[str]) -> list[str]:
             "json_extract_path", "json_extract_path_text",
             "row_to_json", "array_to_json", "json_object",
             "booland_statefunc", "boolor_statefunc",
+            "booleq", "boolne", "boollt", "boolgt", "boolle", "boolge",
             "float8in", "float8out", "float4in", "float4out",
             "float8", "float4", "int2", "int4", "int8",
         ) else None
@@ -11738,6 +11739,17 @@ def _pass_misc_funcs(tokens: list[str]) -> list[str]:
                 fn = ("pg_float8_numeric" if low == "float8out"
                       else "pg_float4_numeric")
                 out += [fn, "(", *_pass_misc_funcs(args[0]), ")"]
+                i = k + 1
+                continue
+            if low in ("booleq", "boolne", "boollt", "boolgt",
+                       "boolle", "boolge") and len(args) == 2:
+                # bool comparison functions by name (bool.c): false <
+                # true, NULL-strict like the operators they back
+                op = {"booleq": "=", "boolne": "<>", "boollt": "<",
+                      "boolgt": ">", "boolle": "<=",
+                      "boolge": ">="}[low]
+                out += ["(", "(", *_pass_misc_funcs(args[0]), ")", op,
+                        "(", *_pass_misc_funcs(args[1]), ")", ")"]
                 i = k + 1
                 continue
             if low in ("booland_statefunc", "boolor_statefunc") \

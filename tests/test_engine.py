@@ -1677,3 +1677,15 @@ def test_time_column_canonical_text(spark, sf_dir):
         assert sorted(x.f1 for x in r) == ["00:00:00", "02:03:00"]
     finally:
         eng.sql("DROP TABLE r10time")
+
+
+def test_bool_comparison_functions(spark, sf_dir):
+    """bool.c comparison functions by name (boolean.sql:
+    booleq/boolne back the = and <> operators, false < true)."""
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    r = eng.sql("SELECT booleq(true, true) AS a,"
+                " boolne(true, false) AS b, boollt(false, true) AS c,"
+                " boolge(false, true) AS d").collect()[0]
+    assert [r.a, r.b, r.c, r.d] == [True, True, True, False]

@@ -76,7 +76,8 @@ DATA = "/root/reference/src/test/regress/data"
 DEFAULT_FILES = ["limit", "select", "point", "box", "lseg", "path",
                  "circle", "enum", "aggregates", "case", "int2",
                  "int4", "varchar", "char", "text", "union", "float8",
-                 "join", "subselect", "macaddr", "uuid", "time"]
+                 "join", "subselect", "macaddr", "uuid", "time",
+                 "boolean"]
 
 _STMT_HEAD = (
     r"(?i)^(select|insert|update|delete|create|drop|alter|copy|analyze|"
