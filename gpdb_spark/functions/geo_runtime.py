@@ -336,7 +336,8 @@ def time_canon(n, v):
         hh += 12
     elif ampm == "am" and hh == 12:
         hh = 0
-    if hh > 24 or mi > 59 or ss > 60 or (hh == 24 and (mi or ss)):
+    if hh > 24 or mi > 59 or ss > 60 or (hh == 24 and (mi or ss)) \
+            or (hh == 24 and frac and Decimal(frac) != 0):
         raise ValueError(
             f'date/time field value out of range: "{v}"')
     out = f"{hh:02d}:{mi:02d}:{ss:02d}"
@@ -345,6 +346,18 @@ def time_canon(n, v):
         q = Decimal(frac).quantize(
             Decimal(1).scaleb(-n) if n else Decimal(1),
             rounding=ROUND_HALF_EVEN)
+        if q >= 1:
+            # the fraction rounded up to a whole second: carry into
+            # the seconds like AdjustTimeForTypmod's microsecond
+            # rounding (date.c) — 12:00:00.6 @ time(0) is 12:00:01,
+            # 23:59:59.6 is 24:00:00 (PG's time upper bound)
+            q -= 1
+            ss += 1
+            if ss == 60:
+                ss, mi = 0, mi + 1
+            if mi == 60:
+                mi, hh = 0, hh + 1
+            out = f"{hh:02d}:{mi:02d}:{ss:02d}"
         txt = f"{q:f}"[1:].rstrip("0").rstrip(".")
         out += txt
     return out

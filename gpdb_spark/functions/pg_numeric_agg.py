@@ -117,6 +117,10 @@ def pg_float8_out(v) -> str | None:
 
     if math.isnan(v):
         return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    if v == 0.0 and math.copysign(1.0, v) < 0:
+        return "-0"
     return repr(v) if v != int(v) or abs(v) >= 1e16 else str(int(v))
 
 
