@@ -1513,6 +1513,32 @@ def _pass_casts(tokens: list[str]) -> list[str]:
                         f'"{_fs}" is out of range for type '
                         + ("real" if _f4 else "double precision")
                     )
+        # '<literal>'::date / ::timestamp: run PG's flexible date-part
+        # input through the same normalization the typed-literal form
+        # gets ('today', '1999 Jan 08', '990108' — datetime.c
+        # DecodeDateTime); BC literals fold to their output image
+        if (
+            i + 1 < len(tokens)
+            and tokens[i + 1].lower() in ("date", "timestamp",
+                                          "timestamptz")
+            and start == i - 1
+            and tokens[start].startswith("'")
+        ):
+            _b = tokens[start][1:-1]
+            _mbc = re.search(r"(?i)[\s,]+(bc|b\.c\.)\s*$", _b)
+            if _mbc and tokens[i + 1].lower() == "date":
+                _img = _pg_date_literal(
+                    "'" + _b[:_mbc.start()] + "'", bc=True)
+                if _img != "'" + _b[:_mbc.start()] + "'":
+                    tokens = tokens[:start] + [_img] + tokens[i + 2:]
+                    continue
+            try:
+                if tokens[i + 1].lower() == "date":
+                    tokens[start] = _pg_date_literal(tokens[start])
+                else:
+                    tokens[start] = _pg_ts_literal(tokens[start])
+            except ValueError:
+                raise
         spark_type, after = _map_type(tokens, i + 1)
         tokens = (
             tokens[:start]
@@ -1522,6 +1548,124 @@ def _pass_casts(tokens: list[str]) -> list[str]:
             + tokens[after:]
         )
     return tokens
+
+
+def _pass_bpchar_casts(
+        tokens: list[str],
+        bp_cols: frozenset = frozenset()) -> list[str]:
+    """bpchar cast semantics (varchar.c):
+
+    - ``CAST(x AS char(n))`` / ``x::char(n)`` blank-pads to n and
+      SILENTLY truncates overlength (bpchar(), the cast path — input
+      errors only on INSERT), so set-op unification against stored
+      bpchar columns dedups like PG (union.sql 'three').
+    - ``CAST(<bpchar col> AS varchar/text)`` strips trailing blanks
+      (text(bpchar) is rtrim — parse_coerce.c select_common_type then
+      the pg_cast entry)."""
+    out: list[str] = []
+    i, n = 0, len(tokens)
+
+    def _is_charn(j):
+        # tokens[j] spells char|character|bpchar ( n ) without VARYING
+        if j >= n or not _is_word(tokens[j], "char", "character",
+                                  "bpchar"):
+            return None
+        k = j + 1
+        if k < n and _is_word(tokens[k], "varying"):
+            return None
+        if k + 2 < n and tokens[k] == "(" and tokens[k + 1].isdigit() \
+                and tokens[k + 2] == ")":
+            return int(tokens[k + 1]), k + 3
+        return None
+
+    while i < n:
+        if _is_word(tokens[i], "cast") and i + 1 < n \
+                and tokens[i + 1] == "(":
+            # find AS at depth 1
+            depth, j = 0, i + 1
+            as_at = None
+            while j < n:
+                if tokens[j] == "(":
+                    depth += 1
+                elif tokens[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif depth == 1 and _is_word(tokens[j], "as"):
+                    as_at = j
+                j += 1
+            if as_at is not None and j < n:
+                inner = tokens[i + 2:as_at]
+                cn = _is_charn(as_at + 1)
+                if cn and cn[1] == j:
+                    out += (["rpad", "(", "substring", "(", "CAST",
+                             "(", "("] + _pass_bpchar_casts(
+                                 inner, bp_cols)
+                            + [")", "AS", "STRING", ")", ",", "1", ",",
+                               str(cn[0]), ")", ",", str(cn[0]), ",",
+                               "' '", ")"])
+                    i = j + 1
+                    continue
+                if len(inner) <= 3 and inner \
+                        and inner[-1].isidentifier() \
+                        and inner[-1].lower() in bp_cols \
+                        and as_at + 2 <= j \
+                        and _is_word(tokens[as_at + 1], "varchar",
+                                     "text", "character") :
+                    out += ["rtrim", "("] + inner + [")"]
+                    i = j + 1
+                    continue
+        out.append(tokens[i])
+        i += 1
+    # second sweep: the :: spellings, spliced on the token list so
+    # operand indices stay valid
+    toks = out
+    changed = True
+    while changed:
+        changed = False
+        n2 = len(toks)
+        for i in range(n2):
+            if toks[i] != "::":
+                continue
+
+            def _is_charn2(j):
+                if j >= n2 or not _is_word(toks[j], "char",
+                                           "character", "bpchar"):
+                    return None
+                k = j + 1
+                if k < n2 and _is_word(toks[k], "varying"):
+                    return None
+                if k + 2 < n2 and toks[k] == "(" \
+                        and toks[k + 1].isdigit() and toks[k + 2] == ")":
+                    return int(toks[k + 1]), k + 3
+                return None
+
+            cn = _is_charn2(i + 1)
+            if cn:
+                start = _operand_start(toks, i)
+                toks = (toks[:start]
+                        + ["rpad", "(", "substring", "(", "CAST", "(",
+                           "("] + toks[start:i]
+                        + [")", "AS", "STRING", ")", ",", "1", ",",
+                           str(cn[0]), ")", ",", str(cn[0]), ",",
+                           "' '", ")"]
+                        + toks[cn[1]:])
+                changed = True
+                break
+            if bp_cols and i + 1 < n2 \
+                    and _is_word(toks[i + 1], "varchar", "text") \
+                    and not (i + 2 < n2 and toks[i + 2] == "(") \
+                    and i >= 1 and toks[i - 1].isidentifier() \
+                    and toks[i - 1].lower() in bp_cols:
+                start = i - 1
+                if start >= 2 and toks[start - 1] == "." \
+                        and toks[start - 2].isidentifier():
+                    start -= 2
+                toks = (toks[:start] + ["rtrim", "("]
+                        + toks[start:i] + [")"] + toks[i + 2:])
+                changed = True
+                break
+    return toks
 
 
 def _pass_cast_as_types(tokens: list[str]) -> list[str]:
@@ -3902,15 +4046,292 @@ def _pass_regtype(tokens: list[str]) -> list[str]:
     return out
 
 
+_JOIN_TYPE_WORDS = ("inner", "cross", "left", "right", "full",
+                    "natural")
+_FROM_ENDERS = ("where", "group", "having", "window", "order",
+                "limit", "offset", "union", "intersect", "except",
+                "returning", "for", "fetch")
+
+
+class _NestBail(Exception):
+    pass
+
+
+def _pass_nested_on(tokens: list[str]) -> list[str]:
+    """PG's joined_table grammar is right-recursive: ``a JOIN b JOIN c
+    ON p ON q`` parses as ``a JOIN (b JOIN c ON p) ON q`` (gram.y
+    joined_table; join.sql tenk1/subq1 block). Spark's parser is
+    left-associative and refuses the double-ON, so rebuild every FROM
+    clause with explicit parentheses around compound right operands.
+    Conservative: any unexpected shape bails and leaves the statement
+    untouched."""
+    if "on" not in [t.lower() for t in tokens if t.isidentifier()]:
+        return tokens
+
+    def word(toks, p):
+        return toks[p].lower() if p < len(toks) \
+            and toks[p].isidentifier() else ""
+
+    def consume_group(toks, p):
+        # toks[p] == '(' -> tokens through matching ')', next pos
+        depth, k = 0, p
+        while k < len(toks):
+            if toks[k] == "(":
+                depth += 1
+            elif toks[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    return toks[p:k + 1], k + 1
+            k += 1
+        raise _NestBail
+
+    def parse_primary(toks, p):
+        outp: list[str] = []
+        if word(toks, p) == "lateral":
+            outp.append(toks[p])
+            p += 1
+        if p < len(toks) and toks[p] == "(":
+            grp, p = consume_group(toks, p)
+            # parenthesized joined_table: recurse inside for nested-ON
+            inner, q, _ij = parse_table_ref(grp[1:-1], 0)
+            if q == len(grp) - 2:
+                grp = ["("] + inner + [")"]
+            outp += grp
+        elif word(toks, p):
+            outp.append(toks[p])
+            p += 1
+            while p + 1 < len(toks) and toks[p] == "." \
+                    and word(toks, p + 1):
+                outp += toks[p:p + 2]
+                p += 2
+            if p < len(toks) and toks[p] == "(":
+                grp, p = consume_group(toks, p)
+                outp += grp
+        else:
+            raise _NestBail
+        # alias: [AS] ident [(col, ...)]
+        if word(toks, p) == "as":
+            outp.append(toks[p])
+            p += 1
+            if not word(toks, p):
+                raise _NestBail
+            outp.append(toks[p])
+            p += 1
+        elif word(toks, p) and word(toks, p) not in _JOIN_TYPE_WORDS \
+                and word(toks, p) not in ("join", "on", "using") \
+                and word(toks, p) not in _FROM_ENDERS:
+            outp.append(toks[p])
+            p += 1
+        if p < len(toks) and toks[p] == "(" and outp \
+                and outp[-1].isidentifier():
+            grp, p = consume_group(toks, p)
+            outp += grp
+        return outp, p
+
+    def parse_expr_until(toks, p):
+        # ON condition: until a top-level join word / comma / ender
+        outp: list[str] = []
+        while p < len(toks):
+            w = word(toks, p)
+            if toks[p] == ",":
+                break
+            if w in _JOIN_TYPE_WORDS or w in ("join", "on") \
+                    or w in _FROM_ENDERS:
+                # 'on' appearing here means an outer pending ON
+                break
+            if toks[p] == "(":
+                grp, p = consume_group(toks, p)
+                outp += grp
+                continue
+            if toks[p] == ")":
+                break
+            outp.append(toks[p])
+            p += 1
+        if not outp:
+            raise _NestBail
+        return outp, p
+
+    def parse_table_ref(toks, p):
+        left, p = parse_primary(toks, p)
+        is_join = False
+        while p < len(toks):
+            save = p
+            jt: list[str] = []
+            w = word(toks, p)
+            if w == "natural":
+                jt.append(toks[p])
+                p += 1
+                w = word(toks, p)
+            if w in ("inner", "cross"):
+                jt.append(toks[p])
+                p += 1
+            elif w in ("left", "right", "full"):
+                jt.append(toks[p])
+                p += 1
+                if word(toks, p) == "outer":
+                    jt.append(toks[p])
+                    p += 1
+            if word(toks, p) != "join":
+                p = save
+                break
+            jt.append(toks[p])
+            p += 1
+            right, p, r_join = parse_table_ref(toks, p)
+            cond: list[str] = []
+            if word(toks, p) == "on":
+                cond.append(toks[p])
+                p += 1
+                expr, p = parse_expr_until(toks, p)
+                cond += expr
+            elif word(toks, p) == "using":
+                cond.append(toks[p])
+                p += 1
+                if p >= len(toks) or toks[p] != "(":
+                    raise _NestBail
+                grp, p = consume_group(toks, p)
+                cond += grp
+            emit_r = (["("] + right + [")"]) if r_join else right
+            left = left + jt + emit_r + cond
+            is_join = True
+        return left, p, is_join
+
+    def rewrite_region(toks):
+        # toks: the FROM-clause item list (no leading FROM); rebuild
+        items: list[list[str]] = []
+        p = 0
+        while p < len(toks):
+            item, p, _ij = parse_table_ref(toks, p)
+            items.append(item)
+            if p < len(toks):
+                if toks[p] == ",":
+                    p += 1
+                    continue
+                raise _NestBail
+        outp: list[str] = []
+        for xi, it in enumerate(items):
+            if xi:
+                outp.append(",")
+            outp += it
+        return outp
+
+    def walk(toks):
+        outp: list[str] = []
+        i, n = 0, len(toks)
+        while i < n:
+            if toks[i] == "(":
+                grp, j = consume_group(toks, i)
+                outp += ["("] + walk(grp[1:-1]) + [")"]
+                i = j
+                continue
+            if word(toks, i) == "from":
+                # region: up to the first same-depth ender
+                j = i + 1
+                depth = 0
+                while j < n:
+                    if toks[j] == "(":
+                        depth += 1
+                    elif toks[j] == ")":
+                        if depth == 0:
+                            break
+                        depth -= 1
+                    elif depth == 0 and word(toks, j) in _FROM_ENDERS:
+                        break
+                    j += 1
+                region = toks[i + 1:j]
+                try:
+                    region = rewrite_region(walk(region))
+                except _NestBail:
+                    region = walk(region)
+                outp += [toks[i]] + region
+                i = j
+                continue
+            outp.append(toks[i])
+            i += 1
+        return outp
+
+    try:
+        new = walk(list(tokens))
+    except _NestBail:
+        return tokens
+    return new if new != tokens else tokens
+
+
+def _pass_values_subquery(tokens: list[str]) -> list[str]:
+    """A VALUES list whose rows contain scalar subqueries
+    (subselect.sql bug #16213: ``(values ((3 not in (select ...))),
+    (false)) ss``) — Spark's inline-table VALUES rejects subquery
+    expressions, so rewrite the VALUES body to an equivalent
+    ``SELECT ... UNION ALL SELECT ...`` chain with PG's columnN
+    names."""
+    out: list[str] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        if _is_word(tokens[i], "values") and i + 1 < n \
+                and tokens[i + 1] == "(":
+            # collect ( row ) , ( row ) ... groups
+            rows: list[list[str]] = []
+            j = i + 1
+            ok = True
+            while j < n and tokens[j] == "(":
+                depth, k = 0, j
+                while k < n:
+                    if tokens[k] == "(":
+                        depth += 1
+                    elif tokens[k] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k += 1
+                if k >= n:
+                    ok = False
+                    break
+                rows.append(tokens[j + 1:k])
+                if k + 1 < n and tokens[k + 1] == ",":
+                    j = k + 2
+                else:
+                    j = k + 1
+                    break
+            has_subq = any(
+                any(_is_word(t, "select") for t in r) for r in rows)
+            if ok and rows and has_subq:
+                for ri, r in enumerate(rows):
+                    # split row on top-level commas for column aliases
+                    cols: list[list[str]] = [[]]
+                    d = 0
+                    for tk in r:
+                        if tk in ("(", "["):
+                            d += 1
+                        elif tk in (")", "]"):
+                            d -= 1
+                        if tk == "," and d == 0:
+                            cols.append([])
+                        else:
+                            cols[-1].append(tk)
+                    out += ["UNION", "ALL"] if ri else []
+                    out.append("SELECT")
+                    for ci, c in enumerate(cols):
+                        if ci:
+                            out.append(",")
+                        out += ["("] + c + [")"]
+                        if ri == 0:
+                            out += ["AS", f"column{ci + 1}"]
+                i = j
+                continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
 def _pass_in_values(tokens: list[str]) -> list[str]:
-    """``expr IN (VALUES ...)`` (gram.y in_expr: VALUES is a full
-    <table subquery>) -> ``IN (SELECT * FROM (VALUES ...))`` — Spark
-    only accepts a SELECT-shaped subquery after IN."""
+    """``expr IN (VALUES ...)`` / ``op ALL/ANY (VALUES ...)`` (gram.y
+    in_expr: VALUES is a full <table subquery>) ->
+    ``... (SELECT * FROM (VALUES ...))`` — Spark only accepts a
+    SELECT-shaped subquery there."""
     out: list[str] = []
     i, n = 0, len(tokens)
     while i < n:
         if (
-            _is_word(tokens[i], "in")
+            _is_word(tokens[i], "in", "all", "any", "some")
             and i + 2 < n
             and tokens[i + 1] == "("
             and _is_word(tokens[i + 2], "values")
@@ -3924,7 +4345,7 @@ def _pass_in_values(tokens: list[str]) -> list[str]:
                     if depth == 0:
                         break
                 j += 1
-            out += ["IN", "(", "SELECT", "*", "FROM", "("]
+            out += [tokens[i], "(", "SELECT", "*", "FROM", "("]
             out += tokens[i + 2:j]
             out += [")", "AS", "__in_values__", ")"]
             i = j + 1
@@ -4141,6 +4562,8 @@ def _pass_setop_literal_scale(tokens: list[str]) -> list[str]:
         tail_words = {t.lower() for t in segs[-1]}
         has_order = "order" in tail_words
         has_limit = bool(tail_words & {"limit", "offset"})
+        from decimal import Decimal
+        eval_ok = False
         if has_order or any(op != "union all" for op in ops):
             # string images would sort/dedup LEXICALLY ('10.5' < '2';
             # '2' <> '2.0') — PG sorts/dedups on the numeric VALUE.
@@ -4149,10 +4572,26 @@ def _pass_setop_literal_scale(tokens: list[str]) -> list[str]:
             # and emit the per-value images in PG's row order; when
             # PG's surviving image or order is plan-dependent, skip
             # the rewrite (Spark then computes value-correct rows).
-            from decimal import Decimal
             if has_limit or any(sg and sg[0] == "(" for sg in segs) \
                     or len(lits) != len(segs):
-                return tokens
+                # compound shapes (parenthesized set-op members,
+                # LIMIT tails) can't be evaluated here — the in-place
+                # image rewrite below is still VALUE-safe when no two
+                # distinct images are numerically equal (dedup can't
+                # merge differently-imaged rows) and there's no
+                # ORDER BY (which would sort image text lexically)
+                if has_order:
+                    return tokens
+                seen_img: dict = {}
+                for _s, _j, img in lits:
+                    dv = Decimal(img)
+                    if dv in seen_img and seen_img[dv] != img:
+                        return tokens
+                    seen_img[dv] = img
+                # fall through to the in-place image rewrite
+            else:
+                eval_ok = True
+        if eval_ok:
             direction = None
             if has_order:
                 last = segs[-1]
@@ -7998,6 +8437,80 @@ def _pass_dow_fields(tokens: list[str]) -> list[str]:
                         break
                 k += 1
             inner = tokens[inner_start:k]
+            if field in ("decade", "century", "millennium") \
+                    and len(inner) == 3 \
+                    and inner[0].lower() == "interval" \
+                    and inner[1].startswith("'") \
+                    and inner[2].lower() in ("month", "day", "hour",
+                                             "minute", "second"):
+                # earlier passes normalize PG interval literals to
+                # INTERVAL 'N' MONTH/DAY/... — only months carry years
+                try:
+                    mo_n = int(inner[1][1:-1]) \
+                        if inner[2].lower() == "month" else 0
+                    yrs = int(mo_n / 12)
+                    div = {"decade": 10, "century": 100,
+                           "millennium": 1000}[field]
+                    out += ["CAST", "(", str(int(yrs / div)),
+                            "AS", "DOUBLE", ")"]
+                    i = k + 1
+                    continue
+                except ValueError:
+                    pass
+            if field in ("decade", "century", "millennium") \
+                    and len(inner) == 1 and inner[0].startswith("'") \
+                    and ("year" in inner[0] or "@" in inner[0]
+                         or "mon" in inner[0]):
+                # _pass_interval_fold already rendered a constant
+                # interval to its OUTPUT image ('@ 100 years' under
+                # postgres_verbose) — parse it back for the years
+                try:
+                    trip = _pg_interval_triple(_lit_decode(inner[0]))
+                except ValueError:
+                    trip = None
+                if trip is not None:
+                    yrs = int(trip[0] / 12)
+                    div = {"decade": 10, "century": 100,
+                           "millennium": 1000}[field]
+                    out += ["CAST", "(", str(int(yrs / div)),
+                            "AS", "DOUBLE", ")"]
+                    i = k + 1
+                    continue
+            if field in ("decade", "century", "millennium") \
+                    and len(inner) == 2 and inner[1].startswith("'"):
+                # constant folds Spark's year() cannot express:
+                # INTERVAL operands (interval_part: C-truncating
+                # years/N division — '-99 y' century is 0) and BC-era
+                # date/timestamp literals (timestamp_part: no year 0,
+                # so the astronomical year is 1-y)
+                body = inner[1][1:-1]
+                val = None
+                if inner[0].lower() == "interval":
+                    trip = None
+                    try:
+                        trip = _pg_interval_triple(body)
+                    except ValueError:
+                        trip = None
+                    if trip is not None:
+                        yrs = int(trip[0] / 12)  # C trunc toward zero
+                        div = {"decade": 10, "century": 100,
+                               "millennium": 1000}[field]
+                        val = int(yrs / div)
+                elif inner[0].lower() in ("date", "timestamp") \
+                        and re.search(r"(?i)\bbc\s*$", body):
+                    m_y = re.match(r"(\d+)", body)
+                    if m_y:
+                        y = int(m_y.group(1))
+                        if field == "decade":
+                            val = (1 - y) // 10
+                        elif field == "century":
+                            val = -((y + 99) // 100)
+                        else:
+                            val = -((y + 999) // 1000)
+                if val is not None:
+                    out += ["CAST", "(", str(val), "AS", "DOUBLE", ")"]
+                    i = k + 1
+                    continue
             if field == "dow":
                 out += ["(", "(", "weekday", "("] + inner + [")", "+", "1", ")", "%", "7", ")"]
             elif field == "isodow":
@@ -11989,14 +12502,29 @@ def _pass_misc_funcs(tokens: list[str]) -> list[str]:
                     m_y = re.match(r"'(\d{4})", args[1][1])
                     if m_y:
                         y0 = int(m_y.group(1))
+                        # astronomical year (no year 0: 1 BC is 0,
+                        # 2 BC is -1) so the floor-division first-year
+                        # arithmetic is era-uniform (timestamp_trunc)
+                        a0 = 1 - y0 if re.search(
+                            r"(?i)\bbc\s*'\s*$",
+                            args[1][1]) else y0
                         if field == "decade":
-                            y1 = (y0 // 10) * 10
+                            y1 = (a0 // 10) * 10
                         elif field == "century":
-                            y1 = ((y0 + 99) // 100) * 100 - 99
+                            y1 = ((a0 - 1) // 100) * 100 + 1
                         else:
-                            y1 = ((y0 + 999) // 1000) * 1000 - 999
+                            y1 = ((a0 - 1) // 1000) * 1000 + 1
                         import datetime as _dt
 
+                        if y1 < 2:
+                            # BC or year-1 result: Spark timestamps
+                            # cannot carry it through collect — fold
+                            # the PG text image (EncodeDateTime, era
+                            # tag after the zone: '... PST BC')
+                            out += [_lit_encode(
+                                _bc_ts_image(y1))]
+                            i = k + 1
+                            continue
                         try:
                             u = _pg_wall_to_utc(
                                 _dt.datetime(y1, 1, 1),
@@ -13271,6 +13799,17 @@ def set_date_style(style: str) -> None:
         _DATE_STYLE = style.lower()
 
 
+# GPDB's gp_allow_date_field_width_5digits GUC (guc_gp.c): off by
+# default — a 7-digit run-together date ('2020516') is invalid input;
+# on, it parses as the non-standard YYYMMDD (3-digit year 0202-05-16).
+_DATE_5DIGIT = False
+
+
+def set_date_5digit(on: bool) -> None:
+    global _DATE_5DIGIT
+    _DATE_5DIGIT = bool(on)
+
+
 def _date_out_fmt() -> tuple[str | None, str | None]:
     """(date_format pattern for DATE, pattern for TIMESTAMP) under the
     session DateStyle/DateOrder; (None, None) when ISO (Spark's cast
@@ -13286,6 +13825,48 @@ def _date_out_fmt() -> tuple[str | None, str | None]:
     if _DATE_STYLE == "german":
         return "dd.MM.yyyy", "dd.MM.yyyy HH:mm:ss"
     return None, None
+
+
+def _bc_ts_image(a1: int) -> str:
+    """PG text image of midnight Jan 1 of astronomical year ``a1`` <= 1
+    (timestamptz output for an early date_trunc result, EncodeDateTime
+    + for a1 < 1 the trailing era tag — datetime.c prints the era
+    AFTER the zone: 'Tue Jan 01 00:00:00 0100 PST BC'). Spark
+    timestamps cannot hold pre-CE instants, and a year-1 instant
+    cannot survive PySpark's fromtimestamp collect path, so the fold
+    emits the finished text. Weekday via proleptic-Gregorian day
+    counting (floor divisions are era-uniform); zone abbreviation/
+    offset is the session zone's January (standard-time) value, like
+    PG's POSIX-zone handling."""
+    import datetime as _dt
+
+    y_disp = 1 - a1 if a1 < 1 else a1
+    db = (365 * (a1 - 1) + (a1 - 1) // 4 - (a1 - 1) // 100
+          + (a1 - 1) // 400)
+    wd = db % 7  # days-before-year of Jan 1; 0 = Monday (0001-01-01)
+    days = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
+    tz = _session_tzinfo()
+    ref = _dt.datetime(2000, 1, 1)
+    try:
+        abbr = tz.tzname(ref) or ""
+        off = tz.utcoffset(ref) or _dt.timedelta(0)
+    except Exception:
+        abbr, off = "UTC", _dt.timedelta(0)
+    total = int(off.total_seconds())
+    sign = "-" if total < 0 else "+"
+    hh, rem = divmod(abs(total), 3600)
+    mm = rem // 60
+    iso_off = f"{sign}{hh:02d}" + (f":{mm:02d}" if mm else "")
+    era = " BC" if a1 < 1 else ""
+    if _DATE_STYLE == "postgres":
+        dpart = (f"{days[wd]} 01 Jan" if _DATE_ORDER == "dmy"
+                 else f"{days[wd]} Jan 01")
+        return f"{dpart} 00:00:00 {y_disp:04d} {abbr}{era}"
+    if _DATE_STYLE == "sql":
+        return f"01/01/{y_disp:04d} 00:00:00 {abbr}{era}"
+    if _DATE_STYLE == "german":
+        return f"01.01.{y_disp:04d} 00:00:00 {abbr}{era}"
+    return f"{y_disp:04d}-01-01 00:00:00{iso_off}{era}"
 
 
 def _static_temporal(arg: list[str],
@@ -13324,6 +13905,109 @@ def _static_temporal(arg: list[str],
                 and arg[2].lower() in dt_cols:
             return dt_cols[arg[2].lower()]
     return None
+
+
+_INF_DATE_TYPES = ("date", "timestamp", "timestamptz")
+
+
+def _inf_date_sign(tokens: list[str], i: int):
+    """(sign, last_index) when tokens[i..] spells an infinite
+    date/timestamp — ``'[+-]infinity'::date`` or ``date 'infinity'``
+    (datetime.c DecodeSpecial DTK_LATE/DTK_EARLY); None otherwise."""
+    n = len(tokens)
+    t = tokens[i]
+    if t.startswith("'") and i + 2 < n and tokens[i + 1] == "::" \
+            and tokens[i + 2].lower() in _INF_DATE_TYPES:
+        b = t[1:-1].strip().lower()
+        if b in ("infinity", "+infinity"):
+            return (1, i + 2)
+        if b == "-infinity":
+            return (-1, i + 2)
+        return None
+    if t.isidentifier() and t.lower() in _INF_DATE_TYPES \
+            and i + 1 < n and tokens[i + 1].startswith("'"):
+        b = tokens[i + 1][1:-1].strip().lower()
+        if b in ("infinity", "+infinity"):
+            return (1, i + 1)
+        if b == "-infinity":
+            return (-1, i + 1)
+    return None
+
+
+_CMP_OPS = ("<", ">", "<=", ">=", "=", "<>", "!=")
+
+
+def _inf_cmp_result(op: str, sign_l: int, sign_r: int) -> str:
+    """'true'/'false' for <left> op <right> where either side may be
+    ±infinity; a finite side is sign 0 (date_cmp treats infinities as
+    extreme values)."""
+    if sign_l == sign_r:
+        c = 0
+    else:
+        c = -1 if sign_l < sign_r else 1
+    res = {
+        "<": c < 0, "<=": c <= 0, ">": c > 0, ">=": c >= 0,
+        "=": c == 0, "<>": c != 0, "!=": c != 0,
+    }[op]
+    return "true" if res else "false"
+
+
+def _pass_infinity_dates(tokens: list[str]) -> list[str]:
+    """±infinity date/timestamp literals (datetime.c DTK_LATE/EARLY):
+    Spark's DATE/TIMESTAMP cannot hold them, so fold at translate
+    time — comparisons against finite operands decide constantly,
+    isfinite() returns false, and a bare value renders its output
+    image ('infinity'). Unfoldable uses (arithmetic etc.) become a
+    plain string and fail loudly downstream."""
+    toks = list(tokens)
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(toks)):
+            hit = _inf_date_sign(toks, i)
+            if not hit:
+                continue
+            sign, e = hit
+            nxt = toks[e + 1] if e + 1 < len(toks) else ""
+            prv = toks[i - 1] if i >= 1 else ""
+            if nxt in _CMP_OPS:
+                rhit = _inf_date_sign(toks, e + 2) \
+                    if e + 2 < len(toks) else None
+                if rhit:
+                    val = _inf_cmp_result(nxt, sign, rhit[0])
+                    toks = toks[:i] + [val] + toks[rhit[1] + 1:]
+                    changed = True
+                    break
+                re_ = _primary_right(toks, e + 2) \
+                    if e + 2 < len(toks) else -1
+                if re_ >= 0:
+                    val = _inf_cmp_result(nxt, sign, 0)
+                    toks = toks[:i] + [val] + toks[re_ + 1:]
+                    changed = True
+                    break
+            if prv in _CMP_OPS and i >= 2:
+                ls = _primary_left(toks, i - 2)
+                if ls >= 0:
+                    val = _inf_cmp_result(prv, 0, sign)
+                    toks = toks[:ls] + [val] + toks[e + 1:]
+                    changed = True
+                    break
+            if prv == "(" and i >= 2 \
+                    and toks[i - 2].lower() == "isfinite" \
+                    and e + 1 < len(toks) and toks[e + 1] == ")":
+                toks = toks[:i - 2] + ["false"] + toks[e + 2:]
+                changed = True
+                break
+            if prv == "(" and i >= 2 and toks[i - 2].lower() in (
+                    "to_json", "to_jsonb"):
+                continue  # the to_json fold renders '"infinity"'
+            toks = (toks[:i]
+                    + [_lit_encode("infinity" if sign > 0
+                                   else "-infinity")]
+                    + toks[e + 1:])
+            changed = True
+            break
+    return toks
 
 
 def _pass_concat_output_images(
@@ -13539,7 +14223,91 @@ def _pass_outop_images(
     return toks
 
 
-def _pg_date_literal(lit: str) -> str:
+def _pass_bc_date_images(tokens: list[str]) -> list[str]:
+    """Fold surviving BC-era date literals (``date '... BC'``) to
+    their finished PG output image (EncodeDateOnly + era tag) — runs
+    AFTER the extract/date_trunc folds that consume the typed form.
+    Raises in kind when the stripped triple is invalid under the
+    session DateOrder."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        if tokens[i].isidentifier() and tokens[i].lower() == "date" \
+                and i + 1 < n and tokens[i + 1].startswith("'"):
+            body_ = tokens[i + 1][1:-1]
+            m_bc = re.search(r"(?i)[\s,]+(bc|b\.c\.)\s*$", body_)
+            if m_bc:
+                stripped = "'" + body_[:m_bc.start()] + "'"
+                img = _pg_date_literal(stripped, bc=True)
+                if img != stripped:
+                    out.append(img)
+                    i += 2
+                    continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
+def _pass_date_diff(
+        tokens: list[str], dt_cols: dict | None = None) -> list[str]:
+    """``date - date`` returns integer DAYS in PG (date.c date_mi);
+    Spark's date subtraction yields INTERVAL DAY. Rewrite to
+    datediff(end, start) when BOTH operands are statically date-typed
+    (typed literals, ::date casts, to_date calls, or catalog date
+    columns via dt_cols). Mixed or unknown operands pass through —
+    date ± integer stays Spark-native date arithmetic."""
+    toks = list(tokens)
+    i = 0
+    while i < len(toks):
+        if toks[i] != "-":
+            i += 1
+            continue
+        ls = _primary_left(toks, i - 1) if i >= 1 else -1
+        re_ = _primary_right(toks, i + 1) if i + 1 < len(toks) else -1
+        if ls < 0 or re_ < 0:
+            i += 1
+            continue
+        lseg, rseg = toks[ls:i], toks[i + 1:re_ + 1]
+        if _static_temporal(lseg, dt_cols) == "date" \
+                and _static_temporal(rseg, dt_cols) == "date":
+            new = ["datediff", "(", *lseg, ",", *rseg, ")"]
+            toks = toks[:ls] + new + toks[re_ + 1:]
+            i = ls + len(new)
+        else:
+            i += 1
+    return toks
+
+
+def _bc_date_image(y: int, mo: int, d: int) -> str:
+    """PG date output image for a BC date (EncodeDateOnly + the era
+    tag) under the session DateStyle/DateOrder. Spark's DATE cannot
+    hold pre-CE values, so BC literals fold to their finished text."""
+    import datetime as _dt
+
+    # validity under the astronomical proleptic-Gregorian leap rule
+    # (1 BC = year 0, which IS a leap year)
+    a = 1 - y
+    leap = a % 4 == 0 and (a % 100 != 0 or a % 400 == 0)
+    mlen = [31, 29 if leap else 28, 31, 30, 31, 30,
+            31, 31, 30, 31, 30, 31]
+    if not (1 <= y <= 4714 and 1 <= mo <= 12 and 1 <= d <= mlen[mo - 1]):
+        raise ValueError(
+            f'date/time field value out of range: "{y}-{mo}-{d} BC"')
+    if _DATE_STYLE == "postgres":
+        img = (f"{d:02d}-{mo:02d}-{y:04d}" if _DATE_ORDER == "dmy"
+               else f"{mo:02d}-{d:02d}-{y:04d}")
+    elif _DATE_STYLE == "sql":
+        img = (f"{d:02d}/{mo:02d}/{y:04d}" if _DATE_ORDER == "dmy"
+               else f"{mo:02d}/{d:02d}/{y:04d}")
+    elif _DATE_STYLE == "german":
+        img = f"{d:02d}.{mo:02d}.{y:04d}"
+    else:
+        img = f"{y:04d}-{mo:02d}-{d:02d}"
+    return img + " BC"
+
+
+def _pg_date_literal(lit: str, bc: bool = False) -> str:
     """Normalize a PG date-input literal (datetime.c DecodeDate +
     DecodeNumber under the session DateOrder) to ISO for Spark's DATE
     literal. Field assignment replicates DecodeNumber's switch: a
@@ -13553,11 +14321,19 @@ def _pg_date_literal(lit: str) -> str:
     round-7 golden-probe finding; the old heuristic silently promoted
     any leading >31 number to the year, and Spark would accept
     '99-01-08' as year 0099). Non-triple forms (ISO, 'infinity',
-    specials, BC, julian) pass through for the downstream parser."""
+    specials, julian) pass through for the downstream parser.
+    With ``bc=True`` (caller stripped an era suffix): 2-digit years do
+    NOT window (datetime.c skips it when BC is decoded) and the result
+    is the finished PG output image as a plain string literal."""
     import datetime as _dt
 
     body = lit[1:-1].strip()
-    if re.fullmatch(r"\d{4}-\d{2}-\d{2}", body):
+    m_iso = re.fullmatch(r"(\d{4})-(\d{2})-(\d{2})", body)
+    if m_iso:
+        if bc:
+            return _lit_encode(_bc_date_image(
+                int(m_iso.group(1)), int(m_iso.group(2)),
+                int(m_iso.group(3))))
         return lit
     # special values (datetime.c DecodeSpecial: today/yesterday/
     # tomorrow resolve at parse time, epoch is the Unix origin)
@@ -13584,14 +14360,16 @@ def _pg_date_literal(lit: str) -> str:
     # month, rest = year; a 3-digit year remainder (7 digits) is
     # invalid input; 2-digit year windows
     if re.fullmatch(r"\d{6,}", body):
-        if len(body) - 4 == 3:
+        if len(body) - 4 == 3 and not _DATE_5DIGIT:
             bad()
         d_ = int(body[-2:])
         mo_ = int(body[-4:-2])
         ystr_ = body[:-4]
         y_ = int(ystr_)
-        if len(ystr_) <= 2:
+        if len(ystr_) <= 2 and not bc:
             y_ += 2000 if y_ < 70 else 1900
+        if bc:
+            return _lit_encode(_bc_date_image(y_, mo_, d_))
         try:
             _dt.date(y_, mo_, d_)
         except ValueError:
@@ -13663,7 +14441,7 @@ def _pg_date_literal(lit: str) -> str:
             y, is2 = v, fl <= 2
         else:
             bad()
-    if is2 and y is not None:
+    if is2 and y is not None and not bc:
         y += 2000 if y < 70 else 1900
     if doy is not None:
         try:
@@ -13675,6 +14453,8 @@ def _pg_date_literal(lit: str) -> str:
         return f"'{dt.isoformat()}'"
     if y is None or mo is None or d is None:
         bad()
+    if bc:
+        return _lit_encode(_bc_date_image(y, mo, d))
     try:
         _dt.date(y, mo, d)
     except ValueError:
@@ -13774,6 +14554,14 @@ def _pass_typed_literals(tokens: list[str]) -> list[str]:
             i += 5
             continue
         if low == "date" and i + 1 < n and tokens[i + 1].startswith("'"):
+            if re.search(r"(?i)[\s,]+(bc|b\.c\.)\s*'$", tokens[i + 1]):
+                # BC era literal: leave the typed form intact — the
+                # extract/date_trunc folds consume it, and
+                # _pass_bc_date_images folds any survivor to its
+                # finished output image
+                out += ["date", tokens[i + 1]]
+                i += 2
+                continue
             out += ["date", _pg_date_literal(tokens[i + 1])]
             i += 2
             continue
@@ -14332,7 +15120,8 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset(),
               bit_cols: frozenset[str] = frozenset(),
               f64_cols: frozenset[str] = frozenset(),
               net_cols: dict | None = None,
-              dt_cols: dict | None = None) -> str:
+              dt_cols: dict | None = None,
+              bp_cols: frozenset = frozenset()) -> str:
     """Translate a PostgreSQL-dialect query to Spark SQL.
 
     ``int_cols`` — lowercase names of integer-typed columns (catalog type
@@ -14354,13 +15143,16 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset(),
     tokens = _pass_float_guards(tokens, f32_cols | f64_cols)
     tokens = _pass_unicode_literals(tokens)
     tokens = _pass_statement_forms(tokens)
+    tokens = _pass_nested_on(tokens)
     tokens = _pass_setop_literal_scale(tokens)
     tokens = _pass_composite_casts(tokens)
     tokens = _pass_domain_casts(tokens)
     tokens = _pass_srf_after_agg(tokens)
     tokens = _pass_srf_select_list(tokens)
+    tokens = _pass_infinity_dates(tokens)
     tokens = _pass_concat_output_images(tokens, dt_cols)
     tokens = _pass_outop_images(tokens, dt_cols)
+    tokens = _pass_date_diff(tokens, dt_cols)
     tokens = _pass_within_group(tokens, int_cols)
     tokens = _pass_collate(tokens)
     tokens = _pass_quoted_idents(tokens)
@@ -14399,6 +15191,7 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset(),
     tokens = _pass_tstz_literals(tokens)
     tokens = _pass_naive_tz(tokens)
     tokens = _pass_float_int_round(tokens, f32_cols | f64_cols)
+    tokens = _pass_bpchar_casts(tokens, bp_cols)
     tokens = _pass_casts(tokens)
     tokens = _pass_cast_as_types(tokens)
     tokens = _pass_interval_physical(tokens)
@@ -14411,12 +15204,15 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset(),
     tokens = _pass_json_srf(tokens)
     tokens = _pass_variadic(tokens)
     tokens = _pass_concat_precedence(tokens)
+    tokens = _pass_values_subquery(tokens)
+    tokens = _pass_in_values(tokens)
     tokens = _pass_any_all(tokens)
     tokens = _pass_between_symmetric(tokens)
     tokens = _pass_at_time_zone(tokens)
     tokens = _pass_array_syntax(tokens)
     tokens = _pass_array_elem_concat(tokens)
     tokens = _pass_dow_fields(tokens)
+    tokens = _pass_bc_date_images(tokens)
     tokens = _pass_num_nulls(tokens)
     tokens = _pass_similar_to(tokens)
     tokens = _pass_fetch_first(tokens)
@@ -14579,6 +15375,7 @@ def pg_sql(
     f64_cols: frozenset[str] = frozenset(),
     net_cols: dict | None = None,
     dt_cols: dict | None = None,
+    bp_cols: frozenset = frozenset(),
 ) -> DataFrame:
     """The engine's SQL front door: PG-dialect text in, DataFrame out.
     When ``sf_dir`` is given, the fixture tables are (re-)registered as
@@ -14608,7 +15405,7 @@ def pg_sql(
         # (with None the plan showed double division — review finding)
         df = pg_sql(spark, body, sf_dir, int_cols, numeric_agg,
                     f32_cols, bin_cols, bit_cols, f64_cols, net_cols,
-                    dt_cols)
+                    dt_cols, bp_cols)
         if analyze:
             df._jdf.queryExecution().toRdd().count()
         plan = explain_motion(df)
@@ -14640,4 +15437,5 @@ def pg_sql(
     return spark.sql(translate(sql, int_cols, numeric_agg=numeric_agg,
                                f32_cols=f32_cols, bin_cols=bin_cols,
                                bit_cols=bit_cols, f64_cols=f64_cols,
-                               net_cols=net_cols, dt_cols=dt_cols))
+                               net_cols=net_cols, dt_cols=dt_cols,
+                               bp_cols=bp_cols))

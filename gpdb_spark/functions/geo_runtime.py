@@ -205,6 +205,8 @@ def vartype_canon(kind, n, v):
         return mac_canon(v)
     if kind == "time":
         return time_canon(n, v)
+    if kind == "numeric":
+        return numeric_text_canon(v)
     if kind in ("bit", "varbit"):
         s = v[1:] if v[:1] in ("B", "b") else v
         bad = next((c for c in s if c not in "01"), None)
@@ -226,6 +228,30 @@ def vartype_canon(kind, n, v):
             raise ValueError(f"value too long for type {tname}({n})")
         v = v[:n]
     return v.ljust(n) if kind == "bpchar" else v
+
+
+def numeric_text_canon(v):
+    """numeric_in -> numeric_out for an UNCONSTRAINED numeric column
+    (utils/adt/numeric.c): validate the input spelling, keep the
+    exact display scale (dscale) — '1.50' stays '1.50', '1.2e3' is
+    '1200', NaN passes — and never E-notation on output."""
+    if v is None:
+        return None
+    import re as _re
+    from decimal import Decimal
+
+    s = str(v).strip()
+    if s.lower() == "nan":
+        return "NaN"
+    if not _re.fullmatch(
+            r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?", s):
+        raise ValueError(
+            f'invalid input syntax for type numeric: "{v}"')
+    d = Decimal(s)
+    out = f"{d:f}"
+    if d == 0 and out.startswith("-"):
+        out = out[1:]
+    return out
 
 
 def uuid_canon(v):

@@ -2998,3 +2998,169 @@ class TestRound9VerdictFixes:
         for q, want in cases:
             got = spark.sql(translate(q)).collect()[0][0]
             assert got == want, (q, got, want)
+
+
+class TestDateEdges:
+    """date.sql table-probe burn-down (r11): BC dates, infinity dates,
+    date-date subtraction, century/decade/millennium folds, the
+    5-digit-year GUC (date.c, timestamp.c, datetime.c)."""
+
+    def test_date_minus_date_is_days(self):
+        from gpdb_spark.dialect import translate
+
+        assert "datediff" in translate(
+            "SELECT f1 - date '2000-01-01' FROM t",
+            dt_cols={"f1": "date"})
+        # date - int stays date arithmetic
+        assert "datediff" not in translate(
+            "SELECT f1 - 3 FROM t", dt_cols={"f1": "date"})
+        # timestamp - timestamp is interval, not days
+        assert "datediff" not in translate(
+            "SELECT a - b FROM t",
+            dt_cols={"a": "timestamp", "b": "timestamp"})
+
+    def test_bc_date_literal_folds_image(self):
+        import pytest
+        from gpdb_spark import dialect as d
+
+        d.set_date_style("postgres")
+        d.set_date_order("mdy")
+        try:
+            assert d.translate("SELECT date 'January 8, 99 BC'") \
+                == "SELECT '01-08-0099 BC'"
+            d.set_date_style("iso")
+            assert d.translate("SELECT date 'January 8, 99 BC'") \
+                == "SELECT '0099-01-08 BC'"
+            # ymd assigns year=8 day=99 -> out of range, like PG
+            d.set_date_order("ymd")
+            with pytest.raises(ValueError):
+                d.translate("SELECT date 'January 8, 99 BC'")
+        finally:
+            d.set_date_style("iso")
+            d.set_date_order("mdy")
+
+    def test_infinity_date_folds(self):
+        from gpdb_spark.dialect import translate
+
+        assert translate("select 'infinity'::date") \
+            == "select 'infinity'"
+        assert translate("select 'infinity'::date > 'today'::date") \
+            == "select true"
+        assert translate("select '-infinity'::date < 'today'::date") \
+            == "select true"
+        assert translate("select isfinite('-infinity'::date)") \
+            == "select false"
+        assert translate(
+            "select 'infinity'::date = '-infinity'::date") \
+            == "select false"
+
+    def test_extract_century_bc_and_interval(self):
+        from gpdb_spark.dialect import translate
+
+        def val(sql):
+            out = translate(sql)
+            return int(out.split("(")[1].split("AS")[0])
+
+        assert val("SELECT EXTRACT(CENTURY FROM DATE '0101-12-31 BC')") == -2
+        assert val("SELECT EXTRACT(CENTURY FROM DATE '0100-12-31 BC')") == -1
+        assert val("SELECT EXTRACT(DECADE FROM DATE '0012-12-31 BC')") == -2
+        assert val("SELECT EXTRACT(MILLENNIUM FROM DATE '0001-12-31 BC')") == -1
+        assert val("SELECT EXTRACT(CENTURY FROM INTERVAL '100 y')") == 1
+        assert val("SELECT EXTRACT(CENTURY FROM INTERVAL '-99 y')") == 0
+        assert val("SELECT EXTRACT(CENTURY FROM INTERVAL '-100 y')") == -1
+
+    def test_date_trunc_century_bc_images(self):
+        from gpdb_spark import dialect as d
+
+        d.set_date_style("postgres")
+        d.set_date_order("mdy")
+        d.set_session_zone("PST8PDT")
+        try:
+            assert d.translate(
+                "SELECT DATE_TRUNC('CENTURY', DATE '0055-08-10 BC')") \
+                == "SELECT 'Tue Jan 01 00:00:00 0100 PST BC'"
+            assert d.translate(
+                "SELECT DATE_TRUNC('DECADE', DATE '0004-12-25')") \
+                == "SELECT 'Sat Jan 01 00:00:00 0001 PST BC'"
+            assert d.translate(
+                "SELECT DATE_TRUNC('CENTURY', DATE '0002-02-04')") \
+                == "SELECT 'Mon Jan 01 00:00:00 0001 PST'"
+        finally:
+            d.set_date_style("iso")
+            d.set_date_order("mdy")
+            d.set_session_zone("UTC")
+
+    def test_date_5digit_guc(self):
+        import pytest
+        from gpdb_spark import dialect as d
+
+        with pytest.raises(ValueError):
+            d.translate("SELECT date '2020516'")
+        d.set_date_5digit(True)
+        try:
+            assert d.translate("SELECT date '2020516'") \
+                == "SELECT date '0202-05-16'"
+        finally:
+            d.set_date_5digit(False)
+
+    def test_cast_date_literal_normalizes(self):
+        from gpdb_spark.dialect import translate
+
+        assert translate("select '990108'::date") \
+            == "select CAST('1999-01-08' AS DATE)"
+        assert translate("select '1999 Jan 08'::date") \
+            == "select CAST('1999-01-08' AS DATE)"
+
+
+class TestJoinSubqueryForms:
+    """r11: nested-ON join trees, VALUES subqueries, bpchar casts
+    (gram.y joined_table; parse_coerce.c; varchar.c)."""
+
+    def test_nested_on_join_parenthesizes(self):
+        from gpdb_spark.dialect import translate
+
+        out = translate(
+            "select * from a inner join b left join c on b.x = c.x"
+            " on a.y = b.y")
+        assert "join(b left join c on b.x = c.x) on" in out.replace(
+            "  ", " ")
+        # plain chains stay untouched
+        assert translate(
+            "select * from a join b on a.x = b.x join c on b.y = c.y") \
+            == "select * from a join b on a.x = b.x join c on b.y = c.y"
+
+    def test_values_subquery_rewrites(self):
+        from gpdb_spark.dialect import translate
+
+        out = translate(
+            "select * from (values"
+            " ((3 not in (select * from (values (1), (2)) ss1))),"
+            " (false)) ss")
+        assert "UNION ALL" in out and "column1" in out
+        # plain VALUES stays an inline table
+        assert "UNION" not in translate(
+            "select * from (values (1), (2)) v(x)")
+
+    def test_all_values_subquery(self):
+        from gpdb_spark.dialect import translate
+
+        out = translate(
+            "select * from generate_series(1,4) i"
+            " where i <> all (values (2),(3))")
+        assert "__in_values__" in out
+
+    def test_bpchar_cast_pads_and_trims(self):
+        from gpdb_spark.dialect import translate
+
+        assert translate("SELECT 'abcde'::char(4)") \
+            == "SELECT rpad(substring(CAST(('abcde') AS STRING)," \
+               " 1, 4), 4, ' ')"
+        assert translate("SELECT CAST(f1 AS varchar) FROM t",
+                         bp_cols=frozenset({"f1"})) \
+            == "SELECT rtrim(f1) FROM t"
+        assert translate("SELECT c.f1::text FROM t c",
+                         bp_cols=frozenset({"f1"})) \
+            == "SELECT rtrim(c.f1) FROM t c"
+        # non-bpchar columns keep the plain cast
+        assert translate("SELECT CAST(f1 AS varchar) FROM t") \
+            == "SELECT CAST(f1 AS STRING) FROM t"

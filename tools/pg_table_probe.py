@@ -77,7 +77,7 @@ DEFAULT_FILES = ["limit", "select", "point", "box", "lseg", "path",
                  "circle", "enum", "aggregates", "case", "int2",
                  "int4", "varchar", "char", "text", "union", "float8",
                  "join", "subselect", "macaddr", "uuid", "time",
-                 "boolean"]
+                 "boolean", "date"]
 
 _STMT_HEAD = (
     r"(?i)^(select|insert|update|delete|create|drop|alter|copy|analyze|"
@@ -468,6 +468,8 @@ def run_file(eng, f: str, silent: bool = False, list_diff: bool = False):
         ctx = dict(_DEFAULT_CTX)
         set_date_order("mdy")
         set_date_style("postgres")  # pg_regress runs 'Postgres, MDY'
+        # RESET datestyle restores the SESSION default (PGDATESTYLE)
+        eng._default_datestyle = ("postgres", "mdy")
         set_interval_style("postgres_verbose")
         reset_enums()
         reset_geo_columns()
@@ -571,7 +573,12 @@ def run_file(eng, f: str, silent: bool = False, list_diff: bool = False):
         sctx = dict(ctx)
         if re.search(
             r"(?i)timestamp\s+with\s+time\s+zone|::\s*timestamptz"
-            r"|\bat\s+time\s+zone\b", stmt,
+            r"|\bat\s+time\s+zone\b|timestamptz\s*[('!]"
+            r"|\bmake_timestamptz\s*\("
+            # this vintage's date->timestamptz promotion: date_trunc
+            # over a date renders with the zone abbrev (same regex as
+            # pg_golden_probe)
+            r"|date_trunc\s*\(\s*'[^']+'\s*,\s*date\b", stmt,
         ):
             sctx["tstz"] = True
         got = None
