@@ -4256,6 +4256,218 @@ def _pass_nested_on(tokens: list[str]) -> list[str]:
     return new if new != tokens else tokens
 
 
+def _pass_numeric_text_window(
+        tokens: list[str], num_cols: frozenset) -> list[str]:
+    """SUM/AVG window aggregates over TEXT-stored unconstrained
+    numeric columns (numeric.c numeric_sum/numeric_avg): Spark would
+    coerce the text to float8 and lose >15 significant digits
+    (numeric.sql test_win_sum_agg_numeric's 130-digit values) —
+    rewrite to an exact-decimal UDF over collect_list OVER the same
+    window spec. Frame membership stays Spark's; only the arithmetic
+    moves to Python (conformance surface, engine front door only)."""
+    if not num_cols:
+        return tokens
+    out: list[str] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        t = tokens[i].lower() if tokens[i].isidentifier() else ""
+        if t in ("sum", "avg") and i + 1 < n and tokens[i + 1] == "(":
+            call = _fn_args(tokens, i)
+            if call is not None:
+                args, k = call
+                ref = None
+                if len(args) == 1 and len(args[0]) == 1 \
+                        and args[0][0].isidentifier() \
+                        and args[0][0].lower() in num_cols:
+                    ref = args[0]
+                elif len(args) == 1 and len(args[0]) == 3 \
+                        and args[0][1] == "." \
+                        and args[0][2].lower() in num_cols:
+                    ref = args[0]
+                if ref is not None and k + 1 < n \
+                        and _is_word(tokens[k + 1], "over"):
+                    # span the OVER ( ... ) group
+                    if k + 2 < n and tokens[k + 2] == "(":
+                        depth, j = 0, k + 2
+                        while j < n:
+                            if tokens[j] == "(":
+                                depth += 1
+                            elif tokens[j] == ")":
+                                depth -= 1
+                                if depth == 0:
+                                    break
+                            j += 1
+                        out += (["pg_numeric_sum_texts", "(",
+                                 "collect_list", "(", *ref, ")",
+                                 "over"] + tokens[k + 2:j + 1]
+                                + [",", f"'{t}'", ")"])
+                        i = j + 1
+                        continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
+def _pass_numeric_text_arith(
+        tokens: list[str], num_cols: frozenset) -> list[str]:
+    """Exact numeric expression arithmetic over TEXT-stored numeric
+    columns (numeric.c add/sub/mul/div/round/trunc/abs/sqrt/ln/log/
+    power + cmp_numerics): Spark would coerce the text to float8 and
+    lose everything past 15 significant digits — numeric.sql's entire
+    numeric(210,10) surface. Rewrites innermost-out to
+    pg_numeric_bin/pg_numeric_cmp UDF calls; comparisons become
+    three-way cmp against 0 so ordering and equality are value-level.
+    Engine front door only (numeric_agg gate)."""
+    if not num_cols:
+        return tokens
+    toks = list(tokens)
+
+    def is_nx(seg):
+        if not seg:
+            return False
+        if len(seg) == 1 and seg[0].isidentifier() \
+                and seg[0].lower() in num_cols:
+            return True
+        if len(seg) == 3 and seg[1] == "." \
+                and seg[2].lower() in num_cols:
+            return True
+        return seg[0].lower() in ("pg_numeric_bin",)
+
+    def as_operand(seg):
+        """Token list usable as a text operand, or None."""
+        if is_nx(seg):
+            return seg
+        if len(seg) == 1 and re.fullmatch(
+                r"\d+(\.\d*)?|\.\d+", seg[0]):
+            return [f"'{seg[0]}'"]
+        if len(seg) == 2 and seg[0] == "-" and re.fullmatch(
+                r"\d+(\.\d*)?|\.\d+", seg[1]):
+            return [f"'-{seg[1]}'"]
+        if len(seg) == 1 and seg[0].startswith("'"):
+            return seg
+        if len(seg) == 2 and seg[0].lower() == "numeric" \
+                and seg[1].startswith("'"):
+            return [seg[1]]
+        return None
+
+    _FN1 = {"abs": "abs", "sqrt": "sqrt", "ln": "ln"}
+    _FN2 = {"round": "round", "trunc": "trunc", "log": "log",
+            "power": "pow"}
+    _AGG1 = {"avg": ("pg_numeric_sum_texts", "avg"),
+             "sum": ("pg_numeric_sum_texts", "sum"),
+             "stddev": ("pg_numeric_stddev", "stddev_samp"),
+             "stddev_samp": ("pg_numeric_stddev", "stddev_samp"),
+             "stddev_pop": ("pg_numeric_stddev", "stddev_pop"),
+             "variance": ("pg_numeric_stddev", "var_samp"),
+             "var_samp": ("pg_numeric_stddev", "var_samp"),
+             "var_pop": ("pg_numeric_stddev", "var_pop")}
+    changed = True
+    while changed:
+        changed = False
+        # function forms, innermost resolved by repetition
+        for i in range(len(toks)):
+            t = toks[i].lower() if toks[i].isidentifier() else ""
+            if t not in _FN1 and t not in _FN2 and t not in _AGG1 \
+                    and t != "to_char":
+                continue
+            call = _fn_args(toks, i)
+            if call is None:
+                continue
+            args, k = call
+            if t in _AGG1 and len(args) == 1 and is_nx(args[0]) \
+                    and not (k + 1 < len(toks)
+                             and _is_word(toks[k + 1], "over")):
+                # exact-decimal aggregates over text-numeric columns
+                # (numeric_avg / numeric_stddev_internal)
+                fn2, mode = _AGG1[t]
+                toks = (toks[:i]
+                        + [fn2, "(", "collect_list", "("] + args[0]
+                        + [")", ",", f"'{mode}'", ")"] + toks[k + 1:])
+                changed = True
+                break
+            if t == "to_char" and len(args) == 2 and is_nx(args[0]) \
+                    and len(args[1]) == 1 \
+                    and args[1][0].startswith("'"):
+                from gpdb_spark.functions.pg import _num_shaped
+                if _num_shaped(args[1][0][1:-1]):
+                    toks = (toks[:i] + ["pg_num_fmt", "("] + args[0]
+                            + [",", args[1][0], ")"] + toks[k + 1:])
+                    changed = True
+                    break
+                continue
+            if t in _FN1 and len(args) == 1 and is_nx(args[0]):
+                toks = (toks[:i]
+                        + ["pg_numeric_bin", "(", f"'{_FN1[t]}'", ","]
+                        + args[0] + [")"] + toks[k + 1:])
+                changed = True
+                break
+            if t in _FN2 and len(args) == 2:
+                a0 = as_operand(args[0])
+                a1 = as_operand(args[1])
+                if a0 is None or a1 is None \
+                        or not (is_nx(args[0]) or is_nx(args[1])):
+                    continue
+                toks = (toks[:i]
+                        + ["pg_numeric_bin", "(", f"'{_FN2[t]}'", ","]
+                        + a0 + [","] + a1 + [")"] + toks[k + 1:])
+                changed = True
+                break
+        if changed:
+            continue
+        # binary arithmetic: * / first (precedence), then + -
+        for ops in (("*", "/"), ("+", "-")):
+            for i in range(len(toks)):
+                if toks[i] not in ops:
+                    continue
+                ls = _primary_left(toks, i - 1) if i >= 1 else -1
+                re_ = _primary_right(toks, i + 1) \
+                    if i + 1 < len(toks) else -1
+                if ls < 0 or re_ < 0:
+                    continue
+                lseg, rseg = toks[ls:i], toks[i + 1:re_ + 1]
+                if not (is_nx(lseg) or is_nx(rseg)):
+                    continue
+                lo = as_operand(lseg)
+                ro = as_operand(rseg)
+                if lo is None or ro is None:
+                    continue
+                opn = {"*": "mul", "/": "div",
+                       "+": "add", "-": "sub"}[toks[i]]
+                toks = (toks[:ls]
+                        + ["pg_numeric_bin", "(", f"'{opn}'", ","]
+                        + lo + [","] + ro + [")"] + toks[re_ + 1:])
+                changed = True
+                break
+            if changed:
+                break
+        if changed:
+            continue
+        # comparisons -> three-way cmp (value-level; text equality
+        # would read '1.50' != '1.5')
+        for i in range(len(toks)):
+            if toks[i] not in ("=", "!=", "<>", "<", "<=", ">", ">="):
+                continue
+            ls = _primary_left(toks, i - 1) if i >= 1 else -1
+            re_ = _primary_right(toks, i + 1) \
+                if i + 1 < len(toks) else -1
+            if ls < 0 or re_ < 0:
+                continue
+            lseg, rseg = toks[ls:i], toks[i + 1:re_ + 1]
+            if not (is_nx(lseg) or is_nx(rseg)):
+                continue
+            lo = as_operand(lseg)
+            ro = as_operand(rseg)
+            if lo is None or ro is None:
+                continue
+            cmpop = "<>" if toks[i] == "!=" else toks[i]
+            toks = (toks[:ls]
+                    + ["pg_numeric_cmp", "("] + lo + [","] + ro
+                    + [")", cmpop, "0"] + toks[re_ + 1:])
+            changed = True
+            break
+    return toks
+
+
 def _pass_values_subquery(tokens: list[str]) -> list[str]:
     """A VALUES list whose rows contain scalar subqueries
     (subselect.sql bug #16213: ``(values ((3 not in (select ...))),
@@ -5986,13 +6198,22 @@ def _pass_numeric_fold(tokens: list[str]) -> list[str]:
 
     def emit(tok: str) -> list[str]:
         d, s = vals[tok]
-        q = d.quantize(Decimal(1).scaleb(-s),
-                       rounding=_dec.ROUND_HALF_UP)
+        with _dec.localcontext() as c:
+            c.prec = 1000  # quantize of >28-digit folds needs room
+            q = d.quantize(Decimal(1).scaleb(-s),
+                           rounding=_dec.ROUND_HALF_UP)
         text = f"{q:f}"
         digits = text.lstrip("-").replace(".", "")
         p = max(len(digits), s, 1)
-        if p > 38:
+        if p > 131072 or s > 1000:
+            # PG's own numeric bounds (numeric.c NUMERIC_MAX_PRECISION
+            # path: int digits cap 131072, display scale cap 1000)
             raise ValueError("value overflows numeric format")
+        if p > 38:
+            # beyond Spark's DECIMAL cap: the folded result is still
+            # exact — emit the finished text image (display-correct;
+            # further arithmetic on it fails loudly as a string)
+            return [f"'{text}'"]
         return ["CAST", "(", f"'{text}'", "AS", f"DECIMAL({p},{s})", ")"]
 
     def binop(op: str, a, sa, b, sb):
@@ -15121,7 +15342,8 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset(),
               f64_cols: frozenset[str] = frozenset(),
               net_cols: dict | None = None,
               dt_cols: dict | None = None,
-              bp_cols: frozenset = frozenset()) -> str:
+              bp_cols: frozenset = frozenset(),
+              num_cols: frozenset = frozenset()) -> str:
     """Translate a PostgreSQL-dialect query to Spark SQL.
 
     ``int_cols`` — lowercase names of integer-typed columns (catalog type
@@ -15135,6 +15357,8 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset(),
         tokens = _pass_avg_numeric(tokens, int_cols, f32_cols)
     if numeric_agg:
         tokens = _pass_numeric_stddev(tokens, int_cols, f32_cols)
+        tokens = _pass_numeric_text_window(tokens, num_cols)
+        tokens = _pass_numeric_text_arith(tokens, num_cols)
     tokens = _pass_encode_decode(tokens)
     tokens = _pass_string_agg_bytea(tokens, bin_cols)
     tokens = _pass_bit_aggs(tokens, bit_cols)
@@ -15376,6 +15600,7 @@ def pg_sql(
     net_cols: dict | None = None,
     dt_cols: dict | None = None,
     bp_cols: frozenset = frozenset(),
+    num_cols: frozenset = frozenset(),
 ) -> DataFrame:
     """The engine's SQL front door: PG-dialect text in, DataFrame out.
     When ``sf_dir`` is given, the fixture tables are (re-)registered as
@@ -15405,7 +15630,7 @@ def pg_sql(
         # (with None the plan showed double division — review finding)
         df = pg_sql(spark, body, sf_dir, int_cols, numeric_agg,
                     f32_cols, bin_cols, bit_cols, f64_cols, net_cols,
-                    dt_cols, bp_cols)
+                    dt_cols, bp_cols, num_cols)
         if analyze:
             df._jdf.queryExecution().toRdd().count()
         plan = explain_motion(df)
@@ -15438,4 +15663,4 @@ def pg_sql(
                                f32_cols=f32_cols, bin_cols=bin_cols,
                                bit_cols=bit_cols, f64_cols=f64_cols,
                                net_cols=net_cols, dt_cols=dt_cols,
-                               bp_cols=bp_cols))
+                               bp_cols=bp_cols, num_cols=num_cols))

@@ -788,10 +788,11 @@ class Engine:
         # CSV load (with the table's own schema) and unload spellings
         if head == "copy":
             m = _re.match(
-                r"(?is)^copy\s+(\(.+\)|[\w.\"]+)\s+(from|to)\s+"
+                r"(?is)^copy\s+(\(.+\)|[\w.\"]+)\s*"
+                r"(\([^()]*\))?\s+(from|to)\s+"
                 r"'([^']+)'\s*(.*)$", s)
             if m:
-                src, direction, fpath, opts = m.groups()
+                src, collist, direction, fpath, opts = m.groups()
                 optsl = opts.lower()
                 header = "header" in optsl
                 dm = _re.search(r"delimiter\s+'(.)'", optsl)
@@ -820,13 +821,50 @@ class Engine:
                         "engine-governed table")
                 from gpdb_spark.operators.external import \
                     read_external_csv
+                tgt_schema = gp.read(self.spark).schema
+                read_schema = tgt_schema
+                if collist:
+                    # COPY tbl (a, b) FROM ...: the file carries ONLY
+                    # the listed columns (copy.c attnamelist); missing
+                    # columns default to NULL
+                    names = [_fold_ident(c.strip().strip('"'))
+                             for c in collist[1:-1].split(",")]
+                    by_name = {f2.name.lower(): f2
+                               for f2 in tgt_schema.fields}
+                    from pyspark.sql.types import StructType as _ST
+                    read_schema = _ST(
+                        [by_name[c] for c in names if c in by_name])
+                rjm = _re.search(
+                    r"reject\s+limit\s+(\d+)", optsl)
                 res = read_external_csv(
-                    self.spark, fpath, gp.read(self.spark).schema,
-                    header, delim, None, null_marker=null_marker)
+                    self.spark, fpath, read_schema,
+                    header, delim,
+                    int(rjm.group(1)) if rjm else None,
+                    null_marker=null_marker)
+                if res.n_rejected and not rjm:
+                    # PG's COPY has NO reject tolerance without SREH
+                    # (GPDB's SEGMENT REJECT LIMIT clause): a
+                    # malformed row aborts the load (copy.c) — the
+                    # silent-drop path lost every row of a
+                    # column-list COPY before this check
+                    raise ValueError(
+                        f"COPY {nm}: {res.n_rejected} malformed "
+                        "row(s) (missing or extra data)")
+                good = res.good
+                if collist:
+                    from pyspark.sql import functions as Fn
+                    for f2 in tgt_schema.fields:
+                        if f2.name.lower() not in {
+                                c.lower() for c in good.columns}:
+                            good = good.withColumn(
+                                f2.name,
+                                Fn.lit(None).cast(f2.dataType))
+                    good = good.select(
+                        *[f2.name for f2 in tgt_schema.fields])
                 # COPY runs the same per-type input functions as INSERT
                 # (copy.c CopyFrom -> InputFunctionCall): canonicalize
                 # and validate geo/typmod columns (ADVICE r09 #5)
-                good = self._canon_write(nm, res.good)
+                good = self._canon_write(nm, good)
                 # COPY enforces unique indexes like INSERT
                 # (nbtinsert.c — ADVICE r10 #5)
                 self._enforce_unique(nm, good)
@@ -942,6 +980,23 @@ class Engine:
                     # canonical text storage + input validation
                     # (uuid.c / mac.c input functions)
                     tm = (tl, 0)
+                elif tl in ("numeric", "decimal", "dec") \
+                        and "(" in toks:
+                    # numeric(p,s) BEYOND Spark's 38-digit cap:
+                    # canonical-text storage with typmod input
+                    # discipline (numeric.c apply_typmod — rounds to
+                    # s, errors when int digits exceed p-s);
+                    # numeric.sql's numeric(210,10) surface
+                    try:
+                        pi = toks.index("(")
+                        p_ = int(toks[pi + 1])
+                        s_ = int(toks[pi + 3]) \
+                            if toks[pi + 2] == "," else 0
+                    except (ValueError, IndexError):
+                        p_ = 0
+                    if p_ > 38:
+                        tm = ("numeric", p_ * 100000 + s_)
+                        spark_type = "STRING"
                 elif tl in ("numeric", "decimal", "dec") \
                         and "(" not in toks:
                     # UNCONSTRAINED numeric keeps arbitrary precision/
@@ -1415,7 +1470,11 @@ class Engine:
                       bp_cols=frozenset(
                           c for (_t, c), (k, _n) in getattr(
                               self, "_typmod_cols", {}).items()
-                          if k == "bpchar"))
+                          if k == "bpchar"),
+                      num_cols=frozenset(
+                          c for (_t, c), (k, _n) in getattr(
+                              self, "_typmod_cols", {}).items()
+                          if k == "numeric"))
 
     def obj_description(self, name: str, objtype: str = "table") -> str | None:
         """obj_description() (pg_description lookup)."""
@@ -1824,12 +1883,16 @@ class Engine:
 
     # -- DML -----------------------------------------------------------------
 
-    def _values_string_positions(self, rest: str, pos: set) -> str:
+    def _values_string_positions(
+            self, rest: str, pos: set, date_pos: set = frozenset(),
+    ) -> str:
         """Rewrite a VALUES body so the items at ``pos`` (0-based
         column positions) are CAST(... AS STRING) per-literal —
         defeats Spark's cross-row type unification for text-stored
-        numeric columns."""
-        from gpdb_spark.dialect import _lex
+        numeric columns — and string literals at ``date_pos`` run
+        through PG's flexible date input ('20200112' into a DATE
+        column; datetime.c DecodeDateTime on the INSERT path)."""
+        from gpdb_spark.dialect import _lex, _pg_date_literal
 
         toks = _lex(rest)
         out = [toks[0]]  # VALUES
@@ -1864,6 +1927,9 @@ class Engine:
                     if xi in pos:
                         out += ["CAST", "("] + it + ["AS", "STRING",
                                                      ")"]
+                    elif xi in date_pos and len(it) == 1 \
+                            and it[0].startswith("'"):
+                        out.append(_pg_date_literal(it[0]))
                     else:
                         out += it
                 out.append(")")
@@ -2371,7 +2437,9 @@ class Engine:
                     c for (t, c), (k2, _n2) in getattr(
                         self, "_typmod_cols", {}).items()
                     if t == name and k2 == "numeric"}
-                if ntext:
+                dcols = {f.name.lower() for f in target.schema.fields
+                         if f.dataType.simpleString() == "date"}
+                if ntext or dcols:
                     if cols:
                         nm0 = [_fold_ident(c.strip())
                                for c in cols[1:-1].split(",")]
@@ -2379,8 +2447,11 @@ class Engine:
                         nm0 = [f.name for f in target.schema.fields]
                     pos = {xi for xi, c in enumerate(nm0)
                            if c.lower() in ntext}
-                    if pos:
-                        rest = self._values_string_positions(rest, pos)
+                    dpos = {xi for xi, c in enumerate(nm0)
+                            if c.lower() in dcols}
+                    if pos or dpos:
+                        rest = self._values_string_positions(
+                            rest, pos, dpos)
                 df = self.spark.sql(translate(f"SELECT * FROM ({rest})"))
             else:
                 df = self.sql(rest)
@@ -2961,16 +3032,36 @@ class Engine:
         ).filter("oid <> ''").createOrReplaceTempView("pg_type")
 
     def _refresh_pg_class(self) -> None:
-        """pg_class as a queryable catalog view (relname + relkind:
-        r = table, i = index, v = view — the regress introspection
-        queries' surface)."""
+        """pg_class as a queryable catalog view (oid + relname +
+        relkind: r = table, i = index, v = view — the regress
+        introspection queries' surface). The exposed catalog views
+        carry their PG bootstrap oids (pg_class itself is 1259,
+        transam.h RelationRelationId); user relations get sequential
+        oids from FirstNormalObjectId (16384), assigned once per name
+        and stable across refreshes."""
+        self._oids = getattr(self, "_oids", {})
+        boot = {"pg_class": 1259, "pg_type": 1247, "pg_enum": 3501,
+                "pg_attribute": 1249, "pg_namespace": 2615,
+                "pg_proc": 1255}
+
+        def oid_of(nm):
+            if nm in boot:
+                return boot[nm]
+            if nm not in self._oids:
+                self._oids[nm] = 16384 + len(self._oids)
+            return self._oids[nm]
+
         rows = (
-            [(nm, "r") for nm in self._tables]
-            + [(nm, "i") for nm in getattr(self, "_indexes", {})]
-            + [(nm, "v") for nm in getattr(self, "_views", {})]
+            [(oid_of(nm), nm, "r") for nm in boot]
+            + [(oid_of(nm), nm, "r") for nm in self._tables]
+            + [(oid_of(nm), nm, "i")
+               for nm in getattr(self, "_indexes", {})]
+            + [(oid_of(nm), nm, "v")
+               for nm in getattr(self, "_views", {})]
         )
         self.spark.createDataFrame(
-            rows or [("", "")], "relname string, relkind string"
+            rows or [(0, "", "")],
+            "oid bigint, relname string, relkind string"
         ).filter("relname <> ''").createOrReplaceTempView("pg_class")
 
     def enum_ordinal(self, name: str, col) -> Column:

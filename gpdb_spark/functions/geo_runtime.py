@@ -206,7 +206,7 @@ def vartype_canon(kind, n, v):
     if kind == "time":
         return time_canon(n, v)
     if kind == "numeric":
-        return numeric_text_canon(v)
+        return numeric_text_canon(v, n)
     if kind in ("bit", "varbit"):
         s = v[1:] if v[:1] in ("B", "b") else v
         bad = next((c for c in s if c not in "01"), None)
@@ -230,15 +230,18 @@ def vartype_canon(kind, n, v):
     return v.ljust(n) if kind == "bpchar" else v
 
 
-def numeric_text_canon(v):
-    """numeric_in -> numeric_out for an UNCONSTRAINED numeric column
-    (utils/adt/numeric.c): validate the input spelling, keep the
-    exact display scale (dscale) — '1.50' stays '1.50', '1.2e3' is
-    '1200', NaN passes — and never E-notation on output."""
+def numeric_text_canon(v, typmod: int = 0):
+    """numeric_in -> numeric_out for a text-stored numeric column
+    (utils/adt/numeric.c): validate the input spelling; with
+    ``typmod`` = p*100000+s apply_typmod rounds to scale s and raises
+    'numeric field overflow' when the integer digits exceed p-s;
+    unconstrained (0) keeps the exact display scale (dscale) —
+    '1.50' stays '1.50', '1.2e3' is '1200', NaN passes — and never
+    E-notation on output."""
     if v is None:
         return None
     import re as _re
-    from decimal import Decimal
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
 
     s = str(v).strip()
     if s.lower() == "nan":
@@ -247,8 +250,20 @@ def numeric_text_canon(v):
             r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?", s):
         raise ValueError(
             f'invalid input syntax for type numeric: "{v}"')
-    d = Decimal(s)
-    out = f"{d:f}"
+    with localcontext() as c:
+        c.prec = 1000
+        d = Decimal(s)
+        if typmod:
+            p_, s_ = divmod(int(typmod), 100000)
+            d = d.quantize(Decimal(1).scaleb(-s_),
+                           rounding=ROUND_HALF_UP)
+            intdigits = max(d.adjusted() + 1, 0) if d != 0 else 0
+            if intdigits > p_ - s_:
+                raise ValueError(
+                    "numeric field overflow: a field with precision "
+                    f"{p_}, scale {s_} must round to an absolute "
+                    f"value less than 10^{p_ - s_}")
+        out = f"{d:f}"
     if d == 0 and out.startswith("-"):
         out = out[1:]
     return out

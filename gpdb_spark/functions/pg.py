@@ -104,6 +104,11 @@ class _SqlOps:
     def fmt(self, e, pat):
         return f"date_format({e}, '{pat}')"
 
+    def num_fmt(self, e, pattern):
+        lit = "'" + pattern.replace("\\", "\\\\") \
+            .replace("'", "''") + "'"
+        return f"pg_num_fmt(CAST({e} AS STRING), {lit})"
+
     def fn(self, name, *args):
         return f"{name}({', '.join(str(a) for a in args)})"
 
@@ -189,6 +194,11 @@ class _ColOps:
 
     def fmt(self, e, pat):
         return F.date_format(e, pat)
+
+    def num_fmt(self, e, pattern):
+        # requires register_numeric_agg_udfs on the session
+        return F.call_udf("pg_num_fmt", e.cast("string"),
+                          F.lit(pattern))
 
     def fn(self, name, *args):
         return getattr(F, name)(*args)
@@ -483,8 +493,12 @@ def _parse_num_pattern(pattern: str) -> dict | None:
         fm = True
         p = p[2:]
     currency = False
-    if p.startswith(("L", "$")):
-        # locale currency symbol (cash.c / NUM_L): rendered as '$'
+    if p.startswith("L"):
+        # NUM_L renders the lc_monetary symbol — EMPTY under the C
+        # locale pg_regress runs with (one space of slot width):
+        # positional renderer territory (int8.out to_char_13)
+        return None
+    if p.startswith("$"):
         currency = True
         p = p[1:]
     sign = "default"
@@ -512,10 +526,18 @@ def _parse_num_pattern(pattern: str) -> dict | None:
                 return None
             in_dec = True
         elif ch in ("G", ","):
+            if in_dec:
+                # grouping INSIDE the decimals ('.999,999') needs the
+                # positional renderer
+                return None
             grouping = True
         else:
             return None  # not a numeric pattern
     if not int_digits:
+        return None
+    if fm and "0" in dec_digits:
+        # FM keeps zeros sitting in '0' decimal slots while stripping
+        # '9'-slot zeros — positional renderer (int8.out to_char_12)
         return None
     return {
         "fm": fm,
@@ -627,10 +649,26 @@ _DT_TOKEN_HINTS = (
 )
 
 
+def _num_shaped(pattern: str) -> bool:
+    """True when the pattern is a NUM (numeric) pattern the simple
+    expression renderer cannot parse but the positional NUM_processor
+    (pg_numeric_agg.pg_num_fmt) can: digit slots 9/0 OUTSIDE quoted
+    literal sections (DCH datetime patterns carry none)."""
+    import re as _re
+
+    unquoted = _re.sub(r'"(?:\\.|[^"])*"', "", pattern)
+    return "9" in unquoted or "0" in unquoted
+
+
 def _render_any_to_char(o, e, pattern: str):
     spec = _parse_num_pattern(pattern)
     if spec is not None:
         return _render_to_char_num(o, e, spec)
+    if _num_shaped(pattern):
+        # formatting.c NUM edge forms (mid-pattern SG, leading MI,
+        # TH/th, spaced digits, quoted text): exact positional
+        # renderer, Python-side — conformance surface only
+        return o.num_fmt(e, pattern)
     return _render_to_char(o, e, pattern)
 
 

@@ -1882,3 +1882,43 @@ def test_unconstrained_numeric_text_column(spark, sf_dir):
             eng.sql("INSERT INTO r11num VALUES ('abc')")
     finally:
         eng.sql("DROP TABLE r11num")
+
+
+def test_numeric_typmod_beyond_38_digits(spark, sf_dir):
+    """numeric(p,s) beyond Spark's 38-digit DECIMAL cap stores the
+    exact text image with apply_typmod input discipline, and the
+    exact-decimal expression layer (numeric.c add/mul/div/sqrt over
+    pg_numeric_bin) computes value-correct results (numeric.sql's
+    numeric(210,10) surface)."""
+    import pytest as _pt
+    from gpdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql("CREATE TABLE r11big (id int, val numeric(210,10))")
+    try:
+        big = "9" * 88
+        eng.sql(f"INSERT INTO r11big VALUES (1, '{big}'),"
+                " (2, '0.123456789049'), (3, '-83028485')")
+        got = {r.id: r.val for r in eng.table("r11big").collect()}
+        assert got[1] == big + ".0000000000"
+        assert got[2] == "0.1234567890"  # apply_typmod rounds to s
+        assert got[3] == "-83028485.0000000000"
+        r = eng.sql("SELECT val * val AS sq FROM r11big"
+                    " WHERE id = 1").collect()[0].sq
+        assert r.startswith("9" * 87 + "8") and len(r) > 170
+        r = eng.sql("SELECT round(val, 2) AS v FROM r11big"
+                    " WHERE id = 2").collect()[0].v
+        assert r == "0.12"
+        # value-level comparison: 0.1234567890 = '0.123456789'
+        n = eng.sql("SELECT count(*) AS c FROM r11big"
+                    " WHERE val = '0.123456789'").collect()[0].c
+        assert n == 1
+        # typmod overflow refuses like numeric field overflow
+        with _pt.raises(Exception, match="overflow"):
+            eng.sql(f"INSERT INTO r11big VALUES (9, '1e205')")
+        # exact aggregates
+        r = eng.sql("SELECT avg(val) AS a FROM r11big"
+                    " WHERE id IN (2, 3)").collect()[0].a
+        assert r.startswith("-41514242.438")
+    finally:
+        eng.sql("DROP TABLE r11big")

@@ -77,7 +77,7 @@ DEFAULT_FILES = ["limit", "select", "point", "box", "lseg", "path",
                  "circle", "enum", "aggregates", "case", "int2",
                  "int4", "varchar", "char", "text", "union", "float8",
                  "join", "subselect", "macaddr", "uuid", "time",
-                 "boolean", "date"]
+                 "boolean", "date", "int8", "numeric"]
 
 _STMT_HEAD = (
     r"(?i)^(select|insert|update|delete|create|drop|alter|copy|analyze|"
@@ -544,7 +544,8 @@ def run_file(eng, f: str, silent: bool = False, list_diff: bool = False):
             # own NULL marker
             import tempfile
             payload = _stdin_payload(f, stmt)
-            m = re.match(r"(?is)^copy\s+([\w.\"]+)", stmt)
+            m = re.match(
+                r"(?is)^copy\s+([\w.\"]+)\s*(\([^()]*\))?", stmt)
             nullm = re.search(r"(?i)null\s+'((?:[^']|'')*)'", stmt)
             marker = nullm.group(1) if nullm else "\\N"
             try:
@@ -553,7 +554,8 @@ def run_file(eng, f: str, silent: bool = False, list_diff: bool = False):
                 ) as fh:
                     fh.write("\n".join(payload) + "\n")
                 eng.sql(
-                    f"COPY {m.group(1)} FROM '{fh.name}'"
+                    f"COPY {m.group(1)} {m.group(2) or ''}"
+                    f" FROM '{fh.name}'"
                     f" delimiter '\t' null '{marker}'"
                 )
                 per["STMT_OK"] += 1
