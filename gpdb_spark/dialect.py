@@ -2411,8 +2411,33 @@ def _pass_functions(tokens: list[str]) -> list[str]:
                         # the JDK's zone rules (PST8PDT links to
                         # America/Los_Angeles there, whose pre-1883 LMT
                         # shifts old dates by 7:02)
+
                         import datetime as _dt
 
+                        if ry > 9999:
+                            # beyond Python/Spark datetime range but
+                            # inside PG's (294276 AD): fold the
+                            # finished tstz image ('... 20000 PST' —
+                            # timestamp.out to_timestamp_11)
+                            from gpdb_spark.functions.pg_timestamp \
+                                import TS, ts_image, weekday as _wkd
+                            tso = TS(ry, rmo, rd, rh, rmi, rs, rus)
+                            img = ts_image(tso, 6, _DATE_STYLE,
+                                           _DATE_ORDER)
+                            tz = _session_tzinfo()
+                            try:
+                                ref = _dt.datetime(2000, rmo, rd)
+                                ab = tz.tzname(ref) or ""
+                            except Exception:
+                                ab = ""
+                            if _DATE_STYLE != "iso" and ab:
+                                # era tag goes after the zone; none
+                                # here (AD)
+                                img = f"{img} {ab}" \
+                                    if not img.endswith(" BC") else img
+                            out += [_lit_encode(img)]
+                            i = k + 1
+                            continue
                         try:
                             wall = _dt.datetime(ry, rmo, rd, rh, rmi,
                                                 rs, rus)
@@ -4254,6 +4279,219 @@ def _pass_nested_on(tokens: list[str]) -> list[str]:
     except _NestBail:
         return tokens
     return new if new != tokens else tokens
+
+
+def _ts_lit_span(tokens: list[str], i: int):
+    """(literal_token_index, typmod_p, end_index_exclusive) when
+    tokens[i..] spells a timestamp literal — ``timestamp ['(p')]
+    [without time zone] '<lit>'`` or a bare string literal; None
+    otherwise."""
+    n = len(tokens)
+    if i < n and tokens[i].startswith("'"):
+        return (i, 6, i + 1)
+    if i >= n or not tokens[i].isidentifier() \
+            or tokens[i].lower() != "timestamp":
+        return None
+    j = i + 1
+    p = 6
+    if j + 2 < n and tokens[j] == "(" and tokens[j + 1].isdigit() \
+            and tokens[j + 2] == ")":
+        p = int(tokens[j + 1])
+        j += 3
+    if j + 2 < n and tokens[j].lower() == "without" \
+            and tokens[j + 1].lower() == "time" \
+            and tokens[j + 2].lower() == "zone":
+        j += 3
+    if j < n and tokens[j].startswith("'"):
+        return (j, p, j + 1)
+    return None
+
+
+def _pass_ts_text_cols(
+        tokens: list[str], tstext_cols: dict | None = None,
+        ts_now: str | None = None) -> list[str]:
+    """Operator routing for canonical-text TIMESTAMP(p) columns
+    (timestamp.c): comparisons go through a total-order key
+    (timestamp literals fold to their key at translate time, with
+    'now' resolved transaction-stably), subtraction renders the
+    interval image (timestamp_mi), date_part/extract and to_char
+    route to the Python field engine. The stored image is PG's own
+    output text, so every parse here is of valid PG input."""
+    if not tstext_cols:
+        return tokens
+    from gpdb_spark.functions.pg_timestamp import ts_canon, ts_key
+
+    def colref(toks, a, b):
+        seg = toks[a:b]
+        if len(seg) == 1 and seg[0].isidentifier() \
+                and seg[0].lower() in tstext_cols:
+            return seg, seg[0].lower()
+        if len(seg) == 3 and seg[1] == "." \
+                and seg[2].lower() in tstext_cols:
+            return seg, seg[2].lower()
+        return None, None
+
+    def fold_key(lit_tok, p):
+        import datetime as _dt
+        now = ts_now or _dt.datetime.now().strftime(
+            "%Y-%m-%d %H:%M:%S.%f")
+        canon = ts_canon(p, _DATE_STYLE, _DATE_ORDER, now,
+                         _lit_decode(lit_tok))
+        return str(ts_key(canon))
+
+    def fold_canon(lit_tok, p):
+        import datetime as _dt
+        now = ts_now or _dt.datetime.now().strftime(
+            "%Y-%m-%d %H:%M:%S.%f")
+        return _lit_encode(ts_canon(
+            p, _DATE_STYLE, _DATE_ORDER, now, _lit_decode(lit_tok)))
+
+    def colref_ending(toks, i):
+        for span in (3, 1):
+            if i - span >= 0:
+                ref, _c = colref(toks, i - span, i)
+                if ref is not None:
+                    return ref, span
+        return None, 0
+
+    def colref_starting(toks, i):
+        for span in (3, 1):
+            ref, _c = colref(toks, i, i + span)
+            if ref is not None:
+                return ref, span
+        return None, 0
+
+    toks = list(tokens)
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(toks)):
+            t = toks[i].lower() if toks[i].isidentifier() else ""
+            # date_part('f', col) / to_char(col, 'fmt')
+            if t in ("date_part", "to_char") and i + 1 < len(toks) \
+                    and toks[i + 1] == "(":
+                call = _fn_args(toks, i)
+                if call is None:
+                    continue
+                args, k = call
+                if len(args) != 2:
+                    continue
+                if t == "date_part":
+                    ref, _c = colref(args[1], 0, len(args[1]))
+                    if ref is None or not args[0][0].startswith("'"):
+                        continue
+                    toks = (toks[:i] + ["pg_ts_part", "(", args[0][0],
+                                        ","] + ref + [")"]
+                            + toks[k + 1:])
+                else:
+                    ref, _c = colref(args[0], 0, len(args[0]))
+                    if ref is None or not args[1][0].startswith("'"):
+                        continue
+                    toks = (toks[:i] + ["pg_ts_tochar", "("] + ref
+                            + [",", args[1][0], ")"] + toks[k + 1:])
+                changed = True
+                break
+            # extract(F from col)
+            if t == "extract" and i + 1 < len(toks) \
+                    and toks[i + 1] == "(" and i + 4 < len(toks) \
+                    and _is_word(toks[i + 3], "from"):
+                depth, k = 0, i + 1
+                while k < len(toks):
+                    if toks[k] == "(":
+                        depth += 1
+                    elif toks[k] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k += 1
+                ref, _c = colref(toks, i + 4, k)
+                if ref is not None:
+                    toks = (toks[:i]
+                            + ["pg_ts_part", "(",
+                               f"'{toks[i + 2].lower()}'", ","]
+                            + ref + [")"] + toks[k + 1:])
+                    changed = True
+                    break
+        if changed:
+            continue
+        # comparisons / BETWEEN / subtraction
+        for i in range(len(toks)):
+            tk = toks[i]
+            if tk in ("=", "!=", "<>", "<", "<=", ">", ">="):
+                # col on the left?
+                ref, span = colref_ending(toks, i)
+                if ref is not None:
+                    lit = _ts_lit_span(toks, i + 1)
+                    if lit is None:
+                        continue
+                    li, p, e = lit
+                    toks = (toks[:i - span]
+                            + ["pg_ts_key", "("] + ref + [")", tk,
+                               fold_key(toks[li], p)] + toks[e:])
+                    changed = True
+                    break
+                # literal on the left, col on the right
+                lit = None
+                for back in range(i - 1, max(i - 8, -1), -1):
+                    cand = _ts_lit_span(toks, back)
+                    if cand is not None and cand[2] == i:
+                        lit = (back, cand[0], cand[1])
+                        break
+                if lit is not None:
+                    ref, span = colref_starting(toks, i + 1)
+                    if ref is not None:
+                        back, li, p = lit
+                        toks = (toks[:back]
+                                + [fold_key(toks[li], p), tk,
+                                   "pg_ts_key", "("] + ref + [")"]
+                                + toks[i + 1 + span:])
+                        changed = True
+                        break
+            if tk.isidentifier() and tk.lower() == "between":
+                ref, span = colref_ending(toks, i)
+                if ref is None:
+                    continue
+                lo = _ts_lit_span(toks, i + 1)
+                if lo is None:
+                    continue
+                li1, p1, e1 = lo
+                if e1 >= len(toks) or not _is_word(toks[e1], "and"):
+                    continue
+                hi = _ts_lit_span(toks, e1 + 1)
+                if hi is None:
+                    continue
+                li2, p2, e2 = hi
+                toks = (toks[:i - span]
+                        + ["pg_ts_key", "("] + ref + [")", "BETWEEN",
+                           fold_key(toks[li1], p1), "AND",
+                           fold_key(toks[li2], p2)] + toks[e2:])
+                changed = True
+                break
+            if tk == "-":
+                ref, span = colref_ending(toks, i)
+                if ref is None:
+                    continue
+                lit = _ts_lit_span(toks, i + 1)
+                if lit is None:
+                    # col - col
+                    ref2, span2 = colref_starting(toks, i + 1)
+                    if ref2 is None:
+                        continue
+                    toks = (toks[:i - span]
+                            + ["pg_ts_sub", "("] + ref + [","] + ref2
+                            + [",", f"'{_INTERVAL_STYLE}'", ")"]
+                            + toks[i + 1 + span2:])
+                    changed = True
+                    break
+                li, p, e = lit
+                toks = (toks[:i - span]
+                        + ["pg_ts_sub", "("] + ref
+                        + [",", fold_canon(toks[li], p),
+                           ",", f"'{_INTERVAL_STYLE}'", ")"]
+                        + toks[e:])
+                changed = True
+                break
+    return toks
 
 
 def _pass_numeric_text_window(
@@ -12582,6 +12820,7 @@ def _pass_misc_funcs(tokens: list[str]) -> list[str]:
             "booleq", "boolne", "boollt", "boolgt", "boolle", "boolge",
             "float8in", "float8out", "float4in", "float4out",
             "float8", "float4", "int2", "int4", "int8",
+            "timeofday",
         ) else None
         if call is not None:
             args, k = call
@@ -12776,6 +13015,13 @@ def _pass_misc_funcs(tokens: list[str]) -> list[str]:
             if low == "date_trunc":
                 out.append(t)
                 i += 1
+                continue
+            # timeofday() (misc.c): wall-clock text — the regress use
+            # only compares its ::date against current_timestamp
+            if low == "timeofday" and not args:
+                out += ["CAST", "(", "current_timestamp", "(", ")",
+                        "AS", "STRING", ")"]
+                i = k + 1
                 continue
             # make_timestamptz (timestamp.c): Spark's make_timestamp
             # takes the same 6 fields plus an optional zone-id 7th arg;
@@ -13947,8 +14193,14 @@ def _dch_resolve(f: dict):
     if "hh12" in f:
         h12 = f["hh12"]
         if not 1 <= h12 <= 12:
-            err("hour out of range")
-        hh = h12 % 12 + (12 if pm else 0)
+            # DCH_from_char emits a WARNING ('invalid for the 12-hour
+            # clock') but ACCEPTS the value as a 24-hour reading
+            # (timestamp.out to_timestamp_6/7)
+            if not 0 <= h12 <= 23:
+                err("hour out of range")
+            hh = h12
+        else:
+            hh = h12 % 12 + (12 if pm else 0)
     mi, ss = f.get("mi", 0), f.get("ss", 0)
     if "ssss" in f:
         hh, rest = divmod(f["ssss"], 3600)
@@ -14029,6 +14281,17 @@ _DATE_5DIGIT = False
 def set_date_5digit(on: bool) -> None:
     global _DATE_5DIGIT
     _DATE_5DIGIT = bool(on)
+
+
+# GPDB's enable_implicit_timeformat_YYYYMMDDHH24MISS GUC (guc_gp.c):
+# off by default — a 14-digit run-together timestamp is invalid
+# input; on, it parses as YYYYMMDDHH24MISS[.frac] (MPP-5665)
+_IMPLICIT_TS14 = False
+
+
+def set_implicit_ts14(on: bool) -> None:
+    global _IMPLICIT_TS14
+    _IMPLICIT_TS14 = bool(on)
 
 
 def _date_out_fmt() -> tuple[str | None, str | None]:
@@ -14692,6 +14955,19 @@ def _pg_ts_literal(lit: str) -> str:
     expands to HH:MM:SS[.f] with any zone suffix preserved for Spark's
     parser."""
     body = lit[1:-1].strip()
+    # 13-15 digit run-together (MPP-5665): invalid input unless the
+    # enable_implicit_timeformat GUC is on AND it's exactly 14 digits
+    # (YYYYMMDDHH24MISS, optional fraction)
+    m14 = re.fullmatch(r"(\d{13,15})(\.\d+)?", body)
+    if m14:
+        digs = m14.group(1)
+        if len(digs) != 14 or not _IMPLICIT_TS14:
+            raise ValueError(
+                "invalid input syntax for type timestamp: "
+                f'"{body}"')
+        frac = (m14.group(2) or "")[:7]
+        return (f"'{digs[0:4]}-{digs[4:6]}-{digs[6:8]} "
+                f"{digs[8:10]}:{digs[10:12]}:{digs[12:14]}{frac}'")
     # special values (datetime.c DecodeSpecial), optionally combined
     # with a time of day in either order ('today 10:30',
     # '16:00:00 tomorrow') — the special resolves at translate time
@@ -15343,7 +15619,9 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset(),
               net_cols: dict | None = None,
               dt_cols: dict | None = None,
               bp_cols: frozenset = frozenset(),
-              num_cols: frozenset = frozenset()) -> str:
+              num_cols: frozenset = frozenset(),
+              tstext_cols: dict | None = None,
+              ts_now: str | None = None) -> str:
     """Translate a PostgreSQL-dialect query to Spark SQL.
 
     ``int_cols`` — lowercase names of integer-typed columns (catalog type
@@ -15368,6 +15646,7 @@ def translate(sql: str, int_cols: frozenset[str] = frozenset(),
     tokens = _pass_unicode_literals(tokens)
     tokens = _pass_statement_forms(tokens)
     tokens = _pass_nested_on(tokens)
+    tokens = _pass_ts_text_cols(tokens, tstext_cols, ts_now)
     tokens = _pass_setop_literal_scale(tokens)
     tokens = _pass_composite_casts(tokens)
     tokens = _pass_domain_casts(tokens)
@@ -15601,6 +15880,8 @@ def pg_sql(
     dt_cols: dict | None = None,
     bp_cols: frozenset = frozenset(),
     num_cols: frozenset = frozenset(),
+    tstext_cols: dict | None = None,
+    ts_now: str | None = None,
 ) -> DataFrame:
     """The engine's SQL front door: PG-dialect text in, DataFrame out.
     When ``sf_dir`` is given, the fixture tables are (re-)registered as
@@ -15630,7 +15911,7 @@ def pg_sql(
         # (with None the plan showed double division — review finding)
         df = pg_sql(spark, body, sf_dir, int_cols, numeric_agg,
                     f32_cols, bin_cols, bit_cols, f64_cols, net_cols,
-                    dt_cols, bp_cols, num_cols)
+                    dt_cols, bp_cols, num_cols, tstext_cols, ts_now)
         if analyze:
             df._jdf.queryExecution().toRdd().count()
         plan = explain_motion(df)
@@ -15663,4 +15944,6 @@ def pg_sql(
                                f32_cols=f32_cols, bin_cols=bin_cols,
                                bit_cols=bit_cols, f64_cols=f64_cols,
                                net_cols=net_cols, dt_cols=dt_cols,
-                               bp_cols=bp_cols, num_cols=num_cols))
+                               bp_cols=bp_cols, num_cols=num_cols,
+                               tstext_cols=tstext_cols,
+                               ts_now=ts_now))

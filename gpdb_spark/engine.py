@@ -337,7 +337,26 @@ class Engine:
         head = s.split(None, 1)[0].lower() if s else ""
         if head in ("begin", "commit", "rollback", "end", "checkpoint",
                     "discard", "abort"):
+            # 'now' is transaction-stable (xact.c xactStartTimestamp):
+            # BEGIN pins the wall clock, COMMIT/ROLLBACK releases it
+            if head == "begin":
+                import datetime as _dt
+                self._txn_now = _dt.datetime.now().strftime(
+                    "%Y-%m-%d %H:%M:%S.%f")
+            elif head in ("commit", "rollback", "end", "abort"):
+                self._txn_now = None
             return self.spark.createDataFrame([(head.upper(),)], "status string")
+        if head == "select":
+            # pg_sleep(misc.c): real wall-clock delay, one empty-text
+            # row — the timestamp.sql 'now'-advances probe depends on
+            # actual elapsed time between statements
+            mslp = _re.match(
+                r"(?is)^select\s+pg_sleep\s*\(\s*([\d.]+)\s*\)\s*$", s)
+            if mslp:
+                import time as _time
+                _time.sleep(min(float(mslp.group(1)), 5.0))
+                return self.spark.createDataFrame(
+                    [("",)], "pg_sleep string")
         if head in ("set", "reset"):
             if not hasattr(self, "_gucs"):
                 self._gucs: dict[str, str] = {}
@@ -361,6 +380,10 @@ class Engine:
                 elif name == "gp_allow_date_field_width_5digits":
                     from gpdb_spark.dialect import set_date_5digit
                     set_date_5digit(False)
+                elif name == \
+                        "enable_implicit_timeformat_yyyymmddhh24miss":
+                    from gpdb_spark.dialect import set_implicit_ts14
+                    set_implicit_ts14(False)
             else:
                 m = _re.match(
                     r"(?is)^set\s+(?:session\s+|local\s+)?"
@@ -384,6 +407,11 @@ class Engine:
                     elif name == "gp_allow_date_field_width_5digits":
                         from gpdb_spark.dialect import set_date_5digit
                         set_date_5digit(
+                            val.lower() in ("on", "true", "1", "yes"))
+                    elif name == \
+                            "enable_implicit_timeformat_yyyymmddhh24miss":
+                        from gpdb_spark.dialect import set_implicit_ts14
+                        set_implicit_ts14(
                             val.lower() in ("on", "true", "1", "yes"))
                     elif name == "intervalstyle":
                         from gpdb_spark.dialect import set_interval_style
@@ -1009,6 +1037,17 @@ class Engine:
                     # comparisons, and display is the stored image.
                     tm = ("numeric", 0)
                     spark_type = "STRING"
+                elif tl == "timestamp" and len(toks) > 3 \
+                        and toks[1] == "(" and toks[2].isdigit() \
+                        and not any(
+                            t2.lower() == "with" for t2 in toks):
+                    # TIMESTAMP(p) WITHOUT TIME ZONE: canonical-text
+                    # storage (timestamp.c timestamp_in +
+                    # AdjustTimestampForTypmod) — Spark TIMESTAMP
+                    # cannot hold ±infinity/BC instants. Plain
+                    # `timestamp` stays native Spark (the scale path).
+                    tm = ("ts", int(toks[2]))
+                    spark_type = "STRING"
                 elif tl == "time" and "zone" not in [
                         t2.lower() for t2 in toks]:
                     # TIME columns store the canonical text image
@@ -1438,6 +1477,11 @@ class Engine:
             self._refresh_pg_enum()
             return self.spark.createDataFrame(
                 [("DROP TYPE",)], "status string")
+        if any(k == "ts" for (k, _n) in getattr(
+                self, "_typmod_cols", {}).values()):
+            from gpdb_spark.functions.pg_timestamp import \
+                register_ts_udfs
+            register_ts_udfs(self.spark)
         return pg_sql(self.spark, s, self.sf_dir,
                       int_cols=frozenset(
                           getattr(self, "_int_cols", set())),
@@ -1474,7 +1518,12 @@ class Engine:
                       num_cols=frozenset(
                           c for (_t, c), (k, _n) in getattr(
                               self, "_typmod_cols", {}).items()
-                          if k == "numeric"))
+                          if k == "numeric"),
+                      tstext_cols={
+                          c: n for (_t, c), (k, n) in getattr(
+                              self, "_typmod_cols", {}).items()
+                          if k == "ts"},
+                      ts_now=self._session_now())
 
     def obj_description(self, name: str, objtype: str = "table") -> str | None:
         """obj_description() (pg_description lookup)."""
@@ -2069,11 +2118,39 @@ class Engine:
             df = df.withColumn(
                 cname, Fn.expr(f"pg_geo_canon('{kind}', `{cname}`)"))
         for cname, (tkind, tn) in typmods.items():
+            if tkind == "ts":
+                # timestamp(p) canonical text: style/order/now are
+                # session state resolved at WRITE time ('now' is
+                # transaction-stable inside BEGIN, statement wall
+                # clock otherwise — timestamp.c GetCurrentTransaction
+                # StartTimestamp)
+                from gpdb_spark.dialect import _DATE_ORDER, _DATE_STYLE
+                from gpdb_spark.functions.pg_timestamp import \
+                    register_ts_udfs
+                register_ts_udfs(self.spark)
+                now_iso = self._session_now()
+                df = df.withColumn(
+                    cname,
+                    Fn.expr(f"pg_ts_canon({tn}, '{_DATE_STYLE}',"
+                            f" '{_DATE_ORDER}', '{now_iso}',"
+                            f" `{cname}`)"))
+                continue
             df = df.withColumn(
                 cname,
                 Fn.expr(f"pg_vartype_canon('{tkind}', {tn},"
                         f" `{cname}`)"))
         return df
+
+    def _session_now(self) -> str:
+        """The wall-clock instant 'now' resolves to: transaction-
+        stable inside an explicit BEGIN (xact.c xactStartTimestamp),
+        per-statement otherwise."""
+        import datetime as _dt
+
+        txn = getattr(self, "_txn_now", None)
+        if txn is not None:
+            return txn
+        return _dt.datetime.now().strftime("%Y-%m-%d %H:%M:%S.%f")
 
     def _refresh(self, name: str) -> None:
         """Re-register the table view after a copy-on-write rewrite AND

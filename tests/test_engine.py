@@ -1922,3 +1922,67 @@ def test_numeric_typmod_beyond_38_digits(spark, sf_dir):
         assert r.startswith("-41514242.438")
     finally:
         eng.sql("DROP TABLE r11big")
+
+
+def test_timestamp_typmod_text_column(spark, sf_dir):
+    """timestamp(p) WITHOUT TIME ZONE columns store PG's output image
+    (timestamp.c timestamp_in + AdjustTimestampForTypmod): ±infinity
+    and BC instants survive, comparisons key on the total order,
+    subtraction renders the interval, and 'now' is transaction-stable
+    (the timestamp.sql surface)."""
+    import pytest as _pt
+    from gpdb_spark import dialect as d
+    from gpdb_spark.engine import Engine
+
+    d.set_date_style("postgres")
+    d.set_date_order("mdy")
+    d.set_interval_style("postgres_verbose")
+    eng = Engine(spark, sf_dir)
+    eng._default_datestyle = ("postgres", "mdy")
+    eng.sql("CREATE TABLE r11ts (d1 timestamp(2) without time zone)")
+    try:
+        for v in ("Mon Feb 10 17:32:01.999999 1997 PST", "infinity",
+                  "-infinity", "Feb 16 17:32:01 0097 BC",
+                  "1997-01-02", "epoch"):
+            eng.sql(f"INSERT INTO r11ts VALUES ('{v}')")
+        vals = sorted(r.d1 for r in eng.table("r11ts").collect())
+        assert "Mon Feb 10 17:32:02 1997" in vals  # typmod rounds up
+        assert "Tue Feb 16 17:32:01 0097 BC" in vals
+        assert "infinity" in vals and "-infinity" in vals
+        n = eng.sql("SELECT count(*) AS c FROM r11ts WHERE d1 >"
+                    " timestamp without time zone '1997-01-02'"
+                    ).collect()[0].c
+        assert n == 2  # Feb-10 and +infinity
+        r = eng.sql("SELECT d1 - timestamp without time zone"
+                    " '1997-01-02' AS diff FROM r11ts WHERE"
+                    " d1 = timestamp without time zone '1997-01-02'"
+                    ).collect()[0].diff
+        assert r == "@ 0"
+        r = eng.sql("SELECT to_char(d1, 'YYYY Mon DD') AS c FROM"
+                    " r11ts WHERE d1 = timestamp without time zone"
+                    " 'epoch'").collect()[0].c
+        assert r == "1970 Jan 01"
+        assert eng.sql("SELECT to_char(d1, 'YYYY') AS c FROM r11ts"
+                       " WHERE d1 = 'infinity'").collect()[0].c == ""
+        r = eng.sql("SELECT date_part('year', d1) AS y FROM r11ts"
+                    " WHERE d1 = timestamp without time zone"
+                    " 'Feb 16 17:32:01 0097 BC'").collect()[0].y
+        assert r == -97.0
+        with _pt.raises(Exception, match="no longer supported"):
+            eng.sql("INSERT INTO r11ts VALUES ('invalid')")
+        with _pt.raises(Exception, match="not recognized"):
+            eng.sql("INSERT INTO r11ts VALUES"
+                    " ('19970710 173201 America/Does_not_exist')")
+        # txn-stable 'now'
+        eng.sql("BEGIN")
+        eng.sql("INSERT INTO r11ts VALUES ('now')")
+        eng.sql("INSERT INTO r11ts VALUES ('now')")
+        n = eng.sql("SELECT count(*) AS c FROM r11ts WHERE d1 ="
+                    " timestamp(2) without time zone 'now'"
+                    ).collect()[0].c
+        assert n == 2
+        eng.sql("COMMIT")
+    finally:
+        eng.sql("DROP TABLE r11ts")
+        d.set_date_style("iso")
+        d.set_interval_style("postgres")

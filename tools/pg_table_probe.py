@@ -77,7 +77,7 @@ DEFAULT_FILES = ["limit", "select", "point", "box", "lseg", "path",
                  "circle", "enum", "aggregates", "case", "int2",
                  "int4", "varchar", "char", "text", "union", "float8",
                  "join", "subselect", "macaddr", "uuid", "time",
-                 "boolean", "date", "int8", "numeric"]
+                 "boolean", "date", "int8", "numeric", "timestamp"]
 
 _STMT_HEAD = (
     r"(?i)^(select|insert|update|delete|create|drop|alter|copy|analyze|"
@@ -518,6 +518,7 @@ def run_file(eng, f: str, silent: bool = False, list_diff: bool = False):
         if head == "begin":
             txn_snap = _snap_enums()
             txn_aborted = False
+            eng.sql("BEGIN")  # pins the engine's txn-stable 'now'
             continue
         if head in ("commit", "end", "rollback", "abort"):
             if txn_snap is not None and (
@@ -526,6 +527,7 @@ def run_file(eng, f: str, silent: bool = False, list_diff: bool = False):
                 _restore_enums(txn_snap)
             txn_snap = None
             txn_aborted = False
+            eng.sql("COMMIT")
             continue
         if txn_snap is not None and kind == "error":
             txn_aborted = True
@@ -576,7 +578,7 @@ def run_file(eng, f: str, silent: bool = False, list_diff: bool = False):
         if re.search(
             r"(?i)timestamp\s+with\s+time\s+zone|::\s*timestamptz"
             r"|\bat\s+time\s+zone\b|timestamptz\s*[('!]"
-            r"|\bmake_timestamptz\s*\("
+            r"|\bmake_timestamptz\s*\(|\bto_timestamp\s*\("
             # this vintage's date->timestamptz promotion: date_trunc
             # over a date renders with the zone abbrev (same regex as
             # pg_golden_probe)
