@@ -106,6 +106,12 @@ def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
             if len(paths) == len(files):
                 total = sum(os.path.getsize(p) for p in paths)
                 want = max(1, min(want, -(-total // SPREAD_TARGET_BYTES)))
+                if want <= len(files):
+                    # the shuffle cannot raise parallelism beyond what the
+                    # scan already provides (e.g. a 4 KB dim table where
+                    # want computes to 1) — a repartition here is a pure
+                    # extra exchange with zero fan-out benefit
+                    return df
     except Exception:
         few_splits = True
     if few_splits:

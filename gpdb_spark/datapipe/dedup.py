@@ -380,50 +380,61 @@ def minhash_dedup_clusters(
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     parts = int(max(4, min(-(-n_edges // 1_000_000), 4 * parallelism)))
     memb = _banded(sig, k, bands, portable).repartition(parts, "band", "bucket").persist()
+
     # labels start as the identity map, realized implicitly by round 0's
-    # bucket-min (no separate distinct/materialize job). Convergence is
-    # detected INSIDE each round's aggregation: the previous label rides
-    # along through the join, so n_changed = sum(new != old) comes out of
-    # the same action — no extra confirmation round. Typical dup clusters
-    # are bucket-cliques that settle in round 1, so this halves the
-    # round count (the round-1 check used to require a full round 2).
-    labels = None
-    for it in range(max_iter):
-        if it == 0:
+    # bucket-min (no separate distinct/materialize job).
+    def _prop(lbls):
+        """One label-propagation round as a LAZY plan: each doc takes the
+        min of its buckets' min labels (its own label rides through its
+        buckets, so labels are monotone non-increasing)."""
+        if lbls is None:
             bucket_lbl = memb.groupBy("band", "bucket").agg(
                 F.min("id").alias("blbl")
             )
-            joined = memb.join(bucket_lbl, ["band", "bucket"]).select(
-                "id", "blbl", F.col("id").alias("old")
-            )
         else:
             bucket_lbl = (
-                memb.join(labels, "id")
+                memb.join(lbls, "id")
                 .groupBy("band", "bucket")
                 .agg(F.min("label").alias("blbl"))
             )
-            joined = (
-                memb.join(bucket_lbl, ["band", "bucket"])
-                .join(labels, "id")
-                .select("id", "blbl", F.col("label").alias("old"))
-            )
-        new_labels = (
-            joined.groupBy("id")
-            .agg(
-                F.min("blbl").alias("label"),
-                F.min("old").alias("__old"),
-            )
-            .persist()
+        return (
+            memb.join(bucket_lbl, ["band", "bucket"])
+            .groupBy("id")
+            .agg(F.min("blbl").alias("label"))
         )
+
+    # r11 optimization: every ACTION evaluates a PAIR of propagation
+    # rounds and the convergence test compares the pair's second round
+    # against its first (labels are monotone, so "one full round changed
+    # nothing" is the fixpoint test wherever it appears). Typical dup
+    # clusters are bucket-cliques: round 0 assigns bucket-mins, round 1
+    # confirms — previously 2 scheduling waves + 2 collects, now ONE
+    # (measured: the loop's wall time is stage-scheduling-bound at any
+    # per-round data size; chains still converge, at 2 label hops per
+    # wave, bounded by 2*max_iter rounds).
+    labels = None
+    for it in range(max_iter):
+        l0 = _prop(labels).withColumnRenamed("label", "__l0")
+        l1 = (
+            memb.join(
+                memb.join(l0, "id")
+                .groupBy("band", "bucket")
+                .agg(F.min("__l0").alias("blbl")),
+                ["band", "bucket"],
+            )
+            .groupBy("id")
+            .agg(F.min("blbl").alias("label"))
+        )
+        new_labels = l1.join(l0, "id").persist()
         n_changed = (
             new_labels.agg(
-                F.sum((F.col("label") != F.col("__old")).cast("long"))
+                F.sum((F.col("label") != F.col("__l0")).cast("long"))
             ).collect()[0][0]
             or 0
         )
         if labels is not None:
             labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("id", "label")
         if n_changed == 0:
             break
     else:
@@ -431,11 +442,13 @@ def minhash_dedup_clusters(
         # refuse rather than return a silently-unconverged clustering
         # (same class as the graph.py round-10 stress-twin find)
         raise RuntimeError(
-            f"minhash label propagation did not converge in {max_iter} "
+            f"minhash label propagation did not converge in {2 * max_iter} "
             "rounds — raise max_iter (component diameter exceeds it)")
     memb.unpersist()
-    # re-attach zero-shingle docs as singleton clusters (keep_id = own id)
-    ids = spread(df).select(F.col(id_col).alias("id"))
+    # re-attach zero-shingle docs as singleton clusters (keep_id = own id).
+    # Plain column-pruned id scan — the heavy-operator spread() fan-out
+    # would only add a shuffle of the id column here (r11).
+    ids = df.select(F.col(id_col).alias("id"))
     return (
         ids.join(labels, "id", "left")
         .select(

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from gpdb_spark.registry import fr, DEC, dsum, oavg, osum, query, t
+from gpdb_spark.registry import _usum, fr, DEC, dsum, oavg, osum, query, t
 
 GAP_US = 30 * 60 * 1_000_000
 
@@ -343,7 +343,8 @@ def events_gapfill_locf(spark, sf_dir):
         part_col="event_type",
         ts_col="ts",
         measure=fr(
-            F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1)), 4
+            # r11: split-long exact sum (same value as the DECIMAL(25,6) path)
+            _usum(F.col("value")).cast("double") / F.count(F.lit(1)), 4
         ),
         width_seconds=3600,
         fill="locf",

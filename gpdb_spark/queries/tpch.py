@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from gpdb_spark.registry import davg, dsum, fr, oavg, osum, query, t
+from gpdb_spark.registry import _usum, davg, dsum, fr, oavg, osum, query, t
 
 def _rev():
     # revenue measure; built lazily because Column construction needs a live session
@@ -396,13 +396,12 @@ def q14_promo_effect(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
     )
     p = t(spark, sf_dir, "part")
-    dec = "decimal(25,6)"
-    promo = F.sum(
-        F.when(F.col("p_type") == "PROMO", _rev().cast(dec)).otherwise(
-            F.lit(0).cast(dec)
-        )
+    # r11: split-long exact sums (registry._usum) — same value as the
+    # DECIMAL(25,6) cast+sum, ~2.5x cheaper per row (see registry.py)
+    promo = _usum(
+        F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
     ).cast("double")
-    total = F.sum(_rev().cast(dec)).cast("double")
+    total = _usum(_rev()).cast("double")
     return (
         l.join(broadcast(p), l.l_partkey == p.p_partkey)
         .agg(fr(100.0 * promo / total, 4).alias("promo_revenue"))
@@ -467,7 +466,8 @@ def q17_small_quantity_revenue(spark, sf_dir):
             (
                 0.5
                 * (
-                    F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double")
+                    # r11: split-long exact sum (same value, cheaper row path)
+                    _usum(F.col("l_quantity")).cast("double")
                     / F.count(F.lit(1))
                 )
             ).alias("qty_threshold")
@@ -480,8 +480,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             fr(
-                F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double")
-                / 7.0,
+                _usum(F.col("l_extendedprice")).cast("double") / 7.0,
                 2,
             ).alias("avg_yearly")
         )
@@ -517,7 +516,7 @@ def q18_large_volume_customer(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("q"))
+        .agg(_usum(F.col("l_quantity")).alias("q"))  # r11: split-long exact sum
         .where(F.col("q") > 140)
     )
     return (
@@ -624,7 +623,7 @@ def q22_global_sales_opportunity(spark, sf_dir):
         c.where(F.col("c_acctbal") > 0.0)
         .agg(
             (
-                F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast("double")
+                _usum(F.col("c_acctbal")).cast("double")
                 / F.count(F.lit(1))
             ).alias("v")
         )
@@ -638,7 +637,7 @@ def q22_global_sales_opportunity(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum(F.col("c_acctbal").cast("decimal(25,6)")), 2)
+            F.round(_usum(F.col("c_acctbal")), 2)
             .cast("double")
             .alias("totacctbal"),
         )
@@ -746,10 +745,9 @@ def q08_national_market_share(spark, sf_dir):
     r = t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
     nc = n.select(F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region"))
     ns = n.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
-    dec = "decimal(25,6)"
-    vol = _rev().cast(dec)
+    vol = _rev()
     nat_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
-        F.lit(0).cast(dec)
+        F.lit(0.0)
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
@@ -763,7 +761,8 @@ def q08_national_market_share(spark, sf_dir):
         .groupBy("o_year")
         .agg(
             fr(
-                F.sum(nat_vol).cast("double") / F.sum(vol).cast("double"), 6
+                # r11: split-long exact sums (same values as the decimal casts)
+                _usum(nat_vol).cast("double") / _usum(vol).cast("double"), 6
             ).alias("mkt_share")
         )
     )
@@ -797,14 +796,13 @@ def q11_important_stock(spark, sf_dir):
     p = t(spark, sf_dir, "part")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
-    dec = "decimal(25,6)"
-    val = (0.5 * F.col("p_retailprice") * F.col("l_quantity")).cast(dec)
+    val = 0.5 * F.col("p_retailprice") * F.col("l_quantity")
     by_part = (
         l.join(broadcast(p), l.l_partkey == p.p_partkey)
         .join(broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
-        .agg(F.sum(val).cast(dec).alias("value"))
+        .agg(_usum(val).alias("value"))  # r11: split-long exact sum
     )
     threshold = by_part.agg(
         (F.sum("value") * F.lit(0.001)).alias("thr")
@@ -843,14 +841,14 @@ def q15_top_supplier(spark, sf_dir):
     exchange or recomputes the small aggregate."""
     l = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
-    dec = "decimal(25,6)"
     revenue = (
         l.where(
             (F.col("l_shipdate") >= "1996-01-01")
             & (F.col("l_shipdate") < "1996-04-01")
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_rev().cast(dec)).cast(dec).alias("total_revenue"))
+        # r11: split-long exact sum (same value as the decimal cast+sum)
+        .agg(_usum(_rev()).alias("total_revenue"))
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
@@ -898,7 +896,7 @@ def q20_potential_promotion(spark, sf_dir):
             & (F.col("l_shipdate") < "1997-01-01")
         )
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double").alias("qty"))
+        .agg(_usum(F.col("l_quantity")).cast("double").alias("qty"))
         .where(F.col("qty") > 40)
     )
     qualifying = shipped.join(

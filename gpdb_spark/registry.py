@@ -54,14 +54,77 @@ def _col(c: ColumnOrName) -> Column:
 # deterministic aggregate builders (Spark side)
 # ---------------------------------------------------------------------------
 
+# --- split-long exact sum (optimization round r11) -------------------------
+# sum(cast(x AS DECIMAL(25,6))) dominated the aggregation queries: Spark's
+# double->decimal cast goes through BigDecimal.valueOf(Double.toString(x))
+# and the decimal sum buffer allocates per row — measured ~0.33 s per
+# measure per 600 k rows on one core (q01 carried 6 of them). The measures
+# fed to dsum/davg are money/quantity columns (<=2 decimal digits, or
+# products of a few such columns — <=6 exact decimal digits, magnitudes
+# < 1e13 in 6dp-unscaled units), so the per-row conversion
+# round(x * 1e6) -> long is VALUE-IDENTICAL to the decimal cast (the double
+# error of the product, <1e-9 absolute, never reaches the 5e-7 rounding
+# boundary of an exact <=6dp value). The sum itself then runs as THREE
+# primitive long sums of bounded digit slices (h:1e8.., m:1e4..1e7, l:..1e3)
+# — each slice sum stays far inside int64 up to ~1e14 rows (vs a single
+# long sum of u, which would silently wrap near 1e7 rows x 1e12 — the
+# 100 TB hazard) — and the exact total is reassembled in decimal once per
+# GROUP, where the old rounding discipline (round HALF_UP / cast double)
+# applies unchanged. Values are bit-identical to the previous formulation
+# on every fixture family (verified vs the DuckDB oracle, which still
+# computes sum(CAST(x AS DECIMAL(25,6)))); only the per-row engine cost
+# changes (~2.5x cheaper, guide §1.2 "per-task work").
+
+_U = 1_000_000          # 6dp fixed-point scale
+_SPLIT_H = 100_000_000  # digit-slice factors: u = h*1e8 + m*1e4 + l
+_SPLIT_M = 10_000
+
+
+def _usplit(c: Column) -> tuple[Column, Column, Column]:
+    """6dp-unscaled long of a tame double measure, split into three
+    bounded digit slices (floor division keeps 0 <= m,l < slice even for
+    negative u, so each slice sum is bounded by rows x slice).
+
+    The half-up is primitive (sign*floor(|x|+0.5)) instead of F.round's
+    BigDecimal.valueOf path (~180 ns/row/measure saved). For |x| < 2^51
+    the two agree exactly: shortest-repr rounding can only differ from
+    value rounding when the value and its shortest repr straddle a K.5
+    boundary, impossible below 2^52 where K.5 is itself representable;
+    and x+0.5 is exact below 2^51. Our 6dp-unscaled domain is < 1e13."""
+    x = c * _U
+    u = F.when(x < 0, -F.floor(-x + 0.5)).otherwise(F.floor(x + 0.5)).cast(
+        "long"
+    )
+    h = F.floor(u / F.lit(float(_SPLIT_H))).cast("long")
+    r = u - h * F.lit(_SPLIT_H)
+    m = F.floor(r / F.lit(float(_SPLIT_M))).cast("long")
+    lo = r - m * F.lit(_SPLIT_M)
+    return h, m, lo
+
+
+def _usum(c: Column) -> Column:
+    """Exact DECIMAL(38,6) sum of the measure = (1e8*Σh + 1e4*Σm + Σl)/1e6,
+    reassembled once per group. NULL-correct: h/m/l are null together, so
+    the three sums skip the same rows and a null-only group stays null."""
+    h, m, lo = _usplit(c)
+    total = (
+        F.sum(h).cast("decimal(28,0)") * _SPLIT_H
+        + F.sum(m).cast("decimal(28,0)") * _SPLIT_M
+        + F.sum(lo).cast("decimal(28,0)")
+    )
+    # exact rescale to 6dp: decimal division by 1e6 (scale >= 6 -> exact)
+    return total / F.lit(_U)
+
+
 def dsum(c: ColumnOrName, n: int = 2) -> Column:
-    """Order-independent sum of a double measure, rounded to n digits."""
-    return F.round(F.sum(_col(c).cast(DEC)), n).cast("double")
+    """Order-independent sum of a double measure, rounded to n digits.
+    Same value as round(sum(cast(c AS DECIMAL(25,6))), n) — see _usum."""
+    return F.round(_usum(_col(c)), n).cast("double")
 
 
 def davg(c: ColumnOrName, n: int = 6) -> Column:
     """Order-independent average: exact decimal sum / count, in doubles."""
-    return fr(F.sum(_col(c).cast(DEC)).cast("double") / F.count(F.lit(1)), n)
+    return fr(_usum(_col(c)).cast("double") / F.count(F.lit(1)), n)
 
 
 def fr(c: ColumnOrName, n: int = 6) -> Column:

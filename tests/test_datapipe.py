@@ -768,3 +768,66 @@ def test_components_long_chain_converges(spark):
     out = components_from_edges(nodes, edges).collect()
     assert all(r.component == 0 for r in out)
     assert len(out) == n
+
+
+def test_minhash_clusters_match_unionfind_ground_truth(spark, sf_dir):
+    """r11 optimization gate: the LP loop now evaluates a PAIR of
+    propagation rounds per action and convergence-checks the second
+    round. Validate the full operator against an independent union-find
+    transitive closure of the ACTUAL banded bucket graph (covers every
+    component shape the fixture produces, chains included)."""
+    from gpdb_spark.catalog import spread
+    from gpdb_spark.datapipe.dedup import (
+        _banded,
+        minhash_dedup_clusters,
+        minhash_from_hashes,
+        shingle_hashes,
+    )
+    from gpdb_spark.registry import t
+
+    d = t(spark, sf_dir, "documents")
+    k, bands = 64, 16
+    sig = (
+        spread(d)
+        .select(
+            F.col("doc_id").alias("id"),
+            shingle_hashes(F.col("text"), 1, False).alias("__sh"),
+        )
+        .where(F.array_size(F.col("__sh")) > 0)
+        .select("id", minhash_from_hashes(F.col("__sh"), k, False).alias("sig"))
+    )
+    memb = _banded(sig, k, bands, False).collect()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    by_bucket: dict = {}
+    for r in memb:
+        by_bucket.setdefault((r.band, r.bucket), []).append(r.id)
+    for ids in by_bucket.values():
+        for other in ids[1:]:
+            union(ids[0], other)
+
+    expected = {}
+    for r in memb:
+        expected[r.id] = find(r.id)
+    got = {
+        r.doc_id: r.keep_id
+        for r in minhash_dedup_clusters(d, k=k, bands=bands).collect()
+    }
+    for doc, keep in expected.items():
+        assert got[doc] == keep, (doc, got[doc], keep)
+    # zero-shingle docs (absent from memb) are singletons
+    for doc, keep in got.items():
+        if doc not in expected:
+            assert keep == doc

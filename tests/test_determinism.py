@@ -13,6 +13,8 @@ equivalence over adversarial values.
 
 from __future__ import annotations
 
+import math
+
 import duckdb
 import pytest
 from pyspark.sql import functions as F
@@ -68,3 +70,59 @@ def test_no_raw_float_products_in_embed_oracles():
             if "AS DOUBLE" not in frag:
                 bad.setdefault(name, []).append(frag)
     assert not bad, bad
+
+
+def test_dsum_davg_split_long_matches_decimal_cast(spark):
+    """r11 optimization gate: registry.dsum/davg moved from
+    sum(cast(x AS DECIMAL(25,6))) to the split-long fixed-point sum
+    (registry._usum). The two must be VALUE-IDENTICAL on the tame-measure
+    domain (<=6 exact decimal digits, |x| < ~1e7 — money, quantities and
+    their few-term products), including negatives, nulls, and
+    all-null / empty groups."""
+    from pyspark.sql import Row
+
+    from gpdb_spark.registry import davg, dsum
+
+    rows = [
+        Row(g="a", x=0.285), Row(g="a", x=-2.005), Row(g="a", x=104999.99),
+        Row(g="a", x=0.01), Row(g="a", x=1.005), Row(g="a", x=-0.015),
+        Row(g="b", x=480000.0), Row(g="b", x=-480000.0), Row(g="b", x=0.0),
+        Row(g="b", x=52500.375), Row(g="b", x=2.5e-6), Row(g="b", x=-2.5e-6),
+        Row(g="c", x=None), Row(g="c", x=None),  # all-null group
+        Row(g="d", x=9999999.999999), Row(g="d", x=-9999999.999999),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+
+    def old_dsum(c, n=2):
+        return F.round(F.sum(F.col(c).cast("decimal(25,6)")), n).cast("double")
+
+    def old_davg(c, n=6):
+        return fr(
+            F.sum(F.col(c).cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            n,
+        )
+
+    got = {
+        r.g: r
+        for r in df.groupBy("g")
+        .agg(
+            dsum("x").alias("s_new"),
+            old_dsum("x").alias("s_old"),
+            davg("x").alias("a_new"),
+            old_davg("x").alias("a_old"),
+            dsum("x", 6).alias("s6_new"),
+            F.round(F.sum(F.col("x").cast("decimal(25,6)")), 6)
+            .cast("double")
+            .alias("s6_old"),
+        )
+        .collect()
+    }
+    for g, r in got.items():
+        assert r.s_new == r.s_old or (r.s_new is None and r.s_old is None), (g, r)
+        assert r.a_new == r.a_old or (
+            r.a_new is None or math.isnan(r.a_new)
+        ), (g, r)
+        assert r.s6_new == r.s6_old or (r.s6_new is None and r.s6_old is None), (g, r)
+    # all-null group: exact sum is NULL in both formulations
+    assert got["c"].s_new is None and got["c"].s_old is None
