@@ -65,13 +65,19 @@ def ngram_shingles(text: Column | str, n: int = 3) -> Column:
     yields its whole token stream as one short shingle; a ZERO-token doc
     yields NO shingles (an empty doc has no content to shingle — pairing
     empties belongs to exact_dedup, not near-dup signatures)."""
+    # r11: zip n shifted slices instead of a transform whose lambda closes
+    # over ``toks`` — the closed-over array was re-evaluated (full
+    # tokenize) per ELEMENT, O(tokens²) splits per row (see text.ngrams).
+    # Identical values: for cnt < n the trailing slices are empty, the
+    # zip pads nulls, and concat_ws skips them — same one short shingle
+    # the old array_join(slice(toks, 1, n)) produced.
     toks = tokens(text)
     cnt = F.array_size(toks)
-    idx = F.when(
-        cnt > 0, F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
-    ).otherwise(F.array().cast("array<int>"))
+    length = F.greatest(cnt - n + 1, F.lit(1))
+    z = F.arrays_zip(*[F.slice(toks, k, length) for k in range(1, n + 1)])
+    g = F.transform(z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        F.when(cnt > 0, g).otherwise(F.array().cast("array<string>"))
     )
 
 

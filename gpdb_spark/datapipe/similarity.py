@@ -143,6 +143,7 @@ def srp_buckets(
     id_alias: str = "id",
     id_col: str = "vec_id",
     portable: bool = False,
+    with_norm: bool = False,
 ) -> DataFrame:
     """Signed-random-projection LSH: ``tables`` independent hash tables,
     each bucketing on the sign pattern of ``planes_per_table`` hyperplane
@@ -169,14 +170,49 @@ def srp_buckets(
             F.lit(f"srp_buckets: vector length != dim={dim}"),
         ).isNull()
     )
+    # r11: optionally compute the exact-decimal norm ONCE per vector here,
+    # so downstream candidate scoring (one row per COLLISION) reads a
+    # column instead of re-running the O(dim) decimal fold per candidate.
+    carry = ["_n"] if with_norm else []
+    if with_norm:
+        rows = rows.withColumn("_n", dec_norm(F.col("_v")))
     if portable:
+        # r11 (guide §1.2 per-task work): each plane's projection used to
+        # be a full dec_dot fold — tables x planes interpreted DECIMAL
+        # multiply/cast/add chains per vector (64 folds x dim for the LSH
+        # defaults), dominating the operator. The sign of the exact
+        # decimal sum Σ s_i * dec15(v_i) (s_i = ±1) equals the sign of
+        # the INTEGER sum Σ s_i * (dec15(v_i) * 1e15): scaling by 1e15
+        # maps every scale-15 decimal to an exact int64 and preserves
+        # sign, dec15(-x) = -dec15(x) (shortest-repr + HALF_UP are
+        # symmetric), and the old `cast(double) >= 0` test agrees because
+        # the smallest nonzero scale-15 magnitude 1e-15 never casts to
+        # double 0. So: materialize the fixed-point vector ONCE per row,
+        # then every plane is a primitive long fold — identical buckets,
+        # no decimal arithmetic. Overflow (|v_i| ~ > 1e3 at dim 64) would
+        # raise loudly under ANSI arithmetic, never mis-bucket silently.
+        u = F.transform(
+            F.col("_v"),
+            lambda x: (x.cast("double").cast(DEC30) * F.lit(10**15)).cast(
+                "long"
+            ),
+        )
+        rows = rows.select(id_alias, "_v", *carry, u.alias("_u"))
+
         def bucket(tbl: int) -> Column:
             acc = F.lit(0).cast("long")
             for p in range(planes_per_table):
-                plane = F.array(
-                    *[F.lit(s) for s in portable_plane(tbl * 1000 + p, dim)]
+                signs = F.array(
+                    *[
+                        F.lit(int(s)).cast("long")
+                        for s in portable_plane(tbl * 1000 + p, dim)
+                    ]
                 )
-                proj = dec_dot(F.col("_v"), plane).cast("double")
+                proj = F.aggregate(
+                    F.zip_with(F.col("_u"), signs, lambda x, s: x * s),
+                    F.lit(0).cast("long"),
+                    lambda a, v: a + v,
+                )
                 acc = acc * 2 + F.when(proj >= 0, 1).otherwise(0)
             return acc
 
@@ -186,9 +222,12 @@ def srp_buckets(
                 for tbl in range(tables)
             ]
         )
-        return rows.select(id_alias, "_v", F.explode(buckets).alias("tb")).select(
+        return rows.select(
+            id_alias, "_v", *carry, F.explode(buckets).alias("tb")
+        ).select(
             id_alias,
             "_v",
+            *carry,
             F.col("tb.tbl").alias("tbl"),
             F.col("tb.bucket").alias("bucket"),
         )
@@ -214,10 +253,12 @@ def srp_buckets(
     return rows.select(
         id_alias,
         "_v",
+        *carry,
         F.explode(buckets).alias("tb"),
     ).select(
         id_alias,
         "_v",
+        *carry,
         F.col("tb.tbl").alias("tbl"),
         F.col("tb.bucket").alias("bucket"),
     )
@@ -260,10 +301,14 @@ def lsh_topk(
     srp_buckets) and an exact DECIMAL cosine re-rank — the entire
     operator is deterministic and reproducible by any engine."""
     if portable:
+        # r11: norms computed once per vector inside srp_buckets
+        # (with_norm) — previously dec_norm ran per CANDIDATE pair,
+        # 2 x dim decimal ops per collision.
         cb = srp_buckets(corpus, vec_col, dim, tables, planes_per_table,
-                         "corpus_id", id_col, portable=True)
+                         "corpus_id", id_col, portable=True, with_norm=True)
         qb = srp_buckets(queries, vec_col, dim, tables, planes_per_table,
-                         "query_id", id_col, portable=True)
+                         "query_id", id_col, portable=True, with_norm=True)
+        qb = qb.withColumnRenamed("_n", "_qn")
     else:
         cn = normalize(corpus, vec_col).where(F.col("unit").isNotNull())
         qn = normalize(queries, vec_col).where(F.col("unit").isNotNull())
@@ -282,7 +327,7 @@ def lsh_topk(
         # (registry.fr — engine-identical, unlike round(double))
         cos = fr(
             dec_dot(F.col("_qv"), F.col("_v")).cast("double")
-            / (dec_norm(F.col("_qv")) * dec_norm(F.col("_v"))),
+            / (F.col("_qn") * F.col("_n")),
             6,
         )
     else:
@@ -762,16 +807,33 @@ def semdedup_prune(
         F.col("bucket").alias("hb"), F.col("rnk").alias("hr"),
         F.col("_v").alias("hv"), F.col("nrm").alias("hn"),
     )
+    # r11 (guide §1.2): the pair predicate pc >= tau is decided by a
+    # cheap primitive-double cosine except inside a narrow band around
+    # tau, where the exact decimal fold still rules. Value-identical:
+    # |double_cos - exact_quotient| <= ~dim*eps (relative fold error,
+    # Cauchy-Schwarz) + dim*0.5e-15/(nrm*hn) (absolute dec15 term
+    # rounding) — both dwarfed by the band half-width
+    # 2e-5 + 1e-10/(nrm*hn) — and floor-5 moves a value by < 1e-5, so
+    # outside the band the two predicates provably agree; pc itself is
+    # not part of the output. CaseWhen evaluates lazily, so the decimal
+    # fold runs only for the (measure-zero) band rows instead of every
+    # candidate pair.
+    np_ = F.col("nrm") * F.col("hn")
+    dcos = dot(F.col("_v"), F.col("hv")) / np_
+    band = F.lit(2e-5) + F.lit(1e-10) / np_
+    exact_ok = (
+        fr(dec_dot(F.col("_v"), F.col("hv")).cast("double") / np_, 5)
+        >= tau
+    )
     dup_ids = (
         ranked.join(
             hi, (F.col("bucket") == F.col("hb")) & (F.col("hr") < F.col("rnk"))
         )
-        .withColumn(
-            "pc",
-            fr(dec_dot(F.col("_v"), F.col("hv")).cast("double")
-               / (F.col("nrm") * F.col("hn")), 5),
+        .where(
+            F.when(dcos >= tau + band, F.lit(True))
+            .when(dcos < tau - band, F.lit(False))
+            .otherwise(exact_ok)
         )
-        .where(F.col("pc") >= tau)
         .select("vec_id")
         .distinct()
         .withColumn("dropped", F.lit(True))

@@ -162,15 +162,29 @@ def rolling_hash_fingerprint(text: Column | str, window: int = 4) -> Column:
 
 def ngrams(text: Column | str, n: int) -> Column:
     """Word n-grams as strings, from the whitespace tokenization.
-    Pure higher-order-function construction (transform over an index
-    sequence + slice + array_join) — codegen, O(tokens) per row."""
-    t = tokens(text)
+
+    r11 (guide §1.2 per-task work): built by zipping n shifted slices of
+    the token array (arrays_zip + one transform whose lambda touches only
+    the zipped struct), NOT by a transform over an index sequence whose
+    lambda closes over the token array — Spark does not hoist invariant
+    subtrees out of higher-order-function lambda bodies, so the old shape
+    re-evaluated the whole tokenize per ELEMENT: O(tokens²) splits per
+    row (measured 20x on 200-token docs). Values are identical: slice
+    k of length sz-n+1 exists for every k <= n, and concat_ws over
+    non-null tokens equals array_join."""
+    return _ngrams_of(tokens(text), n)
+
+
+def _ngrams_of(t: Column, n: int) -> Column:
+    """N-grams from an (ideally already-materialized) token array column.
+    Hot operators should project ``tokens(text)`` once and call this on
+    the materialized column so the tokenize runs once per row total."""
+    sz = F.array_size(t)
+    length = sz - n + 1
+    z = F.arrays_zip(*[F.slice(t, k, length) for k in range(1, n + 1)])
     return F.when(
-        F.array_size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.array_size(t) - n + 1),
-            lambda i: F.array_join(F.slice(t, i, n), " "),
-        ),
+        sz >= n,
+        F.transform(z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])),
     ).otherwise(F.array().cast("array<string>"))
 
 

@@ -86,27 +86,34 @@ def embed_cosine_pairs(spark, sf_dir):
     """Within-label cosine-similar pairs (>= 0.3) — the blocked similarity
     join: label is the blocking key, so the pair space is per-block, not
     corpus-squared."""
+    from gpdb_spark.datapipe.similarity import dot as _ddot
+
     e = spread(t(spark, sf_dir, "embeddings"))
-    norms = e.select(
-        F.col("vec_id").alias("nid"), _dec_norm(F.col("embedding")).alias("nrm")
-    )
+    # r11 (guide §1.2): norms are computed ONCE per vector and carried
+    # through the pair join (the two norm re-joins are gone), and the
+    # exact decimal dot runs only on pairs whose cheap primitive-double
+    # cosine clears 0.3 minus a band that provably covers the double
+    # fold's error (see similarity.semdedup_prune — same argument; the
+    # exact floor-5 filter below stays authoritative, so a false band
+    # survivor is still dropped by exactly the old predicate).
     a = e.select(
-        F.col("vec_id").alias("a"), F.col("label"), F.col("embedding").alias("va")
+        F.col("vec_id").alias("a"), F.col("label"),
+        F.col("embedding").alias("va"),
+        _dec_norm(F.col("embedding")).alias("na"),
     )
     b = e.select(
         F.col("vec_id").alias("b"),
         F.col("label").alias("lb"),
         F.col("embedding").alias("vb"),
+        _dec_norm(F.col("embedding")).alias("nb"),
     )
-    pairs = a.join(b, (a.label == b.lb) & (F.col("a") < F.col("b"))).select(
-        "a", "b", "label", _dec_dot(F.col("va"), F.col("vb")).cast("double").alias("dp")
-    )
-    na = norms.withColumnRenamed("nid", "a").withColumnRenamed("nrm", "na")
-    nb = norms.withColumnRenamed("nid", "b").withColumnRenamed("nrm", "nb")
+    np_ = F.col("na") * F.col("nb")
+    dcos = _ddot(F.col("va"), F.col("vb")) / np_
     return (
-        pairs.join(na, "a")
-        .join(nb, "b")
-        .withColumn("cos", fr(F.col("dp") / (F.col("na") * F.col("nb")), 5))
+        a.join(b, (a.label == b.lb) & (F.col("a") < F.col("b")))
+        .where(dcos >= F.lit(0.3) - (F.lit(2e-5) + F.lit(1e-10) / np_))
+        .withColumn("dp", _dec_dot(F.col("va"), F.col("vb")).cast("double"))
+        .withColumn("cos", fr(F.col("dp") / np_, 5))
         .where(F.col("cos") >= 0.3)
         .select("a", "b", "label", "cos")
     )

@@ -489,17 +489,28 @@ def text_repetition_quality(spark, sf_dir):
     functions — one scan, one aggregate, zero Python (datapipe/text.py
     ngrams/dup_ngram_fraction)."""
     d = t(spark, sf_dir, "documents")
-    tok = T.tokens("text")
-    g2 = T.ngrams("text", 2)
-    g3 = T.ngrams("text", 3)
-    per_doc = d.select(
-        F.array_size(tok).alias("n_tok"),
-        F.array_size(F.array_distinct(tok)).alias("n_tok_d"),
-        F.array_size(g2).alias("n_g2"),
-        F.array_size(F.array_distinct(g2)).alias("n_g2_d"),
-        F.array_size(g3).alias("n_g3"),
-        F.array_size(F.array_distinct(g3)).alias("n_g3_d"),
-        (T.dup_ngram_fraction("text", 2) > 0.5).cast("long").alias("high_rep"),
+    # r11 (guide §1.2): tokenize ONCE per row and build both n-gram
+    # arrays from the materialized token/gram columns (staged selects —
+    # CollapseProject keeps non-cheap multi-referenced arrays in their
+    # own projection), instead of re-deriving tokens inside every
+    # measure. high_rep = dup_ngram_fraction(2) > 0.5 is restated as
+    # integer math on the already-computed sizes: 1 - d/t > 0.5 iff
+    # 2d < t for counts below 2^52 (equality d/t = 0.5 falls on the
+    # false side either way) — the oracle already uses this spelling.
+    staged = d.select(T.tokens("text").alias("tk")).select(
+        F.col("tk"),
+        T._ngrams_of(F.col("tk"), 2).alias("g2"),
+        T._ngrams_of(F.col("tk"), 3).alias("g3"),
+    )
+    per_doc = staged.select(
+        F.array_size("tk").alias("n_tok"),
+        F.array_size(F.array_distinct("tk")).alias("n_tok_d"),
+        F.array_size("g2").alias("n_g2"),
+        F.array_size(F.array_distinct("g2")).alias("n_g2_d"),
+        F.array_size("g3").alias("n_g3"),
+        F.array_size(F.array_distinct("g3")).alias("n_g3_d"),
+    ).withColumn(
+        "high_rep", (F.lit(2) * F.col("n_g2_d") < F.col("n_g2")).cast("long")
     )
     return per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
