@@ -108,16 +108,37 @@ def dsir_weights(
     log-ratio over the doc's feature occurrences (zero-shuffle pass;
     the ratio table rides along as a literal MAP inside codegen).
     Returns (id, n_features, weight) with weight floored to 1e-6."""
+    # r11 (guide §1.2): the decimal fold ran interpreted DECIMAL add/cast
+    # per FEATURE. fit_log_ratios floors every ratio to 1e-9, so each map
+    # value is EXACTLY K·1e-9 (K = an int64 with ~11 digits, recovered
+    # here without any float rounding: repr is the shortest decimal image
+    # and the value is a scale-9 decimal by construction, so
+    # dec15(v) == K·1e-9 too). The per-feature fold then becomes
+    # primitive long adds of K, and the exact Σ·10^-9 is reassembled
+    # once per ROW (dec(20,0)/dec(10,0) -> scale-11 decimal: exact) —
+    # value-identical to the old DEC30 fold. Overflow headroom: |K| <=
+    # ~6e10, int64 holds ~1.5e8 features per document.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    u_ratios = {
+        b: int(
+            Decimal(repr(float(v)))
+            .scaleb(9)
+            .quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+        for b, v in log_ratios.items()
+    }
     ratio_map = F.create_map(
-        *[F.lit(x) for b, v in sorted(log_ratios.items()) for x in (b, v)]
+        *[F.lit(x) for b, v in sorted(u_ratios.items()) for x in (b, v)]
     )
     feats = hashed_features(F.col(text_col), buckets)
     d = raw.withColumn("_f", feats)
-    w = F.aggregate(
+    u = F.aggregate(
         F.col("_f"),
-        F.lit(0).cast(DEC30),
-        lambda acc, b: (acc + F.element_at(ratio_map, b).cast(DEC30)).cast(DEC30),
-    ).cast("double")
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(ratio_map, b),
+    )
+    w = (u.cast("decimal(20,0)") / F.lit(10**9)).cast("double")
     return d.select(
         F.col(id_col),
         F.array_size(F.col("_f")).cast("int").alias("n_features"),

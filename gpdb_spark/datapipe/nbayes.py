@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from gpdb_spark.datapipe.text import tokens
+from gpdb_spark.registry import fx, xsum
 
 DEC30 = "decimal(30,15)"
 
@@ -60,24 +61,31 @@ def nb_classify(
         .select("label", "log_prior")
     )
     # model: log p(tok | label), smoothed; unseen tokens fall back to
-    # log(1/(total+V)) via the per-label default
+    # log(1/(total+V)) via the per-label default. r11 (guide §1.2): the
+    # floor-12 terms ride as LONG fixed points (registry.fx) and the
+    # per-(doc,label) sum runs as registry.xsum's primitive split-long
+    # sums — value-identical to casting floor(x*1e12)/1e12 to
+    # DECIMAL(30,15) and decimal-summing (|log terms| < 40, so u has
+    # <= 14 significant digits; see xsum's docstring), with no per-row
+    # decimal allocation in the (doc token x label) hot path.
     model = (
         counts.join(totals, "label")
         .select(
             F.col("label").alias("m_label"),
             "tok",
-            _floor12(
+            fx(
                 F.log(
                     (F.col("n") + 1).cast("double")
                     / (F.col("total") + vocab_n).cast("double")
-                )
+                ),
+                12,
             ).alias("log_p"),
         )
     )
     default = totals.select(
         F.col("label").alias("m_label"),
-        _floor12(
-            F.log(F.lit(1.0) / (F.col("total") + vocab_n).cast("double"))
+        fx(
+            F.log(F.lit(1.0) / (F.col("total") + vocab_n).cast("double")), 12
         ).alias("log_default"),
     )
     # every (doc token, candidate label) pair; left join model for seen
@@ -92,12 +100,10 @@ def nb_classify(
             "id",
             "label",
             "m_label",
-            F.coalesce(F.col("log_p"), F.col("log_default"))
-            .cast(DEC30)
-            .alias("term"),
+            F.coalesce(F.col("log_p"), F.col("log_default")).alias("term"),
         )
         .groupBy("id", "label", "m_label")
-        .agg(F.sum("term").alias("loglik"))
+        .agg(xsum(F.col("term"), 12).alias("loglik"))
         .join(F.broadcast(priors.withColumnRenamed("label", "m_label")), "m_label")
         .withColumn(
             "score", F.col("loglik") + F.col("log_prior").cast(DEC30)

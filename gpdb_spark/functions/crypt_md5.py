@@ -134,6 +134,34 @@ def crypt(password: Column | str, salt: Column | str) -> Column:
     return crypt_batch_udf()(p, s)
 
 
+def crypt_and_verify(password: Column | str, salt: Column | str) -> Column:
+    """``struct<hashed, verify_ok>``: crypt() plus the standard verify
+    idiom re-hash (crypt(pw, hashed) == hashed) in ONE pandas-UDF pass.
+
+    r11 (guide §4.1): hash-then-verify spelled as two ``crypt`` Columns
+    plans as two SEQUENTIAL ArrowEvalPython stages (the second's input
+    depends on the first's output), paying the Python-worker round trip
+    twice. Both calls run the same md5_crypt, so one batch pass computes
+    the pair — same values, one Python stage."""
+    p = F.col(password) if isinstance(password, str) else password
+    s = F.col(salt) if isinstance(salt, str) else salt
+
+    @pandas_udf("hashed string, verify_ok boolean")
+    def _crypt_verify(pw: pd.Series, sa: pd.Series) -> pd.DataFrame:
+        hashed, ok = [], []
+        for p_, s_ in zip(pw, sa):
+            if p_ is None or s_ is None:
+                hashed.append(None)
+                ok.append(None)
+            else:
+                h = md5_crypt(p_, s_)
+                hashed.append(h)
+                ok.append(md5_crypt(p_, h) == h)
+        return pd.DataFrame({"hashed": hashed, "verify_ok": ok})
+
+    return _crypt_verify(p, s)
+
+
 def gen_salt_md5(seed: Column | None = None) -> Column:
     """pgcrypto gen_salt('md5') (crypt-gensalt.c _crypt_gensalt_md5_rn):
     '$1$' + 8 chars of the ./0-9A-Za-z alphabet. Default is

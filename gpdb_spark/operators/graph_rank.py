@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gpdb_spark.registry import fx, xsum
+
 D = 0.85  # damping
 
 
@@ -64,17 +66,21 @@ def pagerank(
         # mass); without a persist the lineage re-derives round i-1 for
         # both consumers and the DAG doubles per iteration.
         pr = pr.persist()
+        # r11 (guide §1.2): the per-edge floor-12 contribution rides as a
+        # LONG fixed point and the per-dst sum runs as registry.xsum's
+        # primitive split-long sums — value-identical to the previous
+        # _floor(...,12).cast(decimal(28,15)) decimal sum (rank/deg <= 1,
+        # so u <= 1e12 always has <= 15 significant digits; xsum docs),
+        # with no per-row decimal allocation in the round's hot join.
         contribs = (
             e.join(pr.withColumnRenamed("node", src), src)
             .join(outdeg, src)
             .select(
                 F.col(dst).alias("node"),
-                _floor(F.col("rank") / F.col("deg"), 12)
-                .cast("decimal(28,15)")
-                .alias("c"),
+                fx(F.col("rank") / F.col("deg"), 12).alias("c"),
             )
             .groupBy("node")
-            .agg(F.sum("c").cast("double").alias("contrib"))
+            .agg(xsum(F.col("c"), 12).cast("double").alias("contrib"))
         )
         dangling = (
             pr.join(dangling_nodes, "node")

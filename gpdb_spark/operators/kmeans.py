@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from gpdb_spark.registry import fx, xsum
+
 DEC30 = "decimal(30,15)"
 
 
@@ -48,12 +50,19 @@ def assign_cells(e: DataFrame, cent: DataFrame, n: int = 1) -> DataFrame:
     distance (floor-12 per-element terms, DECIMAL sum — the engine-
     reproducible metric of the Lloyd rounds). ``e`` is (vid, i, x) long
     form, ``cent`` is (cid, i, val); returns (vid, cid, r)."""
+    # r11 (guide §1.2): the floor-12 squared-distance term rides as a
+    # LONG fixed point and the per-(vid,cid) sum runs as registry.xsum's
+    # primitive split-long sums — value-identical to the previous
+    # _floor(d*d,12).cast(DECIMAL(30,15)) decimal sum (d² is bounded by
+    # the embedding domain, u < 1e15 keeps <= 15 significant digits; see
+    # xsum's docstring). This is the k x dim-fanout hot path of every
+    # Lloyd round: no per-row decimal allocation left.
     d = F.col("x") - F.col("val")
     dist = (
         e.join(F.broadcast(cent), "i")
-        .select("vid", "cid", _floor(d * d, 12).cast(DEC30).alias("sq"))
+        .select("vid", "cid", fx(d * d, 12).alias("sq"))
         .groupBy("vid", "cid")
-        .agg(F.sum("sq").cast("double").alias("dist"))
+        .agg(xsum(F.col("sq"), 12).cast("double").alias("dist"))
     )
     w = Window.partitionBy("vid").orderBy("dist", "cid")
     return (

@@ -17,6 +17,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gpdb_spark.registry import fx, xsum
+
 DEC30 = "decimal(30,15)"
 
 
@@ -30,10 +32,21 @@ def logistic_irls(
     [b0, b1, ...], final log-likelihood, n_rows). ``y_col`` must be 0/1."""
     if len(x_cols) != 2:
         raise ValueError("this solver is specialized to 2 features + intercept")
-    feats = df.select(
-        F.col(y_col).cast("double").alias("y"),
-        F.col(x_cols[0]).cast("double").alias("x1"),
-        F.col(x_cols[1]).cast("double").alias("x2"),
+    # r11 (guide §2.6 idle capacity): a single-file scan caches as ONE
+    # partition, serializing all 9 aggregation passes (8 IRLS + LL) onto
+    # one core. spread() fans the 3-column projection out BEFORE the
+    # persist — the one-time shuffle of 3 doubles/row is amortized over
+    # every pass (unlike single-pass scans, where r11 measured the same
+    # fan-out as a net loss). On a many-file production table spread()
+    # is a no-op.
+    from gpdb_spark.catalog import spread
+
+    feats = spread(
+        df.select(
+            F.col(y_col).cast("double").alias("y"),
+            F.col(x_cols[0]).cast("double").alias("x1"),
+            F.col(x_cols[1]).cast("double").alias("x2"),
+        )
     ).persist()
     n_rows = feats.count()
 
@@ -43,9 +56,13 @@ def logistic_irls(
         # the only cross-engine noise left is libm ulp in exp() —
         # O(1e-10) on the summed moments, dwarfed by the floor-6 output
         # granularity. This is what lets DuckDB replay the IRLS fixpoint.
-        return F.sum(
-            (F.floor(c * F.lit(1e12)) / F.lit(1e12)).cast(DEC30)
-        ).cast("double")
+        # r11 (guide §1.2 per-task work): the sum runs as registry.xsum's
+        # split-long primitive sums over the floor-12 fixed point —
+        # value-identical to sum((floor(c*1e12)/1e12).cast(DECIMAL(30,15)))
+        # (|terms| < 1e3 here, so u < 1e15 has <= 15 significant digits;
+        # see xsum's docstring) — instead of 9 per-row decimal
+        # allocations per IRLS pass. The DuckDB oracle is unchanged.
+        return xsum(fx(c, 12), 12).cast("double")
 
     beta = np.zeros(3)
     for _ in range(iterations):

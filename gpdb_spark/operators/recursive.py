@@ -36,19 +36,35 @@ def recursive_cte(
     output); ``distinct=True`` = UNION semantics (global dedup; iteration
     stops when no *new* rows appear).
     """
-    acc = seed.localCheckpoint(eager=True)
-    frontier = acc
+    # r11 (guide §5 "the driver should do almost no data work"): the loop
+    # used to re-materialize the ENTIRE accumulated set every round
+    # (acc.unionAll(nxt).localCheckpoint(eager)) — O(rounds²) row
+    # materializations and 2 full jobs per round, so a 20-round series
+    # spent ~50 s in driver-side round trips. The accumulator is now a
+    # LIST of already-checkpointed frontiers: the only per-round job is
+    # the frontier checkpoint (isEmpty on a checkpointed frame is a
+    # 1-partition probe), and the final union is a FLAT plan over
+    # checkpoint scan nodes — width max_iterations, depth 1, so analysis
+    # cost stays linear and lineage still never compounds.
+    frontier = seed.localCheckpoint(eager=True)
+    frames = [frontier]
     for _ in range(max_iterations):
         nxt = step(frontier)
         if distinct:
+            acc = frames[0]
+            for f in frames[1:]:
+                acc = acc.unionAll(f)
             nxt = nxt.distinct().exceptAll(acc.distinct())
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
-        acc = acc.unionAll(nxt).localCheckpoint(eager=True)
+        frames.append(nxt)
         frontier = nxt
     else:
         raise RuntimeError(
             f"recursive_cte did not converge in {max_iterations} iterations"
         )
-    return acc.distinct() if distinct else acc
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.distinct() if distinct else out

@@ -482,7 +482,7 @@ def pgcrypto_crypt(spark, sf_dir):
     operator is an Arrow-batched pandas UDF — the right Spark shape for
     an auth-table-scale input. Covers empty, unicode, >16-char, quote
     and symbol passwords."""
-    from gpdb_spark.functions.crypt_md5 import crypt, gen_salt_md5
+    from gpdb_spark.functions.crypt_md5 import crypt_and_verify, gen_salt_md5
 
     # salts carry the $1$ scheme prefix: PG routes BARE salts to DES
     # crypt (px-crypt.c uses the first 2 chars regardless of length),
@@ -497,15 +497,15 @@ def pgcrypto_crypt(spark, sf_dir):
         ("p6", "p@$$w0rd", "$1$cafebabe"),
     ]
     df = spark.createDataFrame(rows, "mid string, pw string, salt string")
-    hashed = df.select(
-        "mid", "pw", crypt(F.col("pw"), F.col("salt")).alias("hashed")
+    # r11: hash + verify-idiom re-hash in ONE pandas-UDF stage (was two
+    # sequential ArrowEvalPython nodes) — see crypt_and_verify.
+    hv = df.select(
+        "mid", crypt_and_verify(F.col("pw"), F.col("salt")).alias("hv")
     )
-    return hashed.select(
+    return hv.select(
         "mid",
-        "hashed",
-        (crypt(F.col("pw"), F.col("hashed")) == F.col("hashed")).alias(
-            "verify_ok"
-        ),
+        F.col("hv.hashed").alias("hashed"),
+        F.col("hv.verify_ok").alias("verify_ok"),
         gen_salt_md5(F.col("mid")).alias("salt_gen"),
     )
 

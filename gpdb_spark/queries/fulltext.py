@@ -253,18 +253,19 @@ def fulltext_tfidf_rank(spark, sf_dir):
             ).alias("idf"),
         )
     )
+    # r11: floor-12 term as a LONG fixed point + registry.xsum split-long
+    # sum — value-identical to the DECIMAL(30,15) cast/sum (tf*idf is
+    # O(10), so u has <= 14 significant digits; xsum docstring).
+    from gpdb_spark.registry import xsum
+
     return (
         p.join(F.broadcast(idf), "lexeme")
         .select(
             F.col("id").alias("doc_id"),
-            (
-                F.floor(F.col("tf") * F.col("idf") * F.lit(1e12)) / F.lit(1e12)
-            )
-            .cast("decimal(30,15)")
-            .alias("term"),
+            F.floor(F.col("tf") * F.col("idf") * F.lit(1e12)).alias("term"),
         )
         .groupBy("doc_id")
-        .agg(F.sum("term").cast("double").alias("tfidf"))
+        .agg(xsum(F.col("term"), 12).cast("double").alias("tfidf"))
     )
 
 

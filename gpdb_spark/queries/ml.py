@@ -70,10 +70,20 @@ def linregr_multi(spark, sf_dir):
     one exact-decimal moment pass, Cramer's-rule solve, R^2 from the
     explained-sum identity b'X'y / Syy. Single 2-stage aggregation —
     the MADlib-style linregr shape without any iteration."""
+    from gpdb_spark.registry import _usum
+
     l = t(spark, sf_dir, "lineitem")
     x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
 
     def dsum_d(c):
+        # r11: split-long exact sum (registry._usum) — same value as
+        # sum(cast(c AS DECIMAL(25,6))) for measures with |c|*1e6 < 2^51
+        # (every moment here except y*y; see _usplit's proof).
+        return _usum(c).cast("double")
+
+    def dsum_wide(c):
+        # y*y reaches ~1.2e10: beyond the 2^51/1e6 primitive-rounding
+        # bound, so it keeps the decimal-cast spelling.
         return F.sum(c.cast(DEC)).cast("double")
 
     m = l.groupBy("l_returnflag").agg(
@@ -86,7 +96,7 @@ def linregr_multi(spark, sf_dir):
         dsum_d(x1 * x2).alias("s12"),
         dsum_d(x1 * y).alias("s1y"),
         dsum_d(x2 * y).alias("s2y"),
-        dsum_d(y * y).alias("syy"),
+        dsum_wide(y * y).alias("syy"),
     )
     n = F.col("n")
     c11 = F.col("s11") - F.col("s1") * F.col("s1") / n

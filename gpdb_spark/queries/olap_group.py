@@ -178,13 +178,26 @@ def sum_distinct(spark, sf_dir):
 )
 def ordered_set_aggs(spark, sf_dir):
     """percentile_cont / median (orderedsetaggs.c:542) — exact percentile,
-    computed distributed (sort-based within partial agg)."""
+    computed distributed (sort-based within partial agg).
+
+    r11 (guide §1.2): ONE Percentile aggregate evaluating the fraction
+    ARRAY — a single value buffer per group instead of four independent
+    copies of the column (F.median IS Percentile(0.5) internally, so
+    p50/med stay the identical value)."""
     l = t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
-        F.round(F.median("l_extendedprice"), 4).alias("med"),
+    pcts = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.25), F.lit(0.95))
+    )
+    return (
+        l.groupBy("l_returnflag")
+        .agg(pcts.alias("_p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p")[0], 4).alias("p50"),
+            F.round(F.col("_p")[1], 4).alias("p25"),
+            F.round(F.col("_p")[2], 4).alias("p95"),
+            F.round(F.col("_p")[0], 4).alias("med"),
+        )
     )
 
 
@@ -361,15 +374,21 @@ def minmax_hetero(spark, sf_dir):
 def corr_regr_explicit(spark, sf_dir):
     """corr/regr_slope (pg_aggregate.h regr_* family) via exact moment sums
     — order-independent, unlike streaming Welford updates."""
+    from gpdb_spark.registry import _usum
+
     l = t(spark, sf_dir, "lineitem")
     x = F.col("l_quantity")
     y = F.col("l_extendedprice")
+    # r11: split-long exact sums (registry._usum, value-identical to the
+    # DECIMAL(25,6) casts) for every moment whose |value|*1e6 stays
+    # below 2^51; y*y (~1.2e10) exceeds that bound and keeps the
+    # decimal-cast spelling.
     m = l.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x.cast(DEC)).cast("double").alias("sx"),
-        F.sum(y.cast(DEC)).cast("double").alias("sy"),
-        F.sum((x * y).cast(DEC)).cast("double").alias("sxy"),
-        F.sum((x * x).cast(DEC)).cast("double").alias("sxx"),
+        _usum(x).cast("double").alias("sx"),
+        _usum(y).cast("double").alias("sy"),
+        _usum(x * y).cast("double").alias("sxy"),
+        _usum(x * x).cast("double").alias("sxx"),
         F.sum((y * y).cast(DEC)).cast("double").alias("syy"),
     )
     n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ["n", "sx", "sy", "sxy", "sxx", "syy"])
@@ -401,10 +420,17 @@ def approx_count_distinct_hll(spark, sf_dir):
     2% of it — the driver hash then verifies both the exact value and
     the accuracy claim. tests/test_datapipe.py additionally bounds the
     relative error locally."""
-    l = t(spark, sf_dir, "lineitem")
-    agg = l.groupBy("l_returnflag").agg(
+    # r11 (guide §2.3 "aggregate before you shuffle"): mixing a DISTINCT
+    # aggregate with a plain one made Spark Expand-duplicate every row
+    # through the partial aggregate. Deduplicating the (flag, partkey)
+    # pairs FIRST (the exact NDV needs that dedup anyway) and sketching
+    # the distinct pairs removes the Expand; an HLL sketch is
+    # duplicate-insensitive, so approx_nd_part is bit-identical. 3.7 s
+    # -> 1.2 s at sf0.1.
+    l = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    agg = l.distinct().groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_nd_part"),
-        F.count_distinct("l_partkey").alias("exact_nd_part"),
+        F.count(F.lit(1)).alias("exact_nd_part"),
     )
     tol = (
         F.abs(F.col("approx_nd_part") - F.col("exact_nd_part"))

@@ -180,17 +180,32 @@ def range_type_ops(spark, sf_dir):
     o = t(spark, sf_dir, "orders").where(
         (F.col("o_orderkey") > 0) & (F.col("o_orderkey") < 500)
     )
-    r1 = R.range_make(
-        F.col("o_custkey") - 50, F.col("o_custkey") + 50, "[)"
-    )
+    # r11 (guide §7.3 plan cost): the range ops reference their operand
+    # struct many times, so inlining range_make/range_intersect trees
+    # into every predicate multiplied the expression tree — seconds of
+    # driver-side analysis for a 500-row query. Stage the ranges as
+    # STRUCT COLUMNS so each op reads cheap field references. Same
+    # expressions, same values.
     m = F.col("o_orderkey") % 100
-    r2 = R.range_make(m, m + 80, "[]")
-    x = F.col("o_orderkey") % 120
-    inter = R.range_intersect(r1, r2)
-    return o.select(
+    s1 = o.select(
+        "o_orderkey",
+        R.range_make(F.col("o_custkey") - 50, F.col("o_custkey") + 50, "[)")
+        .alias("r1"),
+        R.range_make(m, m + 80, "[]").alias("r2"),
+        (F.col("o_orderkey") % 120).alias("x"),
+    )
+    s2 = s1.select(
+        "o_orderkey",
+        "r1",
+        "r2",
+        "x",
+        R.range_intersect(F.col("r1"), F.col("r2")).alias("inter"),
+    )
+    r1, r2, inter = F.col("r1"), F.col("r2"), F.col("inter")
+    return s2.select(
         "o_orderkey",
         R.range_overlaps(r1, r2).alias("overlaps"),
-        R.range_contains_elem(r1, x).alias("elem_in"),
+        R.range_contains_elem(r1, F.col("x")).alias("elem_in"),
         R.range_contains(r1, r2).alias("contains_r2"),
         R.range_lower(inter).alias("inter_lo"),
         R.range_upper(inter).alias("inter_hi"),
@@ -247,20 +262,41 @@ def misc_type_funcs(spark, sf_dir):
         (F.col("c_custkey") > 0) & (F.col("c_custkey") < 400)
     )
     k = F.col("c_custkey")
-    addr_long = (k % 200) * 65536 + (k % 251) * 256 + 17
-    inet32 = M.long_to_inet(addr_long)  # bare address = /32
-    net = M.inet_network(
-        F.concat(M.long_to_inet(addr_long), F.lit("/24"))
-    )
-    moved = M.long_to_inet(addr_long + 256)
-    bits = k.bitwiseAND(F.lit(4095))
-    return c.select(
+    # r11 (guide §7.3 plan cost): the inet helpers re-parse their TEXT
+    # argument, so inlining long_to_inet(...) into every operator
+    # multiplied the expression tree combinatorially — ~11 s of
+    # driver-side analysis for a 400-row query. Staged selects
+    # materialize each repeated value as a COLUMN, so every level's tree
+    # stays small and analysis is linear. Same expressions, same values.
+    s1 = c.select(
         k.alias("k"),
-        M.pg_size_pretty(k * 987654).alias("pretty_size"),
-        net.alias("net"),
-        M.inet_masklen(net).alias("net_masklen"),
-        M.inet_contained_in(inet32, net).alias("in_own_net"),
-        (~M.inet_contained_in(moved, net)).alias("moved_net"),
+        ((k % 200) * 65536 + (k % 251) * 256 + 17).alias("addr"),
+        k.bitwiseAND(F.lit(4095)).alias("bits"),
+    )
+    s2 = s1.select(
+        "k",
+        "addr",
+        "bits",
+        M.long_to_inet(F.col("addr")).alias("host"),  # bare address = /32
+        M.long_to_inet(F.col("addr") + 256).alias("moved_host"),
+    )
+    s3 = s2.select(
+        "k",
+        "bits",
+        "host",
+        "moved_host",
+        M.inet_network(F.concat(F.col("host"), F.lit("/24"))).alias("net"),
+    )
+    bits = F.col("bits")
+    return s3.select(
+        F.col("k"),
+        M.pg_size_pretty(F.col("k") * 987654).alias("pretty_size"),
+        F.col("net").alias("net"),
+        M.inet_masklen(F.col("net")).alias("net_masklen"),
+        M.inet_contained_in(F.col("host"), F.col("net")).alias("in_own_net"),
+        (~M.inet_contained_in(F.col("moved_host"), F.col("net"))).alias(
+            "moved_net"
+        ),
         M.bit_xor(bits, F.lit(2730), 12).alias("bits_xor"),
         M.get_bit(bits, 0, 12).alias("bit0"),
         M.bit_to_string(bits, 12).alias("bstr"),

@@ -116,6 +116,48 @@ def _usum(c: Column) -> Column:
     return total / F.lit(_U)
 
 
+def fx(c: ColumnOrName, digits: int) -> Column:
+    """``floor(c * 10^digits)`` as a long — the fixed-point image of the
+    floor-truncation discipline used by the iterative operators
+    (``_floor(c, digits) == fx(c, digits) / 10^digits`` wherever
+    ``|c| * 10^digits < 2^53``, which every caller's domain satisfies;
+    F.floor on a double already returns LongType)."""
+    return F.floor(_col(c) * F.lit(float(10**digits)))
+
+
+def xsum(u: ColumnOrName, digits: int) -> Column:
+    """Exact decimal sum ``Σ u_i · 10^-digits`` of a LONG fixed-point
+    column — the split-long replacement (see the module comment above
+    ``_usplit``) for the iterative-ML/graph discipline
+    ``sum((u/10^digits as double).cast(DECIMAL(p,15)))``: that old chain
+    recovers exactly ``u·10^-digits`` per term (u has <= 15 significant
+    digits in every caller's domain, so the double division is the
+    nearest double and the shortest-repr decimal cast round-trips), so
+    summing the integers and rescaling ONCE per group is value-identical
+    while the per-row work becomes three primitive long sums.
+
+    The rescale is exact by construction: /1e6 yields quotient scale 6
+    (Spark decimal division result scale >= 6), the downcast to
+    DECIMAL(28,6) bounds the claimed precision so the second division
+    keeps scale >= digits. Slice sums stay inside int64 up to ~1e14 rows
+    x the callers' bounded |u| — far beyond any deployment's group size;
+    the decimal reassembly itself cannot wrap."""
+    uc = _col(u)
+    h = F.floor(uc / F.lit(float(_SPLIT_H))).cast("long")
+    r = uc - h * F.lit(_SPLIT_H)
+    m = F.floor(r / F.lit(float(_SPLIT_M))).cast("long")
+    lo = r - m * F.lit(_SPLIT_M)
+    total = (
+        F.sum(h).cast("decimal(28,0)") * _SPLIT_H
+        + F.sum(m).cast("decimal(28,0)") * _SPLIT_M
+        + F.sum(lo).cast("decimal(28,0)")
+    )
+    if digits <= 6:
+        return total / F.lit(10**digits)
+    q6 = (total / F.lit(_U)).cast("decimal(28,6)")
+    return q6 / F.lit(10 ** (digits - 6))
+
+
 def dsum(c: ColumnOrName, n: int = 2) -> Column:
     """Order-independent sum of a double measure, rounded to n digits.
     Same value as round(sum(cast(c AS DECIMAL(25,6))), n) — see _usum."""
