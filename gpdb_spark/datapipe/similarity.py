@@ -144,6 +144,7 @@ def srp_buckets(
     id_col: str = "vec_id",
     portable: bool = False,
     with_norm: bool = False,
+    carry_vec: bool = True,
 ) -> DataFrame:
     """Signed-random-projection LSH: ``tables`` independent hash tables,
     each bucketing on the sign pattern of ``planes_per_table`` hyperplane
@@ -157,6 +158,20 @@ def srp_buckets(
     reproducible by any engine. Works on the RAW vector (SRP signs are
     scale-invariant, so normalization is unnecessary — and skipping it
     keeps the decimal sums exact).
+
+    ``carry_vec=False`` emits only (id, tbl, bucket) — guide §8: when
+    the caller re-attaches vectors AFTER candidate dedup, carrying the
+    payload through the ``tables``-way explode duplicates every vector
+    ``tables`` times through the bucket join for nothing.
+
+    r11 note (measured, kept OUT): a fixed-point variant (per-row long
+    vector, per-plane zip_with/aggregate long folds) was value-identical
+    but ~2x SLOWER end-to-end (interleaved A/B best-of: 13.7 s dec_dot
+    vs 32.3 s long folds at sf0.1/16 tables) — HOF lambda-invocation
+    overhead dominates, so cheaper per-element arithmetic buys nothing,
+    and flattening the folds into ±element_at chains blows the codegen
+    64 KB method limit (Janino InternalCompilerException), falling back
+    to interpreted Projection, 10x worse. The dec_dot fold stays.
 
     ``dim`` must equal the actual vector length: a mismatch would make
     every projection NULL (zip_with pads with nulls) and every bucket
@@ -176,43 +191,15 @@ def srp_buckets(
     carry = ["_n"] if with_norm else []
     if with_norm:
         rows = rows.withColumn("_n", dec_norm(F.col("_v")))
+    out_vec = ["_v"] if carry_vec else []
     if portable:
-        # r11 (guide §1.2 per-task work): each plane's projection used to
-        # be a full dec_dot fold — tables x planes interpreted DECIMAL
-        # multiply/cast/add chains per vector (64 folds x dim for the LSH
-        # defaults), dominating the operator. The sign of the exact
-        # decimal sum Σ s_i * dec15(v_i) (s_i = ±1) equals the sign of
-        # the INTEGER sum Σ s_i * (dec15(v_i) * 1e15): scaling by 1e15
-        # maps every scale-15 decimal to an exact int64 and preserves
-        # sign, dec15(-x) = -dec15(x) (shortest-repr + HALF_UP are
-        # symmetric), and the old `cast(double) >= 0` test agrees because
-        # the smallest nonzero scale-15 magnitude 1e-15 never casts to
-        # double 0. So: materialize the fixed-point vector ONCE per row,
-        # then every plane is a primitive long fold — identical buckets,
-        # no decimal arithmetic. Overflow (|v_i| ~ > 1e3 at dim 64) would
-        # raise loudly under ANSI arithmetic, never mis-bucket silently.
-        u = F.transform(
-            F.col("_v"),
-            lambda x: (x.cast("double").cast(DEC30) * F.lit(10**15)).cast(
-                "long"
-            ),
-        )
-        rows = rows.select(id_alias, "_v", *carry, u.alias("_u"))
-
         def bucket(tbl: int) -> Column:
             acc = F.lit(0).cast("long")
             for p in range(planes_per_table):
-                signs = F.array(
-                    *[
-                        F.lit(int(s)).cast("long")
-                        for s in portable_plane(tbl * 1000 + p, dim)
-                    ]
+                plane = F.array(
+                    *[F.lit(s) for s in portable_plane(tbl * 1000 + p, dim)]
                 )
-                proj = F.aggregate(
-                    F.zip_with(F.col("_u"), signs, lambda x, s: x * s),
-                    F.lit(0).cast("long"),
-                    lambda a, v: a + v,
-                )
+                proj = dec_dot(F.col("_v"), plane).cast("double")
                 acc = acc * 2 + F.when(proj >= 0, 1).otherwise(0)
             return acc
 
@@ -223,10 +210,10 @@ def srp_buckets(
             ]
         )
         return rows.select(
-            id_alias, "_v", *carry, F.explode(buckets).alias("tb")
+            id_alias, *out_vec, *carry, F.explode(buckets).alias("tb")
         ).select(
             id_alias,
-            "_v",
+            *out_vec,
             *carry,
             F.col("tb.tbl").alias("tbl"),
             F.col("tb.bucket").alias("bucket"),
@@ -252,12 +239,12 @@ def srp_buckets(
     )
     return rows.select(
         id_alias,
-        "_v",
+        *out_vec,
         *carry,
         F.explode(buckets).alias("tb"),
     ).select(
         id_alias,
-        "_v",
+        *out_vec,
         *carry,
         F.col("tb.tbl").alias("tbl"),
         F.col("tb.bucket").alias("bucket"),
@@ -301,19 +288,37 @@ def lsh_topk(
     srp_buckets) and an exact DECIMAL cosine re-rank — the entire
     operator is deterministic and reproducible by any engine."""
     if portable:
-        # r11: norms computed once per vector inside srp_buckets
-        # (with_norm) — previously dec_norm ran per CANDIDATE pair,
-        # 2 x dim decimal ops per collision.
+        # r11 (guide §8 "decide with small rows, move big rows once"):
+        # buckets are computed and joined on IDS ONLY — carrying the
+        # vector through the `tables`-way explode duplicated every
+        # payload 16x through the bucket join and the dedup shuffle
+        # (measured: ids-only candidates 3.1 s vs vector-carrying
+        # 4.1 s at sf0.1 before the re-rank). Vectors are attached
+        # exactly once, to the deduplicated pair set.
         cb = srp_buckets(corpus, vec_col, dim, tables, planes_per_table,
-                         "corpus_id", id_col, portable=True, with_norm=True)
+                         "corpus_id", id_col, portable=True,
+                         carry_vec=False)
         qb = srp_buckets(queries, vec_col, dim, tables, planes_per_table,
-                         "query_id", id_col, portable=True, with_norm=True)
-        qb = qb.withColumnRenamed("_n", "_qn")
-    else:
-        cn = normalize(corpus, vec_col).where(F.col("unit").isNotNull())
-        qn = normalize(queries, vec_col).where(F.col("unit").isNotNull())
-        cb = srp_buckets(cn, "unit", dim, tables, planes_per_table, "corpus_id", id_col)
-        qb = srp_buckets(qn, "unit", dim, tables, planes_per_table, "query_id", id_col)
+                         "query_id", id_col, portable=True,
+                         carry_vec=False)
+        cand = (
+            cb.join(qb, ["tbl", "bucket"])
+            .where(F.col("corpus_id") != F.col("query_id"))
+            .select("query_id", "corpus_id")
+            .dropDuplicates(["query_id", "corpus_id"])
+        )
+        cv = corpus.select(
+            F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_v")
+        )
+        qv = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        )
+        pairs = cand.join(cv, "corpus_id").join(F.broadcast(qv), "query_id")
+        return _exact_topk_band_rerank(pairs, k)
+    cn = normalize(corpus, vec_col).where(F.col("unit").isNotNull())
+    qn = normalize(queries, vec_col).where(F.col("unit").isNotNull())
+    cb = srp_buckets(cn, "unit", dim, tables, planes_per_table, "corpus_id", id_col)
+    qb = srp_buckets(qn, "unit", dim, tables, planes_per_table, "query_id", id_col)
     cand = (
         cb.join(
             qb.withColumnRenamed("_v", "_qv"),
@@ -322,20 +327,64 @@ def lsh_topk(
         .where(F.col("corpus_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "corpus_id"])
     )
-    if portable:
-        # raw vectors: exact decimal cosine, floor-truncated to 6 digits
-        # (registry.fr — engine-identical, unlike round(double))
-        cos = fr(
-            dec_dot(F.col("_qv"), F.col("_v")).cast("double")
-            / (F.col("_qn") * F.col("_n")),
-            6,
-        )
-    else:
-        cos = fr(dot(F.col("_qv"), F.col("_v")), 6)
+    cos = fr(dot(F.col("_qv"), F.col("_v")), 6)
     scored = cand.withColumn("cos", cos)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "cos", "rnk")
+    )
+
+
+def _exact_topk_band_rerank(pairs: DataFrame, k: int) -> DataFrame:
+    """Exact-decimal cosine top-k over candidate ``pairs`` (query_id,
+    corpus_id, _qv, _v), with the O(candidates) exact folds pruned to
+    O(k) by a primitive-double pre-rank — value-identical output.
+
+    r11 (guide §1.2 per-task work; the semdedup band argument applied
+    to RANKING): the authoritative score is floor6(dec_dot/(dec_norm *
+    dec_norm)). The primitive double cosine ``dcos`` differs from the
+    exact quotient by < dim*eps (double fold rounding, Cauchy-Schwarz)
+    + dim*0.5e-15/(nq*nc) (dec15 per-term rounding) — both covered
+    1000x by BAND = 2e-5 + 1e-10/(nq*nc). floor-6 moves a value < 1e-6.
+    So a pair can place in the exact top-k ONLY if its dcos is within
+    2*BAND + 1e-6 of the k-th highest dcos of its query: every such
+    pair is kept and exactly re-scored, the rest are provably out.
+    Zero-norm pairs: norm 0 ⟹ vector 0 ⟹ dot 0, and the exact
+    formulation yields fr(0/0=NaN) = 0.0 (Spark floor(NaN)=0) — the
+    double path mirrors that 0.0 exactly, so those rows rank
+    identically in both passes (band 0 needed: the values are equal).
+    The exact window then re-ranks survivors with the same total order
+    (cos DESC, corpus_id) the unpruned formulation used."""
+    nd_c = F.sqrt(dot(F.col("_v"), F.col("_v")))
+    nd_q = F.sqrt(dot(F.col("_qv"), F.col("_qv")))
+    np_d = nd_q * nd_c
+    dcos = F.when(np_d > 0, dot(F.col("_qv"), F.col("_v")) / np_d).otherwise(
+        F.lit(0.0)
+    )
+    band = F.lit(2e-5) + F.lit(1e-10) / F.when(np_d > 0, np_d).otherwise(1) + F.lit(1e-6)
+    wq = Window.partitionBy("query_id")
+    wd = wq.orderBy(F.col("_dcos").desc(), F.col("corpus_id"))
+    pruned = (
+        pairs.withColumn("_dcos", dcos)
+        .withColumn("_band", band)
+        .withColumn("_rd", F.row_number().over(wd))
+        .withColumn("_dk", F.max(F.when(F.col("_rd") == k, F.col("_dcos"))).over(wq))
+        .where(
+            (F.col("_rd") <= k)
+            | (F.col("_dcos") >= F.col("_dk") - F.lit(2) * F.col("_band"))
+        )
+    )
+    cos = fr(
+        dec_dot(F.col("_qv"), F.col("_v")).cast("double")
+        / (dec_norm(F.col("_qv")) * dec_norm(F.col("_v"))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id"))
+    return (
+        pruned.withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("query_id", "corpus_id", "cos", "rnk")
     )
@@ -483,17 +532,48 @@ def ivf_topk_flat(
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         .orderBy("cid")
         .limit(n_centroids)
+        # r11: centroid norm computed ONCE per centroid (n_centroids
+        # rows) instead of once per (vector x centroid) pair
+        .withColumn("_cn", dec_norm(F.col("cvec")))
     )
 
     def cells(df: DataFrame, out_id: str, n: int) -> DataFrame:
-        x = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("_v"))
-        sim = dec_dot(F.col("_v"), F.col("cvec")).cast("double") / (
-            dec_norm(F.col("_v")) * dec_norm(F.col("cvec"))
+        # r11 (guide §1.2): the old shape ran 3 exact-decimal folds per
+        # (vector x centroid) pair — dot + BOTH norms re-derived per
+        # pair. Now: the vector norm is a column (one fold per row), the
+        # centroid norm rides the broadcast relation, and the top-n cell
+        # choice is pre-ranked with the primitive double cosine; the
+        # exact decimal similarity is evaluated only for rows that could
+        # change the selection (within 2*band of the n-th double rank —
+        # the _exact_topk_band_rerank bound; the sim value itself is
+        # never output, only the chosen cid set). Zero-norm vectors:
+        # sim = NaN in BOTH paths (double x/0 and the decimal quotient
+        # cast both give NaN), NaN sorts greatest with cid tie-break in
+        # both — identical cells.
+        x = df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias("_v")
+        ).withColumn("_n", dec_norm(F.col("_v")))
+        np_ = F.col("_n") * F.col("_cn")
+        dsim = dot(F.col("_v"), F.col("cvec")) / np_
+        band = F.lit(2e-5) + F.lit(1e-10) / np_
+        esim = dec_dot(F.col("_v"), F.col("cvec")).cast("double") / np_
+        wp = Window.partitionBy(out_id)
+        wd = wp.orderBy(F.col("_dsim").desc(), F.col("cid"))
+        pruned = (
+            x.crossJoin(F.broadcast(cent))
+            .withColumn("_dsim", dsim)
+            .withColumn("_rd", F.row_number().over(wd))
+            .withColumn(
+                "_dn", F.max(F.when(F.col("_rd") == n, F.col("_dsim"))).over(wp)
+            )
+            .where(
+                (F.col("_rd") <= n)
+                | (F.col("_dsim") >= F.col("_dn") - F.lit(2) * band)
+            )
         )
         w = Window.partitionBy(out_id).orderBy(F.col("sim").desc(), F.col("cid"))
         return (
-            x.crossJoin(F.broadcast(cent))
-            .withColumn("sim", sim)
+            pruned.withColumn("sim", esim)
             .withColumn("r", F.row_number().over(w))
             .where(F.col("r") <= n)
             .select(out_id, "_v", "cid")
@@ -504,17 +584,8 @@ def ivf_topk_flat(
     cand = c_cells.join(q_cells, "cid").where(
         F.col("corpus_id") != F.col("query_id")
     )
-    cos = fr(
-        dec_dot(F.col("_qv"), F.col("_v")).cast("double")
-        / (dec_norm(F.col("_qv")) * dec_norm(F.col("_v"))),
-        6,
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id"))
-    return (
-        cand.withColumn("cos", cos)
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "corpus_id", "cos", "rnk")
+    return _exact_topk_band_rerank(
+        cand.select("query_id", "corpus_id", "_qv", "_v"), k
     )
 
 
@@ -606,18 +677,9 @@ def ivf_topk_trained_portable(
         .join(cv, "corpus_id")
         .join(F.broadcast(qv), "query_id")
     )
-    cos = fr(
-        dec_dot(F.col("_qv"), F.col("_v")).cast("double")
-        / (dec_norm(F.col("_qv")) * dec_norm(F.col("_v"))),
-        6,
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id"))
-    return (
-        cand.withColumn("cos", cos)
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "corpus_id", "cos", "rnk")
-    )
+    # r11: exact folds only for pairs that can reach the top-k
+    # (primitive-double pre-rank + provable band — see the helper)
+    return _exact_topk_band_rerank(cand, k)
 
 
 def brute_force_topk_blocked(
