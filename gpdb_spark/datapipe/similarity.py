@@ -164,14 +164,24 @@ def srp_buckets(
     payload through the ``tables``-way explode duplicates every vector
     ``tables`` times through the bucket join for nothing.
 
-    r11 note (measured, kept OUT): a fixed-point variant (per-row long
-    vector, per-plane zip_with/aggregate long folds) was value-identical
-    but ~2x SLOWER end-to-end (interleaved A/B best-of: 13.7 s dec_dot
-    vs 32.3 s long folds at sf0.1/16 tables) — HOF lambda-invocation
-    overhead dominates, so cheaper per-element arithmetic buys nothing,
-    and flattening the folds into ±element_at chains blows the codegen
-    64 KB method limit (Janino InternalCompilerException), falling back
-    to interpreted Projection, 10x worse. The dec_dot fold stays.
+    r11 (guide §4.2 "hand whole batches to vectorized native code"):
+    the portable projections are computed by ONE numpy integer matmul
+    per Arrow batch instead of tables*planes interpreted decimal folds
+    per row. Exactness is inherited, not re-derived: the JVM first
+    materializes the scale-15 fixed-point vector u_i = dec15(v_i)*1e15
+    as int64 (dec15 = Spark's own double→DECIMAL(30,15) cast, so the
+    JDK's Double.toString shortest-repr + HALF_UP semantics are never
+    re-implemented in Python), and the sign of the exact decimal
+    projection Σ s_i*dec15(v_i) equals the sign of the integer sum
+    Σ s_i*u_i — dec15(-x) = -dec15(x), the smallest nonzero magnitude
+    is 1 (= 1e-15 in decimal, which never double-casts to 0), and
+    int64 matmul is exact below the loudly-guarded overflow bound.
+    Earlier JVM attempts, measured and rejected: per-plane long
+    zip_with/aggregate folds were ~2x SLOWER than dec_dot (HOF lambda
+    overhead dominates; CollapseProject re-inlines the fixed-point
+    transform into every fold), and flattened ±element_at chains blow
+    the codegen 64 KB method limit (Janino InternalCompilerException),
+    falling back to interpreted Projection, 10x worse.
 
     ``dim`` must equal the actual vector length: a mismatch would make
     every projection NULL (zip_with pads with nulls) and every bucket
@@ -193,31 +203,87 @@ def srp_buckets(
         rows = rows.withColumn("_n", dec_norm(F.col("_v")))
     out_vec = ["_v"] if carry_vec else []
     if portable:
-        def bucket(tbl: int) -> Column:
-            acc = F.lit(0).cast("long")
-            for p in range(planes_per_table):
-                plane = F.array(
-                    *[F.lit(s) for s in portable_plane(tbl * 1000 + p, dim)]
-                )
-                proj = dec_dot(F.col("_v"), plane).cast("double")
-                acc = acc * 2 + F.when(proj >= 0, 1).otherwise(0)
-            return acc
+        import numpy as np
+        from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
-        buckets = F.array(
-            *[
-                F.struct(F.lit(tbl).alias("tbl"), bucket(tbl).alias("bucket"))
+        # (dim, tables*planes) ±1 sign matrix, column t*planes+p = plane
+        # portable_plane(t*1000+p, dim) — closure-shipped once per task.
+        signs = np.array(
+            [
+                portable_plane(tbl * 1000 + p, dim)
                 for tbl in range(tables)
+                for p in range(planes_per_table)
+            ],
+            dtype=np.int64,
+        ).T
+        ppt = planes_per_table
+        ntb = tables
+        # |Σ s_i*u_i| <= dim*max|u|: keep it provably inside int64.
+        ovfl = (2**62) // max(dim, 1)
+        pow2 = (1 << np.arange(ppt - 1, -1, -1)).astype(np.int64)
+
+        u = F.transform(
+            F.col("_v"),
+            lambda x: (x.cast("double").cast(DEC30) * F.lit(10**15)).cast("long"),
+        )
+        fixed = rows.select(F.col(id_alias), u.alias("_u"))
+        id_field = fixed.schema[id_alias]
+        out_schema = StructType(
+            [
+                id_field,
+                StructField("tbl", IntegerType(), False),
+                StructField("bucket", LongType(), False),
             ]
         )
-        return rows.select(
-            id_alias, *out_vec, *carry, F.explode(buckets).alias("tb")
-        ).select(
-            id_alias,
-            *out_vec,
-            *carry,
-            F.col("tb.tbl").alias("tbl"),
-            F.col("tb.bucket").alias("bucket"),
-        )
+
+        def _buckets_arrow(batches):
+            import numpy as _np
+            import pyarrow as pa
+
+            for b in batches:
+                n = b.num_rows
+                if n == 0:
+                    continue
+                ids = b.column(0)
+                uc = b.column(1)
+                flat = uc.flatten()
+                if uc.null_count or flat.null_count or len(flat) != n * dim:
+                    raise RuntimeError(
+                        "srp_buckets: null or ragged fixed-point vector"
+                    )
+                U = flat.to_numpy(zero_copy_only=False).reshape(n, dim)
+                if _np.abs(U).max(initial=0) > ovfl:
+                    raise RuntimeError(
+                        "srp_buckets: fixed-point magnitude exceeds the "
+                        "int64 projection bound — refusing to mis-bucket"
+                    )
+                proj = U @ signs                     # exact int64
+                bits = (proj >= 0).astype(_np.int64).reshape(n, ntb, ppt)
+                buck = bits @ pow2                   # (n, tables)
+                idx = pa.array(_np.repeat(_np.arange(n), ntb))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids.take(idx),
+                        pa.array(_np.tile(_np.arange(ntb, dtype=_np.int32), n)),
+                        pa.array(buck.reshape(-1)),
+                    ],
+                    schema=pa.schema(
+                        [
+                            pa.field(id_alias, ids.type),
+                            pa.field("tbl", pa.int32()),
+                            pa.field("bucket", pa.int64()),
+                        ]
+                    ),
+                )
+
+        bucketed = fixed.mapInArrow(_buckets_arrow, out_schema)
+        if not (carry_vec or with_norm):
+            return bucketed
+        # re-attach the payload/norm exactly once, AFTER bucketing — the
+        # heavy columns never ride the tables-way fan-out through Python
+        return bucketed.join(
+            rows.select(id_alias, *out_vec, *carry), id_alias
+        ).select(id_alias, *out_vec, *carry, "tbl", "bucket")
     buckets = F.transform(
         F.sequence(F.lit(0), F.lit(tables - 1)),
         lambda tbl: F.struct(
@@ -309,10 +375,10 @@ def lsh_topk(
         )
         cv = corpus.select(
             F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_v")
-        )
+        ).withColumn("_ndv", F.sqrt(dot(F.col("_v"), F.col("_v"))))
         qv = queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-        )
+        ).withColumn("_ndq", F.sqrt(dot(F.col("_qv"), F.col("_qv"))))
         pairs = cand.join(cv, "corpus_id").join(F.broadcast(qv), "query_id")
         return _exact_topk_band_rerank(pairs, k)
     cn = normalize(corpus, vec_col).where(F.col("unit").isNotNull())
@@ -356,9 +422,14 @@ def _exact_topk_band_rerank(pairs: DataFrame, k: int) -> DataFrame:
     double path mirrors that 0.0 exactly, so those rows rank
     identically in both passes (band 0 needed: the values are equal).
     The exact window then re-ranks survivors with the same total order
-    (cos DESC, corpus_id) the unpruned formulation used."""
-    nd_c = F.sqrt(dot(F.col("_v"), F.col("_v")))
-    nd_q = F.sqrt(dot(F.col("_qv"), F.col("_qv")))
+    (cos DESC, corpus_id) the unpruned formulation used.
+
+    Callers may pre-attach per-VECTOR double norms as ``_ndv``/``_ndq``
+    columns (one fold per vector instead of one per pair — guide §1.2);
+    any double norm works for the prune, the bound covers it."""
+    cols = set(pairs.columns)
+    nd_c = F.col("_ndv") if "_ndv" in cols else F.sqrt(dot(F.col("_v"), F.col("_v")))
+    nd_q = F.col("_ndq") if "_ndq" in cols else F.sqrt(dot(F.col("_qv"), F.col("_qv")))
     np_d = nd_q * nd_c
     dcos = F.when(np_d > 0, dot(F.col("_qv"), F.col("_v")) / np_d).otherwise(
         F.lit(0.0)
@@ -576,16 +647,20 @@ def ivf_topk_flat(
             pruned.withColumn("sim", esim)
             .withColumn("r", F.row_number().over(w))
             .where(F.col("r") <= n)
-            .select(out_id, "_v", "cid")
+            .select(out_id, "_v", "_n", "cid")
         )
 
-    c_cells = cells(corpus, "corpus_id", 1)
-    q_cells = cells(queries, "query_id", n_probe).withColumnRenamed("_v", "_qv")
+    c_cells = cells(corpus, "corpus_id", 1).withColumnRenamed("_n", "_ndv")
+    q_cells = (
+        cells(queries, "query_id", n_probe)
+        .withColumnRenamed("_v", "_qv")
+        .withColumnRenamed("_n", "_ndq")
+    )
     cand = c_cells.join(q_cells, "cid").where(
         F.col("corpus_id") != F.col("query_id")
     )
     return _exact_topk_band_rerank(
-        cand.select("query_id", "corpus_id", "_qv", "_v"), k
+        cand.select("query_id", "corpus_id", "_qv", "_v", "_ndv", "_ndq"), k
     )
 
 
@@ -666,8 +741,12 @@ def ivf_topk_trained_portable(
         explode_long(queries, id_col, vec_col), cent, n_probe
     ).select(F.col("vid").alias("query_id"), "cid")
 
-    cv = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_v"))
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    cv = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_ndv", F.sqrt(dot(F.col("_v"), F.col("_v"))))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("_ndq", F.sqrt(dot(F.col("_qv"), F.col("_qv"))))
     # each corpus vector lives in exactly ONE cell, so the cell join
     # cannot duplicate a (query, corpus) pair — no dedup pass needed
     cand = (
@@ -814,9 +893,12 @@ def semdedup_prune(
 
     Scale shape: one hash shuffle on the bucket key; the centroid table
     is (2^planes x dim) rows — computed with a tiny two-level
-    aggregation and broadcast back; the pair join is per-bucket, never
+    aggregation and broadcast back; the pair phase is per-bucket, never
     corpus-squared (add planes to keep buckets bounded as the corpus
-    grows); every dot product is an exact-decimal JVM fold (no Python).
+    grows — a bucket must fit one task's memory for the BLAS judge,
+    the same O(bucket²) bound the old pair join already implied); the
+    authoritative comparisons stay exact-decimal JVM folds, with the
+    per-pair tau decision pre-screened by one BLAS matrix per bucket.
 
     Returns (vec_id, bucket, rnk, dropped); zero-norm vectors (no
     direction, no cosine) are excluded.
@@ -826,15 +908,24 @@ def semdedup_prune(
     ).where(F.col("nrm") > 0)
     b = srp_buckets(
         e, "_v", dim, tables=1, planes_per_table=planes,
-        id_alias="vec_id", portable=True,
+        id_alias="vec_id", portable=True, carry_vec=False,
     ).select("vec_id", "bucket")
-    m = e.join(b, "vec_id").withColumn(
-        "unit", F.transform(F.col("_v"), lambda x: x.cast("double") / F.col("nrm"))
-    )
+    m = e.join(b, "vec_id")
     # per-bucket centroid of the unit vectors: exact decimal mean per
-    # dimension, reassembled in index order; 2^planes rows -> broadcast
+    # dimension, reassembled in index order; 2^planes rows -> broadcast.
+    # r11: explode the RAW vector and divide by the norm AFTER the
+    # Generate — posexplode of a computed `unit` array made Spark infer
+    # a size()>0/isnotnull filter on it (InferFiltersFromGenerate) and
+    # push it below the join with the whole expression inlined, nesting
+    # the O(dim) dec_norm fold INSIDE the per-element lambda: the fold
+    # re-ran dim times per row, twice (measured: this one inferred
+    # filter was 6.9 s of the operator's 13 s at sf0.1). Same (i, u)
+    # pairs, same exact decimal mean.
     cents = (
-        m.select("bucket", F.posexplode("unit").alias("i", "u"))
+        m.select("bucket", "nrm", F.posexplode("_v").alias("i", "x"))
+        .select(
+            "bucket", "i", (F.col("x").cast("double") / F.col("nrm")).alias("u")
+        )
         .groupBy("bucket", "i")
         .agg(
             (F.sum(F.col("u").cast(DEC30)).cast("double") / F.count("*")).alias("cv")
@@ -865,45 +956,80 @@ def semdedup_prune(
         )
         .select("vec_id", "bucket", "rnk", "_v", "nrm")
     )
-    hi = ranked.select(
-        F.col("bucket").alias("hb"), F.col("rnk").alias("hr"),
-        F.col("_v").alias("hv"), F.col("nrm").alias("hn"),
+    # r11 (guide §4.2 + §1.2): the tau decision per (member, higher-ranked
+    # member) pair is made by ONE BLAS cosine matrix per bucket inside an
+    # applyInPandas judge, instead of a per-bucket self-JOIN whose every
+    # row re-ran an interpreted O(dim) double fold — and whose three
+    # references to `ranked` re-executed the whole bucket/centroid/window
+    # lineage three times. Value-identical by the established band
+    # argument: the authoritative predicate is floor5(exact_cos) >= tau;
+    # ANY estimate within the band half-width 2e-5 + 1e-10/(nrm*hn) of
+    # the exact quotient decides it outside [tau-band, tau+band) — the
+    # numpy float64 dot's error (<= dim*eps*na*nb / (na*nb) by
+    # Cauchy-Schwarz, plus the dec15 per-term rounding) is covered
+    # exactly like the JVM double fold's was. Pairs INSIDE the band come
+    # back with both vectors attached and are resolved by the same exact
+    # decimal fold as before — the Python stage never computes a decimal.
+    # (Zero-norm rows were excluded upstream, so no NaN cosines.)
+    tau_f = float(tau)
+    judge_schema = (
+        "vec_id long, bucket long, rnk int, sure int, "
+        "self_v array<double>, partner_vs array<array<double>>, "
+        "nrm double, hns array<double>"
     )
-    # r11 (guide §1.2): the pair predicate pc >= tau is decided by a
-    # cheap primitive-double cosine except inside a narrow band around
-    # tau, where the exact decimal fold still rules. Value-identical:
-    # |double_cos - exact_quotient| <= ~dim*eps (relative fold error,
-    # Cauchy-Schwarz) + dim*0.5e-15/(nrm*hn) (absolute dec15 term
-    # rounding) — both dwarfed by the band half-width
-    # 2e-5 + 1e-10/(nrm*hn) — and floor-5 moves a value by < 1e-5, so
-    # outside the band the two predicates provably agree; pc itself is
-    # not part of the output. CaseWhen evaluates lazily, so the decimal
-    # fold runs only for the (measure-zero) band rows instead of every
-    # candidate pair.
-    np_ = F.col("nrm") * F.col("hn")
-    dcos = dot(F.col("_v"), F.col("hv")) / np_
-    band = F.lit(2e-5) + F.lit(1e-10) / np_
-    exact_ok = (
-        fr(dec_dot(F.col("_v"), F.col("hv")).cast("double") / np_, 5)
-        >= tau
+
+    def _judge(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        order = np.argsort(pdf["rnk"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        rnk = pdf["rnk"].to_numpy()[order]
+        bkt = pdf["bucket"].to_numpy()[order]
+        nr = pdf["nrm"].to_numpy(dtype=np.float64)[order]
+        vlists = pdf["_v"].to_numpy()[order]
+        n = len(ids)
+        V = np.stack(vlists).astype(np.float64)
+        npd = np.outer(nr, nr)
+        M = (V @ V.T) / npd
+        band = 2e-5 + 1e-10 / npd
+        lower = np.tril(np.ones((n, n), dtype=bool), k=-1)  # j < i in rank
+        sure_true = lower & (M >= tau_f + band)
+        in_band = lower & (M >= tau_f - band) & (M < tau_f + band)
+        dropped = sure_true.any(axis=1)
+        need_exact = in_band.any(axis=1) & ~dropped
+        pvs, hns, svs = [], [], []
+        for i in range(n):
+            if need_exact[i]:
+                js = np.nonzero(in_band[i])[0]
+                pvs.append([list(vlists[j]) for j in js])
+                hns.append([nr[j] for j in js])
+                svs.append(list(vlists[i]))
+            else:
+                pvs.append(None); hns.append(None); svs.append(None)
+        return pd.DataFrame(
+            {
+                "vec_id": ids, "bucket": bkt, "rnk": rnk,
+                "sure": dropped.astype(np.int32),
+                "self_v": svs, "partner_vs": pvs,
+                "nrm": nr, "hns": hns,
+            }
+        )
+
+    judged = ranked.groupBy("bucket").applyInPandas(_judge, judge_schema)
+    # band pairs (measure-zero) resolve inline with the SAME exact
+    # decimal fold the join formulation used — no second pass, no union
+    exact_any = F.exists(
+        F.arrays_zip(F.col("partner_vs").alias("pv"), F.col("hns").alias("hn")),
+        lambda s: fr(
+            dec_dot(F.col("self_v"), s.pv).cast("double")
+            / (F.col("nrm") * s.hn),
+            5,
+        )
+        >= tau,
     )
-    dup_ids = (
-        ranked.join(
-            hi, (F.col("bucket") == F.col("hb")) & (F.col("hr") < F.col("rnk"))
-        )
-        .where(
-            F.when(dcos >= tau + band, F.lit(True))
-            .when(dcos < tau - band, F.lit(False))
-            .otherwise(exact_ok)
-        )
-        .select("vec_id")
-        .distinct()
-        .withColumn("dropped", F.lit(True))
-    )
-    return (
-        ranked.join(dup_ids, "vec_id", "left")
-        .select(
-            "vec_id", "bucket", "rnk",
-            F.coalesce(F.col("dropped"), F.lit(False)).alias("dropped"),
-        )
+    return judged.select(
+        "vec_id", "bucket", "rnk",
+        (
+            (F.col("sure") == 1) | F.coalesce(exact_any, F.lit(False))
+        ).alias("dropped"),
     )

@@ -387,31 +387,42 @@ def events_gapfill_locf(spark, sf_dir):
 )
 def events_funnel(spark, sf_dir):
     """Ordered conversion funnel (view -> click -> purchase, strictly
-    increasing timestamps per user) — the event-analytics staple. Each
-    stage is a keyed min-aggregation joined to the previous stage's
-    first-hit time; conversions are exact integer ppm. Three keyed
-    shuffles total, no window over the full stream."""
+    increasing timestamps per user) — the event-analytics staple.
+
+    r11 (guide §2.4 remove shuffles / §1.2 algorithm first): the old
+    shape ran THREE sequential count() actions whose lineages re-scanned
+    events 1+2+3 = 6 times and re-shuffled each stage's join. The funnel
+    first-hits are a per-user sequential property, so ONE keyed
+    aggregation computes them all: collect the (ts, type) pairs per user
+    (bounded by per-user activity), derive t1 = first view,
+    t2 = first click strictly after t1, t3 = first purchase strictly
+    after t2 as array folds, and count the non-null stages in one global
+    aggregate — one scan, one shuffle, one action. Value-identical: the
+    stage-k user set {t_k IS NOT NULL} is exactly the old stage-k join
+    output (a NULL t_{k-1} nulls every comparison, reproducing the inner
+    join's exclusion), and the ppm math is unchanged integer division."""
     e = t(spark, sf_dir, "events")
-    v = (
-        e.where(F.col("event_type") == "view")
+    evs = (
+        e.where(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+        .agg(F.collect_list(F.struct("ts", "event_type")).alias("evs"))
     )
-    c = (
-        e.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        e.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    n1, n2, n3 = v.count(), c.count(), p.count()
+
+    def first_ts(kind, after=None):
+        cond = lambda s: (s.event_type == kind) & (
+            s.ts > after if after is not None else F.lit(True)
+        )
+        return F.array_min(
+            F.transform(F.filter(F.col("evs"), cond), lambda s: s.ts)
+        )
+
+    staged = evs.withColumn("t1", first_ts("view"))
+    staged = staged.withColumn("t2", first_ts("click", F.col("t1")))
+    staged = staged.withColumn("t3", first_ts("purchase", F.col("t2")))
+    n1, n2, n3 = staged.agg(
+        F.count("t1"), F.count("t2"), F.count("t3")
+    ).collect()[0]
     rows = [
         (1, n1, 1000000),
         (2, n2, n2 * 1000000 // max(n1, 1)),

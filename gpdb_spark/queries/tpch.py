@@ -690,16 +690,17 @@ def q02_min_cost_supplier(spark, sf_dir):
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("ps_partkey", "ps_suppkey", "s_acctbal", "s_name", "n_name")
     )
-    min_bal = eligible.groupBy("ps_partkey").agg(
-        F.min("s_acctbal").alias("min_bal")
-    )
+    # r11 (guide §2.4): the grouped-min self-join computed `eligible`
+    # (distinct shuffle + 3 joins) TWICE; a per-partkey window min over a
+    # single pass keeps exactly the same rows (ties at the min survive
+    # both forms) with one distinct shuffle + one window exchange.
+    from pyspark.sql.window import Window as _W
+
+    wmin = F.min("s_acctbal").over(_W.partitionBy("ps_partkey"))
     return (
         eligible.join(broadcast(p), F.col("ps_partkey") == p.p_partkey)
-        .join(
-            min_bal.withColumnRenamed("ps_partkey", "mb_partkey"),
-            (F.col("ps_partkey") == F.col("mb_partkey"))
-            & (F.col("s_acctbal") == F.col("min_bal")),
-        )
+        .withColumn("_min_bal", wmin)
+        .where(F.col("s_acctbal") == F.col("_min_bal"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
     )
 
