@@ -694,52 +694,141 @@ def ivf_topk_trained_portable(
     (~n_probe/n_centroids of the corpus per query). Cell metric is
     squared euclidean (the k-means objective; rank-equivalent to
     cosine on unit-normalized inputs)."""
-    from gpdb_spark.catalog import spread
-    from gpdb_spark.operators.kmeans import (
-        assign_cells,
-        explode_long,
-        lloyd_rounds,
-    )
-    from gpdb_spark.operators.kmeans import _floor as kfloor
+    # r11 (guide §1.2 algorithm first): the distributed Lloyd rounds over
+    # a 256-row training sample chained ~4 shuffle stages per round on a
+    # 2-task frame (measured: 12 s of tiny-data scheduling at sf0.1), and
+    # the corpus/query cell assignment fanned every vector out k x dim
+    # long-form rows through two more exchanges (5.8 s). Training now
+    # runs driver-side on the COLLECTED bounded sample (the standard IVF
+    # contract — FAISS holds the quantizer driver-side; train_centroids
+    # above already does exactly this for the non-portable twin), and
+    # assignment is one mapInArrow pass with the k*dim centroid matrix
+    # in the closure — no exchanges at all.
+    #
+    # Bit-identity with operators/kmeans.lloyd_rounds / assign_cells
+    # (the oracle unrolls THOSE semantics), piece by piece:
+    # - the fixed-point distance term floor(d²·1e12) uses only IEEE
+    #   double ops + floor — numpy float64 reproduces each term exactly;
+    #   the per-pair term SUM is an exact int64 sum (= registry.xsum);
+    #   the compared dist is its double image, identical to
+    #   xsum(..).cast("double") because the int fits 2^53 (guarded
+    #   loudly — beyond it the double image could tie differently).
+    # - argmin/top-n order is (dist, cid) with centroid columns kept
+    #   cid-ascending, matching the row_number tie-break.
+    # - the floor-9 mean consumes Σ dec15(x) via the JVM-computed
+    #   scale-15 fixed points (never re-deriving the double→decimal
+    #   cast in Python) and Fraction→float for the correctly-rounded
+    #   decimal→double image, then floor(c·1e9)/1e9 in IEEE doubles.
+    import numpy as np
+    from fractions import Fraction
 
-    e_all = explode_long(spread(corpus), id_col, vec_col)
     h = F.md5(F.col(id_col).cast("string"))
-    samp_ids = (
-        corpus.select(F.col(id_col).alias("vid"), h.alias("__h"))
+    u_expr = F.transform(
+        F.col(vec_col),
+        lambda x: (x.cast("double").cast(DEC30) * F.lit(10**15)).cast("long"),
+    )
+    samp = (
+        corpus.select(
+            F.col(id_col).alias("vid"), h.alias("__h"),
+            F.col(vec_col).alias("_x"), u_expr.alias("_u"),
+        )
         .orderBy("__h", "vid")
         .limit(sample_size)
+        .collect()
     )
-    # the training relation is bounded at sample_size*dim rows — far
-    # below one healthy partition. Collapse it so every Lloyd-round
-    # groupBy/window schedules a couple of tasks instead of a full
-    # shuffle width of empty ones (the rounds chain 4+ shuffles).
-    e_s = (
-        e_all.join(F.broadcast(samp_ids.select("vid")), "vid")
-        .repartition(2, "vid")
-        .persist()
-    )
-    init_ids = samp_ids.orderBy("__h", "vid").limit(n_centroids)
-    cent0 = e_s.join(F.broadcast(init_ids.select("vid")), "vid").select(
-        F.col("vid").alias("cid"), "i", kfloor(F.col("x"), 9).alias("val")
-    )
-    _, cent = lloyd_rounds(e_s, cent0, iters)
-    # materialize the trained centroids to the driver and re-emit them
-    # as a literal broadcast relation: the centroid table is BOUNDED at
-    # n_centroids*dim rows by construction (the standard IVF contract —
-    # FAISS holds the quantizer driver-side too), and without this both
-    # assignment passes below would drag the full multi-round training
-    # lineage into their plans (measured: 14 s -> ~5 s at sf0.1)
-    cent = F.broadcast(
-        corpus.sparkSession.createDataFrame(cent.collect(), cent.schema)
-    )
-    e_s.unpersist()
+    if not samp:
+        raise ValueError("ivf_topk_trained_portable: empty corpus")
+    samp.sort(key=lambda r: (r["__h"], r["vid"]))
+    if any(r["_x"] is None or None in r["_x"] or None in r["_u"] for r in samp):
+        raise ValueError("ivf_topk_trained_portable: null vector element")
+    xs = np.array([list(r["_x"]) for r in samp], dtype=np.float64)
+    us = np.array([list(r["_u"]) for r in samp], dtype=np.int64)
+    svids = np.array([r["vid"] for r in samp], dtype=np.int64)
+    dim = xs.shape[1]
+    nc = min(n_centroids, len(samp))
 
-    c_cells = assign_cells(e_all, cent, 1).select(
-        F.col("vid").alias("corpus_id"), "cid"
-    )
-    q_cells = assign_cells(
-        explode_long(queries, id_col, vec_col), cent, n_probe
-    ).select(F.col("vid").alias("query_id"), "cid")
+    def _dist_int(X: "np.ndarray", V: "np.ndarray") -> "np.ndarray":
+        if not np.isfinite(X).all():
+            raise RuntimeError(
+                "ivf assign: non-finite vector element — floor(NaN/Inf) "
+                "has no integer image; refusing to mis-assign"
+            )
+        out = np.empty((len(X), len(V)), dtype=np.int64)
+        for j in range(len(V)):
+            d = X - V[j]
+            out[:, j] = np.floor((d * d) * 1e12).astype(np.int64).sum(axis=1)
+        if out.max(initial=0) >= 2**53:
+            raise RuntimeError(
+                "ivf assign: distance fixed point exceeds 2^53 — the "
+                "double image could break ties differently; refusing"
+            )
+        return out
+
+    def _cid_sorted(cids, V):
+        order = np.argsort(np.array(cids, dtype=np.int64), kind="stable")
+        return [cids[i] for i in order], V[order]
+
+    cids = [int(v) for v in svids[:nc]]
+    V = np.floor(xs[:nc] * 1e9) / 1e9
+    cids, V = _cid_sorted(cids, V)
+    for _ in range(iters):
+        assign = np.argmin(_dist_int(xs, V) / 1e12, axis=1)  # first-min = lowest cid
+        new_cids, new_vs = [], []
+        for j, cid in enumerate(cids):
+            mask = assign == j
+            m = int(mask.sum())
+            if m == 0:
+                continue  # empty clusters drop, like plain Lloyd
+            sums = us[mask].sum(axis=0, dtype=np.int64)
+            c = np.array(
+                [float(Fraction(int(s), 10**15)) for s in sums],
+                dtype=np.float64,
+            ) / m
+            new_cids.append(cid)
+            new_vs.append(np.floor(c * 1e9) / 1e9)
+        cids, V = _cid_sorted(new_cids, np.stack(new_vs))
+
+    cid_arr = np.array(cids, dtype=np.int64)
+    Vf = V  # (k, dim), cid-ascending
+
+    def _cells_arrow_of(n_sel: int, out_id: str):
+        import pyarrow as pa
+
+        nn = min(n_sel, len(cid_arr))
+
+        def gen(batches):
+            import numpy as _np
+
+            for b in batches:
+                nrows = b.num_rows
+                if nrows == 0:
+                    continue
+                ids = b.column(0)
+                vec = b.column(1)
+                flat = vec.flatten()
+                if vec.null_count or flat.null_count or len(flat) != nrows * dim:
+                    raise RuntimeError("ivf assign: null or ragged vector")
+                X = flat.to_numpy(zero_copy_only=False).reshape(
+                    nrows, dim
+                ).astype(_np.float64)
+                Dd = _dist_int(X, Vf) / 1e12
+                ordx = _np.argsort(Dd, axis=1, kind="stable")[:, :nn]
+                idx = pa.array(_np.repeat(_np.arange(nrows), nn))
+                yield pa.RecordBatch.from_arrays(
+                    [ids.take(idx), pa.array(cid_arr[ordx.reshape(-1)])],
+                    schema=pa.schema(
+                        [pa.field(out_id, ids.type), pa.field("cid", pa.int64())]
+                    ),
+                )
+
+        return gen
+
+    c_cells = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col)
+    ).mapInArrow(_cells_arrow_of(1, "corpus_id"), "corpus_id long, cid long")
+    q_cells = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col)
+    ).mapInArrow(_cells_arrow_of(n_probe, "query_id"), "query_id long, cid long")
 
     cv = corpus.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_v")
