@@ -219,6 +219,40 @@ def minhash_signature(text: Column | str, k: int = 64, ngram: int = 1) -> Column
     return minhash_from_hashes(shingle_hashes(text, ngram), k)
 
 
+def _sig_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    ngram: int,
+    portable: bool,
+) -> DataFrame:
+    """(id, sig) MinHash signature table, zero-shingle docs dropped
+    (array_min over an empty array is NULL, and k NULLs would give every
+    empty doc the same degenerate band bucket — empties are exact
+    duplicates, exact_dedup's job, not MinHash's).
+
+    The whole signature is one per-row JVM expression — ZERO shuffle.
+    (r11 tested and REJECTED: deduplicating the portable md5 rehash per
+    DISTINCT shingle — explode postings, rehash the vocabulary once,
+    join back, 64 primitive min aggregates. Value-identical and the
+    fixture corpus repeats tokens 3700x, yet measured SLOWER, 1.6 vs
+    2.6 s interleaved at sf0.1: the explode + join + 64-buffer
+    aggregation costs more than the md5 work it saves, the same verdict
+    the 64-codegen-min-agg signature shape got for xxhash64.)"""
+    base = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            shingle_hashes(F.col(text_col), ngram, portable).alias("__sh"),
+        )
+        .where(F.array_size(F.col("__sh")) > 0)
+    )
+    return base.select(
+        "id", minhash_from_hashes(F.col("__sh"), k, portable).alias("sig")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -240,20 +274,8 @@ def minhash_lsh_pairs(
     md5-derived one (_seeded_rehash): signatures become reproducible by
     any engine (and DuckDB-oracle-checkable) at ~3x the hashing cost.
     """
-    sig = (
-        spread(df)
-        .select(
-            F.col(id_col).alias("id"),
-            shingle_hashes(F.col(text_col), ngram, portable).alias("__sh"),
-        )
-        # zero-shingle (empty/whitespace-only) docs have NO signature:
-        # array_min over an empty array is NULL, and 64 NULLs would give
-        # every empty doc the same degenerate band bucket — empties are
-        # exact duplicates, exact_dedup's job, not MinHash's
-        .where(F.array_size(F.col("__sh")) > 0)
-        .select("id", minhash_from_hashes(F.col("__sh"), k, portable).alias("sig"))
-        .persist()
-    )  # read 3x below (banding + 2 verification lookups)
+    sig = _sig_table(df, text_col, id_col, k, ngram, portable).persist()
+    # read 3x below (banding + 2 verification lookups)
 
     banded = _banded(sig, k, bands, portable)  # ids only — the candidate join must
     # NOT carry the 64-long signatures: a hot bucket of m docs yields
@@ -354,18 +376,9 @@ def minhash_dedup_clusters(
     E = n_docs * bands. This is how production web-dedup pipelines run
     MinHash at corpus scale.
     """
-    sig = (
-        spread(df)
-        .select(
-            F.col(id_col).alias("id"),
-            shingle_hashes(F.col(text_col), ngram, portable).alias("__sh"),
-        )
-        # zero-shingle docs: no signature — they rejoin as singleton
-        # clusters at the end (see the final left join); without this,
-        # 64 NULL components give every empty doc the same bucket
-        .where(F.array_size(F.col("__sh")) > 0)
-        .select("id", minhash_from_hashes(F.col("__sh"), k, portable).alias("sig"))
-    )
+    # zero-shingle docs have no signature — they rejoin as singleton
+    # clusters at the end (see the final left join)
+    sig = _sig_table(df, text_col, id_col, k, ngram, portable)
     # doc <-> bucket bipartite edges; components found by alternating
     # min-label propagation doc -> bucket -> doc. Pointer jumping alone is
     # NOT enough: a component's min may only be reachable through a

@@ -31,18 +31,38 @@ def components_from_edges(
     ``nodes``: one column ``id_col`` (isolated nodes keep their own id).
     ``edges``: undirected pairs; symmetrized here.
     """
+    # symmetrize via explode, NOT unionAll: a union's two branches each
+    # evaluate the edge plan independently, and the upstream plan here
+    # is often expensive (r11 — embed_neardup_clusters feeds the full
+    # cosine-pair computation in; the union shape ran it twice).
     sym = (
-        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .unionAll(edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("u"), F.col(a_col).alias("v")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.u", "__e.v")
         .distinct()
     )
+    # materialize the edge list ONCE before anything else reads it: the
+    # upstream plan is often expensive (embed_neardup_clusters feeds the
+    # full cosine-pair computation in here), and the previous shape ran
+    # it twice — once for the sizing count below and again when the lazy
+    # persist() was first touched by round 0 (r11).
+    sym = sym.localCheckpoint(eager=True)
     # right-size the loop's join partitioning by actual edge count
     # (same lesson as dedup.minhash_dedup_clusters: default shuffle
     # width is far too wide for a slim edge table and every LP round
     # pays idle-task scheduling; ~1M edges/partition, scales up for
-    # billion-edge graphs). The count runs on the un-persisted distinct —
-    # only the repartitioned handle below is cached (persisting here too
-    # would leak a second cached copy for the session lifetime).
+    # billion-edge graphs). The count scans the checkpointed partitions —
+    # no recomputation.
     n_edges = sym.count()
     parallelism = nodes.sparkSession.sparkContext.defaultParallelism
     parts = int(max(4, min(-(-n_edges // 1_000_000), 4 * parallelism)))
@@ -50,35 +70,47 @@ def components_from_edges(
     labels = nodes.select(
         F.col(id_col).alias("u"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
-    converged = False
-    for _ in range(max_iter):
+    def _round(lbls: DataFrame) -> DataFrame:
+        """One LAZY propagation round: each node takes the min of its
+        own label, its neighbors' labels, and — pointer doubling
+        (shortcutting) — the label OF its label. Labels are node ids,
+        so the extra slim join halves the remaining distance each
+        round, turning O(diameter) rounds into O(log diameter).
+        Without it, a chain-shaped component longer than the round
+        budget silently kept WRONG labels (the round-10 stress twin
+        caught exactly that at 10x data)."""
         nbr_min = (
-            sym.join(labels.withColumnsRenamed({"u": "v", "label": "vlbl"}), "v")
+            sym.join(lbls.withColumnsRenamed({"u": "v", "label": "vlbl"}), "v")
             .groupBy("u")
             .agg(F.min("vlbl").alias("nlbl"))
         )
-        joined = labels.join(nbr_min, "u", "left").select(
+        stepped = lbls.join(nbr_min, "u", "left").select(
             "u",
             F.least(F.col("label"), F.coalesce("nlbl", "label")).alias("label"),
-            F.col("label").alias("__old"),
         )
-        # pointer doubling (shortcutting): also take the label OF my
-        # label — labels are node ids, so one extra slim join halves
-        # the remaining distance each round, turning O(diameter) rounds
-        # into O(log diameter). Without it, a chain-shaped component
-        # longer than max_iter rounds silently kept WRONG labels (the
-        # round-10 stress twin caught exactly that at 10x data).
-        lbl_of_lbl = labels.select(
+        lbl_of_lbl = lbls.select(
             F.col("u").alias("label"), F.col("label").alias("__ll")
         )
-        joined = joined.join(lbl_of_lbl, "label", "left").select(
+        return stepped.join(lbl_of_lbl, "label", "left").select(
             "u",
-            F.least(F.col("label"), F.coalesce("__ll", "label")).alias(
-                "label"),
-            "__old",
+            F.least(F.col("label"), F.coalesce("__ll", "label")).alias("label"),
         )
-        new_labels = joined.select("u", "label", "__old").localCheckpoint(
-            eager=True
+
+    converged = False
+    for _ in range(max_iter):
+        # r11: each ACTION evaluates a PAIR of rounds and convergence-
+        # checks the pair's second round against its first (labels are
+        # monotone non-increasing, so "one full round changed nothing"
+        # is a valid fixpoint test wherever it appears — if round 2
+        # leaves round 1's labels untouched, round 1 was the fixpoint).
+        # Typical near-dup graphs converge in 1 wave instead of 2-3;
+        # chains advance 2 doubling-rounds per wave (bound 2*max_iter).
+        l1 = _round(labels)
+        l2 = _round(l1).withColumnRenamed("label", "__l2")
+        new_labels = (
+            l2.join(l1, "u")
+            .select("u", F.col("__l2").alias("label"), F.col("label").alias("__old"))
+            .localCheckpoint(eager=True)
         )
         n_changed = (
             new_labels.agg(
@@ -93,8 +125,9 @@ def components_from_edges(
     sym.unpersist()
     if not converged:
         # NEVER return silently-wrong components: with shortcutting,
-        # max_iter=50 covers diameters ~2^50 — exhaustion means a bug
+        # 2*max_iter=100 rounds cover diameters ~2^100 — exhaustion
+        # means a bug
         raise RuntimeError(
-            f"components_from_edges did not converge in {max_iter} "
+            f"components_from_edges did not converge in {2 * max_iter} "
             "rounds")
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("component"))
