@@ -61,6 +61,26 @@ def hashed_features(text: Column | str, buckets: int = 256) -> Column:
     )
 
 
+def _bucket_counts(
+    df: DataFrame, text_col: str, buckets: int, feats_col: str | None = None
+) -> dict[int, int]:
+    """Per-bucket occurrence counts, collected (bounded: <= buckets
+    rows). ``feats_col`` names an already-materialized feature-array
+    column to reuse instead of re-deriving features from the text."""
+    f = (
+        F.col(feats_col)
+        if feats_col
+        else hashed_features(F.col(text_col), buckets)
+    )
+    rows = (
+        df.select(F.explode(f).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    return {r.b: r.c for r in rows}
+
+
 def fit_log_ratios(
     raw: DataFrame,
     target: DataFrame,
@@ -75,18 +95,9 @@ def fit_log_ratios(
     (C libm, matching DuckDB's ln for the oracle) and floored to 1e-9
     so the broadcast constants are engine-identical."""
 
-    def counts(df: DataFrame) -> dict[int, int]:
-        rows = (
-            df.select(
-                F.explode(hashed_features(F.col(text_col), buckets)).alias("b")
-            )
-            .groupBy("b")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()  # bounded: at most ``buckets`` rows
-        )
-        return {r.b: r.c for r in rows}
-
-    tc, rc = counts(target), counts(raw)
+    tc, rc = _bucket_counts(target, text_col, buckets), _bucket_counts(
+        raw, text_col, buckets
+    )
     tot_t, tot_r = sum(tc.values()), sum(rc.values())
     out = {}
     for b in range(buckets):
@@ -103,6 +114,7 @@ def dsir_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = 256,
+    feats_col: str | None = None,
 ) -> DataFrame:
     """Score every raw document: exact-decimal fold of the fitted
     log-ratio over the doc's feature occurrences (zero-shuffle pass;
@@ -131,8 +143,10 @@ def dsir_weights(
     ratio_map = F.create_map(
         *[F.lit(x) for b, v in sorted(u_ratios.items()) for x in (b, v)]
     )
-    feats = hashed_features(F.col(text_col), buckets)
-    d = raw.withColumn("_f", feats)
+    if feats_col:
+        d = raw.withColumn("_f", F.col(feats_col))
+    else:
+        d = raw.withColumn("_f", hashed_features(F.col(text_col), buckets))
     u = F.aggregate(
         F.col("_f"),
         F.lit(0).cast("long"),
@@ -158,6 +172,25 @@ def dsir_select(
     docs whose importance weight clears ``threshold`` (0 = more
     target-like than raw-average). Deterministic twin of the paper's
     Gumbel-top-k resample."""
-    lr = fit_log_ratios(raw, target, text_col, buckets)
-    scored = dsir_weights(raw, lr, id_col, text_col, buckets)
+    # r11: feature extraction (tokenize + bigrams + md5 bucketing) is
+    # the pipeline's per-row cost and the raw corpus needs it TWICE —
+    # once for the fit counts, once for scoring. Materialize the raw
+    # feature arrays once and feed both consumers (MEMORY_AND_DISK,
+    # LRU-evictable: degrades to recompute, never OOMs; the target
+    # corpus is fit-only and keeps its single pass).
+    featured = raw.withColumn(
+        "__dsir_f", hashed_features(F.col(text_col), buckets)
+    ).persist()
+    tc = _bucket_counts(target, text_col, buckets)
+    rc = _bucket_counts(featured, text_col, buckets, feats_col="__dsir_f")
+    tot_t, tot_r = sum(tc.values()), sum(rc.values())
+    lr = {}
+    for b in range(buckets):
+        v = math.log((tc.get(b, 0) + 1) / (tot_t + buckets)) - math.log(
+            (rc.get(b, 0) + 1) / (tot_r + buckets)
+        )
+        lr[b] = math.floor(v * 1e9) / 1e9
+    scored = dsir_weights(
+        featured, lr, id_col, text_col, buckets, feats_col="__dsir_f"
+    )
     return scored.withColumn("selected", F.col("weight") >= threshold)

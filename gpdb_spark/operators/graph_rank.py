@@ -43,6 +43,10 @@ def pagerank(
     """Ranks for every node appearing in ``edges`` (either side), with
     uniform init, damping 0.85, and dangling mass redistributed
     uniformly. Returns (node, rank)."""
+    # (r11 tested and rejected: hash-partitioning e by src once so the
+    # per-round rank join reuses the cached partitioning — interleaved
+    # A/B was a wash, because AQE broadcasts the slim rank/outdeg sides
+    # and the cached edge table is never re-exchanged anyway.)
     e = edges.select(src, dst).distinct().persist()
     nodes = (
         e.select(F.col(src).alias("node"))

@@ -50,7 +50,7 @@ def logistic_irls(
     ).persist()
     n_rows = feats.count()
 
-    def dsum(c: Column) -> Column:
+    def _moment_row(terms: dict[str, Column]):
         # floor-12 each term before the exact decimal sum: removes the
         # double->decimal cast's engine-dependent digit-15 rounding, so
         # the only cross-engine noise left is libm ulp in exp() —
@@ -61,8 +61,20 @@ def logistic_irls(
         # value-identical to sum((floor(c*1e12)/1e12).cast(DECIMAL(30,15)))
         # (|terms| < 1e3 here, so u < 1e15 has <= 15 significant digits;
         # see xsum's docstring) — instead of 9 per-row decimal
-        # allocations per IRLS pass. The DuckDB oracle is unchanged.
-        return xsum(fx(c, 12), 12).cast("double")
+        # allocations per IRLS pass. The fixed-point longs are PROJECTED
+        # as columns before the aggregation so each sigmoid/working-
+        # response subtree is evaluated once per row, not re-expanded
+        # inside every slice-sum's update expression (r11 A/B: 0.76 ->
+        # 0.65 s per pass at sf0.1). The DuckDB oracle is unchanged.
+        proj = feats.select(
+            *[fx(c, 12).alias(name) for name, c in terms.items()]
+        )
+        return proj.agg(
+            *[
+                xsum(F.col(name), 12).cast("double").alias(name)
+                for name in terms
+            ]
+        ).collect()[0]
 
     beta = np.zeros(3)
     for _ in range(iterations):
@@ -72,17 +84,19 @@ def logistic_irls(
         w = mu * (F.lit(1.0) - mu)
         r = w * eta + F.col("y") - mu  # = W z, z the working response
         x1, x2 = F.col("x1"), F.col("x2")
-        row = feats.agg(
-            dsum(w).alias("sw"),
-            dsum(w * x1).alias("sw1"),
-            dsum(w * x2).alias("sw2"),
-            dsum(w * x1 * x1).alias("sw11"),
-            dsum(w * x1 * x2).alias("sw12"),
-            dsum(w * x2 * x2).alias("sw22"),
-            dsum(r).alias("sr"),
-            dsum(r * x1).alias("sr1"),
-            dsum(r * x2).alias("sr2"),
-        ).collect()[0]
+        row = _moment_row(
+            {
+                "sw": w,
+                "sw1": w * x1,
+                "sw2": w * x2,
+                "sw11": w * x1 * x1,
+                "sw12": w * x1 * x2,
+                "sw22": w * x2 * x2,
+                "sr": r,
+                "sr1": r * x1,
+                "sr2": r * x2,
+            }
+        )
         A = np.array(
             [
                 [row["sw"], row["sw1"], row["sw2"]],
@@ -97,8 +111,8 @@ def logistic_irls(
     eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
     # log-likelihood: sum y*eta - log1p(exp(eta)) (stable form via
     # max(eta,0) trick is unnecessary at these magnitudes)
-    ll = feats.agg(
-        dsum(F.col("y") * eta - F.log(F.lit(1.0) + F.exp(eta))).alias("ll")
-    ).collect()[0]["ll"]
+    ll = _moment_row(
+        {"ll": F.col("y") * eta - F.log(F.lit(1.0) + F.exp(eta))}
+    )["ll"]
     feats.unpersist()
     return [b0, b1, b2], float(ll), n_rows
