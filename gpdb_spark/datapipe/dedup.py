@@ -273,47 +273,241 @@ def minhash_lsh_pairs(
     ``portable=True`` swaps the xxhash64 permutation family for the
     md5-derived one (_seeded_rehash): signatures become reproducible by
     any engine (and DuckDB-oracle-checkable) at ~3x the hashing cost.
-    """
-    sig = _sig_table(df, text_col, id_col, k, ngram, portable).persist()
-    # read 3x below (banding + 2 verification lookups)
 
-    banded = _banded(sig, k, bands, portable)  # ids only — the candidate join must
-    # NOT carry the 64-long signatures: a hot bucket of m docs yields
-    # m^2/2 pairs, and 0.5 KB/sig turns that shuffle into GBs. Dedup the
-    # (a, b) id pairs first, then look the signatures back up.
-    a = banded.select(F.col("id").alias("a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("b"), "band", "bucket")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .dropDuplicates(["a", "b"])
+    r12 execution (guide §4.2/§2.4; value-identical, see the judge's
+    proof): candidates are enumerated and verified INSIDE each
+    (band, bucket) group by one numpy pass (groupBy + applyInPandas),
+    instead of materializing every per-bucket id pair in the JVM. The
+    old shape shuffled the raw bucket pairs (45.7M rows at sf0.1),
+    dropDuplicates'd them to 9.1M, re-attached both signatures with two
+    more shuffles, and ran an interpreted zip_with per pair; now ONE
+    shuffle carries n_docs x bands signature rows (80k at sf0.1) and
+    only verified matches cross back. Each pair is emitted exactly once
+    — by the FIRST band in which the pair agrees — so no dedup pass
+    exists at all.
+    """
+    if k % bands:
+        raise ValueError(
+            f"k={k} must be divisible by bands={bands} — a remainder "
+            "would silently drop the trailing signature components"
+        )
+    rows_per_band = k // bands
+    sig = _sig_table(df, text_col, id_col, k, ngram, portable)
+
+    def bucket(b):
+        # same encodings as _banded: collision-free joined-decimal
+        # slice for portable mode, banded xxhash64 fold otherwise
+        sl = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        if portable:
+            return F.concat_ws("-", F.transform(sl, lambda v: v.cast("string")))
+        return F.aggregate(
+            sl, F.xxhash64(b), lambda acc, v: F.xxhash64(acc, v)
+        )
+
+    bucketed = sig.select(
+        "id",
+        "sig",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)), bucket
+        ).alias("__bks"),
     )
-    sig_a = sig.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
-    sig_b = sig.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
+    # non-portable buckets are xxhash64 folds: slice equality implies
+    # bucket equality but not conversely, so the judge needs the actual
+    # bucket array to reproduce the old candidate semantics exactly
+    # (fold collisions included). Portable buckets are collision-free
+    # slice encodings — signature-slice equality IS bucket equality,
+    # so the (string) array need not ride the shuffle.
+    carry = [] if portable else ["__bks"]
+    exploded = bucketed.select(
+        "id",
+        "sig",
+        *carry,
+        F.posexplode("__bks").alias("band", "bucket"),
+    )
+    # pre-partition on the GROUP key with an explicit width: the judge
+    # stage is compute-bound (pairwise work ∝ Σ m² per bucket), so
+    # AQE's size-based coalescing — which sees only the ~0.5 KB/row
+    # signature bytes — would fold the whole stage into 1-2 tasks and
+    # serialize it (measured at sf0.1). An explicit hash partitioning
+    # on (band, bucket) satisfies applyInPandas' required clustering,
+    # so no second exchange is inserted; width scales with the session's
+    # core count, not a constant tuned to this box.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        exploded.repartition(max(2 * par, 16), "band", "bucket")
+        .groupBy("band", "bucket")
+        .applyInPandas(
+            _lsh_group_judge(k, bands, threshold, portable),
+            "a long, b long, matches int",
+        )
+    )
     # fr (floor-truncation), NOT round: matches/k is only
     # round-vs-floor-identical for power-of-two k; for any other k
     # round(double) hits the Spark-HALF_UP vs DuckDB divergence the
-    # repo policy exists to avoid
+    # repo policy exists to avoid. The judge pre-filtered on the SAME
+    # floored estimate (bit-identical IEEE sequence in numpy), so the
+    # where() below is a no-op safety net, not a semantic filter.
     from gpdb_spark.registry import fr as _fr
 
-    est = _fr(
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        ).cast("double")
-        / F.lit(float(k)),
-        6,
-    )
+    est = _fr(F.col("matches").cast("double") / F.lit(float(k)), 6)
     return (
-        cand.join(sig_a, "a")
-        .join(sig_b, "b")
-        .withColumn("est_jaccard", est)
+        pairs.withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= threshold)
         .select("a", "b", "est_jaccard")
     )
+
+
+def _lsh_group_judge(k: int, bands: int, threshold: float, portable: bool):
+    """Per-(band, bucket) candidate verification for minhash_lsh_pairs.
+
+    Emits (a, b, matches) for every pair in the group with
+    floor6(matches/k) >= threshold AND whose FIRST agreeing band is this
+    group's band — each qualifying pair is emitted exactly once across
+    all groups, with est computed from full-signature agreement.
+
+    Value identity with the join/zip_with formulation:
+    - candidate set: a pair is a candidate iff its buckets agree in >= 1
+      band. Every group the pair shares sees the same signature rows, so
+      "first agreeing band" is well-defined and selects exactly one
+      emitting group per candidate pair (for portable mode, slice
+      equality == bucket equality because the bucket is a collision-free
+      decimal encoding of the slice; for xxhash mode the judge compares
+      the actual bucket values, fold collisions included).
+    - est: matches is an exact integer; floor(matches/k*1e6)/1e6 runs
+      the identical IEEE double sequence numpy-side and JVM-side, so the
+      numpy pre-filter keeps exactly the rows fr() keeps.
+    - ordering (a < b): ids are unique within a group; rows are sorted
+      by id so emitting upper-triangle index pairs is emitting a < b.
+
+    Skew note (guide §2.5): a hot bucket of m docs is O(m^2) work here
+    exactly as it was O(m^2) shuffled rows before — but as vectorized
+    numpy inside one task instead of m^2/2 rows through three exchanges.
+    The equality tensor is row-chunked to bound memory at ~4M elements.
+    """
+
+    rpb = k // bands
+
+    def judge(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "matches": pd.Series([], dtype="int32"),
+            }
+        )
+        m = len(pdf)
+        if m < 2:
+            return empty
+        band = int(pdf["band"].iloc[0])
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        S = np.stack(pdf["sig"].to_numpy()).astype(np.int64)  # (m, k)
+        # FACTORIZE by full signature: near-dup buckets are cliques of
+        # docs with IDENTICAL signatures (that is what put them in one
+        # bucket), so pairwise work collapses from m^2 to u^2 signature
+        # classes (measured u << m on duplicate-heavy corpora; u == m is
+        # the graceful worst case). matches/bandeq/first-band/est are
+        # class-level facts; member pairs inherit them by expansion.
+        U, uidx, inv = np.unique(
+            S, axis=0, return_index=True, return_inverse=True
+        )
+        u = len(uidx)
+        # class membership, member ids ascending within each class
+        ordc = np.lexsort((ids, inv))
+        sorted_ids, sorted_inv = ids[ordc], inv[ordc]
+        starts = np.searchsorted(sorted_inv, np.arange(u))
+        ends = np.append(starts[1:], m)
+        Bu = None
+        if not portable:
+            # buckets are a pure function of the signature, so one
+            # representative row per class carries the class's buckets
+            Bu = np.stack(pdf["__bks"].to_numpy()).astype(np.int64)[uidx]
+
+        out_a, out_b, out_m = [], [], []
+        sz = ends - starts
+
+        # same-class pairs: matches = k exactly, est = 1.0, every band
+        # agrees, so the first agreeing band is 0 — band 0's group owns
+        # the emission (exactly once globally). Vectorized square-index
+        # expansion with an i<j mask; member ids ascend within a class,
+        # so i<j is a<b.
+        if band == 0 and 1.0 >= threshold:
+            big = np.nonzero(sz > 1)[0]
+            if len(big):
+                s = sz[big]
+                cnt = s * s
+                rep_s = np.repeat(s, cnt)
+                cum0 = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+                pos = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+                    cum0, cnt
+                )
+                ia = pos // rep_s
+                jb = pos - ia * rep_s
+                keep = ia < jb
+                base = np.repeat(starts[big], cnt)
+                out_a.append(sorted_ids[(base + ia)[keep]])
+                out_b.append(sorted_ids[(base + jb)[keep]])
+                out_m.append(np.full(int(keep.sum()), k, dtype=np.int32))
+
+        # cross-class pairs, chunked over class rows to bound the
+        # (c, u, k) equality tensor; qualifying CLASS pairs are
+        # collected, then expanded to member pairs fully vectorized
+        qa, qb, qm = [], [], []
+        ch = max(1, 16_000_000 // max(1, u * k))
+        for st in range(0, u - 1, ch):
+            en = min(st + ch, u - 1)
+            E = U[st:en, None, :] == U[None, :, :]  # (c, u, k)
+            matches = E.sum(axis=2, dtype=np.int64)
+            if portable:
+                bandeq = E.reshape(en - st, u, bands, rpb).all(axis=3)
+            else:
+                bandeq = Bu[st:en, None, :] == Bu[None, :, :]
+            first = bandeq.argmax(axis=2)  # first agreeing band index
+            est = np.floor(matches / np.float64(k) * 1e6) / 1e6
+            jmask = np.arange(u)[None, :] > np.arange(st, en)[:, None]
+            sel = (
+                jmask
+                & bandeq[:, :, band]
+                & (first == band)
+                & (est >= threshold)
+            )
+            ci, bj = np.nonzero(sel)
+            if len(ci):
+                qa.append(ci + st)
+                qb.append(bj)
+                qm.append(matches[ci, bj])
+        if qa:
+            A = np.concatenate(qa)
+            B = np.concatenate(qb)
+            MV = np.concatenate(qm)
+            nb = sz[B]
+            cnt = sz[A] * nb
+            rep_nb = np.repeat(nb, cnt)
+            cum0 = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            pos = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+                cum0, cnt
+            )
+            ia = pos // rep_nb
+            jb = pos - ia * rep_nb
+            a_ids = sorted_ids[np.repeat(starts[A], cnt) + ia]
+            b_ids = sorted_ids[np.repeat(starts[B], cnt) + jb]
+            out_a.append(np.minimum(a_ids, b_ids))
+            out_b.append(np.maximum(a_ids, b_ids))
+            out_m.append(np.repeat(MV, cnt).astype(np.int32))
+
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "matches": np.concatenate(out_m),
+            }
+        )
+
+    return judge
 
 
 def _banded(sig: DataFrame, k: int, bands: int, portable: bool = False) -> DataFrame:
@@ -574,7 +768,16 @@ def simhash_pairs(
         )
     # bits in their own projection: the array is packed 5x below (full sig
     # + 4 chunks), and CollapseProject keeps a non-cheap multi-referenced
-    # expression materialized once per row rather than inlining 5 copies
+    # expression materialized once per row rather than inlining 5 copies.
+    # (r12 tested and REJECTED: moving the vote/sign/pack stage to one
+    # numpy pass per Arrow batch, srp_buckets-style — parity-identical,
+    # but interleaved A/B at sf0.1 measured the signature pass 0.48 s JVM
+    # vs 0.98 s Arrow (the JVM-side tokenize+md5 dominates and the
+    # fixture's 1-3 scan tasks leave the worker roundtrip unamortized),
+    # and a 10x-corpus rerun on 32 partitions was a wash, 1.20 vs 1.16 s.
+    # The r11 sweep's 5.9 s entry that motivated the experiment
+    # re-measured at 1.03 s isolated on the unchanged tree — co-tenant
+    # phase noise, not a plan defect.)
     sig = (
         spread(df)
         # zero-token docs carry no signal: every vote is 0, so all

@@ -98,6 +98,15 @@ def fit_log_ratios(
     tc, rc = _bucket_counts(target, text_col, buckets), _bucket_counts(
         raw, text_col, buckets
     )
+    return _ratios_from_counts(tc, rc, buckets)
+
+
+def _ratios_from_counts(
+    tc: dict[int, int], rc: dict[int, int], buckets: int
+) -> dict[int, float]:
+    """Laplace-smoothed log-ratio per bucket, floored to 1e-9 — the ONE
+    place this discipline lives (fit_log_ratios and dsir_select both
+    call it, so the smoothing/floor math cannot drift between them)."""
     tot_t, tot_r = sum(tc.values()), sum(rc.values())
     out = {}
     for b in range(buckets):
@@ -183,13 +192,7 @@ def dsir_select(
     ).persist()
     tc = _bucket_counts(target, text_col, buckets)
     rc = _bucket_counts(featured, text_col, buckets, feats_col="__dsir_f")
-    tot_t, tot_r = sum(tc.values()), sum(rc.values())
-    lr = {}
-    for b in range(buckets):
-        v = math.log((tc.get(b, 0) + 1) / (tot_t + buckets)) - math.log(
-            (rc.get(b, 0) + 1) / (tot_r + buckets)
-        )
-        lr[b] = math.floor(v * 1e9) / 1e9
+    lr = _ratios_from_counts(tc, rc, buckets)
     scored = dsir_weights(
         featured, lr, id_col, text_col, buckets, feats_col="__dsir_f"
     )

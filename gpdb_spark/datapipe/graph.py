@@ -53,20 +53,25 @@ def components_from_edges(
     )
     # materialize the edge list ONCE before anything else reads it: the
     # upstream plan is often expensive (embed_neardup_clusters feeds the
-    # full cosine-pair computation in here), and the previous shape ran
+    # full cosine-pair computation in here), and the pre-r11 shape ran
     # it twice — once for the sizing count below and again when the lazy
-    # persist() was first touched by round 0 (r11).
-    sym = sym.localCheckpoint(eager=True)
+    # persist() was first touched by round 0. r12: persist()+count()
+    # instead of localCheckpoint — the count populates the cache in the
+    # same job (still one evaluation), and unlike checkpoint blocks the
+    # cached copy can be RELEASED deterministically once the
+    # repartitioned loop copy is materialized (the r11 checkpoint
+    # lingered until ContextCleaner GC — ADVICE r11). Lineage stays
+    # intact, so an evicted loop block can still recompute.
+    base = sym.persist()
     # right-size the loop's join partitioning by actual edge count
     # (same lesson as dedup.minhash_dedup_clusters: default shuffle
     # width is far too wide for a slim edge table and every LP round
     # pays idle-task scheduling; ~1M edges/partition, scales up for
-    # billion-edge graphs). The count scans the checkpointed partitions —
-    # no recomputation.
-    n_edges = sym.count()
+    # billion-edge graphs). The count caches the edges as it counts.
+    n_edges = base.count()
     parallelism = nodes.sparkSession.sparkContext.defaultParallelism
     parts = int(max(4, min(-(-n_edges // 1_000_000), 4 * parallelism)))
-    sym = sym.repartition(parts, "v").persist()
+    sym = base.repartition(parts, "v").persist()
     labels = nodes.select(
         F.col(id_col).alias("u"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
@@ -118,10 +123,17 @@ def components_from_edges(
             ).collect()[0][0]
             or 0
         )
+        if base is not None:
+            # wave 1's action materialized the repartitioned loop copy;
+            # the pre-repartition cache is now redundant — free it
+            base.unpersist()
+            base = None
         labels = new_labels.select("u", "label")
         if n_changed == 0:
             converged = True
             break
+    if base is not None:
+        base.unpersist()
     sym.unpersist()
     if not converged:
         # NEVER return silently-wrong components: with shortcutting,

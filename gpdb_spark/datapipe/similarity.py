@@ -857,6 +857,7 @@ def brute_force_topk_blocked(
     vec_col: str = "embedding",
     k: int = 5,
     emit_vectors: bool = False,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k via Arrow-batched block matrix multiply.
 
@@ -882,7 +883,21 @@ def brute_force_topk_blocked(
     schema = "query_id long, corpus_id long, cos double"
     if emit_vectors:
         schema += ", cv array<double>"
-    q_rows = queries.select(id_col, vec_col).collect()
+    # r12 (VERDICT r11 #5): the blocked formulation's contract is a
+    # SMALL query set collected into the UDF closure — an unbounded
+    # query side would silently OOM the driver and ship a giant closure
+    # to every task. Refuse LOUDLY past the bound (limit(max+1) keeps
+    # the probe itself bounded), the same discipline as the IVF 2^53
+    # guard; callers with big query sets belong on brute_force_topk /
+    # the LSH paths.
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk_blocked: query set exceeds max_queries="
+            f"{max_queries} rows — the blocked kernel collects queries "
+            "driver-side by contract; use brute_force_topk or an ANN "
+            "path for large query sets (or raise max_queries explicitly)"
+        )
     if not q_rows:
         # an empty query set is a valid input (an upstream filter can
         # match nothing); np.linalg.norm on a 0-row array would raise

@@ -9,6 +9,7 @@ gpdb_spark.streaming and is exercised by tests/test_streaming.py.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from gpdb_spark.registry import _usum, fr, DEC, dsum, oavg, osum, query, t
@@ -389,37 +390,51 @@ def events_funnel(spark, sf_dir):
     """Ordered conversion funnel (view -> click -> purchase, strictly
     increasing timestamps per user) — the event-analytics staple.
 
-    r11 (guide §2.4 remove shuffles / §1.2 algorithm first): the old
-    shape ran THREE sequential count() actions whose lineages re-scanned
-    events 1+2+3 = 6 times and re-shuffled each stage's join. The funnel
-    first-hits are a per-user sequential property, so ONE keyed
-    aggregation computes them all: collect the (ts, type) pairs per user
-    (bounded by per-user activity), derive t1 = first view,
-    t2 = first click strictly after t1, t3 = first purchase strictly
-    after t2 as array folds, and count the non-null stages in one global
-    aggregate — one scan, one shuffle, one action. Value-identical: the
-    stage-k user set {t_k IS NOT NULL} is exactly the old stage-k join
-    output (a NULL t_{k-1} nulls every comparison, reproducing the inner
-    join's exclusion), and the ppm math is unchanged integer division."""
+    r11 replaced the 3-join/3-action shape with one collect_list
+    aggregation; r12 (guide §5 bounded per-group state) removes the
+    collect_list: a hot user (bot traffic) would grow one aggregation
+    buffer without bound at 100 TB. The funnel first-hits are running
+    minima, so ONE window pass (partition user_id, order ts, running
+    frame — streaming O(1) state per group, partition rows spill-safe)
+    derives them, and the per-user groupBy reuses the window's hash
+    partitioning shuffle-free (§2.4): still one scan + one exchange.
+
+    Value identity (strict inequalities make tie order irrelevant):
+    v_min at a click row is the min view-ts over rows at-or-before it
+    in ts order, so v_min < ts ⟺ t1 < ts — equal-ts views fail the
+    strict test whether or not the frame includes them, and any view
+    with ts' < ts sorts strictly earlier and is always included. The
+    same argument gives c_min < ts ⟺ t2 < ts at purchase rows. The
+    stage-k user set {t_k IS NOT NULL} is exactly the oracle's stage-k
+    join output, and the ppm math is unchanged integer division."""
     e = t(spark, sf_dir, "events")
-    evs = (
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_view = F.col("event_type") == "view"
+    staged = (
         e.where(F.col("event_type").isin("view", "click", "purchase"))
         .select("user_id", "ts", "event_type")
+        .withColumn("v_min", F.min(F.when(is_view, F.col("ts"))).over(w))
+        .withColumn(
+            "c_ok",
+            (F.col("event_type") == "click") & (F.col("v_min") < F.col("ts")),
+        )
+        .withColumn("c_min", F.min(F.when(F.col("c_ok"), F.col("ts"))).over(w))
+        .withColumn(
+            "p_ok",
+            (F.col("event_type") == "purchase")
+            & (F.col("c_min") < F.col("ts")),
+        )
         .groupBy("user_id")
-        .agg(F.collect_list(F.struct("ts", "event_type")).alias("evs"))
+        .agg(
+            F.min(F.when(is_view, F.col("ts"))).alias("t1"),
+            F.min(F.when(F.col("c_ok"), F.col("ts"))).alias("t2"),
+            F.min(F.when(F.col("p_ok"), F.col("ts"))).alias("t3"),
+        )
     )
-
-    def first_ts(kind, after=None):
-        cond = lambda s: (s.event_type == kind) & (
-            s.ts > after if after is not None else F.lit(True)
-        )
-        return F.array_min(
-            F.transform(F.filter(F.col("evs"), cond), lambda s: s.ts)
-        )
-
-    staged = evs.withColumn("t1", first_ts("view"))
-    staged = staged.withColumn("t2", first_ts("click", F.col("t1")))
-    staged = staged.withColumn("t3", first_ts("purchase", F.col("t2")))
     n1, n2, n3 = staged.agg(
         F.count("t1"), F.count("t2"), F.count("t3")
     ).collect()[0]

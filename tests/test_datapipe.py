@@ -831,3 +831,17 @@ def test_minhash_clusters_match_unionfind_ground_truth(spark, sf_dir):
     for doc, keep in got.items():
         if doc not in expected:
             assert keep == doc
+
+
+def test_brute_force_blocked_refuses_oversized_query_set(embeds):
+    """r12 (VERDICT r11 #5): the blocked kernel collects the query set
+    driver-side; past max_queries it must refuse loudly instead of
+    silently OOMing the driver."""
+    from gpdb_spark.datapipe.similarity import brute_force_topk_blocked
+
+    q = embeds.limit(12)
+    with pytest.raises(ValueError, match="max_queries"):
+        brute_force_topk_blocked(embeds, q, k=3, max_queries=10)
+    # under the bound the guard is inert
+    ok = brute_force_topk_blocked(embeds, q.limit(3), k=3, max_queries=10)
+    assert ok.count() > 0

@@ -2,7 +2,7 @@
 """Per-query perf probe for the optimization rounds (guide §1).
 
 For each headline query: capture .explain("formatted") to
-plans/r11/<name>_<tag>.txt, then time the computation N times against the
+plans/<round>/<name>_<tag>.txt (default r12), then time the computation N times against the
 noop sink (guide §1.4 — times every column of every row without sink
 cost; the bench itself keeps its historical collect() methodology).
 Prints a JSON line per query and a total.
@@ -49,7 +49,7 @@ def main() -> None:
     spark = get_spark(app_name="gpdb_spark_perf_probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r12"))
     os.makedirs(plan_dir, exist_ok=True)
 
     # warm: JVM codegen + python worker pool (same as bench.py)
